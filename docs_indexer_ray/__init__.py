@@ -1,0 +1,25 @@
+"""docs_indexer_ray — a Ray-Data-native full-text indexing + BM25 query engine.
+
+A from-scratch rebuild of the capabilities of giantswarm/docs-indexer
+(reference at /root/reference): where the reference is a single-process
+ETL that extracts text from HTML/Markdown and delegates every search
+capability to OpenSearch, this engine does the whole job as
+``ray.data.Dataset`` pipelines — extraction, analysis, inverted-index
+construction (delta+varint posting lists with block-max metadata),
+global BM25 statistics, and block-max WAND top-k retrieval — plus the
+training-data operators a 100 TB pipeline needs (dedup families,
+similarity search, text analysis, multimodal plumbing).
+
+Layout:
+  functions/  pure per-row/per-batch kernels (no Ray imports)
+  sources/    input adapters + deterministic synthetic pages generator
+  stages/     Ray Data map_batches / groupby stages
+  state/      manifest, lineage, CURRENT pointer, resume logic
+  query/      segment reader, BM25 scorers (WAND + TAAT), search API
+  pipelines/  end-to-end build/search/dedup/similarity/textstats
+
+Nothing in this package calls ``ray.init()`` / ``ray.shutdown()`` —
+sessions are owned by the caller (bench.py, CLI, test fixture, driver).
+"""
+
+__version__ = "0.1.0"

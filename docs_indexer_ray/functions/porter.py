@@ -1,0 +1,172 @@
+"""Porter stemmer — the classic algorithm (Porter, *Program* 14(3), 1980).
+
+Implemented from the published algorithm description, including the two
+canonical departures of the author's reference ANSI-C implementation
+(also present in Lucene's ``PorterStemmer``, which backs the
+``english`` analyzer the reference relies on via
+``mappings/hugo.json:7,49,61``):
+
+* step 2 uses ``bli → ble`` in place of the paper's ``abli → able``;
+* step 2 adds ``logi → log``.
+
+Words of length ≤ 2 are returned unchanged.  Pure function of the
+input token; per-worker memoization happens in the analyzer stage, not
+here.
+"""
+
+from __future__ import annotations
+
+__all__ = ["porter_stem"]
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m in [C](VC)^m[V] over the stem."""
+    m = 0
+    i, n = 0, len(stem)
+    while i < n and _is_cons(stem, i):
+        i += 1
+    while i < n:
+        while i < n and not _is_cons(stem, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(stem, i):
+            i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _ends_cvc(word: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(word) < 3:
+        return False
+    n = len(word)
+    return (
+        _is_cons(word, n - 3)
+        and not _is_cons(word, n - 2)
+        and _is_cons(word, n - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+def _replace_longest(word: str, rules: list[tuple[str, str]], min_m: int) -> str:
+    """Apply the longest-matching-suffix rule whose stem has m > min_m."""
+    best = None
+    for suffix, repl in rules:
+        if word.endswith(suffix) and (best is None or len(suffix) > len(best[0])):
+            best = (suffix, repl)
+    if best is None:
+        return word
+    stem = word[: len(word) - len(best[0])]
+    if _measure(stem) > min_m:
+        return stem + best[1]
+    return word
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("bli", "ble"),  # DEPARTURE: paper has abli→able
+    ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+    ("ization", "ize"), ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+    ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous"),
+    ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ("logi", "log"),  # DEPARTURE: added in the reference C implementation
+]
+
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+
+    # step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith("ies"):
+        word = word[:-2]
+    elif word.endswith("ss"):
+        pass
+    elif word.endswith("s"):
+        word = word[:-1]
+
+    # step 1b
+    if word.endswith("eed"):
+        if _measure(word[:-3]) > 0:
+            word = word[:-1]
+    else:
+        fired = False
+        if word.endswith("ed") and _has_vowel(word[:-2]):
+            word = word[:-2]
+            fired = True
+        elif word.endswith("ing") and _has_vowel(word[:-3]):
+            word = word[:-3]
+            fired = True
+        if fired:
+            if word.endswith(("at", "bl", "iz")):
+                word += "e"
+            elif _ends_double_cons(word) and word[-1] not in "lsz":
+                word = word[:-1]
+            elif _measure(word) == 1 and _ends_cvc(word):
+                word += "e"
+
+    # step 1c
+    if word.endswith("y") and _has_vowel(word[:-1]):
+        word = word[:-1] + "i"
+
+    word = _replace_longest(word, _STEP2, 0)
+    word = _replace_longest(word, _STEP3, 0)
+
+    # step 4: delete the longest matching suffix when m(stem) > 1
+    best = None
+    for suffix in _STEP4:
+        if word.endswith(suffix) and (best is None or len(suffix) > len(best)):
+            best = suffix
+    if best is not None:
+        stem = word[: len(word) - len(best)]
+        if _measure(stem) > 1 and (best != "ion" or (stem and stem[-1] in "st")):
+            word = stem
+
+    # step 5a
+    if word.endswith("e"):
+        stem = word[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            word = stem
+
+    # step 5b
+    if _measure(word) > 1 and _ends_double_cons(word) and word.endswith("l"):
+        word = word[:-1]
+
+    return word

@@ -1,0 +1,129 @@
+"""Golden extraction tests — corpus taken verbatim from the reference's
+test suite (/root/reference/common_test.py, hugo_test.py) to pin the
+byte-identical per-url invariant."""
+
+from docs_indexer_ray.functions.htmltext import html_to_text
+from docs_indexer_ray.functions.minimarkdown import markdown_to_text, strip_shortcodes
+
+# --- common_test.py:4-20 golden pair, byte-for-byte -------------------
+HTML = """
+<html>
+<head/>
+<body>
+<div>This is my body</div>
+</body>
+</html>
+"""
+
+TEXT = """
+
+
+
+This is my body
+
+
+"""
+
+
+def test_html2text_golden_byte_identical():
+    assert html_to_text(HTML) == TEXT
+
+
+def test_html2text_bytes_input():
+    assert html_to_text(HTML.encode("utf-8")) == TEXT
+
+
+def test_html2text_entities_decoded():
+    assert html_to_text("<p>a &amp; b &lt;c&gt;</p>") == "a & b <c>"
+
+
+def test_html2text_all_string_nodes_joined():
+    # comments, script/style contents and PI bodies are NavigableStrings
+    # in bs4 and are all included by find_all(string=True) (common.py:38)
+    assert html_to_text("<p>x</p><!--note--><style>.a{}</style>") == "xnote.a{}"
+
+
+def test_html2text_empty_and_whitespace():
+    assert html_to_text("") == ""
+    assert html_to_text("  \n ") == "  \n "
+
+
+# --- hugo_test.py:40-89 markdown_to_text assertions -------------------
+
+
+def test_fenced_code_language_indicator_stripped():
+    md = "Intro text.\n\n```nohighlight\nkubectl get pods\n```\n\nAfter text."
+    text = markdown_to_text(md)
+    assert "nohighlight" not in text
+    assert "kubectl get pods" in text
+    assert "Intro text." in text and "After text." in text
+
+
+def test_table_separators_stripped():
+    md = (
+        "Intro.\n\n"
+        "| Name | Role |\n"
+        "| ---- | ---- |\n"
+        "| Alice | Admin |\n"
+        "| Bob | User |\n\n"
+        "Outro."
+    )
+    text = markdown_to_text(md)
+    assert "|" not in text
+    assert "---" not in text
+    for cell in ("Name", "Role", "Alice", "Admin", "Bob", "User"):
+        assert cell in text
+
+
+def test_heading_anchor_stripped():
+    md = "## Resource types {#types}\n\nSome content.\n\n### Flags {#flags}\n\nMore."
+    text = markdown_to_text(md)
+    assert "{#types}" not in text
+    assert "{#flags}" not in text
+    assert "Resource types" in text
+    assert "Flags" in text
+
+
+def test_shortcodes_stripped():
+    md = (
+        "Install manually.\n\n"
+        "{{< tabs >}}\n"
+        '{{< tab name="Krew" >}}\n'
+        "Pull the image.\n"
+        "{{< /tab >}}\n"
+        "{{< /tabs >}}\n\n"
+        "{{% steps %}}\n"
+        "Do the thing.\n"
+        "{{% /steps %}}\n"
+    )
+    text = markdown_to_text(md)
+    assert "{{" not in text and "}}" not in text
+    assert "tabs" not in text and "steps" not in text
+    assert "Pull the image." in text
+    assert "Do the thing." in text
+
+
+def test_strip_shortcodes_keeps_content():
+    assert strip_shortcodes("a {{< x >}}b{{< /x >}} c") == "a b c"
+    assert strip_shortcodes("{{% y param=1 %}}inner{{% /y %}}") == "inner"
+
+
+def test_markdown_inline_and_lists():
+    md = "A **bold** and *em* and `code` word.\n\n- one\n- two\n\n1. first\n2. second"
+    text = markdown_to_text(md)
+    for frag in ("bold", "em", "code", "one", "two", "first", "second"):
+        assert frag in text
+    assert "**" not in text and "`" not in text
+
+
+def test_markdown_links_keep_text_not_url():
+    text = markdown_to_text("See [the docs](https://example.test/x) now.")
+    assert "the docs" in text
+    assert "https://example.test/x" not in text
+
+
+def test_markdown_blockquote_and_hr():
+    text = markdown_to_text("> quoted line\n\n---\n\nafter")
+    assert "quoted line" in text
+    assert "---" not in text
+    assert "after" in text
