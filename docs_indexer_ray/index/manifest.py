@@ -1,0 +1,104 @@
+"""Build state, per-partition lineage, and atomic publish.
+
+Re-creates the reference's index lifecycle (K3–K5 of SURVEY §2.1) for a
+filesystem index:
+
+* **state = build name**: the reference encodes "is this input already
+  indexed?" in the OpenSearch index *name* ``{prefix}-{git sha}`` and
+  exits early when it exists (``/root/reference/hugo.py:378-385,
+  424-427``, ``docs/design.md:9-19``).  Here the build name is
+  ``{prefix}-{input fingerprint}`` — a digest of the input files'
+  (path, size, mtime) — and :func:`is_current` gives the same
+  short-circuit.
+* **atomic publish**: the reference repoints the ``{prefix}`` alias to
+  the new index and deletes the old one only after a fully successful
+  build (``hugo.py:464-483``) so readers always see a complete index.
+  Here :func:`publish` atomically ``os.replace``-s a ``CURRENT`` file
+  containing the build name; readers resolve ``CURRENT`` → build dir.
+  :func:`gc` removes unreferenced build dirs (the old-index delete).
+* **lineage**: ``manifest.json`` records, per segment partition, the
+  row/term/posting counts and byte sizes returned by the segment
+  encoder, plus global stats — a rerun of the same build skips
+  partitions whose segment files exist (``index/segments.py``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+__all__ = [
+    "input_fingerprint",
+    "build_dir",
+    "is_current",
+    "write_manifest",
+    "read_manifest",
+    "publish",
+    "current_build",
+    "gc",
+]
+
+
+def input_fingerprint(paths: list[str]) -> str:
+    """Digest of the input fragments' (path, size, mtime) — the analog
+    of the reference's git tip SHA (``hugo.py:401-413``)."""
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{int(st.st_mtime)}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def build_dir(root: str, prefix: str, fingerprint: str) -> str:
+    return os.path.join(root, f"{prefix}-{fingerprint}")
+
+
+def current_build(root: str) -> str | None:
+    try:
+        with open(os.path.join(root, "CURRENT")) as f:
+            name = f.read().strip()
+    except FileNotFoundError:
+        return None
+    path = os.path.join(root, name)
+    return path if os.path.isdir(path) else None
+
+
+def is_current(root: str, prefix: str, fingerprint: str) -> bool:
+    """The reference's check_index short-circuit (``hugo.py:378-385``)."""
+    cur = current_build(root)
+    return cur is not None and os.path.basename(cur) == f"{prefix}-{fingerprint}"
+
+
+def write_manifest(bdir: str, manifest: dict) -> None:
+    tmp = os.path.join(bdir, f"manifest.json.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(bdir, "manifest.json"))
+
+
+def read_manifest(bdir: str) -> dict:
+    with open(os.path.join(bdir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def publish(root: str, name: str) -> None:
+    """Atomic ``CURRENT`` swap — the alias repoint (``hugo.py:473-479``)."""
+    tmp = os.path.join(root, f"CURRENT.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(name + "\n")
+    os.replace(tmp, os.path.join(root, "CURRENT"))
+
+
+def gc(root: str) -> list[str]:
+    """Delete build dirs not referenced by CURRENT (``hugo.py:469-472``)."""
+    cur = current_build(root)
+    removed = []
+    for entry in os.listdir(root):
+        path = os.path.join(root, entry)
+        if not os.path.isdir(path) or path == cur:
+            continue
+        shutil.rmtree(path)
+        removed.append(entry)
+    return removed

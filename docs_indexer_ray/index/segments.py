@@ -1,0 +1,175 @@
+"""Per-partition segment encoding and atomic segment-file writes.
+
+One reducer group (= one ``rpart`` from the postings shuffle,
+``stages/tokenize.py``) becomes one **segment file**
+``seg-{rpart:05d}.parquet`` holding every term of that partition as one
+row of delta+varint-encoded postings with per-block skip metadata
+(``functions/codec.py``), rows sorted by ``term`` so Parquet row-group
+statistics prune term lookups at query time.
+
+This replaces Lucene's segment write that the reference delegated to
+OpenSearch (``/root/reference/mappings/hugo.json`` — D4 of SURVEY §2.2).
+Differences are deliberate: Parquet instead of a custom container (free
+compression, statistics, predicate pushdown, splittable reads), and one
+segment per shuffle partition instead of per-writer-flush (no
+background merges needed — the shuffle already globally groups terms).
+
+Writes are **atomic + resumable**: encode to ``<name>.tmp-<pid>``, then
+``os.replace`` onto the final name; a rerun skips groups whose segment
+file already exists (per-partition lineage lives in the manifest).
+
+Doc lengths: the tokenizer marks exactly one posting row per document
+as the *dl-carrier* (``dlc``); each group writes its carriers to
+``dl-{rpart:05d}.parquet`` so the union of the dl files holds each
+``(doc_id, dl)`` exactly once with no extra shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.codec import encode_postings
+
+__all__ = ["SegmentEncoder", "SEGMENT_SCHEMA", "segment_path", "doclen_path"]
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("rpart", pa.int32()),
+        ("df", pa.uint64()),
+        ("cf", pa.uint64()),
+        ("doc_ids_enc", pa.binary()),
+        ("tfs_enc", pa.binary()),
+        ("block_last", pa.list_(pa.uint64())),
+        ("block_id_offsets", pa.list_(pa.uint32())),
+        ("block_tf_offsets", pa.list_(pa.uint32())),
+        ("block_max_tf", pa.list_(pa.uint32())),
+        ("block_min_dl", pa.list_(pa.uint32())),
+        ("max_tf", pa.uint32()),
+        ("min_dl", pa.uint32()),
+    ]
+)
+
+
+def segment_path(seg_dir: str, rpart: int) -> str:
+    return os.path.join(seg_dir, f"seg-{rpart:05d}.parquet")
+
+
+def doclen_path(seg_dir: str, rpart: int) -> str:
+    return os.path.join(seg_dir, f"dl-{rpart:05d}.parquet")
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+def encode_partition(
+    term: np.ndarray,
+    doc_id: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    rpart: int,
+    block_size: int = 128,
+) -> pa.Table:
+    """Vectorized encode of one partition's postings → segment rows.
+
+    One ``np.lexsort`` over the whole partition, then run-length term
+    boundaries; the per-term inner encode is numpy-vectorized
+    (``codec.encode_postings``), so the only Python-level loop is over
+    *distinct terms*, not postings.
+    """
+    order = np.lexsort((doc_id, term))
+    term, doc_id, tf, dl = term[order], doc_id[order], tf[order], dl[order]
+    # term run boundaries
+    change = np.empty(len(term), dtype=bool)
+    change[0] = True
+    np.not_equal(term[1:], term[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(term))
+
+    rows = {name: [] for name in SEGMENT_SCHEMA.names}
+    for s, e in zip(starts, ends):
+        enc = encode_postings(doc_id[s:e], tf[s:e], dl[s:e], block_size)
+        rows["term"].append(term[s])
+        rows["rpart"].append(rpart)
+        rows["df"].append(enc["df"])
+        rows["cf"].append(enc["cf"])
+        rows["doc_ids_enc"].append(enc["doc_ids_enc"])
+        rows["tfs_enc"].append(enc["tfs_enc"])
+        rows["block_last"].append(enc["block_last"])
+        rows["block_id_offsets"].append(enc["block_id_offsets"])
+        rows["block_tf_offsets"].append(enc["block_tf_offsets"])
+        rows["block_max_tf"].append(enc["block_max_tf"])
+        rows["block_min_dl"].append(enc["block_min_dl"])
+        rows["max_tf"].append(enc["max_tf"])
+        rows["min_dl"].append(enc["min_dl"])
+    return pa.Table.from_pydict(rows, schema=SEGMENT_SCHEMA)
+
+
+class SegmentEncoder:
+    """``map_groups`` callable: one postings partition → one segment file.
+
+    Returns a one-row **lineage record** per partition (rpart, term and
+    posting counts, output file, byte size) — these become the
+    manifest's per-partition lineage.  If the segment file already
+    exists (resume), the group is skipped and the lineage row is marked
+    ``resumed=True``.
+    """
+
+    def __init__(self, seg_dir: str, block_size: int = 128):
+        self.seg_dir = seg_dir
+        self.block_size = block_size
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        rpart = int(group["rpart"].iloc[0])
+        seg_file = segment_path(self.seg_dir, rpart)
+        dl_file = doclen_path(self.seg_dir, rpart)
+
+        if os.path.exists(seg_file) and os.path.exists(dl_file):
+            meta = pq.read_metadata(seg_file)
+            return pd.DataFrame(
+                [
+                    {
+                        "rpart": rpart,
+                        "n_terms": meta.num_rows,
+                        "n_postings": -1,
+                        "bytes": os.path.getsize(seg_file),
+                        "resumed": True,
+                    }
+                ]
+            )
+
+        term = group["term"].to_numpy(dtype=object)
+        doc_id = group["doc_id"].to_numpy(dtype=np.uint64)
+        tf = group["tf"].to_numpy(dtype=np.uint64)
+        dl = group["dl"].to_numpy(dtype=np.uint64)
+        seg = encode_partition(term, doc_id, tf, dl, rpart, self.block_size)
+        _atomic_write(seg, seg_file)
+
+        carriers = group[group["dlc"]]
+        dl_tbl = pa.table(
+            {
+                "doc_id": pa.array(carriers["doc_id"].to_numpy(np.uint64), pa.uint64()),
+                "dl": pa.array(carriers["dl"].to_numpy(np.uint32), pa.uint32()),
+            }
+        )
+        _atomic_write(dl_tbl, dl_file)
+
+        return pd.DataFrame(
+            [
+                {
+                    "rpart": rpart,
+                    "n_terms": seg.num_rows,
+                    "n_postings": int(len(group)),
+                    "bytes": os.path.getsize(seg_file),
+                    "resumed": False,
+                }
+            ]
+        )

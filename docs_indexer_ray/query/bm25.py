@@ -1,0 +1,238 @@
+"""BM25 scoring and top-k retrieval (exact TAAT + block-max WAND).
+
+The scoring the reference got from OpenSearch's default similarity
+(D5 of SURVEY §2.2 — single shard ⇒ exact global statistics,
+``/root/reference/common.py:6``; k1/b never overridden):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))          (Lucene BM25)
+    tfn     = tf / (tf + k1 * (1 - b + b * dl / avgdl))
+    score   = Σ_t idf(t) · tfn                              k1=1.2 b=0.75
+
+(Lucene drops the classic ``(k1+1)`` numerator factor — it does not
+affect ranking; we follow Lucene.)  Norms here are exact ``dl`` rather
+than Lucene's lossy byte-encoded norm — a documented divergence that
+only sharpens scores.
+
+Ranking is fully deterministic: ties broken by ascending ``doc_id``
+(Lucene's doc-order behavior).  ``wand_topk`` must return *exactly*
+``score_topk``'s answer — the pruning bound is inflated by a 1e-10
+relative margin so float rounding can never prune a true top-k doc,
+and because WAND visits candidates in ascending doc-id order, a
+later equal-score doc always loses the tie-break to a heap incumbent,
+which makes ``ub <= θ`` pruning rank-safe.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+__all__ = ["bm25_idf", "score_topk", "wand_topk", "bm25_scores_dense"]
+
+K1 = 1.2
+B = 0.75
+_MARGIN = 1e-10
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _k_factor(dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    return k1 * (1.0 - b + b * (dl.astype(np.float64) / avgdl))
+
+
+def bm25_scores_dense(
+    reader, terms: list[str], k1: float = K1, b: float = B
+) -> np.ndarray:
+    """Exact dense score vector over all docs (TAAT) — the oracle path.
+
+    Duplicate query terms contribute once per occurrence, like Lucene's
+    BooleanQuery over repeated TermQuery clauses.
+    """
+    n = reader.n_docs
+    scores = np.zeros(n, dtype=np.float64)
+    avgdl = reader.avgdl if reader.avgdl > 0 else 1.0
+    for term in terms:
+        got = reader.decode_all(term)
+        if got is None:
+            continue
+        doc_ids, tfs = got
+        tp = reader.postings(term)
+        idf = bm25_idf(n, tp.df)
+        dl = reader.doclens[doc_ids]
+        tf = tfs.astype(np.float64)
+        scores[doc_ids] += idf * tf / (tf + _k_factor(dl, avgdl, k1, b))
+    return scores
+
+
+def _rank_top(scores: np.ndarray, k: int) -> list[tuple[int, float]]:
+    nz = np.flatnonzero(scores)
+    if len(nz) == 0:
+        return []
+    take = min(k, len(nz))
+    # order: score desc, doc_id asc — np.lexsort keys last-is-primary
+    order = np.lexsort((nz, -scores[nz]))[:take]
+    return [(int(nz[i]), float(scores[nz[i]])) for i in order]
+
+
+def score_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
+    """Exact top-k ``[(doc_id, score)]`` by full TAAT scoring."""
+    return _rank_top(bm25_scores_dense(reader, terms, k1, b), k)
+
+
+class _TermIter:
+    """Cursor over one term's flat block sequence (see segments_io)."""
+
+    __slots__ = ("tp", "idf", "block", "ids", "tfs", "pos", "ub", "block_ub")
+
+    def __init__(self, tp, idf: float, avgdl: float, k1: float, b: float, doclens):
+        self.tp = tp
+        self.idf = idf
+        # per-block upper bound: tf_max / (tf_max + K(dl_min)) is an
+        # upper bound for every posting in the block because tfn is
+        # monotone ↑ in tf and ↓ in dl (codec docstring).
+        tf_max = tp.block_max_tf.astype(np.float64)
+        dl_min = tp.block_min_dl.astype(np.float64)
+        kf = k1 * (1.0 - b + b * (dl_min / avgdl))
+        self.block_ub = idf * tf_max / (tf_max + kf)
+        self.ub = float(self.block_ub.max())
+        self.block = -1
+        self.ids = self.tfs = None
+        self.pos = 0
+        self._load_block(0)
+
+    def _load_block(self, bidx: int) -> None:
+        if bidx >= self.tp.n_blocks:
+            self.block = self.tp.n_blocks
+            self.ids = None
+            return
+        self.block = bidx
+        self.ids, self.tfs = self.tp.decode_block(bidx)
+        self.pos = 0
+
+    @property
+    def exhausted(self) -> bool:
+        return self.ids is None
+
+    @property
+    def doc(self) -> int:
+        return int(self.ids[self.pos]) if self.ids is not None else 1 << 62
+
+    def advance_to(self, target: int) -> None:
+        """Skip to the first posting with doc_id >= target."""
+        if self.ids is None:
+            return
+        if target > int(self.tp.block_last[self.block]):
+            nxt = int(np.searchsorted(self.tp.block_last, target, side="left"))
+            self._load_block(nxt)
+            if self.ids is None:
+                return
+        self.pos = int(np.searchsorted(self.ids, target, side="left"))
+        if self.pos >= len(self.ids):  # can only happen via stale pos
+            self._load_block(self.block + 1)
+
+    def next(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.ids):
+            self._load_block(self.block + 1)
+
+    def score_current(self, avgdl: float, dl: float, k1: float, b: float) -> float:
+        tf = float(self.tfs[self.pos])
+        return self.idf * tf / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+
+    def current_block_ub(self, up_to_doc: int) -> float:
+        """Max block ub over blocks that could contain docs <= up_to_doc
+        starting from the current block (block-max WAND refinement)."""
+        if self.ids is None:
+            return 0.0
+        hi = int(np.searchsorted(self.tp.block_last, up_to_doc, side="left"))
+        hi = min(hi, self.tp.n_blocks - 1)
+        return float(self.block_ub[self.block : hi + 1].max())
+
+
+def wand_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
+    """Block-max WAND top-k — identical output to :func:`score_topk`.
+
+    Duplicate query terms are folded into a per-term weight (idf ×
+    multiplicity), which is algebraically the same sum.
+    """
+    from collections import Counter
+
+    avgdl = reader.avgdl if reader.avgdl > 0 else 1.0
+    n = reader.n_docs
+    iters: list[_TermIter] = []
+    for term, mult in Counter(terms).items():
+        tp = reader.postings(term)
+        if tp is None or tp.df == 0:
+            continue
+        it = _TermIter(tp, bm25_idf(n, tp.df) * mult, avgdl, k1, b, reader.doclens)
+        if not it.exhausted:
+            iters.append(it)
+    if not iters:
+        return []
+
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    theta = -np.inf
+
+    def beats_theta(score: float, doc: int) -> bool:
+        if len(heap) < k:
+            return True
+        s0, nd0 = heap[0]
+        return score > s0 or (score == s0 and doc < -nd0)
+
+    live = [it for it in iters if not it.exhausted]
+    while live:
+        live.sort(key=lambda it: it.doc)
+        # pivot: smallest prefix whose Σ ub could beat θ
+        acc = 0.0
+        pivot = -1
+        for i, it in enumerate(live):
+            acc += it.ub
+            if len(heap) < k or acc * (1.0 + _MARGIN) >= theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = live[pivot].doc
+
+        if live[0].doc == pivot_doc:
+            # block-max refinement: tighter bound from current blocks
+            bub = sum(
+                it.current_block_ub(pivot_doc) for it in live if it.doc <= pivot_doc
+            )
+            if len(heap) == k and bub * (1.0 + _MARGIN) < theta:
+                # advance the iterator with the largest ub past its
+                # current block boundary (classic block-max skip)
+                skip_it = max(
+                    (it for it in live if it.doc <= pivot_doc),
+                    key=lambda it: it.ub,
+                )
+                boundary = int(skip_it.tp.block_last[skip_it.block])
+                skip_it.advance_to(boundary + 1)
+            else:
+                score = 0.0
+                dl = float(reader.doclens[pivot_doc])
+                for it in live:
+                    if it.doc == pivot_doc:
+                        score += it.score_current(avgdl, dl, k1, b)
+                        it.next()
+                if beats_theta(score, pivot_doc):
+                    if len(heap) == k:
+                        heapq.heapreplace(heap, (score, -pivot_doc))
+                    else:
+                        heapq.heappush(heap, (score, -pivot_doc))
+                    if len(heap) == k:
+                        theta = heap[0][0]
+        else:
+            # advance all pre-pivot iterators to the pivot doc
+            for it in live:
+                if it.doc >= pivot_doc:
+                    break
+                it.advance_to(pivot_doc)
+        live = [it for it in live if not it.exhausted]
+
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return [(int(d), float(s)) for d, s in out]

@@ -1,0 +1,127 @@
+"""Index reader: manifest + doclens + per-term posting access.
+
+Replaces the read side of what the reference delegated to OpenSearch
+(D4/D9 of SURVEY §2.2).  An :class:`IndexReader` holds the loaded term
+→ partition routing (``crc32(term) % num_parts`` — same function the
+tokenizer used), the doc-length (norms) array, and cached Parquet file
+handles; instantiate it once per query actor (``__init__`` does the
+loading, queries are per-call), never per query.
+
+Term lookup reads **one** segment file per term (or ``n_salt_runs``
+files for a salted heavy term) with a Parquet row filter; segment rows
+are term-sorted so row-group statistics prune the read.  A heavy
+term's salted runs are doc-id **ranges** (``stages/tokenize.py``), so
+concatenating runs in ``rpart`` order yields a globally doc-id-sorted
+posting list — the reader stitches blocks, it never re-sorts.
+
+Scale note: ``doclens`` is loaded as one numpy array indexed by
+``doc_id`` (exact norms; Lucene stores a lossy byte-encoded norm —
+documented divergence in this engine's favor).  At 10^12 docs norms
+are sharded with the query actors — each actor serves a doc-id range
+and holds only its shard's norms; the sandbox single-node reader holds
+them all.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..functions.codec import varint_decode
+from ..index import manifest as mf
+from ..stages.tokenize import term_part
+from .segments_io import TermPostings
+
+__all__ = ["IndexReader"]
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        if os.path.exists(os.path.join(index_dir, "CURRENT")):
+            index_dir = mf.current_build(index_dir)  # accept the root too
+        self.index_dir = index_dir
+        self.manifest = mf.read_manifest(index_dir)
+        self.n_docs = int(self.manifest["n_docs"])
+        self.avgdl = float(self.manifest["avgdl"])
+        self.num_parts = int(self.manifest["num_parts"])
+        self.heavy = frozenset(self.manifest.get("heavy_terms", ()))
+        self.n_salt_runs = int(self.manifest.get("n_salt_runs", 1))
+        self.run_width = int(self.manifest.get("run_width", 1 << 60))
+        self._seg_dir = os.path.join(index_dir, "segments")
+        self._files: dict[int, pq.ParquetFile | None] = {}
+
+        # norms: dl per doc_id (0 for docs that analyzed to no tokens)
+        self.doclens = np.zeros(self.n_docs, dtype=np.uint32)
+        for fname in sorted(os.listdir(self._seg_dir)):
+            if fname.startswith("dl-"):
+                t = pq.read_table(os.path.join(self._seg_dir, fname))
+                self.doclens[t["doc_id"].to_numpy()] = t["dl"].to_numpy()
+
+    # -- postings access ---------------------------------------------------
+    def _segment_file(self, rpart: int) -> pq.ParquetFile | None:
+        if rpart not in self._files:
+            path = os.path.join(self._seg_dir, f"seg-{rpart:05d}.parquet")
+            self._files[rpart] = pq.ParquetFile(path) if os.path.exists(path) else None
+        return self._files[rpart]
+
+    def _term_rows(self, term: str) -> list[dict]:
+        part = term_part(term, self.num_parts)
+        rparts = [part]
+        if term in self.heavy:
+            max_run = (self.n_docs - 1) // self.run_width if self.n_docs else 0
+            rparts = [part + self.num_parts * r for r in range(max_run + 1)]
+        rows: list[dict] = []
+        for rp in rparts:
+            f = self._segment_file(rp)
+            if f is None:
+                continue
+            # row-group pruning via term statistics, then an exact filter
+            groups = [
+                i
+                for i in range(f.metadata.num_row_groups)
+                if _rg_may_contain(f.metadata.row_group(i), term)
+            ]
+            if not groups:
+                continue
+            t = f.read_row_groups(groups)
+            mask = np.asarray(t["term"]) == term
+            idx = np.flatnonzero(mask)
+            for i in idx:
+                rows.append({name: t[name][i].as_py() for name in t.column_names})
+        rows.sort(key=lambda r: r["rpart"])  # run order == doc-id order
+        return rows
+
+    def postings(self, term: str) -> TermPostings | None:
+        """Full postings + block metadata for one term (None if absent)."""
+        rows = self._term_rows(term)
+        if not rows:
+            return None
+        return TermPostings.from_rows(term, rows)
+
+    def decode_all(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """(doc_ids, tfs) fully decoded — the TAAT path."""
+        tp = self.postings(term)
+        return None if tp is None else tp.decode_all()
+
+    # -- doc store ---------------------------------------------------------
+    def fetch_docs(self, doc_ids: list[int], columns: list[str] | None = None):
+        """Stored-field lookup (D9): rows from the docs store by id."""
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(os.path.join(self.index_dir, "docs"), partitioning="hive")
+        expr = pads.field("doc_id").isin([int(d) for d in doc_ids])
+        return dset.to_table(filter=expr, columns=columns)
+
+    def match_all_count(self) -> int:
+        """The reference integration test's only query (D10)."""
+        return self.n_docs
+
+
+def _rg_may_contain(rg_meta, term: str) -> bool:
+    col = rg_meta.column(0)  # term is the first schema column
+    st = col.statistics
+    if st is None or not st.has_min_max:
+        return True
+    return st.min <= term <= st.max

@@ -1,0 +1,101 @@
+"""Decoded-posting views over segment rows (possibly multiple salted runs).
+
+A heavy term's posting list is stored as several runs (one per salted
+reducer, ``stages/tokenize.py``); runs partition the doc-id space into
+ordered ranges, so this module presents them as ONE logical block
+sequence: flat arrays of per-block metadata plus a mapping flat-block →
+(run, local block) used to decode a single block on demand — exactly
+what block-max WAND needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..functions.codec import varint_decode
+
+__all__ = ["TermPostings"]
+
+
+@dataclass
+class _Run:
+    doc_ids_enc: bytes
+    tfs_enc: bytes
+    id_offsets: np.ndarray  # uint32, n_blocks+1
+    tf_offsets: np.ndarray
+
+
+@dataclass
+class TermPostings:
+    term: str
+    df: int
+    cf: int
+    max_tf: int
+    min_dl: int
+    block_last: np.ndarray      # uint64, flat over runs (ascending)
+    block_max_tf: np.ndarray    # uint32, flat
+    block_min_dl: np.ndarray    # uint32, flat
+    _runs: list[_Run]
+    _run_of_block: np.ndarray   # int32, flat → run index
+    _local_block: np.ndarray    # int32, flat → block index within run
+
+    @classmethod
+    def from_rows(cls, term: str, rows: list[dict]) -> "TermPostings":
+        runs, last, mtf, mdl, rob, lob = [], [], [], [], [], []
+        df = cf = 0
+        for ri, r in enumerate(rows):
+            df += int(r["df"])
+            cf += int(r["cf"])
+            nb = len(r["block_last"])
+            runs.append(
+                _Run(
+                    r["doc_ids_enc"],
+                    r["tfs_enc"],
+                    np.asarray(r["block_id_offsets"], np.uint32),
+                    np.asarray(r["block_tf_offsets"], np.uint32),
+                )
+            )
+            last.append(np.asarray(r["block_last"], np.uint64))
+            mtf.append(np.asarray(r["block_max_tf"], np.uint32))
+            mdl.append(np.asarray(r["block_min_dl"], np.uint32))
+            rob.append(np.full(nb, ri, np.int32))
+            lob.append(np.arange(nb, dtype=np.int32))
+        return cls(
+            term=term,
+            df=df,
+            cf=cf,
+            max_tf=max(int(r["max_tf"]) for r in rows),
+            min_dl=min(int(r["min_dl"]) for r in rows),
+            block_last=np.concatenate(last),
+            block_max_tf=np.concatenate(mtf),
+            block_min_dl=np.concatenate(mdl),
+            _runs=runs,
+            _run_of_block=np.concatenate(rob),
+            _local_block=np.concatenate(lob),
+        )
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.block_last)
+
+    def decode_block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tfs) of flat block ``b`` (delta restart per block)."""
+        run = self._runs[self._run_of_block[b]]
+        lb = int(self._local_block[b])
+        ids = varint_decode(
+            memoryview(run.doc_ids_enc)[run.id_offsets[lb] : run.id_offsets[lb + 1]]
+        )
+        tfs = varint_decode(
+            memoryview(run.tfs_enc)[run.tf_offsets[lb] : run.tf_offsets[lb + 1]]
+        )
+        return np.cumsum(ids, dtype=np.uint64), tfs
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        ids_parts, tf_parts = [], []
+        for b in range(self.n_blocks):
+            i, t = self.decode_block(b)
+            ids_parts.append(i)
+            tf_parts.append(t)
+        return np.concatenate(ids_parts), np.concatenate(tf_parts)

@@ -1,0 +1,140 @@
+"""Extract + assemble stage: ``pages`` batches → ``docs`` batches.
+
+Re-creates the reference's per-page path (T1–T4 of SURVEY.md §2.1) as
+one vectorizable Ray Data ``map_batches`` stage:
+
+1. ``html → source text`` — reference extractor semantics
+   (``/root/reference/common.py:33-38``; see ``functions/htmltext.py``).
+   This output is the **byte-identical per-url invariant**.
+2. front matter parse (``hugo.py:264-293``; ``functions/frontmatter.py``)
+   → ``(data, body)``; unparseable front matter degrades to ``data={}``
+   exactly like the caller at ``hugo.py:318-322``.
+3. document assembly (``hugo.py:296-346``): ``type``, ``uri``,
+   ``url = BASE_URL + uri``, ``breadcrumb`` (+ exploded
+   ``breadcrumb_1..5``), ``body``, ``date``, and the catch-all ``text``
+   built with the reference's exact concatenation recipe::
+
+       text = ""
+       if title:        text = title
+       if body is not None: text += " " + body
+       text += " " + uri
+       text += " " + " ".join(breadcrumb)
+
+Documented divergence: the reference leaves ``body = None`` for pages
+without front-matter fences (crawl pages are not Hugo .md files); this
+engine falls back to ``body = source.strip()`` so page content is never
+dropped from the index.  The ``date`` analog of the reference's
+git-last-modified lookup (``hugo.py:330-331``) is the page's
+``warc_ts``; the reference's sentinel default 1900-01-01 (``hugo.py:52``)
+applies when ``warc_ts`` is null.
+
+Stateless per batch — instantiate as a callable class so per-actor
+setup (nothing heavy here, but the pattern is uniform) happens once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.frontmatter import parse_front_matter
+from ..functions.htmltext import html_to_text
+from ..functions.uri import url_to_uri_breadcrumb
+
+__all__ = ["ExtractAssemble", "DOCS_FIELDS", "DEFAULT_DATE_ISO"]
+
+DEFAULT_DATE_ISO = "1900-01-01T00:00:00+00:00"  # hugo.py:52
+MAX_BREADCRUMB = 5  # mappings/hugo.json:25-44 maps breadcrumb_1..5
+
+DOCS_FIELDS = [
+    "url",
+    "warc_ts",
+    "uri",
+    "type",
+    "title",
+    "body",
+    "date",
+    "breadcrumb",
+    *[f"breadcrumb_{i}" for i in range(1, MAX_BREADCRUMB + 1)],
+    "text",
+    "lang",
+]
+
+
+class ExtractAssemble:
+    """pages batch (url, warc_ts, html, text, lang) → docs batch.
+
+    ``use_html=False`` trusts the pre-extracted ``text`` column instead
+    of re-extracting from ``html`` (the input contract says ``text`` may
+    be stale, so the default re-extracts).
+    """
+
+    def __init__(self, type_label: str = "page", use_html: bool = True):
+        self.type_label = type_label
+        self.use_html = use_html
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        urls = batch["url"].to_pylist()
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * n
+        if self.use_html:
+            sources = [html_to_text(h) for h in batch["html"].to_pylist()]
+        else:
+            sources = batch["text"].to_pylist()
+
+        uris, crumbs, titles, bodies, dates, texts = [], [], [], [], [], []
+        warc = batch["warc_ts"]
+        warc_iso = [
+            t.isoformat() + "+00:00" if t is not None else DEFAULT_DATE_ISO
+            for t in warc.to_pylist()
+        ]
+        for i in range(n):
+            source = sources[i]
+            try:
+                data, body = parse_front_matter(source)
+            except Exception:
+                data, body = None, None
+            if data is None:
+                data = {}
+            if body is None:
+                body = source.strip()  # documented divergence (module docstring)
+
+            uri, breadcrumb = url_to_uri_breadcrumb(urls[i])
+            title = data.get("title")
+            title = "" if title is None else str(title)
+
+            # catch-all text, reference recipe (hugo.py:333-342)
+            text = ""
+            if "title" in data:
+                text = title
+            text += " " + body
+            text += " " + uri
+            text += " " + " ".join(breadcrumb)
+
+            date = data.get("date")
+            date = warc_iso[i] if date is None else str(date)
+
+            uris.append(uri)
+            crumbs.append(breadcrumb)
+            titles.append(title)
+            bodies.append(body)
+            dates.append(date)
+            texts.append(text)
+
+        cols: dict[str, pa.Array] = {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": warc.combine_chunks() if isinstance(warc, pa.ChunkedArray) else warc,
+            "uri": pa.array(uris, pa.string()),
+            "type": pa.array([self.type_label] * n, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "body": pa.array(bodies, pa.string()),
+            "date": pa.array(dates, pa.string()),
+            "breadcrumb": pa.array(crumbs, pa.list_(pa.string())),
+        }
+        for level in range(1, MAX_BREADCRUMB + 1):
+            cols[f"breadcrumb_{level}"] = pa.array(
+                [c[level - 1] if len(c) >= level else None for c in crumbs], pa.string()
+            )
+        cols["text"] = pa.array(texts, pa.string())
+        cols["lang"] = pa.array(langs, pa.string())
+        return pa.table(cols)

@@ -1,0 +1,209 @@
+"""End-to-end pipeline tests: build → segments → query conformance.
+
+Covers SURVEY §5's rebuild test plan: query-conformance oracle
+(rank-identical (doc_id, score) top-k vs an independent in-memory
+BM25), parallelism-invariance of doc ids, dedup determinism, salted
+heavy terms, resume-from-checkpoint, and the lifecycle state machine
+(CURRENT swap / short-circuit / gc) mirroring the reference
+(`/root/reference/hugo.py:378-385,424-427,464-483`).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from docs_indexer_ray.functions.analyzer import Analyzer
+from docs_indexer_ray.index import manifest as mf
+from docs_indexer_ray.index.build import build_index
+from docs_indexer_ray.query.bm25 import score_topk, wand_topk
+from docs_indexer_ray.query.oracle import MemoryBM25
+from docs_indexer_ray.query.reader import IndexReader
+from docs_indexer_ray.synth import rich_pages_table
+
+QUERIES = [
+    "node pools",
+    "quota namespace limit",
+    "helm upgrade changelog",
+    "worker nodes configuration",
+    "stub page redirects",
+    "release rollout",
+    "page",
+    "nonexistentterm",
+]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("idx"))
+    pages = ray.data.from_arrow(rich_pages_table(80))
+    res = build_index(
+        pages, out, fingerprint="t1", heavy_df_ratio=0.2, salt_heavy=True
+    )
+    reader = IndexReader(out)
+    docs = pads.dataset(
+        os.path.join(res.index_dir, "docs"), partitioning="hive"
+    ).to_table(columns=["doc_id", "text", "url", "title", "body"])
+    mem = MemoryBM25()
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        mem.add(d, t)
+    return out, res, reader, docs, mem
+
+
+def test_docs_dense_ids_sorted_by_url(built):
+    _, res, reader, docs, _ = built
+    ids = np.sort(np.asarray(docs["doc_id"]))
+    assert ids.tolist() == list(range(res["n_docs"]))
+    order = np.argsort(np.asarray(docs["doc_id"]))
+    urls = np.asarray(docs["url"].to_pylist(), dtype=object)[order]
+    assert list(urls) == sorted(urls)
+
+
+def test_dedup_kept_latest(built):
+    # every 9th rich page has a newer duplicate whose body ends 'Revised.'
+    _, _, _, docs, _ = built
+    by_url = dict(zip(docs["url"].to_pylist(), docs["body"].to_pylist()))
+    revised = [b for b in by_url.values() if b.rstrip().endswith("Revised.")]
+    assert len(revised) == 9  # ceil(80/9)
+    assert len(by_url) == 80
+
+
+def test_stats_match_oracle(built):
+    _, res, reader, _, mem = built
+    assert reader.n_docs == mem.n_docs
+    assert reader.avgdl == pytest.approx(mem.avgdl, rel=1e-12)
+
+
+def test_topk_rank_identical_to_oracle(built):
+    _, _, reader, _, mem = built
+    an = Analyzer("english")
+    for q in QUERIES:
+        got = score_topk(reader, an(q), k=10)
+        want = mem.search(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (d1, s1), (d2, s2) in zip(got, want):
+            assert s1 == pytest.approx(s2, rel=1e-12), (q, d1)
+
+
+def test_wand_equals_exact(built):
+    _, _, reader, _, _ = built
+    an = Analyzer("english")
+    for q in QUERIES:
+        terms = an(q)
+        for k in (1, 3, 10, 100):
+            exact = score_topk(reader, terms, k=k)
+            wand = wand_topk(reader, terms, k=k)
+            assert [(d, round(s, 10)) for d, s in exact] == [
+                (d, round(s, 10)) for d, s in wand
+            ], (q, k)
+
+
+def test_heavy_terms_salted_and_stitched(built):
+    _, res, reader, _, mem = built
+    assert res["heavy_terms"], "rich corpus must trigger salting"
+    for term in res["heavy_terms"][:5]:
+        tp = reader.postings(term)
+        ids, tfs = tp.decode_all()
+        want = mem.postings[term]
+        assert ids.tolist() == sorted(want)
+        assert [int(t) for t in tfs] == [want[d] for d in sorted(want)]
+        assert tp.df == len(want)
+
+
+def test_postings_roundtrip_all_terms(built):
+    _, _, reader, _, mem = built
+    for term, want in list(mem.postings.items())[::7]:
+        tp = reader.postings(term)
+        assert tp is not None, term
+        ids, tfs = tp.decode_all()
+        assert ids.tolist() == sorted(want), term
+        assert list(np.sort(ids)) == list(ids)  # strictly sorted
+        assert tp.df == len(want)
+
+
+def test_match_all_and_fetch_docs(built):
+    _, res, reader, _, _ = built
+    assert reader.match_all_count() == res["n_docs"]
+    t = reader.fetch_docs([0, 5, 7], columns=["doc_id", "url", "title"])
+    assert sorted(t["doc_id"].to_pylist()) == [0, 5, 7]
+
+
+def test_parallelism_invariance(ray_session, tmp_path):
+    """Same input at different parallelism → identical doc ids + top-k."""
+    import ray.data
+
+    results = []
+    for j, parts in enumerate((3, 13)):
+        out = str(tmp_path / f"p{parts}")
+        pages = ray.data.from_arrow(rich_pages_table(40)).repartition(parts)
+        res = build_index(
+            pages, out, fingerprint=f"x{j}", num_parts=5 + j * 7, salt_heavy=True,
+            heavy_df_ratio=0.2,
+        )
+        reader = IndexReader(out)
+        docs = pads.dataset(
+            os.path.join(res.index_dir, "docs"), partitioning="hive"
+        ).to_table(columns=["doc_id", "url"])
+        mapping = sorted(zip(docs["url"].to_pylist(), docs["doc_id"].to_pylist()))
+        an = Analyzer("english")
+        top = {q: score_topk(reader, an(q), 10) for q in QUERIES}
+        results.append((mapping, top))
+    (m1, t1), (m2, t2) = results
+    assert m1 == m2
+    for q in QUERIES:
+        assert [(d, round(s, 9)) for d, s in t1[q]] == [
+            (d, round(s, 9)) for d, s in t2[q]
+        ], q
+
+
+def test_resume_skips_existing_segments(ray_session, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "r")
+    pages = ray.data.from_arrow(rich_pages_table(30))
+    res1 = build_index(pages, out, fingerprint="r1", salt_heavy=False)
+    assert not any(p["resumed"] for p in res1["partitions"])
+
+    # delete CURRENT (not the data) → rerun resumes every partition
+    os.remove(os.path.join(out, "CURRENT"))
+    res2 = build_index(pages, out, fingerprint="r1", salt_heavy=False)
+    assert all(p["resumed"] for p in res2["partitions"])
+    assert res2["n_docs"] == res1["n_docs"]
+
+    # a killed run: remove half the segment files → only those rebuild
+    seg_dir = os.path.join(res2.index_dir, "segments")
+    segs = sorted(f for f in os.listdir(seg_dir) if f.startswith("seg-"))
+    for f in segs[: len(segs) // 2]:
+        os.remove(os.path.join(seg_dir, f))
+        os.remove(os.path.join(seg_dir, f.replace("seg-", "dl-")))
+    os.remove(os.path.join(out, "CURRENT"))
+    res3 = build_index(pages, out, fingerprint="r1", salt_heavy=False)
+    resumed = [p for p in res3["partitions"] if p["resumed"]]
+    rebuilt = [p for p in res3["partitions"] if not p["resumed"]]
+    assert resumed and rebuilt
+    reader = IndexReader(out)
+    an = Analyzer("english")
+    assert score_topk(reader, an("node pools"), 5)
+
+
+def test_lifecycle_short_circuit_and_gc(ray_session, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "lc")
+    pages = ray.data.from_arrow(rich_pages_table(20))
+    res1 = build_index(pages, out, fingerprint="v1")
+    # up-to-date short-circuit (check_index semantics, hugo.py:424-427)
+    res2 = build_index(pages, out, fingerprint="v1")
+    assert res2.get("resumed_current")
+
+    res3 = build_index(pages, out, fingerprint="v2")
+    assert mf.current_build(out).endswith("docs-v2")
+    removed = mf.gc(out)
+    assert removed == ["docs-v1"]
+    assert os.path.isdir(res3.index_dir)
