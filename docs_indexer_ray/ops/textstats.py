@@ -1,0 +1,155 @@
+"""Text-analysis operators over a document table (Dataset stages).
+
+Training-data-pipeline staples, each a vectorized ``map_batches``
+stage over ``(doc_id, text)`` batches:
+
+* :func:`token_count` — simple-analyzer token counts;
+* :func:`quality_score` — length / stopword-ratio / mean-token-length
+  quality signals (ratios are single divisions of exact integers, so a
+  SQL oracle reproduces them bit-exactly — no rounding anywhere);
+* :func:`lang_id` — tiny deterministic stopword-hit heuristic
+  (SQL-replicable; a real model would ride the same actor-pool stage);
+* :func:`fingerprint` — exact content fingerprint (md5 hex, matching
+  SQL ``md5(text)``) plus a 64-bit FNV-1a rolling-hash **winnowing**
+  fingerprint (Schleimer et al., SIGMOD'03: min hash per sliding
+  window of k-gram hashes → a compact doc sketch for near-dup blocking).
+
+The stopword list is deliberately small and frozen — it is part of the
+operator contract shared with the DuckDB oracles in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "STOP10",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "winnow_fingerprint_batch",
+]
+
+STOP10 = ("a", "the", "and", "of", "to", "in", "is", "it", "that", "for")
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _tokens(text: str) -> list[str]:
+    return _TOKEN_RE.findall((text or "").lower())
+
+
+def token_count(ds):
+    def fn(batch: pa.Table) -> pa.Table:
+        n = [len(_tokens(t)) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(np.array(n, np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(ds):
+    stop = frozenset(STOP10)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_chars, n_tok, stop_ratio, mean_len = [], [], [], []
+        for t in texts:
+            toks = _tokens(t)
+            nt = len(toks)
+            n_chars.append(len(t or ""))
+            n_tok.append(nt)
+            hits = sum(1 for w in toks if w in stop)
+            # single int/int divisions → bit-exact in any IEEE engine
+            stop_ratio.append(hits / nt if nt else 0.0)
+            mean_len.append(sum(len(w) for w in toks) / nt if nt else 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(np.array(n_chars, np.int64)),
+                "n_tokens": pa.array(np.array(n_tok, np.int64)),
+                "stop_ratio": pa.array(np.array(stop_ratio, np.float64)),
+                "mean_token_len": pa.array(np.array(mean_len, np.float64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(ds, threshold: float = 0.05):
+    """Predict 'en' when ≥ ``threshold`` of tokens are English stopwords."""
+    stop = frozenset(STOP10)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch["text"].to_pylist():
+            toks = _tokens(t)
+            hits = sum(1 for w in toks if w in stop)
+            preds.append("en" if toks and hits / len(toks) >= threshold else "und")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(preds, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv1a64(s: str) -> np.uint64:
+    h = _FNV_OFFSET
+    for b in s.encode("utf-8"):
+        h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def winnow_fingerprint_batch(
+    texts: list[str], k: int = 5, window: int = 4
+) -> list[list[int]]:
+    """Winnowing sketches: per doc, the sorted distinct minima of each
+    sliding window over the k-gram (word) rolling hashes."""
+    out = []
+    for t in texts:
+        toks = _tokens(t)
+        grams = [" ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))]
+        hs = np.array([int(_fnv1a64(g)) for g in grams], np.uint64)
+        if len(hs) == 0:
+            out.append([])
+            continue
+        if len(hs) <= window:
+            out.append([int(hs.min())])
+            continue
+        w = np.lib.stride_tricks.sliding_window_view(hs, window)
+        out.append(sorted({int(x) for x in w.min(axis=1)}))
+    return out
+
+
+def fingerprint(ds, k: int = 5, window: int = 4):
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+        sketches = winnow_fingerprint_batch(texts, k, window)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "md5": pa.array(md5s, pa.string()),
+                "winnow": pa.array(sketches, pa.list_(pa.uint64())),
+                "n_winnow": pa.array(
+                    np.array([len(s) for s in sketches], np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

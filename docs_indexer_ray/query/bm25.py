@@ -199,18 +199,23 @@ def wand_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = 
 
         if live[0].doc == pivot_doc:
             # block-max refinement: tighter bound from current blocks
-            bub = sum(
-                it.current_block_ub(pivot_doc) for it in live if it.doc <= pivot_doc
-            )
+            pivot_set = [it for it in live if it.doc == pivot_doc]
+            bub = sum(it.current_block_ub(pivot_doc) for it in pivot_set)
             if len(heap) == k and bub * (1.0 + _MARGIN) < theta:
-                # advance the iterator with the largest ub past its
-                # current block boundary (classic block-max skip)
-                skip_it = max(
-                    (it for it in live if it.doc <= pivot_doc),
-                    key=lambda it: it.ub,
+                # BMW skip: every doc in [pivot_doc, d_skip) keeps the
+                # same current blocks (d_skip ≤ every pivot-set block
+                # boundary) and gets no contribution from iterators
+                # beyond pivot_doc (d_skip ≤ their current doc), so the
+                # failed bound covers the whole range — advance the
+                # pivot set past it without scoring.
+                d_skip = (
+                    min(int(it.tp.block_last[it.block]) for it in pivot_set) + 1
                 )
-                boundary = int(skip_it.tp.block_last[skip_it.block])
-                skip_it.advance_to(boundary + 1)
+                beyond = [it.doc for it in live if it.doc > pivot_doc]
+                if beyond:
+                    d_skip = min(d_skip, min(beyond))
+                for it in pivot_set:
+                    it.advance_to(d_skip)
             else:
                 score = 0.0
                 dl = float(reader.doclens[pivot_doc])

@@ -118,6 +118,33 @@ class IndexReader:
         """The reference integration test's only query (D10)."""
         return self.n_docs
 
+    def prefix_terms(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
+        """Terms starting with ``prefix``, by descending total df (term
+        asc tie-break) — the suggester primitive behind the trigram /
+        reverse sub-fields (D2/D3).  Scans only (term, df) columns;
+        term-sorted row groups let Parquet statistics prune."""
+        agg: dict[str, int] = {}
+        hi = prefix + "￿"
+        for fname in sorted(os.listdir(self._seg_dir)):
+            if not fname.startswith("seg-"):
+                continue
+            f = pq.ParquetFile(os.path.join(self._seg_dir, fname))
+            groups = [
+                i
+                for i in range(f.metadata.num_row_groups)
+                if _rg_overlaps(f.metadata.row_group(i), prefix, hi)
+            ]
+            if not groups:
+                continue
+            t = f.read_row_groups(groups, columns=["term", "df"])
+            terms = np.asarray(t["term"].to_pylist(), dtype=object)
+            dfs = t["df"].to_numpy(zero_copy_only=False)
+            for term, df in zip(terms, dfs):
+                if term.startswith(prefix):
+                    agg[term] = agg.get(term, 0) + int(df)
+        top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        return top[:limit]
+
 
 def _rg_may_contain(rg_meta, term: str) -> bool:
     col = rg_meta.column(0)  # term is the first schema column
@@ -125,3 +152,10 @@ def _rg_may_contain(rg_meta, term: str) -> bool:
     if st is None or not st.has_min_max:
         return True
     return st.min <= term <= st.max
+
+
+def _rg_overlaps(rg_meta, lo: str, hi: str) -> bool:
+    st = rg_meta.column(0).statistics
+    if st is None or not st.has_min_max:
+        return True
+    return not (st.max < lo or st.min > hi)

@@ -1,0 +1,120 @@
+"""Driver-contract conformance: queries() vs oracle_sql() via DuckDB.
+
+A local replica of the driver's correctness gate at sf0.001 (50 docs,
+fast): every SQL-backed query must match its oracle on row count,
+column names, and values; rows-only queries must return stable
+non-degenerate schemas.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import os
+    import shutil
+    import sys
+
+    # fresh index cache for this run
+    cache = "/tmp/dixr_cache_test"
+    shutil.rmtree(cache, ignore_errors=True)
+    os.environ["DIXR_CACHE"] = cache
+    import docs_indexer_ray.pipelines.flagship as fl
+
+    fl.CACHE_ROOT = cache
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["documents", "embeddings", "events"]:
+        c.execute(
+            f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+SQL_BACKED = [
+    "extract_text",
+    "docs_table",
+    "token_count",
+    "term_df",
+    "quality_score",
+    "lang_id",
+    "fingerprint_md5",
+    "dedup_exact",
+    "ngram_jaccard",
+    "knn_cosine",
+    "index_stats",
+    "match_all_count",
+    "bm25_topk",
+    "keyword_date_filter",
+]
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_sql_backed_query_matches_oracle(entry_mod, con, name):
+    got = _norm(_to_df(entry_mod.queries()[name](SF)))
+    want = _norm(con.execute(entry_mod.oracle_sql()[name]).df())
+    assert len(got) == len(want), (len(got), len(want))
+    assert list(got.columns) == list(want.columns)
+    want = want.astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_every_query_has_oracle_or_is_marked(entry_mod):
+    qs = set(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    assert oracles <= qs
+    assert set(SQL_BACKED) == oracles
+
+
+ROWS_ONLY_MIN = {
+    "bm25_topk_english": 10,
+    "minhash_pairs": 1,
+    "simhash_pairs": 1,
+    "embedding_dups": 1,
+    "knn_lsh": 1,
+    "trigram_suggest": 1,
+    "reverse_suggest": 1,
+    "mm_decode": 64,
+    "winnow": 50,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY_MIN))
+def test_rows_only_queries_run(entry_mod, name):
+    got = _to_df(entry_mod.queries()[name](SF))
+    assert len(got) >= ROWS_ONLY_MIN[name], name
+    assert len(got.columns) >= 2
+
+
+def test_entry_smoke(entry_mod):
+    res = entry_mod.entry()
+    df = _to_df(res)
+    assert len(df) > 0
+    assert {"query", "rank", "doc_id", "score"} <= set(df.columns)

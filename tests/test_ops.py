@@ -1,0 +1,268 @@
+"""Training-data operators vs independent Python oracles.
+
+Each Ray op (dedup family, ANN, text stats, multimodal stub) is
+checked against a direct, non-distributed reimplementation on the same
+deterministic input.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docs_indexer_ray.ops.ann import embedding_dup_pairs, knn_cosine, knn_lsh
+from docs_indexer_ray.ops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from docs_indexer_ray.ops.multimodal import ImageDecodeStub, decode_images, synth_media_table
+from docs_indexer_ray.ops.textstats import (
+    STOP10,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    winnow_fingerprint_batch,
+)
+
+_TOK = re.compile(r"[a-z0-9]+")
+
+VOCAB = "table scan merge slow fast key value batch stream the a of to row".split()
+
+
+def _mk_docs(n=40, dup_every=5) -> pa.Table:
+    """Deterministic word-salad docs; every ``dup_every``-th doc has an
+    exact copy at id+1000."""
+    rs = np.random.RandomState(7)
+    ids, texts = [], []
+    for i in range(n):
+        words = [VOCAB[j] for j in rs.randint(0, len(VOCAB), 30 + (i % 17))]
+        ids.append(i)
+        texts.append(" ".join(words))
+    for i in range(0, n, dup_every):
+        ids.append(1000 + i)
+        texts.append(texts[i])
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(_mk_docs())
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return _mk_docs()
+
+
+def _rows(ds):
+    return ds.to_pandas()
+
+
+# ---- textstats ------------------------------------------------------------
+
+def test_token_count_and_quality(docs_ds, docs_tbl):
+    got = _rows(token_count(docs_ds)).set_index("doc_id")["n_tokens"].to_dict()
+    q = _rows(quality_score(docs_ds)).set_index("doc_id")
+    for did, text in zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()):
+        toks = _TOK.findall(text.lower())
+        assert got[did] == len(toks)
+        assert q.loc[did, "n_tokens"] == len(toks)
+        assert q.loc[did, "n_chars"] == len(text)
+        assert q.loc[did, "stop_ratio"] == sum(w in STOP10 for w in toks) / len(toks)
+        assert q.loc[did, "mean_token_len"] == sum(map(len, toks)) / len(toks)
+
+
+def test_lang_id(docs_ds):
+    preds = _rows(lang_id(docs_ds))["pred_lang"]
+    assert set(preds) <= {"en", "und"}
+    assert (preds == "en").any()  # the vocab contains 'the'/'a'/'of'/'to'
+
+
+def test_fingerprint_md5_and_winnow(docs_ds, docs_tbl):
+    fp = _rows(fingerprint(docs_ds)).set_index("doc_id")
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()))
+    for did, text in texts.items():
+        assert fp.loc[did, "md5"] == hashlib.md5(text.encode()).hexdigest()
+    # identical docs → identical winnow sketches
+    for i in range(0, 40, 5):
+        assert list(fp.loc[i, "winnow"]) == list(fp.loc[1000 + i, "winnow"])
+    # sketch is much smaller than the gram count (winnowing compresses)
+    assert (fp["n_winnow"] > 0).all()
+
+
+def test_winnow_shift_overlap():
+    base = "table scan merge slow fast key value batch stream row " * 5
+    shifted = "prefix words here " + base
+    s1, s2 = winnow_fingerprint_batch([base, shifted])
+    inter = set(s1) & set(s2)
+    assert len(inter) / len(set(s1)) > 0.5  # winnowing survives shifts
+
+
+# ---- dedup ----------------------------------------------------------------
+
+def test_exact_dedup(docs_ds, docs_tbl):
+    kept = _rows(exact_dedup(docs_ds))
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()))
+    by_md5 = {}
+    for did, text in texts.items():
+        by_md5.setdefault(hashlib.md5(text.encode()).hexdigest(), []).append(did)
+    want = {md5: min(ids) for md5, ids in by_md5.items()}
+    assert dict(zip(kept["md5"], kept["doc_id"])) == want
+
+
+def _py_jaccard_pairs(texts: dict[int, str], n=3, threshold=0.5):
+    grams = {
+        did: {
+            " ".join(toks[i : i + n])
+            for toks in [_TOK.findall(t.lower())]
+            for i in range(len(toks) - n + 1)
+        }
+        for did, t in texts.items()
+    }
+    out = {}
+    for a, b in itertools.combinations(sorted(grams), 2):
+        ga, gb = grams[a], grams[b]
+        if not ga or not gb:
+            continue
+        inter = len(ga & gb)
+        if inter:
+            jac = inter / (len(ga) + len(gb) - inter)
+            if jac >= threshold:
+                out[(a, b)] = jac
+    return out
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(docs_ds, docs_tbl):
+    got = _rows(ngram_jaccard_pairs(docs_ds, n=3, threshold=0.5))
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()))
+    want = _py_jaccard_pairs(texts)
+    got_pairs = {(a, b): j for a, b, j in zip(got["a"], got["b"], got["jaccard"])}
+    assert got_pairs == pytest.approx(want)
+
+
+def test_minhash_finds_planted_dups(docs_ds):
+    got = _rows(minhash_lsh_pairs(docs_ds, threshold=0.9))
+    pairs = set(zip(got["a"], got["b"]))
+    for i in range(0, 40, 5):
+        assert (i, 1000 + i) in pairs
+    est = dict(zip(zip(got["a"], got["b"]), got["est_jaccard"]))
+    for i in range(0, 40, 5):
+        assert est[(i, 1000 + i)] == 1.0
+
+
+def test_simhash_finds_planted_dups(docs_ds):
+    got = _rows(simhash_pairs(docs_ds, max_hamming=3))
+    pairs = set(zip(got["a"], got["b"]))
+    ham = dict(zip(zip(got["a"], got["b"]), got["hamming"]))
+    for i in range(0, 40, 5):
+        assert (i, 1000 + i) in pairs
+        assert ham[(i, 1000 + i)] == 0
+
+
+# ---- ANN ------------------------------------------------------------------
+
+def _mk_vectors(n=60, dim=16):
+    rs = np.random.RandomState(3)
+    m = rs.normal(size=(n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    return ids, m
+
+
+@pytest.fixture(scope="module")
+def vec_ds(ray_session):
+    import ray.data
+
+    ids, m = _mk_vectors()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+            }
+        )
+    )
+
+
+def test_knn_cosine_vs_numpy(vec_ds):
+    ids, m = _mk_vectors()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = np.array(
+        pa.table({"e": pa.array([r.tolist() for r in m[:4]], pa.list_(pa.float32()))})[
+            "e"
+        ].to_pylist(),
+        np.float64,
+    )  # float32 round-trip exactly as the dataset column stores them
+    got = _rows(knn_cosine(vec_ds, q, ids[:4], k=5))
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ np.array(
+        pa.table({"e": pa.array([r.tolist() for r in m], pa.list_(pa.float32()))})[
+            "e"
+        ].to_pylist(),
+        np.float64,
+    ).T / np.linalg.norm(m.astype(np.float32).astype(np.float64), axis=1)
+    for qi in range(4):
+        row = sims[qi].copy()
+        row[qi] = -np.inf
+        order = sorted(range(len(row)), key=lambda j: (-row[j], j))[:5]
+        sub = got[got["query_id"] == qi].sort_values("rank")
+        assert sub["neighbor_id"].tolist() == order
+
+
+def test_knn_lsh_subset_and_self_bucket(vec_ds):
+    ids, m = _mk_vectors()
+    q = m[:4].astype(np.float32).astype(np.float64)
+    got = _rows(knn_lsh(vec_ds, q, ids[:4], k=5, n_planes=4))
+    # approximate: results must be valid ids with ranks 1..k, and the
+    # bucket always contains the query itself → ≥... at least 1 result/query
+    assert set(got["query_id"]) == {0, 1, 2, 3}
+    for qi, sub in got.groupby("query_id"):
+        assert sub["rank"].tolist() == list(range(1, len(sub) + 1))
+
+
+def test_embedding_dup_pairs_planted(ray_session):
+    import ray.data
+
+    ids, m = _mk_vectors(30)
+    ids2 = np.concatenate([ids, ids[::6] + 1000])
+    m2 = np.vstack([m, m[::6]])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids2),
+                "embedding": pa.array([r.tolist() for r in m2], pa.list_(pa.float32())),
+            }
+        )
+    )
+    got = _rows(embedding_dup_pairs(ds, threshold=0.95))
+    pairs = set(zip(got["a"], got["b"]))
+    for i in ids[::6]:
+        assert (i, i + 1000) in pairs
+
+
+# ---- multimodal stub ------------------------------------------------------
+
+def test_mm_decode_stub_honest_and_fake(ray_session):
+    import ray.data
+
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStub(fake=False)(synth_media_table(2))
+
+    ds = ray.data.from_arrow(synth_media_table(16))
+    out = _rows(decode_images(ds, fake=True))
+    assert len(out) == 16
+    assert (out["channels"] == 3).all()
+    # deterministic: second run identical
+    out2 = _rows(decode_images(ds, fake=True))
+    assert out.sort_values("media_id").reset_index(drop=True).equals(
+        out2.sort_values("media_id").reset_index(drop=True)
+    )
