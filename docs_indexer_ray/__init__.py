@@ -23,3 +23,8 @@ sessions are owned by the caller (bench.py, CLI, test fixture, driver).
 """
 
 __version__ = "0.1.0"
+
+# Bump when the on-disk index format or any result-affecting semantics
+# change: build fingerprints mix this in, so caches built by an older
+# engine can never be served as current (they rebuild instead).
+INDEX_FORMAT_VERSION = 2

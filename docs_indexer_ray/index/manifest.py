@@ -41,10 +41,15 @@ __all__ = [
 ]
 
 
-def input_fingerprint(paths: list[str]) -> str:
+def input_fingerprint(paths: list[str], config: str = "") -> str:
     """Digest of the input fragments' (path, size, mtime) — the analog
-    of the reference's git tip SHA (``hugo.py:401-413``)."""
+    of the reference's git tip SHA (``hugo.py:401-413``) — mixed with
+    the index format version (and any caller ``config``) so an index
+    built by an older engine is never served as current."""
+    from .. import INDEX_FORMAT_VERSION
+
     h = hashlib.sha256()
+    h.update(f"fmt={INDEX_FORMAT_VERSION}|{config}\n".encode())
     for p in sorted(paths):
         st = os.stat(p)
         h.update(f"{p}|{st.st_size}|{int(st.st_mtime)}\n".encode())

@@ -127,6 +127,40 @@ class SegmentEncoder:
         self.seg_dir = seg_dir
         self.block_size = block_size
 
+    def encode_from_spill(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Reduce task: encode one shuffle partition (``batch`` holds
+        one {rpart, path} row; batch_size=1).  ``path`` is the spill
+        *directory* of rpart-sorted map-output files; the ``rpart == k``
+        filter hits only this partition's row groups (each file has one
+        row group per rpart — TokenizeSpill)."""
+        import pyarrow.dataset as pads
+
+        out = []
+        for _, row in batch.iterrows():
+            rpart = int(row["rpart"])
+            dset = pads.dataset(row["path"], format="parquet")
+            t = dset.to_table(
+                filter=pads.field("rpart") == rpart,
+                columns=["term", "doc_id", "tf", "dl", "dlc"],
+            )
+            group = pd.DataFrame(
+                {
+                    "rpart": np.full(t.num_rows, rpart, np.int64),
+                    "term": t["term"].to_pandas(),
+                    "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                    "tf": t["tf"].to_numpy(zero_copy_only=False),
+                    "dl": t["dl"].to_numpy(zero_copy_only=False),
+                    "dlc": t["dlc"].to_numpy(zero_copy_only=False),
+                }
+            )
+            if len(group):
+                out.append(self(group))
+        if not out:
+            return pd.DataFrame(
+                {"rpart": [], "n_terms": [], "n_postings": [], "bytes": [], "resumed": []}
+            )
+        return pd.concat(out, ignore_index=True)
+
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         rpart = int(group["rpart"].iloc[0])
         seg_file = segment_path(self.seg_dir, rpart)

@@ -96,38 +96,75 @@ def ngram_jaccard_pairs(
     """
     import ray
 
+    num_parts = 32
+
     def explode(batch: pa.Table) -> pa.Table:
-        ids_out, grams_out = [], []
+        ids_out, grams_out, parts_out = [], [], []
         ids = batch[id_col].to_pylist()
         for did, t in zip(ids, batch["text"].to_pylist()):
             toks = _tokens(t)
             gs = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
             ids_out.extend([did] * len(gs))
             grams_out.extend(gs)
+            parts_out.extend(zlib.crc32(g.encode()) % num_parts for g in gs)
         return pa.table(
             {
                 id_col: pa.array(ids_out, pa.int64()),
                 "gram": pa.array(grams_out, pa.string()),
+                "gpart": pa.array(parts_out, pa.int32()),
             }
         )
 
     grams = ds.map_batches(explode, batch_format="pyarrow")
 
-    # per-doc distinct gram counts — small result, broadcast once
-    counts_ds = grams.groupby(id_col).count()
-    gram_counts = {r[id_col]: r["count()"] for r in counts_ds.take_all()}
+    # per-doc distinct gram counts: each doc lives wholly in one batch,
+    # so one cheap extra map pass gives exact counts — no shuffle
+    def count_grams(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        counts = [
+            len({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+            for toks in (_tokens(t) for t in batch["text"].to_pylist())
+        ]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    counts_ds = ds.map_batches(count_grams, batch_format="pyarrow")
+    gram_counts = {r[id_col]: r["n"] for r in counts_ds.take_all()}
     counts_ref = ray.put(gram_counts)
 
-    def pairs_of_group(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].to_numpy(np.int64))
-        if len(ids) < 2 or len(ids) > hot_gram_cap:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+    def pairs_of_partition(group: pd.DataFrame) -> pd.DataFrame:
+        """All co-occurrence pairs within one gram-hash partition:
+        sort by gram, then emit pairs per gram run (vectorized per run;
+        the Python loop is over grams with ≥2 docs only)."""
+        g = group.sort_values(["gram", id_col], kind="mergesort")
+        grams_np = g["gram"].to_numpy(dtype=object)
+        ids_np = g[id_col].to_numpy(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], grams_np[1:] != grams_np[:-1]))
+        )
+        ends = np.append(starts[1:], len(grams_np))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            cnt = e - s
+            if cnt < 2 or cnt > hot_gram_cap:
+                continue
+            ids_run = ids_np[s:e]
+            ai, bi = np.triu_indices(cnt, k=1)
+            out_a.append(ids_run[ai])
+            out_b.append(ids_run[bi])
+        if not out_a:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
     pair_counts = (
-        grams.groupby("gram")
-        .map_groups(pairs_of_group, batch_format="pandas")
+        grams.groupby("gpart")
+        .map_groups(pairs_of_partition, batch_format="pandas")
         .groupby(["a", "b"])
         .count()
     )

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 
 from ..index.build import build_index
-from ..query.bm25 import wand_topk
+from ..query.bm25 import topk
 from ..query.reader import IndexReader
 from ..stages.docid import assign_doc_ids, dedup_latest
 from ..stages.extract import ExtractAssemble
@@ -53,8 +53,12 @@ def ensure_index(
     out_root = os.path.join(CACHE_ROOT, prefix)
     os.makedirs(out_root, exist_ok=True)
     from ..index import manifest as mf
+    from ..synth import synthetic_url_boundaries
 
-    fp = mf.input_fingerprint([os.path.join(sf_dir, "documents.parquet")])
+    fp = mf.input_fingerprint(
+        [os.path.join(sf_dir, "documents.parquet")],
+        config=f"{chain}|{field}|x{expand}",
+    )
     res = build_index(
         pages_dataset(sf_dir, expand=expand),
         out_root,
@@ -62,6 +66,7 @@ def ensure_index(
         field=field,
         chain=chain,
         fingerprint=fp,
+        docpart_boundaries=synthetic_url_boundaries(sf_dir, 16, expand),
         **build_kw,
     )
     return res, out_root
@@ -72,7 +77,7 @@ def search(index_root: str, query: str, k: int = 10, chain: str = "english"):
     from ..functions.analyzer import Analyzer
 
     reader = IndexReader(index_root)
-    return wand_topk(reader, Analyzer(chain)(query), k=k)
+    return topk(reader, Analyzer(chain)(query), k=k)
 
 
 FLAGSHIP_QUERIES = [
@@ -94,7 +99,7 @@ def entry_flagship(sf_dir: str) -> pd.DataFrame:
     an = Analyzer("english")
     rows = []
     for q in FLAGSHIP_QUERIES:
-        for rank, (doc_id, score) in enumerate(wand_topk(reader, an(q), k=10), 1):
+        for rank, (doc_id, score) in enumerate(topk(reader, an(q), k=10), 1):
             rows.append(
                 {"query": q, "rank": rank, "doc_id": int(doc_id), "score": float(score)}
             )

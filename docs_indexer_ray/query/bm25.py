@@ -28,7 +28,7 @@ import heapq
 
 import numpy as np
 
-__all__ = ["bm25_idf", "score_topk", "wand_topk", "bm25_scores_dense"]
+__all__ = ["bm25_idf", "score_topk", "wand_topk", "topk", "bm25_scores_dense"]
 
 K1 = 1.2
 B = 0.75
@@ -55,11 +55,10 @@ def bm25_scores_dense(
     scores = np.zeros(n, dtype=np.float64)
     avgdl = reader.avgdl if reader.avgdl > 0 else 1.0
     for term in terms:
-        got = reader.decode_all(term)
-        if got is None:
-            continue
-        doc_ids, tfs = got
         tp = reader.postings(term)
+        if tp is None:
+            continue
+        doc_ids, tfs = tp.decode_all()
         idf = bm25_idf(n, tp.df)
         dl = reader.doclens[doc_ids]
         tf = tfs.astype(np.float64)
@@ -80,6 +79,22 @@ def _rank_top(scores: np.ndarray, k: int) -> list[tuple[int, float]]:
 def score_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
     """Exact top-k ``[(doc_id, score)]`` by full TAAT scoring."""
     return _rank_top(bm25_scores_dense(reader, terms, k1, b), k)
+
+
+def topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
+    """Adaptive top-k: block-max WAND for selective queries (skipping
+    pays), vectorized TAAT for dense ones (every term in most docs —
+    WAND degenerates to a per-doc loop while TAAT stays numpy).  Both
+    produce identical rankings; this picks the faster plan, the way
+    Lucene switches between exhaustive and skipping strategies."""
+    sum_df = 0
+    for t in set(terms):
+        tp = reader.postings(t)
+        if tp is not None:
+            sum_df += tp.df
+    if sum_df <= max(2048, reader.n_docs // 4):
+        return wand_topk(reader, terms, k, k1, b)
+    return score_topk(reader, terms, k, k1, b)
 
 
 class _TermIter:

@@ -51,6 +51,10 @@ class IndexReader:
         self.run_width = int(self.manifest.get("run_width", 1 << 60))
         self._seg_dir = os.path.join(index_dir, "segments")
         self._files: dict[int, pq.ParquetFile | None] = {}
+        # hot-postings cache (term dictionary + postings page cache of a
+        # real engine); bounded FIFO — query sets re-hit the same terms
+        self._postings_cache: dict[str, TermPostings | None] = {}
+        self._cache_cap = 4096
 
         # norms: dl per doc_id (0 for docs that analyzed to no tokens)
         self.doclens = np.zeros(self.n_docs, dtype=np.uint32)
@@ -68,12 +72,12 @@ class IndexReader:
 
     def _term_rows(self, term: str) -> list[dict]:
         part = term_part(term, self.num_parts)
-        rparts = [part]
+        rparts = {part}
         if term in self.heavy:
             max_run = (self.n_docs - 1) // self.run_width if self.n_docs else 0
-            rparts = [part + self.num_parts * r for r in range(max_run + 1)]
+            rparts = {(part + r) % self.num_parts for r in range(max_run + 1)}
         rows: list[dict] = []
-        for rp in rparts:
+        for rp in sorted(rparts):
             f = self._segment_file(rp)
             if f is None:
                 continue
@@ -90,15 +94,21 @@ class IndexReader:
             idx = np.flatnonzero(mask)
             for i in idx:
                 rows.append({name: t[name][i].as_py() for name in t.column_names})
-        rows.sort(key=lambda r: r["rpart"])  # run order == doc-id order
+        # salted runs are disjoint doc-id ranges: first-block order is
+        # global doc-id order (collided runs already merged at encode)
+        rows.sort(key=lambda r: r["block_last"][0] if len(r["block_last"]) else 0)
         return rows
 
     def postings(self, term: str) -> TermPostings | None:
         """Full postings + block metadata for one term (None if absent)."""
+        if term in self._postings_cache:
+            return self._postings_cache[term]
         rows = self._term_rows(term)
-        if not rows:
-            return None
-        return TermPostings.from_rows(term, rows)
+        tp = TermPostings.from_rows(term, rows) if rows else None
+        if len(self._postings_cache) >= self._cache_cap:
+            self._postings_cache.pop(next(iter(self._postings_cache)))
+        self._postings_cache[term] = tp
+        return tp
 
     def decode_all(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         """(doc_ids, tfs) fully decoded — the TAAT path."""

@@ -40,6 +40,7 @@ class TermPostings:
     _runs: list[_Run]
     _run_of_block: np.ndarray   # int32, flat → run index
     _local_block: np.ndarray    # int32, flat → block index within run
+    _decoded: tuple[np.ndarray, np.ndarray] | None = None
 
     @classmethod
     def from_rows(cls, term: str, rows: list[dict]) -> "TermPostings":
@@ -93,9 +94,24 @@ class TermPostings:
         return np.cumsum(ids, dtype=np.uint64), tfs
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
-        ids_parts, tf_parts = [], []
-        for b in range(self.n_blocks):
-            i, t = self.decode_block(b)
-            ids_parts.append(i)
-            tf_parts.append(t)
-        return np.concatenate(ids_parts), np.concatenate(tf_parts)
+        """Fully decoded (doc_ids, tfs); memoized — the reader caches
+        TermPostings, so hot terms decode once per reader lifetime."""
+        if self._decoded is None:
+            ids_parts, tf_parts = [], []
+            for run in self._runs:
+                nb = len(run.id_offsets) - 1
+                for b in range(nb):
+                    i = varint_decode(
+                        memoryview(run.doc_ids_enc)[
+                            run.id_offsets[b] : run.id_offsets[b + 1]
+                        ]
+                    )
+                    t = varint_decode(
+                        memoryview(run.tfs_enc)[
+                            run.tf_offsets[b] : run.tf_offsets[b + 1]
+                        ]
+                    )
+                    ids_parts.append(np.cumsum(i, dtype=np.uint64))
+                    tf_parts.append(t)
+            self._decoded = (np.concatenate(ids_parts), np.concatenate(tf_parts))
+        return self._decoded

@@ -42,25 +42,41 @@ def _crc32_mod(urls: list[str], mod: int) -> np.ndarray:
     return np.array([zlib.crc32(u.encode()) % mod for u in urls], np.int64)
 
 
-def dedup_latest(ds, key: str = "url", order: str = "warc_ts"):
+def dedup_latest(ds, key: str = "url", order: str = "warc_ts", num_parts: int = 64):
     """Keep, per ``key``, the row with max ``order`` (tie: max ``body``).
 
-    One hash shuffle on ``key``.  ``map_groups`` sees one group per
-    key; sort-take-last inside the group is deterministic.
+    One hash shuffle — but keyed on ``crc32(key) % num_parts``, not on
+    the key itself: grouping by raw url makes one Python group call per
+    url (millions of one-row groups).  Each reducer gets a whole hash
+    partition and picks every key's winner vectorized: one multi-column
+    sort, then take the last row of each key run.
+
+    pyarrow batch format throughout: the list<string> breadcrumb column
+    must not round-trip through pandas (object dtype breaks Arrow
+    conversion).
     """
 
+    def add_part(t: pa.Table) -> pa.Table:
+        part = _crc32_mod(t[key].to_pylist(), num_parts)
+        return t.append_column("__dpart", pa.array(part, pa.int32()))
+
     def keep_last(group: pa.Table) -> pa.Table:
-        if group.num_rows == 1:
-            return group
-        keys = [(order, "ascending")] + (
+        sort_keys = [(key, "ascending"), (order, "ascending")] + (
             [("body", "ascending")] if "body" in group.column_names else []
         )
-        idx = pc.sort_indices(group, sort_keys=keys)
-        return group.take(idx[-1:])
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        keys_np = np.asarray(g[key].to_pylist(), dtype=object)
+        is_last = np.empty(len(keys_np), dtype=bool)
+        is_last[-1] = True
+        np.not_equal(keys_np[:-1], keys_np[1:], out=is_last[:-1])
+        g = g.take(pa.array(np.flatnonzero(is_last)))
+        return g.drop_columns(["__dpart"])
 
-    # pyarrow batch format: the list<string> breadcrumb column must not
-    # round-trip through pandas (object-dtype → tensor-ext conversion fails)
-    return ds.groupby(key).map_groups(keep_last, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__dpart")
+        .map_groups(keep_last, batch_format="pyarrow")
+    )
 
 
 def assign_doc_ids(ds, num_parts: int = 32, sample_mod: int = 16):

@@ -20,15 +20,17 @@ Per input row the whole analysis happens inside the batch function:
 
     part  = crc32(term) % num_parts              (hash partition by term)
     run   = doc_id // run_width  if term is heavy else 0
-    rpart = part + num_parts * run
+    rpart = (part + run) % num_parts
 
 Heavy terms (df estimated over a deterministic doc sample in
-``index/build.py``) are *salted* across ``n_salt_runs`` reducers by
-contiguous doc-id range, so one hot term's posting list is built as
-several independently encoded runs.  Because runs are doc-id **ranges**
-(``run_width`` consecutive ids each), concatenating a term's runs in
-run order is already globally doc-id-sorted — the reader stitches, it
-never re-sorts (``query/reader.py``).
+``index/build.py``) are *salted* across reducers by contiguous doc-id
+range, so one hot term's posting list is built as several
+independently encoded runs — note the salt stays **within** the fixed
+``num_parts`` reducer space, and the ``+run`` stride is injective
+while the run count stays below ``num_parts`` (the build clamps
+``n_salt_runs`` accordingly), so one term's runs never collide into
+the same reducer.  Runs are doc-id **ranges**, so the reader stitches
+a term's runs back in first-doc-id order without re-sorting.
 """
 
 from __future__ import annotations
@@ -41,12 +43,103 @@ import pyarrow as pa
 
 from ..functions.analyzer import Analyzer
 
-__all__ = ["Tokenizer", "term_part"]
+__all__ = ["Tokenizer", "tokenizer_fn", "term_part"]
 
 
 def term_part(term: str, num_parts: int) -> int:
     """Stable (process-independent) term → reducer partition."""
     return zlib.crc32(term.encode("utf-8")) % num_parts
+
+
+_PROC_CACHE: dict = {}
+
+
+class TokenizeSpill:
+    """Tokenize + map-side shuffle write, one spill file per batch.
+
+    Each batch's postings are sorted by ``rpart`` and written as ONE
+    Parquet file with one row group per rpart slice, so the reduce
+    side reads with ``filter rpart == k`` and Parquet row-group
+    statistics prune everything else — the Spark-style map-output-file
+    shuffle.  Total file count = number of batches, independent of the
+    partition count (a ``write_parquet(partition_cols=...)`` spill
+    creates tasks × partitions files, which dominates wall time once
+    either number grows).
+
+    Returns a one-row lineage table per batch (file, rows).
+    """
+
+    def __init__(self, spill_dir: str, **tok_kwargs):
+        self.spill_dir = spill_dir
+        self.tok_kwargs = tok_kwargs
+        self._tok: Tokenizer | None = None
+        self._seq = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if self._tok is None:
+            self._tok = Tokenizer(**self.tok_kwargs)
+        post = self._tok(batch)
+        order = np.argsort(post["rpart"].to_numpy(zero_copy_only=False), kind="stable")
+        post = post.take(pa.array(order))
+        rparts = post["rpart"].to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.concatenate(([True], rparts[1:] != rparts[:-1])))
+        bounds = np.append(bounds, len(rparts))
+
+        self._seq += 1
+        name = f"spill-{os.getpid()}-{self._seq:05d}-{int(rparts[0]) if len(rparts) else 0}"
+        path = os.path.join(self.spill_dir, name + ".parquet")
+        tmp = path + ".tmp"
+        writer = pq.ParquetWriter(tmp, post.schema)
+        for i in range(len(bounds) - 1):
+            writer.write_table(post.slice(bounds[i], bounds[i + 1] - bounds[i]))
+        writer.close()
+        os.replace(tmp, path)
+        return pa.table(
+            {
+                "file": pa.array([name], pa.string()),
+                "rows": pa.array([post.num_rows], pa.int64()),
+            }
+        )
+
+
+def tokenizer_fn(
+    field: str,
+    chain: str,
+    num_parts: int,
+    heavy_terms: frozenset[str],
+    run_width: int,
+):
+    """Task-based tokenize stage with per-worker-process state.
+
+    The Tokenizer's state (compiled regexes + stem memo) is cheap to
+    build, so stateless *tasks* with a module-global per-process memo
+    beat an actor pool here (no pool spin-up, elastic scheduling) —
+    worker processes are reused across batches, so the memo amortizes
+    exactly like actor state.  Reserve actor pools
+    (``map_batches(Cls, concurrency=...)``) for genuinely heavy init
+    (model weights, large lookup tables — e.g. the multimodal decode
+    stage).
+    """
+    key = (field, chain, num_parts, heavy_terms, run_width)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tok = _PROC_CACHE.get(key)
+        if tok is None:
+            tok = Tokenizer(
+                field=field,
+                chain=chain,
+                num_parts=num_parts,
+                heavy_terms=heavy_terms,
+                run_width=run_width,
+            )
+            _PROC_CACHE[key] = tok
+        return tok(batch)
+
+    return fn
 
 
 class Tokenizer:
@@ -101,7 +194,9 @@ class Tokenizer:
                 first = False
                 part = self._part(term)
                 out_rpart.append(
-                    part + num_parts * run_of_doc if term in heavy else part
+                    (part + run_of_doc) % num_parts
+                    if term in heavy
+                    else part
                 )
 
         return pa.table(

@@ -96,41 +96,64 @@ def _pages_batch(batch: pa.Table, *, dup_every: int, text_suffix: str, ts_shift_
     )
 
 
-def pages_from_documents(sf_dir: str, *, dup_every: int = DUP_EVERY, expand: int = 1):
+def pages_from_documents(
+    sf_dir: str,
+    *,
+    dup_every: int = DUP_EVERY,
+    expand: int = 1,
+    text_repeat: int = 1,
+):
     """``documents.parquet`` → streaming ``pages`` Dataset (see module docstring).
 
     ``expand`` > 1 replicates the corpus deterministically (distinct
     urls / doc ranges, ``' copyK'`` body suffix) for benchmarking at
-    larger row counts without external data.
+    larger row counts without external data.  All copies and duplicate
+    crawls are emitted from ONE ``map_batches`` stage — a chained
+    ``union`` of per-copy datasets is quadratic in Ray's planner.
     """
+    import ray
     import ray.data
 
+    # the seed table is one file with ONE row group — the read is a
+    # single task no matter what, and every map fused behind it would
+    # serialize.  The table is tiny (thousands of rows), so an explicit
+    # repartition to 2 blocks per CPU is free and gives the fused
+    # synth+extract chain real parallelism.
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     base = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
-    parts = []
-    n_docs_hint = 10_000_000  # doc_id offset stride per expansion copy
-    for k in range(expand):
-        suffix = f" copy{k}" if k else ""
-        shift = k * n_docs_hint
+    ).repartition(2 * cpus)
+    stride = 10_000_000  # doc_id offset per expansion copy
 
-        def fresh(b, s=suffix, sh=shift):
-            b = _shift_ids(b, sh)
-            return _pages_batch(b, dup_every=0, text_suffix=s, ts_shift_us=0)
-
-        def dup(b, s=suffix, sh=shift):
-            b = _shift_ids(b, sh)
-            return _pages_batch(
-                b, dup_every=dup_every, text_suffix=s + " refresh", ts_shift_us=HOUR_US
+    def synth(b: pa.Table) -> pa.Table:
+        if text_repeat > 1:
+            # benchmark knob: replicate bodies to realistic web-page
+            # sizes (the seed docs are ~250 chars; crawl pages are KBs)
+            texts = b["text"].to_pylist()
+            b = b.set_column(
+                b.schema.get_field_index("text"),
+                "text",
+                pa.array([" ".join([t] * text_repeat) for t in texts], pa.string()),
             )
+        parts = []
+        for k in range(expand):
+            suffix = f" copy{k}" if k else ""
+            bb = _shift_ids(b, k * stride)
+            parts.append(
+                _pages_batch(bb, dup_every=0, text_suffix=suffix, ts_shift_us=0)
+            )
+            if dup_every:
+                parts.append(
+                    _pages_batch(
+                        bb,
+                        dup_every=dup_every,
+                        text_suffix=suffix + " refresh",
+                        ts_shift_us=HOUR_US,
+                    )
+                )
+        return pa.concat_tables(parts)
 
-        parts.append(base.map_batches(fresh, batch_format="pyarrow"))
-        if dup_every:
-            parts.append(base.map_batches(dup, batch_format="pyarrow"))
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
-    return ds
+    return base.map_batches(synth, batch_format="pyarrow", batch_size=1024)
 
 
 def _shift_ids(batch: pa.Table, shift: int) -> pa.Table:
@@ -143,6 +166,28 @@ def _shift_ids(batch: pa.Table, shift: int) -> pa.Table:
         "doc_id",
         pc.add(batch["doc_id"], shift),
     )
+
+
+def synthetic_url_boundaries(
+    sf_dir: str, num_parts: int, expand: int = 1
+) -> list[str]:
+    """Url-range boundaries for :func:`pages_from_documents` output,
+    computed from the seed table's ids alone (urls are a pure function
+    of doc_id, and duplicate crawls share urls) — avoids a full
+    synthesis pass just to sample urls.  Boundary choice affects only
+    partition balance, never doc ids (global url rank)."""
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy(zero_copy_only=False)
+    urls = sorted(
+        url_for(int(d) + k * 10_000_000) for k in range(expand) for d in ids
+    )
+    if len(urls) < num_parts * 4:
+        return urls[: num_parts - 1]
+    idx = np.linspace(0, len(urls) - 1, num_parts + 1).astype(int)[1:-1]
+    return [urls[i] for i in idx]
 
 
 # ---------------------------------------------------------------------------
