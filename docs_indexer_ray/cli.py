@@ -1,0 +1,183 @@
+"""Command-line interface: build / query / suggest / merge / stats / gc.
+
+The reference's CLI is a click group with one subcommand per source
+(``/root/reference/main.py:10-26``); this engine has one CLI with one
+subcommand per lifecycle operation, submitted as a Ray job
+(``ray job submit -- python -m docs_indexer_ray.cli build …``) or run
+directly.  The CLI owns the Ray session (guarded init — the library
+never initializes Ray, per the driver contract); logging to stdout and
+clean SIGTERM exit mirror ``main.py:29-45``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import signal
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_build(args) -> int:
+    ray = _ray_session()
+    import ray.data
+
+    from .index.build import build_index
+
+    if args.input.startswith("synthetic:"):
+        from .synth import pages_from_documents
+
+        pages = pages_from_documents(args.input.split(":", 1)[1], expand=args.expand)
+        input_paths = None
+    else:
+        pages = ray.data.read_parquet(args.input)
+        input_paths = [args.input]
+
+    res = build_index(
+        pages,
+        args.out,
+        prefix=args.prefix,
+        field=args.field,
+        chain=args.chain,
+        input_paths=input_paths,
+        fingerprint=args.fingerprint,
+        extra_chains=args.extra_chains,
+    )
+    print(json.dumps({k: res[k] for k in ("fingerprint", "n_docs", "avgdl", "timings_s")}, default=str))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _ray_session()
+    from .functions.analyzer import Analyzer
+    from .query.bm25 import topk
+    from .query.reader import IndexReader
+
+    reader = IndexReader(args.index, chain=args.chain)
+    terms = Analyzer(reader.manifest["analyzer"] if args.chain is None else args.chain)(
+        args.q
+    )
+    hits = topk(reader, terms, k=args.k)
+    docs = reader.fetch_docs([d for d, _ in hits], columns=["doc_id", "url", "title"])
+    meta = {r["doc_id"]: r for r in docs.to_pylist()}
+    for rank, (doc_id, score) in enumerate(hits, 1):
+        m = meta.get(doc_id, {})
+        print(
+            json.dumps(
+                {
+                    "rank": rank,
+                    "doc_id": int(doc_id),
+                    "score": round(float(score), 6),
+                    "url": m.get("url"),
+                    "title": m.get("title"),
+                }
+            )
+        )
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    _ray_session()
+    from .query.reader import IndexReader
+
+    reader = IndexReader(args.index, chain=args.chain)
+    prefix = args.prefix[::-1] if args.chain == "reverse" else args.prefix
+    for term, df in reader.prefix_terms(prefix, limit=args.k):
+        shown = term[::-1] if args.chain == "reverse" else term
+        print(json.dumps({"term": shown, "df": int(df)}))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    _ray_session()
+    from .index.merge import merge_indexes
+
+    man = merge_indexes(args.base, args.delta, args.out, prefix=args.prefix)
+    print(json.dumps({"fingerprint": man["fingerprint"], "n_docs": man["n_docs"]}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .index import manifest as mf
+
+    bdir = mf.current_build(args.index) or args.index
+    print(json.dumps(mf.read_manifest(bdir), indent=1, default=str))
+    return 0
+
+
+def cmd_gc(args) -> int:
+    from .index import manifest as mf
+
+    print(json.dumps({"removed": mf.gc(args.root)}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(stream=sys.stdout, level=logging.INFO)
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))  # main.py:36-41
+
+    p = argparse.ArgumentParser(prog="docs_indexer_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--input", required=True, help="pages parquet path, or synthetic:<sf_dir>")
+    b.add_argument("--out", required=True)
+    b.add_argument("--prefix", default="docs")
+    b.add_argument("--field", default="text")
+    b.add_argument("--chain", default="english")
+    b.add_argument("--extra-chains", nargs="*", default=[])
+    b.add_argument("--expand", type=int, default=1)
+    b.add_argument("--fingerprint", default=None)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--chain", default=None)
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("suggest", help="prefix/suffix suggestions")
+    s.add_argument("--index", required=True)
+    s.add_argument("--prefix", required=True)
+    s.add_argument("--chain", default="trigram", choices=["trigram", "reverse"])
+    s.add_argument("-k", type=int, default=5)
+    s.set_defaults(fn=cmd_suggest)
+
+    m = sub.add_parser("merge", help="merge base + delta indexes")
+    m.add_argument("--base", required=True)
+    m.add_argument("--delta", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--prefix", default="docs")
+    m.set_defaults(fn=cmd_merge)
+
+    st = sub.add_parser("stats", help="print a build's manifest")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    g = sub.add_parser("gc", help="remove unpublished builds")
+    g.add_argument("--root", required=True)
+    g.set_defaults(fn=cmd_gc)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

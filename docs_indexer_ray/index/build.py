@@ -103,6 +103,100 @@ def _detect_heavy_terms(
     return {term for term, df in c.items() if df >= thresh}
 
 
+def _build_chain_segments(
+    docs_dir: str,
+    seg_dir: str,
+    scratch: str,
+    *,
+    field: str,
+    chain: str,
+    num_parts: int,
+    block_size: int,
+    n_docs: int,
+    salt_heavy: bool,
+    heavy_df_ratio: float,
+    n_salt_runs: int,
+) -> dict:
+    """Tokenize → map-output-file postings spill → per-partition encode
+    for ONE analyzer chain; returns the chain's manifest fragment.
+
+    The spill layout: each tokenize batch writes one rpart-sorted file
+    with a row group per rpart; reduce tasks filter-read their
+    partition's row groups.  File count tracks batch count —
+    independent of partition count (a ``partition_cols`` write creates
+    tasks × partitions files, a sort-based groupby pays a global sort).
+    """
+    import sys
+
+    import ray
+    import ray.data
+
+    _dbg = os.environ.get("DIXR_TIMING")
+    _t = time.time()
+    docs_ds = ray.data.read_parquet(docs_dir, columns=["doc_id", field])
+
+    heavy: set[str] = set()
+    run_width = 1 << 60
+    if salt_heavy and n_docs > 0:
+        heavy = _detect_heavy_terms(docs_dir, field, chain, heavy_df_ratio)
+        n_salt_runs = min(n_salt_runs, num_parts)  # +run salt must stay injective
+        run_width = max(1, -(-n_docs // n_salt_runs))  # ceil
+    if _dbg:
+        print(f"[t] heavy detect {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()
+
+    spill_dir = os.path.join(scratch, f"spill-{chain}")
+    os.makedirs(spill_dir, exist_ok=True)
+    docs_ds.map_batches(
+        TokenizeSpill(
+            spill_dir,
+            field=field,
+            chain=chain,
+            num_parts=num_parts,
+            heavy_terms=frozenset(heavy),
+            run_width=run_width,
+        ),
+        batch_format="pyarrow",
+        batch_size=4096,
+    ).take_all()
+    if _dbg:
+        print(f"[t] tokenize+spill {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()
+
+    encoder = SegmentEncoder(seg_dir, block_size)
+    items = [{"rpart": k, "path": spill_dir} for k in range(num_parts)]
+    lineage_rows = (
+        ray.data.from_items(items)
+        .repartition(max(1, len(items)))
+        .map_batches(encoder.encode_from_spill, batch_size=1, batch_format="pandas")
+        .take_all()
+    )
+    if _dbg:
+        print(f"[t] encode {time.time()-_t:.1f}s", file=sys.stderr)
+    shutil.rmtree(spill_dir, ignore_errors=True)
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dl_sum = dl_n = 0
+    for f in sorted(os.listdir(seg_dir)):
+        if f.startswith("dl-"):
+            t = pq.read_table(os.path.join(seg_dir, f), columns=["dl"])
+            dl_sum += int(pc.sum(t["dl"]).as_py() or 0)
+            dl_n += t.num_rows
+
+    return {
+        "n_docs_with_terms": dl_n,
+        "total_tokens": dl_sum,
+        "avgdl": (dl_sum / dl_n) if dl_n else 0.0,
+        "heavy_terms": sorted(heavy),
+        "n_salt_runs": n_salt_runs if heavy else 1,
+        "run_width": run_width,
+        "partitions": [
+            {k: (int(v) if isinstance(v, (np.integer,)) else v) for k, v in r.items()}
+            for r in sorted(lineage_rows, key=lambda r: r["rpart"])
+        ],
+    }
+
+
 def build_index(
     pages_ds,
     out_root: str,
@@ -123,6 +217,7 @@ def build_index(
     publish: bool = True,
     docpart_boundaries: list[str] | None = None,
     scratch_dir: str | None = None,
+    extra_chains: list[str] | tuple[str, ...] = (),
 ) -> IndexBuildResult:
     """Build (or resume) an index from a pages Dataset; returns manifest.
 
@@ -195,71 +290,41 @@ def build_index(
     import ray.data
 
     t1 = time.time()
-    docs_ds = ray.data.read_parquet(docs_dir, columns=["doc_id", field])
 
-    import sys
+    chain_stats = _build_chain_segments(
+        docs_dir,
+        seg_dir,
+        scratch,
+        field=field,
+        chain=chain,
+        num_parts=num_parts,
+        block_size=block_size,
+        n_docs=n_docs,
+        salt_heavy=salt_heavy,
+        heavy_df_ratio=heavy_df_ratio,
+        n_salt_runs=n_salt_runs,
+    )
 
-    _dbg = os.environ.get("DIXR_TIMING")
-    _t = time.time()
-    heavy: set[str] = set()
-    run_width = 1 << 60
-    if salt_heavy and n_docs > 0:
-        heavy = _detect_heavy_terms(docs_dir, field, chain, heavy_df_ratio)
-        n_salt_runs = min(n_salt_runs, num_parts)  # +run salt must stay injective
-        run_width = max(1, -(-n_docs // n_salt_runs))  # ceil
-
-    # Postings shuffle = map-output-file spill + per-partition reduce:
-    # each tokenize batch writes ONE rpart-sorted spill file (row group
-    # per rpart), each reduce task filter-reads its partition's row
-    # groups.  File count tracks batch count — independent of the
-    # partition count, unlike a partition_cols write (tasks × parts
-    # files) or a sort-based groupby (global sort).  The spill doubles
-    # as the shuffle's on-disk checkpoint.
-    if _dbg:
-        print(f"[t] heavy detect {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()
-    spill_dir = os.path.join(scratch, "spill")
-    os.makedirs(spill_dir, exist_ok=True)
-    docs_ds.map_batches(
-        TokenizeSpill(
-            spill_dir,
+    # D8 multi-field parity: one docs store, extra analyzer chains each
+    # get their own posting table (segments-<chain>/) — the reference's
+    # text/.english/.trigram/.reverse sub-fields (mappings/hugo.json:54-72)
+    extras: dict[str, dict] = {}
+    for extra in extra_chains:
+        extra_seg = os.path.join(bdir, f"segments-{extra}")
+        os.makedirs(extra_seg, exist_ok=True)
+        extras[extra] = _build_chain_segments(
+            docs_dir,
+            extra_seg,
+            scratch,
             field=field,
-            chain=chain,
+            chain=extra,
             num_parts=num_parts,
-            heavy_terms=frozenset(heavy),
-            run_width=run_width,
-        ),
-        batch_format="pyarrow",
-        batch_size=4096,
-    ).take_all()
-
-    if _dbg:
-        print(f"[t] tokenize+spill {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()
-    encoder = SegmentEncoder(seg_dir, block_size)
-    items = [{"rpart": k, "path": spill_dir} for k in range(num_parts)]
-    lineage = (
-        ray.data.from_items(items)
-        .repartition(max(1, len(items)))
-        .map_batches(encoder.encode_from_spill, batch_size=1, batch_format="pandas")
-    )
-    lineage_rows = lineage.take_all()
-    if _dbg:
-        print(f"[t] encode {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()
-    shutil.rmtree(spill_dir, ignore_errors=True)
-
-    # ---- phase 3: stats + manifest + publish ---------------------------
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    dl_files = sorted(
-        os.path.join(seg_dir, f) for f in os.listdir(seg_dir) if f.startswith("dl-")
-    )
-    dl_sum = 0
-    dl_n = 0
-    for f in dl_files:
-        t = pq.read_table(f, columns=["dl"])
-        dl_sum += int(pc.sum(t["dl"]).as_py() or 0)
-        dl_n += t.num_rows
-    avgdl = (dl_sum / dl_n) if dl_n else 0.0
+            block_size=block_size,
+            n_docs=n_docs,
+            salt_heavy=salt_heavy,
+            heavy_df_ratio=heavy_df_ratio,
+            n_salt_runs=n_salt_runs,
+        )
 
     man = {
         "prefix": prefix,
@@ -269,18 +334,10 @@ def build_index(
         "num_parts": num_parts,
         "block_size": block_size,
         "n_docs": n_docs,
-        "n_docs_with_terms": dl_n,
-        "total_tokens": dl_sum,
-        "avgdl": avgdl,
         "bm25_k1": 1.2,
         "bm25_b": 0.75,
-        "heavy_terms": sorted(heavy),
-        "n_salt_runs": n_salt_runs if heavy else 1,
-        "run_width": run_width,
-        "partitions": [
-            {k: (int(v) if isinstance(v, (np.integer,)) else v) for k, v in r.items()}
-            for r in sorted(lineage_rows, key=lambda r: r["rpart"])
-        ],
+        **chain_stats,
+        "chains": extras,
         "timings_s": {
             "docs_store": round(t1 - t0, 3),
             "index": round(time.time() - t1, 3),

@@ -38,18 +38,33 @@ __all__ = ["IndexReader"]
 
 
 class IndexReader:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, chain: str | None = None):
+        """``chain`` selects an extra analyzer chain's posting table
+        (``segments-<chain>/``, D8 multi-field builds); default is the
+        build's main chain."""
         if os.path.exists(os.path.join(index_dir, "CURRENT")):
             index_dir = mf.current_build(index_dir)  # accept the root too
         self.index_dir = index_dir
         self.manifest = mf.read_manifest(index_dir)
+        stats = self.manifest
+        seg_dirname = "segments"
+        if chain is not None and chain != self.manifest.get("analyzer"):
+            extras = self.manifest.get("chains", {})
+            if chain not in extras:
+                raise KeyError(
+                    f"chain {chain!r} not in this build (has: "
+                    f"{self.manifest.get('analyzer')!r} + {sorted(extras)})"
+                )
+            stats = extras[chain]
+            seg_dirname = f"segments-{chain}"
+        self.chain = chain or self.manifest.get("analyzer")
         self.n_docs = int(self.manifest["n_docs"])
-        self.avgdl = float(self.manifest["avgdl"])
+        self.avgdl = float(stats["avgdl"])
         self.num_parts = int(self.manifest["num_parts"])
-        self.heavy = frozenset(self.manifest.get("heavy_terms", ()))
-        self.n_salt_runs = int(self.manifest.get("n_salt_runs", 1))
-        self.run_width = int(self.manifest.get("run_width", 1 << 60))
-        self._seg_dir = os.path.join(index_dir, "segments")
+        self.heavy = frozenset(stats.get("heavy_terms", ()))
+        self.n_salt_runs = int(stats.get("n_salt_runs", 1))
+        self.run_width = int(stats.get("run_width", 1 << 60))
+        self._seg_dir = os.path.join(index_dir, seg_dirname)
         self._files: dict[int, pq.ParquetFile | None] = {}
         # hot-postings cache (term dictionary + postings page cache of a
         # real engine); bounded FIFO — query sets re-hit the same terms

@@ -67,10 +67,28 @@ class ExtractAssemble:
     ``use_html=False`` trusts the pre-extracted ``text`` column instead
     of re-extracting from ``html`` (the input contract says ``text`` may
     be stale, so the default re-extracts).
+
+    ``recipe`` selects the per-source assembly recipe (SURVEY §2.1 T4
+    vs T5 — the two sources build the catch-all differently):
+
+    * ``"hugo"`` (default): front matter parsed; catch-all per
+      ``hugo.py:333-342`` — ``title + " " + body + " " + uri + " " +
+      " ".join(breadcrumb)``.
+    * ``"blog"``: the blog recipe (``blog.py:71-93``): the whole
+      extracted source is the body, title comes from front matter when
+      present, ``breadcrumb = ["blog"]``, ``uri = url``, and the
+      catch-all is ``f"{title}\\n\\n{body}"``.
     """
 
-    def __init__(self, type_label: str = "page", use_html: bool = True):
-        self.type_label = type_label
+    def __init__(
+        self, type_label: str | None = None, use_html: bool = True, recipe: str = "hugo"
+    ):
+        if recipe not in ("hugo", "blog"):
+            raise ValueError(f"unknown recipe: {recipe!r}")
+        self.recipe = recipe
+        self.type_label = type_label if type_label is not None else (
+            "page" if recipe == "hugo" else "post"
+        )
         self.use_html = use_html
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -99,17 +117,23 @@ class ExtractAssemble:
             if body is None:
                 body = source.strip()  # documented divergence (module docstring)
 
-            uri, breadcrumb = url_to_uri_breadcrumb(urls[i])
             title = data.get("title")
             title = "" if title is None else str(title)
 
-            # catch-all text, reference recipe (hugo.py:333-342)
-            text = ""
-            if "title" in data:
-                text = title
-            text += " " + body
-            text += " " + uri
-            text += " " + " ".join(breadcrumb)
+            if self.recipe == "blog":
+                # blog.py:79-91: uri = url, breadcrumb fixed, catch-all
+                # title\n\nbody
+                uri, breadcrumb = urls[i], ["blog"]
+                text = f"{title}\n\n{body}"
+            else:
+                uri, breadcrumb = url_to_uri_breadcrumb(urls[i])
+                # catch-all text, reference recipe (hugo.py:333-342)
+                text = ""
+                if "title" in data:
+                    text = title
+                text += " " + body
+                text += " " + uri
+                text += " " + " ".join(breadcrumb)
 
             date = data.get("date")
             date = warc_iso[i] if date is None else str(date)

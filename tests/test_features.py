@@ -1,0 +1,164 @@
+"""CLI, multi-chain builds, the blog recipe, and source adapters."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from docs_indexer_ray.index.build import build_index
+from docs_indexer_ray.query.reader import IndexReader
+from docs_indexer_ray.stages.extract import ExtractAssemble
+from docs_indexer_ray.synth import rich_pages_table, wrap_html
+
+
+# ---- multi-chain (D8) -----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def multi_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("multi"))
+    pages = ray.data.from_arrow(rich_pages_table(40, dup_every=0))
+    res = build_index(
+        pages,
+        out,
+        fingerprint="mc",
+        extra_chains=["trigram", "reverse"],
+        salt_heavy=False,
+    )
+    return out, res
+
+
+def test_multi_chain_build_and_read(multi_index):
+    out, res = multi_index
+    assert set(res["chains"]) == {"trigram", "reverse"}
+
+    main = IndexReader(out)
+    tri = IndexReader(out, chain="trigram")
+    rev = IndexReader(out, chain="reverse")
+    assert main.n_docs == tri.n_docs == rev.n_docs == 40
+
+    # the trigram table holds shingles the english table doesn't
+    assert tri.postings("node pools") is not None
+    assert main.postings("node pools") is None
+    # the reverse table holds reversed tokens
+    assert rev.postings("sloop") is not None  # 'pools' reversed
+
+    with pytest.raises(KeyError):
+        IndexReader(out, chain="simple")
+
+
+def test_multi_chain_suggesters(multi_index):
+    out, _ = multi_index
+    tri = IndexReader(out, chain="trigram")
+    top = tri.prefix_terms("node ", limit=5)
+    assert top and all(t.startswith("node ") for t, _ in top)
+
+    rev = IndexReader(out, chain="reverse")
+    # suffix query 'les' → terms ending in 'sel'? use real data: tokens
+    # ending with 'es' → reversed prefix 'se'
+    suf = rev.prefix_terms("se", limit=10)
+    assert suf and all(t.startswith("se") for t, _ in suf)
+
+
+# ---- blog recipe (T5) -----------------------------------------------------
+
+def test_blog_recipe_assembly():
+    body = "---\ntitle: Release notes\n---\nToday we shipped v2.\n"
+    batch = pa.table(
+        {
+            "url": pa.array(["https://blog.test/v2/"]),
+            "warc_ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+            "html": pa.array([wrap_html(body)], pa.binary()),
+            "text": pa.array([body]),
+            "lang": pa.array(["en"]),
+        }
+    )
+    out = ExtractAssemble(recipe="blog")(batch)
+    row = out.to_pylist()[0]
+    assert row["type"] == "post"
+    assert row["breadcrumb"] == ["blog"]
+    assert row["breadcrumb_1"] == "blog"
+    assert row["uri"] == "https://blog.test/v2/"
+    assert row["title"] == "Release notes"
+    assert row["body"] == "Today we shipped v2."
+    # blog catch-all: f"{title}\n\n{body}" (blog.py:91)
+    assert row["text"] == "Release notes\n\nToday we shipped v2."
+
+    hugo = ExtractAssemble(recipe="hugo")(batch).to_pylist()[0]
+    assert hugo["type"] == "page"
+    assert hugo["text"] != row["text"]
+
+
+# ---- sources --------------------------------------------------------------
+
+def test_read_pages_pushdown(ray_session, tmp_path):
+    import numpy as np
+
+    from docs_indexer_ray.sources import read_pages
+
+    t = rich_pages_table(30, dup_every=0)
+    langs = ["en" if i % 3 else "de" for i in range(t.num_rows)]
+    t = t.set_column(t.schema.get_field_index("lang"), "lang", pa.array(langs))
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(t, path)
+
+    ds = read_pages(path, columns=["url", "lang"], lang="de")
+    rows = ds.take_all()
+    assert rows and all(r["lang"] == "de" for r in rows)
+    assert set(rows[0]) == {"url", "lang"}
+
+    since = np.datetime64("2025-01-01T00:00:10", "us")
+    ds2 = read_pages(path, columns=["url", "warc_ts"], since=since)
+    assert 0 < ds2.count() < t.num_rows
+
+
+def test_read_paged_api(ray_session):
+    from docs_indexer_ray.sources import read_paged_api
+
+    calls = {"n": 0}
+
+    def fetch(cursor):
+        calls["n"] += 1
+        if calls["n"] == 2 and cursor == 1:  # fail once → retried
+            raise ConnectionError("flaky")
+        rows = [
+            {"id": cursor * 10 + i, "state": "PUBLISHED" if i % 2 else "DRAFT", "v": i}
+            for i in range(4)
+        ]
+        return rows, (cursor + 1 if cursor < 3 else None)
+
+    ds = read_paged_api(fetch, state_filter=("state", "PUBLISHED"))
+    rows = sorted(r["id"] for r in ds.take_all())
+    # 4 pages (cursor 0..3) × ids i∈{1,3} published
+    assert rows == sorted(c * 10 + i for c in range(4) for i in (1, 3))
+
+
+# ---- CLI ------------------------------------------------------------------
+
+def test_cli_end_to_end(ray_session, tmp_path, capsys):
+    from docs_indexer_ray.cli import main
+
+    t = rich_pages_table(25, dup_every=0)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(t, pages_path)
+    out = str(tmp_path / "idx")
+
+    assert main(["build", "--input", pages_path, "--out", out, "--fingerprint", "cli1"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs"] == 25
+
+    assert main(["query", "--index", out, "--q", "node pools", "-k", "3"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines and lines[0]["rank"] == 1 and lines[0]["url"]
+
+    assert main(["stats", "--index", out]) == 0
+    man = json.loads(capsys.readouterr().out)
+    assert man["n_docs"] == 25
+
+    assert main(["gc", "--root", out]) == 0
+    assert json.loads(capsys.readouterr().out)["removed"] == []

@@ -1,0 +1,96 @@
+"""Incremental merge: merge(build(A), build(B)) ≡ build(A ∪ B).
+
+Doc ids differ between the merged and from-scratch indexes (base ids +
+shifted delta ids vs global url rank), so equivalence is checked on
+(url, score): identical BM25 statistics (N, avgdl, df, tf, dl) must
+yield identical scores per document.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+from docs_indexer_ray.functions.analyzer import Analyzer
+from docs_indexer_ray.index.build import build_index
+from docs_indexer_ray.index.merge import merge_indexes
+from docs_indexer_ray.query.bm25 import score_topk
+from docs_indexer_ray.query.reader import IndexReader
+from docs_indexer_ray.synth import rich_pages_table
+
+QUERIES = ["node pools", "quota namespace limit", "helm upgrade changelog", "page"]
+
+
+def _url_map(index_dir: str) -> dict[int, str]:
+    t = pads.dataset(os.path.join(index_dir, "docs"), partitioning="hive").to_table(
+        columns=["doc_id", "url"]
+    )
+    return dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+
+
+def _results_by_url(root: str, k: int = 50) -> dict[str, list[tuple[str, float]]]:
+    from docs_indexer_ray.index import manifest as mf
+
+    reader = IndexReader(root)
+    urls = _url_map(mf.current_build(root))
+    an = Analyzer("english")
+    out = {}
+    for q in QUERIES:
+        hits = score_topk(reader, an(q), k=k)
+        out[q] = sorted((urls[d], round(s, 9)) for d, s in hits)
+    return out
+
+
+@pytest.mark.parametrize("salt", [False, True])
+def test_merge_equals_full_build(ray_session, tmp_path, salt):
+    import ray.data
+
+    pages = rich_pages_table(60, dup_every=0)
+    half_a = pages.slice(0, 30)
+    half_b = pages.slice(30)
+
+    kw = dict(
+        num_parts=8,
+        salt_heavy=salt,
+        heavy_df_ratio=0.2,
+        n_salt_runs=4,
+    )
+    build_index(ray.data.from_arrow(half_a), str(tmp_path / "a"), fingerprint="a", **kw)
+    build_index(ray.data.from_arrow(half_b), str(tmp_path / "b"), fingerprint="b", **kw)
+    build_index(ray.data.from_arrow(pages), str(tmp_path / "full"), fingerprint="f", **kw)
+
+    man = merge_indexes(str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m"))
+    assert man["n_docs"] == 60
+
+    merged = _results_by_url(str(tmp_path / "m"))
+    full = _results_by_url(str(tmp_path / "full"))
+    for q in QUERIES:
+        assert merged[q] == full[q], q
+
+
+def test_merge_stats_add(ray_session, tmp_path):
+    import ray.data
+
+    pages = rich_pages_table(40, dup_every=0)
+    build_index(
+        ray.data.from_arrow(pages.slice(0, 25)),
+        str(tmp_path / "a"),
+        fingerprint="a",
+        num_parts=8,
+        salt_heavy=False,
+    )
+    build_index(
+        ray.data.from_arrow(pages.slice(25)),
+        str(tmp_path / "b"),
+        fingerprint="b",
+        num_parts=8,
+        salt_heavy=False,
+    )
+    man = merge_indexes(str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m"))
+    reader = IndexReader(str(tmp_path / "m"))
+    assert reader.n_docs == 40
+    # every doc has a norm after the merge (carriers survived the shift)
+    assert (reader.doclens > 0).all()
