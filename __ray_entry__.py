@@ -378,6 +378,71 @@ def q_mm_decode(sf_dir: str) -> pa.Table:
     return _concat(decode_images(ds, fake=True))
 
 
+def q_window_agg(sf_dir: str) -> pa.Table:
+    """Tumbling 1h windows over the events log (partial-agg combiner →
+    tiny shuffle).  ``sum_v1000`` sums FLOOR(value*1000) as integers so
+    the oracle comparison is exact (float sum order differs)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.windows import tumbling_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def int_value(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        return t.set_column(t.schema.get_field_index("value"), "value", pa.array(v))
+
+    agg = tumbling_window(ds.map_batches(int_value, batch_format="pyarrow"))
+    t = _concat(agg)
+    t = t.rename_columns(
+        ["user_id", "window", "n_events", "sum_v1000"]
+    )
+    return _as_i64(t, ["user_id", "window", "n_events", "sum_v1000"])
+
+
+def q_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based sessions (30 min timeout) over the events log."""
+    import ray.data
+
+    from docs_indexer_ray.ops.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    t = _concat(sessionize(ds, timeout_s=1800))
+    return _as_i64(
+        t, ["user_id", "session_id", "n_events", "session_start", "session_end"]
+    )
+
+
+def q_highlight(sf_dir: str) -> pa.Table:
+    """Top-3 hits with highlighted best snippets (D9/term-vector
+    parity via query-time re-analysis)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import topk
+    from docs_indexer_ray.query.highlight import best_snippet
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.functions.analyzer import Analyzer
+
+    _, root = ensure_index(sf_dir, chain="english", field="text")
+    reader = IndexReader(root)
+    q = "table scan merge"
+    hits = topk(reader, Analyzer("english")(q), k=3)
+    docs = reader.fetch_docs([d for d, _ in hits], columns=["doc_id", "body"])
+    bodies = {r["doc_id"]: r["body"] for r in docs.to_pylist()}
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+            "snippet": pa.array(
+                [best_snippet(bodies[d], q) for d, _ in hits], pa.string()
+            ),
+        }
+    )
+
+
 def q_winnow(sf_dir: str) -> pa.Table:
     from docs_indexer_ray.ops.textstats import fingerprint
 
@@ -422,6 +487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_all_count": q_match_all_count,
         "bm25_topk": q_bm25_topk,
         "keyword_date_filter": q_keyword_date_filter,
+        "window_agg": q_window_agg,
+        "sessionize": q_sessionize,
         # rows-only (no SQL equivalent; Python oracles in tests/)
         "bm25_topk_english": q_bm25_topk_english,
         "minhash_pairs": q_minhash_pairs,
@@ -432,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reverse_suggest": q_reverse_suggest,
         "mm_decode": q_mm_decode,
         "winnow": q_winnow,
+        "highlight": q_highlight,
     }
 
 
@@ -550,6 +618,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
                    CAST(doc_id AS BIGINT) AS doc_id
             FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "window_agg": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS window,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v1000
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+            l AS (SELECT user_id, ts,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                  FROM l)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(MIN(ts) AS BIGINT) AS session_start,
+                   CAST(MAX(ts) AS BIGINT) AS session_end
+            FROM s GROUP BY user_id, session_id
         """,
         "keyword_date_filter": f"""
             WITH base AS (

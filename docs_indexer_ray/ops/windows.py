@@ -1,0 +1,113 @@
+"""Windowed / sessionized aggregates over an ordered event log.
+
+The reference has no streaming (SURVEY §2.3 — its "incremental" blog
+indexer re-reads everything, ``/root/reference/blog.py:1-7`` vs
+``blog.py:190-193``), but a training-data engine needs the
+stream-shaped operators, expressed the Ray-Data-batch way: the input
+is an ordered, partitioned log; windows are computed per key after a
+hash shuffle; event-time semantics come from the data, not a clock.
+
+* :func:`tumbling_window` — fixed windows: per-batch **partial
+  aggregation** to (key, window) rows inside ``map_batches`` (the
+  combiner — a batch of 10k events for a hot user collapses to a
+  handful of rows before the shuffle), then one small
+  ``groupby((key, window))`` final merge.
+* :func:`sessionize` — gap-based sessions: hash shuffle on the key,
+  per-key sort by ts, session ids from ``gap > timeout`` boundaries —
+  vectorized per partition via the run-boundary trick (one multi-key
+  sort, no per-session Python).
+
+Both are deterministic and SQL-replicable (window = epoch-floor;
+session = lag-gap + running sum), so the driver's DuckDB oracle checks
+them exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["tumbling_window", "sessionize"]
+
+
+def tumbling_window(
+    ds,
+    window_s: int = 3600,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Per (key, window) count + sum; window = floor(epoch / window_s)."""
+    from ray.data.aggregate import Count, Sum
+
+    win_us = np.int64(window_s) * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        win = (ts.astype(np.int64) // win_us).astype(np.int64)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({key: keys, "window": win, "v": vals})
+        agg = df.groupby([key, "window"], sort=False).agg(
+            n_part=("v", "size"), sum_part=("v", "sum")
+        )
+        agg = agg.reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, "window"])
+        .aggregate(
+            Sum("n_part", alias_name="n_events"),
+            Sum("sum_part", alias_name="sum_value"),
+        )
+    )
+
+
+def sessionize(
+    ds,
+    timeout_s: int = 1800,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_parts: int = 32,
+):
+    """Gap-based sessions: rows → (key, session_id, n_events,
+    session_start, session_end).  ``session_id`` is the key's 0-based
+    session ordinal in ts order (deterministic; ties keep event order
+    stable by (ts, event_id) sort)."""
+    gap_us = np.int64(timeout_s) * 1_000_000
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__kpart", pa.array((keys % np.int64(num_parts)).astype(np.int32))
+        )
+
+    def sessions_of_partition(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, ts_col], kind="mergesort")
+        keys = g[key].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        new_session = new_key | (gap > gap_us)
+        # session ordinal per key: cumulative count of new_session
+        # boundaries, reset at each key run
+        sid_global = np.cumsum(new_session) - 1
+        key_first_sid = pd.Series(sid_global).groupby(keys).transform("min").to_numpy()
+        sid = sid_global - key_first_sid
+        df = pd.DataFrame(
+            {key: keys, "session_id": sid.astype(np.int64), "ts": ts}
+        )
+        out = df.groupby([key, "session_id"], sort=False).agg(
+            n_events=("ts", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        return out.reset_index()
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__kpart")
+        .map_groups(sessions_of_partition, batch_format="pandas")
+    )

@@ -73,6 +73,8 @@ SQL_BACKED = [
     "match_all_count",
     "bm25_topk",
     "keyword_date_filter",
+    "window_agg",
+    "sessionize",
 ]
 
 
@@ -103,6 +105,7 @@ ROWS_ONLY_MIN = {
     "reverse_suggest": 1,
     "mm_decode": 64,
     "winnow": 50,
+    "highlight": 3,
 }
 
 

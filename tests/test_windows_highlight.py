@@ -1,0 +1,95 @@
+"""Windowed aggregates, sessionization, and highlighting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docs_indexer_ray.ops.windows import sessionize, tumbling_window
+from docs_indexer_ray.query.highlight import best_snippet, highlight, match_spans
+
+
+def _events_table() -> pa.Table:
+    # user 1: two sessions (gap > 30 min); user 2: one session
+    base = 1_700_000_000_000_000
+    rows = [
+        (1, base + 0, 1.0),
+        (1, base + 60_000_000, 2.0),          # +1 min  → same session
+        (1, base + 10_000_000_000, 3.0),      # +2.7 h  → new session
+        (2, base + 5_000_000, 10.0),
+        (2, base + 1_790_000_000, 20.0),      # +29.8 min → same session
+    ]
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], np.int64), pa.timestamp("us")
+            ),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def test_tumbling_window(ray_session):
+    import ray.data
+
+    out = tumbling_window(ray.data.from_arrow(_events_table()), window_s=3600)
+    rows = {(r["user_id"], r["window"]): r for r in out.take_all()}
+    base_win = 1_700_000_000_000_000 // 3_600_000_000
+    later_win = (1_700_000_000_000_000 + 10_000_000_000) // 3_600_000_000
+    assert rows[(1, base_win)]["n_events"] == 2
+    assert rows[(1, base_win)]["sum_value"] == 3.0
+    assert rows[(1, later_win)]["n_events"] == 1
+    assert rows[(2, base_win)]["n_events"] == 2
+
+
+def test_sessionize(ray_session):
+    import ray.data
+
+    out = sessionize(ray.data.from_arrow(_events_table()), timeout_s=1800)
+    rows = {(r["user_id"], r["session_id"]): r for r in out.take_all()}
+    assert rows[(1, 0)]["n_events"] == 2
+    assert rows[(1, 1)]["n_events"] == 1
+    assert rows[(2, 0)]["n_events"] == 2
+    assert (1, 2) not in rows
+    assert rows[(1, 0)]["session_end"] - rows[(1, 0)]["session_start"] == 60_000_000
+
+
+def test_sessionize_partition_invariance(ray_session):
+    import ray.data
+
+    t = _events_table()
+    a = sorted(map(tuple, (r.values() for r in sessionize(ray.data.from_arrow(t)).take_all())))
+    b = sorted(
+        map(
+            tuple,
+            (
+                r.values()
+                for r in sessionize(ray.data.from_arrow(t).repartition(5)).take_all()
+            ),
+        )
+    )
+    assert a == b
+
+
+def test_highlight_marks_stemmed_matches():
+    text = "The tables were scanned quickly; scanning tables is fast."
+    out = highlight(text, "table scan", chain="english")
+    assert "<em>tables</em>" in out
+    assert "<em>scanned</em>" in out
+    assert "<em>scanning</em>" in out
+    assert "quickly" in out and "<em>quickly</em>" not in out
+
+
+def test_best_snippet_window():
+    text = ("padding words " * 50) + "the merge table scan cluster" + (" trailing" * 50)
+    snip = best_snippet(text, "table scan merge", width=60)
+    assert "<em>merge</em>" in snip and "<em>table</em>" in snip and "<em>scan</em>" in snip
+    assert len(snip) <= 60 + 2 + len("<em></em>") * 6  # width + ellipses + markup
+    assert snip.startswith("…") and snip.endswith("…")
+
+
+def test_match_spans_simple_chain():
+    spans = match_spans("Alpha beta ALPHA", {"alpha"}, chain="simple")
+    assert spans == [(0, 5), (11, 16)]
