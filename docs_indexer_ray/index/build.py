@@ -273,7 +273,9 @@ def build_index(
             pages_ds,
             docs_spill,
             docs_dir,
-            num_parts=max(8, cpus),
+            # 3 partitions per core: reduce-round stragglers idle the
+            # other cores for a whole task otherwise
+            num_parts=max(8, 3 * cpus),
             type_label=type_label,
             boundaries=docpart_boundaries,
         )
