@@ -337,6 +337,19 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     return _concat(knn_lsh(ds, queries, qids, k=5))
 
 
+def q_knn_ivf(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import knn_ivf
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = qt.filter(pc.less(qt["vec_id"], 5))
+    queries = np.array(qt["embedding"].to_pylist(), np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _concat(knn_ivf(ds, queries, qids, k=5, n_centroids=16, n_probe=4))
+
+
 def q_trigram_suggest(sf_dir: str) -> pa.Table:
     """Phrase suggester (D2): most frequent shingles extending 'table'."""
     from docs_indexer_ray.pipelines.flagship import ensure_index
@@ -417,6 +430,97 @@ def q_sessionize(sf_dir: str) -> pa.Table:
     )
 
 
+def q_broadcast_join(sf_dir: str) -> pa.Table:
+    """Map-side broadcast join: events × a small event_type weight
+    lookup (weight = type-name length, derivable in SQL), aggregated
+    per type with integer-exact sums."""
+    import ray.data
+
+    from docs_indexer_ray.ops.join import broadcast_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    types = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type"])
+    uniq = sorted(set(types["event_type"].to_pylist()))
+    lookup = pd.DataFrame({"event_type": uniq, "weight": [len(t) for t in uniq]})
+
+    def to_int(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        return t.set_column(t.schema.get_field_index("value"), "value", pa.array(v))
+
+    joined = broadcast_join(
+        ds.map_batches(to_int, batch_format="pyarrow"), lookup, on="event_type"
+    )
+
+    def agg(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["weighted"] = batch["value"] * batch["weight"]
+        g = batch.groupby("event_type", sort=False).agg(
+            n_part=("value", "size"), w_part=("weighted", "sum")
+        )
+        return g.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(agg, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_part", alias_name="n_events"),
+            Sum("w_part", alias_name="weighted_v1000"),
+        )
+    )
+    return _as_i64(_concat(out), ["n_events", "weighted_v1000"])
+
+
+def q_hash_join(sf_dir: str) -> pa.Table:
+    """Partitioned hash join lineitem ⋈ orders → revenue per order
+    priority (revenue in integer cents so the comparison is exact)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.join import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+        return pa.table(
+            {"orderkey": t["l_orderkey"], "rev_cents": pa.array(cents)}
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.rename_columns(["orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    joined = hash_join(li.map_batches(rev, batch_format="pyarrow"), orders, on="orderkey")
+
+    def agg(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_orderpriority", sort=False).agg(
+            n_part=("rev_cents", "size"), r_part=("rev_cents", "sum")
+        )
+        return g.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(agg, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_part", alias_name="n_items"),
+            Sum("r_part", alias_name="revenue_cents"),
+        )
+    )
+    return _as_i64(_concat(out), ["n_items", "revenue_cents"])
+
+
 def q_highlight(sf_dir: str) -> pa.Table:
     """Top-3 hits with highlighted best snippets (D9/term-vector
     parity via query-time re-analysis)."""
@@ -489,12 +593,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_date_filter": q_keyword_date_filter,
         "window_agg": q_window_agg,
         "sessionize": q_sessionize,
+        "broadcast_join": q_broadcast_join,
+        "hash_join": q_hash_join,
         # rows-only (no SQL equivalent; Python oracles in tests/)
         "bm25_topk_english": q_bm25_topk_english,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "trigram_suggest": q_trigram_suggest,
         "reverse_suggest": q_reverse_suggest,
         "mm_decode": q_mm_decode,
@@ -643,6 +750,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(ts) AS BIGINT) AS session_start,
                    CAST(MAX(ts) AS BIGINT) AS session_end
             FROM s GROUP BY user_id, session_id
+        """,
+        "broadcast_join": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(floor(value * 1000) AS BIGINT) * length(event_type)) AS BIGINT)
+                     AS weighted_v1000
+            FROM events GROUP BY event_type
+        """,
+        "hash_join": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "keyword_date_filter": f"""
             WITH base AS (

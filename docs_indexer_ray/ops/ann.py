@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["knn_cosine", "knn_lsh", "embedding_dup_pairs"]
+__all__ = ["knn_cosine", "knn_lsh", "knn_ivf", "embedding_dup_pairs", "train_ivf_centroids"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -162,6 +162,104 @@ def knn_lsh(
 
     return (
         ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def train_ivf_centroids(
+    sample: np.ndarray, n_centroids: int = 16, iters: int = 10
+) -> np.ndarray:
+    """Deterministic spherical k-means (seeded, fixed iterations) on a
+    driver-side sample — the coarse quantizer of an IVF index.  At
+    scale the sample comes from ``ds.random_sample(frac, seed=…)``;
+    the lloyd iterations stay driver-side (centroids are tiny)."""
+    x = _normalize(np.asarray(sample, np.float64))
+    rs = np.random.RandomState(42)
+    cent = x[rs.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """IVF approximate top-k: coarse k-means cells, queries probe their
+    ``n_probe`` nearest cells, exact cosine within probed cells only.
+
+    The scale path: candidate work per query drops from O(N) to
+    O(N · n_probe / n_centroids); recall is tuned by ``n_probe``.
+    Same output schema as :func:`knn_cosine` (query_id, rank,
+    neighbor_id)."""
+    import ray
+
+    # deterministic training sample: first `train_sample` rows by id
+    sample_tbl = ds.sort(id_col).limit(train_sample).to_pandas()
+    cent = train_ivf_centroids(
+        np.array(sample_tbl[col].to_list(), np.float64), n_centroids
+    )
+
+    qn = _normalize(np.asarray(queries))
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    q_ref = ray.put((qn, np.asarray(query_ids, np.int64), cent, probe))
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        q, qids, cent_, probe_ = ray.get(q_ref)
+        emb = _normalize(_embedding_matrix(batch, col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = (emb @ cent_.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q)):
+            mask = np.isin(cells, probe_[qi])
+            if not mask.any():
+                continue
+            row = q[qi] @ emb[mask].T
+            cand = ids[mask]
+            take = min(k + (1 if exclude_self else 0), len(cand))
+            top = (
+                np.argpartition(-row, take - 1)[:take]
+                if take < len(row)
+                else np.arange(len(row))
+            )
+            out_q.extend([int(qids[qi])] * len(top))
+            out_n.extend(cand[top].tolist())
+            out_s.extend(row[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        qid = int(group["query_id"].iloc[0])
+        g = group
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "rank", "neighbor_id"]]
+
+    return (
+        ds.map_batches(cell_partial, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pandas")
     )

@@ -38,7 +38,7 @@ def entry_mod(ray_session):
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings", "events"]:
+    for t in ["documents", "embeddings", "events", "lineitem", "orders"]:
         c.execute(
             f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')"
         )
@@ -75,6 +75,8 @@ SQL_BACKED = [
     "keyword_date_filter",
     "window_agg",
     "sessionize",
+    "broadcast_join",
+    "hash_join",
 ]
 
 
@@ -101,6 +103,7 @@ ROWS_ONLY_MIN = {
     "simhash_pairs": 1,
     "embedding_dups": 1,
     "knn_lsh": 1,
+    "knn_ivf": 1,
     "trigram_suggest": 1,
     "reverse_suggest": 1,
     "mm_decode": 64,

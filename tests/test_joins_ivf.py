@@ -1,0 +1,102 @@
+"""Join operators and the IVF ANN variant vs exact references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from docs_indexer_ray.ops.ann import knn_cosine, knn_ivf, train_ivf_centroids
+from docs_indexer_ray.ops.join import broadcast_join, hash_join
+
+
+def test_broadcast_join(ray_session):
+    import ray.data
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, 2, 9], pa.int64()), "v": pa.array([10, 20, 30, 21, 90])}
+    )
+    small = pd.DataFrame({"k": [1, 2, 3], "w": ["a", "b", "c"]})
+    out = broadcast_join(ray.data.from_arrow(left), small, on="k").to_pandas()
+    out = out.sort_values(["k", "v"], ignore_index=True)
+    assert out["k"].tolist() == [1, 2, 2, 3]  # k=9 dropped (inner)
+    assert out["w"].tolist() == ["a", "b", "b", "c"]
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import ray.data
+
+    rs = np.random.RandomState(11)
+    left = pd.DataFrame(
+        {"key": rs.randint(0, 50, 400).astype(np.int64), "x": rs.randint(0, 9, 400)}
+    )
+    right = pd.DataFrame(
+        {"key": np.arange(0, 60, 2, dtype=np.int64), "y": np.arange(30)}
+    )
+    got = (
+        hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), on="key",
+            num_buckets=7,
+        )
+        .to_pandas()
+        .sort_values(["key", "x", "y"], ignore_index=True)[["key", "x", "y"]]
+    )
+    want = left.merge(right, on="key").sort_values(
+        ["key", "x", "y"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def _vectors(n=80, dim=12):
+    rs = np.random.RandomState(5)
+    m = rs.normal(size=(n, dim))
+    return np.arange(n, dtype=np.int64), m
+
+
+@pytest.fixture(scope="module")
+def vec_ds2(ray_session):
+    import ray.data
+
+    ids, m = _vectors()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+            }
+        )
+    )
+
+
+def test_ivf_centroids_deterministic():
+    _, m = _vectors()
+    c1 = train_ivf_centroids(m, 8)
+    c2 = train_ivf_centroids(m, 8)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_knn_ivf_recall_vs_exact(vec_ds2):
+    ids, m = _vectors()
+    q = m[:4].astype(np.float32).astype(np.float64)
+    exact = knn_cosine(vec_ds2, q, ids[:4], k=5).to_pandas()
+    # probing every cell ⇒ identical to exact
+    full = knn_ivf(
+        vec_ds2, q, ids[:4], k=5, n_centroids=8, n_probe=8, train_sample=80
+    ).to_pandas()
+    for qi in range(4):
+        e = exact[exact["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        f = full[full["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert e == f, qi
+
+    # fewer probes ⇒ valid ranks, decent recall of the exact top-5
+    approx = knn_ivf(
+        vec_ds2, q, ids[:4], k=5, n_centroids=8, n_probe=3, train_sample=80
+    ).to_pandas()
+    hits = 0
+    for qi in range(4):
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        hits += len(e & a)
+    assert hits >= 10  # ≥50% recall on random data with 3/8 probes

