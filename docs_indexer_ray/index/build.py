@@ -269,7 +269,7 @@ def build_index(
         from ..stages.docstore import build_docs_store
 
         docs_spill = os.path.join(scratch, "docs_spill")
-        n_docs = build_docs_store(
+        n_docs, n_extract_errors = build_docs_store(
             pages_ds,
             docs_spill,
             docs_dir,
@@ -282,7 +282,11 @@ def build_index(
         shutil.rmtree(docs_spill, ignore_errors=True)
         import json
 
-        docs_meta = {"n_docs": n_docs, "wall_s": time.time() - t0}
+        docs_meta = {
+            "n_docs": n_docs,
+            "n_extract_errors": n_extract_errors,
+            "wall_s": time.time() - t0,
+        }
         tmp = docs_done + ".tmp"
         with open(tmp, "w") as f:
             json.dump(docs_meta, f)
@@ -336,6 +340,7 @@ def build_index(
         "num_parts": num_parts,
         "block_size": block_size,
         "n_docs": n_docs,
+        "n_extract_errors": docs_meta.get("n_extract_errors", 0),
         "bm25_k1": 1.2,
         "bm25_b": 0.75,
         **chain_stats,

@@ -115,8 +115,10 @@ def build_docs_store(
     sample_mod: int = 16,
     batch_size: int = 2048,
     boundaries: list[str] | None = None,
-) -> int:
-    """Run phases 1–4 (module docstring); returns ``n_docs``."""
+) -> tuple[int, int]:
+    """Run phases 1–4 (module docstring); returns ``(n_docs,
+    n_extract_errors)`` — rows that degrade (SURVEY §4 never-fail
+    rule) are kept, tagged in ``extract_error``, and counted."""
     import ray
     import ray.data
     import pyarrow.dataset as pads
@@ -197,19 +199,25 @@ def build_docs_store(
             t = t.take(pa.array(np.flatnonzero(is_last)))
             ids = np.arange(t.num_rows, dtype=np.uint64) + offsets[rp]
             t = t.append_column("doc_id", pa.array(ids, pa.uint64()))
+            n_err = (
+                t.num_rows - t["extract_error"].null_count
+                if "extract_error" in t.column_names
+                else 0
+            )
             os.makedirs(out_dir, exist_ok=True)
             tmp = out_file + f".tmp-{os.getpid()}"
             pq.write_table(t, tmp, compression="zstd")
             os.replace(tmp, out_file)
-            rows.append({"docpart": rp, "n": t.num_rows})
+            rows.append({"docpart": rp, "n": t.num_rows, "n_err": n_err})
         return pd.DataFrame(rows)
 
-    (
+    fin = (
         ray.data.from_items(items)
         .repartition(max(1, len(items)))
         .map_batches(finalize_part, batch_size=1, batch_format="pandas")
         .take_all()
     )
+    n_errors = int(sum(r.get("n_err") or 0 for r in fin))
     if _dbg:
         print(f"[t] finalize round {_time.time()-_t:.1f}s", file=sys.stderr)
-    return n_docs
+    return n_docs, n_errors

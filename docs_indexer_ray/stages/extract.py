@@ -58,6 +58,7 @@ DOCS_FIELDS = [
     *[f"breadcrumb_{i}" for i in range(1, MAX_BREADCRUMB + 1)],
     "text",
     "lang",
+    "extract_error",
 ]
 
 
@@ -96,22 +97,35 @@ class ExtractAssemble:
         urls = batch["url"].to_pylist()
         langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * n
         if self.use_html:
-            sources = [html_to_text(h) for h in batch["html"].to_pylist()]
+            sources = []
+            for h in batch["html"].to_pylist():
+                try:
+                    sources.append(html_to_text(h) if h is not None else None)
+                except Exception:
+                    sources.append(None)
         else:
             sources = batch["text"].to_pylist()
 
         uris, crumbs, titles, bodies, dates, texts = [], [], [], [], [], []
+        errors: list[str | None] = []
         warc = batch["warc_ts"]
         warc_iso = [
             t.isoformat() + "+00:00" if t is not None else DEFAULT_DATE_ISO
             for t in warc.to_pylist()
         ]
         for i in range(n):
+            # never fail the build on one bad row (SURVEY §4; the
+            # reference logs-and-continues per doc, hugo.py:354-355):
+            # a row that errors degrades to empty fields + an error tag
+            err: str | None = None
             source = sources[i]
+            if source is None:
+                source, err = "", "extract:null"
             try:
                 data, body = parse_front_matter(source)
-            except Exception:
+            except Exception as exc:
                 data, body = None, None
+                err = err or f"frontmatter:{type(exc).__name__}"
             if data is None:
                 data = {}
             if body is None:
@@ -144,6 +158,7 @@ class ExtractAssemble:
             bodies.append(body)
             dates.append(date)
             texts.append(text)
+            errors.append(err)
 
         cols: dict[str, pa.Array] = {
             "url": pa.array(urls, pa.string()),
@@ -161,4 +176,5 @@ class ExtractAssemble:
             )
         cols["text"] = pa.array(texts, pa.string())
         cols["lang"] = pa.array(langs, pa.string())
+        cols["extract_error"] = pa.array(errors, pa.string())
         return pa.table(cols)
