@@ -39,7 +39,6 @@ from __future__ import annotations
 import os
 import shutil
 import time
-import zlib
 
 import numpy as np
 import pyarrow as pa

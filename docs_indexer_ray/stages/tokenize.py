@@ -43,15 +43,12 @@ import pyarrow as pa
 
 from ..functions.analyzer import Analyzer
 
-__all__ = ["Tokenizer", "tokenizer_fn", "term_part"]
+__all__ = ["Tokenizer", "TokenizeSpill", "term_part"]
 
 
 def term_part(term: str, num_parts: int) -> int:
     """Stable (process-independent) term → reducer partition."""
     return zlib.crc32(term.encode("utf-8")) % num_parts
-
-
-_PROC_CACHE: dict = {}
 
 
 class TokenizeSpill:
@@ -104,42 +101,6 @@ class TokenizeSpill:
                 "rows": pa.array([post.num_rows], pa.int64()),
             }
         )
-
-
-def tokenizer_fn(
-    field: str,
-    chain: str,
-    num_parts: int,
-    heavy_terms: frozenset[str],
-    run_width: int,
-):
-    """Task-based tokenize stage with per-worker-process state.
-
-    The Tokenizer's state (compiled regexes + stem memo) is cheap to
-    build, so stateless *tasks* with a module-global per-process memo
-    beat an actor pool here (no pool spin-up, elastic scheduling) —
-    worker processes are reused across batches, so the memo amortizes
-    exactly like actor state.  Reserve actor pools
-    (``map_batches(Cls, concurrency=...)``) for genuinely heavy init
-    (model weights, large lookup tables — e.g. the multimodal decode
-    stage).
-    """
-    key = (field, chain, num_parts, heavy_terms, run_width)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        tok = _PROC_CACHE.get(key)
-        if tok is None:
-            tok = Tokenizer(
-                field=field,
-                chain=chain,
-                num_parts=num_parts,
-                heavy_terms=heavy_terms,
-                run_width=run_width,
-            )
-            _PROC_CACHE[key] = tok
-        return tok(batch)
-
-    return fn
 
 
 class Tokenizer:
