@@ -47,7 +47,42 @@ from ..stages.tokenize import term_part
 from . import manifest as mf
 from .segments import SEGMENT_SCHEMA, doclen_path, segment_path
 
-__all__ = ["merge_indexes"]
+__all__ = ["merge_indexes", "merge_many"]
+
+
+def merge_many(
+    index_dirs: list[str],
+    out_root: str,
+    *,
+    prefix: str = "docs",
+    publish: bool = True,
+):
+    """K-way merge by left-fold of the pairwise per-partition merge.
+
+    Each fold is itself a parallel per-partition pass, so a fold of k
+    inputs costs k-1 passes over ever-larger left sides — fine for the
+    daily-delta cadence this exists for (k small, deltas small).  A
+    single-pass k-way heap merge per partition is the optimization for
+    merging many same-sized segments; the per-term concat here already
+    generalizes (runs are disjoint id ranges), the fold just sequences
+    the id shifting.
+    """
+    import tempfile
+
+    if len(index_dirs) < 2:
+        raise ValueError("merge_many needs >= 2 indexes")
+    acc = index_dirs[0]
+    tmp_roots = []
+    for i, nxt in enumerate(index_dirs[1:]):
+        last = i == len(index_dirs) - 2
+        root = out_root if last else tempfile.mkdtemp(prefix="dixr_mergetmp_")
+        if not last:
+            tmp_roots.append(root)
+        man = merge_indexes(acc, nxt, root, prefix=prefix, publish=publish or not last)
+        acc = root
+    for r in tmp_roots:
+        shutil.rmtree(r, ignore_errors=True)
+    return man
 
 
 def _load_part_rows(index_dir: str, man: dict, k: int) -> dict[str, list[dict]]:

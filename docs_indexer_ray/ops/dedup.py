@@ -1,5 +1,9 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
 
+Sketches from the public literature: MinHash (Broder, 1997) with LSH
+banding (Leskovec/Rajaraman/Ullman, MMDS ch.3), SimHash (Charikar,
+STOC 2002) with the Hamming-ball band trick (Manku et al., WWW 2007).
+
 Each is a composition of Ray Data primitives chosen for the 100 TB
 shape of the problem:
 

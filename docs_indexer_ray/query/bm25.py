@@ -1,5 +1,9 @@
 """BM25 scoring and top-k retrieval (exact TAAT + block-max WAND).
 
+Algorithms from the public literature: WAND pruning (Broder et al.,
+CIKM 2003) with block-max refinement (Ding & Suel, SIGIR 2011); BM25
+(Robertson & Zaragoza) in Lucene's parameterization.
+
 The scoring the reference got from OpenSearch's default similarity
 (D5 of SURVEY §2.2 — single shard ⇒ exact global statistics,
 ``/root/reference/common.py:6``; k1/b never overridden):

@@ -94,3 +94,25 @@ def test_merge_stats_add(ray_session, tmp_path):
     assert reader.n_docs == 40
     # every doc has a norm after the merge (carriers survived the shift)
     assert (reader.doclens > 0).all()
+
+
+def test_merge_many_equals_full_build(ray_session, tmp_path):
+    import ray.data
+
+    from docs_indexer_ray.index.merge import merge_many
+
+    pages = rich_pages_table(45, dup_every=0)
+    thirds = [pages.slice(0, 15), pages.slice(15, 15), pages.slice(30)]
+    kw = dict(num_parts=8, salt_heavy=False)
+    for i, part in enumerate(thirds):
+        build_index(
+            ray.data.from_arrow(part), str(tmp_path / f"p{i}"), fingerprint=f"p{i}", **kw
+        )
+    build_index(ray.data.from_arrow(pages), str(tmp_path / "full"), fingerprint="f", **kw)
+
+    man = merge_many([str(tmp_path / f"p{i}") for i in range(3)], str(tmp_path / "m"))
+    assert man["n_docs"] == 45
+    merged = _results_by_url(str(tmp_path / "m"))
+    full = _results_by_url(str(tmp_path / "full"))
+    for q in QUERIES:
+        assert merged[q] == full[q], q

@@ -171,10 +171,18 @@ def test_resume_skips_existing_segments(ray_session, tmp_path):
     assert not any(p["resumed"] for p in res1["partitions"])
 
     # delete CURRENT (not the data) → rerun resumes every partition
+    docs_files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(res1.index_dir, "docs"))
+        for f in fs
+    )
+    mtimes_before = [os.path.getmtime(f) for f in docs_files]
     os.remove(os.path.join(out, "CURRENT"))
     res2 = build_index(pages, out, fingerprint="r1", salt_heavy=False)
     assert all(p["resumed"] for p in res2["partitions"])
     assert res2["n_docs"] == res1["n_docs"]
+    # the extraction phase was NOT re-run: docs store untouched
+    assert [os.path.getmtime(f) for f in docs_files] == mtimes_before
 
     # a killed run: remove half the segment files → only those rebuild
     seg_dir = os.path.join(res2.index_dir, "segments")
