@@ -72,15 +72,28 @@ def sample_url_boundaries(pages_ds, num_parts: int, sample_mod: int = 16) -> lis
 
 class _ExtractSpill:
     """Map side: extract+assemble, tag docpart, write one rpart-sorted
-    spill file per batch (row group per docpart)."""
+    spill file per batch (row group per docpart).
+
+    File names are content-derived (digest of the batch's first/last
+    (url, warc_ts) + row count): per-process sequence numbers overwrite
+    earlier tasks' files when Ray re-deserializes the callable per
+    task, and content names stay idempotent under task retries."""
 
     def __init__(self, spill_dir: str, boundaries: list[str], type_label: str):
         self.spill_dir = spill_dir
         self.bounds = np.array(boundaries, dtype=object)
         self.extract = ExtractAssemble(type_label=type_label)
-        self._seq = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        first_url = batch["url"][0].as_py() if batch.num_rows else ""
+        last_url = batch["url"][-1].as_py() if batch.num_rows else ""
+        ts0 = str(batch["warc_ts"][0].value) if batch.num_rows else "0"
+        tag = hashlib.sha1(
+            f"{first_url}|{last_url}|{ts0}|{batch.num_rows}".encode()
+        ).hexdigest()[:16]
+
         out = self.extract(batch)
         urls = np.array(out["url"].to_pylist(), dtype=object)
         part = np.searchsorted(self.bounds, urls, side="right").astype(np.int32)
@@ -93,10 +106,9 @@ class _ExtractSpill:
         )
         bounds = np.append(bounds, len(parts_sorted))
 
-        self._seq += 1
-        name = f"dspill-{os.getpid()}-{self._seq:05d}.parquet"
+        name = f"dspill-{tag}.parquet"
         path = os.path.join(self.spill_dir, name)
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp-{os.getpid()}"
         writer = pq.ParquetWriter(tmp, out.schema)
         for i in range(len(bounds) - 1):
             writer.write_table(out.slice(bounds[i], bounds[i + 1] - bounds[i]))

@@ -64,13 +64,21 @@ class TokenizeSpill:
     either number grows).
 
     Returns a one-row lineage table per batch (file, rows).
+
+    File names are **content-derived** (the batch's min doc_id — doc
+    ids are unique and batches partition the rows, so names are
+    collision-free) rather than per-process sequence numbers: Ray may
+    re-deserialize this callable per *task*, so instance counters
+    restart while the worker pid persists — pid+seq names silently
+    overwrite earlier tasks' spills.  Content names are also
+    idempotent under task retries (a retried batch rewrites its own
+    file instead of duplicating rows).
     """
 
     def __init__(self, spill_dir: str, **tok_kwargs):
         self.spill_dir = spill_dir
         self.tok_kwargs = tok_kwargs
         self._tok: Tokenizer | None = None
-        self._seq = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
@@ -79,6 +87,7 @@ class TokenizeSpill:
 
         if self._tok is None:
             self._tok = Tokenizer(**self.tok_kwargs)
+        min_doc = int(batch["doc_id"].to_numpy(zero_copy_only=False).min()) if batch.num_rows else 0
         post = self._tok(batch)
         order = np.argsort(post["rpart"].to_numpy(zero_copy_only=False), kind="stable")
         post = post.take(pa.array(order))
@@ -86,10 +95,9 @@ class TokenizeSpill:
         bounds = np.flatnonzero(np.concatenate(([True], rparts[1:] != rparts[:-1])))
         bounds = np.append(bounds, len(rparts))
 
-        self._seq += 1
-        name = f"spill-{os.getpid()}-{self._seq:05d}-{int(rparts[0]) if len(rparts) else 0}"
+        name = f"spill-{min_doc:012d}-{batch.num_rows}"
         path = os.path.join(self.spill_dir, name + ".parquet")
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp-{os.getpid()}"
         writer = pq.ParquetWriter(tmp, post.schema)
         for i in range(len(bounds) - 1):
             writer.write_table(post.slice(bounds[i], bounds[i + 1] - bounds[i]))
