@@ -155,7 +155,7 @@ def _build_chain_segments(
             run_width=run_width,
         ),
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=16384,
     ).take_all()
     if _dbg:
         print(f"[t] tokenize+spill {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()

@@ -78,21 +78,39 @@ def encode_partition(
     rpart: int,
     block_size: int = 128,
 ) -> pa.Table:
+    """Vectorized encode from a string term array (test/compat entry;
+    the hot path is :func:`encode_partition_codes` on dictionary
+    ranks)."""
+    uniq, codes = np.unique(term, return_inverse=True)
+    return encode_partition_codes(codes, uniq, doc_id, tf, dl, rpart, block_size)
+
+
+def encode_partition_codes(
+    codes: np.ndarray,
+    sorted_terms: np.ndarray,
+    doc_id: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    rpart: int,
+    block_size: int = 128,
+) -> pa.Table:
     """Vectorized encode of one partition's postings → segment rows.
 
-    One ``np.lexsort`` over the whole partition, then run-length term
-    boundaries; the per-term inner encode is numpy-vectorized
+    ``codes`` are ranks into lexicographically ``sorted_terms`` — one
+    integer ``np.lexsort`` over the whole partition, then run-length
+    term boundaries; the per-term inner encode is numpy-vectorized
     (``codec.encode_postings``), so the only Python-level loop is over
     *distinct terms*, not postings.
     """
-    order = np.lexsort((doc_id, term))
-    term, doc_id, tf, dl = term[order], doc_id[order], tf[order], dl[order]
+    order = np.lexsort((doc_id, codes))
+    codes, doc_id, tf, dl = codes[order], doc_id[order], tf[order], dl[order]
+    term = sorted_terms[codes]
     # term run boundaries
-    change = np.empty(len(term), dtype=bool)
+    change = np.empty(len(codes), dtype=bool)
     change[0] = True
-    np.not_equal(term[1:], term[:-1], out=change[1:])
+    np.not_equal(codes[1:], codes[:-1], out=change[1:])
     starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(term))
+    ends = np.append(starts[1:], len(codes))
 
     rows = {name: [] for name in SEGMENT_SCHEMA.names}
     for s, e in zip(starts, ends):
@@ -132,29 +150,93 @@ class SegmentEncoder:
         one {rpart, path} row; batch_size=1).  ``path`` is the spill
         *directory* of rpart-sorted map-output files; the ``rpart == k``
         filter hits only this partition's row groups (each file has one
-        row group per rpart — TokenizeSpill)."""
+        row group per rpart — TokenizeSpill).
+
+        Arrow-native: term strings stay dictionary-encoded; sorting
+        uses integer dictionary ranks (an object-dtype lexsort over
+        hundreds of thousands of strings dominates the reduce
+        otherwise)."""
+        import pyarrow.compute as _pc
         import pyarrow.dataset as pads
 
         out = []
         for _, row in batch.iterrows():
             rpart = int(row["rpart"])
+            seg_file = segment_path(self.seg_dir, rpart)
+            dl_file = doclen_path(self.seg_dir, rpart)
+            if os.path.exists(seg_file) and os.path.exists(dl_file):
+                meta = pq.read_metadata(seg_file)
+                out.append(
+                    pd.DataFrame(
+                        [
+                            {
+                                "rpart": rpart,
+                                "n_terms": meta.num_rows,
+                                "n_postings": -1,
+                                "bytes": os.path.getsize(seg_file),
+                                "resumed": True,
+                            }
+                        ]
+                    )
+                )
+                continue
+
             dset = pads.dataset(row["path"], format="parquet")
             t = dset.to_table(
                 filter=pads.field("rpart") == rpart,
                 columns=["term", "doc_id", "tf", "dl", "dlc"],
             )
-            group = pd.DataFrame(
+            if t.num_rows == 0:
+                continue
+            term_dict = _pc.dictionary_encode(
+                t["term"].cast(pa.string()).combine_chunks()
+            )
+            uniq = np.asarray(term_dict.dictionary.to_pylist(), dtype=object)
+            codes = term_dict.indices.to_numpy(zero_copy_only=False)
+            rank_of = np.empty(len(uniq), np.int64)
+            order_terms = np.argsort(uniq)
+            rank_of[order_terms] = np.arange(len(uniq))
+            sorted_uniq = uniq[order_terms]
+
+            seg = encode_partition_codes(
+                rank_of[codes],
+                sorted_uniq,
+                t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                t["tf"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                t["dl"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                rpart,
+                self.block_size,
+            )
+            _atomic_write(seg, seg_file)
+
+            dlc = t["dlc"].to_numpy(zero_copy_only=False)
+            dl_tbl = pa.table(
                 {
-                    "rpart": np.full(t.num_rows, rpart, np.int64),
-                    "term": t["term"].to_pandas(),
-                    "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-                    "tf": t["tf"].to_numpy(zero_copy_only=False),
-                    "dl": t["dl"].to_numpy(zero_copy_only=False),
-                    "dlc": t["dlc"].to_numpy(zero_copy_only=False),
+                    "doc_id": pa.array(
+                        t["doc_id"].to_numpy(zero_copy_only=False)[dlc].astype(np.uint64),
+                        pa.uint64(),
+                    ),
+                    "dl": pa.array(
+                        t["dl"].to_numpy(zero_copy_only=False)[dlc].astype(np.uint32),
+                        pa.uint32(),
+                    ),
                 }
             )
-            if len(group):
-                out.append(self(group))
+            _atomic_write(dl_tbl, dl_file)
+
+            out.append(
+                pd.DataFrame(
+                    [
+                        {
+                            "rpart": rpart,
+                            "n_terms": seg.num_rows,
+                            "n_postings": int(t.num_rows),
+                            "bytes": os.path.getsize(seg_file),
+                            "resumed": False,
+                        }
+                    ]
+                )
+            )
         if not out:
             return pd.DataFrame(
                 {"rpart": [], "n_terms": [], "n_postings": [], "bytes": [], "resumed": []}
