@@ -555,10 +555,18 @@ def q_winnow(sf_dir: str) -> pa.Table:
 
 
 def _concat(ds) -> pa.Table:
-    """Small-result materialization (driver-checked outputs only)."""
+    """Small-result materialization (driver-checked outputs only).
+
+    Coerces any non-Arrow blocks (Ray can hand back pandas blocks for
+    stages that ran in pandas format) before concatenating."""
     import ray
 
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    blocks = ray.get(ds.to_arrow_refs())
+    tables = [
+        t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
+        for t in blocks
+    ]
+    tables = [t for t in tables if t.num_rows > 0]
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="default")

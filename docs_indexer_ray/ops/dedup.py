@@ -8,23 +8,35 @@ Each is a composition of Ray Data primitives chosen for the 100 TB
 shape of the problem:
 
 * **exact** — content-hash in a vectorized ``map_batches``, then ONE
-  hash shuffle on the digest and per-group first-keeper selection.
-  No text moves through the shuffle — only (digest, doc_id).
+  shuffle on the digest reduced by a vectorized ``aggregate(Min)`` —
+  no per-group Python (digests are mostly unique, so a ``map_groups``
+  here would pay one interpreter call per ~1-row group).  No text
+  moves through the shuffle — only (digest, doc_id).
 * **n-gram Jaccard (exact pairwise)** — inverted-index pattern:
-  explode distinct word n-grams, group by gram to emit co-occurring
-  pairs, count pair intersections, then ``jac = c / (na + nb - c)``
-  with per-doc gram counts **broadcast** (``ray.put``) instead of a
-  second shuffle.  Exact, so it carries a SQL oracle; grams whose
-  posting exceeds ``hot_gram_cap`` docs are dropped from *candidate
-  generation only* (a standard stop-gram bound — pairs sharing only
-  ultra-common grams aren't near-dups), which keeps the pair blowup
-  O(Σ df²) bounded.  At web scale this is the candidate stage you run
-  *after* MinHash banding; it is also the verifier for those bands.
+  explode distinct word n-grams *with the per-doc gram count riding on
+  every gram row*, group by gram-hash partition to emit co-occurring
+  pairs carrying (na, nb), then ONE vectorized aggregate
+  ``(inter=count, na=max, nb=max)`` and ``jac = inter/(na+nb-inter)``
+  — one exact integer division (SQL-bit-identical).  Nothing touches
+  the driver; the whole chain is Arrow end-to-end.  The optional
+  ``hot_gram_cap`` bounds candidate generation O(Σ df²) by skipping
+  grams hotter than the cap, then an exact second pass recounts every
+  surviving pair over ALL its grams (hot ones included), so the cap
+  never distorts ``inter``/``jaccard`` — it can only miss pairs whose
+  *every* shared gram is hot (boilerplate at web scale; the documented
+  approximation).  Default is the exact mode (no cap).
 * **MinHash-LSH** — per-batch signature computation (numpy, all docs
-  of a batch at once), banding → ``(band, bandhash)`` shuffle →
-  candidate pairs → signature-estimated Jaccard filter.
-* **SimHash** — 64-bit simhash per doc; 4×16-bit band blocking;
-  exact Hamming verification within buckets.
+  of a batch at once); banding ships ``(doc_id, band, bandhash)``
+  ONLY — 20 bytes/row instead of the full 64×8-byte signature (a ~26×
+  lighter shuffle); candidate pairs are deduped by a hash-partitioned
+  vectorized pass, and the signature-estimated Jaccard is verified by
+  re-reading only the candidate docs' signatures (candidate set
+  broadcast — output-scale, not corpus-scale; at extreme scale the
+  broadcast becomes a partitioned semi-join on doc_id).
+* **SimHash** — 64-bit simhash per doc, fully vectorized per batch
+  (one token-hash memo per actor, one ``np.unique`` over (doc, token)
+  pairs, one ``np.add.at`` accumulate); 4×16-bit band blocking; exact
+  Hamming verification within buckets.
 
 All randomness is a fixed seeded ``RandomState(42)`` — outputs are
 parallelism-invariant and reproducible.
@@ -37,7 +49,6 @@ import re
 import zlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 __all__ = [
@@ -54,6 +65,16 @@ def _tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall((text or "").lower())
 
 
+_EMPTY_PAIRS = pa.table(
+    {
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "na": pa.array([], pa.int64()),
+        "nb": pa.array([], pa.int64()),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -61,9 +82,10 @@ def _tokens(text: str) -> list[str]:
 def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
     """Keep the min-``id_col`` row per exact content digest.
 
-    Returns ``(id_col, md5)`` of the keepers — join back to the full
+    Returns ``(md5, id_col)`` of the keepers — join back to the full
     table for the surviving rows (keeps the shuffle payload tiny).
     """
+    from ray.data.aggregate import Min
 
     def digest(batch: pa.Table) -> pa.Table:
         md5s = [
@@ -72,13 +94,10 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
         ]
         return pa.table({id_col: batch[id_col], "md5": pa.array(md5s, pa.string())})
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col)
-
     return (
         ds.map_batches(digest, batch_format="pyarrow")
         .groupby("md5")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min(id_col, alias_name=id_col))
     )
 
 
@@ -86,100 +105,114 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
 # exact n-gram Jaccard (inverted-index pairwise)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
-    ds,
-    n: int = 3,
-    threshold: float = 0.5,
-    id_col: str = "doc_id",
-    hot_gram_cap: int = 200,
-):
-    """All pairs with word-``n``-gram Jaccard ≥ ``threshold``.
+def _gram_explode_fn(n: int, id_col: str, num_parts: int):
+    """(doc_id, text) batch → (doc_id, gram, na, gpart) gram rows.
 
-    Output ``(a, b, inter, na, nb, jaccard)`` with a < b; ``jaccard``
-    is one exact integer division (SQL-bit-identical).
-    """
-    import ray
-
-    num_parts = 32
+    ``na`` (the doc's distinct-gram count) rides on every gram row so
+    the pair reduce downstream never needs per-doc driver state."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids_out, grams_out, parts_out = [], [], []
+        ids_out: list[int] = []
+        grams_out: list[str] = []
+        na_out: list[int] = []
+        parts_out: list[int] = []
         ids = batch[id_col].to_pylist()
         for did, t in zip(ids, batch["text"].to_pylist()):
             toks = _tokens(t)
             gs = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            ids_out.extend([did] * len(gs))
+            na = len(gs)
+            ids_out.extend([did] * na)
             grams_out.extend(gs)
+            na_out.extend([na] * na)
             parts_out.extend(zlib.crc32(g.encode()) % num_parts for g in gs)
         return pa.table(
             {
                 id_col: pa.array(ids_out, pa.int64()),
                 "gram": pa.array(grams_out, pa.string()),
+                "na": pa.array(na_out, pa.int64()),
                 "gpart": pa.array(parts_out, pa.int32()),
             }
         )
 
-    grams = ds.map_batches(explode, batch_format="pyarrow")
+    return explode
 
-    # per-doc distinct gram counts: each doc lives wholly in one batch,
-    # so one cheap extra map pass gives exact counts — no shuffle
-    def count_grams(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        counts = [
-            len({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
-            for toks in (_tokens(t) for t in batch["text"].to_pylist())
-        ]
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                "n": pa.array(counts, pa.int64()),
-            }
-        )
 
-    counts_ds = ds.map_batches(count_grams, batch_format="pyarrow")
-    gram_counts = {r[id_col]: r["n"] for r in counts_ds.take_all()}
-    counts_ref = ray.put(gram_counts)
+def _run_pairs(
+    grams_np: np.ndarray,
+    ids_np: np.ndarray,
+    na_np: np.ndarray,
+    cap: int | None,
+    keep_pair=None,
+) -> pa.Table:
+    """Co-occurrence pairs over gram runs of a gram-sorted partition.
 
-    def pairs_of_partition(group: pd.DataFrame) -> pd.DataFrame:
-        """All co-occurrence pairs within one gram-hash partition:
-        sort by gram, then emit pairs per gram run (vectorized per run;
-        the Python loop is over grams with ≥2 docs only)."""
-        g = group.sort_values(["gram", id_col], kind="mergesort")
-        grams_np = g["gram"].to_numpy(dtype=object)
-        ids_np = g[id_col].to_numpy(np.int64)
-        starts = np.flatnonzero(
-            np.concatenate(([True], grams_np[1:] != grams_np[:-1]))
-        )
-        ends = np.append(starts[1:], len(grams_np))
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            cnt = e - s
-            if cnt < 2 or cnt > hot_gram_cap:
+    The Python loop is over grams with ≥2 docs only; pair emission per
+    run is vectorized (``triu_indices``).  ``keep_pair(a, b)`` filters
+    candidate pairs when provided (the exact recount pass)."""
+    starts = np.flatnonzero(np.concatenate(([True], grams_np[1:] != grams_np[:-1])))
+    ends = np.append(starts[1:], len(grams_np))
+    out_a, out_b, out_na, out_nb = [], [], [], []
+    for s, e in zip(starts, ends):
+        cnt = e - s
+        if cnt < 2 or (cap is not None and cnt > cap):
+            continue
+        ids_run = ids_np[s:e]
+        na_run = na_np[s:e]
+        ai, bi = np.triu_indices(cnt, k=1)
+        a, b = ids_run[ai], ids_run[bi]
+        na, nb = na_run[ai], na_run[bi]
+        if keep_pair is not None:
+            keep = keep_pair(a, b)
+            if not keep.any():
                 continue
-            ids_run = ids_np[s:e]
-            ai, bi = np.triu_indices(cnt, k=1)
-            out_a.append(ids_run[ai])
-            out_b.append(ids_run[bi])
-        if not out_a:
-            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
-        )
-
-    pair_counts = (
-        grams.groupby("gpart")
-        .map_groups(pairs_of_partition, batch_format="pandas")
-        .groupby(["a", "b"])
-        .count()
+            a, b, na, nb = a[keep], b[keep], na[keep], nb[keep]
+        out_a.append(a)
+        out_b.append(b)
+        out_na.append(na)
+        out_nb.append(nb)
+    if not out_a:
+        return _EMPTY_PAIRS
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a)),
+            "b": pa.array(np.concatenate(out_b)),
+            "na": pa.array(np.concatenate(out_na)),
+            "nb": pa.array(np.concatenate(out_nb)),
+        }
     )
 
+
+def _sorted_partition_arrays(group: pa.Table, id_col: str):
+    order = pa.compute.sort_indices(
+        group, sort_keys=[("gram", "ascending"), (id_col, "ascending")]
+    )
+    g = group.take(order)
+    grams_np = np.asarray(g["gram"].to_pylist(), dtype=object)
+    ids_np = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    na_np = g["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return grams_np, ids_np, na_np
+
+
+def _finish_jaccard(pair_counts, threshold: float):
+    """(a, b, inter, na, nb) aggregate → thresholded jaccard table."""
+
     def finish(batch: pa.Table) -> pa.Table:
-        counts = ray.get(counts_ref)
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        inter = batch["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
-        na = np.array([counts[x] for x in a], np.int64)
-        nb = np.array([counts[x] for x in b], np.int64)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                    "na": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inter = batch["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
         jac = inter / (na + nb - inter)
         keep = jac >= threshold
         return pa.table(
@@ -196,12 +229,133 @@ def ngram_jaccard_pairs(
     return pair_counts.map_batches(finish, batch_format="pyarrow")
 
 
+def ngram_jaccard_pairs(
+    ds,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    hot_gram_cap: int | None = None,
+    num_parts: int = 32,
+):
+    """All pairs with word-``n``-gram Jaccard ≥ ``threshold``.
+
+    Output ``(a, b, inter, na, nb, jaccard)`` with a < b.  Default is
+    the exact mode (every shared gram counted — matches the SQL
+    oracle bit-for-bit).  With ``hot_gram_cap`` set, grams shared by
+    more than ``cap`` docs are skipped during *candidate generation*
+    only; every discovered pair is then recounted exactly over all its
+    grams, so reported values stay exact — only pairs whose every
+    shared gram is hot can be missed (see module docstring).
+    """
+    import ray
+    from ray.data.aggregate import Count, Max
+
+    grams = ds.map_batches(
+        _gram_explode_fn(n, id_col, num_parts), batch_format="pyarrow"
+    )
+
+    def pairs_of_partition(group: pa.Table) -> pa.Table:
+        grams_np, ids_np, na_np = _sorted_partition_arrays(group, id_col)
+        return _run_pairs(grams_np, ids_np, na_np, hot_gram_cap)
+
+    pair_counts = (
+        grams.groupby("gpart")
+        .map_groups(pairs_of_partition, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(
+            Count(alias_name="inter"),
+            Max("na", alias_name="na"),
+            Max("nb", alias_name="nb"),
+        )
+    )
+
+    if hot_gram_cap is None:
+        return _finish_jaccard(pair_counts, threshold)
+
+    # ---- capped mode: exact recount of the discovered candidates ------
+    # Candidate pairs are output-scale (the cap's whole point), so the
+    # membership set is broadcast; at extreme scale this becomes a
+    # partitioned semi-join of gram rows against the candidate doc set.
+    cand_tables = [
+        t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+        for t in ray.get(pair_counts.to_arrow_refs())
+    ]
+    cand_tables = [t for t in cand_tables if t.num_rows]
+    if not cand_tables:
+        return _finish_jaccard(pair_counts, threshold)
+    cand = pa.concat_tables(cand_tables)
+    ca = cand["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cb = cand["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cand_pairs = frozenset(zip(ca.tolist(), cb.tolist()))
+    cand_docs = frozenset(ca.tolist()) | frozenset(cb.tolist())
+    cand_ref = ray.put((cand_pairs, cand_docs))
+
+    def recount_partition(group: pa.Table) -> pa.Table:
+        pairs, docs = ray.get(cand_ref)
+        ids_all = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep_doc = np.isin(ids_all, np.fromiter(docs, np.int64, len(docs)))
+        group = group.filter(pa.array(keep_doc))
+        if group.num_rows == 0:
+            return _EMPTY_PAIRS
+        grams_np, ids_np, na_np = _sorted_partition_arrays(group, id_col)
+
+        def keep_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            return np.fromiter(
+                ((x, y) in pairs for x, y in zip(a.tolist(), b.tolist())),
+                bool,
+                len(a),
+            )
+
+        return _run_pairs(grams_np, ids_np, na_np, None, keep_pair)
+
+    exact_counts = (
+        grams.groupby("gpart")
+        .map_groups(recount_partition, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(
+            Count(alias_name="inter"),
+            Max("na", alias_name="na"),
+            Max("nb", alias_name="nb"),
+        )
+    )
+    return _finish_jaccard(exact_counts, threshold)
+
+
+# ---------------------------------------------------------------------------
+# pair dedup helper (shared by MinHash / SimHash)
+# ---------------------------------------------------------------------------
+
+def _dedup_pairs(pairs_ds, value_cols: list[str], num_parts: int = 32):
+    """Distinct ``(a, b)`` rows (keeping min of each value column) via
+    hash-partition + ONE vectorized Arrow group_by per partition — the
+    tiny-groups-free shape (millions of 1-row groups never hit Python).
+    """
+
+    def add_ppart(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        return t.append_column(
+            "ppart", pa.array((h % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    def distinct(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["a", "b"]).aggregate(
+            [(c, "min") for c in value_cols]
+        )
+        return agg.rename_columns(["a", "b", *value_cols])
+
+    return (
+        pairs_ds.map_batches(add_ppart, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-
-_MERSENNE = (1 << 61) - 1
-
 
 class _MinHasher:
     """Per-actor state: the fixed permutation coefficients.
@@ -245,6 +399,21 @@ class _MinHasher:
         )
 
 
+def _band_hashes(sig_np: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n, num_perm) signatures → (n, bands) int64 band keys, fully
+    vectorized (multiply-xor fold over the band's columns)."""
+    n = sig_np.shape[0]
+    out = np.empty((n, bands), np.uint64)
+    with np.errstate(over="ignore"):
+        for bi in range(bands):
+            cols = sig_np[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            acc = np.full(n, np.uint64(0xCBF29CE484222325))
+            for j in range(cols.shape[1]):
+                acc = (acc ^ cols[:, j]) * np.uint64(0x100000001B3)
+            out[:, bi] = acc
+    return out.view(np.int64)
+
+
 def minhash_lsh_pairs(
     ds,
     num_perm: int = 64,
@@ -254,7 +423,16 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
 ):
     """Candidate near-dup pairs via MinHash banding, filtered by the
-    signature-estimated Jaccard.  Output ``(a, b, est_jaccard)``."""
+    signature-estimated Jaccard.  Output ``(a, b, est_jaccard)``.
+
+    Shuffle shape: band rows carry ``(doc_id, band, bandhash)`` only
+    (~20 B/row vs ~530 B with an inlined 64-perm signature — the 16
+    bands would otherwise amplify every signature 16× through the one
+    all-to-all exchange).  Signatures are re-read per *candidate* doc
+    for the estimation step, which is output-scale work.
+    """
+    import ray
+
     rows_per_band = num_perm // bands
 
     sigs = ds.map_batches(
@@ -262,68 +440,185 @@ def minhash_lsh_pairs(
     )
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        sig_list = batch["sig"].to_pylist()
-        out_id, out_band, out_hash, out_sig = [], [], [], []
-        for did, sig in zip(ids, sig_list):
-            for bi in range(bands):
-                chunk = tuple(sig[bi * rows_per_band : (bi + 1) * rows_per_band])
-                out_id.append(did)
-                out_band.append(bi)
-                out_hash.append(zlib.crc32(repr(chunk).encode()))
-                out_sig.append(sig)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "bandhash": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        sig_np = np.array(batch["sig"].to_pylist(), np.uint64)
+        bh = _band_hashes(sig_np, bands, rows_per_band)
         return pa.table(
             {
-                id_col: pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "bandhash": pa.array(out_hash, pa.int64()),
-                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
+                id_col: pa.array(np.repeat(ids, bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "bandhash": pa.array(bh.reshape(-1)),
             }
         )
 
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
+        ids = np.sort(np.asarray(group[id_col].to_pylist(), np.int64))
         if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                             "est_jaccard": pa.array([], pa.float64())})
-        sigs_np = np.array(group["sig"].to_pylist(), np.uint64)
-        order = np.argsort(ids)
-        ids_s = np.array(ids, np.int64)[order]
-        sigs_np = sigs_np[order]
-        ai, bi = np.triu_indices(len(ids_s), k=1)
-        est = (sigs_np[ai] == sigs_np[bi]).mean(axis=1)
-        return pa.table(
-            {
-                "a": pa.array(ids_s[ai]),
-                "b": pa.array(ids_s[bi]),
-                "est_jaccard": pa.array(est, pa.float64()),
-            }
-        )
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
 
     pairs = (
         banded.groupby(["band", "bandhash"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
 
-    # a pair can match in several bands → dedup on (a, b), keep one
-    def uniq(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    # a pair can match in several bands → distinct (a, b), vectorized
+    def add_ppart(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        return t.append_column("ppart", pa.array((h % np.uint64(32)).astype(np.int32)))
+
+    def distinct(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["a", "b"]).aggregate([])
+        return agg.select(["a", "b"])
+
+    uniq_pairs_ds = (
+        pairs.map_batches(add_ppart, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+
+    # ---- estimation: ship only candidate docs' signatures -------------
+    cand_tables = [
+        t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+        for t in ray.get(uniq_pairs_ds.to_arrow_refs())
+    ]
+    cand_tables = [t for t in cand_tables if t.num_rows]
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if not cand_tables:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+    cand = pa.concat_tables(cand_tables)
+    ca = cand["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cb = cand["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # doc → list of (pair index, side)
+    doc_rows: dict[int, list[tuple[int, int]]] = {}
+    for pidx, (x, y) in enumerate(zip(ca.tolist(), cb.tolist())):
+        doc_rows.setdefault(x, []).append((pidx, 0))
+        doc_rows.setdefault(y, []).append((pidx, 1))
+    cand_ref = ray.put((doc_rows, ca, cb))
+
+    def emit_sides(batch: pa.Table) -> pa.Table:
+        doc_rows_, ca_, cb_ = ray.get(cand_ref)
+        out_p, out_s, out_sig = [], [], []
+        sig_list = batch["sig"].to_pylist()
+        for did, sig in zip(batch[id_col].to_pylist(), sig_list):
+            for pidx, side in doc_rows_.get(did, ()):
+                out_p.append(pidx)
+                out_s.append(side)
+                out_sig.append(sig)
+        return pa.table(
+            {
+                "pidx": pa.array(out_p, pa.int64()),
+                "side": pa.array(out_s, pa.int32()),
+                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
+                "vpart": pa.array([p % 32 for p in out_p], pa.int32()),
+            }
+        )
+
+    def estimate(group: pa.Table) -> pa.Table:
+        ca_, cb_ = ray.get(cand_ref)[1:]
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("pidx", "ascending"), ("side", "ascending")]
+        )
+        g = group.take(order)
+        sig_np = np.array(g["sig"].to_pylist(), np.uint64)
+        pidx = g["pidx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        est = (sig_np[0::2] == sig_np[1::2]).mean(axis=1)
+        p = pidx[0::2]
+        keep = est >= threshold
+        return pa.table(
+            {
+                "a": pa.array(ca_[p][keep]),
+                "b": pa.array(cb_[p][keep]),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
 
     return (
-        pairs.map_batches(
-            lambda t: t.filter(pa.compute.greater_equal(t["est_jaccard"], threshold)),
-            batch_format="pyarrow",
-        )
-        .groupby(["a", "b"])
-        .map_groups(uniq, batch_format="pyarrow")
+        sigs.map_batches(emit_sides, batch_format="pyarrow")
+        .groupby("vpart")
+        .map_groups(estimate, batch_format="pyarrow")
     )
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+class _SimHasher:
+    """Vectorized 64-bit SimHash with a per-actor token-hash memo.
+
+    Per batch: one token pass builds (doc_idx, token_hash) rows, one
+    ``np.unique`` gives per-(doc, token) counts, one ``np.add.at``
+    accumulates the 64 signed lanes — no per-row pandas, no per-token
+    64-lane Python op.  Bit-identical to the definitional loop
+    (verified in tests)."""
+
+    def __init__(self, id_col: str):
+        self.id_col = id_col
+        self._memo: dict[str, int] = {}
+
+    def _hash(self, tok: str) -> int:
+        h = self._memo.get(tok)
+        if h is None:
+            e = tok.encode()
+            h = zlib.crc32(e) | (zlib.adler32(e) << 32)
+            self._memo[tok] = h
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ndocs = len(texts)
+        doc_idx: list[int] = []
+        hashes: list[int] = []
+        for i, t in enumerate(texts):
+            toks = _tokens(t)
+            doc_idx.extend([i] * len(toks))
+            hashes.extend(self._hash(tok) for tok in toks)
+        acc = np.zeros((ndocs, 64), np.int64)
+        if hashes:
+            arr = np.empty(len(hashes), dtype=[("d", np.int64), ("h", np.uint64)])
+            arr["d"] = doc_idx
+            arr["h"] = hashes
+            uniq, counts = np.unique(arr, return_counts=True)
+            bits = (
+                (uniq["h"][:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64)
+            np.add.at(acc, uniq["d"], (2 * bits - 1) * counts[:, None])
+        sim = (
+            ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+            .sum(axis=1)
+            .astype(np.uint64)
+        )
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "simhash": pa.array(sim),
+            }
+        )
+
 
 def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
     """Near-dup pairs by 64-bit SimHash with band blocking.
@@ -333,46 +628,30 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
     on bands loses nothing.  Output ``(a, b, hamming)``.
     """
 
-    def simhash(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        out = []
-        for t in batch["text"].to_pylist():
-            acc = np.zeros(64, np.int64)
-            for tok, cnt in pd.Series(_tokens(t)).value_counts().items():
-                h = zlib.crc32(tok.encode()) | (zlib.adler32(tok.encode()) << 32)
-                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), cnt, -cnt)
-            out.append(int(np.packbits((acc > 0)[::-1]).view(">u8")[0]))
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                "simhash": pa.array(np.array(out, np.uint64)),
-            }
-        )
-
-    hashed = ds.map_batches(simhash, batch_format="pyarrow")
+    hashed = ds.map_batches(_SimHasher(id_col), batch_format="pyarrow")
 
     def band_explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        hs = batch["simhash"].to_numpy(zero_copy_only=False)
-        out_id, out_band, out_key, out_h = [], [], [], []
-        for did, h in zip(ids, hs):
-            for bi in range(4):
-                out_id.append(did)
-                out_band.append(bi)
-                out_key.append(int((int(h) >> (16 * bi)) & 0xFFFF))
-                out_h.append(int(h))
+        n = batch.num_rows
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys = np.empty((n, 4), np.int64)
+        for bi in range(4):
+            keys[:, bi] = ((hs >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
         return pa.table(
             {
-                id_col: pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int64()),
-                "simhash": pa.array(np.array(out_h, np.uint64)),
+                id_col: pa.array(np.repeat(ids, 4)),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "key": pa.array(keys.reshape(-1)),
+                "simhash": pa.array(np.repeat(hs, 4)),
             }
         )
 
+    _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.array(group[id_col].to_pylist(), np.int64)
+        ids = np.asarray(group[id_col].to_pylist(), np.int64)
         hs = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.argsort(ids)
         ids, hs = ids[order], hs[order]
@@ -381,7 +660,7 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
                              "hamming": pa.array([], pa.int64())})
         ai, bi = np.triu_indices(len(ids), k=1)
         x = np.bitwise_xor(hs[ai], hs[bi])
-        ham = np.array([bin(int(v)).count("1") for v in x], np.int64)
+        ham = _POP[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
         return pa.table(
             {
@@ -391,13 +670,9 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
             }
         )
 
-    def uniq(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return (
+    pairs = (
         hashed.map_batches(band_explode, batch_format="pyarrow")
         .groupby(["band", "key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(uniq, batch_format="pyarrow")
     )
+    return _dedup_pairs(pairs, ["hamming"])

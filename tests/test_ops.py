@@ -150,6 +150,43 @@ def test_ngram_jaccard_exact_vs_bruteforce(docs_ds, docs_tbl):
     assert got_pairs == pytest.approx(want)
 
 
+def test_ngram_jaccard_capped_exact_recount(docs_ds, docs_tbl):
+    """With a candidate-generation cap, surviving pairs still report
+    exact inter/jaccard (hot grams recounted in the verify pass)."""
+    got = _rows(ngram_jaccard_pairs(docs_ds, n=3, threshold=0.5, hot_gram_cap=4))
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()))
+    want = _py_jaccard_pairs(texts)
+    got_pairs = {(a, b): j for a, b, j in zip(got["a"], got["b"], got["jaccard"])}
+    # capped discovery may only MISS pairs (never invent or distort)
+    for pair, jac in got_pairs.items():
+        assert pair in want
+        assert jac == pytest.approx(want[pair])
+    # the planted exact copies share every gram, incl. non-hot ones →
+    # they must survive a cap of 4 on this 40-doc corpus
+    for i in range(0, 40, 5):
+        assert (i, 1000 + i) in got_pairs
+
+
+def test_simhash_kernel_matches_definition(docs_tbl):
+    """The vectorized batch kernel == the definitional per-doc loop."""
+    import zlib
+
+    from docs_indexer_ray.ops.dedup import _SimHasher, _tokens
+
+    got = _SimHasher("doc_id")(docs_tbl)["simhash"].to_pylist()
+    for text, g in zip(docs_tbl["text"].to_pylist(), got):
+        acc = np.zeros(64, np.int64)
+        counts: dict[str, int] = {}
+        for tok in _tokens(text):
+            counts[tok] = counts.get(tok, 0) + 1
+        for tok, cnt in counts.items():
+            h = zlib.crc32(tok.encode()) | (zlib.adler32(tok.encode()) << 32)
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), cnt, -cnt)
+        want = int(np.packbits((acc > 0)[::-1]).view(">u8")[0])
+        assert int(g) == want
+
+
 def test_minhash_finds_planted_dups(docs_ds):
     got = _rows(minhash_lsh_pairs(docs_ds, threshold=0.9))
     pairs = set(zip(got["a"], got["b"]))
