@@ -75,6 +75,7 @@ def run_bench() -> dict:
     base_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out_root = tempfile.mkdtemp(prefix="dixr_bench_", dir=base_tmp)
     timings: dict[str, float] = {}
+    scratch = None
     try:
         # warm OS page cache so both scaling levels measure compute
         with open(f"{sf_dir}/documents.parquet", "rb") as f:
@@ -84,7 +85,6 @@ def run_bench() -> dict:
         # shuffle scratch on shm when available — the sandbox stand-in
         # for node-local NVMe (the shared /tmp disk does ~260 MB/s and
         # would serialize both parallelism levels identically)
-        scratch = None
         if os.path.isdir("/dev/shm"):
             scratch = tempfile.mkdtemp(prefix="dixr_scratch_", dir="/dev/shm")
 

@@ -210,10 +210,45 @@ def knn_ivf(
     neighbor_id)."""
     import ray
 
-    # deterministic training sample: first `train_sample` rows by id
-    sample_tbl = ds.sort(id_col).limit(train_sample).to_pandas()
+    # deterministic value-property training sample — no global sort:
+    # keep rows whose multiplicative id-hash lands in a stride sized to
+    # yield ~2×train_sample rows, then truncate by (hash, id).  The
+    # selection depends only on row VALUES, so it is identical at any
+    # parallelism level, and only O(train_sample) rows reach the driver.
+    n_total = ds.count()
+    mod = np.uint64(max(1, n_total // max(1, 2 * train_sample)))
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        keep = (h % mod) == 0
+        return pa.table(
+            {
+                "_h": pa.array(h[keep]),
+                id_col: pa.array(ids[keep]),
+                col: t[col].filter(pa.array(keep))
+                if isinstance(t[col], pa.ChunkedArray)
+                else pa.chunked_array([t[col]]).filter(pa.array(keep)),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(sample_batch, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    sample_tbl = pa.concat_tables(parts)
+    import pyarrow.compute as _pc
+
+    order = _pc.sort_indices(
+        sample_tbl, sort_keys=[("_h", "ascending"), (id_col, "ascending")]
+    )
+    sample_tbl = sample_tbl.take(order).slice(0, train_sample)
     cent = train_ivf_centroids(
-        np.array(sample_tbl[col].to_list(), np.float64), n_centroids
+        np.array(sample_tbl[col].to_pylist(), np.float64), n_centroids
     )
 
     qn = _normalize(np.asarray(queries))

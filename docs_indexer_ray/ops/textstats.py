@@ -109,9 +109,32 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def _fnv1a64(s: str) -> np.uint64:
+    """Scalar FNV-1a (the definitional loop — kept as the oracle for
+    the vectorized batch kernel below)."""
     h = _FNV_OFFSET
     for b in s.encode("utf-8"):
         h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def _fnv1a64_batch(strs: list[str]) -> np.ndarray:
+    """FNV-1a over many strings at once: the byte loop runs over byte
+    *positions* (≈ gram length), vectorized across all strings — the
+    same values as :func:`_fnv1a64`, ~the string count times faster."""
+    n = len(strs)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    bs = [s.encode("utf-8") for s in strs]
+    lens = np.fromiter((len(b) for b in bs), np.int64, n)
+    maxlen = int(lens.max())
+    arr = np.zeros((n, maxlen), np.uint8)
+    for i, b in enumerate(bs):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+    h = np.full(n, _FNV_OFFSET, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            mask = lens > j
+            h[mask] = (h[mask] ^ arr[mask, j].astype(np.uint64)) * _FNV_PRIME
     return h
 
 
@@ -119,12 +142,21 @@ def winnow_fingerprint_batch(
     texts: list[str], k: int = 5, window: int = 4
 ) -> list[list[int]]:
     """Winnowing sketches: per doc, the sorted distinct minima of each
-    sliding window over the k-gram (word) rolling hashes."""
-    out = []
+    sliding window over the k-gram (word) rolling hashes.  All grams of
+    the batch are hashed in ONE vectorized FNV pass."""
+    per_doc_grams: list[list[str]] = []
     for t in texts:
         toks = _tokens(t)
-        grams = [" ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))]
-        hs = np.array([int(_fnv1a64(g)) for g in grams], np.uint64)
+        per_doc_grams.append(
+            [" ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))]
+        )
+    flat = [g for grams in per_doc_grams for g in grams]
+    all_hs = _fnv1a64_batch(flat)
+    out = []
+    pos = 0
+    for grams in per_doc_grams:
+        hs = all_hs[pos : pos + len(grams)]
+        pos += len(grams)
         if len(hs) == 0:
             out.append([])
             continue

@@ -100,6 +100,15 @@ def test_fingerprint_md5_and_winnow(docs_ds, docs_tbl):
     assert (fp["n_winnow"] > 0).all()
 
 
+def test_fnv_batch_matches_scalar():
+    from docs_indexer_ray.ops.textstats import _fnv1a64, _fnv1a64_batch
+
+    strs = ["", "a", "table scan merge", "ünïcode ✓", "x" * 100]
+    got = _fnv1a64_batch(strs)
+    for s, h in zip(strs, got):
+        assert int(h) == int(_fnv1a64(s))
+
+
 def test_winnow_shift_overlap():
     base = "table scan merge slow fast key value batch stream row " * 5
     shifted = "prefix words here " + base
