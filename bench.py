@@ -82,6 +82,13 @@ def run_bench() -> dict:
             while f.read(1 << 22):
                 pass
 
+        # warm the Ray worker pool: the first execution of a fresh
+        # session pays worker-process startup (a per-session constant a
+        # long-lived cluster never sees per job) — not the engine
+        ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).take_all()
+
         # shuffle scratch on shm when available — the sandbox stand-in
         # for node-local NVMe (the shared /tmp disk does ~260 MB/s and
         # would serialize both parallelism levels identically)

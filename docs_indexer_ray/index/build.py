@@ -45,7 +45,6 @@ import pyarrow as pa
 
 from ..stages.tokenize import TokenizeSpill
 from . import manifest as mf
-from .segments import SegmentEncoder
 
 __all__ = ["build_index", "IndexBuildResult"]
 
@@ -54,6 +53,27 @@ class IndexBuildResult(dict):
     """manifest dict + .index_dir attribute."""
 
     index_dir: str
+
+
+def _sample_heavy_file(path: str, field: str, chain: str, per_file: int) -> tuple[dict, int]:
+    """One sampling task: df Counter over ≤``per_file`` docs of the
+    file's first row group (a slice of one url range)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ..functions.analyzer import Analyzer
+
+    pf = pq.ParquetFile(path)
+    t = pf.read_row_group(0, columns=[field])
+    col = t[field].to_pylist()
+    step = max(1, len(col) // per_file)
+    texts = col[::step][:per_file]
+    analyzer = Analyzer(chain)
+    c: Counter = Counter()
+    for text in texts:
+        c.update(set(analyzer(text or "")))
+    return dict(c), len(texts)
 
 
 def _detect_heavy_terms(
@@ -66,18 +86,15 @@ def _detect_heavy_terms(
     """Deterministic sampled df pre-pass → terms with estimated
     df/N above ``heavy_df_ratio`` (the salting candidates).
 
-    Reads only the FIRST row group of each docs-store partition file
-    (a slice of every url range, not just one part — bounded bias) and
-    subsamples to ~``sample_docs`` docs.  Driver-side on purpose: a
-    couple of CPU-seconds of tokenizing beats two extra distributed
-    executions just to pick salting candidates; at real scale this
-    would be one sampling task per partition feeding the same Counter.
+    One Ray task per docs-store partition file reads only that file's
+    FIRST row group (a slice of every url range, not just one part —
+    bounded bias) and subsamples to ~``sample_docs`` docs total; the
+    driver merges the tiny per-file Counters.  The sample is a pure
+    function of the stored rows → parallelism-invariant.
     """
     from collections import Counter
 
-    import pyarrow.parquet as pq
-
-    from ..functions.analyzer import Analyzer
+    import ray
 
     files = sorted(
         os.path.join(docs_dir, d, f)
@@ -86,19 +103,17 @@ def _detect_heavy_terms(
         for f in os.listdir(os.path.join(docs_dir, d))
         if f.endswith(".parquet")
     )
-    texts: list[str] = []
-    per_file = max(1, sample_docs // max(1, len(files)))
-    for path in files:
-        pf = pq.ParquetFile(path)
-        t = pf.read_row_group(0, columns=[field])
-        col = t[field].to_pylist()
-        step = max(1, len(col) // per_file)
-        texts.extend(col[::step][:per_file])
-    analyzer = Analyzer(chain)
+    if not files:
+        return set()
+    per_file = max(1, sample_docs // len(files))
+    task = ray.remote(num_cpus=1)(_sample_heavy_file)
+    parts = ray.get([task.remote(p, field, chain, per_file) for p in files])
     c: Counter = Counter()
-    for text in texts:
-        c.update(set(analyzer(text or "")))
-    thresh = heavy_df_ratio * max(1, len(texts))
+    n_texts = 0
+    for d, n in parts:
+        c.update(d)
+        n_texts += n
+    thresh = heavy_df_ratio * max(1, n_texts)
     return {term for term, df in c.items() if df >= thresh}
 
 
@@ -145,7 +160,7 @@ def _build_chain_segments(
 
     spill_dir = os.path.join(scratch, f"spill-{chain}")
     os.makedirs(spill_dir, exist_ok=True)
-    docs_ds.map_batches(
+    lineage = docs_ds.map_batches(
         TokenizeSpill(
             spill_dir,
             field=field,
@@ -157,30 +172,30 @@ def _build_chain_segments(
         batch_format="pyarrow",
         batch_size=16384,
     ).take_all()
+    spill_files = sorted(
+        {os.path.join(spill_dir, r["file"] + ".parquet") for r in lineage}
+    )
     if _dbg:
         print(f"[t] tokenize+spill {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()
 
-    encoder = SegmentEncoder(seg_dir, block_size)
-    items = [{"rpart": k, "path": spill_dir} for k in range(num_parts)]
-    lineage_rows = (
-        ray.data.from_items(items)
-        .repartition(max(1, len(items)))
-        .map_batches(encoder.encode_from_spill, batch_size=1, batch_format="pandas")
-        .take_all()
+    # reduce: one plain Ray task per partition over exactly the lineage
+    # file list (no Ray Data execution constant, no stale-spill reads)
+    from .segments import encode_spill_files
+
+    encode_task = ray.remote(num_cpus=1)(encode_spill_files)
+    files_ref = ray.put(spill_files)
+    lineage_rows = ray.get(
+        [
+            encode_task.remote(seg_dir, block_size, k, files_ref)
+            for k in range(num_parts)
+        ]
     )
     if _dbg:
         print(f"[t] encode {time.time()-_t:.1f}s", file=sys.stderr)
     shutil.rmtree(spill_dir, ignore_errors=True)
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    dl_sum = dl_n = 0
-    for f in sorted(os.listdir(seg_dir)):
-        if f.startswith("dl-"):
-            t = pq.read_table(os.path.join(seg_dir, f), columns=["dl"])
-            dl_sum += int(pc.sum(t["dl"]).as_py() or 0)
-            dl_n += t.num_rows
+    dl_sum = sum(r["dl_sum"] for r in lineage_rows)
+    dl_n = sum(r["dl_n"] for r in lineage_rows)
 
     return {
         "n_docs_with_terms": dl_n,

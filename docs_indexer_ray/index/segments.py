@@ -35,7 +35,13 @@ import pyarrow.parquet as pq
 
 from ..functions.codec import encode_postings
 
-__all__ = ["SegmentEncoder", "SEGMENT_SCHEMA", "segment_path", "doclen_path"]
+__all__ = [
+    "SegmentEncoder",
+    "encode_spill_files",
+    "SEGMENT_SCHEMA",
+    "segment_path",
+    "doclen_path",
+]
 
 SEGMENT_SCHEMA = pa.schema(
     [
@@ -129,6 +135,111 @@ def encode_partition_codes(
         rows["max_tf"].append(enc["max_tf"])
         rows["min_dl"].append(enc["min_dl"])
     return pa.Table.from_pydict(rows, schema=SEGMENT_SCHEMA)
+
+
+def encode_spill_files(
+    seg_dir: str,
+    block_size: int,
+    rpart: int,
+    spill_files: list[str],
+) -> dict:
+    """Reduce task: encode one shuffle partition from an explicit
+    lineage file list → one segment file + one dl file.
+
+    Reading ONLY the just-written lineage files (not the spill
+    directory) makes resumed builds immune to stale content-named
+    spill files from an earlier crashed attempt with different batch
+    boundaries (those would silently double-count postings), and turns
+    a non-shared ``scratch_dir`` on multi-node clusters into a loud
+    ``FileNotFoundError`` instead of silently missing rows.
+
+    Returns the partition's lineage record incl. ``dl_sum``/``dl_n``
+    so the build's global stats need no extra driver-side dl scan.
+    Arrow-native: term strings stay dictionary-encoded; sorting uses
+    integer dictionary ranks (an object-dtype lexsort over hundreds of
+    thousands of strings dominates the reduce otherwise).
+    """
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pads
+
+    seg_file = segment_path(seg_dir, rpart)
+    dl_file = doclen_path(seg_dir, rpart)
+    if os.path.exists(seg_file) and os.path.exists(dl_file):
+        meta = pq.read_metadata(seg_file)
+        dlt = pq.read_table(dl_file, columns=["dl"])
+        return {
+            "rpart": rpart,
+            "n_terms": meta.num_rows,
+            "n_postings": -1,
+            "bytes": os.path.getsize(seg_file),
+            "resumed": True,
+            "dl_sum": int(_pc.sum(dlt["dl"]).as_py() or 0),
+            "dl_n": dlt.num_rows,
+        }
+
+    missing = [f for f in spill_files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"spill files missing for rpart {rpart}: {missing[:3]}… — "
+            "scratch_dir must be on storage shared between map and reduce "
+            "tasks (shared FS, or node-local only on a single node)"
+        )
+    dset = pads.dataset(spill_files, format="parquet")
+    t = dset.to_table(
+        filter=pads.field("rpart") == rpart,
+        columns=["term", "doc_id", "tf", "dl", "dlc"],
+    )
+    if t.num_rows == 0:
+        return {
+            "rpart": rpart,
+            "n_terms": 0,
+            "n_postings": 0,
+            "bytes": 0,
+            "resumed": False,
+            "dl_sum": 0,
+            "dl_n": 0,
+        }
+    term_dict = _pc.dictionary_encode(t["term"].cast(pa.string()).combine_chunks())
+    uniq = np.asarray(term_dict.dictionary.to_pylist(), dtype=object)
+    codes = term_dict.indices.to_numpy(zero_copy_only=False)
+    rank_of = np.empty(len(uniq), np.int64)
+    order_terms = np.argsort(uniq)
+    rank_of[order_terms] = np.arange(len(uniq))
+    sorted_uniq = uniq[order_terms]
+
+    seg = encode_partition_codes(
+        rank_of[codes],
+        sorted_uniq,
+        t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        t["tf"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        t["dl"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        rpart,
+        block_size,
+    )
+    _atomic_write(seg, seg_file)
+
+    dlc = t["dlc"].to_numpy(zero_copy_only=False)
+    dls = t["dl"].to_numpy(zero_copy_only=False)[dlc].astype(np.uint32)
+    dl_tbl = pa.table(
+        {
+            "doc_id": pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False)[dlc].astype(np.uint64),
+                pa.uint64(),
+            ),
+            "dl": pa.array(dls, pa.uint32()),
+        }
+    )
+    _atomic_write(dl_tbl, dl_file)
+
+    return {
+        "rpart": rpart,
+        "n_terms": seg.num_rows,
+        "n_postings": int(t.num_rows),
+        "bytes": os.path.getsize(seg_file),
+        "resumed": False,
+        "dl_sum": int(dls.sum()),
+        "dl_n": int(len(dls)),
+    }
 
 
 class SegmentEncoder:

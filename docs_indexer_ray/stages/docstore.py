@@ -1,8 +1,8 @@
 """Docs-store build: range-partitioned spill + per-partition reduce.
 
 The scalable phase-1 layout (extract → dedup → dense doc ids → store)
-as ONE map pass over pages plus two parallel per-partition task rounds
-— no Ray sort shuffle, no ``materialize()``:
+as ONE map pass over pages plus one per-partition task round — no Ray
+sort shuffle, no ``materialize()``:
 
 1. **Boundary sample** — urls with ``crc32(url) % sample_mod == 0``
    (a value property, parallelism-invariant) collected to the driver,
@@ -16,20 +16,37 @@ as ONE map pass over pages plus two parallel per-partition task rounds
    searchsorted(boundaries, url)``, each batch written as ONE spill
    file sorted by docpart with a row group per docpart slice (the
    map-output-file shuffle layout — file count tracks batch count, not
-   tasks × partitions).
-3. **Count round** — per partition, filter-read only ``url``: the
-   deduped row count is ``n_distinct(url)``.  Driver cumsums counts in
-   part order (= url order, because partitions are url *ranges*) into
-   dense doc-id offsets.
-4. **Finalize round** — per partition, filter-read all columns, keep
-   the max ``(warc_ts, body)`` row per url (vectorized last-of-run over
-   one sorted pass), sort by url, assign ``doc_id = offset + arange``,
-   and atomically write ``docs/docpart=K/part.parquet``.
+   tasks × partitions).  The pass returns the **lineage file list**;
+   every downstream read is restricted to exactly those files, so
+   stale spill files from an earlier crashed attempt are ignored (they
+   could otherwise double rows silently) and a missing file — e.g. a
+   non-shared ``scratch_dir`` on a multi-node cluster — fails loudly
+   instead of silently dropping a partition's rows.
+3. **Count round** (one ``ray.remote`` task per partition) — deduped
+   row count = ``n_distinct(url)``, reading ONLY the ``url`` column of
+   the partition's row groups (a tiny fraction of the spill bytes).
+   The driver cumsums counts in part order (= url order, because
+   partitions are url *ranges*) into dense doc-id offsets — the only
+   barrier, O(num_parts) driver state.
+4. **Finalize round** — per partition: keep the max ``(warc_ts,
+   body)`` row per url (one sort-indices + one gather), assign
+   ``doc_id = offset + arange`` and atomically write
+   ``docs/docpart=K/part.parquet``.  Spill → final file in one read,
+   one gather, one write; an object-store round-trip here would cost
+   two extra full copies of every partition, which saturates shared
+   memory bandwidth when all cores run reduce tasks at once.
+
+Plain task rounds (not Ray Data executions) on purpose: these are
+O(num_parts) fan-outs with driver-side sequencing between them, and a
+Ray Data plan adds planner/stage-startup constants per execution that
+dominate at the small end — the round-trip count here is what bounds
+job-level scaling efficiency.
 
 Determinism: boundaries, dedup winners and id ranks are all functions
 of row *values*, so any parallelism level yields identical ids — the
 property the reference's rank-identity requirement rests on.  Each
-partition file write is atomic; a rerun skips finished partitions.
+partition file write is atomic; a rerun skips finished partitions
+(their parked-ref is ``None`` and the count comes from file metadata).
 """
 
 from __future__ import annotations
@@ -38,7 +55,6 @@ import os
 import zlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -117,6 +133,93 @@ class _ExtractSpill:
         return pa.table({"file": pa.array([name]), "rows": pa.array([out.num_rows])})
 
 
+def _check_spill_files(spill_files: list[str], what: str) -> None:
+    missing = [f for f in spill_files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"spill files missing for {what}: {missing[:3]}… — "
+            "scratch_dir must be on storage shared between map and reduce "
+            "tasks (shared FS, or node-local only on a single node)"
+        )
+
+
+def _count_part(spill_files: list[str], docpart: int, docs_dir: str) -> dict:
+    """Task: deduped (distinct-url) row count of one partition.
+
+    Reads ONLY the ``url`` column of the partition's row groups — a
+    tiny fraction of the spill bytes — so the barrier the dense-id
+    offsets need is nearly free."""
+    import pyarrow.dataset as pads
+
+    out_file = os.path.join(docs_dir, f"docpart={docpart}", "part.parquet")
+    if os.path.exists(out_file):  # resume: count from the finished file
+        return {
+            "docpart": docpart,
+            "n": pq.read_metadata(out_file).num_rows,
+            "resumed": True,
+        }
+    _check_spill_files(spill_files, f"docpart {docpart}")
+    dset = pads.dataset(spill_files, format="parquet")
+    t = dset.to_table(filter=pads.field("docpart") == docpart, columns=["url"])
+    return {
+        "docpart": docpart,
+        "n": len(pc.unique(t["url"].combine_chunks())),
+        "resumed": False,
+    }
+
+
+def _finalize_part(
+    spill_files: list[str], docpart: int, offset: int, docs_dir: str
+) -> dict:
+    """Task: dedup last-writer-wins, dense ids, atomic partition write.
+
+    Spill → final file in ONE read + ONE gather + ONE write — no
+    intermediate materialization (an object-store round-trip here costs
+    two extra full copies of the partition, which saturates shared
+    memory bandwidth when every core runs a reduce task)."""
+    import pyarrow.dataset as pads
+
+    out_dir = os.path.join(docs_dir, f"docpart={docpart}")
+    out_file = os.path.join(out_dir, "part.parquet")
+    if os.path.exists(out_file):  # resume
+        return {"docpart": docpart, "n": pq.read_metadata(out_file).num_rows, "n_err": 0}
+    _check_spill_files(spill_files, f"docpart {docpart}")
+    dset = pads.dataset(spill_files, format="parquet")
+    t = dset.to_table(filter=pads.field("docpart") == docpart)
+    if t.num_rows == 0:
+        return {"docpart": docpart, "n": 0, "n_err": 0}
+    sort_keys = [("url", "ascending"), ("warc_ts", "ascending")] + (
+        [("body", "ascending")] if "body" in t.column_names else []
+    )
+    # last-of-run winners with ONE full-table take: compute the sorted
+    # order, find run ends on the (cheap) sorted url column only, and
+    # gather the winners straight from the unsorted table — no Python
+    # string materialization, no sort-then-filter double copy.  The
+    # winners stay in sorted-url order, which the dense-id rank needs.
+    order = pc.sort_indices(t, sort_keys=sort_keys)
+    urls_sorted = pc.take(t["url"], order).combine_chunks()
+    n = len(urls_sorted)
+    is_last = np.empty(n, dtype=bool)
+    is_last[-1] = True
+    is_last[:-1] = pc.not_equal(
+        urls_sorted.slice(0, n - 1), urls_sorted.slice(1, n)
+    ).to_numpy(zero_copy_only=False)
+    winners = order.to_numpy(zero_copy_only=False)[np.flatnonzero(is_last)]
+    t = t.take(pa.array(winners))
+    n_err = (
+        t.num_rows - t["extract_error"].null_count
+        if "extract_error" in t.column_names
+        else 0
+    )
+    ids = np.arange(t.num_rows, dtype=np.uint64) + offset
+    t = t.append_column("doc_id", pa.array(ids, pa.uint64()))
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out_file + f".tmp-{os.getpid()}"
+    pq.write_table(t, tmp, compression="zstd")
+    os.replace(tmp, out_file)
+    return {"docpart": docpart, "n": t.num_rows, "n_err": int(n_err)}
+
+
 def build_docs_store(
     pages_ds,
     spill_dir: str,
@@ -125,15 +228,13 @@ def build_docs_store(
     num_parts: int = 32,
     type_label: str = "page",
     sample_mod: int = 16,
-    batch_size: int = 2048,
+    batch_size: int | None = None,
     boundaries: list[str] | None = None,
 ) -> tuple[int, int]:
     """Run phases 1–4 (module docstring); returns ``(n_docs,
     n_extract_errors)`` — rows that degrade (SURVEY §4 never-fail
     rule) are kept, tagged in ``extract_error``, and counted."""
     import ray
-    import ray.data
-    import pyarrow.dataset as pads
 
     import sys
     import time as _time
@@ -147,89 +248,40 @@ def build_docs_store(
         print(f"[t] boundaries {_time.time()-_t:.1f}s", file=sys.stderr); _t=_time.time()
 
     os.makedirs(spill_dir, exist_ok=True)
-    pages_ds.map_batches(
+    lineage = pages_ds.map_batches(
         _ExtractSpill(spill_dir, boundaries, type_label),
         batch_format="pyarrow",
         batch_size=batch_size,
     ).take_all()
+    spill_files = sorted({os.path.join(spill_dir, r["file"]) for r in lineage})
     if _dbg:
         print(f"[t] extract+spill {_time.time()-_t:.1f}s", file=sys.stderr); _t=_time.time()
 
-    items = [{"docpart": k, "path": spill_dir} for k in range(len(boundaries) + 1)]
-
-    # -- 3: per-part deduped counts (url column only, row-group pruned) ---
-    def count_part(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in batch.iterrows():
-            dset = pads.dataset(r["path"], format="parquet")
-            t = dset.to_table(
-                filter=pads.field("docpart") == int(r["docpart"]), columns=["url"]
-            )
-            rows.append(
-                {"docpart": int(r["docpart"]), "n": len(pc.unique(t["url"]))}
-            )
-        return pd.DataFrame(rows)
-
-    counts = (
-        ray.data.from_items(items)
-        .repartition(max(1, len(items)))
-        .map_batches(count_part, batch_size=1, batch_format="pandas")
-        .take_all()
+    n_parts_total = len(boundaries) + 1
+    count_task = ray.remote(num_cpus=1)(_count_part)
+    files_ref = ray.put(spill_files)
+    counts = ray.get(
+        [count_task.remote(files_ref, k, docs_dir) for k in range(n_parts_total)]
     )
     if _dbg:
         print(f"[t] count round {_time.time()-_t:.1f}s", file=sys.stderr); _t=_time.time()
+
+    counts.sort(key=lambda r: r["docpart"])
     offsets: dict[int, int] = {}
     acc = 0
-    for r in sorted(counts, key=lambda r: r["docpart"]):
+    for r in counts:
         offsets[r["docpart"]] = acc
         acc += r["n"]
     n_docs = acc
 
-    # -- 4: per-part dedup + ids + final write ----------------------------
-    def finalize_part(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in batch.iterrows():
-            rp = int(r["docpart"])
-            out_dir = os.path.join(docs_dir, f"docpart={rp}")
-            out_file = os.path.join(out_dir, "part.parquet")
-            if os.path.exists(out_file):  # resume
-                rows.append({"docpart": rp, "n": pq.read_metadata(out_file).num_rows})
-                continue
-            dset = pads.dataset(r["path"], format="parquet")
-            t = dset.to_table(filter=pads.field("docpart") == rp)
-            if t.num_rows == 0:
-                rows.append({"docpart": rp, "n": 0})
-                continue
-            sort_keys = [("url", "ascending"), ("warc_ts", "ascending")] + (
-                [("body", "ascending")] if "body" in t.column_names else []
-            )
-            t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-            urls = np.array(t["url"].to_pylist(), dtype=object)
-            is_last = np.empty(len(urls), dtype=bool)
-            is_last[-1] = True
-            np.not_equal(urls[:-1], urls[1:], out=is_last[:-1])
-            t = t.take(pa.array(np.flatnonzero(is_last)))
-            ids = np.arange(t.num_rows, dtype=np.uint64) + offsets[rp]
-            t = t.append_column("doc_id", pa.array(ids, pa.uint64()))
-            n_err = (
-                t.num_rows - t["extract_error"].null_count
-                if "extract_error" in t.column_names
-                else 0
-            )
-            os.makedirs(out_dir, exist_ok=True)
-            tmp = out_file + f".tmp-{os.getpid()}"
-            pq.write_table(t, tmp, compression="zstd")
-            os.replace(tmp, out_file)
-            rows.append({"docpart": rp, "n": t.num_rows, "n_err": n_err})
-        return pd.DataFrame(rows)
-
-    fin = (
-        ray.data.from_items(items)
-        .repartition(max(1, len(items)))
-        .map_batches(finalize_part, batch_size=1, batch_format="pandas")
-        .take_all()
+    finalize_task = ray.remote(num_cpus=1)(_finalize_part)
+    fin = ray.get(
+        [
+            finalize_task.remote(files_ref, k, offsets[k], docs_dir)
+            for k in range(n_parts_total)
+        ]
     )
-    n_errors = int(sum(r.get("n_err") or 0 for r in fin))
+    n_errors = int(sum(r["n_err"] for r in fin))
     if _dbg:
         print(f"[t] finalize round {_time.time()-_t:.1f}s", file=sys.stderr)
     return n_docs, n_errors

@@ -153,7 +153,13 @@ def pages_from_documents(
                 )
         return pa.concat_tables(parts)
 
-    return base.map_batches(synth, batch_format="pyarrow", batch_size=1024)
+    # batch_size=None → one batch per repartitioned block.  An explicit
+    # batch_size here is counted in SEED rows by Ray's task bundler, so
+    # any value above rows/(2·cpus) coalesces blocks and silently caps
+    # the fused synth→extract chain at a handful of tasks (measured: 3
+    # tasks at 16 CPUs with batch_size=2048 — the whole build's extract
+    # phase stopped scaling).
+    return base.map_batches(synth, batch_format="pyarrow", batch_size=None)
 
 
 def _shift_ids(batch: pa.Table, shift: int) -> pa.Table:
