@@ -34,6 +34,10 @@ setup (nothing heavy here, but the pattern is uniform) happens once.
 
 from __future__ import annotations
 
+import json
+from datetime import date as _date
+from datetime import datetime, timezone
+
 import numpy as np
 import pyarrow as pa
 
@@ -41,7 +45,7 @@ from ..functions.frontmatter import parse_front_matter
 from ..functions.htmltext import html_to_text
 from ..functions.uri import url_to_uri_breadcrumb
 
-__all__ = ["ExtractAssemble", "DOCS_FIELDS", "DEFAULT_DATE_ISO"]
+__all__ = ["ExtractAssemble", "DOCS_FIELDS", "DEFAULT_DATE_ISO", "normalize_date"]
 
 DEFAULT_DATE_ISO = "1900-01-01T00:00:00+00:00"  # hugo.py:52
 MAX_BREADCRUMB = 5  # mappings/hugo.json:25-44 maps breadcrumb_1..5
@@ -54,12 +58,47 @@ DOCS_FIELDS = [
     "title",
     "body",
     "date",
+    "extras",
     "breadcrumb",
     *[f"breadcrumb_{i}" for i in range(1, MAX_BREADCRUMB + 1)],
     "text",
     "lang",
     "extract_error",
 ]
+
+# the reference's two accepted timestamp formats (blog.py:28-29,
+# parsed at blog.py:110-118 and given UTC)
+_DATE_FORMATS = ("%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ")
+
+
+def normalize_date(value, fallback_iso: str) -> str:
+    """Normalize a front-matter date to an ISO-8601 UTC string.
+
+    Tries the reference's two explicit formats (``blog.py:110-118``),
+    then ISO-8601; YAML already hands naive ``date``/``datetime``
+    objects for unquoted dates — those get UTC attached.  An
+    unparseable value is returned verbatim (degrade, never fail —
+    SURVEY §4); ``None`` falls back to ``fallback_iso`` (the page's
+    ``warc_ts``, or the 1900-01-01 sentinel — ``hugo.py:52``)."""
+    if value is None:
+        return fallback_iso
+    if isinstance(value, datetime):
+        dt = value if value.tzinfo else value.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc).isoformat()
+    if isinstance(value, _date):
+        return datetime(value.year, value.month, value.day, tzinfo=timezone.utc).isoformat()
+    s = str(value)
+    for fmt in _DATE_FORMATS:
+        try:
+            return datetime.strptime(s, fmt).replace(tzinfo=timezone.utc).isoformat()
+        except ValueError:
+            pass
+    try:
+        dt = datetime.fromisoformat(s)
+        dt = dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc).isoformat()
+    except ValueError:
+        return s
 
 
 class ExtractAssemble:
@@ -107,6 +146,7 @@ class ExtractAssemble:
             sources = batch["text"].to_pylist()
 
         uris, crumbs, titles, bodies, dates, texts = [], [], [], [], [], []
+        extras_out: list[str | None] = []
         errors: list[str | None] = []
         warc = batch["warc_ts"]
         warc_iso = [
@@ -149,8 +189,20 @@ class ExtractAssemble:
                 text += " " + uri
                 text += " " + " ".join(breadcrumb)
 
-            date = data.get("date")
-            date = warc_iso[i] if date is None else str(date)
+            date = normalize_date(data.get("date"), warc_iso[i])
+
+            # dynamic front-matter extras: the reference keeps every
+            # YAML key in the indexed document (hugo.py:279, fields
+            # added to the same dict at hugo.py:324-331; unmapped keys
+            # rely on dynamic mapping).  Keys with dedicated columns
+            # (title, date) are lifted out; the rest ride as a
+            # deterministic JSON-string column (SURVEY §1.2).
+            extra_items = {k: v for k, v in data.items() if k not in ("title", "date")}
+            extras_out.append(
+                json.dumps(extra_items, default=str, sort_keys=True)
+                if extra_items
+                else None
+            )
 
             uris.append(uri)
             crumbs.append(breadcrumb)
@@ -168,6 +220,7 @@ class ExtractAssemble:
             "title": pa.array(titles, pa.string()),
             "body": pa.array(bodies, pa.string()),
             "date": pa.array(dates, pa.string()),
+            "extras": pa.array(extras_out, pa.string()),
             "breadcrumb": pa.array(crumbs, pa.list_(pa.string())),
         }
         for level in range(1, MAX_BREADCRUMB + 1):

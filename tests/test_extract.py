@@ -127,3 +127,68 @@ def test_markdown_blockquote_and_hr():
     assert "quoted line" in text
     assert "---" not in text
     assert "after" in text
+
+
+# --- dynamic front-matter extras + date normalization (T6) ------------
+
+
+def _assemble_one(body_md: str, warc_us: int = 1735689600_000_000):
+    import html as _h
+
+    import numpy as np
+    import pyarrow as pa
+
+    from docs_indexer_ray.stages.extract import ExtractAssemble
+
+    batch = pa.table(
+        {
+            "url": pa.array(["https://docs.test/x/page/"]),
+            "warc_ts": pa.array(np.array([warc_us], np.int64), pa.timestamp("us")),
+            "html": pa.array(
+                [b"<html><body>" + _h.escape(body_md, quote=False).encode() + b"</body></html>"]
+            ),
+            "text": pa.array([body_md]),
+            "lang": pa.array(["en"]),
+        }
+    )
+    return ExtractAssemble()(batch)
+
+
+def test_extras_carry_unmapped_front_matter_keys():
+    import json
+
+    out = _assemble_one(
+        "---\ntitle: T\ndescription: About node pools\nweight: 30\n"
+        "categories: [basics, infra]\n---\nBody here.\n"
+    )
+    extras = json.loads(out["extras"][0].as_py())
+    # reference behavior: every YAML key survives into the indexed doc
+    # (hugo.py:279, 324-331); title/date are lifted to their own columns
+    assert extras == {
+        "description": "About node pools",
+        "weight": 30,
+        "categories": ["basics", "infra"],
+    }
+    assert out["title"][0].as_py() == "T"
+
+
+def test_extras_null_without_front_matter():
+    out = _assemble_one("No front matter at all.\n")
+    assert out["extras"][0].as_py() is None
+
+
+def test_date_two_reference_formats_and_fallbacks():
+    # blog.py:110-118: try %Y-%m-%dT%H:%M:%S.%fZ then %Y-%m-%dT%H:%M:%SZ
+    out = _assemble_one("---\ndate: 2024-03-01T10:20:30.500Z\n---\nB.\n")
+    assert out["date"][0].as_py() == "2024-03-01T10:20:30.500000+00:00"
+    out = _assemble_one("---\ndate: 2024-03-01T10:20:30Z\n---\nB.\n")
+    assert out["date"][0].as_py() == "2024-03-01T10:20:30+00:00"
+    # YAML unquoted date → datetime.date object → UTC midnight
+    out = _assemble_one("---\ndate: 2024-03-01\n---\nB.\n")
+    assert out["date"][0].as_py() == "2024-03-01T00:00:00+00:00"
+    # unparseable → verbatim (degrade, never fail)
+    out = _assemble_one("---\ndate: not-a-date\n---\nB.\n")
+    assert out["date"][0].as_py() == "not-a-date"
+    # absent → warc_ts fallback
+    out = _assemble_one("B only.\n")
+    assert out["date"][0].as_py() == "2025-01-01T00:00:00+00:00"
