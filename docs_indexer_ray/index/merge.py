@@ -1,48 +1,61 @@
-"""Index merge: combine a base index and a delta index into one.
+"""Index merge: combine k published indexes into one, in one pass.
 
 The reference gets incrementality for free from OpenSearch (segment
 merges happen inside Lucene; the indexer just feeds docs).  Here the
 merge is explicit — the piece that makes **incremental builds** work:
 index yesterday's crawl once, build a small delta index for today's
-pages, merge in O(delta + touched postings) instead of rebuilding.
+pages, merge in O(touched segment rows) instead of rebuilding.
 
-Semantics:
+Design — the merge never decodes or re-encodes postings:
 
-* delta doc ids are shifted by ``base.n_docs`` (dense ids stay dense;
-  base ids — and therefore base posting blocks — are untouched);
-* per reduce partition ``k``, a merge task collects each input's term
-  rows (including a heavy term's salted runs from their
-  ``(part + r) % P`` partitions — the task filters those files by
-  computed term partition), decodes via the same stitching logic the
-  reader uses, concatenates base-then-delta postings (already
-  doc-id-sorted because delta ids all exceed base ids), re-encodes,
-  and writes the output segment file atomically;
+* input ``i``'s doc ids are shifted by ``Σ n_docs`` of inputs before
+  it (dense ids stay dense; the first input is untouched);
+* the reader already stitches a term stored as SEVERAL rows (salted
+  runs — ``query/segments_io.py``): runs are disjoint ascending doc-id
+  ranges presented as one flat block sequence.  The merged segment
+  file therefore simply contains every input's rows for the term,
+  sorted by (term, first block doc id) — a term that exists in k
+  inputs has k rows, exactly like a salted heavy term;
+* shifting a row's encoded ids by a constant only changes each
+  block's FIRST varint (blocks restart delta-encoding at an absolute
+  doc id — ``functions/codec.py``); intra-block deltas are invariant.
+  The merge patches those varints byte-level and adds the shift to
+  ``block_last``; ``tfs_enc``, ``block_max_tf``, ``block_min_dl``,
+  ``df``/``cf`` are untouched.  No per-posting ``dl`` is ever needed,
+  so the O(n_docs) driver-side dl map of the naive design disappears;
+* per reduce partition ``k``, a merge task collects each input's home
+  rows (including a heavy term's salted runs from their ``(part + r)
+  % P`` files), patches, concatenates, sorts by term and writes the
+  output segment file atomically — one parallel ``ray.remote`` round;
 * the merged index is **unsalted on disk** (a term's runs live as
-  multiple rows in its home partition, which the reader already
-  stitches in first-doc order), so merged manifests need no heavy-term
-  routing;
-* global stats are exact: N and total token counts add; df adds per
-  term (url sets are expected disjoint — the caller dedups across
-  builds by using the delta pipeline's url filter);
-* doclens concatenate (dl files are per-partition carrier sets).
+  multiple rows in its home partition, which the reader stitches),
+  so merged manifests need no heavy-term routing;
+* extra analyzer chains (D8 multi-field builds) merge the same way,
+  per ``segments-<chain>/`` dir, and their stats carry into the
+  merged manifest — a multi-field merge loses nothing;
+* global stats are exact: N and token counts add; df adds per term
+  (url sets are expected disjoint — the caller dedups across builds
+  by using the delta pipeline's url filter);
+* doclens concatenate with the shift (dl files are per-partition
+  carrier sets).
 
-Constraint: both inputs must share ``num_parts``, ``analyzer``,
-``field`` and ``block_size`` (checked).  BM25 scores after merge are
-identical to a from-scratch build over the union corpus (tested —
-ranks compared by url since doc ids differ).
+Constraint: all inputs must share ``num_parts``, ``analyzer``,
+``field``, ``block_size`` and the extra-chain set (checked).  BM25
+scores after merge are identical to a from-scratch build over the
+union corpus — same postings, same stats; only block *boundaries*
+differ, which affects WAND skipping, never scores (tested — ranks
+compared by url since doc ids differ).
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.codec import encode_postings
+from ..functions.codec import varint_decode, varint_encode
 from ..stages.tokenize import term_part
 from . import manifest as mf
 from .segments import SEGMENT_SCHEMA, doclen_path, segment_path
@@ -50,77 +63,256 @@ from .segments import SEGMENT_SCHEMA, doclen_path, segment_path
 __all__ = ["merge_indexes", "merge_many"]
 
 
+def _shift_encoded_ids(
+    enc: bytes, id_offsets: list[int], shift: int
+) -> tuple[bytes, list[int]]:
+    """Add ``shift`` to every encoded doc id by patching each block's
+    first (absolute) varint; all other bytes are reused verbatim."""
+    mv = memoryview(enc)
+    chunks: list[bytes] = []
+    new_off = [0]
+    s = np.uint64(shift)
+    for j in range(len(id_offsets) - 1):
+        block = mv[id_offsets[j] : id_offsets[j + 1]]
+        b = np.frombuffer(block, np.uint8)
+        end = int(np.flatnonzero((b & 0x80) == 0)[0])  # first varint's last byte
+        first = varint_decode(block[: end + 1])[0]
+        chunk = varint_encode(np.array([first + s], np.uint64)) + bytes(block[end + 1 :])
+        chunks.append(chunk)
+        new_off.append(new_off[-1] + len(chunk))
+    return b"".join(chunks), new_off
+
+
+def _load_home_rows(seg_dir: str, stats: dict, k: int) -> pa.Table | None:
+    """One input's segment rows whose home partition is ``k`` — the
+    rows in file k plus salted runs of k's heavy terms found in files
+    ``(k + r) % P`` (and *minus* other terms' salted runs parked in
+    file k)."""
+    num_parts = int(stats["num_parts"])
+    heavy = set(stats.get("heavy_terms", ()))
+    n_salt = int(stats.get("n_salt_runs", 1))
+    candidates = (
+        sorted({k} | {(k + r) % num_parts for r in range(n_salt)}) if heavy else [k]
+    )
+    tabs = []
+    for rp in candidates:
+        path = segment_path(seg_dir, rp)
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path)
+        if heavy:
+            keep = [term_part(x, num_parts) == k for x in t["term"].to_pylist()]
+            t = t.filter(pa.array(keep, pa.bool_()))
+        if t.num_rows:
+            tabs.append(t)
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs)
+
+
+def _shift_rows(t: pa.Table, shift: int, k: int) -> pa.Table:
+    """Patch one input's rows to the merged id space (see module doc)."""
+    n = t.num_rows
+    t = t.set_column(
+        t.schema.get_field_index("rpart"),
+        "rpart",
+        pa.array(np.full(n, k, np.int32), pa.int32()),
+    )
+    if shift == 0:
+        return t
+    enc_col = t["doc_ids_enc"].to_pylist()
+    off_col = t["block_id_offsets"].to_pylist()
+    bl_col = t["block_last"].to_pylist()
+    new_enc, new_off, new_bl = [], [], []
+    for enc, offs, bl in zip(enc_col, off_col, bl_col):
+        e2, o2 = _shift_encoded_ids(enc, offs, shift)
+        new_enc.append(e2)
+        new_off.append(o2)
+        new_bl.append([x + shift for x in bl])
+    t = t.set_column(
+        t.schema.get_field_index("doc_ids_enc"),
+        "doc_ids_enc",
+        pa.array(new_enc, pa.binary()),
+    )
+    t = t.set_column(
+        t.schema.get_field_index("block_id_offsets"),
+        "block_id_offsets",
+        pa.array(new_off, pa.list_(pa.uint32())),
+    )
+    t = t.set_column(
+        t.schema.get_field_index("block_last"),
+        "block_last",
+        pa.array(new_bl, pa.list_(pa.uint64())),
+    )
+    return t
+
+
+def _merge_part(inputs: list[dict], k: int, out_seg_dir: str) -> dict:
+    """Task: merge partition ``k`` of all inputs (segment + dl file).
+
+    ``inputs``: per input ``{seg_dir, stats, shift}`` in merge order.
+    """
+    seg_file = segment_path(out_seg_dir, k)
+    dl_file = doclen_path(out_seg_dir, k)
+    if not (os.path.exists(seg_file) and os.path.exists(dl_file)):  # resume skip
+        tabs = []
+        for inp in inputs:
+            t = _load_home_rows(inp["seg_dir"], inp["stats"], k)
+            if t is not None:
+                tabs.append(_shift_rows(t, inp["shift"], k))
+        if tabs:
+            merged = pa.concat_tables(tabs)
+            terms = np.asarray(merged["term"].to_pylist(), dtype=object)
+            firsts = np.array(
+                [bl[0] if len(bl) else 0 for bl in merged["block_last"].to_pylist()],
+                np.uint64,
+            )
+            order = np.lexsort((firsts, terms))
+            merged = merged.take(pa.array(order))
+        else:
+            merged = SEGMENT_SCHEMA.empty_table()
+        tmp = seg_file + f".tmp-{os.getpid()}"
+        pq.write_table(merged, tmp, compression="zstd")
+        os.replace(tmp, seg_file)
+
+        dl_tabs = []
+        for inp in inputs:
+            path = doclen_path(inp["seg_dir"], k)
+            if not os.path.exists(path):
+                continue
+            td = pq.read_table(path)
+            if inp["shift"]:
+                td = pa.table(
+                    {
+                        "doc_id": pa.array(
+                            td["doc_id"].to_numpy() + np.uint64(inp["shift"]),
+                            pa.uint64(),
+                        ),
+                        "dl": td["dl"],
+                    }
+                )
+            dl_tabs.append(td)
+        dlt = (
+            pa.concat_tables(dl_tabs)
+            if dl_tabs
+            else pa.table(
+                {"doc_id": pa.array([], pa.uint64()), "dl": pa.array([], pa.uint32())}
+            )
+        )
+        tmp = dl_file + f".tmp-{os.getpid()}"
+        pq.write_table(dlt, tmp, compression="zstd")
+        os.replace(tmp, dl_file)
+
+    return {"rpart": k, "n_terms": pq.read_metadata(seg_file).num_rows}
+
+
+def _chain_stats(stats_list: list[dict]) -> dict:
+    tot = sum(int(s.get("total_tokens", 0)) for s in stats_list)
+    nwt = sum(int(s.get("n_docs_with_terms", 0)) for s in stats_list)
+    return {
+        "n_docs_with_terms": nwt,
+        "total_tokens": tot,
+        "avgdl": tot / nwt if nwt else 0.0,
+        "heavy_terms": [],
+        "n_salt_runs": 1,
+        "run_width": 1 << 60,
+    }
+
+
 def merge_many(
     index_dirs: list[str],
     out_root: str,
     *,
     prefix: str = "docs",
+    fingerprint: str | None = None,
     publish: bool = True,
 ):
-    """K-way merge by left-fold of the pairwise per-partition merge.
-
-    Each fold is itself a parallel per-partition pass, so a fold of k
-    inputs costs k-1 passes over ever-larger left sides — fine for the
-    daily-delta cadence this exists for (k small, deltas small).  A
-    single-pass k-way heap merge per partition is the optimization for
-    merging many same-sized segments; the per-term concat here already
-    generalizes (runs are disjoint id ranges), the fold just sequences
-    the id shifting.
-    """
-    import tempfile
+    """Single-pass k-way merge of published builds; returns the merged
+    manifest dict.  Each partition is merged by one task reading the
+    partition's rows from every input once — no left-fold re-encode."""
+    import ray
 
     if len(index_dirs) < 2:
         raise ValueError("merge_many needs >= 2 indexes")
-    acc = index_dirs[0]
-    tmp_roots = []
-    for i, nxt in enumerate(index_dirs[1:]):
-        last = i == len(index_dirs) - 2
-        root = out_root if last else tempfile.mkdtemp(prefix="dixr_mergetmp_")
-        if not last:
-            tmp_roots.append(root)
-        man = merge_indexes(acc, nxt, root, prefix=prefix, publish=publish or not last)
-        acc = root
-    for r in tmp_roots:
-        shutil.rmtree(r, ignore_errors=True)
-    return man
+    dirs = [mf.current_build(d) or d for d in index_dirs]
+    mans = [mf.read_manifest(d) for d in dirs]
+    for key in ("num_parts", "analyzer", "field", "block_size"):
+        vals = {str(m[key]) for m in mans}
+        if len(vals) > 1:
+            raise ValueError(f"merge inputs disagree on {key}: {sorted(vals)}")
+    chain_sets = {tuple(sorted(m.get("chains", {}))) for m in mans}
+    if len(chain_sets) > 1:
+        raise ValueError(
+            f"merge inputs disagree on extra chains: {sorted(chain_sets)}"
+        )
+    extra_chains = sorted(next(iter(chain_sets)))
+    num_parts = int(mans[0]["num_parts"])
 
+    if fingerprint is None:
+        fingerprint = "m" + "".join(m["fingerprint"][:5] for m in mans)[:40]
+    bdir = mf.build_dir(out_root, prefix, fingerprint)
 
-def _load_part_rows(index_dir: str, man: dict, k: int) -> dict[str, list[dict]]:
-    """All term rows belonging to home partition ``k`` of one input:
-    the rows in seg file k whose home part is k, plus salted runs of
-    k's heavy terms found in files (k + r) % P."""
-    num_parts = int(man["num_parts"])
-    heavy = set(man.get("heavy_terms", ()))
-    n_salt = int(man.get("n_salt_runs", 1))
-    seg_dir = os.path.join(index_dir, "segments")
+    shifts = []
+    acc = 0
+    for m in mans:
+        shifts.append(acc)
+        acc += int(m["n_docs"])
+    n_total = acc
 
-    candidates = {k} | {(k + r) % num_parts for r in range(n_salt)} if heavy else {k}
-    out: dict[str, list[dict]] = {}
-    for rp in sorted(candidates):
-        path = segment_path(seg_dir, rp)
-        if not os.path.exists(path):
-            continue
-        t = pq.read_table(path)
-        for i in range(t.num_rows):
-            term = t["term"][i].as_py()
-            if term_part(term, num_parts) != k:
-                continue
-            if rp != k and term not in heavy:
-                continue
-            out.setdefault(term, []).append(
-                {name: t[name][i].as_py() for name in t.column_names}
+    merge_task = ray.remote(num_cpus=1)(_merge_part)
+    chains_out: dict[str, dict] = {}
+    for chain_name in [None, *extra_chains]:
+        seg_name = "segments" if chain_name is None else f"segments-{chain_name}"
+        out_seg = os.path.join(bdir, seg_name)
+        os.makedirs(out_seg, exist_ok=True)
+        inputs = []
+        for d, m, s in zip(dirs, mans, shifts):
+            stats = m if chain_name is None else m["chains"][chain_name]
+            stats = {**stats, "num_parts": num_parts}
+            inputs.append(
+                {"seg_dir": os.path.join(d, seg_name), "stats": stats, "shift": s}
             )
-    # stitch order: runs are disjoint doc ranges → first-block order
-    for rows in out.values():
-        rows.sort(key=lambda r: r["block_last"][0] if len(r["block_last"]) else 0)
-    return out
+        inputs_ref = ray.put(inputs)
+        ray.get([merge_task.remote(inputs_ref, k, out_seg) for k in range(num_parts)])
+        if chain_name is not None:
+            chains_out[chain_name] = _chain_stats(
+                [m["chains"][chain_name] for m in mans]
+            )
 
+    # merged docs store: hardlink the first input's partitions, rewrite
+    # the rest with shifted ids
+    docs_dir = os.path.join(bdir, "docs")
+    os.makedirs(docs_dir, exist_ok=True)
+    part_off = 0
+    for d, s in zip(dirs, shifts):
+        src = os.path.join(d, "docs")
+        _copy_docs(src, docs_dir, part_off, s)
+        part_off += len([x for x in os.listdir(src) if x.startswith("docpart=")])
 
-def _decode_rows(rows: list[dict]) -> tuple[np.ndarray, np.ndarray]:
-    from ..query.segments_io import TermPostings
-
-    tp = TermPostings.from_rows(rows[0]["term"], rows)
-    return tp.decode_all()
+    man = {
+        **{
+            k: mans[0][k]
+            for k in (
+                "prefix",
+                "field",
+                "analyzer",
+                "num_parts",
+                "block_size",
+                "bm25_k1",
+                "bm25_b",
+            )
+        },
+        "fingerprint": fingerprint,
+        "n_docs": n_total,
+        **_chain_stats(mans),
+        "chains": chains_out,
+        "merged_from": [m["fingerprint"] for m in mans],
+        "partitions": [],
+    }
+    mf.write_manifest(bdir, man)
+    if publish:
+        mf.publish(out_root, f"{prefix}-{fingerprint}")
+    return man
 
 
 def merge_indexes(
@@ -132,168 +324,23 @@ def merge_indexes(
     fingerprint: str | None = None,
     publish: bool = True,
 ):
-    """Merge two published builds; returns the merged manifest dict."""
-    import ray
-    import ray.data
-
-    base_dir = mf.current_build(base_dir) or base_dir
-    delta_dir = mf.current_build(delta_dir) or delta_dir
-    man_a = mf.read_manifest(base_dir)
-    man_b = mf.read_manifest(delta_dir)
-    for key in ("num_parts", "analyzer", "field", "block_size"):
-        if man_a[key] != man_b[key]:
-            raise ValueError(f"merge inputs disagree on {key}: {man_a[key]} != {man_b[key]}")
-    num_parts = int(man_a["num_parts"])
-    block_size = int(man_a["block_size"])
-    n_base = int(man_a["n_docs"])
-    n_delta = int(man_b["n_docs"])
-
+    """Merge two published builds (k=2 case of :func:`merge_many`)."""
     if fingerprint is None:
+        man_a = mf.read_manifest(mf.current_build(base_dir) or base_dir)
+        man_b = mf.read_manifest(mf.current_build(delta_dir) or delta_dir)
         fingerprint = f"m{man_a['fingerprint'][:7]}{man_b['fingerprint'][:7]}"
-    bdir = mf.build_dir(out_root, prefix, fingerprint)
-    seg_dir = os.path.join(bdir, "segments")
-    os.makedirs(seg_dir, exist_ok=True)
-
-    shift = np.uint64(n_base)
-
-    def merge_part(batch: pd.DataFrame) -> pd.DataFrame:
-        out_rows = []
-        for _, item in batch.iterrows():
-            k = int(item["k"])
-            seg_file = segment_path(seg_dir, k)
-            dl_file = doclen_path(seg_dir, k)
-            if not (os.path.exists(seg_file) and os.path.exists(dl_file)):
-                rows_a = _load_part_rows(base_dir, man_a, k)
-                rows_b = _load_part_rows(delta_dir, man_b, k)
-
-                dl_map = item["dl_map"]
-                cols = {name: [] for name in SEGMENT_SCHEMA.names}
-                for term in sorted(set(rows_a) | set(rows_b)):
-                    ids_parts, tf_parts = [], []
-                    if term in rows_a:
-                        ia, ta = _decode_rows(rows_a[term])
-                        ids_parts.append(ia)
-                        tf_parts.append(ta)
-                    if term in rows_b:
-                        ib, tb = _decode_rows(rows_b[term])
-                        ids_parts.append(ib + shift)
-                        tf_parts.append(tb)
-                    ids = np.concatenate(ids_parts)
-                    tfs = np.concatenate(tf_parts)
-                    dls = dl_map[ids.astype(np.int64)].astype(np.uint64)
-                    enc = encode_postings(ids, tfs, dls, block_size)
-                    cols["term"].append(term)
-                    cols["rpart"].append(k)
-                    for name in (
-                        "df",
-                        "cf",
-                        "doc_ids_enc",
-                        "tfs_enc",
-                        "block_last",
-                        "block_id_offsets",
-                        "block_tf_offsets",
-                        "block_max_tf",
-                        "block_min_dl",
-                        "max_tf",
-                        "min_dl",
-                    ):
-                        cols[name].append(enc[name])
-
-                seg = pa.Table.from_pydict(cols, schema=SEGMENT_SCHEMA)
-                tmp = seg_file + f".tmp-{os.getpid()}"
-                pq.write_table(seg, tmp, compression="zstd")
-                os.replace(tmp, seg_file)
-
-                # merged dl carriers: base file k as-is + delta file k shifted
-                dl_tabs = []
-                pa_base = doclen_path(os.path.join(base_dir, "segments"), k)
-                if os.path.exists(pa_base):
-                    dl_tabs.append(pq.read_table(pa_base))
-                pa_delta = doclen_path(os.path.join(delta_dir, "segments"), k)
-                if os.path.exists(pa_delta):
-                    td = pq.read_table(pa_delta)
-                    dl_tabs.append(
-                        pa.table(
-                            {
-                                "doc_id": pa.array(
-                                    td["doc_id"].to_numpy() + shift, pa.uint64()
-                                ),
-                                "dl": td["dl"],
-                            }
-                        )
-                    )
-                dlt = (
-                    pa.concat_tables(dl_tabs)
-                    if dl_tabs
-                    else pa.table({"doc_id": pa.array([], pa.uint64()), "dl": pa.array([], pa.uint32())})
-                )
-                tmp = dl_file + f".tmp-{os.getpid()}"
-                pq.write_table(dlt, tmp, compression="zstd")
-                os.replace(tmp, dl_file)
-
-            out_rows.append({"rpart": k, "n_terms": pq.read_metadata(seg_file).num_rows})
-        return pd.DataFrame(out_rows)
-
-    # full dl map (doc_id → dl over the merged id space), built once on
-    # the driver and broadcast — needed for block-min-dl metadata.  At
-    # 10^12 docs this is per-shard state; here one array.
-    dl_map = np.zeros(n_base + n_delta, np.uint32)
-    for src_dir, off in ((base_dir, 0), (delta_dir, n_base)):
-        sdir = os.path.join(src_dir, "segments")
-        for f in sorted(os.listdir(sdir)):
-            if f.startswith("dl-"):
-                t = pq.read_table(os.path.join(sdir, f))
-                dl_map[t["doc_id"].to_numpy().astype(np.int64) + off] = t["dl"].to_numpy()
-    dl_ref = ray.put(dl_map)
-
-    def merge_with_map(batch: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-
-        batch = batch.copy()
-        batch["dl_map"] = [_ray.get(dl_ref)] * len(batch)
-        return merge_part(batch)
-
-    items = [{"k": k} for k in range(num_parts)]
-    (
-        ray.data.from_items(items)
-        .repartition(num_parts)
-        .map_batches(merge_with_map, batch_size=1, batch_format="pandas")
-        .take_all()
+    return merge_many(
+        [base_dir, delta_dir],
+        out_root,
+        prefix=prefix,
+        fingerprint=fingerprint,
+        publish=publish,
     )
-
-    # merged docs store: copy partition links (cheap hardlinks) with the
-    # delta's doc ids shifted — rewrite delta parts
-    docs_dir = os.path.join(bdir, "docs")
-    os.makedirs(docs_dir, exist_ok=True)
-    _copy_docs(os.path.join(base_dir, "docs"), docs_dir, 0, 0)
-    base_parts = len(
-        [d for d in os.listdir(os.path.join(base_dir, "docs")) if d.startswith("docpart=")]
-    )
-    _copy_docs(os.path.join(delta_dir, "docs"), docs_dir, base_parts, n_base)
-
-    man = {
-        **{k: man_a[k] for k in ("prefix", "field", "analyzer", "num_parts", "block_size", "bm25_k1", "bm25_b")},
-        "fingerprint": fingerprint,
-        "n_docs": n_base + n_delta,
-        "n_docs_with_terms": int(man_a.get("n_docs_with_terms", n_base))
-        + int(man_b.get("n_docs_with_terms", n_delta)),
-        "total_tokens": int(man_a["total_tokens"]) + int(man_b["total_tokens"]),
-        "avgdl": 0.0,  # set below
-        "heavy_terms": [],
-        "n_salt_runs": 1,
-        "run_width": 1 << 60,
-        "merged_from": [man_a["fingerprint"], man_b["fingerprint"]],
-        "partitions": [],
-    }
-    denom = man["n_docs_with_terms"] or 1
-    man["avgdl"] = man["total_tokens"] / denom
-    mf.write_manifest(bdir, man)
-    if publish:
-        mf.publish(out_root, f"{prefix}-{fingerprint}")
-    return man
 
 
 def _copy_docs(src: str, dst: str, part_offset: int, id_offset: int) -> None:
+    import shutil
+
     for d in sorted(os.listdir(src)):
         if not d.startswith("docpart="):
             continue

@@ -116,3 +116,51 @@ def test_merge_many_equals_full_build(ray_session, tmp_path):
     full = _results_by_url(str(tmp_path / "full"))
     for q in QUERIES:
         assert merged[q] == full[q], q
+
+
+def test_merge_carries_extra_chains(ray_session, tmp_path):
+    """A multi-field build's trigram/reverse posting tables survive the
+    merge (previously they were silently dropped — suggesters died)."""
+    import ray.data
+
+    pages = rich_pages_table(40, dup_every=0)
+    kw = dict(num_parts=8, salt_heavy=False, extra_chains=["trigram"])
+    build_index(
+        ray.data.from_arrow(pages.slice(0, 20)), str(tmp_path / "a"), fingerprint="a", **kw
+    )
+    build_index(
+        ray.data.from_arrow(pages.slice(20)), str(tmp_path / "b"), fingerprint="b", **kw
+    )
+    build_index(ray.data.from_arrow(pages), str(tmp_path / "full"), fingerprint="f", **kw)
+
+    man = merge_indexes(str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m"))
+    assert "trigram" in man["chains"]
+
+    merged = IndexReader(str(tmp_path / "m"), chain="trigram")
+    full = IndexReader(str(tmp_path / "full"), chain="trigram")
+    # suggester surface: same shingle dictionary with the same dfs
+    assert merged.prefix_terms("node ", limit=5) == full.prefix_terms("node ", limit=5)
+    assert merged.prefix_terms("quota", limit=5) == full.prefix_terms("quota", limit=5)
+
+
+def test_merge_chain_mismatch_raises(ray_session, tmp_path):
+    import ray.data
+
+    pages = rich_pages_table(20, dup_every=0)
+    build_index(
+        ray.data.from_arrow(pages.slice(0, 10)),
+        str(tmp_path / "a"),
+        fingerprint="a",
+        num_parts=8,
+        salt_heavy=False,
+        extra_chains=["trigram"],
+    )
+    build_index(
+        ray.data.from_arrow(pages.slice(10)),
+        str(tmp_path / "b"),
+        fingerprint="b",
+        num_parts=8,
+        salt_heavy=False,
+    )
+    with pytest.raises(ValueError, match="chains"):
+        merge_indexes(str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m"))
