@@ -5,41 +5,78 @@ The reference's only join-like operation is a broadcast dict lookup
 A data engine needs both canonical distributed shapes:
 
 * :func:`broadcast_join` — small side ``ray.put`` once, every map task
-  reads it zero-copy from the object store and joins its batch with a
-  pandas merge.  No shuffle; the right side must fit in worker memory.
+  reads it zero-copy from the object store and joins its batch with an
+  Arrow hash join.  No shuffle; the right side must fit in worker
+  memory.
 * :func:`hash_join` — both sides large: each side gets a
   ``bucket = hash(key) % B`` column, the bucket datasets are unioned
   with a side tag, ONE ``groupby(bucket)`` co-locates matching keys,
-  and each group joins its two sides locally.  One shuffle total;
-  skew-prone hot keys can be salted by the same doc-range trick the
-  postings build uses (not needed for these key distributions).
+  and each group joins its two sides with one Arrow hash join.  One
+  shuffle total; skew-prone hot keys can be salted by the same
+  doc-range trick the postings build uses (not needed for these key
+  distributions).
+
+Both paths are Arrow end-to-end (``pyarrow.Table.join`` — vectorized
+hash join, no pandas object-dtype round-trip).  Keys may be integers
+or strings; anything else is bucketed by its string form.
 """
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 __all__ = ["broadcast_join", "hash_join"]
 
+_HOW = {"inner": "inner", "left": "left outer", "right": "right outer", "outer": "full outer"}
+
+
+def _as_table(small) -> pa.Table:
+    if isinstance(small, pa.Table):
+        return small
+    return pa.Table.from_pandas(small, preserve_index=False)
+
 
 def broadcast_join(
     ds,
-    small_df: pd.DataFrame,
+    small_df,
     on: str,
     how: str = "inner",
 ):
-    """Join a Dataset against a small in-memory table (broadcast once)."""
+    """Join a Dataset against a small in-memory table (broadcast once).
+
+    ``small_df`` may be a ``pyarrow.Table`` or a pandas ``DataFrame``.
+    """
     import ray
 
-    ref = ray.put(small_df)
+    join_type = _HOW[how]
+    ref = ray.put(_as_table(small_df))
 
-    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    def join_batch(batch: pa.Table) -> pa.Table:
         small = ray.get(ref)
-        return batch.merge(small, on=on, how=how)
+        return batch.join(small, keys=on, join_type=join_type)
 
-    return ds.map_batches(join_batch, batch_format="pandas")
+    return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket per key value (ints by value, strings by
+    crc32, everything else by its string form)."""
+    if pa.types.is_integer(col.type):
+        keys = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return (keys % num_buckets).astype(np.int32)
+    vals = col.to_pylist()
+    return np.fromiter(
+        (
+            zlib.crc32(v.encode() if isinstance(v, str) else str(v).encode())
+            % num_buckets
+            for v in vals
+        ),
+        np.int32,
+        len(vals),
+    )
 
 
 def hash_join(
@@ -50,12 +87,14 @@ def hash_join(
     how: str = "inner",
     suffixes: tuple[str, str] = ("_l", "_r"),
 ):
-    """Partitioned hash join of two Datasets on an integer key.
+    """Partitioned hash join of two Datasets on one key column.
 
     ``union`` needs one schema, so each side is padded with the other
     side's columns as nulls before the tag; the per-bucket join then
-    re-selects each side's true columns.
+    re-selects each side's true columns and runs one Arrow hash join.
+    Size ``num_buckets`` to ~2× the reducer slots of the cluster.
     """
+    join_type = _HOW[how]
     left_schema = left.schema()
     right_schema = right.schema()
     left_cols = list(left_schema.names)
@@ -68,14 +107,12 @@ def hash_join(
 
     def tag(side: int, have: list[str]):
         def fn(t: pa.Table) -> pa.Table:
-            keys = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            bucket = _bucket_of(t[on], num_buckets)
             for c in all_cols:
                 if c not in have:
                     t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
             t = t.select(all_cols)
-            t = t.append_column(
-                "__bucket", pa.array((keys % num_buckets).astype(np.int32))
-            )
+            t = t.append_column("__bucket", pa.array(bucket))
             return t.append_column(
                 "__side", pa.array(np.full(t.num_rows, side, np.int8))
             )
@@ -86,9 +123,16 @@ def hash_join(
         right.map_batches(tag(1, right_cols), batch_format="pyarrow")
     )
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group.loc[group["__side"] == 0, left_cols]
-        r = group.loc[group["__side"] == 1, right_cols]
-        return l.merge(r, on=on, how=how, suffixes=suffixes)
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        l = group.filter(pa.array(side == 0)).select(left_cols)
+        r = group.filter(pa.array(side == 1)).select(right_cols)
+        return l.join(
+            r,
+            keys=on,
+            join_type=join_type,
+            left_suffix=suffixes[0],
+            right_suffix=suffixes[1],
+        )
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

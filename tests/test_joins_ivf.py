@@ -100,3 +100,22 @@ def test_knn_ivf_recall_vs_exact(vec_ds2):
         a = set(approx[approx["query_id"] == qi]["neighbor_id"])
         hits += len(e & a)
     assert hits >= 10  # ≥50% recall on random data with 3/8 probes
+
+
+def test_hash_join_string_keys(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.ops.join import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(["a", "b", "c", "a"]), "v": pa.array([1, 2, 3, 4])})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array(["a", "b", "d"]), "w": pa.array([10, 20, 40])})
+    )
+    got = hash_join(left, right, on="k", num_buckets=4).to_pandas()
+    got = got.sort_values(["k", "v"]).reset_index(drop=True)
+    assert got["k"].tolist() == ["a", "a", "b"]
+    assert got["v"].tolist() == [1, 4, 2]
+    assert got["w"].tolist() == [10, 10, 20]
