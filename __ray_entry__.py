@@ -103,12 +103,16 @@ def q_extract_text(sf_dir: str) -> pa.Table:
 
 def q_docs_table(sf_dir: str) -> pa.Table:
     """Full phase-1: extract → dedup(last-writer-wins) → dense doc ids →
-    reference assembly recipe (T4)."""
-    from docs_indexer_ray.pipelines.flagship import docs_dataset, pages_dataset
+    reference assembly recipe (T4), served from the on-disk docs store
+    (same code path as the index build — ``stages/docstore.py``)."""
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset
 
-    ds, _ = docs_dataset(pages_dataset(sf_dir))
-    ds = ds.select_columns(["doc_id", "url", "uri", "title", "body", "text"])
-    return _as_i64(_concat(ds), ["doc_id"])
+    ds, _ = docs_store_dataset(
+        sf_dir, columns=["doc_id", "url", "uri", "title", "body", "text"]
+    )
+    return _as_i64(_concat(ds).select(
+        ["doc_id", "url", "uri", "title", "body", "text"]
+    ), ["doc_id"])
 
 
 def q_token_count(sf_dir: str) -> pa.Table:
@@ -240,9 +244,11 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
 
 def q_keyword_date_filter(sf_dir: str) -> pa.Table:
     """Keyword + date-range predicate over the docs table (D6/D7)."""
-    from docs_indexer_ray.pipelines.flagship import docs_dataset, pages_dataset
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset
 
-    ds, _ = docs_dataset(pages_dataset(sf_dir))
+    ds, _ = docs_store_dataset(
+        sf_dir, columns=["doc_id", "url", "warc_ts", "breadcrumb_1"]
+    )
     cutoff = pa.scalar(np.datetime64("2025-01-01T00:05:00", "us"), pa.timestamp("us"))
 
     def flt(t: pa.Table) -> pa.Table:

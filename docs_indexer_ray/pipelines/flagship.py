@@ -31,13 +31,33 @@ def pages_dataset(sf_dir: str, expand: int = 1):
 
 
 def docs_dataset(pages_ds):
-    """Phase-1 pipeline in memory: extract → dedup → dense doc ids."""
+    """Phase-1 pipeline in memory: extract → dedup → dense doc ids.
+
+    Composition surface for arbitrary pages Datasets (tested in
+    pytest); the sf_dir entry points below go through
+    :func:`docs_store_dataset` instead — ONE code path with the real
+    build (`stages/docstore.py`), no mid-pipeline materialization."""
     ds = pages_ds.map_batches(
         ExtractAssemble(), batch_format="pyarrow", batch_size=256
     )
     ds = dedup_latest(ds).materialize()
     ds, n_docs = assign_doc_ids(ds)
     return ds, n_docs
+
+
+def docs_store_dataset(sf_dir: str, columns: list[str] | None = None):
+    """Streaming Dataset over the cached on-disk docs store for
+    ``sf_dir`` (built by the same ``build_docs_store`` path the index
+    build uses — the reference's stored-fields table, D9).  Returns
+    ``(dataset, n_docs)``; pass ``columns`` to prune the read."""
+    import ray.data
+
+    from ..index import manifest as mf
+
+    res, root = ensure_index(sf_dir, chain="simple", field="body")
+    bdir = mf.current_build(root)
+    ds = ray.data.read_parquet(os.path.join(bdir, "docs"), columns=columns)
+    return ds, int(res["n_docs"])
 
 
 def ensure_index(
