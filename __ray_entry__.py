@@ -388,6 +388,31 @@ def q_reverse_suggest(sf_dir: str) -> pa.Table:
     )
 
 
+def q_did_you_mean(sf_dir: str) -> pa.Table:
+    """Phrase suggester (the reference's OpenSearch 'did you mean'
+    surface, common.py:10-27): misspelled flagship query → corrected
+    phrase candidates ranked by trigram similarity then df."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.suggest import Suggester
+
+    _, root = ensure_index(sf_dir, chain="english", field="text")
+    sug = Suggester(IndexReader(root))
+    rows_q, rows_s, rows_sc = [], [], []
+    for q in ("tabel scan merje slow", "custmer order data"):
+        for phrase, score in sug.suggest(q):
+            rows_q.append(q)
+            rows_s.append(phrase)
+            rows_sc.append(float(score))
+    return pa.table(
+        {
+            "query": pa.array(rows_q, pa.string()),
+            "suggestion": pa.array(rows_s, pa.string()),
+            "score": pa.array(rows_sc, pa.float64()),
+        }
+    )
+
+
 def q_mm_decode(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -618,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "trigram_suggest": q_trigram_suggest,
         "reverse_suggest": q_reverse_suggest,
+        "did_you_mean": q_did_you_mean,
         "mm_decode": q_mm_decode,
         "winnow": q_winnow,
         "highlight": q_highlight,

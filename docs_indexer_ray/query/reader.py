@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.codec import varint_decode
@@ -143,32 +144,64 @@ class IndexReader:
         """The reference integration test's only query (D10)."""
         return self.n_docs
 
+    def term_dictionary(self) -> tuple[np.ndarray, np.ndarray]:
+        """The loaded term dictionary: ``(sorted_terms, total_dfs)``.
+
+        Loaded ONCE per reader (the term-dictionary state of a query
+        actor — SURVEY §7 step 7) from each segment file's (term, df)
+        columns; df sums across a term's runs (salted / merged rows).
+        At 10^12 docs the dictionary shards with the query actors —
+        each actor serves a term-hash range and loads only its
+        partitions' dictionaries; this single-node reader loads all.
+        """
+        if getattr(self, "_term_dict", None) is None:
+            parts = []
+            for fname in sorted(os.listdir(self._seg_dir)):
+                if fname.startswith("seg-"):
+                    parts.append(
+                        pq.read_table(
+                            os.path.join(self._seg_dir, fname), columns=["term", "df"]
+                        )
+                    )
+            if not parts:
+                self._term_dict = (np.empty(0, object), np.empty(0, np.int64))
+            else:
+                t = pa.concat_tables(parts)
+                terms = np.asarray(t["term"].to_pylist(), dtype=object)
+                dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(terms, kind="mergesort")
+                terms, dfs = terms[order], dfs[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], terms[1:] != terms[:-1]))
+                )
+                self._term_dict = (
+                    terms[starts],
+                    np.add.reduceat(dfs, starts),
+                )
+        return self._term_dict
+
+    def term_df(self, term: str) -> int:
+        """Total df of one term (0 if absent) via the dictionary."""
+        terms, dfs = self.term_dictionary()
+        i = np.searchsorted(terms, term)
+        if i < len(terms) and terms[i] == term:
+            return int(dfs[i])
+        return 0
+
     def prefix_terms(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
         """Terms starting with ``prefix``, by descending total df (term
         asc tie-break) — the suggester primitive behind the trigram /
-        reverse sub-fields (D2/D3).  Scans only (term, df) columns;
-        term-sorted row groups let Parquet statistics prune."""
-        agg: dict[str, int] = {}
-        hi = prefix + "￿"
-        for fname in sorted(os.listdir(self._seg_dir)):
-            if not fname.startswith("seg-"):
-                continue
-            f = pq.ParquetFile(os.path.join(self._seg_dir, fname))
-            groups = [
-                i
-                for i in range(f.metadata.num_row_groups)
-                if _rg_overlaps(f.metadata.row_group(i), prefix, hi)
-            ]
-            if not groups:
-                continue
-            t = f.read_row_groups(groups, columns=["term", "df"])
-            terms = np.asarray(t["term"].to_pylist(), dtype=object)
-            dfs = t["df"].to_numpy(zero_copy_only=False)
-            for term, df in zip(terms, dfs):
-                if term.startswith(prefix):
-                    agg[term] = agg.get(term, 0) + int(df)
-        top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
-        return top[:limit]
+        reverse sub-fields (D2/D3).  A binary-search range over the
+        loaded term dictionary: O(log V + hits) per call instead of a
+        per-call scan of every segment file."""
+        terms, dfs = self.term_dictionary()
+        lo = np.searchsorted(terms, prefix)
+        hi = np.searchsorted(terms, prefix + "￿")
+        top = sorted(
+            zip(terms[lo:hi].tolist(), dfs[lo:hi].tolist()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        return [(t, int(d)) for t, d in top[:limit]]
 
 
 def _rg_may_contain(rg_meta, term: str) -> bool:
@@ -179,8 +212,3 @@ def _rg_may_contain(rg_meta, term: str) -> bool:
     return st.min <= term <= st.max
 
 
-def _rg_overlaps(rg_meta, lo: str, hi: str) -> bool:
-    st = rg_meta.column(0).statistics
-    if st is None or not st.has_min_max:
-        return True
-    return not (st.max < lo or st.min > hi)

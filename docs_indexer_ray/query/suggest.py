@@ -1,0 +1,137 @@
+"""'Did you mean' phrase suggester over the index's term dictionary.
+
+The reference feeds OpenSearch's *phrase suggester* with a
+trigram-shingle analyzer and a reverse analyzer
+(``/root/reference/common.py:10-27``; ``mappings/hugo.json:63-70``) —
+candidate generation by character-n-gram overlap against the indexed
+vocabulary, ranked by a mix of string similarity and term frequency.
+This module rebuilds that capability directly:
+
+* a **character-trigram index** over the term dictionary (built once
+  per :class:`Suggester`, i.e. once per query actor) maps each padded
+  trigram ``^te``, ``ter``, … to the terms containing it;
+* for an input token absent from (or rare in) the vocabulary,
+  candidates are every term sharing ≥1 trigram, scored by trigram
+  **Jaccard** similarity with df as the tiebreak (similar strings
+  first, then the more frequent term — the suggester's "popular"
+  mode);
+* :meth:`suggest` corrects each token of a query phrase independently
+  and returns re-assembled phrase suggestions with a combined score —
+  the phrase-suggester surface the reference exposes to its search UI.
+
+Scale note: the trigram index is vocabulary-sized (× avg term length)
+— per-actor state, sharded with the term dictionary at 10^12 docs.
+All ranking is deterministic (similarity desc, df desc, term asc).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .reader import IndexReader
+
+__all__ = ["Suggester"]
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _trigrams(term: str) -> set[str]:
+    padded = f"^{term}$"
+    if len(padded) < 3:
+        return {padded}
+    return {padded[i : i + 3] for i in range(len(padded) - 2)}
+
+
+class Suggester:
+    """Per-actor suggester state over one index chain's vocabulary.
+
+    ``min_df`` — tokens with df below this are considered misspelled
+    and get correction candidates; ``min_sim`` — minimum trigram
+    Jaccard for a candidate to be proposed.
+    """
+
+    def __init__(
+        self,
+        reader: IndexReader,
+        min_df: int = 1,
+        min_sim: float = 0.25,
+        max_len_diff: int = 2,
+    ):
+        self.reader = reader
+        self.min_df = min_df
+        self.min_sim = min_sim
+        self.max_len_diff = max_len_diff
+        terms, dfs = reader.term_dictionary()
+        self.terms = terms
+        self.dfs = dfs
+        self._tri: dict[str, list[int]] = {}
+        for i, term in enumerate(terms):
+            for g in _trigrams(term):
+                self._tri.setdefault(g, []).append(i)
+        self._term_tris = [_trigrams(t) for t in terms]
+
+    def correct_token(self, token: str, limit: int = 3) -> list[tuple[str, float, int]]:
+        """Candidate corrections ``(term, similarity, df)`` for one
+        token, best first; empty if nothing clears ``min_sim``."""
+        tris = _trigrams(token)
+        counts: dict[int, int] = {}
+        for g in tris:
+            for i in self._tri.get(g, ()):
+                counts[i] = counts.get(i, 0) + 1
+        out = []
+        for i, inter in counts.items():
+            term = self.terms[i]
+            if abs(len(term) - len(token)) > self.max_len_diff:
+                continue
+            union = len(tris) + len(self._term_tris[i]) - inter
+            sim = inter / union
+            if sim >= self.min_sim and term != token:
+                out.append((term, sim, int(self.dfs[i])))
+        out.sort(key=lambda c: (-c[1], -c[2], c[0]))
+        return out[:limit]
+
+    def suggest(self, text: str, max_suggestions: int = 3) -> list[tuple[str, float]]:
+        """Phrase suggestions for a query, best first.
+
+        Each low-df token is independently corrected; the phrase score
+        is the product of per-token similarities (kept tokens score 1).
+        Returns only phrases that changed something — an empty list
+        means the query looks fine (the "did you mean" banner stays
+        hidden, matching the reference UI behavior)."""
+        tokens = _TOKEN_RE.findall(text.lower())
+        per_token: list[list[tuple[str, float]]] = []
+        any_changed = False
+        for tok in tokens:
+            if self.reader.term_df(tok) >= self.min_df:
+                per_token.append([(tok, 1.0)])
+                continue
+            cands = self.correct_token(tok, limit=max_suggestions)
+            if cands:
+                any_changed = True
+                per_token.append([(term, sim) for term, sim, _ in cands])
+            else:
+                per_token.append([(tok, 1.0)])
+        if not any_changed or not tokens:
+            return []
+        # beam over per-token candidates (first candidate everywhere,
+        # then single-token alternates) — deterministic, no blowup
+        best = [c[0] for c in per_token]
+        phrases: list[tuple[str, float]] = []
+        seen = set()
+
+        def add(choice: list[tuple[str, float]]):
+            phrase = " ".join(term for term, _ in choice)
+            if phrase in seen:
+                return
+            seen.add(phrase)
+            score = float(np.prod([s for _, s in choice]))
+            phrases.append((phrase, score))
+
+        add(best)
+        for i, cands in enumerate(per_token):
+            for alt in cands[1:]:
+                add(best[:i] + [alt] + best[i + 1 :])
+        phrases.sort(key=lambda p: (-p[1], p[0]))
+        return phrases[:max_suggestions]

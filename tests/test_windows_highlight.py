@@ -93,3 +93,67 @@ def test_best_snippet_window():
 def test_match_spans_simple_chain():
     spans = match_spans("Alpha beta ALPHA", {"alpha"}, chain="simple")
     assert spans == [(0, 5), (11, 16)]
+
+
+# ---- did-you-mean suggester ----------------------------------------------
+
+
+def test_did_you_mean_corrects_misspellings(ray_session, tmp_path):
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.suggest import Suggester
+    from docs_indexer_ray.synth import rich_pages_table
+
+    build_index(
+        ray.data.from_arrow(rich_pages_table(40, dup_every=0)),
+        str(tmp_path / "idx"),
+        fingerprint="s",
+        num_parts=8,
+        salt_heavy=False,
+        chain="english",
+    )
+    sug = Suggester(IndexReader(str(tmp_path / "idx")))
+
+    # single-token corrections: vocabulary contains node/pools/quota
+    cands = sug.correct_token("noode")
+    assert cands and cands[0][0] == "node"
+    cands = sug.correct_token("quta")
+    assert cands and cands[0][0] == "quota"
+
+    # phrase surface: misspelled phrase → corrected phrase, best first
+    got = sug.suggest("noode quta limit")
+    assert got and got[0][0] == "node quota limit"
+    # a clean query produces NO banner
+    assert sug.suggest("node quota") == []
+
+
+def test_prefix_terms_dictionary_shape(ray_session, tmp_path):
+    """prefix_terms via the loaded dictionary matches a brute scan."""
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    build_index(
+        ray.data.from_arrow(rich_pages_table(30, dup_every=0)),
+        str(tmp_path / "idx2"),
+        fingerprint="p",
+        num_parts=8,
+        salt_heavy=True,
+        heavy_df_ratio=0.2,
+        n_salt_runs=4,
+        chain="english",
+    )
+    reader = IndexReader(str(tmp_path / "idx2"))
+    terms, dfs = reader.term_dictionary()
+    want = sorted(
+        ((t, int(d)) for t, d in zip(terms, dfs) if t.startswith("po")),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert reader.prefix_terms("po", limit=10) == want
+    # df is summed across a salted term's runs: every df must equal the
+    # true document frequency (≤ n_docs)
+    assert (dfs <= reader.n_docs).all()
