@@ -242,6 +242,26 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_match_phrase(sf_dir: str) -> pa.Table:
+    """Exact phrase query over a positions build (the reference's
+    with_positions_offsets term vectors, mappings/hugo.json:6,48,60):
+    every doc containing "table hash" consecutively + occurrence count."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.phrase import match_phrase
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(
+        sf_dir, chain="simple", field="body", store_positions=True
+    )
+    hits = match_phrase(IndexReader(root), ["table", "hash"])
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "phrase_freq": pa.array([f for _, f in hits], pa.int64()),
+        }
+    )
+
+
 def q_keyword_date_filter(sf_dir: str) -> pa.Table:
     """Keyword + date-range predicate over the docs table (D6/D7)."""
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset
@@ -629,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": q_index_stats,
         "match_all_count": q_match_all_count,
         "bm25_topk": q_bm25_topk,
+        "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
         "window_agg": q_window_agg,
         "sessionize": q_sessionize,
@@ -765,6 +786,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
                    CAST(doc_id AS BIGINT) AS doc_id
             FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "match_phrase": f"""
+            WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+            tok AS (SELECT doc_id, unnest({toks_body}) AS term,
+                           generate_subscripts({toks_body}, 1) AS pos
+                    FROM docs)
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS phrase_freq
+            FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'table' AND b.term = 'hash'
+            GROUP BY a.doc_id ORDER BY a.doc_id
         """,
         "window_agg": """
             SELECT CAST(user_id AS BIGINT) AS user_id,

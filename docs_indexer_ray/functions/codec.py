@@ -30,6 +30,8 @@ __all__ = [
     "varint_decode",
     "encode_postings",
     "decode_postings",
+    "encode_positions",
+    "decode_positions_block",
     "BLOCK_SIZE",
 ]
 
@@ -159,6 +161,66 @@ def decode_postings(
             hi = min(lo + block_size, n)
             doc_ids[lo:hi] = np.cumsum(deltas[lo:hi], dtype=np.uint64)
     return doc_ids, tfs
+
+
+def encode_positions(
+    positions_per_posting: list[np.ndarray],
+    block_size: int = BLOCK_SIZE,
+) -> tuple[bytes, np.ndarray]:
+    """Encode per-posting position lists (ascending, posting order).
+
+    Layout mirrors the posting streams: one varint chunk per BLOCK of
+    postings; within a block, each posting's positions are
+    delta-encoded with an absolute restart at the posting boundary, so
+    a block's positions decode given only the block's tfs (the
+    per-posting lengths).  Returns ``(pos_enc, block_pos_offsets)``
+    (``n_blocks + 1`` byte offsets).
+    """
+    n = len(positions_per_posting)
+    n_blocks = (n + block_size - 1) // block_size
+    offsets = np.empty(n_blocks + 1, dtype=np.uint32)
+    offsets[0] = 0
+    chunks = []
+    for b in range(n_blocks):
+        plists = [
+            np.ascontiguousarray(p, dtype=np.uint64)
+            for p in positions_per_posting[b * block_size : (b + 1) * block_size]
+        ]
+        flat = np.concatenate(plists) if plists else np.empty(0, np.uint64)
+        if len(flat):
+            deltas = np.empty_like(flat)
+            deltas[0] = flat[0]
+            np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+            starts = np.cumsum([0, *(len(p) for p in plists[:-1])])
+            starts = starts[np.fromiter((len(p) for p in plists), np.int64) > 0]
+            deltas[starts] = flat[starts]  # absolute restart per posting
+            enc = varint_encode(deltas)
+        else:
+            enc = b""
+        chunks.append(enc)
+        offsets[b + 1] = offsets[b] + len(enc)
+    return b"".join(chunks), offsets
+
+
+def decode_positions_block(
+    pos_enc_block: bytes | memoryview,
+    tfs_block: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One block's position stream → ``(flat_positions,
+    posting_offsets)``; posting ``j``'s positions are
+    ``flat[offsets[j]:offsets[j+1]]`` (``offsets = cumsum(tfs)``)."""
+    deltas = varint_decode(pos_enc_block)
+    offs = np.concatenate(([0], np.cumsum(np.asarray(tfs_block, np.int64))))
+    if len(deltas) == 0:
+        return deltas, offs
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    # undo cross-posting accumulation: subtract each posting's prefix
+    prefix = np.zeros(len(offs) - 1, np.uint64)
+    nonfirst = offs[:-1] > 0
+    prefix[nonfirst] = cs[offs[:-1][nonfirst] - 1]
+    lens = np.diff(offs)
+    flat = cs - np.repeat(prefix, lens)
+    return flat, offs
 
 
 def decode_block(

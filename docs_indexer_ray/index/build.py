@@ -130,6 +130,7 @@ def _build_chain_segments(
     salt_heavy: bool,
     heavy_df_ratio: float,
     n_salt_runs: int,
+    store_positions: bool = False,
 ) -> dict:
     """Tokenize → map-output-file postings spill → per-partition encode
     for ONE analyzer chain; returns the chain's manifest fragment.
@@ -168,6 +169,7 @@ def _build_chain_segments(
             num_parts=num_parts,
             heavy_terms=frozenset(heavy),
             run_width=run_width,
+            store_positions=store_positions,
         ),
         batch_format="pyarrow",
         batch_size=16384,
@@ -232,6 +234,7 @@ def build_index(
     docpart_boundaries: list[str] | None = None,
     scratch_dir: str | None = None,
     extra_chains: list[str] | tuple[str, ...] = (),
+    store_positions: bool = False,
 ) -> IndexBuildResult:
     """Build (or resume) an index from a pages Dataset; returns manifest.
 
@@ -323,6 +326,7 @@ def build_index(
         salt_heavy=salt_heavy,
         heavy_df_ratio=heavy_df_ratio,
         n_salt_runs=n_salt_runs,
+        store_positions=store_positions,
     )
 
     # D8 multi-field parity: one docs store, extra analyzer chains each
@@ -357,6 +361,7 @@ def build_index(
         "n_extract_errors": docs_meta.get("n_extract_errors", 0),
         "bm25_k1": 1.2,
         "bm25_b": 0.75,
+        "store_positions": bool(store_positions),
         **chain_stats,
         "chains": extras,
         "timings_s": {

@@ -61,6 +61,12 @@ SEGMENT_SCHEMA = pa.schema(
     ]
 )
 
+# positions variant (build flag store_positions — the reference's
+# "term_vector": "with_positions_offsets", mappings/hugo.json:6,48,60)
+SEGMENT_SCHEMA_POS = SEGMENT_SCHEMA.append(
+    pa.field("pos_enc", pa.binary())
+).append(pa.field("block_pos_offsets", pa.list_(pa.uint32())))
+
 
 def segment_path(seg_dir: str, rpart: int) -> str:
     return os.path.join(seg_dir, f"seg-{rpart:05d}.parquet")
@@ -99,6 +105,7 @@ def encode_partition_codes(
     dl: np.ndarray,
     rpart: int,
     block_size: int = 128,
+    positions: np.ndarray | None = None,
 ) -> pa.Table:
     """Vectorized encode of one partition's postings → segment rows.
 
@@ -106,10 +113,16 @@ def encode_partition_codes(
     integer ``np.lexsort`` over the whole partition, then run-length
     term boundaries; the per-term inner encode is numpy-vectorized
     (``codec.encode_postings``), so the only Python-level loop is over
-    *distinct terms*, not postings.
+    *distinct terms*, not postings.  ``positions`` (object array of
+    per-posting position lists, aligned with ``doc_id``) adds the
+    position streams of the SCHEMA_POS variant.
     """
+    from ..functions.codec import encode_positions
+
     order = np.lexsort((doc_id, codes))
     codes, doc_id, tf, dl = codes[order], doc_id[order], tf[order], dl[order]
+    if positions is not None:
+        positions = positions[order]
     term = sorted_terms[codes]
     # term run boundaries
     change = np.empty(len(codes), dtype=bool)
@@ -118,7 +131,8 @@ def encode_partition_codes(
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], len(codes))
 
-    rows = {name: [] for name in SEGMENT_SCHEMA.names}
+    schema = SEGMENT_SCHEMA if positions is None else SEGMENT_SCHEMA_POS
+    rows = {name: [] for name in schema.names}
     for s, e in zip(starts, ends):
         enc = encode_postings(doc_id[s:e], tf[s:e], dl[s:e], block_size)
         rows["term"].append(term[s])
@@ -134,7 +148,11 @@ def encode_partition_codes(
         rows["block_min_dl"].append(enc["block_min_dl"])
         rows["max_tf"].append(enc["max_tf"])
         rows["min_dl"].append(enc["min_dl"])
-    return pa.Table.from_pydict(rows, schema=SEGMENT_SCHEMA)
+        if positions is not None:
+            pos_enc, pos_offs = encode_positions(list(positions[s:e]), block_size)
+            rows["pos_enc"].append(pos_enc)
+            rows["block_pos_offsets"].append(pos_offs)
+    return pa.Table.from_pydict(rows, schema=schema)
 
 
 def encode_spill_files(
@@ -185,10 +203,9 @@ def encode_spill_files(
             "tasks (shared FS, or node-local only on a single node)"
         )
     dset = pads.dataset(spill_files, format="parquet")
-    t = dset.to_table(
-        filter=pads.field("rpart") == rpart,
-        columns=["term", "doc_id", "tf", "dl", "dlc"],
-    )
+    has_pos = "pos" in dset.schema.names
+    cols = ["term", "doc_id", "tf", "dl", "dlc"] + (["pos"] if has_pos else [])
+    t = dset.to_table(filter=pads.field("rpart") == rpart, columns=cols)
     if t.num_rows == 0:
         return {
             "rpart": rpart,
@@ -207,6 +224,10 @@ def encode_spill_files(
     rank_of[order_terms] = np.arange(len(uniq))
     sorted_uniq = uniq[order_terms]
 
+    positions = None
+    if has_pos:
+        positions = np.empty(t.num_rows, dtype=object)
+        positions[:] = [np.asarray(p, np.uint64) for p in t["pos"].to_pylist()]
     seg = encode_partition_codes(
         rank_of[codes],
         sorted_uniq,
@@ -215,6 +236,7 @@ def encode_spill_files(
         t["dl"].to_numpy(zero_copy_only=False).astype(np.uint64),
         rpart,
         block_size,
+        positions=positions,
     )
     _atomic_write(seg, seg_file)
 

@@ -69,7 +69,11 @@ def ensure_index(
     **build_kw,
 ):
     """Build-or-reuse the index for ``sf_dir`` with this analyzer/field."""
-    prefix = f"{chain}-{field}" + (f"-x{expand}" if expand > 1 else "")
+    prefix = (
+        f"{chain}-{field}"
+        + ("-pos" if build_kw.get("store_positions") else "")
+        + (f"-x{expand}" if expand > 1 else "")
+    )
     out_root = os.path.join(CACHE_ROOT, prefix)
     os.makedirs(out_root, exist_ok=True)
     from ..index import manifest as mf
@@ -77,7 +81,8 @@ def ensure_index(
 
     fp = mf.input_fingerprint(
         [os.path.join(sf_dir, "documents.parquet")],
-        config=f"{chain}|{field}|x{expand}",
+        config=f"{chain}|{field}|x{expand}"
+        + ("|pos" if build_kw.get("store_positions") else ""),
     )
     res = build_index(
         pages_dataset(sf_dir, expand=expand),

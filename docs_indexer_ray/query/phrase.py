@@ -1,0 +1,81 @@
+"""Exact phrase matching over position postings (D4 positions parity).
+
+The reference stores ``"term_vector": "with_positions_offsets"``
+(``/root/reference/mappings/hugo.json:6,48,60``) so OpenSearch can run
+``match_phrase``.  With a positions build
+(``build_index(store_positions=True)``) this module recovers that
+capability: a phrase of analyzed terms matches a document when the
+terms occur at consecutive positions, and ``phrase_freq`` counts the
+occurrences (overlaps included — positional semantics, not substring
+replace counting).
+
+Algorithm: decode each term's postings + positions once (reader-cached
+``TermPostings``), intersect the doc-id lists, then per surviving doc
+intersect ``positions(term_i) + 1`` with ``positions(term_{i+1})`` —
+the classic positional-intersection phrase walk, vectorized per doc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .reader import IndexReader
+
+__all__ = ["match_phrase", "phrase_topk"]
+
+
+def match_phrase(reader: IndexReader, terms: list[str]) -> list[tuple[int, int]]:
+    """All ``(doc_id, phrase_freq)`` with freq ≥ 1, doc_id ascending."""
+    if not terms:
+        return []
+    tps = [reader.postings(t) for t in terms]
+    if any(tp is None for tp in tps):
+        return []
+    decoded = []
+    for tp in tps:
+        ids, _ = tp.decode_all()
+        flat, offs = tp.decode_all_positions()
+        decoded.append((ids, flat, offs))
+
+    common = decoded[0][0]
+    for ids, _, _ in decoded[1:]:
+        common = np.intersect1d(common, ids, assume_unique=True)
+    out: list[tuple[int, int]] = []
+    for doc in common:
+        cur = None
+        for i, (ids, flat, offs) in enumerate(decoded):
+            j = int(np.searchsorted(ids, doc))
+            pos = flat[offs[j] : offs[j + 1]].astype(np.int64) - i
+            cur = pos if cur is None else np.intersect1d(cur, pos, assume_unique=True)
+            if len(cur) == 0:
+                break
+        if cur is not None and len(cur):
+            out.append((int(doc), int(len(cur))))
+    return out
+
+
+def phrase_topk(
+    reader: IndexReader, terms: list[str], k: int = 10
+) -> list[tuple[int, float]]:
+    """BM25-scored phrase top-k: the phrase acts as one pseudo-term
+    with ``tf = phrase_freq`` and ``idf = Σ idf(term_i)`` (Lucene's
+    phrase-query scoring recipe), doc-id tiebreak ascending."""
+    import math
+
+    hits = match_phrase(reader, terms)
+    if not hits:
+        return []
+    n = reader.n_docs
+    avgdl = reader.avgdl or 1.0
+    idf = 0.0
+    for t in terms:
+        df = reader.term_df(t)
+        idf += math.log(1 + (n - df + 0.5) / (df + 0.5))
+    k1, b = 1.2, 0.75
+    scored = []
+    for doc, freq in hits:
+        dl = float(reader.doclens[doc])
+        tfn = freq / (freq + k1 * (1 - b + b * dl / avgdl))
+        scored.append((doc, idf * tfn))
+    scored.sort(key=lambda h: (-h[1], h[0]))
+    return scored[:k]

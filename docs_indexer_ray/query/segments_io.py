@@ -25,6 +25,8 @@ class _Run:
     tfs_enc: bytes
     id_offsets: np.ndarray  # uint32, n_blocks+1
     tf_offsets: np.ndarray
+    pos_enc: bytes | None = None  # positions build only
+    pos_offsets: np.ndarray | None = None
 
 
 @dataclass
@@ -56,6 +58,10 @@ class TermPostings:
                     r["tfs_enc"],
                     np.asarray(r["block_id_offsets"], np.uint32),
                     np.asarray(r["block_tf_offsets"], np.uint32),
+                    r.get("pos_enc"),
+                    np.asarray(r["block_pos_offsets"], np.uint32)
+                    if r.get("block_pos_offsets") is not None
+                    else None,
                 )
             )
             last.append(np.asarray(r["block_last"], np.uint64))
@@ -92,6 +98,42 @@ class TermPostings:
             memoryview(run.tfs_enc)[run.tf_offsets[lb] : run.tf_offsets[lb + 1]]
         )
         return np.cumsum(ids, dtype=np.uint64), tfs
+
+    @property
+    def has_positions(self) -> bool:
+        return bool(self._runs) and self._runs[0].pos_enc is not None
+
+    def decode_all_positions(self) -> tuple[np.ndarray, np.ndarray]:
+        """``(flat_positions, posting_offsets)`` across all runs, in the
+        same posting order as :meth:`decode_all`; posting ``j``'s
+        positions are ``flat[offs[j]:offs[j+1]]``.  Requires a
+        positions build (``store_positions=True``)."""
+        from ..functions.codec import decode_positions_block
+
+        if not self.has_positions:
+            raise ValueError(
+                f"term {self.term!r}: index was built without positions "
+                "(build_index(store_positions=True))"
+            )
+        flat_parts, len_parts = [], []
+        for run in self._runs:
+            nb = len(run.id_offsets) - 1
+            for b in range(nb):
+                tfs = varint_decode(
+                    memoryview(run.tfs_enc)[run.tf_offsets[b] : run.tf_offsets[b + 1]]
+                )
+                flat, _ = decode_positions_block(
+                    memoryview(run.pos_enc)[
+                        run.pos_offsets[b] : run.pos_offsets[b + 1]
+                    ],
+                    tfs,
+                )
+                flat_parts.append(flat)
+                len_parts.append(tfs.astype(np.int64))
+        flat_all = np.concatenate(flat_parts) if flat_parts else np.empty(0, np.uint64)
+        lens = np.concatenate(len_parts) if len_parts else np.empty(0, np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        return flat_all, offs
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         """Fully decoded (doc_ids, tfs); memoized — the reader caches

@@ -119,12 +119,14 @@ class Tokenizer:
         num_parts: int = 32,
         heavy_terms: frozenset[str] | set[str] | None = None,
         run_width: int = 1 << 60,
+        store_positions: bool = False,
     ):
         self.field = field
         self.analyzer = Analyzer(chain)
         self.num_parts = num_parts
         self.heavy = frozenset(heavy_terms or ())
         self.run_width = max(1, run_width)
+        self.store_positions = store_positions
         self._part_cache: dict[str, int] = {}
 
     def _part(self, term: str) -> int:
@@ -144,23 +146,37 @@ class Tokenizer:
         out_dl: list[int] = []
         out_rpart: list[int] = []
         out_dlc: list[bool] = []
+        out_pos: list[list[int]] = []
         analyze = self.analyzer
         heavy = self.heavy
         num_parts = self.num_parts
         rw = self.run_width
+        positions = self.store_positions
         for i, text in enumerate(texts):
             toks = analyze(text if text is not None else "")
             dl = len(toks)
             did = int(doc_ids[i])
             run_of_doc = did // rw
             first = True  # dl-carrier: exactly one posting row per doc
-            for term, tf in Counter(toks).items():
+            if positions:
+                # 0-based token positions AFTER the analysis chain
+                # (Lucene positions semantics — "with_positions" of
+                # mappings/hugo.json:6,48,60)
+                posmap: dict[str, list[int]] = {}
+                for p, term in enumerate(toks):
+                    posmap.setdefault(term, []).append(p)
+                items = [(t, len(ps)) for t, ps in posmap.items()]
+            else:
+                items = list(Counter(toks).items())
+            for term, tf in items:
                 terms.append(term)
                 out_doc.append(did)
                 out_tf.append(tf)
                 out_dl.append(dl)
                 out_dlc.append(first)
                 first = False
+                if positions:
+                    out_pos.append(posmap[term])
                 part = self._part(term)
                 out_rpart.append(
                     (part + run_of_doc) % num_parts
@@ -168,13 +184,14 @@ class Tokenizer:
                     else part
                 )
 
-        return pa.table(
-            {
-                "term": pa.array(terms, pa.string()).dictionary_encode(),
-                "doc_id": pa.array(np.array(out_doc, np.uint64)),
-                "tf": pa.array(np.array(out_tf, np.uint32)),
-                "dl": pa.array(np.array(out_dl, np.uint32)),
-                "rpart": pa.array(np.array(out_rpart, np.int32)),
-                "dlc": pa.array(out_dlc, pa.bool_()),
-            }
-        )
+        cols = {
+            "term": pa.array(terms, pa.string()).dictionary_encode(),
+            "doc_id": pa.array(np.array(out_doc, np.uint64)),
+            "tf": pa.array(np.array(out_tf, np.uint32)),
+            "dl": pa.array(np.array(out_dl, np.uint32)),
+            "rpart": pa.array(np.array(out_rpart, np.int32)),
+            "dlc": pa.array(out_dlc, pa.bool_()),
+        }
+        if positions:
+            cols["pos"] = pa.array(out_pos, pa.list_(pa.uint32()))
+        return pa.table(cols)

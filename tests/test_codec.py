@@ -75,3 +75,28 @@ def test_postings_block_metadata_and_block_decode():
         assert enc["block_last"][b] == doc_ids[hi - 1]
         assert enc["block_max_tf"][b] == tfs[lo:hi].max()
         assert enc["block_min_dl"][b] == dls[lo:hi].min()
+
+
+def test_positions_roundtrip():
+    import numpy as np
+
+    from docs_indexer_ray.functions.codec import (
+        decode_positions_block,
+        encode_positions,
+    )
+
+    rs = np.random.RandomState(5)
+    plists = [
+        np.sort(rs.choice(500, size=rs.randint(1, 9), replace=False)).astype(np.uint64)
+        for _ in range(300)
+    ]
+    enc, offsets = encode_positions(plists, block_size=128)
+    got = []
+    for b in range(len(offsets) - 1):
+        block = plists[b * 128 : (b + 1) * 128]
+        tfs = np.array([len(p) for p in block], np.uint64)
+        flat, offs = decode_positions_block(
+            memoryview(enc)[offsets[b] : offsets[b + 1]], tfs
+        )
+        got.extend(flat[offs[j] : offs[j + 1]].tolist() for j in range(len(block)))
+    assert [list(map(int, p)) for p in plists] == [list(map(int, g)) for g in got]

@@ -164,3 +164,30 @@ def test_merge_chain_mismatch_raises(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="chains"):
         merge_indexes(str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m"))
+
+
+def test_merge_preserves_positions(ray_session, tmp_path):
+    """Phrase queries work identically on merged vs full positions
+    builds (position streams are shift-invariant; only doc ids move)."""
+    import ray.data
+
+    from docs_indexer_ray.query.phrase import match_phrase
+
+    pages = rich_pages_table(40, dup_every=0)
+    kw = dict(num_parts=8, salt_heavy=False, chain="simple", field="body",
+              store_positions=True)
+    build_index(
+        ray.data.from_arrow(pages.slice(0, 20)), str(tmp_path / "a"), fingerprint="a", **kw
+    )
+    build_index(
+        ray.data.from_arrow(pages.slice(20)), str(tmp_path / "b"), fingerprint="b", **kw
+    )
+    build_index(ray.data.from_arrow(pages), str(tmp_path / "full"), fingerprint="f", **kw)
+    merge_indexes(str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m"))
+
+    def by_url(root, phrase):
+        urls = _url_map(__import__("docs_indexer_ray.index.manifest", fromlist=["m"]).current_build(root))
+        return sorted((urls[d], f) for d, f in match_phrase(IndexReader(root), phrase))
+
+    for phrase in (["node", "pools"], ["per", "namespace"]):
+        assert by_url(str(tmp_path / "m"), phrase) == by_url(str(tmp_path / "full"), phrase)

@@ -61,3 +61,80 @@ def test_multiblock_wand_equals_exact(small_block_index):
 def test_multiblock_posting_lists_actually_multiblock(small_block_index):
     tp = small_block_index.postings("page")
     assert tp is not None and tp.n_blocks > 3
+
+
+# ---- positions build + phrase matching -----------------------------------
+
+
+def test_match_phrase_vs_bruteforce(ray_session, tmp_path):
+    import re
+
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.phrase import match_phrase, phrase_topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    pages = rich_pages_table(50, dup_every=0)
+    build_index(
+        ray.data.from_arrow(pages),
+        str(tmp_path / "pidx"),
+        fingerprint="p",
+        num_parts=8,
+        salt_heavy=True,
+        heavy_df_ratio=0.2,
+        n_salt_runs=4,
+        chain="simple",
+        field="body",
+        store_positions=True,
+    )
+    reader = IndexReader(str(tmp_path / "pidx"))
+
+    # brute force over the stored docs
+    import pyarrow.dataset as pads
+    import os
+
+    from docs_indexer_ray.index import manifest as mf
+
+    docs = pads.dataset(
+        os.path.join(mf.current_build(str(tmp_path / "pidx")), "docs"),
+        partitioning="hive",
+    ).to_table(columns=["doc_id", "body"])
+    tok = re.compile(r"[a-z0-9]+")
+
+    def brute(phrase):
+        want = []
+        for did, body in zip(docs["doc_id"].to_pylist(), docs["body"].to_pylist()):
+            toks = tok.findall((body or "").lower())
+            n = sum(
+                1
+                for i in range(len(toks) - len(phrase) + 1)
+                if toks[i : i + len(phrase)] == phrase
+            )
+            if n:
+                want.append((int(did), n))
+        return sorted(want)
+
+    for phrase in (["node", "pools"], ["per", "namespace"], ["the", "changelog"]):
+        assert match_phrase(reader, phrase) == brute(phrase), phrase
+
+    # scored variant: deterministic, ranks by BM25 pseudo-term recipe
+    hits = phrase_topk(reader, ["node", "pools"], k=5)
+    assert hits == sorted(hits, key=lambda h: (-h[1], h[0]))
+    assert {d for d, _ in hits} <= {d for d, _ in brute(["node", "pools"])}
+
+    # an index built WITHOUT positions refuses phrase queries loudly
+    build_index(
+        ray.data.from_arrow(pages),
+        str(tmp_path / "npidx"),
+        fingerprint="np",
+        num_parts=8,
+        salt_heavy=False,
+        chain="simple",
+        field="body",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positions"):
+        match_phrase(IndexReader(str(tmp_path / "npidx")), ["node", "pools"])
