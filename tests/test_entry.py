@@ -72,6 +72,7 @@ SQL_BACKED = [
     "index_stats",
     "match_all_count",
     "bm25_topk",
+    "match_phrase",
     "keyword_date_filter",
     "window_agg",
     "sessionize",
