@@ -43,7 +43,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
-from ..stages.tokenize import TokenizeSpill
+from ..stages.tokenize import MultiChainTokenizeSpill
 from . import manifest as mf
 
 __all__ = ["build_index", "IndexBuildResult"]
@@ -76,20 +76,21 @@ def _sample_heavy_file(path: str, field: str, chain: str, per_file: int) -> tupl
     return dict(c), len(texts)
 
 
-def _detect_heavy_terms(
+def _detect_heavy_terms_all(
     docs_dir: str,
     field: str,
-    chain: str,
+    chains: list[str],
     heavy_df_ratio: float,
     sample_docs: int = 2048,
-) -> set[str]:
-    """Deterministic sampled df pre-pass → terms with estimated
-    df/N above ``heavy_df_ratio`` (the salting candidates).
+) -> dict[str, set[str]]:
+    """Deterministic sampled df pre-pass → per chain, the terms with
+    estimated df/N above ``heavy_df_ratio`` (the salting candidates).
 
-    One Ray task per docs-store partition file reads only that file's
-    FIRST row group (a slice of every url range, not just one part —
-    bounded bias) and subsamples to ~``sample_docs`` docs total; the
-    driver merges the tiny per-file Counters.  The sample is a pure
+    One Ray task per (docs-store partition file × chain) reads only
+    that file's FIRST row group (a slice of every url range, not just
+    one part — bounded bias) and subsamples to ~``sample_docs`` docs
+    total; the driver merges the tiny per-file Counters.  All chains'
+    sampling tasks run in one parallel wave.  The sample is a pure
     function of the stored rows → parallelism-invariant.
     """
     from collections import Counter
@@ -104,26 +105,32 @@ def _detect_heavy_terms(
         if f.endswith(".parquet")
     )
     if not files:
-        return set()
+        return {c: set() for c in chains}
     per_file = max(1, sample_docs // len(files))
     task = ray.remote(num_cpus=1)(_sample_heavy_file)
-    parts = ray.get([task.remote(p, field, chain, per_file) for p in files])
-    c: Counter = Counter()
-    n_texts = 0
-    for d, n in parts:
-        c.update(d)
-        n_texts += n
-    thresh = heavy_df_ratio * max(1, n_texts)
-    return {term for term, df in c.items() if df >= thresh}
+    refs = {
+        chain: [task.remote(p, field, chain, per_file) for p in files]
+        for chain in chains
+    }
+    out: dict[str, set[str]] = {}
+    for chain, chain_refs in refs.items():
+        c: Counter = Counter()
+        n_texts = 0
+        for d, n in ray.get(chain_refs):
+            c.update(d)
+            n_texts += n
+        thresh = heavy_df_ratio * max(1, n_texts)
+        out[chain] = {term for term, df in c.items() if df >= thresh}
+    return out
 
 
-def _build_chain_segments(
+def _build_segments_all_chains(
     docs_dir: str,
-    seg_dir: str,
+    bdir: str,
     scratch: str,
     *,
     field: str,
-    chain: str,
+    chains: list[str],
     num_parts: int,
     block_size: int,
     n_docs: int,
@@ -131,15 +138,20 @@ def _build_chain_segments(
     heavy_df_ratio: float,
     n_salt_runs: int,
     store_positions: bool = False,
-) -> dict:
+) -> dict[str, dict]:
     """Tokenize → map-output-file postings spill → per-partition encode
-    for ONE analyzer chain; returns the chain's manifest fragment.
+    for EVERY analyzer chain in one docs pass; returns chain → manifest
+    fragment.  ``chains[0]`` is the main chain (``segments/``); extras
+    get ``segments-<chain>/`` (D8 multi-field parity — the reference's
+    text/.english/.trigram/.reverse sub-fields, mappings/hugo.json:54-72).
 
     The spill layout: each tokenize batch writes one rpart-sorted file
-    with a row group per rpart; reduce tasks filter-read their
-    partition's row groups.  File count tracks batch count —
-    independent of partition count (a ``partition_cols`` write creates
-    tasks × partitions files, a sort-based groupby pays a global sort).
+    per chain with a row group per rpart; reduce tasks filter-read
+    their partition's row groups from exactly the lineage file list.
+    File count tracks batch count — independent of partition count (a
+    ``partition_cols`` write creates tasks × partitions files, a
+    sort-based groupby pays a global sort).  All chains' encode tasks
+    run in one parallel wave.
     """
     import sys
 
@@ -148,69 +160,86 @@ def _build_chain_segments(
 
     _dbg = os.environ.get("DIXR_TIMING")
     _t = time.time()
-    docs_ds = ray.data.read_parquet(docs_dir, columns=["doc_id", field])
 
-    heavy: set[str] = set()
+    heavies: dict[str, set[str]] = {c: set() for c in chains}
     run_width = 1 << 60
     if salt_heavy and n_docs > 0:
-        heavy = _detect_heavy_terms(docs_dir, field, chain, heavy_df_ratio)
+        heavies = _detect_heavy_terms_all(docs_dir, field, chains, heavy_df_ratio)
         n_salt_runs = min(n_salt_runs, num_parts)  # +run salt must stay injective
         run_width = max(1, -(-n_docs // n_salt_runs))  # ceil
     if _dbg:
         print(f"[t] heavy detect {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()
 
-    spill_dir = os.path.join(scratch, f"spill-{chain}")
-    os.makedirs(spill_dir, exist_ok=True)
-    lineage = docs_ds.map_batches(
-        TokenizeSpill(
-            spill_dir,
+    spill_dirs: dict[str, str] = {}
+    seg_dirs: dict[str, str] = {}
+    per_chain_cfg: dict[str, dict] = {}
+    for i, c in enumerate(chains):
+        sd = os.path.join(scratch, f"spill-{c}")
+        os.makedirs(sd, exist_ok=True)
+        segd = os.path.join(bdir, "segments" if i == 0 else f"segments-{c}")
+        os.makedirs(segd, exist_ok=True)
+        spill_dirs[c], seg_dirs[c] = sd, segd
+        per_chain_cfg[c] = dict(
+            spill_dir=sd,
             field=field,
-            chain=chain,
+            chain=c,
             num_parts=num_parts,
-            heavy_terms=frozenset(heavy),
+            heavy_terms=frozenset(heavies[c]),
             run_width=run_width,
             store_positions=store_positions,
-        ),
+        )
+
+    docs_ds = ray.data.read_parquet(docs_dir, columns=["doc_id", field])
+    lineage = docs_ds.map_batches(
+        MultiChainTokenizeSpill(per_chain_cfg),
         batch_format="pyarrow",
         batch_size=16384,
     ).take_all()
-    spill_files = sorted(
-        {os.path.join(spill_dir, r["file"] + ".parquet") for r in lineage}
-    )
     if _dbg:
         print(f"[t] tokenize+spill {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()
 
-    # reduce: one plain Ray task per partition over exactly the lineage
-    # file list (no Ray Data execution constant, no stale-spill reads)
+    # reduce: one plain Ray task per (chain, partition) over exactly the
+    # lineage file list (no Ray Data execution constant, no stale-spill
+    # reads), all chains in one wave
     from .segments import encode_spill_files
 
     encode_task = ray.remote(num_cpus=1)(encode_spill_files)
-    files_ref = ray.put(spill_files)
-    lineage_rows = ray.get(
-        [
-            encode_task.remote(seg_dir, block_size, k, files_ref)
+    refs_by_chain: dict[str, list] = {}
+    for c in chains:
+        spill_files = sorted(
+            {
+                os.path.join(spill_dirs[c], r["file"] + ".parquet")
+                for r in lineage
+                if r["chain"] == c
+            }
+        )
+        files_ref = ray.put(spill_files)
+        refs_by_chain[c] = [
+            encode_task.remote(seg_dirs[c], block_size, k, files_ref)
             for k in range(num_parts)
         ]
-    )
+
+    out: dict[str, dict] = {}
+    for c in chains:
+        lineage_rows = ray.get(refs_by_chain[c])
+        shutil.rmtree(spill_dirs[c], ignore_errors=True)
+        dl_sum = sum(r["dl_sum"] for r in lineage_rows)
+        dl_n = sum(r["dl_n"] for r in lineage_rows)
+        out[c] = {
+            "n_docs_with_terms": dl_n,
+            "total_tokens": dl_sum,
+            "avgdl": (dl_sum / dl_n) if dl_n else 0.0,
+            "heavy_terms": sorted(heavies[c]),
+            "n_salt_runs": n_salt_runs if heavies[c] else 1,
+            "run_width": run_width,
+            "partitions": [
+                {k: (int(v) if isinstance(v, (np.integer,)) else v) for k, v in r.items()}
+                for r in sorted(lineage_rows, key=lambda r: r["rpart"])
+            ],
+        }
     if _dbg:
         print(f"[t] encode {time.time()-_t:.1f}s", file=sys.stderr)
-    shutil.rmtree(spill_dir, ignore_errors=True)
-
-    dl_sum = sum(r["dl_sum"] for r in lineage_rows)
-    dl_n = sum(r["dl_n"] for r in lineage_rows)
-
-    return {
-        "n_docs_with_terms": dl_n,
-        "total_tokens": dl_sum,
-        "avgdl": (dl_sum / dl_n) if dl_n else 0.0,
-        "heavy_terms": sorted(heavy),
-        "n_salt_runs": n_salt_runs if heavy else 1,
-        "run_width": run_width,
-        "partitions": [
-            {k: (int(v) if isinstance(v, (np.integer,)) else v) for k, v in r.items()}
-            for r in sorted(lineage_rows, key=lambda r: r["rpart"])
-        ],
-    }
+    return out
 
 
 def build_index(
@@ -314,12 +343,13 @@ def build_index(
 
     t1 = time.time()
 
-    chain_stats = _build_chain_segments(
+    all_chains = [chain, *extra_chains]
+    all_stats = _build_segments_all_chains(
         docs_dir,
-        seg_dir,
+        bdir,
         scratch,
         field=field,
-        chain=chain,
+        chains=all_chains,
         num_parts=num_parts,
         block_size=block_size,
         n_docs=n_docs,
@@ -328,27 +358,8 @@ def build_index(
         n_salt_runs=n_salt_runs,
         store_positions=store_positions,
     )
-
-    # D8 multi-field parity: one docs store, extra analyzer chains each
-    # get their own posting table (segments-<chain>/) — the reference's
-    # text/.english/.trigram/.reverse sub-fields (mappings/hugo.json:54-72)
-    extras: dict[str, dict] = {}
-    for extra in extra_chains:
-        extra_seg = os.path.join(bdir, f"segments-{extra}")
-        os.makedirs(extra_seg, exist_ok=True)
-        extras[extra] = _build_chain_segments(
-            docs_dir,
-            extra_seg,
-            scratch,
-            field=field,
-            chain=extra,
-            num_parts=num_parts,
-            block_size=block_size,
-            n_docs=n_docs,
-            salt_heavy=salt_heavy,
-            heavy_df_ratio=heavy_df_ratio,
-            n_salt_runs=n_salt_runs,
-        )
+    chain_stats = all_stats[chain]
+    extras = {c: all_stats[c] for c in extra_chains}
 
     man = {
         "prefix": prefix,

@@ -43,7 +43,7 @@ import pyarrow as pa
 
 from ..functions.analyzer import Analyzer
 
-__all__ = ["Tokenizer", "TokenizeSpill", "term_part"]
+__all__ = ["Tokenizer", "TokenizeSpill", "MultiChainTokenizeSpill", "term_part"]
 
 
 def term_part(term: str, num_parts: int) -> int:
@@ -109,6 +109,34 @@ class TokenizeSpill:
                 "rows": pa.array([post.num_rows], pa.int64()),
             }
         )
+
+
+class MultiChainTokenizeSpill:
+    """One docs pass feeding EVERY analyzer chain's shuffle (D8).
+
+    The reference indexes ``text`` four ways (default / .english /
+    .trigram / .reverse sub-fields, ``mappings/hugo.json:54-72``) from
+    one stored value; this stage analogously reads each docs batch
+    once and runs every chain's tokenize+spill on it — one Ray Data
+    execution for a multi-field build instead of one per chain.
+
+    ``per_chain``: chain name → ``TokenizeSpill`` kwargs (each with its
+    own ``spill_dir``).  Lineage rows gain a ``chain`` column.
+    """
+
+    def __init__(self, per_chain: dict[str, dict]):
+        self._spills = {c: TokenizeSpill(**kw) for c, kw in per_chain.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tabs = []
+        for cname, spill in self._spills.items():
+            lin = spill(batch)
+            tabs.append(
+                lin.append_column(
+                    "chain", pa.array([cname] * lin.num_rows, pa.string())
+                )
+            )
+        return pa.concat_tables(tabs)
 
 
 class Tokenizer:
