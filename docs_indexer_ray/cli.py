@@ -104,11 +104,44 @@ def cmd_suggest(args) -> int:
     return 0
 
 
+def cmd_phrase(args) -> int:
+    _ray_session()
+    from .functions.analyzer import Analyzer
+    from .query.phrase import phrase_topk
+    from .query.reader import IndexReader
+
+    reader = IndexReader(args.index, chain=args.chain)
+    terms = Analyzer(reader.manifest["analyzer"] if args.chain is None else args.chain)(
+        args.q
+    )
+    for rank, (doc_id, score) in enumerate(phrase_topk(reader, terms, k=args.k), 1):
+        print(
+            json.dumps(
+                {"rank": rank, "doc_id": int(doc_id), "score": round(float(score), 6)}
+            )
+        )
+    return 0
+
+
+def cmd_didyoumean(args) -> int:
+    _ray_session()
+    from .query.reader import IndexReader
+    from .query.suggest import Suggester
+
+    sug = Suggester(IndexReader(args.index, chain=args.chain))
+    for phrase, score in sug.suggest(args.q, max_suggestions=args.k):
+        print(json.dumps({"suggestion": phrase, "score": round(float(score), 6)}))
+    return 0
+
+
 def cmd_merge(args) -> int:
     _ray_session()
-    from .index.merge import merge_indexes
+    from .index.merge import merge_indexes, merge_many
 
-    man = merge_indexes(args.base, args.delta, args.out, prefix=args.prefix)
+    if len(args.delta) == 1:
+        man = merge_indexes(args.base, args.delta[0], args.out, prefix=args.prefix)
+    else:
+        man = merge_many([args.base, *args.delta], args.out, prefix=args.prefix)
     print(json.dumps({"fingerprint": man["fingerprint"], "n_docs": man["n_docs"]}))
     return 0
 
@@ -160,9 +193,23 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-k", type=int, default=5)
     s.set_defaults(fn=cmd_suggest)
 
-    m = sub.add_parser("merge", help="merge base + delta indexes")
+    ph = sub.add_parser("phrase", help="exact phrase top-k (positions build)")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--q", required=True)
+    ph.add_argument("-k", type=int, default=10)
+    ph.add_argument("--chain", default=None)
+    ph.set_defaults(fn=cmd_phrase)
+
+    dym = sub.add_parser("didyoumean", help="phrase suggestions for a query")
+    dym.add_argument("--index", required=True)
+    dym.add_argument("--q", required=True)
+    dym.add_argument("-k", type=int, default=3)
+    dym.add_argument("--chain", default=None)
+    dym.set_defaults(fn=cmd_didyoumean)
+
+    m = sub.add_parser("merge", help="merge base + delta index(es), k-way")
     m.add_argument("--base", required=True)
-    m.add_argument("--delta", required=True)
+    m.add_argument("--delta", required=True, nargs="+")
     m.add_argument("--out", required=True)
     m.add_argument("--prefix", default="docs")
     m.set_defaults(fn=cmd_merge)

@@ -37,6 +37,32 @@ __all__ = ["Suggester"]
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
+def _osa_distance(a: str, b: str, cap: int = 2) -> int:
+    """Optimal-string-alignment (restricted Damerau-Levenshtein)
+    distance, early-exiting once every path exceeds ``cap``."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2: list[int] = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        if min(cur) > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
 def _trigrams(term: str) -> set[str]:
     padded = f"^{term}$"
     if len(padded) < 3:
@@ -74,7 +100,14 @@ class Suggester:
 
     def correct_token(self, token: str, limit: int = 3) -> list[tuple[str, float, int]]:
         """Candidate corrections ``(term, similarity, df)`` for one
-        token, best first; empty if nothing clears ``min_sim``."""
+        token, best first; empty if nothing clears ``min_sim``.
+
+        Primary generator: trigram-overlap candidates (cheap, catches
+        most typos).  Fallback for transpositions and short tokens —
+        which can share NO trigram with their correction ("hsah" vs
+        "hash") — a bounded Damerau-Levenshtein scan over same-first-
+        or-last-letter terms of similar length (the OpenSearch
+        candidate generator's edit-distance leg)."""
         tris = _trigrams(token)
         counts: dict[int, int] = {}
         for g in tris:
@@ -89,6 +122,16 @@ class Suggester:
             sim = inter / union
             if sim >= self.min_sim and term != token:
                 out.append((term, sim, int(self.dfs[i])))
+        if not out:
+            for i, term in enumerate(self.terms):
+                if abs(len(term) - len(token)) > 1 or term == token:
+                    continue
+                if term[0] != token[0] and term[-1] != token[-1]:
+                    continue
+                d = _osa_distance(token, term, cap=2)
+                if d <= 2:
+                    sim = 1.0 - d / max(len(token), len(term))
+                    out.append((term, sim, int(self.dfs[i])))
         out.sort(key=lambda c: (-c[1], -c[2], c[0]))
         return out[:limit]
 

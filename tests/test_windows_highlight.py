@@ -157,3 +157,30 @@ def test_prefix_terms_dictionary_shape(ray_session, tmp_path):
     # df is summed across a salted term's runs: every df must equal the
     # true document frequency (≤ n_docs)
     assert (dfs <= reader.n_docs).all()
+
+
+def test_did_you_mean_transposition_fallback(ray_session, tmp_path):
+    """Transposed short words share no trigram with their correction —
+    the edit-distance fallback must still find them."""
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.suggest import Suggester, _osa_distance
+    from docs_indexer_ray.synth import rich_pages_table
+
+    assert _osa_distance("hsah", "hash") == 1  # one transposition
+    assert _osa_distance("abc", "xyz") == 3
+
+    build_index(
+        ray.data.from_arrow(rich_pages_table(40, dup_every=0)),
+        str(tmp_path / "tidx"),
+        fingerprint="t",
+        num_parts=8,
+        salt_heavy=False,
+        chain="simple",
+        field="body",
+    )
+    sug = Suggester(IndexReader(str(tmp_path / "tidx")))
+    cands = sug.correct_token("opols")  # transposition of "pools"
+    assert cands and cands[0][0] == "pools"
