@@ -34,7 +34,18 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
-    return np.array(batch[col].to_pylist(), dtype=np.float64)
+    """(n, dim) float64 matrix from a ``list<float>`` column —
+    zero-copy flatten + reshape on the fast path (uniform lengths, no
+    nulls), Python-list fallback otherwise."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count == 0:
+        lens = np.diff(arr.offsets.to_numpy())
+        if len(lens) and (lens == lens[0]).all():
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(arr), int(lens[0])).astype(np.float64)
+    return np.array(arr.to_pylist(), dtype=np.float64)
 
 
 def knn_cosine(
@@ -327,7 +338,7 @@ def embedding_dup_pairs(
 
     def verify(group: pa.Table) -> pa.Table:
         ids = np.array(group[id_col].to_pylist(), np.int64)
-        emb = _normalize(np.array(group[col].to_pylist(), np.float64))
+        emb = _normalize(_embedding_matrix(group, col))
         order = np.argsort(ids)
         ids, emb = ids[order], emb[order]
         if len(ids) < 2:

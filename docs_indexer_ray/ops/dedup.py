@@ -65,6 +65,18 @@ def _tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall((text or "").lower())
 
 
+def _sig_matrix(col) -> np.ndarray:
+    """(n, num_perm) uint64 signatures from a list<uint64> column —
+    zero-copy flatten + reshape (signatures are fixed-width)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = np.diff(col.offsets.to_numpy())
+    if len(lens) == 0:
+        return np.empty((0, 0), np.uint64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), int(lens[0]))
+
+
 _EMPTY_PAIRS = pa.table(
     {
         "a": pa.array([], pa.int64()),
@@ -450,7 +462,7 @@ def minhash_lsh_pairs(
                 }
             )
         ids = np.asarray(batch[id_col].to_pylist(), np.int64)
-        sig_np = np.array(batch["sig"].to_pylist(), np.uint64)
+        sig_np = _sig_matrix(batch["sig"])
         bh = _band_hashes(sig_np, bands, rows_per_band)
         return pa.table(
             {
@@ -543,7 +555,7 @@ def minhash_lsh_pairs(
             group, sort_keys=[("pidx", "ascending"), ("side", "ascending")]
         )
         g = group.take(order)
-        sig_np = np.array(g["sig"].to_pylist(), np.uint64)
+        sig_np = _sig_matrix(g["sig"])
         pidx = g["pidx"].to_numpy(zero_copy_only=False).astype(np.int64)
         est = (sig_np[0::2] == sig_np[1::2]).mean(axis=1)
         p = pidx[0::2]

@@ -70,3 +70,63 @@ def test_full_build_conserves_docs_under_many_batches(ray_session, tmp_path):
     tp = reader.postings("page")
     assert tp is not None and tp.df == 240
     assert int(reader.doclens.astype(np.int64).sum()) == res["total_tokens"]
+
+
+def test_stale_spill_files_are_ignored(ray_session, tmp_path):
+    """A crashed earlier attempt can leave content-named spill files
+    with DIFFERENT batch boundaries in the spill dir; the reduce must
+    read only the just-written lineage file list or postings double-
+    count silently (df/tf inflation)."""
+    import shutil
+
+    import numpy as np
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    pages = rich_pages_table(30, dup_every=0)
+    kw = dict(num_parts=8, salt_heavy=False, chain="simple", field="body")
+
+    # clean reference build
+    build_index(ray.data.from_arrow(pages), str(tmp_path / "ref"), fingerprint="r", **kw)
+    ref = IndexReader(str(tmp_path / "ref"))
+
+    # simulate the crash: pre-seed the scratch with a stale spill file
+    # whose name no fresh batch will reproduce (different boundaries)
+    scratch = tmp_path / "scratch"
+    spill = scratch / "spill-simple"
+    spill.mkdir(parents=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stale = pa.table(
+        {
+            "term": pa.array(["page"] * 5).dictionary_encode(),
+            "doc_id": pa.array(np.arange(5, dtype=np.uint64)),
+            "tf": pa.array(np.full(5, 7, np.uint32)),
+            "dl": pa.array(np.full(5, 9, np.uint32)),
+            "rpart": pa.array(np.full(5, 0, np.int32)),
+            "dlc": pa.array([True] * 5),
+        }
+    )
+    pq.write_table(stale, spill / "spill-999999999999-5.parquet")
+
+    build_index(
+        ray.data.from_arrow(pages),
+        str(tmp_path / "out"),
+        fingerprint="o",
+        scratch_dir=str(scratch),
+        **kw,
+    )
+    got = IndexReader(str(tmp_path / "out"))
+
+    # identical statistics and postings — the stale file contributed 0
+    assert got.manifest["total_tokens"] == ref.manifest["total_tokens"]
+    for term in ("page", "node", "the"):
+        a, b = got.decode_all(term), ref.decode_all(term)
+        if a is None:
+            assert b is None
+            continue
+        assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
