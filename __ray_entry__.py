@@ -156,6 +156,20 @@ def q_term_df(sf_dir: str) -> pa.Table:
     )
 
 
+def q_token_count_bpe(sf_dir: str) -> pa.Table:
+    """BPE-style pre-tokenizer counts (GPT-2-like RE2-safe pattern)."""
+    from docs_indexer_ray.ops.textstats import token_count
+
+    return _concat(token_count(_documents_ds(sf_dir), mode="bpe"))
+
+
+def q_token_count_ws(sf_dir: str) -> pa.Table:
+    """Whitespace-run token counts."""
+    from docs_indexer_ray.ops.textstats import token_count
+
+    return _concat(token_count(_documents_ds(sf_dir), mode="whitespace"))
+
+
 def q_quality_score(sf_dir: str) -> pa.Table:
     from docs_indexer_ray.ops.textstats import quality_score
 
@@ -466,6 +480,61 @@ def q_window_agg(sf_dir: str) -> pa.Table:
     return _as_i64(t, ["user_id", "window", "n_events", "sum_v1000"])
 
 
+def q_window_hopping(sf_dir: str) -> pa.Table:
+    """Hopping 1h/15min windows (overlapping): combiner explodes events
+    to their covering windows INSIDE the partial agg, shuffle carries
+    (key, window) partials only."""
+    import ray.data
+
+    from docs_indexer_ray.ops.windows import hopping_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def int_value(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        return t.set_column(t.schema.get_field_index("value"), "value", pa.array(v))
+
+    agg = hopping_window(
+        ds.map_batches(int_value, batch_format="pyarrow"), size_s=3600, hop_s=900
+    )
+    t = _concat(agg)
+    t = t.rename_columns(["user_id", "window", "n_events", "sum_v1000"])
+    return _as_i64(t, ["user_id", "window", "n_events", "sum_v1000"])
+
+
+def q_topk_per_group(sf_dir: str) -> pa.Table:
+    """Top-3 events per event_type by integerized value (deterministic
+    tie-break on user_id desc) — partial top-k before the shuffle."""
+    import ray.data
+
+    from docs_indexer_ray.ops.windows import topk_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_id": t["user_id"],
+                "v1000": pa.array(v),
+            }
+        )
+
+    out = topk_per_group(
+        ds.map_batches(project, batch_format="pyarrow"),
+        key="event_type",
+        order_col="v1000",
+        k=3,
+    )
+    t = _concat(out).select(["event_type", "rank", "user_id", "v1000"])
+    return _as_i64(t, ["rank", "user_id", "v1000"])
+
+
 def q_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based sessions (30 min timeout) over the events log."""
     import ray.data
@@ -639,6 +708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": q_extract_text,
         "docs_table": q_docs_table,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
+        "token_count_ws": q_token_count_ws,
         "term_df": q_term_df,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -652,6 +723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
         "window_agg": q_window_agg,
+        "window_hopping": q_window_hopping,
+        "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
         "broadcast_join": q_broadcast_join,
         "hash_join": q_hash_join,
@@ -693,6 +766,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": f"""
             SELECT doc_id, CAST(len({_toks('text')}) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                     '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+'))
+                     AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "token_count_ws": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
             FROM documents
         """,
         "term_df": f"""
@@ -804,6 +889,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v1000
             FROM events GROUP BY 1, 2
+        """,
+        "window_hopping": """
+            WITH hops AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - s.i AS "window",
+                     CAST(floor(value * 1000) AS BIGINT) AS v1000
+              FROM events CROSS JOIN generate_series(0, 3) s(i))
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   "window",
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(v1000) AS BIGINT) AS sum_v1000
+            FROM hops WHERE "window" >= 0 GROUP BY 1, 2
+        """,
+        "topk_per_group": """
+            WITH e AS (SELECT event_type, user_id,
+                              CAST(floor(value * 1000) AS BIGINT) AS v1000
+                       FROM events),
+            r AS (SELECT event_type, user_id, v1000,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY v1000 DESC, user_id DESC) AS rank
+                  FROM e)
+            SELECT event_type, CAST(rank AS BIGINT) AS rank,
+                   CAST(user_id AS BIGINT) AS user_id, v1000
+            FROM r WHERE rank <= 3
         """,
         "sessionize": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),

@@ -43,9 +43,36 @@ def _tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall((text or "").lower())
 
 
-def token_count(ds):
+# BPE-style pre-tokenizer (the GPT-2 pattern's RE2-compatible ASCII
+# core: contractions, letter runs, digit runs, punctuation runs,
+# whitespace runs — public knowledge, Radford et al. 2019 released
+# regex).  RE2-compatible on purpose so a DuckDB regexp oracle can
+# reproduce counts bit-exactly.
+_BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+")
+_WS_RE = re.compile(r"\S+")
+
+
+def token_count(ds, mode: str = "regex"):
+    """Per-doc token counts; ``mode`` picks the tokenizer:
+
+    * ``"regex"`` — lowercase alnum word tokens (the engine's simple
+      analyzer, shared with the dedup/text ops);
+    * ``"whitespace"`` — non-whitespace runs;
+    * ``"bpe"`` — a BPE-style pre-tokenizer pass (GPT-2-like pattern):
+      the unit a subword tokenizer would merge within — the cheap
+      training-data proxy for "how many BPE tokens is this document".
+    """
+    counters = {
+        "regex": lambda t: len(_tokens(t)),
+        "whitespace": lambda t: len(_WS_RE.findall(t or "")),
+        "bpe": lambda t: len(_BPE_RE.findall((t or "").lower())),
+    }
+    if mode not in counters:
+        raise ValueError(f"unknown token_count mode: {mode!r}")
+    count = counters[mode]
+
     def fn(batch: pa.Table) -> pa.Table:
-        n = [len(_tokens(t)) for t in batch["text"].to_pylist()]
+        n = [count(t) for t in batch["text"].to_pylist()]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

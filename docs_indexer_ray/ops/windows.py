@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["tumbling_window", "sessionize"]
+__all__ = ["tumbling_window", "hopping_window", "sessionize", "topk_per_group"]
 
 
 def tumbling_window(
@@ -62,6 +62,110 @@ def tumbling_window(
             Sum("n_part", alias_name="n_events"),
             Sum("sum_part", alias_name="sum_value"),
         )
+    )
+
+
+def hopping_window(
+    ds,
+    size_s: int = 3600,
+    hop_s: int = 900,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Per (key, window) count + sum for OVERLAPPING windows: window
+    ``w`` covers ``[w·hop, w·hop + size)``, so each event lands in
+    ``size/hop`` windows.  Same combiner-before-shuffle shape as
+    :func:`tumbling_window` — the explode happens inside the partial
+    aggregation, so the shuffle still carries (key, window) partials,
+    not size/hop × events."""
+    from ray.data.aggregate import Sum
+
+    if size_s % hop_s != 0:
+        raise ValueError("size_s must be a multiple of hop_s")
+    hop_us = np.int64(hop_s) * 1_000_000
+    k_windows = size_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        last = ts.astype(np.int64) // hop_us  # last window containing the event
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        # explode to the k hop-windows covering each event
+        off = np.arange(k_windows, dtype=np.int64)
+        win = (last[:, None] - off[None, :]).reshape(-1)
+        keep = win >= 0  # windows never start before the epoch
+        df = pd.DataFrame(
+            {
+                key: np.repeat(keys, k_windows)[keep],
+                "window": win[keep],
+                "v": np.repeat(vals, k_windows)[keep],
+            }
+        )
+        agg = df.groupby([key, "window"], sort=False).agg(
+            n_part=("v", "size"), sum_part=("v", "sum")
+        )
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, "window"])
+        .aggregate(
+            Sum("n_part", alias_name="n_events"),
+            Sum("sum_part", alias_name="sum_value"),
+        )
+    )
+
+
+def topk_per_group(
+    ds,
+    key: str,
+    order_col: str,
+    k: int = 3,
+    ascending: bool = False,
+    num_parts: int = 32,
+):
+    """Top-``k`` rows per group by ``order_col`` (ties broken by every
+    remaining column for determinism), with a per-batch partial top-k
+    BEFORE the shuffle — only ≤ k rows per (batch, key) move — and a
+    vectorized per-partition final selection (no per-group Python).
+    Output: the selected rows + a 1-based ``rank`` column."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        order = [order_col] + [c for c in batch.columns if c != order_col]
+        g = batch.sort_values(order, ascending=ascending, kind="mergesort")
+        return g.groupby(key, sort=False).head(k)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        if np.issubdtype(keys.dtype, np.integer):
+            part = (keys.astype(np.int64) % num_parts).astype(np.int32)
+        else:
+            import zlib
+
+            part = np.fromiter(
+                (zlib.crc32(str(v).encode()) % num_parts for v in keys),
+                np.int32,
+                len(keys),
+            )
+        return t.append_column("__gpart", pa.array(part))
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop(columns="__gpart")
+        order = [key, order_col] + [
+            c for c in group.columns if c not in (key, order_col)
+        ]
+        asc = [True] + [ascending] * (len(order) - 1)
+        g = group.sort_values(order, ascending=asc, kind="mergesort")
+        g = g.groupby(key, sort=False).head(k)
+        g["rank"] = g.groupby(key, sort=False).cumcount() + 1
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__gpart")
+        .map_groups(final, batch_format="pandas")
     )
 
 

@@ -62,6 +62,8 @@ SQL_BACKED = [
     "extract_text",
     "docs_table",
     "token_count",
+    "token_count_bpe",
+    "token_count_ws",
     "term_df",
     "quality_score",
     "lang_id",
@@ -75,6 +77,8 @@ SQL_BACKED = [
     "match_phrase",
     "keyword_date_filter",
     "window_agg",
+    "window_hopping",
+    "topk_per_group",
     "sessionize",
     "broadcast_join",
     "hash_join",
