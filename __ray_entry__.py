@@ -456,6 +456,40 @@ def q_mm_decode(sf_dir: str) -> pa.Table:
     return _concat(decode_images(ds, fake=True))
 
 
+def q_mm_embed_knn(sf_dir: str) -> pa.Table:
+    """Full multimodal pipeline shape: media → actor-pool embed stage
+    (deterministic fake model) → exact cosine kNN over the produced
+    embedding column.  Exercises the decode→feature-extract→ANN
+    composition end-to-end."""
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import knn_cosine
+    from docs_indexer_ray.ops.multimodal import (
+        ImageEmbedStub,
+        embed_images,
+        synth_media_table,
+    )
+
+    media = synth_media_table(64)
+    ds = embed_images(ray.data.from_arrow(media), dim=16, fake=True)
+    q_rows = ImageEmbedStub(dim=16, fake=True)(media.slice(0, 3))
+    queries = np.array(q_rows["embedding"].to_pylist(), np.float64)
+    qids = q_rows["media_id"].to_numpy(zero_copy_only=False)
+    out = knn_cosine(ds, queries, qids, k=5, id_col="media_id")
+    return _concat(out)
+
+
+def q_mm_frames(sf_dir: str) -> pa.Table:
+    """Video frame sampling: one media row → N frame rows (actor-pool
+    flat-map shape, deterministic fake demux)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.multimodal import sample_frames, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(48, kind="video"))
+    return _concat(sample_frames(ds, every_n=4, fake=True))
+
+
 def q_window_agg(sf_dir: str) -> pa.Table:
     """Tumbling 1h windows over the events log (partial-agg combiner →
     tiny shuffle).  ``sum_v1000`` sums FLOOR(value*1000) as integers so
@@ -739,6 +773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reverse_suggest": q_reverse_suggest,
         "did_you_mean": q_did_you_mean,
         "mm_decode": q_mm_decode,
+        "mm_embed_knn": q_mm_embed_knn,
+        "mm_frames": q_mm_frames,
         "winnow": q_winnow,
         "highlight": q_highlight,
     }

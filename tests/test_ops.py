@@ -312,3 +312,47 @@ def test_mm_decode_stub_honest_and_fake(ray_session):
     assert out.sort_values("media_id").reset_index(drop=True).equals(
         out2.sort_values("media_id").reset_index(drop=True)
     )
+
+
+def test_mm_resize_embed_frames_stubs(ray_session):
+    import ray.data
+
+    from docs_indexer_ray.ops.multimodal import (
+        FrameSampleStub,
+        ImageEmbedStub,
+        ImageResizeStub,
+        embed_images,
+        resize_images,
+        sample_frames,
+        synth_media_table,
+    )
+
+    media = synth_media_table(16)
+    vids = synth_media_table(12, kind="video")
+
+    # honest by default: every stub refuses without fake=True
+    for stub in (ImageResizeStub(), ImageEmbedStub(), FrameSampleStub()):
+        with pytest.raises(NotImplementedError):
+            stub(media)
+
+    # resize: payload size tracks target dims; deterministic
+    out = _rows(resize_images(ray.data.from_arrow(media), width=32, height=32, fake=True))
+    assert len(out) == 16 and (out["width"] == 32).all()
+    assert {len(p) for p in out["payload"]} == {32 * 32 * 3 // 64}
+
+    # embed: unit vectors, dim as requested, deterministic across runs
+    e1 = _rows(embed_images(ray.data.from_arrow(media), dim=8, fake=True))
+    e2 = _rows(embed_images(ray.data.from_arrow(media), dim=8, fake=True))
+    assert all(len(v) == 8 for v in e1["embedding"])
+    m1 = np.stack(e1.sort_values("media_id")["embedding"].to_numpy())
+    m2 = np.stack(e2.sort_values("media_id")["embedding"].to_numpy())
+    assert (m1 == m2).all()
+    assert np.allclose(np.linalg.norm(m1, axis=1), 1.0, atol=1e-5)
+
+    # frame sampling: row -> ceil(n_frames / every_n) rows, frames 0,4,8…
+    fr = _rows(sample_frames(ray.data.from_arrow(vids), every_n=4, fake=True))
+    n_frames = {int(m): p[7] for m, p in zip(vids["media_id"].to_pylist(), vids["payload"].to_pylist())}
+    for mid, sub in fr.groupby("media_id"):
+        expect = -(-n_frames[int(mid)] // 4)
+        assert len(sub) == expect
+        assert sorted(sub["frame"]) == list(range(0, n_frames[int(mid)], 4))
