@@ -193,7 +193,13 @@ def _build_segments_all_chains(
     lineage = docs_ds.map_batches(
         MultiChainTokenizeSpill(per_chain_cfg),
         batch_format="pyarrow",
-        batch_size=16384,
+        # None = one batch per input block: an explicit row-count batch
+        # size is interpreted by the task bundler as a MINIMUM rows per
+        # task and caps tokenize parallelism at total_rows/batch_size
+        # tasks (measured: 3 tasks for the 50k-doc bench at any CPU
+        # count with batch_size=16384); docs-store part files are the
+        # natural batch granularity
+        batch_size=None,
     ).take_all()
     if _dbg:
         print(f"[t] tokenize+spill {time.time()-_t:.1f}s", file=sys.stderr); _t = time.time()
