@@ -27,4 +27,4 @@ __version__ = "0.1.0"
 # Bump when the on-disk index format or any result-affecting semantics
 # change: build fingerprints mix this in, so caches built by an older
 # engine can never be served as current (they rebuild instead).
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4

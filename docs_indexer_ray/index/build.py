@@ -55,6 +55,20 @@ class IndexBuildResult(dict):
     index_dir: str
 
 
+_TEXT_SYNTH_COLS = ["title", "body", "uri", "breadcrumb"]
+
+
+def _field_columns(docs_dir: str, field: str) -> list[str]:
+    """Columns to read for ``field`` — the synthesis inputs when the
+    docs store doesn't persist the derivable catch-all ``text``."""
+    import pyarrow.dataset as pads
+
+    names = pads.dataset(docs_dir, partitioning="hive").schema.names
+    if field == "text" and "text" not in names:
+        return ["doc_id", *_TEXT_SYNTH_COLS]
+    return ["doc_id", field]
+
+
 def _sample_heavy_file(path: str, field: str, chain: str, per_file: int) -> tuple[dict, int]:
     """One sampling task: df Counter over ≤``per_file`` docs of the
     file's first row group (a slice of one url range)."""
@@ -65,7 +79,13 @@ def _sample_heavy_file(path: str, field: str, chain: str, per_file: int) -> tupl
     from ..functions.analyzer import Analyzer
 
     pf = pq.ParquetFile(path)
-    t = pf.read_row_group(0, columns=[field])
+    names = pf.schema_arrow.names
+    if field == "text" and "text" not in names:
+        from ..stages.extract import synthesize_text
+
+        t = synthesize_text(pf.read_row_group(0, columns=_TEXT_SYNTH_COLS))
+    else:
+        t = pf.read_row_group(0, columns=[field])
     col = t[field].to_pylist()
     step = max(1, len(col) // per_file)
     texts = col[::step][:per_file]
@@ -189,7 +209,9 @@ def _build_segments_all_chains(
             store_positions=store_positions,
         )
 
-    docs_ds = ray.data.read_parquet(docs_dir, columns=["doc_id", field])
+    docs_ds = ray.data.read_parquet(
+        docs_dir, columns=_field_columns(docs_dir, field)
+    )
     lineage = docs_ds.map_batches(
         MultiChainTokenizeSpill(per_chain_cfg),
         batch_format="pyarrow",

@@ -56,7 +56,20 @@ def docs_store_dataset(sf_dir: str, columns: list[str] | None = None):
 
     res, root = ensure_index(sf_dir, chain="simple", field="body")
     bdir = mf.current_build(root)
-    ds = ray.data.read_parquet(os.path.join(bdir, "docs"), columns=columns)
+    docs_dir = os.path.join(bdir, "docs")
+    if columns is not None and "text" in columns:
+        # the store doesn't persist the derivable catch-all — read the
+        # synthesis inputs and re-derive (byte-identical; extract.py)
+        from ..stages.extract import synthesize_text
+
+        need = [c for c in columns if c != "text"]
+        read_cols = list(dict.fromkeys(need + ["title", "body", "uri", "breadcrumb"]))
+        ds = ray.data.read_parquet(docs_dir, columns=read_cols)
+        ds = ds.map_batches(
+            lambda t: synthesize_text(t).select(columns), batch_format="pyarrow"
+        )
+    else:
+        ds = ray.data.read_parquet(docs_dir, columns=columns)
     return ds, int(res["n_docs"])
 
 

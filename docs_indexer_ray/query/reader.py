@@ -133,11 +133,26 @@ class IndexReader:
 
     # -- doc store ---------------------------------------------------------
     def fetch_docs(self, doc_ids: list[int], columns: list[str] | None = None):
-        """Stored-field lookup (D9): rows from the docs store by id."""
+        """Stored-field lookup (D9): rows from the docs store by id.
+        The derivable catch-all ``text`` is synthesized on demand when
+        requested (the store doesn't persist it)."""
         import pyarrow.dataset as pads
 
         dset = pads.dataset(os.path.join(self.index_dir, "docs"), partitioning="hive")
         expr = pads.field("doc_id").isin([int(d) for d in doc_ids])
+        if (
+            columns is not None
+            and "text" in columns
+            and "text" not in dset.schema.names
+        ):
+            from ..stages.extract import synthesize_text
+
+            need = [c for c in columns if c != "text"]
+            read_cols = list(
+                dict.fromkeys(need + ["title", "body", "uri", "breadcrumb"])
+            )
+            t = dset.to_table(filter=expr, columns=read_cols)
+            return synthesize_text(t).select(columns)
         return dset.to_table(filter=expr, columns=columns)
 
     def match_all_count(self) -> int:

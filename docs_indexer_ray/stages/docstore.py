@@ -98,7 +98,11 @@ class _ExtractSpill:
     def __init__(self, spill_dir: str, boundaries: list[str], type_label: str):
         self.spill_dir = spill_dir
         self.bounds = np.array(boundaries, dtype=object)
-        self.extract = ExtractAssemble(type_label=type_label)
+        # the catch-all `text` is a pure function of stored fields —
+        # derived on read (stages/extract.py::synthesize_text) instead
+        # of being spilled + stored (~40% of row bytes saved through
+        # the whole phase-1 data path)
+        self.extract = ExtractAssemble(type_label=type_label, emit_text=False)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib

@@ -45,7 +45,13 @@ from ..functions.frontmatter import parse_front_matter
 from ..functions.htmltext import html_to_text
 from ..functions.uri import url_to_uri_breadcrumb
 
-__all__ = ["ExtractAssemble", "DOCS_FIELDS", "DEFAULT_DATE_ISO", "normalize_date"]
+__all__ = [
+    "ExtractAssemble",
+    "DOCS_FIELDS",
+    "DEFAULT_DATE_ISO",
+    "normalize_date",
+    "synthesize_text",
+]
 
 DEFAULT_DATE_ISO = "1900-01-01T00:00:00+00:00"  # hugo.py:52
 MAX_BREADCRUMB = 5  # mappings/hugo.json:25-44 maps breadcrumb_1..5
@@ -101,6 +107,24 @@ def normalize_date(value, fallback_iso: str) -> str:
         return s
 
 
+def synthesize_text(t: pa.Table) -> pa.Table:
+    """Append the catch-all ``text`` column derived from stored fields.
+
+    The hugo recipe (``hugo.py:333-342``) is a pure concatenation —
+    ``title + " " + body + " " + uri + " " + " ".join(breadcrumb)``
+    (an absent title and an empty title produce the same string) — so
+    ``text`` need not be STORED at all: the docs store drops it
+    (~40% of row bytes through the spill→store→tokenize path) and
+    consumers re-derive it here with two vectorized Arrow kernels,
+    byte-identical to the assembly-time column (tested).
+    """
+    import pyarrow.compute as pc
+
+    crumbs = pc.binary_join(t["breadcrumb"], " ")
+    text = pc.binary_join_element_wise(t["title"], t["body"], t["uri"], crumbs, " ")
+    return t.append_column("text", text)
+
+
 class ExtractAssemble:
     """pages batch (url, warc_ts, html, text, lang) → docs batch.
 
@@ -121,15 +145,25 @@ class ExtractAssemble:
     """
 
     def __init__(
-        self, type_label: str | None = None, use_html: bool = True, recipe: str = "hugo"
+        self,
+        type_label: str | None = None,
+        use_html: bool = True,
+        recipe: str = "hugo",
+        emit_text: bool = True,
     ):
         if recipe not in ("hugo", "blog"):
             raise ValueError(f"unknown recipe: {recipe!r}")
+        if not emit_text and recipe != "hugo":
+            raise ValueError(
+                "emit_text=False requires the hugo recipe — only its "
+                "catch-all is re-derivable by synthesize_text"
+            )
         self.recipe = recipe
         self.type_label = type_label if type_label is not None else (
             "page" if recipe == "hugo" else "post"
         )
         self.use_html = use_html
+        self.emit_text = emit_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -181,13 +215,16 @@ class ExtractAssemble:
                 text = f"{title}\n\n{body}"
             else:
                 uri, breadcrumb = url_to_uri_breadcrumb(urls[i])
-                # catch-all text, reference recipe (hugo.py:333-342)
-                text = ""
-                if "title" in data:
-                    text = title
-                text += " " + body
-                text += " " + uri
-                text += " " + " ".join(breadcrumb)
+                if self.emit_text:
+                    # catch-all text, reference recipe (hugo.py:333-342)
+                    text = ""
+                    if "title" in data:
+                        text = title
+                    text += " " + body
+                    text += " " + uri
+                    text += " " + " ".join(breadcrumb)
+                else:
+                    text = ""  # derived on demand (synthesize_text)
 
             date = normalize_date(data.get("date"), warc_iso[i])
 
@@ -227,7 +264,8 @@ class ExtractAssemble:
             cols[f"breadcrumb_{level}"] = pa.array(
                 [c[level - 1] if len(c) >= level else None for c in crumbs], pa.string()
             )
-        cols["text"] = pa.array(texts, pa.string())
+        if self.emit_text:
+            cols["text"] = pa.array(texts, pa.string())
         cols["lang"] = pa.array(langs, pa.string())
         cols["extract_error"] = pa.array(errors, pa.string())
         return pa.table(cols)

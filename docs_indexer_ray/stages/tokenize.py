@@ -126,8 +126,19 @@ class MultiChainTokenizeSpill:
 
     def __init__(self, per_chain: dict[str, dict]):
         self._spills = {c: TokenizeSpill(**kw) for c, kw in per_chain.items()}
+        fields = {kw.get("field", "text") for kw in per_chain.values()}
+        self._field = next(iter(fields)) if len(fields) == 1 else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if (
+            self._field == "text"
+            and "text" not in batch.column_names
+            and "title" in batch.column_names
+        ):
+            # docs stores don't persist the derivable catch-all
+            from .extract import synthesize_text
+
+            batch = synthesize_text(batch)
         tabs = []
         for cname, spill in self._spills.items():
             lin = spill(batch)

@@ -192,3 +192,27 @@ def test_date_two_reference_formats_and_fallbacks():
     # absent → warc_ts fallback
     out = _assemble_one("B only.\n")
     assert out["date"][0].as_py() == "2025-01-01T00:00:00+00:00"
+
+
+def test_synthesize_text_byte_identical():
+    """The derived catch-all == the assembly-time column, byte for
+    byte, across the rich corpus (front matter present/absent/broken,
+    empty bodies, shortcodes, mixed-case urls)."""
+    from docs_indexer_ray.stages.extract import ExtractAssemble, synthesize_text
+    from docs_indexer_ray.synth import rich_pages_table
+
+    pages = rich_pages_table(60, dup_every=9)
+    with_text = ExtractAssemble()(pages)
+    without = ExtractAssemble(emit_text=False)(pages)
+    assert "text" not in without.column_names
+    derived = synthesize_text(without)
+    assert derived["text"].to_pylist() == with_text["text"].to_pylist()
+
+
+def test_emit_text_false_requires_hugo_recipe():
+    import pytest as _pytest
+
+    from docs_indexer_ray.stages.extract import ExtractAssemble
+
+    with _pytest.raises(ValueError, match="hugo"):
+        ExtractAssemble(recipe="blog", emit_text=False)

@@ -47,9 +47,13 @@ def built(ray_session, tmp_path_factory):
         pages, out, fingerprint="t1", heavy_df_ratio=0.2, salt_heavy=True
     )
     reader = IndexReader(out)
+    from docs_indexer_ray.stages.extract import synthesize_text
+
     docs = pads.dataset(
         os.path.join(res.index_dir, "docs"), partitioning="hive"
-    ).to_table(columns=["doc_id", "text", "url", "title", "body"])
+    ).to_table(columns=["doc_id", "url", "title", "body", "uri", "breadcrumb"])
+    # the store doesn't persist the derivable catch-all — re-derive it
+    docs = synthesize_text(docs).select(["doc_id", "text", "url", "title", "body"])
     mem = MemoryBM25()
     for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
         mem.add(d, t)
