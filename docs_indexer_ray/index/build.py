@@ -5,21 +5,26 @@ The Ray-Data-shaped rebuild of the reference's run loop
 OpenSearch-delegated index construction done explicitly:
 
     pages ─ map_batches(extract + url-range docpart) ─ stateless tasks
-          ─ write_parquet(partition_cols=[docpart]) ── shuffle #1 write
-          ─ per-part tasks: dedup → dense doc ids →
-            docs store (one atomic file per part) ──── checkpoint A
-    docs  ─ map_batches(tokenizer, per-process memo) ─ analyzer, D1
-          ─ write_parquet(partition_cols=[rpart]) ──── shuffle #2 write
+          ─ spill: ONE docpart-sorted file per batch ── shuffle #1 write
+          ─ count round (url column only) → dense-id offsets (driver
+            cumsum — the only barrier, O(parts) state)
+          ─ finalize round: dedup → ids → docs store ── checkpoint A
+    docs  ─ map_batches(multi-chain tokenizer) ──────── analyzer, D1-D3
+          ─ spill: ONE rpart-sorted file per batch per chain
             (rpart = crc32(term) % P, heavy terms salted by doc range)
-          ─ per-part tasks: encode segments ─────────── checkpoint B
-          ─ stats from dl carriers ── manifest ── atomic publish
+          ─ encode round: segments per (chain, part) ── checkpoint B
+          ─ stats from the encode tasks ── manifest ── atomic publish
 
-Both all-to-all exchanges are *map-side partitioned writes* followed
-by per-partition reduce tasks — the external-shuffle shape: no global
-sort, every partition independently resumable, and the spill is the
-shuffle's checkpoint.  Measured 3× faster than the sort-based
-``groupby().map_groups`` equivalent on this workload (see
-``stages/docstore.py`` / ``segments.py`` for the reduce sides).
+Both all-to-all exchanges are *map-output-file shuffles* (one sorted
+spill file per batch, a row group per partition) followed by
+per-partition reduce rounds run as plain ``ray.remote`` tasks over
+exactly the lineage file list the map pass returned — the
+external-shuffle shape: no global sort, every partition independently
+resumable, the spill is the shuffle's checkpoint, stale files from
+crashed attempts are ignored, and none of the O(parts) reduce rounds
+pays a Ray Data execution's planning constant.  Measured 3× faster
+than the sort-based ``groupby().map_groups`` equivalent on this
+workload (see ``stages/docstore.py`` / ``segments.py``).
 
 Scale notes (the 100 TB story):
 
