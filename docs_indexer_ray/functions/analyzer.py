@@ -68,18 +68,28 @@ def strip_possessive(token: str) -> str:
     return _POSSESSIVE_RE.sub("", token)
 
 
+_MISS = object()
+
+
 def _analyze_english(text: str, _cache: dict) -> list[str]:
+    """Hot path: ONE memo lookup per token occurrence — the memo maps
+    the RAW surface token straight to its final output (stem, or None
+    for stopwords/empties), so possessive-strip + lowercase + stop
+    check + stemming run once per distinct surface form per actor."""
     out = []
+    append = out.append
+    get = _cache.get
     for tok in _TOKEN_RE.findall(text):
-        tok = strip_possessive(tok).lower()
-        if tok in STOPWORDS_EN:
-            continue
-        stem = _cache.get(tok)
-        if stem is None:
-            stem = porter_stem(tok)
-            _cache[tok] = stem
-        if stem:
-            out.append(stem)
+        r = get(tok, _MISS)
+        if r is _MISS:
+            t = tok
+            if "'" in t or "’" in t:  # regex only when it can match
+                t = _POSSESSIVE_RE.sub("", t)
+            t = t.lower()
+            r = None if t in STOPWORDS_EN else (porter_stem(t) or None)
+            _cache[tok] = r
+        if r is not None:
+            append(r)
     return out
 
 
