@@ -97,6 +97,34 @@ def encode_partition(
     return encode_partition_codes(codes, uniq, doc_id, tf, dl, rpart, block_size)
 
 
+def _varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Byte length of each value's LEB128 encoding (vectorized)."""
+    lens = np.ones(len(values), np.int64)
+    v = np.ascontiguousarray(values, np.uint64) >> np.uint64(7)
+    while v.any():
+        lens += v != 0
+        v >>= np.uint64(7)
+    return lens
+
+
+def _list_array(flat: np.ndarray, counts: np.ndarray, typ) -> pa.ListArray:
+    offs = np.zeros(len(counts) + 1, np.int32)
+    np.cumsum(counts, out=offs[1:])
+    return pa.ListArray.from_arrays(pa.array(offs), pa.array(flat, typ))
+
+
+def _binary_from_partition(data: bytes, boundaries: np.ndarray) -> pa.Array:
+    """Binary array whose row i is ``data[boundaries[i]:boundaries[i+1]]``
+    — rows partition the buffer contiguously, so this is zero-copy:
+    one int32 offsets buffer over the encoded stream itself."""
+    offs = boundaries.astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(boundaries) - 1,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)],
+    )
+
+
 def encode_partition_codes(
     codes: np.ndarray,
     sorted_terms: np.ndarray,
@@ -107,52 +135,123 @@ def encode_partition_codes(
     block_size: int = 128,
     positions: np.ndarray | None = None,
 ) -> pa.Table:
-    """Vectorized encode of one partition's postings → segment rows.
+    """Fully vectorized encode of one partition's postings → segment
+    rows: ONE varint pass over all doc-id deltas and one over all tfs
+    (block/term boundaries computed with numpy index arithmetic), then
+    columnar slicing into per-term rows — no Python loop over terms.
 
-    ``codes`` are ranks into lexicographically ``sorted_terms`` — one
-    integer ``np.lexsort`` over the whole partition, then run-length
-    term boundaries; the per-term inner encode is numpy-vectorized
-    (``codec.encode_postings``), so the only Python-level loop is over
-    *distinct terms*, not postings.  ``positions`` (object array of
-    per-posting position lists, aligned with ``doc_id``) adds the
-    position streams of the SCHEMA_POS variant.
+    ``codes`` are ranks into lexicographically ``sorted_terms``.
+    ``positions`` (object array of per-posting position lists, aligned
+    with ``doc_id``) adds the position streams of the SCHEMA_POS
+    variant via the (looped) reference encoder — the positions build
+    is opt-in and not the hot path.
     """
-    from ..functions.codec import encode_positions
+    from ..functions.codec import encode_positions, varint_encode
 
     order = np.lexsort((doc_id, codes))
     codes, doc_id, tf, dl = codes[order], doc_id[order], tf[order], dl[order]
     if positions is not None:
         positions = positions[order]
-    term = sorted_terms[codes]
+    n = len(codes)
     # term run boundaries
-    change = np.empty(len(codes), dtype=bool)
+    change = np.empty(n, dtype=bool)
     change[0] = True
     np.not_equal(codes[1:], codes[:-1], out=change[1:])
     starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(codes))
+    ends = np.append(starts[1:], n)
+    lengths = ends - starts
+    n_terms = len(starts)
 
-    schema = SEGMENT_SCHEMA if positions is None else SEGMENT_SCHEMA_POS
-    rows = {name: [] for name in schema.names}
-    for s, e in zip(starts, ends):
-        enc = encode_postings(doc_id[s:e], tf[s:e], dl[s:e], block_size)
-        rows["term"].append(term[s])
-        rows["rpart"].append(rpart)
-        rows["df"].append(enc["df"])
-        rows["cf"].append(enc["cf"])
-        rows["doc_ids_enc"].append(enc["doc_ids_enc"])
-        rows["tfs_enc"].append(enc["tfs_enc"])
-        rows["block_last"].append(enc["block_last"])
-        rows["block_id_offsets"].append(enc["block_id_offsets"])
-        rows["block_tf_offsets"].append(enc["block_tf_offsets"])
-        rows["block_max_tf"].append(enc["block_max_tf"])
-        rows["block_min_dl"].append(enc["block_min_dl"])
-        rows["max_tf"].append(enc["max_tf"])
-        rows["min_dl"].append(enc["min_dl"])
-        if positions is not None:
+    if positions is not None:
+        # reference (per-term) path for the positions variant
+        rows = {name: [] for name in SEGMENT_SCHEMA_POS.names}
+        term = sorted_terms[codes]
+        for s, e in zip(starts, ends):
+            enc = encode_postings(doc_id[s:e], tf[s:e], dl[s:e], block_size)
+            rows["term"].append(term[s])
+            rows["rpart"].append(rpart)
+            for name in (
+                "df", "cf", "doc_ids_enc", "tfs_enc", "block_last",
+                "block_id_offsets", "block_tf_offsets", "block_max_tf",
+                "block_min_dl", "max_tf", "min_dl",
+            ):
+                rows[name].append(enc[name])
             pos_enc, pos_offs = encode_positions(list(positions[s:e]), block_size)
             rows["pos_enc"].append(pos_enc)
             rows["block_pos_offsets"].append(pos_offs)
-    return pa.Table.from_pydict(rows, schema=schema)
+        return pa.Table.from_pydict(rows, schema=SEGMENT_SCHEMA_POS)
+
+    # ---- block structure (per term, blocks of block_size postings) ----
+    pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
+    is_bstart = (pos_in_term % block_size) == 0
+    B = np.flatnonzero(is_bstart)  # global block start indices
+    block_end = np.append(B[1:], n) - 1
+    nb = -(-lengths // block_size)  # blocks per term (ceil)
+    total_blocks = len(B)
+
+    # ---- one varint pass for ids (delta, absolute restart per block) --
+    deltas = np.empty(n, np.uint64)
+    deltas[0] = doc_id[0]
+    np.subtract(doc_id[1:], doc_id[:-1], out=deltas[1:])
+    deltas[B] = doc_id[B]
+    id_lens = _varint_lengths(deltas)
+    id_off = np.zeros(n + 1, np.int64)
+    np.cumsum(id_lens, out=id_off[1:])
+    id_bytes = varint_encode(deltas)
+
+    tf64 = tf.astype(np.uint64)
+    tf_lens = _varint_lengths(tf64)
+    tf_off = np.zeros(n + 1, np.int64)
+    np.cumsum(tf_lens, out=tf_off[1:])
+    tf_bytes = varint_encode(tf64)
+
+    # ---- per-block metadata (vectorized reduceat over block runs) -----
+    block_last = doc_id[block_end].astype(np.uint64)
+    block_max_tf = np.maximum.reduceat(tf, B).astype(np.uint32)
+    block_min_dl = np.minimum.reduceat(dl, B).astype(np.uint32)
+
+    # ---- per-term scalars ---------------------------------------------
+    df = lengths.astype(np.uint64)
+    cf = np.add.reduceat(tf64, starts).astype(np.uint64)
+    term_first_block = np.zeros(n_terms, np.int64)
+    np.cumsum(nb[:-1], out=term_first_block[1:])
+    max_tf = np.maximum.reduceat(block_max_tf, term_first_block).astype(np.uint32)
+    min_dl = np.minimum.reduceat(block_min_dl, term_first_block).astype(np.uint32)
+
+    # ---- per-term byte offsets lists (n_blocks + 1 entries each) ------
+    def offset_lists(global_off: np.ndarray) -> pa.ListArray:
+        term_base = np.repeat(global_off[starts], nb)
+        block_vals = (global_off[B] - term_base).astype(np.uint32)
+        list_offs = np.zeros(n_terms + 1, np.int64)
+        np.cumsum(nb + 1, out=list_offs[1:])
+        vals = np.empty(int(list_offs[-1]), np.uint32)
+        slot = np.arange(total_blocks, dtype=np.int64) + np.repeat(
+            np.arange(n_terms, dtype=np.int64), nb
+        )
+        vals[slot] = block_vals
+        vals[list_offs[1:] - 1] = (global_off[ends] - global_off[starts]).astype(
+            np.uint32
+        )
+        return pa.ListArray.from_arrays(
+            pa.array(list_offs.astype(np.int32)), pa.array(vals, pa.uint32())
+        )
+
+    cols = {
+        "term": pa.array(sorted_terms[codes[starts]].tolist(), pa.string()),
+        "rpart": pa.array(np.full(n_terms, rpart, np.int32), pa.int32()),
+        "df": pa.array(df, pa.uint64()),
+        "cf": pa.array(cf, pa.uint64()),
+        "doc_ids_enc": _binary_from_partition(id_bytes, id_off[np.append(starts, n)]),
+        "tfs_enc": _binary_from_partition(tf_bytes, tf_off[np.append(starts, n)]),
+        "block_last": _list_array(block_last, nb, pa.uint64()),
+        "block_id_offsets": offset_lists(id_off),
+        "block_tf_offsets": offset_lists(tf_off),
+        "block_max_tf": _list_array(block_max_tf, nb, pa.uint32()),
+        "block_min_dl": _list_array(block_min_dl, nb, pa.uint32()),
+        "max_tf": pa.array(max_tf, pa.uint32()),
+        "min_dl": pa.array(min_dl, pa.uint32()),
+    }
+    return pa.Table.from_pydict(cols, schema=SEGMENT_SCHEMA)
 
 
 def encode_spill_files(

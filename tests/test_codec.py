@@ -100,3 +100,56 @@ def test_positions_roundtrip():
         )
         got.extend(flat[offs[j] : offs[j + 1]].tolist() for j in range(len(block)))
     assert [list(map(int, p)) for p in plists] == [list(map(int, g)) for g in got]
+
+
+def test_vectorized_partition_encode_matches_per_term():
+    """The no-Python-loop partition encoder produces exactly the same
+    segment rows as per-term ``encode_postings``."""
+    import numpy as np
+    import pyarrow as pa
+
+    from docs_indexer_ray.functions.codec import encode_postings
+    from docs_indexer_ray.index.segments import SEGMENT_SCHEMA, encode_partition_codes
+
+    rs = np.random.RandomState(11)
+    n_terms, rows = 37, []
+    codes_l, doc_l, tf_l, dl_l = [], [], [], []
+    for t in range(n_terms):
+        df = rs.randint(1, 400)
+        ids = np.sort(rs.choice(5000, size=df, replace=False)).astype(np.uint64)
+        tf = rs.randint(1, 9, size=df).astype(np.uint64)
+        dl = rs.randint(5, 900, size=df).astype(np.uint64)
+        codes_l.append(np.full(df, t))
+        doc_l.append(ids)
+        tf_l.append(tf)
+        dl_l.append(dl)
+    codes = np.concatenate(codes_l)
+    doc = np.concatenate(doc_l)
+    tf = np.concatenate(tf_l)
+    dl = np.concatenate(dl_l)
+    terms = np.array([f"t{t:04d}" for t in range(n_terms)], dtype=object)
+    # shuffle row order — the encoder must sort internally
+    perm = rs.permutation(len(codes))
+    got = encode_partition_codes(
+        codes[perm], terms, doc[perm], tf[perm], dl[perm], rpart=3, block_size=64
+    )
+    assert got.schema.equals(SEGMENT_SCHEMA)
+
+    want_rows = []
+    for t in range(n_terms):
+        enc = encode_postings(doc_l[t], tf_l[t], dl_l[t], block_size=64)
+        want_rows.append(enc)
+    assert got.num_rows == n_terms
+    for i in range(n_terms):
+        row = {name: got[name][i].as_py() for name in got.column_names}
+        enc = want_rows[i]
+        assert row["term"] == f"t{i:04d}" and row["rpart"] == 3
+        assert row["df"] == enc["df"] and row["cf"] == enc["cf"]
+        assert row["doc_ids_enc"] == enc["doc_ids_enc"]
+        assert row["tfs_enc"] == enc["tfs_enc"]
+        assert row["block_last"] == list(enc["block_last"])
+        assert row["block_id_offsets"] == list(enc["block_id_offsets"])
+        assert row["block_tf_offsets"] == list(enc["block_tf_offsets"])
+        assert row["block_max_tf"] == list(enc["block_max_tf"])
+        assert row["block_min_dl"] == list(enc["block_min_dl"])
+        assert row["max_tf"] == enc["max_tf"] and row["min_dl"] == enc["min_dl"]
