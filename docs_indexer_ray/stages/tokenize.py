@@ -36,7 +36,6 @@ a term's runs back in first-doc-id order without re-sorting.
 from __future__ import annotations
 
 import zlib
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -151,6 +150,18 @@ class MultiChainTokenizeSpill:
 
 
 class Tokenizer:
+    """Docs batch → postings rows.
+
+    Per-actor state: a growing term→id vocabulary with each term's
+    shuffle partition and heavy flag computed ONCE on first sight.
+    Per doc, ``Counter`` (a C hot loop) computes tfs; per posting only
+    three integer appends remain, and the batch's columns (rpart,
+    heavy salting, dl, dl-carrier flags) are assembled with numpy.
+    The term column is emitted as an Arrow dictionary array over a
+    per-batch compacted vocabulary slice — postings never materialize
+    per-row term strings.
+    """
+
     def __init__(
         self,
         field: str = "text",
@@ -166,19 +177,106 @@ class Tokenizer:
         self.heavy = frozenset(heavy_terms or ())
         self.run_width = max(1, run_width)
         self.store_positions = store_positions
-        self._part_cache: dict[str, int] = {}
+        self._vocab: dict[str, int] = {}
+        self._terms: list[str] = []
+        self._parts: list[int] = []
+        self._is_heavy: list[bool] = []
 
-    def _part(self, term: str) -> int:
-        p = self._part_cache.get(term)
-        if p is None:
-            p = term_part(term, self.num_parts)
-            self._part_cache[term] = p
-        return p
+    def _tid(self, term: str) -> int:
+        i = self._vocab.get(term)
+        if i is None:
+            i = len(self._terms)
+            self._vocab[term] = i
+            self._terms.append(term)
+            self._parts.append(term_part(term, self.num_parts))
+            self._is_heavy.append(term in self.heavy)
+        return i
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch[self.field].to_pylist()
+        if self.store_positions:
+            return self._call_positions(doc_ids, texts)
 
+        from collections import Counter
+
+        analyze = self.analyzer
+        tid = self._tid
+        tok_ids: list[int] = []
+        doc_pos: list[int] = []
+        tfs: list[int] = []
+        dls = np.zeros(len(texts), np.int64)
+        for i, text in enumerate(texts):
+            toks = analyze(text if text is not None else "")
+            dls[i] = len(toks)
+            # Counter is the fast per-doc tf kernel (C hot loop); only
+            # ~distinct-terms-per-doc python appends follow it
+            for term, tf in Counter(toks).items():
+                tok_ids.append(tid(term))
+                doc_pos.append(i)
+                tfs.append(tf)
+
+        if not tok_ids:
+            empty = pa.table(
+                {
+                    "term": pa.array([], pa.string()).dictionary_encode(),
+                    "doc_id": pa.array([], pa.uint64()),
+                    "tf": pa.array([], pa.uint32()),
+                    "dl": pa.array([], pa.uint32()),
+                    "rpart": pa.array([], pa.int32()),
+                    "dlc": pa.array([], pa.bool_()),
+                }
+            )
+            return empty
+
+        d = np.asarray(doc_pos, np.int64)
+        t = np.asarray(tok_ids, np.int64)
+        tf = np.asarray(tfs, np.int64)
+
+        # per-batch compacted dictionary (the actor vocab keeps growing;
+        # each spill batch only ships the terms it uses)
+        used = np.unique(t)
+        terms_np = np.asarray(self._terms, dtype=object)
+        codes = np.searchsorted(used, t).astype(np.int32)
+        term_col = pa.DictionaryArray.from_arrays(
+            pa.array(codes), pa.array(terms_np[used].tolist(), pa.string())
+        )
+
+        parts = np.asarray(self._parts, np.int64)[t]
+        dids = doc_ids[d].astype(np.uint64)
+        if self.heavy:
+            hv = np.asarray(self._is_heavy, bool)[t]
+            runs = (dids // np.uint64(self.run_width)).astype(np.int64)
+            rpart = np.where(hv, (parts + runs) % self.num_parts, parts).astype(
+                np.int32
+            )
+        else:
+            rpart = parts.astype(np.int32)
+
+        # dl-carrier: exactly one posting row per doc (first of each
+        # contiguous d-run — uniq is sorted by (d, t))
+        dlc = np.zeros(len(d), bool)
+        dlc[np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))] = True
+
+        return pa.table(
+            {
+                "term": term_col,
+                "doc_id": pa.array(dids),
+                "tf": pa.array(tf.astype(np.uint32)),
+                "dl": pa.array(dls[d].astype(np.uint32)),
+                "rpart": pa.array(rpart),
+                "dlc": pa.array(dlc),
+            }
+        )
+
+    def _call_positions(self, doc_ids: np.ndarray, texts: list) -> pa.Table:
+        """Positions variant (opt-in) — per-doc loop, positions are
+        0-based token offsets AFTER the analysis chain (Lucene
+        positions semantics — "with_positions", mappings/hugo.json)."""
+        analyze = self.analyzer
+        heavy = self.heavy
+        num_parts = self.num_parts
+        rw = self.run_width
         terms: list[str] = []
         out_doc: list[int] = []
         out_tf: list[int] = []
@@ -186,51 +284,38 @@ class Tokenizer:
         out_rpart: list[int] = []
         out_dlc: list[bool] = []
         out_pos: list[list[int]] = []
-        analyze = self.analyzer
-        heavy = self.heavy
-        num_parts = self.num_parts
-        rw = self.run_width
-        positions = self.store_positions
         for i, text in enumerate(texts):
             toks = analyze(text if text is not None else "")
             dl = len(toks)
             did = int(doc_ids[i])
             run_of_doc = did // rw
-            first = True  # dl-carrier: exactly one posting row per doc
-            if positions:
-                # 0-based token positions AFTER the analysis chain
-                # (Lucene positions semantics — "with_positions" of
-                # mappings/hugo.json:6,48,60)
-                posmap: dict[str, list[int]] = {}
-                for p, term in enumerate(toks):
-                    posmap.setdefault(term, []).append(p)
-                items = [(t, len(ps)) for t, ps in posmap.items()]
-            else:
-                items = list(Counter(toks).items())
-            for term, tf in items:
+            first = True
+            posmap: dict[str, list[int]] = {}
+            for p, term in enumerate(toks):
+                posmap.setdefault(term, []).append(p)
+            for term, plist in posmap.items():
                 terms.append(term)
                 out_doc.append(did)
-                out_tf.append(tf)
+                out_tf.append(len(plist))
                 out_dl.append(dl)
                 out_dlc.append(first)
                 first = False
-                if positions:
-                    out_pos.append(posmap[term])
-                part = self._part(term)
+                out_pos.append(plist)
+                tid = self._tid(term)
+                part = self._parts[tid]
                 out_rpart.append(
                     (part + run_of_doc) % num_parts
-                    if term in heavy
+                    if self._is_heavy[tid]
                     else part
                 )
-
-        cols = {
-            "term": pa.array(terms, pa.string()).dictionary_encode(),
-            "doc_id": pa.array(np.array(out_doc, np.uint64)),
-            "tf": pa.array(np.array(out_tf, np.uint32)),
-            "dl": pa.array(np.array(out_dl, np.uint32)),
-            "rpart": pa.array(np.array(out_rpart, np.int32)),
-            "dlc": pa.array(out_dlc, pa.bool_()),
-        }
-        if positions:
-            cols["pos"] = pa.array(out_pos, pa.list_(pa.uint32()))
-        return pa.table(cols)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()).dictionary_encode(),
+                "doc_id": pa.array(np.array(out_doc, np.uint64)),
+                "tf": pa.array(np.array(out_tf, np.uint32)),
+                "dl": pa.array(np.array(out_dl, np.uint32)),
+                "rpart": pa.array(np.array(out_rpart, np.int32)),
+                "dlc": pa.array(out_dlc, pa.bool_()),
+                "pos": pa.array(out_pos, pa.list_(pa.uint32())),
+            }
+        )
