@@ -12,11 +12,12 @@ similarity search, text analysis, multimodal plumbing).
 
 Layout:
   functions/  pure per-row/per-batch kernels (no Ray imports)
-  sources/    input adapters + deterministic synthetic pages generator
-  stages/     Ray Data map_batches / groupby stages
-  state/      manifest, lineage, CURRENT pointer, resume logic
-  query/      segment reader, BM25 scorers (WAND + TAAT), search API
-  pipelines/  end-to-end build/search/dedup/similarity/textstats
+  sources/    input adapters (pages reader, paged API)
+  stages/     Ray Data map_batches stages (extract, tokenize, docstore)
+  index/      build orchestration, segment encode/merge, manifest state
+  query/      segment reader, BM25 (WAND + TAAT), phrase, suggesters
+  ops/        dedup / ANN / text-stats / windows / joins / multimodal
+  pipelines/  assembled flagship pipelines
 
 Nothing in this package calls ``ray.init()`` / ``ray.shutdown()`` —
 sessions are owned by the caller (bench.py, CLI, test fixture, driver).
