@@ -75,9 +75,19 @@ def _rank_top(scores: np.ndarray, k: int) -> list[tuple[int, float]]:
     if len(nz) == 0:
         return []
     take = min(k, len(nz))
+    vals = scores[nz]
+    if len(nz) > 4 * k:
+        # select the top-k score threshold first (O(n)), lexsort only
+        # the candidates — a dense query has ~n_docs nonzero scores and
+        # a full lexsort dominates query latency otherwise.  Ties AT
+        # the threshold are all kept, so (score desc, doc asc) ranking
+        # is identical to the full sort.
+        kth = np.partition(vals, len(vals) - take)[len(vals) - take]
+        keep = vals >= kth
+        nz, vals = nz[keep], vals[keep]
     # order: score desc, doc_id asc — np.lexsort keys last-is-primary
-    order = np.lexsort((nz, -scores[nz]))[:take]
-    return [(int(nz[i]), float(scores[nz[i]])) for i in order]
+    order = np.lexsort((nz, -vals))[:take]
+    return [(int(nz[i]), float(vals[i])) for i in order]
 
 
 def score_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
