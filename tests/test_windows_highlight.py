@@ -184,3 +184,43 @@ def test_did_you_mean_transposition_fallback(ray_session, tmp_path):
     sug = Suggester(IndexReader(str(tmp_path / "tidx")))
     cands = sug.correct_token("opols")  # transposition of "pools"
     assert cands and cands[0][0] == "pools"
+
+
+def test_query_service_matches_local_reader(ray_session, tmp_path):
+    """The actor-pool serving tier returns exactly the local reader's
+    results for every query shape it exposes."""
+    import ray.data
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.bm25 import topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.served import QueryService
+    from docs_indexer_ray.synth import rich_pages_table
+
+    build_index(
+        ray.data.from_arrow(rich_pages_table(50, dup_every=0)),
+        str(tmp_path / "sidx"),
+        fingerprint="s",
+        num_parts=8,
+        salt_heavy=False,
+        chain="english",
+        store_positions=True,
+    )
+    svc = QueryService(str(tmp_path / "sidx"), n_actors=2)
+    try:
+        reader = IndexReader(str(tmp_path / "sidx"))
+        an = Analyzer("english")
+        queries = ["node pools", "quota namespace limit", "helm upgrade", "page"]
+        got = svc.topk_many(queries, k=10)
+        for q, hits in zip(queries, got):
+            assert hits == topk(reader, an(q), k=10), q
+        # phrase + suggest round-trip through the actors too
+        import ray as _ray
+
+        ph = _ray.get(svc.phrase("node pools", 5))
+        assert ph and all(isinstance(d, int) for d, _ in ph)
+        sug = _ray.get(svc.suggest("noode quta"))
+        assert sug and sug[0][0].startswith("node")
+    finally:
+        svc.shutdown()
