@@ -58,6 +58,7 @@ def cmd_build(args) -> int:
         input_paths=input_paths,
         fingerprint=args.fingerprint,
         extra_chains=args.extra_chains,
+        store_positions=args.store_positions,
     )
     print(json.dumps({k: res[k] for k in ("fingerprint", "n_docs", "avgdl", "timings_s")}, default=str))
     return 0
@@ -177,6 +178,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--extra-chains", nargs="*", default=[])
     b.add_argument("--expand", type=int, default=1)
     b.add_argument("--fingerprint", default=None)
+    b.add_argument(
+        "--store-positions",
+        action="store_true",
+        help="store position postings (enables the phrase subcommand)",
+    )
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k")
