@@ -97,16 +97,22 @@ def score_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float =
 
 def topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
     """Adaptive top-k: block-max WAND for selective queries (skipping
-    pays), vectorized TAAT for dense ones (every term in most docs —
-    WAND degenerates to a per-doc loop while TAAT stays numpy).  Both
-    produce identical rankings; this picks the faster plan, the way
-    Lucene switches between exhaustive and skipping strategies."""
+    pays), vectorized TAAT for dense ones.  Both produce identical
+    rankings; this picks the faster plan, the way Lucene switches
+    between exhaustive and skipping strategies.
+
+    Cost model (measured on this engine): TAAT ≈ a·n_docs (zeros +
+    flatnonzero floor, ~5 ns/doc) + b·Σdf (~17 ns/posting, all numpy);
+    WAND visits ≤ Σdf cursor positions at interpreter speed
+    (~6 µs each).  Crossover ⇒ WAND only when Σdf ≲ n_docs/1000 — the
+    regime it exists for at 10^12 docs, where TAAT's per-doc floor is
+    the catastrophe and skipping is everything."""
     sum_df = 0
     for t in set(terms):
         tp = reader.postings(t)
         if tp is not None:
             sum_df += tp.df
-    if sum_df <= max(2048, reader.n_docs // 4):
+    if sum_df <= max(1024, reader.n_docs // 1024):
         return wand_topk(reader, terms, k, k1, b)
     return score_topk(reader, terms, k, k1, b)
 
