@@ -366,6 +366,12 @@ def encode_spill_files(
 class SegmentEncoder:
     """``map_groups`` callable: one postings partition → one segment file.
 
+    The object-store-shuffle fallback for the file-spill reduce
+    (``encode_spill_files`` is the default path — see README's
+    multi-node shuffle section): ``ds.groupby("rpart").map_groups(
+    SegmentEncoder(seg_dir))`` builds the same segments without shared
+    scratch storage, at the cost of Ray's sort-based shuffle.
+
     Returns a one-row **lineage record** per partition (rpart, term and
     posting counts, output file, byte size) — these become the
     manifest's per-partition lineage.  If the segment file already
@@ -376,104 +382,6 @@ class SegmentEncoder:
     def __init__(self, seg_dir: str, block_size: int = 128):
         self.seg_dir = seg_dir
         self.block_size = block_size
-
-    def encode_from_spill(self, batch: pd.DataFrame) -> pd.DataFrame:
-        """Reduce task: encode one shuffle partition (``batch`` holds
-        one {rpart, path} row; batch_size=1).  ``path`` is the spill
-        *directory* of rpart-sorted map-output files; the ``rpart == k``
-        filter hits only this partition's row groups (each file has one
-        row group per rpart — TokenizeSpill).
-
-        Arrow-native: term strings stay dictionary-encoded; sorting
-        uses integer dictionary ranks (an object-dtype lexsort over
-        hundreds of thousands of strings dominates the reduce
-        otherwise)."""
-        import pyarrow.compute as _pc
-        import pyarrow.dataset as pads
-
-        out = []
-        for _, row in batch.iterrows():
-            rpart = int(row["rpart"])
-            seg_file = segment_path(self.seg_dir, rpart)
-            dl_file = doclen_path(self.seg_dir, rpart)
-            if os.path.exists(seg_file) and os.path.exists(dl_file):
-                meta = pq.read_metadata(seg_file)
-                out.append(
-                    pd.DataFrame(
-                        [
-                            {
-                                "rpart": rpart,
-                                "n_terms": meta.num_rows,
-                                "n_postings": -1,
-                                "bytes": os.path.getsize(seg_file),
-                                "resumed": True,
-                            }
-                        ]
-                    )
-                )
-                continue
-
-            dset = pads.dataset(row["path"], format="parquet")
-            t = dset.to_table(
-                filter=pads.field("rpart") == rpart,
-                columns=["term", "doc_id", "tf", "dl", "dlc"],
-            )
-            if t.num_rows == 0:
-                continue
-            term_dict = _pc.dictionary_encode(
-                t["term"].cast(pa.string()).combine_chunks()
-            )
-            uniq = np.asarray(term_dict.dictionary.to_pylist(), dtype=object)
-            codes = term_dict.indices.to_numpy(zero_copy_only=False)
-            rank_of = np.empty(len(uniq), np.int64)
-            order_terms = np.argsort(uniq)
-            rank_of[order_terms] = np.arange(len(uniq))
-            sorted_uniq = uniq[order_terms]
-
-            seg = encode_partition_codes(
-                rank_of[codes],
-                sorted_uniq,
-                t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
-                t["tf"].to_numpy(zero_copy_only=False).astype(np.uint64),
-                t["dl"].to_numpy(zero_copy_only=False).astype(np.uint64),
-                rpart,
-                self.block_size,
-            )
-            _atomic_write(seg, seg_file)
-
-            dlc = t["dlc"].to_numpy(zero_copy_only=False)
-            dl_tbl = pa.table(
-                {
-                    "doc_id": pa.array(
-                        t["doc_id"].to_numpy(zero_copy_only=False)[dlc].astype(np.uint64),
-                        pa.uint64(),
-                    ),
-                    "dl": pa.array(
-                        t["dl"].to_numpy(zero_copy_only=False)[dlc].astype(np.uint32),
-                        pa.uint32(),
-                    ),
-                }
-            )
-            _atomic_write(dl_tbl, dl_file)
-
-            out.append(
-                pd.DataFrame(
-                    [
-                        {
-                            "rpart": rpart,
-                            "n_terms": seg.num_rows,
-                            "n_postings": int(t.num_rows),
-                            "bytes": os.path.getsize(seg_file),
-                            "resumed": False,
-                        }
-                    ]
-                )
-            )
-        if not out:
-            return pd.DataFrame(
-                {"rpart": [], "n_terms": [], "n_postings": [], "bytes": [], "resumed": []}
-            )
-        return pd.concat(out, ignore_index=True)
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         rpart = int(group["rpart"].iloc[0])
