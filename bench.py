@@ -183,9 +183,12 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CORE_PIN="1")
+        # 2 partitions per high-level core: a single wave of
+        # partition-count == core-count tasks has no room to balance
+        # stragglers (measured ~25% tail on the tokenize stage)
         env.setdefault(
             "GRAFT_NUM_PARTS",
-            str(max(8, int(os.environ.get("GRAFT_SCALE_HI", "16")))),
+            str(max(8, 2 * int(os.environ.get("GRAFT_SCALE_HI", "16")))),
         )
         env.setdefault("GRAFT_EXPAND", os.environ.get("GRAFT_SCALING_EXPAND", "100"))
         env.setdefault(
