@@ -133,3 +133,23 @@ def test_winnow_deterministic_and_subset(tokens):
     s2 = winnow_fingerprint_batch([text])[0]
     assert s1 == s2
     assert s1 == sorted(set(s1))
+
+
+def test_rank_top_matches_full_sort_property():
+    """partition-then-refine top-k == full lexsort, including tied
+    scores at the k-th boundary (hypothesis-style randomized sweep)."""
+    import numpy as np
+
+    from docs_indexer_ray.query.bm25 import _rank_top
+
+    rs = np.random.RandomState(123)
+    for trial in range(50):
+        n = rs.randint(1, 3000)
+        # few distinct values → many exact ties, incl. at the boundary
+        scores = rs.choice([0.0, 0.5, 1.0, 1.5, 2.0], size=n).astype(np.float64)
+        k = int(rs.randint(1, 40))
+        got = _rank_top(scores, k)
+        nz = np.flatnonzero(scores)
+        order = np.lexsort((nz, -scores[nz]))[: min(k, len(nz))]
+        want = [(int(nz[i]), float(scores[nz[i]])) for i in order]
+        assert got == want, (trial, n, k)
