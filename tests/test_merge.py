@@ -96,22 +96,28 @@ def test_merge_stats_add(ray_session, tmp_path):
     assert (reader.doclens > 0).all()
 
 
-def test_merge_many_equals_full_build(ray_session, tmp_path):
+@pytest.mark.parametrize("k_inputs", [3, 4])
+def test_merge_many_equals_full_build(ray_session, tmp_path, k_inputs):
     import ray.data
 
     from docs_indexer_ray.index.merge import merge_many
 
-    pages = rich_pages_table(45, dup_every=0)
-    thirds = [pages.slice(0, 15), pages.slice(15, 15), pages.slice(30)]
+    n = 48
+    pages = rich_pages_table(n, dup_every=0)
+    step = n // k_inputs
+    parts = [pages.slice(i * step, step if i < k_inputs - 1 else n - i * step)
+             for i in range(k_inputs)]
     kw = dict(num_parts=8, salt_heavy=False)
-    for i, part in enumerate(thirds):
+    for i, part in enumerate(parts):
         build_index(
             ray.data.from_arrow(part), str(tmp_path / f"p{i}"), fingerprint=f"p{i}", **kw
         )
     build_index(ray.data.from_arrow(pages), str(tmp_path / "full"), fingerprint="f", **kw)
 
-    man = merge_many([str(tmp_path / f"p{i}") for i in range(3)], str(tmp_path / "m"))
-    assert man["n_docs"] == 45
+    man = merge_many(
+        [str(tmp_path / f"p{i}") for i in range(k_inputs)], str(tmp_path / "m")
+    )
+    assert man["n_docs"] == n
     merged = _results_by_url(str(tmp_path / "m"))
     full = _results_by_url(str(tmp_path / "full"))
     for q in QUERIES:
