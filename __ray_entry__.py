@@ -170,6 +170,17 @@ def q_token_count_ws(sf_dir: str) -> pa.Table:
     return _concat(token_count(_documents_ds(sf_dir), mode="whitespace"))
 
 
+def q_sample_hash(sf_dir: str) -> pa.Table:
+    """Deterministic 1/16 corpus subsample by content hash — the
+    reproducible "take a slice of the crawl" op; any parallelism level
+    selects the identical rows."""
+    from docs_indexer_ray.ops.sample import sample_by_hash
+
+    ds = sample_by_hash(_documents_ds(sf_dir), key="text", rate=1 / 16)
+    t = _concat(ds)
+    return t.select(["doc_id", "text"])
+
+
 def q_quality_score(sf_dir: str) -> pa.Table:
     from docs_indexer_ray.ops.textstats import quality_score
 
@@ -745,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": q_token_count_bpe,
         "token_count_ws": q_token_count_ws,
         "term_df": q_term_df,
+        "sample_hash": q_sample_hash,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint_md5,
@@ -822,6 +834,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT term, CAST(count(*) AS BIGINT) AS df
             FROM t GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+        """,
+        "sample_hash": """
+            SELECT doc_id, text FROM documents
+            WHERE substr(md5(text), 1, 1) = '0'
         """,
         "quality_score": f"""
             WITH t AS (SELECT doc_id, text, {_toks('text')} AS toks FROM documents),

@@ -1,0 +1,62 @@
+"""Deterministic corpus sampling — a value-property subsample.
+
+Training-data pipelines routinely carve reproducible subsets ("take
+1/16 of the crawl") that must be stable across reruns, cluster sizes
+and partitionings.  Random sampling can't give that; hashing a key
+column can: ``sample_by_hash`` keeps a row iff the md5 of its key
+starts with one of ``16 × rate`` hex digits — a pure function of the
+row, so ANY parallelism level selects the identical subset, and the
+selection composes with resume/retry for free.  The same predicate is
+one line of ANSI SQL (``substr(md5(key), 1, 1) IN (…)``), so the
+driver's DuckDB oracle checks it bit-exactly.
+
+For rates that aren't multiples of 1/16, ``bits`` controls the hex
+prefix width (rate granularity ``16^-bits``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+__all__ = ["sample_by_hash", "hash_prefixes"]
+
+_HEX = "0123456789abcdef"
+
+
+def hash_prefixes(rate: float, bits: int = 1) -> frozenset[str]:
+    """The lexicographically-first hex prefixes covering ``rate``."""
+    n_slots = 16**bits
+    keep = round(rate * n_slots)
+    if not 0 < keep <= n_slots:
+        raise ValueError(f"rate {rate} not representable with {bits} hex digit(s)")
+
+    def gen(b: int):
+        if b == 0:
+            yield ""
+            return
+        for c in _HEX:
+            for rest in gen(b - 1):
+                yield c + rest
+
+    return frozenset(list(gen(bits))[:keep])
+
+
+def sample_by_hash(ds, key: str = "text", rate: float = 1 / 16, bits: int = 1):
+    """Keep rows whose ``md5(key)`` falls in the first ``rate`` of the
+    hash space (hex-prefix buckets).  Deterministic, parallelism- and
+    partitioning-invariant; selection is per-row (streams, no shuffle).
+    """
+    prefixes = hash_prefixes(rate, bits)
+
+    def flt(t: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5((v or "").encode("utf-8")).hexdigest()[:bits] in prefixes
+            if isinstance(v, str)
+            else hashlib.md5(str(v).encode("utf-8")).hexdigest()[:bits] in prefixes
+            for v in t[key].to_pylist()
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

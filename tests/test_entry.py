@@ -65,6 +65,7 @@ SQL_BACKED = [
     "token_count_bpe",
     "token_count_ws",
     "term_df",
+    "sample_hash",
     "quality_score",
     "lang_id",
     "fingerprint_md5",

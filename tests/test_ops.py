@@ -356,3 +356,26 @@ def test_mm_resize_embed_frames_stubs(ray_session):
         expect = -(-n_frames[int(mid)] // 4)
         assert len(sub) == expect
         assert sorted(sub["frame"]) == list(range(0, n_frames[int(mid)], 4))
+
+
+def test_sample_by_hash_deterministic_and_exact(docs_ds, docs_tbl):
+    import hashlib as _h
+
+    from docs_indexer_ray.ops.sample import hash_prefixes, sample_by_hash
+
+    assert hash_prefixes(1 / 16) == {"0"}
+    assert hash_prefixes(3 / 16) == {"0", "1", "2"}
+    assert len(hash_prefixes(10 / 256, bits=2)) == 10
+    with pytest.raises(ValueError):
+        hash_prefixes(1 / 256)  # not representable with 1 hex digit
+
+    got = _rows(sample_by_hash(docs_ds, key="text", rate=4 / 16))
+    want = {
+        did
+        for did, t in zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())
+        if _h.md5(t.encode()).hexdigest()[0] in "0123"
+    }
+    assert set(got["doc_id"]) == want
+    # rerun → identical selection
+    got2 = _rows(sample_by_hash(docs_ds, key="text", rate=4 / 16))
+    assert sorted(got2["doc_id"]) == sorted(got["doc_id"])
