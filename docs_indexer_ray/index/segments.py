@@ -117,6 +117,15 @@ def _binary_from_partition(data: bytes, boundaries: np.ndarray) -> pa.Array:
     """Binary array whose row i is ``data[boundaries[i]:boundaries[i+1]]``
     — rows partition the buffer contiguously, so this is zero-copy:
     one int32 offsets buffer over the encoded stream itself."""
+    if len(data) > (1 << 31) - 1:
+        # Arrow binary() carries int32 offsets; a >2 GB encoded
+        # partition means num_parts is sized far too small for the
+        # corpus — fail with the remedy rather than overflow silently
+        raise ValueError(
+            f"encoded posting stream is {len(data)} bytes (> 2 GB) in one "
+            "partition — increase build_index(num_parts=...) so partitions "
+            "shrink"
+        )
     offs = boundaries.astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(),
