@@ -105,6 +105,9 @@ def test_every_query_has_oracle_or_is_marked(entry_mod):
 
 ROWS_ONLY_MIN = {
     "bm25_topk_english": 10,
+    "did_you_mean": 1,
+    "mm_embed_knn": 10,
+    "mm_frames": 100,
     "minhash_pairs": 1,
     "simhash_pairs": 1,
     "embedding_dups": 1,
