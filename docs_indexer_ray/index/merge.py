@@ -236,10 +236,11 @@ def merge_many(
         raise ValueError("merge_many needs >= 2 indexes")
     dirs = [mf.current_build(d) or d for d in index_dirs]
     mans = [mf.read_manifest(d) for d in dirs]
-    for key in ("num_parts", "analyzer", "field", "block_size"):
-        vals = {str(m[key]) for m in mans}
+    for key in ("num_parts", "analyzer", "field", "block_size", "store_positions"):
+        vals = {str(m.get(key, False if key == "store_positions" else None)) for m in mans}
         if len(vals) > 1:
             raise ValueError(f"merge inputs disagree on {key}: {sorted(vals)}")
+    store_positions = bool(mans[0].get("store_positions", False))
     chain_sets = {tuple(sorted(m.get("chains", {}))) for m in mans}
     if len(chain_sets) > 1:
         raise ValueError(
@@ -249,7 +250,14 @@ def merge_many(
     num_parts = int(mans[0]["num_parts"])
 
     if fingerprint is None:
-        fingerprint = "m" + "".join(m["fingerprint"][:5] for m in mans)[:40]
+        # hash the FULL concatenation — truncating the concatenation
+        # itself collides for >8 inputs sharing a prefix, and the
+        # resume-skip in _merge_part would then silently reuse another
+        # merge's segment files
+        import hashlib
+
+        cat = "\0".join(m["fingerprint"] for m in mans)
+        fingerprint = "m" + hashlib.sha1(cat.encode()).hexdigest()[:16]
     bdir = mf.build_dir(out_root, prefix, fingerprint)
 
     shifts = []
@@ -279,15 +287,27 @@ def merge_many(
                 [m["chains"][chain_name] for m in mans]
             )
 
-    # merged docs store: hardlink the first input's partitions, rewrite
-    # the rest with shifted ids
+    # merged docs store: hardlink the first input's partitions (shift
+    # 0), rewrite the rest with shifted ids — one task per
+    # (input, docpart), mirroring the segment round above.  The driver
+    # only lists directories; all corpus-scale bytes move in workers.
     docs_dir = os.path.join(bdir, "docs")
     os.makedirs(docs_dir, exist_ok=True)
+    copy_task = ray.remote(num_cpus=1)(_copy_docpart)
+    jobs = []
     part_off = 0
     for d, s in zip(dirs, shifts):
         src = os.path.join(d, "docs")
-        _copy_docs(src, docs_dir, part_off, s)
-        part_off += len([x for x in os.listdir(src) if x.startswith("docpart=")])
+        parts = sorted(x for x in os.listdir(src) if x.startswith("docpart="))
+        for pd in parts:
+            k = int(pd.split("=")[1]) + part_off
+            jobs.append(
+                copy_task.remote(
+                    os.path.join(src, pd), os.path.join(docs_dir, f"docpart={k}"), s
+                )
+            )
+        part_off += len(parts)
+    ray.get(jobs)
 
     man = {
         **{
@@ -302,6 +322,7 @@ def merge_many(
                 "bm25_b",
             )
         },
+        "store_positions": store_positions,
         "fingerprint": fingerprint,
         "n_docs": n_total,
         **_chain_stats(mans),
@@ -325,10 +346,6 @@ def merge_indexes(
     publish: bool = True,
 ):
     """Merge two published builds (k=2 case of :func:`merge_many`)."""
-    if fingerprint is None:
-        man_a = mf.read_manifest(mf.current_build(base_dir) or base_dir)
-        man_b = mf.read_manifest(mf.current_build(delta_dir) or delta_dir)
-        fingerprint = f"m{man_a['fingerprint'][:7]}{man_b['fingerprint'][:7]}"
     return merge_many(
         [base_dir, delta_dir],
         out_root,
@@ -338,31 +355,34 @@ def merge_indexes(
     )
 
 
-def _copy_docs(src: str, dst: str, part_offset: int, id_offset: int) -> None:
+def _copy_docpart(src_dir: str, out_dir: str, id_offset: int) -> int:
+    """Task body: copy ONE input docpart directory into the merged docs
+    store — hardlink fast-path for shift 0, id-shift rewrite otherwise.
+    Atomic per file (tmp + replace); existing outputs are a resume skip."""
     import shutil
 
-    for d in sorted(os.listdir(src)):
-        if not d.startswith("docpart="):
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for f in sorted(os.listdir(src_dir)):
+        src_f = os.path.join(src_dir, f)
+        dst_f = os.path.join(out_dir, f)
+        if os.path.exists(dst_f):
             continue
-        k = int(d.split("=")[1]) + part_offset
-        out_dir = os.path.join(dst, f"docpart={k}")
-        os.makedirs(out_dir, exist_ok=True)
-        for f in os.listdir(os.path.join(src, d)):
-            src_f = os.path.join(src, d, f)
-            dst_f = os.path.join(out_dir, f)
-            if os.path.exists(dst_f):
-                continue
-            if id_offset == 0:
-                try:
-                    os.link(src_f, dst_f)
-                except OSError:
-                    shutil.copy2(src_f, dst_f)
-            else:
-                t = pq.read_table(src_f)
-                idx = t.schema.get_field_index("doc_id")
-                t = t.set_column(
-                    idx,
-                    "doc_id",
-                    pa.array(t["doc_id"].to_numpy() + np.uint64(id_offset), pa.uint64()),
-                )
-                pq.write_table(t, dst_f, compression="zstd")
+        if id_offset == 0:
+            try:
+                os.link(src_f, dst_f)
+            except OSError:
+                shutil.copy2(src_f, dst_f)
+        else:
+            t = pq.read_table(src_f)
+            idx = t.schema.get_field_index("doc_id")
+            t = t.set_column(
+                idx,
+                "doc_id",
+                pa.array(t["doc_id"].to_numpy() + np.uint64(id_offset), pa.uint64()),
+            )
+            tmp = dst_f + f".tmp-{os.getpid()}"
+            pq.write_table(t, tmp, compression="zstd")
+            os.replace(tmp, dst_f)
+        n += 1
+    return n

@@ -197,3 +197,30 @@ def test_merge_preserves_positions(ray_session, tmp_path):
 
     for phrase in (["node", "pools"], ["per", "namespace"]):
         assert by_url(str(tmp_path / "m"), phrase) == by_url(str(tmp_path / "full"), phrase)
+
+    # the merged manifest carries the flag — a reader of the merged
+    # index can still tell it has positions
+    from docs_indexer_ray.index import manifest as mf
+
+    man = mf.read_manifest(mf.current_build(str(tmp_path / "m")))
+    assert man["store_positions"] is True
+
+
+def test_merge_positions_mismatch_raises(ray_session, tmp_path):
+    """Merging a positions build with a non-positions build must fail
+    fast at the agreement check, not late inside concat with a schema
+    error (which would leave a mixed, partially-positioned index)."""
+    import ray.data
+
+    pages = rich_pages_table(20, dup_every=0)
+    kw = dict(num_parts=8, salt_heavy=False, chain="simple", field="body")
+    build_index(
+        ray.data.from_arrow(pages.slice(0, 10)), str(tmp_path / "a"),
+        fingerprint="a", store_positions=True, **kw
+    )
+    build_index(
+        ray.data.from_arrow(pages.slice(10)), str(tmp_path / "b"),
+        fingerprint="b", store_positions=False, **kw
+    )
+    with pytest.raises(ValueError, match="store_positions"):
+        merge_indexes(str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m"))
