@@ -18,21 +18,23 @@ shape of the problem:
   pairs carrying (na, nb), then ONE vectorized aggregate
   ``(inter=count, na=max, nb=max)`` and ``jac = inter/(na+nb-inter)``
   — one exact integer division (SQL-bit-identical).  Nothing touches
-  the driver; the whole chain is Arrow end-to-end.  The optional
-  ``hot_gram_cap`` bounds candidate generation O(Σ df²) by skipping
-  grams hotter than the cap, then an exact second pass recounts every
-  surviving pair over ALL its grams (hot ones included), so the cap
-  never distorts ``inter``/``jaccard`` — it can only miss pairs whose
-  *every* shared gram is hot (boilerplate at web scale; the documented
-  approximation).  Default is the exact mode (no cap).
+  the driver; the whole chain is Arrow end-to-end.  ``hot_gram_cap``
+  bounds candidate generation O(Σ df²) by skipping (and logging)
+  grams hotter than the cap; an exact second pass then semi-joins the
+  gram rows against the candidate-doc set (distributed hash join) and
+  recounts every candidate-doc pair over ALL its grams (hot ones
+  included), so the cap never distorts ``inter``/``jaccard`` — it can
+  only miss pairs whose *every* shared gram is hot (boilerplate at
+  web scale; the documented approximation).  The default ``"auto"``
+  stays exact below 100k docs and derives a √n cap above.
 * **MinHash-LSH** — per-batch signature computation (numpy, all docs
   of a batch at once); banding ships ``(doc_id, band, bandhash)``
   ONLY — 20 bytes/row instead of the full 64×8-byte signature (a ~26×
   lighter shuffle); candidate pairs are deduped by a hash-partitioned
-  vectorized pass, and the signature-estimated Jaccard is verified by
-  re-reading only the candidate docs' signatures (candidate set
-  broadcast — output-scale, not corpus-scale; at extreme scale the
-  broadcast becomes a partitioned semi-join on doc_id).
+  vectorized pass, and the signature-estimated Jaccard is computed by
+  a partitioned semi-join (pair side rows ⋈ signatures on doc_id,
+  then a pair-hash shuffle) — entirely distributed, nothing touches
+  the driver.
 * **SimHash** — 64-bit simhash per doc, fully vectorized per batch
   (one token-hash memo per actor, one ``np.unique`` over (doc, token)
   pairs, one ``np.add.at`` accumulate); 4×16-bit band blocking; exact
@@ -45,11 +47,14 @@ parallelism-invariant and reproducible.
 from __future__ import annotations
 
 import hashlib
+import logging
 import re
 import zlib
 
 import numpy as np
 import pyarrow as pa
+
+_LOG = logging.getLogger(__name__)
 
 __all__ = [
     "exact_dedup",
@@ -154,34 +159,38 @@ def _run_pairs(
     ids_np: np.ndarray,
     na_np: np.ndarray,
     cap: int | None,
-    keep_pair=None,
 ) -> pa.Table:
     """Co-occurrence pairs over gram runs of a gram-sorted partition.
 
     The Python loop is over grams with ≥2 docs only; pair emission per
-    run is vectorized (``triu_indices``).  ``keep_pair(a, b)`` filters
-    candidate pairs when provided (the exact recount pass)."""
+    run is vectorized (``triu_indices``)."""
     starts = np.flatnonzero(np.concatenate(([True], grams_np[1:] != grams_np[:-1])))
     ends = np.append(starts[1:], len(grams_np))
     out_a, out_b, out_na, out_nb = [], [], [], []
+    n_skipped = 0
     for s, e in zip(starts, ends):
         cnt = e - s
-        if cnt < 2 or (cap is not None and cnt > cap):
+        if cap is not None and cnt > cap:
+            n_skipped += 1
+            continue
+        if cnt < 2:
             continue
         ids_run = ids_np[s:e]
         na_run = na_np[s:e]
         ai, bi = np.triu_indices(cnt, k=1)
         a, b = ids_run[ai], ids_run[bi]
         na, nb = na_run[ai], na_run[bi]
-        if keep_pair is not None:
-            keep = keep_pair(a, b)
-            if not keep.any():
-                continue
-            a, b, na, nb = a[keep], b[keep], na[keep], nb[keep]
         out_a.append(a)
         out_b.append(b)
         out_na.append(na)
         out_nb.append(nb)
+    if n_skipped:
+        _LOG.warning(
+            "ngram_jaccard: skipped %d hot grams (> cap=%d docs) during "
+            "candidate generation in this partition",
+            n_skipped,
+            cap,
+        )
     if not out_a:
         return _EMPTY_PAIRS
     return pa.table(
@@ -241,26 +250,50 @@ def _finish_jaccard(pair_counts, threshold: float):
     return pair_counts.map_batches(finish, batch_format="pyarrow")
 
 
+#: corpus size above which ``hot_gram_cap="auto"`` switches from exact
+#: mode to capped candidate generation (the O(Σ df²) guard).
+AUTO_CAP_MIN_DOCS = 100_000
+
+
 def ngram_jaccard_pairs(
     ds,
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
-    hot_gram_cap: int | None = None,
+    hot_gram_cap: int | None | str = "auto",
     num_parts: int = 32,
 ):
     """All pairs with word-``n``-gram Jaccard ≥ ``threshold``.
 
-    Output ``(a, b, inter, na, nb, jaccard)`` with a < b.  Default is
-    the exact mode (every shared gram counted — matches the SQL
-    oracle bit-for-bit).  With ``hot_gram_cap`` set, grams shared by
-    more than ``cap`` docs are skipped during *candidate generation*
-    only; every discovered pair is then recounted exactly over all its
-    grams, so reported values stay exact — only pairs whose every
-    shared gram is hot can be missed (see module docstring).
+    Output ``(a, b, inter, na, nb, jaccard)`` with a < b.  Reported
+    values are always exact (they match the SQL oracle bit-for-bit for
+    every emitted pair).  ``hot_gram_cap`` controls *candidate
+    generation* only:
+
+    * ``None`` — exact mode: every shared gram emits pairs; O(Σ df²)
+      on the hottest gram, safe only at modest corpus sizes.
+    * an ``int`` — grams shared by more than ``cap`` docs are skipped
+      (and logged) while discovering candidates; every candidate doc's
+      gram rows are then recounted exactly over ALL grams (hot ones
+      included) via a distributed semi-join, so emitted
+      ``inter``/``jaccard`` stay exact — only pairs whose *every*
+      shared gram is hot can be missed (boilerplate at web scale).
+    * ``"auto"`` (default) — exact below ``AUTO_CAP_MIN_DOCS`` docs
+      (keeps the oracle bit-exact at test scale), else
+      ``max(256, 4·√n_docs)`` so one gram's pair emission stays
+      O(corpus) instead of O(corpus²).
     """
-    import ray
     from ray.data.aggregate import Count, Max
+
+    from .join import hash_join
+
+    if hot_gram_cap == "auto":
+        n_docs = ds.count()
+        hot_gram_cap = (
+            None
+            if n_docs <= AUTO_CAP_MIN_DOCS
+            else max(256, int(4 * np.sqrt(n_docs)))
+        )
 
     grams = ds.map_batches(
         _gram_explode_fn(n, id_col, num_parts), batch_format="pyarrow"
@@ -284,44 +317,56 @@ def ngram_jaccard_pairs(
     if hot_gram_cap is None:
         return _finish_jaccard(pair_counts, threshold)
 
-    # ---- capped mode: exact recount of the discovered candidates ------
-    # Candidate pairs are output-scale (the cap's whole point), so the
-    # membership set is broadcast; at extreme scale this becomes a
-    # partitioned semi-join of gram rows against the candidate doc set.
-    cand_tables = [
-        t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
-        for t in ray.get(pair_counts.to_arrow_refs())
-    ]
-    cand_tables = [t for t in cand_tables if t.num_rows]
-    if not cand_tables:
-        return _finish_jaccard(pair_counts, threshold)
-    cand = pa.concat_tables(cand_tables)
-    ca = cand["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cb = cand["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cand_pairs = frozenset(zip(ca.tolist(), cb.tolist()))
-    cand_docs = frozenset(ca.tolist()) | frozenset(cb.tolist())
-    cand_ref = ray.put((cand_pairs, cand_docs))
+    # ---- capped mode: exact recount via a distributed semi-join -------
+    # Candidate DOCS (union of pair endpoints) are distinct-ed with a
+    # hash-partitioned vectorized pass, then the gram rows are
+    # semi-joined against them (one partitioned hash join — nothing
+    # ever lands on the driver).  The surviving gram rows are recounted
+    # with NO cap: every pair of candidate docs gets its exact
+    # ``inter`` over all grams, hot ones included.  Pairs of candidate
+    # docs that pass 1 missed can only ADD exact, above-threshold rows.
+    def endpoint_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.concatenate([a, b])
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "dpart": pa.array((ids % num_parts).astype(np.int32)),
+            }
+        )
+
+    def distinct_docs(group: pa.Table) -> pa.Table:
+        return group.group_by([id_col]).aggregate([]).select([id_col])
+
+    cand_docs = (
+        pair_counts.map_batches(endpoint_rows, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(distinct_docs, batch_format="pyarrow")
+    )
+
+    cand_grams = hash_join(
+        grams,
+        cand_docs,
+        on=id_col,
+        num_buckets=num_parts,
+        left_schema=pa.schema(
+            [
+                (id_col, pa.int64()),
+                ("gram", pa.string()),
+                ("na", pa.int64()),
+                ("gpart", pa.int32()),
+            ]
+        ),
+        right_schema=pa.schema([(id_col, pa.int64())]),
+    )
 
     def recount_partition(group: pa.Table) -> pa.Table:
-        pairs, docs = ray.get(cand_ref)
-        ids_all = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep_doc = np.isin(ids_all, np.fromiter(docs, np.int64, len(docs)))
-        group = group.filter(pa.array(keep_doc))
-        if group.num_rows == 0:
-            return _EMPTY_PAIRS
         grams_np, ids_np, na_np = _sorted_partition_arrays(group, id_col)
-
-        def keep_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-            return np.fromiter(
-                ((x, y) in pairs for x, y in zip(a.tolist(), b.tolist())),
-                bool,
-                len(a),
-            )
-
-        return _run_pairs(grams_np, ids_np, na_np, None, keep_pair)
+        return _run_pairs(grams_np, ids_np, na_np, None)
 
     exact_counts = (
-        grams.groupby("gpart")
+        cand_grams.groupby("gpart")
         .map_groups(recount_partition, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(
@@ -440,11 +485,11 @@ def minhash_lsh_pairs(
     Shuffle shape: band rows carry ``(doc_id, band, bandhash)`` only
     (~20 B/row vs ~530 B with an inlined 64-perm signature — the 16
     bands would otherwise amplify every signature 16× through the one
-    all-to-all exchange).  Signatures are re-read per *candidate* doc
-    for the estimation step, which is output-scale work.
+    all-to-all exchange).  The estimation step is a partitioned
+    semi-join: candidate-pair side rows join the signature table on
+    ``doc_id`` (one hash join), then a pair-hash shuffle co-locates
+    both sides for a vectorized compare — no driver materialization.
     """
-    import ray
-
     rows_per_band = num_perm // bands
 
     sigs = ds.map_batches(
@@ -487,6 +532,92 @@ def minhash_lsh_pairs(
     )
 
     # a pair can match in several bands → distinct (a, b), vectorized
+    uniq_pairs_ds = _dedup_pairs(pairs, [])
+
+    # ---- estimation: partitioned semi-join, nothing on the driver -----
+    # Each unique candidate pair emits two side rows (doc_id, a, b,
+    # side); ONE doc-hash-partitioned exchange co-locates side rows
+    # with the signature table and a vectorized searchsorted gather
+    # attaches each side's signature (Arrow's Acero join can't carry a
+    # list<uint64> payload, so the per-bucket join is done by hand —
+    # still zero Python-per-row).  Non-candidate docs' signatures die
+    # inside the bucket.  A second, pair-hash shuffle then co-locates
+    # both sides and the estimate is one vectorized row-pair compare.
+    # All exchanges are output- or corpus-scale *distributed* work —
+    # no ``to_arrow_refs``, no driver dict.
+    _null_i64 = lambda n: pa.nulls(n, pa.int64())  # noqa: E731
+
+    def side_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.concatenate([a, b])
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(a), np.int32), np.ones(len(b), np.int32)]
+                    )
+                ),
+                "sig": pa.nulls(len(ids), pa.list_(pa.uint64())),
+                "dpart": pa.array((ids % 32).astype(np.int32)),
+            }
+        )
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), np.int64)
+        n = len(ids)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "a": _null_i64(n),
+                "b": _null_i64(n),
+                "side": pa.nulls(n, pa.int32()),
+                "sig": t["sig"],
+                "dpart": pa.array((ids % 32).astype(np.int32)),
+            }
+        )
+
+    both = uniq_pairs_ds.map_batches(side_rows, batch_format="pyarrow").union(
+        sigs.map_batches(sig_rows, batch_format="pyarrow")
+    )
+
+    def attach_sig(group: pa.Table) -> pa.Table:
+        is_sig = pa.compute.is_valid(group.column("sig")).combine_chunks()
+        sig_t = group.filter(is_sig)
+        side_t = group.filter(pa.compute.invert(is_sig))
+        if side_t.num_rows == 0 or sig_t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int32()),
+                    "sig": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        sig_ids = sig_t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sig_ids)
+        sig_ids = sig_ids[order]
+        sig_np = _sig_matrix(sig_t["sig"])[order]
+        want = side_t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sig_ids, want)
+        got = sig_np[pos]  # every candidate doc has a signature
+        w = got.shape[1]
+        offsets = pa.array(np.arange(len(want) + 1, dtype=np.int32) * w)
+        sig_col = pa.ListArray.from_arrays(offsets, pa.array(got.reshape(-1)))
+        return pa.table(
+            {
+                "a": side_t["a"],
+                "b": side_t["b"],
+                "side": side_t["side"],
+                "sig": sig_col,
+            }
+        )
+
+    joined = both.groupby("dpart").map_groups(attach_sig, batch_format="pyarrow")
+
     def add_ppart(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -494,83 +625,28 @@ def minhash_lsh_pairs(
             h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
         return t.append_column("ppart", pa.array((h % np.uint64(32)).astype(np.int32)))
 
-    def distinct(group: pa.Table) -> pa.Table:
-        agg = group.group_by(["a", "b"]).aggregate([])
-        return agg.select(["a", "b"])
-
-    uniq_pairs_ds = (
-        pairs.map_batches(add_ppart, batch_format="pyarrow")
-        .groupby("ppart")
-        .map_groups(distinct, batch_format="pyarrow")
-    )
-
-    # ---- estimation: ship only candidate docs' signatures -------------
-    cand_tables = [
-        t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
-        for t in ray.get(uniq_pairs_ds.to_arrow_refs())
-    ]
-    cand_tables = [t for t in cand_tables if t.num_rows]
-    empty = pa.table(
-        {
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64()),
-            "est_jaccard": pa.array([], pa.float64()),
-        }
-    )
-    if not cand_tables:
-        import ray.data
-
-        return ray.data.from_arrow(empty)
-    cand = pa.concat_tables(cand_tables)
-    ca = cand["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cb = cand["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    # doc → list of (pair index, side)
-    doc_rows: dict[int, list[tuple[int, int]]] = {}
-    for pidx, (x, y) in enumerate(zip(ca.tolist(), cb.tolist())):
-        doc_rows.setdefault(x, []).append((pidx, 0))
-        doc_rows.setdefault(y, []).append((pidx, 1))
-    cand_ref = ray.put((doc_rows, ca, cb))
-
-    def emit_sides(batch: pa.Table) -> pa.Table:
-        doc_rows_, ca_, cb_ = ray.get(cand_ref)
-        out_p, out_s, out_sig = [], [], []
-        sig_list = batch["sig"].to_pylist()
-        for did, sig in zip(batch[id_col].to_pylist(), sig_list):
-            for pidx, side in doc_rows_.get(did, ()):
-                out_p.append(pidx)
-                out_s.append(side)
-                out_sig.append(sig)
-        return pa.table(
-            {
-                "pidx": pa.array(out_p, pa.int64()),
-                "side": pa.array(out_s, pa.int32()),
-                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
-                "vpart": pa.array([p % 32 for p in out_p], pa.int32()),
-            }
-        )
-
     def estimate(group: pa.Table) -> pa.Table:
-        ca_, cb_ = ray.get(cand_ref)[1:]
         order = pa.compute.sort_indices(
-            group, sort_keys=[("pidx", "ascending"), ("side", "ascending")]
+            group,
+            sort_keys=[("a", "ascending"), ("b", "ascending"), ("side", "ascending")],
         )
         g = group.take(order)
         sig_np = _sig_matrix(g["sig"])
-        pidx = g["pidx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)[0::2]
+        b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)[0::2]
         est = (sig_np[0::2] == sig_np[1::2]).mean(axis=1)
-        p = pidx[0::2]
         keep = est >= threshold
         return pa.table(
             {
-                "a": pa.array(ca_[p][keep]),
-                "b": pa.array(cb_[p][keep]),
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
                 "est_jaccard": pa.array(est[keep], pa.float64()),
             }
         )
 
     return (
-        sigs.map_batches(emit_sides, batch_format="pyarrow")
-        .groupby("vpart")
+        joined.map_batches(add_ppart, batch_format="pyarrow")
+        .groupby("ppart")
         .map_groups(estimate, batch_format="pyarrow")
     )
 

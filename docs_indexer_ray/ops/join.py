@@ -86,6 +86,8 @@ def hash_join(
     num_buckets: int = 32,
     how: str = "inner",
     suffixes: tuple[str, str] = ("_l", "_r"),
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Partitioned hash join of two Datasets on one key column.
 
@@ -93,10 +95,15 @@ def hash_join(
     side's columns as nulls before the tag; the per-bucket join then
     re-selects each side's true columns and runs one Arrow hash join.
     Size ``num_buckets`` to ~2× the reducer slots of the cluster.
+
+    Pass ``left_schema`` / ``right_schema`` (``pyarrow.Schema``) when
+    the caller knows them statically — ``Dataset.schema()`` otherwise
+    has to execute part of the upstream pipeline just to find out, and
+    returns nothing useful for a pipeline whose sample block is empty.
     """
     join_type = _HOW[how]
-    left_schema = left.schema()
-    right_schema = right.schema()
+    left_schema = left_schema if left_schema is not None else left.schema()
+    right_schema = right_schema if right_schema is not None else right.schema()
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
     types = {

@@ -176,6 +176,46 @@ def test_ngram_jaccard_capped_exact_recount(docs_ds, docs_tbl):
         assert (i, 1000 + i) in got_pairs
 
 
+def test_ngram_hot_gram_cap_bounds_emission(ray_session):
+    """A planted hot gram (shared by every doc) emits NO candidate
+    pairs under the cap; pairs connected by any cool gram survive with
+    exact jaccard (the semi-join recount counts hot grams too)."""
+    import ray.data
+
+    hot = "alpha beta gamma"  # one 3-gram shared by all docs
+    ids, texts = [], []
+    for i in range(30):
+        # unique filler so unrelated docs share ONLY the hot gram
+        filler = " ".join(f"w{i}x{j}" for j in range(12))
+        ids.append(i)
+        texts.append(f"{hot} {filler}")
+    # planted near-dups: exact copies → share cool grams too
+    for i in range(0, 30, 10):
+        ids.append(1000 + i)
+        texts.append(texts[i])
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    got = _rows(ngram_jaccard_pairs(ds, n=3, threshold=0.5, hot_gram_cap=5))
+    pairs = {(a, b): j for a, b, j in zip(got["a"], got["b"], got["jaccard"])}
+    # exact copies found, with jaccard == 1.0 (hot gram included in the
+    # recount — inter counts ALL shared grams)
+    for i in range(0, 30, 10):
+        assert pairs[(i, 1000 + i)] == pytest.approx(1.0)
+    # docs sharing only the hot gram never pair up
+    for (a, b) in pairs:
+        assert b == 1000 + a
+
+
+def test_ngram_auto_cap_exact_at_small_scale(docs_ds, docs_tbl):
+    """hot_gram_cap='auto' == exact mode below the corpus threshold."""
+    got = _rows(ngram_jaccard_pairs(docs_ds, n=3, threshold=0.5, hot_gram_cap="auto"))
+    want = _rows(ngram_jaccard_pairs(docs_ds, n=3, threshold=0.5, hot_gram_cap=None))
+    assert sorted(zip(got["a"], got["b"], got["jaccard"])) == sorted(
+        zip(want["a"], want["b"], want["jaccard"])
+    )
+
+
 def test_simhash_kernel_matches_definition(docs_tbl):
     """The vectorized batch kernel == the definitional per-doc loop."""
     import zlib
