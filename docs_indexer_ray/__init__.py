@@ -25,6 +25,27 @@ sessions are owned by the caller (bench.py, CLI, test fixture, driver).
 
 __version__ = "0.1.0"
 
+import logging as _logging
+
+
+class _SchemaHashNoiseFilter(_logging.Filter):
+    """Drop Ray Data's per-task "Failed to hash the schemas (for
+    deduplication): unhashable type: 'dict'" warning.
+
+    Parquet files written by pandas carry ``b'pandas'`` schema
+    metadata; ``pyarrow.Schema`` with metadata is unhashable, so Ray's
+    ``unify_schemas`` early-exit logs this harmless warning once per
+    output-block concat — hundreds of lines per run.  Everything else
+    from that logger still flows."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+    _SchemaHashNoiseFilter()
+)
+
 # Bump when the on-disk index format or any result-affecting semantics
 # change: build fingerprints mix this in, so caches built by an older
 # engine can never be served as current (they rebuild instead).

@@ -20,7 +20,6 @@ Randomness is a fixed ``RandomState(42)`` → deterministic output.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 __all__ = ["knn_cosine", "knn_lsh", "knn_ivf", "embedding_dup_pairs", "train_ivf_centroids"]
@@ -46,6 +45,58 @@ def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
             flat = arr.flatten().to_numpy(zero_copy_only=False)
             return flat.reshape(len(arr), int(lens[0])).astype(np.float64)
     return np.array(arr.to_pylist(), dtype=np.float64)
+
+
+_FINAL_EMPTY = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+    }
+)
+
+
+def _final_topk(partials, k: int, exclude_self: bool, num_parts: int = 32):
+    """Merge per-batch partial top-k candidate rows into the final
+    ``(query_id, rank, neighbor_id)`` — ONE hash-partitioned vectorized
+    pass (lexsort + run-length rank), no per-query Python/pandas."""
+
+    def add_qpart(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__qpart", pa.array((q % num_parts).astype(np.int32))
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        q = group["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbr = group["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = group["sim"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if exclude_self:
+            keep = nbr != q
+            q, nbr, sim = q[keep], nbr[keep], sim[keep]
+        if len(q) == 0:
+            return _FINAL_EMPTY
+        # per query: sim desc, then neighbor_id asc (deterministic ties)
+        order = np.lexsort((nbr, -sim, q))
+        q, nbr = q[order], nbr[order]
+        new_run = np.concatenate(([True], q[1:] != q[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rank = np.arange(len(q)) - starts[run_id] + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "query_id": pa.array(q[keep]),
+                "rank": pa.array(rank[keep].astype(np.int64)),
+                "neighbor_id": pa.array(nbr[keep]),
+            }
+        )
+
+    return (
+        partials.map_batches(add_qpart, batch_format="pyarrow")
+        .groupby("__qpart")
+        .map_groups(final, batch_format="pyarrow")
+    )
 
 
 def knn_cosine(
@@ -86,19 +137,8 @@ def knn_cosine(
             }
         )
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        qid = int(group["query_id"].iloc[0])
-        g = group
-        if exclude_self:
-            g = g[g["neighbor_id"] != qid]
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "rank", "neighbor_id"]]
-
-    return (
-        ds.map_batches(partial_topk, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
+    return _final_topk(
+        ds.map_batches(partial_topk, batch_format="pyarrow"), k, exclude_self
     )
 
 
@@ -113,6 +153,31 @@ class _Planes:
         bits = (vecs @ self.planes.T) > 0
         return (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(
             axis=1
+        )
+
+
+class _LshKeyer:
+    """Per-worker state: hyperplanes built once (lazily — the dim comes
+    from the first batch; seed 42, so every worker builds the identical
+    planes) and reused for all subsequent batches."""
+
+    def __init__(self, n_planes: int, id_col: str, col: str):
+        self.n_planes = n_planes
+        self.id_col = id_col
+        self.col = col
+        self._planes: _Planes | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_embedding_matrix(batch, self.col))
+        if self._planes is None:
+            self._planes = _Planes(emb.shape[1], self.n_planes)
+        keys = self._planes.key(emb)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                self.col: batch[self.col],
+                "bucket": pa.array(keys.astype(np.int64)),
+            }
         )
 
 
@@ -135,13 +200,14 @@ def knn_lsh(
     dim = qn.shape[1]
     planes = _Planes(dim, n_planes)
     q_keys = planes.key(qn)
-    q_ref = ray.put((qn, np.asarray(query_ids, np.int64), q_keys))
+    # planes ride the one broadcast — built ONCE here, never per batch
+    q_ref = ray.put((qn, np.asarray(query_ids, np.int64), q_keys, planes))
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
-        q, qids, qk = ray.get(q_ref)
+        q, qids, qk, planes_ = ray.get(q_ref)
         emb = _normalize(_embedding_matrix(batch, col))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        keys = _Planes(emb.shape[1], n_planes).key(emb)
+        keys = planes_.key(emb)
         out_q, out_n, out_s = [], [], []
         for qi in range(len(q)):
             mask = keys == qk[qi]
@@ -162,19 +228,8 @@ def knn_lsh(
             }
         )
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        qid = int(group["query_id"].iloc[0])
-        g = group
-        if exclude_self:
-            g = g[g["neighbor_id"] != qid]
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "rank", "neighbor_id"]]
-
-    return (
-        ds.map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
+    return _final_topk(
+        ds.map_batches(bucket_partial, batch_format="pyarrow"), k, exclude_self
     )
 
 
@@ -295,19 +350,8 @@ def knn_ivf(
             }
         )
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        qid = int(group["query_id"].iloc[0])
-        g = group
-        if exclude_self:
-            g = g[g["neighbor_id"] != qid]
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "rank", "neighbor_id"]]
-
-    return (
-        ds.map_batches(cell_partial, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
+    return _final_topk(
+        ds.map_batches(cell_partial, batch_format="pyarrow"), k, exclude_self
     )
 
 
@@ -325,16 +369,7 @@ def embedding_dup_pairs(
     at ``threshold`` ≥ 0.95 and few planes the miss-rate is tiny, and
     the exact (quadratic) alternative exists as the oracle."""
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        emb = _normalize(_embedding_matrix(batch, col))
-        keys = _Planes(emb.shape[1], n_planes).key(emb)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                col: batch[col],
-                "bucket": pa.array(keys.astype(np.int64)),
-            }
-        )
+    add_key = _LshKeyer(n_planes, id_col, col)
 
     def verify(group: pa.Table) -> pa.Table:
         ids = np.array(group[id_col].to_pylist(), np.int64)
