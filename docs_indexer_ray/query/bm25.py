@@ -32,7 +32,15 @@ import heapq
 
 import numpy as np
 
-__all__ = ["bm25_idf", "score_topk", "wand_topk", "topk", "bm25_scores_dense"]
+__all__ = [
+    "bm25_idf",
+    "score_topk",
+    "score_topk_range",
+    "merge_shard_topk",
+    "wand_topk",
+    "topk",
+    "bm25_scores_dense",
+]
 
 K1 = 1.2
 B = 0.75
@@ -68,6 +76,44 @@ def bm25_scores_dense(
         tf = tfs.astype(np.float64)
         scores[doc_ids] += idf * tf / (tf + _k_factor(dl, avgdl, k1, b))
     return scores
+
+
+def score_topk_range(
+    reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B
+) -> list[tuple[int, float]]:
+    """Exact top-k within the reader's doc-id range shard
+    (``IndexReader(doc_range=(lo, hi))``): the dense TAAT buffer is
+    shard-sized and each posting list decodes only its overlapping
+    blocks (``TermPostings.decode_range``).  Scores use GLOBAL
+    N/avgdl/df, so they are identical to the unsharded scores and a
+    cross-shard top-k merge is exact."""
+    lo, hi = reader.doc_lo, reader.doc_hi
+    scores = np.zeros(max(0, hi - lo), dtype=np.float64)
+    avgdl = reader.avgdl if reader.avgdl > 0 else 1.0
+    for term in terms:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        doc_ids, tfs = tp.decode_range(lo, hi)
+        if len(doc_ids) == 0:
+            continue
+        idf = bm25_idf(reader.n_docs, tp.df)  # df is global — exact scores
+        dl = reader.doclens[doc_ids]
+        tf = tfs.astype(np.float64)
+        scores[(doc_ids - np.uint64(lo)).astype(np.int64)] += (
+            idf * tf / (tf + _k_factor(dl, avgdl, k1, b))
+        )
+    return [(d + lo, s) for d, s in _rank_top(scores, k)]
+
+
+def merge_shard_topk(
+    shard_results: list[list[tuple[int, float]]], k: int
+) -> list[tuple[int, float]]:
+    """Exact merge of per-shard top-k lists (scores globally comparable
+    because every shard used global statistics): score desc, doc asc."""
+    all_hits = [hit for part in shard_results for hit in part]
+    all_hits.sort(key=lambda x: (-x[1], x[0]))
+    return all_hits[:k]
 
 
 def _rank_top(scores: np.ndarray, k: int) -> list[tuple[int, float]]:

@@ -38,11 +38,41 @@ from .segments_io import TermPostings
 __all__ = ["IndexReader"]
 
 
+class _ShardNorms:
+    """Doc-length lookup for a doc-id-range shard: holds only the
+    shard's slice, indexed by GLOBAL doc id (scalar or ndarray)."""
+
+    __slots__ = ("lo", "arr")
+
+    def __init__(self, lo: int, arr: np.ndarray):
+        self.lo = lo
+        self.arr = arr
+
+    def __getitem__(self, idx):
+        return self.arr[idx - self.lo]
+
+    def __len__(self) -> int:
+        return len(self.arr)
+
+
 class IndexReader:
-    def __init__(self, index_dir: str, chain: str | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        chain: str | None = None,
+        doc_range: tuple[int, int] | None = None,
+    ):
         """``chain`` selects an extra analyzer chain's posting table
         (``segments-<chain>/``, D8 multi-field builds); default is the
-        build's main chain."""
+        build's main chain.
+
+        ``doc_range=(lo, hi)`` loads a doc-id-range SHARD of the index:
+        only the range's norms are held in memory (``doclens`` becomes
+        a :class:`_ShardNorms`) while the manifest's global statistics
+        (N, avgdl, per-term df) stay global — per-shard BM25 scores are
+        therefore exactly the unsharded scores, so a top-k merge across
+        shards is exact.  Use :func:`bm25.score_topk_range` to score a
+        shard (the dense TAAT buffer is shard-sized, not corpus-sized)."""
         if os.path.exists(os.path.join(index_dir, "CURRENT")):
             index_dir = mf.current_build(index_dir)  # accept the root too
         self.index_dir = index_dir
@@ -72,12 +102,24 @@ class IndexReader:
         self._postings_cache: dict[str, TermPostings | None] = {}
         self._cache_cap = 4096
 
-        # norms: dl per doc_id (0 for docs that analyzed to no tokens)
-        self.doclens = np.zeros(self.n_docs, dtype=np.uint32)
+        # norms: dl per doc_id (0 for docs that analyzed to no tokens);
+        # a doc_range shard holds only its slice
+        if doc_range is None:
+            self.doc_lo, self.doc_hi = 0, self.n_docs
+            dl_arr = np.zeros(self.n_docs, dtype=np.uint32)
+        else:
+            self.doc_lo, self.doc_hi = int(doc_range[0]), int(doc_range[1])
+            dl_arr = np.zeros(max(0, self.doc_hi - self.doc_lo), dtype=np.uint32)
         for fname in sorted(os.listdir(self._seg_dir)):
             if fname.startswith("dl-"):
                 t = pq.read_table(os.path.join(self._seg_dir, fname))
-                self.doclens[t["doc_id"].to_numpy()] = t["dl"].to_numpy()
+                ids = t["doc_id"].to_numpy()
+                dls = t["dl"].to_numpy()
+                if doc_range is not None:
+                    keep = (ids >= self.doc_lo) & (ids < self.doc_hi)
+                    ids, dls = ids[keep] - np.uint64(self.doc_lo), dls[keep]
+                dl_arr[ids] = dls
+        self.doclens = dl_arr if doc_range is None else _ShardNorms(self.doc_lo, dl_arr)
 
     # -- postings access ---------------------------------------------------
     def _segment_file(self, rpart: int) -> pq.ParquetFile | None:

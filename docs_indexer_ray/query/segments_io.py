@@ -135,6 +135,29 @@ class TermPostings:
         offs = np.concatenate(([0], np.cumsum(lens)))
         return flat_all, offs
 
+    def decode_range(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tfs) restricted to ``lo <= doc_id < hi`` — decodes
+        ONLY the blocks overlapping the range (binary search on
+        ``block_last``), the shard-reader primitive: a doc-range shard
+        pays O(its share) of the posting list, not O(df)."""
+        nb = self.n_blocks
+        if nb == 0 or hi <= lo:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        b0 = int(np.searchsorted(self.block_last, lo, side="left"))
+        b1 = int(np.searchsorted(self.block_last, hi - 1, side="left"))
+        b1 = min(b1, nb - 1)
+        if b0 > b1:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        ids_parts, tf_parts = [], []
+        for b in range(b0, b1 + 1):
+            i, t = self.decode_block(b)
+            ids_parts.append(i)
+            tf_parts.append(t)
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        keep = (ids >= lo) & (ids < hi)
+        return ids[keep], tfs[keep]
+
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         """Fully decoded (doc_ids, tfs); memoized — the reader caches
         TermPostings, so hot terms decode once per reader lifetime."""

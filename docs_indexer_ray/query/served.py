@@ -7,13 +7,18 @@ where each actor loads an :class:`IndexReader` ONCE in ``__init__``
 answers queries from warm state — the actor-pool rule for stateful
 stages applied to the read path (SURVEY §7 step 7).
 
-Scale story: on a real cluster each actor serves a shard — a doc-id
-range (norms + docs store slice) and/or a term-hash range (dictionary
-+ segment files); a thin merger combines per-shard top-k (BM25 scores
-are globally comparable because N/avgdl/df are global statistics, so
-per-shard top-k merge is exact).  Single-node, every actor holds the
-whole (small) index and the pool provides query *throughput*
-(concurrent queries across cores) rather than capacity.
+Two tiers:
+
+* :class:`QueryService` — replica pool: every actor holds the whole
+  index; provides query *throughput* (concurrent queries).
+* :class:`ShardedQueryService` — capacity/latency tier: each actor
+  serves a doc-id RANGE shard (its norms slice + range-limited posting
+  decode — ``IndexReader(doc_range=…)`` + ``bm25.score_topk_range``).
+  BM25 scores are globally comparable because N/avgdl/df are global
+  statistics, so the per-shard top-k merge is **exact** (tested ≡ the
+  local reader).  This removes the dense-TAAT O(n_docs) per-query
+  floor: each shard pays O(n_docs / n_shards) and shards score in
+  parallel.
 
 Everything dispatched through :class:`QueryService` is exactly the
 library's local query path (`bm25.topk`, `phrase.phrase_topk`,
@@ -23,7 +28,9 @@ construction (tested).
 
 from __future__ import annotations
 
-__all__ = ["QueryActor", "QueryService"]
+import numpy as np
+
+__all__ = ["QueryActor", "QueryService", "ShardQueryActor", "ShardedQueryService"]
 
 
 class QueryActor:
@@ -93,6 +100,87 @@ class QueryService:
         import ray
 
         return ray.get([self.topk(q, k) for q in queries])
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []
+
+
+class ShardQueryActor:
+    """One doc-range shard: norms slice + range-limited posting decode,
+    loaded once.  Returns its shard's exact top-k (global statistics →
+    globally comparable scores)."""
+
+    def __init__(self, index_root: str, lo: int, hi: int, chain: str | None = None):
+        from ..functions.analyzer import Analyzer
+        from .reader import IndexReader
+
+        self.reader = IndexReader(index_root, chain=chain, doc_range=(lo, hi))
+        self.analyzer = Analyzer(self.reader.chain)
+
+    def topk_partial(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        from .bm25 import score_topk_range
+
+        return score_topk_range(self.reader, self.analyzer(query), k=k)
+
+
+class ShardedQueryService:
+    """Doc-range-sharded serving: ``n_shards`` actors each hold one
+    contiguous doc-id range; a query fans out to every shard and the
+    per-shard top-k lists merge exactly (score desc, doc asc).
+
+    Scale: shard count ⇒ per-query latency ∝ n_docs / n_shards (the
+    dense-TAAT floor divides by the fleet) and per-actor memory holds
+    only a norms slice.  On a multi-node cluster Ray spreads the
+    actors; the merge is O(n_shards · k) on the caller.
+
+    ``num_cpus`` defaults to 0.25 so a shard fleet larger than the
+    node's CPU count still schedules (actors are mostly idle between
+    queries; an unschedulable actor would deadlock every ``ray.get``).
+    On a dedicated serving cluster pass ``num_cpus=1`` to pin one core
+    per shard."""
+
+    def __init__(
+        self,
+        index_root: str,
+        n_shards: int = 4,
+        chain: str | None = None,
+        num_cpus: float = 0.25,
+    ):
+        import ray
+
+        from ..index import manifest as mf
+
+        bdir = mf.current_build(index_root) or index_root
+        n_docs = int(mf.read_manifest(bdir)["n_docs"])
+        n_shards = max(1, min(n_shards, max(1, n_docs)))
+        bounds = np.linspace(0, n_docs, n_shards + 1).astype(np.int64)
+        actor_cls = ray.remote(num_cpus=num_cpus)(ShardQueryActor)
+        self._actors = [
+            actor_cls.remote(index_root, int(bounds[i]), int(bounds[i + 1]), chain)
+            for i in range(n_shards)
+        ]
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        import ray
+
+        from .bm25 import merge_shard_topk
+
+        parts = ray.get([a.topk_partial.remote(query, k) for a in self._actors])
+        return merge_shard_topk(parts, k)
+
+    def topk_many(
+        self, queries: list[str], k: int = 10
+    ) -> list[list[tuple[int, float]]]:
+        import ray
+
+        from .bm25 import merge_shard_topk
+
+        refs = [[a.topk_partial.remote(q, k) for a in self._actors] for q in queries]
+        return [merge_shard_topk(ray.get(r), k) for r in refs]
 
     def shutdown(self) -> None:
         import ray

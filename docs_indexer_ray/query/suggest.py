@@ -85,10 +85,13 @@ class Suggester:
         min_sim: float = 0.25,
         max_len_diff: int = 2,
     ):
+        from ..functions.analyzer import Analyzer
+
         self.reader = reader
         self.min_df = min_df
         self.min_sim = min_sim
         self.max_len_diff = max_len_diff
+        self._analyzer = Analyzer(reader.chain)
         terms, dfs = reader.term_dictionary()
         self.terms = terms
         self.dfs = dfs
@@ -142,15 +145,26 @@ class Suggester:
         is the product of per-token similarities (kept tokens score 1).
         Returns only phrases that changed something — an empty list
         means the query looks fine (the "did you mean" banner stays
-        hidden, matching the reference UI behavior)."""
+        hidden, matching the reference UI behavior).
+
+        The df check runs each SURFACE token through the index chain's
+        analyzer (the vocabulary lives in analyzer space — on the
+        ``english`` chain "merging" stems to "merg"), so correctly
+        spelled inflected words are recognized and kept verbatim;
+        tokens the analyzer drops entirely (stopwords) are kept too.
+        Corrections themselves are matched in analyzer space and
+        emitted as vocabulary terms (stems on stemmed chains)."""
         tokens = _TOKEN_RE.findall(text.lower())
         per_token: list[list[tuple[str, float]]] = []
         any_changed = False
         for tok in tokens:
-            if self.reader.term_df(tok) >= self.min_df:
+            analyzed = self._analyzer(tok)
+            if not analyzed or any(
+                self.reader.term_df(a) >= self.min_df for a in analyzed
+            ):
                 per_token.append([(tok, 1.0)])
                 continue
-            cands = self.correct_token(tok, limit=max_suggestions)
+            cands = self.correct_token(analyzed[0], limit=max_suggestions)
             if cands:
                 any_changed = True
                 per_token.append([(term, sim) for term, sim, _ in cands])

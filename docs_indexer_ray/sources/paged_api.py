@@ -11,8 +11,16 @@ Dataset.
 
 ``fetch`` is any callable ``cursor -> (rows, next_cursor)`` where
 ``rows`` is a list of dicts and ``next_cursor=None`` ends the stream —
-an HTTP client in production, a deterministic fake in tests (no
-network exists in this environment).
+:func:`http_page_fetch` builds one from a URL template (stdlib
+urllib; honors ``Retry-After``/rate-limit-reset headers the way the
+reference's wrapper does, ``hugo.py:87-101``), a deterministic fake
+serves in tests (no network exists in this environment).
+
+Scale note: pages become Dataset BLOCKS in windows of
+``rows_per_block`` rows as they arrive — each window is put into the
+object store independently (no single driver-side concat of the whole
+stream), so downstream ``map_batches`` starts with real parallelism
+and driver memory holds one window at a time plus Arrow metadata.
 """
 
 from __future__ import annotations
@@ -20,7 +28,21 @@ from __future__ import annotations
 import time
 from collections.abc import Callable
 
-__all__ = ["read_paged_api"]
+__all__ = ["read_paged_api", "http_page_fetch"]
+
+
+def _conform(t, schema):
+    """Cast a window table to the stream-unified schema (missing
+    columns become nulls) so every block shares one schema."""
+    import pyarrow as pa
+
+    cols = []
+    for field in schema:
+        if field.name in t.column_names:
+            cols.append(t[field.name].cast(field.type))
+        else:
+            cols.append(pa.nulls(t.num_rows, field.type))
+    return pa.Table.from_arrays(cols, schema=schema)
 
 
 def read_paged_api(
@@ -31,17 +53,31 @@ def read_paged_api(
     max_pages: int = 100_000,
     max_retries: int = 3,
     backoff_s: float = 0.05,
+    rows_per_block: int = 4096,
 ):
     """Drive a paged ``fetch`` to completion → ``ray.data.Dataset``.
 
     ``state_filter=(key, value)`` keeps only rows whose ``key`` equals
     ``value`` (the reference's PUBLISHED filter, ``blog.py:60-62``).
+
+    ``rows_per_block`` groups arriving pages into object-store blocks
+    of roughly that many rows — one block per window, not one table
+    for the whole stream.
     """
     import pyarrow as pa
     import ray.data
 
-    tables = []
+    blocks: list[pa.Table] = []
+    window: list[pa.Table] = []
+    window_rows = 0
     cursor = start_cursor
+
+    def flush():
+        nonlocal window, window_rows
+        if window:
+            blocks.append(pa.concat_tables(window, promote_options="permissive"))
+            window, window_rows = [], 0
+
     for _ in range(max_pages):
         rows = None
         for attempt in range(max_retries):
@@ -56,9 +92,85 @@ def read_paged_api(
             key, value = state_filter
             rows = [r for r in rows if r.get(key) == value]
         if rows:
-            tables.append(pa.Table.from_pylist(rows))
+            t = pa.Table.from_pylist(rows)
+            window.append(t)
+            window_rows += t.num_rows
+            if window_rows >= rows_per_block:
+                flush()
         if cursor is None:
             break
-    if not tables:
+    flush()
+    if not blocks:
         return ray.data.from_items([])
-    return ray.data.from_arrow(pa.concat_tables(tables, promote_options="default"))
+    # one schema across all blocks: later pages may carry extra keys
+    schema = pa.unify_schemas([b.schema for b in blocks], promote_options="permissive")
+    return ray.data.from_arrow([_conform(b, schema) for b in blocks])
+
+
+def http_page_fetch(
+    url_template: str,
+    *,
+    rows_key: str = "objects",
+    next_key: str = "offset",
+    total_key: str | None = "total",
+    headers: dict | None = None,
+    page_size: int = 100,
+    timeout_s: float = 30.0,
+    max_ratelimit_wait_s: float = 3600.0,
+    urlopen=None,
+) -> Callable:
+    """Build an offset-paged HTTP ``fetch`` callable for
+    :func:`read_paged_api` from a URL template with ``{offset}`` and
+    ``{limit}`` placeholders (the reference's Hubspot shape,
+    ``blog.py:39-55``: response JSON carries the row list under
+    ``rows_key`` and paging state under ``next_key``/``total_key``).
+
+    Rate limiting follows the reference wrapper (``hugo.py:87-101``):
+    on HTTP 403/429 the client honors ``Retry-After`` or
+    ``X-RateLimit-Reset`` and sleeps until reset (capped at
+    ``max_ratelimit_wait_s``) before retrying the same page; other
+    errors propagate to ``read_paged_api``'s bounded backoff retry.
+
+    ``urlopen`` is injectable for tests (defaults to
+    ``urllib.request.urlopen`` — stdlib only, no third-party client).
+    """
+    import json as _json
+    import urllib.request
+
+    if urlopen is None:
+        urlopen = urllib.request.urlopen
+
+    def fetch(cursor):
+        offset = int(cursor or 0)
+        url = url_template.format(offset=offset, limit=page_size)
+        req = urllib.request.Request(url, headers=headers or {})
+        while True:
+            try:
+                with urlopen(req, timeout=timeout_s) as resp:
+                    payload = _json.loads(resp.read().decode("utf-8"))
+                break
+            except Exception as exc:
+                status = getattr(exc, "code", None)
+                hdrs = getattr(exc, "headers", None)
+                if status in (403, 429) and hdrs is not None:
+                    wait = hdrs.get("Retry-After")
+                    if wait is None and hdrs.get("X-RateLimit-Reset"):
+                        wait = float(hdrs["X-RateLimit-Reset"]) - time.time() + 1
+                    if wait is not None:
+                        wait = min(max(float(wait), 0.0), max_ratelimit_wait_s)
+                        time.sleep(wait)
+                        continue
+                raise
+        rows = payload.get(rows_key, [])
+        nxt = offset + len(rows)
+        if not rows:
+            next_cursor = None
+        elif total_key and total_key in payload:
+            next_cursor = nxt if nxt < int(payload[total_key]) else None
+        elif next_key in payload and payload[next_key] is not None:
+            next_cursor = payload[next_key] if payload[next_key] > offset else None
+        else:
+            next_cursor = nxt
+        return rows, next_cursor
+
+    return fetch

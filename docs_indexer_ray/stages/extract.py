@@ -141,7 +141,10 @@ class ExtractAssemble:
     * ``"blog"``: the blog recipe (``blog.py:71-93``): the whole
       extracted source is the body, title comes from front matter when
       present, ``breadcrumb = ["blog"]``, ``uri = url``, and the
-      catch-all is ``f"{title}\\n\\n{body}"``.
+      catch-all is ``f"{title}\\n\\n{body}"``.  Input columns ``id``
+      and ``image_uri``/``featured_image`` (the API payload's stable
+      post id and thumbnail, ``blog.py:80,88``) pass through as stored
+      string columns, null when the source lacks them.
     """
 
     def __init__(
@@ -178,6 +181,27 @@ class ExtractAssemble:
                     sources.append(None)
         else:
             sources = batch["text"].to_pylist()
+
+        # blog recipe carries the API payload's stable external id and
+        # featured image (blog.py:80 'id', blog.py:88 'featuredImage',
+        # mapped as stored keywords at mappings/blog.json:12-24); both
+        # are pass-through columns when the source provides them, null
+        # otherwise — the reference uses `id` as the index doc id
+        # (blog.py:100-105), here it is a stored field users join on.
+        ext_ids: list[str | None] = [None] * n
+        image_uris: list[str | None] = [None] * n
+        if self.recipe == "blog":
+            if "id" in batch.column_names:
+                ext_ids = [
+                    None if v is None else str(v) for v in batch["id"].to_pylist()
+                ]
+            for cand in ("image_uri", "featured_image", "featuredImage"):
+                if cand in batch.column_names:
+                    image_uris = [
+                        None if v is None else str(v)
+                        for v in batch[cand].to_pylist()
+                    ]
+                    break
 
         uris, crumbs, titles, bodies, dates, texts = [], [], [], [], [], []
         extras_out: list[str | None] = []
@@ -264,6 +288,9 @@ class ExtractAssemble:
             cols[f"breadcrumb_{level}"] = pa.array(
                 [c[level - 1] if len(c) >= level else None for c in crumbs], pa.string()
             )
+        if self.recipe == "blog":
+            cols["id"] = pa.array(ext_ids, pa.string())
+            cols["image_uri"] = pa.array(image_uris, pa.string())
         if self.emit_text:
             cols["text"] = pa.array(texts, pa.string())
         cols["lang"] = pa.array(langs, pa.string())

@@ -88,10 +88,24 @@ def test_blog_recipe_assembly():
     assert row["body"] == "Today we shipped v2."
     # blog catch-all: f"{title}\n\n{body}" (blog.py:91)
     assert row["text"] == "Release notes\n\nToday we shipped v2."
+    # id / image_uri exist (stored keywords, mappings/blog.json) and
+    # are null when the source lacks them
+    assert row["id"] is None and row["image_uri"] is None
 
     hugo = ExtractAssemble(recipe="hugo")(batch).to_pylist()[0]
     assert hugo["type"] == "page"
     assert hugo["text"] != row["text"]
+    assert "id" not in hugo and "image_uri" not in hugo
+
+    # API payload columns pass through (blog.py:80 'id', :88
+    # 'featuredImage' → image_uri)
+    batch2 = batch.append_column("id", pa.array([12345], pa.int64()))
+    batch2 = batch2.append_column(
+        "featured_image", pa.array(["https://img.test/v2.png"])
+    )
+    row2 = ExtractAssemble(recipe="blog")(batch2).to_pylist()[0]
+    assert row2["id"] == "12345"
+    assert row2["image_uri"] == "https://img.test/v2.png"
 
 
 # ---- sources --------------------------------------------------------------
@@ -136,6 +150,69 @@ def test_read_paged_api(ray_session):
     rows = sorted(r["id"] for r in ds.take_all())
     # 4 pages (cursor 0..3) × ids i∈{1,3} published
     assert rows == sorted(c * 10 + i for c in range(4) for i in (1, 3))
+
+
+def test_read_paged_api_windowed_blocks_and_schema_drift(ray_session):
+    """Pages become blocks in rows_per_block windows (no whole-stream
+    driver concat) and later-page-only keys null-pad earlier blocks
+    (one unified schema across all blocks)."""
+    from docs_indexer_ray.sources import read_paged_api
+
+    def fetch(cursor):
+        rows = [{"id": cursor * 10 + i} for i in range(5)]
+        if cursor >= 3:  # later pages grow a new key
+            for r in rows:
+                r["extra"] = f"x{r['id']}"
+        return rows, (cursor + 1 if cursor < 5 else None)
+
+    ds = read_paged_api(fetch, rows_per_block=10)
+    # 6 pages × 5 rows, 10-row windows → 3 blocks
+    assert ds.num_blocks() == 3
+    got = sorted(ds.take_all(), key=lambda r: r["id"])
+    assert len(got) == 30
+    assert got[0]["extra"] is None and got[-1]["extra"] == "x54"
+
+
+def test_http_page_fetch_rate_limit_and_paging():
+    """Offset paging over a fake urlopen; a 429 with Retry-After is
+    honored (sleep + retry same page) per hugo.py:87-101."""
+    import io
+    import urllib.error
+
+    from docs_indexer_ray.sources import http_page_fetch, read_paged_api
+
+    state = {"calls": 0, "limited": False}
+    total = 7
+
+    def fake_urlopen(req, timeout=None):
+        state["calls"] += 1
+        url = req.full_url
+        offset = int(url.split("offset=")[1].split("&")[0])
+        if offset == 3 and not state["limited"]:
+            state["limited"] = True
+            raise urllib.error.HTTPError(
+                url, 429, "rate limited", {"Retry-After": "0"}, io.BytesIO(b"")
+            )
+        objs = [{"id": i, "state": "PUBLISHED"} for i in range(offset, min(offset + 3, total))]
+        body = json.dumps({"objects": objs, "total": total}).encode()
+
+        class _Resp(io.BytesIO):
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        return _Resp(body)
+
+    fetch = http_page_fetch(
+        "https://api.test/posts?offset={offset}&limit={limit}",
+        page_size=3,
+        urlopen=fake_urlopen,
+    )
+    ds = read_paged_api(fetch)
+    assert sorted(r["id"] for r in ds.take_all()) == list(range(total))
+    assert state["limited"]  # the 429 path ran and was retried in-place
 
 
 # ---- CLI ------------------------------------------------------------------

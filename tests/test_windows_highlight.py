@@ -224,3 +224,43 @@ def test_query_service_matches_local_reader(ray_session, tmp_path):
         assert sug and sug[0][0].startswith("node")
     finally:
         svc.shutdown()
+
+
+@pytest.mark.parametrize("n_shards", [2, 3, 5])
+def test_sharded_service_matches_local_reader(ray_session, tmp_path, n_shards):
+    """Doc-range-sharded serving ≡ the local reader, exactly — global
+    statistics make per-shard scores globally comparable, and the
+    top-k merge is (score desc, doc asc), same as _rank_top.  Salted
+    heavy terms included (their runs span shard boundaries)."""
+    import ray.data
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.bm25 import score_topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.served import ShardedQueryService
+    from docs_indexer_ray.synth import rich_pages_table
+
+    build_index(
+        ray.data.from_arrow(rich_pages_table(60, dup_every=0)),
+        str(tmp_path / "shidx"),
+        fingerprint="sh",
+        num_parts=8,
+        salt_heavy=True,
+        heavy_df_ratio=0.2,
+        n_salt_runs=4,
+        chain="english",
+    )
+    svc = ShardedQueryService(str(tmp_path / "shidx"), n_shards=n_shards)
+    try:
+        reader = IndexReader(str(tmp_path / "shidx"))
+        an = Analyzer("english")
+        queries = ["node pools", "quota namespace limit", "helm upgrade", "page",
+                   "the cluster"]
+        got = svc.topk_many(queries, k=10)
+        for q, hits in zip(queries, got):
+            assert hits == score_topk(reader, an(q), k=10), q
+        # k larger than any single shard's hit count still merges right
+        assert svc.topk("page", k=50) == score_topk(reader, an("page"), k=50)
+    finally:
+        svc.shutdown()
