@@ -267,6 +267,28 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_topk_sharded(sf_dir: str) -> pa.Table:
+    """Same query as ``bm25_topk`` but served through the doc-range-
+    sharded actor fleet (``ShardedQueryService``): per-shard exact
+    top-k with GLOBAL statistics + exact merge — the SQL oracle
+    double-checks shard-exactness through the driver gate."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    svc = ShardedQueryService(root, n_shards=4)
+    try:
+        hits = svc.topk(" ".join(_BM25_TERMS), k=10)
+    finally:
+        svc.shutdown()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
 def q_match_phrase(sf_dir: str) -> pa.Table:
     """Exact phrase query over a positions build (the reference's
     with_positions_offsets term vectors, mappings/hugo.json:6,48,60):
@@ -766,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": q_index_stats,
         "match_all_count": q_match_all_count,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_sharded": q_bm25_topk_sharded,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
         "window_agg": q_window_agg,
@@ -795,7 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     toks_body = _toks("body")
     terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
-    return {
+    sqls = {
         "extract_text": f"""
             SELECT {_URL} AS url, text AS text_out FROM documents
             UNION ALL
@@ -1010,3 +1033,7 @@ def oracle_sql() -> dict[str, str]:
             FROM base WHERE warc_ts >= TIMESTAMP '2025-01-01 00:05:00'
         """,
     }
+    # sharded serving is rank-identical to the local path by design —
+    # the same SQL oracle pins both
+    sqls["bm25_topk_sharded"] = sqls["bm25_topk"]
+    return sqls

@@ -141,6 +141,39 @@ def run_bench() -> dict:
         p99 = lat[int(len(lat) * 0.99)] * 1000
         timings["query_set_s"] = round(t_query, 3)
 
+        # sharded serving tier: the dense-TAAT per-query floor is
+        # O(n_docs) on one reader; doc-range shards divide it by the
+        # fleet.  Only worth its actor-RPC constant on large corpora —
+        # auto-on at ≥200k docs, or force with GRAFT_SHARDS=<n>.
+        shard_stats: dict = {}
+        n_shards = int(
+            os.environ.get(
+                "GRAFT_SHARDS",
+                str(min(8, num_cpus) if n_docs >= 200_000 else 0),
+            )
+        )
+        if n_shards > 1:
+            from docs_indexer_ray.query.served import ShardedQueryService
+
+            svc = ShardedQueryService(out_root, n_shards=n_shards)
+            try:
+                for q in FLAGSHIP_QUERIES:  # warm shard readers
+                    svc.topk(q, k=10)
+                slat = []
+                for _ in range(reps):
+                    for q in FLAGSHIP_QUERIES:
+                        tq = time.time()
+                        svc.topk(q, k=10)
+                        slat.append(time.time() - tq)
+                slat.sort()
+                shard_stats = {
+                    "query_p50_sharded_ms": round(slat[len(slat) // 2] * 1000, 2),
+                    "query_p99_sharded_ms": round(slat[int(len(slat) * 0.99)] * 1000, 2),
+                    "n_shards": n_shards,
+                }
+            finally:
+                svc.shutdown()
+
         headline = t_build + t_query
         out = {
             "metric": "index build + BM25 query set (english analyzer, from-scratch inverted index)",
@@ -157,6 +190,7 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / t_build, 1),
             "query_p50_ms": round(p50, 2),
             "query_p99_ms": round(p99, 2),
+            **shard_stats,
         }
         return out
     finally:

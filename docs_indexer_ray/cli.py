@@ -74,7 +74,18 @@ def cmd_query(args) -> int:
     terms = Analyzer(reader.manifest["analyzer"] if args.chain is None else args.chain)(
         args.q
     )
-    hits = topk(reader, terms, k=args.k)
+    if getattr(args, "shards", 0) and args.shards > 1:
+        # doc-range-sharded serving path: per-shard exact top-k +
+        # exact merge (global statistics), ≡ the local reader
+        from .query.served import ShardedQueryService
+
+        svc = ShardedQueryService(args.index, n_shards=args.shards, chain=args.chain)
+        try:
+            hits = svc.topk(args.q, k=args.k)
+        finally:
+            svc.shutdown()
+    else:
+        hits = topk(reader, terms, k=args.k)
     docs = reader.fetch_docs([d for d, _ in hits], columns=["doc_id", "url", "title"])
     meta = {r["doc_id"]: r for r in docs.to_pylist()}
     for rank, (doc_id, score) in enumerate(hits, 1):
@@ -190,6 +201,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--q", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--chain", default=None)
+    q.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="serve via a doc-range-sharded actor fleet (0 = local reader)",
+    )
     q.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("suggest", help="prefix/suffix suggestions")

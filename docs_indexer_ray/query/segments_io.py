@@ -43,6 +43,7 @@ class TermPostings:
     _run_of_block: np.ndarray   # int32, flat → run index
     _local_block: np.ndarray    # int32, flat → block index within run
     _decoded: tuple[np.ndarray, np.ndarray] | None = None
+    _range_memo: dict | None = None
 
     @classmethod
     def from_rows(cls, term: str, rows: list[dict]) -> "TermPostings":
@@ -139,7 +140,24 @@ class TermPostings:
         """(doc_ids, tfs) restricted to ``lo <= doc_id < hi`` — decodes
         ONLY the blocks overlapping the range (binary search on
         ``block_last``), the shard-reader primitive: a doc-range shard
-        pays O(its share) of the posting list, not O(df)."""
+        pays O(its share) of the posting list, not O(df).
+
+        Memoized per (lo, hi): a shard reader queries one fixed range
+        for its lifetime, so hot terms decode once per actor — the
+        shard analog of :meth:`decode_all`'s memo (without it, every
+        query re-pays varint decode and sharded p50 LOSES to the
+        unsharded reader at 1M docs)."""
+        if self._range_memo is None:
+            self._range_memo = {}
+        hit = self._range_memo.get((lo, hi))
+        if hit is not None:
+            return hit
+        out = self._decode_range(lo, hi)
+        if len(self._range_memo) < 8:  # a shard asks one range; cap defensively
+            self._range_memo[(lo, hi)] = out
+        return out
+
+    def _decode_range(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
         nb = self.n_blocks
         if nb == 0 or hi <= lo:
             return np.empty(0, np.uint64), np.empty(0, np.uint64)

@@ -77,6 +77,30 @@ def test_postings_block_metadata_and_block_decode():
         assert enc["block_min_dl"][b] == dls[lo:hi].min()
 
 
+def test_decode_range_correct_and_memoized():
+    """decode_range == the [lo, hi) slice of decode_all, and repeated
+    calls with the same range return the memoized arrays (a shard
+    reader queries one fixed range; without the memo every query
+    re-pays varint decode)."""
+    from docs_indexer_ray.query.segments_io import TermPostings
+
+    n = 700
+    rng = np.random.default_rng(7)
+    doc_ids = np.sort(rng.choice(50_000, size=n, replace=False)).astype(np.uint64)
+    tfs = rng.integers(1, 30, n).astype(np.uint64)
+    dls = rng.integers(10, 400, n).astype(np.uint64)
+    enc = encode_postings(doc_ids, tfs, dls)
+    tp = TermPostings.from_rows("t", [dict(enc, rpart=0)])
+    all_ids, all_tfs = tp.decode_all()
+    for lo, hi in [(0, 50_000), (10_000, 30_000), (0, 1), (49_999, 50_000), (5, 5)]:
+        ids_r, tfs_r = tp.decode_range(lo, hi)
+        keep = (all_ids >= lo) & (all_ids < hi)
+        assert np.array_equal(ids_r, all_ids[keep]), (lo, hi)
+        assert np.array_equal(tfs_r, all_tfs[keep]), (lo, hi)
+        again = tp.decode_range(lo, hi)
+        assert again[0] is ids_r and again[1] is tfs_r  # memo hit
+
+
 def test_positions_roundtrip():
     import numpy as np
 

@@ -75,6 +75,7 @@ SQL_BACKED = [
     "index_stats",
     "match_all_count",
     "bm25_topk",
+    "bm25_topk_sharded",
     "match_phrase",
     "keyword_date_filter",
     "window_agg",
