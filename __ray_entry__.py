@@ -267,6 +267,49 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_topk_filtered(sf_dir: str) -> pa.Table:
+    """Filtered BM25 (Lucene filtered-query semantics: GLOBAL
+    statistics, post-scoring keyword/date predicate): same terms as
+    ``bm25_topk`` restricted to docs with ``warc_ts >= cutoff``.  The
+    allowed-id set comes from a distributed pruned docs-store scan —
+    only ids cross to the driver."""
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.bm25 import filtered_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts"])
+    cutoff = pa.scalar(np.datetime64("2025-01-01 00:05:00", "us"), pa.timestamp("us"))
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["warc_ts"], cutoff)).select(["doc_id"])
+
+    allowed = _concat(ds.map_batches(flt, batch_format="pyarrow"))["doc_id"].to_numpy(
+        zero_copy_only=False
+    )
+    hits = filtered_topk(IndexReader(root), list(_BM25_TERMS), np.sort(allowed), k=10)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
+def q_facet_date_histogram(sf_dir: str) -> pa.Table:
+    """OpenSearch-style date_histogram aggregation: hourly doc counts
+    among docs matching ANY of the bm25 query terms (OR candidate
+    set); partial counts per batch → tiny driver combine."""
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import date_histogram, match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts"])
+    return date_histogram(ds, matched, ts_col="warc_ts", interval_s=3600)
+
+
 def q_bm25_topk_sharded(sf_dir: str) -> pa.Table:
     """Same query as ``bm25_topk`` but served through the doc-range-
     sharded actor fleet (``ShardedQueryService``): per-shard exact
@@ -789,6 +832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_all_count": q_match_all_count,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_sharded": q_bm25_topk_sharded,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
+        "facet_date_histogram": q_facet_date_histogram,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
         "window_agg": q_window_agg,
@@ -1036,4 +1081,38 @@ def oracle_sql() -> dict[str, str]:
     # sharded serving is rank-identical to the local path by design —
     # the same SQL oracle pins both
     sqls["bm25_topk_sharded"] = sqls["bm25_topk"]
+    _WARC = (
+        "TIMESTAMP '2025-01-01 00:00:00' + to_microseconds(doc_id * 1000000) "
+        "+ CASE WHEN doc_id % 10 = 0 THEN INTERVAL 1 HOUR ELSE INTERVAL 0 SECOND END"
+    )
+    sqls["bm25_topk_filtered"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id),
+        allowed AS (SELECT doc_id FROM documents WHERE {_WARC} >= TIMESTAMP '2025-01-01 00:05:00')
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM scores JOIN allowed USING (doc_id)
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    sqls["facet_date_histogram"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        w AS (SELECT doc_id, {_WARC} AS warc_ts FROM m)
+        SELECT CAST(floor(epoch_us(warc_ts) / 3600000000) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM w GROUP BY 1 ORDER BY n_docs DESC, bucket ASC
+    """
     return sqls

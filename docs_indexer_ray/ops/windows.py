@@ -184,6 +184,10 @@ def sessionize(
 
     def add_part(t: pa.Table) -> pa.Table:
         keys = t[key].to_numpy(zero_copy_only=False)
+        # drop file-level schema metadata (pandas-written parquet carries
+        # b'pandas' json) — unhashable schemas make every shuffle reduce
+        # task log a "Failed to hash the schemas" warning
+        t = t.replace_schema_metadata(None)
         return t.append_column(
             "__kpart", pa.array((keys % np.int64(num_parts)).astype(np.int32))
         )

@@ -141,6 +141,32 @@ def score_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float =
     return _rank_top(bm25_scores_dense(reader, terms, k1, b), k)
 
 
+def filtered_topk(
+    reader,
+    terms: list[str],
+    allowed_ids: np.ndarray,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    """Filtered BM25 top-k: score as usual (GLOBAL statistics — the
+    filter does not change idf/avgdl, Lucene's filtered-query
+    semantics), keep only docs in ``allowed_ids`` (sorted int64,
+    e.g. from :func:`doc_filter_ids`), rank score desc / doc asc.
+
+    Scale note: the allowed set is a query-time bitmap over the
+    reader's doc range — corpus-scale filters belong on the SHARDED
+    readers (`IndexReader(doc_range=…)`), where each shard holds only
+    its range's slice of the bitmap; scores stay globally comparable
+    so the filtered shard merge is exact (`merge_shard_topk`)."""
+    scores = bm25_scores_dense(reader, terms, k1, b)
+    mask = np.zeros(len(scores), dtype=bool)
+    ids = np.asarray(allowed_ids, dtype=np.int64)
+    mask[ids[(ids >= 0) & (ids < len(scores))]] = True
+    scores[~mask] = 0.0
+    return _rank_top(scores, k)
+
+
 def topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
     """Adaptive top-k: block-max WAND for selective queries (skipping
     pays), vectorized TAAT for dense ones.  Both produce identical

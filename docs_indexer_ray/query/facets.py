@@ -1,0 +1,129 @@
+"""Aggregations over query matches — OpenSearch's facet surface.
+
+The reference delegates search-UI facets (terms aggregation, date
+histogram) to OpenSearch; this module rebuilds the two aggregation
+shapes directly on the engine:
+
+* :func:`match_doc_ids` — the match-any doc set of a term list
+  (union of posting lists, the BooleanQuery-OR candidate set);
+* :func:`date_histogram` — per-interval doc counts of the matches
+  over a timestamp column (OpenSearch ``date_histogram``);
+* :func:`terms_facet` — per-value doc counts of the matches over a
+  keyword column (OpenSearch ``terms`` aggregation).
+
+Shape at scale: the matched-id set is broadcast ONCE (``ray.put``)
+and each docs-store batch filters against it with a vectorized
+``searchsorted`` membership test; per-batch PARTIAL counts are the
+only thing entering the final (tiny) groupby — the combiner-before-
+shuffle rule, same as ``ops/windows.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["match_doc_ids", "date_histogram", "terms_facet"]
+
+
+def match_doc_ids(reader, terms: list[str]) -> np.ndarray:
+    """Sorted doc ids containing ≥1 of ``terms`` (match-any / OR)."""
+    parts = []
+    for term in set(terms):
+        tp = reader.postings(term)
+        if tp is not None:
+            parts.append(tp.decode_all()[0].astype(np.int64))
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def _member_mask(ids: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
+    """Vectorized sorted-set membership (searchsorted probe)."""
+    if len(ids) == 0:
+        return np.zeros(len(doc_ids), bool)
+    pos = np.searchsorted(ids, doc_ids).clip(max=len(ids) - 1)
+    return ids[pos] == doc_ids
+
+
+def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field):
+    """Shared partial-count skeleton: per-batch filter + count, tiny
+    final groupby over (n_blocks × distinct keys) partial rows."""
+    import ray
+
+    # broadcast ONCE; every task's ray.get is a zero-copy read of the
+    # node-local object-store copy (numpy over plasma)
+    ids_ref = ray.put(np.asarray(matched, np.int64))
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(ids, doc_ids)))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_field.name: pa.array([], key_field.type),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        keys = key_of_batch(t)
+        agg = (
+            pa.table({key_field.name: keys})
+            .group_by(key_field.name)
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                key_field.name: agg[key_field.name].cast(key_field.type),
+                "partial": agg["count_all"].cast(pa.int64()),
+            }
+        )
+
+    partials = docs_ds.map_batches(partial_counts, batch_format="pyarrow")
+    # final combine is OUTPUT-scale (blocks × distinct keys partial
+    # rows, not docs) — a driver-side Arrow groupby, not a shuffle
+    parts = [ray.get(r) for r in partials.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {key_field.name: pa.array([], key_field.type),
+             "n_docs": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(parts, promote_options="default")
+    agg = t.group_by(key_field.name).aggregate([("partial", "sum")])
+    out = pa.table(
+        {
+            key_field.name: agg[key_field.name],
+            "n_docs": agg["partial_sum"].cast(pa.int64()),
+        }
+    )
+    return out.sort_by([("n_docs", "descending"), (key_field.name, "ascending")])
+
+
+def date_histogram(
+    docs_ds,
+    matched: np.ndarray,
+    ts_col: str = "warc_ts",
+    interval_s: int = 3600,
+) -> pa.Table:
+    """Doc counts per ``interval_s`` bucket of ``ts_col`` among the
+    matched docs → ``(bucket, n_docs)``, count desc / bucket asc.
+    ``bucket`` is ``floor(epoch_seconds / interval_s)``."""
+
+    def key_of(t: pa.Table) -> pa.Array:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        # integer division — timestamps are non-negative epochs
+        return pc.divide(us, pa.scalar(interval_s * 1_000_000, pa.int64())).combine_chunks()
+
+    return _facet(docs_ds, matched, key_of, pa.field("bucket", pa.int64()))
+
+
+def terms_facet(docs_ds, matched: np.ndarray, field: str) -> pa.Table:
+    """Doc counts per distinct value of keyword column ``field`` among
+    the matched docs → ``(value, n_docs)``, count desc / value asc."""
+
+    def key_of(t: pa.Table) -> pa.Array:
+        return t[field].combine_chunks()
+
+    return _facet(docs_ds, matched, key_of, pa.field("value", pa.string()))

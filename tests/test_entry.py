@@ -76,6 +76,8 @@ SQL_BACKED = [
     "match_all_count",
     "bm25_topk",
     "bm25_topk_sharded",
+    "bm25_topk_filtered",
+    "facet_date_histogram",
     "match_phrase",
     "keyword_date_filter",
     "window_agg",

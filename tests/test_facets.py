@@ -1,0 +1,108 @@
+"""Filtered BM25 and facet aggregations (OpenSearch parity surface).
+
+Python oracles: brute-force recomputation over the synthetic corpus —
+the SQL oracles for the same queries live in ``__ray_entry__`` and are
+driver-checked at sf0.01.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    root = str(tmp_path_factory.mktemp("facetidx") / "idx")
+    pages = rich_pages_table(80, dup_every=0)
+    build_index(
+        ray.data.from_arrow(pages),
+        root,
+        fingerprint="fc",
+        num_parts=6,
+        chain="simple",
+        field="body",
+    )
+    return IndexReader(root), pages
+
+
+def test_filtered_topk_matches_post_filtered_dense(built):
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.bm25 import bm25_scores_dense, filtered_topk
+
+    reader, _ = built
+    terms = Analyzer("simple")("node pools quota")
+    allowed = np.arange(0, reader.n_docs, 3, dtype=np.int64)  # every 3rd doc
+    got = filtered_topk(reader, terms, allowed, k=5)
+    dense = bm25_scores_dense(reader, terms)
+    cand = [(d, dense[d]) for d in allowed if dense[d] != 0.0]
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    assert [(d, pytest.approx(s)) for d, s in cand[:5]] == got
+    # filter semantics: statistics are global — a filtered hit's score
+    # equals its unfiltered score
+    full = {d: s for d, s in zip(range(reader.n_docs), dense)}
+    for d, s in got:
+        assert s == pytest.approx(full[d])
+    # empty filter → no hits
+    assert filtered_topk(reader, terms, np.empty(0, np.int64), k=5) == []
+
+
+def test_match_doc_ids_union_semantics(built):
+    from docs_indexer_ray.query.facets import match_doc_ids
+
+    reader, _ = built
+    a = match_doc_ids(reader, ["node"])
+    b = match_doc_ids(reader, ["quota"])
+    both = match_doc_ids(reader, ["node", "quota", "node"])  # dup term folded
+    assert np.array_equal(both, np.union1d(a, b))
+    assert len(match_doc_ids(reader, ["zzz_not_a_term"])) == 0
+
+
+def test_terms_facet_and_date_histogram(built, ray_session):
+    import ray.data
+
+    from docs_indexer_ray.query.facets import date_histogram, match_doc_ids, terms_facet
+
+    reader, pages = built
+    matched = match_doc_ids(reader, ["node", "quota"])
+    n = 80
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "warc_ts": pa.array(
+                [1_700_000_000_000_000 + i * 3_600_000_000 // 2 for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "kind": pa.array(["even" if i % 2 == 0 else "odd" for i in range(n)]),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(4)
+
+    tf = terms_facet(ds, matched, "kind")
+    want = {}
+    for d in matched:
+        k = "even" if d % 2 == 0 else "odd"
+        want[k] = want.get(k, 0) + 1
+    got = dict(zip(tf["value"].to_pylist(), tf["n_docs"].to_pylist()))
+    assert got == want
+    # count desc, value asc ordering
+    counts = tf["n_docs"].to_pylist()
+    assert counts == sorted(counts, reverse=True)
+
+    dh = date_histogram(ds, matched, ts_col="warc_ts", interval_s=3600)
+    want_b = {}
+    ts = docs["warc_ts"].cast(pa.int64()).to_pylist()
+    for d in matched:
+        b = ts[d] // 3_600_000_000
+        want_b[b] = want_b.get(b, 0) + 1
+    got_b = dict(zip(dh["bucket"].to_pylist(), dh["n_docs"].to_pylist()))
+    assert got_b == want_b
+
+    # empty matched set → empty facet with the right schema
+    empty = terms_facet(ds, np.empty(0, np.int64), "kind")
+    assert empty.num_rows == 0 and empty.column_names == ["value", "n_docs"]
