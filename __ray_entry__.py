@@ -296,6 +296,101 @@ def q_bm25_topk_filtered(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_bool(sf_dir: str) -> pa.Table:
+    """OpenSearch ``bool`` query (must / should / must_not): docs must
+    contain BOTH 'table' and 'scan', must NOT contain 'hash'; 'merge'
+    and 'slow' add relevance when present.  Score = BM25 sum over
+    matched must+should clauses (Lucene: no coord, pure-negative
+    clauses never score)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import bool_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    hits = bool_topk(
+        IndexReader(root),
+        must=["table", "scan"],
+        should=["merge", "slow"],
+        must_not=["hash"],
+        k=10,
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
+def q_facet_terms(sf_dir: str) -> pa.Table:
+    """OpenSearch ``terms`` aggregation: doc counts per ``lang`` among
+    docs matching ANY of the bm25 query terms."""
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import match_doc_ids, terms_facet
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "lang"])
+    return terms_facet(ds, matched, field="lang")
+
+
+def q_term_prefix(sf_dir: str) -> pa.Table:
+    """Prefix query over the term dictionary (the primitive behind
+    OpenSearch prefix/wildcard-'s*' queries and the suggesters): every
+    term starting with 's' with its document frequency."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    hits = IndexReader(root).prefix_terms("s", limit=1_000_000)
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in hits], pa.string()),
+            "df": pa.array([d for _, d in hits], pa.int64()),
+        }
+    )
+
+
+def q_mm_decode_docs(sf_dir: str) -> pa.Table:
+    """The multimodal decode stage over REAL corpus payloads (document
+    text bytes as the opaque binary column) with the SQL-expressible
+    fake decode (``dims_from="size"``, md5 checksum) — gives the
+    actor-pool decode plumbing a value-hash oracle, unlike the
+    synthetic-media ``mm_decode`` smoke."""
+    import ray.data
+
+    from docs_indexer_ray.ops.multimodal import decode_images
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payload = pc.cast(t["text"], pa.binary())
+        return pa.table(
+            {
+                "media_id": pc.cast(t["doc_id"], pa.int64()),
+                "kind": pa.array(["image"] * t.num_rows, pa.string()),
+                "payload": payload,
+                "n_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    out = _concat(decode_images(media, fake=True, dims_from="size"))
+    return pa.table(
+        {
+            "doc_id": out["media_id"].cast(pa.int64()),
+            "width": out["width"],
+            "height": out["height"],
+            "channels": out["channels"],
+            "resized_to": out["resized_to"],
+            "checksum": out["checksum"],
+        }
+    )
+
+
 def q_facet_date_histogram(sf_dir: str) -> pa.Table:
     """OpenSearch-style date_histogram aggregation: hourly doc counts
     among docs matching ANY of the bm25 query terms (OR candidate
@@ -833,7 +928,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_sharded": q_bm25_topk_sharded,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "bm25_bool": q_bm25_bool,
         "facet_date_histogram": q_facet_date_histogram,
+        "facet_terms": q_facet_terms,
+        "term_prefix": q_term_prefix,
+        "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
         "window_agg": q_window_agg,
@@ -1105,6 +1204,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(doc_id AS BIGINT) AS doc_id
         FROM scores JOIN allowed USING (doc_id)
         ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    sqls["bm25_bool"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id),
+        must_hit AS (SELECT doc_id FROM toks WHERE term IN ('table', 'scan')
+                     GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+        excl AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash'),
+        hits AS (SELECT s.doc_id, s.score FROM scores s JOIN must_hit USING (doc_id)
+                 WHERE s.doc_id NOT IN (SELECT doc_id FROM excl))
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    sqls["facet_terms"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in}))
+        SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN m USING (doc_id)
+        GROUP BY d.lang ORDER BY n_docs DESC, value ASC
+    """
+    sqls["term_prefix"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs)
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks WHERE term LIKE 's%' GROUP BY term ORDER BY df DESC, term ASC
+    """
+    sqls["mm_decode_docs"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+               CAST(16 + (octet_length(encode(text)) // 7) % 64 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(64 AS INTEGER) AS resized_to,
+               md5(text) AS checksum
+        FROM documents ORDER BY doc_id
     """
     sqls["facet_date_histogram"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -41,6 +41,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import time
@@ -202,7 +203,24 @@ def _build_segments_all_chains(
         sd = os.path.join(scratch, f"spill-{c}")
         os.makedirs(sd, exist_ok=True)
         segd = os.path.join(bdir, "segments" if i == 0 else f"segments-{c}")
-        os.makedirs(segd, exist_ok=True)
+        # per-partition resume is only valid if the interrupted run used
+        # the same layout (num_parts is derived from cluster size!) —
+        # wipe stale-config partials instead of mixing schemes
+        mf.ensure_phase_config(
+            segd,
+            dict(
+                phase="segments",
+                num_parts=num_parts,
+                block_size=block_size,
+                store_positions=bool(store_positions),
+                field=field,
+                chain=c,
+                run_width=run_width,
+                heavy=hashlib.sha1(
+                    "\n".join(sorted(heavies[c])).encode()
+                ).hexdigest(),
+            ),
+        )
         spill_dirs[c], seg_dirs[c] = sd, segd
         per_chain_cfg[c] = dict(
             spill_dir=sd,

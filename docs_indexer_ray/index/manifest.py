@@ -38,7 +38,45 @@ __all__ = [
     "publish",
     "current_build",
     "gc",
+    "ensure_phase_config",
 ]
+
+
+def ensure_phase_config(out_dir: str, cfg: dict) -> bool:
+    """Make a resumable phase output dir safe to resume INTO.
+
+    Per-partition resume (skip files that already exist) is only sound
+    when the interrupted run used the SAME layout config — partition
+    count, block size, salting plan… all of which are derived from the
+    cluster size and so can differ between the interrupted run and the
+    resume (an 8-CPU retry of a 32-CPU build halves ``num_parts``).
+    Files keyed by the old scheme would be silently skipped-over AND
+    left behind for readers: duplicated postings for some terms,
+    missing docs for others.
+
+    Contract: call BEFORE any task writes into ``out_dir``.  If the
+    dir holds a ``_PHASE_CONFIG.json`` equal to ``cfg`` → resume is
+    valid (returns True).  Otherwise (different config, or files from
+    a pre-config engine version) the dir is wiped and re-created with
+    the new config recorded (returns False).  The config write is
+    atomic so a crash between wipe and write re-wipes next run.
+    """
+    cfg_path = os.path.join(out_dir, "_PHASE_CONFIG.json")
+    canon = json.dumps(cfg, sort_keys=True, default=str)
+    if os.path.isdir(out_dir):
+        try:
+            with open(cfg_path) as f:
+                if f.read() == canon:
+                    return True
+        except FileNotFoundError:
+            pass
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = cfg_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(canon)
+    os.replace(tmp, cfg_path)
+    return False
 
 
 def input_fingerprint(paths: list[str], config: str = "") -> str:

@@ -72,9 +72,14 @@ class ImageDecodeStub:
     width/height from a checksum, a fixed 3-channel layout.
     """
 
-    def __init__(self, fake: bool = False, target_size: int = 64):
+    def __init__(self, fake: bool = False, target_size: int = 64, dims_from: str = "crc"):
         self.fake = fake
         self.target_size = target_size
+        # "crc" (default): dims from a crc32 of the payload;
+        # "size": dims from the byte length — the SQL-expressible
+        # variant the driver oracle checks (octet_length is ANSI,
+        # crc32 is not)
+        self.dims_from = dims_from
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
@@ -85,9 +90,9 @@ class ImageDecodeStub:
         payloads = batch["payload"].to_pylist()
         widths, heights, checksums = [], [], []
         for p in payloads:
-            crc = zlib.crc32(p)
-            widths.append(16 + crc % 64)
-            heights.append(16 + (crc >> 8) % 64)
+            seed = len(p) if self.dims_from == "size" else zlib.crc32(p)
+            widths.append(16 + seed % 64)
+            heights.append(16 + (seed >> 8 if self.dims_from == "crc" else seed // 7) % 64)
             checksums.append(hashlib.md5(p).hexdigest())
         return pa.table(
             {
@@ -211,9 +216,17 @@ def _mm_stage(cls, ds, concurrency: int, batch_size: int, **kw):
     )
 
 
-def decode_images(ds, fake: bool = False, concurrency: int = 2, batch_size: int = 32):
+def decode_images(
+    ds,
+    fake: bool = False,
+    concurrency: int = 2,
+    batch_size: int = 32,
+    dims_from: str = "crc",
+):
     """The actor-pool decode stage over a media Dataset."""
-    return _mm_stage(ImageDecodeStub, ds, concurrency, batch_size, fake=fake)
+    return _mm_stage(
+        ImageDecodeStub, ds, concurrency, batch_size, fake=fake, dims_from=dims_from
+    )
 
 
 def resize_images(

@@ -167,6 +167,41 @@ def filtered_topk(
     return _rank_top(scores, k)
 
 
+def bool_topk(
+    reader,
+    must: list[str],
+    should: list[str] = (),
+    must_not: list[str] = (),
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    """Boolean query top-k with OpenSearch/Lucene ``bool`` semantics:
+    a doc qualifies iff it contains EVERY ``must`` term and NO
+    ``must_not`` term; its score is the BM25 sum over the ``must`` +
+    ``should`` clauses it matches (modern Lucene: no coord factor, a
+    pure-filter ``must_not`` contributes nothing).  Global statistics,
+    rank score desc / doc asc.
+
+    Shape: one dense TAAT pass over must+should (same kernel the
+    oracle path uses), then vectorized posting-membership masks — the
+    must/must_not lists decode once each; no per-doc Python."""
+    scores = bm25_scores_dense(reader, list(must) + list(should), k1, b)
+    mask = np.ones(len(scores), dtype=bool)
+    for term in must:
+        hit = np.zeros(len(scores), dtype=bool)
+        dec = reader.decode_all(term)
+        if dec is not None:
+            hit[dec[0].astype(np.int64)] = True
+        mask &= hit
+    for term in must_not:
+        dec = reader.decode_all(term)
+        if dec is not None:
+            mask[dec[0].astype(np.int64)] = False
+    scores[~mask] = 0.0
+    return _rank_top(scores, k)
+
+
 def topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
     """Adaptive top-k: block-max WAND for selective queries (skipping
     pays), vectorized TAAT for dense ones.  Both produce identical

@@ -51,6 +51,7 @@ partition file write is atomic; a rerun skips finished partitions
 
 from __future__ import annotations
 
+import hashlib
 import os
 import zlib
 
@@ -250,6 +251,21 @@ def build_docs_store(
         boundaries = sample_url_boundaries(pages_ds, num_parts, sample_mod)
     if _dbg:
         print(f"[t] boundaries {_time.time()-_t:.1f}s", file=sys.stderr); _t=_time.time()
+
+    # docpart resume is only valid against the same boundary plan
+    # (num_parts defaults scale with cluster size) — wipe stale-config
+    # partials instead of mixing docpart schemes
+    from ..index.manifest import ensure_phase_config
+
+    ensure_phase_config(
+        docs_dir,
+        dict(
+            phase="docs",
+            type_label=type_label,
+            n_parts=len(boundaries) + 1,
+            boundaries=hashlib.sha1("\n".join(boundaries).encode()).hexdigest(),
+        ),
+    )
 
     os.makedirs(spill_dir, exist_ok=True)
     lineage = pages_ds.map_batches(

@@ -120,9 +120,17 @@ def pages_from_documents(
     # repartition to 2 blocks per CPU is free and gives the fused
     # synth+extract chain real parallelism.
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    base = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    ).repartition(2 * cpus)
+    base = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        # pandas-written parquet carries dict schema metadata that makes
+        # every repartition reduce task log "Failed to hash the schemas"
+        .map_batches(
+            lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .repartition(2 * cpus)
+    )
     stride = 10_000_000  # doc_id offset per expansion copy
 
     def synth(b: pa.Table) -> pa.Table:

@@ -77,7 +77,11 @@ SQL_BACKED = [
     "bm25_topk",
     "bm25_topk_sharded",
     "bm25_topk_filtered",
+    "bm25_bool",
     "facet_date_histogram",
+    "facet_terms",
+    "term_prefix",
+    "mm_decode_docs",
     "match_phrase",
     "keyword_date_filter",
     "window_agg",

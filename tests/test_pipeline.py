@@ -204,6 +204,46 @@ def test_resume_skips_existing_segments(ray_session, tmp_path):
     assert score_topk(reader, an("node pools"), 5)
 
 
+def test_resume_with_changed_num_parts_rebuilds_clean(ray_session, tmp_path):
+    """Cross-config resume regression: an interrupted build at one
+    cluster size (num_parts is derived from CPUs) must NOT be resumed
+    partition-by-partition at another — stale old-scheme segment files
+    would be skipped-over AND left behind for the reader's listdir,
+    inflating some dfs and dropping other docs entirely.  The phase
+    config guard wipes the mismatched partial instead."""
+    import ray.data
+
+    out = str(tmp_path / "np")
+    pages = ray.data.from_arrow(rich_pages_table(40))
+
+    # "interrupted" 16-part run: completes segments, never publishes
+    res1 = build_index(
+        pages, out, fingerprint="n1", num_parts=16, salt_heavy=False, publish=False
+    )
+    seg_dir = os.path.join(res1.index_dir, "segments")
+    n_seg_16 = len([f for f in os.listdir(seg_dir) if f.startswith("seg-")])
+
+    # retry on a smaller cluster → 8 partitions, same fingerprint/bdir
+    res2 = build_index(
+        pages, out, fingerprint="n1", num_parts=8, salt_heavy=False
+    )
+    assert not any(p["resumed"] for p in res2["partitions"])  # wiped, not mixed
+    segs = [f for f in os.listdir(seg_dir) if f.startswith("seg-")]
+    assert len(segs) <= 8 < n_seg_16  # no stale 16-scheme files remain
+
+    # ground truth: a fresh 8-part build elsewhere must agree exactly
+    ref = build_index(
+        pages, str(tmp_path / "ref"), fingerprint="n1", num_parts=8, salt_heavy=False
+    )
+    r_mixed, r_ref = IndexReader(out), IndexReader(str(tmp_path / "ref"))
+    t1 = r_mixed.term_dictionary()
+    t2 = r_ref.term_dictionary()
+    assert t1[0].tolist() == t2[0].tolist()
+    assert t1[1].tolist() == t2[1].tolist()
+    assert res2["n_docs_with_terms"] == ref["n_docs_with_terms"]
+    assert res2["total_tokens"] == ref["total_tokens"]
+
+
 def test_lifecycle_short_circuit_and_gc(ray_session, tmp_path):
     import ray.data
 
