@@ -1243,6 +1243,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         FROM toks WHERE term LIKE 's%' GROUP BY term ORDER BY df DESC, term ASC
     """
+    # the corpus is pure [a-z0-9 ] text (verified property of the synth
+    # tables), so the standard tokenizer's output equals the simple
+    # chain's — the same toks CTE serves the reverse/trigram chains
+    sqls["reverse_suggest"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        d AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+              WHERE term LIKE '%ow' GROUP BY term)
+        SELECT term, CAST(df AS BIGINT) AS df
+        FROM d ORDER BY df DESC, reverse(term) ASC LIMIT 10
+    """
+    sqls["trigram_suggest"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        t AS (SELECT doc_id, {toks_body} AS toks FROM docs),
+        sh AS (
+          SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS shingle
+          FROM t, unnest(range(1, len(toks))) AS u(i)
+          UNION ALL
+          SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+          FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
+        d AS (SELECT shingle, count(DISTINCT doc_id) AS df FROM sh
+              WHERE shingle LIKE 'table %' GROUP BY shingle)
+        SELECT shingle, CAST(df AS BIGINT) AS df
+        FROM d ORDER BY df DESC, shingle ASC LIMIT 5
+    """
+    # winnowing fingerprints (Schleimer et al.): FNV-1a 64 over word
+    # 5-grams reproduced bit-exactly in SQL — tokens are [a-z0-9 ]
+    # (ASCII, 1 byte/char), so per-char ascii() IS the UTF-8 byte, and
+    # the xor-low-7-bits identity (b < 128) keeps the fold in HUGEINT
+    sqls["winnow"] = """
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS gram
+          FROM docs, unnest(range(1, len(toks) - 3)) AS t(i)),
+        h AS (
+          SELECT doc_id, i,
+                 list_reduce(
+                   list_prepend(14695981039346656037::HUGEINT,
+                     list_transform(range(1, length(gram) + 1),
+                                    j -> ascii(substr(gram, j, 1))::HUGEINT)),
+                   (acc, b) -> ((acc - acc % 128 + xor((acc % 128)::BIGINT, b::BIGINT)::HUGEINT)
+                                * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+                 ) AS hash
+          FROM g),
+        w AS (
+          SELECT doc_id, i,
+                 min(hash) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+                 count(*) OVER (PARTITION BY doc_id) AS ngrams,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+          FROM h),
+        counts AS (
+          SELECT doc_id,
+                 CASE WHEN max(ngrams) <= 4 THEN 1
+                      ELSE count(DISTINCT CASE WHEN rn >= 4 THEN wmin END) END AS n_winnow
+          FROM w GROUP BY doc_id)
+        SELECT d.doc_id, CAST(COALESCE(c.n_winnow, 0) AS BIGINT) AS n_winnow
+        FROM documents d LEFT JOIN counts c USING (doc_id) ORDER BY d.doc_id
+    """
     sqls["mm_decode_docs"] = """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,

@@ -82,6 +82,9 @@ SQL_BACKED = [
     "facet_terms",
     "term_prefix",
     "mm_decode_docs",
+    "winnow",
+    "reverse_suggest",
+    "trigram_suggest",
     "match_phrase",
     "keyword_date_filter",
     "window_agg",
@@ -120,10 +123,7 @@ ROWS_ONLY_MIN = {
     "embedding_dups": 1,
     "knn_lsh": 1,
     "knn_ivf": 1,
-    "trigram_suggest": 1,
-    "reverse_suggest": 1,
     "mm_decode": 64,
-    "winnow": 50,
     "highlight": 3,
 }
 
