@@ -270,24 +270,28 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
 def q_bm25_topk_filtered(sf_dir: str) -> pa.Table:
     """Filtered BM25 (Lucene filtered-query semantics: GLOBAL
     statistics, post-scoring keyword/date predicate): same terms as
-    ``bm25_topk`` restricted to docs with ``warc_ts >= cutoff``.  The
-    allowed-id set comes from a distributed pruned docs-store scan —
-    only ids cross to the driver."""
-    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.bm25 import filtered_topk
-    from docs_indexer_ray.query.reader import IndexReader
+    ``bm25_topk`` restricted to docs with ``warc_ts >= cutoff``.
+
+    Served through the doc-range-sharded fleet: each shard builds and
+    memoizes its OWN slice of the allowed bitmap from its docs-store
+    range (parquet row-group-pruned scan) — the corpus-scale filter
+    state is distributed with the shards, never materialized on the
+    driver; the cross-shard top-k merge stays exact."""
+    import datetime as _dt
+
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.served import ShardedQueryService
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
-    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts"])
-    cutoff = pa.scalar(np.datetime64("2025-01-01 00:05:00", "us"), pa.timestamp("us"))
-
-    def flt(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["warc_ts"], cutoff)).select(["doc_id"])
-
-    allowed = _concat(ds.map_batches(flt, batch_format="pyarrow"))["doc_id"].to_numpy(
-        zero_copy_only=False
-    )
-    hits = filtered_topk(IndexReader(root), list(_BM25_TERMS), np.sort(allowed), k=10)
+    svc = ShardedQueryService(root, n_shards=4, chain="simple")
+    try:
+        hits = svc.filtered_topk(
+            " ".join(_BM25_TERMS),
+            ("warc_ts", ">=", _dt.datetime(2025, 1, 1, 0, 5, 0)),
+            k=10,
+        )
+    finally:
+        svc.shutdown()
     return pa.table(
         {
             "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),

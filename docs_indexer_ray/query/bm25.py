@@ -79,14 +79,25 @@ def bm25_scores_dense(
 
 
 def score_topk_range(
-    reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B
+    reader,
+    terms: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    allowed_mask: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k within the reader's doc-id range shard
     (``IndexReader(doc_range=(lo, hi))``): the dense TAAT buffer is
     shard-sized and each posting list decodes only its overlapping
     blocks (``TermPostings.decode_range``).  Scores use GLOBAL
     N/avgdl/df, so they are identical to the unsharded scores and a
-    cross-shard top-k merge is exact."""
+    cross-shard top-k merge is exact.
+
+    ``allowed_mask`` (optional, bool, shard-local index space ``doc -
+    lo``) keeps only masked docs — the sharded half of Lucene
+    filtered-query semantics: the filter never changes idf/avgdl, and
+    because each shard holds only ITS range's slice of the bitmap, the
+    filter state is corpus-distributed instead of driver-resident."""
     lo, hi = reader.doc_lo, reader.doc_hi
     scores = np.zeros(max(0, hi - lo), dtype=np.float64)
     avgdl = reader.avgdl if reader.avgdl > 0 else 1.0
@@ -103,6 +114,8 @@ def score_topk_range(
         scores[(doc_ids - np.uint64(lo)).astype(np.int64)] += (
             idf * tf / (tf + _k_factor(dl, avgdl, k1, b))
         )
+    if allowed_mask is not None:
+        scores[~allowed_mask] = 0.0
     return [(d + lo, s) for d, s in _rank_top(scores, k)]
 
 

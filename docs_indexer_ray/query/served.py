@@ -120,11 +120,63 @@ class ShardQueryActor:
 
         self.reader = IndexReader(index_root, chain=chain, doc_range=(lo, hi))
         self.analyzer = Analyzer(self.reader.chain)
+        self._masks: dict[str, np.ndarray] = {}
 
     def topk_partial(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         from .bm25 import score_topk_range
 
         return score_topk_range(self.reader, self.analyzer(query), k=k)
+
+    def _allowed_mask(self, predicate: tuple) -> np.ndarray:
+        """Shard-local allowed bitmap for a stored-field predicate
+        ``(column, op, value)`` — built ONCE per predicate from this
+        shard's slice of the docs store (parquet row-group stats prune
+        the scan to the shard's doc range; doc ids are written sorted)
+        and memoized for the actor's lifetime.  The corpus-wide filter
+        state lives sharded with the fleet — never on the driver."""
+        key = repr(predicate)
+        mask = self._masks.get(key)
+        if mask is None:
+            import pyarrow.dataset as pads
+
+            col, op, val = predicate
+            lo, hi = self.reader.doc_lo, self.reader.doc_hi
+            f = pads.field(col)
+            expr = {
+                ">=": f >= val,
+                ">": f > val,
+                "<=": f <= val,
+                "<": f < val,
+                "==": f == val,
+                "!=": f != val,
+            }[op]
+            import os
+
+            dset = pads.dataset(
+                os.path.join(self.reader.index_dir, "docs"), partitioning="hive"
+            )
+            t = dset.to_table(
+                filter=(pads.field("doc_id") >= lo)
+                & (pads.field("doc_id") < hi)
+                & expr,
+                columns=["doc_id"],
+            )
+            mask = np.zeros(max(0, hi - lo), dtype=bool)
+            mask[t["doc_id"].to_numpy().astype(np.int64) - lo] = True
+            self._masks[key] = mask
+        return mask
+
+    def filtered_topk_partial(
+        self, query: str, predicate: tuple, k: int = 10
+    ) -> list[tuple[int, float]]:
+        from .bm25 import score_topk_range
+
+        return score_topk_range(
+            self.reader,
+            self.analyzer(query),
+            k=k,
+            allowed_mask=self._allowed_mask(predicate),
+        )
 
 
 class ShardedQueryService:
@@ -170,6 +222,23 @@ class ShardedQueryService:
         from .bm25 import merge_shard_topk
 
         parts = ray.get([a.topk_partial.remote(query, k) for a in self._actors])
+        return merge_shard_topk(parts, k)
+
+    def filtered_topk(
+        self, query: str, predicate: tuple, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Filtered relevance query, fully distributed: each shard
+        builds (once) and applies its own slice of the allowed bitmap
+        — no corpus-scale id set ever reaches the caller.  Scores use
+        global statistics (Lucene filtered-query semantics), so the
+        cross-shard merge stays exact."""
+        import ray
+
+        from .bm25 import merge_shard_topk
+
+        parts = ray.get(
+            [a.filtered_topk_partial.remote(query, predicate, k) for a in self._actors]
+        )
         return merge_shard_topk(parts, k)
 
     def topk_many(

@@ -52,6 +52,39 @@ def test_filtered_topk_matches_post_filtered_dense(built):
     assert filtered_topk(reader, terms, np.empty(0, np.int64), k=5) == []
 
 
+def test_sharded_filtered_topk_matches_local(built, ray_session, tmp_path_factory):
+    """The distributed filtered path (per-shard allowed bitmaps built
+    from each shard's docs-store slice, exact cross-shard merge) must
+    equal the local filtered_topk over a driver-built allowed set."""
+    import pyarrow.dataset as pads
+    import os
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.bm25 import filtered_topk
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    reader, _ = built
+    query = "node pools quota"
+    # predicate over a stored keyword field: url > some boundary
+    dset = pads.dataset(os.path.join(reader.index_dir, "docs"), partitioning="hive")
+    t = dset.to_table(columns=["doc_id", "url"])
+    urls = dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+    cut = sorted(urls.values())[len(urls) // 2]
+    allowed = np.sort([d for d, u in urls.items() if u >= cut]).astype(np.int64)
+    local = filtered_topk(reader, Analyzer("simple")(query), allowed, k=5)
+
+    svc = ShardedQueryService(
+        os.path.dirname(reader.index_dir), n_shards=3, chain="simple"
+    )
+    try:
+        sharded = svc.filtered_topk(query, ("url", ">=", cut), k=5)
+        # memoized mask path: a second identical query hits the cache
+        again = svc.filtered_topk(query, ("url", ">=", cut), k=5)
+    finally:
+        svc.shutdown()
+    assert [(d, pytest.approx(s)) for d, s in local] == sharded == again
+
+
 def test_match_doc_ids_union_semantics(built):
     from docs_indexer_ray.query.facets import match_doc_ids
 
