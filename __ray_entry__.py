@@ -326,6 +326,53 @@ def q_bm25_bool(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_bool_msm(sf_dir: str) -> pa.Table:
+    """``bool`` query with ``minimum_should_match``: docs must contain
+    'table' AND at least 2 of {'merge', 'slow', 'vector'}; score =
+    BM25 sum over matched clauses (global statistics)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import bool_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    hits = bool_topk(
+        IndexReader(root),
+        must=["table"],
+        should=["merge", "slow", "vector"],
+        minimum_should_match=2,
+        k=10,
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
+def q_bm25_search_after(sf_dir: str) -> pa.Table:
+    """Deep pagination (OpenSearch ``search_after``): page 2 of the
+    flagship query — the 10 hits after page 1's ``(score, doc_id)``
+    cursor.  Stateless: the page is one independent query."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import topk, topk_after
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    reader = IndexReader(root)
+    page1 = topk(reader, list(_BM25_TERMS), k=10)
+    cursor = (page1[-1][1], page1[-1][0]) if page1 else None
+    page2 = topk_after(reader, list(_BM25_TERMS), cursor, k=10)
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(len(page1) + 1, len(page1) + len(page2) + 1, dtype=np.int64)
+            ),
+            "doc_id": pa.array([int(d) for d, _ in page2], pa.int64()),
+        }
+    )
+
+
 def q_facet_terms(sf_dir: str) -> pa.Table:
     """OpenSearch ``terms`` aggregation: doc counts per ``lang`` among
     docs matching ANY of the bm25 query terms."""
@@ -933,6 +980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_sharded": q_bm25_topk_sharded,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_bool": q_bm25_bool,
+        "bm25_bool_msm": q_bm25_bool_msm,
+        "bm25_search_after": q_bm25_search_after,
         "facet_date_histogram": q_facet_date_histogram,
         "facet_terms": q_facet_terms,
         "term_prefix": q_term_prefix,
@@ -1232,6 +1281,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
                CAST(doc_id AS BIGINT) AS doc_id
         FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    _msm_terms = "'table', 'merge', 'slow', 'vector'"
+    sqls["bm25_bool_msm"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({_msm_terms}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id),
+        must_hit AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'table'),
+        should_ok AS (SELECT doc_id FROM toks WHERE term IN ('merge', 'slow', 'vector')
+                      GROUP BY doc_id HAVING count(DISTINCT term) >= 2),
+        hits AS (SELECT s.doc_id, s.score FROM scores s
+                 JOIN must_hit USING (doc_id) JOIN should_ok USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    sqls["bm25_search_after"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id),
+        ranked AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+                   FROM scores)
+        SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id
+        FROM ranked WHERE rank BETWEEN 11 AND 20 ORDER BY rank
     """
     sqls["facet_terms"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -188,17 +188,20 @@ def bool_topk(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    minimum_should_match: int = 0,
 ) -> list[tuple[int, float]]:
     """Boolean query top-k with OpenSearch/Lucene ``bool`` semantics:
-    a doc qualifies iff it contains EVERY ``must`` term and NO
-    ``must_not`` term; its score is the BM25 sum over the ``must`` +
-    ``should`` clauses it matches (modern Lucene: no coord factor, a
-    pure-filter ``must_not`` contributes nothing).  Global statistics,
-    rank score desc / doc asc.
+    a doc qualifies iff it contains EVERY ``must`` term, NO
+    ``must_not`` term, and at least ``minimum_should_match`` distinct
+    ``should`` terms (OpenSearch's default is 0 when ``must`` is
+    present, 1 otherwise — pass it explicitly); its score is the BM25
+    sum over the ``must`` + ``should`` clauses it matches (modern
+    Lucene: no coord factor, a pure-filter ``must_not`` contributes
+    nothing).  Global statistics, rank score desc / doc asc.
 
     Shape: one dense TAAT pass over must+should (same kernel the
     oracle path uses), then vectorized posting-membership masks — the
-    must/must_not lists decode once each; no per-doc Python."""
+    must/should/must_not lists decode once each; no per-doc Python."""
     scores = bm25_scores_dense(reader, list(must) + list(should), k1, b)
     mask = np.ones(len(scores), dtype=bool)
     for term in must:
@@ -207,11 +210,44 @@ def bool_topk(
         if dec is not None:
             hit[dec[0].astype(np.int64)] = True
         mask &= hit
+    if minimum_should_match > 0 and should:
+        n_should = np.zeros(len(scores), dtype=np.int32)
+        for term in set(should):
+            dec = reader.decode_all(term)
+            if dec is not None:
+                n_should[dec[0].astype(np.int64)] += 1
+        mask &= n_should >= minimum_should_match
     for term in must_not:
         dec = reader.decode_all(term)
         if dec is not None:
             mask[dec[0].astype(np.int64)] = False
     scores[~mask] = 0.0
+    return _rank_top(scores, k)
+
+
+def topk_after(
+    reader,
+    terms: list[str],
+    after: tuple[float, int] | None,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    """Deep pagination (OpenSearch ``search_after``): the next ``k``
+    hits strictly after the ``(score, doc_id)`` cursor in (score desc,
+    doc asc) order — stateless, unlike scroll contexts, so any page is
+    one independent query.  Composes with the sharded tier: each shard
+    applies the same cursor to its range and the exact merge picks the
+    page (global statistics keep cursors comparable across shards)."""
+    scores = bm25_scores_dense(reader, terms, k1, b)
+    if after is not None:
+        a_score, a_doc = float(after[0]), int(after[1])
+        docs = np.arange(len(scores))
+        # keep docs AFTER the cursor: lower score, or same score with
+        # a higher doc id.  Exact float equality is correct here — the
+        # cursor is a score this same engine produced.
+        keep = (scores < a_score) | ((scores == a_score) & (docs > a_doc))
+        scores = np.where(keep, scores, 0.0)
     return _rank_top(scores, k)
 
 

@@ -78,6 +78,8 @@ SQL_BACKED = [
     "bm25_topk_sharded",
     "bm25_topk_filtered",
     "bm25_bool",
+    "bm25_bool_msm",
+    "bm25_search_after",
     "facet_date_histogram",
     "facet_terms",
     "term_prefix",
