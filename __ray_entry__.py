@@ -326,6 +326,63 @@ def q_bm25_bool(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_topk_merged(sf_dir: str) -> pa.Table:
+    """Incremental-build parity through the driver gate: the corpus is
+    split at the median url into two independent builds, merged with
+    ``merge_many`` (id-shifted docs store + single-pass k-way segment
+    merge), and the flagship query runs against the MERGED index.
+    Because doc ids are assigned in url order and the split is a url
+    range, merged ids equal the full build's — the same ``bm25_topk``
+    SQL oracle pins the whole merge path (K-way encode, varint
+    patching, df/stats recombination) end-to-end."""
+    import pyarrow.parquet as pq
+
+    from docs_indexer_ray.index import manifest as mf
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.index.merge import merge_many
+    from docs_indexer_ray.pipelines.flagship import CACHE_ROOT, pages_dataset
+    from docs_indexer_ray.query.bm25 import topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import url_for
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    fp = mf.input_fingerprint([doc_path], config="mergedemo")
+    n = pq.read_metadata(doc_path).num_rows
+    cut = url_for(n // 2)
+    mroot = os.path.join(CACHE_ROOT, "merged-demo")
+    halves = []
+    for name, keep_lo in (("lo", True), ("hi", False)):
+        root = os.path.join(mroot, name)
+        os.makedirs(root, exist_ok=True)
+
+        def split(t: pa.Table, lo=keep_lo) -> pa.Table:
+            m = pc.less(t["url"], cut) if lo else pc.greater_equal(t["url"], cut)
+            return t.filter(m)
+
+        build_index(
+            pages_dataset(sf_dir).map_batches(split, batch_format="pyarrow"),
+            root,
+            prefix="h",
+            fingerprint=f"{fp}-{name}",
+            num_parts=16,
+            chain="simple",
+            field="body",
+        )
+        halves.append(root)
+    mr = os.path.join(mroot, "m")
+    os.makedirs(mr, exist_ok=True)
+    mfp = "m" + fp
+    if not mf.is_current(mr, "m", mfp):
+        merge_many(halves, mr, prefix="m", fingerprint=mfp)
+    hits = topk(IndexReader(mr), list(_BM25_TERMS), k=10)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
 def q_bm25_bool_msm(sf_dir: str) -> pa.Table:
     """``bool`` query with ``minimum_should_match``: docs must contain
     'table' AND at least 2 of {'merge', 'slow', 'vector'}; score =
@@ -982,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_bool": q_bm25_bool,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
+        "bm25_topk_merged": q_bm25_topk_merged,
         "facet_date_histogram": q_facet_date_histogram,
         "facet_terms": q_facet_terms,
         "term_prefix": q_term_prefix,
@@ -1231,8 +1289,11 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     # sharded serving is rank-identical to the local path by design —
-    # the same SQL oracle pins both
+    # the same SQL oracle pins both; the merged two-half index likewise
+    # reproduces the full build's doc ids (url-range split + url-order
+    # id assignment), so the same oracle pins the merge path too
     sqls["bm25_topk_sharded"] = sqls["bm25_topk"]
+    sqls["bm25_topk_merged"] = sqls["bm25_topk"]
     _WARC = (
         "TIMESTAMP '2025-01-01 00:00:00' + to_microseconds(doc_id * 1000000) "
         "+ CASE WHEN doc_id % 10 = 0 THEN INTERVAL 1 HOUR ELSE INTERVAL 0 SECOND END"

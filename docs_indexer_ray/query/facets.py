@@ -11,11 +11,13 @@ shapes directly on the engine:
 * :func:`terms_facet` — per-value doc counts of the matches over a
   keyword column (OpenSearch ``terms`` aggregation).
 
-Shape at scale: the matched-id set is broadcast ONCE (``ray.put``)
-and each docs-store batch filters against it with a vectorized
-``searchsorted`` membership test; per-batch PARTIAL counts are the
-only thing entering the final (tiny) groupby — the combiner-before-
-shuffle rule, same as ``ops/windows.py``.
+Shape at scale: the matched set is broadcast ONCE (``ray.put``) as a
+PACKED BITMAP — ≤ n_docs/8 bytes no matter how many docs match (an
+int64 id list for a frequent term is 64× larger), read zero-copy from
+the node-local plasma store by every task — and each docs-store batch
+tests membership with vectorized bit ops; per-batch PARTIAL counts
+are the only thing entering the final (tiny) groupby — the
+combiner-before-shuffle rule, same as ``ops/windows.py``.
 """
 
 from __future__ import annotations
@@ -39,12 +41,23 @@ def match_doc_ids(reader, terms: list[str]) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
-def _member_mask(ids: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
-    """Vectorized sorted-set membership (searchsorted probe)."""
+def _pack_bitmap(ids: np.ndarray) -> np.ndarray:
+    """Sorted doc-id set → uint8 bitmap (bit d set ⇔ d in ids)."""
+    ids = np.asarray(ids, np.int64)
     if len(ids) == 0:
-        return np.zeros(len(doc_ids), bool)
-    pos = np.searchsorted(ids, doc_ids).clip(max=len(ids) - 1)
-    return ids[pos] == doc_ids
+        return np.zeros(0, np.uint8)
+    bits = np.zeros((int(ids.max()) >> 3) + 1, np.uint8)
+    np.bitwise_or.at(bits, ids >> 3, np.uint8(1) << (ids & 7).astype(np.uint8))
+    return bits
+
+
+def _member_mask(bits: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
+    """Vectorized bitmap membership test."""
+    out = np.zeros(len(doc_ids), bool)
+    ok = (doc_ids >= 0) & (doc_ids < (len(bits) << 3))
+    d = doc_ids[ok]
+    out[ok] = (bits[d >> 3] >> (d & 7).astype(np.uint8)) & 1
+    return out
 
 
 def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field):
@@ -54,12 +67,12 @@ def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field):
 
     # broadcast ONCE; every task's ray.get is a zero-copy read of the
     # node-local object-store copy (numpy over plasma)
-    ids_ref = ray.put(np.asarray(matched, np.int64))
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
 
     def partial_counts(t: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
+        bits = ray.get(bits_ref)
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        t = t.filter(pa.array(_member_mask(ids, doc_ids)))
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
         if t.num_rows == 0:
             return pa.table(
                 {

@@ -80,6 +80,7 @@ SQL_BACKED = [
     "bm25_bool",
     "bm25_bool_msm",
     "bm25_search_after",
+    "bm25_topk_merged",
     "facet_date_histogram",
     "facet_terms",
     "term_prefix",
