@@ -443,6 +443,20 @@ def q_facet_terms(sf_dir: str) -> pa.Table:
     return terms_facet(ds, matched, field="lang")
 
 
+def q_sort_by_date(sf_dir: str) -> pa.Table:
+    """OpenSearch ``sort`` clause (D7's sort capability): the 10 newest
+    docs matching ANY of the flagship terms, ordered ``warc_ts`` desc,
+    doc id asc tie-break — per-batch partial top-k, no full sort."""
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import match_doc_ids, top_by_column
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts"])
+    return top_by_column(ds, matched, "warc_ts", k=10, ascending=False)
+
+
 def q_term_prefix(sf_dir: str) -> pa.Table:
     """Prefix query over the term dictionary (the primitive behind
     OpenSearch prefix/wildcard-'s*' queries and the suggesters): every
@@ -1042,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_merged": q_bm25_topk_merged,
         "facet_date_histogram": q_facet_date_histogram,
         "facet_terms": q_facet_terms,
+        "sort_by_date": q_sort_by_date,
         "term_prefix": q_term_prefix,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
@@ -1395,6 +1410,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs
         FROM documents d JOIN m USING (doc_id)
         GROUP BY d.lang ORDER BY n_docs DESC, value ASC
+    """
+    sqls["sort_by_date"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        w AS (SELECT doc_id, {_WARC} AS warc_ts FROM m)
+        SELECT CAST(row_number() OVER (ORDER BY warc_ts DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM w ORDER BY warc_ts DESC, doc_id ASC LIMIT 10
     """
     sqls["term_prefix"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

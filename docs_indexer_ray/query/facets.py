@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["match_doc_ids", "date_histogram", "terms_facet"]
+__all__ = ["match_doc_ids", "date_histogram", "terms_facet", "top_by_column"]
 
 
 def match_doc_ids(reader, terms: list[str]) -> np.ndarray:
@@ -130,6 +130,66 @@ def date_histogram(
         return pc.divide(us, pa.scalar(interval_s * 1_000_000, pa.int64())).combine_chunks()
 
     return _facet(docs_ds, matched, key_of, pa.field("bucket", pa.int64()))
+
+
+def top_by_column(
+    docs_ds,
+    matched: np.ndarray,
+    col: str,
+    k: int = 10,
+    ascending: bool = False,
+) -> pa.Table:
+    """OpenSearch ``sort`` clause over a match set: the top ``k``
+    matched docs ordered by a stored field (e.g. newest first), doc id
+    ascending as tie-break → ``(rank, doc_id)``.
+
+    Shape at scale: bitmap membership + per-batch PARTIAL top-k (each
+    block contributes ≤ k rows), tiny driver final — the same
+    combiner-before-collect shape as ``ops/windows.topk_per_group``;
+    no full sort, no corpus-scale rows to the driver."""
+    import ray
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        if t.num_rows == 0:
+            return t.select(["doc_id", col])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = t[col].to_numpy(zero_copy_only=False)
+        key = vals if ascending else _neg_key(vals)
+        order = np.lexsort((ids, key))[:k]
+        return t.select(["doc_id", col]).take(pa.array(order))
+
+    parts = [
+        ray.get(r) for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {"rank": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(parts, promote_options="default")
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = t[col].to_numpy(zero_copy_only=False)
+    key = vals if ascending else _neg_key(vals)
+    order = np.lexsort((ids, key))[:k]
+    out_ids = ids[order]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(out_ids) + 1, dtype=np.int64)),
+            "doc_id": pa.array(out_ids, pa.int64()),
+        }
+    )
+
+
+def _neg_key(vals: np.ndarray) -> np.ndarray:
+    """Descending sort key for lexsort (negate; datetimes via int64)."""
+    if np.issubdtype(vals.dtype, np.datetime64):
+        return -vals.astype("datetime64[us]").astype(np.int64)
+    return -vals
 
 
 def terms_facet(docs_ds, matched: np.ndarray, field: str) -> pa.Table:

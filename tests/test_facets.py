@@ -139,3 +139,38 @@ def test_terms_facet_and_date_histogram(built, ray_session):
     # empty matched set → empty facet with the right schema
     empty = terms_facet(ds, np.empty(0, np.int64), "kind")
     assert empty.num_rows == 0 and empty.column_names == ["value", "n_docs"]
+
+
+def test_top_by_column_matches_full_sort(built, ray_session):
+    import ray.data
+
+    from docs_indexer_ray.query.facets import match_doc_ids, top_by_column
+
+    reader, _ = built
+    matched = match_doc_ids(reader, ["node", "quota"])
+    n = 80
+    rng = np.random.default_rng(7)
+    base = 1_700_000_000_000_000
+    # repeated timestamps to exercise the doc-id tie-break
+    ts = base + rng.integers(0, 5, n) * 3_600_000_000
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(5)
+
+    for ascending in (False, True):
+        got = top_by_column(ds, matched, "warc_ts", k=7, ascending=ascending)
+        want = sorted(
+            ((int(ts[d]), int(d)) for d in matched),
+            key=lambda x: (x[0] if ascending else -x[0], x[1]),
+        )[:7]
+        assert got.column_names == ["rank", "doc_id"]
+        assert got["rank"].to_pylist() == list(range(1, len(want) + 1))
+        assert got["doc_id"].to_pylist() == [d for _, d in want]
+
+    # empty matched set → empty result with the right schema
+    empty = top_by_column(ds, np.empty(0, np.int64), "warc_ts", k=5)
+    assert empty.num_rows == 0 and empty.column_names == ["rank", "doc_id"]
