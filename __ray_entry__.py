@@ -474,6 +474,112 @@ def q_term_prefix(sf_dir: str) -> pa.Table:
     )
 
 
+def q_fuzzy_terms(sf_dir: str) -> pa.Table:
+    """OpenSearch ``fuzzy`` query, expansion level: every vocabulary
+    term within plain-Levenshtein distance 2 of the typo 'tble'
+    (→ 'table' at distance 1), with distance and df — ranked the way
+    Lucene ranks fuzzy expansions.  ``transpositions=False`` matches
+    DuckDB ``levenshtein()`` bit-for-bit (the engine's default, OSA,
+    is pinned by pytest instead)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.fuzzy import fuzzy_expand
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    exp = fuzzy_expand(
+        IndexReader(root),
+        "tble",
+        max_edits=2,
+        transpositions=False,
+        max_expansions=1_000_000,
+    )
+    return pa.table(
+        {
+            "term": pa.array([t for t, _, _ in exp], pa.string()),
+            "distance": pa.array([d for _, d, _ in exp], pa.int64()),
+            "df": pa.array([f for _, _, f in exp], pa.int64()),
+        }
+    )
+
+
+def q_fuzzy_match(sf_dir: str) -> pa.Table:
+    """OpenSearch ``fuzzy`` query, document level: ids of docs
+    containing ANY term within Levenshtein distance 2 of 'tble'."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.fuzzy import fuzzy_match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    ids = fuzzy_match_doc_ids(
+        IndexReader(root),
+        "tble",
+        max_edits=2,
+        transpositions=False,
+        max_expansions=1_000_000,
+    )
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def q_wildcard(sf_dir: str) -> pa.Table:
+    """OpenSearch ``wildcard`` query over the term dictionary:
+    pattern ``sc?n*`` (one char + any tail, e.g. scan/scans/
+    scanning) with df, ranked df desc / term asc."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.fuzzy import wildcard_terms
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    hits = wildcard_terms(IndexReader(root), "sc?n*", limit=1_000_000)
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in hits], pa.string()),
+            "df": pa.array([d for _, d in hits], pa.int64()),
+        }
+    )
+
+
+def q_facet_stats(sf_dir: str) -> pa.Table:
+    """OpenSearch ``stats`` aggregation: count/min/max/sum/avg of the
+    matched docs' body length (chars)."""
+    import pyarrow.compute as _pc
+
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import match_doc_ids, stats_facet
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "body"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("blen", _pc.utf8_length(t["body"]).cast(pa.int64())).select(
+            ["doc_id", "blen"]
+        ),
+        batch_format="pyarrow",
+    )
+    return stats_facet(ds, matched, "blen")
+
+
+def q_facet_cardinality(sf_dir: str) -> pa.Table:
+    """OpenSearch ``cardinality`` aggregation (exact variant): number
+    of distinct body lengths among the matched docs."""
+    import pyarrow.compute as _pc
+
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import cardinality, match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "body"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("blen", _pc.utf8_length(t["body"]).cast(pa.int64())).select(
+            ["doc_id", "blen"]
+        ),
+        batch_format="pyarrow",
+    )
+    return cardinality(ds, matched, "blen")
+
+
 def q_mm_decode_docs(sf_dir: str) -> pa.Table:
     """The multimodal decode stage over REAL corpus payloads (document
     text bytes as the opaque binary column) with the SQL-expressible
@@ -1058,6 +1164,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_terms": q_facet_terms,
         "sort_by_date": q_sort_by_date,
         "term_prefix": q_term_prefix,
+        "fuzzy_terms": q_fuzzy_terms,
+        "fuzzy_match": q_fuzzy_match,
+        "wildcard": q_wildcard,
+        "facet_stats": q_facet_stats,
+        "facet_cardinality": q_facet_cardinality,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
@@ -1419,6 +1530,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(row_number() OVER (ORDER BY warc_ts DESC, doc_id ASC) AS BIGINT) AS rank,
                CAST(doc_id AS BIGINT) AS doc_id
         FROM w ORDER BY warc_ts DESC, doc_id ASC LIMIT 10
+    """
+    sqls["fuzzy_terms"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        v AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+        SELECT term,
+               CAST(levenshtein(term, 'tble') AS BIGINT) AS distance,
+               CAST(df AS BIGINT) AS df
+        FROM v WHERE levenshtein(term, 'tble') <= 2
+        ORDER BY distance ASC, df DESC, term ASC
+    """
+    sqls["fuzzy_match"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs)
+        SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+        FROM toks WHERE levenshtein(term, 'tble') <= 2
+        ORDER BY doc_id
+    """
+    sqls["wildcard"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs)
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks WHERE term LIKE 'sc_n%' GROUP BY term ORDER BY df DESC, term ASC
+    """
+    sqls["facet_stats"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        v AS (SELECT length(d.body) AS blen FROM docs d JOIN m USING (doc_id))
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(blen) AS DOUBLE) AS min_v,
+               CAST(max(blen) AS DOUBLE) AS max_v,
+               CAST(sum(blen) AS DOUBLE) AS sum_v,
+               CAST(sum(blen) AS DOUBLE) / count(*) AS avg_v
+        FROM v
+    """
+    sqls["facet_cardinality"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in}))
+        SELECT CAST(count(DISTINCT length(d.body)) AS BIGINT) AS n_unique
+        FROM docs d JOIN m USING (doc_id)
     """
     sqls["term_prefix"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -26,7 +26,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["match_doc_ids", "date_histogram", "terms_facet", "top_by_column"]
+__all__ = [
+    "match_doc_ids",
+    "date_histogram",
+    "terms_facet",
+    "top_by_column",
+    "stats_facet",
+    "cardinality",
+]
 
 
 def match_doc_ids(reader, terms: list[str]) -> np.ndarray:
@@ -190,6 +197,105 @@ def _neg_key(vals: np.ndarray) -> np.ndarray:
     if np.issubdtype(vals.dtype, np.datetime64):
         return -vals.astype("datetime64[us]").astype(np.int64)
     return -vals
+
+
+def stats_facet(docs_ds, matched: np.ndarray, col: str) -> pa.Table:
+    """OpenSearch ``stats`` aggregation over a numeric stored field of
+    the matched docs → one row ``(n_docs, min_v, max_v, sum_v,
+    avg_v)`` (values as float64, the aggregation's wire type).
+
+    Shape at scale: bitmap broadcast + per-batch partial
+    ``(count, min, max, sum)`` — ONE tiny row per block to the driver,
+    a constant-size final fold.  Nothing corpus-scale moves."""
+    import ray
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                    "sm": pa.array([], pa.float64()),
+                }
+            )
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "mn": pa.array([float(v.min())], pa.float64()),
+                "mx": pa.array([float(v.max())], pa.float64()),
+                "sm": pa.array([float(v.sum())], pa.float64()),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "n_docs": pa.array([0], pa.int64()),
+                "min_v": pa.array([None], pa.float64()),
+                "max_v": pa.array([None], pa.float64()),
+                "sum_v": pa.array([None], pa.float64()),
+                "avg_v": pa.array([None], pa.float64()),
+            }
+        )
+    t = pa.concat_tables(parts)
+    n = int(pc.sum(t["n"]).as_py())
+    sm = float(pc.sum(t["sm"]).as_py())
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "min_v": pa.array([float(pc.min(t["mn"]).as_py())], pa.float64()),
+            "max_v": pa.array([float(pc.max(t["mx"]).as_py())], pa.float64()),
+            "sum_v": pa.array([sm], pa.float64()),
+            "avg_v": pa.array([sm / n], pa.float64()),
+        }
+    )
+
+
+def cardinality(docs_ds, matched: np.ndarray, field: str) -> pa.Table:
+    """OpenSearch ``cardinality`` aggregation (EXACT variant): the
+    number of distinct values of ``field`` among the matched docs →
+    one row ``(n_unique,)``.
+
+    Shape at scale: per-batch ``unique`` partials (≤ distinct-per-
+    block values move, never rows), then a driver-side unique of the
+    union — output-scale, like ``terms_facet``'s final.  OpenSearch
+    itself answers this with a HyperLogLog sketch for unbounded
+    cardinalities; at 10^12 docs swap the final for an HLL merge when
+    the distinct count stops being "small" (the per-batch partial is
+    the part that must not ship raw rows, and it doesn't)."""
+    import ray
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        return pa.table({"v": pc.unique(t[field].combine_chunks())})
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({"n_unique": pa.array([0], pa.int64())})
+    t = pa.concat_tables(parts, promote_options="default")
+    return pa.table(
+        {"n_unique": pa.array([len(pc.unique(t["v"].combine_chunks()))], pa.int64())}
+    )
 
 
 def terms_facet(docs_ds, matched: np.ndarray, field: str) -> pa.Table:

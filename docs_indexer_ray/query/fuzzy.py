@@ -1,0 +1,199 @@
+"""Fuzzy and wildcard term queries over the term dictionary.
+
+The reference's search UI queries OpenSearch, whose query DSL exposes
+``fuzzy`` (edit-distance term expansion: ``fuzziness`` /
+``prefix_length`` / ``transpositions`` / ``max_expansions`` —
+the match-query leg the reference relies on for typo tolerance) and
+``wildcard`` (``*`` / ``?`` pattern over the term dictionary).  This
+module rebuilds both directly on the engine's term dictionary:
+
+* :func:`fuzzy_expand` — every vocabulary term within bounded edit
+  distance of a query token, ``(term, distance, df)`` ranked the way
+  Lucene ranks fuzzy expansions (closer first, then more frequent);
+* :func:`fuzzy_match_doc_ids` — the doc set matching ANY expansion
+  (the ``fuzzy`` query's document-level result);
+* :func:`wildcard_terms` — terms matching a ``*``/``?`` pattern with
+  a literal-prefix binary-search fast path.
+
+Scale note: both operators are **vocabulary-sized** — per query-actor
+state, sharded with the term dictionary at 10^12 docs exactly like
+the suggesters (``suggest.py``).  Lucene compiles a Levenshtein
+automaton and intersects it with the term FST; this implementation
+prunes by length band (``|len(term) - len(token)| <= max_edits``) and
+required literal prefix, then runs a cap-bounded DP — the same
+O(pruned_vocab × len²) work, without the automaton machinery.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .reader import IndexReader
+
+__all__ = [
+    "edit_distance",
+    "fuzzy_expand",
+    "fuzzy_match_doc_ids",
+    "wildcard_terms",
+]
+
+
+def edit_distance(a: str, b: str, cap: int = 2, transpositions: bool = True) -> int:
+    """Bounded edit distance, early-exiting once every path exceeds
+    ``cap`` (returns ``cap + 1`` then).
+
+    ``transpositions=True`` → optimal-string-alignment (restricted
+    Damerau-Levenshtein), Lucene's default for fuzzy queries;
+    ``False`` → plain Levenshtein (insert/delete/substitute only),
+    which matches DuckDB's ``levenshtein()`` bit-for-bit — the
+    engine's SQL oracles use that mode."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2: list[int] = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                transpositions
+                and i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        if min(cur) > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def auto_fuzziness(token: str) -> int:
+    """OpenSearch ``fuzziness: AUTO``: 0 edits below 3 chars, 1 for
+    3–5 chars, 2 above."""
+    n = len(token)
+    if n < 3:
+        return 0
+    if n <= 5:
+        return 1
+    return 2
+
+
+def fuzzy_expand(
+    reader: IndexReader,
+    token: str,
+    max_edits: int | None = None,
+    prefix_length: int = 0,
+    transpositions: bool = True,
+    max_expansions: int = 50,
+) -> list[tuple[str, int, int]]:
+    """Vocabulary terms within ``max_edits`` of ``token`` →
+    ``(term, distance, df)``, ranked distance asc / df desc / term asc
+    (closest-then-popular, Lucene's ``FuzzyQuery`` expansion order),
+    capped at ``max_expansions`` AFTER ranking.
+
+    ``max_edits=None`` → ``fuzziness: AUTO``.  ``prefix_length`` pins
+    the first k characters (binary-search range over the sorted
+    dictionary — the cheap path for interactive queries).
+    """
+    if max_edits is None:
+        max_edits = auto_fuzziness(token)
+    terms, dfs = reader.term_dictionary()
+    if prefix_length > 0:
+        pre = token[:prefix_length]
+        lo = int(np.searchsorted(terms, pre))
+        hi = int(np.searchsorted(terms, pre + "￿"))
+        terms, dfs = terms[lo:hi], dfs[lo:hi]
+    out: list[tuple[str, int, int]] = []
+    tl = len(token)
+    for term, df in zip(terms.tolist(), dfs.tolist()):
+        if abs(len(term) - tl) > max_edits:
+            continue
+        if term == token:
+            out.append((term, 0, int(df)))
+            continue
+        if max_edits == 0:
+            continue
+        d = edit_distance(token, term, cap=max_edits, transpositions=transpositions)
+        if d <= max_edits:
+            out.append((term, d, int(df)))
+    out.sort(key=lambda c: (c[1], -c[2], c[0]))
+    return out[:max_expansions]
+
+
+def fuzzy_match_doc_ids(
+    reader: IndexReader,
+    token: str,
+    max_edits: int | None = None,
+    prefix_length: int = 0,
+    transpositions: bool = True,
+    max_expansions: int = 50,
+) -> np.ndarray:
+    """Sorted doc ids containing ANY fuzzy expansion of ``token`` —
+    the document-level result of an OpenSearch ``fuzzy`` query
+    (expansion union, exactly ``facets.match_doc_ids`` over the
+    expanded term list)."""
+    from .facets import match_doc_ids
+
+    exp = fuzzy_expand(
+        reader,
+        token,
+        max_edits=max_edits,
+        prefix_length=prefix_length,
+        transpositions=transpositions,
+        max_expansions=max_expansions,
+    )
+    return match_doc_ids(reader, [t for t, _, _ in exp])
+
+
+def _wildcard_regex(pattern: str) -> re.Pattern:
+    """``*``→any run, ``?``→one char, everything else literal."""
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return re.compile("".join(parts))
+
+
+def wildcard_terms(
+    reader: IndexReader, pattern: str, limit: int = 10_000
+) -> list[tuple[str, int]]:
+    """Terms fully matching a ``*``/``?`` pattern, by descending df
+    (term asc tie-break) — OpenSearch's ``wildcard`` query surface.
+
+    The literal prefix before the first wildcard narrows the scan to
+    a binary-search range of the sorted dictionary (same trick as
+    ``reader.prefix_terms``); only that slice is regex-tested.  A
+    leading-wildcard pattern scans the whole (per-shard) dictionary —
+    the same cost caveat OpenSearch documents for ``wildcard``."""
+    cut = min(
+        [i for i, c in enumerate(pattern) if c in "*?"] or [len(pattern)]
+    )
+    prefix = pattern[:cut]
+    terms, dfs = reader.term_dictionary()
+    if prefix:
+        lo = int(np.searchsorted(terms, prefix))
+        hi = int(np.searchsorted(terms, prefix + "￿"))
+        terms, dfs = terms[lo:hi], dfs[lo:hi]
+    if cut == len(pattern):
+        hits = [
+            (t, int(d)) for t, d in zip(terms.tolist(), dfs.tolist()) if t == pattern
+        ]
+    else:
+        rx = _wildcard_regex(pattern[cut:])
+        hits = [
+            (t, int(d))
+            for t, d in zip(terms.tolist(), dfs.tolist())
+            if rx.fullmatch(t[cut:])
+        ]
+    hits.sort(key=lambda kv: (-kv[1], kv[0]))
+    return hits[:limit]

@@ -30,37 +30,12 @@ import re
 
 import numpy as np
 
+from .fuzzy import edit_distance
 from .reader import IndexReader
 
 __all__ = ["Suggester"]
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
-
-
-def _osa_distance(a: str, b: str, cap: int = 2) -> int:
-    """Optimal-string-alignment (restricted Damerau-Levenshtein)
-    distance, early-exiting once every path exceeds ``cap``."""
-    la, lb = len(a), len(b)
-    if abs(la - lb) > cap:
-        return cap + 1
-    prev2: list[int] = []
-    prev = list(range(lb + 1))
-    for i in range(1, la + 1):
-        cur = [i] + [0] * lb
-        for j in range(1, lb + 1):
-            cost = 0 if a[i - 1] == b[j - 1] else 1
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-            if (
-                i > 1
-                and j > 1
-                and a[i - 1] == b[j - 2]
-                and a[i - 2] == b[j - 1]
-            ):
-                cur[j] = min(cur[j], prev2[j - 2] + 1)
-        if min(cur) > cap:
-            return cap + 1
-        prev2, prev = prev, cur
-    return prev[lb]
 
 
 def _trigrams(term: str) -> set[str]:
@@ -131,7 +106,7 @@ class Suggester:
                     continue
                 if term[0] != token[0] and term[-1] != token[-1]:
                     continue
-                d = _osa_distance(token, term, cap=2)
+                d = edit_distance(token, term, cap=2)
                 if d <= 2:
                     sim = 1.0 - d / max(len(token), len(term))
                     out.append((term, sim, int(self.dfs[i])))

@@ -83,6 +83,12 @@ SQL_BACKED = [
     "bm25_topk_merged",
     "facet_date_histogram",
     "facet_terms",
+    "facet_stats",
+    "facet_cardinality",
+    "sort_by_date",
+    "fuzzy_terms",
+    "fuzzy_match",
+    "wildcard",
     "term_prefix",
     "mm_decode_docs",
     "winnow",

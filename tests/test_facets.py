@@ -174,3 +174,103 @@ def test_top_by_column_matches_full_sort(built, ray_session):
     # empty matched set → empty result with the right schema
     empty = top_by_column(ds, np.empty(0, np.int64), "warc_ts", k=5)
     assert empty.num_rows == 0 and empty.column_names == ["rank", "doc_id"]
+
+
+def test_stats_and_cardinality_facets(built, ray_session):
+    import ray.data
+
+    from docs_indexer_ray.query.facets import cardinality, match_doc_ids, stats_facet
+
+    reader, _ = built
+    matched = match_doc_ids(reader, ["node", "quota"])
+    n = 80
+    vals = np.arange(n, dtype=np.int64) % 13 + 5
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(5)
+
+    st = stats_facet(ds, matched, "v")
+    mv = vals[matched]
+    assert st["n_docs"][0].as_py() == len(matched)
+    assert st["min_v"][0].as_py() == float(mv.min())
+    assert st["max_v"][0].as_py() == float(mv.max())
+    assert st["sum_v"][0].as_py() == float(mv.sum())
+    assert st["avg_v"][0].as_py() == pytest.approx(mv.sum() / len(mv))
+
+    card = cardinality(ds, matched, "v")
+    assert card["n_unique"][0].as_py() == len(np.unique(mv))
+
+    # empty matched set
+    st0 = stats_facet(ds, np.empty(0, np.int64), "v")
+    assert st0["n_docs"][0].as_py() == 0 and st0["min_v"][0].as_py() is None
+    assert cardinality(ds, np.empty(0, np.int64), "v")["n_unique"][0].as_py() == 0
+
+
+def test_fuzzy_and_wildcard(built):
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.fuzzy import (
+        auto_fuzziness,
+        edit_distance,
+        fuzzy_expand,
+        fuzzy_match_doc_ids,
+        wildcard_terms,
+    )
+
+    reader, _ = built
+    terms, dfs = reader.term_dictionary()
+    vocab = dict(zip(terms.tolist(), dfs.tolist()))
+
+    # Python oracle: brute-force expansion in both distance modes
+    for token, transpositions in [("nodes", True), ("qota", False), ("pols", True)]:
+        for max_edits in (1, 2):
+            got = fuzzy_expand(
+                reader,
+                token,
+                max_edits=max_edits,
+                transpositions=transpositions,
+                max_expansions=10**6,
+            )
+            want = [
+                (t, edit_distance(token, t, cap=max_edits, transpositions=transpositions), int(d))
+                for t, d in vocab.items()
+            ]
+            want = [w for w in want if w[1] <= max_edits]
+            want.sort(key=lambda c: (c[1], -c[2], c[0]))
+            assert got == want, (token, max_edits, transpositions)
+
+    # transpositions=True admits swap-typos that plain Levenshtein ranks worse
+    assert edit_distance("ndoe", "node", cap=2, transpositions=True) == 1
+    assert edit_distance("ndoe", "node", cap=2, transpositions=False) == 2
+
+    # AUTO fuzziness bands
+    assert [auto_fuzziness(t) for t in ("ab", "abc", "abcde", "abcdef")] == [0, 1, 1, 2]
+
+    # prefix_length pins the head: candidates not sharing it are excluded
+    pinned = fuzzy_expand(reader, "nodes", max_edits=2, prefix_length=2)
+    assert pinned and all(t.startswith("no") for t, _, _ in pinned)
+
+    # document-level fuzzy == union of expansion postings
+    exp = fuzzy_expand(reader, "qota", max_edits=1, max_expansions=10**6)
+    ids = fuzzy_match_doc_ids(reader, "qota", max_edits=1, max_expansions=10**6)
+    assert np.array_equal(ids, match_doc_ids(reader, [t for t, _, _ in exp]))
+
+    # max_expansions keeps the best-ranked head
+    full = fuzzy_expand(reader, "nodes", max_edits=2, max_expansions=10**6)
+    assert fuzzy_expand(reader, "nodes", max_edits=2, max_expansions=2) == full[:2]
+
+    # wildcard: fnmatch oracle over the dictionary, df desc / term asc
+    import fnmatch
+
+    for pattern in ("no?e*", "*ool*", "quota", "z*"):
+        got = wildcard_terms(reader, pattern, limit=10**6)
+        want = [
+            (t, int(d))
+            for t, d in vocab.items()
+            if fnmatch.fnmatchcase(t, pattern)
+        ]
+        want.sort(key=lambda kv: (-kv[1], kv[0]))
+        assert got == want, pattern

@@ -166,11 +166,14 @@ def test_did_you_mean_transposition_fallback(ray_session, tmp_path):
 
     from docs_indexer_ray.index.build import build_index
     from docs_indexer_ray.query.reader import IndexReader
-    from docs_indexer_ray.query.suggest import Suggester, _osa_distance
+    from docs_indexer_ray.query.fuzzy import edit_distance
+    from docs_indexer_ray.query.suggest import Suggester
     from docs_indexer_ray.synth import rich_pages_table
 
-    assert _osa_distance("hsah", "hash") == 1  # one transposition
-    assert _osa_distance("abc", "xyz") == 3
+    assert edit_distance("hsah", "hash", cap=3) == 1  # one transposition
+    assert edit_distance("abc", "xyz", cap=3) == 3
+    # plain-Levenshtein mode (the SQL-oracle mode): transposition costs 2
+    assert edit_distance("hsah", "hash", cap=3, transpositions=False) == 2
 
     build_index(
         ray.data.from_arrow(rich_pages_table(40, dup_every=0)),
