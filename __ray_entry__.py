@@ -474,6 +474,41 @@ def q_term_prefix(sf_dir: str) -> pa.Table:
     )
 
 
+def _multimatch(sf_dir: str, mode: str, tie_breaker: float = 0.0) -> pa.Table:
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.multimatch import multi_match_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root_b = ensure_index(sf_dir, chain="simple", field="body")
+    _, root_t = ensure_index(sf_dir, chain="simple", field="text")
+    hits = multi_match_topk(
+        [(IndexReader(root_b), 1.0), (IndexReader(root_t), 0.5)],
+        " ".join(_BM25_TERMS),
+        k=10,
+        mode=mode,
+        tie_breaker=tie_breaker,
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
+def q_bm25_multimatch(sf_dir: str) -> pa.Table:
+    """OpenSearch ``multi_match`` (``most_fields``): the flagship
+    query scored over ``body``^1.0 + catch-all ``text``^0.5 (two
+    per-field indexes, summed per-field BM25)."""
+    return _multimatch(sf_dir, "most_fields")
+
+
+def q_bm25_multimatch_best(sf_dir: str) -> pa.Table:
+    """OpenSearch ``multi_match`` (``best_fields``, tie_breaker 0.3):
+    DisjunctionMax over the same two fields."""
+    return _multimatch(sf_dir, "best_fields", tie_breaker=0.3)
+
+
 def q_fuzzy_terms(sf_dir: str) -> pa.Table:
     """OpenSearch ``fuzzy`` query, expansion level: every vocabulary
     term within plain-Levenshtein distance 2 of the typo 'tble'
@@ -1164,6 +1199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_terms": q_facet_terms,
         "sort_by_date": q_sort_by_date,
         "term_prefix": q_term_prefix,
+        "bm25_multimatch": q_bm25_multimatch,
+        "bm25_multimatch_best": q_bm25_multimatch_best,
         "fuzzy_terms": q_fuzzy_terms,
         "fuzzy_match": q_fuzzy_match,
         "wildcard": q_wildcard,
@@ -1531,6 +1568,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(doc_id AS BIGINT) AS doc_id
         FROM w ORDER BY warc_ts DESC, doc_id ASC LIMIT 10
     """
+    # ---- multi_match: per-field BM25 CTEs (body + catch-all text) ----
+    def _field_ctes(tag: str, col: str) -> str:
+        return f"""
+        t{tag} AS (SELECT doc_id, unnest({_toks(col)}) AS term FROM docs2),
+        dl{tag} AS (SELECT doc_id, count(*) AS dl FROM t{tag} GROUP BY doc_id),
+        st{tag} AS (SELECT (SELECT count(*) FROM docs2) AS n,
+                    (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl{tag} WHERE dl > 0) AS avgdl),
+        tf{tag} AS (SELECT doc_id, term, count(*) AS tf FROM t{tag}
+                    WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df{tag} AS (SELECT term, count(*) AS df FROM tf{tag} GROUP BY term),
+        s{tag} AS (
+          SELECT tf{tag}.doc_id,
+                 SUM(ln(1 + (st{tag}.n - df{tag}.df + 0.5) / (df{tag}.df + 0.5))
+                     * tf{tag}.tf / (tf{tag}.tf + 1.2 * (1 - 0.75 + 0.75 * dl{tag}.dl / st{tag}.avgdl))) AS score
+          FROM tf{tag} JOIN df{tag} USING (term) JOIN dl{tag} USING (doc_id), st{tag}
+          GROUP BY tf{tag}.doc_id)"""
+
+    _mm_prefix = f"""
+        WITH base AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        docs2 AS (SELECT doc_id, body,
+                  ' ' || body || ' ' || {_URI} || ' ' || {_CRUMB} AS text FROM base),
+        {_field_ctes('b', 'body')},
+        {_field_ctes('t', 'text')},
+        comb AS (SELECT COALESCE(sb.doc_id, st.doc_id) AS doc_id,
+                        COALESCE(sb.score, 0) * 1.0 AS fb,
+                        COALESCE(st.score, 0) * 0.5 AS ft
+                 FROM sb FULL OUTER JOIN st ON sb.doc_id = st.doc_id)
+    """
+    _mm_select = """
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    sqls["bm25_multimatch"] = (
+        _mm_prefix
+        + ", scored AS (SELECT doc_id, fb + ft AS score FROM comb)"
+        + _mm_select
+    )
+    sqls["bm25_multimatch_best"] = (
+        _mm_prefix
+        + """, scored AS (SELECT doc_id,
+               GREATEST(fb, ft) + 0.3 * ((fb + ft) - GREATEST(fb, ft)) AS score
+           FROM comb)"""
+        + _mm_select
+    )
     sqls["fuzzy_terms"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
         toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),

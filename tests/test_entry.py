@@ -89,6 +89,8 @@ SQL_BACKED = [
     "fuzzy_terms",
     "fuzzy_match",
     "wildcard",
+    "bm25_multimatch",
+    "bm25_multimatch_best",
     "term_prefix",
     "mm_decode_docs",
     "winnow",

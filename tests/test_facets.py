@@ -210,6 +210,59 @@ def test_stats_and_cardinality_facets(built, ray_session):
     assert cardinality(ds, np.empty(0, np.int64), "v")["n_unique"][0].as_py() == 0
 
 
+def test_multi_match_modes(built, ray_session, tmp_path_factory):
+    """multi_match over two fields of the same corpus: most_fields is
+    the boosted sum of per-field dense scores, best_fields the
+    DisjunctionMax — checked against manual per-field combination."""
+    import ray.data
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.bm25 import bm25_scores_dense
+    from docs_indexer_ray.query.multimatch import multi_match_topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    reader_body, pages = built
+    # a second field over the SAME corpus: title (same doc-id space)
+    root_t = str(tmp_path_factory.mktemp("mmidx") / "idx")
+    build_index(
+        ray.data.from_arrow(pages),
+        root_t,
+        fingerprint="mt",
+        num_parts=4,
+        chain="simple",
+        field="title",
+    )
+    reader_title = IndexReader(root_t)
+    assert reader_title.n_docs == reader_body.n_docs
+
+    query = "node pools quota"
+    terms = Analyzer("simple")(query)
+    sb = 1.0 * bm25_scores_dense(reader_body, terms)
+    st = 2.0 * bm25_scores_dense(reader_title, terms)
+    fields = [(reader_body, 1.0), (reader_title, 2.0)]
+
+    got = multi_match_topk(fields, query, k=5, mode="most_fields")
+    comb = sb + st
+    want = sorted(
+        ((d, comb[d]) for d in np.flatnonzero(comb)), key=lambda x: (-x[1], x[0])
+    )[:5]
+    assert [(d, pytest.approx(s)) for d, s in want] == got
+
+    got_best = multi_match_topk(fields, query, k=5, mode="best_fields", tie_breaker=0.4)
+    mx = np.maximum(sb, st)
+    comb_b = mx + 0.4 * (sb + st - mx)
+    want_b = sorted(
+        ((d, comb_b[d]) for d in np.flatnonzero(comb_b)), key=lambda x: (-x[1], x[0])
+    )[:5]
+    assert [(d, pytest.approx(s)) for d, s in want_b] == got_best
+
+    with pytest.raises(ValueError, match="mode"):
+        multi_match_topk(fields, query, mode="cross_fields")
+    assert multi_match_topk([], query) == []
+
+
 def test_fuzzy_and_wildcard(built):
     from docs_indexer_ray.query.facets import match_doc_ids
     from docs_indexer_ray.query.fuzzy import (
