@@ -1,0 +1,171 @@
+"""HyperLogLog distinct-count sketch — the cardinality scale path.
+
+``facets.cardinality`` (exact) ships per-block unique values; fine
+while the distinct count is "small", corpus-scale wrong when it isn't
+(distinct urls of a 10^12-doc crawl).  This module implements the
+standard HyperLogLog sketch (Flajolet, Fusy, Gandouet, Meunier 2007;
+the algorithm behind OpenSearch's ``cardinality`` aggregation and
+Redis PFCOUNT) the Ray-Data way:
+
+* each ``map_batches`` task folds its batch into ONE ``m``-byte
+  register row (vectorized: 64-bit value hash → bucket = top ``p``
+  bits, rank = leading zeros of the rest, ``np.maximum.at``);
+* block sketches merge by elementwise ``max`` — commutative,
+  associative, idempotent, so the combine is parallelism-invariant
+  and the driver-side fold is O(blocks × m) bytes, never row-scale;
+* the estimator applies the linear-counting small-range correction
+  below ``2.5 m`` (64-bit hashes make the large-range correction
+  moot at any realistic cardinality).
+
+Relative error ≈ 1.04/√m — p=14 (m=16384, 16 KiB per sketch) gives
+≈0.8%.  Hashing is FNV-1a folded to 64 bits, vectorized across the
+batch by byte POSITION (the ``winnow`` trick, ``textstats.py``) so no
+Python-per-row loop runs in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["HLL", "hll_sketch_batch", "approx_distinct"]
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv1a_str(values: list, max_bytes: int = 4096) -> np.ndarray:
+    """Vectorized FNV-1a over a list of strings → uint64 per value.
+
+    Iterates byte POSITIONS (≤ longest value, capped), each step
+    vectorized across all rows — identical digests to the scalar
+    FNV-1a for values within the cap; longer values hash their first
+    ``max_bytes`` (a 4 KiB prefix is plenty of entropy for counting).
+    """
+    bs = [
+        (v if isinstance(v, str) else "" if v is None else str(v)).encode("utf-8")[
+            :max_bytes
+        ]
+        for v in values
+    ]
+    n = len(bs)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    lens = np.fromiter((len(b) for b in bs), np.int64, n)
+    width = max(1, int(lens.max()))
+    mat = np.zeros((n, width), np.uint8)
+    for i, b in enumerate(bs):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+    h = np.full(n, _FNV_OFFSET)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            live = lens > j
+            h[live] = (h[live] ^ mat[live, j].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — uniform 64-bit hash for integer keys."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if pa.types.is_integer(col.type):
+        v = (
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ).to_numpy(zero_copy_only=False)
+        return _splitmix64(np.nan_to_num(v).astype(np.int64).view(np.uint64))
+    # FNV-1a mixes similar short keys weakly in the high bits HLL
+    # buckets on — finish with splitmix64 for full avalanche
+    return _splitmix64(_fnv1a_str(col.to_pylist()))
+
+
+def _leading_zeros64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (64 where x == 0)."""
+    x = x.copy()
+    hi = np.zeros(x.shape, np.int64)
+    nz_all = x != 0
+    for s in (32, 16, 8, 4, 2, 1):
+        y = x >> np.uint64(s)
+        nz = y != 0
+        hi[nz] += s
+        x = np.where(nz, y, x)
+    return np.where(nz_all, 63 - hi, 64)
+
+
+class HLL:
+    """A HyperLogLog register set: fold values in, merge, estimate."""
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+        if not 4 <= p <= 18:
+            raise ValueError(f"p must be in [4, 18], got {p}")
+        self.p = p
+        self.m = 1 << p
+        if registers is None:
+            registers = np.zeros(self.m, np.uint8)
+        if len(registers) != self.m:
+            raise ValueError(f"register size {len(registers)} != 2^{p}")
+        self.registers = registers.astype(np.uint8, copy=False)
+
+    def add_hashes(self, h: np.ndarray) -> "HLL":
+        if len(h):
+            idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+            rank = (
+                np.minimum(_leading_zeros64(h << np.uint64(self.p)), 64 - self.p) + 1
+            ).astype(np.uint8)
+            np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def add_column(self, col) -> "HLL":
+        # nulls are not values: SQL count(DISTINCT) / OpenSearch
+        # cardinality both ignore them
+        return self.add_hashes(_hash_column(col.drop_null()))
+
+    def merge(self, other: "HLL") -> "HLL":
+        if other.p != self.p:
+            raise ValueError(f"cannot merge p={other.p} into p={self.p}")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        if e <= 2.5 * m:
+            v = int(np.count_nonzero(self.registers == 0))
+            if v:
+                return m * float(np.log(m / v))
+        return float(e)
+
+
+def hll_sketch_batch(t: pa.Table, col: str, p: int = 14) -> pa.Table:
+    """One batch → one sketch row (``m``-byte binary) — the
+    map_batches partial for :func:`approx_distinct`."""
+    sk = HLL(p).add_column(t[col])
+    return pa.table({"sketch": pa.array([sk.registers.tobytes()], pa.binary())})
+
+
+def approx_distinct(ds, col: str, p: int = 14) -> int:
+    """Approximate distinct count of ``ds[col]`` (±1.04/√2^p rel.
+    error): streaming per-block sketches, constant-size driver merge.
+
+    Deterministic (fixed hash) and parallelism-invariant (max-merge),
+    so the same input estimates the same count at any block split —
+    the property-test pin."""
+    import ray
+
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(
+            lambda t: hll_sketch_batch(t, col, p), batch_format="pyarrow"
+        ).to_arrow_refs()
+    ]
+    acc = HLL(p)
+    for part in parts:
+        for buf in part["sketch"].to_pylist():
+            acc.merge(HLL(p, np.frombuffer(buf, np.uint8)))
+    return int(round(acc.estimate()))

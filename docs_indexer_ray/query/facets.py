@@ -263,27 +263,59 @@ def stats_facet(docs_ds, matched: np.ndarray, col: str) -> pa.Table:
     )
 
 
-def cardinality(docs_ds, matched: np.ndarray, field: str) -> pa.Table:
-    """OpenSearch ``cardinality`` aggregation (EXACT variant): the
-    number of distinct values of ``field`` among the matched docs →
-    one row ``(n_unique,)``.
+def cardinality(
+    docs_ds, matched: np.ndarray, field: str, approx: bool = False, p: int = 14
+) -> pa.Table:
+    """OpenSearch ``cardinality`` aggregation: the number of distinct
+    values of ``field`` among the matched docs → one row
+    ``(n_unique,)``.
 
-    Shape at scale: per-batch ``unique`` partials (≤ distinct-per-
-    block values move, never rows), then a driver-side unique of the
-    union — output-scale, like ``terms_facet``'s final.  OpenSearch
-    itself answers this with a HyperLogLog sketch for unbounded
-    cardinalities; at 10^12 docs swap the final for an HLL merge when
-    the distinct count stops being "small" (the per-batch partial is
-    the part that must not ship raw rows, and it doesn't)."""
+    ``approx=False`` (exact): per-batch ``unique`` partials (≤
+    distinct-per-block values move, never rows), then a driver-side
+    unique of the union — output-scale, like ``terms_facet``'s final.
+    ``approx=True``: per-batch HyperLogLog sketches
+    (``ops/sketch.py``, ±1.04/√2^p) max-merged on the driver —
+    CONSTANT-size partials, the OpenSearch answer for unbounded
+    cardinalities at 10^12 docs.
+
+    Nulls are ignored in both modes — SQL ``count(DISTINCT)`` /
+    OpenSearch missing-value semantics."""
     import ray
 
     bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    if approx:
+        from ..ops.sketch import HLL, hll_sketch_batch
+
+        def sk_partial(t: pa.Table) -> pa.Table:
+            bits = ray.get(bits_ref)
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return hll_sketch_batch(
+                t.filter(pa.array(_member_mask(bits, doc_ids))), field, p
+            )
+
+        acc = HLL(p)
+        for part in [
+            ray.get(r)
+            for r in docs_ds.map_batches(
+                sk_partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ]:
+            for buf in part["sketch"].to_pylist():
+                acc.merge(HLL(p, np.frombuffer(buf, np.uint8)))
+        if len(matched) == 0:
+            return pa.table({"n_unique": pa.array([0], pa.int64())})
+        return pa.table(
+            {"n_unique": pa.array([int(round(acc.estimate()))], pa.int64())}
+        )
 
     def partial(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         t = t.filter(pa.array(_member_mask(bits, doc_ids)))
-        return pa.table({"v": pc.unique(t[field].combine_chunks())})
+        return pa.table(
+            {"v": pc.unique(t[field].combine_chunks().drop_null())}
+        )
 
     parts = [
         ray.get(r)
