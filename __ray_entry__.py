@@ -573,13 +573,13 @@ def q_wildcard(sf_dir: str) -> pa.Table:
     )
 
 
-def q_facet_stats(sf_dir: str) -> pa.Table:
-    """OpenSearch ``stats`` aggregation: count/min/max/sum/avg of the
-    matched docs' body length (chars)."""
+def _blen_ds_and_matched(sf_dir: str):
+    """Shared facet fixture: the (doc_id, blen) dataset (body length
+    in chars) + the match-any doc set of the flagship query terms."""
     import pyarrow.compute as _pc
 
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import match_doc_ids, stats_facet
+    from docs_indexer_ray.query.facets import match_doc_ids
     from docs_indexer_ray.query.reader import IndexReader
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
@@ -591,28 +591,83 @@ def q_facet_stats(sf_dir: str) -> pa.Table:
         ),
         batch_format="pyarrow",
     )
+    return ds, matched
+
+
+def q_facet_stats(sf_dir: str) -> pa.Table:
+    """OpenSearch ``stats`` aggregation: count/min/max/sum/avg of the
+    matched docs' body length (chars)."""
+    from docs_indexer_ray.query.facets import stats_facet
+
+    ds, matched = _blen_ds_and_matched(sf_dir)
     return stats_facet(ds, matched, "blen")
 
 
 def q_facet_cardinality(sf_dir: str) -> pa.Table:
     """OpenSearch ``cardinality`` aggregation (exact variant): number
     of distinct body lengths among the matched docs."""
-    import pyarrow.compute as _pc
+    from docs_indexer_ray.query.facets import cardinality
 
-    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import cardinality, match_doc_ids
-    from docs_indexer_ray.query.reader import IndexReader
-
-    _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
-    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "body"])
-    ds = ds.map_batches(
-        lambda t: t.append_column("blen", _pc.utf8_length(t["body"]).cast(pa.int64())).select(
-            ["doc_id", "blen"]
-        ),
-        batch_format="pyarrow",
-    )
+    ds, matched = _blen_ds_and_matched(sf_dir)
     return cardinality(ds, matched, "blen")
+
+
+def q_facet_cardinality_hll(sf_dir: str) -> pa.Table:
+    """``cardinality`` via the HyperLogLog sketch path (constant-size
+    partials; OpenSearch's own algorithm).  Deterministic (fixed hash,
+    max-merge) but approximate, so rows-only: the pytest oracle pins
+    it within the ±0.8 % p=14 envelope of the exact answer."""
+    from docs_indexer_ray.query.facets import cardinality
+
+    ds, matched = _blen_ds_and_matched(sf_dir)
+    out = cardinality(ds, matched, "blen", approx=True)
+    return out.append_column("precision", pa.array([14] * out.num_rows, pa.int64()))
+
+
+def q_facet_histogram(sf_dir: str) -> pa.Table:
+    """OpenSearch numeric ``histogram`` aggregation: matched-doc
+    counts per 100-char body-length bucket."""
+    from docs_indexer_ray.query.facets import histogram
+
+    ds, matched = _blen_ds_and_matched(sf_dir)
+    return histogram(ds, matched, "blen", interval=100)
+
+
+_RANGES = [(0.0, 500.0), (500.0, 1000.0), (1000.0, 2000.0), (2000.0, 1e9)]
+
+
+def q_facet_range(sf_dir: str) -> pa.Table:
+    """OpenSearch ``range`` aggregation: matched-doc counts per
+    explicit [from, to) body-length bucket (empty buckets kept)."""
+    from docs_indexer_ray.query.facets import range_facet
+
+    ds, matched = _blen_ds_and_matched(sf_dir)
+    return range_facet(ds, matched, "blen", _RANGES)
+
+
+_PCTS = [25.0, 50.0, 75.0, 95.0, 99.0]
+
+
+def q_facet_percentiles(sf_dir: str) -> pa.Table:
+    """OpenSearch ``percentiles`` aggregation (exact variant): body-
+    length percentiles of the matched docs via distributed value-count
+    histogram partials + the continuous ``h = (n−1)q`` interpolation —
+    bit-identical to DuckDB ``quantile_cont``."""
+    from docs_indexer_ray.query.facets import percentiles
+
+    ds, matched = _blen_ds_and_matched(sf_dir)
+    return percentiles(ds, matched, "blen", _PCTS)
+
+
+def q_facet_percentiles_tdigest(sf_dir: str) -> pa.Table:
+    """``percentiles`` via the t-digest sketch path (constant
+    ``O(delta)`` partials — OpenSearch's own algorithm for unbounded
+    value cardinalities).  Approximate, so rows-only: pytest pins each
+    estimate within a relative-error band of the exact answer."""
+    from docs_indexer_ray.query.facets import percentiles
+
+    ds, matched = _blen_ds_and_matched(sf_dir)
+    return percentiles(ds, matched, "blen", _PCTS, approx=True)
 
 
 def q_mm_decode_docs(sf_dir: str) -> pa.Table:
@@ -1206,6 +1261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard": q_wildcard,
         "facet_stats": q_facet_stats,
         "facet_cardinality": q_facet_cardinality,
+        "facet_histogram": q_facet_histogram,
+        "facet_range": q_facet_range,
+        "facet_percentiles": q_facet_percentiles,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
@@ -1230,6 +1288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frames": q_mm_frames,
         "winnow": q_winnow,
         "highlight": q_highlight,
+        "facet_cardinality_hll": q_facet_cardinality_hll,
+        "facet_percentiles_tdigest": q_facet_percentiles_tdigest,
     }
 
 
@@ -1654,6 +1714,41 @@ def oracle_sql() -> dict[str, str]:
         m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in}))
         SELECT CAST(count(DISTINCT length(d.body)) AS BIGINT) AS n_unique
         FROM docs d JOIN m USING (doc_id)
+    """
+    sqls["facet_histogram"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in}))
+        SELECT CAST(floor(length(d.body) / 100.0) * 100 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM docs d JOIN m USING (doc_id)
+        GROUP BY bucket ORDER BY n_docs DESC, bucket ASC
+    """
+    range_rows = ", ".join(
+        f"({lo!r}, {hi!r})" for lo, hi in [(0.0, 500.0), (500.0, 1000.0), (1000.0, 2000.0), (2000.0, 1e9)]
+    )
+    sqls["facet_range"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        v AS (SELECT CAST(length(d.body) AS DOUBLE) AS blen
+              FROM docs d JOIN m USING (doc_id)),
+        r(lo, hi) AS (VALUES {range_rows})
+        SELECT CAST(r.lo AS DOUBLE) AS lo, CAST(r.hi AS DOUBLE) AS hi,
+               CAST(count(v.blen) AS BIGINT) AS n_docs
+        FROM r LEFT JOIN v ON v.blen >= r.lo AND v.blen < r.hi
+        GROUP BY r.lo, r.hi ORDER BY r.lo
+    """
+    pct_rows = " UNION ALL ".join(
+        f"SELECT CAST({q!r} AS DOUBLE) AS pct, quantile_cont(blen, {q / 100.0!r}) AS value FROM v"
+        for q in [25.0, 50.0, 75.0, 95.0, 99.0]
+    )
+    sqls["facet_percentiles"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        v AS (SELECT length(d.body) AS blen FROM docs d JOIN m USING (doc_id))
+        {pct_rows}
     """
     sqls["term_prefix"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

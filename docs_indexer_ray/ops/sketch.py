@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["HLL", "hll_sketch_batch", "approx_distinct"]
+__all__ = ["HLL", "hll_sketch_batch", "approx_distinct", "TDigest"]
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
@@ -169,3 +169,137 @@ def approx_distinct(ds, col: str, p: int = 14) -> int:
         for buf in part["sketch"].to_pylist():
             acc.merge(HLL(p, np.frombuffer(buf, np.uint8)))
     return int(round(acc.estimate()))
+
+
+class TDigest:
+    """Merging t-digest (Dunning & Ertl, "Computing extremely accurate
+    quantiles using t-digests") — the constant-size percentile sketch
+    behind OpenSearch's ``percentiles`` aggregation.
+
+    The Ray-Data shape mirrors :class:`HLL`: each ``map_batches`` task
+    folds its batch into ONE ``O(delta)``-centroid row, block sketches
+    merge by concatenate-and-compress on the driver (O(blocks · delta
+    log delta) — never row-scale).  The k1 scale function
+    ``k(q) = δ/(2π)·asin(2q−1)`` keeps tail centroids small, so p99 /
+    p999 stay accurate while the middle compresses aggressively.
+
+    Compression sorts centroids by mean (numpy mergesort — stable), so
+    a digest's value is deterministic for a given merge ORDER; like
+    every t-digest it is not bit-invariant across different block
+    splits — estimates vary within the accuracy envelope (the pytest
+    pin is a tolerance band, unlike HLL's exact invariance)."""
+
+    def __init__(
+        self,
+        delta: int = 200,
+        means: np.ndarray | None = None,
+        weights: np.ndarray | None = None,
+    ):
+        if delta < 10:
+            raise ValueError(f"delta must be >= 10, got {delta}")
+        self.delta = delta
+        self.means = np.empty(0, np.float64) if means is None else means
+        self.weights = np.empty(0, np.float64) if weights is None else weights
+        # true extremes, tracked outside the centroids — compression
+        # may absorb the min/max point into a multi-weight centroid,
+        # but q→0 / q→1 must still answer exactly (Dunning's digests
+        # keep min/max for the same reason)
+        self.vmin = float(self.means.min()) if len(self.means) else np.inf
+        self.vmax = float(self.means.max()) if len(self.means) else -np.inf
+
+    def _k(self, q: np.ndarray | float):
+        return self.delta / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    def add(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            self.vmin = min(self.vmin, float(v.min()))
+            self.vmax = max(self.vmax, float(v.max()))
+            self.means = np.concatenate([self.means, v])
+            self.weights = np.concatenate([self.weights, np.ones(len(v))])
+            self._compress()
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if other.delta != self.delta:
+            raise ValueError(f"cannot merge delta={other.delta} into {self.delta}")
+        self.vmin = min(self.vmin, other.vmin)
+        self.vmax = max(self.vmax, other.vmax)
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        if len(self.means) <= 1:
+            return
+        order = np.argsort(self.means, kind="mergesort")
+        m, w = self.means[order], self.weights[order]
+        total = w.sum()
+        out_m, out_w = [m[0]], [w[0]]
+        q0 = 0.0  # cumulative quantile at the START of the open centroid
+        k_lim = self._k(q0) + 1.0
+        for i in range(1, len(m)):
+            q_new = q0 + (out_w[-1] + w[i]) / total
+            if self._k(q_new) <= k_lim:
+                # absorb: weighted mean keeps the centroid centered
+                out_m[-1] += (m[i] - out_m[-1]) * w[i] / (out_w[-1] + w[i])
+                out_w[-1] += w[i]
+            else:
+                q0 += out_w[-1] / total
+                k_lim = self._k(q0) + 1.0
+                out_m.append(m[i])
+                out_w.append(w[i])
+        self.means = np.array(out_m, np.float64)
+        self.weights = np.array(out_w, np.float64)
+
+    def quantile(self, q: float) -> float | None:
+        """Estimate the q-quantile (0 ≤ q ≤ 1) — linear interpolation
+        between centroid midpoints, exact at the min/max ends."""
+        if len(self.means) == 0:
+            return None
+        if len(self.means) == 1:
+            return float(self.means[0])
+        w, m = self.weights, self.means
+        total = w.sum()
+        target = q * total
+        # centroid i covers cumulative midpoint cum[i] - w[i]/2
+        cum = np.cumsum(w)
+        mids = cum - w / 2.0
+        if target <= mids[0]:
+            # below the first midpoint: interpolate from the TRUE min
+            # (position 0) up to the first centroid's mean
+            return float(self.vmin + (m[0] - self.vmin) * max(target, 0.0) / mids[0])
+        if target >= mids[-1]:
+            span = total - mids[-1]
+            frac = min(target - mids[-1], span) / span if span else 1.0
+            return float(m[-1] + (self.vmax - m[-1]) * frac)
+        i = int(np.searchsorted(mids, target, side="right")) - 1
+        frac = (target - mids[i]) / (mids[i + 1] - mids[i])
+        return float(m[i] + frac * (m[i + 1] - m[i]))
+
+    def to_row(self) -> pa.Table:
+        """One sketch → one Arrow row (the map_batches partial)."""
+        return pa.table(
+            {
+                "means": pa.array([self.means.tolist()], pa.list_(pa.float64())),
+                "weights": pa.array([self.weights.tolist()], pa.list_(pa.float64())),
+                "vmin": pa.array([self.vmin], pa.float64()),
+                "vmax": pa.array([self.vmax], pa.float64()),
+            }
+        )
+
+    @classmethod
+    def from_row(cls, t: pa.Table, delta: int = 200) -> "TDigest":
+        acc = cls(delta)
+        for i in range(t.num_rows):
+            part = cls(
+                delta,
+                np.asarray(t["means"][i].as_py(), np.float64),
+                np.asarray(t["weights"][i].as_py(), np.float64),
+            )
+            part.vmin = min(part.vmin, float(t["vmin"][i].as_py()))
+            part.vmax = max(part.vmax, float(t["vmax"][i].as_py()))
+            acc.merge(part)
+        return acc

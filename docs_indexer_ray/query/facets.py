@@ -29,6 +29,9 @@ import pyarrow.compute as pc
 __all__ = [
     "match_doc_ids",
     "date_histogram",
+    "histogram",
+    "range_facet",
+    "percentiles",
     "terms_facet",
     "top_by_column",
     "stats_facet",
@@ -137,6 +140,188 @@ def date_histogram(
         return pc.divide(us, pa.scalar(interval_s * 1_000_000, pa.int64())).combine_chunks()
 
     return _facet(docs_ds, matched, key_of, pa.field("bucket", pa.int64()))
+
+
+def histogram(
+    docs_ds,
+    matched: np.ndarray,
+    col: str,
+    interval: int,
+) -> pa.Table:
+    """OpenSearch numeric ``histogram`` aggregation: doc counts per
+    fixed-width bucket of numeric column ``col`` among the matched
+    docs → ``(bucket, n_docs)``, count desc / bucket asc.  ``bucket``
+    is the bucket's lower edge ``floor(v / interval) * interval``
+    (OpenSearch key semantics).  Same partial-count shape as
+    :func:`date_histogram`; empty buckets are omitted (OpenSearch
+    ``min_doc_count: 1``)."""
+
+    def key_of(t: pa.Table) -> pa.Array:
+        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        # floor (not truncate) so negative values bucket correctly
+        return pa.array(
+            (np.floor(v / interval) * interval).astype(np.int64), pa.int64()
+        )
+
+    return _facet(docs_ds, matched, key_of, pa.field("bucket", pa.int64()))
+
+
+def range_facet(
+    docs_ds,
+    matched: np.ndarray,
+    col: str,
+    ranges: list[tuple[float, float]],
+) -> pa.Table:
+    """OpenSearch ``range`` aggregation: doc counts per explicit
+    ``[from, to)`` bucket of numeric ``col`` among the matched docs →
+    ``(lo, hi, n_docs)`` sorted by ``lo``.  Buckets may overlap (each
+    is counted independently, as in OpenSearch) and empty buckets are
+    KEPT with ``n_docs = 0`` (range buckets are explicit, unlike
+    histogram's).
+
+    Shape at scale: the bitmap broadcast + ONE partial row per
+    (block, bucket) — len(ranges) counts per block, a vectorized
+    comparison per bucket, constant-size final."""
+    import ray
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    lows = np.array([r[0] for r in ranges], np.float64)
+    highs = np.array([r[1] for r in ranges], np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        counts = ((v[:, None] >= lows) & (v[:, None] < highs)).sum(axis=0)
+        return pa.table(
+            {
+                "b": pa.array(np.arange(len(ranges)), pa.int64()),
+                "partial": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    tot = np.zeros(len(ranges), np.int64)
+    for p in parts:
+        tot[p["b"].to_numpy()] += p["partial"].to_numpy()
+    order = np.argsort(lows, kind="stable")
+    return pa.table(
+        {
+            "lo": pa.array(lows[order], pa.float64()),
+            "hi": pa.array(highs[order], pa.float64()),
+            "n_docs": pa.array(tot[order], pa.int64()),
+        }
+    )
+
+
+def percentiles(
+    docs_ds,
+    matched: np.ndarray,
+    col: str,
+    qs: list[float] = (25.0, 50.0, 75.0, 95.0, 99.0),
+    approx: bool = False,
+    delta: int = 200,
+) -> pa.Table:
+    """OpenSearch ``percentiles`` aggregation over numeric ``col`` of
+    the matched docs → ``(pct, value)`` rows, one per requested
+    percentile.
+
+    ``approx=False`` (exact): per-batch **value-count histogram**
+    partials (``group_by(value).count`` — ≤ distinct-per-block rows
+    move, never docs), driver merge, then linear interpolation over
+    the merged histogram with the standard ``h = (n-1)·q`` continuous
+    rule — bit-identical to DuckDB/Postgres ``quantile_cont`` (the
+    SQL-oracle pin).  Output-scale in DISTINCT values: right for
+    bounded-cardinality metrics (lengths, counts, scores at fixed
+    precision); for unbounded doubles use the sketch path.
+    ``approx=True``: per-batch t-digest sketches (``ops/sketch.py``,
+    CONSTANT ``O(delta)`` size) merged on the driver — OpenSearch's
+    own algorithm (Dunning & Ertl) for unbounded cardinalities."""
+    import ray
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    if approx:
+        from ..ops.sketch import TDigest
+
+        def sk_partial(t: pa.Table) -> pa.Table:
+            bits = ray.get(bits_ref)
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+            v = t[col].cast(pa.float64()).drop_null().to_numpy(zero_copy_only=False)
+            return TDigest(delta).add(v).to_row()
+
+        acc = TDigest(delta)
+        for part in [
+            ray.get(r)
+            for r in docs_ds.map_batches(
+                sk_partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ]:
+            acc.merge(TDigest.from_row(part))
+        vals = [acc.quantile(q / 100.0) for q in qs]
+        return pa.table(
+            {
+                "pct": pa.array([float(q) for q in qs], pa.float64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        vals = t.select([col]).drop_null()
+        agg = (
+            pa.table({"v": vals[col].cast(pa.float64()).combine_chunks()})
+            .group_by("v")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"v": agg["v"], "partial": agg["count_all"].cast(pa.int64())}
+        )
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "pct": pa.array([float(q) for q in qs], pa.float64()),
+                "value": pa.array([None] * len(qs), pa.float64()),
+            }
+        )
+    t = pa.concat_tables(parts)
+    agg = t.group_by("v").aggregate([("partial", "sum")]).sort_by("v")
+    v = agg["v"].to_numpy(zero_copy_only=False)
+    c = agg["partial_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(c)  # cum[i] = # values <= v[i]
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        h = (n - 1) * (float(q) / 100.0)
+        lo = int(np.floor(h))
+        # index of the histogram bin holding sorted position `lo`
+        # (0-based): first i with cum[i] > lo
+        i = int(np.searchsorted(cum, lo, side="right"))
+        x_lo = float(v[i])
+        if h == lo or cum[i] > lo + 1:  # next sorted value is the same bin
+            x_hi = x_lo
+        else:
+            x_hi = float(v[i + 1])
+        out.append(x_lo + (h - lo) * (x_hi - x_lo))
+    return pa.table(
+        {
+            "pct": pa.array([float(q) for q in qs], pa.float64()),
+            "value": pa.array(out, pa.float64()),
+        }
+    )
 
 
 def top_by_column(

@@ -85,6 +85,9 @@ SQL_BACKED = [
     "facet_terms",
     "facet_stats",
     "facet_cardinality",
+    "facet_histogram",
+    "facet_range",
+    "facet_percentiles",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",
@@ -136,7 +139,28 @@ ROWS_ONLY_MIN = {
     "knn_ivf": 1,
     "mm_decode": 64,
     "highlight": 3,
+    "facet_cardinality_hll": 1,
+    "facet_percentiles_tdigest": 5,
 }
+
+
+def test_sketch_facets_track_exact(entry_mod):
+    """The HLL / t-digest variants must land inside their documented
+    accuracy envelopes of the exact (SQL-oracled) aggregations."""
+    exact_card = entry_mod.queries()["facet_cardinality"](SF)["n_unique"][0].as_py()
+    hll = entry_mod.queries()["facet_cardinality_hll"](SF)["n_unique"][0].as_py()
+    assert abs(hll - exact_card) / exact_card < 0.05
+
+    exact_p = _to_df(entry_mod.queries()["facet_percentiles"](SF))
+    td = _to_df(entry_mod.queries()["facet_percentiles_tdigest"](SF))
+    merged = exact_p.merge(td, on="pct", suffixes=("_exact", "_td"))
+    assert len(merged) == 5
+    for _, row in merged.iterrows():
+        assert abs(row.value_td - row.value_exact) / max(row.value_exact, 1) < 0.08, (
+            row.pct,
+            row.value_exact,
+            row.value_td,
+        )
 
 
 @pytest.mark.parametrize("name", sorted(ROWS_ONLY_MIN))

@@ -210,6 +210,73 @@ def test_stats_and_cardinality_facets(built, ray_session):
     assert cardinality(ds, np.empty(0, np.int64), "v")["n_unique"][0].as_py() == 0
 
 
+def test_histogram_range_percentiles_facets(built, ray_session):
+    import ray.data
+
+    from docs_indexer_ray.query.facets import (
+        histogram,
+        match_doc_ids,
+        percentiles,
+        range_facet,
+    )
+
+    reader, _ = built
+    matched = match_doc_ids(reader, ["node", "quota"])
+    n = 80
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-120, 400, n)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(5)
+    mv = vals[matched]
+
+    # histogram: floor-bucketed counts (incl. negatives), count desc
+    h = histogram(ds, matched, "v", interval=50)
+    want = {}
+    for x in mv:
+        want[int(np.floor(x / 50.0) * 50)] = want.get(int(np.floor(x / 50.0) * 50), 0) + 1
+    got = dict(zip(h["bucket"].to_pylist(), h["n_docs"].to_pylist()))
+    assert got == want
+    counts = h["n_docs"].to_pylist()
+    assert counts == sorted(counts, reverse=True)
+
+    # range: explicit buckets, overlap allowed, empties kept as 0
+    ranges = [(-200.0, 0.0), (0.0, 100.0), (50.0, 150.0), (1000.0, 2000.0)]
+    r = range_facet(ds, matched, "v", ranges)
+    assert r["lo"].to_pylist() == sorted(x[0] for x in ranges)
+    for lo, hi, nd in zip(
+        r["lo"].to_pylist(), r["hi"].to_pylist(), r["n_docs"].to_pylist()
+    ):
+        assert nd == int(((mv >= lo) & (mv < hi)).sum())
+    assert r["n_docs"].to_pylist()[-1] == 0  # empty bucket kept
+
+    # percentiles: exact path ≡ numpy linear interpolation; and
+    # parallelism-invariant (histogram partials merge losslessly)
+    qs = [10.0, 50.0, 90.0, 99.0]
+    p = percentiles(ds, matched, "v", qs)
+    for q, v in zip(p["pct"].to_pylist(), p["value"].to_pylist()):
+        assert v == pytest.approx(
+            float(np.quantile(mv.astype(np.float64), q / 100.0)), abs=1e-12
+        )
+    p2 = percentiles(ray.data.from_arrow(docs).repartition(13), matched, "v", qs)
+    assert p["value"].to_pylist() == p2["value"].to_pylist()
+
+    # empty matched set → null values, full pct column
+    p0 = percentiles(ds, np.empty(0, np.int64), "v", qs)
+    assert p0["pct"].to_pylist() == qs
+    assert all(v is None for v in p0["value"].to_pylist())
+
+    # t-digest path lands within the envelope on this small set
+    pt = percentiles(ds, matched, "v", qs, approx=True)
+    lo_v, hi_v = float(mv.min()), float(mv.max())
+    for v in pt["value"].to_pylist():
+        assert lo_v <= v <= hi_v
+
+
 def test_multi_match_modes(built, ray_session, tmp_path_factory):
     """multi_match over two fields of the same corpus: most_fields is
     the boosted sum of per-field dense scores, best_fields the

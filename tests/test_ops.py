@@ -490,6 +490,40 @@ def test_hll_sketch_accuracy_and_invariance(ray_session):
     assert approx_distinct(ray.data.from_arrow(tn), "k") == 2
 
 
+def test_tdigest_accuracy_merge_and_edges():
+    from docs_indexer_ray.ops.sketch import TDigest
+
+    rng = np.random.default_rng(7)
+    x = rng.lognormal(3, 1.5, 100_000)
+    td = TDigest(200)
+    for chunk in np.array_split(x, 23):  # merge path, like block partials
+        td.merge(TDigest(200).add(chunk))
+    assert len(td.means) < 3 * 200  # compressed, constant-size state
+    for q, tol in [(0.25, 0.02), (0.5, 0.02), (0.75, 0.02), (0.95, 0.03), (0.99, 0.05)]:
+        true = float(np.quantile(x, q))
+        est = td.quantile(q)
+        assert abs(est - true) / true < tol, (q, true, est)
+
+    # min/max ends are exact-ish (weight-1 extreme centroids)
+    assert td.quantile(0.0) == pytest.approx(x.min(), rel=1e-9)
+    assert td.quantile(1.0) == pytest.approx(x.max(), rel=1e-9)
+
+    # row round-trip preserves the digest exactly
+    rt = TDigest.from_row(td.to_row())
+    assert np.array_equal(rt.means, td.means) and np.array_equal(
+        rt.weights, td.weights
+    )
+
+    # edges: empty, singleton, NaN dropped, bad params
+    assert TDigest().quantile(0.5) is None
+    assert TDigest().add(np.array([42.0])).quantile(0.9) == 42.0
+    assert TDigest().add(np.array([np.nan, 7.0])).quantile(0.5) == 7.0
+    with pytest.raises(ValueError):
+        TDigest(5)
+    with pytest.raises(ValueError):
+        TDigest(100).merge(TDigest(200))
+
+
 def test_cardinality_approx_matches_exact_within_error(ray_session):
     import ray.data
 
