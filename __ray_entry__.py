@@ -670,6 +670,23 @@ def q_facet_percentiles_tdigest(sf_dir: str) -> pa.Table:
     return percentiles(ds, matched, "blen", _PCTS, approx=True)
 
 
+def q_facet_significant_terms(sf_dir: str) -> pa.Table:
+    """OpenSearch ``significant_terms`` aggregation (JLH scoring):
+    the 10 terms most overrepresented in the flagship query's match
+    set vs the whole corpus — a distributed scan of the term-
+    partitioned segment files, one task per partition, no
+    re-tokenization (``query/significant.py``)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.significant import significant_terms
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    reader = IndexReader(root)
+    matched = match_doc_ids(reader, list(_BM25_TERMS))
+    return significant_terms(reader, matched, k=10)
+
+
 def q_mm_decode_docs(sf_dir: str) -> pa.Table:
     """The multimodal decode stage over REAL corpus payloads (document
     text bytes as the opaque binary column) with the SQL-expressible
@@ -1264,6 +1281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_histogram": q_facet_histogram,
         "facet_range": q_facet_range,
         "facet_percentiles": q_facet_percentiles,
+        "facet_significant_terms": q_facet_significant_terms,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
@@ -1714,6 +1732,29 @@ def oracle_sql() -> dict[str, str]:
         m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in}))
         SELECT CAST(count(DISTINCT length(d.body)) AS BIGINT) AS n_unique
         FROM docs d JOIN m USING (doc_id)
+    """
+    sqls["facet_significant_terms"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        sizes AS (SELECT (SELECT count(*) FROM m) AS n_fg,
+                         (SELECT count(*) FROM documents) AS n_docs),
+        fg AS (SELECT term, count(DISTINCT t.doc_id) AS fg_df
+               FROM toks t JOIN m USING (doc_id) GROUP BY term),
+        bg AS (SELECT term, count(DISTINCT doc_id) AS bg_df
+               FROM toks GROUP BY term),
+        scored AS (
+          SELECT fg.term, fg.fg_df, bg.bg_df,
+                 (fg.fg_df / CAST(sizes.n_fg AS DOUBLE)
+                  - bg.bg_df / CAST(sizes.n_docs AS DOUBLE))
+                 * ((fg.fg_df / CAST(sizes.n_fg AS DOUBLE))
+                    / (bg.bg_df / CAST(sizes.n_docs AS DOUBLE))) AS score
+          FROM fg JOIN bg USING (term), sizes
+          WHERE fg.fg_df / CAST(sizes.n_fg AS DOUBLE)
+                > bg.bg_df / CAST(sizes.n_docs AS DOUBLE))
+        SELECT term, CAST(fg_df AS BIGINT) AS fg_df,
+               CAST(bg_df AS BIGINT) AS bg_df, score
+        FROM scored ORDER BY score DESC, term ASC LIMIT 10
     """
     sqls["facet_histogram"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

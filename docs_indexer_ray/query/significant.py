@@ -1,0 +1,154 @@
+"""``significant_terms`` aggregation — terms overrepresented in a
+match set versus the whole corpus (OpenSearch's "what is unusual
+about these documents" aggregation; the reference gets it from
+OpenSearch for free, mappings expose text fields to it).
+
+Scoring is JLH (OpenSearch's classic default): with foreground rate
+``fgr = fg_df / n_fg`` and background rate ``bgr = bg_df / n_docs``,
+
+    score = (fgr - bgr) * (fgr / bgr)
+
+— only terms with ``fgr > bgr`` (more common in the matches than in
+the background) are significant.
+
+Shape at scale — an INDEX scan, not a corpus scan:
+
+* the segment files already partition the vocabulary by term hash
+  (``stages/tokenize.py::term_part``), so the scan is one task per
+  segment partition — no shuffle, no re-tokenization of stored text
+  (the tokens were computed once at build time);
+* each task reads ONLY ``(term, df, doc_ids_enc, block_last)`` of its
+  partition file (column-pruned parquet read), decodes each term's
+  doc ids and counts members of the broadcast match BITMAP (the same
+  packed-bitmap broadcast as ``facets.py`` — ≤ n_docs/8 bytes once in
+  plasma, zero-copy per task);
+* a task emits one ``(term, fg_partial, df_partial)`` row per term
+  ROW — vocabulary-partition-scale, never posting-scale; the driver
+  sums per term (a heavy/salted/merged term's runs live as several
+  rows, possibly in several partitions) and ranks top-k.
+
+OpenSearch itself documents this aggregation as expensive and offers
+``sampler`` wrappers; the same applies here — cost is one full read
+of the posting lists, distributed across ``num_parts`` tasks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.codec import varint_decode
+from .facets import _member_mask, _pack_bitmap
+
+__all__ = ["significant_terms"]
+
+
+def _decode_ids(enc: bytes, block_size: int) -> np.ndarray:
+    """Absolute doc ids of one posting row (delta varints with
+    per-block restarts — ``functions/codec.py`` layout) without
+    touching the tf stream."""
+    deltas = varint_decode(enc)
+    n = len(deltas)
+    if n <= block_size:
+        return np.cumsum(deltas, dtype=np.uint64)
+    out = np.empty(n, np.uint64)
+    for lo in range(0, n, block_size):
+        hi = min(lo + block_size, n)
+        out[lo:hi] = np.cumsum(deltas[lo:hi], dtype=np.uint64)
+    return out
+
+
+def _scan_partition(
+    seg_dir: str, rpart: int, bits: np.ndarray, block_size: int
+) -> pa.Table:
+    """Task body: one segment partition → per-term-row (term, fg, df).
+
+    ``bits`` is passed as an ObjectRef by the caller — Ray resolves it
+    per task from the node-local plasma copy (zero-copy numpy)."""
+    path = os.path.join(seg_dir, f"seg-{rpart:05d}.parquet")
+    empty = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "fg": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+    if not os.path.exists(path):
+        return empty
+    t = pq.read_table(path, columns=["term", "df", "doc_ids_enc"])
+    if t.num_rows == 0:
+        return empty
+    fg = np.empty(t.num_rows, np.int64)
+    enc_col = t["doc_ids_enc"].to_pylist()
+    for i, enc in enumerate(enc_col):
+        ids = _decode_ids(enc, block_size).astype(np.int64)
+        fg[i] = int(_member_mask(bits, ids).sum())
+    return pa.table(
+        {
+            "term": t["term"],
+            "fg": pa.array(fg, pa.int64()),
+            "df": t["df"].cast(pa.int64()),
+        }
+    )
+
+
+def significant_terms(
+    reader,
+    matched: np.ndarray,
+    k: int = 10,
+    min_doc_count: int = 1,
+) -> pa.Table:
+    """Top-``k`` JLH-significant terms of the ``matched`` doc set →
+    ``(term, fg_df, bg_df, score)``, score desc / term asc.
+
+    ``reader`` is an :class:`~docs_indexer_ray.query.reader.IndexReader`
+    (its segment dir + manifest supply the partition layout and
+    ``n_docs``); ``matched`` is the foreground doc-id set (e.g. from
+    :func:`~docs_indexer_ray.query.facets.match_doc_ids`)."""
+    import ray
+
+    n_fg = int(len(matched))
+    n_docs = int(reader.n_docs)
+    if n_fg == 0 or n_docs == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "fg_df": pa.array([], pa.int64()),
+                "bg_df": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    block_size = int(reader.manifest.get("block_size", 128))
+    task = ray.remote(num_cpus=1)(_scan_partition)
+    parts = ray.get(
+        [
+            task.remote(reader._seg_dir, rp, bits_ref, block_size)
+            for rp in range(reader.num_parts)
+        ]
+    )
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    agg = t.group_by("term").aggregate([("fg", "sum"), ("df", "sum")])
+    fg = agg["fg_sum"].to_numpy().astype(np.int64)
+    df = agg["df_sum"].to_numpy().astype(np.int64)
+    keep = fg >= max(1, min_doc_count)
+    fg, df = fg[keep], df[keep]
+    terms = agg["term"].to_numpy(zero_copy_only=False)[keep]
+    # JLH — expression shape mirrored exactly by the SQL oracle so the
+    # double is bit-identical
+    fgr = fg / float(n_fg)
+    bgr = df / float(n_docs)
+    score = (fgr - bgr) * (fgr / bgr)
+    pos = fgr > bgr
+    out = pa.table(
+        {
+            "term": pa.array(terms[pos], pa.string()),
+            "fg_df": pa.array(fg[pos], pa.int64()),
+            "bg_df": pa.array(df[pos], pa.int64()),
+            "score": pa.array(score[pos], pa.float64()),
+        }
+    )
+    return out.sort_by([("score", "descending"), ("term", "ascending")]).slice(0, k)

@@ -88,6 +88,7 @@ SQL_BACKED = [
     "facet_histogram",
     "facet_range",
     "facet_percentiles",
+    "facet_significant_terms",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

@@ -277,6 +277,57 @@ def test_histogram_range_percentiles_facets(built, ray_session):
         assert lo_v <= v <= hi_v
 
 
+def test_significant_terms_jlh(built, ray_session):
+    """JLH scoring vs a brute-force Python recomputation over the
+    fixture corpus, plus edge cases."""
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.significant import significant_terms
+
+    reader, _ = built
+    matched = match_doc_ids(reader, ["node", "quota"])
+    got = significant_terms(reader, matched, k=15)
+
+    # brute force: tokenize every indexed body with the build's chain
+    fetched = reader.fetch_docs(list(range(reader.n_docs)), columns=["doc_id", "body"])
+    bodies = dict(zip(fetched["doc_id"].to_pylist(), fetched["body"].to_pylist()))
+    an = Analyzer("simple")
+    docs_terms = [set(an(bodies[d])) for d in range(reader.n_docs)]
+    mset = set(int(x) for x in matched)
+    n_fg, n_docs = len(mset), len(docs_terms)
+    from collections import Counter
+
+    fg, bg = Counter(), Counter()
+    for d, ts in enumerate(docs_terms):
+        for t in ts:
+            bg[t] += 1
+            if d in mset:
+                fg[t] += 1
+    scored = []
+    for t, f in fg.items():
+        fgr, bgr = f / float(n_fg), bg[t] / float(n_docs)
+        if fgr > bgr:
+            scored.append((t, f, bg[t], (fgr - bgr) * (fgr / bgr)))
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    want = scored[:15]
+    assert got["term"].to_pylist() == [w[0] for w in want]
+    assert got["fg_df"].to_pylist() == [w[1] for w in want]
+    assert got["bg_df"].to_pylist() == [w[2] for w in want]
+    for g, w in zip(got["score"].to_pylist(), want):
+        assert g == pytest.approx(w[3], rel=1e-12)
+    # a query term present in the corpus has fgr = 1 by construction
+    # and must surface in the un-truncated ranking ("quota" has df 0
+    # in this fixture — absent terms never appear)
+    full = significant_terms(reader, matched, k=100_000)
+    assert "node" in set(full["term"].to_pylist())
+    assert "quota" not in set(full["term"].to_pylist())
+
+    # empty matched set → empty result with the full schema
+    empty = significant_terms(reader, np.empty(0, np.int64))
+    assert empty.num_rows == 0
+    assert empty.column_names == ["term", "fg_df", "bg_df", "score"]
+
+
 def test_multi_match_modes(built, ray_session, tmp_path_factory):
     """multi_match over two fields of the same corpus: most_fields is
     the boosted sum of per-field dense scores, best_fields the
