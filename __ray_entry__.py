@@ -687,6 +687,21 @@ def q_facet_significant_terms(sf_dir: str) -> pa.Table:
     return significant_terms(reader, matched, k=10)
 
 
+_MLT_DOC = 7
+
+
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    """OpenSearch ``more_like_this``: top-10 docs similar to doc 7 —
+    tf·idf term selection from the source doc (25 terms) + a BM25
+    OR-query excluding the source (``query/mlt.py``)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.mlt import more_like_this
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    return more_like_this(IndexReader(root), _MLT_DOC, k=10)
+
+
 def q_mm_decode_docs(sf_dir: str) -> pa.Table:
     """The multimodal decode stage over REAL corpus payloads (document
     text bytes as the opaque binary column) with the SQL-expressible
@@ -1282,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_range": q_facet_range,
         "facet_percentiles": q_facet_percentiles,
         "facet_significant_terms": q_facet_significant_terms,
+        "more_like_this": q_more_like_this,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
@@ -1732,6 +1748,34 @@ def oracle_sql() -> dict[str, str]:
         m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in}))
         SELECT CAST(count(DISTINCT length(d.body)) AS BIGINT) AS n_unique
         FROM docs d JOIN m USING (doc_id)
+    """
+    sqls["more_like_this"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        nn AS (SELECT count(*) AS n FROM docs),
+        dfall AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        src AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 7 GROUP BY term),
+        qt AS (SELECT src.term
+               FROM src JOIN dfall USING (term), nn
+               ORDER BY src.tf * ln(1 + (nn.n - dfall.df + 0.5) / (dfall.df + 0.5)) DESC,
+                        src.term ASC
+               LIMIT 25),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          WHERE tf.doc_id <> 7
+          GROUP BY tf.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM scores ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
     """
     sqls["facet_significant_terms"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

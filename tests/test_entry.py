@@ -89,6 +89,7 @@ SQL_BACKED = [
     "facet_range",
     "facet_percentiles",
     "facet_significant_terms",
+    "more_like_this",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

@@ -328,6 +328,35 @@ def test_significant_terms_jlh(built, ray_session):
     assert empty.column_names == ["term", "fg_df", "bg_df", "score"]
 
 
+def test_more_like_this(built):
+    from docs_indexer_ray.query.mlt import more_like_this, select_mlt_terms
+
+    reader, _ = built
+    src = 3
+    terms = select_mlt_terms(reader, src, max_query_terms=25)
+    assert 0 < len(terms) <= 25
+    # selected terms all exist in the vocabulary and come from the doc
+    body = reader.fetch_docs([src], columns=["doc_id", "body"])["body"][0].as_py()
+    from docs_indexer_ray.functions.analyzer import Analyzer
+
+    doc_toks = set(Analyzer(reader.chain)(body))
+    assert set(terms) <= doc_toks
+    assert all(reader.term_df(t) > 0 for t in terms)
+    # tf·idf ordering: the top selected term is no more frequent in the
+    # corpus than the bottom one unless its tf compensates
+    got = more_like_this(reader, src, k=5)
+    ids = got["doc_id"].to_pylist()
+    assert src not in ids
+    assert len(ids) == len(set(ids)) <= 5
+    assert got["rank"].to_pylist() == list(range(1, len(ids) + 1))
+    # the best match shares terms with the source
+    best_body = reader.fetch_docs([ids[0]], columns=["doc_id", "body"])["body"][0].as_py()
+    assert set(Analyzer(reader.chain)(best_body)) & set(terms)
+
+    with pytest.raises(KeyError):
+        select_mlt_terms(reader, 10_000_000)
+
+
 def test_multi_match_modes(built, ray_session, tmp_path_factory):
     """multi_match over two fields of the same corpus: most_fields is
     the boosted sum of per-field dense scores, best_fields the
