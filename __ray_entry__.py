@@ -797,6 +797,27 @@ def q_match_phrase(sf_dir: str) -> pa.Table:
     )
 
 
+def q_match_phrase_slop(sf_dir: str) -> pa.Table:
+    """Proximity phrase (``match_phrase`` + ``slop: 1``, ordered
+    span-near): docs where "table" is followed by "hash" with at most
+    one intervening token, with the count of matching start
+    positions."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.phrase import match_phrase_slop
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(
+        sf_dir, chain="simple", field="body", store_positions=True
+    )
+    hits = match_phrase_slop(IndexReader(root), ["table", "hash"], slop=1)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "phrase_freq": pa.array([f for _, f in hits], pa.int64()),
+        }
+    )
+
+
 def q_keyword_date_filter(sf_dir: str) -> pa.Table:
     """Keyword + date-range predicate over the docs table (D6/D7)."""
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset
@@ -1298,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_percentiles": q_facet_percentiles,
         "facet_significant_terms": q_facet_significant_terms,
         "more_like_this": q_more_like_this,
+        "match_phrase_slop": q_match_phrase_slop,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
@@ -1469,6 +1491,21 @@ def oracle_sql() -> dict[str, str]:
             FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
             WHERE a.term = 'table' AND b.term = 'hash'
             GROUP BY a.doc_id ORDER BY a.doc_id
+        """,
+        "match_phrase_slop": f"""
+            WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+            tok AS (SELECT doc_id, unnest({toks_body}) AS term,
+                           generate_subscripts({toks_body}, 1) AS pos
+                    FROM docs),
+            a AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+            b AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+            g AS (SELECT a.doc_id, a.pos AS p1, min(b.pos) AS p2
+                  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
+                  GROUP BY a.doc_id, a.pos)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS phrase_freq
+            FROM g WHERE p2 - p1 - 1 <= 1
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "window_agg": """
             SELECT CAST(user_id AS BIGINT) AS user_id,

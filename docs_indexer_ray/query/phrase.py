@@ -21,7 +21,7 @@ import numpy as np
 
 from .reader import IndexReader
 
-__all__ = ["match_phrase", "phrase_topk"]
+__all__ = ["match_phrase", "match_phrase_slop", "phrase_topk"]
 
 
 def match_phrase(reader: IndexReader, terms: list[str]) -> list[tuple[int, int]]:
@@ -51,6 +51,65 @@ def match_phrase(reader: IndexReader, terms: list[str]) -> list[tuple[int, int]]
                 break
         if cur is not None and len(cur):
             out.append((int(doc), int(len(cur))))
+    return out
+
+
+def match_phrase_slop(
+    reader: IndexReader, terms: list[str], slop: int = 0
+) -> list[tuple[int, int]]:
+    """Proximity phrase (OpenSearch ``match_phrase`` with ``slop``),
+    ORDERED span-near semantics: a start position ``p₁`` matches when
+    the remaining terms can be chained at strictly increasing
+    positions with total gap ``Σ(pᵢ₊₁ − pᵢ − 1) ≤ slop``;
+    ``phrase_freq`` counts matching start positions.  ``slop=0``
+    reduces exactly to :func:`match_phrase` (consecutive terms).
+
+    Unlike Lucene's sloppy phrase this does not pay a transposition
+    cost to match out-of-order terms — ordered-only is the documented
+    engine semantic (Lucene ``SpanNearQuery(inOrder=true)``).
+
+    Vectorized greedy chain per doc: for every start, each step takes
+    the SMALLEST next-term position after the current one
+    (``np.searchsorted``) — greedy minimizes the final position, so
+    the window test is exact for each start."""
+    if not terms:
+        return []
+    if len(terms) == 1:
+        tp = reader.postings(terms[0])
+        if tp is None:
+            return []
+        ids, tfs = tp.decode_all()
+        return [(int(d), int(f)) for d, f in zip(ids, tfs)]
+    tps = [reader.postings(t) for t in terms]
+    if any(tp is None for tp in tps):
+        return []
+    decoded = []
+    for tp in tps:
+        ids, _ = tp.decode_all()
+        flat, offs = tp.decode_all_positions()
+        decoded.append((ids, flat, offs))
+
+    common = decoded[0][0]
+    for ids, _, _ in decoded[1:]:
+        common = np.intersect1d(common, ids, assume_unique=True)
+    m = len(terms)
+    out: list[tuple[int, int]] = []
+    for doc in common:
+        ids0, flat0, offs0 = decoded[0]
+        j0 = int(np.searchsorted(ids0, doc))
+        starts = flat0[offs0[j0] : offs0[j0 + 1]].astype(np.int64)
+        cur = starts
+        ok = np.ones(len(starts), bool)
+        for ids, flat, offs in decoded[1:]:
+            j = int(np.searchsorted(ids, doc))
+            pl = flat[offs[j] : offs[j + 1]].astype(np.int64)
+            idx = np.searchsorted(pl, cur + 1)
+            valid = idx < len(pl)
+            ok &= valid
+            cur = pl[np.minimum(idx, len(pl) - 1)]
+        freq = int((ok & (cur - starts - (m - 1) <= slop)).sum())
+        if freq:
+            out.append((int(doc), freq))
     return out
 
 

@@ -90,6 +90,7 @@ SQL_BACKED = [
     "facet_percentiles",
     "facet_significant_terms",
     "more_like_this",
+    "match_phrase_slop",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

@@ -124,6 +124,45 @@ def test_match_phrase_vs_bruteforce(ray_session, tmp_path):
     assert hits == sorted(hits, key=lambda h: (-h[1], h[0]))
     assert {d for d, _ in hits} <= {d for d, _ in brute(["node", "pools"])}
 
+    # sloppy phrase: slop=0 ≡ exact; slop=k ≡ ordered-chain brute force
+    from docs_indexer_ray.query.phrase import match_phrase_slop
+
+    def brute_slop(phrase, slop):
+        want = []
+        for did, body in zip(docs["doc_id"].to_pylist(), docs["body"].to_pylist()):
+            toks = tok.findall((body or "").lower())
+            pos = {t: [i for i, x in enumerate(toks) if x == t] for t in phrase}
+            n = 0
+            for p1 in pos[phrase[0]]:
+                cur, ok = p1, True
+                for t in phrase[1:]:
+                    nxt = [p for p in pos[t] if p > cur]
+                    if not nxt:
+                        ok = False
+                        break
+                    cur = nxt[0]
+                if ok and cur - p1 - (len(phrase) - 1) <= slop:
+                    n += 1
+            if n:
+                want.append((int(did), n))
+        return sorted(want)
+
+    for phrase in (["node", "pools"], ["per", "namespace"], ["the", "node", "pools"]):
+        assert match_phrase_slop(reader, phrase, slop=0) == match_phrase(
+            reader, phrase
+        ), phrase
+        for slop in (1, 2, 5):
+            assert match_phrase_slop(reader, phrase, slop) == brute_slop(
+                phrase, slop
+            ), (phrase, slop)
+    # widening slop can only add matches
+    n0 = len(match_phrase_slop(reader, ["node", "pools"], 0))
+    n5 = len(match_phrase_slop(reader, ["node", "pools"], 5))
+    assert n5 >= n0
+    # single term degenerates to the postings tf
+    one = match_phrase_slop(reader, ["node"], 3)
+    assert one and all(f >= 1 for _, f in one)
+
     # an index built WITHOUT positions refuses phrase queries loudly
     build_index(
         ray.data.from_arrow(pages),
