@@ -818,6 +818,54 @@ def q_match_phrase_slop(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bloom_url_filter(sf_dir: str) -> pa.Table:
+    """Incremental-crawl admission via a Bloom filter: build the
+    seen-set over every existing doc url (streaming per-block
+    partials, OR-merge), probe a half-seen/half-new url batch with
+    ``filter_unseen``.  Deterministic (fixed hashes) but FP-lossy by
+    design, so rows-only: pytest pins zero false negatives and the
+    admission rate."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from docs_indexer_ray.ops.sketch import bloom_from_dataset, filter_unseen
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def to_url(t: pa.Table, shift: int = 0) -> pa.Table:
+        ids = _pc.add(t["doc_id"].cast(pa.int64()), pa.scalar(shift, pa.int64()))
+        padded = _pc.utf8_lpad(_pc.cast(ids, pa.string()), 6, "0")
+        url = _pc.binary_join_element_wise(
+            pa.array(["https://docs.test/d/"] * t.num_rows),
+            padded,
+            pa.array(["/"] * t.num_rows),
+            "",
+        )
+        return pa.table({"url": url})
+
+    seen_ds = ds.map_batches(to_url, batch_format="pyarrow")
+    n_seen = seen_ds.count()
+    bloom = bloom_from_dataset(seen_ds, "url", capacity=max(n_seen, 1), fp_rate=0.01)
+
+    probe = ds.map_batches(
+        lambda t: pa.concat_tables([to_url(t), to_url(t, 1_000_000)]),
+        batch_format="pyarrow",
+    )
+    n_probed = probe.count()
+    admitted = filter_unseen(probe, "url", bloom)
+    n_admitted = admitted.count()
+    return pa.table(
+        {
+            "n_seen": pa.array([n_seen], pa.int64()),
+            "n_probed": pa.array([n_probed], pa.int64()),
+            "n_new": pa.array([n_probed - n_seen], pa.int64()),
+            "n_admitted": pa.array([n_admitted], pa.int64()),
+        }
+    )
+
+
 def q_keyword_date_filter(sf_dir: str) -> pa.Table:
     """Keyword + date-range predicate over the docs table (D6/D7)."""
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset
@@ -1346,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight": q_highlight,
         "facet_cardinality_hll": q_facet_cardinality_hll,
         "facet_percentiles_tdigest": q_facet_percentiles_tdigest,
+        "bloom_url_filter": q_bloom_url_filter,
     }
 
 

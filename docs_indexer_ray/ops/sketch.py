@@ -28,7 +28,15 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["HLL", "hll_sketch_batch", "approx_distinct", "TDigest"]
+__all__ = [
+    "HLL",
+    "hll_sketch_batch",
+    "approx_distinct",
+    "TDigest",
+    "BloomFilter",
+    "bloom_from_dataset",
+    "filter_unseen",
+]
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
@@ -303,3 +311,131 @@ class TDigest:
             part.vmax = max(part.vmax, float(t["vmax"][i].as_py()))
             acc.merge(part)
         return acc
+
+
+class BloomFilter:
+    """Blocked-free classic Bloom filter — the constant-size SEEN-SET
+    for incremental crawl/indexing pipelines (Bloom 1970; the
+    web-crawler "have I fetched this URL" structure).
+
+    ``m`` bits, ``n_hashes`` probes per key derived from ONE 64-bit
+    value hash by double hashing ``h1 + i·h2`` (Kirsch & Mitzenmacher:
+    two hashes give the asymptotic FP rate of k independent ones).
+    NO false negatives ever — a key that was added always tests
+    present; false positives occur at ≈ ``(1 − e^{−kn/m})^k``.
+
+    The Ray-Data shape mirrors :class:`HLL`: each ``map_batches`` task
+    folds its batch into one ``m/8``-byte register row; block filters
+    merge by bitwise OR (commutative/associative/idempotent →
+    parallelism-invariant, like HLL's max).  Probe-side,
+    ``contains_column`` is a vectorized bit-test — use it inside a
+    ``map_batches`` filter against a ``ray.put`` broadcast of the
+    packed bits (≤ m/8 bytes once per node, zero-copy per task)."""
+
+    def __init__(self, m_bits: int, n_hashes: int, bits: np.ndarray | None = None):
+        if m_bits < 8 or m_bits % 8:
+            raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
+        if not 1 <= n_hashes <= 16:
+            raise ValueError(f"n_hashes must be in [1, 16], got {n_hashes}")
+        self.m = m_bits
+        self.k = n_hashes
+        self.bits = np.zeros(m_bits >> 3, np.uint8) if bits is None else bits
+        if len(self.bits) != m_bits >> 3:
+            raise ValueError("bits size mismatch")
+
+    @classmethod
+    def sized(cls, capacity: int, fp_rate: float = 0.01) -> "BloomFilter":
+        """Standard sizing: ``m = −n·ln p / ln²2`` bits, ``k = m/n·ln 2``."""
+        n = max(1, capacity)
+        m = int(np.ceil(-n * np.log(fp_rate) / (np.log(2) ** 2)))
+        m = (m + 7) & ~7  # byte multiple
+        k = max(1, int(round(m / n * np.log(2))))
+        return cls(m, min(k, 16))
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        """(n, k) bit positions via double hashing on the 64-bit hash."""
+        h1 = (h >> np.uint64(32)).astype(np.uint64)
+        h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)  # odd → full period
+        i = np.arange(self.k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.m)).astype(
+                np.int64
+            )
+
+    def add_hashes(self, h: np.ndarray) -> "BloomFilter":
+        if len(h):
+            pos = self._positions(h).ravel()
+            np.bitwise_or.at(
+                self.bits, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8))
+            )
+        return self
+
+    def add_column(self, col) -> "BloomFilter":
+        return self.add_hashes(_hash_column(col.drop_null()))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        if not len(h):
+            return np.zeros(0, bool)
+        pos = self._positions(h)
+        hit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=1)
+
+    def contains_column(self, col) -> np.ndarray:
+        """Vectorized membership test (nulls test False)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = np.asarray(pa.compute.is_valid(col))
+        out = np.zeros(len(col), bool)
+        if valid.any():
+            out[valid] = self.contains_hashes(_hash_column(col.drop_null()))
+        return out
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (other.m, other.k) != (self.m, self.k):
+            raise ValueError("cannot merge differently-shaped Bloom filters")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+
+def bloom_from_dataset(ds, col: str, capacity: int, fp_rate: float = 0.01):
+    """Build a :class:`BloomFilter` of ``ds[col]`` the streaming way:
+    per-block filter partials (one ``m/8``-byte row each), OR-merged on
+    the driver — constant-size state, never row-scale."""
+    import ray
+
+    proto = BloomFilter.sized(capacity, fp_rate)
+    m, k = proto.m, proto.k
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(m, k).add_column(t[col])
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    acc = BloomFilter(m, k)
+    for part in [
+        ray.get(r)
+        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]:
+        for buf in part["bits"].to_pylist():
+            acc.merge(BloomFilter(m, k, np.frombuffer(buf, np.uint8).copy()))
+    return acc
+
+
+def filter_unseen(ds, col: str, bloom: BloomFilter):
+    """Drop rows whose ``col`` is (probably) in ``bloom`` — the
+    incremental-crawl admission filter.  NO false negatives: a seen
+    key is never re-admitted; a ≈fp_rate fraction of genuinely-new
+    keys is dropped too (the documented Bloom trade — size the filter
+    for the corpus, or run an exact reconciliation downstream).
+
+    The packed bits are broadcast ONCE (``ray.put``); each task
+    bit-tests its batch vectorized."""
+    import ray
+
+    bits_ref = ray.put(bloom.bits)
+    m, k = bloom.m, bloom.k
+
+    def keep_new(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(m, k, ray.get(bits_ref))
+        return t.filter(pa.array(~bf.contains_column(t[col])))
+
+    return ds.map_batches(keep_new, batch_format="pyarrow")

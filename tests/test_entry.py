@@ -144,7 +144,18 @@ ROWS_ONLY_MIN = {
     "highlight": 3,
     "facet_cardinality_hll": 1,
     "facet_percentiles_tdigest": 5,
+    "bloom_url_filter": 1,
 }
+
+
+def test_bloom_url_filter_contract(entry_mod):
+    """Admission-filter invariants: every seen url is rejected (no
+    false negatives → n_admitted ≤ n_new) and ≥95 % of genuinely-new
+    urls are admitted at the 1 % fp sizing."""
+    row = _to_df(entry_mod.queries()["bloom_url_filter"](SF)).iloc[0]
+    assert row.n_probed == row.n_seen + row.n_new
+    assert row.n_admitted <= row.n_new
+    assert row.n_admitted >= 0.95 * row.n_new
 
 
 def test_sketch_facets_track_exact(entry_mod):

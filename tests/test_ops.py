@@ -524,6 +524,52 @@ def test_tdigest_accuracy_merge_and_edges():
         TDigest(100).merge(TDigest(200))
 
 
+def test_bloom_filter_no_false_negatives_and_ray_path(ray_session):
+    import ray.data
+
+    from docs_indexer_ray.ops.sketch import (
+        BloomFilter,
+        bloom_from_dataset,
+        filter_unseen,
+    )
+
+    # direct: never a false negative; FP rate in the envelope
+    bf = BloomFilter.sized(5_000, 0.01)
+    seen = pa.array([f"u{i}" for i in range(5_000)], pa.string())
+    bf.add_column(seen)
+    assert bf.contains_column(seen).all()
+    fresh = pa.array([f"new{i}" for i in range(50_000)], pa.string())
+    assert bf.contains_column(fresh).mean() < 0.03
+
+    # distributed build ≡ direct build (OR-merge is lossless)
+    ds = ray.data.from_arrow(pa.table({"url": seen})).repartition(7)
+    bf2 = bloom_from_dataset(ds, "url", capacity=5_000, fp_rate=0.01)
+    assert np.array_equal(bf.bits, bf2.bits)
+
+    # admission filter: every admitted row is genuinely new, every
+    # dropped-new row is a (rare) false positive
+    probe = pa.table(
+        {"url": pa.array([f"u{i}" for i in range(100)] + [f"x{i}" for i in range(900)])}
+    )
+    out = filter_unseen(ray.data.from_arrow(probe).repartition(3), "url", bf2)
+    admitted = set(
+        pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()])["url"].to_pylist()
+    )
+    assert not any(u.startswith("u") for u in admitted)  # no seen url re-admitted
+    assert len(admitted) >= 850  # ≥ 94% of the 900 new survive at 1% fp
+
+    # nulls test False (never "seen")
+    withnull = pa.array(["u1", None, "zz"], pa.string())
+    got = bf.contains_column(withnull)
+    assert got.tolist()[0] is np.True_ or got.tolist()[0] == True  # noqa: E712
+    assert not got[1]
+
+    with pytest.raises(ValueError):
+        BloomFilter(7, 3)
+    with pytest.raises(ValueError):
+        BloomFilter(64, 3).merge(BloomFilter(128, 3))
+
+
 def test_cardinality_approx_matches_exact_within_error(ray_session):
     import ray.data
 
