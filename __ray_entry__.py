@@ -702,6 +702,19 @@ def q_more_like_this(sf_dir: str) -> pa.Table:
     return more_like_this(IndexReader(root), _MLT_DOC, k=10)
 
 
+def q_facet_top_hits(sf_dir: str) -> pa.Table:
+    """OpenSearch ``top_hits`` sub-aggregation: per language bucket,
+    the 3 newest matched docs (sort by ``warc_ts`` desc)."""
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import match_doc_ids, top_hits
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "lang", "warc_ts"])
+    return top_hits(ds, matched, group_col="lang", sort_col="warc_ts", k=3)
+
+
 def q_mm_decode_docs(sf_dir: str) -> pa.Table:
     """The multimodal decode stage over REAL corpus payloads (document
     text bytes as the opaque binary column) with the SQL-expressible
@@ -1368,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_significant_terms": q_facet_significant_terms,
         "more_like_this": q_more_like_this,
         "match_phrase_slop": q_match_phrase_slop,
+        "facet_top_hits": q_facet_top_hits,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
@@ -1885,6 +1899,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, CAST(fg_df AS BIGINT) AS fg_df,
                CAST(bg_df AS BIGINT) AS bg_df, score
         FROM scored ORDER BY score DESC, term ASC LIMIT 10
+    """
+    sqls["facet_top_hits"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        w AS (SELECT d.doc_id, d.lang, {_WARC} AS warc_ts
+              FROM documents d JOIN m USING (doc_id)),
+        r AS (SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY warc_ts DESC, doc_id DESC) AS rank
+              FROM w)
+        SELECT lang AS value, CAST(rank AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM r WHERE rank <= 3 ORDER BY value, rank
     """
     sqls["facet_histogram"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -33,6 +33,7 @@ __all__ = [
     "range_facet",
     "percentiles",
     "terms_facet",
+    "top_hits",
     "top_by_column",
     "stats_facet",
     "cardinality",
@@ -375,6 +376,64 @@ def top_by_column(
             "doc_id": pa.array(out_ids, pa.int64()),
         }
     )
+
+
+def top_hits(
+    docs_ds,
+    matched: np.ndarray,
+    group_col: str,
+    sort_col: str,
+    k: int = 3,
+    ascending: bool = False,
+) -> pa.Table:
+    """OpenSearch ``top_hits`` sub-aggregation: for every bucket of
+    ``group_col``, the top ``k`` matched docs by ``sort_col`` →
+    ``(value, rank, doc_id)``, buckets ascending.
+
+    Tie-break: docs equal on ``sort_col`` order by doc_id in the SAME
+    direction as the sort (``ops/windows.topk_per_group`` semantics) —
+    deterministic, mirrored by the SQL oracle.
+
+    Shape at scale: bitmap broadcast + the ``topk_per_group`` combiner
+    (≤ k rows per (block, bucket) enter the one shuffle)."""
+    import ray
+
+    from ..ops.windows import topk_per_group
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    def flt(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(_member_mask(bits, doc_ids))).select(
+            ["doc_id", group_col, sort_col]
+        )
+
+    sel = topk_per_group(
+        docs_ds.map_batches(flt, batch_format="pyarrow"),
+        key=group_col,
+        order_col=sort_col,
+        k=k,
+        ascending=ascending,
+    )
+    parts = [ray.get(r) for r in sel.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "value": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts, promote_options="default")
+    return pa.table(
+        {
+            "value": t[group_col].cast(pa.string()),
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+        }
+    ).sort_by([("value", "ascending"), ("rank", "ascending")])
 
 
 def _neg_key(vals: np.ndarray) -> np.ndarray:

@@ -91,6 +91,7 @@ SQL_BACKED = [
     "facet_significant_terms",
     "more_like_this",
     "match_phrase_slop",
+    "facet_top_hits",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

@@ -277,6 +277,48 @@ def test_histogram_range_percentiles_facets(built, ray_session):
         assert lo_v <= v <= hi_v
 
 
+def test_top_hits_facet(built, ray_session):
+    import ray.data
+
+    from docs_indexer_ray.query.facets import match_doc_ids, top_hits
+
+    reader, _ = built
+    matched = match_doc_ids(reader, ["node", "quota"])
+    n = 80
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "grp": pa.array([f"g{i % 3}" for i in range(n)], pa.string()),
+            "v": pa.array((np.arange(n) * 37) % 50, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(5)
+    got = top_hits(ds, matched, group_col="grp", sort_col="v", k=2)
+
+    # brute force: per group, matched docs by (v desc, doc_id desc)
+    rows = []
+    for g in sorted({f"g{i % 3}" for i in range(n)}):
+        members = [(int((d * 37) % 50), int(d)) for d in matched if f"g{d % 3}" == g]
+        members.sort(key=lambda x: (-x[0], -x[1]))
+        for r, (_, d) in enumerate(members[:2], 1):
+            rows.append((g, r, d))
+    assert list(
+        zip(
+            got["value"].to_pylist(),
+            got["rank"].to_pylist(),
+            got["doc_id"].to_pylist(),
+        )
+    ) == rows
+    # parallelism invariance
+    got13 = top_hits(
+        ray.data.from_arrow(docs).repartition(13), matched, "grp", "v", k=2
+    )
+    assert got.equals(got13)
+    # empty matched
+    empty = top_hits(ds, np.empty(0, np.int64), "grp", "v", k=2)
+    assert empty.num_rows == 0 and empty.column_names == ["value", "rank", "doc_id"]
+
+
 def test_significant_terms_jlh(built, ray_session):
     """JLH scoring vs a brute-force Python recomputation over the
     fixture corpus, plus edge cases."""
