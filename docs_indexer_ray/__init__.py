@@ -42,9 +42,30 @@ class _SchemaHashNoiseFilter(_logging.Filter):
         return "Failed to hash the schemas" not in record.getMessage()
 
 
+class _EmptyBlockSchemaNoiseFilter(_logging.Filter):
+    """Drop the streaming executor's "Operator produced a RefBundle
+    with a different schema … new schema: ." warning for EMPTY blocks.
+
+    A sort-based groupby shuffle whose key space underfills the
+    partition count emits zero-row blocks with an empty schema; Ray
+    warns once per such block.  Only the empty-schema variant is
+    dropped — a real schema divergence (named columns on both sides)
+    still logs."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        return not (
+            "new schema: ." in msg
+            and "Operator produced a RefBundle with a different schema" in msg
+        )
+
+
 _logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
     _SchemaHashNoiseFilter()
 )
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptyBlockSchemaNoiseFilter())
 
 # Bump when the on-disk index format or any result-affecting semantics
 # change: build fingerprints mix this in, so caches built by an older

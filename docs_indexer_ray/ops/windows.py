@@ -137,6 +137,10 @@ def topk_per_group(
         return g.groupby(key, sort=False).head(k)
 
     def add_part(t: pa.Table) -> pa.Table:
+        # drop pandas-roundtrip schema metadata — unhashable schemas
+        # make every shuffle reduce task log "Failed to hash the
+        # schemas" (see sessionize.add_part)
+        t = t.replace_schema_metadata(None)
         keys = t[key].to_numpy(zero_copy_only=False)
         if np.issubdtype(keys.dtype, np.integer):
             part = (keys.astype(np.int64) % num_parts).astype(np.int32)
