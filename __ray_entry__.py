@@ -715,6 +715,17 @@ def q_facet_top_hits(sf_dir: str) -> pa.Table:
     return top_hits(ds, matched, group_col="lang", sort_col="warc_ts", k=3)
 
 
+def q_term_vectors(sf_dir: str) -> pa.Table:
+    """OpenSearch ``_termvectors`` for doc 7: every term of the stored
+    body with its in-doc ``tf`` and index-wide ``df``."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.mlt import term_vectors
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    return term_vectors(IndexReader(root), _MLT_DOC)
+
+
 def q_mm_decode_docs(sf_dir: str) -> pa.Table:
     """The multimodal decode stage over REAL corpus payloads (document
     text bytes as the opaque binary column) with the SQL-expressible
@@ -1382,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": q_more_like_this,
         "match_phrase_slop": q_match_phrase_slop,
         "facet_top_hits": q_facet_top_hits,
+        "term_vectors": q_term_vectors,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
@@ -1899,6 +1911,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, CAST(fg_df AS BIGINT) AS fg_df,
                CAST(bg_df AS BIGINT) AS bg_df, score
         FROM scored ORDER BY score DESC, term ASC LIMIT 10
+    """
+    sqls["term_vectors"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        tf AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 7 GROUP BY term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+        SELECT tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df
+        FROM tf JOIN df USING (term) ORDER BY tf.term
     """
     sqls["facet_top_hits"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

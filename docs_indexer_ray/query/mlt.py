@@ -1,4 +1,4 @@
-"""``more_like_this`` — find documents similar to a given document
+"""``more_like_this`` + ``term_vectors`` — per-document term views
 (OpenSearch's MLT query; the reference's search UI exposes "related
 pages" through it).
 
@@ -26,7 +26,49 @@ import pyarrow as pa
 from ..functions.analyzer import Analyzer
 from .bm25 import topk
 
-__all__ = ["more_like_this", "select_mlt_terms"]
+__all__ = ["more_like_this", "select_mlt_terms", "term_vectors"]
+
+
+def term_vectors(
+    reader, doc_id: int, with_positions: bool = False
+) -> pa.Table:
+    """OpenSearch ``_termvectors``: one doc's terms with ``tf``, the
+    index-wide ``df``, and optionally the token positions →
+    ``(term, tf, df[, positions])``, term ascending.
+
+    Recomputed from the STORED field with the index's own analyzer
+    (the reference's ``with_positions_offsets`` term vectors deliver
+    the same view) — one docs-store fetch + ``n_terms`` dictionary
+    lookups; nothing corpus-scale."""
+    fetched = reader.fetch_docs([int(doc_id)], columns=["doc_id", "body"])
+    if fetched.num_rows == 0:
+        raise KeyError(f"doc_id {doc_id} not in the docs store")
+    toks = Analyzer(reader.chain)(fetched["body"][0].as_py())
+    if not toks:
+        cols = {
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
+        if with_positions:
+            cols["positions"] = pa.array([], pa.list_(pa.int64()))
+        return pa.table(cols)
+    arr = np.asarray(toks, dtype=object)
+    terms, tfs = np.unique(arr, return_counts=True)
+    dfs = np.array([reader.term_df(str(t)) for t in terms], np.int64)
+    cols = {
+        "term": pa.array([str(t) for t in terms], pa.string()),
+        "tf": pa.array(tfs.astype(np.int64), pa.int64()),
+        "df": pa.array(dfs, pa.int64()),
+    }
+    if with_positions:
+        pos_map: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            pos_map.setdefault(t, []).append(i)
+        cols["positions"] = pa.array(
+            [pos_map[str(t)] for t in terms], pa.list_(pa.int64())
+        )
+    return pa.table(cols)
 
 
 def select_mlt_terms(

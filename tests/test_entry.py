@@ -92,6 +92,7 @@ SQL_BACKED = [
     "more_like_this",
     "match_phrase_slop",
     "facet_top_hits",
+    "term_vectors",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

@@ -399,6 +399,29 @@ def test_more_like_this(built):
         select_mlt_terms(reader, 10_000_000)
 
 
+def test_term_vectors(built):
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.mlt import term_vectors
+
+    reader, _ = built
+    tv = term_vectors(reader, 3, with_positions=True)
+    body = reader.fetch_docs([3], columns=["doc_id", "body"])["body"][0].as_py()
+    toks = Analyzer(reader.chain)(body)
+    from collections import Counter
+
+    want_tf = Counter(toks)
+    assert tv["term"].to_pylist() == sorted(want_tf)
+    assert dict(zip(tv["term"].to_pylist(), tv["tf"].to_pylist())) == dict(want_tf)
+    # df comes from the index dictionary
+    for t, df in zip(tv["term"].to_pylist(), tv["df"].to_pylist()):
+        assert df == reader.term_df(t) >= 1
+    # positions are the 0-based token indices, ascending per term
+    for t, pos in zip(tv["term"].to_pylist(), tv["positions"].to_pylist()):
+        assert pos == [i for i, x in enumerate(toks) if x == t]
+    with pytest.raises(KeyError):
+        term_vectors(reader, 10_000_000)
+
+
 def test_multi_match_modes(built, ray_session, tmp_path_factory):
     """multi_match over two fields of the same corpus: most_fields is
     the boosted sum of per-field dense scores, best_fields the
