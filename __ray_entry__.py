@@ -715,6 +715,39 @@ def q_facet_top_hits(sf_dir: str) -> pa.Table:
     return top_hits(ds, matched, group_col="lang", sort_col="warc_ts", k=3)
 
 
+def q_bm25_topk_deleted(sf_dir: str) -> pa.Table:
+    """Soft deletes (OpenSearch ``delete_by_query``): tombstone every
+    doc containing "refresh" on an isolated copy of the index, then
+    run the flagship BM25 query — deleted docs vanish from results
+    while survivors keep their exact pre-delete scores (statistics are
+    not rewritten until compaction, Lucene tombstone semantics)."""
+    import shutil
+    import tempfile
+
+    from docs_indexer_ray.index.deletes import delete_by_terms
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    tmp = tempfile.mkdtemp(prefix="dixr_deltest_")
+    try:
+        copy = os.path.join(tmp, "idx")
+        shutil.copytree(root, copy)
+        n_deleted = delete_by_terms(copy, ["refresh"])
+        reader = IndexReader(copy)
+        assert reader.match_all_count() == reader.n_docs - n_deleted
+        hits = topk(reader, list(_BM25_TERMS), k=10)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+                "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_term_vectors(sf_dir: str) -> pa.Table:
     """OpenSearch ``_termvectors`` for doc 7: every term of the stored
     body with its in-doc ``tf`` and index-wide ``df``."""
@@ -1394,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_phrase_slop": q_match_phrase_slop,
         "facet_top_hits": q_facet_top_hits,
         "term_vectors": q_term_vectors,
+        "bm25_topk_deleted": q_bm25_topk_deleted,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
@@ -1911,6 +1945,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, CAST(fg_df AS BIGINT) AS fg_df,
                CAST(bg_df AS BIGINT) AS bg_df, score
         FROM scored ORDER BY score DESC, term ASC LIMIT 10
+    """
+    sqls["bm25_topk_deleted"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dead AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'refresh'),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          WHERE tf.doc_id NOT IN (SELECT doc_id FROM dead)
+          GROUP BY tf.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
     """
     sqls["term_vectors"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

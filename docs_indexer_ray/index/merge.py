@@ -236,6 +236,15 @@ def merge_many(
         raise ValueError("merge_many needs >= 2 indexes")
     dirs = [mf.current_build(d) or d for d in index_dirs]
     mans = [mf.read_manifest(d) for d in dirs]
+    for d in dirs:
+        from .deletes import load_delete_ids
+
+        if len(load_delete_ids(d)):
+            raise ValueError(
+                f"input {d} has live tombstones (deletes.parquet): a merge "
+                "re-ids docs densely, so soft deletes must be compacted "
+                "first — rebuild from the filtered source, then merge"
+            )
     for key in ("num_parts", "analyzer", "field", "block_size", "store_positions"):
         vals = {str(m.get(key, False if key == "store_positions" else None)) for m in mans}
         if len(vals) > 1:

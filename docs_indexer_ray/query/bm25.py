@@ -263,6 +263,15 @@ def topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
     (~6 µs each).  Crossover ⇒ WAND only when Σdf ≲ n_docs/1000 — the
     regime it exists for at 10^12 docs, where TAAT's per-doc floor is
     the catastrophe and skipping is everything."""
+    if reader.has_deletes:
+        # soft deletes: rank only live docs, scores untouched (global
+        # statistics keep pre-delete values until compaction — Lucene
+        # tombstone semantics).  Dense path with the tombstones zeroed;
+        # WAND's skip structure has no delete awareness, so deletes
+        # force TAAT (deletes are transient — compaction restores WAND).
+        scores = bm25_scores_dense(reader, terms, k1, b)
+        scores[reader.deleted_ids()] = 0.0
+        return _rank_top(scores, k)
     sum_df = 0
     for t in set(terms):
         tp = reader.postings(t)

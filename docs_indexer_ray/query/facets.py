@@ -41,7 +41,8 @@ __all__ = [
 
 
 def match_doc_ids(reader, terms: list[str]) -> np.ndarray:
-    """Sorted doc ids containing ≥1 of ``terms`` (match-any / OR)."""
+    """Sorted LIVE doc ids containing ≥1 of ``terms`` (match-any /
+    OR); tombstoned docs (``index/deletes``) are excluded."""
     parts = []
     for term in set(terms):
         tp = reader.postings(term)
@@ -49,7 +50,10 @@ def match_doc_ids(reader, terms: list[str]) -> np.ndarray:
             parts.append(tp.decode_all()[0].astype(np.int64))
     if not parts:
         return np.empty(0, np.int64)
-    return np.unique(np.concatenate(parts))
+    out = np.unique(np.concatenate(parts))
+    if reader.has_deletes:
+        out = np.setdiff1d(out, reader.deleted_ids(), assume_unique=True)
+    return out
 
 
 def _pack_bitmap(ids: np.ndarray) -> np.ndarray:

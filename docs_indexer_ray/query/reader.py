@@ -197,9 +197,23 @@ class IndexReader:
             return synthesize_text(t).select(columns)
         return dset.to_table(filter=expr, columns=columns)
 
+    def deleted_ids(self) -> np.ndarray:
+        """Sorted tombstoned doc ids (soft deletes — ``index/deletes``),
+        loaded once per reader like the norms."""
+        if not hasattr(self, "_deleted"):
+            from ..index.deletes import load_delete_ids
+
+            self._deleted = load_delete_ids(self.index_dir)
+        return self._deleted
+
+    @property
+    def has_deletes(self) -> bool:
+        return len(self.deleted_ids()) > 0
+
     def match_all_count(self) -> int:
-        """The reference integration test's only query (D10)."""
-        return self.n_docs
+        """The reference integration test's only query (D10) — LIVE
+        docs only (tombstones excluded, OpenSearch count semantics)."""
+        return self.n_docs - len(self.deleted_ids())
 
     def term_dictionary(self) -> tuple[np.ndarray, np.ndarray]:
         """The loaded term dictionary: ``(sorted_terms, total_dfs)``.

@@ -93,6 +93,7 @@ SQL_BACKED = [
     "match_phrase_slop",
     "facet_top_hits",
     "term_vectors",
+    "bm25_topk_deleted",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

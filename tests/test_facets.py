@@ -399,6 +399,66 @@ def test_more_like_this(built):
         select_mlt_terms(reader, 10_000_000)
 
 
+def test_soft_deletes(built, tmp_path):
+    """Tombstone semantics: deleted docs vanish from every query
+    surface; survivors keep their exact pre-delete scores; merge
+    refuses un-compacted inputs."""
+    import os
+    import shutil
+
+    from docs_indexer_ray.index.deletes import (
+        add_deletes,
+        clear_deletes,
+        delete_by_terms,
+        load_delete_ids,
+    )
+    from docs_indexer_ray.query.bm25 import topk
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+
+    reader0, _ = built
+    copy = str(tmp_path / "delidx")
+    shutil.copytree(os.path.dirname(reader0.index_dir), copy)
+
+    before = topk(IndexReader(copy), ["node", "pools"], k=10)
+    assert before
+    victims = [d for d, _ in before[:2]]
+    assert add_deletes(copy, victims) == 2
+    assert sorted(load_delete_ids(copy).tolist()) == sorted(victims)
+
+    r = IndexReader(copy)
+    assert r.match_all_count() == r.n_docs - 2
+    after = topk(r, ["node", "pools"], k=10)
+    assert not ({d for d, _ in after} & set(victims))
+    # survivors keep their exact scores and relative order
+    surv = [(d, s) for d, s in before if d not in victims]
+    assert after[: len(surv)] == surv[: len(after)]
+    # facet match sets exclude tombstones
+    assert not (set(match_doc_ids(r, ["node"])) & set(victims))
+
+    # delete_by_terms is incremental and idempotent
+    n_new = delete_by_terms(copy, ["node"])
+    assert n_new >= 1
+    assert delete_by_terms(copy, ["node"]) == 0
+    r2 = IndexReader(copy)
+    assert topk(r2, ["node"], k=10) == []
+
+    # out-of-range ids rejected loudly
+    with pytest.raises(ValueError, match="outside"):
+        add_deletes(copy, [10_000_000])
+
+    # merge refuses tombstoned inputs
+    from docs_indexer_ray.index.merge import merge_many
+
+    with pytest.raises(ValueError, match="tombstones"):
+        merge_many([copy, copy], str(tmp_path / "m"))
+
+    # compaction reset restores full visibility
+    clear_deletes(copy)
+    assert IndexReader(copy).match_all_count() == r.n_docs
+    assert topk(IndexReader(copy), ["node", "pools"], k=10) == before
+
+
 def test_term_vectors(built):
     from docs_indexer_ray.functions.analyzer import Analyzer
     from docs_indexer_ray.query.mlt import term_vectors
