@@ -121,11 +121,23 @@ class ShardQueryActor:
         self.reader = IndexReader(index_root, chain=chain, doc_range=(lo, hi))
         self.analyzer = Analyzer(self.reader.chain)
         self._masks: dict[str, np.ndarray] = {}
+        # soft deletes: each shard holds only ITS range's live mask
+        # (None when the build has no tombstones — the common case)
+        dels = self.reader.deleted_ids()
+        in_range = dels[(dels >= lo) & (dels < hi)]
+        if len(in_range):
+            live = np.ones(max(0, hi - lo), dtype=bool)
+            live[in_range - lo] = False
+            self._live: np.ndarray | None = live
+        else:
+            self._live = None
 
     def topk_partial(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         from .bm25 import score_topk_range
 
-        return score_topk_range(self.reader, self.analyzer(query), k=k)
+        return score_topk_range(
+            self.reader, self.analyzer(query), k=k, allowed_mask=self._live
+        )
 
     def _allowed_mask(self, predicate: tuple) -> np.ndarray:
         """Shard-local allowed bitmap for a stored-field predicate
@@ -171,11 +183,14 @@ class ShardQueryActor:
     ) -> list[tuple[int, float]]:
         from .bm25 import score_topk_range
 
+        mask = self._allowed_mask(predicate)
+        if self._live is not None:
+            mask = mask & self._live
         return score_topk_range(
             self.reader,
             self.analyzer(query),
             k=k,
-            allowed_mask=self._allowed_mask(predicate),
+            allowed_mask=mask,
         )
 
 

@@ -458,6 +458,19 @@ def test_soft_deletes(built, tmp_path):
     assert IndexReader(copy).match_all_count() == r.n_docs
     assert topk(IndexReader(copy), ["node", "pools"], k=10) == before
 
+    # sharded serving respects tombstones (per-shard live masks)
+    add_deletes(copy, victims)
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    svc = ShardedQueryService(copy, n_shards=3, chain=reader0.chain)
+    try:
+        sharded = svc.topk("node pools", k=10)
+    finally:
+        svc.shutdown()
+    local = topk(IndexReader(copy), ["node", "pools"], k=10)
+    assert sharded == local
+    assert not ({d for d, _ in sharded} & set(victims))
+
 
 def test_term_vectors(built):
     from docs_indexer_ray.functions.analyzer import Analyzer
