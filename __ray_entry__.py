@@ -715,6 +715,33 @@ def q_facet_top_hits(sf_dir: str) -> pa.Table:
     return top_hits(ds, matched, group_col="lang", sort_col="warc_ts", k=3)
 
 
+def q_facet_multi_terms(sf_dir: str) -> pa.Table:
+    """OpenSearch ``multi_terms`` aggregation: matched-doc counts per
+    (lang, 200-char body-length bucket) composite key."""
+    import pyarrow.compute as _pc
+
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import match_doc_ids, multi_terms_facet
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "lang", "body"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        blen = _pc.utf8_length(t["body"]).cast(pa.int64())
+        bucket = _pc.multiply(
+            _pc.divide(blen, pa.scalar(200, pa.int64())), pa.scalar(200, pa.int64())
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "blen_bucket": bucket}
+        )
+
+    return multi_terms_facet(
+        ds.map_batches(derive, batch_format="pyarrow"), matched, ["lang", "blen_bucket"]
+    )
+
+
 def q_bm25_topk_deleted(sf_dir: str) -> pa.Table:
     """Soft deletes (OpenSearch ``delete_by_query``): tombstone every
     doc containing "refresh" on an isolated copy of the index, then
@@ -1428,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_top_hits": q_facet_top_hits,
         "term_vectors": q_term_vectors,
         "bm25_topk_deleted": q_bm25_topk_deleted,
+        "facet_multi_terms": q_facet_multi_terms,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
@@ -1945,6 +1973,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, CAST(fg_df AS BIGINT) AS fg_df,
                CAST(bg_df AS BIGINT) AS bg_df, score
         FROM scored ORDER BY score DESC, term ASC LIMIT 10
+    """
+    sqls["facet_multi_terms"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in}))
+        SELECT d.lang,
+               CAST((length(dd.body) // 200) * 200 AS BIGINT) AS blen_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN docs dd USING (doc_id) JOIN m USING (doc_id)
+        GROUP BY d.lang, blen_bucket
+        ORDER BY n_docs DESC, d.lang ASC, blen_bucket ASC
     """
     sqls["bm25_topk_deleted"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -33,6 +33,7 @@ __all__ = [
     "range_facet",
     "percentiles",
     "terms_facet",
+    "multi_terms_facet",
     "top_hits",
     "top_by_column",
     "stats_facet",
@@ -379,6 +380,45 @@ def top_by_column(
             "rank": pa.array(np.arange(1, len(out_ids) + 1, dtype=np.int64)),
             "doc_id": pa.array(out_ids, pa.int64()),
         }
+    )
+
+
+def multi_terms_facet(
+    docs_ds, matched: np.ndarray, cols: list[str]
+) -> pa.Table:
+    """OpenSearch ``multi_terms`` aggregation: doc counts per COMPOSITE
+    key of ``cols`` among the matched docs → ``(*cols, n_docs)``,
+    count desc then keys asc.  Same partial-count shape as
+    :func:`terms_facet`, with the whole key tuple riding the partial
+    rows (≤ distinct-tuples-per-block move)."""
+    import ray
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids))).select(cols)
+        agg = t.group_by(cols).aggregate([([], "count_all")])
+        return agg.rename_columns([*cols, "partial"])
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {**{c: pa.array([], pa.string()) for c in cols},
+             "n_docs": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(parts, promote_options="default")
+    agg = t.group_by(cols).aggregate([("partial", "sum")])
+    out = agg.rename_columns([*cols, "n_docs"]).set_column(
+        len(cols), "n_docs", agg["partial_sum"].cast(pa.int64())
+    )
+    return out.sort_by(
+        [("n_docs", "descending"), *[(c, "ascending") for c in cols]]
     )
 
 

@@ -94,6 +94,7 @@ SQL_BACKED = [
     "facet_top_hits",
     "term_vectors",
     "bm25_topk_deleted",
+    "facet_multi_terms",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

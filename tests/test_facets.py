@@ -277,6 +277,40 @@ def test_histogram_range_percentiles_facets(built, ray_session):
         assert lo_v <= v <= hi_v
 
 
+def test_multi_terms_facet(built, ray_session):
+    import ray.data
+
+    from docs_indexer_ray.query.facets import match_doc_ids, multi_terms_facet
+
+    reader, _ = built
+    matched = match_doc_ids(reader, ["node", "quota"])
+    n = 80
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "a": pa.array([f"a{i % 2}" for i in range(n)], pa.string()),
+            "b": pa.array([f"b{i % 3}" for i in range(n)], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(5)
+    got = multi_terms_facet(ds, matched, ["a", "b"])
+    want = {}
+    for d in matched:
+        key = (f"a{d % 2}", f"b{d % 3}")
+        want[key] = want.get(key, 0) + 1
+    got_map = {
+        (a, b): c
+        for a, b, c in zip(
+            got["a"].to_pylist(), got["b"].to_pylist(), got["n_docs"].to_pylist()
+        )
+    }
+    assert got_map == want
+    counts = got["n_docs"].to_pylist()
+    assert counts == sorted(counts, reverse=True)
+    empty = multi_terms_facet(ds, np.empty(0, np.int64), ["a", "b"])
+    assert empty.num_rows == 0 and empty.column_names == ["a", "b", "n_docs"]
+
+
 def test_top_hits_facet(built, ray_session):
     import ray.data
 
