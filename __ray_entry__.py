@@ -775,6 +775,18 @@ def q_bm25_topk_deleted(sf_dir: str) -> pa.Table:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_bm25_explain(sf_dir: str) -> pa.Table:
+    """OpenSearch ``_explain``: per-term BM25 score breakdown of doc 7
+    for the flagship query (idf / weight are single IEEE expressions —
+    bit-reproducible by the SQL oracle, unlike summed scores)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import explain
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    return explain(IndexReader(root), list(_BM25_TERMS), _MLT_DOC)
+
+
 def q_term_vectors(sf_dir: str) -> pa.Table:
     """OpenSearch ``_termvectors`` for doc 7: every term of the stored
     body with its in-doc ``tf`` and index-wide ``df``."""
@@ -1456,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": q_term_vectors,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "facet_multi_terms": q_facet_multi_terms,
+        "bm25_explain": q_bm25_explain,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
@@ -1973,6 +1986,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, CAST(fg_df AS BIGINT) AS fg_df,
                CAST(bg_df AS BIGINT) AS bg_df, score
         FROM scored ORDER BY score DESC, term ASC LIMIT 10
+    """
+    sqls["bm25_explain"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+               WHERE term IN ({terms_in}) GROUP BY term),
+        tf AS (SELECT term, count(*) AS tf FROM toks
+               WHERE doc_id = 7 AND term IN ({terms_in}) GROUP BY term)
+        SELECT tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+               CAST(dl.dl AS BIGINT) AS dl,
+               ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) AS idf,
+               ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / stats.avgdl))) AS weight
+        FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = 7, stats
+        ORDER BY tf.term
     """
     sqls["facet_multi_terms"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -149,6 +149,53 @@ def _rank_top(scores: np.ndarray, k: int) -> list[tuple[int, float]]:
     return [(int(nz[i]), float(vals[i])) for i in order]
 
 
+def explain(reader, terms: list[str], doc_id: int, k1: float = K1, b: float = B):
+    """OpenSearch ``_explain``: the per-term BM25 score breakdown of
+    one document for a query → Arrow table ``(term, tf, df, dl, idf,
+    weight)``, term ascending; ``Σ weight`` is the doc's score.
+
+    Each row decodes ONE term's postings (reader-cached) and reads one
+    norm — nothing corpus-scale.  ``idf`` and ``weight`` are single
+    IEEE expressions (no summation) computed with ``math.log`` — the
+    libm call DuckDB's ``ln`` also makes — so they are bit-reproducible
+    by the SQL oracle (numpy's vectorized log differs in the last ulp
+    for some arguments)."""
+    import math
+
+    import pyarrow as pa
+
+    doc_id = int(doc_id)
+    if not 0 <= doc_id < reader.n_docs:
+        raise KeyError(f"doc_id {doc_id} outside [0, {reader.n_docs})")
+    avgdl = reader.avgdl if reader.avgdl > 0 else 1.0
+    dl = float(reader.doclens[doc_id])
+    rows = []
+    for term in sorted(set(terms)):
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs = tp.decode_all()
+        j = int(np.searchsorted(ids, doc_id))
+        if j >= len(ids) or ids[j] != doc_id:
+            continue
+        tf = float(tfs[j])
+        idf = math.log(
+            1.0 + (reader.n_docs - tp.df + 0.5) / (tp.df + 0.5)
+        )
+        weight = idf * tf / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+        rows.append((term, int(tfs[j]), int(tp.df), idf, weight))
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "tf": pa.array([r[1] for r in rows], pa.int64()),
+            "df": pa.array([r[2] for r in rows], pa.int64()),
+            "dl": pa.array([int(dl)] * len(rows), pa.int64()),
+            "idf": pa.array([r[3] for r in rows], pa.float64()),
+            "weight": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
 def score_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
     """Exact top-k ``[(doc_id, score)]`` by full TAAT scoring."""
     return _rank_top(bm25_scores_dense(reader, terms, k1, b), k)

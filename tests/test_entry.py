@@ -95,6 +95,7 @@ SQL_BACKED = [
     "term_vectors",
     "bm25_topk_deleted",
     "facet_multi_terms",
+    "bm25_explain",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

@@ -506,6 +506,24 @@ def test_soft_deletes(built, tmp_path):
     assert not ({d for d, _ in sharded} & set(victims))
 
 
+def test_explain_breakdown_sums_to_score(built):
+    from docs_indexer_ray.query.bm25 import bm25_scores_dense, explain
+
+    reader, _ = built
+    terms = ["node", "pools", "quota"]
+    dense = bm25_scores_dense(reader, terms)
+    doc = int(np.argmax(dense))
+    ex = explain(reader, terms, doc)
+    assert ex.num_rows >= 1
+    assert sum(ex["weight"].to_pylist()) == pytest.approx(dense[doc], rel=1e-12)
+    # absent terms and non-matching docs yield no rows / empty tables
+    zero = int(np.flatnonzero(dense == 0)[0]) if (dense == 0).any() else None
+    if zero is not None:
+        assert explain(reader, terms, zero).num_rows == 0
+    with pytest.raises(KeyError):
+        explain(reader, terms, 10_000_000)
+
+
 def test_term_vectors(built):
     from docs_indexer_ray.functions.analyzer import Analyzer
     from docs_indexer_ray.query.mlt import term_vectors
