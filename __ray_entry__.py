@@ -775,6 +775,44 @@ def q_bm25_topk_deleted(sf_dir: str) -> pa.Table:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_bm25_topk_compacted(sf_dir: str) -> pa.Table:
+    """Full soft-delete lifecycle: delete_by_query("refresh") on an
+    isolated index copy, then COMPACT (filtered + re-id'd docs store,
+    phase-2 rebuild — no re-extraction) and query the compacted build.
+    Statistics are recomputed over the survivors, so scores move — the
+    SQL oracle recomputes BM25 over the filtered corpus.  Results keyed
+    by url (compaction re-ids docs densely)."""
+    import shutil
+    import tempfile
+
+    from docs_indexer_ray.index.compact import compact_index
+    from docs_indexer_ray.index.deletes import delete_by_terms
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    tmp = tempfile.mkdtemp(prefix="dixr_compact_")
+    try:
+        copy = os.path.join(tmp, "idx")
+        shutil.copytree(root, copy)
+        delete_by_terms(copy, ["refresh"])
+        out = os.path.join(tmp, "compacted")
+        compact_index(copy, out)
+        reader = IndexReader(out)
+        hits = topk(reader, list(_BM25_TERMS), k=10)
+        urls = reader.fetch_docs([int(d) for d, _ in hits], columns=["doc_id", "url"])
+        url_of = dict(zip(urls["doc_id"].to_pylist(), urls["url"].to_pylist()))
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+                "url": pa.array([url_of[int(d)] for d, _ in hits], pa.string()),
+            }
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_bm25_explain(sf_dir: str) -> pa.Table:
     """OpenSearch ``_explain``: per-term BM25 score breakdown of doc 7
     for the flagship query (idf / weight are single IEEE expressions —
@@ -1469,6 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "facet_multi_terms": q_facet_multi_terms,
         "bm25_explain": q_bm25_explain,
+        "bm25_topk_compacted": q_bm25_topk_compacted,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
@@ -1986,6 +2025,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, CAST(fg_df AS BIGINT) AS fg_df,
                CAST(bg_df AS BIGINT) AS bg_df, score
         FROM scored ORDER BY score DESC, term ASC LIMIT 10
+    """
+    sqls["bm25_topk_compacted"] = f"""
+        WITH all_docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        all_toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM all_docs),
+        docs AS (SELECT * FROM all_docs
+                 WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM all_toks WHERE term = 'refresh')),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+               {_URL} AS url
+        FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
     """
     sqls["bm25_explain"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -1,0 +1,110 @@
+"""Compaction / reindex equivalence: expunging soft deletes must be
+indistinguishable from a from-scratch build over the surviving pages,
+and a docs-store reindex must equal a fresh build with the new
+settings."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _build(pages, root, **kw):
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+
+    kw.setdefault("num_parts", 6)
+    kw.setdefault("chain", "simple")
+    kw.setdefault("field", "body")
+    return build_index(ray.data.from_arrow(pages), root, **kw)
+
+
+def test_compact_equals_fresh_build_over_survivors(ray_session, tmp_path):
+    from docs_indexer_ray.index import manifest as mf
+    from docs_indexer_ray.index.compact import compact_index
+    from docs_indexer_ray.index.deletes import add_deletes, load_delete_ids
+    from docs_indexer_ray.query.bm25 import topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    pages = rich_pages_table(60, dup_every=0)
+    src = str(tmp_path / "src")
+    _build(pages, src, fingerprint="s")
+
+    # tombstone 9 docs (incl. doc 0 and a contiguous run)
+    victims = [0, 7, 8, 9, 23, 31, 40, 41, 58]
+    add_deletes(src, victims)
+
+    out = str(tmp_path / "compacted")
+    man = compact_index(src, out)
+    assert man["n_docs"] == 60 - len(victims)
+
+    # fresh build over the SURVIVING pages (same url order)
+    r_src = IndexReader(src)
+    dead_urls = set(
+        r_src.fetch_docs(victims, columns=["doc_id", "url"])["url"].to_pylist()
+    )
+    keep = pa.array([u not in dead_urls for u in pages["url"].to_pylist()])
+    fresh_root = str(tmp_path / "fresh")
+    _build(pages.filter(keep), fresh_root, fingerprint="f")
+
+    rc, rf = IndexReader(out), IndexReader(fresh_root)
+    assert rc.n_docs == rf.n_docs
+    assert rc.match_all_count() == rf.match_all_count()
+    # no tombstones survive compaction
+    assert len(load_delete_ids(out)) == 0
+    # statistics identical
+    assert rc.avgdl == rf.avgdl
+    for t in ["node", "pools", "the", "cluster"]:
+        assert rc.term_df(t) == rf.term_df(t), t
+    # identical hits AND scores (fresh statistics, remapped dense ids)
+    for q in (["node", "pools"], ["quota"], ["the", "changelog"]):
+        assert topk(rc, q, k=10) == topk(rf, q, k=10), q
+    # same stored docs in the same id order
+    tc = rc.fetch_docs(list(range(rc.n_docs)), columns=["doc_id", "url"])
+    tf_ = rf.fetch_docs(list(range(rf.n_docs)), columns=["doc_id", "url"])
+    assert sorted(zip(tc["doc_id"].to_pylist(), tc["url"].to_pylist())) == sorted(
+        zip(tf_["doc_id"].to_pylist(), tf_["url"].to_pylist())
+    )
+
+    # compaction is resumable/idempotent: second call short-circuits to
+    # the same fingerprint dir and stays equivalent
+    man2 = compact_index(src, out)
+    assert man2["fingerprint"] == man["fingerprint"]
+    assert topk(IndexReader(out), ["node", "pools"], k=5) == topk(
+        rf, ["node", "pools"], k=5
+    )
+
+
+def test_reindex_new_chain_equals_fresh_build(ray_session, tmp_path):
+    from docs_indexer_ray.index.compact import reindex_index
+    from docs_indexer_ray.index.deletes import add_deletes
+    from docs_indexer_ray.query.bm25 import topk
+    from docs_indexer_ray.query.phrase import match_phrase
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    pages = rich_pages_table(50, dup_every=0)
+    src = str(tmp_path / "src")
+    _build(pages, src, fingerprint="s")
+
+    # reindex: same docs, english chain + positions
+    out = str(tmp_path / "reidx")
+    man = reindex_index(src, out, chain="english", store_positions=True)
+    assert man["analyzer"] == "english" and man["store_positions"] is True
+
+    fresh_root = str(tmp_path / "fresh")
+    _build(pages, fresh_root, fingerprint="f", chain="english", store_positions=True)
+
+    rr, rf = IndexReader(out), IndexReader(fresh_root)
+    assert rr.n_docs == rf.n_docs and rr.avgdl == rf.avgdl
+    for q in (["node", "pool"], ["cluster"]):
+        assert topk(rr, q, k=10) == topk(rf, q, k=10), q
+    assert match_phrase(rr, ["node", "pool"]) == match_phrase(rf, ["node", "pool"])
+
+    # tombstoned source refuses reindex (would resurrect deletes)
+    add_deletes(src, [1, 2])
+    with pytest.raises(ValueError, match="tombstones"):
+        reindex_index(src, str(tmp_path / "nope"))

@@ -96,6 +96,7 @@ SQL_BACKED = [
     "bm25_topk_deleted",
     "facet_multi_terms",
     "bm25_explain",
+    "bm25_topk_compacted",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",
