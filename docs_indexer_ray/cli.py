@@ -173,6 +173,57 @@ def cmd_gc(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """delete_by_query: tombstone every doc matching any query term."""
+    from .functions.analyzer import Analyzer
+    from .index.deletes import delete_by_terms, load_delete_ids
+    from .query.reader import IndexReader
+
+    reader = IndexReader(args.index)
+    terms = Analyzer(reader.chain)(args.query)
+    n_new = delete_by_terms(args.index, terms)
+    print(
+        json.dumps(
+            {"deleted": n_new, "total_tombstones": int(len(load_delete_ids(args.index)))}
+        )
+    )
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Expunge tombstones into a new published build (no re-extraction)."""
+    _ray_session()
+    from .index.compact import compact_index
+
+    man = compact_index(args.index, args.out)
+    print(json.dumps({"fingerprint": man["fingerprint"], "n_docs": man["n_docs"]}))
+    return 0
+
+
+def cmd_reindex(args) -> int:
+    """Re-analyze the docs store under a new chain/field/positions."""
+    _ray_session()
+    from .index.compact import reindex_index
+
+    man = reindex_index(
+        args.index,
+        args.out,
+        chain=args.chain,
+        field=args.field,
+        store_positions=args.positions if args.positions else None,
+    )
+    print(
+        json.dumps(
+            {
+                "fingerprint": man["fingerprint"],
+                "analyzer": man["analyzer"],
+                "n_docs": man["n_docs"],
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(stream=sys.stdout, level=logging.INFO)
     signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))  # main.py:36-41
@@ -244,6 +295,24 @@ def main(argv: list[str] | None = None) -> int:
     g = sub.add_parser("gc", help="remove unpublished builds")
     g.add_argument("--root", required=True)
     g.set_defaults(fn=cmd_gc)
+
+    d = sub.add_parser("delete", help="delete_by_query (soft tombstones)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--query", required=True)
+    d.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("compact", help="expunge tombstones into a new build")
+    c.add_argument("--index", required=True)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_compact)
+
+    r = sub.add_parser("reindex", help="re-analyze the docs store (new chain/field)")
+    r.add_argument("--index", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--chain", default=None)
+    r.add_argument("--field", default=None)
+    r.add_argument("--positions", action="store_true")
+    r.set_defaults(fn=cmd_reindex)
 
     args = p.parse_args(argv)
     return args.fn(args)

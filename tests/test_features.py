@@ -239,3 +239,21 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys):
 
     assert main(["gc", "--root", out]) == 0
     assert json.loads(capsys.readouterr().out)["removed"] == []
+
+    # lifecycle: delete_by_query → compact → reindex
+    assert main(["delete", "--index", out, "--query", "node pools"]) == 0
+    deleted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert deleted["deleted"] >= 1
+    assert deleted["total_tombstones"] == deleted["deleted"]
+
+    comp = str(tmp_path / "compacted")
+    assert main(["compact", "--index", out, "--out", comp]) == 0
+    cres = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cres["n_docs"] == 25 - deleted["deleted"]
+
+    re_out = str(tmp_path / "reidx")
+    assert (
+        main(["reindex", "--index", comp, "--out", re_out, "--chain", "simple"]) == 0
+    )
+    rres = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rres["analyzer"] == "simple" and rres["n_docs"] == cres["n_docs"]
