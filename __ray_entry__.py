@@ -1399,6 +1399,64 @@ def q_hash_join(sf_dir: str) -> pa.Table:
     return _as_i64(_concat(out), ["n_items", "revenue_cents"])
 
 
+def q_asof_join(sf_dir: str) -> pa.Table:
+    """Distributed AS-OF join: each event picks the user's most recent
+    order at-or-before the event timestamp (point-in-time lookup —
+    ``ops/join.py::asof_join``: one hash-bucket shuffle, per-bucket
+    vectorized ``merge_asof``).  Right side pre-aggregated to one row
+    per (custkey, orderdate); unmatched events dropped (inner asof) so
+    the result is null-free for the value-hash gate."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from docs_indexer_ray.ops.join import asof_join
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id"]
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    right = (
+        orders.groupby(["o_custkey", "o_orderdate"])
+        .max("o_orderkey")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["o_custkey"].cast(pa.int64()),
+                    "ots": t["o_orderdate"].cast(pa.timestamp("us")),
+                    "o_orderkey": t["max(o_orderkey)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = asof_join(
+        events,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ots",
+        right_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ots", pa.timestamp("us")),
+                ("o_orderkey", pa.int64()),
+            ]
+        ),
+    )
+    t = _concat(out)
+    t = t.filter(pc.is_valid(t["o_orderkey"]))
+    return pa.table(
+        {
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+        }
+    ).sort_by("event_id")
+
+
 def q_highlight(sf_dir: str) -> pa.Table:
     """Top-3 hits with highlighted best snippets (D9/term-vector
     parity via query-time re-analysis)."""
@@ -1516,6 +1574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
         "broadcast_join": q_broadcast_join,
+        "asof_join": q_asof_join,
         "hash_join": q_hash_join,
         # rows-only (no SQL equivalent; Python oracles in tests/)
         "bm25_topk_english": q_bm25_topk_english,
@@ -1759,6 +1818,17 @@ def oracle_sql() -> dict[str, str]:
                      AS revenue_cents
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "asof_join": """
+            WITH r AS (SELECT o_custkey AS user_id, o_orderdate AS ots,
+                              max(o_orderkey) AS o_orderkey
+                       FROM orders GROUP BY 1, 2)
+            SELECT CAST(e.event_id AS BIGINT) AS event_id,
+                   CAST(e.user_id AS BIGINT) AS user_id,
+                   CAST(r.o_orderkey AS BIGINT) AS o_orderkey
+            FROM events e ASOF JOIN r
+              ON e.user_id = r.user_id AND e.ts >= r.ots
+            ORDER BY e.event_id
         """,
         "keyword_date_filter": f"""
             WITH base AS (

@@ -28,7 +28,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["broadcast_join", "hash_join"]
+__all__ = ["broadcast_join", "hash_join", "asof_join"]
 
 _HOW = {"inner": "inner", "left": "left outer", "right": "right outer", "outer": "full outer"}
 
@@ -141,5 +141,114 @@ def hash_join(
             left_suffix=suffixes[0],
             right_suffix=suffixes[1],
         )
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def asof_join(
+    left,
+    right,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    num_buckets: int = 32,
+    direction: str = "backward",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Distributed AS-OF join (time-series point-in-time lookup): for
+    every left row, the single right row with the same ``on`` key and
+    the greatest ``right_ts`` ≤ ``left_ts`` (``direction="backward"``;
+    ``"forward"`` takes the smallest ≥).  Unmatched left rows keep
+    nulls — left-join semantics, like DuckDB/kdb ASOF JOIN.
+
+    Shape: the same ONE-shuffle bucket co-location as
+    :func:`hash_join` (hash both sides by key, union with a side tag,
+    ``groupby(bucket)``), then each bucket runs ``pandas.merge_asof``
+    with ``by=key`` — a vectorized C kernel over the bucket's rows,
+    never the driver.  The right side must be unique per
+    ``(key, right_ts)`` (pre-aggregate first; enforced per bucket so
+    ties can't pick an engine-dependent winner).
+
+    Timestamps may be Arrow timestamps or any ordered numeric; both
+    ``ts`` columns must be the same type.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    left_schema = left_schema if left_schema is not None else left.schema()
+    right_schema = right_schema if right_schema is not None else right.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    overlap = (set(left_cols) & set(right_cols)) - {on}
+    if overlap:
+        raise ValueError(
+            f"rename overlapping non-key columns before asof_join: {sorted(overlap)}"
+        )
+    types = {
+        **dict(zip(right_schema.names, right_schema.types)),
+        **dict(zip(left_schema.names, left_schema.types)),
+    }
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def tag(side: int, have: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            bucket = _bucket_of(t[on], num_buckets)
+            for c in all_cols:
+                if c not in have:
+                    t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
+            t = t.select(all_cols)
+            t = t.append_column("__bucket", pa.array(bucket))
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, np.int8))
+            )
+
+        return fn
+
+    both = left.map_batches(tag(0, left_cols), batch_format="pyarrow").union(
+        right.map_batches(tag(1, right_cols), batch_format="pyarrow")
+    )
+
+    right_val_cols = [c for c in right_cols if c != on]
+
+    out_cols = left_cols + [c for c in right_cols if c != on]
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # split sides in ARROW: each side's true columns are non-null
+        # there, so ints stay ints (the union's null padding would
+        # degrade them to float64 in a pandas group)
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        l = group.filter(pa.array(side == 0)).select(left_cols).to_pandas()
+        r = (
+            group.filter(pa.array(side == 1))
+            .select([on, right_ts] + [c for c in right_val_cols if c != right_ts])
+            .to_pandas()
+        )
+        if r.duplicated([on, right_ts]).any():
+            raise ValueError(
+                f"asof_join right side not unique per ({on}, {right_ts}) — "
+                "pre-aggregate the right side first"
+            )
+        out = pd.merge_asof(
+            l.sort_values([left_ts, *left_cols], kind="mergesort"),
+            r.sort_values(right_ts, kind="mergesort"),
+            left_on=left_ts,
+            right_on=right_ts,
+            by=on,
+            direction=direction,
+        )
+        # unmatched left rows hold NaN in the right columns — restore
+        # nullable Arrow types (a bucket with no misses would otherwise
+        # emit int64 while its neighbor emits float64: schema drift)
+        arrays = []
+        for c in out_cols:
+            typ = types[c]
+            s = out[c]
+            if pa.types.is_integer(typ) and s.dtype.kind == "f":
+                s = s.astype("Int64")
+            arrays.append(pa.array(s, type=typ, from_pandas=True))
+        return pa.table(dict(zip(out_cols, arrays)))
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -116,6 +116,7 @@ SQL_BACKED = [
     "sessionize",
     "broadcast_join",
     "hash_join",
+    "asof_join",
 ]
 
 

@@ -119,3 +119,89 @@ def test_hash_join_string_keys(ray_session):
     assert got["k"].tolist() == ["a", "a", "b"]
     assert got["v"].tolist() == [1, 4, 2]
     assert got["w"].tolist() == [10, 10, 20]
+
+
+def test_asof_join_matches_global_merge_asof(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from docs_indexer_ray.ops.join import asof_join
+
+    rs = np.random.RandomState(5)
+    left = pd.DataFrame(
+        {
+            "key": rs.randint(0, 20, 500).astype(np.int64),
+            "lt": rs.randint(0, 10_000, 500).astype(np.int64),
+            "ev": np.arange(500, dtype=np.int64),
+        }
+    )
+    # unique right side per (key, rt)
+    right = (
+        pd.DataFrame(
+            {
+                "key": rs.randint(0, 20, 300).astype(np.int64),
+                "rt": rs.randint(0, 10_000, 300).astype(np.int64),
+            }
+        )
+        .drop_duplicates(["key", "rt"])
+        .reset_index(drop=True)
+    )
+    right["val"] = np.arange(len(right), dtype=np.int64)
+
+    for direction in ("backward", "forward"):
+        got = (
+            pa.concat_tables(
+                [
+                    ray.get(r)
+                    for r in asof_join(
+                        ray.data.from_pandas(left).repartition(5),
+                        ray.data.from_pandas(right).repartition(3),
+                        on="key",
+                        left_ts="lt",
+                        right_ts="rt",
+                        num_buckets=7,
+                        direction=direction,
+                    ).to_arrow_refs()
+                ],
+                promote_options="permissive",
+            )
+            .to_pandas()
+            .sort_values("ev", ignore_index=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("lt", kind="mergesort"),
+            right.sort_values("rt", kind="mergesort"),
+            left_on="lt",
+            right_on="rt",
+            by="key",
+            direction=direction,
+        ).sort_values("ev", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            got[["ev", "key", "lt", "rt", "val"]], want[["ev", "key", "lt", "rt", "val"]]
+        )
+
+    # duplicate right (key, rt) is rejected loudly
+    dup = pd.concat([right, right.iloc[:1]], ignore_index=True)
+    with pytest.raises(Exception, match="not unique"):
+        pa.concat_tables(
+            [
+                ray.get(r)
+                for r in asof_join(
+                    ray.data.from_pandas(left),
+                    ray.data.from_pandas(dup),
+                    on="key",
+                    left_ts="lt",
+                    right_ts="rt",
+                ).to_arrow_refs()
+            ]
+        )
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="key",
+            left_ts="lt",
+            right_ts="rt",
+            direction="sideways",
+        )
