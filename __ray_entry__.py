@@ -715,6 +715,20 @@ def q_facet_top_hits(sf_dir: str) -> pa.Table:
     return top_hits(ds, matched, group_col="lang", sort_col="warc_ts", k=3)
 
 
+def q_bm25_collapse(sf_dir: str) -> pa.Table:
+    """OpenSearch ``collapse``: flagship BM25 ranking collapsed to the
+    best doc per ``lang`` → top 5 languages by their best doc."""
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.bm25 import bm25_scores_dense
+    from docs_indexer_ray.query.facets import collapse_top
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    scores = bm25_scores_dense(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "lang"])
+    return collapse_top(ds, scores, field="lang", k=5)
+
+
 def q_facet_multi_terms(sf_dir: str) -> pa.Table:
     """OpenSearch ``multi_terms`` aggregation: matched-doc counts per
     (lang, 200-char body-length bucket) composite key."""
@@ -1565,6 +1579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "facet_multi_terms": q_facet_multi_terms,
         "bm25_explain": q_bm25_explain,
+        "bm25_collapse": q_bm25_collapse,
         "bm25_topk_compacted": q_bm25_topk_compacted,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
@@ -2135,6 +2150,30 @@ def oracle_sql() -> dict[str, str]:
                  * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / stats.avgdl))) AS weight
         FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = 7, stats
         ORDER BY tf.term
+    """
+    sqls["bm25_collapse"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id),
+        best AS (
+          SELECT d.lang AS value, s.doc_id, s.score,
+                 row_number() OVER (PARTITION BY d.lang
+                                    ORDER BY s.score DESC, s.doc_id ASC) AS rn
+          FROM scores s JOIN documents d USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id, value
+        FROM best WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT 5
     """
     sqls["facet_multi_terms"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -36,6 +36,7 @@ __all__ = [
     "multi_terms_facet",
     "top_hits",
     "top_by_column",
+    "collapse_top",
     "stats_facet",
     "cardinality",
 ]
@@ -478,6 +479,78 @@ def top_hits(
             "doc_id": t["doc_id"].cast(pa.int64()),
         }
     ).sort_by([("value", "ascending"), ("rank", "ascending")])
+
+
+def collapse_top(
+    docs_ds,
+    scores: np.ndarray,
+    field: str,
+    k: int = 10,
+) -> pa.Table:
+    """OpenSearch ``collapse``: rank by score but keep only the BEST
+    doc per distinct value of ``field``, then top ``k`` →
+    ``(rank, doc_id, value)``.  Ordering: score desc, doc_id asc
+    (ties inside a group and across groups alike).
+
+    Shape at scale: the dense score vector is broadcast ONCE
+    (``ray.put`` — 8 bytes/doc, the same budget as the norms the
+    scorer already holds); each docs-store batch emits its best doc
+    PER FIELD VALUE among its scored rows (≤ distinct-values-per-block
+    rows move), and the driver repeats the same best-per-value fold —
+    max-per-group distributes, so the two-level fold is exact.  On the
+    sharded tier each shard folds its own range and the merge is the
+    same driver fold."""
+    import ray
+
+    scores_ref = ray.put(np.asarray(scores, np.float64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        sc = ray.get(scores_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (doc_ids >= 0) & (doc_ids < len(sc))
+        s = np.where(ok, sc[np.clip(doc_ids, 0, len(sc) - 1)], 0.0)
+        keep = s > 0.0
+        df = pd.DataFrame(
+            {
+                "value": np.asarray(t[field].to_pylist(), dtype=object)[keep],
+                "doc_id": doc_ids[keep],
+                "s": s[keep],
+            }
+        )
+        df = df.sort_values(
+            ["s", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).drop_duplicates("value")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.string()),
+            }
+        )
+    import pandas as pd
+
+    df = pa.concat_tables(parts, promote_options="default").to_pandas()
+    df = df.sort_values(
+        ["s", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).drop_duplicates("value")
+    df = df.head(k).reset_index(drop=True)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+            "value": pa.array(df["value"].astype(str), pa.string()),
+        }
+    )
 
 
 def _neg_key(vals: np.ndarray) -> np.ndarray:

@@ -97,6 +97,7 @@ SQL_BACKED = [
     "facet_multi_terms",
     "bm25_explain",
     "bm25_topk_compacted",
+    "bm25_collapse",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

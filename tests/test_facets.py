@@ -506,6 +506,48 @@ def test_soft_deletes(built, tmp_path):
     assert not ({d for d, _ in sharded} & set(victims))
 
 
+def test_collapse_top(built, ray_session):
+    import ray.data
+
+    from docs_indexer_ray.query.bm25 import bm25_scores_dense
+    from docs_indexer_ray.query.facets import collapse_top
+
+    reader, _ = built
+    scores = bm25_scores_dense(reader, ["node", "pools", "the"])
+    n = reader.n_docs
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "grp": pa.array([f"g{i % 4}" for i in range(n)], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(5)
+    got = collapse_top(ds, scores, "grp", k=3)
+
+    # brute force: best doc per group by (score desc, doc_id asc)
+    best = {}
+    for d in range(n):
+        if scores[d] > 0:
+            g = f"g{d % 4}"
+            cur = best.get(g)
+            if cur is None or (-scores[d], d) < (-scores[cur], cur):
+                best[g] = d
+    ranked = sorted(best.items(), key=lambda kv: (-scores[kv[1]], kv[1]))[:3]
+    assert got["doc_id"].to_pylist() == [d for _, d in ranked]
+    assert got["value"].to_pylist() == [g for g, _ in ranked]
+    assert got["rank"].to_pylist() == [1, 2, 3][: len(ranked)]
+    # one result per group value
+    assert len(set(got["value"].to_pylist())) == got.num_rows
+    # parallelism invariance
+    got13 = collapse_top(
+        ray.data.from_arrow(docs).repartition(13), scores, "grp", k=3
+    )
+    assert got.equals(got13)
+    # zero scores everywhere → empty
+    empty = collapse_top(ds, np.zeros(n), "grp", k=3)
+    assert empty.num_rows == 0
+
+
 def test_explain_breakdown_sums_to_score(built):
     from docs_indexer_ray.query.bm25 import bm25_scores_dense, explain
 
