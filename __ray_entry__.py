@@ -715,6 +715,54 @@ def q_facet_top_hits(sf_dir: str) -> pa.Table:
     return top_hits(ds, matched, group_col="lang", sort_col="warc_ts", k=3)
 
 
+def q_facet_rare_terms(sf_dir: str) -> pa.Table:
+    """OpenSearch ``rare_terms``: long-tail body lengths (≤ 2 matched
+    docs per value) among the flagship query's matches."""
+    from docs_indexer_ray.query.facets import rare_terms_facet
+
+    ds, matched = _blen_ds_and_matched(sf_dir)
+    return rare_terms_facet(ds, matched, "blen", max_doc_count=2)
+
+
+_ANALYZE_TEXT = "The Table-Scan: merges 42 SLOW paths, re-scanned!"
+
+
+def q_analyze(sf_dir: str) -> pa.Table:
+    """OpenSearch ``_analyze`` API: the simple chain's token stream
+    for a fixed string → (position, token), 0-based positions."""
+    from docs_indexer_ray.functions.analyzer import Analyzer
+
+    toks = Analyzer("simple")(_ANALYZE_TEXT)
+    return pa.table(
+        {
+            "position": pa.array(np.arange(len(toks), dtype=np.int64)),
+            "token": pa.array(toks, pa.string()),
+        }
+    )
+
+
+def q_sample_stratified(sf_dir: str) -> pa.Table:
+    """Per-stratum deterministic subsample of events: keep 4/16 of
+    'click' rows, 1/16 of 'view' rows, drop other types — hash value
+    property, parallelism-invariant and SQL-replicable."""
+    import ray.data
+
+    from docs_indexer_ray.ops.sample import stratified_sample_by_hash
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "props"],
+    )
+    out = stratified_sample_by_hash(
+        ds, key="props", group_col="event_type",
+        rates={"click": 4 / 16, "view": 1 / 16},
+    )
+    t = _concat(out)
+    return _as_i64(t.select(["event_id", "event_type"]), ["event_id"]).sort_by(
+        "event_id"
+    )
+
+
 def q_bm25_collapse(sf_dir: str) -> pa.Table:
     """OpenSearch ``collapse``: flagship BM25 ranking collapsed to the
     best doc per ``lang`` → top 5 languages by their best doc."""
@@ -1580,6 +1628,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_multi_terms": q_facet_multi_terms,
         "bm25_explain": q_bm25_explain,
         "bm25_collapse": q_bm25_collapse,
+        "facet_rare_terms": q_facet_rare_terms,
+        "analyze": q_analyze,
+        "sample_stratified": q_sample_stratified,
         "bm25_topk_compacted": q_bm25_topk_compacted,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
@@ -1658,6 +1709,23 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": """
             SELECT doc_id, text FROM documents
             WHERE substr(md5(text), 1, 1) = '0'
+        """,
+        "sample_stratified": """
+            SELECT CAST(event_id AS BIGINT) AS event_id, event_type
+            FROM events
+            WHERE (event_type = 'click' AND substr(md5(props), 1, 1) IN ('0','1','2','3'))
+               OR (event_type = 'view'  AND substr(md5(props), 1, 1) = '0')
+            ORDER BY event_id
+        """,
+        "analyze": """
+            WITH toks AS (
+              SELECT unnest(list_filter(string_split_regex(
+                       lower('The Table-Scan: merges 42 SLOW paths, re-scanned!'),
+                       '[^a-z0-9]+'), x -> x <> '')) AS token,
+                     generate_subscripts(list_filter(string_split_regex(
+                       lower('The Table-Scan: merges 42 SLOW paths, re-scanned!'),
+                       '[^a-z0-9]+'), x -> x <> ''), 1) AS pos)
+            SELECT CAST(pos - 1 AS BIGINT) AS position, token FROM toks
         """,
         "quality_score": f"""
             WITH t AS (SELECT doc_id, text, {_toks('text')} AS toks FROM documents),
@@ -2150,6 +2218,16 @@ def oracle_sql() -> dict[str, str]:
                  * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / stats.avgdl))) AS weight
         FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = 7, stats
         ORDER BY tf.term
+    """
+    sqls["facet_rare_terms"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        counts AS (SELECT CAST(length(d.body) AS VARCHAR) AS value,
+                          CAST(count(*) AS BIGINT) AS n_docs
+                   FROM docs d JOIN m USING (doc_id) GROUP BY 1)
+        SELECT value, n_docs FROM counts WHERE n_docs <= 2
+        ORDER BY n_docs ASC, value ASC
     """
     sqls["bm25_collapse"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

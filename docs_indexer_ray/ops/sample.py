@@ -20,7 +20,7 @@ import hashlib
 
 import pyarrow as pa
 
-__all__ = ["sample_by_hash", "hash_prefixes"]
+__all__ = ["sample_by_hash", "stratified_sample_by_hash", "hash_prefixes"]
 
 _HEX = "0123456789abcdef"
 
@@ -57,6 +57,44 @@ def sample_by_hash(ds, key: str = "text", rate: float = 1 / 16, bits: int = 1):
             else hashlib.md5(str(v).encode("utf-8")).hexdigest()[:bits] in prefixes
             for v in t[key].to_pylist()
         ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def stratified_sample_by_hash(
+    ds,
+    key: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    bits: int = 1,
+):
+    """Per-stratum deterministic subsample: each row's keep-rate is
+    chosen by its ``group_col`` value (``rates[group]``, else
+    ``default_rate``), selection by the same md5 hex-prefix value
+    property as :func:`sample_by_hash` — so every stratum's subset is
+    parallelism-invariant AND nested (a 2/16 sample contains the 1/16
+    sample).  The standard class-rebalancing op for training-data
+    pipelines (downsample boilerplate strata, keep rare ones whole).
+    Streams per row; no shuffle."""
+    pref = {
+        g: (hash_prefixes(r, bits) if r > 0 else frozenset())
+        for g, r in rates.items()
+    }
+    dflt = hash_prefixes(default_rate, bits) if default_rate > 0 else frozenset()
+
+    def flt(t: pa.Table) -> pa.Table:
+        groups = t[group_col].to_pylist()
+        keys = t[key].to_pylist()
+        keep = []
+        for g, v in zip(groups, keys):
+            allowed = pref.get(g, dflt)
+            if not allowed:
+                keep.append(False)
+                continue
+            s = v if isinstance(v, str) else str(v)
+            keep.append(hashlib.md5(s.encode("utf-8")).hexdigest()[:bits] in allowed)
         return t.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(flt, batch_format="pyarrow")

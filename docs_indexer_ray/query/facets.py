@@ -33,6 +33,7 @@ __all__ = [
     "range_facet",
     "percentiles",
     "terms_facet",
+    "rare_terms_facet",
     "multi_terms_facet",
     "top_hits",
     "top_by_column",
@@ -382,6 +383,27 @@ def top_by_column(
             "doc_id": pa.array(out_ids, pa.int64()),
         }
     )
+
+
+def rare_terms_facet(
+    docs_ds,
+    matched: np.ndarray,
+    field: str,
+    max_doc_count: int = 3,
+) -> pa.Table:
+    """OpenSearch ``rare_terms`` aggregation: the LONG-TAIL values of
+    ``field`` among the matched docs — buckets with ``n_docs ≤
+    max_doc_count`` → ``(value, n_docs)``, count ASC then value asc
+    (rarest first, the inverse of ``terms_facet``).  Same
+    partial-count shuffle-free shape; the tail filter runs on the
+    already-output-scale combined counts."""
+
+    def key_of(t: pa.Table) -> pa.Array:
+        return t[field].cast(pa.string()).combine_chunks()
+
+    t = _facet(docs_ds, matched, key_of, pa.field("value", pa.string()))
+    t = t.filter(pc.less_equal(t["n_docs"], pa.scalar(max_doc_count, pa.int64())))
+    return t.sort_by([("n_docs", "ascending"), ("value", "ascending")])
 
 
 def multi_terms_facet(

@@ -98,6 +98,9 @@ SQL_BACKED = [
     "bm25_explain",
     "bm25_topk_compacted",
     "bm25_collapse",
+    "facet_rare_terms",
+    "analyze",
+    "sample_stratified",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

@@ -524,6 +524,54 @@ def test_tdigest_accuracy_merge_and_edges():
         TDigest(100).merge(TDigest(200))
 
 
+def test_stratified_sample_by_hash(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from docs_indexer_ray.ops.sample import stratified_sample_by_hash
+
+    n = 800
+    t = pa.table(
+        {
+            "k": pa.array([f"key-{i}" for i in range(n)], pa.string()),
+            "g": pa.array(["a", "b", "c", "d"][0:2] * (n // 2), pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = stratified_sample_by_hash(
+        ds, key="k", group_col="g", rates={"a": 4 / 16, "b": 1 / 16}
+    )
+    got = pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()])
+    rows = set(zip(got["k"].to_pylist(), got["g"].to_pylist()))
+
+    def hx(v):
+        return hashlib.md5(v.encode()).hexdigest()[0]
+
+    want = {
+        (f"key-{i}", g)
+        for i, g in zip(range(n), ["a", "b"] * (n // 2))
+        if (g == "a" and hx(f"key-{i}") in "0123")
+        or (g == "b" and hx(f"key-{i}") in "0")
+    }
+    assert rows == want
+    # nested property: the 1/16 'b' subset is inside the 4/16 'a' rule's set
+    b_keys = {k for k, g in rows if g == "b"}
+    assert all(hx(k) == "0" for k in b_keys)
+    # unknown groups drop by default; default_rate admits them
+    t2 = pa.table({"k": pa.array(["x"] * 8), "g": pa.array(["zz"] * 8)})
+    none = stratified_sample_by_hash(
+        ray.data.from_arrow(t2), "k", "g", {"a": 0.5}
+    )
+    assert sum(len(ray.get(r)) for r in none.to_arrow_refs()) == 0
+    # invariance across partitionings
+    out13 = stratified_sample_by_hash(
+        ray.data.from_arrow(t).repartition(13), "k", "g", {"a": 4 / 16, "b": 1 / 16}
+    )
+    got13 = pa.concat_tables([ray.get(r) for r in out13.to_arrow_refs()])
+    assert set(zip(got13["k"].to_pylist(), got13["g"].to_pylist())) == rows
+
+
 def test_bloom_filter_no_false_negatives_and_ray_path(ray_session):
     import ray.data
 
