@@ -763,6 +763,36 @@ def q_sample_stratified(sf_dir: str) -> pa.Table:
     )
 
 
+def q_redact_pii(sf_dir: str) -> pa.Table:
+    """PII scrub over the corpus: PLANT deterministic emails/IPs/phone
+    runs into each doc's text (SQL-replicable synthesis — the synth
+    corpus itself is [a-z0-9 ]-clean), then redact with the sequential
+    email → ip → phone RE2 pipeline."""
+    import ray.data
+
+    from docs_indexer_ray.ops.textclean import redact_pii
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        planted = [
+            f"{x} contact user{d}@example{d % 7}.com or 10.0.{d % 256}.7 "
+            f"tel +1 202 555 {d % 10000:04d} end"
+            for d, x in zip(ids, txts)
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(planted, pa.string())}
+        )
+
+    out = redact_pii(ds.map_batches(plant, batch_format="pyarrow"), "text")
+    t = _concat(out)
+    return _as_i64(t.select(["doc_id", "text"]), ["doc_id"]).sort_by("doc_id")
+
+
 def q_bm25_collapse(sf_dir: str) -> pa.Table:
     """OpenSearch ``collapse``: flagship BM25 ranking collapsed to the
     best doc per ``lang`` → top 5 languages by their best doc."""
@@ -1631,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_rare_terms": q_facet_rare_terms,
         "analyze": q_analyze,
         "sample_stratified": q_sample_stratified,
+        "redact_pii": q_redact_pii,
         "bm25_topk_compacted": q_bm25_topk_compacted,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
@@ -1716,6 +1747,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE (event_type = 'click' AND substr(md5(props), 1, 1) IN ('0','1','2','3'))
                OR (event_type = 'view'  AND substr(md5(props), 1, 1) = '0')
             ORDER BY event_id
+        """,
+        "redact_pii": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example'
+                       || (doc_id % 7) || '.com or 10.0.' || (doc_id % 256)
+                       || '.7 tel +1 202 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' end' AS text
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                     '\\+?\\d[\\d() -]{7,}\\d', '<PHONE>', 'g') AS text
+            FROM planted ORDER BY doc_id
         """,
         "analyze": """
             WITH toks AS (

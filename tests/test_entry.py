@@ -101,6 +101,7 @@ SQL_BACKED = [
     "facet_rare_terms",
     "analyze",
     "sample_stratified",
+    "redact_pii",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

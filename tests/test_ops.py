@@ -524,6 +524,45 @@ def test_tdigest_accuracy_merge_and_edges():
         TDigest(100).merge(TDigest(200))
 
 
+def test_redact_pii_and_normalize_whitespace(ray_session):
+    import ray.data
+
+    from docs_indexer_ray.ops.textclean import normalize_whitespace, redact_pii
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "mail a.b+c@sub.ex.co and 192.168.0.1 call +44 20 7946 0958 ok",
+                    "no pii here",
+                    None,
+                    "two mails x@y.io z@w.org, ip 8.8.8.8",
+                    "short digits 12345 stay",
+                ],
+                pa.string(),
+            )
+        }
+    )
+    out = pa.concat_tables(
+        [ray.get(r) for r in redact_pii(ray.data.from_arrow(t), "text").to_arrow_refs()]
+    )
+    got = out["text"].to_pylist()
+    assert got[0] == "mail <EMAIL> and <IP> call <PHONE> ok"
+    assert got[1] == "no pii here"
+    assert got[2] is None
+    assert got[3] == "two mails <EMAIL> <EMAIL>, ip <IP>"
+    assert got[4] == "short digits 12345 stay"
+
+    t2 = pa.table({"text": pa.array(["  a \t b\n\nc  ", None], pa.string())})
+    ws = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in normalize_whitespace(ray.data.from_arrow(t2), "text").to_arrow_refs()
+        ]
+    )
+    assert ws["text"].to_pylist() == ["a b c", None]
+
+
 def test_stratified_sample_by_hash(ray_session):
     import hashlib
 
