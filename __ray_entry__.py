@@ -228,6 +228,23 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     return _concat(knn_cosine(ds, queries, qids, k=5))
 
 
+def q_knn_cosine_q8(sf_dir: str) -> pa.Table:
+    """Exact-cosine kNN over the int8-QUANTIZED corpus (4× smaller
+    vectors, per-vector symmetric scale).  Rows-only: rank flips come
+    only from quantization rounding; pytest pins recall@5 vs the exact
+    float path."""
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import knn_cosine_quantized, quantize_embeddings
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = qt.filter(pc.less(qt["vec_id"], 5))
+    queries = np.array(qt["embedding"].to_pylist(), np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_cosine_quantized(quantize_embeddings(ds), queries, qids, k=5)
+
+
 def q_index_stats(sf_dir: str) -> pa.Table:
     from docs_indexer_ray.pipelines.flagship import ensure_index
 
@@ -1662,6 +1679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze": q_analyze,
         "sample_stratified": q_sample_stratified,
         "redact_pii": q_redact_pii,
+        "knn_cosine_q8": q_knn_cosine_q8,
         "bm25_topk_compacted": q_bm25_topk_compacted,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["knn_cosine", "knn_lsh", "knn_ivf", "embedding_dup_pairs", "train_ivf_centroids"]
+__all__ = ["knn_cosine", "knn_lsh", "knn_ivf", "embedding_dup_pairs", "train_ivf_centroids", "quantize_embeddings", "knn_cosine_quantized"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -394,4 +394,110 @@ def embedding_dup_pairs(
         ds.map_batches(add_key, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(verify, batch_format="pyarrow")
+    )
+
+
+def quantize_embeddings(ds, col: str = "embedding", id_col: str = "vec_id"):
+    """Per-vector symmetric int8 quantization (scale = max|x| / 127):
+    ``(id_col, emb_q list<int8>, scale float32)`` — 4× smaller vectors
+    for the ANN scale path, ≲0.4 % cosine error at typical embedding
+    distributions.  Streaming map_batches, no shuffle; dequantize with
+    :func:`knn_cosine_quantized` or ``q * scale``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(t, col)
+        scale = np.abs(emb).max(axis=1) / 127.0
+        scale = np.where(scale == 0, 1.0, scale)
+        q = np.clip(np.round(emb / scale[:, None]), -127, 127).astype(np.int8)
+        n, d = q.shape
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "emb_q": pa.FixedSizeListArray.from_arrays(
+                    pa.array(q.ravel(), pa.int8()), d
+                ),
+                "scale": pa.array(scale.astype(np.float32), pa.float32()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def knn_cosine_quantized(
+    ds_q8,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+):
+    """Exact cosine top-k over an int8-quantized corpus
+    (:func:`quantize_embeddings` output): each batch dequantizes
+    ``q · scale`` and runs the same broadcast-matmul partial-top-k as
+    :func:`knn_cosine`.  Approximation comes ONLY from the
+    quantization rounding — recall vs the float corpus is the pytest
+    pin."""
+    import ray
+
+    qn = _normalize(np.asarray(queries))
+    q_ref = ray.put((qn, np.asarray(query_ids, np.int64)))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q, qids = ray.get(q_ref)
+        flat = batch["emb_q"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        n = batch.num_rows
+        d = len(flat) // max(n, 1)
+        scale = batch["scale"].to_numpy(zero_copy_only=False).astype(np.float64)
+        emb = _normalize(
+            flat.astype(np.float64).reshape(n, d) * scale[:, None]
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = q @ emb.T
+        take = min(k + (1 if exclude_self else 0), sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = (
+                np.argpartition(-row, take - 1)[:take]
+                if take < len(row)
+                else np.arange(len(row))
+            )
+            out_q.extend([int(qids[qi])] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(row[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    import ray
+
+    parts = [
+        ray.get(r)
+        for r in ds_q8.map_batches(partial_topk, batch_format="pyarrow").to_arrow_refs()
+    ]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    import pandas as pd
+
+    df = t.to_pandas()
+    if exclude_self:
+        df = df[df.query_id != df.neighbor_id]
+    df = df.sort_values(
+        ["query_id", "sim", "neighbor_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    df = df.groupby("query_id", sort=True).head(k)
+    df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+    return pa.table(
+        {
+            "query_id": pa.array(df.query_id.to_numpy(np.int64), pa.int64()),
+            "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
+            "neighbor_id": pa.array(df.neighbor_id.to_numpy(np.int64), pa.int64()),
+        }
     )

@@ -157,7 +157,22 @@ ROWS_ONLY_MIN = {
     "facet_cardinality_hll": 1,
     "facet_percentiles_tdigest": 5,
     "bloom_url_filter": 1,
+    "knn_cosine_q8": 10,
 }
+
+
+def test_quantized_knn_recall_vs_exact(entry_mod):
+    """int8-quantized kNN must recover ≥80 % of the exact float
+    neighbors at k=5 (quantization rounding is the only difference)."""
+    exact = _to_df(entry_mod.queries()["knn_cosine"](SF))
+    q8 = _to_df(entry_mod.queries()["knn_cosine_q8"](SF))
+    hits = tot = 0
+    for qid in exact.query_id.unique():
+        a = set(exact[exact.query_id == qid].neighbor_id)
+        b = set(q8[q8.query_id == qid].neighbor_id)
+        hits += len(a & b)
+        tot += len(a)
+    assert tot > 0 and hits / tot >= 0.8, (hits, tot)
 
 
 def test_bloom_url_filter_contract(entry_mod):
