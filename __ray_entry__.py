@@ -687,6 +687,18 @@ def q_facet_percentiles_tdigest(sf_dir: str) -> pa.Table:
     return percentiles(ds, matched, "blen", _PCTS, approx=True)
 
 
+_RANK_VALUES = [100.0, 250.0, 400.0, 550.0]
+
+
+def q_facet_percentile_ranks(sf_dir: str) -> pa.Table:
+    """OpenSearch ``percentile_ranks``: % of matched docs whose body
+    length is ≤ each probe value (exact, constant-size partials)."""
+    from docs_indexer_ray.query.facets import percentile_ranks
+
+    ds, matched = _blen_ds_and_matched(sf_dir)
+    return percentile_ranks(ds, matched, "blen", _RANK_VALUES)
+
+
 def q_facet_significant_terms(sf_dir: str) -> pa.Table:
     """OpenSearch ``significant_terms`` aggregation (JLH scoring):
     the 10 terms most overrepresented in the flagship query's match
@@ -1666,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_histogram": q_facet_histogram,
         "facet_range": q_facet_range,
         "facet_percentiles": q_facet_percentiles,
+        "facet_percentile_ranks": q_facet_percentile_ranks,
         "facet_significant_terms": q_facet_significant_terms,
         "more_like_this": q_more_like_this,
         "match_phrase_slop": q_match_phrase_slop,
@@ -2221,6 +2234,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
                CAST(doc_id AS BIGINT) AS doc_id
         FROM scores ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+    """
+    rank_vals = ", ".join(f"({v!r})" for v in [100.0, 250.0, 400.0, 550.0])
+    sqls["facet_percentile_ranks"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        v AS (SELECT CAST(length(d.body) AS DOUBLE) AS blen
+              FROM docs d JOIN m USING (doc_id)),
+        probes(value) AS (VALUES {rank_vals})
+        SELECT CAST(p.value AS DOUBLE) AS value,
+               100.0 * (SELECT count(*) FROM v WHERE v.blen <= p.value)
+                 / (SELECT count(*) FROM v) AS rank_pct
+        FROM probes p ORDER BY p.value
     """
     sqls["facet_significant_terms"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

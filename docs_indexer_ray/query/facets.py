@@ -32,6 +32,7 @@ __all__ = [
     "histogram",
     "range_facet",
     "percentiles",
+    "percentile_ranks",
     "terms_facet",
     "rare_terms_facet",
     "multi_terms_facet",
@@ -328,6 +329,63 @@ def percentiles(
         {
             "pct": pa.array([float(q) for q in qs], pa.float64()),
             "value": pa.array(out, pa.float64()),
+        }
+    )
+
+
+def percentile_ranks(
+    docs_ds,
+    matched: np.ndarray,
+    col: str,
+    values: list[float],
+) -> pa.Table:
+    """OpenSearch ``percentile_ranks`` (inverse percentiles): for each
+    requested value, the percentage of matched docs whose ``col`` is ≤
+    that value → ``(value, rank_pct)``.  Exact, single-division double
+    (``100·count/total`` — the SQL oracle's expression shape).
+
+    Shape at scale: per-block partial ``(count ≤ v per v, n)`` — ONE
+    constant-size row per block, like :func:`range_facet`."""
+    import ray
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    vals = np.array(sorted(values), np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        counts = (v[:, None] <= vals[None, :]).sum(axis=0)
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(vals)), pa.int64()),
+                "le": pa.array(counts.astype(np.int64), pa.int64()),
+                "n": pa.array(np.full(len(vals), len(v), np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    le = np.zeros(len(vals), np.int64)
+    n = 0
+    for p in parts:
+        le[p["i"].to_numpy()] += p["le"].to_numpy()
+        if p.num_rows:
+            n += int(p["n"][0].as_py())
+    if n == 0:
+        return pa.table(
+            {
+                "value": pa.array(vals, pa.float64()),
+                "rank_pct": pa.array([None] * len(vals), pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "value": pa.array(vals, pa.float64()),
+            "rank_pct": pa.array(100.0 * le / n, pa.float64()),
         }
     )
 

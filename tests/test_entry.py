@@ -88,6 +88,7 @@ SQL_BACKED = [
     "facet_histogram",
     "facet_range",
     "facet_percentiles",
+    "facet_percentile_ranks",
     "facet_significant_terms",
     "more_like_this",
     "match_phrase_slop",

@@ -276,6 +276,18 @@ def test_histogram_range_percentiles_facets(built, ray_session):
     for v in pt["value"].to_pylist():
         assert lo_v <= v <= hi_v
 
+    # percentile_ranks: inverse percentiles, exact counts
+    from docs_indexer_ray.query.facets import percentile_ranks
+
+    probes = [-500.0, 0.0, 150.0, 1000.0]
+    pr = percentile_ranks(ds, matched, "v", probes)
+    for val, pct in zip(pr["value"].to_pylist(), pr["rank_pct"].to_pylist()):
+        assert pct == pytest.approx(100.0 * (mv <= val).sum() / len(mv))
+    assert pr["rank_pct"].to_pylist()[0] == 0.0
+    assert pr["rank_pct"].to_pylist()[-1] == 100.0
+    pr0 = percentile_ranks(ds, np.empty(0, np.int64), "v", probes)
+    assert all(x is None for x in pr0["rank_pct"].to_pylist())
+
 
 def test_multi_terms_facet(built, ray_session):
     import ray.data
