@@ -174,6 +174,40 @@ def run_bench() -> dict:
             finally:
                 svc.shutdown()
 
+        # aggregation latencies over the fresh index (terms facet +
+        # numeric percentiles + significant_terms) — the query-DSL
+        # surfaces a search UI hits alongside BM25
+        agg_stats: dict = {}
+        try:
+            import numpy as _np
+            import pyarrow as _pa
+            import pyarrow.compute as _pcx
+            import ray.data as _rd
+
+            from docs_indexer_ray.query.facets import (
+                match_doc_ids,
+                percentiles,
+                terms_facet,
+            )
+            from docs_indexer_ray.query.significant import significant_terms
+
+            matched = match_doc_ids(reader, term_sets[0])
+            dset = _rd.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "lang", "n_chars"],
+            )
+            ta = time.time()
+            terms_facet(dset, matched, "lang")
+            agg_stats["facet_terms_s"] = round(time.time() - ta, 3)
+            ta = time.time()
+            percentiles(dset, matched, "n_chars", [50.0, 95.0, 99.0])
+            agg_stats["facet_percentiles_s"] = round(time.time() - ta, 3)
+            ta = time.time()
+            significant_terms(reader, matched, k=10)
+            agg_stats["significant_terms_s"] = round(time.time() - ta, 3)
+        except Exception as ex:  # bench must never die on an optional block
+            agg_stats["agg_error"] = str(ex)[:120]
+
         headline = t_build + t_query
         out = {
             "metric": "index build + BM25 query set (english analyzer, from-scratch inverted index)",
@@ -183,6 +217,7 @@ def run_bench() -> dict:
                 "build": round(t_build, 3),
                 "query_set": round(t_query, 3),
                 **{k: round(v, 3) for k, v in timings.items()},
+                **agg_stats,
             },
             "sf": sf_dir,
             "num_cpus": num_cpus,
