@@ -242,7 +242,26 @@ def q_knn_cosine_q8(sf_dir: str) -> pa.Table:
     queries = np.array(qt["embedding"].to_pylist(), np.float64)
     qids = qt["vec_id"].to_numpy(zero_copy_only=False)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return knn_cosine_quantized(quantize_embeddings(ds), queries, qids, k=5)
+    return _concat(knn_cosine_quantized(quantize_embeddings(ds), queries, qids, k=5))
+
+
+def q_knn_cosine_filtered(sf_dir: str) -> pa.Table:
+    """Filtered vector search: exact cosine kNN restricted to the
+    allowed subset ``vec_id % 3 == 0`` (metadata-filtered retrieval —
+    the allowed set is broadcast once; excluded rows drop BEFORE the
+    matmul)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import knn_cosine_filtered
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qsel = qt.filter(pc.less(qt["vec_id"], 5))
+    queries = np.array(qsel["embedding"].to_pylist(), np.float64)
+    qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
+    all_ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    allowed = all_ids[all_ids % 3 == 0]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _concat(knn_cosine_filtered(ds, queries, qids, allowed, k=5))
 
 
 def q_index_stats(sf_dir: str) -> pa.Table:
@@ -1693,6 +1712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": q_sample_stratified,
         "redact_pii": q_redact_pii,
         "knn_cosine_q8": q_knn_cosine_q8,
+        "knn_cosine_filtered": q_knn_cosine_filtered,
         "bm25_topk_compacted": q_bm25_topk_compacted,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
@@ -1857,6 +1877,16 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
             sims AS (SELECT qid, vec_id AS nid, list_cosine_similarity(qe, embedding) AS sim
                      FROM q, embeddings WHERE vec_id != qid),
+            ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+                       FROM sims)
+            SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+                   CAST(nid AS BIGINT) AS neighbor_id
+            FROM ranked WHERE rnk <= 5
+        """,
+        "knn_cosine_filtered": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            sims AS (SELECT qid, vec_id AS nid, list_cosine_similarity(qe, embedding) AS sim
+                     FROM q, embeddings WHERE vec_id != qid AND vec_id % 3 = 0),
             ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
                        FROM sims)
             SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["knn_cosine", "knn_lsh", "knn_ivf", "embedding_dup_pairs", "train_ivf_centroids", "quantize_embeddings", "knn_cosine_quantized"]
+__all__ = ["knn_cosine", "knn_lsh", "knn_ivf", "embedding_dup_pairs", "train_ivf_centroids", "quantize_embeddings", "knn_cosine_quantized", "knn_cosine_filtered"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -397,6 +397,71 @@ def embedding_dup_pairs(
     )
 
 
+def knn_cosine_filtered(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    allowed_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Filtered vector search: exact cosine top-k restricted to
+    ``allowed_ids`` (pre-filtered kNN, the vector-DB metadata-filter
+    primitive).  The allowed set is broadcast ONCE as a sorted id
+    array; each batch drops excluded rows BEFORE the matmul, so the
+    compute scales with the filtered corpus, not the full one.
+    Output ``(query_id, rank, neighbor_id)`` — identical to
+    :func:`knn_cosine` run over the filtered dataset."""
+    import ray
+
+    qn = _normalize(np.asarray(queries))
+    allowed = np.unique(np.asarray(allowed_ids, np.int64))
+    q_ref = ray.put((qn, np.asarray(query_ids, np.int64), allowed))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q, qids, ok_ids = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, ok_ids, assume_unique=False)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if not keep.any():
+            return empty
+        batch = batch.filter(pa.array(keep))
+        ids = ids[keep]
+        emb = _normalize(_embedding_matrix(batch, col))
+        sims = q @ emb.T
+        take = min(k + (1 if exclude_self else 0), sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = (
+                np.argpartition(-row, take - 1)[:take]
+                if take < len(row)
+                else np.arange(len(row))
+            )
+            out_q.extend([int(qids[qi])] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(row[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return _final_topk(
+        ds.map_batches(partial_topk, batch_format="pyarrow"), k, exclude_self
+    )
+
+
 def quantize_embeddings(ds, col: str = "embedding", id_col: str = "vec_id"):
     """Per-vector symmetric int8 quantization (scale = max|x| / 127):
     ``(id_col, emb_q list<int8>, scale float32)`` — 4× smaller vectors
@@ -475,29 +540,6 @@ def knn_cosine_quantized(
             }
         )
 
-    import ray
-
-    parts = [
-        ray.get(r)
-        for r in ds_q8.map_batches(partial_topk, batch_format="pyarrow").to_arrow_refs()
-    ]
-    t = pa.concat_tables([p for p in parts if p.num_rows])
-    import pandas as pd
-
-    df = t.to_pandas()
-    if exclude_self:
-        df = df[df.query_id != df.neighbor_id]
-    df = df.sort_values(
-        ["query_id", "sim", "neighbor_id"],
-        ascending=[True, False, True],
-        kind="mergesort",
-    )
-    df = df.groupby("query_id", sort=True).head(k)
-    df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
-    return pa.table(
-        {
-            "query_id": pa.array(df.query_id.to_numpy(np.int64), pa.int64()),
-            "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
-            "neighbor_id": pa.array(df.neighbor_id.to_numpy(np.int64), pa.int64()),
-        }
+    return _final_topk(
+        ds_q8.map_batches(partial_topk, batch_format="pyarrow"), k, exclude_self
     )

@@ -72,6 +72,7 @@ SQL_BACKED = [
     "dedup_exact",
     "ngram_jaccard",
     "knn_cosine",
+    "knn_cosine_filtered",
     "index_stats",
     "match_all_count",
     "bm25_topk",
