@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import signal
 import sys
 
@@ -173,6 +174,69 @@ def cmd_gc(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """_analyze: print an analyzer chain's token stream for a string."""
+    from .functions.analyzer import Analyzer
+
+    toks = Analyzer(args.chain)(args.text)
+    for i, t in enumerate(toks):
+        print(json.dumps({"position": i, "token": t}))
+    return 0
+
+
+def cmd_agg(args) -> int:
+    """Aggregations over a query's match set (terms / stats /
+    percentiles / significant) — the search-UI facet surface."""
+    _ray_session()
+    import numpy as np
+    import pyarrow.compute as pcx
+    import ray.data
+
+    from .functions.analyzer import Analyzer
+    from .index import manifest as mf
+    from .query.facets import (
+        match_doc_ids,
+        percentiles,
+        stats_facet,
+        terms_facet,
+    )
+    from .query.reader import IndexReader
+
+    reader = IndexReader(args.index)
+    terms = Analyzer(reader.chain)(args.q)
+    matched = match_doc_ids(reader, terms)
+    if args.kind == "significant":
+        from .query.significant import significant_terms
+
+        out = significant_terms(reader, matched, k=args.k)
+        print(out.to_pandas().to_json(orient="records"))
+        return 0
+    bdir = mf.current_build(args.index) or args.index
+    ds = ray.data.read_parquet(
+        os.path.join(bdir, "docs"), columns=["doc_id", args.field]
+    )
+    if args.kind == "terms":
+        out = terms_facet(ds, matched, args.field)
+    elif args.kind == "stats":
+        import pyarrow as pa_
+
+        ds = ds.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index(args.field),
+                args.field,
+                pcx.utf8_length(t[args.field]).cast(pa_.int64())
+                if pa_.types.is_string(t.schema.field(args.field).type)
+                else t[args.field],
+            ),
+            batch_format="pyarrow",
+        )
+        out = stats_facet(ds, matched, args.field)
+    else:  # percentiles
+        out = percentiles(ds, matched, args.field, [25.0, 50.0, 75.0, 95.0, 99.0])
+    print(out.to_pandas().to_json(orient="records"))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """delete_by_query: tombstone every doc matching any query term."""
     from .functions.analyzer import Analyzer
@@ -295,6 +359,23 @@ def main(argv: list[str] | None = None) -> int:
     g = sub.add_parser("gc", help="remove unpublished builds")
     g.add_argument("--root", required=True)
     g.set_defaults(fn=cmd_gc)
+
+    an = sub.add_parser("analyze", help="token stream of an analyzer chain")
+    an.add_argument("--chain", default="english")
+    an.add_argument("--text", required=True)
+    an.set_defaults(fn=cmd_analyze)
+
+    ag = sub.add_parser("agg", help="aggregations over a query's match set")
+    ag.add_argument("--index", required=True)
+    ag.add_argument("--q", required=True)
+    ag.add_argument(
+        "--kind",
+        choices=["terms", "stats", "percentiles", "significant"],
+        default="terms",
+    )
+    ag.add_argument("--field", default="lang")
+    ag.add_argument("-k", type=int, default=10)
+    ag.set_defaults(fn=cmd_agg)
 
     d = sub.add_parser("delete", help="delete_by_query (soft tombstones)")
     d.add_argument("--index", required=True)

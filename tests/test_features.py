@@ -240,6 +240,26 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys):
     assert main(["gc", "--root", out]) == 0
     assert json.loads(capsys.readouterr().out)["removed"] == []
 
+    # analyze + aggregations
+    assert main(["analyze", "--chain", "simple", "--text", "Node POOLS 42!"]) == 0
+    toks = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [t["token"] for t in toks] == ["node", "pools", "42"]
+
+    assert main(["agg", "--index", out, "--q", "node pools", "--kind", "terms",
+                 "--field", "lang"]) == 0
+    buckets = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert buckets and all("value" in b and "n_docs" in b for b in buckets)
+
+    assert main(["agg", "--index", out, "--q", "node pools",
+                 "--kind", "significant"]) == 0
+    sig = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sig and "term" in sig[0] and "score" in sig[0]
+
+    assert main(["agg", "--index", out, "--q", "node pools", "--kind", "stats",
+                 "--field", "body"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[0]
+    assert st["n_docs"] >= 1 and st["max_v"] >= st["min_v"]
+
     # lifecycle: delete_by_query → compact → reindex
     assert main(["delete", "--index", out, "--query", "node pools"]) == 0
     deleted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
