@@ -153,3 +153,70 @@ def test_rank_top_matches_full_sort_property():
         order = np.lexsort((nz, -scores[nz]))[: min(k, len(nz))]
         want = [(int(nz[i]), float(scores[nz[i]])) for i in order]
         assert got == want, (trial, n, k)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=0, max_size=400),
+    st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=40, deadline=None)
+def test_hll_split_invariance_and_bounds(keys, n_splits):
+    """HLL over ANY split of the input = HLL over the whole input
+    (max-merge is associative/commutative/idempotent), and the
+    estimate never goes negative or wildly past the true count."""
+    import numpy as np
+
+    from docs_indexer_ray.ops.sketch import HLL, _splitmix64
+
+    arr = np.array(keys, np.int64)
+    whole = HLL(12).add_hashes(_splitmix64(arr.view(np.uint64)))
+    merged = HLL(12)
+    for chunk in np.array_split(arr, n_splits):
+        if len(chunk):
+            merged.merge(HLL(12).add_hashes(_splitmix64(chunk.view(np.uint64))))
+    assert np.array_equal(whole.registers, merged.registers)
+    true_n = len(set(keys))
+    est = merged.estimate()
+    assert est >= 0
+    if true_n:
+        assert est <= true_n * 1.5 + 10
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6), min_size=1, max_size=500))
+@settings(max_examples=40, deadline=None)
+def test_tdigest_quantiles_monotone_and_bounded(values):
+    """t-digest quantile estimates are monotone in q and always lie
+    within [min, max] of the data."""
+    import numpy as np
+
+    from docs_indexer_ray.ops.sketch import TDigest
+
+    td = TDigest(50).add(np.array(values, np.float64))
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    ests = [td.quantile(q) for q in qs]
+    assert all(a <= b + 1e-9 for a, b in zip(ests, ests[1:]))
+    assert min(values) - 1e-9 <= ests[0] and ests[-1] <= max(values) + 1e-9
+
+
+@given(
+    st.lists(st.text(min_size=0, max_size=20), min_size=0, max_size=300),
+    st.lists(st.text(min_size=0, max_size=20), min_size=0, max_size=100),
+)
+@settings(max_examples=30, deadline=None)
+def test_bloom_never_false_negative(added, probes):
+    """Every added key tests present, no matter what; merge of split
+    filters equals the whole filter."""
+    import numpy as np
+    import pyarrow as pa
+
+    from docs_indexer_ray.ops.sketch import BloomFilter
+
+    bf = BloomFilter.sized(max(len(added), 1), 0.01)
+    col = pa.array(added, pa.string())
+    bf.add_column(col)
+    if added:
+        assert bf.contains_column(col).all()
+    half = len(added) // 2
+    a = BloomFilter(bf.m, bf.k).add_column(pa.array(added[:half], pa.string()))
+    b = BloomFilter(bf.m, bf.k).add_column(pa.array(added[half:], pa.string()))
+    assert np.array_equal(a.merge(b).bits, bf.bits)
