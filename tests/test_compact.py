@@ -78,6 +78,51 @@ def test_compact_equals_fresh_build_over_survivors(ray_session, tmp_path):
     )
 
 
+def test_compact_resume_reuses_finished_docparts(ray_session, tmp_path):
+    """An interrupted compaction resumes: already-written output
+    docparts are reused (mtime unchanged), and the finished build is
+    still correct."""
+    import time as _time
+
+    from docs_indexer_ray.index import manifest as mf
+    from docs_indexer_ray.index.compact import compact_index
+    from docs_indexer_ray.index.deletes import add_deletes
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    pages = rich_pages_table(40, dup_every=0)
+    src = str(tmp_path / "src")
+    _build(pages, src, fingerprint="s")
+    add_deletes(src, [3, 17, 25])
+
+    out = str(tmp_path / "cmp")
+    man1 = compact_index(src, out, publish=False)
+    bdir = mf.build_dir(out, man1["prefix"], man1["fingerprint"])
+    docs_dir = os.path.join(bdir, "docs")
+    # simulate interruption AFTER the docs rewrite: drop the manifest +
+    # segments, keep docs — rerun must reuse the docpart files
+    import shutil
+
+    shutil.rmtree(os.path.join(bdir, "segments"))
+    os.remove(os.path.join(bdir, "manifest.json"))
+    before = {
+        p: os.path.getmtime(os.path.join(docs_dir, p, f))
+        for p in os.listdir(docs_dir)
+        for f in os.listdir(os.path.join(docs_dir, p))
+    }
+    _time.sleep(0.05)
+    man2 = compact_index(src, out)
+    after = {
+        p: os.path.getmtime(os.path.join(docs_dir, p, f))
+        for p in os.listdir(docs_dir)
+        for f in os.listdir(os.path.join(docs_dir, p))
+    }
+    assert before == after  # resume skip: no docpart rewritten
+    assert man2["fingerprint"] == man1["fingerprint"]
+    r = IndexReader(out)
+    assert r.n_docs == 37 and r.match_all_count() == 37
+
+
 def test_reindex_new_chain_equals_fresh_build(ray_session, tmp_path):
     from docs_indexer_ray.index.compact import reindex_index
     from docs_indexer_ray.index.deletes import add_deletes
