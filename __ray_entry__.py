@@ -763,6 +763,39 @@ def q_facet_top_hits(sf_dir: str) -> pa.Table:
     return top_hits(ds, matched, group_col="lang", sort_col="warc_ts", k=3)
 
 
+def q_facet_date_range(sf_dir: str) -> pa.Table:
+    """OpenSearch ``date_range`` aggregation: matched-doc counts per
+    explicit [from, to) timestamp bucket — composition of the
+    epoch-seconds derivation and ``range_facet`` (same partial-count
+    machinery; empty buckets kept)."""
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import match_doc_ids, range_facet
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts"])
+
+    def to_epoch(t: pa.Table) -> pa.Table:
+        us = t["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "epoch_s": pc.divide(us, pa.scalar(1_000_000, pa.int64())),
+            }
+        )
+
+    base = 1735689600  # 2025-01-01T00:00:00Z
+    ranges = [
+        (float(base), float(base + 120)),
+        (float(base + 120), float(base + 300)),
+        (float(base + 300), float(base + 100000)),
+    ]
+    return range_facet(
+        ds.map_batches(to_epoch, batch_format="pyarrow"), matched, "epoch_s", ranges
+    )
+
+
 def q_facet_rare_terms(sf_dir: str) -> pa.Table:
     """OpenSearch ``rare_terms``: long-tail body lengths (≤ 2 matched
     docs per value) among the flagship query's matches."""
@@ -1708,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_explain": q_bm25_explain,
         "bm25_collapse": q_bm25_collapse,
         "facet_rare_terms": q_facet_rare_terms,
+        "facet_date_range": q_facet_date_range,
         "analyze": q_analyze,
         "sample_stratified": q_sample_stratified,
         "redact_pii": q_redact_pii,
@@ -2340,6 +2374,23 @@ def oracle_sql() -> dict[str, str]:
                  * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / stats.avgdl))) AS weight
         FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = 7, stats
         ORDER BY tf.term
+    """
+    _B = 1735689600
+    dr_rows = ", ".join(
+        f"({float(a)!r}, {float(b)!r})"
+        for a, b in [(_B, _B + 120), (_B + 120, _B + 300), (_B + 300, _B + 100000)]
+    )
+    sqls["facet_date_range"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        v AS (SELECT CAST(epoch_us({_WARC}) // 1000000 AS DOUBLE) AS es
+              FROM documents JOIN m USING (doc_id)),
+        r(lo, hi) AS (VALUES {dr_rows})
+        SELECT CAST(r.lo AS DOUBLE) AS lo, CAST(r.hi AS DOUBLE) AS hi,
+               CAST(count(v.es) AS BIGINT) AS n_docs
+        FROM r LEFT JOIN v ON v.es >= r.lo AND v.es < r.hi
+        GROUP BY r.lo, r.hi ORDER BY r.lo
     """
     sqls["facet_rare_terms"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -101,6 +101,7 @@ SQL_BACKED = [
     "bm25_topk_compacted",
     "bm25_collapse",
     "facet_rare_terms",
+    "facet_date_range",
     "analyze",
     "sample_stratified",
     "redact_pii",
