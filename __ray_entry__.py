@@ -986,6 +986,60 @@ def q_bm25_topk_compacted(sf_dir: str) -> pa.Table:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_bm25_topk_incremental(sf_dir: str) -> pa.Table:
+    """The nightly-delta flow end-to-end: base index over the url-range
+    first half, ``incremental_update`` with the FULL pages stream (the
+    seen half must be filtered out, not duplicated), flagship BM25 over
+    the merged result — ranks keyed by url, pinned to the full-corpus
+    SQL."""
+    import shutil
+    import tempfile
+
+    from docs_indexer_ray.index import manifest as _mf
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.pipelines.flagship import pages_dataset
+    from docs_indexer_ray.pipelines.incremental import incremental_update
+    from docs_indexer_ray.query.bm25 import topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import synthetic_url_boundaries
+
+    tmp = tempfile.mkdtemp(prefix="dixr_incr_")
+    try:
+        mid = synthetic_url_boundaries(sf_dir, 2, 1)[0]
+        pages = pages_dataset(sf_dir)
+        first_half = pages.map_batches(
+            lambda t: t.filter(pc.less(t["url"], pa.scalar(mid))),
+            batch_format="pyarrow",
+        )
+        base_root = os.path.join(tmp, "base")
+        build_index(
+            first_half,
+            base_root,
+            prefix="docs",
+            field="body",
+            chain="simple",
+            fingerprint="half",
+            num_parts=8,
+        )
+        out_root = os.path.join(tmp, "merged")
+        man = incremental_update(base_root, pages_dataset(sf_dir), out_root,
+                                 fingerprint="delta")
+        reader = IndexReader(_mf.current_build(out_root))
+        assert reader.n_docs == man["n_docs"]
+        # the url-range split makes merged doc ids ≡ the full build's
+        # (base = first-half urls in url order, delta shifted by n1) —
+        # so the full-corpus bm25 SQL pins this query directly
+        hits = topk(reader, list(_BM25_TERMS), k=10)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+                "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_bm25_explain(sf_dir: str) -> pa.Table:
     """OpenSearch ``_explain``: per-term BM25 score breakdown of doc 7
     for the flagship query (idf / weight are single IEEE expressions —
@@ -1748,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_q8": q_knn_cosine_q8,
         "knn_cosine_filtered": q_knn_cosine_filtered,
         "bm25_topk_compacted": q_bm25_topk_compacted,
+        "bm25_topk_incremental": q_bm25_topk_incremental,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
         "keyword_date_filter": q_keyword_date_filter,
@@ -2073,6 +2128,7 @@ def oracle_sql() -> dict[str, str]:
     # id assignment), so the same oracle pins the merge path too
     sqls["bm25_topk_sharded"] = sqls["bm25_topk"]
     sqls["bm25_topk_merged"] = sqls["bm25_topk"]
+    sqls["bm25_topk_incremental"] = sqls["bm25_topk"]
     _WARC = (
         "TIMESTAMP '2025-01-01 00:00:00' + to_microseconds(doc_id * 1000000) "
         "+ CASE WHEN doc_id % 10 = 0 THEN INTERVAL 1 HOUR ELSE INTERVAL 0 SECOND END"

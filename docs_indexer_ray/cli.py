@@ -237,6 +237,23 @@ def cmd_agg(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Nightly-delta flow: filter seen urls, delta-build, merge."""
+    _ray_session()
+    import ray.data
+
+    from .pipelines.incremental import incremental_update
+
+    man = incremental_update(
+        args.index,
+        ray.data.read_parquet(args.input),
+        args.out,
+        filter_mode=args.filter,
+    )
+    print(json.dumps({"fingerprint": man["fingerprint"], "n_docs": man["n_docs"]}))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """delete_by_query: tombstone every doc matching any query term."""
     from .functions.analyzer import Analyzer
@@ -376,6 +393,13 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--field", default="lang")
     ag.add_argument("-k", type=int, default=10)
     ag.set_defaults(fn=cmd_agg)
+
+    u = sub.add_parser("update", help="incremental delta build + merge")
+    u.add_argument("--index", required=True)
+    u.add_argument("--input", required=True, help="new pages parquet")
+    u.add_argument("--out", required=True)
+    u.add_argument("--filter", choices=["exact", "bloom"], default="exact")
+    u.set_defaults(fn=cmd_update)
 
     d = sub.add_parser("delete", help="delete_by_query (soft tombstones)")
     d.add_argument("--index", required=True)

@@ -174,6 +174,8 @@ def approx_distinct(ds, col: str, p: int = 14) -> int:
     ]
     acc = HLL(p)
     for part in parts:
+        if "sketch" not in part.column_names:  # empty block passthrough
+            continue
         for buf in part["sketch"].to_pylist():
             acc.merge(HLL(p, np.frombuffer(buf, np.uint8)))
     return int(round(acc.estimate()))
@@ -415,6 +417,8 @@ def bloom_from_dataset(ds, col: str, capacity: int, fp_rate: float = 0.01):
         ray.get(r)
         for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
     ]:
+        if "bits" not in part.column_names:  # empty block passthrough
+            continue
         for buf in part["bits"].to_pylist():
             acc.merge(BloomFilter(m, k, np.frombuffer(buf, np.uint8).copy()))
     return acc

@@ -271,7 +271,8 @@ def percentiles(
                 sk_partial, batch_format="pyarrow"
             ).to_arrow_refs()
         ]:
-            acc.merge(TDigest.from_row(part))
+            if "means" in part.column_names:  # empty block passthrough
+                acc.merge(TDigest.from_row(part))
         vals = [acc.quantile(q / 100.0) for q in qs]
         return pa.table(
             {

@@ -153,3 +153,61 @@ def test_reindex_new_chain_equals_fresh_build(ray_session, tmp_path):
     add_deletes(src, [1, 2])
     with pytest.raises(ValueError, match="tombstones"):
         reindex_index(src, str(tmp_path / "nope"))
+
+
+def test_incremental_update_equals_full_rebuild(ray_session, tmp_path):
+    """Nightly-delta flow: base over half the corpus + incremental
+    update with the FULL corpus (overlap must be skipped) ≡ a
+    from-scratch build over everything — same hits per url; and a
+    second update with nothing new is a no-op."""
+    import ray.data
+
+    from docs_indexer_ray.index import manifest as mf
+    from docs_indexer_ray.pipelines.incremental import incremental_update
+    from docs_indexer_ray.query.bm25 import topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    pages = rich_pages_table(60, dup_every=0)
+    urls = pages["url"].to_pylist()
+    half = pa.array([u <= sorted(urls)[29] for u in urls])
+    base_root = str(tmp_path / "base")
+    _build(pages.filter(half), base_root, fingerprint="b")
+
+    out_root = str(tmp_path / "merged")
+    for mode in ("exact", "bloom"):
+        man = incremental_update(
+            base_root,
+            ray.data.from_arrow(pages),  # full corpus: 30 seen + 30 new
+            out_root + mode,
+            filter_mode=mode,
+            fingerprint="d1" + mode,
+        )
+        assert man["n_docs"] == 60, mode  # overlap skipped, not duplicated
+
+        fresh_root = str(tmp_path / ("fresh" + mode))
+        _build(pages, fresh_root, fingerprint="f")
+        rm, rf = IndexReader(out_root + mode), IndexReader(fresh_root)
+        assert rm.n_docs == rf.n_docs
+        for q in (["node", "pools"], ["the", "changelog"]):
+            def urls_of(reader, hits):
+                t = reader.fetch_docs([d for d, _ in hits], columns=["doc_id", "url"])
+                m = dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+                return [(m[d], round(s, 9)) for d, s in hits]
+
+            assert urls_of(rm, topk(rm, q, k=10)) == urls_of(rf, topk(rf, q, k=10)), (
+                mode,
+                q,
+            )
+
+    # idempotent: updating again with the same corpus changes nothing
+    man2 = incremental_update(
+        out_root + "exact",
+        ray.data.from_arrow(pages),
+        str(tmp_path / "noop"),
+        fingerprint="d2",
+    )
+    assert man2["n_docs"] == 60
+    assert man2["fingerprint"] == mf.read_manifest(
+        mf.current_build(out_root + "exact")
+    )["fingerprint"]

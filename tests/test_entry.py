@@ -99,6 +99,7 @@ SQL_BACKED = [
     "facet_multi_terms",
     "bm25_explain",
     "bm25_topk_compacted",
+    "bm25_topk_incremental",
     "bm25_collapse",
     "facet_rare_terms",
     "facet_date_range",
