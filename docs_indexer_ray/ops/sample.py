@@ -12,6 +12,11 @@ driver's DuckDB oracle checks it bit-exactly.
 
 For rates that aren't multiples of 1/16, ``bits`` controls the hex
 prefix width (rate granularity ``16^-bits``).
+
+Cost note: md5-per-row is the DELIBERATE price of SQL replicability
+(DuckDB ``md5()`` pins the oracle bit-exactly); at ~1 µs/row it is
+far from the pipeline's bottleneck, but a parity-free variant should
+swap in the vectorized splitmix64 from ``ops/sketch.py``.
 """
 
 from __future__ import annotations
