@@ -214,6 +214,23 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     return _as_i64(t, ["a", "b", "inter", "na", "nb"])
 
 
+def q_dup_components(sf_dir: str) -> pa.Table:
+    """The dedup ENDGAME: n-gram-Jaccard near-dup pairs → transitive
+    closure via distributed hash-to-min label propagation
+    (``ops/components.py``) → one ``(node, component)`` row per
+    clustered doc, component = the cluster's minimum doc id.  The SQL
+    oracle recomputes the closure with a recursive CTE over the same
+    pair set."""
+    from docs_indexer_ray.ops.components import connected_components
+    from docs_indexer_ray.ops.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _documents_with_copies_ds(sf_dir), n=3, threshold=0.5
+    )
+    cc = connected_components(pairs, a="a", b="b")  # driver mode: Arrow table
+    return _as_i64(cc, ["node", "component"]).sort_by("node")
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1760,6 +1777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": q_fingerprint_md5,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_components": q_dup_components,
         "knn_cosine": q_knn_cosine,
         "index_stats": q_index_stats,
         "match_all_count": q_match_all_count,
@@ -1961,6 +1979,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
             FROM pair JOIN cnt ca ON ca.doc_id = pair.a JOIN cnt cb ON cb.doc_id = pair.b
             WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+        """,
+        "dup_components": f"""
+            WITH RECURSIVE all_rows AS ({_DUP_UNION}),
+            t AS (SELECT doc_id, {_toks('text')} AS toks FROM all_rows),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+                  FROM t WHERE len(toks) >= 3),
+            cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            pair AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS inter
+                     FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+                     GROUP BY ga.doc_id, gb.doc_id),
+            p2 AS (SELECT a, b FROM pair
+                   JOIN cnt ca ON ca.doc_id = pair.a JOIN cnt cb ON cb.doc_id = pair.b
+                   WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+            edges AS (SELECT a AS src, b AS dst FROM p2
+                      UNION ALL SELECT b, a FROM p2),
+            walk(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(label) AS BIGINT) AS component
+            FROM walk GROUP BY node ORDER BY node
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

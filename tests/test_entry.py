@@ -71,6 +71,7 @@ SQL_BACKED = [
     "fingerprint_md5",
     "dedup_exact",
     "ngram_jaccard",
+    "dup_components",
     "knn_cosine",
     "knn_cosine_filtered",
     "index_stats",

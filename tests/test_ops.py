@@ -524,6 +524,68 @@ def test_tdigest_accuracy_merge_and_edges():
         TDigest(100).merge(TDigest(200))
 
 
+def test_connected_components_and_canonical(ray_session):
+    import ray.data
+
+    from docs_indexer_ray.ops.components import canonical_docs, connected_components
+
+    # chain (diameter 3), triangle, isolated edge — mixed topologies
+    pairs = pa.table(
+        {
+            "a": pa.array([0, 1, 2, 10, 10, 11, 20], pa.int64()),
+            "b": pa.array([1, 2, 3, 11, 12, 12, 21], pa.int64()),
+        }
+    )
+    t = connected_components(ray.data.from_arrow(pairs).repartition(3)).sort_by(
+        "node"
+    )
+    got = dict(zip(t["node"].to_pylist(), t["component"].to_pylist()))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # the distributed hash-to-min rounds agree with the driver fold
+    cc_d = connected_components(
+        ray.data.from_arrow(pairs), num_buckets=2, mode="distributed"
+    )
+    parts = [ray.get(r) for r in cc_d.to_arrow_refs()]
+    td = pa.concat_tables([p for p in parts if p.num_rows]).sort_by("node")
+    assert td.equals(t)
+
+    # canonical filter: keep cluster minima + untouched docs
+    docs = pa.table({"doc_id": pa.array(list(range(25)), pa.int64())})
+    kept = canonical_docs(ray.data.from_arrow(docs).repartition(4), t)
+    k = sorted(
+        pa.concat_tables(
+            [p for p in (ray.get(r) for r in kept.to_arrow_refs()) if p.num_rows]
+        )["doc_id"].to_pylist()
+    )
+    clustered = set(got)
+    want = sorted(
+        d for d in range(25) if d not in clustered or got[d] == d
+    )
+    assert k == want
+
+    # long path with ADVERSARIAL (shuffled) ids: pointer jumping +
+    # both-direction scatter still converge
+    n = 64
+    rs = np.random.RandomState(3)
+    perm = rs.permutation(10_000)[:n]
+    path = pa.table(
+        {
+            "a": pa.array(perm[:-1], pa.int64()),
+            "b": pa.array(perm[1:], pa.int64()),
+        }
+    )
+    t2 = connected_components(ray.data.from_arrow(path).repartition(7))
+    assert set(t2["component"].to_pylist()) == {int(perm.min())}
+    assert t2.num_rows == n
+
+    # backstop fires when no rounds are allowed
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(ray.data.from_arrow(path), max_iter=0)
+    with pytest.raises(ValueError, match="mode"):
+        connected_components(ray.data.from_arrow(path), mode="nope")
+
+
 def test_redact_pii_and_normalize_whitespace(ray_session):
     import ray.data
 
