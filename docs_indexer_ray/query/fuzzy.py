@@ -164,36 +164,100 @@ def _wildcard_regex(pattern: str) -> re.Pattern:
     return re.compile("".join(parts))
 
 
+def _vocab_trigram_index(reader: IndexReader) -> dict[str, np.ndarray]:
+    """Padded-trigram → sorted term-index postings over the loaded
+    dictionary (pg_trgm's structure) — built lazily ONCE per reader,
+    cached like the postings cache; vocabulary-scale memory."""
+    if not hasattr(reader, "_wc_trigram_index"):
+        terms, _ = reader.term_dictionary()
+        tri: dict[str, list[int]] = {}
+        for i, t in enumerate(terms.tolist()):
+            padded = f"^{t}$"
+            for j in range(max(len(padded) - 2, 1)):
+                tri.setdefault(padded[j : j + 3], []).append(i)
+        reader._wc_trigram_index = {
+            g: np.array(v, np.int64) for g, v in tri.items()
+        }
+    return reader._wc_trigram_index
+
+
+def _pattern_trigrams(pattern: str) -> list[str]:
+    """Trigram constraints every match must contain: trigrams of each
+    literal run, anchored with ``^``/``$`` when the run touches the
+    pattern's start/end (a ``?`` contributes position, not letters, so
+    runs split on BOTH wildcard chars)."""
+    padded = f"^{pattern}$"
+    out: list[str] = []
+    run: list[str] = []
+    for ch in padded:
+        if ch in "*?":
+            if len(run) >= 3:
+                out.extend(
+                    "".join(run[i : i + 3]) for i in range(len(run) - 2)
+                )
+            run = []
+        else:
+            run.append(ch)
+    if len(run) >= 3:
+        out.extend("".join(run[i : i + 3]) for i in range(len(run) - 2))
+    return out
+
+
 def wildcard_terms(
     reader: IndexReader, pattern: str, limit: int = 10_000
 ) -> list[tuple[str, int]]:
     """Terms fully matching a ``*``/``?`` pattern, by descending df
     (term asc tie-break) — OpenSearch's ``wildcard`` query surface.
 
-    The literal prefix before the first wildcard narrows the scan to
-    a binary-search range of the sorted dictionary (same trick as
-    ``reader.prefix_terms``); only that slice is regex-tested.  A
-    leading-wildcard pattern scans the whole (per-shard) dictionary —
-    the same cost caveat OpenSearch documents for ``wildcard``."""
+    Plan, best-first:
+
+    1. literal prefix before the first wildcard → binary-search range
+       of the sorted dictionary (same trick as ``reader.prefix_terms``);
+    2. otherwise (leading/infix wildcards) the pattern's literal runs
+       become TRIGRAM constraints intersected against a lazily-built
+       vocabulary trigram index (the pg_trgm acceleration — OpenSearch
+       documents leading wildcards as full-dictionary scans; here they
+       cost |shortest trigram posting| instead), candidates verified
+       by regex;
+    3. full scan only when no literal run is ≥3 chars (nothing to
+       index on)."""
     cut = min(
         [i for i, c in enumerate(pattern) if c in "*?"] or [len(pattern)]
     )
     prefix = pattern[:cut]
     terms, dfs = reader.term_dictionary()
-    if prefix:
-        lo = int(np.searchsorted(terms, prefix))
-        hi = int(np.searchsorted(terms, prefix + "￿"))
-        terms, dfs = terms[lo:hi], dfs[lo:hi]
     if cut == len(pattern):
         hits = [
             (t, int(d)) for t, d in zip(terms.tolist(), dfs.tolist()) if t == pattern
         ]
+        hits.sort(key=lambda kv: (-kv[1], kv[0]))
+        return hits[:limit]
+    rx = _wildcard_regex(pattern)
+    if prefix:
+        lo = int(np.searchsorted(terms, prefix))
+        hi = int(np.searchsorted(terms, prefix + "￿"))
+        cand_terms, cand_dfs = terms[lo:hi], dfs[lo:hi]
     else:
-        rx = _wildcard_regex(pattern[cut:])
-        hits = [
-            (t, int(d))
-            for t, d in zip(terms.tolist(), dfs.tolist())
-            if rx.fullmatch(t[cut:])
-        ]
+        grams = _pattern_trigrams(pattern)
+        if grams:
+            tri = _vocab_trigram_index(reader)
+            idx: np.ndarray | None = None
+            for g in grams:
+                post = tri.get(g)
+                if post is None:
+                    return []  # a required trigram exists in no term
+                idx = post if idx is None else np.intersect1d(
+                    idx, post, assume_unique=True
+                )
+                if len(idx) == 0:
+                    return []
+            cand_terms, cand_dfs = terms[idx], dfs[idx]
+        else:  # e.g. "*a*" — nothing to constrain on
+            cand_terms, cand_dfs = terms, dfs
+    hits = [
+        (t, int(d))
+        for t, d in zip(cand_terms.tolist(), cand_dfs.tolist())
+        if rx.fullmatch(t)
+    ]
     hits.sort(key=lambda kv: (-kv[1], kv[0]))
     return hits[:limit]

@@ -709,7 +709,21 @@ def test_fuzzy_and_wildcard(built):
     # wildcard: fnmatch oracle over the dictionary, df desc / term asc
     import fnmatch
 
-    for pattern in ("no?e*", "*ool*", "quota", "z*"):
+    # mix of prefix-ranged, trigram-accelerated (leading/infix
+    # wildcards with a ≥3-char literal run), unconstrained-scan
+    # ("*a*"), ?-split runs, and no-match patterns — every plan leg
+    for pattern in (
+        "no?e*",
+        "*ool*",
+        "quota",
+        "z*",
+        "*ster",
+        "*lust*r",
+        "*a*",
+        "?ode*",
+        "*zzqx*",
+        "*po?ls*",
+    ):
         got = wildcard_terms(reader, pattern, limit=10**6)
         want = [
             (t, int(d))
@@ -718,3 +732,5 @@ def test_fuzzy_and_wildcard(built):
         ]
         want.sort(key=lambda kv: (-kv[1], kv[0]))
         assert got == want, pattern
+    # the trigram index is built once and cached on the reader
+    assert hasattr(reader, "_wc_trigram_index")
