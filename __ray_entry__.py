@@ -320,6 +320,45 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_knn_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
+    2009; OpenSearch's hybrid-query RRF processor) of a BM25 top-100
+    leg and an exact-cosine kNN top-100 leg for the same information
+    need, fused to a top-10 with ``rrf(d) = Σ 1/(60 + rank_leg(d))``.
+
+    ``embeddings.vec_id`` is modeled as the embedding of document
+    ``doc_id`` (the synthetic tables are row-aligned); the vector leg
+    ranks neighbors of doc 0's embedding.  Each leg is the distributed
+    part (WAND / broadcast-matmul ``knn_cosine``); fusion sees only
+    ≤ 200 candidate rows — output-scale by construction
+    (``query/hybrid.py``).  The fused double is bit-identical to the
+    SQL ``COALESCE(1.0/(60+r),0) + COALESCE(...)`` expression shape."""
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import knn_cosine
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import wand_topk
+    from docs_indexer_ray.query.hybrid import rrf_fuse
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    hits = wand_topk(IndexReader(root), list(_BM25_TERMS), k=100)
+    bm_rank = {int(d): r for r, (d, _) in enumerate(hits, 1)}
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q0 = qt.filter(pc.equal(qt["vec_id"], 0))
+    queries = np.array(q0["embedding"].to_pylist(), np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    knn = _concat(knn_cosine(ds, queries, np.array([0], np.int64), k=100))
+    kn_rank = {
+        int(n): int(r)
+        for n, r in zip(
+            knn["neighbor_id"].to_pylist(), knn["rank"].to_pylist()
+        )
+    }
+    return rrf_fuse([bm_rank, kn_rank], k=60, topn=10)
+
+
 def q_bm25_topk_filtered(sf_dir: str) -> pa.Table:
     """Filtered BM25 (Lucene filtered-query semantics: GLOBAL
     statistics, post-scoring keyword/date predicate): same terms as
@@ -1782,6 +1821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": q_index_stats,
         "match_all_count": q_match_all_count,
         "bm25_topk": q_bm25_topk,
+        "bm25_knn_rrf": q_bm25_knn_rrf,
         "bm25_topk_sharded": q_bm25_topk_sharded,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_bool": q_bm25_bool,
@@ -2196,6 +2236,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(doc_id AS BIGINT) AS doc_id
         FROM scores JOIN allowed USING (doc_id)
         ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    # hybrid RRF: BM25 leg ranks (top-100) fused with a kNN leg
+    # (neighbors of vec 0's embedding, self excluded, top-100) by
+    # 1/(60+rank) sums — the engine computes the same doubles in the
+    # same left-to-right expression shape (query/hybrid.py)
+    sqls["bm25_knn_rrf"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id),
+        bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+               FROM scores ORDER BY score DESC, doc_id ASC LIMIT 100),
+        q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        knn AS (SELECT vec_id AS doc_id,
+                       row_number() OVER (ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id ASC) AS rnk
+                FROM embeddings, q0 WHERE vec_id != 0
+                QUALIFY rnk <= 100),
+        ids AS (SELECT doc_id FROM bm UNION SELECT doc_id FROM knn),
+        fused AS (SELECT ids.doc_id,
+                         COALESCE(1.0 / (60 + bm.rnk), 0.0)
+                           + COALESCE(1.0 / (60 + knn.rnk), 0.0) AS rrf
+                  FROM ids LEFT JOIN bm USING (doc_id) LEFT JOIN knn USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id, rrf
+        FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
     """
     sqls["bm25_bool"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

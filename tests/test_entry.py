@@ -77,6 +77,7 @@ SQL_BACKED = [
     "index_stats",
     "match_all_count",
     "bm25_topk",
+    "bm25_knn_rrf",
     "bm25_topk_sharded",
     "bm25_topk_filtered",
     "bm25_bool",
