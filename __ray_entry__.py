@@ -187,6 +187,17 @@ def q_quality_score(sf_dir: str) -> pa.Table:
     return _concat(quality_score(_documents_ds(sf_dir)))
 
 
+def q_gopher_quality(sf_dir: str) -> pa.Table:
+    """Gopher-rule quality filter (Rae et al. 2021, Table A1, adapted
+    to word level — see ``ops/textstats.py::gopher_quality``).
+    ``min_words`` lowered to 20 so the ~35-word synthetic docs split
+    both ways; all ratios single int/int divisions → the DuckDB
+    oracle hash-matches every double."""
+    from docs_indexer_ray.ops.textstats import gopher_quality
+
+    return _concat(gopher_quality(_documents_ds(sf_dir), min_words=20))
+
+
 def q_lang_id(sf_dir: str) -> pa.Table:
     from docs_indexer_ray.ops.textstats import lang_id
 
@@ -1812,6 +1823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": q_term_df,
         "sample_hash": q_sample_hash,
         "quality_score": q_quality_score,
+        "gopher_quality": q_gopher_quality,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint_md5,
         "dedup_exact": q_dedup_exact,
@@ -1986,6 +1998,65 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
                    CASE WHEN n_tokens > 0 THEN CAST(charsum AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
             FROM s
+        """,
+        "gopher_quality": f"""
+            WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+            w AS (SELECT doc_id, unnest(toks) AS w,
+                         generate_subscripts(toks, 1) AS pos
+                  FROM t),
+            base AS (SELECT doc_id,
+                            count(*) AS n,
+                            SUM(length(w)) AS cchars,
+                            count(*) FILTER (WHERE regexp_matches(w, '[a-z]')) AS n_alpha,
+                            count(DISTINCT w) FILTER (WHERE list_contains({_STOP10_SQL}, w)) AS nstop
+                     FROM w GROUP BY doc_id),
+            bg AS (SELECT doc_id, pos, w AS w1,
+                          lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                   FROM w),
+            bgc AS (SELECT doc_id, w1, w2, count(*) AS c
+                    FROM bg WHERE w2 IS NOT NULL GROUP BY doc_id, w1, w2),
+            topbg AS (SELECT doc_id, c * (length(w1) + length(w2)) AS covered2,
+                             row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, w1 || ' ' || w2 ASC) AS rn
+                      FROM bgc),
+            g5 AS (SELECT doc_id, pos,
+                          w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                            || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS gram,
+                          lead(w, 4) OVER win AS l4
+                   FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            g5v AS (SELECT doc_id, pos, gram FROM g5 WHERE l4 IS NOT NULL),
+            dupg AS (SELECT doc_id, gram FROM g5v
+                     GROUP BY doc_id, gram HAVING count(*) > 1),
+            cov AS (SELECT DISTINCT g.doc_id, g.pos + s.k AS cpos
+                    FROM g5v g JOIN dupg d USING (doc_id, gram),
+                         (SELECT unnest(generate_series(0, 4)) AS k) s),
+            covc AS (SELECT c.doc_id, SUM(length(w.w)) AS covered5
+                     FROM cov c JOIN w ON w.doc_id = c.doc_id AND w.pos = c.cpos
+                     GROUP BY c.doc_id),
+            m AS (SELECT base.doc_id,
+                         CAST(base.n AS BIGINT) AS n_words,
+                         CAST(base.cchars AS DOUBLE) / base.n AS mean_word_len,
+                         CAST(base.n_alpha AS DOUBLE) / base.n AS alpha_frac,
+                         CAST(base.nstop AS BIGINT) AS n_stop_distinct,
+                         CASE WHEN base.n >= 2 AND base.cchars > 0
+                              THEN CAST(tb.covered2 AS DOUBLE) / base.cchars
+                              ELSE 0.0 END AS top2gram_frac,
+                         CASE WHEN base.cchars > 0
+                              THEN CAST(COALESCE(cc.covered5, 0) AS DOUBLE) / base.cchars
+                              ELSE 0.0 END AS dup5gram_frac
+                  FROM base
+                  LEFT JOIN (SELECT doc_id, covered2 FROM topbg WHERE rn = 1) tb USING (doc_id)
+                  LEFT JOIN covc cc USING (doc_id))
+            SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_distinct,
+                   top2gram_frac, dup5gram_frac,
+                   CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+                              AND mean_word_len BETWEEN 3.0 AND 10.0
+                              AND alpha_frac >= 0.8
+                              AND n_stop_distinct >= 2
+                              AND top2gram_frac <= 0.20
+                              AND dup5gram_frac <= 0.15
+                        THEN 1 ELSE 0 END AS BIGINT) AS passes
+            FROM m ORDER BY doc_id
         """,
         "lang_id": f"""
             WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents)

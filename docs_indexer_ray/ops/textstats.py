@@ -30,6 +30,7 @@ __all__ = [
     "STOP10",
     "token_count",
     "quality_score",
+    "gopher_quality",
     "lang_id",
     "fingerprint",
     "winnow_fingerprint_batch",
@@ -105,6 +106,123 @@ def quality_score(ds):
                 "n_tokens": pa.array(np.array(n_tok, np.int64)),
                 "stop_ratio": pa.array(np.array(stop_ratio, np.float64)),
                 "mean_token_len": pa.array(np.array(mean_len, np.float64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def gopher_quality(
+    ds,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_distinct: int = 2,
+    max_top2gram_frac: float = 0.20,
+    max_dup5gram_frac: float = 0.15,
+):
+    """Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher",
+    Table A1) adapted to the word level (the synthetic corpus has no
+    line structure):
+
+    * word count within ``[min_words, max_words]``;
+    * mean word length within ``[min_mean_word_len, max_mean_word_len]``;
+    * fraction of words containing an alphabetic character
+      ≥ ``min_alpha_frac`` (Gopher: 0.8);
+    * at least ``min_stop_distinct`` DISTINCT stopwords present
+      (Gopher's "two of eight stop words" rule over the engine's
+      frozen :data:`STOP10` contract list);
+    * repetition: fraction of word-characters inside occurrences of
+      the MOST FREQUENT word 2-gram ≤ ``max_top2gram_frac`` (ties on
+      count broken by lexicographically smallest bigram), and
+      fraction of word-characters covered by any duplicated word
+      5-gram ≤ ``max_dup5gram_frac``.
+
+    Every ratio is a single int/int division (bit-exact vs DuckDB's
+    integer ``/`` → DOUBLE), so the SQL oracle hash-matches the
+    doubles; ``passes`` is emitted as int64 0/1.  Per-doc work is
+    O(n_words) dict counting inside a ``map_batches`` task — the
+    stage streams, nothing shuffles.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = {
+            "n_words": [],
+            "mean_word_len": [],
+            "alpha_frac": [],
+            "n_stop_distinct": [],
+            "top2gram_frac": [],
+            "dup5gram_frac": [],
+            "passes": [],
+        }
+        stop = frozenset(STOP10)
+        for t in batch["text"].to_pylist():
+            toks = _tokens(t)
+            n = len(toks)
+            lens = np.array([len(w) for w in toks], np.int64)
+            cchars = int(lens.sum())
+            if n == 0:
+                mean_len = 0.0
+                alpha = 0.0
+                nstop = 0
+                top2 = 0.0
+                dup5 = 0.0
+            else:
+                mean_len = cchars / n
+                n_alpha = sum(1 for w in toks if not w.isdigit())
+                alpha = n_alpha / n
+                nstop = len(stop.intersection(toks))
+                # most frequent 2-gram, ties → smallest "w1 w2"
+                if n >= 2 and cchars:
+                    bg: dict[tuple[str, str], int] = {}
+                    for i in range(n - 1):
+                        k = (toks[i], toks[i + 1])
+                        bg[k] = bg.get(k, 0) + 1
+                    best = min(bg.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+                    top2 = best[1] * (len(best[0][0]) + len(best[0][1])) / cchars
+                else:
+                    top2 = 0.0
+                # characters covered by any duplicated 5-gram
+                if n >= 5 and cchars:
+                    g5: dict[tuple, int] = {}
+                    for i in range(n - 4):
+                        k = tuple(toks[i : i + 5])
+                        g5[k] = g5.get(k, 0) + 1
+                    covered = np.zeros(n, bool)
+                    for i in range(n - 4):
+                        if g5[tuple(toks[i : i + 5])] > 1:
+                            covered[i : i + 5] = True
+                    dup5 = int(lens[covered].sum()) / cchars
+                else:
+                    dup5 = 0.0
+            ok = (
+                min_words <= n <= max_words
+                and min_mean_word_len <= mean_len <= max_mean_word_len
+                and alpha >= min_alpha_frac
+                and nstop >= min_stop_distinct
+                and top2 <= max_top2gram_frac
+                and dup5 <= max_dup5gram_frac
+            )
+            out["n_words"].append(n)
+            out["mean_word_len"].append(mean_len)
+            out["alpha_frac"].append(alpha)
+            out["n_stop_distinct"].append(nstop)
+            out["top2gram_frac"].append(top2)
+            out["dup5gram_frac"].append(dup5)
+            out["passes"].append(1 if ok else 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(np.array(out["n_words"], np.int64)),
+                "mean_word_len": pa.array(np.array(out["mean_word_len"], np.float64)),
+                "alpha_frac": pa.array(np.array(out["alpha_frac"], np.float64)),
+                "n_stop_distinct": pa.array(np.array(out["n_stop_distinct"], np.int64)),
+                "top2gram_frac": pa.array(np.array(out["top2gram_frac"], np.float64)),
+                "dup5gram_frac": pa.array(np.array(out["dup5gram_frac"], np.float64)),
+                "passes": pa.array(np.array(out["passes"], np.int64)),
             }
         )
 

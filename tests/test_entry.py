@@ -78,6 +78,7 @@ SQL_BACKED = [
     "match_all_count",
     "bm25_topk",
     "bm25_knn_rrf",
+    "gopher_quality",
     "bm25_topk_sharded",
     "bm25_topk_filtered",
     "bm25_bool",

@@ -740,3 +740,49 @@ def test_cardinality_approx_matches_exact_within_error(ray_session):
         cardinality(ds, np.empty(0, np.int64), "v", approx=True)["n_unique"][0].as_py()
         == 0
     )
+
+
+def test_gopher_quality_rules(ray_session):
+    """Planted docs exercise every Gopher rule branch: a clean doc
+    passes; heavy 2-gram repetition, duplicated 5-grams, digit soup,
+    stopword-free text and a too-short doc each fail their rule."""
+    import ray.data
+
+    from docs_indexer_ray.ops.textstats import gopher_quality
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog and then runs far "
+        "away to find some fresh water in the old green valley where "
+        "many small birds sing songs for hours during warm summer days"
+    )
+    rep2 = "spam ham " * 40  # one dominant bigram
+    # duplicated 5-gram: the same 5-word run appears 4x amid filler
+    run = "alpha beta gamma delta epsilon "
+    filler = (
+        "one more word here and the other words continue along the path "
+    )
+    dup5 = (run + filler) * 4
+    digits = " ".join(str(i) for i in range(40)) + " the of and to in"
+    nostop = "word " * 10 + " ".join(f"tok{i}" for i in range(30))
+    short = "the cat sat on a mat"
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array([clean, rep2, dup5, digits, nostop, short]),
+        }
+    )
+    out = (
+        gopher_quality(ray.data.from_arrow(tbl), min_words=20)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "passes"] == 1
+    assert out.loc[1, "passes"] == 0 and out.loc[1, "top2gram_frac"] > 0.2
+    assert out.loc[2, "passes"] == 0 and out.loc[2, "dup5gram_frac"] > 0.15
+    assert out.loc[3, "passes"] == 0 and out.loc[3, "alpha_frac"] < 0.8
+    assert out.loc[4, "passes"] == 0 and out.loc[4, "n_stop_distinct"] < 2
+    assert out.loc[5, "passes"] == 0 and out.loc[5, "n_words"] < 20
+    # ratio sanity: dup5 coverage of doc 2 counts every repeated run
+    assert 0.0 <= out["dup5gram_frac"].max() <= 1.0
