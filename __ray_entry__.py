@@ -676,6 +676,26 @@ def q_wildcard(sf_dir: str) -> pa.Table:
     )
 
 
+def q_regexp(sf_dir: str) -> pa.Table:
+    """OpenSearch ``regexp`` query over the term dictionary:
+    anchored RE2-compatible pattern ``(s|b)[a-z]*a(n|ll|rk)``
+    (matches scan/small/spark) with df, ranked df desc / term asc —
+    trigram-accelerated when the pattern carries a ≥3-char mandatory
+    literal run (``query/fuzzy.py::regexp_terms``)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.fuzzy import regexp_terms
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    hits = regexp_terms(IndexReader(root), "(s|b)[a-z]*a(n|ll|rk)", limit=1_000_000)
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in hits], pa.string()),
+            "df": pa.array([d for _, d in hits], pa.int64()),
+        }
+    )
+
+
 def _blen_ds_and_matched(sf_dir: str):
     """Shared facet fixture: the (doc_id, blen) dataset (body length
     in chars) + the match-any doc set of the flagship query terms."""
@@ -1849,6 +1869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_terms": q_fuzzy_terms,
         "fuzzy_match": q_fuzzy_match,
         "wildcard": q_wildcard,
+        "regexp": q_regexp,
         "facet_stats": q_facet_stats,
         "facet_cardinality": q_facet_cardinality,
         "facet_histogram": q_facet_histogram,
@@ -2496,6 +2517,13 @@ def oracle_sql() -> dict[str, str]:
         toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs)
         SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         FROM toks WHERE term LIKE 'sc_n%' GROUP BY term ORDER BY df DESC, term ASC
+    """
+    sqls["regexp"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs)
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks WHERE regexp_full_match(term, '(s|b)[a-z]*a(n|ll|rk)')
+        GROUP BY term ORDER BY df DESC, term ASC
     """
     sqls["facet_stats"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

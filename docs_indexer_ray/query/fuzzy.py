@@ -203,6 +203,134 @@ def _pattern_trigrams(pattern: str) -> list[str]:
     return out
 
 
+def _regex_trigrams(pattern: str) -> list[str] | None:
+    """Trigram constraints every match of an ANCHORED regex must
+    contain, from the pattern's top-level mandatory literal runs —
+    or ``None`` when the pattern can't be accelerated (top-level
+    alternation makes every run optional).
+
+    Conservative single-pass scan: a plain literal char extends the
+    current run; any other construct (``.``, a class, a group, an
+    escape) flushes it; a quantifier makes the PRECEDING atom
+    optional, so that atom is retracted from the run before flushing.
+    Runs touching the pattern's start/end gain the ``^``/``$`` pads
+    the vocabulary trigram index uses.
+    """
+    runs: list[tuple[str, bool, bool]] = []  # (text, at_start, at_end)
+    run: list[str] = []
+    i, n = 0, len(pattern)
+    at_start = True  # no construct consumed yet
+
+    def flush(end_anchor: bool = False) -> None:
+        nonlocal at_start
+        if run:
+            runs.append(("".join(run), at_start, end_anchor))
+            run.clear()
+        at_start = False
+
+    while i < n:
+        c = pattern[i]
+        if c == "|":
+            return None  # top-level alternation: nothing is mandatory
+        if c in "*+?{":
+            # quantifier on the previous atom: retract it (a lone
+            # literal was the atom; groups/classes already flushed)
+            if c == "{":
+                j = pattern.find("}", i)
+                i = (j if j >= 0 else n - 1) + 1
+            else:
+                i += 1
+            if run:
+                run.pop()
+            flush()
+            continue
+        if c == "\\":
+            flush()
+            i += 2
+            continue
+        if c == "[":
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            flush()
+            i = j + 1
+            continue
+        if c == "(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if pattern[j] == "\\":
+                    j += 1
+                elif pattern[j] == "(":
+                    depth += 1
+                elif pattern[j] == ")":
+                    depth -= 1
+                j += 1
+            flush()
+            i = j
+            continue
+        if c in ".^$)":
+            flush()
+            i += 1
+            continue
+        run.append(c)
+        i += 1
+    # a run that survives to the very end is end-anchored — unless a
+    # trailing quantifier retracted into it (handled above)
+    if run:
+        runs.append(("".join(run), at_start, True))
+    out: list[str] = []
+    for text, s_anchor, e_anchor in runs:
+        padded = ("^" if s_anchor else "") + text + ("$" if e_anchor else "")
+        out.extend(padded[k : k + 3] for k in range(len(padded) - 2))
+    return out
+
+
+def regexp_terms(
+    reader: IndexReader, pattern: str, limit: int = 10_000
+) -> list[tuple[str, int]]:
+    """Terms fully matching an anchored regex, by descending df (term
+    asc tie-break) — OpenSearch's ``regexp`` query surface.
+
+    Same plan as :func:`wildcard_terms`: mandatory literal runs
+    extracted from the pattern become trigram constraints intersected
+    against the cached vocabulary trigram index
+    (:func:`_vocab_trigram_index`), candidates verified with
+    ``re.fullmatch``; full dictionary scan only when no ≥3-char
+    mandatory run exists.  Keep patterns RE2-compatible (no
+    backrefs/lookaround) so a DuckDB ``regexp_full_match`` oracle can
+    replay them."""
+    rx = re.compile(pattern)
+    terms, dfs = reader.term_dictionary()
+    grams = _regex_trigrams(pattern) or []
+    grams = [g for g in grams if len(g) == 3]
+    if grams:
+        tri = _vocab_trigram_index(reader)
+        idx: np.ndarray | None = None
+        for g in grams:
+            post = tri.get(g)
+            if post is None:
+                return []
+            idx = post if idx is None else np.intersect1d(
+                idx, post, assume_unique=True
+            )
+            if len(idx) == 0:
+                return []
+        cand_terms, cand_dfs = terms[idx], dfs[idx]
+    else:
+        cand_terms, cand_dfs = terms, dfs
+    hits = [
+        (t, int(d))
+        for t, d in zip(cand_terms.tolist(), cand_dfs.tolist())
+        if rx.fullmatch(t)
+    ]
+    hits.sort(key=lambda kv: (-kv[1], kv[0]))
+    return hits[:limit]
+
+
 def wildcard_terms(
     reader: IndexReader, pattern: str, limit: int = 10_000
 ) -> list[tuple[str, int]]:

@@ -113,6 +113,7 @@ SQL_BACKED = [
     "fuzzy_terms",
     "fuzzy_match",
     "wildcard",
+    "regexp",
     "bm25_multimatch",
     "bm25_multimatch_best",
     "term_prefix",

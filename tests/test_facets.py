@@ -734,3 +734,40 @@ def test_fuzzy_and_wildcard(built):
         assert got == want, pattern
     # the trigram index is built once and cached on the reader
     assert hasattr(reader, "_wc_trigram_index")
+
+
+def test_regexp_terms_scan_equality(built):
+    """regexp_terms ≡ brute-force re.fullmatch over the dictionary,
+    across every plan leg: pure literal, trigram-accelerated infix
+    runs, class/quantifier retraction (conservative full scan),
+    top-level alternation (acceleration disabled), dead trigram."""
+    import re as _re
+
+    from docs_indexer_ray.query.fuzzy import _regex_trigrams, regexp_terms
+
+    reader, _ = built
+    terms, dfs = reader.term_dictionary()
+    vocab = dict(zip(terms.tolist(), dfs.tolist()))
+
+    for pattern in (
+        "quota",              # pure literal → anchored trigrams
+        ".*ode.*",            # infix run → trigram leg
+        ".*uste?r",           # quantifier retracts 'e' → run "ust"
+        "n[aeiou]de.*",       # class splits runs
+        "node|pool",          # top-level alternation → full scan
+        "(no|po)[a-z]+",      # leading group, no ≥3 run → full scan
+        ".*zzqx.*",           # dead trigram → []
+        "x{2,3}y.*",          # brace quantifier retraction
+    ):
+        got = regexp_terms(reader, pattern, limit=10**6)
+        rx = _re.compile(pattern)
+        want = [(t, int(d)) for t, d in vocab.items() if rx.fullmatch(t)]
+        want.sort(key=lambda kv: (-kv[1], kv[0]))
+        assert got == want, pattern
+
+    # extraction sanity: mandatory runs only, anchors honored
+    assert _regex_trigrams("abc") == ["^ab", "abc", "bc$"]
+    assert _regex_trigrams(".*merg(e|es)") == ["mer", "erg"]
+    assert _regex_trigrams("ab?c") == []          # nothing ≥3 survives
+    assert _regex_trigrams("a|b") is None         # alternation: unsafe
+    assert _regex_trigrams("tab.*") == ["^ta", "tab"]
