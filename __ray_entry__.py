@@ -676,6 +676,35 @@ def q_wildcard(sf_dir: str) -> pa.Table:
     )
 
 
+def q_function_score(sf_dir: str) -> pa.Table:
+    """OpenSearch ``function_score`` recency decay: the flagship BM25
+    query re-ranked by ``score * exp(ln(0.5)/600 * age_s)`` (10-minute
+    half-life against origin 2025-01-01 00:10; the %10 bumped docs sit in the future and exercise the age clamp).  Ranking key quantized to
+    1e-9 (the `more_like_this` trick) so the SQL oracle reproduces the
+    order regardless of SUM association; only rank+doc_id are emitted
+    (`round()` half-mode differs between engines at measure-zero
+    boundaries)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import function_score_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    hits = function_score_topk(
+        IndexReader(root),
+        list(_BM25_TERMS),
+        origin="2025-01-01T00:10:00",
+        scale_s=600.0,
+        decay=0.5,
+        k=10,
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
 def q_regexp(sf_dir: str) -> pa.Table:
     """OpenSearch ``regexp`` query over the term dictionary:
     anchored RE2-compatible pattern ``(s|b)[a-z]*a(n|ll|rk)``
@@ -1870,6 +1899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match": q_fuzzy_match,
         "wildcard": q_wildcard,
         "regexp": q_regexp,
+        "function_score": q_function_score,
         "facet_stats": q_facet_stats,
         "facet_cardinality": q_facet_cardinality,
         "facet_histogram": q_facet_histogram,
@@ -2517,6 +2547,34 @@ def oracle_sql() -> dict[str, str]:
         toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs)
         SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         FROM toks WHERE term LIKE 'sc_n%' GROUP BY term ORDER BY df DESC, term ASC
+    """
+    sqls["function_score"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id),
+        aged AS (SELECT s.doc_id,
+                        round(s.score * exp(ln(0.5) / 600.0 *
+                          greatest(date_diff('second',
+                            TIMESTAMP '2025-01-01 00:00:00'
+                              + to_microseconds(s.doc_id * 1000000)
+                              + CASE WHEN s.doc_id % 10 = 0 THEN INTERVAL 1 HOUR
+                                     ELSE INTERVAL 0 SECOND END,
+                            TIMESTAMP '2025-01-01 00:10:00'), 0)), 9) AS fscore
+                 FROM scores s)
+        SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM aged ORDER BY fscore DESC, doc_id ASC LIMIT 10
     """
     sqls["regexp"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

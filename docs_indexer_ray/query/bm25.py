@@ -227,6 +227,59 @@ def filtered_topk(
     return _rank_top(scores, k)
 
 
+def function_score_topk(
+    reader,
+    terms: list[str],
+    origin,
+    scale_s: float = 600.0,
+    decay: float = 0.5,
+    ts_field: str = "warc_ts",
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    """OpenSearch ``function_score`` with an exponential recency decay:
+    ``final = bm25 * exp(ln(decay)/scale_s * max(age_s, 0))`` where
+    ``age_s = origin - doc[ts_field]`` in whole seconds — docs older
+    than ``scale_s`` lose a factor ``decay``, future docs keep full
+    score (Lucene's exp decay with offset 0).
+
+    Stored timestamps are fetched ONLY for matched docs (row-group-
+    pruned docs-store read), the decay weight uses libm ``math.exp``
+    per doc, and the ranking key is the product QUANTIZED to 1e-9 (the
+    `more_like_this` trick) so a SQL oracle reproduces the order no
+    matter how its SUM associates the per-term floats.  The per-query
+    cost floor is the dense-TAAT one — at corpus scale this runs
+    per-shard on the sharded tier and merges exactly, since decay
+    weights are per-doc and statistics are global."""
+    import math
+
+    scores = bm25_scores_dense(reader, terms, k1, b)
+    matched = np.flatnonzero(scores > 0.0)
+    if len(matched) == 0:
+        return []
+    t = reader.fetch_docs(matched.tolist(), ["doc_id", ts_field])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t[ts_field].to_numpy(zero_copy_only=False)
+    origin64 = np.datetime64(origin, "s")
+    age = (origin64 - ts.astype("datetime64[s]")).astype(np.int64)
+    age_by_doc = dict(zip(ids.tolist(), age.tolist()))
+    lam = math.log(decay) / scale_s
+    ranked = sorted(
+        (
+            (
+                -round(
+                    float(scores[d]) * math.exp(lam * float(max(age_by_doc[d], 0))),
+                    9,
+                ),
+                d,
+            )
+            for d in matched.tolist()
+        ),
+    )[:k]
+    return [(d, -negs) for negs, d in ranked]
+
+
 def bool_topk(
     reader,
     must: list[str],

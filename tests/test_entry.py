@@ -114,6 +114,7 @@ SQL_BACKED = [
     "fuzzy_match",
     "wildcard",
     "regexp",
+    "function_score",
     "bm25_multimatch",
     "bm25_multimatch_best",
     "term_prefix",
