@@ -676,6 +676,27 @@ def q_wildcard(sf_dir: str) -> pa.Table:
     )
 
 
+def q_search_as_you_type(sf_dir: str) -> pa.Table:
+    """OpenSearch ``search_as_you_type``: the typed prefix ``sca``
+    becomes an EXACT term lookup in the edge-ngram chain's index
+    (edge 2..15 per token), ranked by BM25 over that field's own
+    statistics — top-10 (rank, doc_id).  Single query term ⇒ no SUM
+    association; the oracle replays edge-ngramming with
+    substr + generate_series."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import wand_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="edge", field="body")
+    hits = wand_topk(IndexReader(root), ["sca"], k=10)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
 def q_function_score(sf_dir: str) -> pa.Table:
     """OpenSearch ``function_score`` recency decay: the flagship BM25
     query re-ranked by ``score * exp(ln(0.5)/600 * age_s)`` (10-minute
@@ -1900,6 +1921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard": q_wildcard,
         "regexp": q_regexp,
         "function_score": q_function_score,
+        "search_as_you_type": q_search_as_you_type,
         "facet_stats": q_facet_stats,
         "facet_cardinality": q_facet_cardinality,
         "facet_histogram": q_facet_histogram,
@@ -2547,6 +2569,26 @@ def oracle_sql() -> dict[str, str]:
         toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs)
         SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         FROM toks WHERE term LIKE 'sc_n%' GROUP BY term ORDER BY df DESC, term ASC
+    """
+    sqls["search_as_you_type"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        edge AS (SELECT doc_id,
+                        substr(term, 1, CAST(unnest(generate_series(2, least(15, length(term)))) AS INT)) AS term
+                 FROM toks),
+        dl AS (SELECT doc_id, count(*) AS dl FROM edge GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, count(*) AS tf FROM edge WHERE term = 'sca' GROUP BY doc_id),
+        df AS (SELECT count(*) AS df FROM tf),
+        scores AS (
+          SELECT tf.doc_id,
+                 ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS score
+          FROM tf JOIN dl USING (doc_id), df, stats)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
     """
     sqls["function_score"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -119,7 +119,7 @@ class Analyzer:
     for stateful stages.
     """
 
-    CHAINS = ("english", "standard", "simple", "trigram", "reverse")
+    CHAINS = ("english", "standard", "simple", "trigram", "reverse", "edge")
 
     def __init__(self, chain: str = "english", cache: dict | None = None):
         if chain not in self.CHAINS:
@@ -140,5 +140,15 @@ class Analyzer:
             # shingle filter also emits the unigrams by default
             toks = _analyze_standard(text)
             return toks + _shingles(toks, 2, 3)
+        if c == "edge":
+            # search_as_you_type: edge n-grams 2..15 of each simple
+            # token (OpenSearch edge_ngram filter) — a typed prefix
+            # becomes an EXACT term lookup in this chain's index;
+            # SQL-replicable via substr + generate_series
+            out = []
+            for t in _SIMPLE_RE.findall(text.lower()):
+                for g in range(2, min(15, len(t)) + 1):
+                    out.append(t[:g])
+            return out
         # reverse
         return [t[::-1] for t in _analyze_standard(text)]

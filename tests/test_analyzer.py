@@ -105,3 +105,16 @@ def test_reverse_chain():
 def test_stopword_set_is_lucene_default():
     assert len(STOPWORDS_EN) == 33
     assert "the" in STOPWORDS_EN and "with" in STOPWORDS_EN
+
+
+def test_edge_chain_search_as_you_type():
+    """edge chain = edge n-grams 2..15 per simple token (OpenSearch
+    edge_ngram; a typed prefix is an exact term in this chain)."""
+    from docs_indexer_ray.functions.analyzer import Analyzer
+
+    a = Analyzer("edge")
+    assert a("Value!") == ["va", "val", "valu", "value"]
+    assert a("a ab") == ["ab"]  # len-1 tokens emit nothing
+    out = a("extraordinarily")  # 15 chars: capped at 15
+    assert out == ["extraordinarily"[:g] for g in range(2, 16)]
+    assert a("") == []

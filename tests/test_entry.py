@@ -115,6 +115,7 @@ SQL_BACKED = [
     "wildcard",
     "regexp",
     "function_score",
+    "search_as_you_type",
     "bm25_multimatch",
     "bm25_multimatch_best",
     "term_prefix",
