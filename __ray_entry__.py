@@ -676,6 +676,24 @@ def q_wildcard(sf_dir: str) -> pa.Table:
     )
 
 
+def q_synonym(sf_dir: str) -> pa.Table:
+    """Query-time synonyms (Lucene SynonymQuery): groups
+    ``[merge, join]`` (blended tf-sum, max-df) + ``[slow]`` over the
+    flagship index, top-10 by the 1e-9-quantized blended score."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import synonym_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    hits = synonym_topk(IndexReader(root), [["merge", "join"], ["slow"]], k=10)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
 def q_search_as_you_type(sf_dir: str) -> pa.Table:
     """OpenSearch ``search_as_you_type``: the typed prefix ``sca``
     becomes an EXACT term lookup in the edge-ngram chain's index
@@ -1922,6 +1940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp": q_regexp,
         "function_score": q_function_score,
         "search_as_you_type": q_search_as_you_type,
+        "synonym": q_synonym,
         "facet_stats": q_facet_stats,
         "facet_cardinality": q_facet_cardinality,
         "facet_histogram": q_facet_histogram,
@@ -2569,6 +2588,33 @@ def oracle_sql() -> dict[str, str]:
         toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs)
         SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         FROM toks WHERE term LIKE 'sc_n%' GROUP BY term ORDER BY df DESC, term ASC
+    """
+    # SynonymQuery: per group tf = SUM over member terms, df = MAX of
+    # member dfs (Lucene's blended docFreq); groups then sum like
+    # plain BM25 terms, ranked on the 1e-9-quantized score
+    sqls["synonym"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        syn(grp, term) AS (VALUES (0, 'merge'), (0, 'join'), (1, 'slow')),
+        tf AS (SELECT t.doc_id, s.grp, count(*) AS tf
+               FROM toks t JOIN syn s ON t.term = s.term
+               GROUP BY t.doc_id, s.grp),
+        tdf AS (SELECT t.term, count(DISTINCT t.doc_id) AS df
+                FROM toks t JOIN syn s ON t.term = s.term GROUP BY t.term),
+        gdf AS (SELECT s.grp, max(tdf.df) AS df
+                FROM syn s JOIN tdf ON tdf.term = s.term GROUP BY s.grp),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - gdf.df + 0.5) / (gdf.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN gdf USING (grp) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM scores ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
     """
     sqls["search_as_you_type"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -227,6 +227,49 @@ def filtered_topk(
     return _rank_top(scores, k)
 
 
+def synonym_topk(
+    reader,
+    groups: list[list[str]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    """Query-time synonyms with Lucene ``SynonymQuery`` semantics:
+    each group of synonymous terms scores as ONE pseudo-term whose
+    ``tf(doc) = Σ tf_t(doc)`` over the group and whose ``df = max
+    df_t`` (Lucene's blended docFreq) — not a should-OR, so a doc
+    matching two synonyms is not double-idf'd.  Groups sum like
+    ordinary BM25 terms; a singleton group ≡ a plain term query.
+
+    Ranking key quantized to 1e-9 so SUM association in a SQL replay
+    cannot flip near-ties.  Dense TAAT over the groups' postings —
+    the same per-query floor and sharding story as
+    :func:`bm25_scores_dense`."""
+    n = reader.n_docs
+    avgdl = reader.avgdl if reader.avgdl > 0 else 1.0
+    scores = np.zeros(n, dtype=np.float64)
+    for group in groups:
+        tfacc = np.zeros(n, dtype=np.float64)
+        dfmax = 0
+        for term in group:
+            tp = reader.postings(term)
+            if tp is None:
+                continue
+            doc_ids, tfs = tp.decode_all()
+            tfacc[doc_ids] += tfs
+            dfmax = max(dfmax, tp.df)
+        if dfmax == 0:
+            continue
+        idf = bm25_idf(n, dfmax)
+        docs = np.flatnonzero(tfacc)
+        tf = tfacc[docs]
+        dl = reader.doclens[docs]
+        scores[docs] += idf * tf / (tf + _k_factor(dl, avgdl, k1, b))
+    matched = np.flatnonzero(scores > 0.0)
+    ranked = sorted((-round(float(scores[d]), 9), int(d)) for d in matched.tolist())
+    return [(d, -negs) for negs, d in ranked[:k]]
+
+
 def function_score_topk(
     reader,
     terms: list[str],

@@ -116,6 +116,7 @@ SQL_BACKED = [
     "regexp",
     "function_score",
     "search_as_you_type",
+    "synonym",
     "bm25_multimatch",
     "bm25_multimatch_best",
     "term_prefix",

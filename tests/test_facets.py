@@ -771,3 +771,70 @@ def test_regexp_terms_scan_equality(built):
     assert _regex_trigrams("ab?c") == []          # nothing ≥3 survives
     assert _regex_trigrams("a|b") is None         # alternation: unsafe
     assert _regex_trigrams("tab.*") == ["^ta", "tab"]
+
+
+def test_synonym_query_semantics(built):
+    """Lucene SynonymQuery: blended tf-sum + max-df, NOT a should-OR."""
+    import math
+
+    from docs_indexer_ray.query.bm25 import (
+        bm25_idf,
+        bm25_scores_dense,
+        synonym_topk,
+    )
+
+    reader, _ = built
+
+    # singleton groups ≡ plain BM25 (same quantized ranking)
+    terms = ["node", "pools"]
+    got = synonym_topk(reader, [[t] for t in terms], k=10**6)
+    dense = bm25_scores_dense(reader, terms)
+    want = sorted(
+        ((-round(float(dense[d]), 9), int(d)) for d in range(len(dense)) if dense[d] > 0)
+    )
+    assert [(d, -s) for s, d in want] == got
+
+    # pick two dictionary terms with DIFFERENT dfs so max-df blending
+    # is observable
+    dterms, ddfs = reader.term_dictionary()
+    order = sorted(zip(ddfs.tolist(), dterms.tolist()))
+    t_lo, t_hi = order[0][1], order[-1][1]
+    assert order[0][0] != order[-1][0]
+    terms = [t_lo, t_hi]
+    dense = bm25_scores_dense(reader, terms)
+
+    # blended group: a doc matching both synonyms gets ONE idf (the
+    # max-df one), so its blended score is below the should-OR sum
+    groups = [[t_lo, t_hi]]
+    blended = dict(synonym_topk(reader, groups, k=10**6))
+    or_sum = dict(
+        (int(d), float(dense[d])) for d in range(len(dense)) if dense[d] > 0
+    )
+    assert set(blended) == set(or_sum)  # same matched docs
+    n = reader.n_docs
+    df_lo = reader.postings(t_lo).df
+    df_hi = reader.postings(t_hi).df
+    assert df_lo != df_hi
+    # idf(max df) < idf(min df): blended can never exceed the OR sum
+    assert all(blended[d] <= or_sum[d] + 1e-9 for d in blended)
+    assert any(blended[d] < or_sum[d] - 1e-9 for d in blended)
+
+    # unknown-term group contributes nothing; all-unknown returns []
+    assert synonym_topk(reader, [["zzzznope"]], k=10) == []
+    with_unknown = synonym_topk(reader, [["node", "zzzznope"]], k=10**6)
+    only_node = synonym_topk(reader, [["node"]], k=10**6)
+    assert with_unknown == only_node
+
+    # a doc matching ONLY the low-df synonym is still scored with the
+    # group's max-df idf — verify one such doc numerically
+    lo_ids, lo_tfs = reader.postings(t_lo).decode_all()
+    hi_ids, _ = reader.postings(t_hi).decode_all()
+    only_lo = sorted(set(lo_ids.tolist()) - set(hi_ids.tolist()))
+    if only_lo:
+        d = only_lo[0]
+        tf = float(lo_tfs[list(lo_ids.tolist()).index(d)])
+        dl = float(reader.doclens[d])
+        avgdl = reader.avgdl
+        kf = 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
+        exp = bm25_idf(n, max(df_lo, df_hi)) * tf / (tf + kf)
+        assert math.isclose(blended[d], round(exp, 9), rel_tol=1e-9)
