@@ -101,6 +101,42 @@ def q_extract_text(sf_dir: str) -> pa.Table:
     return _concat(ds)
 
 
+def q_warc_ingest(sf_dir: str) -> pa.Table:
+    """WARC source end-to-end: the synthetic crawl serialized to
+    sharded ``.warc.gz`` archives (byte-deterministic writer, fixture
+    setup at oracle scale), re-ingested via ``read_warc`` file-wise
+    parallel parsing, html extracted per record — byte-identical to
+    the Parquet-path ``extract_text``, so the SAME SQL oracle pins the
+    whole WARC round trip."""
+    import tempfile
+
+    from docs_indexer_ray.functions.htmltext import html_to_text
+    from docs_indexer_ray.sources.warc import read_warc, synth_warc_bytes
+    from docs_indexer_ray.synth import pages_from_documents
+
+    pages = _concat(pages_from_documents(sf_dir))
+    tmp = tempfile.mkdtemp(prefix="dixr_warc_")
+    n_shards = 4
+    per = (pages.num_rows + n_shards - 1) // n_shards
+    paths = []
+    for i in range(n_shards):
+        shard = pages.slice(i * per, per)
+        if shard.num_rows == 0:
+            break
+        p = os.path.join(tmp, f"crawl-{i:05d}.warc.gz")
+        with open(p, "wb") as f:
+            f.write(synth_warc_bytes(shard))
+        paths.append(p)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        texts = [html_to_text(h) for h in batch["html"].to_pylist()]
+        return pa.table(
+            {"url": batch["url"], "text_out": pa.array(texts, pa.string())}
+        )
+
+    return _concat(read_warc(paths).map_batches(extract, batch_format="pyarrow"))
+
+
 def q_docs_table(sf_dir: str) -> pa.Table:
     """Full phase-1: extract → dedup(last-writer-wins) → dense doc ids →
     reference assembly recipe (T4), served from the on-disk docs store
@@ -1904,6 +1940,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
+        "warc_ingest": q_warc_ingest,
         "docs_table": q_docs_table,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
@@ -2372,6 +2409,8 @@ def oracle_sql() -> dict[str, str]:
     # the same SQL oracle pins both; the merged two-half index likewise
     # reproduces the full build's doc ids (url-range split + url-order
     # id assignment), so the same oracle pins the merge path too
+    # the WARC round trip reproduces the Parquet extract byte-for-byte
+    sqls["warc_ingest"] = sqls["extract_text"]
     sqls["bm25_topk_sharded"] = sqls["bm25_topk"]
     sqls["bm25_topk_merged"] = sqls["bm25_topk"]
     sqls["bm25_topk_incremental"] = sqls["bm25_topk"]

@@ -117,6 +117,7 @@ SQL_BACKED = [
     "function_score",
     "search_as_you_type",
     "synonym",
+    "warc_ingest",
     "bm25_multimatch",
     "bm25_multimatch_best",
     "term_prefix",

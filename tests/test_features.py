@@ -277,3 +277,85 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys):
     )
     rres = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rres["analyzer"] == "simple" and rres["n_docs"] == cres["n_docs"]
+
+
+def test_warc_source_roundtrip_and_build(ray_session, tmp_path):
+    """WARC/WET archives round-trip through read_warc into the exact
+    pages shape, and an index built from WARC input reproduces the
+    Parquet-path build (same stats + top-k)."""
+    import gzip
+
+    import numpy as np
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.bm25 import wand_topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.sources.warc import (
+        parse_warc_records,
+        read_warc,
+        synth_warc_bytes,
+    )
+    from docs_indexer_ray.synth import rich_pages_table
+
+    pages = rich_pages_table(40, dup_every=0)
+
+    # two shards, as a crawl would ship them
+    half = pages.num_rows // 2
+    shards = [pages.slice(0, half), pages.slice(half)]
+    for i, shard in enumerate(shards):
+        (tmp_path / f"crawl-{i}.warc.gz").write_bytes(synth_warc_bytes(shard))
+
+    got = (
+        read_warc([str(tmp_path / f"crawl-{i}.warc.gz") for i in range(2)])
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    want = pages.to_pandas().sort_values("url", ignore_index=True)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["warc_ts"].tolist() == want["warc_ts"].tolist()
+    # html round-trips byte-identical (bytes in, bytes out)
+    for g, w in zip(got["html"], want["html"]):
+        wb = w.encode() if isinstance(w, str) else (w or b"")
+        assert g == wb
+    # response records carry no text/lang (WARC has no such headers)
+    assert got["text"].isna().all()
+
+    # WET variant: conversion records carry the text payload
+    (tmp_path / "crawl.wet.gz").write_bytes(synth_warc_bytes(pages, wet=True))
+    wet = read_warc([str(tmp_path / "crawl.wet.gz")]).to_pandas()
+    assert wet["html"].isna().all()
+    assert sorted(wet["text"].fillna("")) == sorted(
+        (pages["text"].to_pandas().fillna(""))
+    )
+
+    # malformed input: garbage prefix + truncated tail parse tolerantly
+    raw = synth_warc_bytes(shards[0], compress=False)
+    noisy = b"garbage\r\nnoise\n" + raw + b"WARC/1.0\r\nContent-Length: oops\r\n\r\n"
+    n_ok = sum(1 for _ in parse_warc_records(noisy))
+    assert n_ok == shards[0].num_rows
+
+    # index built from the WARC source ≡ index built from the table
+    r1 = build_index(
+        read_warc([str(tmp_path / f"crawl-{i}.warc.gz") for i in range(2)]),
+        str(tmp_path / "idx_warc"),
+        fingerprint="w1",
+        num_parts=4,
+        chain="simple",
+        field="body",
+    )
+    r2 = build_index(
+        ray.data.from_arrow(pages),
+        str(tmp_path / "idx_tbl"),
+        fingerprint="t1",
+        num_parts=4,
+        chain="simple",
+        field="body",
+    )
+    assert r1["n_docs"] == r2["n_docs"]
+    assert r1["total_tokens"] == r2["total_tokens"]
+    ra, rb = (
+        IndexReader(str(tmp_path / "idx_warc")),
+        IndexReader(str(tmp_path / "idx_tbl")),
+    )
+    assert wand_topk(ra, ["node"], k=10) == wand_topk(rb, ["node"], k=10)
