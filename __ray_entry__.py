@@ -234,6 +234,26 @@ def q_gopher_quality(sf_dir: str) -> pa.Table:
     return _concat(gopher_quality(_documents_ds(sf_dir), min_words=20))
 
 
+def q_pack_sequences(sf_dir: str) -> pa.Table:
+    """Training-sequence packing digest: docs tokenized (simple
+    chain), ids = sorted-vocab rank (EOS = |V|), stream packed into
+    64-token sequences per 100-doc bucket (`ops/pack.py`).  The SQL
+    oracle replays it with dense_rank + row_number window partitions —
+    every digest column is an exact integer."""
+    from docs_indexer_ray.ops.pack import collect_vocab, pack_sequences
+
+    ds = _documents_ds(sf_dir)
+    vocab = collect_vocab(ds, text_col="text", chain="simple")
+    out = pack_sequences(
+        _documents_ds(sf_dir), vocab, seq_len=64, bucket_size=100,
+        text_col="text", chain="simple",
+    )
+    return _as_i64(
+        _concat(out),
+        ["bucket", "seq", "n_tokens", "sum_ids", "first_id", "last_id"],
+    ).sort_by([("bucket", "ascending"), ("seq", "ascending")])
+
+
 def q_lang_id(sf_dir: str) -> pa.Table:
     from docs_indexer_ray.ops.textstats import lang_id
 
@@ -1949,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": q_sample_hash,
         "quality_score": q_quality_score,
         "gopher_quality": q_gopher_quality,
+        "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint_md5,
         "dedup_exact": q_dedup_exact,
@@ -2127,6 +2148,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
                    CASE WHEN n_tokens > 0 THEN CAST(charsum AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
             FROM s
+        """,
+        "pack_sequences": f"""
+            WITH toks AS (SELECT doc_id, unnest({_toks('text')}) AS term,
+                                 generate_subscripts({_toks('text')}, 1) AS pos
+                          FROM documents),
+            vocab AS (SELECT term,
+                             CAST(dense_rank() OVER (ORDER BY term) - 1 AS BIGINT) AS tid
+                      FROM (SELECT DISTINCT term FROM toks)),
+            eos AS (SELECT CAST(count(*) AS BIGINT) AS tid FROM vocab),
+            stream AS (SELECT doc_id, pos, tid FROM toks JOIN vocab USING (term)
+                       UNION ALL
+                       SELECT doc_id, 2147483647 AS pos, (SELECT tid FROM eos)
+                       FROM documents),
+            g AS (SELECT doc_id // 100 AS bucket,
+                         row_number() OVER (PARTITION BY doc_id // 100
+                                            ORDER BY doc_id, pos) - 1 AS gidx,
+                         tid
+                  FROM stream)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(gidx // 64 AS BIGINT) AS seq,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(tid) AS BIGINT) AS sum_ids,
+                   CAST(arg_min(tid, gidx) AS BIGINT) AS first_id,
+                   CAST(arg_max(tid, gidx) AS BIGINT) AS last_id
+            FROM g GROUP BY bucket, gidx // 64 ORDER BY bucket, seq
         """,
         "gopher_quality": f"""
             WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),

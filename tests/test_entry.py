@@ -79,6 +79,7 @@ SQL_BACKED = [
     "bm25_topk",
     "bm25_knn_rrf",
     "gopher_quality",
+    "pack_sequences",
     "bm25_topk_sharded",
     "bm25_topk_filtered",
     "bm25_bool",

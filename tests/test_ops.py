@@ -786,3 +786,46 @@ def test_gopher_quality_rules(ray_session):
     assert out.loc[5, "passes"] == 0 and out.loc[5, "n_words"] < 20
     # ratio sanity: dup5 coverage of doc 2 counts every repeated run
     assert 0.0 <= out["dup5gram_frac"].max() <= 1.0
+
+
+def test_pack_sequences_semantics(ray_session):
+    """Packing digest: EOS per doc (even empty), short final chunk,
+    bucket independence (stream restarts per bucket), vocab-rank ids."""
+    import ray.data
+
+    from docs_indexer_ray.ops.pack import collect_vocab, pack_sequences
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 100], pa.int64()),
+            "text": pa.array(["b a c", "", "a a a a", "c b"]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    vocab = collect_vocab(ds, text_col="text")
+    assert vocab.tolist() == ["a", "b", "c"]  # ids a=0 b=1 c=2, EOS=3
+
+    out = (
+        pack_sequences(ray.data.from_arrow(tbl), vocab, seq_len=4, bucket_size=100)
+        .to_pandas()
+        .sort_values(["bucket", "seq"], ignore_index=True)
+    )
+    # bucket 0 stream: b a c EOS | EOS | a a a a EOS -> [1,0,2,3, 3,0,0,0, 0,3]
+    b0 = out[out.bucket == 0]
+    assert b0["n_tokens"].tolist() == [4, 4, 2]
+    assert b0["sum_ids"].tolist() == [6, 3, 3]
+    assert b0["first_id"].tolist() == [1, 3, 0]
+    assert b0["last_id"].tolist() == [3, 0, 3]
+    # bucket 1 restarts: c b EOS -> one short sequence
+    b1 = out[out.bucket == 1]
+    assert b1["n_tokens"].tolist() == [3]
+    assert b1["sum_ids"].tolist() == [2 + 1 + 3]
+    # partition invariance: same digests from a many-block dataset
+    out2 = (
+        pack_sequences(
+            ray.data.from_arrow(tbl).repartition(4), vocab, seq_len=4, bucket_size=100
+        )
+        .to_pandas()
+        .sort_values(["bucket", "seq"], ignore_index=True)
+    )
+    assert out.equals(out2)
