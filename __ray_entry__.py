@@ -234,6 +234,40 @@ def q_gopher_quality(sf_dir: str) -> pa.Table:
     return _concat(gopher_quality(_documents_ds(sf_dir), min_words=20))
 
 
+def q_url_canonical(sf_dir: str) -> pa.Table:
+    """Crawl-URL canonicalization + exact URL dedup: each doc pair
+    (2k, 2k+1) gets the SAME page under two decorations (default
+    port + utm params vs trailing-slash + fbclid + fragment); the
+    `URL_CANON_STEPS` RE2 chain collapses them and a
+    ``groupby(url_canon)`` keeps count + first doc — the
+    crawl-recrawl dedup shape.  Construction is the deterministic
+    fixture; canonicalization is the vectorized op under test."""
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    from docs_indexer_ray.ops.textclean import canonicalize_urls
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = []
+        for d in ids.tolist():
+            base = f"https://www.site{(d // 2) % 50}.com"
+            if d % 2 == 0:
+                urls.append(f"{base}:443/page/{d // 2}?utm_source=feed&utm_medium=rss")
+            else:
+                urls.append(f"{base}/page/{d // 2}/?fbclid=abc123#frag")
+        return pa.table({"doc_id": t["doc_id"], "url": pa.array(urls, pa.string())})
+
+    ds = _documents_ds(sf_dir).map_batches(plant, batch_format="pyarrow")
+    ds = canonicalize_urls(ds, col="url", out_col="url_canon")
+    out = (
+        ds.groupby("url_canon")
+        .aggregate(Count(on="doc_id", alias_name="n_crawls"),
+                   Min(on="doc_id", alias_name="first_doc"))
+    )
+    return _as_i64(_concat(out), ["n_crawls", "first_doc"]).sort_by("url_canon")
+
+
 def q_pack_sequences(sf_dir: str) -> pa.Table:
     """Training-sequence packing digest: docs tokenized (simple
     chain), ids = sorted-vocab rank (EOS = |V|), stream packed into
@@ -1970,6 +2004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "gopher_quality": q_gopher_quality,
         "pack_sequences": q_pack_sequences,
+        "url_canonical": q_url_canonical,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint_md5,
         "dedup_exact": q_dedup_exact,
@@ -2148,6 +2183,35 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
                    CASE WHEN n_tokens > 0 THEN CAST(charsum AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
             FROM s
+        """,
+        "url_canonical": """
+            WITH planted AS (
+              SELECT doc_id,
+                     'https://www.site' || ((doc_id // 2) % 50) || '.com'
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN ':443/page/' || (doc_id // 2) || '?utm_source=feed&utm_medium=rss'
+                             ELSE '/page/' || (doc_id // 2) || '/?fbclid=abc123#frag' END AS url
+              FROM documents),
+            canon AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(url, '#.*$', '', 'g'),
+                            '(utm_[a-z]+|fbclid|gclid|ref)=[^&]*&', '', 'g'),
+                          '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*$', '', 'g'),
+                        ':(80|443)([/?]|$)', '\\2', 'g'),
+                      '^(https?://)www\\.', '\\1', 'g'),
+                    '\\?$', '', 'g'),
+                  '^(https?://[^/]+/.+)/$', '\\1', 'g') AS url_canon
+              FROM planted)
+            SELECT url_canon,
+                   CAST(count(*) AS BIGINT) AS n_crawls,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc
+            FROM canon GROUP BY url_canon ORDER BY url_canon
         """,
         "pack_sequences": f"""
             WITH toks AS (SELECT doc_id, unnest({_toks('text')}) AS term,

@@ -21,7 +21,13 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["redact_pii", "normalize_whitespace", "PII_PATTERNS"]
+__all__ = [
+    "redact_pii",
+    "normalize_whitespace",
+    "canonicalize_urls",
+    "PII_PATTERNS",
+    "URL_CANON_STEPS",
+]
 
 # RE2-compatible; order matters (email eats its digits before the
 # phone pass can) and is part of the contract
@@ -44,6 +50,42 @@ def redact_pii(ds, col: str = "text", out_col: str | None = None):
         if target in t.column_names:
             return t.set_column(t.schema.get_field_index(target), target, arr)
         return t.append_column(target, arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# URL canonicalization contract (crawl-dedup pass): ordered,
+# RE2-compatible, each applied globally — a DuckDB regexp_replace
+# chain replays it bit-identically.  Deliberately NOT lowercasing
+# (paths are case-sensitive; crawls emit lowercase scheme/host).
+URL_CANON_STEPS: list[tuple[str, str]] = [
+    (r"#.*$", ""),                                            # fragment
+    (r"(utm_[a-z]+|fbclid|gclid|ref)=[^&]*&", ""),            # tracking param + &
+    (r"[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*$", ""),        # trailing tracking param
+    (r":(80|443)([/?]|$)", r"\2"),                            # default ports
+    (r"^(https?://)www\.", r"\1"),                            # www prefix
+    (r"\?$", ""),                                             # empty query
+    (r"^(https?://[^/]+/.+)/$", r"\1"),                      # trailing slash (non-root)
+]
+
+
+def canonicalize_urls(ds, col: str = "url", out_col: str = "url_canon"):
+    """Canonical crawl-URL form for exact dedup: strip fragments,
+    tracking params (utm_*/fbclid/gclid/ref), default ports, a
+    ``www.`` host prefix, empty query strings and non-root trailing
+    slashes — the :data:`URL_CANON_STEPS` chain, vectorized RE2 per
+    batch (no Python-per-row), streaming, no shuffle.  Two crawls of
+    the same page with different tracking decorations collapse to one
+    key; pair with a ``groupby(url_canon).Min(doc_id)`` for the
+    actual dedup (`ops/dedup.py::exact_dedup`'s shape)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[col].combine_chunks()
+        for pat, repl in URL_CANON_STEPS:
+            arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+        if out_col in t.column_names:
+            return t.set_column(t.schema.get_field_index(out_col), out_col, arr)
+        return t.append_column(out_col, arr)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -80,6 +80,7 @@ SQL_BACKED = [
     "bm25_knn_rrf",
     "gopher_quality",
     "pack_sequences",
+    "url_canonical",
     "bm25_topk_sharded",
     "bm25_topk_filtered",
     "bm25_bool",

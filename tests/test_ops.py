@@ -829,3 +829,34 @@ def test_pack_sequences_semantics(ray_session):
         .sort_values(["bucket", "seq"], ignore_index=True)
     )
     assert out.equals(out2)
+
+
+def test_canonicalize_urls_rules(ray_session):
+    """URL canon chain: each rule and the things it must NOT touch."""
+    import ray.data
+
+    from docs_indexer_ray.ops.textclean import canonicalize_urls
+
+    cases = [
+        ("https://www.ex.com:443/a/?utm_source=x#f", "https://ex.com/a"),
+        ("http://ex.com:80/", "http://ex.com/"),            # root slash kept
+        ("https://ex.com/p?id=3&utm_b=1", "https://ex.com/p?id=3"),
+        ("https://ex.com/p?utm_a=1&id=3", "https://ex.com/p?id=3"),
+        ("https://ex.com/p?a=1&b=2", "https://ex.com/p?a=1&b=2"),  # kept
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),  # non-default port kept
+        ("https://sub.www.ex.com/p", "https://sub.www.ex.com/p"),  # only LEADING www.
+        ("https://ex.com/CasePath/", "https://ex.com/CasePath"),   # case kept
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(cases)), pa.int64()),
+            "url": pa.array([c[0] for c in cases]),
+        }
+    )
+    out = (
+        canonicalize_urls(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")["url_canon"]
+        .tolist()
+    )
+    assert out == [c[1] for c in cases]
