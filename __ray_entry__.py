@@ -234,6 +234,27 @@ def q_gopher_quality(sf_dir: str) -> pa.Table:
     return _concat(gopher_quality(_documents_ds(sf_dir), min_words=20))
 
 
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination (GPT-3 dirty-n-gram rule, n=8 at
+    this corpus' ~35-token docs): eval set = docs with
+    ``doc_id % 97 == 0``; corpus = documents ∪ exact copies — copies
+    of eval docs are TRUE cross-doc contamination, eval docs flag
+    themselves by construction.  Eval grams broadcast once
+    (``ray.put``), corpus streams (`ops/decontaminate.py`)."""
+    from docs_indexer_ray.ops.decontaminate import flag_contaminated, ngram_set
+
+    et = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = et["doc_id"].to_numpy(zero_copy_only=False)
+    eval_texts = et.filter(pa.array(ids % 97 == 0))["text"].to_pylist()
+    grams = ngram_set(eval_texts, n=8)
+    out = flag_contaminated(
+        _documents_with_copies_ds(sf_dir), grams, n=8
+    )
+    return _as_i64(_concat(out), ["doc_id", "n_hits", "contaminated"]).sort_by(
+        "doc_id"
+    )
+
+
 def q_url_canonical(sf_dir: str) -> pa.Table:
     """Crawl-URL canonicalization + exact URL dedup: each doc pair
     (2k, 2k+1) gets the SAME page under two decorations (default
@@ -2005,6 +2026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "pack_sequences": q_pack_sequences,
         "url_canonical": q_url_canonical,
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint_md5,
         "dedup_exact": q_dedup_exact,
@@ -2183,6 +2205,38 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
                    CASE WHEN n_tokens > 0 THEN CAST(charsum AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
             FROM s
+        """,
+        "decontaminate": f"""
+            WITH corpus AS ({_DUP_UNION}),
+            w AS (SELECT doc_id, unnest({_toks('text')}) AS term,
+                         generate_subscripts({_toks('text')}, 1) AS pos
+                  FROM corpus),
+            g8 AS (SELECT doc_id, pos,
+                          term || ' ' || lead(term, 1) OVER win || ' ' || lead(term, 2) OVER win
+                            || ' ' || lead(term, 3) OVER win || ' ' || lead(term, 4) OVER win
+                            || ' ' || lead(term, 5) OVER win || ' ' || lead(term, 6) OVER win
+                            || ' ' || lead(term, 7) OVER win AS gram,
+                          lead(term, 7) OVER win AS l7
+                   FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            g8v AS (SELECT doc_id, gram FROM g8 WHERE l7 IS NOT NULL),
+            ew AS (SELECT doc_id, unnest({_toks('text')}) AS term,
+                          generate_subscripts({_toks('text')}, 1) AS pos
+                   FROM documents WHERE doc_id % 97 = 0),
+            eg AS (SELECT doc_id, pos,
+                          term || ' ' || lead(term, 1) OVER win || ' ' || lead(term, 2) OVER win
+                            || ' ' || lead(term, 3) OVER win || ' ' || lead(term, 4) OVER win
+                            || ' ' || lead(term, 5) OVER win || ' ' || lead(term, 6) OVER win
+                            || ' ' || lead(term, 7) OVER win AS gram,
+                          lead(term, 7) OVER win AS l7
+                   FROM ew WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            eval AS (SELECT DISTINCT gram FROM eg WHERE l7 IS NOT NULL),
+            hits AS (SELECT g.doc_id, count(*) AS n_hits
+                     FROM g8v g JOIN eval USING (gram) GROUP BY g.doc_id)
+            SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+            ORDER BY c.doc_id
         """,
         "url_canonical": """
             WITH planted AS (

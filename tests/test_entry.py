@@ -81,6 +81,7 @@ SQL_BACKED = [
     "gopher_quality",
     "pack_sequences",
     "url_canonical",
+    "decontaminate",
     "bm25_topk_sharded",
     "bm25_topk_filtered",
     "bm25_bool",

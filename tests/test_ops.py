@@ -860,3 +860,39 @@ def test_canonicalize_urls_rules(ray_session):
         .tolist()
     )
     assert out == [c[1] for c in cases]
+
+
+def test_decontamination_flags(ray_session):
+    """GPT-3 dirty-n-gram rule: planted eval overlap flags the doc,
+    repeated dirty grams count per occurrence, short docs never flag."""
+    import ray.data
+
+    from docs_indexer_ray.ops.decontaminate import flag_contaminated, ngram_set
+
+    eval_texts = ["the quick brown fox jumps over the lazy dog"]
+    grams = ngram_set(eval_texts, n=4)
+    assert "the quick brown fox" in grams and len(grams) == 6
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "intro text the quick brown fox jumps here",  # one dirty 4-gram run
+                    "fox jumps over the lazy dog fox jumps over the lazy dog",  # repeats
+                    "totally clean document with no overlap at all",
+                    "the quick brown",  # shorter than n: never dirty
+                ]
+            ),
+        }
+    )
+    out = (
+        flag_contaminated(ray.data.from_arrow(corpus), grams, n=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "contaminated"] == 1 and out.loc[0, "n_hits"] == 2
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_hits"] > 2
+    assert out.loc[2, "contaminated"] == 0 and out.loc[2, "n_hits"] == 0
+    assert out.loc[3, "contaminated"] == 0
