@@ -234,6 +234,38 @@ def q_gopher_quality(sf_dir: str) -> pa.Table:
     return _concat(gopher_quality(_documents_ds(sf_dir), min_words=20))
 
 
+def q_temperature_resample(sf_dir: str) -> pa.Table:
+    """α-temperature mixture resampling (α=0.5, out_frac=0.5) over a
+    planted skewed grouping ``g(doc_id) = (doc_id % 17) % 5`` (group
+    sizes ~118/118/88/88/88): rare groups keep a HIGHER rate, chosen
+    docs are the md5-prefix value property (`ops/sample.py::
+    temperature_resample`).  Output = per-group in/out counts."""
+    from ray.data.aggregate import Count
+
+    from docs_indexer_ray.ops.sample import temperature_resample
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        grp = [f"g{(int(d) % 17) % 5}" for d in ids.tolist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": t["text"],
+             "grp": pa.array(grp, pa.string())}
+        )
+
+    ds = _documents_ds(sf_dir).map_batches(plant, batch_format="pyarrow")
+    sampled, _rates = temperature_resample(
+        ds, group_col="grp", key="text", alpha=0.5, out_frac=0.5, bits=2
+    )
+    n_in = _concat(ds.groupby("grp").aggregate(Count(alias_name="n_docs")))
+    n_out = _concat(sampled.groupby("grp").aggregate(Count(alias_name="n_sampled")))
+    joined = n_in.join(n_out, keys="grp", join_type="left outer")
+    ns = pc.coalesce(joined["n_sampled"], pa.scalar(0, joined["n_sampled"].type))
+    joined = joined.set_column(
+        joined.schema.get_field_index("n_sampled"), "n_sampled", ns
+    )
+    return _as_i64(joined, ["n_docs", "n_sampled"]).sort_by("grp")
+
+
 def q_decontaminate(sf_dir: str) -> pa.Table:
     """Benchmark decontamination (GPT-3 dirty-n-gram rule, n=8 at
     this corpus' ~35-token docs): eval set = docs with
@@ -2027,6 +2059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "url_canonical": q_url_canonical,
         "decontaminate": q_decontaminate,
+        "temperature_resample": q_temperature_resample,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint_md5,
         "dedup_exact": q_dedup_exact,
@@ -2205,6 +2238,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
                    CASE WHEN n_tokens > 0 THEN CAST(charsum AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
             FROM s
+        """,
+        "temperature_resample": """
+            WITH d AS (SELECT doc_id, text,
+                              'g' || CAST((doc_id % 17) % 5 AS VARCHAR) AS grp
+                       FROM documents),
+            c AS (SELECT grp, count(*) AS cnt FROM d GROUP BY grp),
+            t AS (SELECT SUM(cnt) AS total, SUM(pow(cnt, 0.5)) AS sumw FROM c),
+            s AS (SELECT c.grp,
+                         CAST(round(256 * least(1.0,
+                           0.5 * t.total * pow(c.cnt, 0.5) / t.sumw / c.cnt)) AS BIGINT) AS slots
+                  FROM c, t),
+            k AS (SELECT d.grp, count(*) AS n_sampled
+                  FROM d JOIN s USING (grp)
+                  WHERE s.slots >= 256
+                     OR substr(md5(d.text), 1, 2) < lpad(to_hex(s.slots), 2, '0')
+                  GROUP BY d.grp)
+            SELECT c.grp, CAST(c.cnt AS BIGINT) AS n_docs,
+                   CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled
+            FROM c LEFT JOIN k USING (grp) ORDER BY c.grp
         """,
         "decontaminate": f"""
             WITH corpus AS ({_DUP_UNION}),

@@ -25,7 +25,12 @@ import hashlib
 
 import pyarrow as pa
 
-__all__ = ["sample_by_hash", "stratified_sample_by_hash", "hash_prefixes"]
+__all__ = [
+    "sample_by_hash",
+    "stratified_sample_by_hash",
+    "temperature_resample",
+    "hash_prefixes",
+]
 
 _HEX = "0123456789abcdef"
 
@@ -103,3 +108,52 @@ def stratified_sample_by_hash(
         return t.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def temperature_resample(
+    ds,
+    group_col: str,
+    key: str = "text",
+    alpha: float = 0.5,
+    out_frac: float = 0.5,
+    bits: int = 2,
+    counts: dict | None = None,
+):
+    """Temperature-weighted mixture resampling across sources — the
+    multilingual/multi-source rebalancing rule (α-scaled sampling,
+    Devlin et al. 2019 §multilingual; UniMax, Chung et al. 2023):
+    source ``s`` with ``n_s`` docs gets target share
+    ``p_s ∝ n_s^α`` (α<1 flattens the mixture toward rare sources),
+    i.e. keep-rate ``r_s = min(1, out_frac · N · n_s^α / Σ n^α / n_s)``.
+
+    Rates snap to the md5 hex-prefix grid (``16^bits`` slots —
+    ``slots_s = round(r_s · 16^bits)``) and selection reuses
+    :func:`stratified_sample_by_hash`'s value property, so the chosen
+    subset is parallelism-invariant, nested across reruns with higher
+    ``out_frac``, and replayable in SQL (prefix-string compare against
+    ``to_hex(slots)``).  Float contract: ``n^α`` is libm ``pow``;
+    ``Σ n^α`` is summed in SORTED group order; slot rounding happens
+    once, on the rate — all mirrored by the oracle's expression
+    shapes.
+
+    Pass 1 is a tiny combiner ``groupby(count)`` (or supply
+    ``counts``); pass 2 streams.  Returns ``(sampled_ds, rates)``
+    where ``rates`` maps group → snapped rate."""
+    n_slots = 16**bits
+    if counts is None:
+        from ray.data.aggregate import Count
+
+        rows = ds.groupby(group_col).aggregate(Count(alias_name="cnt")).take_all()
+        counts = {r[group_col]: int(r["cnt"]) for r in rows}
+    total = sum(counts.values())
+    sumw = sum(c**alpha for _, c in sorted(counts.items()))
+    rates: dict[str, float] = {}
+    for g, c in counts.items():
+        r = min(1.0, out_frac * total * (c**alpha) / sumw / c)
+        rates[g] = round(r * n_slots) / n_slots
+    return (
+        stratified_sample_by_hash(
+            ds, key=key, group_col=group_col, rates=rates, bits=bits
+        ),
+        rates,
+    )

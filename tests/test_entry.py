@@ -82,6 +82,7 @@ SQL_BACKED = [
     "pack_sequences",
     "url_canonical",
     "decontaminate",
+    "temperature_resample",
     "bm25_topk_sharded",
     "bm25_topk_filtered",
     "bm25_bool",

@@ -896,3 +896,42 @@ def test_decontamination_flags(ray_session):
     assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_hits"] > 2
     assert out.loc[2, "contaminated"] == 0 and out.loc[2, "n_hits"] == 0
     assert out.loc[3, "contaminated"] == 0
+
+
+def test_temperature_resample_rates(ray_session):
+    """α-temperature rates: α=1 ≡ plain out_frac everywhere; α=0.5
+    gives rare groups a strictly higher keep-rate; α=0 equalizes
+    target COUNTS (rate ∝ 1/n); rates snap to the 256-slot grid and
+    the sampled subset is parallelism-invariant."""
+    import ray.data
+
+    from docs_indexer_ray.ops.sample import temperature_resample
+
+    rows = 6 * ["big"] * 50 + ["rare"] * 60  # 300 big / 60 rare
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "grp": pa.array(rows),
+            "text": pa.array([f"doc {i} text" for i in range(len(rows))]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+
+    _, r_flat = temperature_resample(ds, "grp", alpha=1.0, out_frac=0.5)
+    assert r_flat["big"] == r_flat["rare"] == 0.5
+
+    _, r_half = temperature_resample(ds, "grp", alpha=0.5, out_frac=0.5)
+    assert r_half["rare"] > r_half["big"]
+    assert all(abs(v * 256 - round(v * 256)) < 1e-12 for v in r_half.values())
+
+    _, r_zero = temperature_resample(ds, "grp", alpha=0.0, out_frac=0.2)
+    # equal target counts (out_frac low enough that nothing clamps):
+    # n_s * r_s ≈ const within slot granularity
+    assert max(r_zero.values()) < 1.0
+    assert abs(300 * r_zero["big"] - 60 * r_zero["rare"]) <= (300 + 60) / 256
+
+    s1, _ = temperature_resample(ds, "grp", alpha=0.5, out_frac=0.5)
+    s2, _ = temperature_resample(ds.repartition(7), "grp", alpha=0.5, out_frac=0.5)
+    a = sorted(s1.to_pandas()["doc_id"])
+    b = sorted(s2.to_pandas()["doc_id"])
+    assert a == b and len(a) > 0
