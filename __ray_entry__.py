@@ -1456,6 +1456,29 @@ def q_match_phrase(sf_dir: str) -> pa.Table:
     )
 
 
+def q_rescore(sf_dir: str) -> pa.Table:
+    """OpenSearch ``rescore``: flagship BM25 top-50 window re-ranked
+    by a phrase-proximity boost (``+ 2·ln(1+pf)`` for "table hash"),
+    top-10 out (`query/phrase.py::rescore_topk`)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.phrase import rescore_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(
+        sf_dir, chain="simple", field="body", store_positions=True
+    )
+    hits = rescore_topk(
+        IndexReader(root), list(_BM25_TERMS), ["table", "hash"],
+        window=50, weight=2.0, k=10,
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
 def q_match_phrase_slop(sf_dir: str) -> pa.Table:
     """Proximity phrase (``match_phrase`` + ``slop: 1``, ordered
     span-near): docs where "table" is followed by "hash" with at most
@@ -2098,6 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_significant_terms": q_facet_significant_terms,
         "more_like_this": q_more_like_this,
         "match_phrase_slop": q_match_phrase_slop,
+        "rescore": q_rescore,
         "facet_top_hits": q_facet_top_hits,
         "term_vectors": q_term_vectors,
         "bm25_topk_deleted": q_bm25_topk_deleted,
@@ -2847,6 +2871,40 @@ def oracle_sql() -> dict[str, str]:
     # SynonymQuery: per group tf = SUM over member terms, df = MAX of
     # member dfs (Lucene's blended docFreq); groups then sum like
     # plain BM25 terms, ranked on the 1e-9-quantized score
+    # rescore: BM25 top-50 window (same unquantized ordering contract
+    # as bm25_topk), then + 2*ln(1+phrase_freq) on window rows only,
+    # final ordering on the 1e-9-quantized combined score
+    sqls["rescore"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id),
+        win AS (SELECT doc_id, score FROM scores
+                ORDER BY score DESC, doc_id ASC LIMIT 50),
+        tokp AS (SELECT doc_id, unnest({toks_body}) AS term,
+                        generate_subscripts({toks_body}, 1) AS pos
+                 FROM docs),
+        pf AS (SELECT a.doc_id, count(*) AS pf
+               FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               WHERE a.term = 'table' AND b.term = 'hash'
+               GROUP BY a.doc_id),
+        fin AS (SELECT w.doc_id,
+                       round(w.score + 2.0 * ln(1 + COALESCE(pf.pf, 0)), 9) AS fscore
+                FROM win w LEFT JOIN pf USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM fin ORDER BY fscore DESC, doc_id ASC LIMIT 10
+    """
     sqls["synonym"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
         toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),

@@ -21,7 +21,7 @@ import numpy as np
 
 from .reader import IndexReader
 
-__all__ = ["match_phrase", "match_phrase_slop", "phrase_topk"]
+__all__ = ["match_phrase", "match_phrase_slop", "phrase_topk", "rescore_topk"]
 
 
 def match_phrase(reader: IndexReader, terms: list[str]) -> list[tuple[int, int]]:
@@ -111,6 +111,45 @@ def match_phrase_slop(
         if freq:
             out.append((int(doc), freq))
     return out
+
+
+def rescore_topk(
+    reader,
+    terms: list[str],
+    phrase: list[str],
+    window: int = 50,
+    weight: float = 2.0,
+    k: int = 10,
+):
+    """OpenSearch ``rescore``: cheap BM25 retrieval picks a top
+    ``window``, then only those docs are re-ranked with a costlier
+    phrase-proximity signal — ``final = bm25 + weight * ln(1 + pf)``
+    where ``pf`` is the exact phrase frequency from position postings;
+    window docs without the phrase keep their base score.
+
+    Requires a positions build.  The rescore COMBINE touches only the
+    ≤ ``window`` retrieved rows (output scale); the phrase pass here
+    decodes the phrase terms' postings once (same cost class as
+    ``match_phrase``) — at corpus scale the sharded tier runs it with
+    range-limited positional decode per shard, so each shard pays only
+    its slice.  Ranking key quantized to 1e-9 (the established oracle
+    trick), ``math.log`` per window doc."""
+    import math
+
+    from .bm25 import wand_topk
+
+    base = wand_topk(reader, terms, k=window)
+    if not base:
+        return []
+    pf = dict(match_phrase(reader, phrase))
+    ranked = sorted(
+        (
+            -round(s + weight * math.log(1 + pf.get(d, 0)), 9),
+            d,
+        )
+        for d, s in base
+    )[:k]
+    return [(d, -negs) for negs, d in ranked]
 
 
 def phrase_topk(

@@ -121,6 +121,7 @@ SQL_BACKED = [
     "function_score",
     "search_as_you_type",
     "synonym",
+    "rescore",
     "warc_ingest",
     "bm25_multimatch",
     "bm25_multimatch_best",
