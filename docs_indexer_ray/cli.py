@@ -281,6 +281,31 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Snapshot the CURRENT build (hardlink-cheap on one filesystem)."""
+    from .index.snapshot import snapshot_index
+
+    path = snapshot_index(args.root, args.snapdir, name=args.name)
+    print(json.dumps({"snapshot": path}))
+    return 0
+
+
+def cmd_snapshots(args) -> int:
+    from .index.snapshot import list_snapshots
+
+    print(json.dumps(list_snapshots(args.snapdir)))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    """Restore a snapshot as the published build under --root."""
+    from .index.snapshot import restore_index
+
+    path = restore_index(args.snapshot, args.root)
+    print(json.dumps({"restored": path}))
+    return 0
+
+
 def cmd_reindex(args) -> int:
     """Re-analyze the docs store under a new chain/field/positions."""
     _ray_session()
@@ -418,6 +443,21 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--field", default=None)
     r.add_argument("--positions", action="store_true")
     r.set_defaults(fn=cmd_reindex)
+
+    sn = sub.add_parser("snapshot", help="snapshot the CURRENT build")
+    sn.add_argument("--root", required=True)
+    sn.add_argument("--snapdir", required=True)
+    sn.add_argument("--name", default=None)
+    sn.set_defaults(fn=cmd_snapshot)
+
+    sl = sub.add_parser("snapshots", help="list snapshots in a repo dir")
+    sl.add_argument("--snapdir", required=True)
+    sl.set_defaults(fn=cmd_snapshots)
+
+    rs = sub.add_parser("restore", help="restore a snapshot and publish it")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--root", required=True)
+    rs.set_defaults(fn=cmd_restore)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -259,3 +259,70 @@ def test_lifecycle_short_circuit_and_gc(ray_session, tmp_path):
     removed = mf.gc(out)
     assert removed == ["docs-v1"]
     assert os.path.isdir(res3.index_dir)
+
+
+def test_snapshot_restore_lifecycle(ray_session, tmp_path):
+    """snapshot → wipe → restore → identical queries; corrupt
+    snapshots are refused; double-restore is refused; hardlinks make
+    same-filesystem snapshots metadata-cheap."""
+    import shutil
+
+    import ray.data
+
+    from docs_indexer_ray.index import manifest as mf
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.index.snapshot import (
+        list_snapshots,
+        restore_index,
+        snapshot_index,
+    )
+    from docs_indexer_ray.query.bm25 import wand_topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    root = str(tmp_path / "root")
+    build_index(
+        ray.data.from_arrow(rich_pages_table(60, dup_every=0)),
+        root,
+        fingerprint="s1",
+        num_parts=4,
+        chain="simple",
+        field="body",
+    )
+    cur = mf.current_build(root)
+    want = wand_topk(IndexReader(cur), ["node", "pools"], k=10)
+    want_count = IndexReader(cur).match_all_count()
+
+    snapdir = str(tmp_path / "snaps")
+    snap = snapshot_index(root, snapdir, name="nightly")
+    snaps = list_snapshots(snapdir)
+    assert len(snaps) == 1
+    assert snaps[0]["name"] == "nightly"
+    assert snaps[0]["build"] == os.path.basename(cur)
+    assert snaps[0]["n_files"] > 3
+
+    shutil.rmtree(root)  # the disaster
+    restored = restore_index(snap, root)
+    r = IndexReader(mf.current_build(root))
+    assert mf.current_build(root) == restored
+    assert wand_topk(r, ["node", "pools"], k=10) == want
+    assert r.match_all_count() == want_count
+
+    # restore refuses to clobber an existing build
+    with pytest.raises(FileExistsError):
+        restore_index(snap, root)
+
+    # corruption (size mismatch) is detected before publish
+    shutil.rmtree(root)
+    seg_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(snap)
+        for f in fs
+        if f != "snapshot.json"
+    ]
+    victim = sorted(seg_files)[0]
+    os.remove(victim)  # break the hardlink before truncating
+    with open(victim, "wb") as f:
+        f.write(b"x")
+    with pytest.raises(IOError):
+        restore_index(snap, root)
