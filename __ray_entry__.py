@@ -928,6 +928,36 @@ def _blen_ds_and_matched(sf_dir: str):
     return ds, matched
 
 
+def q_facet_filters(sf_dir: str) -> pa.Table:
+    """OpenSearch ``filters`` aggregation: independent NAMED buckets —
+    "early" (warc_ts before 00:04:10), "big"/"small" (body length
+    thresholds) — each counted in ONE shared streaming pass
+    (`query/facets.py::filters_facet`); overlapping membership is the
+    API's semantics."""
+    import datetime as _dt
+
+    import pyarrow.compute as _pc
+
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset
+    from docs_indexer_ray.query.facets import filters_facet
+
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "body", "warc_ts"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "blen", _pc.utf8_length(t["body"]).cast(pa.int64())
+        ).select(["doc_id", "blen", "warc_ts"]),
+        batch_format="pyarrow",
+    )
+    return filters_facet(
+        ds,
+        {
+            "early": ("warc_ts", "<", _dt.datetime(2025, 1, 1, 0, 4, 10)),
+            "big": ("blen", ">", 300),
+            "small": ("blen", "<=", 200),
+        },
+    )
+
+
 def q_facet_stats(sf_dir: str) -> pa.Table:
     """OpenSearch ``stats`` aggregation: count/min/max/sum/avg of the
     matched docs' body length (chars)."""
@@ -2113,6 +2143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_as_you_type": q_search_as_you_type,
         "synonym": q_synonym,
         "facet_stats": q_facet_stats,
+        "facet_filters": q_facet_filters,
         "facet_cardinality": q_facet_cardinality,
         "facet_histogram": q_facet_histogram,
         "facet_range": q_facet_range,
@@ -2983,6 +3014,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         FROM toks WHERE regexp_full_match(term, '(s|b)[a-z]*a(n|ll|rk)')
         GROUP BY term ORDER BY df DESC, term ASC
+    """
+    sqls["facet_filters"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        v AS (SELECT doc_id, length(body) AS blen, {_WARC} AS warc_ts FROM docs)
+        SELECT * FROM (
+          SELECT 'big' AS bucket, CAST(count_if(blen > 300) AS BIGINT) AS n_docs FROM v
+          UNION ALL
+          SELECT 'early', CAST(count_if(warc_ts < TIMESTAMP '2025-01-01 00:04:10') AS BIGINT) FROM v
+          UNION ALL
+          SELECT 'small', CAST(count_if(blen <= 200) AS BIGINT) FROM v)
+        ORDER BY bucket
     """
     sqls["facet_stats"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

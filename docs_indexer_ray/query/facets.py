@@ -41,6 +41,7 @@ __all__ = [
     "collapse_top",
     "stats_facet",
     "cardinality",
+    "filters_facet",
 ]
 
 
@@ -639,6 +640,64 @@ def _neg_key(vals: np.ndarray) -> np.ndarray:
     if np.issubdtype(vals.dtype, np.datetime64):
         return -vals.astype("datetime64[us]").astype(np.int64)
     return -vals
+
+
+_FILTER_OPS = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+}
+
+
+def filters_facet(docs_ds, filters: dict[str, tuple[str, str, object]]) -> pa.Table:
+    """OpenSearch ``filters`` aggregation: one NAMED bucket per
+    predicate, each counting the docs it matches (buckets are
+    independent — a doc can land in several, exactly the API's
+    semantics).  ``filters`` maps name → ``(column, op, value)`` with
+    op in ``== != > >= < <=``.
+
+    Shape at scale: per-batch vectorized predicate eval (Arrow compare
+    kernels) → ONE partial-count row per (block, bucket) to a tiny
+    driver fold.  One streaming pass total for ALL buckets — not one
+    scan per filter."""
+    specs = sorted(filters.items())
+    for _, (_, op, _) in specs:
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unsupported filter op: {op!r}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, counts = [], []
+        for name, (col, op, val) in specs:
+            m = _FILTER_OPS[op](t[col], pa.scalar(val))
+            names.append(name)
+            counts.append(int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0))
+        return pa.table(
+            {
+                "bucket": pa.array(names, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    import ray
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    agg: dict[str, int] = {name: 0 for name, _ in specs}
+    for p in parts:
+        for name, n in zip(p["bucket"].to_pylist(), p["n"].to_pylist()):
+            agg[name] += int(n)
+    names = [name for name, _ in specs]
+    return pa.table(
+        {
+            "bucket": pa.array(names, pa.string()),
+            "n_docs": pa.array([agg[n] for n in names], pa.int64()),
+        }
+    )
 
 
 def stats_facet(docs_ds, matched: np.ndarray, col: str) -> pa.Table:

@@ -122,6 +122,7 @@ SQL_BACKED = [
     "search_as_you_type",
     "synonym",
     "rescore",
+    "facet_filters",
     "warc_ingest",
     "bm25_multimatch",
     "bm25_multimatch_best",
