@@ -1509,6 +1509,33 @@ def q_rescore(sf_dir: str) -> pa.Table:
     )
 
 
+def q_rerank_ce(sf_dir: str) -> pa.Table:
+    """Retrieve→rerank stack: BM25 top-50 window re-ordered by the
+    cross-encoder stage (`query/rerank.py`; deterministic
+    token-Jaccard stand-in, `fake=True` — the real model would ride
+    the same actor-pool stage).  ``ce`` is a single int/int division,
+    so the oracle hash-matches it."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.rerank import CrossEncoderStub, rerank_topk
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    hits = rerank_topk(
+        IndexReader(root),
+        list(_BM25_TERMS),
+        CrossEncoderStub(fake=True),
+        window=50,
+        k=10,
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+            "ce": pa.array([s for _, s in hits], pa.float64()),
+        }
+    )
+
+
 def q_match_phrase_slop(sf_dir: str) -> pa.Table:
     """Proximity phrase (``match_phrase`` + ``slop: 1``, ordered
     span-near): docs where "table" is followed by "hash" with at most
@@ -2153,6 +2180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": q_more_like_this,
         "match_phrase_slop": q_match_phrase_slop,
         "rescore": q_rescore,
+        "rerank_ce": q_rerank_ce,
         "facet_top_hits": q_facet_top_hits,
         "term_vectors": q_term_vectors,
         "bm25_topk_deleted": q_bm25_topk_deleted,
@@ -2935,6 +2963,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id ASC) AS BIGINT) AS rank,
                CAST(doc_id AS BIGINT) AS doc_id
         FROM fin ORDER BY fscore DESC, doc_id ASC LIMIT 10
+    """
+    # rerank_ce: same BM25 top-50 window, final order owned by the
+    # distinct-token Jaccard (single int/int division → exact double)
+    sqls["rerank_ce"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id),
+        win AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 50),
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        nd AS (SELECT doc_id, count(*) AS nd FROM dt GROUP BY doc_id),
+        ni AS (SELECT doc_id, count(*) AS ni FROM dt
+               WHERE term IN ({terms_in}) GROUP BY doc_id),
+        j AS (SELECT w.doc_id,
+                     CAST(COALESCE(ni.ni, 0) AS DOUBLE)
+                       / (nd.nd + {len(_BM25_TERMS)} - COALESCE(ni.ni, 0)) AS ce
+              FROM win w JOIN nd USING (doc_id) LEFT JOIN ni USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY ce DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id, ce
+        FROM j ORDER BY ce DESC, doc_id ASC LIMIT 10
     """
     sqls["synonym"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

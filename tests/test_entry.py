@@ -123,6 +123,7 @@ SQL_BACKED = [
     "synonym",
     "rescore",
     "facet_filters",
+    "rerank_ce",
     "warc_ingest",
     "bm25_multimatch",
     "bm25_multimatch_best",

@@ -838,3 +838,35 @@ def test_synonym_query_semantics(built):
         kf = 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
         exp = bm25_idf(n, max(df_lo, df_hi)) * tf / (tf + kf)
         assert math.isclose(blended[d], round(exp, 9), rel_tol=1e-9)
+
+
+def test_cross_encoder_rerank(built):
+    """Retrieve→rerank: honest NotImplementedError without a model;
+    fake path reorders by token Jaccard with doc-id ties; window
+    bounds the scored set."""
+    import pytest as _pytest
+
+    from docs_indexer_ray.query.rerank import CrossEncoderStub, rerank_topk
+
+    reader, _ = built
+    with _pytest.raises(NotImplementedError, match="fake=True"):
+        CrossEncoderStub().score(["node"], ["some text"])
+
+    stub = CrossEncoderStub(fake=True)
+    hits = rerank_topk(reader, ["node", "pools"], stub, window=20, k=5)
+    assert 0 < len(hits) <= 5
+    scores = [s for _, s in hits]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+    # identical-score docs order by ascending doc_id
+    for (d1, s1), (d2, s2) in zip(hits, hits[1:]):
+        if s1 == s2:
+            assert d1 < d2
+
+    # empty retrieval -> empty rerank
+    assert rerank_topk(reader, ["zzzznope"], stub) == []
+
+    # scorer sanity: exact-overlap doc scores 1.0, disjoint scores 0.0
+    s = stub.score(["alpha", "beta"], ["alpha beta", "gamma delta", ""])
+    assert s.tolist() == [1.0, 0.0, 0.0]
