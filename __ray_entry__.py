@@ -1509,6 +1509,25 @@ def q_rescore(sf_dir: str) -> pa.Table:
     )
 
 
+def q_percolate(sf_dir: str) -> pa.Table:
+    """Percolator (reverse search): four registered conjunctive term
+    queries matched against every incoming doc — the alerting
+    primitive (`query/percolate.py`; stored-query set broadcast once,
+    corpus streams)."""
+    from docs_indexer_ray.query.percolate import percolate
+
+    stored = {
+        1: ["table", "scan"],
+        2: ["merge", "slow"],
+        3: ["spark", "stream"],
+        4: ["table", "scan", "merge", "slow"],
+    }
+    out = percolate(_documents_ds(sf_dir), stored, text_col="text")
+    return _as_i64(_concat(out), ["doc_id", "query_id"]).sort_by(
+        [("doc_id", "ascending"), ("query_id", "ascending")]
+    )
+
+
 def q_rerank_ce(sf_dir: str) -> pa.Table:
     """Retrieve→rerank stack: BM25 top-50 window re-ordered by the
     cross-encoder stage (`query/rerank.py`; deterministic
@@ -2181,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_phrase_slop": q_match_phrase_slop,
         "rescore": q_rescore,
         "rerank_ce": q_rerank_ce,
+        "percolate": q_percolate,
         "facet_top_hits": q_facet_top_hits,
         "term_vectors": q_term_vectors,
         "bm25_topk_deleted": q_bm25_topk_deleted,
@@ -2321,6 +2341,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
                    CASE WHEN n_tokens > 0 THEN CAST(charsum AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
             FROM s
+        """,
+        "percolate": f"""
+            WITH dt AS (SELECT DISTINCT doc_id, unnest({_toks('text')}) AS term
+                        FROM documents),
+            q(query_id, term) AS (VALUES
+              (1, 'table'), (1, 'scan'),
+              (2, 'merge'), (2, 'slow'),
+              (3, 'spark'), (3, 'stream'),
+              (4, 'table'), (4, 'scan'), (4, 'merge'), (4, 'slow')),
+            qn AS (SELECT query_id, count(*) AS nq FROM q GROUP BY query_id),
+            hit AS (SELECT dt.doc_id, q.query_id, count(*) AS nh
+                    FROM dt JOIN q USING (term) GROUP BY dt.doc_id, q.query_id)
+            SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
+                   CAST(h.query_id AS BIGINT) AS query_id
+            FROM hit h JOIN qn USING (query_id)
+            WHERE h.nh = qn.nq
+            ORDER BY doc_id, query_id
         """,
         "temperature_resample": """
             WITH d AS (SELECT doc_id, text,

@@ -124,6 +124,7 @@ SQL_BACKED = [
     "rescore",
     "facet_filters",
     "rerank_ce",
+    "percolate",
     "warc_ingest",
     "bm25_multimatch",
     "bm25_multimatch_best",

@@ -935,3 +935,33 @@ def test_temperature_resample_rates(ray_session):
     a = sorted(s1.to_pandas()["doc_id"])
     b = sorted(s2.to_pandas()["doc_id"])
     assert a == b and len(a) > 0
+
+
+def test_percolate_semantics(ray_session):
+    """Reverse search: conjunctive containment, multi-query overlap,
+    empty-doc immunity, candidate pre-filter correctness."""
+    import ray.data
+
+    from docs_indexer_ray.query.percolate import percolate
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma",
+                    "alpha only here",
+                    "",
+                    "beta alpha beta",  # order/repeats don't matter
+                ]
+            ),
+        }
+    )
+    stored = {10: ["alpha", "beta"], 20: ["alpha"], 30: ["zeta"]}
+    out = (
+        percolate(ray.data.from_arrow(docs), stored)
+        .to_pandas()
+        .sort_values(["doc_id", "query_id"], ignore_index=True)
+    )
+    got = list(map(tuple, out.to_numpy()))
+    assert got == [(0, 10), (0, 20), (1, 20), (3, 10), (3, 20)]
