@@ -958,6 +958,34 @@ def q_facet_filters(sf_dir: str) -> pa.Table:
     )
 
 
+def q_facet_composite(sf_dir: str) -> pa.Table:
+    """OpenSearch ``composite`` aggregation: the matched docs' body
+    lengths exported in after_key-paged bucket pages (size=7), all
+    pages concatenated with their page index — exercising the full
+    cursor protocol (`query/facets.py::composite_facet`)."""
+    from docs_indexer_ray.query.facets import composite_facet
+
+    ds, matched = _blen_ds_and_matched(sf_dir)
+    pages, after, page_no = [], None, 0
+    while True:
+        tbl, after = composite_facet(ds, matched, "blen", size=7, after=after)
+        if tbl.num_rows == 0:
+            break
+        pages.append(
+            tbl.append_column(
+                "page", pa.array(np.full(tbl.num_rows, page_no, np.int64))
+            )
+        )
+        page_no += 1
+        if after is None:
+            break
+    out = pa.concat_tables(pages) if pages else pa.table(
+        {"key": pa.array([], pa.int64()), "n_docs": pa.array([], pa.int64()),
+         "page": pa.array([], pa.int64())}
+    )
+    return out.select(["page", "key", "n_docs"])
+
+
 def q_facet_stats(sf_dir: str) -> pa.Table:
     """OpenSearch ``stats`` aggregation: count/min/max/sum/avg of the
     matched docs' body length (chars)."""
@@ -2190,6 +2218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym": q_synonym,
         "facet_stats": q_facet_stats,
         "facet_filters": q_facet_filters,
+        "facet_composite": q_facet_composite,
         "facet_cardinality": q_facet_cardinality,
         "facet_histogram": q_facet_histogram,
         "facet_range": q_facet_range,
@@ -3109,6 +3138,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         FROM toks WHERE regexp_full_match(term, '(s|b)[a-z]*a(n|ll|rk)')
         GROUP BY term ORDER BY df DESC, term ASC
+    """
+    sqls["facet_composite"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        v AS (SELECT CAST(length(d.body) AS BIGINT) AS key
+              FROM docs d JOIN m USING (doc_id)),
+        b AS (SELECT key, CAST(count(*) AS BIGINT) AS n_docs FROM v GROUP BY key),
+        r AS (SELECT key, n_docs,
+                     row_number() OVER (ORDER BY key ASC) AS rn FROM b)
+        SELECT CAST((rn - 1) // 7 AS BIGINT) AS page, key, n_docs
+        FROM r ORDER BY key
     """
     sqls["facet_filters"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

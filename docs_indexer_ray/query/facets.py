@@ -42,6 +42,7 @@ __all__ = [
     "stats_facet",
     "cardinality",
     "filters_facet",
+    "composite_facet",
 ]
 
 
@@ -640,6 +641,83 @@ def _neg_key(vals: np.ndarray) -> np.ndarray:
     if np.issubdtype(vals.dtype, np.datetime64):
         return -vals.astype("datetime64[us]").astype(np.int64)
     return -vals
+
+
+def composite_facet(
+    docs_ds,
+    matched: np.ndarray,
+    col: str,
+    size: int = 10,
+    after=None,
+):
+    """OpenSearch ``composite`` aggregation over one numeric source:
+    key-ordered bucket pages with ``after_key`` cursor resumption —
+    the agg built for EXPORTING a large-cardinality facet without a
+    giant single response.
+
+    Returns ``(table, after_key)`` where the table is the next
+    ``size`` buckets ``(key, n_docs)`` in ascending key order
+    strictly AFTER ``after`` (None = from the start), and
+    ``after_key`` is the cursor for the next page (None when
+    exhausted).
+
+    Shape at scale: per block, matched rows with key > after are
+    bucket-counted locally and only the ``size`` SMALLEST keys'
+    partial rows leave the task (the global first-``size`` keys are
+    always within the union of per-block first-``size`` sets); the
+    driver merges output-scale partials.  Each page is one streaming
+    pass — the cursor protocol is what bounds response size, exactly
+    the API's contract."""
+    import ray
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if after is not None:
+            v = v[v > after]
+        if len(v) == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        keys, counts = np.unique(v, return_counts=True)
+        keys, counts = keys[:size], counts[:size]
+        return pa.table(
+            {"key": pa.array(keys), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return (
+            pa.table(
+                {"key": pa.array([], pa.int64()), "n_docs": pa.array([], pa.int64())}
+            ),
+            None,
+        )
+    allp = pa.concat_tables(parts)
+    keys = allp["key"].to_numpy(zero_copy_only=False)
+    ns = allp["n"].to_numpy(zero_copy_only=False)
+    uk = np.unique(keys)[:size]
+    mask = np.isin(keys, uk)
+    agg = {}
+    for k, n in zip(keys[mask].tolist(), ns[mask].tolist()):
+        agg[k] = agg.get(k, 0) + n
+    out_keys = sorted(agg)
+    tbl = pa.table(
+        {
+            "key": pa.array(np.array(out_keys, np.int64)),
+            "n_docs": pa.array(np.array([agg[k] for k in out_keys], np.int64)),
+        }
+    )
+    after_key = int(out_keys[-1]) if len(out_keys) == size else None
+    return tbl, after_key
 
 
 _FILTER_OPS = {

@@ -123,6 +123,7 @@ SQL_BACKED = [
     "synonym",
     "rescore",
     "facet_filters",
+    "facet_composite",
     "rerank_ce",
     "percolate",
     "warc_ingest",
