@@ -1514,6 +1514,26 @@ def q_match_phrase(sf_dir: str) -> pa.Table:
     )
 
 
+def q_span_first(sf_dir: str) -> pa.Table:
+    """Lucene SpanFirstQuery: docs where "table" occurs within the
+    first 5 positions of the body, with the early-occurrence count
+    (`query/phrase.py::span_first`)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.phrase import span_first
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(
+        sf_dir, chain="simple", field="body", store_positions=True
+    )
+    hits = span_first(IndexReader(root), "table", end=5)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "n_early": pa.array([c for _, c in hits], pa.int64()),
+        }
+    )
+
+
 def q_rescore(sf_dir: str) -> pa.Table:
     """OpenSearch ``rescore``: flagship BM25 top-50 window re-ranked
     by a phrase-proximity boost (``+ 2·ln(1+pf)`` for "table hash"),
@@ -2228,6 +2248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": q_more_like_this,
         "match_phrase_slop": q_match_phrase_slop,
         "rescore": q_rescore,
+        "span_first": q_span_first,
         "rerank_ce": q_rerank_ce,
         "percolate": q_percolate,
         "facet_top_hits": q_facet_top_hits,
@@ -3029,6 +3050,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id ASC) AS BIGINT) AS rank,
                CAST(doc_id AS BIGINT) AS doc_id
         FROM fin ORDER BY fscore DESC, doc_id ASC LIMIT 10
+    """
+    # span_first: engine positions are 0-based (< 5), SQL
+    # generate_subscripts is 1-based (<= 5)
+    sqls["span_first"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        tok AS (SELECT doc_id, unnest({toks_body}) AS term,
+                       generate_subscripts({toks_body}, 1) AS pos
+                FROM docs)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_early
+        FROM tok WHERE term = 'table' AND pos <= 5
+        GROUP BY doc_id ORDER BY doc_id
     """
     # rerank_ce: same BM25 top-50 window, final order owned by the
     # distinct-token Jaccard (single int/int division → exact double)

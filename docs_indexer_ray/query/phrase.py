@@ -21,7 +21,7 @@ import numpy as np
 
 from .reader import IndexReader
 
-__all__ = ["match_phrase", "match_phrase_slop", "phrase_topk", "rescore_topk"]
+__all__ = ["match_phrase", "match_phrase_slop", "phrase_topk", "rescore_topk", "span_first"]
 
 
 def match_phrase(reader: IndexReader, terms: list[str]) -> list[tuple[int, int]]:
@@ -110,6 +110,29 @@ def match_phrase_slop(
         freq = int((ok & (cur - starts - (m - 1) <= slop)).sum())
         if freq:
             out.append((int(doc), freq))
+    return out
+
+
+def span_first(
+    reader: IndexReader, term: str, end: int
+) -> list[tuple[int, int]]:
+    """Lucene ``SpanFirstQuery``: docs where ``term`` occurs at a
+    position strictly below ``end`` (0-based), with the count of such
+    early occurrences — "term appears in the first N words" (title-ish
+    matching without a separate field).  One positional decode of the
+    term's postings; vectorized per-doc count via searchsorted on the
+    sorted position lists."""
+    tp = reader.postings(term)
+    if tp is None or end <= 0:
+        return []
+    ids, _ = tp.decode_all()
+    flat, offs = tp.decode_all_positions()
+    out: list[tuple[int, int]] = []
+    for j, doc in enumerate(ids.tolist()):
+        pos = flat[offs[j] : offs[j + 1]]
+        c = int(np.searchsorted(pos, end, side="left"))
+        if c:
+            out.append((int(doc), c))
     return out
 
 

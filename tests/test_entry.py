@@ -122,6 +122,7 @@ SQL_BACKED = [
     "search_as_you_type",
     "synonym",
     "rescore",
+    "span_first",
     "facet_filters",
     "facet_composite",
     "rerank_ce",
