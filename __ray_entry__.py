@@ -399,6 +399,40 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     return _concat(knn_cosine(ds, queries, qids, k=5))
 
 
+def q_knn_pca(sf_dir: str) -> pa.Table:
+    """Exact-cosine kNN in a PCA-compressed space (uncentered/
+    truncated-SVD basis — the cosine-preserving variant; 64 → 48
+    dims): distributed moment-combiner fit → broadcast-basis
+    projection → the shared kNN machinery (`ops/pca.py`).  The
+    synthetic embeddings are ISOTROPIC (flat spectrum — PCA's worst
+    case; real embedding spectra are heavy-tailed), so only modest
+    compression keeps recall: pytest pins ≥0.6 recall@5 at 48
+    components.  Rows-only: an eigendecomposition has no SQL
+    replay."""
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import knn_cosine
+    from docs_indexer_ray.ops.pca import fit_pca, transform_pca
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mean, comps, _ = fit_pca(ds, k=48, center=False)
+    proj = transform_pca(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), mean, comps
+    ).map_batches(
+        lambda t: t.drop_columns(["embedding"]).rename_columns(
+            ["vec_id", "label", "embedding"]
+        ),
+        batch_format="pyarrow",
+    )
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qsel = qt.filter(pc.less(qt["vec_id"], 5))
+    queries = (
+        np.array(qsel["embedding"].to_pylist(), np.float64) - mean
+    ) @ comps.T
+    qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
+    return _concat(knn_cosine(proj, queries, qids, k=5))
+
+
 def q_knn_cosine_q8(sf_dir: str) -> pa.Table:
     """Exact-cosine kNN over the int8-QUANTIZED corpus (4× smaller
     vectors, per-vector symmetric scale).  Rows-only: rank flips come
@@ -2213,6 +2247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_components": q_dup_components,
         "knn_cosine": q_knn_cosine,
+        "knn_pca": q_knn_pca,
         "index_stats": q_index_stats,
         "match_all_count": q_match_all_count,
         "bm25_topk": q_bm25_topk,

@@ -180,6 +180,7 @@ ROWS_ONLY_MIN = {
     "facet_percentiles_tdigest": 5,
     "bloom_url_filter": 1,
     "knn_cosine_q8": 10,
+    "knn_pca": 10,
 }
 
 
@@ -238,3 +239,17 @@ def test_entry_smoke(entry_mod):
     df = _to_df(res)
     assert len(df) > 0
     assert {"query", "rank", "doc_id", "score"} <= set(df.columns)
+
+
+def test_pca_knn_recall_vs_exact(entry_mod):
+    """kNN in the 8-component PCA space must recover ≥60 % of the
+    exact full-space neighbors at k=5 (the compression trade)."""
+    exact = _to_df(entry_mod.queries()["knn_cosine"](SF))
+    pcak = _to_df(entry_mod.queries()["knn_pca"](SF))
+    hits = tot = 0
+    for qid in exact.query_id.unique():
+        a = set(exact[exact.query_id == qid].neighbor_id)
+        b = set(pcak[pcak.query_id == qid].neighbor_id)
+        hits += len(a & b)
+        tot += len(a)
+    assert tot > 0 and hits / tot >= 0.6, hits / tot

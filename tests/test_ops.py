@@ -965,3 +965,57 @@ def test_percolate_semantics(ray_session):
     )
     got = list(map(tuple, out.to_numpy()))
     assert got == [(0, 10), (0, 20), (1, 20), (3, 10), (3, 20)]
+
+
+def test_pca_fit_transform(ray_session):
+    """Distributed PCA: matches a single-process numpy reference,
+    eigenvalues descending, orthonormal basis, optimal reconstruction,
+    partition-invariant to ~1e-8, composes with kNN."""
+    import ray.data
+
+    from docs_indexer_ray.ops.pca import fit_pca, transform_pca
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: two dominant directions in 8-d
+    base = rng.randn(400, 8) * np.array([5.0, 3.0, 1, 1, 0.5, 0.5, 0.2, 0.1])
+    q, _ = np.linalg.qr(rng.randn(8, 8))
+    x = base @ q + rng.randn(8) * 2
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in x.astype(np.float32)],
+                                   pa.list_(pa.float32())),
+        }
+    )
+    xf = np.array(tbl["embedding"].to_pylist(), np.float64)
+
+    ds = ray.data.from_arrow(tbl)
+    mean, comps, ev = fit_pca(ds, k=3)
+
+    # numpy reference on the same float32-rounded data
+    mu_ref = xf.mean(axis=0)
+    cov_ref = np.cov(xf, rowvar=False)
+    w_ref = np.sort(np.linalg.eigvalsh(cov_ref))[::-1][:3]
+    assert np.allclose(mean, mu_ref, atol=1e-8)
+    assert np.allclose(ev, w_ref, rtol=1e-8)
+    assert ev[0] >= ev[1] >= ev[2] > 0
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-10)
+
+    out = transform_pca(ds, mean, comps).to_pandas().sort_values("vec_id")
+    y = np.array(out["pca"].tolist(), np.float64)
+    assert y.shape == (400, 3)
+    # projected variance per axis tracks the eigenvalues
+    assert np.allclose(y.var(axis=0, ddof=1), ev, rtol=1e-3)
+    # PCA reconstruction beats any random 3-d basis
+    recon = y @ comps + mean
+    err_pca = ((xf - recon) ** 2).sum()
+    rb, _ = np.linalg.qr(rng.randn(8, 3))
+    yr = (xf - mu_ref) @ rb
+    err_rand = ((xf - (yr @ rb.T + mu_ref)) ** 2).sum()
+    assert err_pca < err_rand * 0.9
+
+    # partition invariance (moment folds commute to ~ulp)
+    mean2, comps2, ev2 = fit_pca(ray.data.from_arrow(tbl).repartition(7), k=3)
+    assert np.allclose(mean2, mean, atol=1e-9)
+    assert np.allclose(np.abs(comps2 @ comps.T), np.eye(3), atol=1e-6)
+    assert np.allclose(ev2, ev, rtol=1e-8)
