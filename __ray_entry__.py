@@ -1591,6 +1591,64 @@ def q_rescore(sf_dir: str) -> pa.Table:
     )
 
 
+def _pagerank_sql(iters: int) -> str:
+    """Unroll the damped power iteration as chained CTEs — the exact
+    float shapes of `ops/pagerank.py` ((1.0-0.85)/n base, rank/2 edge
+    contributions, COALESCE 0 for in-degree-0 nodes)."""
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "e AS (SELECT doc_id AS src, (doc_id*doc_id+3) % (SELECT n FROM nn) AS dst FROM documents"
+        " UNION ALL SELECT doc_id, (7*doc_id+3) % (SELECT n FROM nn) FROM documents)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"r{i + 1} AS (SELECT nodes.node, "
+            f"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * COALESCE(c.s, 0.0) AS rank "
+            f"FROM nodes LEFT JOIN (SELECT e.dst AS node, SUM(r{i}.rank / 2) AS s "
+            f"FROM e JOIN r{i} ON r{i}.node = e.src GROUP BY e.dst) c "
+            f"ON c.node = nodes.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, round(rank, 9) AS pr "
+        f"FROM r{iters} ORDER BY node"
+    )
+
+
+def q_pagerank(sf_dir: str) -> pa.Table:
+    """Distributed PageRank (10 damped power iterations, each ONE
+    hash shuffle — `ops/pagerank.py`) over a planted deterministic
+    link graph: doc ``d`` links to ``(d²+3) % N`` and ``(7d+3) % N``
+    (out-degree exactly 2, skewed in-degree).  Ranks quantized to
+    1e-9; the oracle unrolls the same 10 iterations as chained
+    CTEs."""
+    from docs_indexer_ray.ops.pagerank import pagerank
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([d, d])),
+                "dst": pa.array(
+                    np.concatenate([(d * d + 3) % n, (7 * d + 3) % n])
+                ),
+            }
+        )
+
+    import ray.data
+
+    eds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(edges, batch_format="pyarrow")
+    out = pagerank(eds, n_nodes=n, iterations=10, damping=0.85)
+    pr = np.array([round(float(v), 9) for v in out["rank"].to_pylist()])
+    return pa.table({"node": out["node"], "pr": pa.array(pr, pa.float64())})
+
+
 def q_percolate(sf_dir: str) -> pa.Table:
     """Percolator (reverse search): four registered conjunctive term
     queries matched against every incoming doc — the alerting
@@ -2286,6 +2344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_first": q_span_first,
         "rerank_ce": q_rerank_ce,
         "percolate": q_percolate,
+        "pagerank": q_pagerank,
         "facet_top_hits": q_facet_top_hits,
         "term_vectors": q_term_vectors,
         "bm25_topk_deleted": q_bm25_topk_deleted,
@@ -2427,6 +2486,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens > 0 THEN CAST(charsum AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
             FROM s
         """,
+        "pagerank": _pagerank_sql(10),
         "percolate": f"""
             WITH dt AS (SELECT DISTINCT doc_id, unnest({_toks('text')}) AS term
                         FROM documents),

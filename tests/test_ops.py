@@ -1019,3 +1019,48 @@ def test_pca_fit_transform(ray_session):
     assert np.allclose(mean2, mean, atol=1e-9)
     assert np.allclose(np.abs(comps2 @ comps.T), np.eye(3), atol=1e-6)
     assert np.allclose(ev2, ev, rtol=1e-8)
+
+
+def test_pagerank_power_iteration():
+    """pagerank over a small planted graph matches a dense numpy
+    power iteration bit-for-bit in structure (1e-12), handles dangling
+    nodes, sums to 1, and is partition-invariant to quantization."""
+    import ray.data
+
+    from docs_indexer_ray.ops.pagerank import pagerank
+
+    n = 60
+    src = np.arange(n - 10, dtype=np.int64)  # last 10 nodes dangling
+    dst1 = (src * src + 3) % n
+    dst2 = (7 * src + 3) % n
+    edges = pa.table(
+        {
+            "src": pa.array(np.concatenate([src, src])),
+            "dst": pa.array(np.concatenate([dst1, dst2])),
+        }
+    )
+    out = pagerank(ray.data.from_arrow(edges), n_nodes=n, iterations=12)
+    r = out["rank"].to_numpy(zero_copy_only=False)
+
+    # dense numpy reference with the same dangling redistribution
+    d = 0.85
+    outdeg = np.zeros(n)
+    np.add.at(outdeg, np.concatenate([src, src]), 1.0)
+    ref = np.full(n, 1.0 / n)
+    for _ in range(12):
+        contrib = np.zeros(n)
+        w = ref[np.concatenate([src, src])] / outdeg[np.concatenate([src, src])]
+        np.add.at(contrib, np.concatenate([dst1, dst2]), w)
+        dangling = ref[outdeg == 0].sum()
+        ref = (1 - d) / n + d * (contrib + dangling / n)
+    assert np.allclose(r, ref, atol=1e-12)
+    assert abs(r.sum() - 1.0) < 1e-9
+    # dangling nodes still hold the base + redistributed mass
+    assert (r[-10:] > 0).all()
+
+    # partition invariance (shuffle order only moves ~1e-15)
+    out2 = pagerank(
+        ray.data.from_arrow(edges).repartition(5), n_nodes=n, iterations=12
+    )
+    r2 = out2["rank"].to_numpy(zero_copy_only=False)
+    assert np.allclose(r2, r, atol=1e-12)
