@@ -127,6 +127,7 @@ SQL_BACKED = [
     "facet_composite",
     "rerank_ce",
     "percolate",
+    "pagerank",
     "warc_ingest",
     "bm25_multimatch",
     "bm25_multimatch_best",
