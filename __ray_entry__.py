@@ -1649,6 +1649,24 @@ def q_pagerank(sf_dir: str) -> pa.Table:
     return pa.table({"node": out["node"], "pr": pa.array(pr, pa.float64())})
 
 
+def q_lm_perplexity(sf_dir: str) -> pa.Table:
+    """CCNet-style quality filter (`ops/lm.py`): bigram LM trained in
+    one counting shuffle over `documents.text`, then every doc scored
+    streaming against the broadcast model — per-doc add-one-smoothed
+    avg negative log-likelihood (1e-9-quantized) and perplexity
+    (1e-6).  Docs with <2 tokens drop (no bigram evidence)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.lm import perplexity_scores, train_bigram_lm
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    model = train_bigram_lm(docs, text_col="text")
+    out = perplexity_scores(docs, model).sort("doc_id")
+    return _concat(out)
+
+
 def q_percolate(sf_dir: str) -> pa.Table:
     """Percolator (reverse search): four registered conjunctive term
     queries matched against every incoming doc — the alerting
@@ -2345,6 +2363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_ce": q_rerank_ce,
         "percolate": q_percolate,
         "pagerank": q_pagerank,
+        "lm_perplexity": q_lm_perplexity,
         "facet_top_hits": q_facet_top_hits,
         "term_vectors": q_term_vectors,
         "bm25_topk_deleted": q_bm25_topk_deleted,
@@ -2487,6 +2506,26 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "pagerank": _pagerank_sql(10),
+        "lm_perplexity": f"""
+            WITH d AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+            big AS (SELECT doc_id,
+                           unnest(toks[1:len(toks)-1]) AS w1,
+                           unnest(toks[2:len(toks)]) AS w2
+                    FROM d WHERE len(toks) >= 2),
+            bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+            ctx AS (SELECT w1, count(*) AS n FROM big GROUP BY 1),
+            v AS (SELECT count(DISTINCT t) AS v
+                  FROM (SELECT unnest(toks) AS t FROM d)),
+            nll AS (SELECT b.doc_id,
+                           -ln((bc.c + 1.0) / (ctx.n + (SELECT v FROM v))) AS x
+                    FROM big b
+                    JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+                    JOIN ctx ON b.w1 = ctx.w1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(x), 9) AS avg_nll,
+                   round(exp(avg(x)), 6) AS ppl
+            FROM nll GROUP BY doc_id ORDER BY doc_id
+        """,
         "percolate": f"""
             WITH dt AS (SELECT DISTINCT doc_id, unnest({_toks('text')}) AS term
                         FROM documents),

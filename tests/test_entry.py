@@ -128,6 +128,7 @@ SQL_BACKED = [
     "rerank_ce",
     "percolate",
     "pagerank",
+    "lm_perplexity",
     "warc_ingest",
     "bm25_multimatch",
     "bm25_multimatch_best",

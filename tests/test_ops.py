@@ -1064,3 +1064,60 @@ def test_pagerank_power_iteration():
     )
     r2 = out2["rank"].to_numpy(zero_copy_only=False)
     assert np.allclose(r2, r, atol=1e-12)
+
+
+def test_bigram_lm_train_and_score():
+    """train_bigram_lm counts match a Counter reference; scoring a
+    HELD-OUT doc handles OOV tokens (zero context -> 1/V) and matches
+    a plain-Python replay of the smoothed bigram model."""
+    import math
+
+    import ray.data
+
+    from docs_indexer_ray.ops.lm import perplexity_scores, train_bigram_lm
+
+    train = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat sat on the mat",
+                    "the cat ate the fish",
+                    "a dog sat",
+                ]
+            ),
+        }
+    )
+    model = train_bigram_lm(ray.data.from_arrow(train).repartition(3))
+    vocab = set(model["vocab"].tolist())
+    assert vocab == {"the", "cat", "sat", "on", "mat", "ate", "fish", "a", "dog"}
+    V = model["V"]
+    assert V == 9
+
+    # Counter reference over the same corpus
+    from collections import Counter
+
+    toks = [t.split() for t in train["text"].to_pylist()]
+    big = Counter(p for d in toks for p in zip(d, d[1:]))
+    ctx = Counter(p[0] for d in toks for p in zip(d, d[1:]))
+
+    # score a held-out doc with one OOV token ("zebra")
+    held = pa.table(
+        {"doc_id": pa.array([7], pa.int64()), "text": pa.array(["the zebra sat on the mat"])}
+    )
+    out = perplexity_scores(
+        ray.data.from_arrow(held), model, concurrency=1
+    ).take_all()
+    assert len(out) == 1 and out[0]["n_bigrams"] == 5
+
+    def p(w1, w2):
+        return (big.get((w1, w2), 0) + 1.0) / (ctx.get(w1, 0) + V)
+
+    pairs = list(zip("the zebra sat on the mat".split(), "zebra sat on the mat".split()))
+    ref = sum(-math.log(p(a, b)) for a, b in pairs) / 5
+    assert abs(out[0]["avg_nll"] - round(ref, 9)) < 1e-12
+    assert abs(out[0]["ppl"] - round(math.exp(ref), 6)) < 1e-9
+
+    # a one-token doc produces no row
+    one = pa.table({"doc_id": pa.array([9], pa.int64()), "text": pa.array(["hello"])})
+    assert perplexity_scores(ray.data.from_arrow(one), model, concurrency=1).count() == 0
