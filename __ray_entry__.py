@@ -1506,6 +1506,60 @@ def q_facet_date_histogram(sf_dir: str) -> pa.Table:
     return date_histogram(ds, matched, ts_col="warc_ts", interval_s=3600)
 
 
+def q_facet_pipeline(sf_dir: str) -> pa.Table:
+    """OpenSearch PIPELINE aggregations (cumulative_sum / derivative /
+    moving_fn avg / bucket_script) over a 10-minute date_histogram
+    parent with a sum(body-length) metric; the distributed phase is
+    the parent's partial groupby, the pipeline functions run on the
+    reduce side over the bucket list (OpenSearch's own shape)."""
+    import pyarrow.compute as _pc
+
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import match_doc_ids, pipeline_aggs
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts", "body"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "blen", _pc.utf8_length(t["body"]).cast(pa.int64())
+        ).select(["doc_id", "warc_ts", "blen"]),
+        batch_format="pyarrow",
+    )
+    return pipeline_aggs(
+        ds, matched, ts_col="warc_ts", interval_s=600, metric_col="blen", window=3
+    )
+
+
+def q_facet_matrix_stats(sf_dir: str) -> pa.Table:
+    """OpenSearch ``matrix_stats`` aggregation over two integral
+    fields of the matched docs — x = body length (chars), y = count
+    of 'e' in the body: population mean/variance per field plus
+    covariance and Pearson correlation, from constant-size integer
+    moment partials (order-independent, bit-exact vs SQL)."""
+    import pyarrow.compute as _pc
+
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import match_doc_ids, matrix_stats
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "body"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "x": _pc.utf8_length(t["body"]).cast(pa.int64()),
+                "y": _pc.count_substring(t["body"], "e").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return matrix_stats(ds, matched, "x", "y")
+
+
 def q_bm25_topk_sharded(sf_dir: str) -> pa.Table:
     """Same query as ``bm25_topk`` but served through the doc-range-
     sharded actor fleet (``ShardedQueryService``): per-shard exact
@@ -2335,6 +2389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_after": q_bm25_search_after,
         "bm25_topk_merged": q_bm25_topk_merged,
         "facet_date_histogram": q_facet_date_histogram,
+        "facet_pipeline": q_facet_pipeline,
+        "facet_matrix_stats": q_facet_matrix_stats,
         "facet_terms": q_facet_terms,
         "sort_by_date": q_sort_by_date,
         "term_prefix": q_term_prefix,
@@ -3677,5 +3733,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(floor(epoch_us(warc_ts) / 3600000000) AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM w GROUP BY 1 ORDER BY n_docs DESC, bucket ASC
+    """
+    sqls["facet_pipeline"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        v AS (SELECT length(d.body) AS blen, {_WARC} AS warc_ts
+              FROM docs d JOIN m USING (doc_id)),
+        b AS (SELECT CAST(floor(epoch_us(warc_ts) / 600000000) AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(blen) AS BIGINT) AS sum_v
+              FROM v GROUP BY 1)
+        SELECT bucket, n_docs, sum_v,
+               CAST(SUM(sum_v) OVER (ORDER BY bucket) AS BIGINT) AS cum_sum,
+               CAST(sum_v - LAG(sum_v) OVER (ORDER BY bucket) AS BIGINT) AS deriv,
+               CAST(SUM(sum_v) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg,
+               CAST(sum_v AS DOUBLE) / n_docs AS avg_v
+        FROM b
+        WINDOW w AS (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY bucket
+    """
+    sqls["facet_matrix_stats"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        v AS (SELECT length(d.body) AS x,
+                     length(d.body) - length(replace(d.body, 'e', '')) AS y
+              FROM docs d JOIN m USING (doc_id)),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM v)
+        SELECT n AS n_docs,
+               CAST(sx AS DOUBLE) / n AS mean_x,
+               CAST(sy AS DOUBLE) / n AS mean_y,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n AS var_x,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n AS var_y,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n AS cov_xy,
+               ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n)
+                 / (sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n)
+                    * sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n))
+                 AS corr_xy
+        FROM s
     """
     return sqls

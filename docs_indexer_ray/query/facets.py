@@ -43,6 +43,8 @@ __all__ = [
     "cardinality",
     "filters_facet",
     "composite_facet",
+    "pipeline_aggs",
+    "matrix_stats",
 ]
 
 
@@ -917,3 +919,201 @@ def terms_facet(docs_ds, matched: np.ndarray, field: str) -> pa.Table:
         return t[field].combine_chunks()
 
     return _facet(docs_ds, matched, key_of, pa.field("value", pa.string()))
+
+
+def pipeline_aggs(
+    docs_ds,
+    matched: np.ndarray,
+    ts_col: str,
+    interval_s: int,
+    metric_col: str,
+    window: int = 3,
+) -> pa.Table:
+    """OpenSearch PIPELINE aggregations over a ``date_histogram``
+    parent with a ``sum(metric_col)`` sub-aggregation:
+
+    * ``cum_sum``    — ``cumulative_sum`` of the bucket sums;
+    * ``deriv``      — ``derivative`` (null for the first bucket);
+    * ``moving_avg`` — ``moving_fn: MovingFunctions.unweightedAvg``
+      over a TRAILING window of ``window`` buckets (current included,
+      partial windows at the head — OpenSearch semantics);
+    * ``avg_v``      — ``bucket_script: sum_v / n_docs``.
+
+    Output: one row per non-empty bucket, bucket ascending —
+    ``(bucket, n_docs, sum_v, cum_sum, deriv, moving_avg, avg_v)``.
+
+    Shape at scale: EXACTLY where OpenSearch runs pipeline aggs — the
+    distributed phase is the parent histogram's partial ``(bucket,
+    count, sum)`` groupby per batch (output-scale rows to the driver),
+    and the pipeline functions are an O(n_buckets) pass on the reduce
+    side.  ``metric_col`` must be integral so the partial sums combine
+    exactly regardless of batch order; the only float ops are single
+    divisions of exact integers (bit-stable, see float-oracle rules).
+    """
+    import ray
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    div = pa.scalar(interval_s * 1_000_000, pa.int64())
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sm": pa.array([], pa.int64()),
+                }
+            )
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        b = pa.table(
+            {
+                "bucket": pc.divide(us, div),
+                "v": t[metric_col].cast(pa.int64()),
+            }
+        )
+        agg = b.group_by("bucket").aggregate([("v", "count"), ("v", "sum")])
+        return pa.table(
+            {
+                "bucket": agg["bucket"],
+                "n": agg["v_count"].cast(pa.int64()),
+                "sm": agg["v_sum"].cast(pa.int64()),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "sum_v": pa.array([], pa.int64()),
+            "cum_sum": pa.array([], pa.int64()),
+            "deriv": pa.array([], pa.int64()),
+            "moving_avg": pa.array([], pa.float64()),
+            "avg_v": pa.array([], pa.float64()),
+        }
+    )
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    agg = t.group_by("bucket").aggregate([("n", "sum"), ("sm", "sum")])
+    agg = agg.sort_by("bucket")
+    bucket = agg["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sm = agg["sm_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(sm)
+    deriv = np.empty(len(sm), np.int64)
+    deriv[1:] = sm[1:] - sm[:-1]
+    # trailing-window sums via the cumulative array: ws[i] = cum[i] -
+    # cum[i-window]; head windows are partial (OpenSearch keeps them)
+    idx = np.arange(len(sm))
+    lo = idx - window
+    ws = cum - np.where(lo >= 0, cum[np.clip(lo, 0, None)], 0)
+    wc = np.minimum(idx + 1, window)
+    moving = np.array(
+        [float(int(s)) / int(c) for s, c in zip(ws, wc)], np.float64
+    )
+    avg_v = np.array(
+        [float(int(s)) / int(c) for s, c in zip(sm, n)], np.float64
+    )
+    return pa.table(
+        {
+            "bucket": pa.array(bucket, pa.int64()),
+            "n_docs": pa.array(n, pa.int64()),
+            "sum_v": pa.array(sm, pa.int64()),
+            "cum_sum": pa.array(cum, pa.int64()),
+            "deriv": pa.array(
+                [None] + [int(d) for d in deriv[1:]], pa.int64()
+            ),
+            "moving_avg": pa.array(moving, pa.float64()),
+            "avg_v": pa.array(avg_v, pa.float64()),
+        }
+    )
+
+
+def matrix_stats(docs_ds, matched: np.ndarray, x_col: str, y_col: str) -> pa.Table:
+    """OpenSearch ``matrix_stats`` aggregation over two INTEGRAL
+    numeric fields of the matched docs → one row ``(n_docs, mean_x,
+    mean_y, var_x, var_y, cov_xy, corr_xy)`` (population variance /
+    covariance / Pearson correlation, OpenSearch's definitions).
+
+    Shape at scale: per-batch CONSTANT-SIZE integer moment partials
+    ``(n, Σx, Σy, Σx², Σy², Σxy)`` — exact int64 arithmetic, so the
+    combine is order-independent and the final float expressions are
+    single division trees over exact integers (bit-stable vs a SQL
+    oracle; the float-oracle expression-shape rule).  A float-typed
+    production variant would swap the partials for Chan/Welford moment
+    merges — the combiner stays constant-size either way.
+    """
+    import ray
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("n", "sx", "sy", "sxx", "syy", "sxy")})
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "n_docs": pa.array([0], pa.int64()),
+                **{c: pa.array([None], pa.float64())
+                   for c in ("mean_x", "mean_y", "var_x", "var_y",
+                             "cov_xy", "corr_xy")},
+            }
+        )
+    t = pa.concat_tables(parts)
+    n = int(pc.sum(t["n"]).as_py())
+    sx = int(pc.sum(t["sx"]).as_py())
+    sy = int(pc.sum(t["sy"]).as_py())
+    sxx = int(pc.sum(t["sxx"]).as_py())
+    syy = int(pc.sum(t["syy"]).as_py())
+    sxy = int(pc.sum(t["sxy"]).as_py())
+    import math
+
+    # expression trees mirror the SQL oracle EXACTLY (bit-stable):
+    # population moments from exact integer power sums
+    mean_x = float(sx) / n
+    mean_y = float(sy) / n
+    var_x = (float(sxx) - float(sx) * sx / n) / n
+    var_y = (float(syy) - float(sy) * sy / n) / n
+    cov_xy = (float(sxy) - float(sx) * sy / n) / n
+    corr_xy = cov_xy / (math.sqrt(var_x) * math.sqrt(var_y))
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "mean_x": pa.array([mean_x], pa.float64()),
+            "mean_y": pa.array([mean_y], pa.float64()),
+            "var_x": pa.array([var_x], pa.float64()),
+            "var_y": pa.array([var_y], pa.float64()),
+            "cov_xy": pa.array([cov_xy], pa.float64()),
+            "corr_xy": pa.array([corr_xy], pa.float64()),
+        }
+    )

@@ -90,6 +90,8 @@ SQL_BACKED = [
     "bm25_search_after",
     "bm25_topk_merged",
     "facet_date_histogram",
+    "facet_pipeline",
+    "facet_matrix_stats",
     "facet_terms",
     "facet_stats",
     "facet_cardinality",
