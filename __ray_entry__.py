@@ -368,6 +368,19 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     return _as_i64(t, ["a", "b", "inter", "na", "nb"])
 
 
+def q_substring_dedup(sf_dir: str) -> pa.Table:
+    """EXACT substring dedup (Lee et al. 2021, fixed-gram variant):
+    per-affected-doc duplicated-char stats over documents ∪ planted
+    exact copies — every length-25 gram occurring ≥2× in the corpus
+    is masked except its globally-first occurrence; masked_chars is
+    the per-doc interval-union size (``ops/substr.py``)."""
+    from docs_indexer_ray.ops.substr import substring_dedup_stats
+
+    return substring_dedup_stats(
+        _documents_with_copies_ds(sf_dir), text_col="text", gram_len=25
+    )
+
+
 def q_dup_components(sf_dir: str) -> pa.Table:
     """The dedup ENDGAME: n-gram-Jaccard near-dup pairs → transitive
     closure via distributed hash-to-min label propagation
@@ -2376,6 +2389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_components": q_dup_components,
+        "substring_dedup": q_substring_dedup,
         "knn_cosine": q_knn_cosine,
         "knn_pca": q_knn_pca,
         "index_stats": q_index_stats,
@@ -2820,6 +2834,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(min(label) AS BIGINT) AS component
             FROM walk GROUP BY node ORDER BY node
+        """,
+        "substring_dedup": f"""
+            WITH docs AS ({_DUP_UNION}),
+            g AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 25) AS gram
+                  FROM (SELECT doc_id, text,
+                               unnest(generate_series(1, length(text) - 24)) AS i
+                        FROM docs)),
+            r AS (SELECT doc_id, i,
+                         row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn,
+                         count(*) OVER (PARTITION BY gram) AS c
+                  FROM g),
+            masked AS (SELECT doc_id, i FROM r WHERE c > 1 AND rn > 1),
+            offs AS (SELECT DISTINCT doc_id, off FROM
+                       (SELECT doc_id, i + unnest(generate_series(0, 24)) AS off
+                        FROM masked)),
+            mc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS masked_chars
+                   FROM offs GROUP BY doc_id)
+            SELECT CAST(mc.doc_id AS BIGINT) AS doc_id, mc.masked_chars,
+                   CAST(length(d.text) - mc.masked_chars AS BIGINT) AS kept_chars
+            FROM mc JOIN docs d ON d.doc_id = mc.doc_id
+            ORDER BY doc_id
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

@@ -72,6 +72,7 @@ SQL_BACKED = [
     "dedup_exact",
     "ngram_jaccard",
     "dup_components",
+    "substring_dedup",
     "knn_cosine",
     "knn_cosine_filtered",
     "index_stats",

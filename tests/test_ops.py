@@ -1121,3 +1121,91 @@ def test_bigram_lm_train_and_score():
     # a one-token doc produces no row
     one = pa.table({"doc_id": pa.array([9], pa.int64()), "text": pa.array(["hello"])})
     assert perplexity_scores(ray.data.from_arrow(one), model, concurrency=1).count() == 0
+
+
+# ---- exact substring dedup (Lee et al. 2021) -------------------------------
+
+
+def _brute_masked(tbl: pa.Table, L: int) -> set[tuple[int, int]]:
+    """Reference: every (doc, pos) whose L-gram occurs ≥2× in the
+    corpus, minus each gram's global-first occurrence."""
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for did, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        for i in range(len(txt) - L + 1):
+            occ.setdefault(txt[i : i + L], []).append((did, i))
+    out = set()
+    for ps in occ.values():
+        if len(ps) >= 2:
+            out.update(sorted(ps)[1:])
+    return out
+
+
+def test_substring_masked_positions_vs_bruteforce(docs_ds, docs_tbl):
+    from docs_indexer_ray.ops.substr import masked_positions
+
+    L = 20
+    got = masked_positions(docs_ds, gram_len=L, num_parts=8).to_pandas()
+    got_set = set(zip(got["doc_id"], got["pos"]))
+    assert got_set == _brute_masked(docs_tbl, L)
+    # verify_exact path returns the identical set (no collisions here)
+    gv = masked_positions(
+        docs_ds, gram_len=L, num_parts=8, verify_exact=True
+    ).to_pandas()
+    assert set(zip(gv["doc_id"], gv["pos"])) == got_set
+
+
+def test_substring_dedup_stats_interval_union(docs_ds, docs_tbl):
+    from docs_indexer_ray.ops.substr import substring_dedup_stats
+
+    L = 20
+    stats = substring_dedup_stats(docs_ds, gram_len=L).to_pandas()
+    masked = _brute_masked(docs_tbl, L)
+    # reference interval union per doc
+    by_doc: dict[int, set[int]] = {}
+    for d, p in masked:
+        by_doc.setdefault(d, set()).update(range(p, p + L))
+    lens = {
+        d: len(t)
+        for d, t in zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())
+    }
+    want = {
+        d: (len(cov), lens[d] - len(cov)) for d, cov in by_doc.items()
+    }
+    got = {
+        int(r.doc_id): (int(r.masked_chars), int(r.kept_chars))
+        for r in stats.itertuples()
+    }
+    assert got == want
+    # every planted full copy is ~fully masked (first copy untouched)
+    dup_ids = [d for d in lens if d >= 1000]
+    for d in dup_ids:
+        assert got[d][0] == lens[d], d
+
+
+def test_substring_dedup_cuts_text(ray_session):
+    import ray.data
+
+    from docs_indexer_ray.ops.substr import substring_dedup
+
+    L = 10
+    uniq1 = "the quick brown fox jumps over the lazy dog tonight"
+    dup = "0123456789abcdefghij"  # 20 chars, shared by docs 1 and 2
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [uniq1 + dup, dup + "zyxwvutsrqponmlkjihg", "no dupes here at all"]
+            ),
+        }
+    )
+    out = (
+        substring_dedup(ray.data.from_arrow(tbl), gram_len=L, num_parts=4)
+        .to_pandas()
+        .set_index("doc_id")["text"]
+        .to_dict()
+    )
+    # doc 1 holds the global-first occurrence of every dup gram → intact
+    assert out[1] == uniq1 + dup
+    # doc 2's leading copy of `dup` is fully masked, the rest survives
+    assert out[2] == "zyxwvutsrqponmlkjihg"
+    assert out[3] == "no dupes here at all"
