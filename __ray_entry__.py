@@ -381,6 +381,49 @@ def q_substring_dedup(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dsir(sf_dir: str) -> pa.Table:
+    """DSIR (Xie et al. 2023): importance-resample the raw corpus
+    toward the ``source = 'src0'`` target domain — exact unigram+
+    bigram variant, add-one smoothing, top-20 by quantized importance
+    weight (rank-identity contract, ``ops/dsir.py``)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.dsir import dsir_topk, fit_dsir
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    target = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["source"], "src0")), batch_format="pyarrow"
+    )
+    model = fit_dsir(target, ds)
+    return dsir_topk(ds, model, k=20)
+
+
+def q_bpe_merges(sf_dir: str) -> pa.Table:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016):
+    ONE word-counting shuffle over the corpus, then the merge loop on
+    the vocabulary-scale word-frequency table — first 60 merge rules
+    as ``(rank, left, right)``.  Non-SQL by nature (data-dependent
+    iterative merges); pinned by the from-scratch recount reference
+    in ``tests/test_ops.py``."""
+    import ray.data
+
+    from docs_indexer_ray.ops.bpe import train_bpe, word_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = train_bpe(word_counts(ds), n_merges=60)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(merges) + 1), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+        }
+    )
+
+
 def q_dup_components(sf_dir: str) -> pa.Table:
     """The dedup ENDGAME: n-gram-Jaccard near-dup pairs → transitive
     closure via distributed hash-to-min label propagation
@@ -2390,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_components": q_dup_components,
         "substring_dedup": q_substring_dedup,
+        "dsir": q_dsir,
         "knn_cosine": q_knn_cosine,
         "knn_pca": q_knn_pca,
         "index_stats": q_index_stats,
@@ -2477,6 +2521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_cardinality_hll": q_facet_cardinality_hll,
         "facet_percentiles_tdigest": q_facet_percentiles_tdigest,
         "bloom_url_filter": q_bloom_url_filter,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -2855,6 +2900,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(d.text) - mc.masked_chars AS BIGINT) AS kept_chars
             FROM mc JOIN docs d ON d.doc_id = mc.doc_id
             ORDER BY doc_id
+        """,
+        "dsir": f"""
+            WITH t AS (SELECT doc_id, source, {_toks('text')} AS toks FROM documents),
+            uni AS (SELECT doc_id, source, unnest(toks) AS f FROM t),
+            bi AS (SELECT doc_id, source,
+                          unnest(list_transform(generate_series(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i+1])) AS f
+                   FROM t WHERE len(toks) >= 2),
+            feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+            tc AS (SELECT f, count(*) AS c FROM feats WHERE source = 'src0' GROUP BY f),
+            tt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM feats WHERE source = 'src0'),
+            rt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM feats),
+            vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM tc),
+            rc AS (SELECT f, count(*) AS c FROM feats
+                   WHERE f IN (SELECT f FROM tc) GROUP BY f),
+            lr AS (SELECT tc.f,
+                          ln(CAST(tc.c + 1 AS DOUBLE) / (tt.total + vv.v))
+                          - ln(CAST(rc.c + 1 AS DOUBLE) / (rt.total + vv.v)) AS r
+                   FROM tc JOIN rc USING (f), tt, rt, vv),
+            dc AS (SELECT doc_id, f, count(*) AS c FROM feats GROUP BY doc_id, f),
+            w AS (SELECT dc.doc_id, round(SUM(dc.c * lr.r), 9) AS wq
+                  FROM dc JOIN lr USING (f) GROUP BY dc.doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY wq DESC, doc_id ASC) AS BIGINT) AS rank,
+                   CAST(doc_id AS BIGINT) AS doc_id
+            FROM w ORDER BY wq DESC, doc_id ASC LIMIT 20
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

@@ -182,7 +182,7 @@ def perplexity_scores(
     model,
     text_col: str = "text",
     id_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency=(1, 4),
 ):
     """Stream ``docs_ds`` through the broadcast ``model`` → Dataset of
     ``(id_col, n_bigrams, avg_nll, ppl)``; docs with < 2 tokens are

@@ -73,6 +73,7 @@ SQL_BACKED = [
     "ngram_jaccard",
     "dup_components",
     "substring_dedup",
+    "dsir",
     "knn_cosine",
     "knn_cosine_filtered",
     "index_stats",
@@ -186,6 +187,7 @@ ROWS_ONLY_MIN = {
     "bloom_url_filter": 1,
     "knn_cosine_q8": 10,
     "knn_pca": 10,
+    "bpe_merges": 20,
 }
 
 

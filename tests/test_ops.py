@@ -1209,3 +1209,84 @@ def test_substring_dedup_cuts_text(ray_session):
     # doc 2's leading copy of `dup` is fully masked, the rest survives
     assert out[2] == "zyxwvutsrqponmlkjihg"
     assert out[3] == "no dupes here at all"
+
+
+# ---- BPE tokenizer training -------------------------------------------------
+
+
+def _naive_bpe(word_counts: dict[str, int], n_merges: int):
+    """From-scratch reference: recount ALL pair frequencies each
+    iteration (no incremental index), same tie-break."""
+    words = {w: [*w, "</w>"] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, sym in words.items():
+            c = word_counts[w]
+            for p in zip(sym[:-1], sym[1:]):
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        for w, sym in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_train_matches_naive_reference(docs_ds, docs_tbl):
+    from collections import Counter
+
+    from docs_indexer_ray.ops.bpe import train_bpe, word_counts
+
+    wc = word_counts(docs_ds)
+    # the distributed word count must equal a flat recount
+    flat = Counter(
+        w for t in docs_tbl["text"].to_pylist() for w in re.findall(r"[a-z0-9]+", t.lower())
+    )
+    assert dict(zip(wc["word"].to_pylist(), wc["n"].to_pylist())) == dict(flat)
+    got = train_bpe(wc, n_merges=40)
+    assert got == _naive_bpe(dict(flat), 40)
+    assert len(got) == 40
+
+
+def test_bpe_encode_roundtrip(ray_session):
+    import ray.data
+
+    from docs_indexer_ray.ops.bpe import (
+        _encode_word,
+        bpe_encode_counts,
+        train_bpe,
+        word_counts,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["low lower lowest", "newer newest new", "wide wider widest"]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    merges = train_bpe(word_counts(ds), n_merges=30)
+    rank = {p: i for i, p in enumerate(merges)}
+    # encoding concatenated == the original word (merges never cross words)
+    for w in ["low", "lowest", "wider", "unseenword"]:
+        syms = _encode_word(w, rank)
+        assert "".join(syms).replace("</w>", "") == w
+    out = bpe_encode_counts(ds, merges, concurrency=1).to_pandas().set_index("doc_id")
+    # every doc has 3 words; trained merges compress vs raw chars+eow
+    for did, row in out.iterrows():
+        assert row.n_words == 3
+        raw_len = sum(
+            len(w) + 1 for w in tbl["text"][did].as_py().split()
+        )
+        assert 3 <= row.n_bpe_tokens <= raw_len
