@@ -1979,6 +1979,35 @@ def q_embedding_dups(sf_dir: str) -> pa.Table:
     return _as_i64(t.select(["a", "b"]), ["a", "b"])
 
 
+def q_embedding_dups_exact(sf_dir: str) -> pa.Table:
+    """EXACT all-pairs cosine near-dup reference (``ops/ann.py::
+    embedding_dup_pairs_exact``) over the same planted-copy set as
+    ``embedding_dups`` — SQL-oracled, and the recall pin for the LSH
+    variant (see ``tests/test_entry.py``)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import embedding_dup_pairs_exact
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def shift(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 7 == 0))
+        return t.set_column(
+            t.schema.get_field_index("vec_id"), "vec_id", pc.add(t["vec_id"], 1000000)
+        )
+
+    ds = base.union(base.map_batches(shift, batch_format="pyarrow"))
+    t = _concat(embedding_dup_pairs_exact(ds, threshold=0.95))
+    if t.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    return _as_i64(t.select(["a", "b"]), ["a", "b"]).sort_by(
+        [("a", "ascending"), ("b", "ascending")]
+    )
+
+
 def q_knn_lsh(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -2508,6 +2537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_exact": q_embedding_dups_exact,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "trigram_suggest": q_trigram_suggest,
@@ -2925,6 +2955,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY wq DESC, doc_id ASC) AS BIGINT) AS rank,
                    CAST(doc_id AS BIGINT) AS doc_id
             FROM w ORDER BY wq DESC, doc_id ASC LIMIT 20
+        """,
+        "embedding_dups_exact": """
+            WITH base AS (SELECT vec_id, embedding FROM embeddings
+                          UNION ALL
+                          SELECT vec_id + 1000000 AS vec_id, embedding
+                          FROM embeddings WHERE vec_id % 7 = 0)
+            SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b
+            FROM base a JOIN base b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ORDER BY a, b
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["knn_cosine", "knn_lsh", "knn_ivf", "embedding_dup_pairs", "train_ivf_centroids", "quantize_embeddings", "knn_cosine_quantized", "knn_cosine_filtered"]
+__all__ = ["knn_cosine", "knn_lsh", "knn_ivf", "embedding_dup_pairs", "embedding_dup_pairs_exact", "train_ivf_centroids", "quantize_embeddings", "knn_cosine_quantized", "knn_cosine_filtered"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -543,3 +543,46 @@ def knn_cosine_quantized(
     return _final_topk(
         ds_q8.map_batches(partial_topk, batch_format="pyarrow"), k, exclude_self
     )
+
+
+def embedding_dup_pairs_exact(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """EXACT all-pairs near-duplicate reference: every pair with
+    cosine ≥ ``threshold`` → Dataset of ``(a, b)`` with a < b.
+
+    Quadratic by definition — this is the oracle that PINS
+    :func:`embedding_dup_pairs`' LSH recall, not the scale path.  The
+    full normalized matrix is broadcast ONCE (``ray.put``); each
+    batch does one matmul of its rows against the broadcast side and
+    emits only qualifying pairs, so compute distributes over batches
+    even though the comparison set is global.  Use the LSH variant
+    when n² (not n) is the problem."""
+    import ray
+
+    full = pa.concat_tables(
+        [ray.get(r) for r in ds.to_arrow_refs()]
+    ).combine_chunks().sort_by(id_col)
+    all_ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    all_emb = _normalize(_embedding_matrix(full, col))
+    ref = ray.put((all_ids, all_emb))
+
+    def pairs_of_batch(batch: pa.Table) -> pa.Table:
+        ids_all, emb_all = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _normalize(_embedding_matrix(batch, col))
+        sims = emb @ emb_all.T  # (b, n)
+        # keep (batch row, global row) with batch_id < global_id
+        keep = (sims >= threshold) & (ids[:, None] < ids_all[None, :])
+        bi, gi = np.nonzero(keep)
+        return pa.table(
+            {
+                "a": pa.array(ids[bi], pa.int64()),
+                "b": pa.array(ids_all[gi], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs_of_batch, batch_format="pyarrow")

@@ -76,6 +76,7 @@ SQL_BACKED = [
     "dsir",
     "knn_cosine",
     "knn_cosine_filtered",
+    "embedding_dups_exact",
     "index_stats",
     "match_all_count",
     "bm25_topk",
@@ -203,6 +204,18 @@ def test_quantized_knn_recall_vs_exact(entry_mod):
         hits += len(a & b)
         tot += len(a)
     assert tot > 0 and hits / tot >= 0.8, (hits, tot)
+
+
+def test_embedding_dups_lsh_recall_vs_exact(entry_mod):
+    """The LSH-blocked near-dup pass must (a) emit NO pair the exact
+    all-pairs reference rejects and (b) recover ≥90 % of true pairs
+    (hyperplane-straddle misses are the documented loss)."""
+    exact = _to_df(entry_mod.queries()["embedding_dups_exact"](SF))
+    lsh = _to_df(entry_mod.queries()["embedding_dups"](SF))
+    e = set(zip(exact.a, exact.b))
+    l = set(zip(lsh.a, lsh.b))
+    assert l <= e
+    assert len(e) > 0 and len(l & e) / len(e) >= 0.9, (len(l), len(e))
 
 
 def test_bloom_url_filter_contract(entry_mod):
