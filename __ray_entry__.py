@@ -1777,6 +1777,40 @@ def q_lm_perplexity(sf_dir: str) -> pa.Table:
     return _concat(out)
 
 
+def q_ccnet_buckets(sf_dir: str) -> pa.Table:
+    """CCNet head/middle/tail perplexity split (Wenzek et al. 2020):
+    bigram-LM perplexity per doc, tertile cutoffs from the 1/16
+    md5-hash sample (CCNet's own sampled-threshold procedure),
+    streaming value-based bucket assignment (``ops/lm.py::
+    ppl_buckets``)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.lm import ppl_buckets, train_bigram_lm
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    model = train_bigram_lm(docs, text_col="text")
+    return ppl_buckets(docs, model)
+
+
+def q_textcat(sf_dir: str) -> pa.Table:
+    """Trained char-trigram language classifier (Cavnar & Trenkle
+    1994, TextCat): top-100 per-label profiles from one counting
+    shuffle, streaming out-of-place-distance prediction — all-integer
+    math, bit-exact vs SQL (``ops/textcat.py``; see its honesty note
+    on the synthetic labels)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.textcat import fit_textcat, textcat_predict
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    model = fit_textcat(docs, label_col="lang")
+    return _concat(textcat_predict(docs, model)).sort_by("doc_id")
+
+
 def q_percolate(sf_dir: str) -> pa.Table:
     """Percolator (reverse search): four registered conjunctive term
     queries matched against every incoming doc — the alerting
@@ -2507,6 +2541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": q_percolate,
         "pagerank": q_pagerank,
         "lm_perplexity": q_lm_perplexity,
+        "ccnet_buckets": q_ccnet_buckets,
+        "textcat": q_textcat,
         "facet_top_hits": q_facet_top_hits,
         "term_vectors": q_term_vectors,
         "bm25_topk_deleted": q_bm25_topk_deleted,
@@ -2670,6 +2706,63 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(x), 9) AS avg_nll,
                    round(exp(avg(x)), 6) AS ppl
             FROM nll GROUP BY doc_id ORDER BY doc_id
+        """,
+        "ccnet_buckets": f"""
+            WITH d AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+            big AS (SELECT doc_id,
+                           unnest(toks[1:len(toks)-1]) AS w1,
+                           unnest(toks[2:len(toks)]) AS w2
+                    FROM d WHERE len(toks) >= 2),
+            bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+            ctx AS (SELECT w1, count(*) AS n FROM big GROUP BY 1),
+            v AS (SELECT count(DISTINCT t) AS v
+                  FROM (SELECT unnest(toks) AS t FROM d)),
+            nll AS (SELECT b.doc_id,
+                           -ln((bc.c + 1.0) / (ctx.n + (SELECT v FROM v))) AS x
+                    FROM big b
+                    JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+                    JOIN ctx ON b.w1 = ctx.w1),
+            ppl AS (SELECT doc_id, round(exp(avg(x)), 6) AS ppl
+                    FROM nll GROUP BY doc_id),
+            samp AS (SELECT p.ppl FROM ppl p JOIN documents dd USING (doc_id)
+                     WHERE substr(md5(dd.text), 1, 1) = '0'),
+            cut AS (SELECT quantile_cont(ppl, 1.0/3) AS c1,
+                           quantile_cont(ppl, 2.0/3) AS c2 FROM samp)
+            SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.ppl,
+                   CASE WHEN p.ppl <= cut.c1 THEN 'head'
+                        WHEN p.ppl <= cut.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ppl p, cut ORDER BY doc_id
+        """,
+        "textcat": """
+            WITH docs AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+            g AS (SELECT doc_id, lang, substr(lt, CAST(i AS INTEGER), 3) AS gram
+                  FROM (SELECT doc_id, lang, lt,
+                               unnest(generate_series(1, length(lt) - 2)) AS i
+                        FROM docs)),
+            tc AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            prof AS (SELECT lang, gram,
+                            row_number() OVER (PARTITION BY lang
+                                               ORDER BY c DESC, gram ASC) AS rnk
+                     FROM tc QUALIFY rnk <= 100),
+            dgc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            doctop AS (SELECT doc_id, gram,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY c DESC, gram ASC) AS rnk
+                       FROM dgc QUALIFY rnk <= 20),
+            langs AS (SELECT DISTINCT lang FROM documents),
+            dist AS (SELECT dt.doc_id, l.lang,
+                            SUM(CASE WHEN pr.rnk IS NULL THEN 100
+                                     ELSE abs(dt.rnk - pr.rnk) END) AS dd
+                     FROM doctop dt CROSS JOIN langs l
+                     LEFT JOIN prof pr ON pr.lang = l.lang AND pr.gram = dt.gram
+                     GROUP BY 1, 2),
+            pred AS (SELECT doc_id, lang AS pred_label,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY dd ASC, lang ASC) AS rn
+                     FROM dist)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_label
+            FROM pred WHERE rn = 1 ORDER BY doc_id
         """,
         "percolate": f"""
             WITH dt AS (SELECT DISTINCT doc_id, unnest({_toks('text')}) AS term

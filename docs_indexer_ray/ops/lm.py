@@ -43,7 +43,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["train_bigram_lm", "perplexity_scores"]
+__all__ = ["train_bigram_lm", "perplexity_scores", "ppl_buckets"]
 
 _TOKEN_SPLIT = re.compile(r"[^a-z0-9]+")
 
@@ -197,3 +197,91 @@ def perplexity_scores(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def _quantile_cont(vals: np.ndarray, q: float) -> float:
+    """DuckDB/Postgres ``quantile_cont`` bit-exactly (same h=(n-1)·q
+    continuous interpolation as ``query/facets.py::percentiles``)."""
+    v = np.sort(np.asarray(vals, np.float64))
+    n = len(v)
+    if n == 0:
+        return float("nan")
+    h = (n - 1) * q
+    lo = int(np.floor(h))
+    x_lo = float(v[lo])
+    x_hi = float(v[min(lo + 1, n - 1)])
+    return x_lo + (h - lo) * (x_hi - x_lo)
+
+
+def ppl_buckets(
+    docs_ds,
+    model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 4),
+):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3):
+    bucket every document by LM perplexity against thresholds taken
+    from a deterministic SAMPLE — exactly CCNet's procedure (it
+    computes the tertile cutoffs on a fraction of the corpus, then
+    streams assignment), which is also what makes the op scale-safe:
+    the only driver-side collect is the 1/16 hash sample's scores.
+
+    Returns an Arrow table ``(doc_id, ppl, bucket)`` sorted by doc id,
+    bucket ∈ {head, middle, tail} with ``ppl ≤ c⅓ → head``,
+    ``ppl ≤ c⅔ → middle`` (ties at a cutoff bucket DOWN — the
+    deterministic rule the SQL oracle mirrors)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from docs_indexer_ray.ops.sample import sample_by_hash
+
+    sample_scored = perplexity_scores(
+        sample_by_hash(docs_ds, key=text_col, rate=1 / 16),
+        model,
+        text_col=text_col,
+        id_col=id_col,
+        concurrency=concurrency,
+    )
+    sp = pa.concat_tables(
+        [
+            t
+            for t in (ray.get(r) for r in sample_scored.to_arrow_refs())
+            if t.num_rows and t.num_columns
+        ]
+    )
+    svals = sp["ppl"].to_numpy(zero_copy_only=False)
+    c1 = _quantile_cont(svals, 1.0 / 3)
+    c2 = _quantile_cont(svals, 2.0 / 3)
+
+    scored = perplexity_scores(
+        docs_ds, model, text_col=text_col, id_col=id_col, concurrency=concurrency
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        ppl = t["ppl"].to_numpy(zero_copy_only=False)
+        bucket = np.where(ppl <= c1, "head", np.where(ppl <= c2, "middle", "tail"))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "ppl": t["ppl"],
+                "bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    parts = [
+        t
+        for t in (
+            ray.get(r)
+            for r in scored.map_batches(assign, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    out = pa.concat_tables(parts) if parts else pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "ppl": pa.array([], pa.float64()),
+            "bucket": pa.array([], pa.string()),
+        }
+    )
+    return out.sort_by(id_col)

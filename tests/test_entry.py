@@ -134,6 +134,8 @@ SQL_BACKED = [
     "percolate",
     "pagerank",
     "lm_perplexity",
+    "ccnet_buckets",
+    "textcat",
     "warc_ingest",
     "bm25_multimatch",
     "bm25_multimatch_best",
