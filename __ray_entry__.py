@@ -2042,6 +2042,36 @@ def q_embedding_dups_exact(sf_dir: str) -> pa.Table:
     )
 
 
+def q_semdedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023): k-means clusters + in-cluster
+    cosine dedup over the planted-copy embedding set → removed
+    ``(vec_id, cluster)`` rows.  Non-SQL (k-means assignment);
+    pytest-pinned against the exact all-pairs reference
+    (``test_entry.py::test_semdedup_vs_exact_pairs``)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import semdedup
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def shift(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 7 == 0))
+        return t.set_column(
+            t.schema.get_field_index("vec_id"), "vec_id", pc.add(t["vec_id"], 1000000)
+        )
+
+    ds = base.union(base.map_batches(shift, batch_format="pyarrow"))
+    t = _concat(semdedup(ds, threshold=0.95))
+    if t.num_rows == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+        )
+    return _as_i64(t, ["vec_id", "cluster"]).sort_by("vec_id")
+
+
 def q_knn_lsh(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -2574,6 +2604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_exact": q_embedding_dups_exact,
+        "semdedup": q_semdedup,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "trigram_suggest": q_trigram_suggest,

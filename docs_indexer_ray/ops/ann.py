@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["knn_cosine", "knn_lsh", "knn_ivf", "embedding_dup_pairs", "embedding_dup_pairs_exact", "train_ivf_centroids", "quantize_embeddings", "knn_cosine_quantized", "knn_cosine_filtered"]
+__all__ = ["knn_cosine", "knn_lsh", "knn_ivf", "embedding_dup_pairs", "embedding_dup_pairs_exact", "semdedup", "train_ivf_centroids", "quantize_embeddings", "knn_cosine_quantized", "knn_cosine_filtered"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -255,32 +255,14 @@ def train_ivf_centroids(
     return cent
 
 
-def knn_ivf(
-    ds,
-    queries: np.ndarray,
-    query_ids: np.ndarray,
-    k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    train_sample: int = 2048,
-    id_col: str = "vec_id",
-    col: str = "embedding",
-    exclude_self: bool = True,
-):
-    """IVF approximate top-k: coarse k-means cells, queries probe their
-    ``n_probe`` nearest cells, exact cosine within probed cells only.
-
-    The scale path: candidate work per query drops from O(N) to
-    O(N · n_probe / n_centroids); recall is tuned by ``n_probe``.
-    Same output schema as :func:`knn_cosine` (query_id, rank,
-    neighbor_id)."""
+def _hash_stride_sample(ds, id_col: str, col: str, train_sample: int) -> np.ndarray:
+    """Deterministic value-property training sample — no global sort:
+    keep rows whose multiplicative id-hash lands in a stride sized to
+    yield ~2×train_sample rows, then truncate by (hash, id).  The
+    selection depends only on row VALUES, so it is identical at any
+    parallelism level, and only O(train_sample) rows reach the driver."""
     import ray
 
-    # deterministic value-property training sample — no global sort:
-    # keep rows whose multiplicative id-hash lands in a stride sized to
-    # yield ~2×train_sample rows, then truncate by (hash, id).  The
-    # selection depends only on row VALUES, so it is identical at any
-    # parallelism level, and only O(train_sample) rows reach the driver.
     n_total = ds.count()
     mod = np.uint64(max(1, n_total // max(1, 2 * train_sample)))
 
@@ -313,8 +295,32 @@ def knn_ivf(
         sample_tbl, sort_keys=[("_h", "ascending"), (id_col, "ascending")]
     )
     sample_tbl = sample_tbl.take(order).slice(0, train_sample)
+    return np.array(sample_tbl[col].to_pylist(), np.float64)
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """IVF approximate top-k: coarse k-means cells, queries probe their
+    ``n_probe`` nearest cells, exact cosine within probed cells only.
+
+    The scale path: candidate work per query drops from O(N) to
+    O(N · n_probe / n_centroids); recall is tuned by ``n_probe``.
+    Same output schema as :func:`knn_cosine` (query_id, rank,
+    neighbor_id)."""
+    import ray
+
     cent = train_ivf_centroids(
-        np.array(sample_tbl[col].to_pylist(), np.float64), n_centroids
+        _hash_stride_sample(ds, id_col, col, train_sample), n_centroids
     )
 
     qn = _normalize(np.asarray(queries))
@@ -586,3 +592,96 @@ def embedding_dup_pairs_exact(
         )
 
     return ds.map_batches(pairs_of_batch, batch_format="pyarrow")
+
+
+def semdedup(
+    ds,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    k-means clustering + WITHIN-CLUSTER pairwise cosine — the paper's
+    trick for making embedding dedup sub-quadratic: pairs are only
+    examined inside a cluster, so cost is Σ|cluster|² ≪ N².
+
+    Returns a Dataset of REMOVED rows ``(vec_id, cluster)``: within
+    each cluster, connected groups of pairs with cosine ≥
+    ``threshold`` keep their min-id representative and drop the rest
+    (the paper keeps the member farthest from the centroid; the keep
+    rule is a local, per-group choice — swap it here if wanted).
+
+    Shape at scale: centroids from the deterministic hash-stride
+    sample (driver-side, tiny), assignment streams (one matmul per
+    batch against the broadcast centroids), then ONE
+    ``groupby(cluster)`` shuffle and a vectorized in-cluster pass.
+    Clusters cap the quadratic term; raise ``n_centroids`` as N grows
+    (the paper uses √N-ish).  Caveat shared with the paper: near-dups
+    straddling a cluster boundary are missed — the exact all-pairs
+    reference (:func:`embedding_dup_pairs_exact`) bounds the loss in
+    tests."""
+    import ray
+
+    cent = train_ivf_centroids(
+        _hash_stride_sample(ds, id_col, col, train_sample), n_centroids
+    )
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        emb = _normalize(_embedding_matrix(t, col))
+        cl = (emb @ c.T).argmax(axis=1).astype(np.int32)
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                col: t[col],
+                "cluster": pa.array(cl, pa.int32()),
+            }
+        )
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) < 2:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int32())}
+            )
+        order = np.argsort(ids)
+        ids = ids[order]
+        emb = _normalize(_embedding_matrix(group, col))[order]
+        sims = emb @ emb.T
+        # union-find over qualifying pairs (cluster-sized, vectorized
+        # pair extraction; the python loop is over DUP pairs only)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = sims[ai, bi] >= threshold
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ai[keep].tolist(), bi[keep].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(len(ids))])
+        removed = roots != np.arange(len(ids))  # ids sorted ⇒ root = min id
+        cl = int(group["cluster"][0].as_py())
+        return pa.table(
+            {
+                id_col: pa.array(ids[removed], pa.int64()),
+                "cluster": pa.array(
+                    np.full(int(removed.sum()), cl, np.int32), pa.int32()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )

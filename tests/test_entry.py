@@ -191,6 +191,7 @@ ROWS_ONLY_MIN = {
     "knn_cosine_q8": 10,
     "knn_pca": 10,
     "bpe_merges": 20,
+    "semdedup": 1,
 }
 
 
@@ -218,6 +219,21 @@ def test_embedding_dups_lsh_recall_vs_exact(entry_mod):
     l = set(zip(lsh.a, lsh.b))
     assert l <= e
     assert len(e) > 0 and len(l & e) / len(e) >= 0.9, (len(l), len(e))
+
+
+def test_semdedup_vs_exact_pairs(entry_mod):
+    """SemDeDup's removals must be justified by the exact all-pairs
+    reference (every removed id appears in a true ≥-threshold pair)
+    and every planted exact copy must be caught (copies land in the
+    same cluster as their original by construction — identical
+    vectors share a nearest centroid)."""
+    exact = _to_df(entry_mod.queries()["embedding_dups_exact"](SF))
+    removed = set(_to_df(entry_mod.queries()["semdedup"](SF)).vec_id)
+    dup_ids = set(exact.a) | set(exact.b)
+    assert removed <= dup_ids
+    planted = {i for i in dup_ids if i >= 1000000}
+    assert planted <= removed | {i - 1000000 for i in removed}
+    assert len(removed) > 0
 
 
 def test_bloom_url_filter_contract(entry_mod):
