@@ -16,20 +16,37 @@ Ray-Data-native way:
   each round — the standard correction, computed from one tiny
   driver-side scalar per iteration.
 
-K iterations = K shuffles — exactly the distributed algorithm's cost
-model; nothing corpus-scale ever sits on the driver (ranks live in
-the Dataset; the driver holds only the dangling-mass scalar).
+Two execution modes, same math:
+
+* ``mode="broadcast"`` (default) — the rank vector is a dense
+  node-scale float64 array re-broadcast (``ray.put``) each iteration
+  and every edge task reads it zero-copy.  One shuffle per iteration.
+  Node-scale is the doclens footprint class: fine to ~10⁸ nodes
+  (≈1 GB), NOT fine for a multi-billion-page web graph — the driver
+  materializes 8 B/node per iteration.
+* ``mode="join"`` — the corpus-scale path: ranks stay a Dataset
+  partitioned by node for the whole run.  Each iteration is the
+  classic distributed PageRank round (the shape Spark/Pregel use):
+  hash-join edges with ranks on ``src`` → per-edge contribution →
+  ``groupby(dst).sum`` → left-join back onto the node list for the
+  damping update.  Three exchanges per iteration instead of one, but
+  nothing node- or corpus-scale ever sits on the driver — only the
+  dangling-mass scalar leaves the cluster.
 
 Floats: contribution sums associate in shuffle order, so ranks carry
 ~1e-15-relative noise versus any fixed-order replay — callers that
 need engine-independent output quantize to 1e-9 (established oracle
 trick); the SQL oracle unrolls the same K iterations as chained CTEs.
+Both modes share every arithmetic expression shape (``rank/od`` per
+edge, ``Sum`` fold, ``base + add + d·s`` update), so they agree to
+shuffle-order noise (pinned ≤1e-12 in pytest).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["pagerank"]
 
@@ -41,19 +58,27 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    mode: str = "broadcast",
+    num_buckets: int = 32,
 ):
     """``(node, rank)`` after ``iterations`` damped power steps from
     the uniform start.  Nodes are dense ints ``0..n_nodes-1``; nodes
     absent from the edge list are dangling (their mass redistributes
     uniformly).  Returns a pyarrow Table sorted by node.
 
-    At test scale ranks fit one block per iteration; the iteration
-    BODY is expressed over Datasets (edge map → groupby sum), so the
-    same loop runs with corpus-scale rank/edge partitions — the rank
-    vector is carried as a Dataset between rounds, never a driver
-    array (only the dangling-mass scalar leaves)."""
+    ``mode="broadcast"`` re-broadcasts the dense rank vector each
+    iteration (one shuffle/iter; driver holds 8 B/node — fine to
+    ~10⁸ nodes).  ``mode="join"`` keeps ranks a Dataset end-to-end
+    (three exchanges/iter; nothing node-scale on the driver) — use it
+    when the node count itself is corpus-scale.  Same float shapes,
+    ranks agree to shuffle-order noise."""
     import ray.data
     from ray.data.aggregate import Sum
+
+    if mode == "join":
+        return _pagerank_join(
+            edges_ds, n_nodes, iterations, damping, src, dst, num_buckets
+        )
 
     # out-degree per src: one combiner groupby, result joined into a
     # per-edge weight column once (edges reused every iteration)
@@ -123,6 +148,176 @@ def pagerank(
             "rank": pa.array(ray.get(_ranks_to_ref(rank_ds, n_nodes))),
         }
     )
+
+
+def _pagerank_join(
+    edges_ds,
+    n_nodes: int,
+    iterations: int,
+    damping: float,
+    src: str,
+    dst: str,
+    num_buckets: int,
+):
+    """Join-mode power iteration: ranks are a node-partitioned Dataset
+    for the whole run; each iteration is edges⋈ranks → groupby(dst)
+    → node-list left-join (the Spark/Pregel round shape).  The only
+    values that ever reach the driver are the per-iteration
+    dangling-mass scalar and the final sorted result."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    edge_schema = pa.schema([(src, pa.int64()), (dst, pa.int64())])
+    deg_schema = pa.schema([(src, pa.int64()), ("count()", pa.int64())])
+
+    # one-time setup joins (edges reused every iteration → materialize)
+    deg = edges_ds.groupby(src).count()
+    edges_aug = (
+        hash_join(
+            edges_ds,
+            deg,
+            on=src,
+            how="inner",
+            num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=deg_schema,
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    src: t[src],
+                    dst: t[dst],
+                    "od": t["count()"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    # static node list with out-degree (od=0 ⇒ dangling), reused per
+    # iteration for the damping update and the dangling-mass scalar
+    nodes_only = ray.data.range(n_nodes).map_batches(
+        lambda t: pa.table({"node": t["id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    deg_as_node = deg.map_batches(
+        lambda t: pa.table({"node": t[src], "od_r": t["count()"]}),
+        batch_format="pyarrow",
+    )
+    node_ds = (
+        hash_join(
+            nodes_only,
+            deg_as_node,
+            on="node",
+            how="left",
+            num_buckets=num_buckets,
+            left_schema=pa.schema([("node", pa.int64())]),
+            right_schema=pa.schema([("node", pa.int64()), ("od_r", pa.int64())]),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "od": pc.fill_null(t["od_r"], 0),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    base = (1.0 - damping) / n_nodes
+    r0 = 1.0 / n_nodes
+    rank_ds = node_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "rank": pa.array(np.full(t.num_rows, r0)),
+                "od": t["od"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        # dangling mass: the one driver-side scalar per round
+        dangling_row = (
+            rank_ds.map_batches(
+                lambda t: t.filter(
+                    pc.equal(t["od"], pa.scalar(0, pa.int64()))
+                ).select(["rank"]),
+                batch_format="pyarrow",
+            ).aggregate(Sum(on="rank", alias_name="dm"))
+        )
+        dangling = float(dangling_row.get("dm") or 0.0)
+        add = damping * dangling / n_nodes
+
+        ranks_as_src = rank_ds.map_batches(
+            lambda t: pa.table({src: t["node"], "rank": t["rank"]}),
+            batch_format="pyarrow",
+        )
+        summed = (
+            hash_join(
+                edges_aug,
+                ranks_as_src,
+                on=src,
+                how="inner",
+                num_buckets=num_buckets,
+                left_schema=pa.schema(
+                    [(src, pa.int64()), (dst, pa.int64()), ("od", pa.int64())]
+                ),
+                right_schema=pa.schema([(src, pa.int64()), ("rank", pa.float64())]),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t[dst],
+                        "c": pc.divide(t["rank"], t["od"].cast(pa.float64())),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Sum(on="c", alias_name="s"))
+        )
+
+        def update(t: pa.Table, _base=base, _add=add) -> pa.Table:
+            s = t["s"].to_numpy(zero_copy_only=False)
+            s = np.where(np.isnan(s), 0.0, s)
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "rank": pa.array(_base + _add + damping * s),
+                    "od": t["od"],
+                }
+            )
+
+        rank_ds = (
+            hash_join(
+                node_ds,
+                summed,
+                on="node",
+                how="left",
+                num_buckets=num_buckets,
+                left_schema=pa.schema([("node", pa.int64()), ("od", pa.int64())]),
+                right_schema=pa.schema(
+                    [("node", pa.int64()), ("s", pa.float64())]
+                ),
+            )
+            .map_batches(update, batch_format="pyarrow")
+            .materialize()
+        )
+
+    tabs = [
+        t
+        for t in (ray.get(r) for r in rank_ds.sort("node").to_arrow_refs())
+        if t.num_rows  # empty sort blocks carry an empty schema
+    ]
+    return pa.concat_tables(tabs).select(["node", "rank"])
 
 
 def _ranks_to_ref(rank_ds, n_nodes: int):

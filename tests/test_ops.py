@@ -1066,6 +1066,39 @@ def test_pagerank_power_iteration():
     assert np.allclose(r2, r, atol=1e-12)
 
 
+def test_pagerank_join_mode_matches_broadcast():
+    """mode="join" (rank vector never on the driver; edges⋈ranks →
+    groupby → node left-join per round) agrees with the broadcast
+    mode to shuffle-order noise, dangling nodes included."""
+    import ray.data
+
+    from docs_indexer_ray.ops.pagerank import pagerank
+
+    n = 60
+    src = np.arange(n - 10, dtype=np.int64)  # last 10 nodes dangling
+    edges = pa.table(
+        {
+            "src": pa.array(np.concatenate([src, src])),
+            "dst": pa.array(
+                np.concatenate([(src * src + 3) % n, (7 * src + 3) % n])
+            ),
+        }
+    )
+    bcast = pagerank(ray.data.from_arrow(edges), n_nodes=n, iterations=6)
+    joined = pagerank(
+        ray.data.from_arrow(edges).repartition(4),
+        n_nodes=n,
+        iterations=6,
+        mode="join",
+        num_buckets=8,
+    )
+    assert joined["node"].to_pylist() == bcast["node"].to_pylist()
+    a = joined["rank"].to_numpy(zero_copy_only=False)
+    b = bcast["rank"].to_numpy(zero_copy_only=False)
+    assert np.allclose(a, b, atol=1e-12)
+    assert abs(a.sum() - 1.0) < 1e-9
+
+
 def test_bigram_lm_train_and_score():
     """train_bigram_lm counts match a Counter reference; scoring a
     HELD-OUT doc handles OOV tokens (zero context -> 1/V) and matches
