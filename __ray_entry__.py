@@ -1320,6 +1320,43 @@ def q_redact_pii(sf_dir: str) -> pa.Table:
     return _as_i64(t.select(["doc_id", "text"]), ["doc_id"]).sort_by("doc_id")
 
 
+def q_line_filter(sf_dir: str) -> pa.Table:
+    """C4/RefinedWeb line-wise correction filter
+    (`ops/textclean.py::line_filter`): PLANT deterministic boilerplate
+    and too-short lines around each doc's (single-line) body by
+    doc_id arithmetic, then drop lines with <3 words or a boilerplate
+    match and flag docs that keep >=1/2 of their lines.  One streaming
+    map_batches, no shuffle; every kernel is vectorized Arrow/RE2, so
+    the DuckDB oracle (split -> per-line regex -> ordered string_agg)
+    hash-matches bit-exactly."""
+    import ray.data
+
+    from docs_indexer_ray.ops.textclean import line_filter
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        rows = []
+        for d, x in zip(ids, txts):
+            s = ("Click here to subscribe now!\n" if d % 3 == 0 else "") + x
+            if d % 2 == 0:
+                s += "\nok btn"
+            if d % 5 == 0:
+                s += "\nthe quick brown fox jumps over the lazy dog again"
+            rows.append(s)
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(rows, pa.string())}
+        )
+
+    out = line_filter(ds.map_batches(plant, batch_format="pyarrow"))
+    t = _concat(out)
+    return _as_i64(t, ["doc_id", "n_lines", "n_kept"]).sort_by("doc_id")
+
+
 def q_bm25_collapse(sf_dir: str) -> pa.Table:
     """OpenSearch ``collapse``: flagship BM25 ranking collapsed to the
     best doc per ``lang`` → top 5 languages by their best doc."""
@@ -2584,6 +2621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze": q_analyze,
         "sample_stratified": q_sample_stratified,
         "redact_pii": q_redact_pii,
+        "line_filter": q_line_filter,
         "knn_cosine_q8": q_knn_cosine_q8,
         "knn_cosine_filtered": q_knn_cosine_filtered,
         "bm25_topk_compacted": q_bm25_topk_compacted,
@@ -2675,6 +2713,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE (event_type = 'click' AND substr(md5(props), 1, 1) IN ('0','1','2','3'))
                OR (event_type = 'view'  AND substr(md5(props), 1, 1) = '0')
             ORDER BY event_id
+        """,
+        "line_filter": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'Click here to subscribe now!' || chr(10) ELSE '' END
+                     || text
+                     || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'ok btn' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN chr(10) || 'the quick brown fox jumps over the lazy dog again'
+                          ELSE '' END AS text
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS ord
+              FROM planted),
+            flags AS (
+              SELECT doc_id, line, ord,
+                     (len(regexp_extract_all(line, '\\S+')) >= 3
+                      AND NOT regexp_matches(lower(line),
+                        'click here|subscribe|cookie|javascript|sign in|log in|privacy policy|terms of use|all rights reserved|read more')) AS keep
+              FROM lines)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY ord), '') AS cleaned,
+                   (count(*) FILTER (WHERE keep)) * 2 >= count(*) AS kept
+            FROM flags GROUP BY doc_id ORDER BY doc_id
         """,
         "redact_pii": """
             WITH planted AS (

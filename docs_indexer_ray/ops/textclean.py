@@ -25,8 +25,10 @@ __all__ = [
     "redact_pii",
     "normalize_whitespace",
     "canonicalize_urls",
+    "line_filter",
     "PII_PATTERNS",
     "URL_CANON_STEPS",
+    "BOILERPLATE_PATTERN",
 ]
 
 # RE2-compatible; order matters (email eats its digits before the
@@ -102,5 +104,100 @@ def normalize_whitespace(ds, col: str = "text"):
             )
         )
         return t.set_column(t.schema.get_field_index(col), col, arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# RefinedWeb/C4 line-wise boilerplate markers (Penedo et al. 2023
+# "The RefinedWeb Dataset" §3.1.3 line-wise corrections; Raffel et al.
+# 2020 C4 §2.2 line rules).  Lowercase substrings, RE2-alternation —
+# DuckDB's regexp_matches(lower(line), …) replays it bit-identically.
+BOILERPLATE_PATTERN = (
+    "click here|subscribe|cookie|javascript|sign in|log in"
+    "|privacy policy|terms of use|all rights reserved|read more"
+)
+
+
+def line_filter(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    boilerplate: str | None = BOILERPLATE_PATTERN,
+    require_terminal_punct: bool = False,
+    keep_num: int = 1,
+    keep_den: int = 2,
+):
+    """C4/RefinedWeb line-wise correction filter.
+
+    Splits each document into lines, drops lines that are too short
+    (``< min_words`` whitespace tokens) or match the boilerplate
+    pattern (case-insensitive) or — opt-in, C4's rule — lack terminal
+    punctuation; re-joins the survivors in order, and flags the doc
+    ``kept`` when the surviving-line fraction is ≥ ``keep_num /
+    keep_den`` (an INTEGER cross-multiplication, so the threshold has
+    no float-tie ambiguity and the SQL oracle hash-matches).
+
+    Returns ``(id_col, n_lines, n_kept, cleaned, kept)``.
+
+    Scale shape: one streaming ``map_batches`` — a doc's lines never
+    leave its batch, so there is NO shuffle; every kernel (split,
+    regex word-count, boilerplate match, list re-join) is a
+    vectorized Arrow/RE2 call, no Python per line.  References:
+    C4 line rules (Raffel et al. 2020 §2.2), RefinedWeb line-wise
+    corrections (Penedo et al. 2023 §3.1.3).
+    """
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[col].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):  # 0-chunk tables
+            arr = pa.concat_arrays(arr.chunks) if arr.num_chunks else pa.array([], pa.string())
+        lists = pc.split_pattern(arr, pattern="\n")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.greater_equal(
+            pc.count_substring_regex(flat, pattern=r"\S+"), min_words
+        )
+        if boilerplate:
+            keep = pc.and_(
+                keep,
+                pc.invert(
+                    pc.match_substring_regex(
+                        pc.utf8_lower(flat), pattern=boilerplate
+                    )
+                ),
+            )
+        if require_terminal_punct:
+            keep = pc.and_(
+                keep,
+                pc.match_substring_regex(flat, pattern=r"[.!?\"']\s*$"),
+            )
+        keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
+        n = len(arr)
+        n_lines = np.bincount(parent, minlength=n)
+        n_kept = np.bincount(parent[keep_np], minlength=n)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(n_kept, out=offsets[1:])
+        kept_lines = flat.filter(keep)  # order-preserving
+        if isinstance(kept_lines, pa.ChunkedArray):
+            kept_lines = kept_lines.combine_chunks()
+        cleaned = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), kept_lines
+            ),
+            "\n",
+        )
+        # integer cross-multiplication: n_kept/n_lines >= num/den
+        kept_doc = n_kept * keep_den >= n_lines * keep_num
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "cleaned": cleaned,
+                "kept": pa.array(kept_doc),
+            }
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -118,6 +118,7 @@ SQL_BACKED = [
     "analyze",
     "sample_stratified",
     "redact_pii",
+    "line_filter",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

@@ -1099,6 +1099,71 @@ def test_pagerank_join_mode_matches_broadcast():
     assert abs(a.sum() - 1.0) < 1e-9
 
 
+def test_line_filter_rules_and_edges():
+    """line_filter drops short/boilerplate lines, keeps order, applies
+    the integer keep-fraction, and survives edge inputs (empty text,
+    all lines dropped, terminal-punct opt-in)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.textclean import line_filter
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "All rights reserved.\ngood words in this line\nok",
+                    "",
+                    "Sentence one ends here.\nno punct line words",
+                    "one two three four.",
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = {
+        r["doc_id"]: r
+        for r in pa.concat_tables(
+            [
+                x
+                for x in (
+                    __import__("ray").get(b)
+                    for b in line_filter(ds).to_arrow_refs()
+                )
+                if x.num_rows
+            ]
+        ).to_pylist()
+    }
+    # doc 0: boilerplate + good + short -> 1/3 kept, doc dropped
+    assert (out[0]["n_lines"], out[0]["n_kept"], out[0]["kept"]) == (3, 1, False)
+    assert out[0]["cleaned"] == "good words in this line"
+    # doc 1: empty text = one empty line, dropped
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["cleaned"]) == (1, 0, "")
+    # doc 2: both lines >=3 words, no boilerplate -> kept
+    assert (out[2]["n_kept"], out[2]["kept"]) == (2, True)
+    assert out[2]["cleaned"] == "Sentence one ends here.\nno punct line words"
+
+    # terminal-punct opt-in (C4 rule): doc 2's second line now drops
+    out2 = {
+        r["doc_id"]: r
+        for r in pa.concat_tables(
+            [
+                x
+                for x in (
+                    __import__("ray").get(b)
+                    for b in line_filter(
+                        ds, require_terminal_punct=True
+                    ).to_arrow_refs()
+                )
+                if x.num_rows
+            ]
+        ).to_pylist()
+    }
+    assert out2[2]["n_kept"] == 1
+    assert out2[2]["cleaned"] == "Sentence one ends here."
+    assert out2[3]["kept"] is True
+
+
 def test_bigram_lm_train_and_score():
     """train_bigram_lm counts match a Counter reference; scoring a
     HELD-OUT doc handles OOV tokens (zero context -> 1/V) and matches
