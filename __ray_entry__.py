@@ -662,6 +662,31 @@ def q_bm25_bool(sf_dir: str) -> pa.Table:
     )
 
 
+def q_boosting(sf_dir: str) -> pa.Table:
+    """OpenSearch ``boosting`` query (`query/bm25.py::boosting_topk`):
+    rank by BM25 over positive terms 'merge'+'slow', demoting docs
+    that also contain 'hash' by negative_boost=0.5 (a power of two —
+    the demoted scores replay bit-exactly in SQL)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import boosting_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    hits = boosting_topk(
+        IndexReader(root),
+        positive=["merge", "slow"],
+        negative=["hash"],
+        negative_boost=0.5,
+        k=10,
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
 def q_bm25_topk_merged(sf_dir: str) -> pa.Table:
     """Incremental-build parity through the driver gate: the corpus is
     split at the median url into two independent builds, merged with
@@ -2573,6 +2598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_sharded": q_bm25_topk_sharded,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_bool": q_bm25_bool,
+        "boosting": q_boosting,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
         "bm25_topk_merged": q_bm25_topk_merged,
@@ -3385,6 +3411,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
                CAST(doc_id AS BIGINT) AS doc_id, rrf
         FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """
+    sqls["boosting"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('merge', 'slow') GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id),
+        neg AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash'),
+        boosted AS (
+          SELECT s.doc_id,
+                 CASE WHEN s.doc_id IN (SELECT doc_id FROM neg)
+                      THEN s.score * 0.5 ELSE s.score END AS score
+          FROM scores s)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM boosted ORDER BY score DESC, doc_id ASC LIMIT 10
     """
     sqls["bm25_bool"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

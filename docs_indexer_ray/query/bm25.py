@@ -368,6 +368,37 @@ def bool_topk(
     return _rank_top(scores, k)
 
 
+def boosting_topk(
+    reader,
+    positive: list[str],
+    negative: list[str],
+    negative_boost: float = 0.5,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    """OpenSearch/Lucene ``boosting`` query: rank by the BM25 score of
+    the ``positive`` terms, DEMOTING (not excluding) any doc that also
+    matches a ``negative`` term by multiplying its score with
+    ``negative_boost`` (Lucene ``BoostingQuery``; OpenSearch query DSL
+    "boosting").  Docs matching only the negative side never score —
+    the positive side is the match set.  Rank (score desc, doc asc).
+
+    Shape: one dense TAAT pass over the positive terms + one
+    posting-membership mask per negative term — same vectorized
+    kernels as ``bool_topk``; the demotion is one masked multiply.
+    ``negative_boost=0.5`` is a power of two, so the demoted floats
+    stay bit-exact against a SQL replay of the same expression."""
+    scores = bm25_scores_dense(reader, list(positive), k1, b)
+    neg = np.zeros(len(scores), dtype=bool)
+    for term in negative:
+        dec = reader.decode_all(term)
+        if dec is not None:
+            neg[dec[0].astype(np.int64)] = True
+    scores[neg] *= negative_boost
+    return _rank_top(scores, k)
+
+
 def topk_after(
     reader,
     terms: list[str],

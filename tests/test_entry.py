@@ -89,6 +89,7 @@ SQL_BACKED = [
     "bm25_topk_sharded",
     "bm25_topk_filtered",
     "bm25_bool",
+    "boosting",
     "bm25_bool_msm",
     "bm25_search_after",
     "bm25_topk_merged",
