@@ -3193,6 +3193,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nid AS BIGINT) AS neighbor_id
             FROM ranked WHERE rnk <= 5
         """,
+        "knn_cosine_q8": """
+            WITH sc AS (
+              SELECT vec_id, embedding,
+                     CASE WHEN list_max(list_transform(embedding, x -> abs(x))) / 127.0 = 0
+                          THEN 1.0
+                          ELSE list_max(list_transform(embedding, x -> abs(x))) / 127.0 END AS scale64
+              FROM embeddings),
+            deq AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(greatest(-127.0, least(127.0, round(x / scale64))) AS DOUBLE)
+                            * CAST(CAST(scale64 AS FLOAT) AS DOUBLE)) AS emb_deq
+              FROM sc),
+            q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            sims AS (SELECT qid, d.vec_id AS nid, list_cosine_similarity(qe, d.emb_deq) AS sim
+                     FROM q, deq d WHERE d.vec_id != qid),
+            ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+                       FROM sims)
+            SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+                   CAST(nid AS BIGINT) AS neighbor_id
+            FROM ranked WHERE rnk <= 5
+        """,
         "knn_cosine_filtered": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
             sims AS (SELECT qid, vec_id AS nid, list_cosine_similarity(qe, embedding) AS sim

@@ -76,6 +76,7 @@ SQL_BACKED = [
     "dsir",
     "knn_cosine",
     "knn_cosine_filtered",
+    "knn_cosine_q8",
     "embedding_dups_exact",
     "index_stats",
     "match_all_count",
@@ -190,7 +191,6 @@ ROWS_ONLY_MIN = {
     "facet_cardinality_hll": 1,
     "facet_percentiles_tdigest": 5,
     "bloom_url_filter": 1,
-    "knn_cosine_q8": 10,
     "knn_pca": 10,
     "bpe_merges": 20,
     "semdedup": 1,
