@@ -1073,6 +1073,36 @@ def q_facet_filters(sf_dir: str) -> pa.Table:
     )
 
 
+def q_facet_adjacency(sf_dir: str) -> pa.Table:
+    """OpenSearch ``adjacency_matrix`` aggregation
+    (`query/facets.py::adjacency_matrix_facet`): named filters "early"
+    / "big" / "small" plus every pairwise intersection ("big&early",
+    …), all counted in ONE shared streaming pass; zero buckets
+    omitted per the API."""
+    import datetime as _dt
+
+    import pyarrow.compute as _pc
+
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset
+    from docs_indexer_ray.query.facets import adjacency_matrix_facet
+
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "body", "warc_ts"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "blen", _pc.utf8_length(t["body"]).cast(pa.int64())
+        ).select(["doc_id", "blen", "warc_ts"]),
+        batch_format="pyarrow",
+    )
+    return adjacency_matrix_facet(
+        ds,
+        {
+            "early": ("warc_ts", "<", _dt.datetime(2025, 1, 1, 0, 4, 10)),
+            "big": ("blen", ">", 300),
+            "small": ("blen", "<=", 200),
+        },
+    )
+
+
 def q_facet_composite(sf_dir: str) -> pa.Table:
     """OpenSearch ``composite`` aggregation: the matched docs' body
     lengths exported in after_key-paged bucket pages (size=7), all
@@ -2619,6 +2649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym": q_synonym,
         "facet_stats": q_facet_stats,
         "facet_filters": q_facet_filters,
+        "facet_adjacency": q_facet_adjacency,
         "facet_composite": q_facet_composite,
         "facet_cardinality": q_facet_cardinality,
         "facet_histogram": q_facet_histogram,
@@ -3792,6 +3823,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'early', CAST(count_if(warc_ts < TIMESTAMP '2025-01-01 00:04:10') AS BIGINT) FROM v
           UNION ALL
           SELECT 'small', CAST(count_if(blen <= 200) AS BIGINT) FROM v)
+        ORDER BY bucket
+    """
+    sqls["facet_adjacency"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        v AS (SELECT doc_id, length(body) AS blen, {_WARC} AS warc_ts FROM docs)
+        SELECT * FROM (
+          SELECT 'big' AS bucket, CAST(count_if(blen > 300) AS BIGINT) AS n_docs FROM v
+          UNION ALL
+          SELECT 'early', CAST(count_if(warc_ts < TIMESTAMP '2025-01-01 00:04:10') AS BIGINT) FROM v
+          UNION ALL
+          SELECT 'small', CAST(count_if(blen <= 200) AS BIGINT) FROM v
+          UNION ALL
+          SELECT 'big&early', CAST(count_if(blen > 300 AND warc_ts < TIMESTAMP '2025-01-01 00:04:10') AS BIGINT) FROM v
+          UNION ALL
+          SELECT 'big&small', CAST(count_if(blen > 300 AND blen <= 200) AS BIGINT) FROM v
+          UNION ALL
+          SELECT 'early&small', CAST(count_if(warc_ts < TIMESTAMP '2025-01-01 00:04:10' AND blen <= 200) AS BIGINT) FROM v)
+        WHERE n_docs > 0
         ORDER BY bucket
     """
     sqls["facet_stats"] = f"""

@@ -42,6 +42,7 @@ __all__ = [
     "stats_facet",
     "cardinality",
     "filters_facet",
+    "adjacency_matrix_facet",
     "composite_facet",
     "pipeline_aggs",
     "matrix_stats",
@@ -776,6 +777,69 @@ def filters_facet(docs_ds, filters: dict[str, tuple[str, str, object]]) -> pa.Ta
         {
             "bucket": pa.array(names, pa.string()),
             "n_docs": pa.array([agg[n] for n in names], pa.int64()),
+        }
+    )
+
+
+def adjacency_matrix_facet(
+    docs_ds, filters: dict[str, tuple[str, str, object]], separator: str = "&"
+) -> pa.Table:
+    """OpenSearch ``adjacency_matrix`` aggregation: one bucket per
+    named filter plus one per pairwise intersection (key
+    ``a<separator>b``, names in sorted order — the API's contract),
+    counting docs that match both.  Zero-count buckets are omitted,
+    matching the API.
+
+    Shape at scale: the named predicates evaluate ONCE per batch
+    (vectorized Arrow compare kernels); every intersection is an
+    ``and_`` of two already-computed masks, so the pass stays one
+    streaming scan with O(F²) mask-ANDs per block and ONE tiny
+    partial-count row per (block, bucket) to the driver fold — the
+    same constant-size-partial contract as ``filters_facet``."""
+    specs = sorted(filters.items())
+    for _, (_, op, _) in specs:
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unsupported filter op: {op!r}")
+    names = [name for name, _ in specs]
+    keys = list(names) + [
+        f"{names[i]}{separator}{names[j]}"
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        masks = [
+            pc.cast(_FILTER_OPS[op](t[col], pa.scalar(val)), pa.int64())
+            for _, (col, op, val) in specs
+        ]
+        counts = [int(pc.sum(m).as_py() or 0) for m in masks]
+        for i in range(len(masks)):
+            for j in range(i + 1, len(masks)):
+                counts.append(
+                    int(pc.sum(pc.multiply(masks[i], masks[j])).as_py() or 0)
+                )
+        return pa.table(
+            {
+                "bucket": pa.array(keys, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    import ray
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    agg: dict[str, int] = {k: 0 for k in keys}
+    for p in parts:
+        for name, n in zip(p["bucket"].to_pylist(), p["n"].to_pylist()):
+            agg[name] += int(n)
+    kept = sorted(k for k in keys if agg[k] > 0)
+    return pa.table(
+        {
+            "bucket": pa.array(kept, pa.string()),
+            "n_docs": pa.array([agg[k] for k in kept], pa.int64()),
         }
     )
 

@@ -132,6 +132,7 @@ SQL_BACKED = [
     "rescore",
     "span_first",
     "facet_filters",
+    "facet_adjacency",
     "facet_composite",
     "rerank_ce",
     "percolate",
