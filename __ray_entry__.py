@@ -223,6 +223,26 @@ def q_quality_score(sf_dir: str) -> pa.Table:
     return _concat(quality_score(_documents_ds(sf_dir)))
 
 
+def q_budget_select(sf_dir: str) -> pa.Table:
+    """Token-budget data selection (`ops/select.py::budget_select`):
+    rank the corpus by stop-word ratio (the quality prior) desc with
+    doc_id tie-break, keep documents while the cumulative token count
+    fits a 1000-token budget.  Global sort + block-scalar prefix sum;
+    the selection pass touches only the blocks that start under
+    budget."""
+    from docs_indexer_ray.ops.select import budget_select
+    from docs_indexer_ray.ops.textstats import quality_score
+
+    scored = quality_score(_documents_ds(sf_dir)).map_batches(
+        lambda t: t.select(["doc_id", "stop_ratio", "n_tokens"]).rename_columns(
+            ["doc_id", "score", "n_tokens"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = budget_select(scored, budget=1000, score_col="score", cost_col="n_tokens")
+    return _as_i64(out, ["doc_id", "n_tokens", "cum_cost"]).sort_by("doc_id")
+
+
 def q_gopher_quality(sf_dir: str) -> pa.Table:
     """Gopher-rule quality filter (Rae et al. 2021, Table A1, adapted
     to word level — see ``ops/textstats.py::gopher_quality``).
@@ -2607,6 +2627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": q_term_df,
         "sample_hash": q_sample_hash,
         "quality_score": q_quality_score,
+        "budget_select": q_budget_select,
         "gopher_quality": q_gopher_quality,
         "pack_sequences": q_pack_sequences,
         "url_canonical": q_url_canonical,
@@ -2840,6 +2861,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
                    CASE WHEN n_tokens > 0 THEN CAST(charsum AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
             FROM s
+        """,
+        "budget_select": f"""
+            WITH t AS (SELECT doc_id, text, {_toks('text')} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                         CAST(len(toks) AS BIGINT) AS n_tokens,
+                         CAST(len(list_filter(toks, x -> list_contains({_STOP10_SQL}, x))) AS BIGINT) AS hits
+                  FROM t),
+            scored AS (SELECT doc_id, n_tokens,
+                              CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END AS score
+                       FROM s),
+            pref AS (SELECT doc_id, score, n_tokens,
+                            SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+                     FROM scored)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum_cost AS BIGINT) AS cum_cost
+            FROM pref WHERE cum_cost <= 1000 ORDER BY doc_id
         """,
         "pagerank": _pagerank_sql(10),
         "lm_perplexity": f"""

@@ -83,6 +83,7 @@ SQL_BACKED = [
     "bm25_topk",
     "bm25_knn_rrf",
     "gopher_quality",
+    "budget_select",
     "pack_sequences",
     "url_canonical",
     "decontaminate",

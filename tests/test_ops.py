@@ -1164,6 +1164,47 @@ def test_line_filter_rules_and_edges():
     assert out2[3]["kept"] is True
 
 
+def test_budget_select_prefix_and_block_skip():
+    """budget_select keeps exactly the greedy top-score prefix, stops
+    at the boundary (inclusive-cost rule), is deterministic on score
+    ties (id asc), and returns empty on a zero budget."""
+    import ray
+    import ray.data
+
+    from docs_indexer_ray.ops.select import budget_select
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+            "score": pa.array([0.9, 0.5, 0.9, 0.1, 0.7, 0.5, 0.3, 0.2, 0.8, 0.6]),
+            "n_tokens": pa.array([10, 10, 10, 10, 10, 10, 10, 10, 10, 10], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = budget_select(ds, budget=45, score_col="score", cost_col="n_tokens")
+    # sorted order: 0(.9) 2(.9 tie->id) 8(.8) 4(.7) 9(.6) ... 4 docs of
+    # cost 10 fit a 45 budget (5th would reach 50 > 45)
+    assert sorted(out["doc_id"].to_pylist()) == [0, 2, 4, 8]
+    assert max(out["cum_cost"].to_pylist()) == 40
+
+    # exact boundary is kept (inclusive rule)
+    out2 = budget_select(ds, budget=50, score_col="score", cost_col="n_tokens")
+    assert sorted(out2["doc_id"].to_pylist()) == [0, 2, 4, 8, 9]
+    assert max(out2["cum_cost"].to_pylist()) == 50
+
+    # zero budget -> empty, stable schema
+    out3 = budget_select(ds, budget=0, score_col="score", cost_col="n_tokens")
+    assert out3.num_rows == 0
+    assert out3.column_names == ["doc_id", "score", "n_tokens", "cum_cost"]
+
+    # parallelism invariance
+    out4 = budget_select(
+        ray.data.from_arrow(t).repartition(1), budget=45,
+        score_col="score", cost_col="n_tokens",
+    )
+    assert sorted(out4["doc_id"].to_pylist()) == sorted(out["doc_id"].to_pylist())
+
+
 def test_bigram_lm_train_and_score():
     """train_bigram_lm counts match a Counter reference; scoring a
     HELD-OUT doc handles OOV tokens (zero context -> 1/V) and matches
