@@ -326,3 +326,57 @@ def test_snapshot_restore_lifecycle(ray_session, tmp_path):
         f.write(b"x")
     with pytest.raises(IOError):
         restore_index(snap, root)
+
+
+def test_corpus_export_shards_resume_and_determinism(ray_session, tmp_path):
+    """write_corpus_shards: deterministic shard contents across
+    parallelism (manifest sha256 identical), atomic files, and resume
+    that rewrites ONLY the missing shard."""
+    import os
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from docs_indexer_ray.sinks import read_manifest, write_corpus_shards
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "text": pa.array([f"doc {i} body words" for i in range(200)]),
+        }
+    )
+    out1 = str(tmp_path / "exp1")
+    m1 = write_corpus_shards(ray.data.from_arrow(t).repartition(7), out1, num_shards=5)
+    assert set(m1["shards"]) == {"0", "1", "2", "3", "4"}
+    assert sum(v["n_rows"] for v in m1["shards"].values()) == 200
+    # every shard file readable, rows sorted by doc_id
+    for v in m1["shards"].values():
+        tt = pq.read_table(os.path.join(out1, v["file"]))
+        ids = tt["doc_id"].to_pylist()
+        assert ids == sorted(ids)
+
+    # parallelism invariance: different partitioning -> same digests
+    out2 = str(tmp_path / "exp2")
+    m2 = write_corpus_shards(ray.data.from_arrow(t).repartition(2), out2, num_shards=5)
+    assert {k: v["sha256"] for k, v in m1["shards"].items()} == {
+        k: v["sha256"] for k, v in m2["shards"].items()
+    }
+
+    # resume: delete one shard, re-export -> only that file rewritten
+    victim = m1["shards"]["3"]["file"]
+    os.remove(os.path.join(out1, victim))
+    mtimes = {
+        v["file"]: os.path.getmtime(os.path.join(out1, v["file"]))
+        for k, v in m1["shards"].items()
+        if k != "3"
+    }
+    time.sleep(0.05)
+    m3 = write_corpus_shards(ray.data.from_arrow(t).repartition(7), out1, num_shards=5)
+    assert m3["shards"]["3"]["sha256"] == m1["shards"]["3"]["sha256"]
+    for f, old in mtimes.items():
+        assert os.path.getmtime(os.path.join(out1, f)) == old  # untouched
+    # manifest on disk matches the returned one
+    assert read_manifest(out1) == m3
