@@ -243,6 +243,44 @@ def q_budget_select(sf_dir: str) -> pa.Table:
     return _as_i64(out, ["doc_id", "n_tokens", "cum_cost"]).sort_by("doc_id")
 
 
+def q_extract_links(sf_dir: str) -> pa.Table:
+    """Anchor-text link extraction (`ops/links.py::extract_links`):
+    PLANT two deterministic anchors (one absolute with nested inline
+    markup gated on doc_id%4, one always-present absolute) around each
+    doc's text, parse with the real HTML parser in an actor pool, and
+    emit the (src, href, anchor) link table.  The oracle GENERATES the
+    same triples from doc_id arithmetic — exact by construction."""
+    import ray.data
+
+    from docs_indexer_ray.ops.links import extract_links
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        htmls = []
+        for d, x in zip(ids, txts):
+            h = (
+                f"<p>{x}</p>"
+                f'<a href="https://s{d % 7}.example/p{(3 * d + 1) % n}">go {d % 5}</a>'
+            )
+            if d % 4 == 0:
+                h += f'<a href="/rel{d % 9}">more <b>info</b> {d}</a>'
+            htmls.append(h)
+        return pa.table(
+            {"doc_id": t["doc_id"], "html": pa.array(htmls, pa.string())}
+        )
+
+    out = _concat(extract_links(ds.map_batches(plant, batch_format="pyarrow")))
+    return _as_i64(out, ["src"]).sort_by(
+        [("src", "ascending"), ("href", "ascending")]
+    )
+
+
 def q_gopher_quality(sf_dir: str) -> pa.Table:
     """Gopher-rule quality filter (Rae et al. 2021, Table A1, adapted
     to word level — see ``ops/textstats.py::gopher_quality``).
@@ -2700,6 +2738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": q_sample_stratified,
         "redact_pii": q_redact_pii,
         "line_filter": q_line_filter,
+        "extract_links": q_extract_links,
         "knn_cosine_q8": q_knn_cosine_q8,
         "knn_cosine_filtered": q_knn_cosine_filtered,
         "bm25_topk_compacted": q_bm25_topk_compacted,
@@ -2879,6 +2918,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(cum_cost AS BIGINT) AS cum_cost
             FROM pref WHERE cum_cost <= 1000 ORDER BY doc_id
+        """,
+        "extract_links": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            l1 AS (SELECT doc_id AS src,
+                          'https://s' || (doc_id % 7) || '.example/p' || ((3 * doc_id + 1) % (SELECT n FROM nn)) AS href,
+                          'go ' || (doc_id % 5) AS anchor
+                   FROM documents),
+            l2 AS (SELECT doc_id AS src,
+                          '/rel' || (doc_id % 9) AS href,
+                          'more info ' || doc_id AS anchor
+                   FROM documents WHERE doc_id % 4 = 0)
+            SELECT CAST(src AS BIGINT) AS src, href, anchor
+            FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+            ORDER BY src, href
         """,
         "pagerank": _pagerank_sql(10),
         "lm_perplexity": f"""

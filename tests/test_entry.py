@@ -122,6 +122,7 @@ SQL_BACKED = [
     "sample_stratified",
     "redact_pii",
     "line_filter",
+    "extract_links",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

@@ -1205,6 +1205,55 @@ def test_budget_select_prefix_and_block_skip():
     assert sorted(out4["doc_id"].to_pylist()) == sorted(out["doc_id"].to_pylist())
 
 
+def test_extract_links_parser_edges_and_pagerank_composition():
+    """links_of_html handles entities, nested inline markup, hrefless
+    anchors, implicit anchor close and unclosed trailing anchors; the
+    link table feeds pagerank (crawl-graph composition)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.links import extract_links, links_of_html
+    from docs_indexer_ray.ops.pagerank import pagerank
+
+    html = (
+        '<a href="/a">A &amp; B</a>'
+        "<a>no href</a>"
+        '<a href="/b">outer <a href="/c">implicit close</a>'
+        '<a href="/d">trailing unclosed'
+    )
+    got = links_of_html(html)
+    assert got == [
+        ("/a", "A & B"),
+        ("/b", "outer"),
+        ("/c", "implicit close"),
+        ("/d", "trailing unclosed"),
+    ]
+    assert links_of_html("") == [] and links_of_html(None) == []
+
+    # composition: extract links from 6 planted pages -> dense int
+    # edges -> pagerank; the linked-to hub must outrank the others
+    n = 6
+    pages = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "html": pa.array(
+                [f'<a href="/p0">hub</a><a href="/p{(i + 1) % n}">next</a>' for i in range(n)]
+            ),
+        }
+    )
+    links = extract_links(ray.data.from_arrow(pages), concurrency=(1, 2))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        dst = [int(h[2:]) for h in t["href"].to_pylist()]
+        return pa.table({"src": t["src"], "dst": pa.array(dst, pa.int64())})
+
+    ranks = pagerank(
+        links.map_batches(to_edges, batch_format="pyarrow"), n_nodes=n, iterations=8
+    )
+    r = ranks["rank"].to_numpy(zero_copy_only=False)
+    assert r.argmax() == 0  # every page links the hub
+    assert abs(r.sum() - 1.0) < 1e-9
+
+
 def test_bigram_lm_train_and_score():
     """train_bigram_lm counts match a Counter reference; scoring a
     HELD-OUT doc handles OOV tokens (zero context -> 1/V) and matches
