@@ -281,6 +281,25 @@ def q_extract_links(sf_dir: str) -> pa.Table:
     )
 
 
+def q_chunk_documents(sf_dir: str) -> pa.Table:
+    """Sliding-window chunking (`ops/chunk.py::chunk_documents`):
+    16-token windows at stride 8 over each doc's whitespace tokens —
+    the embedding/pretraining window prep, one streaming pass.  The
+    DuckDB oracle replays it with generate_series starts and
+    end-inclusive list slicing."""
+    import ray.data
+
+    from docs_indexer_ray.ops.chunk import chunk_documents
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = _concat(chunk_documents(ds, window=16, stride=8))
+    return _as_i64(out, ["doc_id", "chunk_idx", "start_tok", "n_tokens"]).sort_by(
+        [("doc_id", "ascending"), ("chunk_idx", "ascending")]
+    )
+
+
 def q_gopher_quality(sf_dir: str) -> pa.Table:
     """Gopher-rule quality filter (Rae et al. 2021, Table A1, adapted
     to word level — see ``ops/textstats.py::gopher_quality``).
@@ -2739,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": q_redact_pii,
         "line_filter": q_line_filter,
         "extract_links": q_extract_links,
+        "chunk_documents": q_chunk_documents,
         "knn_cosine_q8": q_knn_cosine_q8,
         "knn_cosine_filtered": q_knn_cosine_filtered,
         "bm25_topk_compacted": q_bm25_topk_compacted,
@@ -2932,6 +2952,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(src AS BIGINT) AS src, href, anchor
             FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
             ORDER BY src, href
+        """,
+        "chunk_documents": """
+            WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+            st AS (SELECT doc_id, toks,
+                          unnest(generate_series(0, len(toks) - 1, 8)) AS s
+                   FROM t
+                   WHERE len(toks) > 0 AND NOT (len(toks) = 1 AND toks[1] = ''))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(s / 8 AS BIGINT) AS chunk_idx,
+                   CAST(s AS BIGINT) AS start_tok,
+                   CAST(least(16, len(toks) - s) AS BIGINT) AS n_tokens,
+                   array_to_string(toks[s + 1:s + 16], ' ') AS chunk_text
+            FROM st ORDER BY doc_id, chunk_idx
         """,
         "pagerank": _pagerank_sql(10),
         "lm_perplexity": f"""

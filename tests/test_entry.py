@@ -123,6 +123,7 @@ SQL_BACKED = [
     "redact_pii",
     "line_filter",
     "extract_links",
+    "chunk_documents",
     "sort_by_date",
     "fuzzy_terms",
     "fuzzy_match",

@@ -1254,6 +1254,62 @@ def test_extract_links_parser_edges_and_pagerank_composition():
     assert abs(r.sum() - 1.0) < 1e-9
 
 
+def test_chunk_documents_windows_and_edges():
+    """chunk_documents: overlap arithmetic, short trailing windows,
+    empty/whitespace-only docs emit nothing, disjoint mode, and the
+    stride>window rejection."""
+    import pytest as _pytest
+    import ray
+    import ray.data
+
+    from docs_indexer_ray.ops.chunk import chunk_documents
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b c d e f g", "", "   "]),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            x
+            for x in (
+                ray.get(b)
+                for b in chunk_documents(
+                    ray.data.from_arrow(t), window=4, stride=2
+                ).to_arrow_refs()
+            )
+            if x.num_rows
+        ]
+    ).sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+    rows = out.to_pylist()
+    # doc 0: 7 tokens, starts 0/2/4/6 -> windows 4,4,3,1
+    assert [r["doc_id"] for r in rows] == [0, 0, 0, 0]
+    assert [r["chunk_text"] for r in rows] == [
+        "a b c d", "c d e f", "e f g", "g",
+    ]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 3, 1]
+    assert [r["start_tok"] for r in rows] == [0, 2, 4, 6]
+
+    # disjoint mode (stride == window) reconstructs the doc exactly
+    out2 = pa.concat_tables(
+        [
+            x
+            for x in (
+                ray.get(b)
+                for b in chunk_documents(
+                    ray.data.from_arrow(t), window=3, stride=3
+                ).to_arrow_refs()
+            )
+            if x.num_rows
+        ]
+    ).sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+    assert " ".join(out2["chunk_text"].to_pylist()) == "a b c d e f g"
+
+    with _pytest.raises(ValueError):
+        chunk_documents(ray.data.from_arrow(t), window=4, stride=5)
+
+
 def test_bigram_lm_train_and_score():
     """train_bigram_lm counts match a Counter reference; scoring a
     HELD-OUT doc handles OOV tokens (zero context -> 1/V) and matches
