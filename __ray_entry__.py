@@ -1217,6 +1217,54 @@ def q_facet_stats(sf_dir: str) -> pa.Table:
     return stats_facet(ds, matched, "blen")
 
 
+def q_facet_extended_stats(sf_dir: str) -> pa.Table:
+    """OpenSearch ``extended_stats``: stats + sum_of_squares /
+    variance / std_deviation (population, the ``(Σx² − (Σx)²/n)/n``
+    wire formula) of the matched docs' body length — integer field,
+    so every sum is float-exact."""
+    from docs_indexer_ray.query.facets import extended_stats_facet
+
+    ds, matched = _blen_ds_and_matched(sf_dir)
+    return extended_stats_facet(ds, matched, "blen")
+
+
+def q_facet_weighted_avg(sf_dir: str) -> pa.Table:
+    """OpenSearch ``weighted_avg``: body length weighted by the
+    planted per-doc weight ``doc_id % 5 + 1`` over the matched docs
+    — Σ(v·w)/Σw, both sums integer-exact."""
+    from docs_indexer_ray.query.facets import weighted_avg_facet
+
+    ds, matched = _blen_ds_and_matched(sf_dir)
+
+    def add_w(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("w", pa.array(d % 5 + 1, pa.int64()))
+
+    return weighted_avg_facet(
+        ds.map_batches(add_w, batch_format="pyarrow"), matched, "blen", "w"
+    )
+
+
+def q_facet_missing(sf_dir: str) -> pa.Table:
+    """OpenSearch ``missing`` aggregation: docs lacking a field —
+    blen is PLANTED null when doc_id % 7 == 0 and the agg counts the
+    nulls in one streaming pass."""
+    from docs_indexer_ray.query.facets import missing_facet
+
+    ds, _ = _blen_ds_and_matched(sf_dir)
+
+    def plant_null(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blen = t["blen"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = pa.array(
+            [None if dd % 7 == 0 else int(v) for dd, v in zip(d, blen)],
+            pa.int64(),
+        )
+        return t.set_column(t.schema.get_field_index("blen"), "blen", arr)
+
+    return missing_facet(ds.map_batches(plant_null, batch_format="pyarrow"), "blen")
+
+
 def q_facet_cardinality(sf_dir: str) -> pa.Table:
     """OpenSearch ``cardinality`` aggregation (exact variant): number
     of distinct body lengths among the matched docs."""
@@ -2726,6 +2774,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_as_you_type": q_search_as_you_type,
         "synonym": q_synonym,
         "facet_stats": q_facet_stats,
+        "facet_extended_stats": q_facet_extended_stats,
+        "facet_weighted_avg": q_facet_weighted_avg,
+        "facet_missing": q_facet_missing,
         "facet_filters": q_facet_filters,
         "facet_adjacency": q_facet_adjacency,
         "facet_composite": q_facet_composite,
@@ -3979,6 +4030,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(blen) AS DOUBLE) AS sum_v,
                CAST(sum(blen) AS DOUBLE) / count(*) AS avg_v
         FROM v
+    """
+    sqls["facet_extended_stats"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        v AS (SELECT length(d.body) AS blen FROM docs d JOIN m USING (doc_id)),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(min(blen) AS DOUBLE) AS min_v,
+                       CAST(max(blen) AS DOUBLE) AS max_v,
+                       CAST(sum(blen) AS DOUBLE) AS sum_v,
+                       CAST(sum(blen) AS DOUBLE) / count(*) AS avg_v,
+                       CAST(sum(blen * blen) AS DOUBLE) AS sum_sq
+                FROM v)
+        SELECT n_docs, min_v, max_v, sum_v, avg_v, sum_sq,
+               (sum_sq - sum_v * sum_v / n_docs) / n_docs AS variance,
+               sqrt((sum_sq - sum_v * sum_v / n_docs) / n_docs) AS std_dev
+        FROM agg
+    """
+    sqls["facet_weighted_avg"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        v AS (SELECT length(d.body) AS blen, d.doc_id % 5 + 1 AS w
+              FROM docs d JOIN m USING (doc_id))
+        SELECT CAST(sum(blen * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS weighted_avg
+        FROM v
+    """
+    sqls["facet_missing"] = f"""
+        SELECT CAST(count_if(doc_id % 7 = 0) AS BIGINT) AS n_missing FROM documents
     """
     sqls["facet_cardinality"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -42,6 +42,9 @@ __all__ = [
     "stats_facet",
     "cardinality",
     "filters_facet",
+    "extended_stats_facet",
+    "weighted_avg_facet",
+    "missing_facet",
     "adjacency_matrix_facet",
     "composite_facet",
     "pipeline_aggs",
@@ -905,6 +908,123 @@ def stats_facet(docs_ds, matched: np.ndarray, col: str) -> pa.Table:
             "sum_v": pa.array([sm], pa.float64()),
             "avg_v": pa.array([sm / n], pa.float64()),
         }
+    )
+
+
+def extended_stats_facet(docs_ds, matched: np.ndarray, col: str) -> pa.Table:
+    """OpenSearch ``extended_stats``: stats + sum_of_squares +
+    variance + std_deviation (population, OpenSearch's
+    ``(Σx² − (Σx)²/n)/n`` formula — mirrored exactly so the SQL
+    oracle hash-matches; integer-valued fields keep every sum exact).
+
+    Same constant-size-partial shape as ``stats_facet`` with one extra
+    Σx² scalar per block."""
+    import ray
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                    "sm": pa.array([], pa.float64()),
+                    "ss": pa.array([], pa.float64()),
+                }
+            )
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "mn": pa.array([float(v.min())], pa.float64()),
+                "mx": pa.array([float(v.max())], pa.float64()),
+                "sm": pa.array([float(v.sum())], pa.float64()),
+                "ss": pa.array([float((v * v).sum())], pa.float64()),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    t = pa.concat_tables(parts)
+    n = int(pc.sum(t["n"]).as_py())
+    sm = float(pc.sum(t["sm"]).as_py())
+    ss = float(pc.sum(t["ss"]).as_py())
+    var = (ss - sm * sm / n) / n
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "min_v": pa.array([float(pc.min(t["mn"]).as_py())], pa.float64()),
+            "max_v": pa.array([float(pc.max(t["mx"]).as_py())], pa.float64()),
+            "sum_v": pa.array([sm], pa.float64()),
+            "avg_v": pa.array([sm / n], pa.float64()),
+            "sum_sq": pa.array([ss], pa.float64()),
+            "variance": pa.array([var], pa.float64()),
+            "std_dev": pa.array([float(np.sqrt(var))], pa.float64()),
+        }
+    )
+
+
+def weighted_avg_facet(
+    docs_ds, matched: np.ndarray, val_col: str, weight_col: str
+) -> pa.Table:
+    """OpenSearch ``weighted_avg``: ``Σ(v·w) / Σw`` over the matched
+    docs — two exact scalar partials per block, one final division."""
+    import ray
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        if t.num_rows == 0:
+            return pa.table(
+                {"vw": pa.array([], pa.float64()), "w": pa.array([], pa.float64())}
+            )
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "vw": pa.array([float((v * w).sum())], pa.float64()),
+                "w": pa.array([float(w.sum())], pa.float64()),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    vw = float(pc.sum(t["vw"]).as_py())
+    w = float(pc.sum(t["w"]).as_py())
+    return pa.table({"weighted_avg": pa.array([vw / w], pa.float64())})
+
+
+def missing_facet(docs_ds, col: str) -> pa.Table:
+    """OpenSearch ``missing`` aggregation: how many docs lack ``col``
+    (null) — one streaming pass, one int partial per block."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([int(t[col].null_count)], pa.int64())}
+        )
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    return pa.table(
+        {"n_missing": pa.array([int(pc.sum(t["n"]).as_py() or 0)], pa.int64())}
     )
 
 

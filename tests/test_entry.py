@@ -100,6 +100,9 @@ SQL_BACKED = [
     "facet_matrix_stats",
     "facet_terms",
     "facet_stats",
+    "facet_extended_stats",
+    "facet_weighted_avg",
+    "facet_missing",
     "facet_cardinality",
     "facet_histogram",
     "facet_range",
