@@ -300,6 +300,29 @@ def q_chunk_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def q_seeded_shuffle(sf_dir: str) -> pa.Table:
+    """Deterministic seeded shuffle (`ops/sample.py::seeded_shuffle`):
+    the first 50 documents of the seed-42 training order — a pure
+    function of (seed, data), identical at any parallelism, unlike
+    random_shuffle."""
+    import ray.data
+
+    from docs_indexer_ray.ops.sample import seeded_shuffle
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    head = _concat(seeded_shuffle(ds, seed=42).limit(50))
+    return pa.table(
+        {
+            "pos": pa.array(np.arange(1, head.num_rows + 1, dtype=np.int64)),
+            "doc_id": pa.array(
+                [int(v) for v in head["doc_id"].to_pylist()], pa.int64()
+            ),
+        }
+    )
+
+
 def q_gopher_quality(sf_dir: str) -> pa.Table:
     """Gopher-rule quality filter (Rae et al. 2021, Table A1, adapted
     to word level — see ``ops/textstats.py::gopher_quality``).
@@ -2731,6 +2754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_ws": q_token_count_ws,
         "term_df": q_term_df,
         "sample_hash": q_sample_hash,
+        "seeded_shuffle": q_seeded_shuffle,
         "quality_score": q_quality_score,
         "budget_select": q_budget_select,
         "gopher_quality": q_gopher_quality,
@@ -3016,6 +3040,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(16, len(toks) - s) AS BIGINT) AS n_tokens,
                    array_to_string(toks[s + 1:s + 16], ' ') AS chunk_text
             FROM st ORDER BY doc_id, chunk_idx
+        """,
+        "seeded_shuffle": """
+            SELECT CAST(row_number() OVER (ORDER BY md5('42:' || doc_id), doc_id) AS BIGINT) AS pos,
+                   CAST(doc_id AS BIGINT) AS doc_id
+            FROM documents
+            ORDER BY md5('42:' || doc_id), doc_id
+            LIMIT 50
         """,
         "pagerank": _pagerank_sql(10),
         "lm_perplexity": f"""

@@ -30,6 +30,7 @@ __all__ = [
     "stratified_sample_by_hash",
     "temperature_resample",
     "hash_prefixes",
+    "seeded_shuffle",
 ]
 
 _HEX = "0123456789abcdef"
@@ -156,4 +157,37 @@ def temperature_resample(
             ds, key=key, group_col=group_col, rates=rates, bits=bits
         ),
         rates,
+    )
+
+
+def seeded_shuffle(ds, seed: int, key: str = "doc_id"):
+    """Deterministic seeded global shuffle — the reproducible
+    training-order step.
+
+    Orders the corpus by ``md5(seed || ':' || key)`` (ties broken by
+    the key itself, so duplicates can't reorder non-deterministically):
+    the permutation is a pure function of (seed, data) — identical at
+    any parallelism, resumable, and replayable by one line of SQL
+    (``ORDER BY md5(seed || ':' || key)``), unlike
+    ``Dataset.random_shuffle`` whose layout depends on the run.
+
+    Shape at scale: compute the hash per row in a streaming
+    ``map_batches``, then ONE ``sort`` all-to-all on it — the same
+    exchange ``random_shuffle`` pays, but with a value-property order.
+    The hash column is dropped after the sort.
+    """
+    import pyarrow.compute as _pc  # noqa: F401  (parity with module style)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        vals = t[key].to_pylist()
+        hs = [
+            hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest() for v in vals
+        ]
+        return t.append_column("__shuffle_key", pa.array(hs, pa.string()))
+
+    shuffled = ds.map_batches(add_key, batch_format="pyarrow").sort(
+        ["__shuffle_key", key]
+    )
+    return shuffled.map_batches(
+        lambda t: t.drop_columns(["__shuffle_key"]), batch_format="pyarrow"
     )

@@ -66,6 +66,7 @@ SQL_BACKED = [
     "token_count_ws",
     "term_df",
     "sample_hash",
+    "seeded_shuffle",
     "quality_score",
     "lang_id",
     "fingerprint_md5",

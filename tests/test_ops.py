@@ -1310,6 +1310,37 @@ def test_chunk_documents_windows_and_edges():
         chunk_documents(ray.data.from_arrow(t), window=4, stride=5)
 
 
+def test_seeded_shuffle_deterministic_and_seed_sensitive():
+    """seeded_shuffle: same seed -> same order at any parallelism;
+    different seed -> different order; it's a permutation."""
+    import ray
+    import ray.data
+
+    from docs_indexer_ray.ops.sample import seeded_shuffle
+
+    t = pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64))})
+
+    def order(ds, seed):
+        out = pa.concat_tables(
+            [
+                x
+                for x in (
+                    ray.get(b) for b in seeded_shuffle(ds, seed).to_arrow_refs()
+                )
+                if x.num_rows
+            ]
+        )
+        return out["doc_id"].to_pylist()
+
+    a = order(ray.data.from_arrow(t).repartition(7), seed=1)
+    b = order(ray.data.from_arrow(t).repartition(2), seed=1)
+    c = order(ray.data.from_arrow(t).repartition(7), seed=2)
+    assert a == b  # parallelism-invariant
+    assert a != c  # seed-sensitive
+    assert sorted(a) == list(range(100)) == sorted(c)  # permutations
+    assert a != list(range(100))  # actually shuffled
+
+
 def test_bigram_lm_train_and_score():
     """train_bigram_lm counts match a Counter reference; scoring a
     HELD-OUT doc handles OOV tokens (zero context -> 1/V) and matches
