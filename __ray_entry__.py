@@ -101,6 +101,27 @@ def q_extract_text(sf_dir: str) -> pa.Table:
     return _concat(ds)
 
 
+def q_jsonl_ingest(sf_dir: str) -> pa.Table:
+    """JSONL source round trip (`sources/jsonl.py`): the documents
+    table serialized to sharded ``.jsonl.gz`` (deterministic writer,
+    fixture at oracle scale), re-ingested file-wise parallel with
+    loud-missing-key schema handling — identical to reading the
+    Parquet directly, so a plain SELECT pins the whole round trip."""
+    import tempfile
+
+    from docs_indexer_ray.sources.jsonl import read_jsonl, write_jsonl_shards
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    tmp = tempfile.mkdtemp(prefix="dixr_jsonl_")
+    paths = write_jsonl_shards(t, tmp, n_shards=4)
+    ds = read_jsonl(paths, required=("doc_id", "text", "lang", "source"))
+    out = _concat(ds).drop_columns(["extras"])
+    return _as_i64(out, ["doc_id"]).sort_by("doc_id")
+
+
 def q_warc_ingest(sf_dir: str) -> pa.Table:
     """WARC source end-to-end: the synthetic crawl serialized to
     sharded ``.warc.gz`` archives (byte-deterministic writer, fixture
@@ -2748,6 +2769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
         "warc_ingest": q_warc_ingest,
+        "jsonl_ingest": q_jsonl_ingest,
         "docs_table": q_docs_table,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
@@ -3047,6 +3069,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY md5('42:' || doc_id), doc_id
             LIMIT 50
+        """,
+        "jsonl_ingest": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source
+            FROM documents ORDER BY doc_id
         """,
         "pagerank": _pagerank_sql(10),
         "lm_perplexity": f"""

@@ -148,6 +148,7 @@ SQL_BACKED = [
     "ccnet_buckets",
     "textcat",
     "warc_ingest",
+    "jsonl_ingest",
     "bm25_multimatch",
     "bm25_multimatch_best",
     "term_prefix",

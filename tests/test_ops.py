@@ -1341,6 +1341,54 @@ def test_seeded_shuffle_deterministic_and_seed_sensitive():
     assert a != list(range(100))  # actually shuffled
 
 
+def test_jsonl_source_roundtrip_extras_and_errors():
+    """read_jsonl: gz round trip, extras preservation (sorted-key
+    JSON), loud failure on a missing required key, blank-line skip."""
+    import gzip
+    import json
+
+    import pytest as _pytest
+    import ray
+    import ray.data
+
+    from docs_indexer_ray.sources.jsonl import read_jsonl, write_jsonl_shards
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["alpha", "beta", "gamma"]),
+            "tag": pa.array(["x", "y", "z"]),
+        }
+    )
+    out_dir = "/tmp/dixr_jsonl_test"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    paths = write_jsonl_shards(t, out_dir, n_shards=2)
+    got = pa.concat_tables(
+        [
+            x
+            for x in (
+                ray.get(b)
+                for b in read_jsonl(paths, required=("doc_id", "text")).to_arrow_refs()
+            )
+            if x.num_rows
+        ]
+    ).sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == [0, 1, 2]
+    assert got["text"].to_pylist() == ["alpha", "beta", "gamma"]
+    # extra producer key survives as sorted-key JSON
+    assert [json.loads(e)["tag"] for e in got["extras"].to_pylist()] == ["x", "y", "z"]
+
+    # blank lines skip; missing required key raises loudly
+    bad = out_dir + "/bad.jsonl.gz"
+    with gzip.open(bad, "wb") as f:
+        f.write(b'{"doc_id": 7, "text": "ok"}\n\n{"doc_id": 8}\n')
+    ds = read_jsonl([bad], required=("doc_id", "text"))
+    with _pytest.raises(Exception, match="missing required key"):
+        ray.get(ds.to_arrow_refs())
+
+
 def test_bigram_lm_train_and_score():
     """train_bigram_lm counts match a Counter reference; scoring a
     HELD-OUT doc handles OOV tokens (zero context -> 1/V) and matches
