@@ -49,40 +49,61 @@ def chunk_documents(
     def fn(t: pa.Table) -> pa.Table:
         arr = t[text_col].combine_chunks()
         lists = pc.split_pattern_regex(pc.utf8_trim_whitespace(arr), pattern=r"\s+")
-        flat = np.asarray(lists.flatten().to_pylist(), dtype=object)
         offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n_tok = offs[1:] - offs[:-1]
         # an empty text splits to [''] — treat as zero tokens
-        empty = np.zeros(len(n_tok), dtype=bool)
-        if len(flat):
-            first = flat[offs[:-1].clip(max=len(flat) - 1)]
-            empty = (n_tok == 1) & (first == "")
-        n_tok = np.where(empty, 0, n_tok)
+        if len(lists.values):
+            first_empty = (
+                pc.utf8_length(lists.values).to_numpy(zero_copy_only=False)[
+                    offs[:-1].clip(max=len(lists.values) - 1)
+                ]
+                == 0
+            )
+            n_tok = np.where((n_tok == 1) & first_empty, 0, n_tok)
 
-        out_id, out_ci, out_st, out_n, out_txt = [], [], [], [], []
-        for row in range(len(ids)):
-            n = int(n_tok[row])
-            base = int(offs[row])
-            st = 0
-            ci = 0
-            while st < n:
-                take = min(window, n - st)
-                out_id.append(int(ids[row]))
-                out_ci.append(ci)
-                out_st.append(st)
-                out_n.append(take)
-                out_txt.append(" ".join(flat[base + st : base + st + take]))
-                st += stride
-                ci += 1
-        return pa.table(
+        # vectorized over docs; the only loop is the chunk ORDINAL
+        # (corpus-independent, ~n_tok_max/stride iterations): slice the
+        # token lists of every still-emitting doc at once and join —
+        # no per-token Python, no per-chunk join loop
+        empty = pa.table(
             {
-                id_col: pa.array(out_id, pa.int64()),
-                "chunk_idx": pa.array(out_ci, pa.int64()),
-                "start_tok": pa.array(out_st, pa.int64()),
-                "n_tokens": pa.array(out_n, pa.int64()),
-                "chunk_text": pa.array(out_txt, pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
             }
         )
+        if len(n_tok) == 0 or int(n_tok.max()) == 0:
+            return empty
+        out = []
+        k = 0
+        while k * stride < int(n_tok.max()):
+            st = k * stride
+            sel = n_tok > st
+            sel_arr = pa.array(sel)
+            sliced = pc.list_slice(
+                lists.filter(sel_arr), start=st, stop=st + window
+            )
+            txts = pc.binary_join(sliced, " ")
+            take = np.minimum(window, n_tok[sel] - st)
+            out.append(
+                pa.table(
+                    {
+                        id_col: pa.array(ids[sel], pa.int64()),
+                        "chunk_idx": pa.array(
+                            np.full(int(sel.sum()), k, np.int64)
+                        ),
+                        "start_tok": pa.array(
+                            np.full(int(sel.sum()), st, np.int64)
+                        ),
+                        "n_tokens": pa.array(take.astype(np.int64)),
+                        "chunk_text": txts,
+                    }
+                )
+            )
+            k += 1
+        return pa.concat_tables(out) if out else empty
 
     return ds.map_batches(fn, batch_format="pyarrow")
