@@ -562,6 +562,24 @@ def q_dup_components(sf_dir: str) -> pa.Table:
     return _as_i64(cc, ["node", "component"]).sort_by("node")
 
 
+def q_dedup_apply(sf_dir: str) -> pa.Table:
+    """The FULL dedup pipeline end-to-end: near-dup pairs (n-gram
+    Jaccard) → transitive closure (`ops/components.py`) → corpus
+    filter keeping only unclustered docs and each cluster's canonical
+    (minimum-id) member (`canonical_docs`).  Composes three oracled
+    ops; the SQL replays the closure and applies the same keep rule."""
+    from docs_indexer_ray.ops.components import canonical_docs, connected_components
+    from docs_indexer_ray.ops.dedup import ngram_jaccard_pairs
+
+    docs = _documents_with_copies_ds(sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    cc = connected_components(pairs, a="a", b="b")
+    kept = _concat(canonical_docs(_documents_with_copies_ds(sf_dir), cc))
+    return (
+        _as_i64(kept.select(["doc_id"]), ["doc_id"]).sort_by("doc_id")
+    )
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -2789,6 +2807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_components": q_dup_components,
+        "dedup_apply": q_dedup_apply,
         "substring_dedup": q_substring_dedup,
         "dsir": q_dsir,
         "knn_cosine": q_knn_cosine,
@@ -3365,6 +3384,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
             FROM pair JOIN cnt ca ON ca.doc_id = pair.a JOIN cnt cb ON cb.doc_id = pair.b
             WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+        """,
+        "dedup_apply": f"""
+            WITH RECURSIVE all_rows AS ({_DUP_UNION}),
+            t AS (SELECT doc_id, {_toks('text')} AS toks FROM all_rows),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+                  FROM t WHERE len(toks) >= 3),
+            cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            pair AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS inter
+                     FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+                     GROUP BY ga.doc_id, gb.doc_id),
+            p2 AS (SELECT a, b FROM pair
+                   JOIN cnt ca ON ca.doc_id = pair.a JOIN cnt cb ON cb.doc_id = pair.b
+                   WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+            edges AS (SELECT a AS src, b AS dst FROM p2
+                      UNION ALL SELECT b, a FROM p2),
+            walk(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+            comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+            FROM all_rows d LEFT JOIN comp c ON c.node = d.doc_id
+            WHERE c.node IS NULL OR c.component = d.doc_id
+            ORDER BY doc_id
         """,
         "dup_components": f"""
             WITH RECURSIVE all_rows AS ({_DUP_UNION}),

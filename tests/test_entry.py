@@ -73,6 +73,7 @@ SQL_BACKED = [
     "dedup_exact",
     "ngram_jaccard",
     "dup_components",
+    "dedup_apply",
     "substring_dedup",
     "dsir",
     "knn_cosine",
