@@ -580,6 +580,37 @@ def q_dedup_apply(sf_dir: str) -> pa.Table:
     )
 
 
+def q_rank_eval(sf_dir: str) -> pa.Table:
+    """OpenSearch ``_rank_eval`` (`query/rank_eval.py`): three
+    single-term queries scored at k=10 against PLANTED judgments
+    (relevance 1 for doc_id%5==0, upgraded to 2 for doc_id%10==0) —
+    precision@10 / MRR / DCG / NDCG, 1e-9-quantized."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.rank_eval import rank_eval
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    judged_ids = [d for d in range(n) if d % 5 == 0]
+    rows = []
+    for qname in ("q_merge", "q_scan", "q_table"):
+        for d in judged_ids:
+            rows.append((qname, d, 2 if d % 10 == 0 else 1))
+    judgments = pa.table(
+        {
+            "query": pa.array([r[0] for r in rows], pa.string()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "relevance": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    return rank_eval(
+        IndexReader(root),
+        {"q_table": ["table"], "q_scan": ["scan"], "q_merge": ["merge"]},
+        judgments,
+        k=10,
+    ).sort_by("query")
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -2819,6 +2850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_sharded": q_bm25_topk_sharded,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_bool": q_bm25_bool,
+        "rank_eval": q_rank_eval,
         "boosting": q_boosting,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
@@ -3092,6 +3124,78 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_ingest": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source
             FROM documents ORDER BY doc_id
+        """,
+        "rank_eval": f"""
+            WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+            toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                             (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE term IN ('merge', 'scan', 'table') GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            judged AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS relevance
+                       FROM documents WHERE doc_id % 5 = 0),
+        sel_merge AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM (SELECT tf.doc_id,
+                       SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+                FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+                WHERE tf.term = 'merge' GROUP BY tf.doc_id)
+          QUALIFY rnk <= 10),
+        m_merge AS (
+          SELECT 'q_merge' AS query,
+                 CAST(count_if(j.relevance > 0) AS DOUBLE) / 10 AS precision_k,
+                 coalesce(1.0 / min(CASE WHEN j.relevance > 0 THEN rnk END), 0.0) AS mrr,
+                 round(SUM(coalesce(pow(2, j.relevance) - 1, 0.0) / log2(rnk + 1)), 9) AS dcg,
+                 round(SUM(coalesce(pow(2, j.relevance) - 1, 0.0) / log2(rnk + 1))
+                       / (SELECT SUM((pow(2, relevance) - 1) / log2(irnk + 1))
+                          FROM (SELECT relevance,
+                                       row_number() OVER (ORDER BY relevance DESC) AS irnk
+                                FROM judged QUALIFY irnk <= 10)), 9) AS ndcg
+          FROM sel_merge LEFT JOIN judged j ON j.doc_id = sel_merge.doc_id),
+        sel_scan AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM (SELECT tf.doc_id,
+                       SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+                FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+                WHERE tf.term = 'scan' GROUP BY tf.doc_id)
+          QUALIFY rnk <= 10),
+        m_scan AS (
+          SELECT 'q_scan' AS query,
+                 CAST(count_if(j.relevance > 0) AS DOUBLE) / 10 AS precision_k,
+                 coalesce(1.0 / min(CASE WHEN j.relevance > 0 THEN rnk END), 0.0) AS mrr,
+                 round(SUM(coalesce(pow(2, j.relevance) - 1, 0.0) / log2(rnk + 1)), 9) AS dcg,
+                 round(SUM(coalesce(pow(2, j.relevance) - 1, 0.0) / log2(rnk + 1))
+                       / (SELECT SUM((pow(2, relevance) - 1) / log2(irnk + 1))
+                          FROM (SELECT relevance,
+                                       row_number() OVER (ORDER BY relevance DESC) AS irnk
+                                FROM judged QUALIFY irnk <= 10)), 9) AS ndcg
+          FROM sel_scan LEFT JOIN judged j ON j.doc_id = sel_scan.doc_id),
+        sel_table AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM (SELECT tf.doc_id,
+                       SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+                FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+                WHERE tf.term = 'table' GROUP BY tf.doc_id)
+          QUALIFY rnk <= 10),
+        m_table AS (
+          SELECT 'q_table' AS query,
+                 CAST(count_if(j.relevance > 0) AS DOUBLE) / 10 AS precision_k,
+                 coalesce(1.0 / min(CASE WHEN j.relevance > 0 THEN rnk END), 0.0) AS mrr,
+                 round(SUM(coalesce(pow(2, j.relevance) - 1, 0.0) / log2(rnk + 1)), 9) AS dcg,
+                 round(SUM(coalesce(pow(2, j.relevance) - 1, 0.0) / log2(rnk + 1))
+                       / (SELECT SUM((pow(2, relevance) - 1) / log2(irnk + 1))
+                          FROM (SELECT relevance,
+                                       row_number() OVER (ORDER BY relevance DESC) AS irnk
+                                FROM judged QUALIFY irnk <= 10)), 9) AS ndcg
+          FROM sel_table LEFT JOIN judged j ON j.doc_id = sel_table.doc_id)
+            SELECT query, round(precision_k, 9) AS precision_k, round(mrr, 9) AS mrr, dcg, ndcg
+            FROM (SELECT * FROM m_merge UNION ALL SELECT * FROM m_scan UNION ALL SELECT * FROM m_table)
+            ORDER BY query
         """,
         "pagerank": _pagerank_sql(10),
         "lm_perplexity": f"""

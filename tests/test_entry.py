@@ -93,6 +93,7 @@ SQL_BACKED = [
     "bm25_topk_sharded",
     "bm25_topk_filtered",
     "bm25_bool",
+    "rank_eval",
     "boosting",
     "bm25_bool_msm",
     "bm25_search_after",
