@@ -344,6 +344,41 @@ def q_seeded_shuffle(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dedup_lines(sf_dir: str) -> pa.Table:
+    """C4 corpus-wide line dedup (`ops/dedup.py::dedup_lines`): the
+    same planted multi-line view as `line_filter` (the boilerplate
+    line repeats across every doc_id%3==0 doc — real cross-doc dups),
+    keep each line content's global-first occurrence, rebuild docs."""
+    import ray.data
+
+    from docs_indexer_ray.ops.dedup import dedup_lines
+
+    def planted(sf):
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+        )
+
+        def plant(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            txts = t["text"].to_pylist()
+            rows = []
+            for d, x in zip(ids, txts):
+                s = ("Click here to subscribe now!\n" if d % 3 == 0 else "") + x
+                if d % 2 == 0:
+                    s += "\nok btn"
+                if d % 5 == 0:
+                    s += "\nthe quick brown fox jumps over the lazy dog again"
+                rows.append(s)
+            return pa.table(
+                {"doc_id": t["doc_id"], "text": pa.array(rows, pa.string())}
+            )
+
+        return ds.map_batches(plant, batch_format="pyarrow")
+
+    out = _concat(dedup_lines(planted(sf_dir)))
+    return _as_i64(out, ["doc_id", "n_lines", "n_kept"]).sort_by("doc_id")
+
+
 def q_gopher_quality(sf_dir: str) -> pa.Table:
     """Gopher-rule quality filter (Rae et al. 2021, Table A1, adapted
     to word level — see ``ops/textstats.py::gopher_quality``).
@@ -2905,6 +2940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": q_sample_stratified,
         "redact_pii": q_redact_pii,
         "line_filter": q_line_filter,
+        "dedup_lines": q_dedup_lines,
         "extract_links": q_extract_links,
         "chunk_documents": q_chunk_documents,
         "knn_cosine_q8": q_knn_cosine_q8,
@@ -3196,6 +3232,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT query, round(precision_k, 9) AS precision_k, round(mrr, 9) AS mrr, dcg, ndcg
             FROM (SELECT * FROM m_merge UNION ALL SELECT * FROM m_scan UNION ALL SELECT * FROM m_table)
             ORDER BY query
+        """,
+        "dedup_lines": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'Click here to subscribe now!' || chr(10) ELSE '' END
+                     || text
+                     || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'ok btn' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN chr(10) || 'the quick brown fox jumps over the lazy dog again'
+                          ELSE '' END AS text
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS ord
+              FROM planted),
+            ranked AS (
+              SELECT doc_id, line, ord,
+                     row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn
+              FROM lines)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY ord), '') AS cleaned
+            FROM ranked GROUP BY doc_id ORDER BY doc_id
         """,
         "pagerank": _pagerank_sql(10),
         "lm_perplexity": f"""

@@ -61,6 +61,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "dedup_lines",
 ]
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -779,3 +780,126 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     return _dedup_pairs(pairs, ["hamming"])
+
+
+def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """C4-style CORPUS-WIDE line dedup (Raffel et al. 2020 §2.2: keep
+    ONE occurrence of every duplicated line across the whole corpus —
+    the first in ``(doc_id, line_ord)`` order — and rebuild documents
+    from the survivors).
+
+    Returns ``(id_col, n_lines, n_kept, cleaned)`` per doc.
+
+    Scale shape (the ``substr.py`` mask-broadcast pattern):
+
+    1. explode lines per doc into ``(md5(line), doc, ord)`` — 16 B of
+       digest rides the ONE all-to-all, never the line text (md5 is
+       the deliberate SQL-parity choice, see ``exact_dedup``);
+    2. ``groupby(md5)`` keeps each content's global-first occurrence
+       and emits only the DROPPED ``(doc, ord)`` pairs — dup-scale,
+       not corpus-scale;
+    3. the dropped set broadcasts once (packed uint64 keys, sorted)
+       and a second streaming pass over the original docs rebuilds
+       the cleaned text — no text ever shuffles.
+
+    For corpora where the duplicate set itself is too big to
+    broadcast, the same phase-2 can run as a hash join of docs
+    against the dropped rows (``ops/join.py::hash_join``) — noted
+    here, not needed at bench scale.
+    """
+    import ray
+    import ray.data  # noqa: F401
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        arr = t[text_col].combine_chunks()
+        lists = _pc.split_pattern(arr, pattern="\n")
+        flat = lists.flatten()
+        parent = _pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ords = np.arange(len(flat), dtype=np.int64) - offs[parent]
+        md5s = [
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s in flat.to_pylist()
+        ]
+        return pa.table(
+            {
+                "h": pa.array(md5s, pa.string()),
+                "d": pa.array(ids[parent], pa.int64()),
+                "o": pa.array(ords, pa.int64()),
+            }
+        )
+
+    def dropped_of_group(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        d = group["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = group["o"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((o, d, h))
+        h, d, o = h[order], d[order], o[order]
+        first = np.concatenate(([True], h[1:] != h[:-1]))
+        return pa.table(
+            {"d": pa.array(d[~first]), "o": pa.array(o[~first])}
+        )
+
+    dropped_parts = [
+        ray.get(r)
+        for r in ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(dropped_of_group, batch_format="pyarrow")
+        .to_arrow_refs()
+    ]
+    dropped_parts = [p for p in dropped_parts if p.num_rows]
+    if dropped_parts:
+        dt = pa.concat_tables(dropped_parts)
+        dd = dt["d"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        do = dt["o"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(dd) and (dd.max() >= np.uint64(1) << np.uint64(32)
+                        or do.max() >= np.uint64(1) << np.uint64(32)):
+            raise ValueError("doc_id/line ordinal exceed the packed-key range")
+        keys = np.sort((dd << np.uint64(32)) | do)
+    else:
+        keys = np.array([], np.uint64)
+    keys_ref = ray.put(keys)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        drop_keys = ray.get(keys_ref)
+        arr = t[text_col].combine_chunks()
+        lists = _pc.split_pattern(arr, pattern="\n")
+        flat = lists.flatten()
+        parent = _pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ords = (np.arange(len(flat), dtype=np.int64) - offs[parent]).astype(np.uint64)
+        mykeys = (ids[parent].astype(np.uint64) << np.uint64(32)) | ords
+        idx = np.searchsorted(drop_keys, mykeys)
+        idx_c = np.clip(idx, 0, max(len(drop_keys) - 1, 0))
+        is_dropped = (
+            (drop_keys[idx_c] == mykeys) if len(drop_keys) else np.zeros(len(mykeys), bool)
+        )
+        keep = ~is_dropped
+        n = len(ids)
+        n_lines = np.bincount(parent, minlength=n)
+        n_kept = np.bincount(parent[keep], minlength=n)
+        kept_lines = flat.filter(pa.array(keep))
+        if isinstance(kept_lines, pa.ChunkedArray):
+            kept_lines = kept_lines.combine_chunks()
+        new_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(n_kept, out=new_offs[1:])
+        cleaned = _pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(new_offs, pa.int64()), kept_lines),
+            "\n",
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "cleaned": cleaned,
+            }
+        )
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

@@ -128,6 +128,7 @@ SQL_BACKED = [
     "sample_stratified",
     "redact_pii",
     "line_filter",
+    "dedup_lines",
     "extract_links",
     "chunk_documents",
     "sort_by_date",

@@ -1389,6 +1389,49 @@ def test_jsonl_source_roundtrip_extras_and_errors():
         ray.get(ds.to_arrow_refs())
 
 
+def test_dedup_lines_corpus_wide_keep_first():
+    """dedup_lines: cross-doc duplicate keeps only the global-first
+    (doc, ord) occurrence; within-doc repeats drop too; unique lines
+    and empty docs untouched; rebuild preserves order."""
+    import ray
+    import ray.data
+
+    from docs_indexer_ray.ops.dedup import dedup_lines
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "shared line\nunique zero\nshared line",  # within-doc repeat
+                    "shared line\nunique one",                  # cross-doc dup
+                    "",
+                ]
+            ),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            x
+            for x in (
+                ray.get(b)
+                for b in dedup_lines(
+                    ray.data.from_arrow(t).repartition(3)
+                ).to_arrow_refs()
+            )
+            if x.num_rows
+        ]
+    ).sort_by("doc_id")
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[0]["cleaned"] == "shared line\nunique zero"  # 2nd repeat dropped
+    assert (rows[0]["n_lines"], rows[0]["n_kept"]) == (3, 2)
+    assert rows[1]["cleaned"] == "unique one"  # lost the cross-doc dup
+    assert (rows[1]["n_lines"], rows[1]["n_kept"]) == (2, 1)
+    # the empty doc is ONE empty line, globally unique -> kept
+    # (same contract as the SQL oracle's rn=1 rule)
+    assert rows[2]["cleaned"] == "" and rows[2]["n_kept"] == 1
+
+
 def test_bigram_lm_train_and_score():
     """train_bigram_lm counts match a Counter reference; scoring a
     HELD-OUT doc handles OOV tokens (zero context -> 1/V) and matches
