@@ -2827,7 +2827,7 @@ def _concat(ds) -> pa.Table:
     stages that ran in pandas format) before concatenating."""
     import ray
 
-    blocks = ray.get(ds.to_arrow_refs())
+    blocks = ray.get(ds.materialize().to_arrow_refs())
     tables = [
         t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
         for t in blocks

@@ -284,7 +284,7 @@ def _hash_stride_sample(ds, id_col: str, col: str, train_sample: int) -> np.ndar
     parts = [
         t
         for t in ray.get(
-            ds.map_batches(sample_batch, batch_format="pyarrow").to_arrow_refs()
+            ds.map_batches(sample_batch, batch_format="pyarrow").materialize().to_arrow_refs()
         )
         if t.num_rows
     ]
@@ -570,7 +570,7 @@ def embedding_dup_pairs_exact(
     import ray
 
     full = pa.concat_tables(
-        [ray.get(r) for r in ds.to_arrow_refs()]
+        [ray.get(r) for r in ds.materialize().to_arrow_refs()]
     ).combine_chunks().sort_by(id_col)
     all_ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     all_emb = _normalize(_embedding_matrix(full, col))

@@ -51,7 +51,7 @@ def word_counts(docs_ds, text_col: str = "text") -> pa.Table:
         .groupby("word")
         .aggregate(Sum(on="n", alias_name="n"))
     )
-    parts = [ray.get(r) for r in folded.to_arrow_refs()]
+    parts = [ray.get(r) for r in folded.materialize().to_arrow_refs()]
     parts = [p for p in parts if p.num_rows and p.num_columns]
     if not parts:
         return pa.table({"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())})

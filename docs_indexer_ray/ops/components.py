@@ -57,7 +57,7 @@ def connected_components(
                     {"a": t[a].cast(pa.int64()), "b": t[b].cast(pa.int64())}
                 ),
                 batch_format="pyarrow",
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         ]
         parts = [p for p in parts if p.num_rows]
         if not parts:

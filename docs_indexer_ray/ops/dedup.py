@@ -848,7 +848,7 @@ def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id"):
         for r in ds.map_batches(explode, batch_format="pyarrow")
         .groupby("h")
         .map_groups(dropped_of_group, batch_format="pyarrow")
-        .to_arrow_refs()
+        .materialize().to_arrow_refs()
     ]
     dropped_parts = [p for p in dropped_parts if p.num_rows]
     if dropped_parts:

@@ -79,7 +79,7 @@ def fit_dsir(target_ds, raw_ds, text_col: str = "text") -> dict:
         .groupby("f")
         .aggregate(Sum(on="c", alias_name="c"))
     )
-    tt = pa.concat_tables([ray.get(r) for r in folded.to_arrow_refs()])
+    tt = pa.concat_tables([ray.get(r) for r in folded.materialize().to_arrow_refs()])
     feats = np.asarray(tt["f"].to_pylist(), object)
     tc = tt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(feats)
@@ -107,7 +107,7 @@ def fit_dsir(target_ds, raw_ds, text_col: str = "text") -> dict:
 
     parts = [
         ray.get(r)
-        for r in raw_ds.map_batches(raw_partial, batch_format="pyarrow").to_arrow_refs()
+        for r in raw_ds.map_batches(raw_partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
     rc = np.zeros(V, np.int64)
@@ -185,7 +185,7 @@ def dsir_topk(
             fn_constructor_args=(model_ref, text_col, id_col, k),
             batch_format="pyarrow",
             concurrency=concurrency,
-        ).to_arrow_refs()
+        ).materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows and p.num_columns]
     if not parts:

@@ -99,7 +99,7 @@ def train_bigram_lm(docs_ds, text_col: str = "text"):
         .aggregate(Sum(on="c", alias_name="c"))
     )
     # model-scale collect (vocabulary-bounded, like doclens)
-    tbl = pa.concat_tables([ray.get(r) for r in folded.to_arrow_refs()])
+    tbl = pa.concat_tables([ray.get(r) for r in folded.materialize().to_arrow_refs()])
     w1 = np.asarray(tbl["w1"].to_pylist(), dtype=object)
     w2 = np.asarray(tbl["w2"].to_pylist(), dtype=object)
     c = tbl["c"].to_numpy(zero_copy_only=False)
@@ -246,7 +246,7 @@ def ppl_buckets(
     sp = pa.concat_tables(
         [
             t
-            for t in (ray.get(r) for r in sample_scored.to_arrow_refs())
+            for t in (ray.get(r) for r in sample_scored.materialize().to_arrow_refs())
             if t.num_rows and t.num_columns
         ]
     )
@@ -273,7 +273,7 @@ def ppl_buckets(
         t
         for t in (
             ray.get(r)
-            for r in scored.map_batches(assign, batch_format="pyarrow").to_arrow_refs()
+            for r in scored.map_batches(assign, batch_format="pyarrow").materialize().to_arrow_refs()
         )
         if t.num_rows and t.num_columns
     ]

@@ -85,7 +85,7 @@ def pagerank(
     import ray
 
     deg = edges_ds.groupby(src).count()
-    deg_tbl = pa.concat_tables([ray.get(r) for r in deg.to_arrow_refs()])
+    deg_tbl = pa.concat_tables([ray.get(r) for r in deg.materialize().to_arrow_refs()])
     # outdeg is node-scale metadata (like doclens); broadcast once
     outdeg = np.zeros(n_nodes, np.int64)
     outdeg[deg_tbl[src].to_numpy(zero_copy_only=False)] = deg_tbl[
@@ -124,7 +124,7 @@ def pagerank(
             .aggregate(Sum(on="c", alias_name="s"))
         )
         sum_tbl = pa.concat_tables(
-            [ray.get(ref) for ref in summed.to_arrow_refs()]
+            [ray.get(ref) for ref in summed.materialize().to_arrow_refs()]
         )
         r_now = ray.get(rank_ref)
         dangling = float(r_now[outdeg == 0].sum())
@@ -314,7 +314,7 @@ def _pagerank_join(
 
     tabs = [
         t
-        for t in (ray.get(r) for r in rank_ds.sort("node").to_arrow_refs())
+        for t in (ray.get(r) for r in rank_ds.sort("node").materialize().to_arrow_refs())
         if t.num_rows  # empty sort blocks carry an empty schema
     ]
     return pa.concat_tables(tabs).select(["node", "rank"])
@@ -325,7 +325,7 @@ def _ranks_to_ref(rank_ds, n_nodes: int):
     footprint class as the reader's doclens)."""
     import ray
 
-    t = pa.concat_tables([ray.get(r) for r in rank_ds.to_arrow_refs()])
+    t = pa.concat_tables([ray.get(r) for r in rank_ds.materialize().to_arrow_refs()])
     v = np.zeros(n_nodes)
     v[t["node"].to_numpy(zero_copy_only=False)] = t["rank"].to_numpy(
         zero_copy_only=False

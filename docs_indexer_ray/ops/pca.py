@@ -61,7 +61,7 @@ def fit_pca(ds, k: int, col: str = "embedding", center: bool = True):
 
     parts = [
         ray.get(r)
-        for r in ds.map_batches(moments, batch_format="pyarrow").to_arrow_refs()
+        for r in ds.map_batches(moments, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
     if not parts:

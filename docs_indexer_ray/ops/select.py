@@ -57,7 +57,7 @@ def budget_select(
     import ray
 
     sorted_ds = ds.sort([score_col, id_col], descending=[True, False])
-    refs = sorted_ds.to_arrow_refs()
+    refs = sorted_ds.materialize().to_arrow_refs()
 
     @ray.remote(num_cpus=1)
     def block_total(t: pa.Table) -> int:

@@ -170,7 +170,7 @@ def approx_distinct(ds, col: str, p: int = 14) -> int:
         ray.get(r)
         for r in ds.map_batches(
             lambda t: hll_sketch_batch(t, col, p), batch_format="pyarrow"
-        ).to_arrow_refs()
+        ).materialize().to_arrow_refs()
     ]
     acc = HLL(p)
     for part in parts:
@@ -415,7 +415,7 @@ def bloom_from_dataset(ds, col: str, capacity: int, fp_rate: float = 0.01):
     acc = BloomFilter(m, k)
     for part in [
         ray.get(r)
-        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]:
         if "bits" not in part.column_names:  # empty block passthrough
             continue

@@ -63,7 +63,7 @@ def _gather(ds_or_refs, schema: pa.Schema) -> pa.Table:
     Ray Data emits for empty groupby partitions."""
     import ray
 
-    refs = ds_or_refs.to_arrow_refs() if hasattr(ds_or_refs, "to_arrow_refs") else ds_or_refs
+    refs = ds_or_refs.materialize().to_arrow_refs() if hasattr(ds_or_refs, "to_arrow_refs") else ds_or_refs
     parts = [ray.get(r) for r in refs]
     parts = [t for t in parts if t.num_rows and t.num_columns]
     if not parts:

@@ -85,7 +85,7 @@ def fit_textcat(
     )
     parts = [
         t
-        for t in (ray.get(r) for r in folded.to_arrow_refs())
+        for t in (ray.get(r) for r in folded.materialize().to_arrow_refs())
         if t.num_rows and t.num_columns
     ]
     tbl = pa.concat_tables(parts)

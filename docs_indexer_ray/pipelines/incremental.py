@@ -60,7 +60,7 @@ def base_url_filter(base_build_dir: str, mode: str = "exact", fp_rate: float = 1
 
     if mode != "exact":
         raise ValueError(f"mode must be exact|bloom, got {mode!r}")
-    parts = [ray.get(r) for r in urls_ds.to_arrow_refs()]
+    parts = [ray.get(r) for r in urls_ds.materialize().to_arrow_refs()]
     seen = np.sort(
         np.concatenate(
             [p["url"].to_numpy(zero_copy_only=False) for p in parts if p.num_rows]

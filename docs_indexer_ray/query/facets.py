@@ -123,7 +123,7 @@ def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field):
     partials = docs_ds.map_batches(partial_counts, batch_format="pyarrow")
     # final combine is OUTPUT-scale (blocks × distinct keys partial
     # rows, not docs) — a driver-side Arrow groupby, not a shuffle
-    parts = [ray.get(r) for r in partials.to_arrow_refs()]
+    parts = [ray.get(r) for r in partials.materialize().to_arrow_refs()]
     parts = [p for p in parts if p.num_rows]
     if not parts:
         return pa.table(
@@ -220,7 +220,7 @@ def range_facet(
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     tot = np.zeros(len(ranges), np.int64)
     for p in parts:
@@ -277,7 +277,7 @@ def percentiles(
             ray.get(r)
             for r in docs_ds.map_batches(
                 sk_partial, batch_format="pyarrow"
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         ]:
             if "means" in part.column_names:  # empty block passthrough
                 acc.merge(TDigest.from_row(part))
@@ -305,7 +305,7 @@ def percentiles(
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
     if not parts:
@@ -376,7 +376,7 @@ def percentile_ranks(
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     le = np.zeros(len(vals), np.int64)
     n = 0
@@ -431,7 +431,7 @@ def top_by_column(
         return t.select(["doc_id", col]).take(pa.array(order))
 
     parts = [
-        ray.get(r) for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ray.get(r) for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
     if not parts:
@@ -494,7 +494,7 @@ def multi_terms_facet(
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
     if not parts:
@@ -550,7 +550,7 @@ def top_hits(
         k=k,
         ascending=ascending,
     )
-    parts = [ray.get(r) for r in sel.to_arrow_refs()]
+    parts = [ray.get(r) for r in sel.materialize().to_arrow_refs()]
     parts = [p for p in parts if p.num_rows]
     if not parts:
         return pa.table(
@@ -615,7 +615,7 @@ def collapse_top(
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
     if not parts:
@@ -697,7 +697,7 @@ def composite_facet(
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
     if not parts:
@@ -769,7 +769,7 @@ def filters_facet(docs_ds, filters: dict[str, tuple[str, str, object]]) -> pa.Ta
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     agg: dict[str, int] = {name: 0 for name, _ in specs}
     for p in parts:
@@ -832,7 +832,7 @@ def adjacency_matrix_facet(
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     agg: dict[str, int] = {k: 0 for k in keys}
     for p in parts:
@@ -884,7 +884,7 @@ def stats_facet(docs_ds, matched: np.ndarray, col: str) -> pa.Table:
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
     if not parts:
@@ -950,7 +950,7 @@ def extended_stats_facet(docs_ds, matched: np.ndarray, col: str) -> pa.Table:
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
     t = pa.concat_tables(parts)
@@ -1000,7 +1000,7 @@ def weighted_avg_facet(
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     t = pa.concat_tables([p for p in parts if p.num_rows])
     vw = float(pc.sum(t["vw"]).as_py())
@@ -1020,7 +1020,7 @@ def missing_facet(docs_ds, col: str) -> pa.Table:
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     t = pa.concat_tables([p for p in parts if p.num_rows])
     return pa.table(
@@ -1064,7 +1064,7 @@ def cardinality(
             ray.get(r)
             for r in docs_ds.map_batches(
                 sk_partial, batch_format="pyarrow"
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         ]:
             for buf in part["sketch"].to_pylist():
                 acc.merge(HLL(p, np.frombuffer(buf, np.uint8)))
@@ -1084,7 +1084,7 @@ def cardinality(
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
     if not parts:
@@ -1169,7 +1169,7 @@ def pipeline_aggs(
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
     empty = pa.table(
@@ -1261,7 +1261,7 @@ def matrix_stats(docs_ds, matched: np.ndarray, x_col: str, y_col: str) -> pa.Tab
 
     parts = [
         ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
     if not parts:
