@@ -2708,7 +2708,17 @@ def q_hash_join(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
     )
 
-    joined = hash_join(li.map_batches(rev, batch_format="pyarrow"), orders, on="orderkey")
+    joined = hash_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        orders,
+        on="orderkey",
+        left_schema=pa.schema(
+            [("orderkey", pa.int64()), ("rev_cents", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+    )
 
     def agg(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("o_orderpriority", sort=False).agg(
