@@ -569,9 +569,9 @@ def embedding_dup_pairs_exact(
     when n² (not n) is the problem."""
     import ray
 
-    full = pa.concat_tables(
-        [ray.get(r) for r in ds.materialize().to_arrow_refs()]
-    ).combine_chunks().sort_by(id_col)
+    from ..collect import tables_of
+
+    full = pa.concat_tables(tables_of(ds)).combine_chunks().sort_by(id_col)
     all_ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     all_emb = _normalize(_embedding_matrix(full, col))
     ref = ray.put((all_ids, all_emb))

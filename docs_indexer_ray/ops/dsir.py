@@ -79,7 +79,9 @@ def fit_dsir(target_ds, raw_ds, text_col: str = "text") -> dict:
         .groupby("f")
         .aggregate(Sum(on="c", alias_name="c"))
     )
-    tt = pa.concat_tables([ray.get(r) for r in folded.materialize().to_arrow_refs()])
+    from ..collect import tables_of
+
+    tt = pa.concat_tables(tables_of(folded))
     feats = np.asarray(tt["f"].to_pylist(), object)
     tc = tt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(feats)

@@ -99,7 +99,9 @@ def train_bigram_lm(docs_ds, text_col: str = "text"):
         .aggregate(Sum(on="c", alias_name="c"))
     )
     # model-scale collect (vocabulary-bounded, like doclens)
-    tbl = pa.concat_tables([ray.get(r) for r in folded.materialize().to_arrow_refs()])
+    from ..collect import tables_of
+
+    tbl = pa.concat_tables(tables_of(folded))
     w1 = np.asarray(tbl["w1"].to_pylist(), dtype=object)
     w2 = np.asarray(tbl["w2"].to_pylist(), dtype=object)
     c = tbl["c"].to_numpy(zero_copy_only=False)

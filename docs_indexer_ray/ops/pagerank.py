@@ -85,7 +85,9 @@ def pagerank(
     import ray
 
     deg = edges_ds.groupby(src).count()
-    deg_tbl = pa.concat_tables([ray.get(r) for r in deg.materialize().to_arrow_refs()])
+    from ..collect import tables_of
+
+    deg_tbl = pa.concat_tables(tables_of(deg))
     # outdeg is node-scale metadata (like doclens); broadcast once
     outdeg = np.zeros(n_nodes, np.int64)
     outdeg[deg_tbl[src].to_numpy(zero_copy_only=False)] = deg_tbl[
@@ -123,9 +125,7 @@ def pagerank(
             .groupby("node")
             .aggregate(Sum(on="c", alias_name="s"))
         )
-        sum_tbl = pa.concat_tables(
-            [ray.get(ref) for ref in summed.materialize().to_arrow_refs()]
-        )
+        sum_tbl = pa.concat_tables(tables_of(summed))
         r_now = ray.get(rank_ref)
         dangling = float(r_now[outdeg == 0].sum())
         add = damping * dangling / n_nodes
@@ -325,7 +325,9 @@ def _ranks_to_ref(rank_ds, n_nodes: int):
     footprint class as the reader's doclens)."""
     import ray
 
-    t = pa.concat_tables([ray.get(r) for r in rank_ds.materialize().to_arrow_refs()])
+    from ..collect import tables_of
+
+    t = pa.concat_tables(tables_of(rank_ds))
     v = np.zeros(n_nodes)
     v[t["node"].to_numpy(zero_copy_only=False)] = t["rank"].to_numpy(
         zero_copy_only=False
