@@ -390,6 +390,34 @@ def q_gopher_quality(sf_dir: str) -> pa.Table:
     return _concat(gopher_quality(_documents_ds(sf_dir), min_words=20))
 
 
+def q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Mergeable heavy-hitters summary (``ops/sketch.py::heavy_hitters``)
+    over the corpus word stream: per-block exact top-``m`` counters +
+    truncation bound, output-scale combine — the ``terms`` aggregation
+    scale path for unbounded key domains.  ``m`` is sized above the
+    sf vocabulary so every block's ``thr`` is 0, ``lo == hi`` == the
+    exact count, and the DuckDB group-by oracle pins the top-20
+    bit-exactly; the bounded small-``m`` regime (lo ≤ true ≤ hi,
+    guarantee flag) is property-pinned in ``test_ops``."""
+    import pyarrow.compute as pc_
+    import ray.data
+
+    from docs_indexer_ray.ops.sketch import heavy_hitters
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def words(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"w": pc_.list_flatten(pc_.split_pattern(t["text"], " "))}
+        )
+
+    return heavy_hitters(
+        ds.map_batches(words, batch_format="pyarrow"), "w", k=20, m=200_000
+    )
+
+
 def q_temperature_resample(sf_dir: str) -> pa.Table:
     """α-temperature mixture resampling (α=0.5, out_frac=0.5) over a
     planted skewed grouping ``g(doc_id) = (doc_id % 17) % 5`` (group
@@ -2874,6 +2902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "budget_select": q_budget_select,
         "gopher_quality": q_gopher_quality,
+        "heavy_hitters": q_heavy_hitters,
         "pack_sequences": q_pack_sequences,
         "url_canonical": q_url_canonical,
         "decontaminate": q_decontaminate,
@@ -3468,6 +3497,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(arg_min(tid, gidx) AS BIGINT) AS first_id,
                    CAST(arg_max(tid, gidx) AS BIGINT) AS last_id
             FROM g GROUP BY bucket, gidx // 64 ORDER BY bucket, seq
+        """,
+        "heavy_hitters": """
+            SELECT w AS item,
+                   count(*) AS lo,
+                   count(*) AS hi,
+                   true AS guaranteed
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w
+            ORDER BY lo DESC, item ASC
+            LIMIT 20
         """,
         "gopher_quality": f"""
             WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),

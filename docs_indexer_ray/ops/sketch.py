@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "HLL",
@@ -36,6 +37,7 @@ __all__ = [
     "BloomFilter",
     "bloom_from_dataset",
     "filter_unseen",
+    "heavy_hitters",
 ]
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
@@ -443,3 +445,101 @@ def filter_unseen(ds, col: str, bloom: BloomFilter):
         return t.filter(pa.array(~bf.contains_column(t[col])))
 
     return ds.map_batches(keep_new, batch_format="pyarrow")
+
+
+def _topm_partial(t: pa.Table, col: str, m: int) -> pa.Table:
+    """One block → its exact top-``m`` (item, cnt) rows plus ONE
+    null-item row carrying the block's truncation threshold ``thr``
+    (the largest dropped count; 0 when nothing was dropped).  Every
+    candidate row also carries its block's ``thr`` so the combine can
+    reconstruct per-item absence bounds without block ids."""
+    vc = t[col].combine_chunks().value_counts()
+    items = vc.field("values")
+    counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = np.asarray(items.to_pylist(), dtype=object)
+    # (count desc, item asc) — the deterministic heavy-hitter order
+    order = np.lexsort((vals, -counts))
+    kept = order[:m]
+    dropped = order[m:]
+    thr = int(counts[dropped].max()) if dropped.size else 0
+    return pa.table(
+        {
+            "item": pa.array(list(vals[kept]) + [None], pa.string()),
+            "cnt": pa.array(list(counts[kept]) + [0], pa.int64()),
+            "thr": pa.array([thr] * (len(kept) + 1), pa.int64()),
+        }
+    )
+
+
+def heavy_hitters(ds, col: str, k: int = 10, m: int = 1024) -> pa.Table:
+    """Top-``k`` most frequent values of ``ds[col]`` with deterministic
+    count BOUNDS — the heavy-hitters scale path for the ``terms``
+    aggregation (exact ``terms_facet`` ships distinct-per-block partial
+    rows; corpus-scale wrong when the key domain is unbounded — think
+    distinct URLs of a 10^12-doc crawl).
+
+    Distributed mergeable-summary shape (Agarwal et al., "Mergeable
+    Summaries", PODS 2012; counters as in Metwally et al.'s
+    SpaceSaving): each block keeps its EXACT top-``m`` counters plus
+    the largest truncated count ``thr``; for a candidate item
+
+    * ``lo``  = Σ counts over blocks where it surfaced (true count ≥ lo),
+    * ``hi``  = lo + Σ thr over blocks where it did NOT surface
+      (it can hide below the threshold only in those blocks),
+
+    and any item that surfaced NOWHERE has true count ≤ Σ thr.  The
+    returned top-``k`` (by ``lo`` desc, item asc) is provably the true
+    top-``k`` when ``guaranteed`` is true: the k-th ``lo`` strictly
+    dominates every excluded candidate's ``hi`` and the never-seen
+    bound.  When every block's distinct count fits ``m`` all ``thr``
+    are 0, ``lo == hi`` == the exact count, and ``guaranteed`` is
+    always true — the mode the SQL oracle pins bit-exactly.
+
+    Driver state is output-scale (≤ blocks × (m+1) rows), never
+    key-domain-scale; the per-block partial is one vectorized
+    ``value_counts`` + lexsort.
+    """
+    from ..collect import tables_of
+
+    parts = tables_of(
+        ds.map_batches(
+            lambda t: _topm_partial(t, col, m), batch_format="pyarrow"
+        )
+    )
+    if not parts:
+        return pa.table(
+            {
+                "item": pa.array([], pa.string()),
+                "lo": pa.array([], pa.int64()),
+                "hi": pa.array([], pa.int64()),
+                "guaranteed": pa.array([], pa.bool_()),
+            }
+        )
+    allp = pa.concat_tables(parts)
+    is_thr_row = pc.is_null(allp["item"])
+    total_thr = int(pc.sum(allp.filter(is_thr_row)["thr"]).as_py())
+    cand = allp.filter(pc.invert(is_thr_row))
+    items = np.asarray(cand["item"].to_pylist(), dtype=object)
+    cnts = cand["cnt"].to_numpy(zero_copy_only=False)
+    thrs = cand["thr"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(items, return_inverse=True)
+    lo = np.zeros(len(uniq), np.int64)
+    present_thr = np.zeros(len(uniq), np.int64)
+    np.add.at(lo, inv, cnts)
+    np.add.at(present_thr, inv, thrs)
+    hi = lo + (total_thr - present_thr)
+    order = np.lexsort((uniq, -lo))
+    top, rest = order[:k], order[k:]
+    excluded_hi = int(hi[rest].max()) if rest.size else 0
+    kth_lo = int(lo[top].min()) if top.size else 0
+    guaranteed = total_thr == 0 or (
+        kth_lo > excluded_hi and kth_lo > total_thr
+    )
+    return pa.table(
+        {
+            "item": pa.array(list(uniq[top]), pa.string()),
+            "lo": pa.array(lo[top], pa.int64()),
+            "hi": pa.array(hi[top], pa.int64()),
+            "guaranteed": pa.array([guaranteed] * len(top), pa.bool_()),
+        }
+    )

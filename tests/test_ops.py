@@ -1656,3 +1656,49 @@ def test_bpe_encode_roundtrip(ray_session):
             len(w) + 1 for w in tbl["text"][did].as_py().split()
         )
         assert 3 <= row.n_bpe_tokens <= raw_len
+
+
+def test_heavy_hitters_bounds_and_exact_mode(ray_session):
+    import collections
+
+    import ray.data
+
+    from docs_indexer_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    items = []
+    for i in range(1, 200):  # Zipf-ish: item i appears ~3000/i times
+        items += [f"w{i:03d}"] * (3000 // i)
+    rng.shuffle(items)
+    t = pa.table({"v": pa.array(items, pa.string())})
+    true = collections.Counter(items)
+    exact_top = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    for nparts in (2, 16):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+
+        # m above every block's distinct count -> thr 0 everywhere,
+        # lo == hi == exact count, guaranteed, any partitioning
+        r = heavy_hitters(ds, "v", k=10, m=500)
+        assert (
+            list(zip(r["item"].to_pylist(), r["lo"].to_pylist())) == exact_top
+        )
+        assert r["lo"].to_pylist() == r["hi"].to_pylist()
+        assert all(r["guaranteed"].to_pylist())
+
+        # bounded mode: true count always inside [lo, hi]; a true
+        # guarantee flag means the set IS the exact top-k
+        r2 = heavy_hitters(ds, "v", k=10, m=12)
+        its = r2["item"].to_pylist()
+        for it, lo, hi in zip(its, r2["lo"].to_pylist(), r2["hi"].to_pylist()):
+            assert lo <= true[it] <= hi
+        if r2["guaranteed"][0].as_py():
+            assert set(its) == {k for k, _ in exact_top}
+
+    # empty dataset -> typed empty table
+    empty = heavy_hitters(
+        ray.data.from_arrow(pa.table({"v": pa.array([], pa.string())})), "v"
+    )
+    assert empty.num_rows == 0 and empty.column_names == [
+        "item", "lo", "hi", "guaranteed",
+    ]
