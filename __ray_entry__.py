@@ -797,6 +797,44 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_collapse(sf_dir: str) -> pa.Table:
+    """OpenSearch ``collapse`` (field collapsing): the flagship BM25
+    top-10 keeping only the BEST hit per ``documents.source`` (one
+    result per crawl source — ``query/bm25.py::collapse_topk``).
+    Keys come from an external side table pruned to the matched set
+    (2-column read, joined by doc id — index doc ids are 1:1 with
+    ``documents.doc_id`` by the url-order assignment); the SQL oracle
+    replays score → round(·,9) → per-key row_number → global top-10."""
+    import pyarrow.parquet as pq_
+
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.bm25 import collapse_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    src_t = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    all_ids = src_t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    all_src = np.asarray(src_t["source"].to_pylist(), dtype=object)
+    by_id = np.empty(int(all_ids.max()) + 1, dtype=object)
+    by_id[all_ids] = all_src
+
+    def fetch_keys(matched):
+        return matched, by_id[matched]
+
+    hits = collapse_topk(
+        IndexReader(root), list(_BM25_TERMS), k=10, fetch_keys=fetch_keys
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([d for d, _, _ in hits], pa.int64()),
+            "ckey": pa.array([key for _, _, key in hits], pa.string()),
+        }
+    )
+
+
 def q_bm25_knn_rrf(sf_dir: str) -> pa.Table:
     """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
     2009; OpenSearch's hybrid-query RRF processor) of a BM25 top-100
@@ -2920,6 +2958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": q_index_stats,
         "match_all_count": q_match_all_count,
         "bm25_topk": q_bm25_topk,
+        "bm25_collapse_source": q_collapse,
         "bm25_knn_rrf": q_bm25_knn_rrf,
         "bm25_topk_sharded": q_bm25_topk_sharded,
         "bm25_topk_filtered": q_bm25_topk_filtered,
@@ -3777,6 +3816,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
                    CAST(doc_id AS BIGINT) AS doc_id
             FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "bm25_collapse_source": f"""
+            WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+            toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                             (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scores AS (
+              SELECT tf.doc_id,
+                     SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id),
+            r AS (SELECT s.doc_id, round(s.score, 9) AS q, d.source AS ckey
+                  FROM scores s JOIN documents d USING (doc_id)),
+            best AS (SELECT doc_id, ckey, q,
+                            row_number() OVER (PARTITION BY ckey
+                                ORDER BY q DESC, doc_id ASC) AS rn
+                     FROM r)
+            SELECT CAST(row_number() OVER (ORDER BY q DESC, doc_id ASC) AS BIGINT) AS rank,
+                   CAST(doc_id AS BIGINT) AS doc_id,
+                   ckey
+            FROM best WHERE rn = 1 ORDER BY q DESC, doc_id ASC LIMIT 10
         """,
         "match_phrase": f"""
             WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -270,6 +270,54 @@ def synonym_topk(
     return [(d, -negs) for negs, d in ranked[:k]]
 
 
+def collapse_topk(
+    reader,
+    terms: list[str],
+    key_field: str = "breadcrumb_1",
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    fetch_keys=None,
+) -> list[tuple[int, float, str]]:
+    """OpenSearch ``collapse``: top-``k`` search hits keeping only the
+    BEST-scoring doc per distinct collapse-key value (one result per
+    site / section / source) — rank order score desc, doc asc, the
+    ranking key quantized to 1e-9 (the ``more_like_this`` trick) so a
+    SQL oracle reproduces the order regardless of SUM association.
+
+    Keys come from the docs store's ``key_field`` for matched docs
+    only (row-group-pruned ``fetch_docs``, the ``function_score``
+    pattern), or from ``fetch_keys(matched_ids) -> (ids, keys)`` for
+    an external key source (e.g. a crawl-metadata side table joined by
+    doc id).  The group-then-rank is one vectorized pass: lexsort by
+    (-score, doc), ``np.unique(return_index=True)`` picks each key's
+    first (= best) row — no per-group Python.  Per-query cost floor is
+    dense TAAT; at corpus scale this runs per doc-range shard and the
+    shard top-k lists merge by the same (score, doc) order — collapse
+    keys need not be co-located because each shard returns its own
+    per-key best and the merge re-collapses ≤ shards × k rows.
+
+    Returns ``[(doc_id, score, key)]``, ≤ k rows.
+    """
+    scores = bm25_scores_dense(reader, terms, k1, b)
+    matched = np.flatnonzero(scores > 0.0)
+    if len(matched) == 0:
+        return []
+    if fetch_keys is None:
+        t = reader.fetch_docs(matched.tolist(), ["doc_id", key_field])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.asarray(t[key_field].to_pylist(), dtype=object)
+    else:
+        ids, keys = fetch_keys(matched)
+        ids = np.asarray(ids, np.int64)
+        keys = np.asarray(keys, dtype=object)
+    sq = np.round(scores[ids], 9)
+    order = np.lexsort((ids, -sq))
+    _, first = np.unique(keys[order], return_index=True)
+    rows = order[np.sort(first)[:k]]
+    return [(int(ids[r]), float(sq[r]), str(keys[r])) for r in rows]
+
+
 def function_score_topk(
     reader,
     terms: list[str],

@@ -870,3 +870,52 @@ def test_cross_encoder_rerank(built):
     # scorer sanity: exact-overlap doc scores 1.0, disjoint scores 0.0
     s = stub.score(["alpha", "beta"], ["alpha beta", "gamma delta", ""])
     assert s.tolist() == [1.0, 0.0, 0.0]
+
+
+def test_collapse_topk_matches_bruteforce(built):
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.bm25 import bm25_scores_dense, collapse_topk
+
+    reader, _ = built
+    terms = Analyzer("simple")("node pools quota")
+
+    # external key source: planted 4-way grouping
+    def fetch_keys(matched):
+        return matched, np.asarray([f"g{d % 4}" for d in matched], object)
+
+    got = collapse_topk(reader, terms, k=3, fetch_keys=fetch_keys)
+
+    dense = bm25_scores_dense(reader, terms)
+    ranked = sorted(
+        (-round(float(dense[d]), 9), int(d))
+        for d in np.flatnonzero(dense > 0.0).tolist()
+    )
+    best, seen = [], set()
+    for negq, d in ranked:
+        key = f"g{d % 4}"
+        if key in seen:
+            continue
+        seen.add(key)
+        best.append((d, -negq, key))
+    assert got == best[:3]
+    # one row per key, rank order preserved
+    keys = [key for _, _, key in got]
+    assert len(keys) == len(set(keys))
+    scores = [s for _, s, _ in got]
+    assert scores == sorted(scores, reverse=True)
+
+    # stored-field mode reads the docs store and agrees with the same
+    # keys supplied externally
+    t = reader.fetch_docs(list(range(reader.n_docs)), ["doc_id", "breadcrumb_1"])
+    by_id = dict(
+        zip(t["doc_id"].to_pylist(), t["breadcrumb_1"].to_pylist())
+    )
+
+    def fetch_bc(matched):
+        return matched, np.asarray([by_id[int(d)] for d in matched], object)
+
+    assert collapse_topk(reader, terms, key_field="breadcrumb_1", k=5) == \
+        collapse_topk(reader, terms, k=5, fetch_keys=fetch_bc)
+
+    # no matches -> empty
+    assert collapse_topk(reader, ["zzzznotaterm"], k=3, fetch_keys=fetch_keys) == []
