@@ -19,5 +19,5 @@ def tables_of(ds) -> list[pa.Table]:
     return [
         t
         for t in (ray.get(r) for r in ds.materialize().to_arrow_refs())
-        if t.num_rows
+        if t.num_rows and t.num_columns
     ]

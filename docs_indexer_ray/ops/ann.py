@@ -281,14 +281,11 @@ def _hash_stride_sample(ds, id_col: str, col: str, train_sample: int) -> np.ndar
             }
         )
 
-    parts = [
-        t
-        for t in ray.get(
-            ds.map_batches(sample_batch, batch_format="pyarrow").materialize().to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    sample_tbl = pa.concat_tables(parts)
+    from ..collect import tables_of
+
+    sample_tbl = pa.concat_tables(
+        tables_of(ds.map_batches(sample_batch, batch_format="pyarrow"))
+    )
     import pyarrow.compute as _pc
 
     order = _pc.sort_indices(

@@ -51,8 +51,9 @@ def word_counts(docs_ds, text_col: str = "text") -> pa.Table:
         .groupby("word")
         .aggregate(Sum(on="n", alias_name="n"))
     )
-    parts = [ray.get(r) for r in folded.materialize().to_arrow_refs()]
-    parts = [p for p in parts if p.num_rows and p.num_columns]
+    from ..collect import tables_of
+
+    parts = tables_of(folded)
     if not parts:
         return pa.table({"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
     return pa.concat_tables(parts)

@@ -50,16 +50,16 @@ def connected_components(
     import ray.data
 
     if mode == "driver":
-        parts = [
-            ray.get(r)
-            for r in pairs_ds.map_batches(
+        from ..collect import tables_of
+
+        parts = tables_of(
+            pairs_ds.map_batches(
                 lambda t: pa.table(
                     {"a": t[a].cast(pa.int64()), "b": t[b].cast(pa.int64())}
                 ),
                 batch_format="pyarrow",
-            ).materialize().to_arrow_refs()
-        ]
-        parts = [p for p in parts if p.num_rows]
+            )
+        )
         if not parts:
             return pa.table(
                 {"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}

@@ -843,14 +843,13 @@ def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id"):
             {"d": pa.array(d[~first]), "o": pa.array(o[~first])}
         )
 
-    dropped_parts = [
-        ray.get(r)
-        for r in ds.map_batches(explode, batch_format="pyarrow")
+    from ..collect import tables_of
+
+    dropped_parts = tables_of(
+        ds.map_batches(explode, batch_format="pyarrow")
         .groupby("h")
         .map_groups(dropped_of_group, batch_format="pyarrow")
-        .materialize().to_arrow_refs()
-    ]
-    dropped_parts = [p for p in dropped_parts if p.num_rows]
+    )
     if dropped_parts:
         dt = pa.concat_tables(dropped_parts)
         dd = dt["d"].to_numpy(zero_copy_only=False).astype(np.uint64)

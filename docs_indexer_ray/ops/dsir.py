@@ -107,11 +107,9 @@ def fit_dsir(target_ds, raw_ds, text_col: str = "text") -> dict:
             }
         )
 
-    parts = [
-        ray.get(r)
-        for r in raw_ds.map_batches(raw_partial, batch_format="pyarrow").materialize().to_arrow_refs()
-    ]
-    parts = [p for p in parts if p.num_rows]
+    from ..collect import tables_of
+
+    parts = tables_of(raw_ds.map_batches(raw_partial, batch_format="pyarrow"))
     rc = np.zeros(V, np.int64)
     r_total = 0
     for p in parts:
@@ -179,17 +177,17 @@ def dsir_topk(
     (rank-identity contract; weights quantized at 1e-9)."""
     import ray
 
+    from ..collect import tables_of
+
     model_ref = ray.put(model)
-    parts = [
-        ray.get(r)
-        for r in docs_ds.map_batches(
+    parts = tables_of(
+        docs_ds.map_batches(
             _DsirScorer,
             fn_constructor_args=(model_ref, text_col, id_col, k),
             batch_format="pyarrow",
             concurrency=concurrency,
-        ).materialize().to_arrow_refs()
-    ]
-    parts = [p for p in parts if p.num_rows and p.num_columns]
+        )
+    )
     if not parts:
         return pa.table(
             {"rank": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}

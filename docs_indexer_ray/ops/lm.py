@@ -43,6 +43,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from ..collect import tables_of
+
 __all__ = ["train_bigram_lm", "perplexity_scores", "ppl_buckets"]
 
 _TOKEN_SPLIT = re.compile(r"[^a-z0-9]+")
@@ -99,8 +101,6 @@ def train_bigram_lm(docs_ds, text_col: str = "text"):
         .aggregate(Sum(on="c", alias_name="c"))
     )
     # model-scale collect (vocabulary-bounded, like doclens)
-    from ..collect import tables_of
-
     tbl = pa.concat_tables(tables_of(folded))
     w1 = np.asarray(tbl["w1"].to_pylist(), dtype=object)
     w2 = np.asarray(tbl["w2"].to_pylist(), dtype=object)
@@ -245,13 +245,7 @@ def ppl_buckets(
         id_col=id_col,
         concurrency=concurrency,
     )
-    sp = pa.concat_tables(
-        [
-            t
-            for t in (ray.get(r) for r in sample_scored.materialize().to_arrow_refs())
-            if t.num_rows and t.num_columns
-        ]
-    )
+    sp = pa.concat_tables(tables_of(sample_scored))
     svals = sp["ppl"].to_numpy(zero_copy_only=False)
     c1 = _quantile_cont(svals, 1.0 / 3)
     c2 = _quantile_cont(svals, 2.0 / 3)
@@ -271,14 +265,7 @@ def ppl_buckets(
             }
         )
 
-    parts = [
-        t
-        for t in (
-            ray.get(r)
-            for r in scored.map_batches(assign, batch_format="pyarrow").materialize().to_arrow_refs()
-        )
-        if t.num_rows and t.num_columns
-    ]
+    parts = tables_of(scored.map_batches(assign, batch_format="pyarrow"))
     out = pa.concat_tables(parts) if parts else pa.table(
         {
             id_col: pa.array([], pa.int64()),

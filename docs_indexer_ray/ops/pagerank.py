@@ -312,12 +312,11 @@ def _pagerank_join(
             .materialize()
         )
 
-    tabs = [
-        t
-        for t in (ray.get(r) for r in rank_ds.sort("node").materialize().to_arrow_refs())
-        if t.num_rows  # empty sort blocks carry an empty schema
-    ]
-    return pa.concat_tables(tabs).select(["node", "rank"])
+    from ..collect import tables_of
+
+    return pa.concat_tables(tables_of(rank_ds.sort("node"))).select(
+        ["node", "rank"]
+    )
 
 
 def _ranks_to_ref(rank_ds, n_nodes: int):

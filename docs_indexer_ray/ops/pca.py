@@ -59,11 +59,9 @@ def fit_pca(ds, k: int, col: str = "embedding", center: bool = True):
             }
         )
 
-    parts = [
-        ray.get(r)
-        for r in ds.map_batches(moments, batch_format="pyarrow").materialize().to_arrow_refs()
-    ]
-    parts = [p for p in parts if p.num_rows]
+    from ..collect import tables_of
+
+    parts = tables_of(ds.map_batches(moments, batch_format="pyarrow"))
     if not parts:
         raise ValueError("empty dataset")
     d = int(parts[0]["d"][0].as_py())

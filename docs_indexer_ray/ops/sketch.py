@@ -166,18 +166,14 @@ def approx_distinct(ds, col: str, p: int = 14) -> int:
     Deterministic (fixed hash) and parallelism-invariant (max-merge),
     so the same input estimates the same count at any block split —
     the property-test pin."""
-    import ray
+    from ..collect import tables_of
 
-    parts = [
-        ray.get(r)
-        for r in ds.map_batches(
-            lambda t: hll_sketch_batch(t, col, p), batch_format="pyarrow"
-        ).materialize().to_arrow_refs()
-    ]
     acc = HLL(p)
-    for part in parts:
-        if "sketch" not in part.column_names:  # empty block passthrough
-            continue
+    for part in tables_of(
+        ds.map_batches(
+            lambda t: hll_sketch_batch(t, col, p), batch_format="pyarrow"
+        )
+    ):
         for buf in part["sketch"].to_pylist():
             acc.merge(HLL(p, np.frombuffer(buf, np.uint8)))
     return int(round(acc.estimate()))
@@ -414,13 +410,10 @@ def bloom_from_dataset(ds, col: str, capacity: int, fp_rate: float = 0.01):
         bf = BloomFilter(m, k).add_column(t[col])
         return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
 
+    from ..collect import tables_of
+
     acc = BloomFilter(m, k)
-    for part in [
-        ray.get(r)
-        for r in ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
-    ]:
-        if "bits" not in part.column_names:  # empty block passthrough
-            continue
+    for part in tables_of(ds.map_batches(partial, batch_format="pyarrow")):
         for buf in part["bits"].to_pylist():
             acc.merge(BloomFilter(m, k, np.frombuffer(buf, np.uint8).copy()))
     return acc

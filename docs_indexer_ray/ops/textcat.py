@@ -83,12 +83,9 @@ def fit_textcat(
         .groupby(["label", "gram"])
         .aggregate(Sum(on="c", alias_name="c"))
     )
-    parts = [
-        t
-        for t in (ray.get(r) for r in folded.materialize().to_arrow_refs())
-        if t.num_rows and t.num_columns
-    ]
-    tbl = pa.concat_tables(parts)
+    from ..collect import tables_of
+
+    tbl = pa.concat_tables(tables_of(folded))
     labels = np.asarray(tbl["label"].to_pylist(), object)
     grams = np.asarray(tbl["gram"].to_pylist(), object)
     c = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)

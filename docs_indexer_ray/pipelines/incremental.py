@@ -60,10 +60,12 @@ def base_url_filter(base_build_dir: str, mode: str = "exact", fp_rate: float = 1
 
     if mode != "exact":
         raise ValueError(f"mode must be exact|bloom, got {mode!r}")
-    parts = [ray.get(r) for r in urls_ds.materialize().to_arrow_refs()]
+    from ..collect import tables_of
+
+    parts = tables_of(urls_ds)
     seen = np.sort(
         np.concatenate(
-            [p["url"].to_numpy(zero_copy_only=False) for p in parts if p.num_rows]
+            [p["url"].to_numpy(zero_copy_only=False) for p in parts]
         )
         if parts
         else np.empty(0, object)

@@ -137,7 +137,9 @@ def write_corpus_shards(
         .groupby("__shard")
         .map_groups(write_shard, batch_format="pyarrow")
     )
-    parts = [t for t in (ray.get(r) for r in rows.materialize().to_arrow_refs()) if t.num_rows]
+    from ..collect import tables_of
+
+    parts = tables_of(rows)
     written = pa.concat_tables(parts) if parts else None
     if written is not None:
         for s, n, h in zip(
