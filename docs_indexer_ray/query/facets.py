@@ -1105,6 +1105,39 @@ def terms_facet(docs_ds, matched: np.ndarray, field: str) -> pa.Table:
     return _facet(docs_ds, matched, key_of, pa.field("value", pa.string()))
 
 
+def terms_facet_approx(
+    docs_ds, matched: np.ndarray, field: str, k: int = 10, m: int = 1024
+) -> pa.Table:
+    """``terms_facet`` through the heavy-hitters summary
+    (``ops/sketch.py::heavy_hitters``) — the sketch path for unbounded
+    key domains, mirroring the ``approx=True`` variants of
+    ``cardinality``/``percentiles``: the exact facet ships
+    distinct-per-block partial rows, corpus-scale wrong when the
+    domain is distinct-URL-sized; this caps driver state at
+    blocks × (m+1) counters with deterministic ``[lo, hi]`` bounds
+    and a completeness flag.  Columns ``(value, n_docs, n_docs_hi,
+    guaranteed)``; when every block's matched-distinct fits ``m`` the
+    result equals ``terms_facet``'s top-``k`` exactly."""
+    import ray
+
+    from ..ops.sketch import heavy_hitters
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    def keep_matched(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(_member_mask(bits, doc_ids))).select([field])
+
+    hh = heavy_hitters(
+        docs_ds.map_batches(keep_matched, batch_format="pyarrow"),
+        field,
+        k=k,
+        m=m,
+    )
+    return hh.rename_columns(["value", "n_docs", "n_docs_hi", "guaranteed"])
+
+
 def pipeline_aggs(
     docs_ds,
     matched: np.ndarray,

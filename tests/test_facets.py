@@ -919,3 +919,42 @@ def test_collapse_topk_matches_bruteforce(built):
 
     # no matches -> empty
     assert collapse_topk(reader, ["zzzznotaterm"], k=3, fetch_keys=fetch_keys) == []
+
+
+def test_terms_facet_approx_tracks_exact(built, ray_session):
+    import ray.data
+
+    from docs_indexer_ray.query.facets import (
+        match_doc_ids,
+        terms_facet,
+        terms_facet_approx,
+    )
+
+    reader, _ = built
+    matched = match_doc_ids(reader, ["node", "quota"])
+    n = 80
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array([f"k{i % 7}" for i in range(n)]),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(4)
+
+    exact = terms_facet(ds, matched, "kind")
+    # m above per-block distinct -> identical to the exact facet top-k
+    approx = terms_facet_approx(ds, matched, "kind", k=5, m=64)
+    assert approx["value"].to_pylist() == exact["value"].to_pylist()[:5]
+    assert approx["n_docs"].to_pylist() == exact["n_docs"].to_pylist()[:5]
+    assert approx["n_docs"].to_pylist() == approx["n_docs_hi"].to_pylist()
+    assert all(approx["guaranteed"].to_pylist())
+
+    # bounded m: true counts inside [lo, hi] for every reported value
+    truth = dict(zip(exact["value"].to_pylist(), exact["n_docs"].to_pylist()))
+    tight = terms_facet_approx(ds, matched, "kind", k=5, m=2)
+    for v, lo, hi in zip(
+        tight["value"].to_pylist(),
+        tight["n_docs"].to_pylist(),
+        tight["n_docs_hi"].to_pylist(),
+    ):
+        assert lo <= truth[v] <= hi
