@@ -122,6 +122,8 @@ SQL_BACKED = [
     "bm25_topk_compacted",
     "bm25_topk_incremental",
     "bm25_collapse",
+    "bm25_collapse_source",
+    "heavy_hitters",
     "facet_rare_terms",
     "facet_date_range",
     "analyze",
