@@ -1075,6 +1075,45 @@ def q_facet_terms(sf_dir: str) -> pa.Table:
     return terms_facet(ds, matched, field="lang")
 
 
+def q_facet_terms_stats(sf_dir: str) -> pa.Table:
+    """OpenSearch ``terms`` bucket + ``stats`` sub-aggregation: per
+    ``lang`` bucket of the matched docs, doc count and
+    min/max/sum/avg of the body length (integer field → every sum
+    float-exact, one division per bucket)."""
+    import pyarrow.compute as _pc
+
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import match_doc_ids, terms_stats_facet
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "lang", "body"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "blen", _pc.utf8_length(t["body"]).cast(pa.int64())
+        ).select(["doc_id", "lang", "blen"]),
+        batch_format="pyarrow",
+    )
+    return terms_stats_facet(ds, matched, key_field="lang", val_col="blen")
+
+
+def q_facet_terms_approx(sf_dir: str) -> pa.Table:
+    """``terms`` aggregation through the heavy-hitters sketch
+    (``terms_facet_approx``) — at the oracle's scale every block's
+    matched-distinct ``lang`` count fits ``m``, so the result equals
+    the exact facet's top-k with ``lo == hi`` and ``guaranteed``
+    true, which is exactly what the SQL replays."""
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import match_doc_ids, terms_facet_approx
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "lang"])
+    return terms_facet_approx(ds, matched, field="lang", k=5, m=1024)
+
+
 def q_sort_by_date(sf_dir: str) -> pa.Table:
     """OpenSearch ``sort`` clause (D7's sort capability): the 10 newest
     docs matching ANY of the flagship terms, ordered ``warc_ts`` desc,
@@ -2972,6 +3011,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_pipeline": q_facet_pipeline,
         "facet_matrix_stats": q_facet_matrix_stats,
         "facet_terms": q_facet_terms,
+        "facet_terms_stats": q_facet_terms_stats,
+        "facet_terms_approx": q_facet_terms_approx,
         "sort_by_date": q_sort_by_date,
         "term_prefix": q_term_prefix,
         "bm25_multimatch": q_bm25_multimatch,
@@ -4125,6 +4166,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs
         FROM documents d JOIN m USING (doc_id)
         GROUP BY d.lang ORDER BY n_docs DESC, value ASC
+    """
+    sqls["facet_terms_stats"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        v AS (SELECT d.lang, length(docs.body) AS blen
+              FROM documents d JOIN m USING (doc_id) JOIN docs USING (doc_id))
+        SELECT lang AS value,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(blen) AS DOUBLE) AS min_v,
+               CAST(max(blen) AS DOUBLE) AS max_v,
+               CAST(sum(blen) AS DOUBLE) AS sum_v,
+               CAST(sum(blen) AS DOUBLE) / count(*) AS avg_v
+        FROM v GROUP BY lang ORDER BY n_docs DESC, value ASC
+    """
+    sqls["facet_terms_approx"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in}))
+        SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_docs_hi, TRUE AS guaranteed
+        FROM documents d JOIN m USING (doc_id)
+        GROUP BY d.lang ORDER BY n_docs DESC, value ASC LIMIT 5
     """
     sqls["sort_by_date"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

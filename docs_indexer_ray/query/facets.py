@@ -1138,6 +1138,100 @@ def terms_facet_approx(
     return hh.rename_columns(["value", "n_docs", "n_docs_hi", "guaranteed"])
 
 
+def terms_stats_facet(
+    docs_ds, matched: np.ndarray, key_field: str, val_col: str
+) -> pa.Table:
+    """OpenSearch ``terms`` bucket with a ``stats`` sub-aggregation
+    (the canonical nested-agg request shape: ``aggs: {by: {terms:
+    {field}, aggs: {s: {stats: {field}}}}}``) — per bucket of
+    ``key_field`` over the matched docs: doc count and
+    min/max/sum/avg of ``val_col``.
+
+    Scale shape: the match set rides the packed-bitmap broadcast;
+    each block emits ONE partial row per in-block distinct key
+    (Arrow ``group_by`` count/min/max/sum — the distributive
+    combiners), the driver folds blocks × distinct-keys rows with a
+    second Arrow groupby and does the avg division ONCE per bucket.
+    Like ``terms_facet`` this is exact and output-scale; for
+    unbounded key domains use the ``terms_facet_approx`` sketch and
+    fetch stats per surviving bucket.
+
+    Sums travel as float64 (the aggregation's wire type): for
+    integer-valued ``val_col`` below 2^53 every partial and total is
+    exact regardless of fold order, and ``avg_v = sum_v / n_docs`` is
+    a single IEEE division — the SQL oracle hash-matches bit-exactly.
+    Ordered ``n_docs`` desc, key asc (the ``terms`` convention)."""
+    import ray
+
+    from ..collect import tables_of
+
+    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "value": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                    "sm": pa.array([], pa.float64()),
+                }
+            )
+        agg = (
+            pa.table(
+                {
+                    "value": t[key_field].cast(pa.string()),
+                    "v": t[val_col].cast(pa.float64()),
+                }
+            )
+            .group_by("value")
+            .aggregate([([], "count_all"), ("v", "min"), ("v", "max"), ("v", "sum")])
+        )
+        return pa.table(
+            {
+                "value": agg["value"],
+                "n": agg["count_all"].cast(pa.int64()),
+                "mn": agg["v_min"],
+                "mx": agg["v_max"],
+                "sm": agg["v_sum"],
+            }
+        )
+
+    parts = tables_of(docs_ds.map_batches(partial, batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "value": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "min_v": pa.array([], pa.float64()),
+                "max_v": pa.array([], pa.float64()),
+                "sum_v": pa.array([], pa.float64()),
+                "avg_v": pa.array([], pa.float64()),
+            }
+        )
+    t = pa.concat_tables(parts, promote_options="default")
+    agg = t.group_by("value").aggregate(
+        [("n", "sum"), ("mn", "min"), ("mx", "max"), ("sm", "sum")]
+    )
+    n = agg["n_sum"].cast(pa.int64())
+    sm = agg["sm_sum"]
+    out = pa.table(
+        {
+            "value": agg["value"],
+            "n_docs": n,
+            "min_v": agg["mn_min"],
+            "max_v": agg["mx_max"],
+            "sum_v": sm,
+            "avg_v": pc.divide(sm, n.cast(pa.float64())),
+        }
+    )
+    return out.sort_by([("n_docs", "descending"), ("value", "ascending")])
+
+
 def pipeline_aggs(
     docs_ds,
     matched: np.ndarray,

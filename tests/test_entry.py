@@ -124,6 +124,8 @@ SQL_BACKED = [
     "bm25_collapse",
     "bm25_collapse_source",
     "heavy_hitters",
+    "facet_terms_stats",
+    "facet_terms_approx",
     "facet_rare_terms",
     "facet_date_range",
     "analyze",

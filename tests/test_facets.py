@@ -958,3 +958,51 @@ def test_terms_facet_approx_tracks_exact(built, ray_session):
         tight["n_docs_hi"].to_pylist(),
     ):
         assert lo <= truth[v] <= hi
+
+
+def test_terms_stats_facet_matches_bruteforce(built, ray_session):
+    import ray.data
+
+    from docs_indexer_ray.query.facets import match_doc_ids, terms_stats_facet
+
+    reader, _ = built
+    matched = match_doc_ids(reader, ["node", "quota"])
+    n = 80
+    rng_vals = (np.arange(n) * 37 + 11) % 101  # deterministic int values
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array([f"k{i % 5}" for i in range(n)]),
+            "v": pa.array(rng_vals, pa.int64()),
+        }
+    )
+    for parts in (1, 4, 9):  # parallelism invariance
+        ds = ray.data.from_arrow(docs).repartition(parts)
+        got = terms_stats_facet(ds, matched, "kind", "v")
+
+        # brute force
+        mset = set(int(d) for d in matched)
+        buckets: dict[str, list[int]] = {}
+        for i in range(n):
+            if i in mset:
+                buckets.setdefault(f"k{i % 5}", []).append(int(rng_vals[i]))
+        rows = sorted(
+            (
+                (k, len(vs), float(min(vs)), float(max(vs)), float(sum(vs)))
+                for k, vs in buckets.items()
+            ),
+            key=lambda r: (-r[1], r[0]),
+        )
+        assert got["value"].to_pylist() == [r[0] for r in rows]
+        assert got["n_docs"].to_pylist() == [r[1] for r in rows]
+        assert got["min_v"].to_pylist() == [r[2] for r in rows]
+        assert got["max_v"].to_pylist() == [r[3] for r in rows]
+        assert got["sum_v"].to_pylist() == [r[4] for r in rows]
+        assert got["avg_v"].to_pylist() == [r[4] / r[1] for r in rows]
+
+    # empty match set -> empty table with the full schema
+    empty = terms_stats_facet(
+        ray.data.from_arrow(docs), np.array([], np.int64), "kind", "v"
+    )
+    assert empty.num_rows == 0
+    assert empty.column_names == ["value", "n_docs", "min_v", "max_v", "sum_v", "avg_v"]
