@@ -2128,6 +2128,27 @@ def q_span_first(sf_dir: str) -> pa.Table:
     )
 
 
+def q_span_near(sf_dir: str) -> pa.Table:
+    """Lucene SpanNearQuery(inOrder=false): docs where "table",
+    "scan" and "merge" all occur within an unordered window of
+    width ≤ 3 + slop(4), with the minimal covering window width
+    (`query/phrase.py::span_near`)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.phrase import span_near
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(
+        sf_dir, chain="simple", field="body", store_positions=True
+    )
+    hits = span_near(IndexReader(root), ["table", "scan", "merge"], slop=4)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "min_window": pa.array([w for _, w in hits], pa.int64()),
+        }
+    )
+
+
 def q_rescore(sf_dir: str) -> pa.Table:
     """OpenSearch ``rescore``: flagship BM25 top-50 window re-ranked
     by a phrase-proximity boost (``+ 2·ln(1+pf)`` for "table hash"),
@@ -3041,6 +3062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_phrase_slop": q_match_phrase_slop,
         "rescore": q_rescore,
         "span_first": q_span_first,
+        "span_near": q_span_near,
         "rerank_ce": q_rerank_ce,
         "percolate": q_percolate,
         "pagerank": q_pagerank,
@@ -4315,6 +4337,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_early
         FROM tok WHERE term = 'table' AND pos <= 5
         GROUP BY doc_id ORDER BY doc_id
+    """
+    # span_near: brute-force minimal window over all (a,b,c) position
+    # combos — exact at oracle scale; window test is width − k ≤ slop
+    sqls["span_near"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        tok AS (SELECT doc_id, unnest({toks_body}) AS term,
+                       generate_subscripts({toks_body}, 1) AS pos
+                FROM docs),
+        w AS (SELECT a.doc_id,
+                     min(greatest(a.pos, b.pos, c.pos)
+                         - least(a.pos, b.pos, c.pos) + 1) AS min_window
+              FROM tok a JOIN tok b USING (doc_id) JOIN tok c USING (doc_id)
+              WHERE a.term = 'table' AND b.term = 'scan' AND c.term = 'merge'
+              GROUP BY a.doc_id)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(min_window AS BIGINT) AS min_window
+        FROM w WHERE min_window - 3 <= 4 ORDER BY doc_id
     """
     # rerank_ce: same BM25 top-50 window, final order owned by the
     # distinct-token Jaccard (single int/int division → exact double)

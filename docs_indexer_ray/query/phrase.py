@@ -21,7 +21,14 @@ import numpy as np
 
 from .reader import IndexReader
 
-__all__ = ["match_phrase", "match_phrase_slop", "phrase_topk", "rescore_topk", "span_first"]
+__all__ = [
+    "match_phrase",
+    "match_phrase_slop",
+    "phrase_topk",
+    "rescore_topk",
+    "span_first",
+    "span_near",
+]
 
 
 def match_phrase(reader: IndexReader, terms: list[str]) -> list[tuple[int, int]]:
@@ -133,6 +140,79 @@ def span_first(
         c = int(np.searchsorted(pos, end, side="left"))
         if c:
             out.append((int(doc), c))
+    return out
+
+
+def span_near(
+    reader: IndexReader, terms: list[str], slop: int = 0
+) -> list[tuple[int, int]]:
+    """Lucene ``SpanNearQuery(inOrder=false)``: docs where ONE
+    occurrence of EACH (distinct) term fits inside a window of width
+    ``≤ len(terms) + slop``, in any order.  Complements
+    :func:`match_phrase_slop` (the ordered variant).  Emits
+    ``(doc_id, min_window)`` — the smallest covering window width —
+    for matching docs, doc_id ascending; the window test is
+    ``min_window − len(terms) ≤ slop`` (Lucene's span length
+    accounting for unordered spans without repeats).
+
+    Per surviving doc the minimal covering window over the k sorted
+    position lists is the classic smallest-range merge: one argsort
+    of the doc's ≤Σtf labeled positions + a two-pointer sweep —
+    O(p log p) in the doc's position count, independent of corpus
+    size.  Postings/positions decode once via the reader cache, docs
+    intersect before any position work (same shape as
+    :func:`match_phrase`)."""
+    terms = list(dict.fromkeys(terms))  # distinct, order-preserving
+    if not terms:
+        return []
+    if len(terms) == 1:
+        tp = reader.postings(terms[0])
+        if tp is None:
+            return []
+        ids, _ = tp.decode_all()
+        return [(int(d), 1) for d in ids]
+    tps = [reader.postings(t) for t in terms]
+    if any(tp is None for tp in tps):
+        return []
+    decoded = []
+    for tp in tps:
+        ids, _ = tp.decode_all()
+        flat, offs = tp.decode_all_positions()
+        decoded.append((ids, flat, offs))
+
+    common = decoded[0][0]
+    for ids, _, _ in decoded[1:]:
+        common = np.intersect1d(common, ids, assume_unique=True)
+    m = len(terms)
+    out: list[tuple[int, int]] = []
+    for doc in common:
+        pos_parts, lab_parts = [], []
+        for lab, (ids, flat, offs) in enumerate(decoded):
+            j = int(np.searchsorted(ids, doc))
+            p = flat[offs[j] : offs[j + 1]].astype(np.int64)
+            pos_parts.append(p)
+            lab_parts.append(np.full(len(p), lab, np.int64))
+        pos = np.concatenate(pos_parts)
+        lab = np.concatenate(lab_parts)
+        order = np.argsort(pos, kind="stable")
+        pos, lab = pos[order], lab[order]
+        # two-pointer smallest range covering every label
+        need = np.zeros(m, np.int64)
+        covered = 0
+        best = np.iinfo(np.int64).max
+        lo = 0
+        for hi in range(len(pos)):
+            if need[lab[hi]] == 0:
+                covered += 1
+            need[lab[hi]] += 1
+            while covered == m:
+                best = min(best, int(pos[hi] - pos[lo] + 1))
+                need[lab[lo]] -= 1
+                if need[lab[lo]] == 0:
+                    covered -= 1
+                lo += 1
+        if best - m <= slop:
+            out.append((int(doc), best))
     return out
 
 

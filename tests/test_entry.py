@@ -145,6 +145,7 @@ SQL_BACKED = [
     "synonym",
     "rescore",
     "span_first",
+    "span_near",
     "facet_filters",
     "facet_adjacency",
     "facet_composite",

@@ -177,3 +177,70 @@ def test_match_phrase_vs_bruteforce(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="positions"):
         match_phrase(IndexReader(str(tmp_path / "npidx")), ["node", "pools"])
+
+
+def test_span_near_vs_bruteforce(ray_session, tmp_path):
+    import itertools
+    import os
+    import re
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from docs_indexer_ray.index import manifest as mf
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.phrase import span_near
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    pages = rich_pages_table(50, dup_every=0)
+    build_index(
+        ray.data.from_arrow(pages),
+        str(tmp_path / "snidx"),
+        fingerprint="sn",
+        num_parts=8,
+        chain="simple",
+        field="body",
+        store_positions=True,
+    )
+    reader = IndexReader(str(tmp_path / "snidx"))
+    docs = pads.dataset(
+        os.path.join(mf.current_build(str(tmp_path / "snidx")), "docs"),
+        partitioning="hive",
+    ).to_table(columns=["doc_id", "body"])
+    tok = re.compile(r"[a-z0-9]+")
+
+    def brute(terms, slop):
+        # minimal window over all one-position-per-term combos
+        want = []
+        for did, body in zip(docs["doc_id"].to_pylist(), docs["body"].to_pylist()):
+            toks = tok.findall((body or "").lower())
+            pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+            if any(not pos[t] for t in terms):
+                continue
+            best = min(
+                max(c) - min(c) + 1
+                for c in itertools.product(*(pos[t] for t in terms))
+            )
+            if best - len(terms) <= slop:
+                want.append((int(did), best))
+        return sorted(want)
+
+    for terms in (["node", "pools"], ["node", "pools", "quota"], ["per", "the"]):
+        for slop in (0, 1, 3, 8):
+            assert span_near(reader, terms, slop) == brute(terms, slop), (terms, slop)
+
+    # unordered: reversed term order gives the identical result
+    assert span_near(reader, ["pools", "node"], 2) == span_near(
+        reader, ["node", "pools"], 2
+    )
+    # widening slop can only add docs
+    assert len(span_near(reader, ["node", "quota"], 8)) >= len(
+        span_near(reader, ["node", "quota"], 0)
+    )
+    # duplicate query terms collapse to the distinct set
+    assert span_near(reader, ["node", "node", "pools"], 2) == span_near(
+        reader, ["node", "pools"], 2
+    )
+    # missing term -> no matches
+    assert span_near(reader, ["node", "zzznotaterm"], 50) == []
