@@ -608,6 +608,55 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bpe_encode(sf_dir: str) -> pa.Table:
+    """Distributed tokenization with the TRAINED merges
+    (``ops/bpe.py::bpe_encode``): train on the corpus's word counts,
+    broadcast merges + the deterministic vocab, stream the corpus to
+    per-doc id lists; returned as a stable per-doc digest
+    ``(doc_id, n_tokens, sum_ids, first_id, last_id)`` (the list
+    column itself is pinned by the scalar-reference pytest).
+    Non-SQL by nature — the merge application is iterative."""
+    import ray.data
+
+    from docs_indexer_ray.ops.bpe import bpe_encode, bpe_vocab, train_bpe, word_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    wc = word_counts(ds)
+    merges = train_bpe(wc, n_merges=60)
+    vocab = bpe_vocab(wc, merges)
+    enc = bpe_encode(ds, merges, vocab)
+
+    def digest(t: pa.Table) -> pa.Table:
+        ids = t["token_ids"].combine_chunks()
+        flat = ids.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = ids.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        counts = np.diff(offs)
+        doc_of = np.repeat(np.arange(n), counts)
+        sums = np.bincount(doc_of, weights=flat, minlength=n).astype(np.int64)
+        empty = counts == 0
+        safe_first = np.minimum(offs[:-1], max(len(flat) - 1, 0))
+        safe_last = np.maximum(offs[1:] - 1, 0)
+        first = np.where(empty | (len(flat) == 0), -1, flat[safe_first] if len(flat) else -1).astype(np.int64)
+        last = np.where(empty | (len(flat) == 0), -1, flat[safe_last] if len(flat) else -1).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "sum_ids": pa.array(sums),
+                "first_id": pa.array(first),
+                "last_id": pa.array(last),
+            }
+        )
+
+    from docs_indexer_ray.collect import tables_of
+
+    out = pa.concat_tables(tables_of(enc.map_batches(digest, batch_format="pyarrow")))
+    return out.sort_by("doc_id")
+
+
 def q_dup_components(sf_dir: str) -> pa.Table:
     """The dedup ENDGAME: n-gram-Jaccard near-dup pairs → transitive
     closure via distributed hash-to-min label propagation
@@ -3119,6 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_percentiles_tdigest": q_facet_percentiles_tdigest,
         "bloom_url_filter": q_bloom_url_filter,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
     }
 
 

@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from docs_indexer_ray.ops.lm import _doc_tokens
 
-__all__ = ["word_counts", "train_bpe", "bpe_encode_counts"]
+__all__ = ["word_counts", "train_bpe", "bpe_encode_counts", "bpe_vocab", "bpe_encode"]
 
 _EOW = "</w>"  # end-of-word marker (Sennrich's formulation)
 
@@ -187,6 +187,107 @@ def bpe_encode_counts(
     return docs_ds.map_batches(
         _BpeEncoder,
         fn_constructor_args=(merges_ref, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def bpe_vocab(wc: pa.Table, merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic symbol → id table for a trained merge list: the
+    sorted base alphabet of the training word table, then ``_EOW``,
+    then each merge's output symbol in rank order (first occurrence
+    wins if two merges compose the same string).  A pure function of
+    ``(word_counts, merges)`` — every worker derives identical ids.
+    ``len(vocab)`` is reserved as the ``<unk>`` id for characters
+    never seen in training."""
+    chars: set[str] = set()
+    for w in wc["word"].to_pylist():
+        chars.update(w)
+    vocab: dict[str, int] = {}
+    for s in sorted(chars) + [_EOW] + [l + r for l, r in merges]:
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    return vocab
+
+
+class _BpeIdEncoder:
+    """Actor-pool id encoder: merge ranks + vocab decoded once per
+    actor; each DISTINCT word's id sequence computed once (memoized),
+    per-doc id lists assembled vectorized from the flat token stream."""
+
+    def __init__(self, merges_ref, vocab_ref, text_col: str, id_col: str):
+        import ray
+
+        self._rank = {p: i for i, p in enumerate(ray.get(merges_ref))}
+        self._vocab: dict[str, int] = ray.get(vocab_ref)
+        self._unk = len(self._vocab)
+        self._memo: dict[str, np.ndarray] = {}
+        self._text_col = text_col
+        self._id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks, doc_idx = _doc_tokens(t[self._text_col].to_pylist())
+        n = t.num_rows
+        per_tok: list[np.ndarray] = []
+        lens = np.empty(len(toks), np.int64)
+        for i, w in enumerate(toks.tolist()):
+            ids = self._memo.get(w)
+            if ids is None:
+                ids = np.array(
+                    [
+                        self._vocab.get(s, self._unk)
+                        for s in _encode_word(w, self._rank)
+                    ],
+                    np.int64,
+                )
+                self._memo[w] = ids
+            per_tok.append(ids)
+            lens[i] = len(ids)
+        flat = (
+            np.concatenate(per_tok) if per_tok else np.array([], np.int64)
+        )
+        per_doc = np.zeros(n, np.int64)
+        if len(toks):
+            per_doc = np.bincount(doc_idx, weights=lens, minlength=n).astype(
+                np.int64
+            )
+        offsets = np.concatenate([[0], np.cumsum(per_doc)])
+        token_ids = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(flat, pa.int64())
+        )
+        return pa.table(
+            {
+                self._id_col: t[self._id_col],
+                "token_ids": token_ids,
+                "n_tokens": pa.array(per_doc),
+            }
+        )
+
+
+def bpe_encode(
+    docs_ds,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 4),
+):
+    """Distributed tokenization with a TRAINED BPE: stream the corpus
+    through the merge list → Dataset of ``(id_col,
+    token_ids: large_list<int64>, n_tokens: int64)`` per doc — the
+    tokenize-for-training step between :func:`train_bpe` and sequence
+    packing.  Merges + vocab broadcast ONCE (``ray.put``, read
+    zero-copy per actor in ``__init__``); per-batch cost is memoized
+    per distinct word, so the merge loop runs O(distinct words), not
+    O(corpus tokens).  Characters unseen in training map to the
+    reserved ``len(vocab)`` ``<unk>`` id."""
+    import ray
+
+    merges_ref = ray.put(merges)
+    vocab_ref = ray.put(vocab)
+    return docs_ds.map_batches(
+        _BpeIdEncoder,
+        fn_constructor_args=(merges_ref, vocab_ref, text_col, id_col),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

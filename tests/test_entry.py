@@ -210,6 +210,7 @@ ROWS_ONLY_MIN = {
     "bloom_url_filter": 1,
     "knn_pca": 10,
     "bpe_merges": 20,
+    "bpe_encode": 100,
     "semdedup": 1,
 }
 

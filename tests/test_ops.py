@@ -1658,6 +1658,66 @@ def test_bpe_encode_roundtrip(ray_session):
         assert 3 <= row.n_bpe_tokens <= raw_len
 
 
+def test_bpe_encode_ids_matches_scalar_reference(ray_session):
+    import re as _re
+
+    import ray.data
+
+    from docs_indexer_ray.ops.bpe import (
+        _encode_word,
+        bpe_encode,
+        bpe_vocab,
+        train_bpe,
+        word_counts,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "low lower lowest",
+                    "newer newest new",
+                    "",  # empty doc -> empty id list
+                    "wide wider widest … unknown-χαρ",  # chars outside training
+                ]
+            ),
+        }
+    )
+    train = ray.data.from_arrow(tbl.slice(0, 2))  # train on docs 0-1 only
+    wc = word_counts(train)
+    merges = train_bpe(wc, n_merges=25)
+    vocab = bpe_vocab(wc, merges)
+    rank = {p: i for i, p in enumerate(merges)}
+    unk = len(vocab)
+
+    # vocab is deterministic and complete over training symbols
+    assert bpe_vocab(wc, merges) == vocab
+    for w in wc["word"].to_pylist():
+        assert all(s in vocab for s in _encode_word(w, rank)), w
+
+    def scalar_ids(text):
+        out = []
+        for w in _re.findall(r"[a-z0-9]+", (text or "").lower()):
+            out += [vocab.get(s, unk) for s in _encode_word(w, rank)]
+        return out
+
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = (
+            bpe_encode(ds, merges, vocab, concurrency=1)
+            .to_pandas()
+            .sort_values("doc_id")
+            .set_index("doc_id")
+        )
+        for did in range(4):
+            want = scalar_ids(tbl["text"][did].as_py())
+            assert list(got.loc[did, "token_ids"]) == want, did
+            assert got.loc[did, "n_tokens"] == len(want)
+    # the unknown char really maps to the reserved unk id
+    assert unk in scalar_ids(tbl["text"][3].as_py())
+
+
 def test_heavy_hitters_bounds_and_exact_mode(ray_session):
     import collections
 
