@@ -525,6 +525,48 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     ).sort_by([("bucket", "ascending"), ("seq", "ascending")])
 
 
+def q_pack_ids(sf_dir: str) -> pa.Table:
+    """REAL training-sequence packing (`ops/pack.py::pack_ids`): docs
+    → `tokenize_to_ids` (vocab-rank id lists) → actual fixed-length
+    `input_ids` arrays.  The driver-checked result is the digest of
+    those REAL arrays — same columns and SQL replay as
+    `pack_sequences`, so the two independent paths (digest-only
+    kernel vs materialized arrays) must agree bit-exactly."""
+    from docs_indexer_ray.collect import tables_of
+    from docs_indexer_ray.ops.pack import collect_vocab, pack_ids, tokenize_to_ids
+
+    ds = _documents_ds(sf_dir)
+    vocab = collect_vocab(ds, text_col="text", chain="simple")
+    enc = tokenize_to_ids(_documents_ds(sf_dir), vocab, chain="simple")
+    packed = pack_ids(enc, seq_len=64, eos_id=len(vocab), bucket_size=100)
+
+    def digest(t: pa.Table) -> pa.Table:
+        ids = t["input_ids"].combine_chunks()
+        flat = ids.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = ids.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        counts = np.diff(offs)
+        doc_of = np.repeat(np.arange(n), counts)
+        sums = np.bincount(doc_of, weights=flat, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": t["bucket"],
+                "seq": t["seq"],
+                "n_tokens": t["n_tokens"],
+                "sum_ids": pa.array(sums),
+                "first_id": pa.array(flat[offs[:-1]]),
+                "last_id": pa.array(flat[offs[1:] - 1]),
+            }
+        )
+
+    out = pa.concat_tables(
+        tables_of(packed.map_batches(digest, batch_format="pyarrow"))
+    )
+    return _as_i64(
+        out, ["bucket", "seq", "n_tokens", "sum_ids", "first_id", "last_id"]
+    ).sort_by([("bucket", "ascending"), ("seq", "ascending")])
+
+
 def q_lang_id(sf_dir: str) -> pa.Table:
     from docs_indexer_ray.ops.textstats import lang_id
 
@@ -3051,6 +3093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "heavy_hitters": q_heavy_hitters,
         "pack_sequences": q_pack_sequences,
+        "pack_ids": q_pack_ids,
         "url_canonical": q_url_canonical,
         "decontaminate": q_decontaminate,
         "temperature_resample": q_temperature_resample,
@@ -4977,4 +5020,7 @@ def oracle_sql() -> dict[str, str]:
                  AS corr_xy
         FROM s
     """
+    # pack_ids materializes the REAL sequences; its digest must equal
+    # the digest-only pack_sequences kernel, so they share one replay
+    sqls["pack_ids"] = sqls["pack_sequences"]
     return sqls

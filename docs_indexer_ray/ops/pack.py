@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from ..functions.analyzer import Analyzer
 
-__all__ = ["collect_vocab", "pack_sequences"]
+__all__ = ["collect_vocab", "pack_sequences", "tokenize_to_ids", "pack_ids"]
 
 
 def collect_vocab(ds, text_col: str = "text", chain: str = "simple") -> np.ndarray:
@@ -117,3 +117,124 @@ def pack_sequences(
         batch_format="pyarrow",
     )
     return keyed.groupby("bucket").map_groups(pack_group)
+
+
+def tokenize_to_ids(
+    ds,
+    vocab: np.ndarray,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chain: str = "simple",
+):
+    """Tokenize each doc to its sorted-vocab-rank id list (the
+    ``pack_sequences`` id space as a REAL ``large_list<int64>``
+    column) → Dataset of ``(id_col, token_ids, n_tokens)``.  Vocab is
+    broadcast once (``ray.put``); per batch ONE ``np.searchsorted``
+    over the batch's flattened tokens — no per-token Python.  Terms
+    outside ``vocab`` map to ``len(vocab)+1`` (distinct from the EOS
+    id ``len(vocab)`` that :func:`pack_ids` appends)."""
+    import ray
+
+    vocab_ref = ray.put(np.asarray(vocab, dtype=object))
+    an = Analyzer(chain)
+
+    def fn(t: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        unk = np.int64(len(voc) + 1)
+        flats: list[np.ndarray] = []
+        counts = np.empty(t.num_rows, np.int64)
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            toks = an(txt or "")
+            if toks:
+                arr = np.array(toks, dtype=object)
+                tid = np.searchsorted(voc, arr).astype(np.int64)
+                # searchsorted gives the insertion point; verify membership
+                inb = tid < len(voc)
+                ok = np.zeros(len(arr), bool)
+                ok[inb] = voc[tid[inb]] == arr[inb]
+                tid = np.where(ok, tid, unk)
+                flats.append(tid)
+                counts[i] = len(tid)
+            else:
+                counts[i] = 0
+        flat = np.concatenate(flats) if flats else np.array([], np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "token_ids": pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()), pa.array(flat, pa.int64())
+                ),
+                "n_tokens": pa.array(counts),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_ids(
+    enc_ds,
+    seq_len: int,
+    eos_id: int,
+    bucket_size: int = 100,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+):
+    """Pack pre-tokenized id lists (e.g. :func:`tokenize_to_ids` or
+    ``ops/bpe.py::bpe_encode`` output) into the ACTUAL fixed-length
+    training sequences — the artifact a trainer reads — unlike
+    :func:`pack_sequences`, which emits only the verification digest.
+
+    Same bucket semantics (stream restarts at every ``doc_id //
+    bucket_size`` boundary → independent groups, one groupby, no
+    prefix-sum coordination): within a bucket, docs concatenate in
+    ``id_col`` order with ``eos_id`` appended after each doc, and the
+    stream slices into ``seq_len`` windows (final window unpadded —
+    trainers drop or pad downstream).  Returns a Dataset of
+    ``(bucket, seq, input_ids: large_list<int64>, n_tokens)``.
+
+    The group kernel is fully vectorized: EOS insertion is one
+    scatter (``stream[idx] = flat`` with ``idx`` shifted by the doc
+    ordinal), slicing is one offsets array — no per-token Python."""
+
+    def pack_group(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.sort_by(id_col)
+        ids = t[ids_col].combine_chunks()
+        flat = ids.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = ids.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = t.num_rows
+        counts = np.diff(offs)
+        total = int(flat.size + n_docs)
+        stream = np.empty(total, np.int64)
+        idx = np.arange(flat.size, dtype=np.int64) + np.repeat(
+            np.arange(n_docs, dtype=np.int64), counts
+        )
+        stream[idx] = flat
+        stream[offs[1:] + np.arange(n_docs, dtype=np.int64)] = np.int64(eos_id)
+        n_seqs = (total + seq_len - 1) // seq_len
+        seq_offs = np.minimum(
+            np.arange(n_seqs + 1, dtype=np.int64) * seq_len, total
+        )
+        bucket = int(pc.min(t["bucket"]).as_py())
+        return pa.table(
+            {
+                "bucket": pa.array(np.full(n_seqs, bucket, np.int64)),
+                "seq": pa.array(np.arange(n_seqs, dtype=np.int64)),
+                "input_ids": pa.LargeListArray.from_arrays(
+                    pa.array(seq_offs, pa.int64()),
+                    pa.array(stream, pa.int64()),
+                ),
+                "n_tokens": pa.array(np.diff(seq_offs)),
+            }
+        )
+
+    keyed = enc_ds.map_batches(
+        lambda t: t.append_column(
+            "bucket",
+            pa.array(t[id_col].to_numpy(zero_copy_only=False) // bucket_size),
+        ),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("bucket").map_groups(pack_group, batch_format="pyarrow")

@@ -87,6 +87,7 @@ SQL_BACKED = [
     "gopher_quality",
     "budget_select",
     "pack_sequences",
+    "pack_ids",
     "url_canonical",
     "decontaminate",
     "temperature_resample",

@@ -831,6 +831,79 @@ def test_pack_sequences_semantics(ray_session):
     assert out.equals(out2)
 
 
+def test_pack_ids_materializes_the_digested_stream(ray_session):
+    """pack_ids returns the REAL id arrays; their per-sequence digest
+    must equal pack_sequences' digest-only kernel, and the arrays
+    themselves must equal the scalar concatenate-and-slice reference.
+    Also composes with bpe_encode output."""
+    import ray.data
+
+    from docs_indexer_ray.ops.pack import (
+        collect_vocab,
+        pack_ids,
+        pack_sequences,
+        tokenize_to_ids,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 100], pa.int64()),
+            "text": pa.array(["b a c", "", "a a a a", "c b"]),
+        }
+    )
+    vocab = collect_vocab(ray.data.from_arrow(tbl), text_col="text")
+    eos = len(vocab)
+
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        enc = tokenize_to_ids(ds, vocab)
+        packed = (
+            pack_ids(enc, seq_len=4, eos_id=eos, bucket_size=100)
+            .to_pandas()
+            .sort_values(["bucket", "seq"], ignore_index=True)
+        )
+        # scalar reference: concatenate per bucket in doc order, slice
+        want = {
+            0: [1, 0, 2, eos, eos, 0, 0, 0, 0, eos],  # docs 0,1,2
+            1: [2, 1, eos],  # doc 100
+        }
+        for bucket, stream in want.items():
+            rows = packed[packed.bucket == bucket]
+            got = [x for ids in rows["input_ids"] for x in ids]
+            assert got == stream, bucket
+            assert all(len(ids) <= 4 for ids in rows["input_ids"])
+            assert rows["n_tokens"].tolist() == [
+                len(ids) for ids in rows["input_ids"]
+            ]
+
+        # digest of the real arrays == the digest-only kernel
+        dig = (
+            pack_sequences(ds, vocab, seq_len=4, bucket_size=100)
+            .to_pandas()
+            .sort_values(["bucket", "seq"], ignore_index=True)
+        )
+        assert packed["bucket"].tolist() == dig["bucket"].tolist()
+        assert packed["seq"].tolist() == dig["seq"].tolist()
+        assert packed["n_tokens"].tolist() == dig["n_tokens"].tolist()
+        assert [
+            sum(ids) for ids in packed["input_ids"]
+        ] == dig["sum_ids"].tolist()
+        assert [ids[0] for ids in packed["input_ids"]] == dig["first_id"].tolist()
+        assert [ids[-1] for ids in packed["input_ids"]] == dig["last_id"].tolist()
+
+    # composes with trained-BPE ids (eos = |vocab|+2, clear of unk)
+    from docs_indexer_ray.ops.bpe import bpe_encode, bpe_vocab, train_bpe, word_counts
+
+    ds = ray.data.from_arrow(tbl)
+    wc = word_counts(ds)
+    merges = train_bpe(wc, n_merges=5)
+    bvocab = bpe_vocab(wc, merges)
+    enc = bpe_encode(ds, merges, bvocab, concurrency=1)
+    packed = pack_ids(enc, seq_len=8, eos_id=len(bvocab) + 2).to_pandas()
+    n_ids = enc.to_pandas()["n_tokens"].sum()
+    assert packed["n_tokens"].sum() == n_ids + 4  # one EOS per doc
+
+
 def test_canonicalize_urls_rules(ray_session):
     """URL canon chain: each rule and the things it must NOT touch."""
     import ray.data
