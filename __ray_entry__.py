@@ -1271,6 +1271,30 @@ def q_bm25_multimatch_best(sf_dir: str) -> pa.Table:
     return _multimatch(sf_dir, "best_fields", tie_breaker=0.3)
 
 
+def q_bm25_multimatch_cross(sf_dir: str) -> pa.Table:
+    """OpenSearch ``multi_match`` (``cross_fields``): the same two
+    fields scored as ONE blended virtual field — union df,
+    boost-weighted summed tf, summed dl
+    (`query/multimatch.py::cross_fields_topk`)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.multimatch import cross_fields_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root_b = ensure_index(sf_dir, chain="simple", field="body")
+    _, root_t = ensure_index(sf_dir, chain="simple", field="text")
+    hits = cross_fields_topk(
+        [(IndexReader(root_b), 1.0), (IndexReader(root_t), 0.5)],
+        " ".join(_BM25_TERMS),
+        k=10,
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
 def q_fuzzy_terms(sf_dir: str) -> pa.Table:
     """OpenSearch ``fuzzy`` query, expansion level: every vocabulary
     term within plain-Levenshtein distance 2 of the typo 'tble'
@@ -3130,6 +3154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_prefix": q_term_prefix,
         "bm25_multimatch": q_bm25_multimatch,
         "bm25_multimatch_best": q_bm25_multimatch_best,
+        "bm25_multimatch_cross": q_bm25_multimatch_cross,
         "fuzzy_terms": q_fuzzy_terms,
         "fuzzy_match": q_fuzzy_match,
         "wildcard": q_wildcard,
@@ -4357,6 +4382,29 @@ def oracle_sql() -> dict[str, str]:
         + """, scored AS (SELECT doc_id,
                GREATEST(fb, ft) + 0.3 * ((fb + ft) - GREATEST(fb, ft)) AS score
            FROM comb)"""
+        + _mm_select
+    )
+    # cross_fields: ONE blended virtual field — union df, boost-weighted
+    # summed tf, summed dl (the documented BlendedTermQuery simplification)
+    sqls["bm25_multimatch_cross"] = (
+        _mm_prefix
+        + """, dlu AS (SELECT COALESCE(dlb.doc_id, dlt.doc_id) AS doc_id,
+                      COALESCE(dlb.dl, 0) + COALESCE(dlt.dl, 0) AS dl
+               FROM dlb FULL OUTER JOIN dlt ON dlb.doc_id = dlt.doc_id),
+        stu AS (SELECT (SELECT count(*) FROM docs2) AS n,
+                    (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dlu WHERE dl > 0) AS avgdl),
+        tfu AS (SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+                       COALESCE(b.term, t.term) AS term,
+                       COALESCE(b.tf, 0) * 1.0 + COALESCE(t.tf, 0) * 0.5 AS tf
+                FROM tfb b FULL OUTER JOIN tft t
+                  ON b.doc_id = t.doc_id AND b.term = t.term),
+        dfu AS (SELECT term, count(*) AS df FROM tfu GROUP BY term),
+        scored AS (
+          SELECT tfu.doc_id,
+                 SUM(ln(1 + (stu.n - dfu.df + 0.5) / (dfu.df + 0.5))
+                     * tfu.tf / (tfu.tf + 1.2 * (1 - 0.75 + 0.75 * dlu.dl / stu.avgdl))) AS score
+          FROM tfu JOIN dfu USING (term) JOIN dlu USING (doc_id), stu
+          GROUP BY tfu.doc_id)"""
         + _mm_select
     )
     sqls["fuzzy_terms"] = f"""

@@ -35,7 +35,7 @@ import numpy as np
 from ..functions.analyzer import Analyzer
 from .bm25 import B, K1, _rank_top, bm25_scores_dense
 
-__all__ = ["multi_match_topk"]
+__all__ = ["multi_match_topk", "cross_fields_topk"]
 
 
 def multi_match_topk(
@@ -74,3 +74,75 @@ def multi_match_topk(
     else:
         raise ValueError(f"unknown multi_match mode: {mode!r}")
     return _rank_top(combined, k)
+
+
+def cross_fields_topk(
+    fields: list[tuple[object, float]],
+    query: str,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    """OpenSearch ``multi_match`` ``cross_fields``: the field group is
+    scored as ONE blended virtual field, so a query whose terms are
+    split across fields ("first name in one field, last name in
+    another") isn't punished by per-field idf the way
+    ``most_fields``/``best_fields`` are.
+
+    Documented blending semantics (a deterministic simplification of
+    Lucene's ``BlendedTermQuery``, which perturbs stats
+    heuristically):
+
+    * ``tf_v(doc)  = Σ_f boost_f × tf_f(doc)``  (boosts weight term
+      frequency, the knob cross_fields exposes),
+    * ``dl_v(doc)  = Σ_f dl_f(doc)``, ``avgdl`` over docs with
+      ``dl_v > 0``,
+    * ``df_v(term) = |docs containing the term in ANY field|``
+      (the union df — the whole point of the mode),
+    * score = Σ_t ``idf(df_v) × tf_v / (tf_v + k1·(1 − b + b·dl_v/avgdl))``
+      with the engine's Lucene idf.
+
+    All fields must share ONE analyzer chain (Lucene groups
+    cross_fields fields by analyzer; mixed chains raise) and the same
+    doc-id space.  Exact dense evaluation — the oracle path; the
+    doc-range-shard composition note on :func:`multi_match_topk`
+    applies unchanged since blended stats are global.
+    """
+    import math
+
+    if not fields:
+        return []
+    n_set = {r.n_docs for r, _ in fields}
+    if len(n_set) != 1:
+        raise ValueError(f"fields index different doc spaces: n_docs={sorted(n_set)}")
+    chains = {r.chain for r, _ in fields}
+    if len(chains) != 1:
+        raise ValueError(
+            f"cross_fields requires one shared analyzer chain, got {sorted(chains)}"
+        )
+    n = n_set.pop()
+    dl = np.zeros(n, np.float64)
+    for reader, _ in fields:
+        dl += np.asarray(reader.doclens, np.float64)
+    nz = dl > 0
+    avgdl = float(dl[nz].sum()) / int(nz.sum()) if nz.any() else 1.0
+
+    terms = Analyzer(chains.pop())(query)
+    score = np.zeros(n, np.float64)
+    for t in terms:
+        tfv = np.zeros(n, np.float64)
+        present = np.zeros(n, bool)
+        for reader, boost in fields:
+            tp = reader.postings(t)
+            if tp is None:
+                continue
+            ids, tfs = tp.decode_all()
+            tfv[ids] += boost * tfs.astype(np.float64)
+            present[ids] = True
+        df = int(present.sum())
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        tf_m = tfv[present]
+        score[present] += idf * tf_m / (tf_m + k1 * (1 - b + b * dl[present] / avgdl))
+    return _rank_top(score, k)

@@ -160,6 +160,7 @@ SQL_BACKED = [
     "jsonl_ingest",
     "bm25_multimatch",
     "bm25_multimatch_best",
+    "bm25_multimatch_cross",
     "term_prefix",
     "mm_decode_docs",
     "winnow",

@@ -654,6 +654,95 @@ def test_multi_match_modes(built, ray_session, tmp_path_factory):
     assert multi_match_topk([], query) == []
 
 
+def test_cross_fields_matches_bruteforce(built, ray_session, tmp_path_factory):
+    """cross_fields = ONE blended virtual field: union df, boosted
+    summed tf, summed dl — recomputed from the raw corpus in plain
+    Python and compared rank-for-rank."""
+    import math
+    import re
+
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.multimatch import cross_fields_topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    reader_body, pages = built
+    root_t = str(tmp_path_factory.mktemp("cfidx") / "idx")
+    build_index(
+        ray.data.from_arrow(pages),
+        root_t,
+        fingerprint="ct",
+        num_parts=4,
+        chain="simple",
+        field="title",
+    )
+    reader_title = IndexReader(root_t)
+    fields = [(reader_body, 1.0), (reader_title, 2.0)]
+    query = "node pools quota"
+    got = cross_fields_topk(fields, query, k=8)
+
+    import os
+
+    import pyarrow.dataset as pads
+
+    docs = (
+        pads.dataset(
+            os.path.join(reader_body.index_dir, "docs"), partitioning="hive"
+        )
+        .to_table(columns=["doc_id", "body", "title"])
+        .sort_by("doc_id")
+    )
+    tok = re.compile(r"[a-z0-9]+")
+    n = reader_body.n_docs
+    body = [tok.findall((x or "").lower()) for x in docs["body"].to_pylist()]
+    title = [tok.findall((x or "").lower()) for x in docs["title"].to_pylist()]
+    dl = np.array([len(b) + len(t) for b, t in zip(body, title)], np.float64)
+    avgdl = dl[dl > 0].sum() / (dl > 0).sum()
+    score = np.zeros(n)
+    for term in tok.findall(query.lower()):
+        tf = np.array(
+            [
+                1.0 * b.count(term) + 2.0 * t.count(term)
+                for b, t in zip(body, title)
+            ]
+        )
+        present = np.array(
+            [term in b or term in t for b, t in zip(body, title)]
+        )
+        df = int(present.sum())
+        if not df:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        score[present] += (
+            idf * tf[present] / (tf[present] + 1.2 * (1 - 0.75 + 0.75 * dl[present] / avgdl))
+        )
+    want = sorted(
+        ((d, score[d]) for d in np.flatnonzero(score)), key=lambda x: (-x[1], x[0])
+    )[:8]
+    assert [(d, pytest.approx(s)) for d, s in want] == got
+
+    # a term present ONLY in the title still contributes (union df)
+    title_tok = next(t for ts in title if ts for t in ts)
+    assert cross_fields_topk(fields, title_tok, k=3)
+
+    # mixed analyzer chains refuse loudly
+    root_e = str(tmp_path_factory.mktemp("cfidx_e") / "idx")
+    build_index(
+        ray.data.from_arrow(rich_pages_table(10, dup_every=0)),
+        root_e,
+        fingerprint="ce",
+        num_parts=2,
+        chain="english",
+        field="body",
+    )
+    with pytest.raises(ValueError, match="doc spaces|chain"):
+        cross_fields_topk(
+            [(reader_body, 1.0), (IndexReader(root_e), 1.0)], query
+        )
+
+
 def test_fuzzy_and_wildcard(built):
     from docs_indexer_ray.query.facets import match_doc_ids
     from docs_indexer_ray.query.fuzzy import (
