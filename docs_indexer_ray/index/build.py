@@ -426,10 +426,16 @@ def build_index(
         "store_positions": bool(store_positions),
         **chain_stats,
         "chains": extras,
+        # throughput metrics: job-level docs/s plus the per-partition
+        # lineage records already carried under chains' "partitions"
+        # (n_terms / n_postings / bytes / resumed / wall_s per rpart) —
+        # the checkpoint+metrics contract: a resumed build reports
+        # which partitions were skipped and what each one cost
         "timings_s": {
             "docs_store": round(t1 - t0, 3),
             "index": round(time.time() - t1, 3),
             "total": round(time.time() - t0, 3),
+            "docs_per_sec": round(n_docs / max(time.time() - t0, 1e-9), 1),
         },
     }
     mf.write_manifest(bdir, man)

@@ -285,9 +285,12 @@ def encode_spill_files(
     integer dictionary ranks (an object-dtype lexsort over hundreds of
     thousands of strings dominates the reduce otherwise).
     """
+    import time as _time
+
     import pyarrow.compute as _pc
     import pyarrow.dataset as pads
 
+    _t0 = _time.time()
     seg_file = segment_path(seg_dir, rpart)
     dl_file = doclen_path(seg_dir, rpart)
     if os.path.exists(seg_file) and os.path.exists(dl_file):
@@ -301,6 +304,7 @@ def encode_spill_files(
             "resumed": True,
             "dl_sum": int(_pc.sum(dlt["dl"]).as_py() or 0),
             "dl_n": dlt.num_rows,
+            "wall_s": round(_time.time() - _t0, 3),
         }
 
     missing = [f for f in spill_files if not os.path.exists(f)]
@@ -323,6 +327,7 @@ def encode_spill_files(
             "resumed": False,
             "dl_sum": 0,
             "dl_n": 0,
+            "wall_s": round(_time.time() - _t0, 3),
         }
     term_dict = _pc.dictionary_encode(t["term"].cast(pa.string()).combine_chunks())
     uniq = np.asarray(term_dict.dictionary.to_pylist(), dtype=object)
@@ -369,6 +374,7 @@ def encode_spill_files(
         "resumed": False,
         "dl_sum": int(dls.sum()),
         "dl_n": int(len(dls)),
+        "wall_s": round(_time.time() - _t0, 3),
     }
 
 

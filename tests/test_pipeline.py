@@ -250,6 +250,13 @@ def test_lifecycle_short_circuit_and_gc(ray_session, tmp_path):
     out = str(tmp_path / "lc")
     pages = ray.data.from_arrow(rich_pages_table(20))
     res1 = build_index(pages, out, fingerprint="v1")
+    # throughput + per-partition lineage metrics in the manifest
+    tm = res1["timings_s"]
+    assert tm["docs_per_sec"] > 0 and tm["total"] >= tm["index"]
+    assert all(
+        {"rpart", "n_terms", "bytes", "resumed", "wall_s"} <= set(p)
+        for p in res1["partitions"]
+    )
     # up-to-date short-circuit (check_index semantics, hugo.py:424-427)
     res2 = build_index(pages, out, fingerprint="v1")
     assert res2.get("resumed_current")
