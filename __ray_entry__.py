@@ -2751,6 +2751,29 @@ def q_mm_decode(sf_dir: str) -> pa.Table:
     return _concat(decode_images(ds, fake=True))
 
 
+def q_mm_decode_dims(sf_dir: str) -> pa.Table:
+    """The SQL-checkable slice of the decode stage: the
+    ``dims_from="size"`` variant's dimensions are pure arithmetic on
+    the payload byte length, so DuckDB replays the whole actor-pool
+    stage minus the md5 (DuckDB's md5 is VARCHAR-only; the checksum
+    column stays pinned by ``mm_decode``'s pytest oracle)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.multimodal import decode_images, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(64))
+    out = _concat(decode_images(ds, fake=True, dims_from="size"))
+    return pa.table(
+        {
+            "media_id": out["media_id"].cast(pa.int64()),
+            "width": out["width"].cast(pa.int64()),
+            "height": out["height"].cast(pa.int64()),
+            "channels": out["channels"].cast(pa.int64()),
+            "resized_to": out["resized_to"].cast(pa.int64()),
+        }
+    ).sort_by("media_id")
+
+
 def q_mm_embed_knn(sf_dir: str) -> pa.Table:
     """Full multimodal pipeline shape: media → actor-pool embed stage
     (deterministic fake model) → exact cosine kNN over the produced
@@ -3228,6 +3251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reverse_suggest": q_reverse_suggest,
         "did_you_mean": q_did_you_mean,
         "mm_decode": q_mm_decode,
+        "mm_decode_dims": q_mm_decode_dims,
         "mm_embed_knn": q_mm_embed_knn,
         "mm_frames": q_mm_frames,
         "winnow": q_winnow,
@@ -5071,4 +5095,16 @@ def oracle_sql() -> dict[str, str]:
     # pack_ids materializes the REAL sequences; its digest must equal
     # the digest-only pack_sequences kernel, so they share one replay
     sqls["pack_ids"] = sqls["pack_sequences"]
+    # mm_decode_dims: the dims-from-size decode variant is pure
+    # arithmetic on the synthetic payload length 7 + 100 + 37*(i%13)
+    sqls["mm_decode_dims"] = """
+        WITH s AS (SELECT unnest(range(0, 64)) AS i),
+        p AS (SELECT i, 107 + 37 * (i % 13) AS nb FROM s)
+        SELECT CAST(i AS BIGINT) AS media_id,
+               CAST(16 + nb % 64 AS BIGINT) AS width,
+               CAST(16 + (nb // 7) % 64 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(64 AS BIGINT) AS resized_to
+        FROM p ORDER BY media_id
+    """
     return sqls

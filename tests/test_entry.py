@@ -127,6 +127,7 @@ SQL_BACKED = [
     "heavy_hitters",
     "facet_terms_stats",
     "facet_terms_approx",
+    "mm_decode_dims",
     "facet_rare_terms",
     "facet_date_range",
     "analyze",
