@@ -650,6 +650,34 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
     )
 
 
+def q_range_join(sf_dir: str) -> pa.Table:
+    """Distributed range (interval) join: events banded by OVERLAPPING
+    value intervals (`ops/join.py::range_join` — broadcast interval
+    side, one argsort + per-interval searchsorted slice per batch).
+    A row lands in every containing band."""
+    import ray.data
+
+    from docs_indexer_ray.collect import tables_of
+    from docs_indexer_ray.ops.join import range_join
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    bands = pa.table(
+        {
+            "band": pa.array(["low", "mid", "high", "huge"]),
+            "lo": pa.array([0.0, 25.0, 75.0, 100.0], pa.float64()),
+            "hi": pa.array([50.0, 100.0, 150.0, 100000.0], pa.float64()),
+        }
+    )
+    out = pa.concat_tables(
+        tables_of(range_join(events, bands, on="value"))
+    )
+    return out.select(["event_id", "band", "value", "lo", "hi"]).sort_by(
+        [("event_id", "ascending"), ("band", "ascending")]
+    )
+
+
 def q_bpe_encode(sf_dir: str) -> pa.Table:
     """Distributed tokenization with the TRAINED merges
     (``ops/bpe.py::bpe_encode``): train on the corpus's word counts,
@@ -3237,6 +3265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "broadcast_join": q_broadcast_join,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "hash_join": q_hash_join,
         # rows-only (no SQL equivalent; Python oracles in tests/)
         "bm25_topk_english": q_bm25_topk_english,
@@ -5095,6 +5124,15 @@ def oracle_sql() -> dict[str, str]:
     # pack_ids materializes the REAL sequences; its digest must equal
     # the digest-only pack_sequences kernel, so they share one replay
     sqls["pack_ids"] = sqls["pack_sequences"]
+    sqls["range_join"] = """
+        WITH bands(band, lo, hi) AS (VALUES
+            ('low', 0.0, 50.0), ('mid', 25.0, 100.0),
+            ('high', 75.0, 150.0), ('huge', 100.0, 100000.0))
+        SELECT CAST(e.event_id AS BIGINT) AS event_id, b.band AS band,
+               e.value AS value, b.lo AS lo, b.hi AS hi
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        ORDER BY event_id, band
+    """
     # mm_decode_dims: the dims-from-size decode variant is pure
     # arithmetic on the synthetic payload length 7 + 100 + 37*(i%13)
     sqls["mm_decode_dims"] = """

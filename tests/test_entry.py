@@ -176,6 +176,7 @@ SQL_BACKED = [
     "broadcast_join",
     "hash_join",
     "asof_join",
+    "range_join",
 ]
 
 

@@ -205,3 +205,50 @@ def test_asof_join_matches_global_merge_asof(ray_session):
             right_ts="rt",
             direction="sideways",
         )
+
+
+def test_range_join_overlapping_bands(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from docs_indexer_ray.ops.join import range_join
+
+    vals = np.array([5.0, 30.0, 80.0, 120.0, 999999.0, -3.0])
+    rows = pa.table(
+        {"rid": pa.array(np.arange(6), pa.int64()), "v": pa.array(vals)}
+    )
+    bands = pa.table(
+        {
+            "band": pa.array(["low", "mid", "high"]),
+            "lo": pa.array([0.0, 25.0, 75.0]),
+            "hi": pa.array([50.0, 100.0, 1000.0]),
+        }
+    )
+
+    def brute():
+        out = []
+        for rid, v in zip(range(6), vals):
+            for band, lo, hi in zip(
+                bands["band"].to_pylist(),
+                bands["lo"].to_pylist(),
+                bands["hi"].to_pylist(),
+            ):
+                if lo <= v < hi:
+                    out.append((rid, band))
+        return sorted(out)
+
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(rows).repartition(parts)
+        got = range_join(ds, bands, on="v").to_pandas()
+        pairs = sorted(zip(got["rid"], got["band"]))
+        assert pairs == brute()
+    # row 1 (30.0) is in BOTH low and mid (overlap); rows -3 and 1e6 drop
+    assert (1, "low") in brute() and (1, "mid") in brute()
+    assert all(r != 5 and r != 4 for r, _ in brute())
+
+    # column collision refuses loudly
+    clash = pa.table({"v": pa.array([1.0]), "lo": pa.array([0.0]), "hi": pa.array([2.0])})
+    with pytest.raises(Exception, match="collision"):
+        range_join(ray.data.from_arrow(rows), clash, on="v").to_pandas()
