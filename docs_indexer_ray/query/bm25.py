@@ -149,6 +149,16 @@ def _rank_top(scores: np.ndarray, k: int) -> list[tuple[int, float]]:
     return [(int(nz[i]), float(vals[i])) for i in order]
 
 
+def _zero_deleted(reader, scores: np.ndarray) -> np.ndarray:
+    """Soft-delete mask shared by every dense query surface:
+    tombstoned docs can't be hits; survivor scores stay untouched
+    (global statistics keep pre-delete values until compaction —
+    Lucene tombstone semantics).  No-op without deletes."""
+    if reader.has_deletes:
+        scores[reader.deleted_ids()] = 0.0
+    return scores
+
+
 def explain(reader, terms: list[str], doc_id: int, k1: float = K1, b: float = B):
     """OpenSearch ``_explain``: the per-term BM25 score breakdown of
     one document for a query → Arrow table ``(term, tf, df, dl, idf,
@@ -198,7 +208,7 @@ def explain(reader, terms: list[str], doc_id: int, k1: float = K1, b: float = B)
 
 def score_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
     """Exact top-k ``[(doc_id, score)]`` by full TAAT scoring."""
-    return _rank_top(bm25_scores_dense(reader, terms, k1, b), k)
+    return _rank_top(_zero_deleted(reader, bm25_scores_dense(reader, terms, k1, b)), k)
 
 
 def filtered_topk(
@@ -219,7 +229,7 @@ def filtered_topk(
     readers (`IndexReader(doc_range=…)`), where each shard holds only
     its range's slice of the bitmap; scores stay globally comparable
     so the filtered shard merge is exact (`merge_shard_topk`)."""
-    scores = bm25_scores_dense(reader, terms, k1, b)
+    scores = _zero_deleted(reader, bm25_scores_dense(reader, terms, k1, b))
     mask = np.zeros(len(scores), dtype=bool)
     ids = np.asarray(allowed_ids, dtype=np.int64)
     mask[ids[(ids >= 0) & (ids < len(scores))]] = True
@@ -299,7 +309,7 @@ def collapse_topk(
 
     Returns ``[(doc_id, score, key)]``, ≤ k rows.
     """
-    scores = bm25_scores_dense(reader, terms, k1, b)
+    scores = _zero_deleted(reader, bm25_scores_dense(reader, terms, k1, b))
     matched = np.flatnonzero(scores > 0.0)
     if len(matched) == 0:
         return []
@@ -345,7 +355,7 @@ def function_score_topk(
     weights are per-doc and statistics are global."""
     import math
 
-    scores = bm25_scores_dense(reader, terms, k1, b)
+    scores = _zero_deleted(reader, bm25_scores_dense(reader, terms, k1, b))
     matched = np.flatnonzero(scores > 0.0)
     if len(matched) == 0:
         return []
@@ -393,7 +403,7 @@ def bool_topk(
     Shape: one dense TAAT pass over must+should (same kernel the
     oracle path uses), then vectorized posting-membership masks — the
     must/should/must_not lists decode once each; no per-doc Python."""
-    scores = bm25_scores_dense(reader, list(must) + list(should), k1, b)
+    scores = _zero_deleted(reader, bm25_scores_dense(reader, list(must) + list(should), k1, b))
     mask = np.ones(len(scores), dtype=bool)
     for term in must:
         hit = np.zeros(len(scores), dtype=bool)
@@ -437,7 +447,7 @@ def boosting_topk(
     kernels as ``bool_topk``; the demotion is one masked multiply.
     ``negative_boost=0.5`` is a power of two, so the demoted floats
     stay bit-exact against a SQL replay of the same expression."""
-    scores = bm25_scores_dense(reader, list(positive), k1, b)
+    scores = _zero_deleted(reader, bm25_scores_dense(reader, list(positive), k1, b))
     neg = np.zeros(len(scores), dtype=bool)
     for term in negative:
         dec = reader.decode_all(term)
@@ -461,7 +471,7 @@ def topk_after(
     one independent query.  Composes with the sharded tier: each shard
     applies the same cursor to its range and the exact merge picks the
     page (global statistics keep cursors comparable across shards)."""
-    scores = bm25_scores_dense(reader, terms, k1, b)
+    scores = _zero_deleted(reader, bm25_scores_dense(reader, terms, k1, b))
     if after is not None:
         a_score, a_doc = float(after[0]), int(after[1])
         docs = np.arange(len(scores))
@@ -491,7 +501,7 @@ def topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
         # tombstone semantics).  Dense path with the tombstones zeroed;
         # WAND's skip structure has no delete awareness, so deletes
         # force TAAT (deletes are transient — compaction restores WAND).
-        scores = bm25_scores_dense(reader, terms, k1, b)
+        scores = _zero_deleted(reader, bm25_scores_dense(reader, terms, k1, b))
         scores[reader.deleted_ids()] = 0.0
         return _rank_top(scores, k)
     sum_df = 0

@@ -73,8 +73,18 @@ def multi_match_topk(
         combined = mx + tie_breaker * (stack.sum(axis=0) - mx)
     else:
         raise ValueError(f"unknown multi_match mode: {mode!r}")
-    return _rank_top(combined, k)
+    return _rank_top(_zero_deleted_union(fields, combined), k)
 
+
+def _zero_deleted_union(fields, scores: np.ndarray) -> np.ndarray:
+    """Soft deletes across a field GROUP: the constituent per-field
+    indexes are separate physical builds, so a doc tombstoned in ANY
+    of them is non-live for the combined query (the conservative
+    union — deletes are applied per index, compaction re-aligns)."""
+    for reader, _ in fields:
+        if reader.has_deletes:
+            scores[reader.deleted_ids()] = 0.0
+    return scores
 
 def cross_fields_topk(
     fields: list[tuple[object, float]],
@@ -145,4 +155,4 @@ def cross_fields_topk(
         idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
         tf_m = tfv[present]
         score[present] += idf * tf_m / (tf_m + k1 * (1 - b + b * dl[present] / avgdl))
-    return _rank_top(score, k)
+    return _rank_top(_zero_deleted_union(fields, score), k)

@@ -31,6 +31,19 @@ __all__ = [
 ]
 
 
+def _drop_deleted(reader, hits: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Soft-delete filter for positional hit lists: tombstoned docs
+    can't match (the dense surfaces' ``_zero_deleted`` counterpart).
+    Vectorized sorted-membership test; no-op without deletes."""
+    if not hits or not reader.has_deletes:
+        return hits
+    dels = reader.deleted_ids()
+    ids = np.array([h[0] for h in hits], np.int64)
+    j = np.searchsorted(dels, ids)
+    dead = (j < len(dels)) & (dels[np.minimum(j, len(dels) - 1)] == ids)
+    return [h for h, d in zip(hits, dead) if not d]
+
+
 def match_phrase(reader: IndexReader, terms: list[str]) -> list[tuple[int, int]]:
     """All ``(doc_id, phrase_freq)`` with freq ≥ 1, doc_id ascending."""
     if not terms:
@@ -58,7 +71,7 @@ def match_phrase(reader: IndexReader, terms: list[str]) -> list[tuple[int, int]]
                 break
         if cur is not None and len(cur):
             out.append((int(doc), int(len(cur))))
-    return out
+    return _drop_deleted(reader, out)
 
 
 def match_phrase_slop(
@@ -86,7 +99,7 @@ def match_phrase_slop(
         if tp is None:
             return []
         ids, tfs = tp.decode_all()
-        return [(int(d), int(f)) for d, f in zip(ids, tfs)]
+        return _drop_deleted(reader, [(int(d), int(f)) for d, f in zip(ids, tfs)])
     tps = [reader.postings(t) for t in terms]
     if any(tp is None for tp in tps):
         return []
@@ -117,7 +130,7 @@ def match_phrase_slop(
         freq = int((ok & (cur - starts - (m - 1) <= slop)).sum())
         if freq:
             out.append((int(doc), freq))
-    return out
+    return _drop_deleted(reader, out)
 
 
 def span_first(
@@ -140,7 +153,7 @@ def span_first(
         c = int(np.searchsorted(pos, end, side="left"))
         if c:
             out.append((int(doc), c))
-    return out
+    return _drop_deleted(reader, out)
 
 
 def span_near(
@@ -170,7 +183,7 @@ def span_near(
         if tp is None:
             return []
         ids, _ = tp.decode_all()
-        return [(int(d), 1) for d in ids]
+        return _drop_deleted(reader, [(int(d), 1) for d in ids])
     tps = [reader.postings(t) for t in terms]
     if any(tp is None for tp in tps):
         return []
@@ -213,7 +226,7 @@ def span_near(
                 lo += 1
         if best - m <= slop:
             out.append((int(doc), best))
-    return out
+    return _drop_deleted(reader, out)
 
 
 def rescore_topk(

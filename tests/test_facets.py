@@ -1095,3 +1095,75 @@ def test_terms_stats_facet_matches_bruteforce(built, ray_session):
     )
     assert empty.num_rows == 0
     assert empty.column_names == ["value", "n_docs", "min_v", "max_v", "sum_v", "avg_v"]
+
+
+def test_all_query_surfaces_exclude_tombstones(built, ray_session, tmp_path):
+    """Every match surface — dense scorers, pagination, phrase/span
+    family, multi_match — drops tombstoned docs (the `_zero_deleted`
+    / `_drop_deleted` sweep)."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.index.deletes import add_deletes
+    from docs_indexer_ray.query.bm25 import score_topk, topk_after
+    from docs_indexer_ray.query.multimatch import multi_match_topk
+    from docs_indexer_ray.query.phrase import (
+        match_phrase,
+        match_phrase_slop,
+        span_first,
+        span_near,
+    )
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    pages = rich_pages_table(50, dup_every=0)
+    root = str(tmp_path / "tsidx")
+    build_index(
+        ray.data.from_arrow(pages),
+        root,
+        fingerprint="ts",
+        num_parts=4,
+        chain="simple",
+        field="body",
+        store_positions=True,
+    )
+    phrase = ["node", "pools"]
+    r0 = IndexReader(root)
+    hits0 = match_phrase(r0, phrase)
+    assert hits0
+    victim = hits0[0][0]
+    sf0 = {d for d, _ in span_first(r0, "node", 50)}
+    assert victim in sf0  # "node" occurs early somewhere in the doc
+    assert add_deletes(root, [victim]) == 1
+
+    r = IndexReader(root)
+    assert victim not in {d for d, _ in match_phrase(r, phrase)}
+    assert victim not in {d for d, _ in match_phrase_slop(r, phrase, 3)}
+    assert victim not in {d for d, _ in span_near(r, phrase, 5)}
+    assert victim not in {d for d, _ in span_first(r, "node", 50)}
+    assert victim not in {d for d, _ in score_topk(r, phrase, k=50)}
+    assert victim not in {d for d, _ in topk_after(r, phrase, None, k=50)}
+    # survivors of the phrase match are unchanged
+    assert match_phrase(r, phrase) == [h for h in hits0 if h[0] != victim]
+
+    # multi_match over two fields: a delete in EITHER index masks
+    root_t = str(tmp_path / "tsidx_t")
+    build_index(
+        ray.data.from_arrow(pages),
+        root_t,
+        fingerprint="tt",
+        num_parts=4,
+        chain="simple",
+        field="title",
+    )
+    fields = [(r, 1.0), (IndexReader(root_t), 0.5)]
+    assert victim not in {
+        d for d, _ in multi_match_topk(fields, "node pools", k=50)
+    }
+
+    from docs_indexer_ray.query.multimatch import cross_fields_topk
+
+    assert victim not in {d for d, _ in cross_fields_topk(fields, "node pools", k=50)}
