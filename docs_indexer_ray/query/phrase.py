@@ -23,6 +23,7 @@ from .reader import IndexReader
 
 __all__ = [
     "match_phrase",
+    "match_phrase_range",
     "match_phrase_slop",
     "phrase_topk",
     "rescore_topk",
@@ -44,19 +45,10 @@ def _drop_deleted(reader, hits: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return [h for h, d in zip(hits, dead) if not d]
 
 
-def match_phrase(reader: IndexReader, terms: list[str]) -> list[tuple[int, int]]:
-    """All ``(doc_id, phrase_freq)`` with freq ≥ 1, doc_id ascending."""
-    if not terms:
-        return []
-    tps = [reader.postings(t) for t in terms]
-    if any(tp is None for tp in tps):
-        return []
-    decoded = []
-    for tp in tps:
-        ids, _ = tp.decode_all()
-        flat, offs = tp.decode_all_positions()
-        decoded.append((ids, flat, offs))
-
+def _phrase_walk(decoded) -> list[tuple[int, int]]:
+    """The positional-intersection walk shared by the full-reader and
+    doc-range-shard phrase paths: ``decoded`` is one ``(sorted_ids,
+    flat_positions, posting_offsets)`` triple per query term."""
     common = decoded[0][0]
     for ids, _, _ in decoded[1:]:
         common = np.intersect1d(common, ids, assume_unique=True)
@@ -71,7 +63,47 @@ def match_phrase(reader: IndexReader, terms: list[str]) -> list[tuple[int, int]]
                 break
         if cur is not None and len(cur):
             out.append((int(doc), int(len(cur))))
-    return _drop_deleted(reader, out)
+    return out
+
+
+def match_phrase(reader: IndexReader, terms: list[str]) -> list[tuple[int, int]]:
+    """All ``(doc_id, phrase_freq)`` with freq ≥ 1, doc_id ascending."""
+    if not terms:
+        return []
+    tps = [reader.postings(t) for t in terms]
+    if any(tp is None for tp in tps):
+        return []
+    decoded = []
+    for tp in tps:
+        ids, _ = tp.decode_all()
+        flat, offs = tp.decode_all_positions()
+        decoded.append((ids, flat, offs))
+    return _drop_deleted(reader, _phrase_walk(decoded))
+
+
+def match_phrase_range(
+    reader: IndexReader, terms: list[str]
+) -> list[tuple[int, int]]:
+    """:func:`match_phrase` restricted to the reader's doc-id range —
+    the SHARD primitive (``served.py::ShardedQueryService.match_phrase``):
+    positional matching is per-doc local, so per-shard results over
+    disjoint ranges union to exactly the full-reader answer, and each
+    shard decodes only its overlapping posting blocks
+    (``TermPostings.decode_range_positions``) — O(its share) of the
+    positional data, the same division the BM25 shard tier gets."""
+    if not terms:
+        return []
+    lo, hi = reader.doc_lo, reader.doc_hi
+    tps = [reader.postings(t) for t in terms]
+    if any(tp is None for tp in tps):
+        return []
+    decoded = []
+    for tp in tps:
+        ids, _, flat, offs = tp.decode_range_positions(lo, hi)
+        if len(ids) == 0:
+            return []
+        decoded.append((ids, flat, offs))
+    return _drop_deleted(reader, _phrase_walk(decoded))
 
 
 def match_phrase_slop(

@@ -176,6 +176,68 @@ class TermPostings:
         keep = (ids >= lo) & (ids < hi)
         return ids[keep], tfs[keep]
 
+    def decode_range_positions(
+        self, lo: int, hi: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """``(doc_ids, tfs, flat_positions, posting_offsets)`` restricted
+        to ``lo <= doc_id < hi`` — the shard-PHRASE primitive: decodes
+        ONLY the blocks overlapping the range (positions included), so
+        a doc-range shard pays O(its share) of the positional data,
+        not O(cf).  Memoized alongside :meth:`decode_range` (a shard
+        reader asks one fixed range for its lifetime)."""
+        from ..functions.codec import decode_positions_block
+
+        if not self.has_positions:
+            raise ValueError(
+                f"term {self.term!r}: index was built without positions "
+                "(build_index(store_positions=True))"
+            )
+        if self._range_memo is None:
+            self._range_memo = {}
+        key = ("pos", lo, hi)
+        hit = self._range_memo.get(key)
+        if hit is not None:
+            return hit
+        empty = (
+            np.empty(0, np.uint64),
+            np.empty(0, np.uint64),
+            np.empty(0, np.uint64),
+            np.zeros(1, np.int64),
+        )
+        nb = self.n_blocks
+        if nb == 0 or hi <= lo:
+            return empty
+        b0 = int(np.searchsorted(self.block_last, lo, side="left"))
+        b1 = min(int(np.searchsorted(self.block_last, hi - 1, side="left")), nb - 1)
+        if b0 > b1:
+            return empty
+        ids_parts, tf_parts, flat_parts = [], [], []
+        for b in range(b0, b1 + 1):
+            ids, tfs = self.decode_block(b)
+            run = self._runs[self._run_of_block[b]]
+            lb = int(self._local_block[b])
+            flat, _ = decode_positions_block(
+                memoryview(run.pos_enc)[run.pos_offsets[lb] : run.pos_offsets[lb + 1]],
+                tfs,
+            )
+            ids_parts.append(ids)
+            tf_parts.append(tfs)
+            flat_parts.append(flat)
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        flat = np.concatenate(flat_parts)
+        lens = tfs.astype(np.int64)
+        keep = (ids >= lo) & (ids < hi)
+        out = (
+            ids[keep],
+            tfs[keep],
+            flat[np.repeat(keep, lens)],
+            np.concatenate(([0], np.cumsum(lens[keep]))),
+        )
+        if len(self._range_memo) < 8:
+            self._range_memo[key] = out
+        return out
+
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         """Fully decoded (doc_ids, tfs); memoized — the reader caches
         TermPostings, so hot terms decode once per reader lifetime."""

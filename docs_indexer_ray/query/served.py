@@ -139,6 +139,14 @@ class ShardQueryActor:
             self.reader, self.analyzer(query), k=k, allowed_mask=self._live
         )
 
+    def phrase_partial(self, query: str) -> list[tuple[int, int]]:
+        """This shard's exact phrase matches (doc_id, phrase_freq) —
+        range-limited positional decode, tombstones dropped by the
+        phrase module's shared delete filter."""
+        from .phrase import match_phrase_range
+
+        return match_phrase_range(self.reader, self.analyzer(query))
+
     def _allowed_mask(self, predicate: tuple) -> np.ndarray:
         """Shard-local allowed bitmap for a stored-field predicate
         ``(column, op, value)`` — built ONCE per predicate from this
@@ -238,6 +246,18 @@ class ShardedQueryService:
 
         parts = ray.get([a.topk_partial.remote(query, k) for a in self._actors])
         return merge_shard_topk(parts, k)
+
+    def match_phrase(self, query: str) -> list[tuple[int, int]]:
+        """Exact phrase query across the fleet: positional matching is
+        per-doc local, so the per-shard results over disjoint doc
+        ranges concatenate (doc asc) to exactly the full-reader
+        ``match_phrase`` — each shard decoded only its overlapping
+        posting blocks, dividing the positional-decode cost by the
+        fleet the same way the BM25 tier divides dense TAAT."""
+        import ray
+
+        parts = ray.get([a.phrase_partial.remote(query) for a in self._actors])
+        return [hit for part in parts for hit in part]
 
     def filtered_topk(
         self, query: str, predicate: tuple, k: int = 10

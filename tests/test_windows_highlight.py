@@ -267,3 +267,57 @@ def test_sharded_service_matches_local_reader(ray_session, tmp_path, n_shards):
         assert svc.topk("page", k=50) == score_topk(reader, an("page"), k=50)
     finally:
         svc.shutdown()
+
+
+@pytest.mark.parametrize("n_shards", [2, 5])
+def test_sharded_phrase_matches_local_reader(ray_session, tmp_path, n_shards):
+    """Sharded exact phrase ≡ local match_phrase (positional matching
+    is per-doc local; disjoint ranges concatenate) — with salted heavy
+    terms spanning shard boundaries, and with a tombstone applied."""
+    import ray.data
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.index.deletes import add_deletes
+    from docs_indexer_ray.query.phrase import match_phrase
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.served import ShardedQueryService
+    from docs_indexer_ray.synth import rich_pages_table
+
+    root = str(tmp_path / "spidx")
+    build_index(
+        ray.data.from_arrow(rich_pages_table(60, dup_every=0)),
+        root,
+        fingerprint="sp",
+        num_parts=8,
+        salt_heavy=True,
+        heavy_df_ratio=0.2,
+        n_salt_runs=4,
+        chain="simple",
+        field="body",
+        store_positions=True,
+    )
+    an = Analyzer("simple")
+    queries = ["node pools", "per namespace", "the node pools", "node"]
+
+    svc = ShardedQueryService(root, n_shards=n_shards)
+    try:
+        reader = IndexReader(root)
+        for q in queries:
+            assert svc.match_phrase(q) == match_phrase(reader, an(q)), q
+        local = match_phrase(reader, an("node pools"))
+        assert local  # non-trivial
+    finally:
+        svc.shutdown()
+
+    # tombstone a hit: both tiers drop it identically
+    victim = local[0][0]
+    add_deletes(root, [victim])
+    svc = ShardedQueryService(root, n_shards=n_shards)
+    try:
+        reader = IndexReader(root)
+        want = match_phrase(reader, an("node pools"))
+        assert victim not in {d for d, _ in want}
+        assert svc.match_phrase("node pools") == want
+    finally:
+        svc.shutdown()
