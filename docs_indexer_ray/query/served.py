@@ -121,6 +121,7 @@ class ShardQueryActor:
         self.reader = IndexReader(index_root, chain=chain, doc_range=(lo, hi))
         self.analyzer = Analyzer(self.reader.chain)
         self._masks: dict[str, np.ndarray] = {}
+        self._cols: dict[str, "object"] = {}  # column name → aligned pa.Array slice
         # soft deletes: each shard holds only ITS range's live mask
         # (None when the build has no tombstones — the common case)
         dels = self.reader.deleted_ids()
@@ -185,6 +186,99 @@ class ShardQueryActor:
             mask[t["doc_id"].to_numpy().astype(np.int64) - lo] = True
             self._masks[key] = mask
         return mask
+
+    def _matched_local(self, query: str) -> np.ndarray:
+        """Match-any (OR) doc offsets WITHIN this shard, live only —
+        the facet candidate set, mirroring ``facets.match_doc_ids``
+        but decoding only the posting blocks overlapping the range."""
+        lo, hi = self.reader.doc_lo, self.reader.doc_hi
+        parts = []
+        for term in set(self.analyzer(query)):
+            tp = self.reader.postings(term)
+            if tp is None:
+                continue
+            ids, _ = tp.decode_range(lo, hi)
+            if len(ids):
+                parts.append(ids.astype(np.int64) - lo)
+        if not parts:
+            return np.empty(0, np.int64)
+        matched = np.unique(np.concatenate(parts))
+        if self._live is not None:
+            matched = matched[self._live[matched]]
+        return matched
+
+    def _col_slice(self, col: str):
+        """This shard's doc-range slice of stored column ``col``,
+        aligned so position ``i`` holds doc ``lo + i``'s value — read
+        ONCE from the docs store (row-group stats prune the scan to
+        the shard's range) and memoized for the actor's lifetime.
+        The corpus-wide column state lives sharded with the fleet."""
+        import pyarrow as pa
+
+        arr = self._cols.get(col)
+        if arr is None:
+            import os
+
+            import pyarrow.dataset as pads
+
+            lo, hi = self.reader.doc_lo, self.reader.doc_hi
+            dset = pads.dataset(
+                os.path.join(self.reader.index_dir, "docs"), partitioning="hive"
+            )
+            t = dset.to_table(
+                filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),
+                columns=["doc_id", col],
+            )
+            if t.num_rows != hi - lo:
+                raise ValueError(
+                    f"docs store has {t.num_rows} rows in [{lo}, {hi}) — "
+                    f"expected {hi - lo} (one per doc id)"
+                )
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            perm = np.empty(hi - lo, np.int64)
+            perm[ids - lo] = np.arange(hi - lo)
+            arr = t[col].combine_chunks().take(pa.array(perm))
+            self._cols[col] = arr
+        return arr
+
+    def facet_terms_partial(self, query: str, col: str):
+        """Per-key matched-doc counts within this shard →
+        ``(value:string, partial:int64)``; counts over disjoint doc
+        ranges SUM exactly, so the service-side merge reproduces
+        ``facets.terms_facet`` bit-for-bit."""
+        import pyarrow as pa
+
+        matched = self._matched_local(query)
+        if not len(matched):
+            return pa.table(
+                {"value": pa.array([], pa.string()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        keys = self._col_slice(col).take(pa.array(matched))
+        agg = pa.table({"value": keys}).group_by("value").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "value": agg["value"].cast(pa.string()),
+                "partial": agg["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def facet_stats_partial(self, query: str, col: str) -> tuple:
+        """``(n, min, max, sum)`` of numeric column ``col`` over this
+        shard's matches — one constant-size tuple per shard; count/sum
+        add and min/max fold exactly across disjoint ranges."""
+        matched = self._matched_local(query)
+        if not len(matched):
+            return (0, None, None, None)
+        import pyarrow as pa
+
+        v = (
+            self._col_slice(col)
+            .take(pa.array(matched))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return (len(v), float(v.min()), float(v.max()), float(v.sum()))
 
     def filtered_topk_partial(
         self, query: str, predicate: tuple, k: int = 10
@@ -258,6 +352,66 @@ class ShardedQueryService:
 
         parts = ray.get([a.phrase_partial.remote(query) for a in self._actors])
         return [hit for part in parts for hit in part]
+
+    def terms_facet(self, query: str, col: str, size: int | None = None):
+        """OpenSearch-style ``terms`` aggregation over the matched set,
+        computed PER SHARD and merged exactly (counts over disjoint doc
+        ranges sum) → ``(value, n_docs)``, count desc / value asc —
+        bit-identical to ``facets.terms_facet`` on a local reader, at
+        1/n_shards of the per-actor work and with the docs-store column
+        slice cached in each shard after the first facet query."""
+        import pyarrow as pa
+        import ray
+
+        parts = ray.get(
+            [a.facet_terms_partial.remote(query, col) for a in self._actors]
+        )
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return pa.table(
+                {"value": pa.array([], pa.string()),
+                 "n_docs": pa.array([], pa.int64())}
+            )
+        t = pa.concat_tables(parts, promote_options="default")
+        agg = t.group_by("value").aggregate([("partial", "sum")])
+        out = pa.table(
+            {"value": agg["value"], "n_docs": agg["partial_sum"].cast(pa.int64())}
+        ).sort_by([("n_docs", "descending"), ("value", "ascending")])
+        return out.slice(0, size) if size is not None else out
+
+    def stats_facet(self, query: str, col: str):
+        """``stats`` aggregation over the matched set — per-shard
+        constant-size ``(n, min, max, sum)`` partials folded on the
+        caller → one row ``(n_docs, min_v, max_v, sum_v, avg_v)``,
+        the schema of ``facets.stats_facet``."""
+        import pyarrow as pa
+        import ray
+
+        parts = ray.get(
+            [a.facet_stats_partial.remote(query, col) for a in self._actors]
+        )
+        parts = [p for p in parts if p[0]]
+        n = sum(p[0] for p in parts)
+        if n == 0:
+            return pa.table(
+                {
+                    "n_docs": pa.array([0], pa.int64()),
+                    "min_v": pa.array([None], pa.float64()),
+                    "max_v": pa.array([None], pa.float64()),
+                    "sum_v": pa.array([None], pa.float64()),
+                    "avg_v": pa.array([None], pa.float64()),
+                }
+            )
+        sm = float(sum(p[3] for p in parts))
+        return pa.table(
+            {
+                "n_docs": pa.array([n], pa.int64()),
+                "min_v": pa.array([min(p[1] for p in parts)], pa.float64()),
+                "max_v": pa.array([max(p[2] for p in parts)], pa.float64()),
+                "sum_v": pa.array([sm], pa.float64()),
+                "avg_v": pa.array([sm / n], pa.float64()),
+            }
+        )
 
     def filtered_topk(
         self, query: str, predicate: tuple, k: int = 10

@@ -1167,3 +1167,68 @@ def test_all_query_surfaces_exclude_tombstones(built, ray_session, tmp_path):
     from docs_indexer_ray.query.multimatch import cross_fields_topk
 
     assert victim not in {d for d, _ in cross_fields_topk(fields, "node pools", k=50)}
+
+
+def test_sharded_facets_match_local(built, ray_session):
+    """Serving-tier facets: per-shard matched counts over disjoint doc
+    ranges sum to EXACTLY the Ray-Data ``terms_facet`` (same schema,
+    same count-desc/value-asc order), and the per-shard constant-size
+    stats partials fold to the brute-force numbers."""
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from docs_indexer_ray.query.facets import match_doc_ids, terms_facet
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    reader, _ = built
+    query, col = "node quota", "lang"
+    docs_dir = os.path.join(reader.index_dir, "docs")
+    matched = match_doc_ids(reader, query.split())
+
+    ds = ray.data.read_parquet(docs_dir, columns=["doc_id", col])
+    want = terms_facet(ds, matched, col)
+
+    svc = ShardedQueryService(
+        os.path.dirname(reader.index_dir), n_shards=3, chain="simple"
+    )
+    try:
+        got = svc.terms_facet(query, col)
+        assert got.to_pylist() == want.to_pylist()
+        # memoized column slice: a second call returns the same thing
+        assert svc.terms_facet(query, col, size=2).to_pylist() == want.to_pylist()[:2]
+        # brute-force independent check
+        t = pads.dataset(docs_dir, partitioning="hive").to_table(
+            columns=["doc_id", col]
+        )
+        key_of = dict(zip(t["doc_id"].to_pylist(), t[col].to_pylist()))
+        brute: dict = {}
+        for d in matched.tolist():
+            brute[key_of[d]] = brute.get(key_of[d], 0) + 1
+        assert dict(zip(got["value"].to_pylist(), got["n_docs"].to_pylist())) == brute
+
+        # stats over a numeric-castable stored field
+        import numpy as np
+
+        ts = pads.dataset(docs_dir, partitioning="hive").to_table(
+            columns=["doc_id", "warc_ts"]
+        )
+        ts_of = dict(
+            zip(ts["doc_id"].to_pylist(), ts["warc_ts"].cast(pa.int64()).to_pylist())
+        )
+        vals = np.array([ts_of[d] for d in matched.tolist()], np.float64)
+        st = svc.stats_facet(query, "warc_ts")
+        assert st["n_docs"][0].as_py() == len(vals)
+        assert st["min_v"][0].as_py() == pytest.approx(vals.min())
+        assert st["max_v"][0].as_py() == pytest.approx(vals.max())
+        assert st["sum_v"][0].as_py() == pytest.approx(vals.sum())
+        assert st["avg_v"][0].as_py() == pytest.approx(vals.mean())
+
+        # no-hit query → empty terms facet / null stats, right schemas
+        empty = svc.terms_facet("zzzunseen", col)
+        assert empty.num_rows == 0 and empty.column_names == ["value", "n_docs"]
+        st0 = svc.stats_facet("zzzunseen", "warc_ts")
+        assert st0["n_docs"][0].as_py() == 0 and st0["avg_v"][0].as_py() is None
+    finally:
+        svc.shutdown()
