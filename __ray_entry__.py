@@ -1052,6 +1052,32 @@ def q_bm25_bool(sf_dir: str) -> pa.Table:
     )
 
 
+def q_query_string(sf_dir: str) -> pa.Table:
+    """Lucene/OpenSearch ``query_string`` syntax end-to-end
+    (`query/qstring.py`): ``+table -hash (merge OR slow^2) "table
+    scan"`` — a required term, a prohibited term, a boosted OR group
+    and a phrase clause, parsed and lowered onto the engine's bool /
+    phrase scorers.  Score = bm25(table) + bm25(merge) + 2·bm25(slow)
+    + phrase-pseudo-term score, over docs containing 'table' and not
+    'hash'; ranking key quantized 1e-9 (both sides)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.qstring import query_string_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(
+        sf_dir, chain="simple", field="body", store_positions=True
+    )
+    hits = query_string_topk(
+        IndexReader(root), '+table -hash (merge OR slow^2) "table scan"', k=10
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
 def q_boosting(sf_dir: str) -> pa.Table:
     """OpenSearch ``boosting`` query (`query/bm25.py::boosting_topk`):
     rank by BM25 over positive terms 'merge'+'slow', demoting docs
@@ -3192,6 +3218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_bool": q_bm25_bool,
         "rank_eval": q_rank_eval,
         "boosting": q_boosting,
+        "query_string": q_query_string,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
         "bm25_topk_merged": q_bm25_topk_merged,
@@ -4282,6 +4309,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
                CAST(doc_id AS BIGINT) AS doc_id
         FROM boosted ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    sqls["query_string"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('table', 'merge', 'slow', 'scan') GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        wts(term, w) AS (VALUES ('table', 1.0), ('merge', 1.0), ('slow', 2.0)),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(wts.w * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN wts USING (term) JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id),
+        tokpos AS (SELECT doc_id, unnest({toks_body}) AS term,
+                          generate_subscripts({toks_body}, 1) AS pos FROM docs),
+        pf AS (SELECT a.doc_id, count(*) AS pf
+               FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               WHERE a.term = 'table' AND b.term = 'scan' GROUP BY a.doc_id),
+        pidf AS (SELECT SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))) AS idf
+                 FROM df, stats WHERE df.term IN ('table', 'scan')),
+        pscores AS (
+          SELECT pf.doc_id,
+                 pidf.idf * pf.pf
+                   / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS pscore
+          FROM pf JOIN dl USING (doc_id), pidf, stats),
+        must_hit AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'table'),
+        excl AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash'),
+        hits AS (SELECT m.doc_id,
+                        COALESCE(s.score, 0.0) + COALESCE(p.pscore, 0.0) AS score
+                 FROM must_hit m
+                 LEFT JOIN scores s USING (doc_id)
+                 LEFT JOIN pscores p USING (doc_id)
+                 WHERE m.doc_id NOT IN (SELECT doc_id FROM excl))
+        SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM hits ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
     """
     sqls["bm25_bool"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -1,0 +1,460 @@
+"""Lucene/OpenSearch ``query_string`` mini-language over the engine.
+
+The reference's search UI talks to OpenSearch, whose user-facing query
+box is the Lucene ``query_string`` syntax (``hugo`` docs are queried
+through it in production deployments of the reference stack).  This
+module parses a practical subset of that grammar and lowers it onto
+the engine's existing scorers — nothing here re-implements scoring;
+every leaf delegates to the already-oracled kernels:
+
+===================  =============================================
+syntax               lowered onto
+===================  =============================================
+``a b``              bool should (``bm25.bool_topk`` semantics)
+``a AND b`` ``&&``   bool must
+``a OR b`` ``||``    bool should (minimum_should_match = 1)
+``NOT a`` ``!a``     bool must_not
+``+a`` / ``-a``      must / must_not within the enclosing group
+``"a b"`` ``~s``     phrase / sloppy phrase (``phrase.match_phrase`` /
+                     ``match_phrase_slop``; Lucene phrase scoring:
+                     one pseudo-term, ``tf = phrase_freq``,
+                     ``idf = Σ idf(term_i)`` — ``phrase.phrase_topk``)
+``term~`` ``~1``     fuzzy, Lucene ``SynonymQuery`` blending over the
+                     expansions (``fuzzy.fuzzy_expand``; tf sum,
+                     df max — the engine's documented fuzzy scoring)
+``wi*d`` ``w?d``     wildcard, CONSTANT-SCORE rewrite (Lucene's
+                     default for multi-term queries): boost per match
+``term^2`` ``(…)^2`` boost — multiplies the clause's contribution
+``( … )``            grouping
+===================  =============================================
+
+Grammar (clean precedence — Lucene's own parser has documented
+position-dependent quirks around mixed ``a b AND c`` input; this
+implementation uses the unambiguous ladder instead and documents the
+divergence):
+
+.. code-block:: text
+
+    query   := or_expr
+    or_expr := and_expr ((OR | adjacency when default_operator=or) and_expr)*
+    and_expr:= unary    ((AND | adjacency when default_operator=and) unary)*
+    unary   := (NOT | !) unary | (+ | -)? primary (^ boost)?
+    primary := '(' query ')' | '"…"' (~slop)? | word (~edits?)?
+
+Evaluation invariant: every node returns a dense ``(scores, match)``
+pair with ``scores`` zeroed outside ``match`` — parents therefore sum
+exactly the matching scoring clauses (modern Lucene: no coord).  A
+bool group with only prohibited clauses matches nothing (Lucene
+``BooleanQuery`` semantics).  Tombstoned docs are masked once at the
+top.  The dense pass is the same O(n_docs) TAAT regime as
+``bm25.bool_topk`` — per-doc-local with global statistics, so the
+sharded tier's disjoint doc ranges compose it exactly.
+
+Analysis: each bare word runs through the reader's analyzer chain
+(the vocabulary lives in analyzer space); a word that analyzes to
+multiple tokens becomes a phrase (Lucene's behavior for multi-token
+analysis), a stopword-dropped word vanishes from the group.  Wildcard
+and fuzzy patterns are lowercased but NOT analyzed (analyzers would
+destroy the pattern) — Lucene's multi-term-query rule.
+
+Final ranking keys are quantized to 1e-9 (the established oracle
+trick) so a SQL replay's SUM association cannot flip near-ties.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["parse_query_string", "query_string_topk", "QueryStringError"]
+
+
+class QueryStringError(ValueError):
+    """Malformed query-string input (unbalanced parens, dangling
+    operator, empty group…)."""
+
+
+# ---------------------------------------------------------------- lexer
+
+_WORD_RE = re.compile(r'[^\s()"^~]+')
+_QUOTED_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
+_NUM_RE = re.compile(r"\d+(?:\.\d+)?")
+
+
+def _lex(qs: str) -> list[tuple[str, object]]:
+    """``(kind, value)`` tokens: LP RP AND OR NOT PLUS MINUS
+    PHRASE(text, slop) WORD(text, fuzzy) CARET(float)."""
+    out: list[tuple[str, object]] = []
+    i, n = 0, len(qs)
+    while i < n:
+        c = qs[i]
+        if c.isspace():
+            i += 1
+        elif c == "(":
+            out.append(("LP", None))
+            i += 1
+        elif c == ")":
+            out.append(("RP", None))
+            i += 1
+        elif c == "^":
+            m = _NUM_RE.match(qs, i + 1)
+            if not m:
+                raise QueryStringError(f"'^' without a boost number at col {i}")
+            out.append(("CARET", float(m.group())))
+            i = m.end()
+        elif c == "~":
+            m = _NUM_RE.match(qs, i + 1)
+            out.append(("TILDE", float(m.group()) if m else None))
+            i = m.end() if m else i + 1
+        elif c == '"':
+            m = _QUOTED_RE.match(qs, i)
+            if not m:
+                raise QueryStringError(f"unterminated quote at col {i}")
+            out.append(("PHRASE", m.group(1).replace('\\"', '"')))
+            i = m.end()
+        elif c == "+":
+            out.append(("PLUS", None))
+            i += 1
+        elif c == "-":
+            out.append(("MINUS", None))
+            i += 1
+        elif c == "!":
+            out.append(("NOT", None))
+            i += 1
+        elif qs.startswith("&&", i):
+            out.append(("AND", None))
+            i += 2
+        elif qs.startswith("||", i):
+            out.append(("OR", None))
+            i += 2
+        else:
+            m = _WORD_RE.match(qs, i)
+            if not m:  # pragma: no cover — every char class is handled
+                raise QueryStringError(f"cannot lex {qs[i:]!r}")
+            w = m.group()
+            if w == "AND":
+                out.append(("AND", None))
+            elif w == "OR":
+                out.append(("OR", None))
+            elif w == "NOT":
+                out.append(("NOT", None))
+            else:
+                out.append(("WORD", w))
+            i = m.end()
+    return out
+
+
+# ------------------------------------------------------------------ AST
+
+
+@dataclass
+class _Term:
+    term: str
+    boost: float = 1.0
+
+
+@dataclass
+class _Phrase:
+    terms: list[str]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass
+class _Fuzzy:
+    token: str
+    max_edits: int | None  # None → AUTO
+    boost: float = 1.0
+
+
+@dataclass
+class _Wildcard:
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass
+class _Bool:
+    must: list = field(default_factory=list)
+    should: list = field(default_factory=list)
+    must_not: list = field(default_factory=list)
+    boost: float = 1.0
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, object]], analyzer, default_operator: str):
+        self.toks = toks
+        self.pos = 0
+        self.analyzer = analyzer
+        self.default_and = default_operator == "and"
+
+    def _peek(self) -> str | None:
+        return self.toks[self.pos][0] if self.pos < len(self.toks) else None
+
+    def _take(self):
+        tok = self.toks[self.pos]
+        self.pos += 1
+        return tok
+
+    # (sign, node) — sign: "+", "-", "" (NOT folds into "-")
+    def parse(self):
+        node = self._or_expr()
+        if self.pos != len(self.toks):
+            raise QueryStringError(f"unexpected {self.toks[self.pos][0]} after query")
+        return node
+
+    def _or_expr(self):
+        children = [self._and_expr()]
+        while True:
+            kind = self._peek()
+            if kind == "OR":
+                self._take()
+                children.append(self._and_expr())
+            elif not self.default_and and kind in (
+                "WORD", "PHRASE", "LP", "PLUS", "MINUS", "NOT",
+            ):
+                children.append(self._and_expr())  # adjacency = OR
+            else:
+                break
+        children = [c for c in children if c is not None]
+        if not children:
+            return None
+        if len(children) == 1 and children[0][0] == "":
+            return children[0][1]
+        b = _Bool()
+        for sign, node in children:
+            (b.must if sign == "+" else b.must_not if sign == "-" else b.should).append(
+                node
+            )
+        return b
+
+    def _and_expr(self):
+        """One AND chain → a single signed clause for the OR level."""
+        first = self._unary()
+        parts = [first]
+        while True:
+            kind = self._peek()
+            if kind == "AND":
+                self._take()
+                parts.append(self._unary())
+            elif self.default_and and kind in (
+                "WORD", "PHRASE", "LP", "PLUS", "MINUS", "NOT",
+            ):
+                parts.append(self._unary())  # adjacency = AND
+            else:
+                break
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        b = _Bool()
+        for sign, node in parts:
+            (b.must_not if sign == "-" else b.must).append(node)
+        # an all-negative AND chain stays a valid Bool — it simply
+        # matches nothing (Lucene BooleanQuery semantics)
+        return ("", b)
+
+    def _unary(self):
+        kind = self._peek()
+        if kind in ("NOT",):
+            self._take()
+            inner = self._unary()
+            if inner is None:
+                raise QueryStringError("dangling NOT")
+            sign, node = inner
+            return ("-" if sign != "-" else "+", node)
+        sign = ""
+        if kind == "PLUS":
+            self._take()
+            sign = "+"
+        elif kind == "MINUS":
+            self._take()
+            sign = "-"
+        node = self._primary()
+        if node is None:
+            if sign:
+                raise QueryStringError(f"dangling '{sign}'")
+            return None
+        # boost suffix
+        if self._peek() == "CARET":
+            _, boost = self._take()
+            node.boost *= float(boost)
+        return (sign, node)
+
+    def _primary(self):
+        kind = self._peek()
+        if kind == "LP":
+            self._take()
+            inner = self._or_expr()
+            if self._peek() != "RP":
+                raise QueryStringError("unbalanced '('")
+            self._take()
+            if inner is None:
+                raise QueryStringError("empty group '()'")
+            return inner
+        if kind == "PHRASE":
+            _, text = self._take()
+            slop = 0
+            if self._peek() == "TILDE":
+                _, val = self._take()
+                slop = int(val or 0)
+            terms = self.analyzer(text)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return _Term(terms[0])
+            return _Phrase(terms, slop=slop)
+        if kind == "WORD":
+            _, w = self._take()
+            if self._peek() == "TILDE":
+                _, val = self._take()
+                return _Fuzzy(w.lower(), None if val is None else int(val))
+            if "*" in w or "?" in w:
+                return _Wildcard(w.lower())
+            toks = self.analyzer(w)
+            if not toks:
+                return None
+            if len(toks) == 1:
+                return _Term(toks[0])
+            return _Phrase(toks, slop=0)
+        raise QueryStringError(f"unexpected {kind or 'end of input'}")
+
+
+def parse_query_string(qs: str, analyzer, default_operator: str = "or"):
+    """Parse ``qs`` into the AST (``_Bool``/``_Term``/… nodes).
+    ``analyzer`` maps raw text → token list (``functions.analyzer``).
+    Raises :class:`QueryStringError` on malformed input or a query
+    whose every clause analyzed away."""
+    if default_operator not in ("or", "and"):
+        raise QueryStringError(f"default_operator must be 'or'|'and': {default_operator}")
+    node = _Parser(_lex(qs), analyzer, default_operator).parse()
+    if node is None:
+        raise QueryStringError("query analyzed to no clauses")
+    return node
+
+
+# ------------------------------------------------------------ evaluator
+
+
+def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
+    """Dense ``(scores float64[n_docs], match bool[n_docs])`` with
+    scores zeroed outside match — see the module invariant."""
+    from .bm25 import bm25_scores_dense
+
+    n = reader.n_docs
+    if isinstance(node, _Term):
+        scores = bm25_scores_dense(reader, [node.term]) * node.boost
+        return scores, scores > 0.0
+    if isinstance(node, _Phrase):
+        from .phrase import match_phrase, match_phrase_slop
+
+        hits = (
+            match_phrase(reader, node.terms)
+            if node.slop == 0
+            else match_phrase_slop(reader, node.terms, slop=node.slop)
+        )
+        scores = np.zeros(n, np.float64)
+        match = np.zeros(n, bool)
+        if hits:
+            import math
+
+            from .bm25 import bm25_idf
+
+            idf = sum(bm25_idf(n, reader.term_df(t)) for t in node.terms)
+            avgdl = reader.avgdl or 1.0
+            docs = np.array([d for d, _ in hits], np.int64)
+            pf = np.array([f for _, f in hits], np.float64)
+            dl = np.asarray(reader.doclens[docs], np.float64)
+            scores[docs] = (
+                node.boost * idf * pf / (pf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+            )
+            match[docs] = True
+        return scores, match
+    if isinstance(node, _Fuzzy):
+        from .bm25 import _k_factor, bm25_idf
+        from .fuzzy import fuzzy_expand
+
+        exp = fuzzy_expand(reader, node.token, max_edits=node.max_edits)
+        scores = np.zeros(n, np.float64)
+        tfacc = np.zeros(n, np.float64)
+        dfmax = 0
+        for term, _, df in exp:
+            tp = reader.postings(term)
+            if tp is None:
+                continue
+            ids, tfs = tp.decode_all()
+            tfacc[ids] += tfs
+            dfmax = max(dfmax, df)
+        match = tfacc > 0.0
+        if dfmax:
+            docs = np.flatnonzero(match)
+            tf = tfacc[docs]
+            dl = np.asarray(reader.doclens[docs], np.float64)
+            avgdl = reader.avgdl or 1.0
+            scores[docs] = (
+                node.boost
+                * bm25_idf(n, dfmax)
+                * tf
+                / (tf + _k_factor(dl, avgdl, 1.2, 0.75))
+            )
+        return scores, match
+    if isinstance(node, _Wildcard):
+        from .facets import match_doc_ids
+        from .fuzzy import wildcard_terms
+
+        terms = [t for t, _ in wildcard_terms(reader, node.pattern)]
+        match = np.zeros(n, bool)
+        if terms:
+            match[match_doc_ids(reader, terms)] = True
+        scores = np.where(match, node.boost, 0.0)
+        return scores, match
+    if isinstance(node, _Bool):
+        scores = np.zeros(n, np.float64)
+        if not node.must and not node.should:
+            return scores, np.zeros(n, bool)  # only-prohibited → matches nothing
+        match = np.ones(n, bool)
+        for child in node.must:
+            s, m = _eval(reader, child)
+            scores += s
+            match &= m
+        if node.should:
+            any_should = np.zeros(n, bool)
+            for child in node.should:
+                s, m = _eval(reader, child)
+                scores += s
+                any_should |= m
+            if not node.must:
+                match &= any_should  # pure-should bool needs ≥1 hit
+        for child in node.must_not:
+            _, m = _eval(reader, child)
+            match &= ~m
+        scores = np.where(match, scores * node.boost, 0.0)
+        return scores, match
+    raise TypeError(f"unknown node {node!r}")  # pragma: no cover
+
+
+def query_string_topk(
+    reader,
+    qs: str,
+    k: int = 10,
+    default_operator: str = "or",
+    analyzer=None,
+) -> list[tuple[int, float]]:
+    """Top-k ``(doc_id, score)`` for a ``query_string`` input — parse,
+    lower onto the engine's scorers, one dense evaluation, tombstones
+    masked, ranking key quantized 1e-9 (score desc, doc asc)."""
+    from .bm25 import _zero_deleted
+
+    if analyzer is None:
+        from ..functions.analyzer import Analyzer
+
+        analyzer = Analyzer(reader.chain)
+    node = parse_query_string(qs, analyzer, default_operator)
+    scores, match = _eval(reader, node)
+    scores = _zero_deleted(reader, np.where(match, scores, 0.0))
+    matched = np.flatnonzero(scores > 0.0)
+    ranked = sorted((-round(float(scores[d]), 9), int(d)) for d in matched.tolist())
+    return [(d, -negs) for negs, d in ranked[:k]]

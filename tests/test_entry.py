@@ -159,6 +159,7 @@ SQL_BACKED = [
     "textcat",
     "warc_ingest",
     "jsonl_ingest",
+    "query_string",
     "bm25_multimatch",
     "bm25_multimatch_best",
     "bm25_multimatch_cross",
