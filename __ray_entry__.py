@@ -916,6 +916,24 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_search_fetch(sf_dir: str) -> pa.Table:
+    """OpenSearch query-then-fetch response assembly
+    (`query/search.py::search_response`): rank the flagship terms via
+    the query_string path, then fetch the STORED url for only the k
+    hits (row-group-pruned) — the `_search` hits shape the reference's
+    docs UI consumes (rank, doc_id, _source.url).  Scores stay
+    engine-side; the oracle replays rank + the stored-field join."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.search import search_response
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    t = search_response(
+        IndexReader(root), "table scan merge slow", k=10, fields=("url",)
+    )
+    return t.select(["rank", "doc_id", "url"])
+
+
 def q_collapse(sf_dir: str) -> pa.Table:
     """OpenSearch ``collapse`` (field collapsing): the flagship BM25
     top-10 keeping only the BEST hit per ``documents.source`` (one
@@ -3219,6 +3237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval": q_rank_eval,
         "boosting": q_boosting,
         "query_string": q_query_string,
+        "search_fetch": q_search_fetch,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
         "bm25_topk_merged": q_bm25_topk_merged,
@@ -4309,6 +4328,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
                CAST(doc_id AS BIGINT) AS doc_id
         FROM boosted ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    sqls["search_fetch"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id),
+        hits AS (SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+                        doc_id
+                 FROM scores ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10)
+        SELECT rank, CAST(doc_id AS BIGINT) AS doc_id, {_URL} AS url
+        FROM hits ORDER BY rank
     """
     sqls["query_string"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -69,10 +69,15 @@ def best_snippet(
     width: int = 160,
     pre: str = "<em>",
     post: str = "</em>",
+    terms: set[str] | None = None,
 ) -> str:
     """The densest ``width``-char window of matches, highlighted —
-    what a result page shows under each hit."""
-    terms = set(Analyzer(chain)(query))
+    what a result page shows under each hit.  Pass ``terms`` to skip
+    the analyzer and highlight a precomputed analyzer-space term set
+    (the query_string path, where raw query text contains syntax and
+    must_not terms that should NOT light up)."""
+    if terms is None:
+        terms = set(Analyzer(chain)(query))
     spans = match_spans(text, terms, chain)
     if not spans:
         return text[:width]

@@ -68,7 +68,12 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["parse_query_string", "query_string_topk", "QueryStringError"]
+__all__ = [
+    "parse_query_string",
+    "positive_terms",
+    "query_string_topk",
+    "QueryStringError",
+]
 
 
 class QueryStringError(ValueError):
@@ -334,6 +339,26 @@ def parse_query_string(qs: str, analyzer, default_operator: str = "or"):
     if node is None:
         raise QueryStringError("query analyzed to no clauses")
     return node
+
+
+def positive_terms(node) -> set[str]:
+    """Analyzer-space terms from the SCORING (non-negated) branches —
+    the highlightable set for a parsed query: ``_Term`` terms and
+    ``_Phrase`` members from must/should subtrees; ``must_not``
+    branches are skipped (a prohibited term never lights up in a
+    snippet), fuzzy/wildcard leaves contribute nothing (their
+    expansions are index-dependent — documented limitation)."""
+    out: set[str] = set()
+    if isinstance(node, _Term):
+        out.add(node.term)
+    elif isinstance(node, _Phrase):
+        out.update(node.terms)
+    elif isinstance(node, _Bool):
+        for child in node.must:
+            out |= positive_terms(child)
+        for child in node.should:
+            out |= positive_terms(child)
+    return out
 
 
 # ------------------------------------------------------------ evaluator

@@ -1,0 +1,119 @@
+"""Search-response assembly — OpenSearch's two-phase query-then-fetch.
+
+The reference's consumers never see raw ``(doc_id, score)`` pairs:
+OpenSearch answers ``_search`` with assembled hits — rank, score,
+``_source`` stored fields and a highlight snippet per hit (the docs
+site renders url/title/breadcrumb + snippet from exactly that shape;
+``/root/reference/hugo.py`` feeds ``uri``/``title``/``body`` for this
+purpose).  This module rebuilds the response surface on the engine:
+
+* :func:`search_response` — the LOCAL assembly: rank the query
+  (full ``query_string`` syntax or a plain analyzed term query),
+  fetch stored fields for the k hits only (row-group-pruned
+  ``IndexReader.fetch_docs`` — never a corpus read), and highlight
+  the densest snippet per hit from the query's POSITIVE terms
+  (``qstring.positive_terms`` — prohibited terms never light up).
+* the SHARDED variant lives on ``served.ShardedQueryService.search``:
+  phase 1 is the existing exact per-shard top-k merge, phase 2
+  routes each hit's fetch+highlight to the shard OWNING its doc
+  range (OpenSearch's fetch phase) — document bodies never leave
+  their shard; only k assembled rows travel.
+
+Output schema: ``rank (int64), doc_id (int64), score (float64),
+*fields, snippet (string, when highlighting)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["search_response"]
+
+
+def assemble_hits(
+    reader,
+    hits: list[tuple[int, float]],
+    fields: tuple[str, ...],
+    snippet_terms: set[str] | None,
+    highlight_field: str | None,
+    width: int,
+    chain: str,
+) -> pa.Table:
+    """hits + stored fields (+ snippet) → the response table, in rank
+    order.  Shared by the local path and each shard's fetch phase."""
+    cols: dict[str, pa.Array] = {
+        "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+        "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        "score": pa.array([float(s) for _, s in hits], pa.float64()),
+    }
+    if not hits:
+        out = dict(cols)
+        for f in fields:
+            out[f] = pa.array([], pa.string())
+        if highlight_field is not None:
+            out["snippet"] = pa.array([], pa.string())
+        return pa.table(out)
+    need = list(dict.fromkeys(fields + ((highlight_field,) if highlight_field else ())))
+    fetched = reader.fetch_docs([int(d) for d, _ in hits], ["doc_id"] + need)
+    by_id = {int(i): r for i, r in zip(fetched["doc_id"].to_pylist(), range(fetched.num_rows))}
+    order = [by_id[int(d)] for d, _ in hits]
+    fetched = fetched.take(pa.array(order, pa.int64()))
+    for f in fields:
+        cols[f] = fetched[f].combine_chunks()
+    if highlight_field is not None:
+        from .highlight import best_snippet
+
+        texts = fetched[highlight_field].to_pylist()
+        cols["snippet"] = pa.array(
+            [
+                best_snippet(t or "", "", chain=chain, width=width,
+                             terms=snippet_terms or set())
+                for t in texts
+            ],
+            pa.string(),
+        )
+    return pa.table(cols)
+
+
+def search_response(
+    reader,
+    query: str,
+    k: int = 10,
+    fields: tuple[str, ...] = ("url", "title"),
+    highlight_field: str | None = None,
+    width: int = 160,
+    default_operator: str = "or",
+    syntax: bool = True,
+) -> pa.Table:
+    """The assembled ``_search`` response over a local reader.
+
+    ``syntax=True`` parses ``query`` as the ``query_string`` language
+    (``query/qstring.py``); ``syntax=False`` treats it as plain text —
+    analyzed terms through ``bm25.score_topk``, the engine's standard
+    ``match`` query (exactly the ranking the sharded tier merges, so
+    ``ShardedQueryService.search`` pins identical to this mode)."""
+    from ..functions.analyzer import Analyzer
+    from .qstring import parse_query_string, positive_terms, query_string_topk
+
+    analyzer = Analyzer(reader.chain)
+    if syntax:
+        hits = query_string_topk(
+            reader, query, k=k, default_operator=default_operator, analyzer=analyzer
+        )
+        terms = positive_terms(parse_query_string(query, analyzer, default_operator))
+    else:
+        from .bm25 import score_topk
+
+        terms_list = analyzer(query)
+        hits = score_topk(reader, terms_list, k=k)
+        terms = set(terms_list)
+    return assemble_hits(
+        reader,
+        hits,
+        tuple(fields),
+        terms if highlight_field else None,
+        highlight_field,
+        width,
+        reader.chain,
+    )

@@ -280,6 +280,45 @@ class ShardQueryActor:
         )
         return (len(v), float(v.min()), float(v.max()), float(v.sum()))
 
+    def fetch_partial(
+        self,
+        doc_ids: list[int],
+        fields: tuple[str, ...],
+        query: str | None = None,
+        highlight_field: str | None = None,
+        width: int = 160,
+    ):
+        """OpenSearch's FETCH phase, shard-local: stored fields (+ the
+        densest highlighted snippet) for hits this shard OWNS —
+        document bodies never leave the shard; only the assembled rows
+        travel.  ``query`` (analyzed with this shard's chain) drives
+        the snippet term set."""
+        import pyarrow as pa
+
+        need = list(
+            dict.fromkeys(
+                list(fields) + ([highlight_field] if highlight_field else [])
+            )
+        )
+        t = self.reader.fetch_docs([int(d) for d in doc_ids], ["doc_id"] + need)
+        cols = {"doc_id": t["doc_id"].cast(pa.int64())}
+        for f in fields:
+            cols[f] = t[f].combine_chunks()
+        if highlight_field is not None:
+            from .highlight import best_snippet
+
+            terms = set(self.analyzer(query or ""))
+            cols["snippet"] = pa.array(
+                [
+                    best_snippet(
+                        x or "", "", chain=self.reader.chain, width=width, terms=terms
+                    )
+                    for x in t[highlight_field].to_pylist()
+                ],
+                pa.string(),
+            )
+        return pa.table(cols)
+
     def filtered_topk_partial(
         self, query: str, predicate: tuple, k: int = 10
     ) -> list[tuple[int, float]]:
@@ -328,6 +367,7 @@ class ShardedQueryService:
         n_shards = max(1, min(n_shards, max(1, n_docs)))
         bounds = np.linspace(0, n_docs, n_shards + 1).astype(np.int64)
         actor_cls = ray.remote(num_cpus=num_cpus)(ShardQueryActor)
+        self._bounds = bounds
         self._actors = [
             actor_cls.remote(index_root, int(bounds[i]), int(bounds[i + 1]), chain)
             for i in range(n_shards)
@@ -352,6 +392,58 @@ class ShardedQueryService:
 
         parts = ray.get([a.phrase_partial.remote(query) for a in self._actors])
         return [hit for part in parts for hit in part]
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        fields: tuple[str, ...] = ("url", "title"),
+        highlight_field: str | None = None,
+        width: int = 160,
+    ):
+        """OpenSearch two-phase QUERY-THEN-FETCH on the fleet: phase 1
+        is the exact cross-shard top-k merge; phase 2 routes each
+        hit's stored-field fetch + snippet highlight to the shard that
+        OWNS its doc range — fetch work (and the memoized docs-slice
+        reads behind it) stays sharded with the fleet, and the shards
+        serve their hits concurrently.  Returns the assembled response
+        table ``(rank, doc_id, score, *fields[, snippet])`` — pinned
+        identical to the local :func:`query.search.search_response`
+        in plain-match mode."""
+        import pyarrow as pa
+        import ray
+
+        hits = self.topk(query, k)
+        # route hits to owning shards (bounds are sorted, right-open)
+        per_shard: dict[int, list[int]] = {}
+        for d, _ in hits:
+            s = int(np.searchsorted(self._bounds, d, side="right")) - 1
+            per_shard.setdefault(s, []).append(d)
+        parts = ray.get(
+            [
+                self._actors[s].fetch_partial.remote(
+                    ids, tuple(fields), query, highlight_field, width
+                )
+                for s, ids in per_shard.items()
+            ]
+        )
+        cols: dict[str, pa.Array] = {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+            "score": pa.array([float(s) for _, s in hits], pa.float64()),
+        }
+        extra = list(fields) + (["snippet"] if highlight_field else [])
+        if not hits:
+            for f in extra:
+                cols[f] = pa.array([], pa.string())
+            return pa.table(cols)
+        fetched = pa.concat_tables(parts, promote_options="default")
+        row_of = {int(i): r for r, i in enumerate(fetched["doc_id"].to_pylist())}
+        order = pa.array([row_of[int(d)] for d, _ in hits], pa.int64())
+        fetched = fetched.take(order)
+        for f in extra:
+            cols[f] = fetched[f].combine_chunks()
+        return pa.table(cols)
 
     def terms_facet(self, query: str, col: str, size: int | None = None):
         """OpenSearch-style ``terms`` aggregation over the matched set,

@@ -160,6 +160,7 @@ SQL_BACKED = [
     "warc_ingest",
     "jsonl_ingest",
     "query_string",
+    "search_fetch",
     "bm25_multimatch",
     "bm25_multimatch_best",
     "bm25_multimatch_cross",

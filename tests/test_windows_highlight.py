@@ -321,3 +321,61 @@ def test_sharded_phrase_matches_local_reader(ray_session, tmp_path, n_shards):
         assert svc.match_phrase("node pools") == want
     finally:
         svc.shutdown()
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_search_matches_local_response(ray_session, tmp_path, n_shards):
+    """Two-phase query-then-fetch on the fleet ≡ the local
+    search_response assembly (plain-match mode), including stored
+    fields and per-hit snippets — and the query_string path highlights
+    only POSITIVE terms."""
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.search import search_response
+    from docs_indexer_ray.query.served import ShardedQueryService
+    from docs_indexer_ray.synth import rich_pages_table
+
+    root = str(tmp_path / "sridx")
+    build_index(
+        ray.data.from_arrow(rich_pages_table(90, dup_every=0)),
+        root,
+        fingerprint="sr",
+        num_parts=6,
+        chain="simple",
+        field="body",
+        store_positions=True,
+    )
+    reader = IndexReader(root)
+    local = search_response(
+        reader, "node pools quota", k=7, fields=("url", "title"),
+        highlight_field="body", syntax=False,
+    )
+    assert local.column_names == ["rank", "doc_id", "score", "url", "title", "snippet"]
+    assert local.num_rows == 7
+    assert "<em>" in local["snippet"][0].as_py()
+
+    svc = ShardedQueryService(root, n_shards=n_shards, chain="simple")
+    try:
+        sharded = svc.search(
+            "node pools quota", k=7, fields=("url", "title"), highlight_field="body"
+        )
+        assert sharded.to_pylist() == local.to_pylist()
+        # no-hit query → empty response, stable schema
+        empty = svc.search("zzzunseen", k=5, fields=("url",))
+        assert empty.num_rows == 0
+        assert empty.column_names == ["rank", "doc_id", "score", "url"]
+    finally:
+        svc.shutdown()
+
+    # query_string mode: the prohibited term never lights up
+    qs = search_response(
+        reader, '+node -quota "node pools"', k=5, fields=("url",),
+        highlight_field="body",
+    )
+    assert qs.num_rows == 5
+    for snip in qs["snippet"].to_pylist():
+        assert "<em>quota</em>" not in snip
+    # fetch is rank-aligned: doc order matches the hit order
+    assert qs["rank"].to_pylist() == [1, 2, 3, 4, 5]
