@@ -461,6 +461,149 @@ def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
     raise TypeError(f"unknown node {node!r}")  # pragma: no cover
 
 
+def _eval_range(reader, node) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`_eval` restricted to the reader's doc-id range — the
+    SHARD primitive: arrays are shard-sized (``hi - lo``, local index
+    space) and every leaf decodes only its overlapping posting blocks
+    (``decode_range`` / ``match_phrase_range``) while keeping GLOBAL
+    statistics (n_docs, df, avgdl), so per-shard scores are identical
+    to the unsharded ones and a cross-shard top-k merge is exact."""
+    from .bm25 import _k_factor, bm25_idf
+
+    lo, hi = reader.doc_lo, reader.doc_hi
+    n_local = max(0, hi - lo)
+    avgdl = reader.avgdl or 1.0
+    if isinstance(node, _Term):
+        scores = np.zeros(n_local, np.float64)
+        tp = reader.postings(node.term)
+        if tp is not None:
+            ids, tfs = tp.decode_range(lo, hi)
+            if len(ids):
+                idf = bm25_idf(reader.n_docs, tp.df)
+                dl = np.asarray(reader.doclens[ids], np.float64)
+                tf = tfs.astype(np.float64)
+                scores[(ids - np.uint64(lo)).astype(np.int64)] = (
+                    node.boost * idf * tf / (tf + _k_factor(dl, avgdl, 1.2, 0.75))
+                )
+        return scores, scores > 0.0
+    if isinstance(node, _Phrase):
+        from .phrase import match_phrase_range, match_phrase_slop
+
+        if node.slop == 0:
+            hits = match_phrase_range(reader, node.terms)
+        else:
+            # sloppy phrases have no range decode yet — full decode,
+            # then restrict (correct; pays O(cf) instead of O(share))
+            hits = [
+                (d, f)
+                for d, f in match_phrase_slop(reader, node.terms, slop=node.slop)
+                if lo <= d < hi
+            ]
+        scores = np.zeros(n_local, np.float64)
+        match = np.zeros(n_local, bool)
+        if hits:
+            idf = sum(bm25_idf(reader.n_docs, reader.term_df(t)) for t in node.terms)
+            docs = np.array([d for d, _ in hits], np.int64)
+            pf = np.array([f for _, f in hits], np.float64)
+            dl = np.asarray(reader.doclens[docs.astype(np.uint64)], np.float64)
+            scores[docs - lo] = (
+                node.boost * idf * pf / (pf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+            )
+            match[docs - lo] = True
+        return scores, match
+    if isinstance(node, _Fuzzy):
+        from .fuzzy import fuzzy_expand
+
+        exp = fuzzy_expand(reader, node.token, max_edits=node.max_edits)
+        tfacc = np.zeros(n_local, np.float64)
+        dlarr = np.zeros(n_local, np.float64)
+        dfmax = 0
+        for term, _, df in exp:
+            tp = reader.postings(term)
+            if tp is None:
+                continue
+            ids, tfs = tp.decode_range(lo, hi)
+            if len(ids):
+                loc = (ids - np.uint64(lo)).astype(np.int64)
+                tfacc[loc] += tfs
+                dlarr[loc] = np.asarray(reader.doclens[ids], np.float64)
+            dfmax = max(dfmax, df)
+        match = tfacc > 0.0
+        scores = np.zeros(n_local, np.float64)
+        if dfmax:
+            docs = np.flatnonzero(match)
+            tf = tfacc[docs]
+            scores[docs] = (
+                node.boost
+                * bm25_idf(reader.n_docs, dfmax)
+                * tf
+                / (tf + _k_factor(dlarr[docs], avgdl, 1.2, 0.75))
+            )
+        return scores, match
+    if isinstance(node, _Wildcard):
+        from .fuzzy import wildcard_terms
+
+        match = np.zeros(n_local, bool)
+        for term, _ in wildcard_terms(reader, node.pattern):
+            tp = reader.postings(term)
+            if tp is not None:
+                ids, _ = tp.decode_range(lo, hi)
+                if len(ids):
+                    match[(ids - np.uint64(lo)).astype(np.int64)] = True
+        return np.where(match, node.boost, 0.0), match
+    if isinstance(node, _Bool):
+        scores = np.zeros(n_local, np.float64)
+        if not node.must and not node.should:
+            return scores, np.zeros(n_local, bool)
+        match = np.ones(n_local, bool)
+        for child in node.must:
+            s, m = _eval_range(reader, child)
+            scores += s
+            match &= m
+        if node.should:
+            any_should = np.zeros(n_local, bool)
+            for child in node.should:
+                s, m = _eval_range(reader, child)
+                scores += s
+                any_should |= m
+            if not node.must:
+                match &= any_should
+        for child in node.must_not:
+            _, m = _eval_range(reader, child)
+            match &= ~m
+        scores = np.where(match, scores * node.boost, 0.0)
+        return scores, match
+    raise TypeError(f"unknown node {node!r}")  # pragma: no cover
+
+
+def query_string_topk_range(
+    reader,
+    qs: str,
+    k: int = 10,
+    default_operator: str = "or",
+    analyzer=None,
+    live_mask: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """:func:`query_string_topk` over a doc-range shard reader —
+    returns GLOBAL doc ids with quantized scores; per-shard results
+    over disjoint ranges merge exactly (global statistics) via
+    ``bm25.merge_shard_topk``.  ``live_mask`` (bool, shard-local) is
+    the shard's tombstone mask."""
+    if analyzer is None:
+        from ..functions.analyzer import Analyzer
+
+        analyzer = Analyzer(reader.chain)
+    node = parse_query_string(qs, analyzer, default_operator)
+    scores, match = _eval_range(reader, node)
+    scores = np.where(match, scores, 0.0)
+    if live_mask is not None:
+        scores[~live_mask] = 0.0
+    lo = reader.doc_lo
+    matched = np.flatnonzero(scores > 0.0)
+    ranked = sorted((-round(float(scores[d]), 9), int(d)) for d in matched.tolist())
+    return [(d + lo, -negs) for negs, d in ranked[:k]]
+
+
 def query_string_topk(
     reader,
     qs: str,

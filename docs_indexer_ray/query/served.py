@@ -280,6 +280,23 @@ class ShardQueryActor:
         )
         return (len(v), float(v.min()), float(v.max()), float(v.sum()))
 
+    def query_string_partial(
+        self, qs: str, k: int = 10, default_operator: str = "or"
+    ) -> list[tuple[int, float]]:
+        """This shard's quantized query_string top-k — every leaf
+        decodes only its overlapping posting blocks; global statistics
+        make the cross-shard merge exact."""
+        from .qstring import query_string_topk_range
+
+        return query_string_topk_range(
+            self.reader,
+            qs,
+            k=k,
+            default_operator=default_operator,
+            analyzer=self.analyzer,
+            live_mask=self._live,
+        )
+
     def fetch_partial(
         self,
         doc_ids: list[int],
@@ -392,6 +409,28 @@ class ShardedQueryService:
 
         parts = ray.get([a.phrase_partial.remote(query) for a in self._actors])
         return [hit for part in parts for hit in part]
+
+    def query_string(
+        self, qs: str, k: int = 10, default_operator: str = "or"
+    ) -> list[tuple[int, float]]:
+        """The full ``query_string`` language on the fleet
+        (``query/qstring.py``): each shard parses + evaluates over its
+        doc range only (range-limited posting/positional decode —
+        O(its share) per leaf), and the quantized per-shard top-k
+        lists merge exactly, the same division the plain BM25 tier
+        gets.  Pinned identical to the local
+        ``query_string_topk``."""
+        import ray
+
+        from .bm25 import merge_shard_topk
+
+        parts = ray.get(
+            [
+                a.query_string_partial.remote(qs, k, default_operator)
+                for a in self._actors
+            ]
+        )
+        return merge_shard_topk(parts, k)
 
     def search(
         self,

@@ -171,3 +171,56 @@ def test_escaped_quote_in_phrase(built):
     from docs_indexer_ray.query.qstring import _Phrase
 
     assert isinstance(node, _Phrase) and node.terms == ["say", "hi", "now"]
+
+
+@pytest.mark.parametrize("n_shards", [2, 5])
+def test_sharded_query_string_matches_local(built, ray_session, tmp_path_factory, n_shards):
+    """The fleet's query_string ≡ the local evaluator for every leaf
+    type (term/phrase/sloppy/fuzzy/wildcard/bool/boost) — per-shard
+    range-limited decode + exact quantized merge — including after a
+    tombstone."""
+    import os
+
+    from docs_indexer_ray.index.deletes import add_deletes
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    reader = built
+    root = os.path.dirname(reader.index_dir)
+    queries = [
+        "node quota",
+        "+node -namespace quota",
+        "node AND quota",
+        '(node OR quota) AND NOT namespace',
+        '"node pools"',
+        '"node pools"~2',
+        "nodee~1",
+        "nod*",
+        'node^2 (quota OR "node pools")',
+    ]
+    svc = ShardedQueryService(root, n_shards=n_shards, chain="simple")
+    try:
+        for q in queries:
+            got = svc.query_string(q, k=12)
+            want = query_string_topk(reader, q, k=12)
+            assert got == want, (q, got[:3], want[:3])
+    finally:
+        svc.shutdown()
+
+    # tombstone the top hit: both tiers drop it identically
+    victim = query_string_topk(reader, "node quota", k=1)[0][0]
+    add_deletes(root, [victim])
+    try:
+        fresh = IndexReader(root)
+        svc = ShardedQueryService(root, n_shards=n_shards, chain="simple")
+        try:
+            want = query_string_topk(fresh, "node quota", k=12)
+            assert victim not in {d for d, _ in want}
+            assert svc.query_string("node quota", k=12) == want
+        finally:
+            svc.shutdown()
+    finally:
+        # undo for the other module-scoped tests
+        dpath = os.path.join(fresh.index_dir, "deletes.parquet")
+        if os.path.exists(dpath):
+            os.unlink(dpath)
