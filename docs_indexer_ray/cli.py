@@ -105,6 +105,45 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Assembled _search response: query_string syntax, stored fields,
+    highlighted snippet per hit — local reader or the sharded fleet."""
+    _ray_session()
+    from .query.reader import IndexReader
+
+    fields = tuple(args.fields.split(",")) if args.fields else ("url", "title")
+    if getattr(args, "shards", 0) and args.shards > 1:
+        from .query.served import ShardedQueryService
+
+        svc = ShardedQueryService(args.index, n_shards=args.shards, chain=args.chain)
+        try:
+            t = svc.search(
+                args.q,
+                k=args.k,
+                fields=fields,
+                highlight_field=args.highlight or None,
+                syntax=args.syntax,
+            )
+        finally:
+            svc.shutdown()
+    else:
+        from .query.search import search_response
+
+        reader = IndexReader(args.index, chain=args.chain)
+        t = search_response(
+            reader,
+            args.q,
+            k=args.k,
+            fields=fields,
+            highlight_field=args.highlight or None,
+            syntax=args.syntax,
+        )
+    for row in t.to_pylist():
+        row["score"] = round(float(row["score"]), 6)
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_suggest(args) -> int:
     _ray_session()
     from .query.reader import IndexReader
@@ -365,6 +404,32 @@ def main(argv: list[str] | None = None) -> int:
         help="serve via a doc-range-sharded actor fleet (0 = local reader)",
     )
     q.set_defaults(fn=cmd_query)
+
+    se = sub.add_parser(
+        "search", help="assembled _search response (fields + snippet)"
+    )
+    se.add_argument("--index", required=True)
+    se.add_argument("--q", required=True)
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--chain", default=None)
+    se.add_argument(
+        "--fields", default="", help="comma-separated stored fields (default url,title)"
+    )
+    se.add_argument(
+        "--highlight", default="", help="stored field to snippet-highlight"
+    )
+    se.add_argument(
+        "--syntax",
+        action="store_true",
+        help="parse --q as the Lucene query_string language",
+    )
+    se.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="serve via a doc-range-sharded actor fleet (0 = local reader)",
+    )
+    se.set_defaults(fn=cmd_search)
 
     s = sub.add_parser("suggest", help="prefix/suffix suggestions")
     s.add_argument("--index", required=True)

@@ -304,12 +304,14 @@ class ShardQueryActor:
         query: str | None = None,
         highlight_field: str | None = None,
         width: int = 160,
+        syntax: bool = False,
     ):
         """OpenSearch's FETCH phase, shard-local: stored fields (+ the
         densest highlighted snippet) for hits this shard OWNS —
         document bodies never leave the shard; only the assembled rows
-        travel.  ``query`` (analyzed with this shard's chain) drives
-        the snippet term set."""
+        travel.  ``query`` (analyzed with this shard's chain — or with
+        ``syntax=True`` parsed as query_string and reduced to its
+        POSITIVE terms) drives the snippet term set."""
         import pyarrow as pa
 
         need = list(
@@ -324,7 +326,14 @@ class ShardQueryActor:
         if highlight_field is not None:
             from .highlight import best_snippet
 
-            terms = set(self.analyzer(query or ""))
+            if syntax:
+                from .qstring import parse_query_string, positive_terms
+
+                terms = positive_terms(
+                    parse_query_string(query or "", self.analyzer)
+                )
+            else:
+                terms = set(self.analyzer(query or ""))
             cols["snippet"] = pa.array(
                 [
                     best_snippet(
@@ -439,20 +448,27 @@ class ShardedQueryService:
         fields: tuple[str, ...] = ("url", "title"),
         highlight_field: str | None = None,
         width: int = 160,
+        syntax: bool = False,
+        default_operator: str = "or",
     ):
         """OpenSearch two-phase QUERY-THEN-FETCH on the fleet: phase 1
-        is the exact cross-shard top-k merge; phase 2 routes each
-        hit's stored-field fetch + snippet highlight to the shard that
-        OWNS its doc range — fetch work (and the memoized docs-slice
-        reads behind it) stays sharded with the fleet, and the shards
-        serve their hits concurrently.  Returns the assembled response
-        table ``(rank, doc_id, score, *fields[, snippet])`` — pinned
-        identical to the local :func:`query.search.search_response`
-        in plain-match mode."""
+        is the exact cross-shard top-k merge (plain match, or the full
+        ``query_string`` language with ``syntax=True``); phase 2
+        routes each hit's stored-field fetch + snippet highlight to
+        the shard that OWNS its doc range — fetch work (and the
+        memoized docs-slice reads behind it) stays sharded with the
+        fleet, and the shards serve their hits concurrently.  Returns
+        the assembled response table ``(rank, doc_id, score,
+        *fields[, snippet])`` — pinned identical to the local
+        :func:`query.search.search_response` in both modes."""
         import pyarrow as pa
         import ray
 
-        hits = self.topk(query, k)
+        hits = (
+            self.query_string(query, k, default_operator)
+            if syntax
+            else self.topk(query, k)
+        )
         # route hits to owning shards (bounds are sorted, right-open)
         per_shard: dict[int, list[int]] = {}
         for d, _ in hits:
@@ -461,7 +477,7 @@ class ShardedQueryService:
         parts = ray.get(
             [
                 self._actors[s].fetch_partial.remote(
-                    ids, tuple(fields), query, highlight_field, width
+                    ids, tuple(fields), query, highlight_field, width, syntax
                 )
                 for s, ids in per_shard.items()
             ]

@@ -233,6 +233,17 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys):
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert lines and lines[0]["rank"] == 1 and lines[0]["url"]
 
+    assert main(["search", "--index", out, "--q", "node pools", "-k", "3",
+                 "--highlight", "body"]) == 0
+    hits = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert hits[0]["rank"] == 1 and "<em>" in hits[0]["snippet"] and hits[0]["url"]
+
+    assert main(["search", "--index", out, "--q", "+node -quota pools", "--syntax",
+                 "--shards", "2", "--highlight", "body", "-k", "3"]) == 0
+    sh = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert sh and sh[0]["rank"] == 1 and "<em>" in sh[0]["snippet"]
+    assert "<em>quota</em>" not in sh[0]["snippet"]
+
     assert main(["stats", "--index", out]) == 0
     man = json.loads(capsys.readouterr().out)
     assert man["n_docs"] == 25

@@ -379,3 +379,14 @@ def test_sharded_search_matches_local_response(ray_session, tmp_path, n_shards):
         assert "<em>quota</em>" not in snip
     # fetch is rank-aligned: doc order matches the hit order
     assert qs["rank"].to_pylist() == [1, 2, 3, 4, 5]
+
+    # syntax mode on the fleet ≡ the local query_string assembly
+    svc = ShardedQueryService(root, n_shards=n_shards, chain="simple")
+    try:
+        sh = svc.search(
+            '+node -quota "node pools"', k=5, fields=("url",),
+            highlight_field="body", syntax=True,
+        )
+        assert sh.to_pylist() == qs.to_pylist()
+    finally:
+        svc.shutdown()
