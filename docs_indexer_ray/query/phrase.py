@@ -25,6 +25,7 @@ __all__ = [
     "match_phrase",
     "match_phrase_range",
     "match_phrase_slop",
+    "match_phrase_slop_range",
     "phrase_topk",
     "rescore_topk",
     "span_first",
@@ -45,25 +46,59 @@ def _drop_deleted(reader, hits: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return [h for h, d in zip(hits, dead) if not d]
 
 
+def _gather_segments(flat, offs, j):
+    """Concatenate ``flat[offs[j_r] : offs[j_r + 1]]`` for every row
+    ``r`` → ``(values, row_of_value)`` — one vectorized gather, no
+    per-row Python."""
+    starts = offs[j]
+    lens = (offs[j + 1] - starts).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, flat.dtype), np.empty(0, np.int64)
+    out_offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = np.arange(total, dtype=np.int64) - np.repeat(out_offs, lens) + np.repeat(
+        starts.astype(np.int64), lens
+    )
+    return flat[idx], np.repeat(np.arange(len(j), dtype=np.int64), lens)
+
+
 def _phrase_walk(decoded) -> list[tuple[int, int]]:
     """The positional-intersection walk shared by the full-reader and
     doc-range-shard phrase paths: ``decoded`` is one ``(sorted_ids,
-    flat_positions, posting_offsets)`` triple per query term."""
+    flat_positions, posting_offsets)`` triple per query term.
+
+    Fully vectorized: phrase freq per doc is ``|∩ᵢ (posᵢ − i)|``, so
+    each term's positions over the common docs become SEGMENTED KEYS
+    ``(doc_rank << 34) | (pos − i + m)`` — globally sorted because
+    docs are sorted and positions ascend within a doc — and the walk
+    is one ``np.intersect1d`` chain over the key arrays plus one
+    ``np.unique`` for the per-doc counts.  The per-doc Python loop
+    this replaces measured ~5 s p50 on a hot phrase at 500k docs;
+    this kernel is a handful of numpy passes over the same data."""
     common = decoded[0][0]
     for ids, _, _ in decoded[1:]:
         common = np.intersect1d(common, ids, assume_unique=True)
-    out: list[tuple[int, int]] = []
-    for doc in common:
-        cur = None
-        for i, (ids, flat, offs) in enumerate(decoded):
-            j = int(np.searchsorted(ids, doc))
-            pos = flat[offs[j] : offs[j + 1]].astype(np.int64) - i
-            cur = pos if cur is None else np.intersect1d(cur, pos, assume_unique=True)
-            if len(cur) == 0:
-                break
-        if cur is not None and len(cur):
-            out.append((int(doc), int(len(cur))))
-    return out
+    if len(common) == 0:
+        return []
+    if len(common) >= (1 << 29):  # key packing: rank << 34 must fit int64
+        raise ValueError(
+            f"{len(common)} candidate docs in one phrase walk — shard the "
+            "query (ShardedQueryService) before the 2^29-doc key limit"
+        )
+    m = len(decoded)
+    inter = None
+    for i, (ids, flat, offs) in enumerate(decoded):
+        j = np.searchsorted(ids, common)
+        vals, rank = _gather_segments(flat, offs, j)
+        keys = (rank << np.int64(34)) + (vals.astype(np.int64) - i + m)
+        inter = keys if inter is None else np.intersect1d(
+            inter, keys, assume_unique=True
+        )
+        if len(inter) == 0:
+            return []
+    ranks, counts = np.unique(inter >> np.int64(34), return_counts=True)
+    docs = common[ranks]
+    return [(int(d), int(c)) for d, c in zip(docs.tolist(), counts.tolist())]
 
 
 def match_phrase(reader: IndexReader, terms: list[str]) -> list[tuple[int, int]]:
@@ -140,29 +175,80 @@ def match_phrase_slop(
         ids, _ = tp.decode_all()
         flat, offs = tp.decode_all_positions()
         decoded.append((ids, flat, offs))
+    return _drop_deleted(reader, _slop_walk(decoded, len(terms), slop))
 
+
+def match_phrase_slop_range(
+    reader: IndexReader, terms: list[str], slop: int = 0
+) -> list[tuple[int, int]]:
+    """:func:`match_phrase_slop` restricted to the reader's doc-id
+    range — the shard primitive for sloppy phrases: each shard decodes
+    only its overlapping posting blocks (positions included), same
+    division as :func:`match_phrase_range`."""
+    if not terms:
+        return []
+    lo, hi = reader.doc_lo, reader.doc_hi
+    if len(terms) == 1:
+        tp = reader.postings(terms[0])
+        if tp is None:
+            return []
+        ids, tfs = tp.decode_range(lo, hi)
+        return _drop_deleted(reader, [(int(d), int(f)) for d, f in zip(ids, tfs)])
+    tps = [reader.postings(t) for t in terms]
+    if any(tp is None for tp in tps):
+        return []
+    decoded = []
+    for tp in tps:
+        ids, _, flat, offs = tp.decode_range_positions(lo, hi)
+        if len(ids) == 0:
+            return []
+        decoded.append((ids, flat, offs))
+    return _drop_deleted(reader, _slop_walk(decoded, len(terms), slop))
+
+
+def _slop_walk(decoded, m: int, slop: int) -> list[tuple[int, int]]:
+    """Vectorized greedy chain over ALL candidate starts of all docs
+    at once: the per-step "smallest next-term position after cur
+    within the same doc" is one searchsorted over segmented keys
+    ``(doc_rank << 34 | pos)`` — same kernel family as
+    :func:`_phrase_walk` (which replaced a ~5 s-p50 per-doc Python
+    loop at 500k docs).  Greedy minimizes the final position, so the
+    window test is exact for each start."""
     common = decoded[0][0]
     for ids, _, _ in decoded[1:]:
         common = np.intersect1d(common, ids, assume_unique=True)
-    m = len(terms)
-    out: list[tuple[int, int]] = []
-    for doc in common:
-        ids0, flat0, offs0 = decoded[0]
-        j0 = int(np.searchsorted(ids0, doc))
-        starts = flat0[offs0[j0] : offs0[j0 + 1]].astype(np.int64)
-        cur = starts
-        ok = np.ones(len(starts), bool)
-        for ids, flat, offs in decoded[1:]:
-            j = int(np.searchsorted(ids, doc))
-            pl = flat[offs[j] : offs[j + 1]].astype(np.int64)
-            idx = np.searchsorted(pl, cur + 1)
-            valid = idx < len(pl)
-            ok &= valid
-            cur = pl[np.minimum(idx, len(pl) - 1)]
-        freq = int((ok & (cur - starts - (m - 1) <= slop)).sum())
-        if freq:
-            out.append((int(doc), freq))
-    return _drop_deleted(reader, out)
+    if len(common) == 0:
+        return []
+    if len(common) >= (1 << 29):
+        raise ValueError(
+            f"{len(common)} candidate docs in one sloppy-phrase walk — "
+            "shard the query before the 2^29-doc key limit"
+        )
+    ids0, flat0, offs0 = decoded[0]
+    j0 = np.searchsorted(ids0, common)
+    starts, rank = _gather_segments(flat0, offs0, j0)
+    starts = starts.astype(np.int64)
+    shift = np.int64(34)
+    cur = starts
+    ok = np.ones(len(starts), bool)
+    for ids, flat, offs in decoded[1:]:
+        j = np.searchsorted(ids, common)
+        pl, plrank = _gather_segments(flat, offs, j)
+        kt = (plrank << shift) + pl.astype(np.int64)
+        qk = (rank << shift) + cur + 1
+        idx = np.searchsorted(kt, qk)
+        hit = np.minimum(idx, len(kt) - 1)
+        found = (idx < len(kt)) & ((kt[hit] >> shift) == rank)
+        ok &= found
+        cur = kt[hit] - (rank << shift)
+    good = ok & (cur - starts - (m - 1) <= slop)
+    if not good.any():
+        return []
+    ranks, counts = np.unique(rank[good], return_counts=True)
+    return [
+        (int(d), int(c))
+        for d, c in zip(common[ranks].tolist(), counts.tolist())
+    ]
 
 
 def span_first(

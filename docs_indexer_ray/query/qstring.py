@@ -487,18 +487,12 @@ def _eval_range(reader, node) -> tuple[np.ndarray, np.ndarray]:
                 )
         return scores, scores > 0.0
     if isinstance(node, _Phrase):
-        from .phrase import match_phrase_range, match_phrase_slop
+        from .phrase import match_phrase_range, match_phrase_slop_range
 
         if node.slop == 0:
             hits = match_phrase_range(reader, node.terms)
         else:
-            # sloppy phrases have no range decode yet — full decode,
-            # then restrict (correct; pays O(cf) instead of O(share))
-            hits = [
-                (d, f)
-                for d, f in match_phrase_slop(reader, node.terms, slop=node.slop)
-                if lo <= d < hi
-            ]
+            hits = match_phrase_slop_range(reader, node.terms, slop=node.slop)
         scores = np.zeros(n_local, np.float64)
         match = np.zeros(n_local, bool)
         if hits:

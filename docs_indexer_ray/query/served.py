@@ -297,6 +297,10 @@ class ShardQueryActor:
             live_mask=self._live,
         )
 
+    def count_partial(self, query: str) -> int:
+        """Live matched-doc count (match-any) within this shard."""
+        return int(len(self._matched_local(query)))
+
     def fetch_partial(
         self,
         doc_ids: list[int],
@@ -499,6 +503,15 @@ class ShardedQueryService:
         for f in extra:
             cols[f] = fetched[f].combine_chunks()
         return pa.table(cols)
+
+    def count(self, query: str) -> int:
+        """OpenSearch ``_count``: live docs matching ANY query term —
+        per-shard counts over disjoint ranges sum exactly."""
+        import ray
+
+        return sum(
+            ray.get([a.count_partial.remote(query) for a in self._actors])
+        )
 
     def terms_facet(self, query: str, col: str, size: int | None = None):
         """OpenSearch-style ``terms`` aggregation over the matched set,

@@ -1225,6 +1225,10 @@ def test_sharded_facets_match_local(built, ray_session):
         assert st["sum_v"][0].as_py() == pytest.approx(vals.sum())
         assert st["avg_v"][0].as_py() == pytest.approx(vals.mean())
 
+        # _count on the fleet: per-shard counts sum to the match set
+        assert svc.count(query) == len(matched)
+        assert svc.count("zzzunseen") == 0
+
         # no-hit query → empty terms facet / null stats, right schemas
         empty = svc.terms_facet("zzzunseen", col)
         assert empty.num_rows == 0 and empty.column_names == ["value", "n_docs"]

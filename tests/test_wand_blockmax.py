@@ -244,3 +244,76 @@ def test_span_near_vs_bruteforce(ray_session, tmp_path):
     )
     # missing term -> no matches
     assert span_near(reader, ["node", "zzznotaterm"], 50) == []
+
+
+def test_vectorized_walks_equal_scalar_reference():
+    """The segmented-key vectorized phrase/slop kernels (which replaced
+    a ~5 s-p50 per-doc Python loop at 500k docs) against the scalar
+    per-doc walks they replaced, over randomized posting shapes."""
+    import random
+
+    from docs_indexer_ray.query.phrase import _phrase_walk, _slop_walk
+
+    def scalar_phrase(decoded):
+        common = decoded[0][0]
+        for ids, _, _ in decoded[1:]:
+            common = np.intersect1d(common, ids, assume_unique=True)
+        out = []
+        for doc in common:
+            cur = None
+            for i, (ids, flat, offs) in enumerate(decoded):
+                j = int(np.searchsorted(ids, doc))
+                pos = flat[offs[j]:offs[j + 1]].astype(np.int64) - i
+                cur = pos if cur is None else np.intersect1d(
+                    cur, pos, assume_unique=True
+                )
+                if len(cur) == 0:
+                    break
+            if cur is not None and len(cur):
+                out.append((int(doc), len(cur)))
+        return out
+
+    def scalar_slop(decoded, m, slop):
+        common = decoded[0][0]
+        for ids, _, _ in decoded[1:]:
+            common = np.intersect1d(common, ids, assume_unique=True)
+        out = []
+        for doc in common:
+            ids0, flat0, offs0 = decoded[0]
+            j0 = int(np.searchsorted(ids0, doc))
+            starts = flat0[offs0[j0]:offs0[j0 + 1]].astype(np.int64)
+            cur = starts
+            ok = np.ones(len(starts), bool)
+            for ids, flat, offs in decoded[1:]:
+                j = int(np.searchsorted(ids, doc))
+                pl = flat[offs[j]:offs[j + 1]].astype(np.int64)
+                idx = np.searchsorted(pl, cur + 1)
+                ok &= idx < len(pl)
+                cur = pl[np.minimum(idx, len(pl) - 1)]
+            f = int((ok & (cur - starts - (m - 1) <= slop)).sum())
+            if f:
+                out.append((int(doc), f))
+        return out
+
+    rng = random.Random(7)
+    for trial in range(150):
+        m = rng.randint(1, 4)
+        n_docs = rng.randint(1, 30)
+        decoded = []
+        for _ in range(m):
+            docs = sorted(rng.sample(range(n_docs), rng.randint(1, n_docs)))
+            flat, offs = [], [0]
+            for _d in docs:
+                ps = sorted(rng.sample(range(0, 15), rng.randint(1, 5)))
+                flat += ps
+                offs.append(len(flat))
+            decoded.append(
+                (
+                    np.array(docs, np.uint64),
+                    np.array(flat, np.uint64),
+                    np.array(offs, np.int64),
+                )
+            )
+        assert _phrase_walk(decoded) == scalar_phrase(decoded), trial
+        slop = rng.randint(0, 4)
+        assert _slop_walk(decoded, m, slop) == scalar_slop(decoded, m, slop), trial
