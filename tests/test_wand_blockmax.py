@@ -252,6 +252,8 @@ def test_vectorized_walks_equal_scalar_reference():
     per-doc walks they replaced, over randomized posting shapes."""
     import random
 
+    import numpy as np
+
     from docs_indexer_ray.query.phrase import _phrase_walk, _slop_walk
 
     def scalar_phrase(decoded):
