@@ -30,6 +30,7 @@ __all__ = [
     "rescore_topk",
     "span_first",
     "span_near",
+    "span_near_range",
 ]
 
 
@@ -310,41 +311,86 @@ def span_near(
         ids, _ = tp.decode_all()
         flat, offs = tp.decode_all_positions()
         decoded.append((ids, flat, offs))
+    return _drop_deleted(reader, _span_near_walk(decoded, len(terms), slop))
 
+
+def span_near_range(
+    reader: IndexReader, terms: list[str], slop: int = 0
+) -> list[tuple[int, int]]:
+    """:func:`span_near` restricted to the reader's doc-id range — the
+    shard primitive for unordered spans, same block-pruned positional
+    decode as :func:`match_phrase_range`; disjoint-range results
+    concatenate to exactly the full-reader answer."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        return []
+    lo, hi = reader.doc_lo, reader.doc_hi
+    if len(terms) == 1:
+        tp = reader.postings(terms[0])
+        if tp is None:
+            return []
+        ids, _ = tp.decode_range(lo, hi)
+        return _drop_deleted(reader, [(int(d), 1) for d in ids])
+    tps = [reader.postings(t) for t in terms]
+    if any(tp is None for tp in tps):
+        return []
+    decoded = []
+    for tp in tps:
+        ids, _, flat, offs = tp.decode_range_positions(lo, hi)
+        if len(ids) == 0:
+            return []
+        decoded.append((ids, flat, offs))
+    return _drop_deleted(reader, _span_near_walk(decoded, len(terms), slop))
+
+
+def _span_near_walk(decoded, m: int, slop: int) -> list[tuple[int, int]]:
     common = decoded[0][0]
     for ids, _, _ in decoded[1:]:
         common = np.intersect1d(common, ids, assume_unique=True)
-    m = len(terms)
-    out: list[tuple[int, int]] = []
-    for doc in common:
-        pos_parts, lab_parts = [], []
-        for lab, (ids, flat, offs) in enumerate(decoded):
-            j = int(np.searchsorted(ids, doc))
-            p = flat[offs[j] : offs[j + 1]].astype(np.int64)
-            pos_parts.append(p)
-            lab_parts.append(np.full(len(p), lab, np.int64))
-        pos = np.concatenate(pos_parts)
-        lab = np.concatenate(lab_parts)
-        order = np.argsort(pos, kind="stable")
-        pos, lab = pos[order], lab[order]
-        # two-pointer smallest range covering every label
-        need = np.zeros(m, np.int64)
-        covered = 0
-        best = np.iinfo(np.int64).max
-        lo = 0
-        for hi in range(len(pos)):
-            if need[lab[hi]] == 0:
-                covered += 1
-            need[lab[hi]] += 1
-            while covered == m:
-                best = min(best, int(pos[hi] - pos[lo] + 1))
-                need[lab[lo]] -= 1
-                if need[lab[lo]] == 0:
-                    covered -= 1
-                lo += 1
-        if best - m <= slop:
-            out.append((int(doc), best))
-    return _drop_deleted(reader, out)
+    if len(common) == 0:
+        return []
+    if len(common) >= (1 << 29):
+        raise ValueError(
+            f"{len(common)} candidate docs in one span_near walk — "
+            "shard the query before the 2^29-doc key limit"
+        )
+    # vectorized smallest-range merge across ALL docs at once: for a
+    # right edge at merged position h, the minimal covering window is
+    # [min over labels of that label's LAST occurrence ≤ h, pos[h]] —
+    # per-label last-occurrence is one maximum.accumulate over doc-
+    # offset keys (rank << 34 | pos; a carried value from an earlier
+    # doc is below the current doc's key base, which is exactly the
+    # "label not yet seen in this doc" test), min over the m cummax
+    # rows gives every window in one pass, and the per-doc best is one
+    # minimum.reduceat.  Replaces a per-doc Python two-pointer.
+    shift = np.int64(34)
+    key_parts, lab_parts, rank_parts = [], [], []
+    seg_lens = np.zeros(len(common), np.int64)
+    for lab_idx, (ids, flat, offs) in enumerate(decoded):
+        j = np.searchsorted(ids, common)
+        vals, rank = _gather_segments(flat, offs, j)
+        key_parts.append((rank << shift) + vals.astype(np.int64))
+        lab_parts.append(np.full(len(vals), lab_idx, np.int64))
+        rank_parts.append(rank)
+        seg_lens += (offs[j + 1] - offs[j]).astype(np.int64)
+    key = np.concatenate(key_parts)
+    lab = np.concatenate(lab_parts)
+    rank = np.concatenate(rank_parts)
+    order = np.argsort(key, kind="stable")
+    key, lab, rank = key[order], lab[order], rank[order]
+    minlast = None
+    for lab_idx in range(m):
+        cum = np.maximum.accumulate(np.where(lab == lab_idx, key, np.int64(-1)))
+        minlast = cum if minlast is None else np.minimum(minlast, cum)
+    base = rank << shift
+    window = np.where(minlast >= base, key - minlast + 1, np.iinfo(np.int64).max)
+    seg_starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+    best = np.minimum.reduceat(window, seg_starts)
+    good = best - m <= slop
+    return [
+        (int(d), int(w))
+        for d, w in zip(common[good].tolist(), best[good].tolist())
+    ]
 
 
 def rescore_topk(

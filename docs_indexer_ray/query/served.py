@@ -297,6 +297,13 @@ class ShardQueryActor:
             live_mask=self._live,
         )
 
+    def span_near_partial(self, terms: list[str], slop: int) -> list[tuple[int, int]]:
+        """This shard's unordered span matches ``(doc_id, min_window)``
+        — block-pruned positional decode, same division as phrases."""
+        from .phrase import span_near_range
+
+        return span_near_range(self.reader, terms, slop=slop)
+
     def count_partial(self, query: str) -> int:
         """Live matched-doc count (match-any) within this shard."""
         return int(len(self._matched_local(query)))
@@ -503,6 +510,17 @@ class ShardedQueryService:
         for f in extra:
             cols[f] = fetched[f].combine_chunks()
         return pa.table(cols)
+
+    def span_near(self, terms: list[str], slop: int = 0) -> list[tuple[int, int]]:
+        """Unordered span query across the fleet — per-doc-local
+        matching over disjoint ranges concatenates (doc asc) to
+        exactly the full-reader ``phrase.span_near``."""
+        import ray
+
+        parts = ray.get(
+            [a.span_near_partial.remote(list(terms), slop) for a in self._actors]
+        )
+        return [hit for part in parts for hit in part]
 
     def count(self, query: str) -> int:
         """OpenSearch ``_count``: live docs matching ANY query term —

@@ -310,6 +310,18 @@ def test_sharded_phrase_matches_local_reader(ray_session, tmp_path, n_shards):
     finally:
         svc.shutdown()
 
+    # unordered spans on the fleet ≡ local span_near
+    from docs_indexer_ray.query.phrase import span_near
+
+    svc = ShardedQueryService(root, n_shards=n_shards)
+    try:
+        for terms, slop in [(["node", "pools"], 2), (["per", "namespace"], 0)]:
+            got = svc.span_near(an(" ".join(terms)), slop=slop)
+            assert got == span_near(reader, an(" ".join(terms)), slop=slop)
+            assert got  # non-trivial
+    finally:
+        svc.shutdown()
+
     # tombstone a hit: both tiers drop it identically
     victim = local[0][0]
     add_deletes(root, [victim])
