@@ -149,6 +149,30 @@ def _rank_top(scores: np.ndarray, k: int) -> list[tuple[int, float]]:
     return [(int(nz[i]), float(vals[i])) for i in order]
 
 
+def rank_top_quantized(
+    scores: np.ndarray, matched: np.ndarray, k: int
+) -> list[tuple[int, float]]:
+    """Top-k under the 1e-9-QUANTIZED ranking key (score desc, doc
+    asc) — identical output to ``sorted((-round(s, 9), d))[:k]`` but
+    partition-then-refine: the kth-largest unquantized score minus a
+    2e-9 safety margin bounds every doc the quantized order could
+    still admit, so the Python sort touches O(k + ties) rows instead
+    of the full match set (a hot dense query matches ~n_docs rows —
+    the full sorted() was the next latency floor after the vectorized
+    walks)."""
+    if len(matched) == 0:
+        return []
+    vals = scores[matched]
+    if len(matched) > 4 * k:
+        kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+        keep = vals >= kth - 2e-9
+        matched, vals = matched[keep], vals[keep]
+    ranked = sorted(
+        (-round(float(v), 9), int(d)) for v, d in zip(vals.tolist(), matched.tolist())
+    )
+    return [(d, -negs) for negs, d in ranked[:k]]
+
+
 def _zero_deleted(reader, scores: np.ndarray) -> np.ndarray:
     """Soft-delete mask shared by every dense query surface:
     tombstoned docs can't be hits; survivor scores stay untouched
@@ -275,9 +299,9 @@ def synonym_topk(
         tf = tfacc[docs]
         dl = reader.doclens[docs]
         scores[docs] += idf * tf / (tf + _k_factor(dl, avgdl, k1, b))
+    scores = _zero_deleted(reader, scores)
     matched = np.flatnonzero(scores > 0.0)
-    ranked = sorted((-round(float(scores[d]), 9), int(d)) for d in matched.tolist())
-    return [(d, -negs) for negs, d in ranked[:k]]
+    return rank_top_quantized(scores, matched, k)
 
 
 def collapse_topk(

@@ -592,10 +592,11 @@ def query_string_topk_range(
     scores = np.where(match, scores, 0.0)
     if live_mask is not None:
         scores[~live_mask] = 0.0
+    from .bm25 import rank_top_quantized
+
     lo = reader.doc_lo
     matched = np.flatnonzero(scores > 0.0)
-    ranked = sorted((-round(float(scores[d]), 9), int(d)) for d in matched.tolist())
-    return [(d + lo, -negs) for negs, d in ranked[:k]]
+    return [(d + lo, s) for d, s in rank_top_quantized(scores, matched, k)]
 
 
 def query_string_topk(
@@ -618,5 +619,6 @@ def query_string_topk(
     scores, match = _eval(reader, node)
     scores = _zero_deleted(reader, np.where(match, scores, 0.0))
     matched = np.flatnonzero(scores > 0.0)
-    ranked = sorted((-round(float(scores[d]), 9), int(d)) for d in matched.tolist())
-    return [(d, -negs) for negs, d in ranked[:k]]
+    from .bm25 import rank_top_quantized
+
+    return rank_top_quantized(scores, matched, k)

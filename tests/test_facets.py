@@ -1146,6 +1146,11 @@ def test_all_query_surfaces_exclude_tombstones(built, ray_session, tmp_path):
     assert victim not in {d for d, _ in span_first(r, "node", 50)}
     assert victim not in {d for d, _ in score_topk(r, phrase, k=50)}
     assert victim not in {d for d, _ in topk_after(r, phrase, None, k=50)}
+    from docs_indexer_ray.query.bm25 import synonym_topk
+    from docs_indexer_ray.query.qstring import query_string_topk
+
+    assert victim not in {d for d, _ in synonym_topk(r, [phrase], k=50)}
+    assert victim not in {d for d, _ in query_string_topk(r, "node pools", k=50)}
     # survivors of the phrase match are unchanged
     assert match_phrase(r, phrase) == [h for h in hits0 if h[0] != victim]
 
