@@ -2275,6 +2275,71 @@ def q_bm25_topk_sharded(sf_dir: str) -> pa.Table:
     )
 
 
+def q_match_phrase_sharded(sf_dir: str) -> pa.Table:
+    """Same phrase as ``match_phrase`` but served through the fleet
+    (``ShardedQueryService.match_phrase``): each shard decodes only
+    its overlapping posting blocks (positions included) and the
+    disjoint-range partials concatenate — the SQL oracle checks the
+    DISTRIBUTED phrase path through the driver gate."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    _, root = ensure_index(
+        sf_dir, chain="simple", field="body", store_positions=True
+    )
+    svc = ShardedQueryService(root, n_shards=4)
+    try:
+        hits = svc.match_phrase("table hash")
+    finally:
+        svc.shutdown()
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "phrase_freq": pa.array([f for _, f in hits], pa.int64()),
+        }
+    )
+
+
+def q_query_string_sharded(sf_dir: str) -> pa.Table:
+    """The ``query_string`` driver query served through the fleet
+    (per-shard range-limited leaf evaluation + exact quantized merge)
+    — SQL-oracled with the same replay as ``query_string``."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    _, root = ensure_index(
+        sf_dir, chain="simple", field="body", store_positions=True
+    )
+    svc = ShardedQueryService(root, n_shards=4)
+    try:
+        hits = svc.query_string('+table -hash (merge OR slow^2) "table scan"', k=10)
+    finally:
+        svc.shutdown()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
+def q_facet_terms_served(sf_dir: str) -> pa.Table:
+    """The ``terms`` aggregation served by the SHARD FLEET
+    (``ShardedQueryService.terms_facet``: per-shard matched counts
+    over memoized docs-column slices, exact sum merge) — same SQL
+    replay as the Ray-Data ``facet_terms`` path, so the driver gate
+    checks both implementations against one oracle."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    svc = ShardedQueryService(root, n_shards=4)
+    try:
+        return svc.terms_facet(" ".join(_BM25_TERMS), "lang")
+    finally:
+        svc.shutdown()
+
+
 def q_match_phrase(sf_dir: str) -> pa.Table:
     """Exact phrase query over a positions build (the reference's
     with_positions_offsets term vectors, mappings/hugo.json:6,48,60):
@@ -3237,6 +3302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval": q_rank_eval,
         "boosting": q_boosting,
         "query_string": q_query_string,
+        "query_string_sharded": q_query_string_sharded,
         "search_fetch": q_search_fetch,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
@@ -3245,6 +3311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_pipeline": q_facet_pipeline,
         "facet_matrix_stats": q_facet_matrix_stats,
         "facet_terms": q_facet_terms,
+        "facet_terms_served": q_facet_terms_served,
         "facet_terms_stats": q_facet_terms_stats,
         "facet_terms_approx": q_facet_terms_approx,
         "sort_by_date": q_sort_by_date,
@@ -3304,6 +3371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_incremental": q_bm25_topk_incremental,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
+        "match_phrase_sharded": q_match_phrase_sharded,
         "keyword_date_filter": q_keyword_date_filter,
         "window_agg": q_window_agg,
         "window_hopping": q_window_hopping,
@@ -4242,6 +4310,7 @@ def oracle_sql() -> dict[str, str]:
     # the WARC round trip reproduces the Parquet extract byte-for-byte
     sqls["warc_ingest"] = sqls["extract_text"]
     sqls["bm25_topk_sharded"] = sqls["bm25_topk"]
+    sqls["match_phrase_sharded"] = sqls["match_phrase"]
     sqls["bm25_topk_merged"] = sqls["bm25_topk"]
     sqls["bm25_topk_incremental"] = sqls["bm25_topk"]
     _WARC = (
@@ -5252,4 +5321,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(64 AS BIGINT) AS resized_to
         FROM p ORDER BY media_id
     """
+    # fleet-served variants share their local path's replay — ONE
+    # oracle checks both implementations through the driver gate
+    sqls["query_string_sharded"] = sqls["query_string"]
+    sqls["facet_terms_served"] = sqls["facet_terms"]
     return sqls

@@ -103,6 +103,7 @@ SQL_BACKED = [
     "facet_pipeline",
     "facet_matrix_stats",
     "facet_terms",
+    "facet_terms_served",
     "facet_stats",
     "facet_extended_stats",
     "facet_weighted_avg",
@@ -160,6 +161,7 @@ SQL_BACKED = [
     "warc_ingest",
     "jsonl_ingest",
     "query_string",
+    "query_string_sharded",
     "search_fetch",
     "bm25_multimatch",
     "bm25_multimatch_best",
@@ -170,6 +172,7 @@ SQL_BACKED = [
     "reverse_suggest",
     "trigram_suggest",
     "match_phrase",
+    "match_phrase_sharded",
     "keyword_date_filter",
     "window_agg",
     "window_hopping",
