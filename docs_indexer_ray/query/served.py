@@ -61,6 +61,27 @@ class QueryActor:
             self._suggester = Suggester(self.reader)
         return self._suggester.suggest(query, max_suggestions=n)
 
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        fields: tuple[str, ...] = ("url", "title"),
+        highlight_field: str | None = None,
+        syntax: bool = False,
+    ):
+        """Assembled ``_search`` response from this replica's warm
+        reader — exactly ``query.search.search_response``."""
+        from .search import search_response
+
+        return search_response(
+            self.reader,
+            query,
+            k=k,
+            fields=fields,
+            highlight_field=highlight_field,
+            syntax=syntax,
+        )
+
     def match_all_count(self) -> int:
         return self.reader.match_all_count()
 
@@ -95,6 +116,11 @@ class QueryService:
 
     def suggest(self, query: str, n: int = 3):
         return self._next().suggest.remote(query, n)
+
+    def search(self, query: str, k: int = 10, **kw):
+        """Assembled ``_search`` response ObjectRef from the next
+        replica (fields/highlight_field/syntax kwargs pass through)."""
+        return self._next().search.remote(query, k, **kw)
 
     def topk_many(self, queries: list[str], k: int = 10) -> list[list[tuple[int, float]]]:
         import ray

@@ -225,6 +225,17 @@ def test_query_service_matches_local_reader(ray_session, tmp_path):
         assert ph and all(isinstance(d, int) for d, _ in ph)
         sug = _ray.get(svc.suggest("noode quta"))
         assert sug and sug[0][0].startswith("node")
+        # assembled _search response from a replica ≡ the local one
+        from docs_indexer_ray.query.search import search_response
+
+        resp = _ray.get(
+            svc.search("node pools", k=5, highlight_field="body", syntax=True)
+        )
+        want = search_response(
+            reader, "node pools", k=5, highlight_field="body", syntax=True
+        )
+        assert resp.to_pylist() == want.to_pylist()
+        assert "<em>" in resp["snippet"][0].as_py()
     finally:
         svc.shutdown()
 
