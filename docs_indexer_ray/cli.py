@@ -144,6 +144,36 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve the index over HTTP (OpenSearch-shaped endpoints):
+    /_search /_count /_analyze /_suggest — local warm reader or the
+    doc-range-sharded actor fleet."""
+    _ray_session()
+    import signal
+    import threading
+
+    from .serve_http import SearchServer
+
+    srv = SearchServer(
+        args.index,
+        host=args.host,
+        port=args.port,
+        backend="sharded" if args.shards > 1 else "local",
+        n_shards=max(1, args.shards),
+        chain=args.chain,
+    ).start()
+    print(json.dumps({"serving": f"http://{srv.host}:{srv.port}",
+                      "backend": srv.backend}))
+    stop = threading.Event()
+    signal.signal(signal.SIGTERM, lambda *_: stop.set())
+    signal.signal(signal.SIGINT, lambda *_: stop.set())
+    try:
+        stop.wait()
+    finally:
+        srv.stop()
+    return 0
+
+
 def cmd_suggest(args) -> int:
     _ray_session()
     from .query.reader import IndexReader
@@ -430,6 +460,15 @@ def main(argv: list[str] | None = None) -> int:
         help="serve via a doc-range-sharded actor fleet (0 = local reader)",
     )
     se.set_defaults(fn=cmd_search)
+
+    sv = sub.add_parser("serve", help="HTTP serving (_search/_count/_analyze/_suggest)")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=9200)
+    sv.add_argument("--chain", default=None)
+    sv.add_argument("--shards", type=int, default=0,
+                    help=">1 = doc-range-sharded actor fleet backend")
+    sv.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("suggest", help="prefix/suffix suggestions")
     s.add_argument("--index", required=True)

@@ -1,0 +1,203 @@
+"""REST serving layer — the engine's OpenSearch-endpoint parity.
+
+The reference's consumers never import a library: they speak HTTP to
+OpenSearch (`/root/reference/hugo.py` posts and queries REST; the docs
+front-end searches the same way).  This module exposes the engine's
+query tiers over stdlib HTTP (`http.server.ThreadingHTTPServer` —
+no web framework exists in the sandbox and none is needed: request
+handling is a thin JSON shim, all work happens in the warm reader or
+the Ray actor fleet behind it).
+
+Endpoints (GET, query-string parameters):
+
+* ``/_search?q=…&k=10&syntax=1&fields=url,title&highlight=body``
+  → OpenSearch-shaped body: ``{"took": ms, "hits": {"total":
+  {"value": n, "relation": "eq"}, "hits": [{"_id", "_score",
+  "_source": {fields…}, "highlight": {field: [snippet]}}…]}}``.
+  ``syntax=1`` parses ``q`` as the Lucene ``query_string`` language.
+* ``/_count?q=…`` → ``{"count": n}`` (match-any over live docs).
+* ``/_analyze?text=…`` → ``{"tokens": [{"token": t, "position": i}]}``.
+* ``/_suggest?q=…&n=3`` → ``{"suggestions": [{"text", "score"}]}``.
+
+Backends: ``backend="local"`` holds one warm :class:`IndexReader` in
+the server process (single-node serving); ``backend="sharded"`` holds
+a :class:`ShardedQueryService` actor fleet — every search/count fans
+out per doc-range shard exactly as the library tier does, so one HTTP
+front door scales reads with the fleet (OpenSearch's coordinating-
+node role).  Errors map to ``{"error": {"type", "reason"}}`` with
+400 (bad query syntax / params) or 500, mirroring OpenSearch's error
+envelope.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+__all__ = ["SearchServer"]
+
+
+class SearchServer:
+    """Serve an index over HTTP.  ``start()`` binds (port 0 = ephemeral,
+    the bound port is ``self.port``) and serves on a daemon thread;
+    ``stop()`` shuts down and releases the fleet (if sharded)."""
+
+    def __init__(
+        self,
+        index_root: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        backend: str = "local",
+        n_shards: int = 4,
+        chain: str | None = None,
+    ):
+        if backend not in ("local", "sharded"):
+            raise ValueError(f"backend must be 'local'|'sharded': {backend}")
+        self.index_root = index_root
+        self.host, self.port = host, port
+        self.backend = backend
+        self.n_shards = n_shards
+        self.chain = chain
+        self._httpd: ThreadingHTTPServer | None = None
+        self._svc = None
+        self._reader = None
+        self._analyzer = None
+        self._suggester = None
+
+    # ---------------------------------------------------------- queries
+
+    def _ensure_backend(self):
+        from .functions.analyzer import Analyzer
+        from .query.reader import IndexReader
+
+        self._reader = IndexReader(self.index_root, chain=self.chain)
+        self._analyzer = Analyzer(self._reader.chain)
+        if self.backend == "sharded":
+            from .query.served import ShardedQueryService
+
+            self._svc = ShardedQueryService(
+                self.index_root, n_shards=self.n_shards, chain=self.chain
+            )
+
+    def _search(self, params) -> dict:
+        q = params["q"]
+        k = int(params.get("k", "10"))
+        syntax = params.get("syntax", "0") in ("1", "true")
+        fields = tuple(f for f in params.get("fields", "url,title").split(",") if f)
+        highlight = params.get("highlight") or None
+        t0 = time.perf_counter()
+        if self._svc is not None:
+            table = self._svc.search(
+                q, k=k, fields=fields, highlight_field=highlight, syntax=syntax
+            )
+        else:
+            from .query.search import search_response
+
+            table = search_response(
+                self._reader, q, k=k, fields=fields,
+                highlight_field=highlight, syntax=syntax,
+            )
+        took = int((time.perf_counter() - t0) * 1000)
+        hits = []
+        for row in table.to_pylist():
+            hit = {
+                "_id": row["doc_id"],
+                "_score": row["score"],
+                "_source": {f: row[f] for f in fields},
+            }
+            if highlight is not None:
+                hit["highlight"] = {highlight: [row["snippet"]]}
+            hits.append(hit)
+        return {
+            "took": took,
+            "timed_out": False,
+            "hits": {
+                "total": {"value": len(hits), "relation": "eq"},
+                "hits": hits,
+            },
+        }
+
+    def _count(self, params) -> dict:
+        q = params["q"]
+        if self._svc is not None:
+            return {"count": self._svc.count(q)}
+        from .query.facets import match_doc_ids
+
+        return {"count": int(len(match_doc_ids(self._reader, self._analyzer(q))))}
+
+    def _analyze(self, params) -> dict:
+        toks = self._analyzer(params["text"])
+        return {"tokens": [{"token": t, "position": i} for i, t in enumerate(toks)]}
+
+    def _suggest(self, params) -> dict:
+        from .query.suggest import Suggester
+
+        if self._suggester is None:
+            self._suggester = Suggester(self._reader)
+        n = int(params.get("n", "3"))
+        out = self._suggester.suggest(params["q"], max_suggestions=n)
+        return {"suggestions": [{"text": t, "score": s} for t, s in out]}
+
+    # ----------------------------------------------------------- server
+
+    def start(self) -> "SearchServer":
+        import threading
+
+        self._ensure_backend()
+        routes = {
+            "/_search": self._search,
+            "/_count": self._count,
+            "/_analyze": self._analyze,
+            "/_suggest": self._suggest,
+        }
+
+        from .query.qstring import QueryStringError
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet: the engine logs, not http
+                pass
+
+            def do_GET(handler):
+                parsed = urlparse(handler.path)
+                fn = routes.get(parsed.path)
+                params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+                if fn is None:
+                    handler._reply(404, {"error": {"type": "not_found",
+                                                   "reason": parsed.path}})
+                    return
+                try:
+                    handler._reply(200, fn(params))
+                except (KeyError, ValueError, QueryStringError) as e:
+                    handler._reply(
+                        400,
+                        {"error": {"type": type(e).__name__, "reason": str(e)}},
+                    )
+                except Exception as e:  # pragma: no cover — defensive 500
+                    handler._reply(
+                        500,
+                        {"error": {"type": type(e).__name__, "reason": str(e)}},
+                    )
+
+            def _reply(handler, code: int, body: dict):
+                data = json.dumps(body).encode()
+                handler.send_response(code)
+                handler.send_header("Content-Type", "application/json")
+                handler.send_header("Content-Length", str(len(data)))
+                handler.end_headers()
+                handler.wfile.write(data)
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_port
+        threading.Thread(target=self._httpd.serve_forever, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+        if self._svc is not None:
+            self._svc.shutdown()
+            self._svc = None

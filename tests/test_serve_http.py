@@ -1,0 +1,112 @@
+"""HTTP serving layer: OpenSearch-shaped endpoints over the query
+tiers (local warm reader + sharded actor fleet)."""
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.synth import rich_pages_table
+
+    root = str(tmp_path_factory.mktemp("httpidx") / "idx")
+    build_index(
+        ray.data.from_arrow(rich_pages_table(80, dup_every=0)),
+        root,
+        fingerprint="http",
+        num_parts=4,
+        chain="simple",
+        field="body",
+        store_positions=True,
+    )
+    return root
+
+
+def _get(port: int, path: str, **params) -> tuple[int, dict]:
+    url = f"http://127.0.0.1:{port}{path}"
+    if params:
+        url += "?" + urllib.parse.urlencode(params)
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_endpoints_local_backend(built, ray_session):
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(built, backend="local").start()
+    try:
+        # _search, plain match with highlight
+        code, body = _get(
+            srv.port, "/_search", q="node pools", k=3, highlight="body"
+        )
+        assert code == 200
+        hits = body["hits"]["hits"]
+        assert body["hits"]["total"]["value"] == 3 and len(hits) == 3
+        assert set(hits[0]["_source"]) == {"url", "title"}
+        assert "<em>" in hits[0]["highlight"]["body"][0]
+        assert hits[0]["_score"] >= hits[-1]["_score"]
+
+        # _search with query_string syntax: prohibited term honored
+        code, body = _get(
+            srv.port, "/_search", q="+node -quota", k=5, syntax=1, fields="url"
+        )
+        assert code == 200
+        assert all(set(h["_source"]) == {"url"} for h in body["hits"]["hits"])
+
+        # _count
+        code, body = _get(srv.port, "/_count", q="node")
+        assert code == 200 and body["count"] > 0
+        code, zero = _get(srv.port, "/_count", q="zzzunseen")
+        assert code == 200 and zero["count"] == 0
+
+        # _analyze
+        code, body = _get(srv.port, "/_analyze", text="Node POOLS 42!")
+        assert code == 200
+        assert [t["token"] for t in body["tokens"]] == ["node", "pools", "42"]
+
+        # _suggest
+        code, body = _get(srv.port, "/_suggest", q="noode pols")
+        assert code == 200 and body["suggestions"]
+        assert "node" in body["suggestions"][0]["text"]
+
+        # error envelopes: bad syntax → 400, unknown route → 404,
+        # missing param → 400
+        code, err = _get(srv.port, "/_search", q="(node", syntax=1)
+        assert code == 400 and err["error"]["type"] == "QueryStringError"
+        code, err = _get(srv.port, "/_nope")
+        assert code == 404
+        code, err = _get(srv.port, "/_search")
+        assert code == 400 and err["error"]["type"] == "KeyError"
+    finally:
+        srv.stop()
+
+
+def test_http_sharded_backend_matches_local(built, ray_session):
+    from docs_indexer_ray.serve_http import SearchServer
+
+    local = SearchServer(built, backend="local").start()
+    fleet = SearchServer(built, backend="sharded", n_shards=3).start()
+    try:
+        for params in (
+            dict(q="node pools quota", k=5, highlight="body"),
+            dict(q='+node "node pools"', k=4, syntax=1),
+        ):
+            _, a = _get(local.port, "/_search", **params)
+            _, b = _get(fleet.port, "/_search", **params)
+            assert a["hits"]["hits"] == b["hits"]["hits"], params
+        _, ca = _get(local.port, "/_count", q="node quota")
+        _, cb = _get(fleet.port, "/_count", q="node quota")
+        assert ca == cb
+    finally:
+        local.stop()
+        fleet.stop()
