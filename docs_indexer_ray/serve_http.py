@@ -19,6 +19,20 @@ Endpoints (GET, query-string parameters):
 * ``/_analyze?text=…`` → ``{"tokens": [{"token": t, "position": i}]}``.
 * ``/_suggest?q=…&n=3`` → ``{"suggestions": [{"text", "score"}]}``.
 
+Write endpoints (POST) complete the reference's REST lifecycle — but
+batched through the engine's scale paths instead of the reference's
+one-synchronous-PUT-per-document loop:
+
+* ``POST /_bulk`` — NDJSON ``{"index": {}}`` + source pairs; ONE
+  incremental update for the whole batch (seen-url filter → delta
+  build → k-way merge), then the serving backend swaps onto the new
+  published build.  Response mirrors OpenSearch's ``{"took",
+  "errors", "items": […]}``.
+* ``POST /_delete_by_query?q=…`` — tombstones every doc matching any
+  analyzed query term (``index.deletes.delete_by_terms``), reload.
+
+Writes serialize behind one lock; reads keep flowing between them.
+
 Backends: ``backend="local"`` holds one warm :class:`IndexReader` in
 the server process (single-node serving); ``backend="sharded"`` holds
 a :class:`ShardedQueryService` actor fleet — every search/count fans
@@ -140,6 +154,90 @@ class SearchServer:
         out = self._suggester.suggest(params["q"], max_suggestions=n)
         return {"suggestions": [{"text": t, "score": s} for t, s in out]}
 
+    # ------------------------------------------------------------ writes
+
+    def _bulk(self, params, body: bytes) -> dict:
+        """OpenSearch ``_bulk`` (index actions only): NDJSON pairs of
+        ``{"index": {}}`` + source doc (``url`` required; ``html`` or
+        ``text``; optional ``warc_ts`` µs int, ``lang``).  The batch
+        runs ONE incremental update (seen-url filter → delta build →
+        k-way merge — the engine's nightly path, not one call per doc
+        like the reference's loop), then the serving backend reloads
+        the new published build."""
+        import html as _html
+        import time as _time
+
+        import pyarrow as pa
+        import ray.data
+
+        from .pipelines.incremental import incremental_update
+
+        lines = [ln for ln in body.decode("utf-8").splitlines() if ln.strip()]
+        docs = []
+        i = 0
+        while i < len(lines):
+            action = json.loads(lines[i])
+            if "index" not in action:
+                raise ValueError(f"only 'index' bulk actions supported: {action}")
+            if i + 1 >= len(lines):
+                raise ValueError("bulk action without a source line")
+            docs.append(json.loads(lines[i + 1]))
+            i += 2
+        if not docs:
+            raise ValueError("empty bulk body")
+        urls, tss, htmls, texts, langs = [], [], [], [], []
+        for d in docs:
+            if "url" not in d:
+                raise ValueError(f"bulk doc missing 'url': {d}")
+            urls.append(d["url"])
+            tss.append(int(d.get("warc_ts", 0)))
+            text = d.get("text", "")
+            h = d.get("html")
+            if h is None:
+                h = f"<html><body><p>{_html.escape(text)}</p></body></html>"
+            htmls.append(h.encode() if isinstance(h, str) else h)
+            texts.append(text)
+            langs.append(d.get("lang", "en"))
+        pages = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+        t0 = _time.perf_counter()
+        man = incremental_update(
+            self.index_root, ray.data.from_arrow(pages), self.index_root
+        )
+        self._reload()
+        return {
+            "took": int((_time.perf_counter() - t0) * 1000),
+            "errors": False,
+            "items": [{"index": {"status": 201}} for _ in docs],
+            "n_docs": int(man["n_docs"]),
+        }
+
+    def _delete_by_query(self, params, body: bytes) -> dict:
+        from .index import manifest as mf
+        from .index.deletes import delete_by_terms
+
+        q = params["q"]
+        bdir = mf.current_build(self.index_root) or self.index_root
+        n = delete_by_terms(bdir, self._analyzer(q))
+        self._reload()
+        return {"deleted": n}
+
+    def _reload(self) -> None:
+        """Swap the serving backend onto the current published build
+        (after a bulk merge or delete) — warm state is per-build."""
+        if self._svc is not None:
+            self._svc.shutdown()
+            self._svc = None
+        self._suggester = None
+        self._ensure_backend()
+
     # ----------------------------------------------------------- server
 
     def start(self) -> "SearchServer":
@@ -152,6 +250,11 @@ class SearchServer:
             "/_analyze": self._analyze,
             "/_suggest": self._suggest,
         }
+        post_routes = {
+            "/_bulk": self._bulk,
+            "/_delete_by_query": self._delete_by_query,
+        }
+        write_lock = threading.Lock()
 
         from .query.qstring import QueryStringError
 
@@ -169,6 +272,31 @@ class SearchServer:
                     return
                 try:
                     handler._reply(200, fn(params))
+                except (KeyError, ValueError, QueryStringError) as e:
+                    handler._reply(
+                        400,
+                        {"error": {"type": type(e).__name__, "reason": str(e)}},
+                    )
+                except Exception as e:  # pragma: no cover — defensive 500
+                    handler._reply(
+                        500,
+                        {"error": {"type": type(e).__name__, "reason": str(e)}},
+                    )
+
+            def do_POST(handler):
+                parsed = urlparse(handler.path)
+                fn = post_routes.get(parsed.path)
+                params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+                if fn is None:
+                    handler._reply(404, {"error": {"type": "not_found",
+                                                   "reason": parsed.path}})
+                    return
+                body = handler.rfile.read(
+                    int(handler.headers.get("Content-Length", "0"))
+                )
+                try:
+                    with write_lock:  # writes serialize; reads stay free
+                        handler._reply(200, fn(params, body))
                 except (KeyError, ValueError, QueryStringError) as e:
                     handler._reply(
                         400,

@@ -110,3 +110,75 @@ def test_http_sharded_backend_matches_local(built, ray_session):
     finally:
         local.stop()
         fleet.stop()
+
+
+def test_http_write_lifecycle(built, ray_session, tmp_path):
+    """POST /_bulk indexes a batch through ONE incremental update and
+    the backend reloads onto the merged build; POST /_delete_by_query
+    tombstones; both immediately visible to reads."""
+    import shutil
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    root = str(tmp_path / "wridx")
+    shutil.copytree(built, root)
+    srv = SearchServer(root, backend="local").start()
+    try:
+        _, before = _get(srv.port, "/_count", q="zebra")
+        assert before["count"] == 0
+
+        lines = []
+        for i in range(3):
+            lines.append(json.dumps({"index": {}}))
+            lines.append(json.dumps({
+                "url": f"https://docs.test/new/zebra-{i}/",
+                "html": f"<html><body><h1>Zebra {i}</h1>"
+                        f"<p>zebra stripes pattern {i}</p></body></html>",
+                "warc_ts": 1_800_000_000_000_000 + i,
+            }))
+        body = ("\n".join(lines) + "\n").encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_bulk", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            resp = json.loads(r.read())
+        assert resp["errors"] is False and len(resp["items"]) == 3
+        assert all(it["index"]["status"] == 201 for it in resp["items"])
+
+        _, after = _get(srv.port, "/_count", q="zebra")
+        assert after["count"] == 3
+        _, s = _get(srv.port, "/_search", q="zebra stripes", k=5, fields="url")
+        assert {h["_source"]["url"] for h in s["hits"]["hits"]} == {
+            f"https://docs.test/new/zebra-{i}/" for i in range(3)
+        }
+
+        # idempotence: re-posting the same batch is a seen-url no-op
+        with urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_bulk", data=body, method="POST"
+        )) as r:
+            again = json.loads(r.read())
+        assert again["n_docs"] == resp["n_docs"]
+
+        # delete_by_query tombstones them
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_delete_by_query?q=zebra",
+            data=b"", method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["deleted"] == 3
+        _, gone = _get(srv.port, "/_count", q="zebra")
+        assert gone["count"] == 0
+
+        # malformed bulk → 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_bulk",
+            data=b'{"index": {}}\n', method="POST",
+        )
+        try:
+            urllib.request.urlopen(bad)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 400
+        assert raised
+    finally:
+        srv.stop()
