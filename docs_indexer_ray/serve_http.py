@@ -145,6 +145,22 @@ class SearchServer:
         toks = self._analyzer(params["text"])
         return {"tokens": [{"token": t, "position": i} for i, t in enumerate(toks)]}
 
+    def _doc(self, params) -> dict:
+        """``GET /_doc?id=N&fields=a,b`` — stored-field fetch by doc
+        id (row-group-pruned), OpenSearch ``GET <index>/_doc/<id>``
+        shape: ``{"_id", "found", "_source": {…}}``."""
+        doc_id = int(params["id"])
+        fields = [f for f in params.get("fields", "url,title").split(",") if f]
+        t = self._reader.fetch_docs([doc_id], ["doc_id"] + fields)
+        if t.num_rows == 0:
+            return {"_id": doc_id, "found": False}
+        row = t.to_pylist()[0]
+        return {
+            "_id": doc_id,
+            "found": True,
+            "_source": {f: row[f] for f in fields},
+        }
+
     def _suggest(self, params) -> dict:
         from .query.suggest import Suggester
 
@@ -219,6 +235,29 @@ class SearchServer:
             "n_docs": int(man["n_docs"]),
         }
 
+    def _msearch(self, params, body: bytes) -> dict:
+        """``POST /_msearch`` — NDJSON of one query object per line
+        (``{"q": …, "k"?, "syntax"?, "fields"?, "highlight"?}``), each
+        answered by the ``/_search`` machinery → ``{"took",
+        "responses": […]}`` (OpenSearch multi-search shape)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        responses = []
+        for ln in body.decode("utf-8").splitlines():
+            if not ln.strip():
+                continue
+            spec = json.loads(ln)
+            p = {"q": spec["q"]}
+            for key in ("k", "syntax", "fields", "highlight"):
+                if key in spec:
+                    p[key] = str(spec[key]).lower()
+            responses.append(self._search(p))
+        return {
+            "took": int((_time.perf_counter() - t0) * 1000),
+            "responses": responses,
+        }
+
     def _delete_by_query(self, params, body: bytes) -> dict:
         from .index import manifest as mf
         from .index.deletes import delete_by_terms
@@ -250,9 +289,11 @@ class SearchServer:
             "/_analyze": self._analyze,
             "/_suggest": self._suggest,
         }
+        routes["/_doc"] = self._doc
         post_routes = {
             "/_bulk": self._bulk,
             "/_delete_by_query": self._delete_by_query,
+            "/_msearch": self._msearch,
         }
         write_lock = threading.Lock()
 

@@ -182,3 +182,40 @@ def test_http_write_lifecycle(built, ray_session, tmp_path):
         assert raised
     finally:
         srv.stop()
+
+
+def test_http_doc_and_msearch(built, ray_session):
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(built, backend="local").start()
+    try:
+        # fetch by id
+        code, body = _get(srv.port, "/_doc", id=0, fields="url,title,body")
+        assert code == 200 and body["found"] and body["_id"] == 0
+        assert set(body["_source"]) == {"url", "title", "body"}
+        code, missing = _get(srv.port, "/_doc", id=10_000)
+        assert code == 200 and missing["found"] is False
+
+        # multi-search: one NDJSON line per query, responses in order
+        lines = [
+            json.dumps({"q": "node pools", "k": 2, "fields": "url"}),
+            json.dumps({"q": '+node -quota', "k": 3, "syntax": True}),
+            json.dumps({"q": "zzzunseen"}),
+        ]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_msearch",
+            data=("\n".join(lines) + "\n").encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            resp = json.loads(r.read())
+        rs = resp["responses"]
+        assert len(rs) == 3
+        assert rs[0]["hits"]["total"]["value"] == 2
+        assert set(rs[0]["hits"]["hits"][0]["_source"]) == {"url"}
+        assert rs[2]["hits"]["total"]["value"] == 0
+        # per-line results match the singleton endpoint
+        _, single = _get(srv.port, "/_search", q="node pools", k=2, fields="url")
+        assert rs[0] ["hits"]["hits"] == single["hits"]["hits"]
+    finally:
+        srv.stop()
