@@ -145,6 +145,23 @@ class SearchServer:
         toks = self._analyzer(params["text"])
         return {"tokens": [{"token": t, "position": i} for i, t in enumerate(toks)]}
 
+    def _explain(self, params) -> dict:
+        """``GET /_explain?id=N&q=…`` — per-term BM25 breakdown of one
+        doc for a query (``bm25.explain``), OpenSearch ``_explain``
+        shape: ``{"_id", "matched", "explanation": {"value",
+        "details": [{"term", "tf", "df", "dl", "idf", "weight"}]}}``."""
+        from .query.bm25 import explain
+
+        doc_id = int(params["id"])
+        t = explain(self._reader, self._analyzer(params["q"]), doc_id)
+        details = t.to_pylist()
+        total = float(sum(r["weight"] for r in details))
+        return {
+            "_id": doc_id,
+            "matched": bool(details),
+            "explanation": {"value": total, "details": details},
+        }
+
     def _doc(self, params) -> dict:
         """``GET /_doc?id=N&fields=a,b`` — stored-field fetch by doc
         id (row-group-pruned), OpenSearch ``GET <index>/_doc/<id>``
@@ -290,6 +307,7 @@ class SearchServer:
             "/_suggest": self._suggest,
         }
         routes["/_doc"] = self._doc
+        routes["/_explain"] = self._explain
         post_routes = {
             "/_bulk": self._bulk,
             "/_delete_by_query": self._delete_by_query,

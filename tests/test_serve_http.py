@@ -219,3 +219,25 @@ def test_http_doc_and_msearch(built, ray_session):
         assert rs[0] ["hits"]["hits"] == single["hits"]["hits"]
     finally:
         srv.stop()
+
+
+def test_http_explain(built, ray_session):
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(built, backend="local").start()
+    try:
+        _, top = _get(srv.port, "/_search", q="node pools", k=1, fields="url")
+        doc = top["hits"]["hits"][0]
+        code, ex = _get(srv.port, "/_explain", id=doc["_id"], q="node pools")
+        assert code == 200 and ex["matched"]
+        assert ex["explanation"]["value"] == pytest.approx(doc["_score"])
+        terms = {d["term"] for d in ex["explanation"]["details"]}
+        assert terms == {"node", "pools"}
+        # non-matching doc: matched false, value 0
+        code, none = _get(srv.port, "/_explain", id=doc["_id"], q="zzzunseen")
+        assert code == 200 and none["matched"] is False
+        # out-of-range id → 400 (KeyError envelope)
+        code, err = _get(srv.port, "/_explain", id=10_000, q="node")
+        assert code == 400
+    finally:
+        srv.stop()
