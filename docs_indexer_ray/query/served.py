@@ -330,8 +330,20 @@ class ShardQueryActor:
 
         return span_near_range(self.reader, terms, slop=slop)
 
-    def count_partial(self, query: str) -> int:
-        """Live matched-doc count (match-any) within this shard."""
+    def count_partial(self, query: str, syntax: bool = False) -> int:
+        """Live matched-doc count within this shard — match-any over
+        the analyzed terms, or the full query_string match mask with
+        ``syntax=True`` (bool/phrase/fuzzy/wildcard semantics)."""
+        if syntax:
+            import numpy as np
+
+            from .qstring import _eval_range, parse_query_string
+
+            node = parse_query_string(query, self.analyzer)
+            _, match = _eval_range(self.reader, node)
+            if self._live is not None:
+                match = match & self._live
+            return int(np.count_nonzero(match))
         return int(len(self._matched_local(query)))
 
     def fetch_partial(
@@ -548,13 +560,14 @@ class ShardedQueryService:
         )
         return [hit for part in parts for hit in part]
 
-    def count(self, query: str) -> int:
-        """OpenSearch ``_count``: live docs matching ANY query term —
+    def count(self, query: str, syntax: bool = False) -> int:
+        """OpenSearch ``_count``: live docs matching ANY query term
+        (or the full query_string semantics with ``syntax=True``) —
         per-shard counts over disjoint ranges sum exactly."""
         import ray
 
         return sum(
-            ray.get([a.count_partial.remote(query) for a in self._actors])
+            ray.get([a.count_partial.remote(query, syntax) for a in self._actors])
         )
 
     def terms_facet(self, query: str, col: str, size: int | None = None):

@@ -135,8 +135,21 @@ class SearchServer:
 
     def _count(self, params) -> dict:
         q = params["q"]
+        syntax = params.get("syntax", "0") in ("1", "true")
         if self._svc is not None:
-            return {"count": self._svc.count(q)}
+            return {"count": self._svc.count(q, syntax=syntax)}
+        if syntax:
+            import numpy as np
+
+            from .query.bm25 import _zero_deleted
+            from .query.qstring import _eval, parse_query_string
+
+            node = parse_query_string(q, self._analyzer)
+            scores, match = _eval(self._reader, node)
+            live = _zero_deleted(
+                self._reader, np.where(match, 1.0, 0.0)
+            )
+            return {"count": int(np.count_nonzero(live))}
         from .query.facets import match_doc_ids
 
         return {"count": int(len(match_doc_ids(self._reader, self._analyzer(q))))}

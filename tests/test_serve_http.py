@@ -241,3 +241,41 @@ def test_http_explain(built, ray_session):
         assert code == 400
     finally:
         srv.stop()
+
+
+def test_http_count_syntax(built, ray_session):
+    """`/_count?syntax=1` counts the full query_string match mask —
+    identical on the local and sharded backends, and must_not
+    actually shrinks the count."""
+    from docs_indexer_ray.serve_http import SearchServer
+
+    import numpy as np
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.qstring import _eval, parse_query_string
+    from docs_indexer_ray.query.reader import IndexReader
+
+    reader = IndexReader(built)
+    an = Analyzer("simple")
+
+    def want(q):
+        _, match = _eval(reader, parse_query_string(q, an))
+        return int(np.count_nonzero(match))
+
+    local = SearchServer(built, backend="local").start()
+    fleet = SearchServer(built, backend="sharded", n_shards=3).start()
+    try:
+        queries = ["node AND pools", "+node -pool", "(node OR page) AND NOT quota",
+                   '"node pools"', "nod*"]
+        assert any(want(q) for q in queries)  # corpus sanity
+        for q in queries:
+            _, a = _get(local.port, "/_count", q=q, syntax=1)
+            _, b = _get(fleet.port, "/_count", q=q, syntax=1)
+            assert a["count"] == b["count"] == want(q), q
+        # non-syntax counts agree across backends too
+        _, a = _get(local.port, "/_count", q="node quota")
+        _, b = _get(fleet.port, "/_count", q="node quota")
+        assert a == b
+    finally:
+        local.stop()
+        fleet.stop()
