@@ -124,7 +124,7 @@ class SearchServer:
             if highlight is not None:
                 hit["highlight"] = {highlight: [row["snippet"]]}
             hits.append(hit)
-        return {
+        out = {
             "took": took,
             "timed_out": False,
             "hits": {
@@ -132,6 +132,91 @@ class SearchServer:
                 "hits": hits,
             },
         }
+        agg_terms = params.get("agg_terms")
+        agg_stats = params.get("agg_stats")
+        if (agg_terms or agg_stats) and not syntax:
+            aggs = {}
+            tt, st = self._facet_tables(q, agg_terms, agg_stats)
+            if tt is not None:
+                size = int(params.get("agg_size", "10"))
+                aggs[agg_terms] = {
+                    "buckets": [
+                        {"key": r["value"], "doc_count": r["n_docs"]}
+                        for r in tt.slice(0, size).to_pylist()
+                    ]
+                }
+            if st is not None:
+                r = st.to_pylist()[0]
+                aggs[agg_stats] = {
+                    "count": r["n_docs"], "min": r["min_v"], "max": r["max_v"],
+                    "sum": r["sum_v"], "avg": r["avg_v"],
+                }
+            out["aggregations"] = aggs
+        return out
+
+    def _facet_tables(self, q: str, agg_terms: str | None, agg_stats: str | None):
+        """``(terms_table, stats_table)`` for the match-any set of
+        ``q`` — via the fleet's per-shard facet partials (sharded
+        backend) or one pruned docs-store read (local backend,
+        memoized column slice like the shard actors keep)."""
+        if self._svc is not None:
+            t = self._svc.terms_facet(q, agg_terms) if agg_terms else None
+            s = self._svc.stats_facet(q, agg_stats) if agg_stats else None
+            return t, s
+        import numpy as np
+        import pyarrow as pa
+
+        from .query.facets import match_doc_ids
+
+        matched = match_doc_ids(self._reader, self._analyzer(q))
+        out_t = out_s = None
+        for col, want in ((agg_terms, "terms"), (agg_stats, "stats")):
+            if not col:
+                continue
+            arr = self._cols.get(col) if hasattr(self, "_cols") else None
+            if arr is None:
+                import os
+
+                import pyarrow.dataset as pads
+
+                dset = pads.dataset(
+                    os.path.join(self._reader.index_dir, "docs"),
+                    partitioning="hive",
+                )
+                t = dset.to_table(columns=["doc_id", col])
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                perm = np.empty(self._reader.n_docs, np.int64)
+                perm[ids] = np.arange(len(ids))
+                arr = t[col].combine_chunks().take(pa.array(perm))
+                if not hasattr(self, "_cols"):
+                    self._cols = {}
+                self._cols[col] = arr
+            vals = arr.take(pa.array(matched.astype(np.int64)))
+            if want == "terms":
+                agg = (
+                    pa.table({"value": vals.cast(pa.string())})
+                    .group_by("value")
+                    .aggregate([([], "count_all")])
+                )
+                out_t = pa.table(
+                    {"value": agg["value"],
+                     "n_docs": agg["count_all"].cast(pa.int64())}
+                ).sort_by([("n_docs", "descending"), ("value", "ascending")])
+            else:
+                v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+                n = len(v)
+                out_s = pa.table(
+                    {
+                        "n_docs": pa.array([n], pa.int64()),
+                        "min_v": pa.array([float(v.min()) if n else None], pa.float64()),
+                        "max_v": pa.array([float(v.max()) if n else None], pa.float64()),
+                        "sum_v": pa.array([float(v.sum()) if n else None], pa.float64()),
+                        "avg_v": pa.array(
+                            [float(v.sum()) / n if n else None], pa.float64()
+                        ),
+                    }
+                )
+        return out_t, out_s
 
     def _count(self, params) -> dict:
         q = params["q"]
@@ -189,6 +274,59 @@ class SearchServer:
             "_id": doc_id,
             "found": True,
             "_source": {f: row[f] for f in fields},
+        }
+
+    def _mapping(self, params) -> dict:
+        """``GET /_mapping`` — the index's field surface derived from
+        the docs-store schema + manifest (OpenSearch mapping shape:
+        stored columns as keyword/text/date properties, the analyzed
+        field and extra chains from the manifest)."""
+        import os
+
+        import pyarrow.dataset as pads
+
+        man = self._reader.manifest
+        schema = pads.dataset(
+            os.path.join(self._reader.index_dir, "docs"), partitioning="hive"
+        ).schema
+        import pyarrow.types as pt
+
+        props = {}
+        for f in schema:
+            if f.name in ("docpart",):
+                continue
+            if pt.is_timestamp(f.type):
+                kind = "date"
+            elif pt.is_integer(f.type) or pt.is_floating(f.type):
+                kind = "long" if pt.is_integer(f.type) else "double"
+            elif pt.is_list(f.type) or pt.is_large_list(f.type):
+                kind = "keyword"
+            else:
+                kind = "text" if f.name == man.get("field") else "keyword"
+            props[f.name] = {"type": kind}
+        if man.get("field") in props:
+            props[man["field"]]["analyzer"] = man.get("analyzer")
+        return {
+            "mappings": {"properties": props},
+            "settings": {
+                "analyzer": man.get("analyzer"),
+                "extra_chains": sorted(man.get("chains", {})),
+                "store_positions": bool(man.get("store_positions", False)),
+                "num_parts": int(man.get("num_parts", 0)),
+            },
+        }
+
+    def _stats(self, params) -> dict:
+        """``GET /_stats`` — doc counts + build facts from the
+        manifest (OpenSearch ``_stats`` condensed to what exists)."""
+        man = self._reader.manifest
+        n = int(man["n_docs"])
+        live = n - len(self._reader.deleted_ids())
+        return {
+            "docs": {"count": live, "deleted": n - live},
+            "fingerprint": man.get("fingerprint"),
+            "avgdl": float(man.get("avgdl", 0.0)),
+            "timings_s": man.get("timings_s", {}),
         }
 
     def _suggest(self, params) -> dict:
@@ -321,6 +459,8 @@ class SearchServer:
         }
         routes["/_doc"] = self._doc
         routes["/_explain"] = self._explain
+        routes["/_mapping"] = self._mapping
+        routes["/_stats"] = self._stats
         post_routes = {
             "/_bulk": self._bulk,
             "/_delete_by_query": self._delete_by_query,

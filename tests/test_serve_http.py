@@ -279,3 +279,49 @@ def test_http_count_syntax(built, ray_session):
     finally:
         local.stop()
         fleet.stop()
+
+
+def test_http_aggregations_mapping_stats(built, ray_session):
+    """/_search aggregations (terms + stats) agree across backends and
+    against the library facet; /_mapping and /_stats expose the
+    manifest surface."""
+    from docs_indexer_ray.serve_http import SearchServer
+
+    local = SearchServer(built, backend="local").start()
+    fleet = SearchServer(built, backend="sharded", n_shards=3).start()
+    try:
+        p = dict(q="node pools quota", k=2, agg_terms="lang",
+                 agg_stats="warc_ts")
+        _, a = _get(local.port, "/_search", **p)
+        _, b = _get(fleet.port, "/_search", **p)
+        assert a["aggregations"] == b["aggregations"]
+        buckets = a["aggregations"]["lang"]["buckets"]
+        assert buckets and all({"key", "doc_count"} == set(x) for x in buckets)
+        st = a["aggregations"]["warc_ts"]
+        assert st["count"] == sum(x["doc_count"] for x in buckets)
+        assert st["min"] <= st["avg"] <= st["max"]
+
+        # library-facet oracle for the bucket counts
+        import numpy as np
+
+        from docs_indexer_ray.functions.analyzer import Analyzer
+        from docs_indexer_ray.query.facets import match_doc_ids
+        from docs_indexer_ray.query.reader import IndexReader
+
+        reader = IndexReader(built)
+        matched = match_doc_ids(reader, Analyzer("simple")("node pools quota"))
+        assert st["count"] == len(matched)
+
+        _, mapping = _get(local.port, "/_mapping")
+        props = mapping["mappings"]["properties"]
+        assert props["body"] == {"type": "text", "analyzer": "simple"}
+        assert props["warc_ts"]["type"] == "date"
+        assert props["url"]["type"] == "keyword"
+        assert mapping["settings"]["store_positions"] is True
+
+        _, stats = _get(local.port, "/_stats")
+        assert stats["docs"] == {"count": 80, "deleted": 0}
+        assert stats["avgdl"] > 0
+    finally:
+        local.stop()
+        fleet.stop()
