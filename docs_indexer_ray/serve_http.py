@@ -79,6 +79,12 @@ class SearchServer:
         self._reader = None
         self._analyzer = None
         self._suggester = None
+        # request cache (OpenSearch's shard request cache, one tier
+        # up): full GET responses keyed by path+query, bounded LRU,
+        # invalidated wholesale on any write (_reload)
+        self.cache_size = 256
+        self._cache: "dict[str, dict]" = {}
+        self._cols: dict = {}  # local-backend facet column slices
 
     # ---------------------------------------------------------- queries
 
@@ -443,6 +449,8 @@ class SearchServer:
             self._svc.shutdown()
             self._svc = None
         self._suggester = None
+        self._cols = {}
+        self._cache.clear()
         self._ensure_backend()
 
     # ----------------------------------------------------------- server
@@ -467,6 +475,7 @@ class SearchServer:
             "/_msearch": self._msearch,
         }
         write_lock = threading.Lock()
+        server = self  # captured by the handler closure (cache access)
 
         from .query.qstring import QueryStringError
 
@@ -482,8 +491,16 @@ class SearchServer:
                     handler._reply(404, {"error": {"type": "not_found",
                                                    "reason": parsed.path}})
                     return
+                cached = server._cache.get(handler.path)
+                if cached is not None:
+                    handler._reply(200, cached)
+                    return
                 try:
-                    handler._reply(200, fn(params))
+                    body = fn(params)
+                    if len(server._cache) >= server.cache_size:
+                        server._cache.pop(next(iter(server._cache)))
+                    server._cache[handler.path] = body
+                    handler._reply(200, body)
                 except (KeyError, ValueError, QueryStringError) as e:
                     handler._reply(
                         400,

@@ -325,3 +325,37 @@ def test_http_aggregations_mapping_stats(built, ray_session):
     finally:
         local.stop()
         fleet.stop()
+
+
+def test_http_request_cache_invalidated_by_writes(built, ray_session, tmp_path):
+    """Repeated GETs hit the response cache; any write clears it so
+    reads never serve stale results."""
+    import shutil
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    root = str(tmp_path / "cidx")
+    shutil.copytree(built, root)
+    srv = SearchServer(root, backend="local").start()
+    try:
+        _, first = _get(srv.port, "/_count", q="cachetest")
+        assert first["count"] == 0
+        assert len(srv._cache) >= 1
+        _, again = _get(srv.port, "/_count", q="cachetest")
+        assert again == first  # served from cache (identical body)
+
+        # a bulk write invalidates: the same GET now sees the new doc
+        body = (
+            json.dumps({"index": {}}) + "\n" +
+            json.dumps({"url": "https://docs.test/new/c1/",
+                        "html": "<html><body><p>cachetest doc</p></body></html>",
+                        "warc_ts": 1_800_000_000_000_000}) + "\n"
+        ).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_bulk", data=body, method="POST"
+        )):
+            pass
+        _, after = _get(srv.port, "/_count", q="cachetest")
+        assert after["count"] == 1
+    finally:
+        srv.stop()
