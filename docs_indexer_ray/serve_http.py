@@ -432,6 +432,39 @@ class SearchServer:
             "responses": responses,
         }
 
+    def _snapshot(self, params, body: bytes) -> dict:
+        """``POST /_snapshot?dir=…[&name=…]`` — hardlink snapshot of
+        the current build (``index.snapshot.snapshot_index``)."""
+        from .index.snapshot import snapshot_index
+
+        path = snapshot_index(
+            self.index_root, params["dir"], name=params.get("name")
+        )
+        return {"snapshot": path, "accepted": True}
+
+    def _restore(self, params, body: bytes) -> dict:
+        """``POST /_restore?snapshot=…[&force=1]`` — restore + verify a
+        snapshot into this index root and reload the serving backend.
+        ``force=1`` is the ROLLBACK path: a build of the same name
+        already under the root (e.g. the live build the snapshot was
+        taken from, later tombstoned) is replaced — OpenSearch's
+        close-then-restore, collapsed into one call."""
+        import os
+        import shutil
+
+        from .index.snapshot import restore_index
+
+        snap = params["snapshot"]
+        if params.get("force", "0") in ("1", "true"):
+            with open(os.path.join(snap, "snapshot.json")) as f:
+                build_name = json.load(f)["build"]
+            existing = os.path.join(self.index_root, build_name)
+            if os.path.exists(existing):
+                shutil.rmtree(existing)
+        fp = restore_index(snap, self.index_root)
+        self._reload()
+        return {"restored": fp, "accepted": True}
+
     def _delete_by_query(self, params, body: bytes) -> dict:
         from .index import manifest as mf
         from .index.deletes import delete_by_terms
@@ -473,6 +506,8 @@ class SearchServer:
             "/_bulk": self._bulk,
             "/_delete_by_query": self._delete_by_query,
             "/_msearch": self._msearch,
+            "/_snapshot": self._snapshot,
+            "/_restore": self._restore,
         }
         write_lock = threading.Lock()
         server = self  # captured by the handler closure (cache access)
@@ -526,7 +561,10 @@ class SearchServer:
                 try:
                     with write_lock:  # writes serialize; reads stay free
                         handler._reply(200, fn(params, body))
-                except (KeyError, ValueError, QueryStringError) as e:
+                except (
+                    KeyError, ValueError, QueryStringError,
+                    FileNotFoundError, FileExistsError,
+                ) as e:
                     handler._reply(
                         400,
                         {"error": {"type": type(e).__name__, "reason": str(e)}},

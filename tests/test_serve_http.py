@@ -359,3 +359,47 @@ def test_http_request_cache_invalidated_by_writes(built, ray_session, tmp_path):
         assert after["count"] == 1
     finally:
         srv.stop()
+
+
+def test_http_snapshot_restore(built, ray_session, tmp_path):
+    """POST /_snapshot then a destructive delete then POST /_restore:
+    the pre-snapshot result set comes back."""
+    import shutil
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    root = str(tmp_path / "snidx")
+    shutil.copytree(built, root)
+    snaps = str(tmp_path / "snaps")
+    srv = SearchServer(root, backend="local").start()
+    try:
+        _, before = _get(srv.port, "/_count", q="node")
+        assert before["count"] > 0
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_snapshot?"
+            + urllib.parse.urlencode({"dir": snaps, "name": "s1"}),
+            data=b"", method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            snap = json.loads(r.read())
+        assert snap["accepted"]
+
+        with urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_delete_by_query?q=node",
+            data=b"", method="POST",
+        )) as r:
+            assert json.loads(r.read())["deleted"] == before["count"]
+        _, gone = _get(srv.port, "/_count", q="node")
+        assert gone["count"] == 0
+
+        with urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_restore?"
+            + urllib.parse.urlencode({"snapshot": snap["snapshot"], "force": 1}),
+            data=b"", method="POST",
+        )) as r:
+            assert json.loads(r.read())["accepted"]
+        _, back = _get(srv.port, "/_count", q="node")
+        assert back == before
+    finally:
+        srv.stop()
