@@ -224,3 +224,30 @@ def test_sharded_query_string_matches_local(built, ray_session, tmp_path_factory
         dpath = os.path.join(fresh.index_dir, "deletes.parquet")
         if os.path.exists(dpath):
             os.unlink(dpath)
+
+
+def test_parser_never_crashes_on_arbitrary_input(built):
+    """Fuzz: any input either parses or raises QueryStringError —
+    no other exception type escapes the parser, and whatever parses
+    also evaluates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+
+    an = Analyzer("simple")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(
+        alphabet=st.sampled_from(list('abz ()"+-~^*?!&|0123456789.ANDORT\\')),
+        max_size=40,
+    ))
+    def run(qs):
+        try:
+            node = parse_query_string(qs, an)
+        except QueryStringError:
+            return
+        hits = query_string_topk(built, qs, k=3)
+        assert all(isinstance(d, int) for d, _ in hits)
+
+    run()
