@@ -213,11 +213,22 @@ class ShardQueryActor:
             self._masks[key] = mask
         return mask
 
-    def _matched_local(self, query: str) -> np.ndarray:
-        """Match-any (OR) doc offsets WITHIN this shard, live only —
-        the facet candidate set, mirroring ``facets.match_doc_ids``
-        but decoding only the posting blocks overlapping the range."""
+    def _matched_local(self, query: str, syntax: bool = False) -> np.ndarray:
+        """Matched doc offsets WITHIN this shard, live only — the facet
+        candidate set.  Match-any (OR) over analyzed terms by default
+        (mirroring ``facets.match_doc_ids``, decoding only the posting
+        blocks overlapping the range); ``syntax=True`` uses the full
+        query_string match mask instead (bool/phrase/fuzzy/wildcard),
+        so aggregations can follow the REAL query semantics."""
         lo, hi = self.reader.doc_lo, self.reader.doc_hi
+        if syntax:
+            from .qstring import _eval_range, parse_query_string
+
+            node = parse_query_string(query, self.analyzer)
+            _, match = _eval_range(self.reader, node)
+            if self._live is not None:
+                match = match & self._live
+            return np.flatnonzero(match)
         parts = []
         for term in set(self.analyzer(query)):
             tp = self.reader.postings(term)
@@ -267,14 +278,14 @@ class ShardQueryActor:
             self._cols[col] = arr
         return arr
 
-    def facet_terms_partial(self, query: str, col: str):
+    def facet_terms_partial(self, query: str, col: str, syntax: bool = False):
         """Per-key matched-doc counts within this shard →
         ``(value:string, partial:int64)``; counts over disjoint doc
         ranges SUM exactly, so the service-side merge reproduces
         ``facets.terms_facet`` bit-for-bit."""
         import pyarrow as pa
 
-        matched = self._matched_local(query)
+        matched = self._matched_local(query, syntax=syntax)
         if not len(matched):
             return pa.table(
                 {"value": pa.array([], pa.string()),
@@ -289,11 +300,11 @@ class ShardQueryActor:
             }
         )
 
-    def facet_stats_partial(self, query: str, col: str) -> tuple:
+    def facet_stats_partial(self, query: str, col: str, syntax: bool = False) -> tuple:
         """``(n, min, max, sum)`` of numeric column ``col`` over this
         shard's matches — one constant-size tuple per shard; count/sum
         add and min/max fold exactly across disjoint ranges."""
-        matched = self._matched_local(query)
+        matched = self._matched_local(query, syntax=syntax)
         if not len(matched):
             return (0, None, None, None)
         import pyarrow as pa
@@ -334,17 +345,7 @@ class ShardQueryActor:
         """Live matched-doc count within this shard — match-any over
         the analyzed terms, or the full query_string match mask with
         ``syntax=True`` (bool/phrase/fuzzy/wildcard semantics)."""
-        if syntax:
-            import numpy as np
-
-            from .qstring import _eval_range, parse_query_string
-
-            node = parse_query_string(query, self.analyzer)
-            _, match = _eval_range(self.reader, node)
-            if self._live is not None:
-                match = match & self._live
-            return int(np.count_nonzero(match))
-        return int(len(self._matched_local(query)))
+        return int(len(self._matched_local(query, syntax=syntax)))
 
     def fetch_partial(
         self,
@@ -570,7 +571,9 @@ class ShardedQueryService:
             ray.get([a.count_partial.remote(query, syntax) for a in self._actors])
         )
 
-    def terms_facet(self, query: str, col: str, size: int | None = None):
+    def terms_facet(
+        self, query: str, col: str, size: int | None = None, syntax: bool = False
+    ):
         """OpenSearch-style ``terms`` aggregation over the matched set,
         computed PER SHARD and merged exactly (counts over disjoint doc
         ranges sum) → ``(value, n_docs)``, count desc / value asc —
@@ -581,7 +584,7 @@ class ShardedQueryService:
         import ray
 
         parts = ray.get(
-            [a.facet_terms_partial.remote(query, col) for a in self._actors]
+            [a.facet_terms_partial.remote(query, col, syntax) for a in self._actors]
         )
         parts = [p for p in parts if p.num_rows]
         if not parts:
@@ -596,7 +599,7 @@ class ShardedQueryService:
         ).sort_by([("n_docs", "descending"), ("value", "ascending")])
         return out.slice(0, size) if size is not None else out
 
-    def stats_facet(self, query: str, col: str):
+    def stats_facet(self, query: str, col: str, syntax: bool = False):
         """``stats`` aggregation over the matched set — per-shard
         constant-size ``(n, min, max, sum)`` partials folded on the
         caller → one row ``(n_docs, min_v, max_v, sum_v, avg_v)``,
@@ -605,7 +608,7 @@ class ShardedQueryService:
         import ray
 
         parts = ray.get(
-            [a.facet_stats_partial.remote(query, col) for a in self._actors]
+            [a.facet_stats_partial.remote(query, col, syntax) for a in self._actors]
         )
         parts = [p for p in parts if p[0]]
         n = sum(p[0] for p in parts)

@@ -140,9 +140,9 @@ class SearchServer:
         }
         agg_terms = params.get("agg_terms")
         agg_stats = params.get("agg_stats")
-        if (agg_terms or agg_stats) and not syntax:
+        if agg_terms or agg_stats:
             aggs = {}
-            tt, st = self._facet_tables(q, agg_terms, agg_stats)
+            tt, st = self._facet_tables(q, agg_terms, agg_stats, syntax=syntax)
             if tt is not None:
                 size = int(params.get("agg_size", "10"))
                 aggs[agg_terms] = {
@@ -160,21 +160,46 @@ class SearchServer:
             out["aggregations"] = aggs
         return out
 
-    def _facet_tables(self, q: str, agg_terms: str | None, agg_stats: str | None):
-        """``(terms_table, stats_table)`` for the match-any set of
-        ``q`` — via the fleet's per-shard facet partials (sharded
-        backend) or one pruned docs-store read (local backend,
-        memoized column slice like the shard actors keep)."""
+    def _facet_tables(
+        self,
+        q: str,
+        agg_terms: str | None,
+        agg_stats: str | None,
+        syntax: bool = False,
+    ):
+        """``(terms_table, stats_table)`` for the matched set of ``q``
+        (match-any, or the full query_string mask with ``syntax``) —
+        via the fleet's per-shard facet partials (sharded backend) or
+        one pruned docs-store read (local backend, memoized column
+        slice like the shard actors keep)."""
         if self._svc is not None:
-            t = self._svc.terms_facet(q, agg_terms) if agg_terms else None
-            s = self._svc.stats_facet(q, agg_stats) if agg_stats else None
+            t = (
+                self._svc.terms_facet(q, agg_terms, syntax=syntax)
+                if agg_terms
+                else None
+            )
+            s = (
+                self._svc.stats_facet(q, agg_stats, syntax=syntax)
+                if agg_stats
+                else None
+            )
             return t, s
         import numpy as np
         import pyarrow as pa
 
-        from .query.facets import match_doc_ids
+        if syntax:
+            from .query.bm25 import _zero_deleted
+            from .query.qstring import _eval, parse_query_string
 
-        matched = match_doc_ids(self._reader, self._analyzer(q))
+            node = parse_query_string(q, self._analyzer)
+            _, match = _eval(self._reader, node)
+            matched = np.flatnonzero(
+                _zero_deleted(self._reader, np.where(match, 1.0, 0.0)) > 0
+            )
+        else:
+            from .query.facets import match_doc_ids
+
+            matched = match_doc_ids(self._reader, self._analyzer(q))
         out_t = out_s = None
         for col, want in ((agg_terms, "terms"), (agg_stats, "stats")):
             if not col:

@@ -403,3 +403,34 @@ def test_http_snapshot_restore(built, ray_session, tmp_path):
         assert back == before
     finally:
         srv.stop()
+
+
+def test_http_aggregations_follow_query_syntax(built, ray_session):
+    """With syntax=1, /_search aggregations bucket the QUERY's match
+    set (must/must_not semantics), not match-any — identical across
+    backends and sized by the syntax /_count."""
+    from docs_indexer_ray.serve_http import SearchServer
+
+    local = SearchServer(built, backend="local").start()
+    fleet = SearchServer(built, backend="sharded", n_shards=3).start()
+    try:
+        p = dict(q='node AND pools', syntax=1, k=1, agg_terms="lang",
+                 agg_stats="warc_ts")
+        _, a = _get(local.port, "/_search", **p)
+        _, b = _get(fleet.port, "/_search", **p)
+        assert a["aggregations"] == b["aggregations"]
+        _, n = _get(local.port, "/_count", q='node AND pools', syntax=1)
+        assert a["aggregations"]["warc_ts"]["count"] == n["count"]
+        total = sum(x["doc_count"] for x in a["aggregations"]["lang"]["buckets"])
+        assert total == n["count"] > 0
+        # and the syntax mask differs from match-any when must_not bites
+        _, any_n = _get(local.port, "/_count", q="node pools")
+        _, m = _get(local.port, "/_search", q="+node -pools", syntax=1,
+                    agg_terms="lang")
+        neg_total = sum(
+            x["doc_count"] for x in m["aggregations"]["lang"]["buckets"]
+        )
+        assert neg_total < any_n["count"]
+    finally:
+        local.stop()
+        fleet.stop()
