@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# End-to-end quickstart: synthesize a crawl, build the index, query it
+# from the CLI, serve it over REST, bulk-index new docs, snapshot and
+# roll back.  Everything runs single-node; the same commands submit to
+# a cluster via `ray job submit -- python -m docs_indexer_ray.cli …`.
+set -euo pipefail
+WORK="$(mktemp -d)"
+PORT="${PORT:-19280}"
+echo "working dir: $WORK"
+
+# 1. a Common-Crawl-shaped pages table (url, warc_ts, html, text, lang)
+python - <<EOF
+import pyarrow.parquet as pq
+from docs_indexer_ray.synth import rich_pages_table
+pq.write_table(rich_pages_table(200, dup_every=0), "$WORK/pages.parquet")
+EOF
+
+# 2. build the inverted index (positions on, for phrases/highlighting)
+python -m docs_indexer_ray.cli build \
+  --input "$WORK/pages.parquet" --out "$WORK/idx" \
+  --fingerprint demo --store-positions
+
+# 3. query from the CLI: BM25, assembled search, phrase, aggregation
+python -m docs_indexer_ray.cli query  --index "$WORK/idx" --q "node pools" -k 3
+python -m docs_indexer_ray.cli search --index "$WORK/idx" \
+  --q '+node -quota "node pools"' --syntax --highlight body -k 3
+python -m docs_indexer_ray.cli phrase --index "$WORK/idx" --q "node pools" -k 3
+python -m docs_indexer_ray.cli agg    --index "$WORK/idx" --q "node pools" \
+  --kind terms --field lang
+
+# 4. serve over REST (sharded fleet) and exercise the API
+python -m docs_indexer_ray.cli serve --index "$WORK/idx" --port "$PORT" --shards 4 &
+SRV=$!
+sleep 10
+curl -s "http://127.0.0.1:$PORT/_search?q=node+pools&k=2&highlight=body&agg_terms=lang"; echo
+curl -s "http://127.0.0.1:$PORT/_count?q=node+AND+pools&syntax=1"; echo
+curl -s -X POST "http://127.0.0.1:$PORT/_snapshot?dir=$WORK/snaps&name=s1" -d ''; echo
+printf '{"index": {}}\n{"url": "https://docs.test/new/1/", "html": "<html><body><p>fresh bulk doc</p></body></html>", "warc_ts": 1800000000000000}\n' \
+  | curl -s -X POST --data-binary @- "http://127.0.0.1:$PORT/_bulk"; echo
+curl -s "http://127.0.0.1:$PORT/_count?q=fresh"; echo
+curl -s -X POST "http://127.0.0.1:$PORT/_delete_by_query?q=fresh" -d ''; echo
+curl -s -X POST "http://127.0.0.1:$PORT/_restore?snapshot=$WORK/snaps/s1&force=1" -d ''; echo
+kill "$SRV" 2>/dev/null; wait "$SRV" 2>/dev/null || true
+echo "quickstart OK (artifacts under $WORK)"
