@@ -433,6 +433,7 @@ class ShardedQueryService:
         n_shards: int = 4,
         chain: str | None = None,
         num_cpus: float = 0.25,
+        n_replicas: int = 1,
     ):
         import ray
 
@@ -444,10 +445,31 @@ class ShardedQueryService:
         bounds = np.linspace(0, n_docs, n_shards + 1).astype(np.int64)
         actor_cls = ray.remote(num_cpus=num_cpus)(ShardQueryActor)
         self._bounds = bounds
-        self._actors = [
-            actor_cls.remote(index_root, int(bounds[i]), int(bounds[i + 1]), chain)
+        # n_replicas > 1 is OpenSearch's primary+replica read scaling:
+        # a Ray actor serves ONE request at a time, so concurrent
+        # queries otherwise queue behind each shard — every fan-out
+        # picks one replica per doc range, round-robin
+        self._groups = [
+            [
+                actor_cls.remote(
+                    index_root, int(bounds[i]), int(bounds[i + 1]), chain
+                )
+                for _ in range(max(1, n_replicas))
+            ]
             for i in range(n_shards)
         ]
+        self._rr = 0
+
+    @property
+    def _actors(self):
+        """One replica per doc-range shard, rotated per access — every
+        existing fan-out (``for a in self._actors`` / ``_actors[s]``)
+        transparently load-balances across replicas.  The lock-free
+        counter bump is intentionally racy: it only influences replica
+        CHOICE, never correctness (replicas are identical readers)."""
+        self._rr += 1
+        r = self._rr
+        return [g[r % len(g)] for g in self._groups]
 
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         import ray
@@ -663,6 +685,7 @@ class ShardedQueryService:
     def shutdown(self) -> None:
         import ray
 
-        for a in self._actors:
-            ray.kill(a)
-        self._actors = []
+        for group in self._groups:
+            for a in group:
+                ray.kill(a)
+        self._groups = []

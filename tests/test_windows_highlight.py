@@ -413,3 +413,43 @@ def test_sharded_search_matches_local_response(ray_session, tmp_path, n_shards):
         assert sh.to_pylist() == qs.to_pylist()
     finally:
         svc.shutdown()
+
+
+def test_replicated_sharded_service_matches_local(ray_session, tmp_path):
+    """n_replicas > 1 (OpenSearch primary+replica read scaling): every
+    fan-out picks one replica per doc range round-robin — results stay
+    exactly the local reader's across repeated calls landing on
+    different replicas."""
+    import ray.data
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.bm25 import score_topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.served import ShardedQueryService
+    from docs_indexer_ray.synth import rich_pages_table
+
+    root = str(tmp_path / "repidx")
+    build_index(
+        ray.data.from_arrow(rich_pages_table(60, dup_every=0)),
+        root,
+        fingerprint="rp",
+        num_parts=4,
+        chain="simple",
+        field="body",
+        store_positions=True,
+    )
+    reader = IndexReader(root)
+    an = Analyzer("simple")
+    svc = ShardedQueryService(root, n_shards=3, n_replicas=2)
+    try:
+        assert len(svc._groups) == 3 and all(len(g) == 2 for g in svc._groups)
+        want = score_topk(reader, an("node pools"), k=10)
+        # several calls rotate replicas; all must agree
+        for _ in range(4):
+            assert svc.topk("node pools", k=10) == want
+        assert svc.match_phrase("node pools") and svc.count("node") > 0
+        resp = svc.search("node pools", k=3, highlight_field="body")
+        assert resp.num_rows == 3 and "<em>" in resp["snippet"][0].as_py()
+    finally:
+        svc.shutdown()
