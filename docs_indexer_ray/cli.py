@@ -161,6 +161,7 @@ def cmd_serve(args) -> int:
         backend="sharded" if args.shards > 1 else "local",
         n_shards=max(1, args.shards),
         chain=args.chain,
+        n_replicas=max(1, args.replicas),
     ).start()
     print(json.dumps({"serving": f"http://{srv.host}:{srv.port}",
                       "backend": srv.backend}))
@@ -468,6 +469,8 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--chain", default=None)
     sv.add_argument("--shards", type=int, default=0,
                     help=">1 = doc-range-sharded actor fleet backend")
+    sv.add_argument("--replicas", type=int, default=1,
+                    help="replicas per shard (read scaling on multi-node)")
     sv.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("suggest", help="prefix/suffix suggestions")

@@ -66,6 +66,7 @@ class SearchServer:
         backend: str = "local",
         n_shards: int = 4,
         chain: str | None = None,
+        n_replicas: int = 1,
     ):
         if backend not in ("local", "sharded"):
             raise ValueError(f"backend must be 'local'|'sharded': {backend}")
@@ -73,6 +74,7 @@ class SearchServer:
         self.host, self.port = host, port
         self.backend = backend
         self.n_shards = n_shards
+        self.n_replicas = n_replicas
         self.chain = chain
         self._httpd: ThreadingHTTPServer | None = None
         self._svc = None
@@ -98,7 +100,10 @@ class SearchServer:
             from .query.served import ShardedQueryService
 
             self._svc = ShardedQueryService(
-                self.index_root, n_shards=self.n_shards, chain=self.chain
+                self.index_root,
+                n_shards=self.n_shards,
+                chain=self.chain,
+                n_replicas=self.n_replicas,
             )
 
     def _search(self, params) -> dict:
