@@ -226,25 +226,38 @@ def merge_many(
     prefix: str = "docs",
     fingerprint: str | None = None,
     publish: bool = True,
+    carry_deletes: bool = False,
 ):
     """Single-pass k-way merge of published builds; returns the merged
     manifest dict.  Each partition is merged by one task reading the
-    partition's rows from every input once — no left-fold re-encode."""
+    partition's rows from every input once — no left-fold re-encode.
+
+    ``carry_deletes=False`` (the compaction-intent default) REFUSES
+    inputs with live tombstones; ``carry_deletes=True`` carries them
+    forward instead — a merge only SHIFTS ids (never compacts holes),
+    so each input's tombstoned ids map to ``id + shift`` exactly, and
+    their union becomes the merged build's ``deletes.parquet``
+    (Lucene keeps deleted docs across merges the same way until a
+    rewrite reclaims them).  The serving write path uses this so
+    ``_bulk`` keeps working after a ``_delete_by_query``."""
     import ray
 
     if len(index_dirs) < 2:
         raise ValueError("merge_many needs >= 2 indexes")
     dirs = [mf.current_build(d) or d for d in index_dirs]
     mans = [mf.read_manifest(d) for d in dirs]
-    for d in dirs:
-        from .deletes import load_delete_ids
+    from .deletes import load_delete_ids
 
-        if len(load_delete_ids(d)):
-            raise ValueError(
-                f"input {d} has live tombstones (deletes.parquet): a merge "
-                "re-ids docs densely, so soft deletes must be compacted "
-                "first — rebuild from the filtered source, then merge"
-            )
+    input_deletes = [load_delete_ids(d) for d in dirs]
+    if not carry_deletes:
+        for d, dels in zip(dirs, input_deletes):
+            if len(dels):
+                raise ValueError(
+                    f"input {d} has live tombstones (deletes.parquet): a merge "
+                    "re-ids docs densely, so soft deletes must be compacted "
+                    "first — rebuild from the filtered source, then merge "
+                    "(or pass carry_deletes=True to shift them forward)"
+                )
     for key in ("num_parts", "analyzer", "field", "block_size", "store_positions"):
         vals = {str(m.get(key, False if key == "store_positions" else None)) for m in mans}
         if len(vals) > 1:
@@ -339,6 +352,23 @@ def merge_many(
         "merged_from": [m["fingerprint"] for m in mans],
         "partitions": [],
     }
+    if carry_deletes:
+        shifted = [
+            dels.astype(np.int64) + s
+            for dels, s in zip(input_deletes, shifts)
+            if len(dels)
+        ]
+        if shifted:
+            from .deletes import DELETES_FILE
+
+            merged_dels = np.unique(np.concatenate(shifted))
+            tmp = os.path.join(bdir, DELETES_FILE + f".tmp-{os.getpid()}")
+            pq.write_table(
+                pa.table({"doc_id": pa.array(merged_dels, pa.int64())}),
+                tmp,
+                compression="zstd",
+            )
+            os.replace(tmp, os.path.join(bdir, DELETES_FILE))
     mf.write_manifest(bdir, man)
     if publish:
         mf.publish(out_root, f"{prefix}-{fingerprint}")

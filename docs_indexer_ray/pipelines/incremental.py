@@ -91,25 +91,45 @@ def incremental_update(
     filter_mode: str = "exact",
     fingerprint: str | None = None,
     publish: bool = True,
+    reindex_seen: bool = False,
     **build_kw,
 ):
     """Delta-index the unseen pages of ``new_pages_ds`` and merge into
     the base at ``index_root`` → the merged manifest (published under
     ``out_root``).  Returns the BASE manifest unchanged when nothing
-    new arrived (the reference's check_index no-op)."""
+    new arrived (the reference's check_index no-op).
+
+    ``reindex_seen=True`` skips the seen-url filter: every incoming
+    page is indexed as a NEW doc even if its url exists in the base —
+    the upsert path (the caller tombstones the superseded base ids
+    afterwards; the merge preserves base ids since the base is the
+    shift-0 input).  The merge carries any live base tombstones
+    forward (``carry_deletes``), so updates keep working after
+    deletes — Lucene's soft-delete-across-merge model."""
     import time
 
     base_bdir = mf.current_build(index_root) or index_root
     base_man = mf.read_manifest(base_bdir)
 
-    unseen = base_url_filter(base_bdir, mode=filter_mode)(new_pages_ds)
+    if reindex_seen:
+        unseen = new_pages_ds
+    else:
+        unseen = base_url_filter(base_bdir, mode=filter_mode)(new_pages_ds)
     # pre-count the delta: a fully-seen input must no-op BEFORE the
     # build (an empty build has no spill files to reduce), and the
     # count is one cheap url-filter pass over the delta-scale stream
     if unseen.count() == 0:
         return base_man
     delta_root = os.path.join(out_root, "_delta")
-    fp = fingerprint or ("d" + time.strftime("%Y%m%d%H%M%S"))
+    # collision-proof delta fingerprint: second-resolution time alone
+    # made two updates within one second share a delta build dir, and
+    # the resume-skip then silently served the FIRST batch's segment
+    # files for the second batch (wrong docs indexed, no error)
+    fp = fingerprint or (
+        "d"
+        + time.strftime("%Y%m%d%H%M%S")
+        + f"-{time.time_ns() % 1_000_000_000}-{os.getpid()}"
+    )
     build_kw.setdefault("num_parts", int(base_man["num_parts"]))
     build_kw.setdefault("block_size", int(base_man["block_size"]))
     build_kw.setdefault("store_positions", bool(base_man.get("store_positions", False)))
@@ -131,4 +151,5 @@ def incremental_update(
         out_root,
         prefix=base_man.get("prefix", "docs"),
         publish=publish,
+        carry_deletes=True,
     )

@@ -108,11 +108,11 @@ def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field):
                 }
             )
         keys = key_of_batch(t)
-        agg = (
-            pa.table({key_field.name: keys})
-            .group_by(key_field.name)
-            .aggregate([([], "count_all")])
-        )
+        kt = pa.table({key_field.name: keys})
+        if kt[key_field.name].null_count:
+            # docs missing the field are ignored, as in OpenSearch
+            kt = kt.filter(pc.is_valid(kt[key_field.name]))
+        agg = kt.group_by(key_field.name).aggregate([([], "count_all")])
         return pa.table(
             {
                 key_field.name: agg[key_field.name].cast(key_field.type),
@@ -175,9 +175,16 @@ def histogram(
 
     def key_of(t: pa.Table) -> pa.Array:
         v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
-        # floor (not truncate) so negative values bucket correctly
+        # floor (not truncate) so negative values bucket correctly;
+        # null/NaN values become null keys (dropped by _facet — a NaN
+        # would otherwise .astype(int64) into a garbage INT64_MIN bucket)
+        missing = np.isnan(v)
+        with np.errstate(invalid="ignore"):
+            edges = np.floor(v / interval) * interval
         return pa.array(
-            (np.floor(v / interval) * interval).astype(np.int64), pa.int64()
+            np.where(missing, 0.0, edges).astype(np.int64),
+            pa.int64(),
+            mask=missing,
         )
 
     return _facet(docs_ds, matched, key_of, pa.field("bucket", pa.int64()))
@@ -953,6 +960,19 @@ def extended_stats_facet(docs_ds, matched: np.ndarray, col: str) -> pa.Table:
         for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
+    if not parts:  # empty match set → null stats row (OpenSearch shape)
+        return pa.table(
+            {
+                "n_docs": pa.array([0], pa.int64()),
+                **{
+                    c: pa.array([None], pa.float64())
+                    for c in (
+                        "min_v", "max_v", "sum_v", "avg_v",
+                        "sum_sq", "variance", "std_dev",
+                    )
+                },
+            }
+        )
     t = pa.concat_tables(parts)
     n = int(pc.sum(t["n"]).as_py())
     sm = float(pc.sum(t["sm"]).as_py())
@@ -1002,10 +1022,15 @@ def weighted_avg_facet(
         ray.get(r)
         for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     ]
-    t = pa.concat_tables([p for p in parts if p.num_rows])
+    parts = [p for p in parts if p.num_rows]
+    if not parts:  # empty match set → null (OpenSearch returns null)
+        return pa.table({"weighted_avg": pa.array([None], pa.float64())})
+    t = pa.concat_tables(parts)
     vw = float(pc.sum(t["vw"]).as_py())
     w = float(pc.sum(t["w"]).as_py())
-    return pa.table({"weighted_avg": pa.array([vw / w], pa.float64())})
+    # all-zero weights: the average is undefined → null, not a crash
+    avg = vw / w if w != 0.0 else None
+    return pa.table({"weighted_avg": pa.array([avg], pa.float64())})
 
 
 def missing_facet(docs_ds, col: str) -> pa.Table:
@@ -1416,7 +1441,10 @@ def matrix_stats(docs_ds, matched: np.ndarray, x_col: str, y_col: str) -> pa.Tab
     var_x = (float(sxx) - float(sx) * sx / n) / n
     var_y = (float(syy) - float(sy) * sy / n) / n
     cov_xy = (float(sxy) - float(sx) * sy / n) / n
-    corr_xy = cov_xy / (math.sqrt(var_x) * math.sqrt(var_y))
+    # degenerate variance (constant column / single doc): correlation
+    # is undefined → null, matching SQL corr() — never a crash
+    denom = math.sqrt(var_x) * math.sqrt(var_y)
+    corr_xy = cov_xy / denom if denom > 0.0 else None
     return pa.table(
         {
             "n_docs": pa.array([n], pa.int64()),

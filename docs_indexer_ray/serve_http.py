@@ -87,6 +87,16 @@ class SearchServer:
         self.cache_size = 256
         self._cache: "dict[str, dict]" = {}
         self._cols: dict = {}  # local-backend facet column slices
+        # cache generation: bumped by _reload AFTER the swap so a GET
+        # that computed against the pre-write backend can never
+        # re-insert its stale response into the freshly cleared cache
+        self._gen = 0
+        # the fleet retired by the last reload: (svc, parked_at) —
+        # shut down one reload LATER (past drain_grace_s), so reads
+        # that were in flight across the swap drain before their
+        # actors die instead of turning into 500s
+        self._parked = None
+        self.drain_grace_s = 5.0
 
     # ---------------------------------------------------------- queries
 
@@ -124,6 +134,14 @@ class SearchServer:
                 self._reader, q, k=k, fields=fields,
                 highlight_field=highlight, syntax=syntax,
             )
+        # true match count (not len(hits), which is capped at k):
+        # pagination UIs and "N results" displays read total.value
+        if self._svc is not None:
+            total = int(self._svc.count(q, syntax=syntax))
+        else:
+            total = int(self._count(
+                {"q": q, "syntax": "1" if syntax else "0"}
+            )["count"])
         took = int((time.perf_counter() - t0) * 1000)
         hits = []
         for row in table.to_pylist():
@@ -139,7 +157,7 @@ class SearchServer:
             "took": took,
             "timed_out": False,
             "hits": {
-                "total": {"value": len(hits), "relation": "eq"},
+                "total": {"value": total, "relation": "eq"},
                 "hits": hits,
             },
         }
@@ -383,7 +401,16 @@ class SearchServer:
         runs ONE incremental update (seen-url filter → delta build →
         k-way merge — the engine's nightly path, not one call per doc
         like the reference's loop), then the serving backend reloads
-        the new published build."""
+        the new published build.
+
+        Default semantics are append-only: a doc whose url is already
+        indexed is NOT re-indexed and its item reports ``{"status":
+        200, "result": "noop"}`` (never a silent 201).  ``?upsert=1``
+        gives OpenSearch overwrite semantics: seen urls are re-indexed
+        as new docs and the superseded base ids are tombstoned in the
+        merged build (``result: "updated"``) — old versions vanish
+        from every query surface immediately, space is reclaimed at
+        the next compaction, exactly Lucene's update-is-delete+add."""
         import html as _html
         import time as _time
 
@@ -418,24 +445,75 @@ class SearchServer:
             htmls.append(h.encode() if isinstance(h, str) else h)
             texts.append(text)
             langs.append(d.get("lang", "en"))
+        upsert = params.get("upsert", "0") in ("1", "true")
+        # which batch urls already exist in the base build (and their
+        # doc ids, needed for the upsert tombstones): ONE pruned
+        # two-column read filtered to the batch's url set — the same
+        # corpus-scale read base_url_filter's exact mode already does
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        from .index import manifest as mf
+
+        bdir = mf.current_build(self.index_root) or self.index_root
+        seen_tbl = pads.dataset(
+            os.path.join(bdir, "docs"), partitioning="hive"
+        ).to_table(
+            columns=["doc_id", "url"],
+            filter=pc.field("url").isin(list(set(urls))),
+        )
+        seen_urls = set(seen_tbl["url"].to_pylist())
+        if upsert:
+            # within-batch duplicates: last occurrence wins (OpenSearch
+            # applies bulk actions in order) — keep only the last row
+            # per url so the index never gains two live versions
+            last = {u: i for i, u in enumerate(urls)}
+            keep = sorted(last.values())
+        else:
+            keep = list(range(len(urls)))
         pages = pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "warc_ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
-                "html": pa.array(htmls, pa.binary()),
-                "text": pa.array(texts, pa.string()),
-                "lang": pa.array(langs, pa.string()),
+                "url": pa.array([urls[i] for i in keep], pa.string()),
+                "warc_ts": pa.array(
+                    [tss[i] for i in keep], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "html": pa.array([htmls[i] for i in keep], pa.binary()),
+                "text": pa.array([texts[i] for i in keep], pa.string()),
+                "lang": pa.array([langs[i] for i in keep], pa.string()),
             }
         )
         t0 = _time.perf_counter()
         man = incremental_update(
-            self.index_root, ray.data.from_arrow(pages), self.index_root
+            self.index_root,
+            ray.data.from_arrow(pages),
+            self.index_root,
+            reindex_seen=upsert,
         )
+        if upsert and seen_urls:
+            # the base is the merge's shift-0 input, so superseded ids
+            # are unchanged in the merged build — tombstone them
+            from .index.deletes import add_deletes
+
+            add_deletes(
+                mf.current_build(self.index_root) or self.index_root,
+                seen_tbl["doc_id"].to_numpy(zero_copy_only=False).astype("int64"),
+            )
         self._reload()
+        items = []
+        for u in urls:
+            if u in seen_urls:
+                items.append(
+                    {"index": {"status": 200,
+                               "result": "updated" if upsert else "noop"}}
+                )
+            else:
+                items.append({"index": {"status": 201, "result": "created"}})
         return {
             "took": int((_time.perf_counter() - t0) * 1000),
             "errors": False,
-            "items": [{"index": {"status": 201}} for _ in docs],
+            "items": items,
             "n_docs": int(man["n_docs"]),
         }
 
@@ -454,8 +532,15 @@ class SearchServer:
             spec = json.loads(ln)
             p = {"q": spec["q"]}
             for key in ("k", "syntax", "fields", "highlight"):
-                if key in spec:
-                    p[key] = str(spec[key]).lower()
+                if key not in spec:
+                    continue
+                v = spec[key]
+                if key == "fields" and isinstance(v, list):
+                    v = ",".join(v)  # JSON-native list form
+                elif key == "syntax":
+                    v = "1" if v in (True, 1, "1", "true", "True") else "0"
+                # field/column names are case-sensitive — never .lower()
+                p[key] = str(v)
             responses.append(self._search(p))
         return {
             "took": int((_time.perf_counter() - t0) * 1000),
@@ -501,20 +586,41 @@ class SearchServer:
 
         q = params["q"]
         bdir = mf.current_build(self.index_root) or self.index_root
-        n = delete_by_terms(bdir, self._analyzer(q))
+        # analyze AND look up with the server's configured chain — the
+        # tokens live in that chain's vocabulary, not the default's
+        n = delete_by_terms(bdir, self._analyzer(q), chain=self.chain)
         self._reload()
         return {"deleted": n}
 
     def _reload(self) -> None:
         """Swap the serving backend onto the current published build
-        (after a bulk merge or delete) — warm state is per-build."""
-        if self._svc is not None:
-            self._svc.shutdown()
-            self._svc = None
+        (after a bulk merge or delete) — warm state is per-build.
+        The old fleet is PARKED, not killed: in-flight reads that
+        grabbed it before the swap finish against it; it dies at the
+        next reload once it is at least ``drain_grace_s`` old."""
+        old = self._svc
+        self._svc = None
         self._suggester = None
         self._cols = {}
-        self._cache.clear()
         self._ensure_backend()
+        self._cache.clear()
+        # bump LAST: a GET that captured the pre-reload generation can
+        # no longer insert its (pre-write) response into the cache
+        self._gen += 1
+        self._retire(old)
+
+    def _retire(self, svc) -> None:
+        import time as _time
+
+        prev, self._parked = self._parked, None
+        if svc is not None:
+            self._parked = (svc, _time.monotonic())
+        if prev is not None:
+            psvc, t0 = prev
+            wait = self.drain_grace_s - (_time.monotonic() - t0)
+            if wait > 0:  # writes serialize anyway; bounded, rare
+                _time.sleep(wait)
+            psvc.shutdown()
 
     # ----------------------------------------------------------- server
 
@@ -561,10 +667,15 @@ class SearchServer:
                     handler._reply(200, cached)
                     return
                 try:
+                    gen = server._gen
                     body = fn(params)
-                    if len(server._cache) >= server.cache_size:
-                        server._cache.pop(next(iter(server._cache)))
-                    server._cache[handler.path] = body
+                    # only cache if no write completed while computing
+                    # — otherwise this response is pre-write stale and
+                    # would poison the freshly cleared cache
+                    if server._gen == gen:
+                        if len(server._cache) >= server.cache_size:
+                            server._cache.pop(next(iter(server._cache)))
+                        server._cache[handler.path] = body
                     handler._reply(200, body)
                 except (KeyError, ValueError, QueryStringError) as e:
                     handler._reply(
@@ -626,3 +737,6 @@ class SearchServer:
         if self._svc is not None:
             self._svc.shutdown()
             self._svc = None
+        if self._parked is not None:
+            self._parked[0].shutdown()
+            self._parked = None

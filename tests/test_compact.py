@@ -211,3 +211,47 @@ def test_incremental_update_equals_full_rebuild(ray_session, tmp_path):
     assert man2["fingerprint"] == mf.read_manifest(
         mf.current_build(out_root + "exact")
     )["fingerprint"]
+
+
+def test_incremental_updates_same_second_dont_collide(ray_session, tmp_path):
+    """Two incremental updates within the same wall-clock second must
+    not share a delta build dir (the old second-resolution fingerprint
+    made the second update resume the FIRST batch's segment files —
+    wrong docs indexed, silently)."""
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.pipelines.incremental import incremental_update
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    root = str(tmp_path / "fastidx")
+    build_index(
+        ray.data.from_arrow(rich_pages_table(20, dup_every=0)), root,
+        fingerprint="base", num_parts=2, chain="simple", field="body",
+    )
+
+    def page(url, body):
+        return pa.table(
+            {
+                "url": pa.array([url], pa.string()),
+                "warc_ts": pa.array([1], pa.int64()).cast(pa.timestamp("us")),
+                "html": pa.array(
+                    [f"<html><body><p>{body}</p></body></html>".encode()],
+                    pa.binary(),
+                ),
+                "text": pa.array([""], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+            }
+        )
+
+    # back-to-back, no sleep — lands in the same strftime second
+    incremental_update(root, ray.data.from_arrow(page("https://f/1/", "quokka")), root)
+    incremental_update(root, ray.data.from_arrow(page("https://f/2/", "wombat")), root)
+
+    reader = IndexReader(root)
+    from docs_indexer_ray.query.facets import match_doc_ids
+
+    assert len(match_doc_ids(reader, ["quokka"])) == 1
+    assert len(match_doc_ids(reader, ["wombat"])) == 1  # was 0 pre-fix

@@ -1241,3 +1241,55 @@ def test_sharded_facets_match_local(built, ray_session):
         assert st0["n_docs"][0].as_py() == 0 and st0["avg_v"][0].as_py() is None
     finally:
         svc.shutdown()
+
+
+def test_facet_degenerate_inputs_never_crash(ray_session):
+    """Empty match sets, null field values, zero weights and constant
+    columns return OpenSearch's null/ignored shapes — never a crash
+    (pa.concat_tables([]) / ZeroDivisionError / NaN.astype(int64))."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.query.facets import (
+        date_histogram,
+        extended_stats_facet,
+        histogram,
+        matrix_stats,
+        weighted_avg_facet,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "v": pa.array([1.0, None, 300.0], pa.float64()),
+            "w": pa.array([0.0, 0.0, 0.0], pa.float64()),
+            "c": pa.array([5, 5, 5], pa.int64()),
+            "d": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([1_000_000, None, 7_200_000_000], pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    empty = np.array([], np.int64)
+    allm = np.array([0, 1, 2], np.int64)
+
+    es = extended_stats_facet(ds, empty, "v")
+    assert es["n_docs"][0].as_py() == 0 and es["variance"][0].as_py() is None
+
+    wa = weighted_avg_facet(ds, empty, "v", "w")
+    assert wa["weighted_avg"][0].as_py() is None
+    wz = weighted_avg_facet(ds, np.array([0, 2], np.int64), "v", "w")
+    assert wz["weighted_avg"][0].as_py() is None  # Σw = 0 → null
+
+    h = histogram(ds, allm, "v", interval=100)
+    buckets = h["bucket"].to_pylist()
+    assert sorted(buckets) == [0, 300]  # null v ignored, no INT64_MIN
+    assert sum(h["n_docs"].to_pylist()) == 2
+
+    dh = date_histogram(ds, allm, ts_col="ts", interval_s=3600)
+    assert sum(dh["n_docs"].to_pylist()) == 2  # null ts ignored
+    assert None not in dh["bucket"].to_pylist()
+
+    ms = matrix_stats(ds, allm, "c", "d")  # constant x → var 0
+    assert ms["var_x"][0].as_py() == 0.0
+    assert ms["corr_xy"][0].as_py() is None  # undefined, not a crash

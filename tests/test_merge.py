@@ -224,3 +224,47 @@ def test_merge_positions_mismatch_raises(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="store_positions"):
         merge_indexes(str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m"))
+
+
+def test_merge_carry_deletes_shifts_tombstones(ray_session, tmp_path):
+    """carry_deletes=True: each input's tombstones map to id+shift in
+    the merged build (a merge shifts, never compacts) and stay hidden
+    from every query; default still refuses tombstoned inputs."""
+    import numpy as np
+    import ray.data
+
+    from docs_indexer_ray.index import manifest as mf
+    from docs_indexer_ray.index.deletes import add_deletes, load_delete_ids
+    from docs_indexer_ray.index.merge import merge_many
+    from docs_indexer_ray.query.reader import IndexReader
+
+    pages = rich_pages_table(40, dup_every=0)
+    roots = []
+    for i, half in enumerate((pages.slice(0, 20), pages.slice(20))):
+        r = str(tmp_path / f"cd{i}")
+        build_index(
+            ray.data.from_arrow(half), r, fingerprint=f"cd{i}",
+            num_parts=4, chain="english", field="body",
+        )
+        roots.append(r)
+    # tombstone doc 3 in input 0 and doc 5 in input 1
+    add_deletes(mf.current_build(roots[0]), [3])
+    add_deletes(mf.current_build(roots[1]), [5])
+
+    with pytest.raises(ValueError, match="tombstones"):
+        merge_many(roots, str(tmp_path / "refuse"), fingerprint="r")
+
+    out = str(tmp_path / "cdm")
+    man = merge_many(roots, out, fingerprint="cdm", carry_deletes=True)
+    shift = 20  # input 0 has 20 docs
+    got = load_delete_ids(mf.current_build(out)).tolist()
+    assert got == [3, 5 + shift]
+    reader = IndexReader(out)
+    assert reader.match_all_count() == int(man["n_docs"]) - 2
+    # the tombstoned urls never surface
+    urls = _url_map(mf.current_build(out))
+    an = Analyzer("english")
+    dead = {urls[3], urls[5 + shift]}
+    for q in QUERIES:
+        hits = score_topk(reader, an(q), k=50)
+        assert not ({urls[d] for d, _ in hits} & dead)

@@ -51,7 +51,11 @@ def test_http_endpoints_local_backend(built, ray_session):
         )
         assert code == 200
         hits = body["hits"]["hits"]
-        assert body["hits"]["total"]["value"] == 3 and len(hits) == 3
+        assert len(hits) == 3
+        # total is the TRUE match count (not capped at k) — must agree
+        # with the /_count endpoint
+        _, cnt = _get(srv.port, "/_count", q="node pools")
+        assert body["hits"]["total"]["value"] == cnt["count"] >= 3
         assert set(hits[0]["_source"]) == {"url", "title"}
         assert "<em>" in hits[0]["highlight"]["body"][0]
         assert hits[0]["_score"] >= hits[-1]["_score"]
@@ -211,7 +215,8 @@ def test_http_doc_and_msearch(built, ray_session):
             resp = json.loads(r.read())
         rs = resp["responses"]
         assert len(rs) == 3
-        assert rs[0]["hits"]["total"]["value"] == 2
+        assert len(rs[0]["hits"]["hits"]) == 2
+        assert rs[0]["hits"]["total"]["value"] >= 2  # true count, not k-cap
         assert set(rs[0]["hits"]["hits"][0]["_source"]) == {"url"}
         assert rs[2]["hits"]["total"]["value"] == 0
         # per-line results match the singleton endpoint
@@ -434,3 +439,109 @@ def test_http_aggregations_follow_query_syntax(built, ray_session):
     finally:
         local.stop()
         fleet.stop()
+
+
+def test_http_bulk_upsert_and_write_after_delete(built, ray_session, tmp_path):
+    """``?upsert=1`` re-indexes seen urls and tombstones the superseded
+    base ids (OpenSearch overwrite semantics); default bulk reports an
+    honest ``noop`` for seen urls instead of a silent 201; and a bulk
+    AFTER a delete_by_query still works (the merge carries tombstones
+    forward instead of refusing)."""
+    import shutil
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    root = str(tmp_path / "upidx")
+    shutil.copytree(built, root)
+    srv = SearchServer(root, backend="local").start()
+    srv.drain_grace_s = 0.0  # no parked-fleet naps in tests
+    try:
+        def bulk(docs, upsert=False):
+            lines = []
+            for d in docs:
+                lines.append(json.dumps({"index": {}}))
+                lines.append(json.dumps(d))
+            url = f"http://127.0.0.1:{srv.port}/_bulk"
+            if upsert:
+                url += "?upsert=1"
+            req = urllib.request.Request(
+                url, data=("\n".join(lines) + "\n").encode(), method="POST"
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        a_v1 = {"url": "https://docs.test/up/a/", "warc_ts": 1,
+                "html": "<html><body><p>aardwolf alpha</p></body></html>"}
+        b_v1 = {"url": "https://docs.test/up/b/", "warc_ts": 2,
+                "html": "<html><body><p>bumblebee basket</p></body></html>"}
+        r1 = bulk([a_v1, b_v1])
+        assert [it["index"]["result"] for it in r1["items"]] == [
+            "created", "created"
+        ]
+        _, c = _get(srv.port, "/_count", q="aardwolf")
+        assert c["count"] == 1
+
+        # re-post without upsert: honest noop, nothing indexed
+        r2 = bulk([a_v1])
+        assert r2["items"][0]["index"] == {"status": 200, "result": "noop"}
+        assert r2["n_docs"] == r1["n_docs"]
+
+        # upsert a new version of A: old content vanishes, new serves
+        a_v2 = {"url": "https://docs.test/up/a/", "warc_ts": 3,
+                "html": "<html><body><p>aardwolf beta</p></body></html>"}
+        r3 = bulk([a_v2], upsert=True)
+        assert r3["items"][0]["index"]["result"] == "updated"
+        _, alpha = _get(srv.port, "/_count", q="alpha")
+        _, beta = _get(srv.port, "/_count", q="beta")
+        _, aard = _get(srv.port, "/_count", q="aardwolf")
+        assert alpha["count"] == 0 and beta["count"] == 1 and aard["count"] == 1
+        _, s = _get(srv.port, "/_search", q="aardwolf", k=5, fields="url")
+        assert [h["_source"]["url"] for h in s["hits"]["hits"]] == [a_v2["url"]]
+        _, st = _get(srv.port, "/_stats")
+        assert st["docs"]["deleted"] >= 1  # the superseded version
+
+        # a write AFTER a delete keeps working (tombstones carried)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_delete_by_query?q=bumblebee",
+            data=b"", method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["deleted"] == 1
+        c_v1 = {"url": "https://docs.test/up/c/", "warc_ts": 4,
+                "html": "<html><body><p>cassowary creek</p></body></html>"}
+        r4 = bulk([c_v1])
+        assert r4["items"][0]["index"]["result"] == "created"
+        _, bb = _get(srv.port, "/_count", q="bumblebee")
+        _, cc = _get(srv.port, "/_count", q="cassowary")
+        assert bb["count"] == 0 and cc["count"] == 1  # delete survived the merge
+        _, beta2 = _get(srv.port, "/_count", q="beta")
+        assert beta2["count"] == 1  # upsert's tombstone survived too
+    finally:
+        srv.stop()
+
+
+def test_http_msearch_json_native_params(built, ray_session):
+    """_msearch accepts JSON-native param forms: list-valued fields,
+    boolean syntax — no str() mangling, no case folding of names."""
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(built, backend="local").start()
+    try:
+        lines = [
+            json.dumps({"q": "node pools", "k": 2,
+                        "fields": ["url", "title"]}),
+            json.dumps({"q": "+node -quota", "k": 3, "syntax": True}),
+        ]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_msearch",
+            data=("\n".join(lines) + "\n").encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            rs = json.loads(r.read())["responses"]
+        assert set(rs[0]["hits"]["hits"][0]["_source"]) == {"url", "title"}
+        # the boolean syntax flag really engaged the query_string path
+        _, single = _get(srv.port, "/_search", q="+node -quota", k=3, syntax=1)
+        assert rs[1]["hits"]["hits"] == single["hits"]["hits"]
+    finally:
+        srv.stop()
