@@ -53,7 +53,12 @@ def snapshot_index(root: str, snap_dir: str, name: str | None = None) -> str:
     dst = os.path.join(snap_dir, name)
     if os.path.exists(dst):
         raise FileExistsError(f"snapshot already exists: {dst}")
-    os.makedirs(dst + ".tmp", exist_ok=True)
+    # a stale .tmp from a crashed prior run may hold ANOTHER build's
+    # files — linking this build alongside them would publish a mixed
+    # directory, so start clean (restore_index does the same)
+    if os.path.exists(dst + ".tmp"):
+        shutil.rmtree(dst + ".tmp")
+    os.makedirs(dst + ".tmp")
     files: dict[str, int] = {}
     for dirpath, _, filenames in os.walk(cur):
         rel = os.path.relpath(dirpath, cur)

@@ -175,8 +175,11 @@ def _vocab_trigram_index(reader: IndexReader) -> dict[str, np.ndarray]:
             padded = f"^{t}$"
             for j in range(max(len(padded) - 2, 1)):
                 tri.setdefault(padded[j : j + 3], []).append(i)
+        # unique per gram: a term containing the same trigram twice
+        # ("banana" → "ana"×2) must post ONCE, or wildcard results
+        # duplicate and intersect1d(assume_unique=True) misbehaves
         reader._wc_trigram_index = {
-            g: np.array(v, np.int64) for g, v in tri.items()
+            g: np.unique(np.array(v, np.int64)) for g, v in tri.items()
         }
     return reader._wc_trigram_index
 

@@ -266,12 +266,18 @@ def span_first(
         return []
     ids, _ = tp.decode_all()
     flat, offs = tp.decode_all_positions()
-    out: list[tuple[int, int]] = []
-    for j, doc in enumerate(ids.tolist()):
-        pos = flat[offs[j] : offs[j + 1]]
-        c = int(np.searchsorted(pos, end, side="left"))
-        if c:
-            out.append((int(doc), c))
+    # per-doc early-occurrence count without a per-doc Python loop:
+    # positions are sorted within each doc's segment, so the count is
+    # one (flat < end) mask + one reduceat over the segment offsets
+    early = (flat < end).astype(np.int64)
+    counts = (
+        np.add.reduceat(early, offs[:-1])
+        if len(flat)
+        else np.zeros(len(ids), np.int64)
+    )
+    counts[offs[:-1] == offs[1:]] = 0  # reduceat quirk: empty segments
+    keep = np.flatnonzero(counts)
+    out = [(int(d), int(c)) for d, c in zip(ids[keep].tolist(), counts[keep].tolist())]
     return _drop_deleted(reader, out)
 
 

@@ -47,15 +47,22 @@ def assemble_hits(
         "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
         "score": pa.array([float(s) for _, s in hits], pa.float64()),
     }
+    need = list(dict.fromkeys(fields + ((highlight_field,) if highlight_field else ())))
     if not hits:
+        # zero-row fetch so empty responses keep the STORE's column
+        # types (a hardcoded pa.string() would give the empty page a
+        # different schema than non-empty ones for numeric fields)
+        empty = reader.fetch_docs([], need)
         out = dict(cols)
         for f in fields:
-            out[f] = pa.array([], pa.string())
+            out[f] = empty[f].combine_chunks()
         if highlight_field is not None:
             out["snippet"] = pa.array([], pa.string())
         return pa.table(out)
-    need = list(dict.fromkeys(fields + ((highlight_field,) if highlight_field else ())))
-    fetched = reader.fetch_docs([int(d) for d, _ in hits], ["doc_id"] + need)
+    fetched = reader.fetch_docs(
+        [int(d) for d, _ in hits],
+        ["doc_id"] + [c for c in need if c != "doc_id"],
+    )
     by_id = {int(i): r for i, r in zip(fetched["doc_id"].to_pylist(), range(fetched.num_rows))}
     order = [by_id[int(d)] for d, _ in hits]
     fetched = fetched.take(pa.array(order, pa.int64()))

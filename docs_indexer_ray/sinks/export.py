@@ -5,9 +5,10 @@ A 100 TB curation run cannot afford to re-export everything when one
 task (or the whole job) dies.  This sink writes the dataset as
 ``num_shards`` Parquet files under ``out_root`` with:
 
-* **deterministic shard assignment** — ``md5(id) % num_shards`` (a
-  value property: the same row lands in the same shard at any
-  parallelism, so re-runs produce byte-stable shards);
+* **deterministic shard assignment** — a vectorized splitmix64
+  finalizer over the id, mod ``num_shards`` (a value property: the
+  same row lands in the same shard at any parallelism, so re-runs
+  produce byte-stable shards — see :func:`_shard_of`);
 * **deterministic shard content** — each shard's rows sort by id
   before writing, so the file is a pure function of the data;
 * **atomic publish** — write to ``<file>.tmp``, fsync-free
@@ -91,6 +92,21 @@ def write_corpus_shards(
 
     os.makedirs(out_root, exist_ok=True)
     manifest = read_manifest(out_root) if resume else {"shards": {}}
+    # the resume-skip is only valid under the SAME partitioning: a
+    # re-run with a different num_shards (or id_col) would treat the
+    # old hash%old_n files as covering rows of the new hash%new_n
+    # space and silently drop roughly done/new_n of the corpus
+    if manifest["shards"]:
+        for key, want in (("num_shards", num_shards), ("id_col", id_col)):
+            have = manifest.get(key)
+            if have is not None and have != want:
+                raise ValueError(
+                    f"resume {key} mismatch: manifest has {have!r}, "
+                    f"caller passed {want!r} — use a fresh out_root "
+                    "(or resume=False) to re-partition"
+                )
+    manifest["num_shards"] = num_shards
+    manifest["id_col"] = id_col
     done = {
         int(k)
         for k, v in manifest["shards"].items()

@@ -1293,3 +1293,22 @@ def test_facet_degenerate_inputs_never_crash(ray_session):
     ms = matrix_stats(ds, allm, "c", "d")  # constant x → var 0
     assert ms["var_x"][0].as_py() == 0.0
     assert ms["corr_xy"][0].as_py() is None  # undefined, not a crash
+
+
+def test_search_fields_doc_id_and_empty_schema(ray_session, built):
+    """fields containing doc_id must not crash (no duplicate fetch
+    column), and a zero-hit response keeps the docs store's column
+    TYPES (not an all-string placeholder schema)."""
+    from docs_indexer_ray.query.search import search_response
+
+    reader, _ = built
+    r = search_response(reader, "node pools", k=3,
+                        fields=("doc_id", "url", "warc_ts"))
+    assert r.num_rows == 3 and set(
+        ("doc_id", "url", "warc_ts")
+    ) <= set(r.column_names)
+    empty = search_response(reader, "zzzunseen", k=3,
+                            fields=("url", "warc_ts"))
+    assert empty.num_rows == 0
+    assert empty.schema.field("warc_ts").type == r.schema.field("warc_ts").type
+    assert empty.schema.field("url").type == r.schema.field("url").type

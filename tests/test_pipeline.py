@@ -387,3 +387,53 @@ def test_corpus_export_shards_resume_and_determinism(ray_session, tmp_path):
         assert os.path.getmtime(os.path.join(out1, f)) == old  # untouched
     # manifest on disk matches the returned one
     assert read_manifest(out1) == m3
+
+
+def test_corpus_export_resume_partitioning_guard(ray_session, tmp_path):
+    """A resume with a different num_shards (or id_col) must FAIL —
+    the old hash%old_n files do not cover the new hash%new_n space,
+    so skipping 'done' shards would silently drop rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.sinks import write_corpus_shards
+
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "v": pa.array([f"x{i}" for i in range(100)], pa.string())})
+    out = str(tmp_path / "shards")
+    write_corpus_shards(ray.data.from_arrow(t), out, num_shards=4)
+    with pytest.raises(ValueError, match="num_shards mismatch"):
+        write_corpus_shards(ray.data.from_arrow(t), out, num_shards=8)
+    with pytest.raises(ValueError, match="id_col mismatch"):
+        write_corpus_shards(ray.data.from_arrow(t), out, num_shards=4, id_col="v")
+    # same partitioning resumes fine
+    m = write_corpus_shards(ray.data.from_arrow(t), out, num_shards=4)
+    assert sum(v["n_rows"] for v in m["shards"].values()) == 100
+
+
+def test_snapshot_ignores_stale_tmp(ray_session, tmp_path, built_pipeline=None):
+    """A crashed prior snapshot leaves <name>.tmp behind; the retry
+    must start clean, not publish the leftovers alongside the new
+    build's files."""
+    import os
+
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.index.snapshot import snapshot_index
+    from docs_indexer_ray.synth import rich_pages_table
+
+    root = str(tmp_path / "snapidx")
+    build_index(ray.data.from_arrow(rich_pages_table(20, dup_every=0)),
+                root, fingerprint="sp", num_parts=2, chain="simple",
+                field="body")
+    snaps = str(tmp_path / "snaps")
+    stale = os.path.join(snaps, "weekly.tmp")
+    os.makedirs(os.path.join(stale, "ghost"))
+    with open(os.path.join(stale, "ghost", "leftover.bin"), "wb") as f:
+        f.write(b"stale build debris")
+    snap = snapshot_index(root, snaps, name="weekly")
+    assert not os.path.exists(os.path.join(snap, "ghost"))
+    assert os.path.exists(os.path.join(snap, "MANIFEST.json")) or any(
+        x for x in os.listdir(snap)
+    )

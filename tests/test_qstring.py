@@ -251,3 +251,43 @@ def test_parser_never_crashes_on_arbitrary_input(built):
         assert all(isinstance(d, int) for d, _ in hits)
 
     run()
+
+
+def test_wildcard_repeated_trigram_no_duplicates(ray_session, tmp_path):
+    """A vocabulary term containing the same trigram twice (banana →
+    'ana'×2) must surface ONCE per wildcard query — duplicate postings
+    previously duplicated results and broke the assume_unique
+    intersection."""
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.fuzzy import wildcard_terms
+    from docs_indexer_ray.query.reader import IndexReader
+
+    t = pa.table(
+        {
+            "url": pa.array(["https://w/1/", "https://w/2/"], pa.string()),
+            "warc_ts": pa.array([1, 2], pa.int64()).cast(pa.timestamp("us")),
+            "html": pa.array(
+                [b"<html><body><p>banana cabana</p></body></html>",
+                 b"<html><body><p>bandana banal</p></body></html>"],
+                pa.binary(),
+            ),
+            "text": pa.array(["", ""], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }
+    )
+    root = str(tmp_path / "tgidx")
+    build_index(ray.data.from_arrow(t), root, fingerprint="tg",
+                num_parts=2, chain="simple", field="body")
+    reader = IndexReader(root)
+    hits = wildcard_terms(reader, "*ana*")
+    terms = [t for t, _ in hits]
+    assert len(terms) == len(set(terms)), terms  # no duplicate surfacing
+    assert set(terms) == {"banana", "cabana", "bandana", "banal"}
+    # multi-gram pattern over repeated-trigram terms intersects cleanly
+    hits2 = wildcard_terms(reader, "ban*a")
+    assert [t for t, _ in hits2] == sorted(["banana", "bandana"]) or set(
+        t for t, _ in hits2
+    ) == {"banana", "bandana"}

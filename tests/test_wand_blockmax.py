@@ -319,3 +319,47 @@ def test_vectorized_walks_equal_scalar_reference():
         assert _phrase_walk(decoded) == scalar_phrase(decoded), trial
         slop = rng.randint(0, 4)
         assert _slop_walk(decoded, m, slop) == scalar_slop(decoded, m, slop), trial
+
+
+def test_span_first_vs_bruteforce(ray_session, tmp_path):
+    import os
+    import re
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from docs_indexer_ray.index import manifest as mf
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.phrase import span_first
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    pages = rich_pages_table(50, dup_every=0)
+    root = str(tmp_path / "sfidx")
+    build_index(
+        ray.data.from_arrow(pages), root, fingerprint="sf",
+        num_parts=8, chain="simple", field="body", store_positions=True,
+    )
+    reader = IndexReader(root)
+    docs = pads.dataset(
+        os.path.join(mf.current_build(root), "docs"), partitioning="hive"
+    ).to_table(columns=["doc_id", "body"])
+    tok = re.compile(r"[a-z0-9]+")
+
+    def brute(term, end):
+        want = []
+        for did, body in zip(docs["doc_id"].to_pylist(), docs["body"].to_pylist()):
+            c = sum(
+                1 for i, x in enumerate(tok.findall((body or "").lower()))
+                if x == term and i < end
+            )
+            if c:
+                want.append((int(did), c))
+        return sorted(want)
+
+    for term in ("node", "the", "quota", "zzzmissing"):
+        for end in (1, 3, 10, 1000):
+            assert sorted(span_first(reader, term, end)) == brute(term, end), (
+                term, end
+            )
+    assert span_first(reader, "node", 0) == []
