@@ -101,7 +101,16 @@ def train_bigram_lm(docs_ds, text_col: str = "text"):
         .aggregate(Sum(on="c", alias_name="c"))
     )
     # model-scale collect (vocabulary-bounded, like doclens)
-    tbl = pa.concat_tables(tables_of(folded))
+    parts = tables_of(folded)
+    if not parts:  # zero tokens anywhere → empty model, not a crash
+        return {
+            "vocab": np.empty(0, object),
+            "ctx": np.zeros(1, np.int64),
+            "bigram_keys": np.empty(0, np.int64),
+            "bigram_counts": np.empty(0, np.int64),
+            "V": 0,
+        }
+    tbl = pa.concat_tables(parts)
     w1 = np.asarray(tbl["w1"].to_pylist(), dtype=object)
     w2 = np.asarray(tbl["w2"].to_pylist(), dtype=object)
     c = tbl["c"].to_numpy(zero_copy_only=False)
@@ -245,14 +254,30 @@ def ppl_buckets(
         id_col=id_col,
         concurrency=concurrency,
     )
-    sp = pa.concat_tables(tables_of(sample_scored))
-    svals = sp["ppl"].to_numpy(zero_copy_only=False)
-    c1 = _quantile_cont(svals, 1.0 / 3)
-    c2 = _quantile_cont(svals, 2.0 / 3)
+    sp_parts = tables_of(sample_scored)
+    svals = (
+        pa.concat_tables(sp_parts)["ppl"].to_numpy(zero_copy_only=False)
+        if sp_parts
+        else np.empty(0, np.float64)
+    )
 
     scored = perplexity_scores(
         docs_ds, model, text_col=text_col, id_col=id_col, concurrency=concurrency
     )
+    if svals.size == 0:
+        # the 1/16 sample missed every scoreable doc (tiny corpus):
+        # take cutoffs from the full scored set instead — same scale
+        # as the output that is collected below anyway
+        full_parts = tables_of(scored)
+        if full_parts:
+            svals = pa.concat_tables(full_parts)["ppl"].to_numpy(
+                zero_copy_only=False
+            )
+    if svals.size == 0:
+        c1 = c2 = float("inf")  # nothing scoreable; output is empty
+    else:
+        c1 = _quantile_cont(svals, 1.0 / 3)
+        c2 = _quantile_cont(svals, 2.0 / 3)
 
     def assign(t: pa.Table) -> pa.Table:
         ppl = t["ppl"].to_numpy(zero_copy_only=False)

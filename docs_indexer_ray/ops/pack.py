@@ -84,11 +84,23 @@ def pack_sequences(
         an = Analyzer(chain)
         df = df.sort_values(id_col)
         ids_parts = []
+        unk = np.int64(eos + 1)
         for txt in df[text_col].tolist():
             toks = an(txt or "")
             if toks:
-                tid = np.searchsorted(voc, np.array(toks, dtype=object))
-                ids_parts.append(tid.astype(np.int64))
+                arr = np.array(toks, dtype=object)
+                tid = np.searchsorted(voc, arr).astype(np.int64)
+                # searchsorted is an insertion point, not a lookup: an
+                # out-of-vocab token (vocab built from another corpus
+                # or chain) would silently take a neighbor's id — or
+                # exactly the EOS id when it sorts past the vocabulary.
+                # Verify membership and map misses to unk = eos+1, the
+                # same contract as tokenize_to_ids.
+                inb = tid < len(voc)
+                ok = np.zeros(len(arr), bool)
+                ok[inb] = voc[tid[inb]] == arr[inb]
+                tid = np.where(ok, tid, unk)
+                ids_parts.append(tid)
             ids_parts.append(np.array([eos], np.int64))
         stream = np.concatenate(ids_parts)
         n = len(stream)
@@ -111,7 +123,10 @@ def pack_sequences(
         )
 
     keyed = ds.map_batches(
-        lambda t: t.append_column(
+        # strip parquet-borne pandas schema metadata: the groupby
+        # reduce hashes block schemas for dedup and logs "unhashable
+        # type: 'dict'" for every task otherwise
+        lambda t: t.replace_schema_metadata(None).append_column(
             "bucket", pa.array(t[id_col].to_numpy(zero_copy_only=False) // bucket_size)
         ),
         batch_format="pyarrow",

@@ -87,27 +87,28 @@ def pagerank(
     deg = edges_ds.groupby(src).count()
     from ..collect import tables_of
 
-    deg_tbl = pa.concat_tables(tables_of(deg))
-    # outdeg is node-scale metadata (like doclens); broadcast once
+    deg_parts = tables_of(deg)
+    # outdeg is node-scale metadata (like doclens); broadcast once.
+    # No edges at all is well-defined: every node dangles, ranks stay
+    # uniform — never a concat_tables([]) crash.
     outdeg = np.zeros(n_nodes, np.int64)
-    outdeg[deg_tbl[src].to_numpy(zero_copy_only=False)] = deg_tbl[
-        "count()"
-    ].to_numpy(zero_copy_only=False)
+    if deg_parts:
+        deg_tbl = pa.concat_tables(deg_parts)
+        outdeg[deg_tbl[src].to_numpy(zero_copy_only=False)] = deg_tbl[
+            "count()"
+        ].to_numpy(zero_copy_only=False)
     outdeg_ref = ray.put(outdeg)
 
+    # the rank vector lives on the driver between iterations (8 B/node
+    # — the mode's documented envelope); each iteration broadcasts it
+    # with ONE ray.put.  Wrapping it in a Dataset per iteration (the
+    # old shape) only added a node-scale serialize→materialize→collect
+    # round-trip that nothing consumed.
     rank = np.full(n_nodes, 1.0 / n_nodes)
-    rank_ds = ray.data.from_arrow(
-        pa.table(
-            {
-                "node": pa.array(np.arange(n_nodes, dtype=np.int64)),
-                "rank": pa.array(rank),
-            }
-        )
-    )
     base = (1.0 - damping) / n_nodes
 
     for _ in range(iterations):
-        rank_ref = _ranks_to_ref(rank_ds, n_nodes)
+        rank_ref = ray.put(rank)
 
         def contribute(t: pa.Table) -> pa.Table:
             od = ray.get(outdeg_ref)
@@ -125,27 +126,21 @@ def pagerank(
             .groupby("node")
             .aggregate(Sum(on="c", alias_name="s"))
         )
-        sum_tbl = pa.concat_tables(tables_of(summed))
-        r_now = ray.get(rank_ref)
-        dangling = float(r_now[outdeg == 0].sum())
+        sum_parts = tables_of(summed)
+        dangling = float(rank[outdeg == 0].sum())
         add = damping * dangling / n_nodes
         new = np.full(n_nodes, base + add)
-        nodes = sum_tbl["node"].to_numpy(zero_copy_only=False)
-        sums = sum_tbl["s"].to_numpy(zero_copy_only=False)
-        new[nodes] = base + add + damping * sums
-        rank_ds = ray.data.from_arrow(
-            pa.table(
-                {
-                    "node": pa.array(np.arange(n_nodes, dtype=np.int64)),
-                    "rank": pa.array(new),
-                }
-            )
-        )
+        if sum_parts:  # no contributions = all-dangling iteration
+            sum_tbl = pa.concat_tables(sum_parts)
+            nodes = sum_tbl["node"].to_numpy(zero_copy_only=False)
+            sums = sum_tbl["s"].to_numpy(zero_copy_only=False)
+            new[nodes] = base + add + damping * sums
+        rank = new
 
     return pa.table(
         {
             "node": pa.array(np.arange(n_nodes, dtype=np.int64)),
-            "rank": pa.array(ray.get(_ranks_to_ref(rank_ds, n_nodes))),
+            "rank": pa.array(rank),
         }
     )
 
@@ -318,17 +313,3 @@ def _pagerank_join(
         ["node", "rank"]
     )
 
-
-def _ranks_to_ref(rank_ds, n_nodes: int):
-    """Rank Dataset → broadcast dense vector (node-scale, the same
-    footprint class as the reader's doclens)."""
-    import ray
-
-    from ..collect import tables_of
-
-    t = pa.concat_tables(tables_of(rank_ds))
-    v = np.zeros(n_nodes)
-    v[t["node"].to_numpy(zero_copy_only=False)] = t["rank"].to_numpy(
-        zero_copy_only=False
-    )
-    return ray.put(v)

@@ -446,7 +446,12 @@ def _topm_partial(t: pa.Table, col: str, m: int) -> pa.Table:
     (the largest dropped count; 0 when nothing was dropped).  Every
     candidate row also carries its block's ``thr`` so the combine can
     reconstruct per-item absence bounds without block ids."""
-    vc = t[col].combine_chunks().value_counts()
+    col_arr = t[col].combine_chunks()
+    item_type = col_arr.type
+    # docs missing the field are ignored (OpenSearch missing-value
+    # semantics) — a null would both break the lexsort and collide
+    # with the null-item sentinel row below
+    vc = col_arr.drop_null().value_counts()
     items = vc.field("values")
     counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
     vals = np.asarray(items.to_pylist(), dtype=object)
@@ -455,9 +460,11 @@ def _topm_partial(t: pa.Table, col: str, m: int) -> pa.Table:
     kept = order[:m]
     dropped = order[m:]
     thr = int(counts[dropped].max()) if dropped.size else 0
+    # items keep the COLUMN's type (int codes, string terms, …); the
+    # sentinel row is the one null
     return pa.table(
         {
-            "item": pa.array(list(vals[kept]) + [None], pa.string()),
+            "item": pa.array(list(vals[kept]) + [None], item_type),
             "cnt": pa.array(list(counts[kept]) + [0], pa.int64()),
             "thr": pa.array([thr] * (len(kept) + 1), pa.int64()),
         }
@@ -509,6 +516,7 @@ def heavy_hitters(ds, col: str, k: int = 10, m: int = 1024) -> pa.Table:
             }
         )
     allp = pa.concat_tables(parts)
+    item_type = allp.schema.field("item").type
     is_thr_row = pc.is_null(allp["item"])
     total_thr = int(pc.sum(allp.filter(is_thr_row)["thr"]).as_py())
     cand = allp.filter(pc.invert(is_thr_row))
@@ -530,7 +538,7 @@ def heavy_hitters(ds, col: str, k: int = 10, m: int = 1024) -> pa.Table:
     )
     return pa.table(
         {
-            "item": pa.array(list(uniq[top]), pa.string()),
+            "item": pa.array(list(uniq[top]), item_type),
             "lo": pa.array(lo[top], pa.int64()),
             "hi": pa.array(hi[top], pa.int64()),
             "guaranteed": pa.array([guaranteed] * len(top), pa.bool_()),

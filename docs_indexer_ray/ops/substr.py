@@ -55,17 +55,17 @@ _B1 = np.uint64(0x100000001B3)  # FNV prime (odd → invertible mod 2^64)
 _B2 = np.uint64(0x9E3779B97F4A7C15 | 1)  # golden-ratio constant, forced odd
 _INV1 = np.uint64(pow(int(_B1), -1, 1 << 64))
 _INV2 = np.uint64(pow(int(_B2), -1, 1 << 64))
-_POS_BITS = 24  # pos < 16M chars/doc; doc_id keeps the top 40 bits
+_POS_BITS = 24  # pos < 16M chars/doc; doc_id gets 39 usable bits (sign stays 0)
 
 
-def _gather(ds_or_refs, schema: pa.Schema) -> pa.Table:
-    """Concat a dataset's blocks, tolerating the zero-column blocks
-    Ray Data emits for empty groupby partitions."""
-    import ray
+def _gather(ds, schema: pa.Schema) -> pa.Table:
+    """Concat a dataset's blocks via the shared collector
+    (:func:`docs_indexer_ray.collect.tables_of` handles the
+    zero-column blocks empty groupby partitions emit), with a typed
+    empty table for the nothing-at-all case."""
+    from ..collect import tables_of
 
-    refs = ds_or_refs.materialize().to_arrow_refs() if hasattr(ds_or_refs, "to_arrow_refs") else ds_or_refs
-    parts = [ray.get(r) for r in refs]
-    parts = [t for t in parts if t.num_rows and t.num_columns]
+    parts = tables_of(ds)
     if not parts:
         return schema.empty_table()
     return pa.concat_tables([t.select(schema.names) for t in parts])
@@ -116,6 +116,17 @@ def _gram_rows_fn(text_col: str, id_col: str, L: int, num_parts: int):
         if pos.size and int(pos.max()) >= (1 << _POS_BITS):
             raise ValueError(
                 f"doc longer than {1 << _POS_BITS} chars; raise _POS_BITS"
+            )
+        # doc_id gets the remaining 39 usable bits (64 − 24 − sign):
+        # an id outside [0, 2^39) would wrap the shift negative and
+        # silently corrupt both the first-occurrence ordering and the
+        # decode — fail as loudly as the pos guard above
+        if len(ids) and (
+            int(ids.min()) < 0 or int(ids.max()) >= (1 << (63 - _POS_BITS))
+        ):
+            raise ValueError(
+                f"{id_col} outside [0, 2^{63 - _POS_BITS}): the "
+                "doc_id:pos packing cannot represent it"
             )
         dp = (ids[doc] << _POS_BITS) | pos
         return pa.table(

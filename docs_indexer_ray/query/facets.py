@@ -287,7 +287,7 @@ def percentiles(
             ).materialize().to_arrow_refs()
         ]:
             if "means" in part.column_names:  # empty block passthrough
-                acc.merge(TDigest.from_row(part))
+                acc.merge(TDigest.from_row(part, delta))
         vals = [acc.quantile(q / 100.0) for q in qs]
         return pa.table(
             {

@@ -1835,3 +1835,103 @@ def test_heavy_hitters_bounds_and_exact_mode(ray_session):
     assert empty.num_rows == 0 and empty.column_names == [
         "item", "lo", "hi", "guaranteed",
     ]
+
+
+def test_degenerate_ops_inputs_never_crash(ray_session):
+    """Empty/null/degenerate inputs hit well-defined answers, not
+    pa.concat_tables([]) / lexsort crashes: pagerank with no edges,
+    heavy_hitters over nulls and over int columns, bigram LM on a
+    token-free corpus, ppl_buckets on a corpus the 1/16 sample
+    misses, t-digest percentiles at a non-default delta."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.ops.lm import ppl_buckets, train_bigram_lm
+    from docs_indexer_ray.ops.pagerank import pagerank
+    from docs_indexer_ray.ops.sketch import heavy_hitters
+
+    # pagerank, zero edges: uniform ranks (all dangling)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    )
+    pr = pagerank(edges, n_nodes=4, iterations=3)
+    assert pr.num_rows == 4
+    r = pr["rank"].to_numpy()
+    assert np.allclose(r, 0.25) and abs(float(r.sum()) - 1.0) < 1e-12
+
+    # heavy_hitters: nulls ignored, int columns keep their type
+    t = pa.table({"s": pa.array(["a", None, "a", "b", None], pa.string()),
+                  "i": pa.array([7, 7, None, 9, 7], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    hs = heavy_hitters(ds, "s", k=2)
+    assert hs["item"].to_pylist() == ["a", "b"]
+    assert hs["lo"].to_pylist() == [2, 1]
+    hi = heavy_hitters(ds, "i", k=2)
+    assert hi.schema.field("item").type == pa.int64()
+    assert hi["item"].to_pylist() == [7, 9]
+
+    # bigram LM over a corpus with zero [a-z0-9] tokens → empty model,
+    # and scoring with it buckets nothing
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["!!! ???", ""], pa.string())})
+    )
+    model = train_bigram_lm(docs, text_col="text")
+    assert model["V"] == 0
+    out = ppl_buckets(docs, model, text_col="text", id_col="doc_id")
+    assert out.num_rows == 0
+
+    # percentiles approx path at delta != 200 (from_row must carry it)
+    from docs_indexer_ray.query.facets import percentiles
+
+    vals = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                     "v": pa.array([float(i) for i in range(200)])})
+    p = percentiles(ray.data.from_arrow(vals),
+                    np.arange(200, dtype=np.int64), "v",
+                    qs=(50,), approx=True, delta=100)
+    assert abs(p["value"][0].as_py() - 99.5) < 5.0
+
+
+def test_pack_sequences_oov_maps_to_unk(ray_session):
+    """A token absent from the vocab must map to unk = len(vocab)+1,
+    never a neighbor's id and never the EOS id (searchsorted insertion
+    points are lookups only after a membership check)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.ops.pack import pack_sequences
+
+    vocab = np.array(["alpha", "beta"], dtype=object)  # eos=2, unk=3
+    tbl = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        # 'zulu' sorts past the vocab → old code gave it id 2 == EOS
+        "text": pa.array(["alpha zulu beta"], pa.string()),
+    })
+    out = pack_sequences(
+        ray.data.from_arrow(tbl), vocab, seq_len=10, bucket_size=10
+    ).to_pandas()
+    # stream is [0, 3, 1, eos=2] → one sequence of 4 tokens
+    assert int(out["n_tokens"].iloc[0]) == 4
+    assert int(out["sum_ids"].iloc[0]) == 0 + 3 + 1 + 2
+    assert int(out["first_id"].iloc[0]) == 0
+    assert int(out["last_id"].iloc[0]) == 2
+
+
+def test_substr_doc_id_packing_guard(ray_session):
+    """doc ids outside the 39-bit packing budget fail loudly instead
+    of wrapping the shift negative and corrupting the dedup order."""
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.ops.substr import substring_dedup_stats
+
+    bad = pa.table({
+        "doc_id": pa.array([1 << 40], pa.int64()),
+        "text": pa.array(["hello world hello world hello world hello"],
+                         pa.string()),
+    })
+    with pytest.raises(Exception, match="packing"):  # ValueError, Ray-wrapped
+        substring_dedup_stats(ray.data.from_arrow(bad), gram_len=5)
