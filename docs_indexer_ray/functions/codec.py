@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
+    "varint_encode_with_lengths",
     "varint_encode",
     "varint_decode",
     "encode_postings",
@@ -40,10 +41,17 @@ BLOCK_SIZE = 128
 
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array (vectorized over byte positions)."""
+    return varint_encode_with_lengths(values)[0]
+
+
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 bytes PLUS each value's encoded byte length — one pass.
+    Callers that need per-value offsets (the segment encoder's block
+    index) previously recomputed the identical 7-bit-group loop."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(a)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # number of 7-bit groups per value
     lengths = np.ones(n, dtype=np.int64)
     shifted = a >> np.uint64(7)
@@ -63,7 +71,7 @@ def varint_encode(values: np.ndarray) -> bytes:
         more = (lengths[mask] > k + 1).astype(np.uint8) << 7
         out[starts[mask] + k] = group | more
         k += 1
-    return out.tobytes()
+    return out.tobytes(), lengths
 
 
 def varint_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:

@@ -97,16 +97,6 @@ def encode_partition(
     return encode_partition_codes(codes, uniq, doc_id, tf, dl, rpart, block_size)
 
 
-def _varint_lengths(values: np.ndarray) -> np.ndarray:
-    """Byte length of each value's LEB128 encoding (vectorized)."""
-    lens = np.ones(len(values), np.int64)
-    v = np.ascontiguousarray(values, np.uint64) >> np.uint64(7)
-    while v.any():
-        lens += v != 0
-        v >>= np.uint64(7)
-    return lens
-
-
 def _list_array(flat: np.ndarray, counts: np.ndarray, typ) -> pa.ListArray:
     offs = np.zeros(len(counts) + 1, np.int32)
     np.cumsum(counts, out=offs[1:])
@@ -155,7 +145,10 @@ def encode_partition_codes(
     variant via the (looped) reference encoder — the positions build
     is opt-in and not the hot path.
     """
-    from ..functions.codec import encode_positions, varint_encode
+    from ..functions.codec import (
+        encode_positions,
+        varint_encode_with_lengths,
+    )
 
     order = np.lexsort((doc_id, codes))
     codes, doc_id, tf, dl = codes[order], doc_id[order], tf[order], dl[order]
@@ -203,16 +196,14 @@ def encode_partition_codes(
     deltas[0] = doc_id[0]
     np.subtract(doc_id[1:], doc_id[:-1], out=deltas[1:])
     deltas[B] = doc_id[B]
-    id_lens = _varint_lengths(deltas)
+    id_bytes, id_lens = varint_encode_with_lengths(deltas)
     id_off = np.zeros(n + 1, np.int64)
     np.cumsum(id_lens, out=id_off[1:])
-    id_bytes = varint_encode(deltas)
 
     tf64 = tf.astype(np.uint64)
-    tf_lens = _varint_lengths(tf64)
+    tf_bytes, tf_lens = varint_encode_with_lengths(tf64)
     tf_off = np.zeros(n + 1, np.int64)
     np.cumsum(tf_lens, out=tf_off[1:])
-    tf_bytes = varint_encode(tf64)
 
     # ---- per-block metadata (vectorized reduceat over block runs) -----
     block_last = doc_id[block_end].astype(np.uint64)

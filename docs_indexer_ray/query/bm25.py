@@ -116,6 +116,14 @@ def score_topk_range(
         )
     if allowed_mask is not None:
         scores[~allowed_mask] = 0.0
+    # soft deletes apply here like on every other ranked surface —
+    # direct callers must not get tombstoned docs back just because
+    # they didn't hand-build a live mask (the shard actors do, which
+    # makes this a harmless double-mask for them)
+    dels = reader.deleted_ids()
+    if len(dels):
+        in_rng = dels[(dels >= lo) & (dels < hi)]
+        scores[(in_rng - lo).astype(np.int64)] = 0.0
     return [(d + lo, s) for d, s in _rank_top(scores, k)]
 
 
@@ -204,7 +212,10 @@ def explain(reader, terms: list[str], doc_id: int, k1: float = K1, b: float = B)
     avgdl = reader.avgdl if reader.avgdl > 0 else 1.0
     dl = float(reader.doclens[doc_id])
     rows = []
-    for term in sorted(set(terms)):
+    # one row per query OCCURRENCE in query order — sum(weight) then
+    # reproduces the dense score's exact float accumulation even for
+    # queries with repeated terms (dedup would halve their weight)
+    for term in terms:
         tp = reader.postings(term)
         if tp is None:
             continue
@@ -347,9 +358,19 @@ def collapse_topk(
         keys = np.asarray(keys, dtype=object)
     sq = np.round(scores[ids], 9)
     order = np.lexsort((ids, -sq))
-    _, first = np.unique(keys[order], return_index=True)
+    # docs missing the collapse field form ONE null group (OpenSearch
+    # field-collapsing semantics); a mixed None/str array would crash
+    # np.unique's sort, so group on a labeled proxy
+    grp = np.array(
+        ["\x00" if x is None else "v" + str(x) for x in keys.tolist()],
+        dtype=object,
+    )
+    _, first = np.unique(grp[order], return_index=True)
     rows = order[np.sort(first)[:k]]
-    return [(int(ids[r]), float(sq[r]), str(keys[r])) for r in rows]
+    return [
+        (int(ids[r]), float(sq[r]), None if keys[r] is None else str(keys[r]))
+        for r in rows
+    ]
 
 
 def function_score_topk(
@@ -541,7 +562,10 @@ def topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
 class _TermIter:
     """Cursor over one term's flat block sequence (see segments_io)."""
 
-    __slots__ = ("tp", "idf", "block", "ids", "tfs", "pos", "ub", "block_ub")
+    __slots__ = (
+        "tp", "idf", "block", "ids", "tfs", "pos", "ub", "block_ub",
+        "term", "idf1",
+    )
 
     def __init__(self, tp, idf: float, avgdl: float, k1: float, b: float, doclens):
         self.tp = tp
@@ -623,7 +647,12 @@ def wand_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = 
         tp = reader.postings(term)
         if tp is None or tp.df == 0:
             continue
+        # ub uses idf × multiplicity (a valid bound within _MARGIN);
+        # the FINAL score replays the dense scorer's per-occurrence
+        # accumulation below, so output is bit-identical to score_topk
         it = _TermIter(tp, bm25_idf(n, tp.df) * mult, avgdl, k1, b, reader.doclens)
+        it.term = term
+        it.idf1 = bm25_idf(n, tp.df)  # unmultiplied, for exact replay
         if not it.exhausted:
             iters.append(it)
     if not iters:
@@ -673,12 +702,26 @@ def wand_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = 
                 for it in pivot_set:
                     it.advance_to(d_skip)
             else:
-                score = 0.0
                 dl = float(reader.doclens[pivot_doc])
+                # replay the dense scorer's float accumulation EXACTLY:
+                # one contribution per query OCCURRENCE, added in query
+                # order (idf × multiplicity folds are only algebraically
+                # equal — they round differently in the last ulp for
+                # multiplicity ≥ 3, and iterator order differs from
+                # query order for distinct terms)
+                cur: dict[str, float] = {}
                 for it in live:
                     if it.doc == pivot_doc:
-                        score += it.score_current(avgdl, dl, k1, b)
+                        tf = float(it.tfs[it.pos])
+                        cur[it.term] = it.idf1 * tf / (
+                            tf + k1 * (1.0 - b + b * (dl / avgdl))
+                        )
                         it.next()
+                score = 0.0
+                for term in terms:
+                    c = cur.get(term)
+                    if c is not None:
+                        score += c
                 if beats_theta(score, pivot_doc):
                     if len(heap) == k:
                         heapq.heapreplace(heap, (score, -pivot_doc))

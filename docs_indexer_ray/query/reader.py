@@ -111,7 +111,10 @@ class IndexReader:
             self.doc_lo, self.doc_hi = int(doc_range[0]), int(doc_range[1])
             dl_arr = np.zeros(max(0, self.doc_hi - self.doc_lo), dtype=np.uint32)
         for fname in sorted(os.listdir(self._seg_dir)):
-            if fname.startswith("dl-"):
+            # exact-suffix match: a crashed encode task can leave a
+            # stale 'dl-*.parquet.tmp-<pid>' beside the real file —
+            # reading it would crash (truncated) or double-count df
+            if fname.startswith("dl-") and fname.endswith(".parquet"):
                 t = pq.read_table(os.path.join(self._seg_dir, fname))
                 ids = t["doc_id"].to_numpy()
                 dls = t["dl"].to_numpy()
@@ -180,7 +183,16 @@ class IndexReader:
         requested (the store doesn't persist it)."""
         import pyarrow.dataset as pads
 
-        dset = pads.dataset(os.path.join(self.index_dir, "docs"), partitioning="hive")
+        # the docs store is immutable for this reader's lifetime —
+        # memoize the dataset object so every fetch (search pages,
+        # collapse, highlight) skips the per-call directory walk and
+        # schema inference, like the cached segment file handles
+        dset = getattr(self, "_docs_dset", None)
+        if dset is None:
+            dset = pads.dataset(
+                os.path.join(self.index_dir, "docs"), partitioning="hive"
+            )
+            self._docs_dset = dset
         expr = pads.field("doc_id").isin([int(d) for d in doc_ids])
         if (
             columns is not None
@@ -228,7 +240,7 @@ class IndexReader:
         if getattr(self, "_term_dict", None) is None:
             parts = []
             for fname in sorted(os.listdir(self._seg_dir)):
-                if fname.startswith("seg-"):
+                if fname.startswith("seg-") and fname.endswith(".parquet"):
                     parts.append(
                         pq.read_table(
                             os.path.join(self._seg_dir, fname), columns=["term", "df"]
@@ -267,7 +279,18 @@ class IndexReader:
         per-call scan of every segment file."""
         terms, dfs = self.term_dictionary()
         lo = np.searchsorted(terms, prefix)
-        hi = np.searchsorted(terms, prefix + "￿")
+        # upper bound: the smallest string greater than EVERY string
+        # with this prefix (increment the last non-U+10FFFF char) — a
+        # plain prefix+'\uffff' missed terms whose next char is an
+        # astral-plane codepoint
+        up = prefix
+        while up and ord(up[-1]) == 0x10FFFF:
+            up = up[:-1]
+        hi = (
+            np.searchsorted(terms, up[:-1] + chr(ord(up[-1]) + 1))
+            if up
+            else len(terms)
+        )
         top = sorted(
             zip(terms[lo:hi].tolist(), dfs[lo:hi].tolist()),
             key=lambda kv: (-kv[1], kv[0]),

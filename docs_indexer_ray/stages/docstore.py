@@ -108,12 +108,22 @@ class _ExtractSpill:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
 
-        first_url = batch["url"][0].as_py() if batch.num_rows else ""
-        last_url = batch["url"][-1].as_py() if batch.num_rows else ""
-        ts0 = str(batch["warc_ts"][0].value) if batch.num_rows else "0"
-        tag = hashlib.sha1(
-            f"{first_url}|{last_url}|{ts0}|{batch.num_rows}".encode()
-        ).hexdigest()[:16]
+        # tag over the FULL url and warc_ts columns: endpoints + row
+        # count alone can collide across distinct batches (a hot url
+        # spanning batch boundaries), and a collision means the second
+        # os.replace silently drops the first batch's rows
+        h = hashlib.sha1()
+        if batch.num_rows:
+            h.update("\x00".join(batch["url"].to_pylist()).encode("utf-8"))
+            h.update(
+                batch["warc_ts"]
+                .cast(pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .tobytes()
+            )
+        h.update(str(batch.num_rows).encode())
+        tag = h.hexdigest()[:16]
 
         out = self.extract(batch)
         urls = np.array(out["url"].to_pylist(), dtype=object)

@@ -181,6 +181,19 @@ class Tokenizer:
         self._terms: list[str] = []
         self._parts: list[int] = []
         self._is_heavy: list[bool] = []
+        self._np_len = -1  # length the cached arrays were built at
+
+    def _vocab_np(self):
+        """Cached numpy views of the actor vocab — rebuilt only when
+        the vocab GREW since the last batch.  Rebuilding per batch made
+        every batch pay three O(cumulative-vocabulary) list→array
+        conversions late in a large build."""
+        if self._np_len != len(self._terms):
+            self._terms_np = np.asarray(self._terms, dtype=object)
+            self._parts_np = np.asarray(self._parts, np.int64)
+            self._heavy_np = np.asarray(self._is_heavy, bool)
+            self._np_len = len(self._terms)
+        return self._terms_np, self._parts_np, self._heavy_np
 
     def _tid(self, term: str) -> int:
         i = self._vocab.get(term)
@@ -236,16 +249,16 @@ class Tokenizer:
         # per-batch compacted dictionary (the actor vocab keeps growing;
         # each spill batch only ships the terms it uses)
         used = np.unique(t)
-        terms_np = np.asarray(self._terms, dtype=object)
+        terms_np, parts_np, heavy_np = self._vocab_np()
         codes = np.searchsorted(used, t).astype(np.int32)
         term_col = pa.DictionaryArray.from_arrays(
             pa.array(codes), pa.array(terms_np[used].tolist(), pa.string())
         )
 
-        parts = np.asarray(self._parts, np.int64)[t]
+        parts = parts_np[t]
         dids = doc_ids[d].astype(np.uint64)
         if self.heavy:
-            hv = np.asarray(self._is_heavy, bool)[t]
+            hv = heavy_np[t]
             runs = (dids // np.uint64(self.run_width)).astype(np.int64)
             rpart = np.where(hv, (parts + runs) % self.num_parts, parts).astype(
                 np.int32

@@ -1312,3 +1312,48 @@ def test_search_fields_doc_id_and_empty_schema(ray_session, built):
     assert empty.num_rows == 0
     assert empty.schema.field("warc_ts").type == r.schema.field("warc_ts").type
     assert empty.schema.field("url").type == r.schema.field("url").type
+
+
+def test_collapse_topk_null_keys_one_group(ray_session, built):
+    """Docs whose collapse key is null form ONE null group (OpenSearch
+    semantics) instead of crashing np.unique on a mixed None/str
+    array."""
+    import numpy as np
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.bm25 import collapse_topk
+
+    reader, _ = built
+    terms = Analyzer("simple")("node pools")
+
+    def fetch_keys(matched):
+        # every other matched doc is missing the key
+        keys = [None if i % 2 else f"g{int(d) % 3}"
+                for i, d in enumerate(matched)]
+        return np.asarray(matched, np.int64), np.asarray(keys, dtype=object)
+
+    rows = collapse_topk(reader, terms, key_field="x", k=10,
+                         fetch_keys=fetch_keys)
+    assert rows  # did not crash
+    keys_out = [k for _, _, k in rows]
+    assert keys_out.count(None) <= 1  # all null-key docs collapsed to one
+    non_null = [k for k in keys_out if k is not None]
+    assert len(non_null) == len(set(non_null))
+
+
+def test_prefix_terms_astral_plane_upper_bound(ray_session, built):
+    """prefix_terms must include terms whose char after the prefix is
+    an astral-plane codepoint (> U+FFFF) — the old prefix+'\\uffff'
+    bound excluded them."""
+    import numpy as np
+
+    reader, _ = built
+    reader.term_dictionary()  # build, then splice a synthetic term in
+    terms, dfs = reader._term_dict[0], reader._term_dict[1]
+    weird = "ca" + chr(0x1F600) + "grin"
+    terms2 = np.sort(np.append(terms, weird))
+    i = int(np.searchsorted(terms2, weird))
+    dfs2 = np.insert(dfs, i, 7)
+    reader._term_dict = (terms2, dfs2)
+    hits = reader.prefix_terms("ca", limit=1000)
+    assert any(t == weird for t, _ in hits)

@@ -130,3 +130,40 @@ def test_stale_spill_files_are_ignored(ray_session, tmp_path):
             assert b is None
             continue
         assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
+
+
+def test_extract_spill_tag_covers_full_batch(ray_session, tmp_path):
+    """Two DIFFERENT batches sharing first/last url, first warc_ts and
+    row count must spill to DIFFERENT files — an endpoint-only tag let
+    the second os.replace silently drop the first batch's rows."""
+    import pyarrow as pa
+
+    from docs_indexer_ray.stages.docstore import _ExtractSpill
+
+    def batch(mid_url, mid_ts):
+        return pa.table(
+            {
+                "url": pa.array(
+                    ["https://s/a/", mid_url, "https://s/z/"], pa.string()
+                ),
+                "warc_ts": pa.array([1, mid_ts, 3], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "html": pa.array(
+                    [b"<html><body><p>x</p></body></html>"] * 3, pa.binary()
+                ),
+                "text": pa.array([""] * 3, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+            }
+        )
+
+    import os
+
+    sd = str(tmp_path / "spill")
+    os.makedirs(sd)
+    sp = _ExtractSpill(sd, ["https://s/m/"], "docs")
+    sp(batch("https://s/b/", 2))
+    sp(batch("https://s/c/", 2))   # differs only in the middle url
+    sp(batch("https://s/b/", 9))   # differs only in a middle timestamp
+    files = [f for f in os.listdir(sd) if f.endswith(".parquet")]
+    assert len(files) == 3, files

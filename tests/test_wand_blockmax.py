@@ -363,3 +363,92 @@ def test_span_first_vs_bruteforce(ray_session, tmp_path):
                 term, end
             )
     assert span_first(reader, "node", 0) == []
+
+
+def test_wand_duplicate_terms_bitexact_vs_dense(small_block_index, ray_session):
+    """WAND must reproduce score_topk bit-exactly for queries with
+    repeated terms (idf×multiplicity folds round differently from
+    per-occurrence addition at multiplicity ≥ 3) and for mixed-order
+    duplicates."""
+    from docs_indexer_ray.query.bm25 import score_topk, wand_topk
+
+    reader = small_block_index
+    for q in (
+        ["node", "node", "node"],
+        ["node", "pools", "node", "node"],
+        ["pools", "node", "pools"],
+        ["node", "pools", "quota"],
+    ):
+        a = score_topk(reader, q, k=10)
+        b = wand_topk(reader, q, k=10)
+        assert a == b, q  # ids AND float-exact scores
+
+
+def test_explain_duplicate_terms_sums_to_score(small_block_index, ray_session):
+    """explain emits one row per query occurrence so sum(weight)
+    reproduces the dense score exactly, even with repeated terms."""
+    from docs_indexer_ray.query.bm25 import bm25_scores_dense, explain
+
+    reader = small_block_index
+    q = ["node", "node", "pools"]
+    dense = bm25_scores_dense(reader, q)
+    doc = int(dense.argmax())
+    t = explain(reader, q, doc)
+    assert abs(sum(t["weight"].to_pylist()) - float(dense[doc])) == 0.0
+    assert t["term"].to_pylist().count("node") == 2
+
+
+def test_score_topk_range_excludes_tombstones(ray_session, tmp_path):
+    from docs_indexer_ray.index import manifest as mf
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.index.deletes import add_deletes
+    from docs_indexer_ray.query.bm25 import score_topk, score_topk_range
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+    import ray.data
+
+    root = str(tmp_path / "rgdel")
+    build_index(ray.data.from_arrow(rich_pages_table(40, dup_every=0)),
+                root, fingerprint="rd", num_parts=4, chain="simple",
+                field="body")
+    full = IndexReader(root)
+    top = score_topk(full, ["node"], k=5)
+    victim = top[0][0]
+    add_deletes(mf.current_build(root), [victim])
+    shard = IndexReader(root, doc_range=(0, full.n_docs))
+    got = score_topk_range(shard, ["node"], k=5)
+    assert victim not in {d for d, _ in got}
+
+
+def test_reader_ignores_stale_tmp_segment_files(ray_session, tmp_path):
+    """A crashed encode task's '<file>.parquet.tmp-<pid>' leftovers
+    must not be read as segment data (truncated → reader crash;
+    complete → double-counted df)."""
+    import os
+
+    import ray.data
+
+    from docs_indexer_ray.index import manifest as mf
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    root = str(tmp_path / "tmpidx")
+    build_index(ray.data.from_arrow(rich_pages_table(30, dup_every=0)),
+                root, fingerprint="tm", num_parts=2, chain="simple",
+                field="body")
+    clean = IndexReader(root)
+    want_df = clean.term_df("node")
+    seg_dir = os.path.join(mf.current_build(root), "segments")
+    # drop a truncated tmp beside a real dl file and a COPY of a real
+    # seg file under a tmp name (the double-count case)
+    with open(os.path.join(seg_dir, "dl-00000.parquet.tmp-999"), "wb") as f:
+        f.write(b"truncated garbage")
+    real_seg = next(x for x in sorted(os.listdir(seg_dir)) if x.startswith("seg-"))
+    import shutil
+
+    shutil.copy(os.path.join(seg_dir, real_seg),
+                os.path.join(seg_dir, real_seg + ".tmp-999"))
+    dirty = IndexReader(root)
+    assert dirty.term_df("node") == want_df
+    assert dirty.match_all_count() == clean.match_all_count()
