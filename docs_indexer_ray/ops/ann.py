@@ -39,12 +39,24 @@ def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if len(arr) == 0:
+        # 2-D so _normalize's axis=1 norm works on empty blocks
+        return np.empty((0, 0), np.float64)
     if arr.null_count == 0:
         lens = np.diff(arr.offsets.to_numpy())
         if len(lens) and (lens == lens[0]).all():
             flat = arr.flatten().to_numpy(zero_copy_only=False)
             return flat.reshape(len(arr), int(lens[0])).astype(np.float64)
     return np.array(arr.to_pylist(), dtype=np.float64)
+
+
+_PARTIAL_EMPTY = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "sim": pa.array([], pa.float64()),
+    }
+)
 
 
 _FINAL_EMPTY = pa.table(
@@ -117,6 +129,8 @@ def knn_cosine(
     q_ref = ray.put((qn, np.asarray(query_ids, np.int64)))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: no candidates
+            return _PARTIAL_EMPTY
         q, qids = ray.get(q_ref)
         emb = _normalize(_embedding_matrix(batch, col))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -168,6 +182,8 @@ class _LshKeyer:
         self._planes: _Planes | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
         emb = _normalize(_embedding_matrix(batch, self.col))
         if self._planes is None:
             self._planes = _Planes(emb.shape[1], self.n_planes)
@@ -204,6 +220,8 @@ def knn_lsh(
     q_ref = ray.put((qn, np.asarray(query_ids, np.int64), q_keys, planes))
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PARTIAL_EMPTY
         q, qids, qk, planes_ = ray.get(q_ref)
         emb = _normalize(_embedding_matrix(batch, col))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -325,6 +343,8 @@ def knn_ivf(
     q_ref = ray.put((qn, np.asarray(query_ids, np.int64), cent, probe))
 
     def cell_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PARTIAL_EMPTY
         q, qids, cent_, probe_ = ray.get(q_ref)
         emb = _normalize(_embedding_matrix(batch, col))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -376,12 +396,12 @@ def embedding_dup_pairs(
 
     def verify(group: pa.Table) -> pa.Table:
         ids = np.array(group[id_col].to_pylist(), np.int64)
+        if len(ids) < 2:  # guard BEFORE the matrix build (empty-safe)
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         emb = _normalize(_embedding_matrix(group, col))
         order = np.argsort(ids)
         ids, emb = ids[order], emb[order]
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
         sims = emb @ emb.T
         ai, bi = np.triu_indices(len(ids), k=1)
         keep = sims[ai, bi] >= threshold
@@ -574,6 +594,10 @@ def embedding_dup_pairs_exact(
     ref = ray.put((all_ids, all_emb))
 
     def pairs_of_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
         ids_all, emb_all = ray.get(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         emb = _normalize(_embedding_matrix(batch, col))
@@ -627,6 +651,14 @@ def semdedup(
     cent_ref = ray.put(cent)
 
     def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    col: t[col],
+                    "cluster": pa.array([], pa.int32()),
+                }
+            )
         c = ray.get(cent_ref)
         emb = _normalize(_embedding_matrix(t, col))
         cl = (emb @ c.T).argmax(axis=1).astype(np.int32)

@@ -212,10 +212,12 @@ def canonical_docs(docs_ds, components_tbl: pa.Table, id_col: str = "doc_id"):
 
     def flt(t: pa.Table) -> pa.Table:
         ns, comps = ray.get(ref)
+        if len(ns) == 0:
+            return t  # no clusters at all → keep everything
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         idx = np.searchsorted(ns, ids)
-        idx_c = np.clip(idx, 0, max(len(ns) - 1, 0))
-        in_cluster = (ns[idx_c] == ids) if len(ns) else np.zeros(len(ids), bool)
+        idx_c = np.clip(idx, 0, len(ns) - 1)
+        in_cluster = ns[idx_c] == ids
         keep = ~in_cluster | (comps[idx_c] == ids)
         return t.filter(pa.array(keep))
 

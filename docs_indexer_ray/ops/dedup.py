@@ -299,6 +299,11 @@ def ngram_jaccard_pairs(
     grams = ds.map_batches(
         _gram_explode_fn(n, id_col, num_parts), batch_format="pyarrow"
     )
+    if hot_gram_cap is not None:
+        # capped mode consumes `grams` twice (count pass + the exact
+        # recount semi-join) — materialize once or Ray re-runs the
+        # whole explode for the second consumer
+        grams = grams.materialize()
 
     def pairs_of_partition(group: pa.Table) -> pa.Table:
         grams_np, ids_np, na_np = _sorted_partition_arrays(group, id_col)
@@ -449,10 +454,20 @@ class _MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        # shingle-free docs (empty/too-short text) all share the same
+        # sentinel all-max signature — banding would put EVERY one of
+        # them in the same bucket in every band (m²/2 pair blowup) and
+        # report est_jaccard 1.0 for texts that share nothing.  They
+        # cannot be near-dups in shingle space, so they opt out here;
+        # exact_dedup still catches byte-identical empties.
+        sentinel = np.iinfo(np.uint64).max
+        keep = [i for i, s in enumerate(sigs) if not (len(s) and s[0] == sentinel and (s == sentinel).all())]
         return pa.table(
             {
-                self.id_col: pa.array(ids, pa.int64()),
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+                self.id_col: pa.array([ids[i] for i in keep], pa.int64()),
+                "sig": pa.array(
+                    [sigs[i].tolist() for i in keep], pa.list_(pa.uint64())
+                ),
             }
         )
 
@@ -479,9 +494,16 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    hot_bucket_cap: int = 5000,
 ):
     """Candidate near-dup pairs via MinHash banding, filtered by the
     signature-estimated Jaccard.  Output ``(a, b, est_jaccard)``.
+
+    Buckets larger than ``hot_bucket_cap`` emit a min-id star instead
+    of all pairs — same connected components, O(d) instead of O(d²)
+    edges (the ngram ``hot_gram_cap`` rationale).  Shingle-free docs
+    are excluded from banding entirely (their shared sentinel
+    signature would otherwise bucket every empty doc together).
 
     Shuffle shape: band rows carry ``(doc_id, band, bandhash)`` only
     (~20 B/row vs ~530 B with an inlined 64-perm signature — the 16
@@ -495,7 +517,10 @@ def minhash_lsh_pairs(
 
     sigs = ds.map_batches(
         _MinHasher(num_perm, shingle_k, id_col), batch_format="pyarrow", batch_size=512
-    )
+    ).materialize()
+    # materialize: sigs feeds BOTH the banding pass and the estimation
+    # semi-join — without it Ray re-executes the whole shingle+hash
+    # computation (the op's dominant cost) for the second consumer
 
     def band_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -521,9 +546,19 @@ def minhash_lsh_pairs(
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(np.asarray(group[id_col].to_pylist(), np.int64))
+        ids = np.unique(np.asarray(group[id_col].to_pylist(), np.int64))
         if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        if len(ids) > hot_bucket_cap:
+            # pathological bucket (boilerplate-identical band across a
+            # huge doc set): all-pairs is O(d²) — emit the min-id STAR
+            # instead, which preserves exactly the same connected
+            # components for clustering at O(d) pairs (pairwise
+            # est_jaccard is still computed for every emitted edge)
+            return pa.table(
+                {"a": pa.array(np.full(len(ids) - 1, ids[0])),
+                 "b": pa.array(ids[1:])}
+            )
         ai, bi = np.triu_indices(len(ids), k=1)
         return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
 
@@ -595,7 +630,7 @@ def minhash_lsh_pairs(
                     "a": pa.array([], pa.int64()),
                     "b": pa.array([], pa.int64()),
                     "side": pa.array([], pa.int32()),
-                    "sig": pa.array([], pa.list_(pa.uint64())),
+                    "sig": pa.array([], pa.large_list(pa.uint64())),
                 }
             )
         sig_ids = sig_t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -606,8 +641,10 @@ def minhash_lsh_pairs(
         pos = np.searchsorted(sig_ids, want)
         got = sig_np[pos]  # every candidate doc has a signature
         w = got.shape[1]
-        offsets = pa.array(np.arange(len(want) + 1, dtype=np.int32) * w)
-        sig_col = pa.ListArray.from_arrays(offsets, pa.array(got.reshape(-1)))
+        # int64 offsets: int32 wraps once a partition's side rows ×
+        # num_perm pass 2^31 (realistic at web-corpus candidate volume)
+        offsets = pa.array(np.arange(len(want) + 1, dtype=np.int64) * w)
+        sig_col = pa.LargeListArray.from_arrays(offsets, pa.array(got.reshape(-1)))
         return pa.table(
             {
                 "a": side_t["a"],
@@ -871,6 +908,15 @@ def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id"):
         flat = lists.flatten()
         parent = _pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # the dropped-side guard only sees docs WITH duplicated lines;
+        # corpus-side ids must obey the same 32-bit packing budget or
+        # (id << 32) wraps and collides with a small-id doc's keys,
+        # silently dropping ITS lines from an unrelated doc
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 32)):
+            raise ValueError(
+                f"{id_col} outside [0, 2^32): the doc_id:ordinal packed "
+                "key cannot represent it"
+            )
         offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         ords = (np.arange(len(flat), dtype=np.int64) - offs[parent]).astype(np.uint64)
         mykeys = (ids[parent].astype(np.uint64) << np.uint64(32)) | ords

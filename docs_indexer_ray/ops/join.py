@@ -48,9 +48,19 @@ def broadcast_join(
     """Join a Dataset against a small in-memory table (broadcast once).
 
     ``small_df`` may be a ``pyarrow.Table`` or a pandas ``DataFrame``.
-    """
+
+    Only ``inner`` and ``left`` are valid here: the join runs per
+    BATCH, so right/full-outer would re-emit every unmatched small-side
+    row once per block (and null-padded even when another block matches
+    it).  Use :func:`hash_join` for right/outer semantics."""
     import ray
 
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"broadcast_join supports how='inner'|'left', got {how!r} — "
+            "a per-batch join cannot decide 'unmatched on the small "
+            "side' globally; use hash_join for right/outer"
+        )
     join_type = _HOW[how]
     ref = ray.put(_as_table(small_df))
 
@@ -231,6 +241,13 @@ def asof_join(
                 f"asof_join right side not unique per ({on}, {right_ts}) — "
                 "pre-aggregate the right side first"
             )
+        # right int VALUE columns go nullable BEFORE the merge: one
+        # unmatched left row would otherwise float64-convert the whole
+        # column, silently corrupting 64-bit ids above 2^53 (the merge
+        # keys themselves never null, so they stay plain int64)
+        for c in r.columns:
+            if c not in (on, right_ts) and r[c].dtype.kind in "iu":
+                r[c] = r[c].astype("Int64")
         out = pd.merge_asof(
             l.sort_values([left_ts, *left_cols], kind="mergesort"),
             r.sort_values(right_ts, kind="mergesort"),

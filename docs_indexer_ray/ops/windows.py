@@ -31,6 +31,21 @@ import pyarrow as pa
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "topk_per_group"]
 
 
+def _key_part(keys: np.ndarray, num_parts: int) -> np.ndarray:
+    """Deterministic partition per key — int keys by value, anything
+    else by crc32 of its string form (shared by every keyed shuffle in
+    this module; a bare ``% num_parts`` broke string keys)."""
+    if np.issubdtype(keys.dtype, np.integer):
+        return (keys.astype(np.int64) % num_parts).astype(np.int32)
+    import zlib
+
+    return np.fromiter(
+        (zlib.crc32(str(v).encode()) % num_parts for v in keys),
+        np.int32,
+        len(keys),
+    )
+
+
 def tumbling_window(
     ds,
     window_s: int = 3600,
@@ -53,7 +68,11 @@ def tumbling_window(
             n_part=("v", "size"), sum_part=("v", "sum")
         )
         agg = agg.reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        # strip pandas schema metadata before the shuffle (unhashable
+        # schemas spam every reduce task's log)
+        return pa.Table.from_pandas(
+            agg, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -105,7 +124,9 @@ def hopping_window(
         agg = df.groupby([key, "window"], sort=False).agg(
             n_part=("v", "size"), sum_part=("v", "sum")
         )
-        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+        return pa.Table.from_pandas(
+            agg.reset_index(), preserve_index=False
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -142,17 +163,7 @@ def topk_per_group(
         # schemas" (see sessionize.add_part)
         t = t.replace_schema_metadata(None)
         keys = t[key].to_numpy(zero_copy_only=False)
-        if np.issubdtype(keys.dtype, np.integer):
-            part = (keys.astype(np.int64) % num_parts).astype(np.int32)
-        else:
-            import zlib
-
-            part = np.fromiter(
-                (zlib.crc32(str(v).encode()) % num_parts for v in keys),
-                np.int32,
-                len(keys),
-            )
-        return t.append_column("__gpart", pa.array(part))
+        return t.append_column("__gpart", pa.array(_key_part(keys, num_parts)))
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         group = group.drop(columns="__gpart")
@@ -193,7 +204,7 @@ def sessionize(
         # task log a "Failed to hash the schemas" warning
         t = t.replace_schema_metadata(None)
         return t.append_column(
-            "__kpart", pa.array((keys % np.int64(num_parts)).astype(np.int32))
+            "__kpart", pa.array(_key_part(keys, num_parts))
         )
 
     def sessions_of_partition(group: pd.DataFrame) -> pd.DataFrame:

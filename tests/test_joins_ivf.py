@@ -252,3 +252,35 @@ def test_range_join_overlapping_bands(ray_session):
     clash = pa.table({"v": pa.array([1.0]), "lo": pa.array([0.0]), "hi": pa.array([2.0])})
     with pytest.raises(Exception, match="collision"):
         range_join(ray.data.from_arrow(rows), clash, on="v").to_pandas()
+
+
+def test_asof_join_preserves_64bit_values_with_unmatched_rows(ray_session):
+    """An unmatched left row must not float64-convert the right int
+    columns — 64-bit values above 2^53 previously came back rounded."""
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.ops.join import asof_join
+
+    big = (1 << 62) + 1
+    left = pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([5, 50], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1], pa.int64()),
+        "rts": pa.array([10], pa.int64()),
+        "big_id": pa.array([big], pa.int64()),
+    })
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k", left_ts="ts", right_ts="rts", direction="backward",
+    )
+    # assert on ARROW values: pandas would float-convert the nullable
+    # int64 column and hide exactly the corruption this test pins
+    from docs_indexer_ray.collect import tables_of
+
+    tbl = pa.concat_tables(tables_of(out)).sort_by("ts")
+    vals = tbl["big_id"].to_pylist()
+    assert vals[0] is None  # ts=5 has no backward match
+    assert vals[1] == big  # bit-exact, not 4611686018427387904

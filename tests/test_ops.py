@@ -1935,3 +1935,110 @@ def test_substr_doc_id_packing_guard(ray_session):
     })
     with pytest.raises(Exception, match="packing"):  # ValueError, Ray-wrapped
         substring_dedup_stats(ray.data.from_arrow(bad), gram_len=5)
+
+
+def test_batch5_degenerate_and_guard_edges(ray_session):
+    """canonical_docs with zero pairs keeps everything; broadcast_join
+    rejects right/outer (per-batch join can't decide global
+    unmatched); sessionize works on string keys; minhash excludes
+    shingle-free docs and a hot-bucket star keeps clusters connected;
+    knn partials survive empty blocks; dedup_lines rejects ids outside
+    the 32-bit packing budget."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.ops.components import canonical_docs
+    from docs_indexer_ray.ops.join import broadcast_join
+    from docs_indexer_ray.ops.windows import sessionize
+
+    docs = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                     "text": pa.array(["a", "b", "c"], pa.string())})
+    empty_comps = pa.table({"node": pa.array([], pa.int64()),
+                            "component": pa.array([], pa.int64())})
+    kept = canonical_docs(ray.data.from_arrow(docs), empty_comps).take_all()
+    assert len(kept) == 3  # nothing dropped, no IndexError
+
+    with pytest.raises(ValueError, match="inner"):
+        broadcast_join(ray.data.from_arrow(docs), docs, on="doc_id", how="outer")
+
+    ev = pa.table({
+        "user_id": pa.array(["alice", "alice", "bob"], pa.string()),
+        "ts": pa.array([0, 10_000_000_000, 5], pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+    })
+    sess = sessionize(ray.data.from_arrow(ev), timeout_s=60, key="user_id")
+    st = sess if isinstance(sess, pa.Table) else pa.concat_tables(
+        [pa.Table.from_pandas(b) for b in sess.to_pandas().groupby(level=0)]
+    ) if False else sess
+    sdf = st.to_pandas() if hasattr(st, "to_pandas") else st
+    assert len(sdf) == 3  # alice has 2 sessions (gap), bob 1
+
+
+def test_minhash_skips_empty_docs_and_star_caps_bucket(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.ops.components import connected_components
+    from docs_indexer_ray.ops.dedup import minhash_lsh_pairs
+
+    dup = "the quick brown fox jumps over the lazy dog " * 6
+    texts = [""] * 8 + [dup + f"tail {i % 2}" for i in range(6)] + [
+        "completely different content about kubernetes clusters and nodes"
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pairs = minhash_lsh_pairs(ray.data.from_arrow(t), threshold=0.3)
+    pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    ids_in_pairs = set(pdf["a"]) | set(pdf["b"])
+    assert not (ids_in_pairs & set(range(8)))  # no empty-doc pairs
+    assert {8, 9, 10, 11, 12, 13} <= ids_in_pairs  # real dups found
+
+    # star cap: with a tiny cap the dup cluster stays CONNECTED
+    capped = minhash_lsh_pairs(ray.data.from_arrow(t), threshold=0.3,
+                               hot_bucket_cap=2)
+    cdf = capped.to_pandas() if hasattr(capped, "to_pandas") else capped
+    comps = connected_components(
+        ray.data.from_arrow(pa.table({
+            "a": pa.array(cdf["a"], pa.int64()),
+            "b": pa.array(cdf["b"], pa.int64()),
+        }))
+    )
+    comp_of = dict(zip(comps["node"].to_pylist(), comps["component"].to_pylist()))
+    labels = {comp_of[d] for d in (8, 9, 10, 11, 12, 13)}
+    assert len(labels) == 1  # one cluster despite the cap
+
+
+def test_knn_partials_survive_empty_blocks(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import knn_cosine
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(20, 8))
+    t = pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in emb]),
+    })
+    empty = t.slice(0, 0)
+    ds = ray.data.from_arrow([t, empty, empty])  # includes empty blocks
+    out = knn_cosine(ds, emb[:2], np.array([0, 1]), k=3)
+    odf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert set(odf["query_id"]) == {0, 1}
+    assert (odf[odf["rank"] == 1].sort_values("query_id")["neighbor_id"]
+            .tolist() != [0, 1])  # exclude_self honored
+
+
+def test_dedup_lines_rejects_oversized_ids(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from docs_indexer_ray.ops.dedup import dedup_lines
+
+    t = pa.table({"doc_id": pa.array([1 << 33], pa.int64()),
+                  "text": pa.array(["a\nb"], pa.string())})
+    with pytest.raises(Exception, match="packed"):
+        out = dedup_lines(ray.data.from_arrow(t))
+        (out.to_pandas() if hasattr(out, "to_pandas") else out)
