@@ -35,6 +35,7 @@ from .porter import porter_stem
 
 __all__ = [
     "STOPWORDS_EN",
+    "TOKEN_RE",
     "tokenize_standard",
     "tokenize_simple",
     "strip_possessive",
@@ -48,8 +49,11 @@ STOPWORDS_EN = frozenset(
     such that the their then there these they this to was will with""".split()
 )
 
-# standard tokenizer approximation (see module docstring)
+# standard tokenizer approximation (see module docstring); public as
+# TOKEN_RE for offset-aware consumers (highlighting) that must tokenize
+# EXACTLY like the chains do
 _TOKEN_RE = re.compile(r"\w+(?:['’.]\w+)*", re.UNICODE)
+TOKEN_RE = _TOKEN_RE
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 _POSSESSIVE_RE = re.compile(r"['’][sS]$")
 

@@ -117,8 +117,10 @@ def encode_postings(
     deltas[block_starts] = doc_ids[block_starts]
 
     id_chunks, tf_chunks = [], []
-    id_offsets = np.empty(n_blocks + 1, dtype=np.uint32)
-    tf_offsets = np.empty(n_blocks + 1, dtype=np.uint32)
+    # accumulate in int64, cast after the budget check — the stored
+    # schema is uint32, and a >4GiB run must fail loudly, not wrap
+    id_offsets = np.empty(n_blocks + 1, dtype=np.int64)
+    tf_offsets = np.empty(n_blocks + 1, dtype=np.int64)
     id_offsets[0] = tf_offsets[0] = 0
     block_last = np.empty(n_blocks, dtype=np.uint64)
     block_max_tf = np.empty(n_blocks, dtype=np.uint32)
@@ -135,14 +137,20 @@ def encode_postings(
         block_max_tf[i] = tfs[lo:hi].max()
         block_min_dl[i] = dls[lo:hi].min()
 
+    if id_offsets[-1] > 0xFFFFFFFF or tf_offsets[-1] > 0xFFFFFFFF:
+        raise ValueError(
+            f"encoded posting run exceeds the uint32 block-offset budget "
+            f"({int(id_offsets[-1])}/{int(tf_offsets[-1])} bytes, {n} postings): "
+            "split the term run across more partitions/salt"
+        )
     return {
         "df": n,
         "cf": int(tfs.sum()),
         "doc_ids_enc": b"".join(id_chunks),
         "tfs_enc": b"".join(tf_chunks),
         "block_last": block_last,
-        "block_id_offsets": id_offsets,
-        "block_tf_offsets": tf_offsets,
+        "block_id_offsets": id_offsets.astype(np.uint32),
+        "block_tf_offsets": tf_offsets.astype(np.uint32),
         "block_max_tf": block_max_tf,
         "block_min_dl": block_min_dl,
         "max_tf": int(block_max_tf.max()),
@@ -159,15 +167,16 @@ def decode_postings(
     deltas = varint_decode(doc_ids_enc)
     tfs = varint_decode(tfs_enc)
     n = len(deltas)
-    doc_ids = np.cumsum(deltas, dtype=np.uint64)
     if n > block_size:
-        # undo per-block delta restarts: absolute value at each block
-        # start means the cumsum carried an extra prefix — rebuild
-        # blockwise instead
+        # per-block delta restarts (absolute value at each block start)
+        # mean a single global cumsum would carry a bogus prefix across
+        # boundaries — rebuild blockwise
         doc_ids = np.empty(n, dtype=np.uint64)
         for lo in range(0, n, block_size):
             hi = min(lo + block_size, n)
             doc_ids[lo:hi] = np.cumsum(deltas[lo:hi], dtype=np.uint64)
+    else:
+        doc_ids = np.cumsum(deltas, dtype=np.uint64)
     return doc_ids, tfs
 
 
@@ -186,7 +195,7 @@ def encode_positions(
     """
     n = len(positions_per_posting)
     n_blocks = (n + block_size - 1) // block_size
-    offsets = np.empty(n_blocks + 1, dtype=np.uint32)
+    offsets = np.empty(n_blocks + 1, dtype=np.int64)
     offsets[0] = 0
     chunks = []
     for b in range(n_blocks):
@@ -207,7 +216,13 @@ def encode_positions(
             enc = b""
         chunks.append(enc)
         offsets[b + 1] = offsets[b] + len(enc)
-    return b"".join(chunks), offsets
+    if n_blocks and offsets[-1] > 0xFFFFFFFF:
+        raise ValueError(
+            f"encoded position run exceeds the uint32 block-offset budget "
+            f"({int(offsets[-1])} bytes): split the term run across more "
+            "partitions/salt"
+        )
+    return b"".join(chunks), offsets.astype(np.uint32)
 
 
 def decode_positions_block(

@@ -221,6 +221,13 @@ def encode_partition_codes(
     # ---- per-term byte offsets lists (n_blocks + 1 entries each) ------
     def offset_lists(global_off: np.ndarray) -> pa.ListArray:
         term_base = np.repeat(global_off[starts], nb)
+        run_len = global_off[ends] - global_off[starts]
+        if run_len.max(initial=0) > 0xFFFFFFFF:
+            raise ValueError(
+                f"encoded posting run exceeds the uint32 block-offset budget "
+                f"({int(run_len.max())} bytes): split the term run across "
+                "more partitions/salt"
+            )
         block_vals = (global_off[B] - term_base).astype(np.uint32)
         list_offs = np.zeros(n_terms + 1, np.int64)
         np.cumsum(nb + 1, out=list_offs[1:])

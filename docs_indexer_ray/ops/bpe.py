@@ -31,7 +31,6 @@ _EOW = "</w>"  # end-of-word marker (Sennrich's formulation)
 
 def word_counts(docs_ds, text_col: str = "text") -> pa.Table:
     """ONE counting shuffle → ``(word, n)`` table, vocabulary-scale."""
-    import ray
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:

@@ -282,22 +282,40 @@ def _fnv1a64(s: str) -> np.uint64:
 def _fnv1a64_batch(strs: list[str]) -> np.ndarray:
     """FNV-1a over many strings at once: the byte loop runs over byte
     *positions* (≈ gram length), vectorized across all strings — the
-    same values as :func:`_fnv1a64`, ~the string count times faster."""
+    same values as :func:`_fnv1a64`, ~the string count times faster.
+
+    Strings are processed in LENGTH-SORTED chunks so the padded
+    ``count × maxlen`` matrix stays under ~64 MB: one pathological
+    long token (minified JS / base64 in crawled text) must not
+    multiply the whole batch's memory by its length."""
     n = len(strs)
     if n == 0:
         return np.empty(0, np.uint64)
     bs = [s.encode("utf-8") for s in strs]
     lens = np.fromiter((len(b) for b in bs), np.int64, n)
-    maxlen = int(lens.max())
-    arr = np.zeros((n, maxlen), np.uint8)
-    for i, b in enumerate(bs):
-        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
-    h = np.full(n, _FNV_OFFSET, np.uint64)
-    with np.errstate(over="ignore"):
-        for j in range(maxlen):
-            mask = lens > j
-            h[mask] = (h[mask] ^ arr[mask, j].astype(np.uint64)) * _FNV_PRIME
-    return h
+    out = np.empty(n, np.uint64)
+    order = np.argsort(lens, kind="stable")
+    budget = 1 << 26  # padded-matrix cells (bytes) per chunk
+    start = 0
+    while start < n:
+        end = start + 1
+        while end < n and (end + 1 - start) * lens[order[end]] <= budget:
+            end += 1
+        idx = order[start:end]
+        clens = lens[idx]
+        maxlen = int(clens[-1])  # sorted ascending
+        arr = np.zeros((len(idx), max(maxlen, 1)), np.uint8)
+        for row, i in enumerate(idx):
+            if lens[i]:
+                arr[row, : lens[i]] = np.frombuffer(bs[i], np.uint8)
+        h = np.full(len(idx), _FNV_OFFSET, np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                mask = clens > j
+                h[mask] = (h[mask] ^ arr[mask, j].astype(np.uint64)) * _FNV_PRIME
+        out[idx] = h
+        start = end
+    return out
 
 
 def winnow_fingerprint_batch(

@@ -16,23 +16,25 @@ form is in the query's analyzed term set.
 
 from __future__ import annotations
 
-import re
-
+from ..functions.analyzer import TOKEN_RE as _TOKEN_RE
 from ..functions.analyzer import Analyzer, strip_possessive
 from ..functions.porter import porter_stem
 
 __all__ = ["match_spans", "highlight", "best_snippet"]
 
-_TOKEN_RE = re.compile(r"\w+(?:['’.]\w+)*", re.UNICODE)
-
 
 def _normalize(token: str, chain: str) -> str:
+    """Map ONE surface token to the analyzer-space form query terms are
+    matched against.  Must agree with :class:`Analyzer`'s per-chain
+    normalization (the tokenizer itself is shared via ``TOKEN_RE``).
+    ``trigram``/``edge`` match on the lowered unigram — the chains
+    emit it among their terms (edge n-grams include the full token up
+    to length 15), so single-word query terms still light up."""
     if chain == "english":
-        t = strip_possessive(token).lower()
-        return porter_stem(t)
-    if chain == "simple":
-        return token.lower()
-    return token.lower()  # standard
+        return porter_stem(strip_possessive(token).lower())
+    if chain == "reverse":
+        return token.lower()[::-1]
+    return token.lower()  # standard / simple / trigram / edge
 
 
 def match_spans(text: str, query_terms: set[str], chain: str = "english"):
@@ -91,13 +93,19 @@ def best_snippet(
             j += 1
         if j - i > best_j - best_i:
             best_i, best_j = i, j
-    lo = max(0, spans[best_i][0] - (width - (spans[best_j][1] - spans[best_i][0])) // 2)
+    # center the densest run; a single match longer than width makes
+    # the extent exceed width — clamp the margin at 0 so lo never lands
+    # past the span start (which would skip the only highlight)
+    extent = spans[best_j][1] - spans[best_i][0]
+    lo = max(0, spans[best_i][0] - max(0, width - extent) // 2)
     hi = min(len(text), lo + width)
     window = text[lo:hi]
     out, last = [], 0
     for s, e in spans[best_i : best_j + 1]:
-        s, e = s - lo, e - lo
-        if s < 0 or e > len(window):
+        # clip spans to the window: a match wider than the window still
+        # gets (partial) markup instead of silently losing its highlight
+        s, e = max(s - lo, 0), min(e - lo, len(window))
+        if e <= s:
             continue
         out.append(window[last:s])
         out.append(pre + window[s:e] + post)

@@ -26,16 +26,13 @@ All ranking is deterministic (similarity desc, df desc, term asc).
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 
+from ..functions.analyzer import tokenize_simple, tokenize_standard
 from .fuzzy import edit_distance
 from .reader import IndexReader
 
 __all__ = ["Suggester"]
-
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
 def _trigrams(term: str) -> set[str]:
@@ -71,10 +68,17 @@ class Suggester:
         self.terms = terms
         self.dfs = dfs
         self._tri: dict[str, list[int]] = {}
+        # only the trigram COUNT per term is ever needed for Jaccard —
+        # storing the sets themselves is a vocabulary-scale memory
+        # blowup per query actor (the trigram→terms map above already
+        # holds the strings once)
+        tri_counts = np.empty(len(terms), np.int32)
         for i, term in enumerate(terms):
-            for g in _trigrams(term):
+            tris = _trigrams(term)
+            tri_counts[i] = len(tris)
+            for g in tris:
                 self._tri.setdefault(g, []).append(i)
-        self._term_tris = [_trigrams(t) for t in terms]
+        self._tri_counts = tri_counts
 
     def correct_token(self, token: str, limit: int = 3) -> list[tuple[str, float, int]]:
         """Candidate corrections ``(term, similarity, df)`` for one
@@ -96,7 +100,7 @@ class Suggester:
             term = self.terms[i]
             if abs(len(term) - len(token)) > self.max_len_diff:
                 continue
-            union = len(tris) + len(self._term_tris[i]) - inter
+            union = len(tris) + int(self._tri_counts[i]) - inter
             sim = inter / union
             if sim >= self.min_sim and term != token:
                 out.append((term, sim, int(self.dfs[i])))
@@ -128,8 +132,17 @@ class Suggester:
         spelled inflected words are recognized and kept verbatim;
         tokens the analyzer drops entirely (stopwords) are kept too.
         Corrections themselves are matched in analyzer space and
-        emitted as vocabulary terms (stems on stemmed chains)."""
-        tokens = _TOKEN_RE.findall(text.lower())
+        emitted as vocabulary terms (stems on stemmed chains).
+
+        Surface tokenization uses the chain's own tokenizer (unicode
+        standard regex, or ``[a-z0-9]+`` on the ``simple`` chain) — an
+        ASCII-only split would truncate accented words ("café" → "caf",
+        df 0) and then "correct" them back to themselves, violating the
+        only-changed-phrases contract above."""
+        if self.reader.chain == "simple":
+            tokens = tokenize_simple(text)
+        else:
+            tokens = [t.lower() for t in tokenize_standard(text)]
         per_token: list[list[tuple[str, float]]] = []
         any_changed = False
         for tok in tokens:
@@ -151,7 +164,9 @@ class Suggester:
         # then single-token alternates) — deterministic, no blowup
         best = [c[0] for c in per_token]
         phrases: list[tuple[str, float]] = []
-        seen = set()
+        # never propose the user's own phrase back (a vocabulary term
+        # can equal a surface token even when its analyzed form has df 0)
+        seen = {" ".join(tokens)}
 
         def add(choice: list[tuple[str, float]]):
             phrase = " ".join(term for term, _ in choice)
