@@ -135,6 +135,25 @@ def test_winnow_deterministic_and_subset(tokens):
     assert s1 == sorted(set(s1))
 
 
+def test_fnv_batch_chunked_matches_scalar():
+    """The length-sorted chunking (one pathological long gram must not
+    pad the whole batch to its length) returns exactly the scalar
+    FNV-1a values, order preserved."""
+    import numpy as np
+
+    from docs_indexer_ray.ops.textstats import _fnv1a64, _fnv1a64_batch
+
+    strs = ["", "a", "café", "🎉" * 3, "x" * 100, "b" * 70_000] + [
+        f"word{i}" for i in range(200)
+    ]
+    import random
+
+    random.Random(5).shuffle(strs)
+    got = _fnv1a64_batch(strs)
+    want = np.array([_fnv1a64(s) for s in strs], np.uint64)
+    assert (got == want).all()
+
+
 def test_rank_top_matches_full_sort_property():
     """partition-then-refine top-k == full lexsort, including tied
     scores at the k-th boundary (hypothesis-style randomized sweep)."""

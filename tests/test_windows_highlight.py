@@ -95,6 +95,51 @@ def test_match_spans_simple_chain():
     assert spans == [(0, 5), (11, 16)]
 
 
+def test_best_snippet_match_longer_than_width():
+    """A single matching token wider than the snippet window still gets
+    (partial) markup — the old centering math skipped it entirely."""
+    text = "start " + "a" * 200 + " end"
+    snip = best_snippet(text, "a" * 200, chain="standard", width=50)
+    assert "<em>" in snip and "</em>" in snip
+
+
+def test_match_spans_reverse_chain():
+    """Reverse-chain query terms are reversed by the analyzer; text
+    tokens must be reversed too or nothing ever matches."""
+    from docs_indexer_ray.functions.analyzer import Analyzer
+
+    terms = set(Analyzer("reverse")("alpha"))
+    assert terms == {"ahpla"}
+    spans = match_spans("Alpha beta", terms, chain="reverse")
+    assert spans == [(0, 5)]
+
+
+def test_suggest_unicode_and_never_echoes_input():
+    """Chain tokenization keeps accented/apostrophe words whole: a
+    correctly spelled 'café' must NOT trigger a did-you-mean banner
+    (the old ASCII split truncated it to df-0 'caf' and proposed the
+    user's own query back)."""
+    import numpy as np
+
+    from docs_indexer_ray.query.suggest import Suggester
+
+    class FakeReader:
+        chain = "english"
+
+        def term_dictionary(self):
+            return (np.array(["café", "coffee", "tea"]), np.array([5, 9, 3]))
+
+        def term_df(self, t):
+            return {"café": 5, "coffee": 9, "tea": 3}.get(t, 0)
+
+    sug = Suggester(FakeReader())
+    assert sug.suggest("café") == []
+    assert sug.suggest("don't tea") == []
+    got = sug.suggest("cofee")
+    assert got and got[0][0] == "coffee"
+    assert all(phrase != "cofee" for phrase, _ in got)
+
+
 # ---- did-you-mean suggester ----------------------------------------------
 
 
