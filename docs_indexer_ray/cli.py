@@ -23,8 +23,12 @@ def _ray_session():
     import ray
 
     if not ray.is_initialized():
+        # address=None auto-detects: attaches to the submitting cluster
+        # under `ray job submit` (RAY_ADDRESS set), starts a local
+        # instance otherwise.  A hardcoded "local" would silently run
+        # the whole build on one node of a multi-node cluster.
         ray.init(
-            address="local",
+            address=os.environ.get("RAY_ADDRESS") or None,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
@@ -287,7 +291,9 @@ def cmd_agg(args) -> int:
     )
     if args.kind == "terms":
         out = terms_facet(ds, matched, args.field)
-    elif args.kind == "stats":
+    else:
+        # stats AND percentiles are numeric-only: string fields (incl.
+        # the default --field lang) get the utf8-length transform
         import pyarrow as pa_
 
         ds = ds.map_batches(
@@ -300,9 +306,10 @@ def cmd_agg(args) -> int:
             ),
             batch_format="pyarrow",
         )
-        out = stats_facet(ds, matched, args.field)
-    else:  # percentiles
-        out = percentiles(ds, matched, args.field, [25.0, 50.0, 75.0, 95.0, 99.0])
+        if args.kind == "stats":
+            out = stats_facet(ds, matched, args.field)
+        else:  # percentiles
+            out = percentiles(ds, matched, args.field, [25.0, 50.0, 75.0, 95.0, 99.0])
     print(out.to_pandas().to_json(orient="records"))
     return 0
 

@@ -46,13 +46,33 @@ from .deletes import load_delete_ids
 __all__ = ["compact_index", "reindex_index"]
 
 
+def _parquet_names(src_dir: str) -> list[str]:
+    """Only ``.parquet`` files count as data — a crashed task's
+    ``*.tmp-<pid>`` or any stray file must never be read or linked
+    (same contract as the segment reader's suffix-filtered globs)."""
+    return sorted(x for x in os.listdir(src_dir) if x.endswith(".parquet"))
+
+
+def _clear_stale_tmp(out_dir: str) -> None:
+    """Remove leftover ``*.tmp-<pid>`` files from a crashed prior run:
+    downstream directory-discovery readers (phase 2, stored-field
+    fetch) would otherwise ingest them as data on resume."""
+    for fname in os.listdir(out_dir):
+        if ".tmp-" in fname:
+            try:
+                os.remove(os.path.join(out_dir, fname))
+            except FileNotFoundError:
+                pass
+
+
 def _filter_docpart(src_dir: str, out_dir: str, deleted: np.ndarray) -> int:
     """Task body: one docpart directory → filtered + re-id'd copy.
     Returns surviving row count.  Hardlink fast-path when no tombstone
     touches this partition's files."""
     os.makedirs(out_dir, exist_ok=True)
+    _clear_stale_tmp(out_dir)
     n = 0
-    for fname in sorted(os.listdir(src_dir)):
+    for fname in _parquet_names(src_dir):
         src_f = os.path.join(src_dir, fname)
         dst_f = os.path.join(out_dir, fname)
         if os.path.exists(dst_f):  # resume skip
@@ -180,12 +200,22 @@ def compact_index(
     deleted = load_delete_ids(src_bdir)
     if fingerprint is None:
         h = hashlib.sha1(
-            (src_man["fingerprint"] + "|" + ",".join(map(str, deleted))).encode()
+            src_man["fingerprint"].encode()
+            + b"|"
+            + np.ascontiguousarray(deleted, np.int64).tobytes()
         ).hexdigest()[:16]
         fingerprint = "c" + h
 
+    # broadcast the tombstone array ONCE (ray.put) — a closure-captured
+    # numpy array is re-deserialized per task, tombstone-scale × docparts
+    import ray
+
+    deleted_ref = ray.put(deleted)
+
     def docs_task(src_dir: str, out_dir: str) -> int:
-        return _filter_docpart(src_dir, out_dir, deleted)
+        import ray
+
+        return _filter_docpart(src_dir, out_dir, ray.get(deleted_ref))
 
     return _rebuild_from_docs(
         src_bdir,
@@ -241,7 +271,7 @@ def reindex_index(
     def docs_task(src_dir: str, out_dir: str) -> int:
         os.makedirs(out_dir, exist_ok=True)
         n = 0
-        for fname in sorted(os.listdir(src_dir)):
+        for fname in _parquet_names(src_dir):
             src_f, dst_f = os.path.join(src_dir, fname), os.path.join(out_dir, fname)
             if not os.path.exists(dst_f):
                 try:

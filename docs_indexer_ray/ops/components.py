@@ -33,6 +33,20 @@ from .join import hash_join
 __all__ = ["connected_components", "canonical_docs"]
 
 
+def _valid_edges(t: pa.Table, a: str, b: str) -> pa.Table:
+    """Project ``(a, b)`` to int64, DROPPING null-endpoint rows first:
+    ``to_numpy`` on a null-bearing column goes through float64, where
+    NaN silently casts to INT64_MIN — a pseudo-node that would win
+    every min-label fold and corrupt its whole cluster's label."""
+    import pyarrow.compute as pc
+
+    av, bv = t[a], t[b]
+    if av.null_count or bv.null_count:
+        t = t.filter(pc.and_(pc.is_valid(av), pc.is_valid(bv)))
+        av, bv = t[a], t[b]
+    return pa.table({"a": av.cast(pa.int64()), "b": bv.cast(pa.int64())})
+
+
 def connected_components(
     pairs_ds,
     a: str = "a",
@@ -54,9 +68,7 @@ def connected_components(
 
         parts = tables_of(
             pairs_ds.map_batches(
-                lambda t: pa.table(
-                    {"a": t[a].cast(pa.int64()), "b": t[b].cast(pa.int64())}
-                ),
+                lambda t: _valid_edges(t, a, b),
                 batch_format="pyarrow",
             )
         )
@@ -96,8 +108,9 @@ def connected_components(
         raise ValueError(f"mode must be driver|distributed, got {mode!r}")
 
     def both_dirs(t: pa.Table) -> pa.Table:
-        av = t[a].cast(pa.int64()).combine_chunks()
-        bv = t[b].cast(pa.int64()).combine_chunks()
+        t = _valid_edges(t, a, b)
+        av = t["a"].combine_chunks()
+        bv = t["b"].combine_chunks()
         return pa.table(
             {
                 "node": pa.chunked_array([av, bv]).combine_chunks(),

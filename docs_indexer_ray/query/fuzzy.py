@@ -30,7 +30,7 @@ import re
 
 import numpy as np
 
-from .reader import IndexReader
+from .reader import IndexReader, prefix_upper_bound
 
 __all__ = [
     "edit_distance",
@@ -107,7 +107,8 @@ def fuzzy_expand(
     if prefix_length > 0:
         pre = token[:prefix_length]
         lo = int(np.searchsorted(terms, pre))
-        hi = int(np.searchsorted(terms, pre + "￿"))
+        ub = prefix_upper_bound(pre)
+        hi = int(np.searchsorted(terms, ub)) if ub is not None else len(terms)
         terms, dfs = terms[lo:hi], dfs[lo:hi]
     out: list[tuple[str, int, int]] = []
     tl = len(token)
@@ -358,15 +359,15 @@ def wildcard_terms(
     prefix = pattern[:cut]
     terms, dfs = reader.term_dictionary()
     if cut == len(pattern):
-        hits = [
-            (t, int(d)) for t, d in zip(terms.tolist(), dfs.tolist()) if t == pattern
-        ]
-        hits.sort(key=lambda kv: (-kv[1], kv[0]))
-        return hits[:limit]
+        # no wildcard at all: ONE binary search (the dictionary is
+        # sorted), not a vocabulary-scale Python scan
+        df = reader.term_df(pattern)
+        return [(pattern, df)] if df and limit > 0 else []
     rx = _wildcard_regex(pattern)
     if prefix:
         lo = int(np.searchsorted(terms, prefix))
-        hi = int(np.searchsorted(terms, prefix + "￿"))
+        ub = prefix_upper_bound(prefix)
+        hi = int(np.searchsorted(terms, ub)) if ub is not None else len(terms)
         cand_terms, cand_dfs = terms[lo:hi], dfs[lo:hi]
     else:
         grams = _pattern_trigrams(pattern)

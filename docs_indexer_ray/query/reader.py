@@ -35,7 +35,20 @@ from ..index import manifest as mf
 from ..stages.tokenize import term_part
 from .segments_io import TermPostings
 
-__all__ = ["IndexReader"]
+__all__ = ["IndexReader", "prefix_upper_bound"]
+
+
+def prefix_upper_bound(prefix: str) -> str | None:
+    """The smallest string greater than EVERY string with this prefix
+    (increment the last non-U+10FFFF char) — the sound searchsorted
+    upper bound for a sorted-dictionary prefix range.  A plain
+    ``prefix + '\\uffff'`` misses terms whose next char is an
+    astral-plane codepoint.  ``None`` means unbounded (use
+    ``len(terms)``)."""
+    up = prefix
+    while up and ord(up[-1]) == 0x10FFFF:
+        up = up[:-1]
+    return up[:-1] + chr(ord(up[-1]) + 1) if up else None
 
 
 class _ShardNorms:
@@ -279,18 +292,8 @@ class IndexReader:
         per-call scan of every segment file."""
         terms, dfs = self.term_dictionary()
         lo = np.searchsorted(terms, prefix)
-        # upper bound: the smallest string greater than EVERY string
-        # with this prefix (increment the last non-U+10FFFF char) — a
-        # plain prefix+'\uffff' missed terms whose next char is an
-        # astral-plane codepoint
-        up = prefix
-        while up and ord(up[-1]) == 0x10FFFF:
-            up = up[:-1]
-        hi = (
-            np.searchsorted(terms, up[:-1] + chr(ord(up[-1]) + 1))
-            if up
-            else len(terms)
-        )
+        ub = prefix_upper_bound(prefix)
+        hi = np.searchsorted(terms, ub) if ub is not None else len(terms)
         top = sorted(
             zip(terms[lo:hi].tolist(), dfs[lo:hi].tolist()),
             key=lambda kv: (-kv[1], kv[0]),

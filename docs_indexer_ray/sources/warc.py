@@ -11,11 +11,12 @@ Parquet (``sources/pages.py``).
 
 Scale shape: ``ray.data.read_binary_files`` streams one archive per
 block (crawl archives are written ~1 GB each precisely so they
-parallelize file-wise) and the record parser is a ``flat_map`` over
-those blocks — no shuffle, no driver-side parsing.  Gzip'd archives
-are MULTI-MEMBER (one member per record, per the WARC spec) so
-``gzip.decompress`` handles them in one call; plain ``.warc`` works
-too.
+parallelize file-wise) and the record parser is a chunk-emitting
+generator over those blocks — no shuffle, no driver-side parsing,
+and no whole-archive decompression: gzip'd archives (MULTI-MEMBER,
+one member per record per the WARC spec) decompress incrementally
+through ``GzipFile`` while records flush every 4096 rows / 64 MB of
+payload.  Plain ``.warc`` works too.
 
 Record grammar parsed here (version line, CRLF header block, exact
 ``Content-Length`` payload, CRLF CRLF trailer):
@@ -60,12 +61,13 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
-def _maybe_gunzip(raw: bytes) -> bytes:
-    if raw[:2] == b"\x1f\x8b":
-        # multi-member gzip: GzipFile reads members back-to-back
-        with gzip.GzipFile(fileobj=io.BytesIO(raw)) as g:
-            return g.read()
-    return raw
+def _record_stream(raw: bytes):
+    """Binary file-like over ``raw``, decompressing INCREMENTALLY when
+    gzip'd (multi-member: GzipFile reads members back-to-back) — the
+    whole decompressed archive (~4 GB for a 1 GB crawl file) is never
+    materialized at once."""
+    buf = io.BytesIO(raw)
+    return gzip.GzipFile(fileobj=buf) if raw[:2] == b"\x1f\x8b" else buf
 
 
 def _parse_ts(value: str):
@@ -81,29 +83,28 @@ def _parse_ts(value: str):
 def parse_warc_records(raw: bytes):
     """Yield ``(headers: dict, payload: bytes)`` per WARC record.
 
-    Tolerant scanner: skips garbage until the next ``WARC/`` version
-    line, requires ``Content-Length`` (records without one are
-    unrecoverable mid-stream and end the scan — the spec makes the
-    field mandatory), ignores the optional CRLF CRLF trailer.
+    Tolerant STREAMING scanner (line reads against an incrementally
+    decompressed stream — peak memory is one record, not the archive):
+    skips garbage until the next ``WARC/`` version line, requires
+    ``Content-Length`` (records without one are unrecoverable
+    mid-stream and end the scan — the spec makes the field mandatory),
+    ignores the optional CRLF CRLF trailer.  A truncated final payload
+    is yielded short, matching the buffer scanner this replaced.
     """
-    data = _maybe_gunzip(raw)
-    pos, n = 0, len(data)
-    while pos < n:
-        nl = data.find(b"\n", pos)
-        if nl < 0:
+    stream = _record_stream(raw)
+    readline = stream.readline
+    while True:
+        line = readline()
+        if not line:
             return
-        line = data[pos:nl].strip()
-        if not line.startswith(b"WARC/"):
-            pos = nl + 1
+        if not line.strip().startswith(b"WARC/"):
             continue
         headers: dict[str, str] = {}
-        pos = nl + 1
-        while pos < n:
-            nl = data.find(b"\n", pos)
-            if nl < 0:
+        while True:
+            line = readline()
+            if not line:
                 return
-            line = data[pos:nl].rstrip(b"\r")
-            pos = nl + 1
+            line = line.rstrip(b"\r\n")
             if not line:
                 break
             key, sep, val = line.partition(b":")
@@ -115,9 +116,7 @@ def parse_warc_records(raw: bytes):
             clen = int(headers["content-length"])
         except (KeyError, ValueError):
             return
-        payload = data[pos : pos + clen]
-        pos += clen
-        yield headers, payload
+        yield headers, stream.read(clen)
 
 
 def _http_body(payload: bytes) -> bytes:
@@ -131,8 +130,26 @@ def _http_body(payload: bytes) -> bytes:
     return payload
 
 
-def _records_to_rows(raw: bytes) -> pa.Table:
+def _records_to_tables(raw: bytes, max_rows: int = 4096, max_bytes: int = 64 << 20):
+    """Parse one archive into a SEQUENCE of bounded pages tables —
+    records stream off the (incrementally decompressed) archive and
+    flush every ``max_rows`` rows or ``max_bytes`` of payload, so peak
+    task memory is one chunk + the compressed input, never the whole
+    decompressed archive."""
     urls, tss, htmls, texts, langs = [], [], [], [], []
+    acc_bytes = 0
+
+    def flush() -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
     for headers, payload in parse_warc_records(raw):
         rtype = headers.get("warc-type", "")
         if rtype not in ("response", "conversion"):
@@ -146,35 +163,43 @@ def _records_to_rows(raw: bytes) -> pa.Table:
             htmls.append(None)
             texts.append(payload.decode("utf-8", errors="replace"))
         langs.append(headers.get("warc-identified-content-language"))
-    return pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(tss, pa.timestamp("us")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
-        }
-    )
+        acc_bytes += len(payload)
+        if len(urls) >= max_rows or acc_bytes >= max_bytes:
+            yield flush()
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+            acc_bytes = 0
+    if urls:
+        yield flush()
+
+
+def _records_to_rows(raw: bytes) -> pa.Table:
+    """Whole-archive convenience wrapper (tests / small inputs)."""
+    tables = list(_records_to_tables(raw))
+    return pa.concat_tables(tables) if tables else PAGES_SCHEMA.empty_table()
 
 
 def read_warc(paths, *, lang: str | None = None):
     """``ray.data.Dataset`` in the pages shape from WARC/WET archives.
 
     One archive file per input block (file-wise parallelism — the
-    crawl's own sharding), record parsing inside ``map_batches``
-    tasks, optional post-parse ``lang`` filter (WARC carries language
-    only as an optional header, so this can't push to the read)."""
+    crawl's own sharding); record parsing is a GENERATOR inside
+    ``map_batches`` tasks that decompresses incrementally and emits
+    bounded chunks, so a 1 GB archive (~4 GB decompressed) never sits
+    in task memory whole.  Optional post-parse ``lang`` filter (WARC
+    carries language only as an optional header, so this can't push
+    to the read)."""
     import ray.data
 
     ds = ray.data.read_binary_files(paths)
 
-    def expand(batch: pa.Table) -> pa.Table:
-        tables = [_records_to_rows(b.as_py()) for b in batch["bytes"]]
-        return (
-            pa.concat_tables(tables)
-            if tables
-            else PAGES_SCHEMA.empty_table()
-        )
+    def expand(batch: pa.Table):
+        emitted = False
+        for b in batch["bytes"]:
+            for tbl in _records_to_tables(b.as_py()):
+                emitted = True
+                yield tbl
+        if not emitted:
+            yield PAGES_SCHEMA.empty_table()
 
     ds = ds.map_batches(expand, batch_format="pyarrow")
     if lang is not None:

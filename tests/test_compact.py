@@ -255,3 +255,34 @@ def test_incremental_updates_same_second_dont_collide(ray_session, tmp_path):
 
     assert len(match_doc_ids(reader, ["quokka"])) == 1
     assert len(match_doc_ids(reader, ["wombat"])) == 1  # was 0 pre-fix
+
+
+def test_filter_docpart_ignores_stale_tmp_and_stray_files(tmp_path):
+    """A crashed prior task's *.tmp-<pid> in the OUTPUT docpart must be
+    removed on resume (directory-discovery readers would ingest it as
+    data), and non-.parquet strays in the SOURCE must never be read or
+    linked."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docs_indexer_ray.index.compact import _filter_docpart
+
+    src = tmp_path / "src" / "docpart=0"
+    out = tmp_path / "out" / "docpart=0"
+    src.mkdir(parents=True)
+    out.mkdir(parents=True)
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.uint64()),
+                  "body": pa.array(["a", "b", "c"])})
+    pq.write_table(t, src / "part-0.parquet")
+    # stray files a crashed run could leave in either directory
+    (src / "part-0.parquet.tmp-999").write_bytes(b"truncated garbage")
+    (out / "part-0.parquet.tmp-999").write_bytes(b"truncated garbage")
+
+    n = _filter_docpart(str(src), str(out), np.array([1], np.int64))
+    assert n == 2
+    names = sorted(p.name for p in out.iterdir())
+    assert names == ["part-0.parquet"]  # stale tmp removed, no stray copied
+    got = pq.read_table(out / "part-0.parquet")
+    assert got["doc_id"].to_pylist() == [0, 1]  # re-id'd dense
+    assert got["body"].to_pylist() == ["a", "c"]

@@ -370,3 +370,34 @@ def test_warc_source_roundtrip_and_build(ray_session, tmp_path):
         IndexReader(str(tmp_path / "idx_tbl")),
     )
     assert wand_topk(ra, ["node"], k=10) == wand_topk(rb, ["node"], k=10)
+
+
+def test_warc_parser_streams_bounded_chunks():
+    """_records_to_tables flushes every max_rows — one archive parses
+    into several bounded tables whose concatenation is the full set
+    (the OOM guard for 1 GB crawl files)."""
+    import pyarrow as pa
+
+    from docs_indexer_ray.sources.warc import (
+        _records_to_tables,
+        synth_warc_bytes,
+    )
+
+    pages = pa.table(
+        {
+            "url": pa.array([f"https://w/{i}/" for i in range(7)]),
+            "warc_ts": pa.array([1000 + i for i in range(7)], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "html": pa.array([f"<p>doc {i}</p>".encode() for i in range(7)],
+                             pa.binary()),
+            "text": pa.array([None] * 7, pa.string()),
+            "lang": pa.array(["en"] * 7),
+        }
+    )
+    raw = synth_warc_bytes(pages)
+    chunks = list(_records_to_tables(raw, max_rows=3))
+    assert [c.num_rows for c in chunks] == [3, 3, 1]
+    whole = pa.concat_tables(chunks)
+    assert whole["url"].to_pylist() == pages["url"].to_pylist()
+    assert [b.as_py() for b in whole["html"]] == [b.as_py() for b in pages["html"]]

@@ -586,6 +586,31 @@ def test_connected_components_and_canonical(ray_session):
         connected_components(ray.data.from_arrow(path), mode="nope")
 
 
+def test_connected_components_drops_null_edges(ray_session):
+    """A null endpoint must be dropped, not float-cast to INT64_MIN —
+    the pseudo-node would win every min fold and mislabel its whole
+    cluster (canonical_docs would then delete every real member)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.components import connected_components
+
+    pairs = pa.table(
+        {
+            "a": pa.array([5, None, 7], pa.int64()),
+            "b": pa.array([6, 6, None], pa.int64()),
+        }
+    )
+    for mode in ("driver", "distributed"):
+        t = connected_components(ray.data.from_arrow(pairs), mode=mode)
+        if mode == "distributed":
+            import ray as _ray
+
+            parts = [p for p in (_ray.get(r) for r in t.to_arrow_refs()) if p.num_rows]
+            t = pa.concat_tables(parts)
+        got = dict(zip(t["node"].to_pylist(), t["component"].to_pylist()))
+        assert got == {5: 5, 6: 5}, (mode, got)
+
+
 def test_redact_pii_and_normalize_whitespace(ray_session):
     import ray.data
 

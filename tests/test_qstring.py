@@ -291,3 +291,35 @@ def test_wildcard_repeated_trigram_no_duplicates(ray_session, tmp_path):
     assert [t for t, _ in hits2] == sorted(["banana", "bandana"]) or set(
         t for t, _ in hits2
     ) == {"banana", "bandana"}
+
+
+def test_prefix_ranges_include_astral_plane_terms():
+    """fuzzy_expand(prefix_length=) and wildcard_terms' literal-prefix
+    path must use the increment-last-char upper bound: a plain
+    prefix+'\\uffff' silently missed vocabulary terms whose next
+    codepoint is astral-plane (emoji / rare CJK in crawled text)."""
+    from docs_indexer_ray.query.fuzzy import fuzzy_expand, wildcard_terms
+
+    class FakeReader:
+        def __init__(self):
+            self._terms = np.array(sorted(["caf", "caf\U0001F600", "cafz", "dog"]))
+            self._dfs = np.array([3, 2, 1, 9][: len(self._terms)], np.int64)
+
+        def term_dictionary(self):
+            return self._terms, self._dfs
+
+        def term_df(self, term):
+            i = int(np.searchsorted(self._terms, term))
+            if i < len(self._terms) and self._terms[i] == term:
+                return int(self._dfs[i])
+            return 0
+
+    r = FakeReader()
+    got = {t for t, _ in wildcard_terms(r, "caf*")}
+    assert "caf\U0001F600" in got and got >= {"caf", "cafz"}
+    # exact-term (no wildcard) path: binary search, present and absent
+    assert wildcard_terms(r, "dog") == [("dog", r.term_df("dog"))]
+    assert wildcard_terms(r, "cat") == []
+    exp = {t for t, _, _ in fuzzy_expand(r, "caf\U0001F600", max_edits=1,
+                                         prefix_length=3)}
+    assert "caf\U0001F600" in exp
