@@ -54,12 +54,21 @@ class _TextNodeWalker(HTMLParser):
     def handle_comment(self, data: str) -> None:
         self._parts.append(data)
 
-    # <!DOCTYPE html> → Doctype/Declaration string node
+    # <!DOCTYPE html> → Doctype string node; bs4's builder strips the
+    # "DOCTYPE " prefix before creating it, so '<!DOCTYPE html>'
+    # contributes 'html', never 'DOCTYPE html'
     def handle_decl(self, decl: str) -> None:
+        if decl.startswith("DOCTYPE "):
+            decl = decl[len("DOCTYPE ") :]
+        elif decl == "DOCTYPE":
+            decl = ""
         self._parts.append(decl)
 
-    # <![CDATA[...]]> and other unknown declarations
+    # <![CDATA[...]]> and other unknown declarations; bs4 strips the
+    # "CDATA[" prefix when building CData nodes
     def unknown_decl(self, data: str) -> None:
+        if data.startswith("CDATA["):
+            data = data[len("CDATA[") :]
         self._parts.append(data)
 
     # <?php ... ?> → ProcessingInstruction string node

@@ -51,7 +51,12 @@ _FENCE_RE = re.compile(r"^(```+|~~~+)\s*([\w+-]*)\s*$")
 _HR_RE = re.compile(r"^(?:-{3,}|\*{3,}|_{3,})\s*$")
 _ULIST_RE = re.compile(r"^[-*+]\s+(.*)$")
 _OLIST_RE = re.compile(r"^\d+[.)]\s+(.*)$")
+# Python-Markdown's tables extension requires a '|' in the separator
+# row, so a bare '---' under a pipe-bearing line is a setext h2, not a
+# table — the two call sites additionally check for the pipe
 _TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{2,}:?\s*(\|\s*:?-{2,}:?\s*)*\|?\s*$")
+_SETEXT_RE = re.compile(r"^\s*(=+|-+)\s*$")
+_QUOTE_PREFIX_RE = re.compile(r"^(?:\s*>)+\s*")
 
 _CODE_SPAN_RE = re.compile(r"`([^`]+)`")
 _IMG_RE = re.compile(r"!\[([^\]]*)\]\(([^)\s]+)(?:\s+\"[^\"]*\")?\)")
@@ -65,14 +70,32 @@ def strip_shortcodes(md: str) -> str:
     return SHORTCODE_RE.sub("", md)
 
 
+_CODE_PLACEHOLDER_RE = re.compile("\x02(\\d+)\x03")
+
+
 def _inline(text: str) -> str:
-    """Render inline Markdown spans to HTML (escapes first, spans after)."""
+    """Render inline Markdown spans to HTML (escapes first, spans after).
+
+    Code spans are stashed behind STX/ETX placeholders (the
+    Python-Markdown convention) before the other inline passes run —
+    markdown metacharacters inside backticks (``*``, ``_``, ``[..](..)``)
+    are literal content and must not be processed as markup."""
     text = _html.escape(text, quote=False)
-    text = _CODE_SPAN_RE.sub(lambda m: f"<code>{m.group(1)}</code>", text)
+    codes: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        codes.append(m.group(1))
+        return f"\x02{len(codes) - 1}\x03"
+
+    text = _CODE_SPAN_RE.sub(stash, text)
     text = _IMG_RE.sub(lambda m: f'<img alt="{m.group(1)}" src="{m.group(2)}" />', text)
     text = _LINK_RE.sub(lambda m: f'<a href="{m.group(2)}">{m.group(1)}</a>', text)
     text = _STRONG_RE.sub(lambda m: f"<strong>{m.group(1) or m.group(2)}</strong>", text)
     text = _EM_RE.sub(lambda m: f"<em>{m.group(1) or m.group(2)}</em>", text)
+    if codes:
+        text = _CODE_PLACEHOLDER_RE.sub(
+            lambda m: f"<code>{codes[int(m.group(1))]}</code>", text
+        )
     return text
 
 
@@ -128,15 +151,25 @@ def markdown_to_html(md: str) -> str:
             continue
 
         if line.lstrip().startswith(">"):
+            # strip ALL '>' nesting levels per line in one pass: a
+            # recursive one-level-per-call strip blew the stack on
+            # long '>>>…' runs, and nesting depth only affects HTML
+            # shape, never the extracted text downstream
             quoted: list[str] = []
             while i < n and lines[i].lstrip().startswith(">"):
-                quoted.append(lines[i].lstrip()[1:].lstrip())
+                quoted.append(_QUOTE_PREFIX_RE.sub("", lines[i]))
                 i += 1
             out.append(f"<blockquote>\n{markdown_to_html(chr(10).join(quoted))}\n</blockquote>")
             continue
 
-        # pipe table: header row + separator row
-        if "|" in line and i + 1 < n and _TABLE_SEP_RE.match(lines[i + 1]):
+        # pipe table: header row + separator row (separator must itself
+        # contain a pipe, per the tables extension)
+        if (
+            "|" in line
+            and i + 1 < n
+            and "|" in lines[i + 1]
+            and _TABLE_SEP_RE.match(lines[i + 1])
+        ):
             header = _split_row(line)
             i += 2
             rows: list[list[str]] = []
@@ -169,23 +202,42 @@ def markdown_to_html(md: str) -> str:
             out.append(f"<{tag}>\n" + "\n".join(items) + f"\n</{tag}>")
             continue
 
-        # paragraph: gather until a blank line or a block construct
+        # paragraph: gather until a blank line or a block construct; a
+        # setext underline ('===' / '---') directly below promotes the
+        # gathered text to a heading (Python-Markdown's precedence —
+        # the underline itself never leaks into the extracted text)
         para: list[str] = [line]
         i += 1
+        setext_level = 0
         while i < n and lines[i].strip():
             nxt = lines[i]
+            if _SETEXT_RE.match(nxt):
+                setext_level = 1 if nxt.strip()[0] == "=" else 2
+                i += 1
+                break
+            if _HR_RE.match(nxt.strip()) and nxt.strip()[0] in "*_":
+                break  # '***'/'___' ends the paragraph; hr renders next
             if (
                 _FENCE_RE.match(nxt)
                 or _ATX_RE.match(nxt)
                 or nxt.lstrip().startswith(">")
                 or _ULIST_RE.match(nxt.strip())
                 or _OLIST_RE.match(nxt.strip())
-                or ("|" in nxt and i + 1 < n and _TABLE_SEP_RE.match(lines[i + 1]))
+                or (
+                    "|" in nxt
+                    and i + 1 < n
+                    and "|" in lines[i + 1]
+                    and _TABLE_SEP_RE.match(lines[i + 1])
+                )
             ):
                 break
             para.append(nxt)
             i += 1
-        out.append(f"<p>{_inline(chr(10).join(para))}</p>")
+        body = _inline(chr(10).join(para))
+        if setext_level:
+            out.append(f"<h{setext_level}>{body}</h{setext_level}>")
+        else:
+            out.append(f"<p>{body}</p>")
 
     return "\n".join(out)
 

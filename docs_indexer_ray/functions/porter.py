@@ -26,7 +26,16 @@ def _is_cons(word: str, i: int) -> bool:
     if ch in _VOWELS:
         return False
     if ch == "y":
-        return i == 0 or not _is_cons(word, i - 1)
+        # y is a consonant iff i == 0 or the previous char is NOT a
+        # consonant; over a run of y's that alternates, so walk back to
+        # the run start ITERATIVELY — the recursive definition blows
+        # the stack on long 'yyyy' runs in crawled junk (TOKEN_RE has
+        # no length cap)
+        j = i
+        while j > 0 and word[j - 1] == "y":
+            j -= 1
+        first_is_cons = j == 0 or word[j - 1] in _VOWELS
+        return first_is_cons if (i - j) % 2 == 0 else not first_is_cons
     return True
 
 

@@ -42,7 +42,11 @@ def url_to_uri_breadcrumb(url: str) -> tuple[str, list[str]]:
         if last in ("index.md", "_index.md"):
             segments = segments[:-1]
         elif last.endswith(".md"):
-            segments = segments[:-1] + [last[:-3]]
+            # a segment that is EXACTLY '.md' strips to nothing — drop
+            # it rather than carrying an empty breadcrumb element into
+            # the keyword field and the catch-all text join
+            stem = last[:-3]
+            segments = segments[:-1] + ([stem] if stem else [])
 
     uri = "/" + "/".join(segments) + "/"
     while "//" in uri:  # hugo.py:229

@@ -73,9 +73,22 @@ def url_for(doc_id: int) -> str:
 
 def _pages_batch(batch: pa.Table, *, dup_every: int, text_suffix: str, ts_shift_us: int) -> pa.Table:
     """documents batch → pages batch (optionally the duplicate crawl)."""
-    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    texts = batch["text"].to_pylist()
-    langs = batch["lang"].to_pylist()
+    return _pages_rows(
+        batch["doc_id"].to_numpy(zero_copy_only=False),
+        batch["text"].to_pylist(),
+        batch["lang"].to_pylist(),
+        dup_every=dup_every,
+        text_suffix=text_suffix,
+        ts_shift_us=ts_shift_us,
+    )
+
+
+def _pages_rows(
+    doc_ids, texts: list, langs: list, *, dup_every: int, text_suffix: str, ts_shift_us: int
+) -> pa.Table:
+    """Core of :func:`_pages_batch` over already-converted columns, so
+    the synth fan-out (full + dup crawl × expand copies) converts the
+    large text column to Python ONCE per batch, not once per emission."""
     if dup_every:
         keep = doc_ids % dup_every == 0
         doc_ids = doc_ids[keep]
@@ -134,26 +147,30 @@ def pages_from_documents(
     stride = 10_000_000  # doc_id offset per expansion copy
 
     def synth(b: pa.Table) -> pa.Table:
+        # convert the (large) text column to Python ONCE per batch —
+        # every expansion copy and the dup crawl reuse the same lists
+        texts = b["text"].to_pylist()
         if text_repeat > 1:
             # benchmark knob: replicate bodies to realistic web-page
             # sizes (the seed docs are ~250 chars; crawl pages are KBs)
-            texts = b["text"].to_pylist()
-            b = b.set_column(
-                b.schema.get_field_index("text"),
-                "text",
-                pa.array([" ".join([t] * text_repeat) for t in texts], pa.string()),
-            )
+            texts = [" ".join([t] * text_repeat) for t in texts]
+        langs = b["lang"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         parts = []
         for k in range(expand):
             suffix = f" copy{k}" if k else ""
-            bb = _shift_ids(b, k * stride)
+            kids = ids + k * stride
             parts.append(
-                _pages_batch(bb, dup_every=0, text_suffix=suffix, ts_shift_us=0)
+                _pages_rows(
+                    kids, texts, langs, dup_every=0, text_suffix=suffix, ts_shift_us=0
+                )
             )
             if dup_every:
                 parts.append(
-                    _pages_batch(
-                        bb,
+                    _pages_rows(
+                        kids,
+                        texts,
+                        langs,
                         dup_every=dup_every,
                         text_suffix=suffix + " refresh",
                         ts_shift_us=HOUR_US,
@@ -170,16 +187,6 @@ def pages_from_documents(
     return base.map_batches(synth, batch_format="pyarrow", batch_size=None)
 
 
-def _shift_ids(batch: pa.Table, shift: int) -> pa.Table:
-    if not shift:
-        return batch
-    import pyarrow.compute as pc
-
-    return batch.set_column(
-        batch.schema.get_field_index("doc_id"),
-        "doc_id",
-        pc.add(batch["doc_id"], shift),
-    )
 
 
 def synthetic_url_boundaries(

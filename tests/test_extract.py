@@ -216,3 +216,50 @@ def test_emit_text_false_requires_hugo_recipe():
 
     with _pytest.raises(ValueError, match="hugo"):
         ExtractAssemble(recipe="blog", emit_text=False)
+
+
+def test_html_doctype_and_cdata_match_bs4_semantics():
+    """bs4's builder strips 'DOCTYPE ' / 'CDATA[' prefixes before
+    creating the string nodes — the raw declaration text previously
+    injected spurious tokens into every real page's indexed body."""
+    from docs_indexer_ray.functions.htmltext import html_to_text
+
+    assert html_to_text("<!DOCTYPE html><p>x</p>") == "htmlx"
+    assert html_to_text("<svg><![CDATA[hi]]></svg>") == "hi"
+
+
+def test_markdown_code_spans_are_literal():
+    """Inline syntax inside backticks is content, not markup."""
+    from docs_indexer_ray.functions.minimarkdown import markdown_to_text
+
+    assert (
+        markdown_to_text("Use `a * b * c` and `_private_` here.")
+        == "Use a * b * c and _private_ here."
+    )
+    assert markdown_to_text("see `[label](http://x)` now") == "see [label](http://x) now"
+
+
+def test_markdown_setext_and_table_separator():
+    """A bare '---' (no pipe) under a line is a setext h2 per the
+    tables extension — never a table separator, and the underline
+    never leaks into the text."""
+    from docs_indexer_ray.functions.minimarkdown import markdown_to_text
+
+    assert markdown_to_text("col a | col b\n---\nnext") == "col a | col b\nnext"
+    assert markdown_to_text("Heading text\n---\nafter") == "Heading text\nafter"
+    assert markdown_to_text("Big\n===\nafter") == "Big\nafter"
+    t = markdown_to_text("a | b\n--- | ---\n1 | 2\n")
+    assert "|" not in t and "---" not in t and "a\nb" in t
+
+
+def test_markdown_deep_blockquote_and_porter_y_run_no_recursion():
+    """Crawled junk: a 5000-deep '>' run and a 5000-long 'y' run must
+    not blow the stack (previously RecursionError in the build)."""
+    from docs_indexer_ray.functions.minimarkdown import markdown_to_text
+    from docs_indexer_ray.functions.porter import porter_stem
+
+    t = markdown_to_text(">" * 5000 + " deep")
+    assert "deep" in t and ">" not in t
+    assert porter_stem("a" + "y" * 5000)  # no RecursionError
+    # y-consonant alternation preserved (ayya: y1 cons, y2 vowel)
+    assert porter_stem("sky") == "sky" and porter_stem("happy") == "happi"

@@ -97,3 +97,12 @@ def test_uri_query_fragment_dropped():
     uri, bc = url_to_uri_breadcrumb("https://h/a/b/?q=1#frag")
     assert uri == "/a/b/"
     assert bc == ["a", "b"]
+
+
+def test_uri_bare_md_segment_dropped():
+    """A trailing segment that is exactly '.md' strips to nothing and
+    must be dropped, not kept as an empty breadcrumb element."""
+    from docs_indexer_ray.functions.uri import url_to_uri_breadcrumb
+
+    uri, crumbs = url_to_uri_breadcrumb("https://x.test/docs/.md")
+    assert uri == "/docs/" and crumbs == ["docs"]
