@@ -3847,10 +3847,12 @@ def oracle_sql() -> dict[str, str]:
                       regexp_replace(
                         regexp_replace(
                           regexp_replace(
-                            regexp_replace(url, '#.*$', '', 'g'),
-                            '(utm_[a-z]+|fbclid|gclid|ref)=[^&]*&', '', 'g'),
-                          '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*$', '', 'g'),
-                        ':(80|443)([/?]|$)', '\\2', 'g'),
+                            regexp_replace(
+                              regexp_replace(url, '#.*$', '', 'g'),
+                              '([?&])(?:(?:utm_[a-z]+|fbclid|gclid|ref)=[^&]*&)+', '\\1', 'g'),
+                            '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*$', '', 'g'),
+                          '^(http://[^/:?#]*):80([/?]|$)', '\\1\\2', 'g'),
+                        '^(https://[^/:?#]*):443([/?]|$)', '\\1\\2', 'g'),
                       '^(https?://)www\\.', '\\1', 'g'),
                     '\\?$', '', 'g'),
                   '^(https?://[^/]+/.+)/$', '\\1', 'g') AS url_canon

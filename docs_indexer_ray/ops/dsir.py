@@ -81,7 +81,13 @@ def fit_dsir(target_ds, raw_ds, text_col: str = "text") -> dict:
     )
     from ..collect import tables_of
 
-    tt = pa.concat_tables(tables_of(folded))
+    tt_parts = tables_of(folded)
+    if not tt_parts:
+        raise ValueError(
+            "fit_dsir: target corpus produced no features (no tokenizable "
+            "text) — cannot fit an importance model"
+        )
+    tt = pa.concat_tables(tt_parts)
     feats = np.asarray(tt["f"].to_pylist(), object)
     tc = tt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(feats)
@@ -89,27 +95,34 @@ def fit_dsir(target_ds, raw_ds, text_col: str = "text") -> dict:
     V = len(feats)
     t_total = int(tc.sum())
 
-    # raw pass: constant-size partials against the broadcast vocab
-    import pandas as pd
-
+    # raw pass: constant-size partials against the broadcast vocab —
+    # an ACTOR POOL so the vocab-scale pd.Index is built once per
+    # actor (a plain function re-hashed the whole vocabulary per batch)
     idx_ref = ray.put(feats)
 
-    def raw_partial(t: pa.Table) -> pa.Table:
-        fv = ray.get(idx_ref)
-        index = pd.Index(fv)
-        bf, _ = _batch_features(t[text_col].to_pylist())
-        ids = index.get_indexer(bf)
-        part = np.bincount(ids[ids >= 0], minlength=len(fv)).astype(np.int64)
-        return pa.table(
-            {
-                "part": pa.array([part], pa.list_(pa.int64())),
-                "total": pa.array([len(bf)], pa.int64()),
-            }
-        )
+    class _RawCounter:
+        def __init__(self):
+            import pandas as pd
 
-    from ..collect import tables_of
+            self._fv = ray.get(idx_ref)
+            self._index = pd.Index(self._fv)
 
-    parts = tables_of(raw_ds.map_batches(raw_partial, batch_format="pyarrow"))
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bf, _ = _batch_features(t[text_col].to_pylist())
+            ids = self._index.get_indexer(bf)
+            part = np.bincount(ids[ids >= 0], minlength=len(self._fv)).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "part": pa.array([part], pa.list_(pa.int64())),
+                    "total": pa.array([len(bf)], pa.int64()),
+                }
+            )
+
+    parts = tables_of(
+        raw_ds.map_batches(_RawCounter, batch_format="pyarrow", concurrency=(1, 4))
+    )
     rc = np.zeros(V, np.int64)
     r_total = 0
     for p in parts:

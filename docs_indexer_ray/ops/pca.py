@@ -62,17 +62,24 @@ def fit_pca(ds, k: int, col: str = "embedding", center: bool = True):
     from ..collect import tables_of
 
     parts = tables_of(ds.map_batches(moments, batch_format="pyarrow"))
-    if not parts:
+    # drop empty-block partials (n=0, d=0, zero-length buffers) — they
+    # would broadcast-fail against a real block's d-sized moments
+    rows = [
+        (int(p["n"][i].as_py()), p["s"][i].as_py(), p["xtx"][i].as_py(), int(p["d"][i].as_py()))
+        for p in parts
+        for i in range(p.num_rows)
+        if int(p["n"][i].as_py()) > 0
+    ]
+    if not rows:
         raise ValueError("empty dataset")
-    d = int(parts[0]["d"][0].as_py())
+    d = rows[0][3]
     n = 0
     s = np.zeros(d)
     xtx = np.zeros((d, d))
-    for p in parts:
-        for i in range(p.num_rows):
-            n += int(p["n"][i].as_py())
-            s += np.frombuffer(p["s"][i].as_py(), np.float64)
-            xtx += np.frombuffer(p["xtx"][i].as_py(), np.float64).reshape(d, d)
+    for pn, ps, pxtx, _ in rows:
+        n += pn
+        s += np.frombuffer(ps, np.float64)
+        xtx += np.frombuffer(pxtx, np.float64).reshape(d, d)
     if n < 2:
         raise ValueError("need at least 2 rows to fit PCA")
     if center:

@@ -62,10 +62,15 @@ def sample_by_hash(ds, key: str = "text", rate: float = 1 / 16, bits: int = 1):
     prefixes = hash_prefixes(rate, bits)
 
     def flt(t: pa.Table) -> pa.Table:
+        # null keys are DROPPED, matching the SQL oracle where
+        # md5(NULL) IS NULL (str(None) would hash every null into one
+        # all-or-nothing 'None' bucket)
         keep = [
-            hashlib.md5((v or "").encode("utf-8")).hexdigest()[:bits] in prefixes
-            if isinstance(v, str)
-            else hashlib.md5(str(v).encode("utf-8")).hexdigest()[:bits] in prefixes
+            v is not None
+            and hashlib.md5(
+                (v if isinstance(v, str) else str(v)).encode("utf-8")
+            ).hexdigest()[:bits]
+            in prefixes
             for v in t[key].to_pylist()
         ]
         return t.filter(pa.array(keep, pa.bool_()))
@@ -101,7 +106,7 @@ def stratified_sample_by_hash(
         keep = []
         for g, v in zip(groups, keys):
             allowed = pref.get(g, dflt)
-            if not allowed:
+            if not allowed or v is None:  # null key: md5(NULL) IS NULL
                 keep.append(False)
                 continue
             s = v if isinstance(v, str) else str(v)

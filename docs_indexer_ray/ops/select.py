@@ -79,12 +79,16 @@ def budget_select(
         out = t.select([id_col, score_col, cost_col]).filter(pa.array(keep))
         return out.append_column("cum_cost", pa.array(cum[keep], pa.int64()))
 
-    # only blocks that start under budget can contribute — later blocks
-    # are never touched (selection cost ∝ selected prefix)
+    # only blocks that start within budget can contribute — later
+    # blocks are never touched (selection cost ∝ selected prefix).
+    # <= not <: a zero-cost row whose prefix sum equals the budget
+    # exactly must be kept regardless of which block boundary it lands
+    # on (the SQL window oracle keeps it; < made the kept set
+    # partitioning-dependent)
     tasks = [
         select_block.remote(r, int(offsets[i]))
         for i, r in enumerate(refs)
-        if offsets[i] < budget
+        if offsets[i] <= budget
     ]
     parts = [t for t in ray.get(tasks) if t.num_rows]
     if not parts:

@@ -48,9 +48,18 @@ def _doc_trigrams(texts: list[str | None]) -> tuple[np.ndarray, np.ndarray]:
     doc = np.searchsorted(starts, g, side="right") - 1
     ok = g + 3 <= starts[doc + 1]
     g, doc = g[ok], doc[ok]
-    # materialize gram strings batch-wise (needed as join keys)
-    joined = "".join(lows)
-    grams = np.array([joined[i : i + 3] for i in g.tolist()], object)
+    buf = np.ascontiguousarray(cat, dtype="<u4")
+    if not (buf == 0).any():
+        # overlapping '<U3' window view over the codepoint buffer —
+        # one C-level string materialization per kept gram instead of
+        # a Python slice per codepoint position of every document
+        win = np.ndarray((n - 2,), dtype="<U3", buffer=buf, strides=(4,))
+        grams = win[g].astype(object)
+    else:
+        # NUL codepoints truncate numpy unicode strings — keep the
+        # exact slicing semantics on the (rare) batches that carry them
+        joined = "".join(lows)
+        grams = np.array([joined[i : i + 3] for i in g.tolist()], object)
     return grams, doc
 
 
@@ -67,6 +76,12 @@ def fit_textcat(
 
         grams, doc = _doc_trigrams(t[text_col].to_pylist())
         labels = t[label_col].to_pylist()
+        if any(l is None for l in labels):
+            # drop null-labeled docs: a None label would flow into the
+            # profile groupby and crash the label sort
+            valid = np.array([l is not None for l in labels], bool)
+            keep = valid[doc]
+            grams, doc = grams[keep], doc[keep]
         c: collections.Counter = collections.Counter(
             zip((labels[d] for d in doc.tolist()), grams.tolist())
         )
@@ -85,7 +100,13 @@ def fit_textcat(
     )
     from ..collect import tables_of
 
-    tbl = pa.concat_tables(tables_of(folded))
+    parts = tables_of(folded)
+    if not parts:
+        raise ValueError(
+            "fit_textcat: no trainable rows (every doc under 3 chars or "
+            "null-labeled) — cannot fit profiles"
+        )
+    tbl = pa.concat_tables(parts)
     labels = np.asarray(tbl["label"].to_pylist(), object)
     grams = np.asarray(tbl["gram"].to_pylist(), object)
     c = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)

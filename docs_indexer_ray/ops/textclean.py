@@ -62,9 +62,17 @@ def redact_pii(ds, col: str = "text", out_col: str | None = None):
 # (paths are case-sensitive; crawls emit lowercase scheme/host).
 URL_CANON_STEPS: list[tuple[str, str]] = [
     (r"#.*$", ""),                                            # fragment
-    (r"(utm_[a-z]+|fbclid|gclid|ref)=[^&]*&", ""),            # tracking param + &
+    # tracking params are matched only AFTER a [?&] delimiter (an
+    # unanchored '(…|ref)=' also ate 'href='/'pref=' substrings and
+    # corrupted redirect-style urls); the (?:…&)+ run form keeps
+    # consecutive tracking params collapsing in one global pass
+    (r"([?&])(?:(?:utm_[a-z]+|fbclid|gclid|ref)=[^&]*&)+", r"\1"),
     (r"[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*$", ""),        # trailing tracking param
-    (r":(80|443)([/?]|$)", r"\2"),                            # default ports
+    # default ports are scheme-specific and anchored to the authority:
+    # an unanchored ':(80|443)' rewrote ':80' inside paths and treated
+    # :443 as default for http (a genuinely different resource)
+    (r"^(http://[^/:?#]*):80([/?]|$)", r"\1\2"),              # http default port
+    (r"^(https://[^/:?#]*):443([/?]|$)", r"\1\2"),            # https default port
     (r"^(https?://)www\.", r"\1"),                            # www prefix
     (r"\?$", ""),                                             # empty query
     (r"^(https?://[^/]+/.+)/$", r"\1"),                      # trailing slash (non-root)
@@ -153,6 +161,10 @@ def line_filter(
         arr = t[col].combine_chunks()
         if isinstance(arr, pa.ChunkedArray):  # 0-chunk tables
             arr = pa.concat_arrays(arr.chunks) if arr.num_chunks else pa.array([], pa.string())
+        # a null doc must behave like '' (1 short line → kept=False):
+        # left null it splits to ZERO lines and the keep test
+        # degenerates to 0 >= 0, passing garbage through the gate
+        arr = pc.fill_null(arr, "")
         lists = pc.split_pattern(arr, pattern="\n")
         flat = pc.list_flatten(lists)
         parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)

@@ -944,6 +944,15 @@ def test_canonicalize_urls_rules(ray_session):
         ("https://ex.com:8443/p", "https://ex.com:8443/p"),  # non-default port kept
         ("https://sub.www.ex.com/p", "https://sub.www.ex.com/p"),  # only LEADING www.
         ("https://ex.com/CasePath/", "https://ex.com/CasePath"),   # case kept
+        # param names merely ENDING in 'ref' are not tracking params
+        ("http://ex.com/r?href=target&x=1", "http://ex.com/r?href=target&x=1"),
+        ("http://ex.com/p?pref=blue&x=1", "http://ex.com/p?pref=blue&x=1"),
+        # ':80' in a PATH is content; :443 is NOT http's default port
+        ("http://ex.com/path:80/more", "http://ex.com/path:80/more"),
+        ("http://ex.com:443/x", "http://ex.com:443/x"),
+        # consecutive tracking params collapse in one pass
+        ("https://ex.com/p?utm_a=1&utm_b=2&x=1", "https://ex.com/p?x=1"),
+        ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
     ]
     tbl = pa.table(
         {
@@ -2067,3 +2076,67 @@ def test_dedup_lines_rejects_oversized_ids(ray_session):
     with pytest.raises(Exception, match="packed"):
         out = dedup_lines(ray.data.from_arrow(t))
         (out.to_pandas() if hasattr(out, "to_pandas") else out)
+
+
+def test_degenerate_input_edges_seventh_batch(ray_session):
+    """Edges from the ops review: empty-block PCA partials, null
+    labels/keys, null line_filter text, empty fit corpora."""
+    import ray.data
+
+    import pytest as _pytest
+
+    from docs_indexer_ray.ops.dsir import fit_dsir
+    from docs_indexer_ray.ops.pca import fit_pca
+    from docs_indexer_ray.ops.sample import sample_by_hash
+    from docs_indexer_ray.ops.textcat import fit_textcat
+    from docs_indexer_ray.ops.textclean import line_filter
+
+    # PCA: a block that filters to empty must not poison the moment fold
+    emb = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "embedding": pa.array(
+                [[float(i), float(i % 3), 1.0] for i in range(8)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(emb).repartition(4).filter(
+        lambda r: r["doc_id"] < 4  # upper blocks become empty
+    )
+    mean, comps, ev = fit_pca(ds, k=2)
+    assert comps.shape == (2, 3) and len(ev) == 2
+
+    # textcat: null labels dropped, not crashed; all-null corpus raises
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "lang": pa.array(["en", None], pa.string()),
+            "text": pa.array(["hello world text", "junk row"], pa.string()),
+        }
+    )
+    m = fit_textcat(ray.data.from_arrow(t), k=10)
+    assert set(m["profiles"]) == {"en"}
+    with _pytest.raises(ValueError, match="no trainable"):
+        fit_textcat(ray.data.from_arrow(t.slice(1, 1)).filter(lambda r: False))
+
+    # dsir: token-free target corpus raises loudly
+    empty_target = pa.table({"text": pa.array(["!!!", "…"], pa.string())})
+    docs = pa.table({"doc_id": pa.array([0], pa.int64()),
+                     "text": pa.array(["real text here"], pa.string())})
+    with _pytest.raises(ValueError, match="no features"):
+        fit_dsir(ray.data.from_arrow(empty_target), ray.data.from_arrow(docs))
+
+    # sample: null keys always dropped (md5(NULL) IS NULL)
+    st = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                   "text": pa.array(["a", None, "b", None], pa.string())})
+    kept = sample_by_hash(ray.data.from_arrow(st), key="text", rate=1.0).to_pandas()
+    assert kept["doc_id"].tolist() == [0, 2]
+
+    # line_filter: null text behaves like '' → kept=False
+    lt = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array([None, "one good sentence here.\nanother good line here."],
+                                    pa.string())})
+    out = line_filter(ray.data.from_arrow(lt)).to_pandas().sort_values("doc_id")
+    assert out["kept"].tolist() == [False, True]
+    assert out["n_lines"].tolist()[0] == 1
