@@ -70,13 +70,21 @@ def add_deletes(index_dir: str, doc_ids) -> int:
             f"delete ids outside [0, {man['n_docs']}): "
             f"{ids[(ids < 0) | (ids >= int(man['n_docs']))][:5].tolist()}"
         )
-    merged = np.union1d(load_delete_ids(bdir), ids)
+    # advisory lock around the read-modify-write: two concurrent
+    # callers both unioning against the same base otherwise lose the
+    # first writer's tombstones (tmp+replace only prevents torn files,
+    # not lost updates)
+    import fcntl
+
     path = os.path.join(bdir, DELETES_FILE)
-    tmp = path + f".tmp-{os.getpid()}"
-    pq.write_table(
-        pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp, compression="zstd"
-    )
-    os.replace(tmp, path)
+    with open(path + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        merged = np.union1d(load_delete_ids(bdir), ids)
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(
+            pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp, compression="zstd"
+        )
+        os.replace(tmp, path)
     return int(len(merged))
 
 

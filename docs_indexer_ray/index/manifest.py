@@ -90,7 +90,10 @@ def input_fingerprint(paths: list[str], config: str = "") -> str:
     h.update(f"fmt={INDEX_FORMAT_VERSION}|{config}\n".encode())
     for p in sorted(paths):
         st = os.stat(p)
-        h.update(f"{p}|{st.st_size}|{int(st.st_mtime)}\n".encode())
+        # nanosecond mtime: whole-second truncation let an input
+        # rewritten in-place within one second (same size) fingerprint
+        # identically — skip_if_current then served the stale build
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
     return h.hexdigest()[:16]
 
 
@@ -134,14 +137,31 @@ def publish(root: str, name: str) -> None:
     os.replace(tmp, os.path.join(root, "CURRENT"))
 
 
-def gc(root: str) -> list[str]:
-    """Delete build dirs not referenced by CURRENT (``hugo.py:469-472``)."""
+def gc(root: str, in_progress_grace_s: float = 21600.0) -> list[str]:
+    """Delete build dirs not referenced by CURRENT (``hugo.py:469-472``).
+
+    Guards against racing a live build: ``_``-prefixed work dirs
+    (incremental's ``_delta`` tree) are never touched, and a dir with
+    NO manifest.json yet (a build still running — the manifest is the
+    last file written) is only removed once older than
+    ``in_progress_grace_s`` (crashed-build debris).  Completed
+    unpublished builds are removed regardless of age, as before."""
+    import time as _time
+
     cur = current_build(root)
     removed = []
+    now = _time.time()
     for entry in os.listdir(root):
         path = os.path.join(root, entry)
-        if not os.path.isdir(path) or path == cur:
+        if not os.path.isdir(path) or path == cur or entry.startswith("_"):
             continue
+        if not os.path.exists(os.path.join(path, "manifest.json")):
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue
+            if age < in_progress_grace_s:
+                continue  # likely a build in flight — leave it alone
         shutil.rmtree(path)
         removed.append(entry)
     return removed

@@ -111,10 +111,14 @@ def ensure_index(
 
 
 def search(index_root: str, query: str, k: int = 10, chain: str = "english"):
-    """Top-k BM25 over the published index; returns [(doc_id, score)]."""
+    """Top-k BM25 over the published index; returns [(doc_id, score)].
+
+    ``chain`` selects BOTH the query analyzer and the matching posting
+    table — analyzing with one chain but reading the main chain's
+    segments silently returns garbage for extra-chain queries."""
     from ..functions.analyzer import Analyzer
 
-    reader = IndexReader(index_root)
+    reader = IndexReader(index_root, chain=chain)
     return topk(reader, Analyzer(chain)(query), k=k)
 
 

@@ -65,7 +65,10 @@ def read_jsonl(paths, required: tuple[str, ...] = ("doc_id", "text")):
         if not tables:
             fields = [pa.field(c, pa.null()) for c in required]
             return pa.schema(fields + [pa.field("extras", pa.string())]).empty_table()
-        return pa.concat_tables(tables)
+        # permissive concat: a zero-record shard infers null-typed
+        # columns, and shards may legitimately drift in inferred types
+        # (int vs double doc_id) — a strict concat failed the whole read
+        return pa.concat_tables(tables, promote_options="permissive")
 
     return ds.map_batches(expand, batch_format="pyarrow")
 

@@ -65,9 +65,14 @@ def read_paged_api(
     for the whole stream.
     """
     import pyarrow as pa
+    import ray
     import ray.data
 
-    blocks: list[pa.Table] = []
+    # each flushed window goes straight to the object store (ray.put);
+    # the driver keeps only refs + schemas — holding every window table
+    # in a driver list made driver memory O(entire stream)
+    block_refs: list = []
+    schemas: list[pa.Schema] = []
     window: list[pa.Table] = []
     window_rows = 0
     cursor = start_cursor
@@ -75,7 +80,9 @@ def read_paged_api(
     def flush():
         nonlocal window, window_rows
         if window:
-            blocks.append(pa.concat_tables(window, promote_options="permissive"))
+            t = pa.concat_tables(window, promote_options="permissive")
+            schemas.append(t.schema)
+            block_refs.append(ray.put(t))
             window, window_rows = [], 0
 
     for _ in range(max_pages):
@@ -100,11 +107,17 @@ def read_paged_api(
         if cursor is None:
             break
     flush()
-    if not blocks:
+    if not block_refs:
         return ray.data.from_items([])
-    # one schema across all blocks: later pages may carry extra keys
-    schema = pa.unify_schemas([b.schema for b in blocks], promote_options="permissive")
-    return ray.data.from_arrow([_conform(b, schema) for b in blocks])
+    # one schema across all blocks: later pages may carry extra keys.
+    # Conforming happens lazily in tasks (batch_size=None: one block
+    # per call, so differing-schema blocks are never concatenated
+    # before the conform runs) — the driver never re-materializes the
+    # stream.
+    schema = pa.unify_schemas(schemas, promote_options="permissive")
+    return ray.data.from_arrow_refs(block_refs).map_batches(
+        lambda t: _conform(t, schema), batch_format="pyarrow", batch_size=None
+    )
 
 
 def http_page_fetch(
@@ -117,6 +130,7 @@ def http_page_fetch(
     page_size: int = 100,
     timeout_s: float = 30.0,
     max_ratelimit_wait_s: float = 3600.0,
+    max_ratelimit_retries: int = 8,
     urlopen=None,
 ) -> Callable:
     """Build an offset-paged HTTP ``fetch`` callable for
@@ -144,6 +158,7 @@ def http_page_fetch(
         offset = int(cursor or 0)
         url = url_template.format(offset=offset, limit=page_size)
         req = urllib.request.Request(url, headers=headers or {})
+        ratelimit_tries = 0
         while True:
             try:
                 with urlopen(req, timeout=timeout_s) as resp:
@@ -157,6 +172,12 @@ def http_page_fetch(
                     if wait is None and hdrs.get("X-RateLimit-Reset"):
                         wait = float(hdrs["X-RateLimit-Reset"]) - time.time() + 1
                     if wait is not None:
+                        # a PERMANENT 403 (expired token behind a CDN
+                        # that attaches Retry-After to every error)
+                        # must not loop forever
+                        ratelimit_tries += 1
+                        if ratelimit_tries > max_ratelimit_retries:
+                            raise
                         wait = min(max(float(wait), 0.0), max_ratelimit_wait_s)
                         time.sleep(wait)
                         continue

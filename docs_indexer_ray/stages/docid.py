@@ -64,7 +64,12 @@ def dedup_latest(ds, key: str = "url", order: str = "warc_ts", num_parts: int = 
         sort_keys = [(key, "ascending"), (order, "ascending")] + (
             [("body", "ascending")] if "body" in group.column_names else []
         )
-        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        # nulls sort FIRST so a null warc_ts (missing crawl header)
+        # always loses to a real timestamp under keep-last — pyarrow's
+        # default at_end placement made the unknown-age row the winner
+        g = group.take(
+            pc.sort_indices(group, sort_keys=sort_keys, null_placement="at_start")
+        )
         keys_np = np.asarray(g[key].to_pylist(), dtype=object)
         is_last = np.empty(len(keys_np), dtype=bool)
         is_last[-1] = True
@@ -86,6 +91,10 @@ def assign_doc_ids(ds, num_parts: int = 32, sample_mod: int = 16):
     url-range partition) is kept as a column — it is the natural
     partition key for the docs store layout and for resumable writes.
     """
+    # materialize ONCE: the boundary sample, the count aggregate and
+    # the assign shuffle below would otherwise each re-execute the
+    # whole upstream pipeline (extract + dedup) feeding this stage
+    ds = ds.materialize()
     # -- step 1: deterministic sample → range boundaries ------------------
     sample = ds.map_batches(
         lambda t: t.filter(pc.equal(pa.array(_crc32_mod(t["url"].to_pylist(), sample_mod)), 0))

@@ -207,8 +207,13 @@ class ExtractAssemble:
         extras_out: list[str | None] = []
         errors: list[str | None] = []
         warc = batch["warc_ts"]
+        # tz-aware inputs (external parquet often types warc_ts as
+        # timestamp(us, tz=UTC)) already isoformat with an offset — a
+        # blind '+00:00' append produced double-offset garbage dates
         warc_iso = [
-            t.isoformat() + "+00:00" if t is not None else DEFAULT_DATE_ISO
+            DEFAULT_DATE_ISO
+            if t is None
+            else (t.isoformat() if t.tzinfo is not None else t.isoformat() + "+00:00")
             for t in warc.to_pylist()
         ]
         for i in range(n):

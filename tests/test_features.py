@@ -166,8 +166,9 @@ def test_read_paged_api_windowed_blocks_and_schema_drift(ray_session):
         return rows, (cursor + 1 if cursor < 5 else None)
 
     ds = read_paged_api(fetch, rows_per_block=10)
-    # 6 pages × 5 rows, 10-row windows → 3 blocks
-    assert ds.num_blocks() == 3
+    # 6 pages × 5 rows, 10-row windows → 3 blocks (the conform step is
+    # lazy per-block, so count blocks on the materialized result)
+    assert ds.materialize().num_blocks() == 3
     got = sorted(ds.take_all(), key=lambda r: r["id"])
     assert len(got) == 30
     assert got[0]["extra"] is None and got[-1]["extra"] == "x54"
@@ -401,3 +402,145 @@ def test_warc_parser_streams_bounded_chunks():
     whole = pa.concat_tables(chunks)
     assert whole["url"].to_pylist() == pages["url"].to_pylist()
     assert [b.as_py() for b in whole["html"]] == [b.as_py() for b in pages["html"]]
+
+
+def test_flagship_search_uses_requested_chain(multi_index):
+    """search(chain=extra) must read THAT chain's posting table, not
+    analyze with one chain and score against the main one."""
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.pipelines.flagship import search
+    from docs_indexer_ray.query.bm25 import topk
+
+    out, _res = multi_index
+    want = topk(IndexReader(out, chain="trigram"), Analyzer("trigram")("node pools"), k=5)
+    assert want  # non-trivial on this corpus
+    assert search(out, "node pools", k=5, chain="trigram") == want
+
+
+def test_dedup_latest_null_ts_loses(ray_session):
+    """A null warc_ts duplicate must never beat a real timestamp under
+    keep-last (pyarrow's default at_end placement made null greatest)."""
+    import ray.data
+
+    from docs_indexer_ray.stages.docid import dedup_latest
+
+    t = pa.table(
+        {
+            "url": pa.array(["https://x/a/", "https://x/a/", "https://x/b/"]),
+            "warc_ts": pa.array([None, 1_000_000, 5], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "body": pa.array(["stale-unknown-age", "fresh", "only"]),
+        }
+    )
+    got = dedup_latest(ray.data.from_arrow(t)).to_pandas().set_index("url")
+    assert got.loc["https://x/a/", "body"] == "fresh"
+    assert len(got) == 2
+
+
+def test_read_jsonl_tolerates_empty_shard(ray_session, tmp_path):
+    """A zero-record shard (legal corpus artifact) must not fail the
+    read when batched with populated shards."""
+    import gzip as _gzip
+
+    from docs_indexer_ray.sources.jsonl import read_jsonl, write_jsonl_shards
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a", "b"])})
+    paths = write_jsonl_shards(t, str(tmp_path), n_shards=1)
+    empty = str(tmp_path / "part-empty.jsonl.gz")
+    with open(empty, "wb") as f:
+        f.write(_gzip.compress(b""))
+    got = read_jsonl(paths + [empty]).to_pandas()
+    assert sorted(got["doc_id"].dropna().astype(int).tolist()) == [1, 2]
+
+
+def test_gc_spares_in_progress_and_underscore_dirs(tmp_path):
+    """gc must not rmtree a manifest-less fresh dir (build in flight)
+    or _-prefixed work trees; finished unpublished builds still go."""
+    import json as _json
+    import os as _os
+
+    from docs_indexer_ray.index import manifest as mf
+
+    root = str(tmp_path)
+    for name in ("docs-live", "docs-old", "docs-inflight", "_delta"):
+        _os.makedirs(_os.path.join(root, name))
+    for name in ("docs-live", "docs-old"):
+        with open(_os.path.join(root, name, "manifest.json"), "w") as f:
+            _json.dump({}, f)
+    mf.publish(root, "docs-live")
+    removed = mf.gc(root)
+    assert removed == ["docs-old"]
+    assert _os.path.isdir(_os.path.join(root, "docs-inflight"))
+    assert _os.path.isdir(_os.path.join(root, "_delta"))
+    # crashed-build debris: manifest-less AND old → collected
+    assert mf.gc(root, in_progress_grace_s=0.0) == ["docs-inflight"]
+
+
+def test_input_fingerprint_nanosecond_mtime(tmp_path):
+    """Same-size same-second rewrites must change the fingerprint."""
+    import os as _os
+
+    from docs_indexer_ray.index import manifest as mf
+
+    p = str(tmp_path / "in.parquet")
+    with open(p, "wb") as f:
+        f.write(b"x" * 64)
+    _os.utime(p, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_000))
+    f1 = mf.input_fingerprint([p])
+    _os.utime(p, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_500))
+    assert mf.input_fingerprint([p]) != f1
+
+
+def test_http_page_fetch_permanent_403_raises():
+    """A permanent 403 that always carries Retry-After must stop after
+    max_ratelimit_retries instead of looping forever."""
+    import io
+    import urllib.error
+
+    import pytest as _pytest
+
+    from docs_indexer_ray.sources import http_page_fetch
+
+    def always_403(req, timeout=None):
+        raise urllib.error.HTTPError(
+            req.full_url, 403, "denied", {"Retry-After": "0"}, io.BytesIO(b"")
+        )
+
+    fetch = http_page_fetch(
+        "https://api.test/posts?offset={offset}&limit={limit}",
+        urlopen=always_403,
+        max_ratelimit_retries=2,
+    )
+    with _pytest.raises(urllib.error.HTTPError):
+        fetch(0)
+
+
+def test_concurrent_add_deletes_union(ray_session, tmp_path):
+    """Two concurrent add_deletes callers must both land (the
+    read-modify-write is serialized by the advisory lock)."""
+    import threading
+
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.index.deletes import add_deletes, load_delete_ids
+    from docs_indexer_ray.synth import rich_pages_table
+
+    root = str(tmp_path / "didx")
+    build_index(ray.data.from_arrow(rich_pages_table(30, dup_every=0)), root,
+                fingerprint="dl", num_parts=4, salt_heavy=False)
+    barrier = threading.Barrier(2)
+
+    def run(ids):
+        barrier.wait()
+        add_deletes(root, ids)
+
+    a = threading.Thread(target=run, args=([1, 2],))
+    b = threading.Thread(target=run, args=([5, 6],))
+    a.start(); b.start(); a.join(); b.join()
+    import docs_indexer_ray.index.manifest as _mf
+
+    got = set(load_delete_ids(_mf.current_build(root)).tolist())
+    assert {1, 2, 5, 6} <= got
