@@ -2822,6 +2822,29 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
     return _concat(knn_ivf(ds, queries, qids, k=5, n_centroids=16, n_probe=4))
 
 
+def q_knn_pq(sf_dir: str) -> pa.Table:
+    """Product-quantization ANN (Jégou et al. 2011): 8 bytes/vector
+    (vs 256 B float32), ADC lookup-table scoring over the codes
+    Dataset.  Rows-only: the per-subspace k-means training is non-SQL;
+    recall vs the SQL-oracled ``knn_cosine`` is pinned in pytest."""
+    import ray.data
+
+    from docs_indexer_ray.ops.pq import knn_pq, pq_encode, train_pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = qt.filter(pc.less(qt["vec_id"], 5))
+    queries = np.array(qt["embedding"].to_pylist(), np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cb = train_pq(ds, m=8, ks=256, train_sample=4096)
+    return _concat(
+        knn_pq(
+            pq_encode(ds, cb), cb, queries, qids, k=5,
+            refine_ds=ds, refine_factor=4,
+        )
+    )
+
+
 def q_trigram_suggest(sf_dir: str) -> pa.Table:
     """Phrase suggester (D2): most frequent shingles extending 'table'."""
     from docs_indexer_ray.pipelines.flagship import ensure_index
@@ -3390,6 +3413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
         "trigram_suggest": q_trigram_suggest,
         "reverse_suggest": q_reverse_suggest,
         "did_you_mean": q_did_you_mean,

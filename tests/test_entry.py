@@ -212,6 +212,7 @@ ROWS_ONLY_MIN = {
     "embedding_dups": 1,
     "knn_lsh": 1,
     "knn_ivf": 1,
+    "knn_pq": 10,
     "mm_decode": 64,
     "highlight": 3,
     "facet_cardinality_hll": 1,
@@ -306,6 +307,22 @@ def test_entry_smoke(entry_mod):
     df = _to_df(res)
     assert len(df) > 0
     assert {"query", "rank", "doc_id", "score"} <= set(df.columns)
+
+
+def test_pq_knn_recall_vs_exact(entry_mod):
+    """ADC over 8-byte PQ codes (32× compression) + the exact refine
+    stage (shortlist-only float re-rank) must recover ≥80 % of the
+    exact float neighbors at k=5 (measured 0.96 at sf0.001 — the
+    deterministic training makes this exactly reproducible)."""
+    exact = _to_df(entry_mod.queries()["knn_cosine"](SF))
+    pqk = _to_df(entry_mod.queries()["knn_pq"](SF))
+    hits = tot = 0
+    for qid in exact.query_id.unique():
+        a = set(exact[exact.query_id == qid].neighbor_id)
+        b = set(pqk[pqk.query_id == qid].neighbor_id)
+        hits += len(a & b)
+        tot += len(a)
+    assert tot > 0 and hits / tot >= 0.8, hits / tot
 
 
 def test_pca_knn_recall_vs_exact(entry_mod):

@@ -284,3 +284,90 @@ def test_asof_join_preserves_64bit_values_with_unmatched_rows(ray_session):
     vals = tbl["big_id"].to_pylist()
     assert vals[0] is None  # ts=5 has no backward match
     assert vals[1] == big  # bit-exact, not 4611686018427387904
+
+
+def test_pq_exact_when_codebook_covers_corpus(vec_ds2):
+    """ks ≥ n with a full training sample makes every point its own
+    centroid — zero quantization error, so ADC ranking must equal the
+    exact cosine ranking (the PQ correctness degenerate case)."""
+    from docs_indexer_ray.ops.pq import knn_pq, pq_encode, train_pq
+
+    ids, m = _vectors()
+    cb = train_pq(vec_ds2, m=4, ks=128, train_sample=200)
+    assert cb.shape == (4, 80, 3)  # ks clamped to the sample size
+    codes = pq_encode(vec_ds2, cb)
+    q = m[:4]
+    exact = knn_cosine(vec_ds2, q, ids[:4], k=5).to_pandas()
+    got = knn_pq(codes, cb, q, ids[:4], k=5).to_pandas()
+    for qi in range(4):
+        e = exact[exact["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        g = got[got["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert e == g, qi
+
+
+def test_knn_pq_recall_vs_exact(vec_ds2):
+    """Realistic compression (16 centroids per 3-dim subspace) must
+    keep decent recall of the exact top-5 on random data."""
+    from docs_indexer_ray.ops.pq import knn_pq, pq_encode, train_pq
+
+    ids, m = _vectors()
+    cb = train_pq(vec_ds2, m=4, ks=16, train_sample=80)
+    codes = pq_encode(vec_ds2, cb)
+    q = m[:4]
+    exact = knn_cosine(vec_ds2, q, ids[:4], k=5).to_pandas()
+    approx = knn_pq(codes, cb, q, ids[:4], k=5).to_pandas()
+    hits = 0
+    for qi in range(4):
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        hits += len(e & a)
+    assert hits >= 10  # ≥50% recall at 4 B/vector vs 48 B float32
+
+
+def test_pq_encode_fixed_width_and_partition_invariant(ray_session):
+    """Codes are fixed_size_binary(m) built from the batch buffer, and
+    training + encoding are value properties — identical at any block
+    count."""
+    import ray.data
+
+    from docs_indexer_ray.ops.pq import pq_encode, train_pq
+
+    ids, m = _vectors()
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        cb = train_pq(ds, m=3, ks=8, train_sample=40)
+        enc = pq_encode(ds, cb).to_pandas().sort_values("vec_id", ignore_index=True)
+        outs.append((cb, enc))
+    assert np.array_equal(outs[0][0], outs[1][0])
+    assert outs[0][1].equals(outs[1][1])
+    import pandas as pd  # codes round width
+
+    assert all(len(c) == 3 for c in outs[0][1]["codes"])
+
+
+def test_knn_pq_refine_improves_recall(vec_ds2):
+    """The FAISS-style refine stage (exact re-rank of the ADC
+    shortlist) must reproduce the exact top-k whenever the shortlist
+    contains it — with a shortlist as large as the corpus, refined PQ
+    IS exact kNN regardless of quantization coarseness."""
+    from docs_indexer_ray.ops.pq import knn_pq, pq_encode, train_pq
+
+    ids, m = _vectors()
+    cb = train_pq(vec_ds2, m=4, ks=8, train_sample=80)  # very coarse
+    codes = pq_encode(vec_ds2, cb)
+    q = m[:4]
+    exact = knn_cosine(vec_ds2, q, ids[:4], k=5).to_pandas()
+    refined = knn_pq(
+        codes, cb, q, ids[:4], k=5, refine_ds=vec_ds2, refine_factor=16
+    ).to_pandas()
+    for qi in range(4):
+        e = exact[exact["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        g = refined[refined["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert e == g, qi
