@@ -2845,6 +2845,29 @@ def q_knn_pq(sf_dir: str) -> pa.Table:
     )
 
 
+def q_knn_ivfpq(sf_dir: str) -> pa.Table:
+    """IVF-PQ ANN (FAISS IVFx,PQy): coarse cells prune candidates,
+    residual PQ codes score them (12 B/vector of index state), exact
+    refine re-ranks the shortlist.  Rows-only (k-means); recall pinned
+    vs the SQL-oracled ``knn_cosine`` in pytest."""
+    import ray.data
+
+    from docs_indexer_ray.ops.pq import ivfpq_encode, knn_ivfpq, train_ivfpq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = qt.filter(pc.less(qt["vec_id"], 5))
+    queries = np.array(qt["embedding"].to_pylist(), np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    coarse, cb = train_ivfpq(ds, n_centroids=16, m=8, ks=256, train_sample=4096)
+    return _concat(
+        knn_ivfpq(
+            ivfpq_encode(ds, coarse, cb), coarse, cb, queries, qids,
+            k=5, n_probe=8, refine_ds=ds, refine_factor=4,
+        )
+    )
+
+
 def q_trigram_suggest(sf_dir: str) -> pa.Table:
     """Phrase suggester (D2): most frequent shingles extending 'table'."""
     from docs_indexer_ray.pipelines.flagship import ensure_index
@@ -3414,6 +3437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
+        "knn_ivfpq": q_knn_ivfpq,
         "trigram_suggest": q_trigram_suggest,
         "reverse_suggest": q_reverse_suggest,
         "did_you_mean": q_did_you_mean,

@@ -47,9 +47,17 @@ from .ann import (
     _final_topk,
     _hash_stride_sample,
     _normalize,
+    train_ivf_centroids,
 )
 
-__all__ = ["train_pq", "pq_encode", "knn_pq"]
+__all__ = [
+    "train_pq",
+    "pq_encode",
+    "knn_pq",
+    "train_ivfpq",
+    "ivfpq_encode",
+    "knn_ivfpq",
+]
 
 
 def _concat_partials(ds) -> pa.Table:
@@ -295,6 +303,180 @@ def knn_pq(
             )
             out_q.extend([int(qids[qi])] * len(top))
             out_n.extend(ids[top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return _final_topk(
+        codes_ds.map_batches(partial_topk, batch_format="pyarrow"), k, exclude_self
+    )
+
+
+def train_ivfpq(
+    ds,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    train_sample: int = 4096,
+    iters: int = 12,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ training (the FAISS ``IVFx,PQy`` billion-scale index):
+    coarse spherical k-means cells, then PQ codebooks fit on the
+    RESIDUALS (x − coarse[cell]) — residuals concentrate near zero,
+    so the same ``ks`` buys a much finer quantizer than whole-vector
+    PQ.  Returns ``(coarse (C, d), codebooks (m, ks, d/m))``; both
+    tiny, both broadcast once downstream."""
+    sample = _normalize(_hash_stride_sample(ds, id_col, col, train_sample))
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    coarse = train_ivf_centroids(sample, n_centroids)
+    resid = sample - coarse[(sample @ coarse.T).argmax(axis=1)]
+    dsub = d // m
+    codebooks = np.stack(
+        [
+            _kmeans_subspace(
+                np.ascontiguousarray(resid[:, j * dsub : (j + 1) * dsub]), ks, iters
+            )
+            for j in range(m)
+        ]
+    )
+    return coarse, codebooks
+
+
+def ivfpq_encode(
+    ds,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Encode to ``(id_col, cell: int32, codes: fixed_size_binary(m))``
+    — one streaming pass; the corpus index state is m+4 bytes/vector."""
+    import ray
+
+    m, ks, dsub = codebooks.shape
+    ref = ray.put((coarse, codebooks))
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "cell": pa.array([], pa.int32()),
+            "codes": pa.array([], pa.binary(m)),
+        }
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        coarse_, cb = ray.get(ref)
+        emb = _normalize(_embedding_matrix(batch, col))
+        n = emb.shape[0]
+        cells = (emb @ coarse_.T).argmax(axis=1)
+        resid = emb - coarse_[cells]
+        codes = np.empty((n, m), np.uint8)
+        for j in range(m):
+            sub = resid[:, j * dsub : (j + 1) * dsub]
+            score = sub @ cb[j].T - 0.5 * (cb[j] * cb[j]).sum(axis=1)
+            codes[:, j] = score.argmax(axis=1).astype(np.uint8)
+        codes_arr = pa.Array.from_buffers(
+            pa.binary(m), n, [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())]
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cell": pa.array(cells.astype(np.int32)),
+                "codes": codes_arr,
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def knn_ivfpq(
+    codes_ds,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    refine_ds=None,
+    refine_factor: int = 4,
+    col: str = "embedding",
+):
+    """IVF-PQ ADC top-k: each query probes its ``n_probe`` nearest
+    coarse cells and ADC-scores ONLY rows in those cells —
+    ``q·x = q·coarse[cell] + q·residual ≈ q·coarse[cell] + Σⱼ LUT[j,
+    codeⱼ]`` (inner-product tables are cell-independent, so one
+    (m, ks) LUT per query serves every probed cell).  Candidate work
+    per query drops to ``O(N · n_probe / C)`` over m-byte codes; the
+    optional refine stage is the same output-scale exact re-rank as
+    :func:`knn_pq`."""
+    import ray
+
+    m, ks, dsub = codebooks.shape
+    qn = _normalize(np.asarray(queries))
+    if qn.shape[1] != m * dsub:
+        raise ValueError(f"query dim {qn.shape[1]} != codebook dim {m * dsub}")
+
+    if refine_ds is not None:
+        shortlist = _concat_partials(
+            knn_ivfpq(
+                codes_ds,
+                coarse,
+                codebooks,
+                queries,
+                query_ids,
+                k=max(k, refine_factor * k),
+                n_probe=n_probe,
+                id_col=id_col,
+                exclude_self=exclude_self,
+            )
+        )
+        return _refine_exact(
+            refine_ds, shortlist, queries, query_ids, k, id_col, col, exclude_self
+        )
+
+    qc = qn @ coarse.T  # (nq, C) query·cell terms
+    probe = np.argsort(-qc, axis=1)[:, : min(n_probe, coarse.shape[0])]
+    luts = np.einsum("qjd,jkd->qjk", qn.reshape(len(qn), m, dsub), codebooks)
+    ref = ray.put((luts, qc, probe, np.asarray(query_ids, np.int64)))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PARTIAL_EMPTY
+        luts_, qc_, probe_, qids = ray.get(ref)
+        codes = _codes_matrix(batch, "codes", m)
+        cells = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(luts_.shape[0]):
+            mask = np.isin(cells, probe_[qi])
+            if not mask.any():
+                continue
+            c = codes[mask]
+            sims = qc_[qi, cells[mask]].astype(np.float64)
+            lut = luts_[qi]
+            for j in range(m):
+                sims += lut[j, c[:, j]]
+            cand = ids[mask]
+            take = min(k + (1 if exclude_self else 0), len(cand))
+            top = (
+                np.argpartition(-sims, take - 1)[:take]
+                if take < len(sims)
+                else np.arange(len(sims))
+            )
+            out_q.extend([int(qids[qi])] * len(top))
+            out_n.extend(cand[top].tolist())
             out_s.extend(sims[top].tolist())
         return pa.table(
             {

@@ -213,6 +213,7 @@ ROWS_ONLY_MIN = {
     "knn_lsh": 1,
     "knn_ivf": 1,
     "knn_pq": 10,
+    "knn_ivfpq": 10,
     "mm_decode": 64,
     "highlight": 3,
     "facet_cardinality_hll": 1,
@@ -323,6 +324,21 @@ def test_pq_knn_recall_vs_exact(entry_mod):
         hits += len(a & b)
         tot += len(a)
     assert tot > 0 and hits / tot >= 0.8, hits / tot
+
+
+def test_ivfpq_knn_recall_vs_exact(entry_mod):
+    """IVF-PQ (8 probes of 16 cells, residual codes, refine) must
+    recover ≥70 % of the exact neighbors at k=5 — deterministic
+    training makes the measured value exactly reproducible."""
+    exact = _to_df(entry_mod.queries()["knn_cosine"](SF))
+    apx = _to_df(entry_mod.queries()["knn_ivfpq"](SF))
+    hits = tot = 0
+    for qid in exact.query_id.unique():
+        a = set(exact[exact.query_id == qid].neighbor_id)
+        b = set(apx[apx.query_id == qid].neighbor_id)
+        hits += len(a & b)
+        tot += len(a)
+    assert tot > 0 and hits / tot >= 0.7, hits / tot
 
 
 def test_pca_knn_recall_vs_exact(entry_mod):

@@ -371,3 +371,36 @@ def test_knn_pq_refine_improves_recall(vec_ds2):
         e = exact[exact["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
         g = refined[refined["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
         assert e == g, qi
+
+
+def test_knn_ivfpq_exact_degenerate_and_recall(vec_ds2):
+    """IVF-PQ: probing every cell with ks ≥ corpus (zero residual
+    quantization error) must reproduce the exact cosine ranking —
+    score decomposes as q·coarse[cell] + q·residual exactly.  At
+    realistic settings with the refine stage, recall stays high."""
+    from docs_indexer_ray.ops.pq import ivfpq_encode, knn_ivfpq, train_ivfpq
+
+    ids, m = _vectors()
+    q = m[:4]
+    exact = knn_cosine(vec_ds2, q, ids[:4], k=5).to_pandas()
+
+    coarse, cb = train_ivfpq(vec_ds2, n_centroids=8, m=4, ks=128, train_sample=200)
+    codes = ivfpq_encode(vec_ds2, coarse, cb)
+    full = knn_ivfpq(codes, coarse, cb, q, ids[:4], k=5, n_probe=8).to_pandas()
+    for qi in range(4):
+        e = exact[exact["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        g = full[full["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert e == g, qi
+
+    coarse2, cb2 = train_ivfpq(vec_ds2, n_centroids=8, m=4, ks=16, train_sample=80)
+    codes2 = ivfpq_encode(vec_ds2, coarse2, cb2)
+    approx = knn_ivfpq(
+        codes2, coarse2, cb2, q, ids[:4], k=5, n_probe=4,
+        refine_ds=vec_ds2, refine_factor=4,
+    ).to_pandas()
+    hits = 0
+    for qi in range(4):
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        hits += len(e & a)
+    assert hits >= 10  # ≥50% recall probing half the cells, 4 B codes
