@@ -2868,6 +2868,21 @@ def q_knn_ivfpq(sf_dir: str) -> pa.Table:
     )
 
 
+def q_kmeans_clusters(sf_dir: str) -> pa.Table:
+    """Distributed full-corpus Lloyd k-means + streaming assignment
+    (cluster-balanced curation primitive).  Rows-only: iterative
+    k-means is non-SQL; the per-block-moment loop is pinned against a
+    single-process numpy Lloyd in pytest."""
+    import ray.data
+
+    from docs_indexer_ray.ops.cluster import assign_clusters, fit_kmeans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cent = fit_kmeans(ds, n_clusters=8, iters=4, train_sample=2048)
+    t = _concat(assign_clusters(ds, cent))
+    return _as_i64(t, ["vec_id", "cluster"]).sort_by("vec_id").drop_columns(["sim"])
+
+
 def q_trigram_suggest(sf_dir: str) -> pa.Table:
     """Phrase suggester (D2): most frequent shingles extending 'table'."""
     from docs_indexer_ray.pipelines.flagship import ensure_index
@@ -3438,6 +3453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
+        "kmeans_clusters": q_kmeans_clusters,
         "trigram_suggest": q_trigram_suggest,
         "reverse_suggest": q_reverse_suggest,
         "did_you_mean": q_did_you_mean,

@@ -214,6 +214,7 @@ ROWS_ONLY_MIN = {
     "knn_ivf": 1,
     "knn_pq": 10,
     "knn_ivfpq": 10,
+    "kmeans_clusters": 100,
     "mm_decode": 64,
     "highlight": 3,
     "facet_cardinality_hll": 1,

@@ -404,3 +404,47 @@ def test_knn_ivfpq_exact_degenerate_and_recall(vec_ds2):
         a = set(approx[approx["query_id"] == qi]["neighbor_id"])
         hits += len(e & a)
     assert hits >= 10  # ≥50% recall probing half the cells, 4 B codes
+
+
+def test_fit_kmeans_matches_numpy_reference(vec_ds2):
+    """The distributed Lloyd loop (per-block constant-size moment
+    partials, driver fold) must track a single-process numpy Lloyd
+    from the identical init — and be partition-invariant up to float
+    fold order."""
+    import ray.data
+
+    from docs_indexer_ray.ops.ann import _normalize
+    from docs_indexer_ray.ops.cluster import assign_clusters, fit_kmeans
+
+    ids, m = _vectors()
+    x = _normalize(m)
+    # reference: the engine's own init (iters=0), same iteration rule
+    ref = fit_kmeans(vec_ds2, n_clusters=8, iters=0, train_sample=80)
+    for _ in range(5):
+        a = (x @ ref.T).argmax(axis=1)
+        for c in range(8):
+            mem = x[a == c]
+            if len(mem):
+                v = mem.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    ref[c] = v / n
+
+    got = fit_kmeans(vec_ds2, n_clusters=8, iters=5, train_sample=80)
+    assert np.allclose(got, ref, atol=1e-9)
+
+    # partition invariance (up to fold order) + assignment equality
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+    ds7 = ray.data.from_arrow(tbl).repartition(7)
+    got7 = fit_kmeans(ds7, n_clusters=8, iters=5, train_sample=80)
+    assert np.allclose(got, got7, atol=1e-9)
+
+    asg = assign_clusters(vec_ds2, got).to_pandas().sort_values("vec_id")
+    want = (x @ got.T).argmax(axis=1)
+    assert asg["cluster"].tolist() == want.tolist()
+    assert np.allclose(asg["sim"], (x @ got.T).max(axis=1), atol=1e-12)
