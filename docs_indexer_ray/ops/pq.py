@@ -165,6 +165,8 @@ def train_pq(
     """Train PQ codebooks: ``(m, ks, d/m)`` float64.  ``d`` must be
     divisible by ``m`` (loud failure otherwise — silent zero-padding
     would corrupt the inner-product estimate)."""
+    if ks > 256:
+        raise ValueError(f"ks={ks} > 256: codes are uint8 (one byte per subspace)")
     sample = _normalize(_hash_stride_sample(ds, id_col, col, train_sample))
     d = sample.shape[1]
     if d % m:
@@ -333,6 +335,8 @@ def train_ivfpq(
     so the same ``ks`` buys a much finer quantizer than whole-vector
     PQ.  Returns ``(coarse (C, d), codebooks (m, ks, d/m))``; both
     tiny, both broadcast once downstream."""
+    if ks > 256:
+        raise ValueError(f"ks={ks} > 256: codes are uint8 (one byte per subspace)")
     sample = _normalize(_hash_stride_sample(ds, id_col, col, train_sample))
     d = sample.shape[1]
     if d % m:

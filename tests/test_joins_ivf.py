@@ -448,3 +448,13 @@ def test_fit_kmeans_matches_numpy_reference(vec_ds2):
     want = (x @ got.T).argmax(axis=1)
     assert asg["cluster"].tolist() == want.tolist()
     assert np.allclose(asg["sim"], (x @ got.T).max(axis=1), atol=1e-12)
+
+
+def test_pq_rejects_ks_beyond_uint8(vec_ds2):
+    """ks > 256 would silently wrap the uint8 codes — must refuse."""
+    from docs_indexer_ray.ops.pq import train_ivfpq, train_pq
+
+    with pytest.raises(ValueError, match="uint8"):
+        train_pq(vec_ds2, m=4, ks=257, train_sample=80)
+    with pytest.raises(ValueError, match="uint8"):
+        train_ivfpq(vec_ds2, n_centroids=4, m=4, ks=300, train_sample=80)
