@@ -762,6 +762,39 @@ def q_dedup_apply(sf_dir: str) -> pa.Table:
     )
 
 
+def q_curate(sf_dir: str) -> pa.Table:
+    """The COMPOSED five-stage curation pipeline
+    (`pipelines/curate.py`): exact dedup → n-gram-Jaccard near-dup
+    components → Gopher quality filter → benchmark decontamination →
+    seeded training order, over documents ∪ planted copies, eval set
+    = docs with ``doc_id % 97 == 0``.  Every stage is deterministic
+    and SQL-replayable, so the WHOLE pipeline is one hash-exact
+    oracle: output = (pos, doc_id) in training order."""
+    from docs_indexer_ray.pipelines.curate import curate_corpus
+
+    et = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = et["doc_id"].to_numpy(zero_copy_only=False)
+    eval_texts = et.filter(pa.array(ids % 97 == 0))["text"].to_pylist()
+    out = curate_corpus(
+        _documents_with_copies_ds(sf_dir),
+        eval_texts,
+        jaccard_n=3,
+        jaccard_threshold=0.5,
+        min_words=20,
+        decontam_n=8,
+        seed=42,
+    )
+    t = _concat(out.select_columns(["doc_id"]))
+    return pa.table(
+        {
+            "pos": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+            "doc_id": pa.array(
+                [int(v) for v in t["doc_id"].to_pylist()], pa.int64()
+            ),
+        }
+    )
+
+
 def q_rank_eval(sf_dir: str) -> pa.Table:
     """OpenSearch ``_rank_eval`` (`query/rank_eval.py`): three
     single-term queries scored at k=10 against PLANTED judgments
@@ -3348,6 +3381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_components": q_dup_components,
         "dedup_apply": q_dedup_apply,
+        "curate": q_curate,
         "substring_dedup": q_substring_dedup,
         "dsir": q_dsir,
         "knn_cosine": q_knn_cosine,
@@ -4079,6 +4113,116 @@ def oracle_sql() -> dict[str, str]:
             FROM all_rows d LEFT JOIN comp c ON c.node = d.doc_id
             WHERE c.node IS NULL OR c.component = d.doc_id
             ORDER BY doc_id
+        """,
+        "curate": f"""
+            WITH RECURSIVE all_rows AS ({_DUP_UNION}),
+            ex AS (SELECT min(doc_id) AS keeper FROM all_rows GROUP BY text),
+            s1 AS (SELECT a.doc_id, a.text FROM all_rows a JOIN ex ON ex.keeper = a.doc_id),
+            t AS (SELECT doc_id, {_toks('text')} AS toks FROM s1),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+                  FROM t WHERE len(toks) >= 3),
+            cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            pair AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS inter
+                     FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+                     GROUP BY ga.doc_id, gb.doc_id),
+            p2 AS (SELECT a, b FROM pair
+                   JOIN cnt ca ON ca.doc_id = pair.a JOIN cnt cb ON cb.doc_id = pair.b
+                   WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+            edges AS (SELECT a AS src, b AS dst FROM p2
+                      UNION ALL SELECT b, a FROM p2),
+            walk(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+            comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+            s2 AS (SELECT d.doc_id, d.text FROM s1 d LEFT JOIN comp c ON c.node = d.doc_id
+                   WHERE c.node IS NULL OR c.component = d.doc_id),
+            t2 AS (SELECT doc_id, {_toks('text')} AS toks FROM s2),
+            w AS (SELECT doc_id, unnest(toks) AS w,
+                         generate_subscripts(toks, 1) AS pos
+                  FROM t2),
+            base AS (SELECT doc_id,
+                            count(*) AS n,
+                            SUM(length(w)) AS cchars,
+                            count(*) FILTER (WHERE regexp_matches(w, '[a-z]')) AS n_alpha,
+                            count(DISTINCT w) FILTER (WHERE list_contains({_STOP10_SQL}, w)) AS nstop
+                     FROM w GROUP BY doc_id),
+            bg AS (SELECT doc_id, pos, w AS w1,
+                          lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                   FROM w),
+            bgc AS (SELECT doc_id, w1, w2, count(*) AS c
+                    FROM bg WHERE w2 IS NOT NULL GROUP BY doc_id, w1, w2),
+            topbg AS (SELECT doc_id, c * (length(w1) + length(w2)) AS covered2,
+                             row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, w1 || ' ' || w2 ASC) AS rn
+                      FROM bgc),
+            g5 AS (SELECT doc_id, pos,
+                          w || ' ' || lead(w, 1) OVER win5 || ' ' || lead(w, 2) OVER win5
+                            || ' ' || lead(w, 3) OVER win5 || ' ' || lead(w, 4) OVER win5 AS gram,
+                          lead(w, 4) OVER win5 AS l4
+                   FROM w WINDOW win5 AS (PARTITION BY doc_id ORDER BY pos)),
+            g5v AS (SELECT doc_id, pos, gram FROM g5 WHERE l4 IS NOT NULL),
+            dupg AS (SELECT doc_id, gram FROM g5v
+                     GROUP BY doc_id, gram HAVING count(*) > 1),
+            cov AS (SELECT DISTINCT gg.doc_id, gg.pos + sk.k AS cpos
+                    FROM g5v gg JOIN dupg dd USING (doc_id, gram),
+                         (SELECT unnest(generate_series(0, 4)) AS k) sk),
+            covc AS (SELECT c.doc_id, SUM(length(w.w)) AS covered5
+                     FROM cov c JOIN w ON w.doc_id = c.doc_id AND w.pos = c.cpos
+                     GROUP BY c.doc_id),
+            m AS (SELECT base.doc_id,
+                         CAST(base.n AS BIGINT) AS n_words,
+                         CAST(base.cchars AS DOUBLE) / base.n AS mean_word_len,
+                         CAST(base.n_alpha AS DOUBLE) / base.n AS alpha_frac,
+                         CAST(base.nstop AS BIGINT) AS n_stop_distinct,
+                         CASE WHEN base.n >= 2 AND base.cchars > 0
+                              THEN CAST(tb.covered2 AS DOUBLE) / base.cchars
+                              ELSE 0.0 END AS top2gram_frac,
+                         CASE WHEN base.cchars > 0
+                              THEN CAST(COALESCE(cc.covered5, 0) AS DOUBLE) / base.cchars
+                              ELSE 0.0 END AS dup5gram_frac
+                  FROM base
+                  LEFT JOIN (SELECT doc_id, covered2 FROM topbg WHERE rn = 1) tb USING (doc_id)
+                  LEFT JOIN covc cc USING (doc_id)),
+            s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN m USING (doc_id)
+                   WHERE m.n_words BETWEEN 20 AND 100000
+                     AND m.mean_word_len BETWEEN 3.0 AND 10.0
+                     AND m.alpha_frac >= 0.8
+                     AND m.n_stop_distinct >= 2
+                     AND m.top2gram_frac <= 0.20
+                     AND m.dup5gram_frac <= 0.15),
+            w3 AS (SELECT doc_id, unnest({_toks('text')}) AS term,
+                          generate_subscripts({_toks('text')}, 1) AS pos
+                   FROM s3),
+            g8 AS (SELECT doc_id, pos,
+                          term || ' ' || lead(term, 1) OVER win8 || ' ' || lead(term, 2) OVER win8
+                            || ' ' || lead(term, 3) OVER win8 || ' ' || lead(term, 4) OVER win8
+                            || ' ' || lead(term, 5) OVER win8 || ' ' || lead(term, 6) OVER win8
+                            || ' ' || lead(term, 7) OVER win8 AS gram,
+                          lead(term, 7) OVER win8 AS l7
+                   FROM w3 WINDOW win8 AS (PARTITION BY doc_id ORDER BY pos)),
+            g8v AS (SELECT doc_id, gram FROM g8 WHERE l7 IS NOT NULL),
+            ew AS (SELECT doc_id, unnest({_toks('text')}) AS term,
+                          generate_subscripts({_toks('text')}, 1) AS pos
+                   FROM documents WHERE doc_id % 97 = 0),
+            eg AS (SELECT doc_id, pos,
+                          term || ' ' || lead(term, 1) OVER wine || ' ' || lead(term, 2) OVER wine
+                            || ' ' || lead(term, 3) OVER wine || ' ' || lead(term, 4) OVER wine
+                            || ' ' || lead(term, 5) OVER wine || ' ' || lead(term, 6) OVER wine
+                            || ' ' || lead(term, 7) OVER wine AS gram,
+                          lead(term, 7) OVER wine AS l7
+                   FROM ew WINDOW wine AS (PARTITION BY doc_id ORDER BY pos)),
+            eval AS (SELECT DISTINCT gram FROM eg WHERE l7 IS NOT NULL),
+            dirty AS (SELECT DISTINCT g8v.doc_id FROM g8v JOIN eval USING (gram)),
+            s4 AS (SELECT s3.doc_id FROM s3 LEFT JOIN dirty d USING (doc_id)
+                   WHERE d.doc_id IS NULL)
+            SELECT CAST(row_number() OVER (ORDER BY md5('42:' || doc_id), doc_id) AS BIGINT) AS pos,
+                   CAST(doc_id AS BIGINT) AS doc_id
+            FROM s4
+            ORDER BY md5('42:' || doc_id), doc_id
         """,
         "dup_components": f"""
             WITH RECURSIVE all_rows AS ({_DUP_UNION}),

@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from ..functions.analyzer import Analyzer
 
-__all__ = ["ngram_set", "flag_contaminated"]
+__all__ = ["ngram_set", "flag_contaminated", "filter_clean"]
 
 
 def ngram_set(texts, n: int = 13, chain: str = "simple") -> frozenset[str]:
@@ -85,6 +85,46 @@ def flag_contaminated(
 
     return ds.map_batches(
         Flag,
+        fn_constructor_args=(eval_grams,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+    )
+
+
+def filter_clean(
+    ds,
+    eval_grams: frozenset[str],
+    n: int = 13,
+    text_col: str = "text",
+    chain: str = "simple",
+):
+    """Row-filtering companion of :func:`flag_contaminated`: DROP
+    every doc sharing ≥1 dirty n-gram with the eval set, all columns
+    pass through — the curation-pipeline stage shape.  Same broadcast
+    (``fn_constructor_args`` actor pool) and probe kernel, so the
+    kept set ≡ ``flag_contaminated(...)`` rows with
+    ``contaminated = 0``."""
+
+    class Clean:
+        def __init__(self, grams):
+            self._grams = grams
+            self._an = Analyzer(chain)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = self._grams
+            an = self._an
+            keep = []
+            for t in batch[text_col].to_pylist():
+                toks = an(t or "")
+                dirty = any(
+                    " ".join(toks[i : i + n]) in g
+                    for i in range(len(toks) - n + 1)
+                )
+                keep.append(not dirty)
+            return batch.filter(pa.array(keep))
+
+    return ds.map_batches(
+        Clean,
         fn_constructor_args=(eval_grams,),
         concurrency=(1, 8),
         batch_format="pyarrow",

@@ -58,6 +58,7 @@ _LOG = logging.getLogger(__name__)
 
 __all__ = [
     "exact_dedup",
+    "exact_dedup_apply",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
@@ -117,6 +118,69 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
         .groupby("md5")
         .aggregate(Min(id_col, alias_name=id_col))
     )
+
+
+def exact_dedup_apply(ds, key: str = "text", id_col: str = "doc_id"):
+    """Streaming keep-first per exact content — the row-filtering
+    companion of :func:`exact_dedup` for pipeline composition.
+
+    Shape: the digest pass ships only ``(md5, id)`` through the one
+    shuffle, reduced by the same vectorized ``aggregate(Min, Count)``
+    as :func:`exact_dedup` (no per-group Python — digests are mostly
+    unique); only digests with ``count > 1`` (DUPLICATE-scale, not
+    corpus-scale — the ``dedup_lines`` broadcast pattern) are
+    collected and broadcast as a sorted (md5, keeper) pair; the corpus
+    then streams once more, re-hashing each row and dropping it iff
+    its digest is a dup digest and it is not the keeper.  Kept rows ≡
+    ``exact_dedup``'s keepers, all columns pass through."""
+    import pyarrow.compute as _pc
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    from ..collect import tables_of
+
+    def digest(batch: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch[key].to_pylist()
+        ]
+        return pa.table({id_col: batch[id_col], "md5": pa.array(md5s, pa.string())})
+
+    agg = (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby("md5")
+        .aggregate(Min(id_col, alias_name="keeper"), Count(alias_name="n"))
+    )
+    dup_parts = [
+        t.filter(_pc.greater(t["n"], 1)).select(["md5", "keeper"])
+        for t in tables_of(agg)
+    ]
+    dup_parts = [t for t in dup_parts if t.num_rows]
+    if dup_parts:
+        dups = pa.concat_tables(dup_parts).sort_by("md5")
+        dup_md5 = np.asarray(dups["md5"].to_pylist())
+        dup_keeper = dups["keeper"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        dup_md5 = np.array([], np.str_)
+        dup_keeper = np.array([], np.int64)
+    ref = ray.put((dup_md5, dup_keeper))
+
+    def keep(t: pa.Table) -> pa.Table:
+        dm, dk = ray.get(ref)
+        if len(dm) == 0:
+            return t
+        md5s = np.asarray(
+            [
+                hashlib.md5((x or "").encode("utf-8")).hexdigest()
+                for x in t[key].to_pylist()
+            ]
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(dm, md5s), 0, len(dm) - 1)
+        is_dup = dm[idx] == md5s
+        return t.filter(pa.array(~is_dup | (dk[idx] == ids)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -31,6 +31,7 @@ __all__ = [
     "token_count",
     "quality_score",
     "gopher_quality",
+    "gopher_filter",
     "lang_id",
     "fingerprint",
     "winnow_fingerprint_batch",
@@ -112,6 +113,50 @@ def quality_score(ds):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _gopher_doc(t: str | None, stop: frozenset) -> tuple:
+    """Per-doc Gopher metrics: ``(n_words, mean_word_len, alpha_frac,
+    n_stop_distinct, top2gram_frac, dup5gram_frac)`` — shared by the
+    metrics op and the curation row filter."""
+    from collections import Counter
+
+    toks = _tokens(t)
+    n = len(toks)
+    cchars = sum(map(len, toks))
+    if n == 0:
+        return 0, 0.0, 0.0, 0, 0.0, 0.0
+    mean_len = cchars / n
+    n_alpha = n - sum(map(str.isdigit, toks))
+    alpha = n_alpha / n
+    nstop = len(stop.intersection(toks))
+    # most frequent 2-gram, ties → smallest "w1 w2".  Tuple min is
+    # order-equivalent to the joined-string compare here: the token
+    # alphabet is [a-z0-9] and ' ' < every token char, so a
+    # prefix-first-word pair sorts first under BOTH orders — and
+    # that's the ordering the SQL oracle's (w1 || ' ' || w2) uses.
+    if n >= 2 and cchars:
+        bg = Counter(zip(toks, toks[1:]))
+        mc = max(bg.values())
+        best = min(bg) if mc == 1 else min(k for k, v in bg.items() if v == mc)
+        top2 = mc * (len(best[0]) + len(best[1])) / cchars
+    else:
+        top2 = 0.0
+    # characters covered by any duplicated 5-gram
+    if n >= 5 and cchars:
+        grams = list(zip(toks, toks[1:], toks[2:], toks[3:], toks[4:]))
+        g5 = Counter(grams)
+        if len(g5) < len(grams):  # any duplicate at all
+            covered = bytearray(n)
+            for i, g in enumerate(grams):
+                if g5[g] > 1:
+                    covered[i : i + 5] = b"\x01" * 5
+            dup5 = sum(len(w) for w, c in zip(toks, covered) if c) / cchars
+        else:
+            dup5 = 0.0
+    else:
+        dup5 = 0.0
+    return n, mean_len, alpha, nstop, top2, dup5
+
+
 def gopher_quality(
     ds,
     min_words: int = 50,
@@ -152,8 +197,6 @@ def gopher_quality(
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
         out = {
             "n_words": [],
             "mean_word_len": [],
@@ -165,56 +208,7 @@ def gopher_quality(
         }
         stop = frozenset(STOP10)
         for t in batch["text"].to_pylist():
-            toks = _tokens(t)
-            n = len(toks)
-            cchars = sum(map(len, toks))
-            if n == 0:
-                mean_len = 0.0
-                alpha = 0.0
-                nstop = 0
-                top2 = 0.0
-                dup5 = 0.0
-            else:
-                mean_len = cchars / n
-                n_alpha = n - sum(map(str.isdigit, toks))
-                alpha = n_alpha / n
-                nstop = len(stop.intersection(toks))
-                # most frequent 2-gram, ties → smallest "w1 w2".
-                # Tuple min is order-equivalent to the joined-string
-                # compare here: the token alphabet is [a-z0-9] and
-                # ' ' < every token char, so a prefix-first-word pair
-                # sorts first under BOTH orders — and that's the
-                # ordering the SQL oracle's (w1 || ' ' || w2) uses.
-                if n >= 2 and cchars:
-                    bg = Counter(zip(toks, toks[1:]))
-                    mc = max(bg.values())
-                    best = (
-                        min(bg)
-                        if mc == 1
-                        else min(k for k, v in bg.items() if v == mc)
-                    )
-                    top2 = mc * (len(best[0]) + len(best[1])) / cchars
-                else:
-                    top2 = 0.0
-                # characters covered by any duplicated 5-gram
-                if n >= 5 and cchars:
-                    grams = list(
-                        zip(toks, toks[1:], toks[2:], toks[3:], toks[4:])
-                    )
-                    g5 = Counter(grams)
-                    if len(g5) < len(grams):  # any duplicate at all
-                        covered = bytearray(n)
-                        for i, g in enumerate(grams):
-                            if g5[g] > 1:
-                                covered[i : i + 5] = b"\x01" * 5
-                        dup5 = (
-                            sum(len(w) for w, c in zip(toks, covered) if c)
-                            / cchars
-                        )
-                    else:
-                        dup5 = 0.0
-                else:
-                    dup5 = 0.0
+            n, mean_len, alpha, nstop, top2, dup5 = _gopher_doc(t, stop)
             ok = (
                 min_words <= n <= max_words
                 and min_mean_word_len <= mean_len <= max_mean_word_len
@@ -242,6 +236,42 @@ def gopher_quality(
                 "passes": pa.array(np.array(out["passes"], np.int64)),
             }
         )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def gopher_filter(
+    ds,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_distinct: int = 2,
+    max_top2gram_frac: float = 0.20,
+    max_dup5gram_frac: float = 0.15,
+    text_col: str = "text",
+):
+    """Row-filtering companion of :func:`gopher_quality`: keep only
+    docs passing every rule, ALL columns pass through — the curation-
+    pipeline stage shape (one streaming pass, no metrics join-back).
+    Shares the exact per-doc kernel, so kept set ≡
+    ``gopher_quality(...)`` rows with ``passes = 1``."""
+    stop = frozenset(STOP10)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = []
+        for t in batch[text_col].to_pylist():
+            n, mean_len, alpha, nstop, top2, dup5 = _gopher_doc(t, stop)
+            keep.append(
+                min_words <= n <= max_words
+                and min_mean_word_len <= mean_len <= max_mean_word_len
+                and alpha >= min_alpha_frac
+                and nstop >= min_stop_distinct
+                and top2 <= max_top2gram_frac
+                and dup5 <= max_dup5gram_frac
+            )
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -178,6 +178,7 @@ SQL_BACKED = [
     "window_hopping",
     "topk_per_group",
     "sessionize",
+    "curate",
     "broadcast_join",
     "hash_join",
     "asof_join",

@@ -2140,3 +2140,44 @@ def test_degenerate_input_edges_seventh_batch(ray_session):
     out = line_filter(ray.data.from_arrow(lt)).to_pandas().sort_values("doc_id")
     assert out["kept"].tolist() == [False, True]
     assert out["n_lines"].tolist()[0] == 1
+
+
+def test_filter_companions_match_flag_ops(docs_ds, docs_tbl, ray_session):
+    """The curation row filters must keep EXACTLY the rows their
+    flag/metrics counterparts mark as keepers: exact_dedup_apply ≡
+    exact_dedup's keepers, gopher_filter ≡ gopher_quality passes=1,
+    filter_clean ≡ flag_contaminated contaminated=0 — all columns
+    passed through."""
+    from docs_indexer_ray.ops.decontaminate import (
+        filter_clean,
+        flag_contaminated,
+        ngram_set,
+    )
+    from docs_indexer_ray.ops.dedup import exact_dedup, exact_dedup_apply
+    from docs_indexer_ray.ops.textstats import gopher_filter, gopher_quality
+
+    # exact dedup: row filter ≡ keeper ids
+    keepers = set(_rows(exact_dedup(docs_ds))["doc_id"])
+    applied = _rows(exact_dedup_apply(docs_ds))
+    assert set(applied["doc_id"]) == keepers
+    assert list(applied.columns) == ["doc_id", "text"]
+    # kept rows carry their original text
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()))
+    assert all(texts[d] == t for d, t in zip(applied["doc_id"], applied["text"]))
+
+    # gopher: row filter ≡ passes=1 (min_words=20 so both sides split)
+    metrics = _rows(gopher_quality(docs_ds, min_words=20))
+    want_pass = set(metrics[metrics["passes"] == 1]["doc_id"])
+    got_pass = set(_rows(gopher_filter(docs_ds, min_words=20))["doc_id"])
+    assert got_pass == want_pass
+    assert 0 < len(want_pass)
+
+    # decontamination: row filter ≡ contaminated=0
+    eval_texts = [texts[0], texts[7]]
+    grams = ngram_set(eval_texts, n=8)
+    flags = _rows(flag_contaminated(docs_ds, grams, n=8))
+    want_clean = set(flags[flags["contaminated"] == 0]["doc_id"])
+    got_clean = set(_rows(filter_clean(docs_ds, grams, n=8))["doc_id"])
+    assert got_clean == want_clean
+    # doc 0, its exact copy (id 1000) and doc 7 must be dropped
+    assert {0, 7, 1000} & got_clean == set()
