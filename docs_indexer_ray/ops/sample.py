@@ -188,7 +188,11 @@ def seeded_shuffle(ds, seed: int, key: str = "doc_id"):
         hs = [
             hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest() for v in vals
         ]
-        return t.append_column("__shuffle_key", pa.array(hs, pa.string()))
+        # drop parquet pandas metadata before the sort exchange — Ray's
+        # reduce-side schema dedup can't hash it and logs per task
+        return t.replace_schema_metadata(None).append_column(
+            "__shuffle_key", pa.array(hs, pa.string())
+        )
 
     shuffled = ds.map_batches(add_key, batch_format="pyarrow").sort(
         ["__shuffle_key", key]

@@ -54,6 +54,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     gopher_kwargs: dict | None = None,
+    hot_gram_cap: int | None | str = "auto",
 ):
     """Run the five-stage curation chain over ``ds`` and return the
     surviving corpus in the seed-deterministic training order (all
@@ -66,7 +67,11 @@ def curate_corpus(
 
     # 2. near-dup: exact n-gram Jaccard → components → canonical-only
     pairs = ngram_jaccard_pairs(
-        survivors, n=jaccard_n, threshold=jaccard_threshold, id_col=id_col
+        survivors,
+        n=jaccard_n,
+        threshold=jaccard_threshold,
+        id_col=id_col,
+        hot_gram_cap=hot_gram_cap,
     )
     comp = connected_components(pairs, a="a", b="b")
     canon = canonical_docs(survivors, comp, id_col=id_col)
