@@ -106,3 +106,92 @@ def test_uri_bare_md_segment_dropped():
 
     uri, crumbs = url_to_uri_breadcrumb("https://x.test/docs/.md")
     assert uri == "/docs/" and crumbs == ["docs"]
+
+
+# ---------------------------------------------------------------------------
+# OpenAPI / CRD properties text (reference S6/T7, hugo.py:357-375)
+# ---------------------------------------------------------------------------
+
+
+def test_collect_properties_text_reference_order():
+    """The exact emission sequence hugo_test.py:168-186 pins: a node's
+    description first, then each property name followed by its own
+    subtree, in schema order."""
+    from docs_indexer_ray.functions.openapi import collect_properties_text
+
+    assert collect_properties_text({}) == []
+    assert collect_properties_text({"description": "top"}) == ["top"]
+    schema = {
+        "description": "top",
+        "properties": {
+            "spec": {
+                "description": "spec desc",
+                "properties": {
+                    "replicas": {"description": "number of replicas"},
+                    "name": {},
+                },
+            },
+            "status": {"description": "status desc"},
+        },
+    }
+    assert collect_properties_text(schema) == [
+        "top",
+        "spec",
+        "spec desc",
+        "replicas",
+        "number of replicas",
+        "name",
+        "status",
+        "status desc",
+    ]
+
+
+def test_collect_properties_text_deep_and_junk():
+    """Iterative walk: 50k-deep nesting must not blow the recursion
+    limit, and non-dict nodes contribute nothing instead of raising."""
+    from docs_indexer_ray.functions.openapi import collect_properties_text
+
+    deep: dict = {"description": "leaf"}
+    for i in range(50_000):
+        deep = {"properties": {f"p{i}": deep}}
+    out = collect_properties_text(deep)
+    assert out[-1] == "leaf" and len(out) == 50_001
+    assert collect_properties_text({"properties": {"a": "not-a-schema"}}) == ["a"]
+    assert collect_properties_text("junk") == []  # type: ignore[arg-type]
+
+
+def test_read_crd_and_openapi_stage(ray_session, tmp_path):
+    """read_crd parses a YAML manifest; the Ray stage extracts joined
+    properties text per row, degrading unparseable rows to ''. """
+    import ray.data
+    import pyarrow as pa
+
+    from docs_indexer_ray.functions.openapi import (
+        openapi_properties_text,
+        read_crd,
+    )
+
+    crd_yaml = (
+        "description: top\n"
+        "properties:\n"
+        "  spec:\n"
+        "    description: spec desc\n"
+    )
+    p = tmp_path / "crd.yaml"
+    p.write_text(crd_yaml)
+    assert read_crd(str(p)) == {
+        "description": "top",
+        "properties": {"spec": {"description": "spec desc"}},
+    }
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "schema": pa.array([crd_yaml, ": not : yaml :", None]),
+            }
+        )
+    )
+    out = openapi_properties_text(ds, schema_col="schema").to_pandas()
+    out = out.sort_values("id")
+    assert out["text"].tolist() == ["top spec spec desc", "", ""]
