@@ -90,6 +90,13 @@ def openapi_properties_text(ds, schema_col: str = "schema", out_col: str = "text
                 texts.append("")
                 continue
             texts.append(" ".join(str(p) for p in collect_properties_text(doc)))
-        return batch.append_column(out_col, pa.array(texts, pa.string()))
+        col = pa.array(texts, pa.string())
+        if out_col in batch.column_names:
+            # replace, never append a duplicate name (Arrow allows
+            # duplicates; downstream batch[out_col] would be ambiguous)
+            return batch.set_column(
+                batch.column_names.index(out_col), out_col, col
+            )
+        return batch.append_column(out_col, col)
 
     return ds.map_batches(extract, batch_format="pyarrow")

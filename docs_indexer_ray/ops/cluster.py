@@ -87,9 +87,12 @@ def fit_kmeans(
         sums = np.zeros_like(cent)
         counts = np.zeros(k, np.int64)
         for t in tables_of(ds.map_batches(partial, batch_format="pyarrow")):
+            # np.add.at, not fancy-indexed += — a block may hold more
+            # than one partial table concatenated (duplicate cluster
+            # ids within t), and += silently keeps only the last one
             cl = t["cluster"].to_numpy(zero_copy_only=False)
-            counts[cl] += t["count"].to_numpy(zero_copy_only=False)
-            sums[cl] += np.array(t["sum"].to_pylist(), np.float64)
+            np.add.at(counts, cl, t["count"].to_numpy(zero_copy_only=False))
+            np.add.at(sums, cl, np.array(t["sum"].to_pylist(), np.float64))
         live = counts > 0
         if spherical:
             norms = np.linalg.norm(sums[live], axis=1)

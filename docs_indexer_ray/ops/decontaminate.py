@@ -121,7 +121,9 @@ def filter_clean(
                     for i in range(len(toks) - n + 1)
                 )
                 keep.append(not dirty)
-            return batch.filter(pa.array(keep))
+            # typed mask: an empty batch's [] infers null type, which
+            # Table.filter rejects — pass 0-row batches through
+            return batch.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(
         Clean,

@@ -187,7 +187,9 @@ def exact_dedup_apply(ds, key: str = "text", id_col: str = "doc_id"):
 # exact n-gram Jaccard (inverted-index pairwise)
 # ---------------------------------------------------------------------------
 
-def _gram_explode_fn(n: int, id_col: str, num_parts: int):
+def _gram_explode_fn(
+    n: int, id_col: str, num_parts: int, text_col: str = "text"
+):
     """(doc_id, text) batch → (doc_id, gram, na, gpart) gram rows.
 
     ``na`` (the doc's distinct-gram count) rides on every gram row so
@@ -199,7 +201,7 @@ def _gram_explode_fn(n: int, id_col: str, num_parts: int):
         na_out: list[int] = []
         parts_out: list[int] = []
         ids = batch[id_col].to_pylist()
-        for did, t in zip(ids, batch["text"].to_pylist()):
+        for did, t in zip(ids, batch[text_col].to_pylist()):
             toks = _tokens(t)
             gs = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
             na = len(gs)
@@ -365,6 +367,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     hot_gram_cap: int | None | str = "auto",
     num_parts: int = 32,
+    text_col: str = "text",
 ):
     """All pairs with word-``n``-gram Jaccard ≥ ``threshold``.
 
@@ -399,7 +402,8 @@ def ngram_jaccard_pairs(
         )
 
     grams = ds.map_batches(
-        _gram_explode_fn(n, id_col, num_parts), batch_format="pyarrow"
+        _gram_explode_fn(n, id_col, num_parts, text_col),
+        batch_format="pyarrow",
     )
     if hot_gram_cap is not None:
         # capped mode consumes `grams` twice (count pass + the exact

@@ -271,7 +271,9 @@ def gopher_filter(
                 and top2 <= max_top2gram_frac
                 and dup5 <= max_dup5gram_frac
             )
-        return batch.filter(pa.array(keep))
+        # typed mask: pa.array([]) infers null type and Table.filter
+        # rejects it — a 0-row batch must pass through, not crash
+        return batch.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -55,15 +55,27 @@ def curate_corpus(
     text_col: str = "text",
     gopher_kwargs: dict | None = None,
     hot_gram_cap: int | None | str = "auto",
+    survivor_path: str | None = None,
 ):
     """Run the five-stage curation chain over ``ds`` and return the
     surviving corpus in the seed-deterministic training order (all
-    input columns preserved)."""
+    input columns preserved).
+
+    ``survivor_path``: optional directory; when given, stage-1 output
+    is written there as Parquet once and re-READ by the two downstream
+    consumers instead of being held in the object store — the
+    corpus-scale configuration (see the module docstring)."""
     # 1. exact dedup (keep-first)
     survivors = exact_dedup_apply(ds, key=text_col, id_col=id_col)
     # consumed twice below (gram explode + canonical filter): hold the
     # survivor set once instead of re-running the digest passes
-    survivors = survivors.materialize()
+    if survivor_path is not None:
+        import ray.data as rd
+
+        survivors.write_parquet(survivor_path)
+        survivors = rd.read_parquet(survivor_path)
+    else:
+        survivors = survivors.materialize()
 
     # 2. near-dup: exact n-gram Jaccard → components → canonical-only
     pairs = ngram_jaccard_pairs(
@@ -72,6 +84,7 @@ def curate_corpus(
         threshold=jaccard_threshold,
         id_col=id_col,
         hot_gram_cap=hot_gram_cap,
+        text_col=text_col,
     )
     comp = connected_components(pairs, a="a", b="b")
     canon = canonical_docs(survivors, comp, id_col=id_col)
