@@ -44,12 +44,34 @@ def base_url_filter(base_build_dir: str, mode: str = "exact", fp_rate: float = 1
     corpus urls on each node — fine to ~10^8 urls).
     ``mode="bloom"``: constant-size Bloom seen-set; ≈``fp_rate`` of
     NEW urls are wrongly dropped this run (caught next run), seen urls
-    are never re-admitted."""
+    are never re-admitted.
+
+    Tombstoned docs do NOT count as seen: a url whose every base doc
+    is soft-deleted is re-admitted (otherwise a deleted page could
+    never be re-indexed except via upsert)."""
     import ray
     import ray.data
 
+    from ..index.deletes import load_delete_ids
+
     docs_dir = os.path.join(base_build_dir, "docs")
-    urls_ds = ray.data.read_parquet(docs_dir, columns=["url"])
+    deleted = load_delete_ids(base_build_dir)
+    if len(deleted):
+        dead_ref = ray.put(np.sort(deleted.astype(np.int64)))
+
+        def live_urls(t: pa.Table) -> pa.Table:
+            d = ray.get(dead_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
+            return t.filter(pa.array(d[idx] != ids, pa.bool_())).select(
+                ["url"]
+            )
+
+        urls_ds = ray.data.read_parquet(
+            docs_dir, columns=["doc_id", "url"]
+        ).map_batches(live_urls, batch_format="pyarrow")
+    else:
+        urls_ds = ray.data.read_parquet(docs_dir, columns=["url"])
 
     if mode == "bloom":
         from ..ops.sketch import bloom_from_dataset, filter_unseen

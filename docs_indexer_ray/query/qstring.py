@@ -83,7 +83,10 @@ class QueryStringError(ValueError):
 
 # ---------------------------------------------------------------- lexer
 
-_WORD_RE = re.compile(r'[^\s()"^~]+')
+# a word stops before a '&&' / '||' operator run (Lucene treats them
+# as operators even unspaced: 'cat&&dog' is cat AND dog) but a SINGLE
+# '&' or '|' stays part of the word ('AT&T')
+_WORD_RE = re.compile(r'(?:[^\s()"^~&|]|&(?!&)|\|(?!\|))+')
 _QUOTED_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
 _NUM_RE = re.compile(r"\d+(?:\.\d+)?")
 

@@ -108,7 +108,13 @@ def search_response(
         hits = query_string_topk(
             reader, query, k=k, default_operator=default_operator, analyzer=analyzer
         )
-        terms = positive_terms(parse_query_string(query, analyzer, default_operator))
+        # the parse for positive_terms only feeds snippets — skip the
+        # second lex+parse entirely when not highlighting
+        terms = (
+            positive_terms(parse_query_string(query, analyzer, default_operator))
+            if highlight_field
+            else None
+        )
     else:
         from .bm25 import score_topk
 

@@ -561,8 +561,18 @@ class ShardedQueryService:
         }
         extra = list(fields) + (["snippet"] if highlight_field else [])
         if not hits:
+            # zero-row fetch through a shard so the empty page keeps
+            # the STORE's column types (hardcoded pa.string() gave
+            # numeric/timestamp fields a different schema than
+            # non-empty pages — and diverged from the local
+            # search_response; same fix as assemble_hits)
+            empty = ray.get(
+                self._actors[0].fetch_partial.remote(
+                    [], tuple(fields), query, highlight_field, width, syntax
+                )
+            )
             for f in extra:
-                cols[f] = pa.array([], pa.string())
+                cols[f] = empty[f].combine_chunks()
             return pa.table(cols)
         fetched = pa.concat_tables(parts, promote_options="default")
         row_of = {int(i): r for r, i in enumerate(fetched["doc_id"].to_pylist())}

@@ -50,6 +50,17 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+
+def _is_deleted(reader, doc_id: int) -> bool:
+    """Sorted-array membership in the reader's memoized tombstone set."""
+    import numpy as np
+
+    d = reader.deleted_ids()
+    if not len(d):
+        return False
+    pos = int(np.searchsorted(d, doc_id))
+    return pos < len(d) and int(d[pos]) == doc_id
+
 __all__ = ["SearchServer"]
 
 
@@ -83,13 +94,21 @@ class SearchServer:
         self._suggester = None
         # request cache (OpenSearch's shard request cache, one tier
         # up): full GET responses keyed by path+query, bounded LRU,
-        # invalidated wholesale on any write (_reload)
+        # invalidated wholesale on any write (_reload); every access
+        # holds _cache_lock — ThreadingHTTPServer handlers race on
+        # eviction otherwise (double-pop KeyError → spurious 400)
+        import threading as _threading
+
         self.cache_size = 256
-        self._cache: "dict[str, dict]" = {}
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, dict]" = OrderedDict()
+        self._cache_lock = _threading.Lock()
         self._cols: dict = {}  # local-backend facet column slices
-        # cache generation: bumped by _reload AFTER the swap so a GET
-        # that computed against the pre-write backend can never
-        # re-insert its stale response into the freshly cleared cache
+        # cache generation: bumped by _reload BEFORE the clear (both
+        # under the lock) so a GET that computed against the pre-write
+        # backend can never re-insert its stale response into the
+        # freshly cleared cache
         self._gen = 0
         # the fleet retired by the last reload: (svc, parked_at) —
         # shut down one reload LATER (past drain_grace_s), so reads
@@ -123,25 +142,25 @@ class SearchServer:
         fields = tuple(f for f in params.get("fields", "url,title").split(",") if f)
         highlight = params.get("highlight") or None
         t0 = time.perf_counter()
-        if self._svc is not None:
-            table = self._svc.search(
+        # ONE backend snapshot for the whole request: hits, total and
+        # aggregations must come from the same build — a _reload
+        # completing mid-request otherwise mixes two builds (total
+        # smaller than the hits it accompanies)
+        svc, reader, analyzer = self._svc, self._reader, self._analyzer
+        if svc is not None:
+            table = svc.search(
                 q, k=k, fields=fields, highlight_field=highlight, syntax=syntax
             )
         else:
             from .query.search import search_response
 
             table = search_response(
-                self._reader, q, k=k, fields=fields,
+                reader, q, k=k, fields=fields,
                 highlight_field=highlight, syntax=syntax,
             )
         # true match count (not len(hits), which is capped at k):
         # pagination UIs and "N results" displays read total.value
-        if self._svc is not None:
-            total = int(self._svc.count(q, syntax=syntax))
-        else:
-            total = int(self._count(
-                {"q": q, "syntax": "1" if syntax else "0"}
-            )["count"])
+        total = int(self._count_impl(q, syntax, svc, reader, analyzer))
         took = int((time.perf_counter() - t0) * 1000)
         hits = []
         for row in table.to_pylist():
@@ -165,7 +184,10 @@ class SearchServer:
         agg_stats = params.get("agg_stats")
         if agg_terms or agg_stats:
             aggs = {}
-            tt, st = self._facet_tables(q, agg_terms, agg_stats, syntax=syntax)
+            tt, st = self._facet_tables(
+                q, agg_terms, agg_stats, syntax=syntax,
+                svc=svc, reader=reader, analyzer=analyzer,
+            )
             if tt is not None:
                 size = int(params.get("agg_size", "10"))
                 aggs[agg_terms] = {
@@ -189,20 +211,28 @@ class SearchServer:
         agg_terms: str | None,
         agg_stats: str | None,
         syntax: bool = False,
+        svc=None,
+        reader=None,
+        analyzer=None,
     ):
         """``(terms_table, stats_table)`` for the matched set of ``q``
         (match-any, or the full query_string mask with ``syntax``) —
         via the fleet's per-shard facet partials (sharded backend) or
         one pruned docs-store read (local backend, memoized column
-        slice like the shard actors keep)."""
-        if self._svc is not None:
+        slice like the shard actors keep).  ``svc``/``reader``/
+        ``analyzer``: explicit backend snapshot (defaults to the
+        server's current one) — ``_search`` passes its own so one
+        response never mixes two builds."""
+        if svc is None and reader is None:
+            svc, reader, analyzer = self._svc, self._reader, self._analyzer
+        if svc is not None:
             t = (
-                self._svc.terms_facet(q, agg_terms, syntax=syntax)
+                svc.terms_facet(q, agg_terms, syntax=syntax)
                 if agg_terms
                 else None
             )
             s = (
-                self._svc.stats_facet(q, agg_stats, syntax=syntax)
+                svc.stats_facet(q, agg_stats, syntax=syntax)
                 if agg_stats
                 else None
             )
@@ -214,15 +244,15 @@ class SearchServer:
             from .query.bm25 import _zero_deleted
             from .query.qstring import _eval, parse_query_string
 
-            node = parse_query_string(q, self._analyzer)
-            _, match = _eval(self._reader, node)
+            node = parse_query_string(q, analyzer)
+            _, match = _eval(reader, node)
             matched = np.flatnonzero(
-                _zero_deleted(self._reader, np.where(match, 1.0, 0.0)) > 0
+                _zero_deleted(reader, np.where(match, 1.0, 0.0)) > 0
             )
         else:
             from .query.facets import match_doc_ids
 
-            matched = match_doc_ids(self._reader, self._analyzer(q))
+            matched = match_doc_ids(reader, analyzer(q))
         out_t = out_s = None
         for col, want in ((agg_terms, "terms"), (agg_stats, "stats")):
             if not col:
@@ -234,12 +264,12 @@ class SearchServer:
                 import pyarrow.dataset as pads
 
                 dset = pads.dataset(
-                    os.path.join(self._reader.index_dir, "docs"),
+                    os.path.join(reader.index_dir, "docs"),
                     partitioning="hive",
                 )
                 t = dset.to_table(columns=["doc_id", col])
                 ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                perm = np.empty(self._reader.n_docs, np.int64)
+                perm = np.empty(reader.n_docs, np.int64)
                 perm[ids] = np.arange(len(ids))
                 arr = t[col].combine_chunks().take(pa.array(perm))
                 if not hasattr(self, "_cols"):
@@ -275,23 +305,31 @@ class SearchServer:
     def _count(self, params) -> dict:
         q = params["q"]
         syntax = params.get("syntax", "0") in ("1", "true")
-        if self._svc is not None:
-            return {"count": self._svc.count(q, syntax=syntax)}
+        return {
+            "count": self._count_impl(
+                q, syntax, self._svc, self._reader, self._analyzer
+            )
+        }
+
+    def _count_impl(self, q: str, syntax: bool, svc, reader, analyzer) -> int:
+        """Count against an explicit backend snapshot — callers that
+        pair the count with other reads (``_search``) pass the same
+        snapshot so one response never mixes two builds."""
+        if svc is not None:
+            return int(svc.count(q, syntax=syntax))
         if syntax:
             import numpy as np
 
             from .query.bm25 import _zero_deleted
             from .query.qstring import _eval, parse_query_string
 
-            node = parse_query_string(q, self._analyzer)
-            scores, match = _eval(self._reader, node)
-            live = _zero_deleted(
-                self._reader, np.where(match, 1.0, 0.0)
-            )
-            return {"count": int(np.count_nonzero(live))}
+            node = parse_query_string(q, analyzer)
+            scores, match = _eval(reader, node)
+            live = _zero_deleted(reader, np.where(match, 1.0, 0.0))
+            return int(np.count_nonzero(live))
         from .query.facets import match_doc_ids
 
-        return {"count": int(len(match_doc_ids(self._reader, self._analyzer(q))))}
+        return int(len(match_doc_ids(reader, analyzer(q))))
 
     def _analyze(self, params) -> dict:
         toks = self._analyzer(params["text"])
@@ -305,6 +343,13 @@ class SearchServer:
         from .query.bm25 import explain
 
         doc_id = int(params["id"])
+        if _is_deleted(self._reader, doc_id):
+            # tombstoned docs never match any query surface
+            return {
+                "_id": doc_id,
+                "matched": False,
+                "explanation": {"value": 0.0, "details": []},
+            }
         t = explain(self._reader, self._analyzer(params["q"]), doc_id)
         details = t.to_pylist()
         total = float(sum(r["weight"] for r in details))
@@ -320,6 +365,9 @@ class SearchServer:
         shape: ``{"_id", "found", "_source": {…}}``."""
         doc_id = int(params["id"])
         fields = [f for f in params.get("fields", "url,title").split(",") if f]
+        if _is_deleted(self._reader, doc_id):
+            # consistent with /_search and /_stats: deleted = gone
+            return {"_id": doc_id, "found": False}
         t = self._reader.fetch_docs([doc_id], ["doc_id"] + fields)
         if t.num_rows == 0:
             return {"_id": doc_id, "found": False}
@@ -464,6 +512,21 @@ class SearchServer:
             columns=["doc_id", "url"],
             filter=pc.field("url").isin(list(set(urls))),
         )
+        # tombstoned docs don't count as seen — a deleted url must be
+        # re-indexable in default mode (and never re-tombstoned on
+        # upsert); base_url_filter applies the same rule
+        from .index.deletes import load_delete_ids
+
+        dead = load_delete_ids(bdir)
+        if len(dead):
+            import numpy as np
+
+            ids = seen_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(
+                "int64"
+            )
+            d = np.sort(dead.astype("int64"))
+            idx = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
+            seen_tbl = seen_tbl.filter(pa.array(d[idx] != ids, pa.bool_()))
         seen_urls = set(seen_tbl["url"].to_pylist())
         if upsert:
             # within-batch duplicates: last occurrence wins (OpenSearch
@@ -603,10 +666,13 @@ class SearchServer:
         self._suggester = None
         self._cols = {}
         self._ensure_backend()
-        self._cache.clear()
-        # bump LAST: a GET that captured the pre-reload generation can
-        # no longer insert its (pre-write) response into the cache
-        self._gen += 1
+        # bump THEN clear, atomically w.r.t. the GET check-and-insert
+        # (same lock): a GET that captured the pre-reload generation
+        # fails its gen check and can never re-insert a pre-write
+        # response into the freshly cleared cache
+        with self._cache_lock:
+            self._gen += 1
+            self._cache.clear()
         self._retire(old)
 
     def _retire(self, svc) -> None:
@@ -662,7 +728,10 @@ class SearchServer:
                     handler._reply(404, {"error": {"type": "not_found",
                                                    "reason": parsed.path}})
                     return
-                cached = server._cache.get(handler.path)
+                with server._cache_lock:
+                    cached = server._cache.get(handler.path)
+                    if cached is not None:
+                        server._cache.move_to_end(handler.path)  # LRU
                 if cached is not None:
                     handler._reply(200, cached)
                     return
@@ -671,11 +740,14 @@ class SearchServer:
                     body = fn(params)
                     # only cache if no write completed while computing
                     # — otherwise this response is pre-write stale and
-                    # would poison the freshly cleared cache
-                    if server._gen == gen:
-                        if len(server._cache) >= server.cache_size:
-                            server._cache.pop(next(iter(server._cache)))
-                        server._cache[handler.path] = body
+                    # would poison the freshly cleared cache; the gen
+                    # check and insert are one atomic section against
+                    # _reload's bump+clear
+                    with server._cache_lock:
+                        if server._gen == gen:
+                            while len(server._cache) >= server.cache_size:
+                                server._cache.popitem(last=False)
+                            server._cache[handler.path] = body
                     handler._reply(200, body)
                 except (KeyError, ValueError, QueryStringError) as e:
                     handler._reply(
@@ -700,8 +772,13 @@ class SearchServer:
                     int(handler.headers.get("Content-Length", "0"))
                 )
                 try:
-                    with write_lock:  # writes serialize; reads stay free
+                    if parsed.path == "/_msearch":
+                        # pure read — never behind the write lock (a
+                        # slow multi-search must not stall bulk writes)
                         handler._reply(200, fn(params, body))
+                    else:
+                        with write_lock:  # writes serialize; reads stay free
+                            handler._reply(200, fn(params, body))
                 except (
                     KeyError, ValueError, QueryStringError,
                     FileNotFoundError, FileExistsError,

@@ -323,3 +323,22 @@ def test_prefix_ranges_include_astral_plane_terms():
     exp = {t for t, _, _ in fuzzy_expand(r, "caf\U0001F600", max_edits=1,
                                          prefix_length=3)}
     assert "caf\U0001F600" in exp
+
+
+def test_unspaced_boolean_operators(built):
+    """'cat&&dog' is cat AND dog even without whitespace (Lucene); a
+    SINGLE '&' or '|' stays inside the word."""
+    got = _q9(query_string_topk(built, "node&&pools", k=15))
+    want = _q9(query_string_topk(built, "node AND pools", k=15))
+    assert got == want and got  # non-empty: the operator really fired
+
+    assert _q9(query_string_topk(built, "node||pools", k=15)) == _q9(
+        query_string_topk(built, "node OR pools", k=15)
+    )
+
+    # single & / | are word characters, not operators: the word
+    # analyzes per the chain (simple: [a-z0-9]+ splits at '&')
+    node = parse_query_string("at&t", lambda s: ["at", "t"])
+    from docs_indexer_ray.query.qstring import _Phrase
+
+    assert isinstance(node, _Phrase) and node.terms == ["at", "t"]

@@ -545,3 +545,78 @@ def test_http_msearch_json_native_params(built, ray_session):
         assert rs[1]["hits"]["hits"] == single["hits"]["hits"]
     finally:
         srv.stop()
+
+
+def test_http_reindex_after_delete_default_mode(built, ray_session, tmp_path):
+    """A deleted url is re-indexable via plain /_bulk (no upsert): the
+    seen set and base_url_filter skip tombstoned docs, so the doc
+    comes back instead of a permanent 200/noop ghost."""
+    import shutil
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    root = str(tmp_path / "reidx")
+    shutil.copytree(built, root)
+    srv = SearchServer(root, backend="local").start()
+    try:
+        lines = [
+            json.dumps({"index": {}}),
+            json.dumps({
+                "url": "https://docs.test/new/okapi-0/",
+                "html": "<html><body><p>okapi stripes rare</p></body></html>",
+                "warc_ts": 1_800_000_000_000_000,
+            }),
+        ]
+        body = ("\n".join(lines) + "\n").encode()
+
+        def post(path, data=b""):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}{path}", data=data, method="POST"
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        first = post("/_bulk", body)
+        assert first["items"][0]["index"]["status"] == 201
+        assert _get(srv.port, "/_count", q="okapi")[1]["count"] == 1
+
+        assert post("/_delete_by_query?q=okapi")["deleted"] == 1
+        assert _get(srv.port, "/_count", q="okapi")[1]["count"] == 0
+
+        # default-mode re-index of the SAME url must create, not noop
+        again = post("/_bulk", body)
+        assert again["items"][0]["index"]["status"] == 201
+        assert _get(srv.port, "/_count", q="okapi")[1]["count"] == 1
+    finally:
+        srv.stop()
+
+
+def test_http_doc_and_explain_tombstone_aware(built, ray_session, tmp_path):
+    """/_doc reports found:false and /_explain matched:false for a
+    tombstoned doc — consistent with /_search and /_stats."""
+    import shutil
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    root = str(tmp_path / "tombidx")
+    shutil.copytree(built, root)
+    srv = SearchServer(root, backend="local").start()
+    try:
+        _, s = _get(srv.port, "/_search", q="node", k=1, fields="url")
+        doc_id = s["hits"]["hits"][0]["_id"]
+        _, d = _get(srv.port, "/_doc", id=doc_id)
+        assert d["found"] is True
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_delete_by_query?q=node",
+            data=b"", method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["deleted"] > 0
+
+        _, d = _get(srv.port, "/_doc", id=doc_id)
+        assert d["found"] is False
+        _, e = _get(srv.port, "/_explain", id=doc_id, q="node")
+        assert e["matched"] is False and e["explanation"]["details"] == []
+    finally:
+        srv.stop()

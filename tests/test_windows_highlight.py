@@ -434,6 +434,21 @@ def test_sharded_search_matches_local_response(ray_session, tmp_path, n_shards):
         empty = svc.search("zzzunseen", k=5, fields=("url",))
         assert empty.num_rows == 0
         assert empty.column_names == ["rank", "doc_id", "score", "url"]
+        # empty pages keep the STORE's column types (non-string fields
+        # included) so they concat with non-empty pages and match the
+        # local assembly's schema — the zero-hit path must not
+        # hardcode pa.string()
+        fields_t = ("url", "warc_ts")
+        empty_t = svc.search("zzzunseen", k=5, fields=fields_t)
+        local_t = search_response(
+            reader, "zzzunseen", k=5, fields=fields_t, syntax=False
+        )
+        assert empty_t.schema == local_t.schema
+        nonempty_t = svc.search("node", k=2, fields=fields_t)
+        import pyarrow as pa
+
+        both = pa.concat_tables([empty_t, nonempty_t])
+        assert both.num_rows == 2
     finally:
         svc.shutdown()
 
