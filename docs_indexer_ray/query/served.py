@@ -347,6 +347,25 @@ class ShardQueryActor:
         ``syntax=True`` (bool/phrase/fuzzy/wildcard semantics)."""
         return int(len(self._matched_local(query, syntax=syntax)))
 
+    def rank_count_partial(
+        self,
+        query: str,
+        k: int = 10,
+        syntax: bool = False,
+        default_operator: str = "or",
+    ) -> tuple[list[tuple[int, float]], int]:
+        """Phase-1 top-k AND the live match count in ONE round trip —
+        a ``_search`` response needs both, and two fan-outs double the
+        fleet latency for no reason (the values are exactly
+        ``topk_partial``/``query_string_partial`` + ``count_partial``,
+        so the merged results stay pinned to the two-call path)."""
+        hits = (
+            self.query_string_partial(query, k, default_operator)
+            if syntax
+            else self.topk_partial(query, k)
+        )
+        return hits, self.count_partial(query, syntax=syntax)
+
     def fetch_partial(
         self,
         doc_ids: list[int],
@@ -533,14 +552,61 @@ class ShardedQueryService:
         the assembled response table ``(rank, doc_id, score,
         *fields[, snippet])`` — pinned identical to the local
         :func:`query.search.search_response` in both modes."""
-        import pyarrow as pa
-        import ray
-
         hits = (
             self.query_string(query, k, default_operator)
             if syntax
             else self.topk(query, k)
         )
+        return self._fetch_phase(
+            hits, query, fields, highlight_field, width, syntax
+        )
+
+    def search_with_total(
+        self,
+        query: str,
+        k: int = 10,
+        fields: tuple[str, ...] = ("url", "title"),
+        highlight_field: str | None = None,
+        width: int = 160,
+        syntax: bool = False,
+        default_operator: str = "or",
+    ):
+        """:meth:`search` plus the TRUE match count, with phase 1
+        collecting rank AND count from each shard in ONE fan-out
+        (``rank_count_partial``) — a ``_search`` response needs
+        ``hits.total`` anyway, and a separate ``count()`` call both
+        doubles the fleet round trips and can observe a different
+        build across a concurrent reload.  Returns ``(table, total)``,
+        the table identical to :meth:`search`."""
+        import ray
+
+        from .bm25 import merge_shard_topk
+
+        parts = ray.get(
+            [
+                a.rank_count_partial.remote(query, k, syntax, default_operator)
+                for a in self._actors
+            ]
+        )
+        hits = merge_shard_topk([p[0] for p in parts], k)
+        total = int(sum(p[1] for p in parts))
+        return (
+            self._fetch_phase(hits, query, fields, highlight_field, width, syntax),
+            total,
+        )
+
+    def _fetch_phase(
+        self,
+        hits: list[tuple[int, float]],
+        query: str,
+        fields: tuple[str, ...],
+        highlight_field: str | None,
+        width: int,
+        syntax: bool,
+    ):
+        import pyarrow as pa
+        import ray
+
         # route hits to owning shards (bounds are sorted, right-open)
         per_shard: dict[int, list[int]] = {}
         for d, _ in hits:

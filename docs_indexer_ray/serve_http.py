@@ -148,9 +148,12 @@ class SearchServer:
         # smaller than the hits it accompanies)
         svc, reader, analyzer = self._svc, self._reader, self._analyzer
         if svc is not None:
-            table = svc.search(
+            # rank + true match count in ONE fleet fan-out (a separate
+            # count() call doubles the round trips on the hottest path)
+            table, total = svc.search_with_total(
                 q, k=k, fields=fields, highlight_field=highlight, syntax=syntax
             )
+            total = int(total)
         else:
             from .query.search import search_response
 
@@ -158,9 +161,9 @@ class SearchServer:
                 reader, q, k=k, fields=fields,
                 highlight_field=highlight, syntax=syntax,
             )
-        # true match count (not len(hits), which is capped at k):
-        # pagination UIs and "N results" displays read total.value
-        total = int(self._count_impl(q, syntax, svc, reader, analyzer))
+            # true match count (not len(hits), which is capped at k):
+            # pagination UIs and "N results" displays read total.value
+            total = int(self._count_impl(q, syntax, svc, reader, analyzer))
         took = int((time.perf_counter() - t0) * 1000)
         hits = []
         for row in table.to_pylist():

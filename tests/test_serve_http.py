@@ -620,3 +620,21 @@ def test_http_doc_and_explain_tombstone_aware(built, ray_session, tmp_path):
         assert e["matched"] is False and e["explanation"]["details"] == []
     finally:
         srv.stop()
+
+
+def test_search_with_total_pins_to_two_call_path(built, ray_session):
+    """search_with_total ≡ (search, count) in one fan-out — table and
+    total identical to the separate calls, both modes."""
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    svc = ShardedQueryService(built, n_shards=3, chain="simple")
+    try:
+        for q, syntax in (("node pools", False), ("+node -quota", True)):
+            t, total = svc.search_with_total(
+                q, k=5, fields=("url",), syntax=syntax
+            )
+            want = svc.search(q, k=5, fields=("url",), syntax=syntax)
+            assert t.to_pylist() == want.to_pylist()
+            assert total == svc.count(q, syntax=syntax)
+    finally:
+        svc.shutdown()
