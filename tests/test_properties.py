@@ -239,3 +239,46 @@ def test_bloom_never_false_negative(added, probes):
     a = BloomFilter(bf.m, bf.k).add_column(pa.array(added[:half], pa.string()))
     b = BloomFilter(bf.m, bf.k).add_column(pa.array(added[half:], pa.string()))
     assert np.array_equal(a.merge(b).bits, bf.bits)
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_markdown_to_text_total(md):
+    """markdown_to_text is total over arbitrary text: never raises,
+    always returns str, and is deterministic (crawled junk hits this
+    function inside every extract task)."""
+    from docs_indexer_ray.functions.minimarkdown import markdown_to_text
+
+    out = markdown_to_text(md)
+    assert isinstance(out, str)
+    assert markdown_to_text(md) == out
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_parse_front_matter_total(src):
+    """parse_front_matter degrades to (None|dict, str|None) on any
+    input — YAML junk between fences must never escape the task."""
+    from docs_indexer_ray.functions.frontmatter import parse_front_matter
+
+    fm, body = parse_front_matter(src)
+    assert fm is None or isinstance(fm, dict)
+    assert body is None or isinstance(body, str)
+
+
+@given(st.recursive(
+    st.one_of(st.none(), st.integers(), st.text(max_size=8)),
+    lambda c: st.one_of(
+        st.lists(c, max_size=3),
+        st.dictionaries(st.text(max_size=8), c, max_size=3),
+    ),
+    max_leaves=20,
+))
+@settings(max_examples=200, deadline=None)
+def test_collect_properties_text_total(doc):
+    """collect_properties_text tolerates arbitrary junk trees (crawled
+    manifests are unvalidated): never raises, emits only strings."""
+    from docs_indexer_ray.functions.openapi import collect_properties_text
+
+    out = collect_properties_text(doc if isinstance(doc, dict) else {"x": doc})
+    assert all(isinstance(s, str) for s in out)
