@@ -39,6 +39,7 @@ __all__ = [
     "merge_shard_topk",
     "wand_topk",
     "topk",
+    "topk_after",
     "bm25_scores_dense",
 ]
 
@@ -85,6 +86,7 @@ def score_topk_range(
     k1: float = K1,
     b: float = B,
     allowed_mask: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k within the reader's doc-id range shard
     (``IndexReader(doc_range=(lo, hi))``): the dense TAAT buffer is
@@ -124,6 +126,16 @@ def score_topk_range(
     if len(dels):
         in_rng = dels[(dels >= lo) & (dels < hi)]
         scores[(in_rng - lo).astype(np.int64)] = 0.0
+    if after is not None:
+        # deep pagination (search_after): keep only docs strictly AFTER
+        # the (score, doc_id) cursor in (score desc, doc asc) order.
+        # Exact float equality is correct — the cursor is a score this
+        # same engine produced.  Each shard applies the same global
+        # cursor, so the cross-shard merge stays exact.
+        a_s, a_d = float(after[0]), int(after[1])
+        gids = np.arange(lo, hi, dtype=np.int64)
+        keep = (scores < a_s) | ((scores == a_s) & (gids > a_d))
+        scores = np.where(keep, scores, 0.0)
     return [(d + lo, s) for d, s in _rank_top(scores, k)]
 
 
@@ -157,8 +169,33 @@ def _rank_top(scores: np.ndarray, k: int) -> list[tuple[int, float]]:
     return [(int(nz[i]), float(vals[i])) for i in order]
 
 
+def after_mask_quantized(
+    vals: np.ndarray, gids: np.ndarray, after: tuple[float, int]
+) -> np.ndarray:
+    """Cursor filter in the QUANTIZED ranking key space (the key
+    ``rank_top_quantized`` sorts on is ``round(score, 9)``, and that is
+    also the score value it RETURNS — so a ``search_after`` cursor fed
+    back from a previous page compares against ``round(v, 9)``, not the
+    raw float).  Vectorized outside a ±2e-9 band around the cursor
+    score (raw values there cannot round across the boundary); the band
+    itself — genuine score ties, O(ties) rows — gets the exact Python
+    ``round`` plus the doc-id tiebreak."""
+    a_s, a_d = round(float(after[0]), 9), int(after[1])
+    keep = vals < a_s - 2e-9
+    band = np.flatnonzero(np.abs(vals - a_s) <= 2e-9)
+    for i in band.tolist():
+        vq = round(float(vals[i]), 9)
+        if vq < a_s or (vq == a_s and int(gids[i]) > a_d):
+            keep[i] = True
+    return keep
+
+
 def rank_top_quantized(
-    scores: np.ndarray, matched: np.ndarray, k: int
+    scores: np.ndarray,
+    matched: np.ndarray,
+    k: int,
+    after: tuple[float, int] | None = None,
+    id_offset: int = 0,
 ) -> list[tuple[int, float]]:
     """Top-k under the 1e-9-QUANTIZED ranking key (score desc, doc
     asc) — identical output to ``sorted((-round(s, 9), d))[:k]`` but
@@ -167,10 +204,22 @@ def rank_top_quantized(
     still admit, so the Python sort touches O(k + ties) rows instead
     of the full match set (a hot dense query matches ~n_docs rows —
     the full sorted() was the next latency floor after the vectorized
-    walks)."""
+    walks).
+
+    ``after`` (optional ``(score, doc_id)`` cursor, score in the
+    quantized key space, doc_id GLOBAL) keeps only docs strictly after
+    the cursor — ``search_after`` for the query_string surfaces.
+    ``id_offset`` maps shard-local ``matched`` indices to global doc
+    ids for the cursor's tiebreak (the returned ids stay local, as
+    before — range callers add ``lo`` themselves)."""
     if len(matched) == 0:
         return []
     vals = scores[matched]
+    if after is not None:
+        keep = after_mask_quantized(vals, matched + id_offset, after)
+        matched, vals = matched[keep], vals[keep]
+        if len(matched) == 0:
+            return []
     if len(matched) > 4 * k:
         kth = np.partition(vals, len(vals) - k)[len(vals) - k]
         keep = vals >= kth - 2e-9

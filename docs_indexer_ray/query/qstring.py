@@ -580,12 +580,15 @@ def query_string_topk_range(
     default_operator: str = "or",
     analyzer=None,
     live_mask: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """:func:`query_string_topk` over a doc-range shard reader —
     returns GLOBAL doc ids with quantized scores; per-shard results
     over disjoint ranges merge exactly (global statistics) via
     ``bm25.merge_shard_topk``.  ``live_mask`` (bool, shard-local) is
-    the shard's tombstone mask."""
+    the shard's tombstone mask; ``after`` is a global ``(score,
+    doc_id)`` ``search_after`` cursor (every shard applies the same
+    cursor, so the merged page is exact)."""
     if analyzer is None:
         from ..functions.analyzer import Analyzer
 
@@ -599,7 +602,10 @@ def query_string_topk_range(
 
     lo = reader.doc_lo
     matched = np.flatnonzero(scores > 0.0)
-    return [(d + lo, s) for d, s in rank_top_quantized(scores, matched, k)]
+    return [
+        (d + lo, s)
+        for d, s in rank_top_quantized(scores, matched, k, after=after, id_offset=lo)
+    ]
 
 
 def query_string_topk(
@@ -608,10 +614,13 @@ def query_string_topk(
     k: int = 10,
     default_operator: str = "or",
     analyzer=None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k ``(doc_id, score)`` for a ``query_string`` input — parse,
     lower onto the engine's scorers, one dense evaluation, tombstones
-    masked, ranking key quantized 1e-9 (score desc, doc asc)."""
+    masked, ranking key quantized 1e-9 (score desc, doc asc).
+    ``after``: ``search_after`` cursor — the next ``k`` hits strictly
+    after the ``(score, doc_id)`` a previous page returned."""
     from .bm25 import _zero_deleted
 
     if analyzer is None:
@@ -624,4 +633,4 @@ def query_string_topk(
     matched = np.flatnonzero(scores > 0.0)
     from .bm25 import rank_top_quantized
 
-    return rank_top_quantized(scores, matched, k)
+    return rank_top_quantized(scores, matched, k, after=after)

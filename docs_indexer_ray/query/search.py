@@ -39,11 +39,15 @@ def assemble_hits(
     highlight_field: str | None,
     width: int,
     chain: str,
+    rank_start: int = 1,
 ) -> pa.Table:
     """hits + stored fields (+ snippet) → the response table, in rank
-    order.  Shared by the local path and each shard's fetch phase."""
+    order.  Shared by the local path and each shard's fetch phase.
+    ``rank_start``: first row's rank (``from_ + 1`` on offset pages)."""
     cols: dict[str, pa.Array] = {
-        "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+        "rank": pa.array(
+            np.arange(rank_start, rank_start + len(hits), dtype=np.int64)
+        ),
         "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
         "score": pa.array([float(s) for _, s in hits], pa.float64()),
     }
@@ -92,6 +96,8 @@ def search_response(
     width: int = 160,
     default_operator: str = "or",
     syntax: bool = True,
+    from_: int = 0,
+    after: tuple[float, int] | None = None,
 ) -> pa.Table:
     """The assembled ``_search`` response over a local reader.
 
@@ -99,15 +105,29 @@ def search_response(
     (``query/qstring.py``); ``syntax=False`` treats it as plain text —
     analyzed terms through ``bm25.score_topk``, the engine's standard
     ``match`` query (exactly the ranking the sharded tier merges, so
-    ``ShardedQueryService.search`` pins identical to this mode)."""
+    ``ShardedQueryService.search`` pins identical to this mode).
+
+    Pagination (OpenSearch semantics, mutually exclusive): ``from_``
+    is offset paging (rank ``from_ + k``, slice — cost grows with the
+    offset); ``after`` is the stateless ``search_after`` ``(score,
+    doc_id)`` cursor — constant cost per page, rank restarts at 1
+    (the global offset is unknown by design)."""
+    if from_ and after is not None:
+        raise ValueError("from_ and after are mutually exclusive "
+                         "(OpenSearch search_after requires from=0)")
     from ..functions.analyzer import Analyzer
     from .qstring import parse_query_string, positive_terms, query_string_topk
 
     analyzer = Analyzer(reader.chain)
     if syntax:
         hits = query_string_topk(
-            reader, query, k=k, default_operator=default_operator, analyzer=analyzer
-        )
+            reader,
+            query,
+            k=from_ + k,
+            default_operator=default_operator,
+            analyzer=analyzer,
+            after=after,
+        )[from_:]
         # the parse for positive_terms only feeds snippets — skip the
         # second lex+parse entirely when not highlighting
         terms = (
@@ -116,10 +136,13 @@ def search_response(
             else None
         )
     else:
-        from .bm25 import score_topk
+        from .bm25 import score_topk, topk_after
 
         terms_list = analyzer(query)
-        hits = score_topk(reader, terms_list, k=k)
+        if after is not None:
+            hits = topk_after(reader, terms_list, after, k=k)
+        else:
+            hits = score_topk(reader, terms_list, k=from_ + k)[from_:]
         terms = set(terms_list)
     return assemble_hits(
         reader,
@@ -129,4 +152,5 @@ def search_response(
         highlight_field,
         width,
         reader.chain,
+        rank_start=from_ + 1,
     )

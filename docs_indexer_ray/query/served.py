@@ -159,11 +159,20 @@ class ShardQueryActor:
         else:
             self._live = None
 
-    def topk_partial(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def topk_partial(
+        self,
+        query: str,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
         from .bm25 import score_topk_range
 
         return score_topk_range(
-            self.reader, self.analyzer(query), k=k, allowed_mask=self._live
+            self.reader,
+            self.analyzer(query),
+            k=k,
+            allowed_mask=self._live,
+            after=after,
         )
 
     def phrase_partial(self, query: str) -> list[tuple[int, int]]:
@@ -318,7 +327,11 @@ class ShardQueryActor:
         return (len(v), float(v.min()), float(v.max()), float(v.sum()))
 
     def query_string_partial(
-        self, qs: str, k: int = 10, default_operator: str = "or"
+        self,
+        qs: str,
+        k: int = 10,
+        default_operator: str = "or",
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """This shard's quantized query_string top-k — every leaf
         decodes only its overlapping posting blocks; global statistics
@@ -332,6 +345,7 @@ class ShardQueryActor:
             default_operator=default_operator,
             analyzer=self.analyzer,
             live_mask=self._live,
+            after=after,
         )
 
     def span_near_partial(self, terms: list[str], slop: int) -> list[tuple[int, int]]:
@@ -353,16 +367,19 @@ class ShardQueryActor:
         k: int = 10,
         syntax: bool = False,
         default_operator: str = "or",
+        after: tuple[float, int] | None = None,
     ) -> tuple[list[tuple[int, float]], int]:
         """Phase-1 top-k AND the live match count in ONE round trip —
         a ``_search`` response needs both, and two fan-outs double the
         fleet latency for no reason (the values are exactly
         ``topk_partial``/``query_string_partial`` + ``count_partial``,
-        so the merged results stay pinned to the two-call path)."""
+        so the merged results stay pinned to the two-call path).
+        ``after`` pages the rank phase; the count stays the FULL match
+        count (OpenSearch ``hits.total`` is cursor-independent)."""
         hits = (
-            self.query_string_partial(query, k, default_operator)
+            self.query_string_partial(query, k, default_operator, after=after)
             if syntax
-            else self.topk_partial(query, k)
+            else self.topk_partial(query, k, after=after)
         )
         return hits, self.count_partial(query, syntax=syntax)
 
@@ -490,12 +507,19 @@ class ShardedQueryService:
         r = self._rr
         return [g[r % len(g)] for g in self._groups]
 
-    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def topk(
+        self,
+        query: str,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
         import ray
 
         from .bm25 import merge_shard_topk
 
-        parts = ray.get([a.topk_partial.remote(query, k) for a in self._actors])
+        parts = ray.get(
+            [a.topk_partial.remote(query, k, after) for a in self._actors]
+        )
         return merge_shard_topk(parts, k)
 
     def match_phrase(self, query: str) -> list[tuple[int, int]]:
@@ -511,7 +535,11 @@ class ShardedQueryService:
         return [hit for part in parts for hit in part]
 
     def query_string(
-        self, qs: str, k: int = 10, default_operator: str = "or"
+        self,
+        qs: str,
+        k: int = 10,
+        default_operator: str = "or",
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """The full ``query_string`` language on the fleet
         (``query/qstring.py``): each shard parses + evaluates over its
@@ -526,7 +554,7 @@ class ShardedQueryService:
 
         parts = ray.get(
             [
-                a.query_string_partial.remote(qs, k, default_operator)
+                a.query_string_partial.remote(qs, k, default_operator, after)
                 for a in self._actors
             ]
         )
@@ -541,6 +569,8 @@ class ShardedQueryService:
         width: int = 160,
         syntax: bool = False,
         default_operator: str = "or",
+        from_: int = 0,
+        after: tuple[float, int] | None = None,
     ):
         """OpenSearch two-phase QUERY-THEN-FETCH on the fleet: phase 1
         is the exact cross-shard top-k merge (plain match, or the full
@@ -551,14 +581,25 @@ class ShardedQueryService:
         fleet, and the shards serve their hits concurrently.  Returns
         the assembled response table ``(rank, doc_id, score,
         *fields[, snippet])`` — pinned identical to the local
-        :func:`query.search.search_response` in both modes."""
+        :func:`query.search.search_response` in both modes.
+
+        Pagination: ``from_`` is offset paging (each shard ranks
+        ``from_ + k``, the merge slices — cost grows with the offset,
+        OpenSearch ``from``/``size``); ``after`` is the stateless
+        ``search_after`` cursor (each shard applies the cursor and
+        ranks only ``k`` — constant cost per page, the deep-pagination
+        path).  Mutually exclusive, like OpenSearch."""
+        if from_ and after is not None:
+            raise ValueError("from_ and after are mutually exclusive "
+                             "(OpenSearch search_after requires from=0)")
         hits = (
-            self.query_string(query, k, default_operator)
+            self.query_string(query, from_ + k, default_operator, after=after)
             if syntax
-            else self.topk(query, k)
-        )
+            else self.topk(query, from_ + k, after=after)
+        )[from_:]
         return self._fetch_phase(
-            hits, query, fields, highlight_field, width, syntax
+            hits, query, fields, highlight_field, width, syntax,
+            rank_start=from_ + 1,
         )
 
     def search_with_total(
@@ -570,6 +611,8 @@ class ShardedQueryService:
         width: int = 160,
         syntax: bool = False,
         default_operator: str = "or",
+        from_: int = 0,
+        after: tuple[float, int] | None = None,
     ):
         """:meth:`search` plus the TRUE match count, with phase 1
         collecting rank AND count from each shard in ONE fan-out
@@ -577,21 +620,30 @@ class ShardedQueryService:
         ``hits.total`` anyway, and a separate ``count()`` call both
         doubles the fleet round trips and can observe a different
         build across a concurrent reload.  Returns ``(table, total)``,
-        the table identical to :meth:`search`."""
+        the table identical to :meth:`search` (same ``from_``/``after``
+        pagination; ``total`` is always the FULL match count)."""
         import ray
 
         from .bm25 import merge_shard_topk
 
+        if from_ and after is not None:
+            raise ValueError("from_ and after are mutually exclusive "
+                             "(OpenSearch search_after requires from=0)")
         parts = ray.get(
             [
-                a.rank_count_partial.remote(query, k, syntax, default_operator)
+                a.rank_count_partial.remote(
+                    query, from_ + k, syntax, default_operator, after
+                )
                 for a in self._actors
             ]
         )
-        hits = merge_shard_topk([p[0] for p in parts], k)
+        hits = merge_shard_topk([p[0] for p in parts], from_ + k)[from_:]
         total = int(sum(p[1] for p in parts))
         return (
-            self._fetch_phase(hits, query, fields, highlight_field, width, syntax),
+            self._fetch_phase(
+                hits, query, fields, highlight_field, width, syntax,
+                rank_start=from_ + 1,
+            ),
             total,
         )
 
@@ -603,6 +655,7 @@ class ShardedQueryService:
         highlight_field: str | None,
         width: int,
         syntax: bool,
+        rank_start: int = 1,
     ):
         import pyarrow as pa
         import ray
@@ -621,7 +674,9 @@ class ShardedQueryService:
             ]
         )
         cols: dict[str, pa.Array] = {
-            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "rank": pa.array(
+                np.arange(rank_start, rank_start + len(hits), dtype=np.int64)
+            ),
             "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
             "score": pa.array([float(s) for _, s in hits], pa.float64()),
         }

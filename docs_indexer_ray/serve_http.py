@@ -13,8 +13,13 @@ Endpoints (GET, query-string parameters):
 * ``/_search?q=…&k=10&syntax=1&fields=url,title&highlight=body``
   → OpenSearch-shaped body: ``{"took": ms, "hits": {"total":
   {"value": n, "relation": "eq"}, "hits": [{"_id", "_score",
-  "_source": {fields…}, "highlight": {field: [snippet]}}…]}}``.
+  "_source": {fields…}, "sort": [score, doc_id], "highlight":
+  {field: [snippet]}}…]}}``.
   ``syntax=1`` parses ``q`` as the Lucene ``query_string`` language.
+  Pagination: ``from=N&size=K`` (offset paging — ``size`` aliases
+  ``k``) or ``search_after=score,doc_id`` (the previous page's last
+  hit's ``sort`` values — stateless deep pagination, constant cost
+  per page; mutually exclusive with ``from``).
 * ``/_count?q=…`` → ``{"count": n}`` (match-any over live docs).
 * ``/_analyze?text=…`` → ``{"tokens": [{"token": t, "position": i}]}``.
 * ``/_suggest?q=…&n=3`` → ``{"suggestions": [{"text", "score"}]}``.
@@ -137,7 +142,14 @@ class SearchServer:
 
     def _search(self, params) -> dict:
         q = params["q"]
-        k = int(params.get("k", "10"))
+        k = int(params.get("size", params.get("k", "10")))
+        from_ = int(params.get("from", "0"))
+        after = None
+        if params.get("search_after"):
+            # "score,doc_id" — the `sort` values of the previous page's
+            # last hit, fed back verbatim (OpenSearch search_after)
+            s, d = params["search_after"].split(",")
+            after = (float(s), int(d))
         syntax = params.get("syntax", "0") in ("1", "true")
         fields = tuple(f for f in params.get("fields", "url,title").split(",") if f)
         highlight = params.get("highlight") or None
@@ -151,7 +163,8 @@ class SearchServer:
             # rank + true match count in ONE fleet fan-out (a separate
             # count() call doubles the round trips on the hottest path)
             table, total = svc.search_with_total(
-                q, k=k, fields=fields, highlight_field=highlight, syntax=syntax
+                q, k=k, fields=fields, highlight_field=highlight,
+                syntax=syntax, from_=from_, after=after,
             )
             total = int(total)
         else:
@@ -160,6 +173,7 @@ class SearchServer:
             table = search_response(
                 reader, q, k=k, fields=fields,
                 highlight_field=highlight, syntax=syntax,
+                from_=from_, after=after,
             )
             # true match count (not len(hits), which is capped at k):
             # pagination UIs and "N results" displays read total.value
@@ -171,6 +185,9 @@ class SearchServer:
                 "_id": row["doc_id"],
                 "_score": row["score"],
                 "_source": {f: row[f] for f in fields},
+                # feed the LAST hit's sort values back as search_after
+                # to fetch the next page (stateless deep pagination)
+                "sort": [row["score"], row["doc_id"]],
             }
             if highlight is not None:
                 hit["highlight"] = {highlight: [row["snippet"]]}
