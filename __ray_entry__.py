@@ -2308,6 +2308,27 @@ def q_bm25_topk_sharded(sf_dir: str) -> pa.Table:
     )
 
 
+def q_search_page_sharded(sf_dir: str) -> pa.Table:
+    """Offset pagination (OpenSearch ``from``/``size``) through the
+    sharded serving tier: page 3 (``from_=20, size=10``) of the
+    flagship query via ``ShardedQueryService.search`` — each shard
+    ranks ``from_+k``, the exact merge slices, and the rank column
+    continues at ``from_+1``.  The oracle replays the global ranking
+    and takes ranks 21..30."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    svc = ShardedQueryService(root, n_shards=4)
+    try:
+        t = svc.search(
+            " ".join(_BM25_TERMS), k=10, fields=("url",), from_=20
+        )
+    finally:
+        svc.shutdown()
+    return t.select(["rank", "doc_id"])
+
+
 def q_match_phrase_sharded(sf_dir: str) -> pa.Table:
     """Same phrase as ``match_phrase`` but served through the fleet
     (``ShardedQueryService.match_phrase``): each shard decodes only
@@ -3392,6 +3413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_collapse_source": q_collapse,
         "bm25_knn_rrf": q_bm25_knn_rrf,
         "bm25_topk_sharded": q_bm25_topk_sharded,
+        "search_page_sharded": q_search_page_sharded,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_bool": q_bm25_bool,
         "rank_eval": q_rank_eval,
@@ -4738,6 +4760,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id
         FROM ranked WHERE rank BETWEEN 11 AND 20 ORDER BY rank
     """
+    # offset paging through the sharded fleet: page 3 (from=20, size=10)
+    # = the same global ranking's ranks 21..30
+    sqls["search_page_sharded"] = (
+        sqls["bm25_search_after"].replace("BETWEEN 11 AND 20", "BETWEEN 21 AND 30")
+    )
     sqls["facet_terms"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
         toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
