@@ -2308,43 +2308,6 @@ def q_bm25_topk_sharded(sf_dir: str) -> pa.Table:
     )
 
 
-def q_hybrid_rrf(sf_dir: str) -> pa.Table:
-    """Hybrid lexical+semantic retrieval (OpenSearch 2.x hybrid
-    search): BM25 top-20 on the flagship index fused with the exact
-    cosine top-20 for query vector 0 via Reciprocal Rank Fusion
-    (``query/hybrid.py``, c=60 — OpenSearch's default
-    ``rank_constant``).  Both legs and the fusion formula replay in
-    SQL, so the fused (rank, doc_id, rrf_score) page is oracled
-    bit-exactly."""
-    import ray.data
-
-    from docs_indexer_ray.ops.ann import knn_cosine
-    from docs_indexer_ray.pipelines.flagship import ensure_index
-    from docs_indexer_ray.query.hybrid import hybrid_topk
-    from docs_indexer_ray.query.reader import IndexReader
-
-    _, root = ensure_index(sf_dir, chain="simple", field="body")
-    reader = IndexReader(root)
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    q0 = qt.filter(pc.equal(qt["vec_id"], 0))
-    queries = np.array(q0["embedding"].to_pylist(), np.float64)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    knn_t = _concat(knn_cosine(ds, queries, np.array([0], np.int64), k=20))
-    knn_hits = [
-        (int(r["neighbor_id"]), 0.0) for r in knn_t.sort_by("rank").to_pylist()
-    ]
-    hits = hybrid_topk(
-        reader, list(_BM25_TERMS), knn_hits, k=10, c=60, window=20
-    )
-    return pa.table(
-        {
-            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
-            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
-            "rrf_score": pa.array([float(s) for _, s in hits], pa.float64()),
-        }
-    )
-
-
 def q_search_page_sharded(sf_dir: str) -> pa.Table:
     """Offset pagination (OpenSearch ``from``/``size``) through the
     sharded serving tier: page 3 (``from_=20, size=10``) of the
@@ -3451,7 +3414,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_knn_rrf": q_bm25_knn_rrf,
         "bm25_topk_sharded": q_bm25_topk_sharded,
         "search_page_sharded": q_search_page_sharded,
-        "hybrid_rrf": q_hybrid_rrf,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_bool": q_bm25_bool,
         "rank_eval": q_rank_eval,
@@ -4803,42 +4765,6 @@ def oracle_sql() -> dict[str, str]:
     sqls["search_page_sharded"] = (
         sqls["bm25_search_after"].replace("BETWEEN 11 AND 20", "BETWEEN 21 AND 30")
     )
-    # hybrid RRF: BM25 top-20 + cosine top-20 (query vector 0), fused
-    # by 1/(60+rank) — lexical term first, semantic second, matching
-    # hybrid_topk's addition order (x + 0.0 == x keeps single-leg docs
-    # bit-exact)
-    sqls["hybrid_rrf"] = f"""
-        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
-        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
-        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
-                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
-        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        scores AS (
-          SELECT tf.doc_id,
-                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
-          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
-          GROUP BY tf.doc_id),
-        lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lrank
-                FROM scores QUALIFY lrank <= 20),
-        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        sims AS (SELECT vec_id AS nid, list_cosine_similarity(qe, embedding) AS sim
-                 FROM q, embeddings WHERE vec_id != 0),
-        sem AS (SELECT nid AS doc_id, row_number() OVER (ORDER BY sim DESC, nid ASC) AS srank
-                FROM sims QUALIFY srank <= 20),
-        fused AS (
-          SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
-                 COALESCE(1.0 / (60 + lrank), 0.0)
-                 + COALESCE(1.0 / (60 + srank), 0.0) AS rrf
-          FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
-        SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
-               CAST(doc_id AS BIGINT) AS doc_id,
-               rrf AS rrf_score
-        FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
-    """
     sqls["facet_terms"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
         toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),

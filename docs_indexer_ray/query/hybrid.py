@@ -1,76 +1,64 @@
-"""Hybrid lexical+semantic retrieval via Reciprocal Rank Fusion.
+"""Hybrid retrieval: reciprocal-rank fusion of lexical and vector legs.
 
-OpenSearch 2.x hybrid search runs a BM25 query and a kNN vector query
-and fuses the two rankings; RRF (Cormack, Clarke & Buettcher, SIGIR
-2009) is the standard score-free fusion rule the reference's serving
-stack would get from the OpenSearch hybrid/``rrf`` processor:
+Modern search (the capability the reference delegates to OpenSearch's
+hybrid ``sub_searches``/RRF processor) runs BOTH a BM25 query and a
+kNN vector query for the same information need and fuses the two
+rankings.  Reciprocal Rank Fusion (Cormack, Clarke & Buettcher,
+SIGIR 2009) is the standard score-free fusion:
 
-    rrf(d) = Σ_r  1 / (c + rank_r(d))        over rankings r where d
-                                             appears in the top window
+    rrf(d) = sum over legs L of 1 / (k + rank_L(d))
 
-Score-FREE matters: BM25 scores and cosine similarities live on
-incomparable scales, so fusing by rank sidesteps per-query min-max
-normalization (the other OpenSearch technique) and is stable under
-score distribution drift.
+with ``k`` = 60 by convention; docs absent from a leg contribute 0.
 
-This engine already has both legs — ``bm25.topk`` (or the sharded
-fleet's exact merge) and ``ops.ann.knn_cosine`` — so hybrid search is
-a pure fusion step over two (doc_id, score) rank lists.  The fusion
-itself is O(window) per query: never corpus-scale, no distribution
-concern; the distributed work stays in the two retrieval legs.
+Scale shape: each LEG is the distributed part — BM25 via the WAND /
+sharded-service path, kNN via the broadcast-matmul ``knn_cosine``
+op — and each returns only its top-N (N ~ 100) candidates.  Fusion
+therefore runs over ≤ legs x N rows, **output-scale by construction**:
+no corpus-scale data ever reaches the fusion step, so a driver-side
+vectorized pass is the correct (not merely convenient) place for it.
 
-Determinism contract (what the SQL oracle replays): ranks are
-1-based positions in each input list; the fused score is the SUM over
-rankings IN INPUT ORDER of ``1.0 / (c + rank)`` (IEEE double — both
-engines add the same two terms in the same order); final order is
-(rrf desc, doc_id asc).
+Determinism / oracle parity: contributions are computed as
+``1.0 / (k + rank)`` with integer ranks and summed left-to-right in
+leg order, the exact expression shape DuckDB evaluates for
+``COALESCE(1.0/(k+r1),0) + COALESCE(1.0/(k+r2),0)`` — fused scores
+are bit-identical doubles, so the hash-matched oracle can include the
+score column (see the float-exactness notes in ``query/oracle.py``).
 """
 
 from __future__ import annotations
 
-__all__ = ["rrf_fuse", "hybrid_topk"]
+from typing import Mapping, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["rrf_fuse"]
 
 
 def rrf_fuse(
-    rankings: list[list[tuple[int, float]]],
-    k: int = 10,
-    c: int = 60,
-    window: int | None = None,
-) -> list[tuple[int, float]]:
-    """Fuse rank lists into a top-``k`` of ``(doc_id, rrf_score)``.
+    rank_maps: Sequence[Mapping[int, int]],
+    k: int = 60,
+    topn: int = 10,
+) -> pa.Table:
+    """Fuse per-leg ``{doc_id: 1-based rank}`` maps into an RRF top-n.
 
-    ``rankings``: each a list of ``(doc_id, score)`` in rank order —
-    the underlying scores are IGNORED (rank fusion); position ``i`` is
-    rank ``i+1``.  ``c`` is the standard RRF constant (60 in the paper
-    and in OpenSearch's default ``rank_constant``).  ``window`` caps
-    how deep each ranking contributes (defaults to its full length —
-    callers usually pass top-``window`` lists already).
-
-    A doc appearing in several rankings accumulates one reciprocal
-    term per ranking, added in input order; ties break doc asc."""
-    scores: dict[int, float] = {}
-    for ranking in rankings:
-        top = ranking if window is None else ranking[:window]
-        for pos, (doc, _) in enumerate(top):
-            scores[doc] = scores.get(doc, 0.0) + 1.0 / (c + pos + 1)
-    fused = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
-    return [(int(d), float(s)) for d, s in fused[:k]]
-
-
-def hybrid_topk(
-    reader,
-    terms: list[str],
-    knn_hits: list[tuple[int, float]],
-    k: int = 10,
-    c: int = 60,
-    window: int = 20,
-) -> list[tuple[int, float]]:
-    """One-call hybrid query over a local reader: BM25 top-``window``
-    (the engine's adaptive WAND/TAAT planner) fused with an
-    already-computed kNN rank list (e.g. ``ops.ann.knn_cosine``'s rows
-    for this query, or a sharded ANN tier's merge) — lexical leg
-    first, semantic leg second, matching the oracle's term order."""
-    from .bm25 import topk
-
-    lexical = topk(reader, terms, k=window)
-    return rrf_fuse([lexical, knn_hits], k=k, c=c, window=window)
+    Returns ``(rank, doc_id, rrf)`` ordered by fused score descending,
+    doc_id ascending on ties.  Input maps are top-N lists (output
+    scale); the union loop below touches ≤ legs x N entries.
+    """
+    ids = np.array(sorted(set().union(*[set(m) for m in rank_maps])), np.int64)
+    score = np.zeros(len(ids), np.float64)
+    for m in rank_maps:
+        # left-to-right accumulation matches the SQL `a + b` shape
+        score = score + np.array(
+            [1.0 / (k + m[d]) if d in m else 0.0 for d in ids.tolist()],
+            np.float64,
+        )
+    order = np.lexsort((ids, -score))[:topn]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids[order]),
+            "rrf": pa.array(score[order]),
+        }
+    )

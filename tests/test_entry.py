@@ -98,6 +98,7 @@ SQL_BACKED = [
     "boosting",
     "bm25_bool_msm",
     "bm25_search_after",
+    "search_page_sharded",
     "bm25_topk_merged",
     "facet_date_histogram",
     "facet_pipeline",
