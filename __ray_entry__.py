@@ -2377,6 +2377,42 @@ def q_query_string_sharded(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dsl_bool_sharded(sf_dir: str) -> pa.Table:
+    """The OpenSearch JSON query DSL (``query/dsl.py``) served through
+    the sharded fleet: a ``bool`` body lowering to EXACTLY the
+    ``query_string_sharded`` query's AST (`+table -hash (merge OR
+    slow^2) "table scan"`), so it shares that entry's SQL replay —
+    the DSL dict rides to the shard actors like a string and the
+    quantized merge is identical."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    _, root = ensure_index(
+        sf_dir, chain="simple", field="body", store_positions=True
+    )
+    dsl = {
+        "bool": {
+            "must": [{"match": {"body": "table"}}],
+            "should": [
+                {"query_string": {"query": "(merge OR slow^2)"}},
+                {"match_phrase": {"body": "table scan"}},
+            ],
+            "must_not": [{"match": {"body": "hash"}}],
+        }
+    }
+    svc = ShardedQueryService(root, n_shards=4)
+    try:
+        hits = svc.query_string(dsl, k=10)
+    finally:
+        svc.shutdown()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
 def q_facet_terms_served(sf_dir: str) -> pa.Table:
     """The ``terms`` aggregation served by the SHARD FLEET
     (``ShardedQueryService.terms_facet``: per-shard matched counts
@@ -3420,6 +3456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosting": q_boosting,
         "query_string": q_query_string,
         "query_string_sharded": q_query_string_sharded,
+        "dsl_bool_sharded": q_dsl_bool_sharded,
         "search_fetch": q_search_fetch,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
@@ -5561,5 +5598,7 @@ def oracle_sql() -> dict[str, str]:
     # fleet-served variants share their local path's replay — ONE
     # oracle checks both implementations through the driver gate
     sqls["query_string_sharded"] = sqls["query_string"]
+    # the DSL body lowers to the SAME AST -> same SQL replay
+    sqls["dsl_bool_sharded"] = sqls["query_string"]
     sqls["facet_terms_served"] = sqls["facet_terms"]
     return sqls

@@ -1,0 +1,184 @@
+"""OpenSearch JSON query DSL → the engine's query AST.
+
+The reference's real clients don't type the ``query_string``
+mini-language — they POST ``/_search`` bodies like::
+
+    {"query": {"bool": {
+        "must": [{"match": {"body": "node pools"}}],
+        "must_not": [{"term": {"body": "quota"}}],
+        "should": [{"match_phrase": {"body": {"query": "node pools",
+                                               "slop": 1}}}]}},
+     "size": 5, "from": 0, "highlight": {"fields": {"body": {}}}}
+
+This module lowers that JSON shape onto the SAME AST nodes the
+``query_string`` parser produces (``_Term``/``_Phrase``/``_Fuzzy``/
+``_Wildcard``/``_Bool`` — ``query/qstring.py``), so the entire
+existing evaluation stack — dense ``_eval``, the range-limited
+sharded ``_eval_range``, facet match masks, highlight's
+``positive_terms``, pagination — serves DSL queries with ZERO new
+distributed code: ``parse_query_string`` accepts a dict and delegates
+here, and a dict rides to the shard actors exactly like a string.
+
+Supported clauses (one key per query object, like OpenSearch):
+
+* ``match`` — analyzed full-text; ``operator`` "or" (default) / "and",
+  optional ``fuzziness`` (every analyzed token becomes a fuzzy term),
+  ``boost``.
+* ``match_phrase`` — analyzed positional phrase, optional ``slop``.
+* ``term`` / ``terms`` — NOT analyzed (OpenSearch keyword semantics);
+  lowercased to meet the index's lowercase token space.
+* ``fuzzy`` — single token, ``fuzziness`` int or "AUTO".
+* ``wildcard`` / ``prefix`` — ``*``/``?`` pattern (prefix appends *).
+* ``query_string`` — the full mini-language, embedded.
+* ``bool`` — ``must`` / ``should`` / ``must_not`` / ``filter``; each a
+  clause or list of clauses.  ``filter`` lowers to ``must``: this
+  engine has no constant-score path, so filter clauses participate in
+  scoring like must (documented divergence; ranks are this engine's
+  own contract anyway — the SQL oracles pin them).
+
+Field names are accepted and IGNORED: a build indexes ONE primary
+field (multi-field search is the ``multi_match``/chain machinery,
+``query/multimatch.py``).  This mirrors querying the catch-all
+``text`` field the reference's UI actually hits.
+"""
+
+from __future__ import annotations
+
+__all__ = ["dsl_to_node", "DslError"]
+
+
+class DslError(ValueError):
+    """Malformed / unsupported query-DSL input."""
+
+
+_LEAF_KEYS = (
+    "match", "match_phrase", "term", "terms", "fuzzy", "wildcard",
+    "prefix", "query_string", "bool",
+)
+
+
+def _one_field(clause: dict, kind: str) -> tuple[str, object]:
+    if not isinstance(clause, dict) or len(clause) != 1:
+        raise DslError(f"{kind} expects exactly one field: {clause!r}")
+    return next(iter(clause.items()))
+
+
+def _opts(body: object, value_key: str) -> tuple[str, dict]:
+    """Normalize ``field: "x"`` vs ``field: {value_key: "x", …opts}``."""
+    if isinstance(body, dict):
+        if value_key not in body:
+            raise DslError(f"missing {value_key!r} in {body!r}")
+        return str(body[value_key]), {k: v for k, v in body.items()
+                                      if k != value_key}
+    return str(body), {}
+
+
+def _fuzz_edits(fuzziness) -> int | None:
+    """OpenSearch ``fuzziness``: int, numeric string, or "AUTO"."""
+    if fuzziness is None or str(fuzziness).upper() == "AUTO":
+        return None
+    return int(fuzziness)
+
+
+def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
+    """One DSL query object → an AST node (or None for a clause that
+    analyzes to nothing, mirroring the string parser's behavior)."""
+    from .qstring import (
+        _Bool,
+        _Fuzzy,
+        _Phrase,
+        _Term,
+        _Wildcard,
+        parse_query_string,
+    )
+
+    if not isinstance(obj, dict) or len(obj) != 1:
+        raise DslError(
+            f"a query object needs exactly one of {_LEAF_KEYS}: {obj!r}"
+        )
+    kind, clause = next(iter(obj.items()))
+
+    if kind == "bool":
+        node = _Bool(boost=float(clause.get("boost", 1.0)))
+        buckets = (("must", node.must), ("filter", node.must),
+                   ("should", node.should), ("must_not", node.must_not))
+        known = {k for k, _ in buckets} | {"boost"}
+        for key in clause:
+            if key not in known:
+                raise DslError(f"unsupported bool key {key!r}")
+        for key, bucket in buckets:
+            sub = clause.get(key, [])
+            for c in sub if isinstance(sub, list) else [sub]:
+                child = dsl_to_node(c, analyzer, default_operator)
+                if child is not None:
+                    bucket.append(child)
+        if not (node.must or node.should or node.must_not):
+            return None
+        return node
+
+    if kind == "query_string":
+        if not isinstance(clause, dict) or "query" not in clause:
+            raise DslError(f"query_string expects {{'query': …}}: {clause!r}")
+        return parse_query_string(
+            clause["query"], analyzer,
+            clause.get("default_operator", default_operator).lower(),
+        )
+
+    field, body = _one_field(clause, kind)
+
+    if kind == "match":
+        text, opts = _opts(body, "query")
+        terms = analyzer(text)
+        if not terms:
+            return None
+        edits = _fuzz_edits(opts["fuzziness"]) if "fuzziness" in opts else False
+        leaves = [
+            _Fuzzy(t, edits) if edits is not False else _Term(t)
+            for t in terms
+        ]
+        boost = float(opts.get("boost", 1.0))
+        if len(leaves) == 1:
+            leaves[0].boost = boost
+            return leaves[0]
+        op = str(opts.get("operator", "or")).lower()
+        if op == "and":
+            return _Bool(must=leaves, boost=boost)
+        return _Bool(should=leaves, boost=boost)
+
+    if kind == "match_phrase":
+        text, opts = _opts(body, "query")
+        terms = analyzer(text)
+        if not terms:
+            return None
+        boost = float(opts.get("boost", 1.0))
+        if len(terms) == 1:
+            return _Term(terms[0], boost=boost)
+        return _Phrase(terms, slop=int(opts.get("slop", 0)), boost=boost)
+
+    if kind == "term":
+        value, opts = _opts(body, "value")
+        return _Term(value.lower(), boost=float(opts.get("boost", 1.0)))
+
+    if kind == "terms":
+        if not isinstance(body, list):
+            raise DslError(f"terms expects a value list: {body!r}")
+        leaves = [_Term(str(v).lower()) for v in body]
+        if not leaves:
+            return None
+        return _Bool(should=leaves) if len(leaves) > 1 else leaves[0]
+
+    if kind == "fuzzy":
+        value, opts = _opts(body, "value")
+        return _Fuzzy(
+            value.lower(),
+            _fuzz_edits(opts.get("fuzziness")),
+            boost=float(opts.get("boost", 1.0)),
+        )
+
+    if kind in ("wildcard", "prefix"):
+        value, opts = _opts(body, "value")
+        pat = value.lower() + ("*" if kind == "prefix" else "")
+        return _Wildcard(pat, boost=float(opts.get("boost", 1.0)))
+
+    raise DslError(f"unsupported query clause {kind!r} "
+                   f"(supported: {', '.join(_LEAF_KEYS)})")

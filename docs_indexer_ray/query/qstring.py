@@ -331,14 +331,25 @@ class _Parser:
         raise QueryStringError(f"unexpected {kind or 'end of input'}")
 
 
-def parse_query_string(qs: str, analyzer, default_operator: str = "or"):
+def parse_query_string(qs, analyzer, default_operator: str = "or"):
     """Parse ``qs`` into the AST (``_Bool``/``_Term``/… nodes).
     ``analyzer`` maps raw text → token list (``functions.analyzer``).
     Raises :class:`QueryStringError` on malformed input or a query
-    whose every clause analyzed away."""
+    whose every clause analyzed away.
+
+    ``qs`` may also be an OpenSearch JSON query-DSL object (a dict —
+    ``query/dsl.py``); it lowers onto the same node types, so every
+    caller of this function (dense eval, the sharded range eval,
+    facet masks, highlight term extraction) serves DSL queries
+    unchanged — a dict rides to the shard actors like a string."""
     if default_operator not in ("or", "and"):
         raise QueryStringError(f"default_operator must be 'or'|'and': {default_operator}")
-    node = _Parser(_lex(qs), analyzer, default_operator).parse()
+    if isinstance(qs, dict):
+        from .dsl import dsl_to_node
+
+        node = dsl_to_node(qs, analyzer, default_operator)
+    else:
+        node = _Parser(_lex(qs), analyzer, default_operator).parse()
     if node is None:
         raise QueryStringError("query analyzed to no clauses")
     return node

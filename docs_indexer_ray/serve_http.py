@@ -20,6 +20,14 @@ Endpoints (GET, query-string parameters):
   ``k``) or ``search_after=score,doc_id`` (the previous page's last
   hit's ``sort`` values — stateless deep pagination, constant cost
   per page; mutually exclusive with ``from``).
+* ``POST /_search`` — the OpenSearch JSON body interface:
+  ``{"query": <query-DSL object>, "size", "from", "search_after":
+  [score, doc_id], "_source": [fields…], "highlight": {"fields":
+  {field: {}}}, "aggs": {name: {"terms"|"stats": …}}}``.  The DSL
+  (match / match_phrase / term / terms / fuzzy / wildcard / prefix /
+  query_string / bool — ``query/dsl.py``) lowers onto the
+  query_string AST, so both backends serve it unchanged; aggs come
+  back keyed by their agg NAME.
 * ``/_count?q=…`` → ``{"count": n}`` (match-any over live docs).
 * ``/_analyze?text=…`` → ``{"tokens": [{"token": t, "position": i}]}``.
 * ``/_suggest?q=…&n=3`` → ``{"suggestions": [{"text", "score"}]}``.
@@ -140,6 +148,65 @@ class SearchServer:
                 n_replicas=self.n_replicas,
             )
 
+    def _search_post(self, params, body: bytes) -> dict:
+        """``POST /_search`` — the OpenSearch JSON body interface.
+        ``query`` is a JSON query-DSL object (``query/dsl.py`` — it
+        lowers onto the query_string AST, so the whole local/sharded
+        machinery serves it); ``size``/``from``/``search_after``/
+        ``_source``/``highlight``/``aggs`` map onto the GET surface's
+        parameters.  URL query params still apply as defaults.
+        Aggregations come back keyed by their AGG NAME (OpenSearch
+        shape), not the column name the GET shorthand uses."""
+        spec = json.loads(body) if body.strip() else {}
+        p = dict(params)
+        if "query" in spec:
+            p["q"] = spec["query"]  # dict → DSL (syntax path forced)
+            if isinstance(p["q"], dict):
+                # validate the DSL HERE, before any fleet fan-out: a
+                # malformed body costs one parse, not a sharded round
+                # trip (and errors 400 un-wrapped, not RayTaskError)
+                from .query.dsl import dsl_to_node
+
+                dsl_to_node(p["q"], self._analyzer)
+        if "size" in spec:
+            p["size"] = str(int(spec["size"]))
+        if "from" in spec:
+            p["from"] = str(int(spec["from"]))
+        if "search_after" in spec:
+            s, d = spec["search_after"]
+            p["search_after"] = f"{float(s)!r},{int(d)}"
+        if "_source" in spec:
+            src = spec["_source"]
+            p["fields"] = ",".join(src if isinstance(src, list) else [src])
+        if "highlight" in spec:
+            hfields = spec["highlight"].get("fields", {})
+            if len(hfields) > 1:
+                raise ValueError("one highlight field supported")
+            if hfields:
+                p["highlight"] = next(iter(hfields))
+        names: dict[str, str] = {}  # response column key → agg name
+        for name, agg in (spec.get("aggs") or spec.get("aggregations")
+                          or {}).items():
+            if "terms" in agg:
+                p["agg_terms"] = agg["terms"]["field"]
+                if "size" in agg["terms"]:
+                    p["agg_size"] = str(int(agg["terms"]["size"]))
+                names[p["agg_terms"]] = name
+            elif "stats" in agg:
+                p["agg_stats"] = agg["stats"]["field"]
+                names[p["agg_stats"]] = name
+            else:
+                raise ValueError(
+                    f"unsupported aggregation {agg!r} (terms|stats)"
+                )
+        out = self._search(p)
+        if names and "aggregations" in out:
+            out["aggregations"] = {
+                names.get(col, col): v
+                for col, v in out["aggregations"].items()
+            }
+        return out
+
     def _search(self, params) -> dict:
         q = params["q"]
         k = int(params.get("size", params.get("k", "10")))
@@ -150,7 +217,9 @@ class SearchServer:
             # last hit, fed back verbatim (OpenSearch search_after)
             s, d = params["search_after"].split(",")
             after = (float(s), int(d))
-        syntax = params.get("syntax", "0") in ("1", "true")
+        # a dict q is a JSON query-DSL object — DSL lowers onto the
+        # query_string AST, so it always takes the syntax path
+        syntax = isinstance(q, dict) or params.get("syntax", "0") in ("1", "true")
         fields = tuple(f for f in params.get("fields", "url,title").split(",") if f)
         highlight = params.get("highlight") or None
         t0 = time.perf_counter()
@@ -613,7 +682,9 @@ class SearchServer:
             if not ln.strip():
                 continue
             spec = json.loads(ln)
-            p = {"q": spec["q"]}
+            # "query": a JSON query-DSL object (like POST /_search);
+            # "q": query_string / plain text
+            p = {"q": spec["query"] if "query" in spec else spec["q"]}
             for key in ("k", "syntax", "fields", "highlight"):
                 if key not in spec:
                     continue
@@ -728,6 +799,7 @@ class SearchServer:
             "/_bulk": self._bulk,
             "/_delete_by_query": self._delete_by_query,
             "/_msearch": self._msearch,
+            "/_search": self._search_post,
             "/_snapshot": self._snapshot,
             "/_restore": self._restore,
         }
@@ -792,9 +864,9 @@ class SearchServer:
                     int(handler.headers.get("Content-Length", "0"))
                 )
                 try:
-                    if parsed.path == "/_msearch":
-                        # pure read — never behind the write lock (a
-                        # slow multi-search must not stall bulk writes)
+                    if parsed.path in ("/_msearch", "/_search"):
+                        # pure reads — never behind the write lock (a
+                        # slow search must not stall bulk writes)
                         handler._reply(200, fn(params, body))
                     else:
                         with write_lock:  # writes serialize; reads stay free

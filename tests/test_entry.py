@@ -99,6 +99,7 @@ SQL_BACKED = [
     "bm25_bool_msm",
     "bm25_search_after",
     "search_page_sharded",
+    "dsl_bool_sharded",
     "bm25_topk_merged",
     "facet_date_histogram",
     "facet_pipeline",
