@@ -2377,6 +2377,39 @@ def q_query_string_sharded(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dsl_range_sharded(sf_dir: str) -> pa.Table:
+    """The DSL ``range`` clause on the fleet: ``bool(must: match,
+    filter: range(warc_ts >= cutoff))`` — each shard evaluates the
+    stored-field mask over ITS doc range only (memoized
+    ``reader.stored_mask``; corpus-wide filter state never leaves the
+    fleet).  The filter clause adds a constant +1.0 to every hit, so
+    the (rank, doc_id) page equals the raw filtered-BM25 replay —
+    ``bm25_topk_filtered``'s SQL."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    dsl = {
+        "bool": {
+            "must": [{"match": {"body": " ".join(_BM25_TERMS)}}],
+            "filter": [
+                {"range": {"warc_ts": {"gte": "2025-01-01T00:05:00"}}}
+            ],
+        }
+    }
+    svc = ShardedQueryService(root, n_shards=4)
+    try:
+        hits = svc.query_string(dsl, k=10)
+    finally:
+        svc.shutdown()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
 def q_dsl_bool_sharded(sf_dir: str) -> pa.Table:
     """The OpenSearch JSON query DSL (``query/dsl.py``) served through
     the sharded fleet: a ``bool`` body lowering to EXACTLY the
@@ -3457,6 +3490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_string": q_query_string,
         "query_string_sharded": q_query_string_sharded,
         "dsl_bool_sharded": q_dsl_bool_sharded,
+        "dsl_range_sharded": q_dsl_range_sharded,
         "search_fetch": q_search_fetch,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
@@ -5600,5 +5634,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["query_string_sharded"] = sqls["query_string"]
     # the DSL body lowers to the SAME AST -> same SQL replay
     sqls["dsl_bool_sharded"] = sqls["query_string"]
+    # the range-filter DSL ranks the same page as the raw filtered replay
+    sqls["dsl_range_sharded"] = sqls["bm25_topk_filtered"]
     sqls["facet_terms_served"] = sqls["facet_terms"]
     return sqls

@@ -29,6 +29,11 @@ Supported clauses (one key per query object, like OpenSearch):
   lowercased to meet the index's lowercase token space.
 * ``fuzzy`` — single token, ``fuzziness`` int or "AUTO".
 * ``wildcard`` / ``prefix`` — ``*``/``?`` pattern (prefix appends *).
+* ``range`` — ``{field: {gte|gt|lte|lt: v}}`` over a STORED
+  docs-store column (date / numeric / string; ISO-8601 strings for
+  timestamp columns) — lowers to a ``_Range`` leaf evaluated via the
+  memoized ``reader.stored_mask``, shard-local on the fleet; scores a
+  constant ``boost`` per match (OpenSearch query-context semantics).
 * ``query_string`` — the full mini-language, embedded.
 * ``bool`` — ``must`` / ``should`` / ``must_not`` / ``filter``; each a
   clause or list of clauses.  ``filter`` lowers to ``must``: this
@@ -36,10 +41,11 @@ Supported clauses (one key per query object, like OpenSearch):
   scoring like must (documented divergence; ranks are this engine's
   own contract anyway — the SQL oracles pin them).
 
-Field names are accepted and IGNORED: a build indexes ONE primary
-field (multi-field search is the ``multi_match``/chain machinery,
-``query/multimatch.py``).  This mirrors querying the catch-all
-``text`` field the reference's UI actually hits.
+Field names on TEXT clauses are accepted and IGNORED: a build indexes
+ONE primary field (multi-field search is the ``multi_match``/chain
+machinery, ``query/multimatch.py``).  This mirrors querying the
+catch-all ``text`` field the reference's UI actually hits.  ``range``
+is the exception — it targets a stored docs-store column by name.
 """
 
 from __future__ import annotations
@@ -53,8 +59,10 @@ class DslError(ValueError):
 
 _LEAF_KEYS = (
     "match", "match_phrase", "term", "terms", "fuzzy", "wildcard",
-    "prefix", "query_string", "bool",
+    "prefix", "range", "query_string", "bool",
 )
+
+_RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
 
 
 def _one_field(clause: dict, kind: str) -> tuple[str, object]:
@@ -174,6 +182,23 @@ def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
             _fuzz_edits(opts.get("fuzziness")),
             boost=float(opts.get("boost", 1.0)),
         )
+
+    if kind == "range":
+        from .qstring import _Range
+
+        if not isinstance(body, dict):
+            raise DslError(f"range expects {{gte|gt|lte|lt: …}}: {body!r}")
+        bounds = [
+            (_RANGE_OPS[k], v) for k, v in body.items() if k in _RANGE_OPS
+        ]
+        unknown = set(body) - set(_RANGE_OPS) - {"boost"}
+        if unknown or not bounds:
+            raise DslError(
+                f"range bounds must be gte/gt/lte/lt (got {sorted(body)})"
+            )
+        # range targets a STORED field (docs-store column) — the one
+        # DSL clause where the field name is meaningful, not ignored
+        return _Range(field, bounds, boost=float(body.get("boost", 1.0)))
 
     if kind in ("wildcard", "prefix"):
         value, opts = _opts(body, "value")

@@ -191,6 +191,21 @@ class _Bool:
     boost: float = 1.0
 
 
+@dataclass
+class _Range:
+    """Stored-field predicate leaf (query-DSL ``range`` clauses —
+    ``query/dsl.py``; the mini-language has no spelling for it).
+    Matches docs whose docs-store ``col`` satisfies EVERY ``(op,
+    value)`` bound; scores ``boost`` per match (OpenSearch scores
+    range queries a constant 1.0 in query context).  Evaluated via
+    ``reader.stored_mask`` — memoized per reader, shard-local on the
+    sharded tier."""
+
+    col: str
+    bounds: list  # [(op, value), …] — op ∈ {>=, >, <=, <, ==, !=}
+    boost: float = 1.0
+
+
 class _Parser:
     def __init__(self, toks: list[tuple[str, object]], analyzer, default_operator: str):
         self.toks = toks
@@ -450,6 +465,11 @@ def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
             match[match_doc_ids(reader, terms)] = True
         scores = np.where(match, node.boost, 0.0)
         return scores, match
+    if isinstance(node, _Range):
+        match = np.ones(n, bool)
+        for op, value in node.bounds:
+            match &= reader.stored_mask(node.col, op, value)
+        return np.where(match, node.boost, 0.0), match
     if isinstance(node, _Bool):
         scores = np.zeros(n, np.float64)
         if not node.must and not node.should:
@@ -558,6 +578,12 @@ def _eval_range(reader, node) -> tuple[np.ndarray, np.ndarray]:
                 ids, _ = tp.decode_range(lo, hi)
                 if len(ids):
                     match[(ids - np.uint64(lo)).astype(np.int64)] = True
+        return np.where(match, node.boost, 0.0), match
+    if isinstance(node, _Range):
+        match = np.ones(n_local, bool)
+        for op, value in node.bounds:
+            # stored_mask is already doc-range-local on a shard reader
+            match &= reader.stored_mask(node.col, op, value)
         return np.where(match, node.boost, 0.0), match
     if isinstance(node, _Bool):
         scores = np.zeros(n_local, np.float64)

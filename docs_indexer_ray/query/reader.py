@@ -222,6 +222,62 @@ class IndexReader:
             return synthesize_text(t).select(columns)
         return dset.to_table(filter=expr, columns=columns)
 
+    def stored_mask(self, col: str, op: str, value) -> np.ndarray:
+        """Bool mask over this reader's doc range for a stored-field
+        predicate — the docs-store half of Lucene range/term filters
+        (query-DSL ``range`` clauses lower onto this).  Position ``i``
+        answers for doc ``doc_lo + i``; the scan is row-group-pruned
+        to the range (doc ids are written sorted) and the mask is
+        memoized for the reader's lifetime, so corpus-wide filter
+        state stays WITH the reader (one slice per shard on the
+        sharded tier — never driver-resident).
+
+        ISO-8601 strings are accepted for timestamp columns (query
+        DSL bodies arrive as JSON, which has no datetime type)."""
+        key = (col, op, repr(value))
+        masks = getattr(self, "_stored_masks", None)
+        if masks is None:
+            masks = self._stored_masks = {}
+        mask = masks.get(key)
+        if mask is None:
+            import pyarrow as pa
+            import pyarrow.dataset as pads
+
+            dset = getattr(self, "_docs_dset", None)
+            if dset is None:
+                dset = self._docs_dset = pads.dataset(
+                    os.path.join(self.index_dir, "docs"), partitioning="hive"
+                )
+            if isinstance(value, str) and pa.types.is_timestamp(
+                dset.schema.field(col).type
+            ):
+                import datetime as _dt
+
+                value = _dt.datetime.fromisoformat(value)
+            f = pads.field(col)
+            try:
+                expr = {
+                    ">=": f >= value,
+                    ">": f > value,
+                    "<=": f <= value,
+                    "<": f < value,
+                    "==": f == value,
+                    "!=": f != value,
+                }[op]
+            except KeyError:
+                raise ValueError(f"unknown predicate op {op!r}") from None
+            lo, hi = self.doc_lo, self.doc_hi
+            t = dset.to_table(
+                filter=(pads.field("doc_id") >= lo)
+                & (pads.field("doc_id") < hi)
+                & expr,
+                columns=["doc_id"],
+            )
+            mask = np.zeros(max(0, hi - lo), dtype=bool)
+            mask[t["doc_id"].to_numpy().astype(np.int64) - lo] = True
+            masks[key] = mask
+        return mask
+
     def deleted_ids(self) -> np.ndarray:
         """Sorted tombstoned doc ids (soft deletes — ``index/deletes``),
         loaded once per reader like the norms."""

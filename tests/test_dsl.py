@@ -96,6 +96,20 @@ def test_dsl_lowering_shapes():
     # embedded query_string
     n = dsl_to_node({"query_string": {"query": "+node -quota"}}, an)
     assert isinstance(n, _Bool)
+    # range: stored-field predicate leaf (gte/gt/lte/lt, boost)
+    from docs_indexer_ray.query.qstring import _Range
+
+    n = dsl_to_node(
+        {"range": {"warc_ts": {"gte": "2025-01-01T00:00:00",
+                               "lt": "2025-06-01T00:00:00", "boost": 2.0}}},
+        an,
+    )
+    assert isinstance(n, _Range) and n.col == "warc_ts" and n.boost == 2.0
+    assert sorted(op for op, _ in n.bounds) == ["<", ">="]
+    with pytest.raises(DslError):
+        dsl_to_node({"range": {"warc_ts": {"eq": 3}}}, an)
+    with pytest.raises(DslError):
+        dsl_to_node({"range": {"warc_ts": "2025"}}, an)
     # errors: unsupported clause / malformed shapes
     with pytest.raises(DslError):
         dsl_to_node({"regexp": {"body": "n.*"}}, an)
@@ -167,6 +181,71 @@ def test_dsl_on_the_sharded_fleet(built, ray_session):
         )
     finally:
         svc.shutdown()
+
+
+def test_dsl_range_filter_local_and_sharded(built, ray_session):
+    """``range`` over the stored ``warc_ts`` column: bool(must match +
+    filter range) ranks exactly the BM25 order restricted to the
+    allowed window — on the local reader AND the fleet (each shard
+    builds only ITS slice of the mask via reader.stored_mask)."""
+    import datetime as _dt
+    import os
+
+    import pyarrow.dataset as pads
+
+    from docs_indexer_ray.query.bm25 import score_topk
+    from docs_indexer_ray.query.qstring import query_string_topk
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    docs = pads.dataset(
+        os.path.join(built.index_dir, "docs"), partitioning="hive"
+    ).to_table(columns=["doc_id", "warc_ts"])
+    ts = sorted(docs["warc_ts"].to_pylist())
+    lo_cut, hi_cut = ts[len(ts) // 4], ts[3 * len(ts) // 4]
+    allowed = {
+        int(d)
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["warc_ts"].to_pylist())
+        if lo_cut <= t < hi_cut
+    }
+    assert 0 < len(allowed) < docs.num_rows
+
+    # independent reference: full BM25 ranking filtered by the window
+    full = score_topk(built, ["node"], k=built.n_docs)
+    want_ids = [d for d, _ in full if d in allowed][:12]
+
+    dsl = {"bool": {
+        "must": [{"match": {"body": "node"}}],
+        "filter": [{"range": {"warc_ts": {
+            "gte": lo_cut.isoformat(), "lt": hi_cut.isoformat()}}}],
+    }}
+    got = query_string_topk(built, dsl, k=12)
+    assert [d for d, _ in got] == want_ids
+    # the filter clause scores a constant +1.0 on every hit (filter ≡
+    # must here — documented); order is unchanged by a constant
+    assert all(s > 1.0 for _, s in got)
+
+    root = os.path.dirname(built.index_dir)
+    svc = ShardedQueryService(root, n_shards=3, chain=built.chain)
+    try:
+        assert [d for d, _ in svc.query_string(dsl, k=12)] == want_ids
+        assert svc.count(dsl, syntax=True) == len(
+            {d for d, _ in full} & allowed
+        )
+        # memoized mask: second query reuses each shard's slice
+        assert [d for d, _ in svc.query_string(dsl, k=12)] == want_ids
+    finally:
+        svc.shutdown()
+
+    # a pure range query matches the window with constant scores
+    got = query_string_topk(
+        built,
+        {"range": {"warc_ts": {"gte": lo_cut.isoformat(),
+                               "lt": hi_cut.isoformat()}}},
+        k=len(allowed) + 5,
+    )
+    assert {d for d, _ in got} == allowed
+    assert all(s == 1.0 for _, s in got)
+    assert isinstance(lo_cut, _dt.datetime)
 
 
 def _req(port: int, path: str, body: dict | None = None, **params):

@@ -100,6 +100,7 @@ SQL_BACKED = [
     "bm25_search_after",
     "search_page_sharded",
     "dsl_bool_sharded",
+    "dsl_range_sharded",
     "bm25_topk_merged",
     "facet_date_histogram",
     "facet_pipeline",
