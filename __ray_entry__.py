@@ -2446,6 +2446,113 @@ def q_dsl_bool_sharded(sf_dir: str) -> pa.Table:
     )
 
 
+def _fleet_dsl_page(sf_dir: str, dsl: dict, *, positions: bool = False,
+                    k: int = 10, n_shards: int = 4) -> pa.Table:
+    """Run one DSL body through the sharded fleet → (rank, doc_id)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    kw = {"store_positions": True} if positions else {}
+    _, root = ensure_index(sf_dir, chain="simple", field="body", **kw)
+    svc = ShardedQueryService(root, n_shards=n_shards)
+    try:
+        hits = svc.query_string(dsl, k=k)
+    finally:
+        svc.shutdown()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
+def q_dsl_dismax(sf_dir: str) -> pa.Table:
+    """Lucene DisjunctionMaxQuery through the fleet: per doc the best
+    of (match merge, match slow, phrase "table scan") plus 0.3 × the
+    other matching legs — per-doc-local over dense child evals, so the
+    cross-shard quantized merge is exact.  SQL replays all three legs
+    and the greatest+tie fold bit-exactly."""
+    dsl = {"dis_max": {
+        "queries": [
+            {"match": {"body": "merge"}},
+            {"match": {"body": "slow"}},
+            {"match_phrase": {"body": "table scan"}},
+        ],
+        "tie_breaker": 0.3,
+    }}
+    return _fleet_dsl_page(sf_dir, dsl, positions=True)
+
+
+def q_dsl_ids_matchall(sf_dir: str) -> pa.Table:
+    """``match_all`` + ``ids`` on the fleet: every live doc scores the
+    1.0 floor, docs containing 'table' add BM25, ids {3,7,11} add a
+    2.5 constant — the top page mixes all three score sources and the
+    all-docs tie tail breaks doc-asc (the quantized rank contract)."""
+    dsl = {"bool": {
+        "must": [{"match_all": {}}],
+        "should": [
+            {"ids": {"values": [3, 7, 11], "boost": 2.5}},
+            {"match": {"body": "table"}},
+        ],
+    }}
+    return _fleet_dsl_page(sf_dir, dsl)
+
+
+def q_dsl_constscore_range(sf_dir: str) -> pa.Table:
+    """``constant_score`` over a stored-field ``range`` filter, as a
+    should-leg beside a scoring match: hits in the warc_ts window get
+    a flat +0.5 (OpenSearch constant-score semantics — NOT the
+    filter≡must constant this engine's bool.filter applies), which
+    re-orders the page around the window boundary.  Each shard builds
+    only ITS slice of the stored mask (``reader.stored_mask``)."""
+    dsl = {"bool": {
+        "must": [{"match": {"body": " ".join(_BM25_TERMS)}}],
+        "should": [{"constant_score": {
+            "filter": {"range": {"warc_ts": {"gte": "2025-01-01T00:05:00"}}},
+            "boost": 0.5,
+        }}],
+    }}
+    return _fleet_dsl_page(sf_dir, dsl)
+
+
+def q_dsl_phrase_prefix(sf_dir: str) -> pa.Table:
+    """``match_phrase_prefix`` "table s" on the fleet: the prefix
+    expands against the GLOBAL term dictionary (identical on every
+    shard — scan/slow/small/sort/spark/stream here), each completion
+    scores as its own phrase pseudo-term and a doc sums over the
+    completions it contains (the documented MultiPhraseQuery
+    divergence).  The SQL oracle derives the same expansion set with
+    ``LIKE 's%'`` over the token stream."""
+    dsl = {"match_phrase_prefix": {
+        "body": {"query": "table s", "max_expansions": 50}
+    }}
+    return _fleet_dsl_page(sf_dir, dsl, positions=True)
+
+
+def q_dsl_match_bool_prefix(sf_dir: str) -> pa.Table:
+    """``match_bool_prefix`` "merge s" on the fleet: 'merge' scores
+    BM25, the trailing token is a constant-score prefix wildcard
+    (Lucene's multi-term rewrite — +1.0 for any doc holding an
+    s-prefixed term), membership is the should-union."""
+    dsl = {"match_bool_prefix": {"body": "merge s"}}
+    return _fleet_dsl_page(sf_dir, dsl)
+
+
+def q_dsl_boosting_regexp(sf_dir: str) -> pa.Table:
+    """DSL ``boosting`` demotion with a ``regexp`` negative: positive
+    BM25 over the flagship terms, demoted ×0.25 wherever a term
+    matches ``h.*h`` (→ 'hash'); regexp expansion runs on the term
+    dictionary (trigram-accelerated), RE2-compatible so DuckDB's
+    ``regexp_full_match`` replays the match set."""
+    dsl = {"boosting": {
+        "positive": {"match": {"body": " ".join(_BM25_TERMS)}},
+        "negative": {"regexp": {"body": "h.*h"}},
+        "negative_boost": 0.25,
+    }}
+    return _fleet_dsl_page(sf_dir, dsl)
+
+
 def q_facet_terms_served(sf_dir: str) -> pa.Table:
     """The ``terms`` aggregation served by the SHARD FLEET
     (``ShardedQueryService.terms_facet``: per-shard matched counts
@@ -3491,6 +3598,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_string_sharded": q_query_string_sharded,
         "dsl_bool_sharded": q_dsl_bool_sharded,
         "dsl_range_sharded": q_dsl_range_sharded,
+        "dsl_dismax": q_dsl_dismax,
+        "dsl_ids_matchall": q_dsl_ids_matchall,
+        "dsl_constscore_range": q_dsl_constscore_range,
+        "dsl_phrase_prefix": q_dsl_phrase_prefix,
+        "dsl_match_bool_prefix": q_dsl_match_bool_prefix,
+        "dsl_boosting_regexp": q_dsl_boosting_regexp,
         "search_fetch": q_search_fetch,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
@@ -5637,4 +5750,138 @@ def oracle_sql() -> dict[str, str]:
     # the range-filter DSL ranks the same page as the raw filtered replay
     sqls["dsl_range_sharded"] = sqls["bm25_topk_filtered"]
     sqls["facet_terms_served"] = sqls["facet_terms"]
+    # shared scaffolding for the round-3 DSL-clause oracles: tokenized
+    # body, doc lengths, corpus stats, per-term tf/df (the established
+    # BM25 replay shape)
+    _DSL_BASE = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    """
+    _TERM_SCORE = """
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          {where}
+          GROUP BY tf.doc_id
+    """
+    sqls["dsl_dismax"] = f"""
+        {_DSL_BASE},
+        s1 AS ({_TERM_SCORE.format(where="WHERE tf.term = 'merge'")}),
+        s2 AS ({_TERM_SCORE.format(where="WHERE tf.term = 'slow'")}),
+        tokpos AS (SELECT doc_id, unnest({toks_body}) AS term,
+                          generate_subscripts({toks_body}, 1) AS pos FROM docs),
+        pf AS (SELECT a.doc_id, count(*) AS pf
+               FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               WHERE a.term = 'table' AND b.term = 'scan' GROUP BY a.doc_id),
+        pidf AS (SELECT SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))) AS idf
+                 FROM df, stats WHERE df.term IN ('table', 'scan')),
+        s3 AS (SELECT pf.doc_id,
+                      pidf.idf * pf.pf
+                        / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS score
+               FROM pf JOIN dl USING (doc_id), pidf, stats),
+        ids AS (SELECT doc_id FROM s1 UNION SELECT doc_id FROM s2
+                UNION SELECT doc_id FROM s3),
+        legs AS (SELECT ids.doc_id,
+                        COALESCE(s1.score, 0.0) AS v1,
+                        COALESCE(s2.score, 0.0) AS v2,
+                        COALESCE(s3.score, 0.0) AS v3
+                 FROM ids LEFT JOIN s1 USING (doc_id)
+                          LEFT JOIN s2 USING (doc_id)
+                          LEFT JOIN s3 USING (doc_id)),
+        dism AS (SELECT doc_id,
+                        greatest(v1, v2, v3)
+                          + 0.3 * (v1 + v2 + v3 - greatest(v1, v2, v3)) AS score
+                 FROM legs)
+        SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM dism ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+    """
+    sqls["dsl_ids_matchall"] = f"""
+        {_DSL_BASE},
+        st AS ({_TERM_SCORE.format(where="WHERE tf.term = 'table'")}),
+        hits AS (SELECT d.doc_id,
+                        1.0 + COALESCE(st.score, 0.0)
+                            + CASE WHEN d.doc_id IN (3, 7, 11)
+                                   THEN 2.5 ELSE 0.0 END AS score
+                 FROM docs d LEFT JOIN st USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM hits ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+    """
+    sqls["dsl_constscore_range"] = f"""
+        {_DSL_BASE},
+        scores AS ({_TERM_SCORE.format(where="")}),
+        hits AS (SELECT s.doc_id,
+                        s.score + CASE WHEN {_WARC} >= TIMESTAMP '2025-01-01 00:05:00'
+                                       THEN 0.5 ELSE 0.0 END AS score
+                 FROM scores s JOIN documents USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM hits ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+    """
+    sqls["dsl_phrase_prefix"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        -- the engine expands the prefix against the term dictionary =
+        -- the corpus's distinct tokens (dictionary order, cap 50 — the
+        -- expansion set here is far smaller)
+        fdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                WHERE term = 'table' OR term LIKE 's%' GROUP BY term),
+        tokpos AS (SELECT doc_id, unnest({toks_body}) AS term,
+                          generate_subscripts({toks_body}, 1) AS pos FROM docs),
+        pf AS (SELECT a.doc_id, b.term AS etail, count(*) AS pf
+               FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               WHERE a.term = 'table' AND b.term LIKE 's%'
+               GROUP BY a.doc_id, b.term),
+        pscore AS (SELECT pf.doc_id,
+                          SUM((idf1.idf + ln(1 + (stats.n - fdf.df + 0.5) / (fdf.df + 0.5)))
+                              * pf.pf / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+                   FROM pf
+                   JOIN fdf ON fdf.term = pf.etail
+                   JOIN dl USING (doc_id),
+                   (SELECT ln(1 + (stats.n - fdf.df + 0.5) / (fdf.df + 0.5)) AS idf
+                    FROM fdf, stats WHERE fdf.term = 'table') idf1,
+                   stats
+                   GROUP BY pf.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM pscore ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+    """
+    sqls["dsl_match_bool_prefix"] = f"""
+        {_DSL_BASE},
+        sm AS ({_TERM_SCORE.format(where="WHERE tf.term = 'merge'")}),
+        pref AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's%'),
+        ids AS (SELECT doc_id FROM sm UNION SELECT doc_id FROM pref),
+        hits AS (SELECT ids.doc_id,
+                        COALESCE(sm.score, 0.0)
+                          + CASE WHEN ids.doc_id IN (SELECT doc_id FROM pref)
+                                 THEN 1.0 ELSE 0.0 END AS score
+                 FROM ids LEFT JOIN sm USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM hits ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+    """
+    sqls["dsl_boosting_regexp"] = f"""
+        {_DSL_BASE},
+        scores AS ({_TERM_SCORE.format(where="")}),
+        neg AS (SELECT DISTINCT doc_id FROM toks
+                WHERE regexp_full_match(term, 'h.*h')),
+        hits AS (SELECT s.doc_id,
+                        CASE WHEN s.doc_id IN (SELECT doc_id FROM neg)
+                             THEN s.score * 0.25 ELSE s.score END AS score
+                 FROM scores s)
+        SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM hits ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+    """
     return sqls

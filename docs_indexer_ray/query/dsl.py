@@ -29,17 +29,40 @@ Supported clauses (one key per query object, like OpenSearch):
   lowercased to meet the index's lowercase token space.
 * ``fuzzy`` — single token, ``fuzziness`` int or "AUTO".
 * ``wildcard`` / ``prefix`` — ``*``/``?`` pattern (prefix appends *).
+* ``regexp`` — anchored regex over the term dictionary
+  (trigram-accelerated expansion), constant score like wildcard.
 * ``range`` — ``{field: {gte|gt|lte|lt: v}}`` over a STORED
   docs-store column (date / numeric / string; ISO-8601 strings for
   timestamp columns) — lowers to a ``_Range`` leaf evaluated via the
   memoized ``reader.stored_mask``, shard-local on the fleet; scores a
   constant ``boost`` per match (OpenSearch query-context semantics).
 * ``query_string`` — the full mini-language, embedded.
+* ``match_all`` — every live doc at constant ``boost``.
+* ``ids`` — ``{"values": [doc_id, …]}`` constant-score membership.
+* ``exists`` — ``{"field": col}`` non-null stored docs-store column
+  (an unmapped field matches nothing, the OpenSearch semantic).
+* ``constant_score`` — ``{"filter": clause, "boost": b}``: the
+  filter's match set, every hit scoring exactly ``b``.
+* ``dis_max`` — ``{"queries": […], "tie_breaker": t}``: per doc the
+  best child plus ``t`` × the other matching children (Lucene
+  DisjunctionMaxQuery).
+* ``boosting`` — ``{"positive": …, "negative": …, "negative_boost":
+  b}``: positive's matches/scores, multiplied by ``b`` where the
+  negative also matches (never gates membership).
+* ``match_bool_prefix`` — every analyzed token a term, the last a
+  constant-score prefix wildcard (Lucene's multi-term rewrite).
+* ``match_phrase_prefix`` — phrase whose last token expands against
+  the term dictionary (dictionary order, ``max_expansions`` cap, 50
+  default); each completion scores as its own phrase pseudo-term and
+  a doc sums over the completions it contains (documented divergence
+  from Lucene's pooled MultiPhraseQuery frequency).
 * ``bool`` — ``must`` / ``should`` / ``must_not`` / ``filter``; each a
   clause or list of clauses.  ``filter`` lowers to ``must``: this
-  engine has no constant-score path, so filter clauses participate in
-  scoring like must (documented divergence; ranks are this engine's
-  own contract anyway — the SQL oracles pin them).
+  engine has no constant-score path for filter context, so filter
+  clauses participate in scoring like must (documented divergence;
+  ranks are this engine's own contract anyway — the SQL oracles pin
+  them).  For true constant-score filtering wrap the clause in
+  ``constant_score``.
 
 Field names on TEXT clauses are accepted and IGNORED: a build indexes
 ONE primary field (multi-field search is the ``multi_match``/chain
@@ -59,7 +82,9 @@ class DslError(ValueError):
 
 _LEAF_KEYS = (
     "match", "match_phrase", "term", "terms", "fuzzy", "wildcard",
-    "prefix", "range", "query_string", "bool",
+    "prefix", "range", "query_string", "bool", "match_all", "ids",
+    "exists", "constant_score", "dis_max", "boosting",
+    "match_bool_prefix", "match_phrase_prefix", "regexp",
 )
 
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
@@ -132,7 +157,121 @@ def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
             clause.get("default_operator", default_operator).lower(),
         )
 
+    if kind == "match_all":
+        from .qstring import _MatchAll
+
+        if not isinstance(clause, dict) or set(clause) - {"boost"}:
+            raise DslError(f"match_all takes only boost: {clause!r}")
+        return _MatchAll(boost=float(clause.get("boost", 1.0)))
+
+    if kind == "ids":
+        from .qstring import _Ids
+
+        if not isinstance(clause, dict) or not isinstance(
+            clause.get("values"), list
+        ):
+            raise DslError(f"ids expects {{'values': […]}}: {clause!r}")
+        return _Ids(
+            [int(v) for v in clause["values"]],
+            boost=float(clause.get("boost", 1.0)),
+        )
+
+    if kind == "exists":
+        from .qstring import _Range
+
+        if not isinstance(clause, dict) or "field" not in clause:
+            raise DslError(f"exists expects {{'field': …}}: {clause!r}")
+        # exists is a stored-field predicate like range: non-null in
+        # the docs store; an unmapped field matches nothing
+        return _Range(
+            str(clause["field"]), [("exists", None)],
+            boost=float(clause.get("boost", 1.0)),
+        )
+
+    if kind == "constant_score":
+        from .qstring import _ConstScore
+
+        if not isinstance(clause, dict) or "filter" not in clause:
+            raise DslError(
+                f"constant_score expects {{'filter': …}}: {clause!r}"
+            )
+        child = dsl_to_node(clause["filter"], analyzer, default_operator)
+        if child is None:
+            return None
+        return _ConstScore(child, boost=float(clause.get("boost", 1.0)))
+
+    if kind == "dis_max":
+        from .qstring import _DisMax
+
+        if not isinstance(clause, dict) or not isinstance(
+            clause.get("queries"), list
+        ):
+            raise DslError(f"dis_max expects {{'queries': […]}}: {clause!r}")
+        children = [
+            c
+            for q in clause["queries"]
+            if (c := dsl_to_node(q, analyzer, default_operator)) is not None
+        ]
+        if not children:
+            return None
+        return _DisMax(
+            children,
+            tie_breaker=float(clause.get("tie_breaker", 0.0)),
+            boost=float(clause.get("boost", 1.0)),
+        )
+
+    if kind == "boosting":
+        from .qstring import _Boosting
+
+        if not isinstance(clause, dict) or "positive" not in clause \
+                or "negative" not in clause:
+            raise DslError(
+                f"boosting expects positive + negative: {clause!r}"
+            )
+        pos = dsl_to_node(clause["positive"], analyzer, default_operator)
+        if pos is None:
+            return None
+        neg = dsl_to_node(clause["negative"], analyzer, default_operator)
+        if neg is None:  # nothing to demote — the positive stands alone
+            return pos
+        return _Boosting(
+            pos, neg,
+            negative_boost=float(clause.get("negative_boost", 0.5)),
+            boost=float(clause.get("boost", 1.0)),
+        )
+
     field, body = _one_field(clause, kind)
+
+    if kind == "match_bool_prefix":
+        text, opts = _opts(body, "query")
+        terms = analyzer(text)
+        if not terms:
+            return None
+        # every token a term except the LAST, which is a prefix — the
+        # constant-score wildcard leaf (Lucene's multi-term rewrite)
+        leaves = [_Term(t) for t in terms[:-1]]
+        leaves.append(_Wildcard(terms[-1] + "*"))
+        boost = float(opts.get("boost", 1.0))
+        if len(leaves) == 1:
+            leaves[0].boost = boost
+            return leaves[0]
+        op = str(opts.get("operator", "or")).lower()
+        if op == "and":
+            return _Bool(must=leaves, boost=boost)
+        return _Bool(should=leaves, boost=boost)
+
+    if kind == "match_phrase_prefix":
+        from .qstring import _PhrasePrefix
+
+        text, opts = _opts(body, "query")
+        terms = analyzer(text)
+        if not terms:
+            return None
+        return _PhrasePrefix(
+            terms,
+            max_expansions=int(opts.get("max_expansions", 50)),
+            boost=float(opts.get("boost", 1.0)),
+        )
 
     if kind == "match":
         text, opts = _opts(body, "query")
@@ -204,6 +343,12 @@ def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
         value, opts = _opts(body, "value")
         pat = value.lower() + ("*" if kind == "prefix" else "")
         return _Wildcard(pat, boost=float(opts.get("boost", 1.0)))
+
+    if kind == "regexp":
+        from .qstring import _Regexp
+
+        value, opts = _opts(body, "value")
+        return _Regexp(value.lower(), boost=float(opts.get("boost", 1.0)))
 
     raise DslError(f"unsupported query clause {kind!r} "
                    f"(supported: {', '.join(_LEAF_KEYS)})")

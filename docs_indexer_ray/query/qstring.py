@@ -202,7 +202,87 @@ class _Range:
     sharded tier."""
 
     col: str
-    bounds: list  # [(op, value), …] — op ∈ {>=, >, <=, <, ==, !=}
+    bounds: list  # [(op, value), …] — op ∈ {>=, >, <=, <, ==, !=, exists}
+    boost: float = 1.0
+
+
+@dataclass
+class _MatchAll:
+    """Every live doc, constant score ``boost`` (OpenSearch
+    ``match_all``).  Tombstones are masked once at the top by the
+    callers, exactly like every other leaf."""
+
+    boost: float = 1.0
+
+
+@dataclass
+class _Ids:
+    """Constant-score membership on explicit doc ids (OpenSearch
+    ``ids``).  Ids outside the corpus (or outside a shard's range)
+    simply don't match — per-doc-local, so shards compose exactly."""
+
+    ids: list  # global doc ids (ints)
+    boost: float = 1.0
+
+
+@dataclass
+class _ConstScore:
+    """OpenSearch ``constant_score``: the child contributes only its
+    MATCH SET; every matching doc scores exactly ``boost``."""
+
+    child: object
+    boost: float = 1.0
+
+
+@dataclass
+class _DisMax:
+    """Lucene DisjunctionMaxQuery: per doc, the best child's score
+    plus ``tie_breaker`` × the sum of the other matching children;
+    matches the union of the children.  Per-doc-local over dense
+    child evaluations — shard-composable like ``_Bool``."""
+
+    children: list
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
+@dataclass
+class _Boosting:
+    """Lucene BoostingQuery (the query-DSL ``boosting`` clause): the
+    positive child's matches and scores, demoted by ``negative_boost``
+    wherever the negative child also matches — the negative side
+    never gates membership (``bm25.boosting_topk`` semantics)."""
+
+    positive: object
+    negative: object
+    negative_boost: float = 0.5
+    boost: float = 1.0
+
+
+@dataclass
+class _Regexp:
+    """OpenSearch ``regexp`` query: anchored-regex term expansion
+    (``fuzzy.regexp_terms`` — trigram-accelerated), CONSTANT-SCORE
+    like ``_Wildcard`` (Lucene's multi-term rewrite)."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass
+class _PhrasePrefix:
+    """OpenSearch ``match_phrase_prefix``: the last term is a PREFIX
+    expanded against the term dictionary at evaluation time (the
+    dictionary is global — identical expansions on every shard).
+    Scoring divergence, documented: each completed phrase scores as
+    its own phrase pseudo-term and a doc sums over the expansions it
+    contains (Lucene's MultiPhraseQuery pools positions into ONE
+    phrase-frequency instead; ranks agree except when one doc holds
+    several distinct completions).  Expansion order is dictionary
+    order, capped at ``max_expansions`` (the OpenSearch default 50)."""
+
+    terms: list  # analyzed tokens; the LAST one is the prefix
+    max_expansions: int = 50
     boost: float = 1.0
 
 
@@ -387,10 +467,49 @@ def positive_terms(node) -> set[str]:
             out |= positive_terms(child)
         for child in node.should:
             out |= positive_terms(child)
+    elif isinstance(node, _PhrasePrefix):
+        # the literal head terms highlight; the prefix's expansions
+        # are index-dependent (the fuzzy/wildcard limitation)
+        out.update(node.terms[:-1])
+    elif isinstance(node, _DisMax):
+        for child in node.children:
+            out |= positive_terms(child)
+    elif isinstance(node, (_ConstScore, _Boosting)):
+        out |= positive_terms(
+            node.child if isinstance(node, _ConstScore) else node.positive
+        )
     return out
 
 
 # ------------------------------------------------------------ evaluator
+
+
+def _phrase_prefix_bool(reader, node: _PhrasePrefix) -> _Bool:
+    """Lower a ``_PhrasePrefix`` against THIS reader's (global) term
+    dictionary: dictionary-order expansions of the last token, capped
+    at ``max_expansions``; each completion becomes a phrase (or a bare
+    term when the prefix is the only token) in one should-group."""
+    exp = sorted(
+        t for t, _ in reader.prefix_terms(node.terms[-1], limit=1 << 30)
+    )[: node.max_expansions]
+    head = node.terms[:-1]
+    leaves = [
+        _Phrase(head + [e]) if head else _Term(e) for e in exp
+    ]
+    return _Bool(should=leaves, boost=node.boost)
+
+
+def _dis_max_combine(parts, n, tie: float, boost: float):
+    """Fold child ``(scores, match)`` pairs into DisMax semantics."""
+    best = np.zeros(n, np.float64)
+    total = np.zeros(n, np.float64)
+    match = np.zeros(n, bool)
+    for s, m in parts:
+        np.maximum(best, s, out=best)
+        total += s
+        match |= m
+    scores = np.where(match, (best + tie * (total - best)) * boost, 0.0)
+    return scores, match
 
 
 def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
@@ -399,6 +518,27 @@ def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
     from .bm25 import bm25_scores_dense
 
     n = reader.n_docs
+    if isinstance(node, _MatchAll):
+        match = np.ones(n, bool)
+        return np.full(n, node.boost, np.float64), match
+    if isinstance(node, _Ids):
+        match = np.zeros(n, bool)
+        ids = np.asarray([i for i in node.ids if 0 <= int(i) < n], np.int64)
+        match[ids] = True
+        return np.where(match, node.boost, 0.0), match
+    if isinstance(node, _ConstScore):
+        _, match = _eval(reader, node.child)
+        return np.where(match, node.boost, 0.0), match
+    if isinstance(node, _DisMax):
+        parts = [_eval(reader, c) for c in node.children]
+        return _dis_max_combine(parts, n, node.tie_breaker, node.boost)
+    if isinstance(node, _Boosting):
+        scores, match = _eval(reader, node.positive)
+        _, neg = _eval(reader, node.negative)
+        scores = np.where(neg, scores * node.negative_boost, scores)
+        return np.where(match, scores * node.boost, 0.0), match
+    if isinstance(node, _PhrasePrefix):
+        return _eval(reader, _phrase_prefix_bool(reader, node))
     if isinstance(node, _Term):
         scores = bm25_scores_dense(reader, [node.term]) * node.boost
         return scores, scores > 0.0
@@ -455,11 +595,16 @@ def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
                 / (tf + _k_factor(dl, avgdl, 1.2, 0.75))
             )
         return scores, match
-    if isinstance(node, _Wildcard):
+    if isinstance(node, (_Wildcard, _Regexp)):
         from .facets import match_doc_ids
-        from .fuzzy import wildcard_terms
+        from .fuzzy import regexp_terms, wildcard_terms
 
-        terms = [t for t, _ in wildcard_terms(reader, node.pattern)]
+        exp = (
+            wildcard_terms(reader, node.pattern)
+            if isinstance(node, _Wildcard)
+            else regexp_terms(reader, node.pattern)
+        )
+        terms = [t for t, _ in exp]
         match = np.zeros(n, bool)
         if terms:
             match[match_doc_ids(reader, terms)] = True
@@ -507,6 +652,31 @@ def _eval_range(reader, node) -> tuple[np.ndarray, np.ndarray]:
     lo, hi = reader.doc_lo, reader.doc_hi
     n_local = max(0, hi - lo)
     avgdl = reader.avgdl or 1.0
+    if isinstance(node, _MatchAll):
+        match = np.ones(n_local, bool)
+        return np.full(n_local, node.boost, np.float64), match
+    if isinstance(node, _Ids):
+        match = np.zeros(n_local, bool)
+        ids = np.asarray(
+            [int(i) - lo for i in node.ids if lo <= int(i) < hi], np.int64
+        )
+        match[ids] = True
+        return np.where(match, node.boost, 0.0), match
+    if isinstance(node, _ConstScore):
+        _, match = _eval_range(reader, node.child)
+        return np.where(match, node.boost, 0.0), match
+    if isinstance(node, _DisMax):
+        parts = [_eval_range(reader, c) for c in node.children]
+        return _dis_max_combine(parts, n_local, node.tie_breaker, node.boost)
+    if isinstance(node, _Boosting):
+        scores, match = _eval_range(reader, node.positive)
+        _, neg = _eval_range(reader, node.negative)
+        scores = np.where(neg, scores * node.negative_boost, scores)
+        return np.where(match, scores * node.boost, 0.0), match
+    if isinstance(node, _PhrasePrefix):
+        # the term dictionary is GLOBAL on a shard reader, so every
+        # shard lowers to the identical expansion set
+        return _eval_range(reader, _phrase_prefix_bool(reader, node))
     if isinstance(node, _Term):
         scores = np.zeros(n_local, np.float64)
         tp = reader.postings(node.term)
@@ -568,11 +738,16 @@ def _eval_range(reader, node) -> tuple[np.ndarray, np.ndarray]:
                 / (tf + _k_factor(dlarr[docs], avgdl, 1.2, 0.75))
             )
         return scores, match
-    if isinstance(node, _Wildcard):
-        from .fuzzy import wildcard_terms
+    if isinstance(node, (_Wildcard, _Regexp)):
+        from .fuzzy import regexp_terms, wildcard_terms
 
+        exp = (
+            wildcard_terms(reader, node.pattern)
+            if isinstance(node, _Wildcard)
+            else regexp_terms(reader, node.pattern)
+        )
         match = np.zeros(n_local, bool)
-        for term, _ in wildcard_terms(reader, node.pattern):
+        for term, _ in exp:
             tp = reader.postings(term)
             if tp is not None:
                 ids, _ = tp.decode_range(lo, hi)

@@ -248,6 +248,12 @@ class IndexReader:
                 dset = self._docs_dset = pads.dataset(
                     os.path.join(self.index_dir, "docs"), partitioning="hive"
                 )
+            if op == "exists" and col not in dset.schema.names:
+                # OpenSearch `exists` on an unmapped field matches
+                # nothing (every OTHER op on a missing column raises)
+                mask = np.zeros(max(0, self.doc_hi - self.doc_lo), bool)
+                masks[key] = mask
+                return mask
             if isinstance(value, str) and pa.types.is_timestamp(
                 dset.schema.field(col).type
             ):
@@ -263,6 +269,7 @@ class IndexReader:
                     "<": f < value,
                     "==": f == value,
                     "!=": f != value,
+                    "exists": f.is_valid(),
                 }[op]
             except KeyError:
                 raise ValueError(f"unknown predicate op {op!r}") from None

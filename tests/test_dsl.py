@@ -112,7 +112,7 @@ def test_dsl_lowering_shapes():
         dsl_to_node({"range": {"warc_ts": "2025"}}, an)
     # errors: unsupported clause / malformed shapes
     with pytest.raises(DslError):
-        dsl_to_node({"regexp": {"body": "n.*"}}, an)
+        dsl_to_node({"span_term": {"body": "n"}}, an)
     with pytest.raises(DslError):
         dsl_to_node({"match": {"a": "x", "b": "y"}}, an)
     with pytest.raises(DslError):
@@ -320,7 +320,296 @@ def test_http_post_search_dsl(built, ray_session):
                 == ids[:3]
 
             code, err = _req(srv.port, "/_search",
-                             body={"query": {"regexp": {"body": "n.*"}}})
+                             body={"query": {"span_term": {"body": "n"}}})
             assert code == 400 and err["error"]["type"] == "DslError"
         finally:
             srv.stop()
+
+
+# ------------------------------------------------- round-3 DSL additions
+
+
+def test_dsl_new_clause_lowering_shapes():
+    """match_all / ids / exists / constant_score / dis_max / boosting /
+    match_bool_prefix / match_phrase_prefix / regexp lower onto the
+    new AST leaves, with loud errors on malformed bodies."""
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+    from docs_indexer_ray.query.qstring import (
+        _Bool,
+        _Boosting,
+        _ConstScore,
+        _DisMax,
+        _Ids,
+        _MatchAll,
+        _PhrasePrefix,
+        _Range,
+        _Regexp,
+        _Term,
+        _Wildcard,
+    )
+
+    an = _an()
+    n = dsl_to_node({"match_all": {}}, an)
+    assert isinstance(n, _MatchAll) and n.boost == 1.0
+    assert dsl_to_node({"match_all": {"boost": 2.0}}, an).boost == 2.0
+    with pytest.raises(DslError):
+        dsl_to_node({"match_all": {"norm": True}}, an)
+
+    n = dsl_to_node({"ids": {"values": [3, "7"]}}, an)
+    assert isinstance(n, _Ids) and n.ids == [3, 7]
+    with pytest.raises(DslError):
+        dsl_to_node({"ids": {"values": 3}}, an)
+
+    n = dsl_to_node({"exists": {"field": "extras"}}, an)
+    assert isinstance(n, _Range) and n.bounds == [("exists", None)]
+    with pytest.raises(DslError):
+        dsl_to_node({"exists": {"feeld": "x"}}, an)
+
+    n = dsl_to_node(
+        {"constant_score": {"filter": {"match": {"body": "node"}},
+                            "boost": 1.5}}, an
+    )
+    assert isinstance(n, _ConstScore) and n.boost == 1.5
+    assert isinstance(n.child, _Term)
+    # a filter that analyzes away → the whole clause vanishes
+    assert dsl_to_node(
+        {"constant_score": {"filter": {"match": {"body": "…"}}}}, an
+    ) is None
+    with pytest.raises(DslError):
+        dsl_to_node({"constant_score": {"boost": 2.0}}, an)
+
+    n = dsl_to_node(
+        {"dis_max": {"queries": [{"match": {"body": "node"}},
+                                 {"match": {"body": "pools"}}],
+                     "tie_breaker": 0.3}}, an
+    )
+    assert isinstance(n, _DisMax) and n.tie_breaker == 0.3
+    assert len(n.children) == 2
+    with pytest.raises(DslError):
+        dsl_to_node({"dis_max": {"tie_breaker": 0.3}}, an)
+
+    n = dsl_to_node(
+        {"boosting": {"positive": {"match": {"body": "node"}},
+                      "negative": {"match": {"body": "quota"}},
+                      "negative_boost": 0.25}}, an
+    )
+    assert isinstance(n, _Boosting) and n.negative_boost == 0.25
+    # a negative that analyzes away → the positive stands alone
+    n = dsl_to_node(
+        {"boosting": {"positive": {"match": {"body": "node"}},
+                      "negative": {"match": {"body": "…"}}}}, an
+    )
+    assert isinstance(n, _Term)
+    with pytest.raises(DslError):
+        dsl_to_node({"boosting": {"positive": {"match": {"body": "x"}}}}, an)
+
+    n = dsl_to_node({"match_bool_prefix": {"body": "node poo"}}, an)
+    assert isinstance(n, _Bool) and isinstance(n.should[0], _Term)
+    assert isinstance(n.should[1], _Wildcard)
+    assert n.should[1].pattern == "poo*"
+    n = dsl_to_node({"match_bool_prefix": {"body": "poo"}}, an)
+    assert isinstance(n, _Wildcard) and n.pattern == "poo*"
+
+    n = dsl_to_node(
+        {"match_phrase_prefix": {"body": {"query": "node poo",
+                                          "max_expansions": 7}}}, an
+    )
+    assert isinstance(n, _PhrasePrefix) and n.terms == ["node", "poo"]
+    assert n.max_expansions == 7
+
+    n = dsl_to_node({"regexp": {"body": "nod.*"}}, an)
+    assert isinstance(n, _Regexp) and n.pattern == "nod.*"
+
+
+def test_dsl_match_all_ids_exists_semantics(built):
+    """match_all = every doc at constant boost; ids = exact membership
+    (out-of-range values silently don't match); exists = stored-column
+    non-null (extras IS null on plain pages), unmapped field = nothing."""
+    import numpy as np
+
+    from docs_indexer_ray.query.qstring import query_string_topk
+
+    n = built.n_docs
+    got = query_string_topk(built, {"match_all": {}}, k=n + 5)
+    assert len(got) == n
+    assert all(s == 1.0 for _, s in got)
+    assert [d for d, _ in got] == list(range(n))  # score ties → doc asc
+
+    got = query_string_topk(
+        built, {"ids": {"values": [5, 2, 999_999, 2]}}, k=10
+    )
+    assert [d for d, _ in got] == [2, 5] and all(s == 1.0 for _, s in got)
+
+    # extras: null exactly on pages without unmapped front-matter keys
+    import os
+
+    import pyarrow.dataset as pads
+
+    docs = pads.dataset(
+        os.path.join(built.index_dir, "docs"), partitioning="hive"
+    ).to_table(columns=["doc_id", "extras"])
+    with_extras = {
+        int(d)
+        for d, e in zip(docs["doc_id"].to_pylist(), docs["extras"].to_pylist())
+        if e is not None
+    }
+    assert 0 < len(with_extras) < n  # genuinely mixed on the rich corpus
+    got = query_string_topk(built, {"exists": {"field": "extras"}}, k=n + 5)
+    assert {d for d, _ in got} == with_extras
+
+    # unmapped field: matches nothing (OpenSearch), never raises
+    from docs_indexer_ray.query.qstring import QueryStringError
+
+    with pytest.raises(QueryStringError):  # zero clauses match → empty
+        query_string_topk(built, {"bool": {}}, k=5)
+    got = query_string_topk(
+        built,
+        {"bool": {"must": [{"match": {"body": "node"}}],
+                  "must_not": [{"exists": {"field": "no_such_col"}}]}},
+        k=5,
+    )
+    assert got == query_string_topk(built, "node", k=5)
+    assert np.all([s > 0 for _, s in got])
+
+
+def test_dsl_constant_score_and_dismax(built):
+    """constant_score: the filter's match set, every score == boost.
+    dis_max: best child + tie_breaker × the rest, union membership —
+    verified against an independent per-child evaluation."""
+    import numpy as np
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.qstring import (
+        _eval,
+        parse_query_string,
+        query_string_topk,
+    )
+
+    an = Analyzer(built.chain)
+    inner = {"match": {"body": "node pools"}}
+    got = query_string_topk(
+        built, {"constant_score": {"filter": inner, "boost": 2.5}},
+        k=built.n_docs,
+    )
+    want_match = {
+        d for d, _ in query_string_topk(built, inner, k=built.n_docs)
+    }
+    assert {d for d, _ in got} == want_match
+    assert all(s == 2.5 for _, s in got)
+
+    legs = [{"match": {"body": "node"}},
+            {"match": {"body": "pools"}},
+            {"match_phrase": {"body": "node pools"}}]
+    tie = 0.4
+    dis = {"dis_max": {"queries": legs, "tie_breaker": tie, "boost": 1.0}}
+    got = dict(query_string_topk(built, dis, k=built.n_docs))
+
+    mats = [_eval(built, parse_query_string(leg, an)) for leg in legs]
+    scores = np.stack([s for s, _ in mats])
+    union = np.logical_or.reduce([m for _, m in mats])
+    best = scores.max(axis=0)
+    expect = best + tie * (scores.sum(axis=0) - best)
+    for d in range(built.n_docs):
+        if union[d]:
+            assert got[d] == pytest.approx(round(expect[d], 9), abs=1e-12)
+        else:
+            assert d not in got
+
+
+def test_dsl_boosting_and_regexp(built):
+    """boosting: positive's scores × negative_boost where the negative
+    matches (membership unchanged) — regexp ≡ the equivalent wildcard."""
+    from docs_indexer_ray.query.qstring import query_string_topk
+
+    pos = {"match": {"body": "node pools"}}
+    neg = {"match": {"body": "namespace"}}
+    base = dict(query_string_topk(built, pos, k=built.n_docs))
+    negm = {d for d, _ in query_string_topk(built, neg, k=built.n_docs)}
+    got = dict(query_string_topk(
+        built,
+        {"boosting": {"positive": pos, "negative": neg,
+                      "negative_boost": 0.25}},
+        k=built.n_docs,
+    ))
+    assert set(got) == set(base)
+    for d, s in base.items():
+        want = s * 0.25 if d in negm else s
+        assert got[d] == pytest.approx(round(want, 9), abs=1e-12)
+
+    rx = query_string_topk(built, {"regexp": {"body": "nod.*"}},
+                           k=built.n_docs)
+    wc = query_string_topk(built, {"wildcard": {"body": "nod*"}},
+                           k=built.n_docs)
+    assert rx == wc and len(rx) > 0
+
+
+def test_dsl_phrase_and_bool_prefix(built):
+    """match_bool_prefix ≡ its query_string spelling; match_phrase_prefix
+    ≡ an explicit should-of-phrases over the dictionary expansions."""
+    from docs_indexer_ray.query.qstring import query_string_topk
+
+    got = query_string_topk(
+        built, {"match_bool_prefix": {"body": "node poo"}}, k=20
+    )
+    want = query_string_topk(built, "node OR poo*", k=20)
+    assert got == want
+
+    exp = sorted(t for t, _ in built.prefix_terms("poo", limit=1 << 30))
+    assert exp  # 'pools' at least
+    manual = {"bool": {"should": [
+        {"match_phrase": {"body": f"node {e}"}} for e in exp
+    ]}}
+    got = query_string_topk(
+        built, {"match_phrase_prefix": {"body": "node poo"}}, k=30
+    )
+    # the manual bool analyzes each completed phrase through the chain —
+    # identical leaves, identical ranking
+    assert got == query_string_topk(built, manual, k=30)
+    assert len(got) > 0
+
+    # a prefix with no dictionary completions matches nothing
+    assert query_string_topk(
+        built,
+        {"match_phrase_prefix": {"body": {"query": "node zzz"}}},
+        k=5,
+    ) == []
+
+
+def test_dsl_new_clauses_on_the_sharded_fleet(built, ray_session):
+    """Every new leaf rides to the shard actors and merges exactly:
+    a composite body using all of them, fleet ≡ local."""
+    import os
+
+    from docs_indexer_ray.query.qstring import query_string_topk
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    bodies = [
+        {"match_all": {}},
+        {"ids": {"values": [1, 4, 40, 41]}},
+        {"exists": {"field": "extras"}},
+        {"constant_score": {"filter": {"match": {"body": "node"}},
+                            "boost": 3.0}},
+        {"dis_max": {"queries": [{"match": {"body": "node"}},
+                                 {"match_phrase": {"body": "node pools"}}],
+                     "tie_breaker": 0.5}},
+        {"boosting": {"positive": {"match": {"body": "node pools"}},
+                      "negative": {"match": {"body": "namespace"}},
+                      "negative_boost": 0.3}},
+        {"match_bool_prefix": {"body": "node poo"}},
+        {"match_phrase_prefix": {"body": "node poo"}},
+        {"regexp": {"body": "nod.*"}},
+        {"bool": {"must": [{"match": {"body": "node"}}],
+                  "should": [{"ids": {"values": [7, 8]}},
+                             {"constant_score": {
+                                 "filter": {"exists": {"field": "extras"}},
+                                 "boost": 0.5}}]}},
+    ]
+    root = os.path.dirname(built.index_dir)
+    svc = ShardedQueryService(root, n_shards=3, chain=built.chain)
+    try:
+        for dsl in bodies:
+            assert svc.query_string(dsl, k=15) == query_string_topk(
+                built, dsl, k=15
+            ), dsl
+    finally:
+        svc.shutdown()

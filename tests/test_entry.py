@@ -101,6 +101,12 @@ SQL_BACKED = [
     "search_page_sharded",
     "dsl_bool_sharded",
     "dsl_range_sharded",
+    "dsl_dismax",
+    "dsl_ids_matchall",
+    "dsl_constscore_range",
+    "dsl_phrase_prefix",
+    "dsl_match_bool_prefix",
+    "dsl_boosting_regexp",
     "bm25_topk_merged",
     "facet_date_histogram",
     "facet_pipeline",
