@@ -2553,6 +2553,29 @@ def q_dsl_boosting_regexp(sf_dir: str) -> pa.Table:
     return _fleet_dsl_page(sf_dir, dsl)
 
 
+def q_search_sort_sharded(sf_dir: str) -> pa.Table:
+    """The OpenSearch ``sort`` clause on the fleet (query/sortq.py):
+    page 2 (from_=3) of the flagship match set ordered by the stored
+    ``warc_ts`` DESC — each shard ranks its top-(from_+k) over its
+    memoized ``stored_column`` slice, the page-scale re-sort merge is
+    exact, and the fetch phase routes per owning shard.  The response
+    carries the ordering key (``sort_key``); hits score 0.0
+    (OpenSearch ``_score: null`` under field sort)."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    svc = ShardedQueryService(root, n_shards=4)
+    try:
+        t = svc.search(
+            " ".join(_BM25_TERMS), k=10, from_=3, fields=("url",),
+            syntax=False, sort=("warc_ts", "desc"),
+        )
+    finally:
+        svc.shutdown()
+    return t.select(["rank", "doc_id", "url", "sort_key"])
+
+
 def q_facet_terms_served(sf_dir: str) -> pa.Table:
     """The ``terms`` aggregation served by the SHARD FLEET
     (``ShardedQueryService.terms_facet``: per-shard matched counts
@@ -3604,6 +3627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_phrase_prefix": q_dsl_phrase_prefix,
         "dsl_match_bool_prefix": q_dsl_match_bool_prefix,
         "dsl_boosting_regexp": q_dsl_boosting_regexp,
+        "search_sort_sharded": q_search_sort_sharded,
         "search_fetch": q_search_fetch,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
@@ -5870,6 +5894,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
                CAST(doc_id AS BIGINT) AS doc_id
         FROM hits ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+    """
+    sqls["search_sort_sharded"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        matched AS (SELECT DISTINCT doc_id FROM toks
+                    WHERE term IN ({terms_in})),
+        ordered AS (SELECT m.doc_id, {_WARC} AS sort_key, {_URL} AS url,
+                           row_number() OVER (
+                               ORDER BY {_WARC} DESC, m.doc_id ASC) AS rn
+                    FROM matched m JOIN documents USING (doc_id))
+        SELECT CAST(rn AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+               url, sort_key
+        FROM ordered WHERE rn BETWEEN 4 AND 13 ORDER BY rn
     """
     sqls["dsl_boosting_regexp"] = f"""
         {_DSL_BASE},

@@ -285,6 +285,48 @@ class IndexReader:
             masks[key] = mask
         return mask
 
+    def stored_column(self, col: str):
+        """This reader's doc-range slice of stored column ``col``,
+        aligned so position ``i`` holds doc ``doc_lo + i``'s value —
+        read ONCE from the docs store (row-group stats prune the scan
+        to the range) and memoized for the reader's lifetime, like
+        the norms and ``stored_mask``.  On the sharded tier every
+        shard holds only ITS slice — corpus-wide column state lives
+        with the fleet, never on the driver.  The field-``sort``
+        surface (``query/sortq.py``) and the serving facets read
+        through this."""
+        import pyarrow as pa
+
+        cols = getattr(self, "_stored_cols", None)
+        if cols is None:
+            cols = self._stored_cols = {}
+        arr = cols.get(col)
+        if arr is None:
+            import pyarrow.dataset as pads
+
+            dset = getattr(self, "_docs_dset", None)
+            if dset is None:
+                dset = self._docs_dset = pads.dataset(
+                    os.path.join(self.index_dir, "docs"), partitioning="hive"
+                )
+            lo, hi = self.doc_lo, self.doc_hi
+            t = dset.to_table(
+                filter=(pads.field("doc_id") >= lo)
+                & (pads.field("doc_id") < hi),
+                columns=["doc_id", col],
+            )
+            if t.num_rows != hi - lo:
+                raise ValueError(
+                    f"docs store has {t.num_rows} rows in [{lo}, {hi}) — "
+                    f"expected {hi - lo} (one per doc id)"
+                )
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            perm = np.empty(hi - lo, np.int64)
+            perm[ids - lo] = np.arange(hi - lo)
+            arr = t[col].combine_chunks().take(pa.array(perm))
+            cols[col] = arr
+        return arr
+
     def deleted_ids(self) -> np.ndarray:
         """Sorted tombstoned doc ids (soft deletes — ``index/deletes``),
         loaded once per reader like the norms."""

@@ -98,8 +98,15 @@ def search_response(
     syntax: bool = True,
     from_: int = 0,
     after: tuple[float, int] | None = None,
+    sort: tuple[str, str] | None = None,
 ) -> pa.Table:
     """The assembled ``_search`` response over a local reader.
+
+    ``sort=(column, "asc"|"desc")`` ranks the query's MATCH SET by a
+    stored field instead of BM25 (``query/sortq.py`` — OpenSearch's
+    ``sort`` clause): hits score 0.0, the ordering key rides in an
+    extra ``sort_key`` column, and ``after`` becomes a ``(key,
+    doc_id)`` cursor in the field order.
 
     ``syntax=True`` parses ``query`` as the ``query_string`` language
     (``query/qstring.py``); ``syntax=False`` treats it as plain text —
@@ -119,6 +126,34 @@ def search_response(
     from .qstring import parse_query_string, positive_terms, query_string_topk
 
     analyzer = Analyzer(reader.chain)
+    if sort is not None:
+        from .sortq import live_mask, sort_rows_range
+
+        col, order = sort
+        rows, _ = sort_rows_range(
+            reader, query, col,
+            desc=(order == "desc"),
+            n=from_ + k,
+            syntax=syntax,
+            default_operator=default_operator,
+            after=after,
+            live=live_mask(reader),
+            analyzer=analyzer,
+        )
+        rows = rows.slice(from_)
+        hits = [(int(d), 0.0) for d in rows["doc_id"].to_pylist()]
+        terms = (
+            positive_terms(parse_query_string(query, analyzer, default_operator))
+            if highlight_field and syntax
+            else set(analyzer(query))
+            if highlight_field
+            else None
+        )
+        out = assemble_hits(
+            reader, hits, tuple(fields), terms, highlight_field,
+            width, reader.chain, rank_start=from_ + 1,
+        )
+        return out.append_column("sort_key", rows["key"].combine_chunks())
     if syntax:
         hits = query_string_topk(
             reader,

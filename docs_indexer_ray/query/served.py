@@ -147,7 +147,6 @@ class ShardQueryActor:
         self.reader = IndexReader(index_root, chain=chain, doc_range=(lo, hi))
         self.analyzer = Analyzer(self.reader.chain)
         self._masks: dict[str, np.ndarray] = {}
-        self._cols: dict[str, "object"] = {}  # column name → aligned pa.Array slice
         # soft deletes: each shard holds only ITS range's live mask
         # (None when the build has no tombstones — the common case)
         dels = self.reader.deleted_ids()
@@ -254,38 +253,12 @@ class ShardQueryActor:
         return matched
 
     def _col_slice(self, col: str):
-        """This shard's doc-range slice of stored column ``col``,
-        aligned so position ``i`` holds doc ``lo + i``'s value — read
-        ONCE from the docs store (row-group stats prune the scan to
-        the shard's range) and memoized for the actor's lifetime.
-        The corpus-wide column state lives sharded with the fleet."""
-        import pyarrow as pa
-
-        arr = self._cols.get(col)
-        if arr is None:
-            import os
-
-            import pyarrow.dataset as pads
-
-            lo, hi = self.reader.doc_lo, self.reader.doc_hi
-            dset = pads.dataset(
-                os.path.join(self.reader.index_dir, "docs"), partitioning="hive"
-            )
-            t = dset.to_table(
-                filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),
-                columns=["doc_id", col],
-            )
-            if t.num_rows != hi - lo:
-                raise ValueError(
-                    f"docs store has {t.num_rows} rows in [{lo}, {hi}) — "
-                    f"expected {hi - lo} (one per doc id)"
-                )
-            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            perm = np.empty(hi - lo, np.int64)
-            perm[ids - lo] = np.arange(hi - lo)
-            arr = t[col].combine_chunks().take(pa.array(perm))
-            self._cols[col] = arr
-        return arr
+        """This shard's doc-range slice of stored column ``col`` —
+        the memoized ``reader.stored_column`` (position ``i`` = doc
+        ``lo + i``; one row-group-pruned docs-store scan per column
+        per actor lifetime).  Corpus-wide column state lives sharded
+        with the fleet."""
+        return self.reader.stored_column(col)
 
     def facet_terms_partial(self, query: str, col: str, syntax: bool = False):
         """Per-key matched-doc counts within this shard →
@@ -382,6 +355,31 @@ class ShardQueryActor:
             else self.topk_partial(query, k, after=after)
         )
         return hits, self.count_partial(query, syntax=syntax)
+
+    def sort_partial(
+        self,
+        query: str,
+        col: str,
+        desc: bool,
+        n: int,
+        syntax: bool = False,
+        default_operator: str = "or",
+        after: tuple | None = None,
+    ):
+        """Field-``sort`` phase 1, shard-local (``query/sortq.py``):
+        this shard's top-``n`` ``(doc_id, key)`` in field order over
+        the query's match set, plus its TRUE match count — the sort
+        column slice is the memoized ``reader.stored_column``, the
+        comparator per-doc-local, so the service's page-scale re-sort
+        merge is exact."""
+        from .sortq import sort_rows_range
+
+        return sort_rows_range(
+            self.reader, query, col,
+            desc=desc, n=n, syntax=syntax,
+            default_operator=default_operator,
+            after=after, live=self._live, analyzer=self.analyzer,
+        )
 
     def fetch_partial(
         self,
@@ -571,6 +569,7 @@ class ShardedQueryService:
         default_operator: str = "or",
         from_: int = 0,
         after: tuple[float, int] | None = None,
+        sort: tuple[str, str] | None = None,
     ):
         """OpenSearch two-phase QUERY-THEN-FETCH on the fleet: phase 1
         is the exact cross-shard top-k merge (plain match, or the full
@@ -592,6 +591,11 @@ class ShardedQueryService:
         if from_ and after is not None:
             raise ValueError("from_ and after are mutually exclusive "
                              "(OpenSearch search_after requires from=0)")
+        if sort is not None:
+            return self._sorted_search(
+                query, k, fields, highlight_field, width, syntax,
+                default_operator, from_, after, sort,
+            )[0]
         hits = (
             self.query_string(query, from_ + k, default_operator, after=after)
             if syntax
@@ -601,6 +605,53 @@ class ShardedQueryService:
             hits, query, fields, highlight_field, width, syntax,
             rank_start=from_ + 1,
         )
+
+    def _sorted_search(
+        self,
+        query: str,
+        k: int,
+        fields: tuple[str, ...],
+        highlight_field: str | None,
+        width: int,
+        syntax: bool,
+        default_operator: str,
+        from_: int,
+        after: tuple | None,
+        sort: tuple[str, str],
+    ):
+        """Field-``sort`` search on the fleet (``query/sortq.py``):
+        phase 1 fans ONE ``sort_partial`` to every shard (each ranks
+        its top ``from_ + k`` ``(doc_id, key)`` over its memoized sort
+        column slice and reports its true match count), the page-scale
+        re-sort merge is exact, and phase 2 is the shared fetch phase.
+        Returns ``(table, total)`` — the table carries the ordering
+        key as a ``sort_key`` column (per-hit ``sort`` values for the
+        ``search_after`` cursor); hits score 0.0 (OpenSearch reports
+        ``_score: null`` when sorting by field)."""
+        import ray
+
+        from .sortq import merge_sorted_pages
+
+        col, order = sort
+        parts = ray.get(
+            [
+                a.sort_partial.remote(
+                    query, col, order == "desc", from_ + k, syntax,
+                    default_operator, after,
+                )
+                for a in self._actors
+            ]
+        )
+        rows = merge_sorted_pages(
+            [p[0] for p in parts], from_ + k, order == "desc"
+        ).slice(from_)
+        total = int(sum(p[1] for p in parts))
+        hits = [(int(d), 0.0) for d in rows["doc_id"].to_pylist()]
+        t = self._fetch_phase(
+            hits, query, fields, highlight_field, width, syntax,
+            rank_start=from_ + 1,
+        )
+        return t.append_column("sort_key", rows["key"].combine_chunks()), total
 
     def search_with_total(
         self,
@@ -613,6 +664,7 @@ class ShardedQueryService:
         default_operator: str = "or",
         from_: int = 0,
         after: tuple[float, int] | None = None,
+        sort: tuple[str, str] | None = None,
     ):
         """:meth:`search` plus the TRUE match count, with phase 1
         collecting rank AND count from each shard in ONE fan-out
@@ -629,6 +681,12 @@ class ShardedQueryService:
         if from_ and after is not None:
             raise ValueError("from_ and after are mutually exclusive "
                              "(OpenSearch search_after requires from=0)")
+        if sort is not None:
+            # the sort fan-out already reports per-shard match counts
+            return self._sorted_search(
+                query, k, fields, highlight_field, width, syntax,
+                default_operator, from_, after, sort,
+            )
         parts = ray.get(
             [
                 a.rank_count_partial.remote(

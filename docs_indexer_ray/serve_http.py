@@ -64,6 +64,59 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
+def _jsonable(v):
+    """JSON-safe hit value: datetimes (timestamp stored fields / sort
+    keys) serialize as ISO-8601 — the same spelling the sort cursor
+    and range clauses accept back."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
+def _maybe_num(s: str):
+    """GET-param sort cursor key: int / float if it parses, else the
+    raw string (the sort kernel casts strings to the column's type —
+    ISO-8601 for timestamps)."""
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            pass
+    return s
+
+
+def _normalize_sort(spec) -> str | None:
+    """OpenSearch body ``sort`` → the GET param's "col[:asc|desc]".
+    Accepts a string, or a list whose FIRST entry is the sort field
+    (string or ``{col: order}`` / ``{col: {"order": …}}``); trailing
+    ``_id``/``_doc`` tie-break entries are redundant (doc-asc is the
+    engine's implicit tie-break) and ignored; multi-FIELD ladders are
+    refused loudly."""
+    if isinstance(spec, str):
+        return None if spec == "_score" else spec
+    if isinstance(spec, list):
+        entries = [e for e in spec if e not in ("_id", "_doc")]
+        if not entries:
+            return None
+        if len(entries) > 1:
+            raise ValueError(
+                "one sort field supported (+ the implicit _id tie-break)"
+            )
+        e = entries[0]
+        if isinstance(e, str):
+            return None if e == "_score" else e
+        if isinstance(e, dict) and len(e) == 1:
+            col, order = next(iter(e.items()))
+            if isinstance(order, dict):
+                order = order.get("order", "asc")
+            if col == "_score":
+                return None
+            return f"{col}:{order}"
+    raise ValueError(f"unsupported sort spec: {spec!r}")
+
+
 def _is_deleted(reader, doc_id: int) -> bool:
     """Sorted-array membership in the reader's memoized tombstone set."""
     import numpy as np
@@ -172,9 +225,18 @@ class SearchServer:
             p["size"] = str(int(spec["size"]))
         if "from" in spec:
             p["from"] = str(int(spec["from"]))
+        if "sort" in spec:
+            srt = _normalize_sort(spec["sort"])
+            if srt:
+                p["sort"] = srt
         if "search_after" in spec:
             s, d = spec["search_after"]
-            p["search_after"] = f"{float(s)!r},{int(d)}"
+            if p.get("sort"):
+                # field sort: the cursor key is TYPED JSON (string /
+                # number / ISO timestamp / null) — pass it through
+                p["search_after"] = [s, int(d)]
+            else:
+                p["search_after"] = f"{float(s)!r},{int(d)}"
         if "_source" in spec:
             src = spec["_source"]
             p["fields"] = ",".join(src if isinstance(src, list) else [src])
@@ -211,12 +273,34 @@ class SearchServer:
         q = params["q"]
         k = int(params.get("size", params.get("k", "10")))
         from_ = int(params.get("from", "0"))
+        # field sort (OpenSearch `sort` clause): "col" or "col:asc|desc"
+        # — field order defaults ASC per OpenSearch; "_score" keeps the
+        # default relevance ranking
+        sort_spec = None
+        srt = params.get("sort")
+        if srt and srt.split(":", 1)[0] != "_score":
+            col, _, order = srt.partition(":")
+            if order not in ("", "asc", "desc"):
+                raise ValueError(f"sort order must be asc|desc: {srt!r}")
+            sort_spec = (col, order or "asc")
         after = None
         if params.get("search_after"):
-            # "score,doc_id" — the `sort` values of the previous page's
-            # last hit, fed back verbatim (OpenSearch search_after)
-            s, d = params["search_after"].split(",")
-            after = (float(s), int(d))
+            sa = params["search_after"]
+            if sort_spec is not None:
+                # the previous page's last hit's [key, doc_id] — key in
+                # the FIELD's space (typed JSON via POST; on GET a
+                # string that the sort kernel casts to the column type)
+                if isinstance(sa, (list, tuple)):
+                    after = (sa[0], int(sa[1]))
+                else:
+                    key, d = sa.rsplit(",", 1)
+                    after = (None if key in ("", "null") else _maybe_num(key),
+                             int(d))
+            else:
+                # "score,doc_id" — the `sort` values of the previous
+                # page's last hit, fed back verbatim
+                s, d = sa.split(",")
+                after = (float(s), int(d))
         # a dict q is a JSON query-DSL object — DSL lowers onto the
         # query_string AST, so it always takes the syntax path
         syntax = isinstance(q, dict) or params.get("syntax", "0") in ("1", "true")
@@ -233,7 +317,7 @@ class SearchServer:
             # count() call doubles the round trips on the hottest path)
             table, total = svc.search_with_total(
                 q, k=k, fields=fields, highlight_field=highlight,
-                syntax=syntax, from_=from_, after=after,
+                syntax=syntax, from_=from_, after=after, sort=sort_spec,
             )
             total = int(total)
         else:
@@ -242,7 +326,7 @@ class SearchServer:
             table = search_response(
                 reader, q, k=k, fields=fields,
                 highlight_field=highlight, syntax=syntax,
-                from_=from_, after=after,
+                from_=from_, after=after, sort=sort_spec,
             )
             # true match count (not len(hits), which is capped at k):
             # pagination UIs and "N results" displays read total.value
@@ -252,11 +336,16 @@ class SearchServer:
         for row in table.to_pylist():
             hit = {
                 "_id": row["doc_id"],
-                "_score": row["score"],
-                "_source": {f: row[f] for f in fields},
+                # OpenSearch reports _score: null when sorting by field
+                "_score": None if sort_spec else row["score"],
+                "_source": {f: _jsonable(row[f]) for f in fields},
                 # feed the LAST hit's sort values back as search_after
                 # to fetch the next page (stateless deep pagination)
-                "sort": [row["score"], row["doc_id"]],
+                "sort": (
+                    [_jsonable(row["sort_key"]), row["doc_id"]]
+                    if sort_spec
+                    else [row["score"], row["doc_id"]]
+                ),
             }
             if highlight is not None:
                 hit["highlight"] = {highlight: [row["snippet"]]}

@@ -107,6 +107,7 @@ SQL_BACKED = [
     "dsl_phrase_prefix",
     "dsl_match_bool_prefix",
     "dsl_boosting_regexp",
+    "search_sort_sharded",
     "bm25_topk_merged",
     "facet_date_histogram",
     "facet_pipeline",
