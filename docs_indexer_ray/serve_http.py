@@ -225,6 +225,8 @@ class SearchServer:
             p["size"] = str(int(spec["size"]))
         if "from" in spec:
             p["from"] = str(int(spec["from"]))
+        if "scroll" in spec:
+            p["scroll"] = str(spec["scroll"])
         if "sort" in spec:
             srt = _normalize_sort(spec["sort"])
             if srt:
@@ -296,6 +298,9 @@ class SearchServer:
                     key, d = sa.rsplit(",", 1)
                     after = (None if key in ("", "null") else _maybe_num(key),
                              int(d))
+            elif isinstance(sa, (list, tuple)):
+                # scroll continuation / POST body: [score, doc_id]
+                after = (float(sa[0]), int(sa[1]))
             else:
                 # "score,doc_id" — the `sort` values of the previous
                 # page's last hit, fed back verbatim
@@ -358,6 +363,12 @@ class SearchServer:
                 "hits": hits,
             },
         }
+        if params.get("scroll"):
+            # scrolling search: hand back the stateless continuation id
+            # (scroll composes with from_=0 pages only, like OpenSearch)
+            if from_:
+                raise ValueError("scroll and from are mutually exclusive")
+            out["_scroll_id"] = self._scroll_state(params, table, k, sort_spec)
         agg_terms = params.get("agg_terms")
         agg_stats = params.get("agg_stats")
         if agg_terms or agg_stats:
@@ -382,6 +393,91 @@ class SearchServer:
                 }
             out["aggregations"] = aggs
         return out
+
+    # ------------------------------------------------------------ scroll
+
+    def _scroll_state(self, params, table, k: int, sort_spec) -> str:
+        """Encode the NEXT page of a scrolling search as a stateless
+        ``_scroll_id``: the search spec + the last hit's sort values +
+        the build identity ``(fingerprint, generation)``.  OpenSearch
+        scroll pins a snapshot server-side; this engine's builds are
+        immutable directories, so the id pins the build instead and a
+        continuation after ANY write is REFUSED loudly (the honest
+        stateless equivalent — no silent mixing of two builds)."""
+        import base64
+
+        if table.num_rows < k:
+            cursor = None  # page exhausted — the next page is empty
+        elif sort_spec is not None:
+            cursor = [
+                _jsonable(table["sort_key"].to_pylist()[-1]),
+                table["doc_id"].to_pylist()[-1],
+            ]
+        else:
+            cursor = [
+                table["score"].to_pylist()[-1],
+                table["doc_id"].to_pylist()[-1],
+            ]
+        state = {
+            "q": params["q"],
+            "size": k,
+            "fields": params.get("fields", "url,title"),
+            "highlight": params.get("highlight", ""),
+            "sort": params.get("sort", ""),
+            "syntax": params.get("syntax", "0"),
+            "cursor": cursor,
+            "fp": self._reader.manifest.get("fingerprint"),
+            "gen": self._gen,
+        }
+        return base64.urlsafe_b64encode(
+            json.dumps(state, sort_keys=True).encode()
+        ).decode()
+
+    def _scroll(self, params, body: bytes) -> dict:
+        """``POST /_search/scroll`` — continue a scrolling search from
+        its ``scroll_id``.  The id is stateless (the cursor + search
+        spec ride inside it); a write or reload since the scroll began
+        invalidates it (OpenSearch's ``search_context_missing``)."""
+        import base64
+
+        spec = json.loads(body) if body.strip() else {}
+        sid = spec.get("scroll_id") or params.get("scroll_id")
+        if not sid:
+            raise ValueError("scroll requires scroll_id")
+        try:
+            state = json.loads(base64.urlsafe_b64decode(sid.encode()))
+        except Exception:
+            raise ValueError("malformed scroll_id") from None
+        if (
+            state.get("fp") != self._reader.manifest.get("fingerprint")
+            or state.get("gen") != self._gen
+        ):
+            raise ValueError(
+                "search_context_missing: the index changed since this "
+                "scroll began (stateless scroll ids pin one build)"
+            )
+        if state["cursor"] is None:
+            # exhausted — the empty terminal page (same id comes back)
+            return {
+                "_scroll_id": sid,
+                "took": 0,
+                "timed_out": False,
+                "hits": {"total": {"value": 0, "relation": "eq"},
+                         "hits": []},
+            }
+        p = {
+            "q": state["q"],
+            "size": str(state["size"]),
+            "fields": state["fields"],
+            "syntax": state["syntax"],
+            "scroll": "1",
+            "search_after": state["cursor"],
+        }
+        if state["highlight"]:
+            p["highlight"] = state["highlight"]
+        if state["sort"]:
+            p["sort"] = state["sort"]
+        return self._search(p)
 
     def _facet_tables(
         self,
@@ -555,6 +651,80 @@ class SearchServer:
             "found": True,
             "_source": {f: row[f] for f in fields},
         }
+
+    def _mget(self, params, body: bytes) -> dict:
+        """``POST /_mget`` — batch stored-field fetch by doc ids in
+        ONE row-group-pruned read (the reference's consumers page over
+        result ids; a per-id ``/_doc`` loop pays the fetch N times).
+        OpenSearch shape: ``{"docs": [{"_id", "found", "_source"}…]}``;
+        tombstoned / unknown ids come back ``found: false``."""
+        spec = json.loads(body) if body.strip() else {}
+        ids = spec.get("ids")
+        if not isinstance(ids, list) or not ids:
+            raise ValueError("_mget expects {'ids': [doc_id, …]}")
+        ids = [int(i) for i in ids]
+        src = spec.get("_source", params.get("fields", "url,title"))
+        fields = [
+            f
+            for f in (src if isinstance(src, list) else str(src).split(","))
+            if f
+        ]
+        t = self._reader.fetch_docs(sorted(set(ids)), ["doc_id"] + fields)
+        rows = {
+            int(r["doc_id"]): r for r in t.to_pylist()
+        }
+        docs = []
+        for i in ids:
+            r = rows.get(i)
+            if r is None or _is_deleted(self._reader, i):
+                docs.append({"_id": i, "found": False})
+            else:
+                docs.append({
+                    "_id": i,
+                    "found": True,
+                    "_source": {f: _jsonable(r[f]) for f in fields},
+                })
+        return {"docs": docs}
+
+    def _field_caps(self, params) -> dict:
+        """``GET /_field_caps`` — per-field type/searchability derived
+        from the same schema walk as ``/_mapping`` (OpenSearch field
+        capabilities shape): the analyzed field (+ chains) is
+        searchable text; stored columns are filterable/aggregatable
+        keyword/date/numeric."""
+        props = self._mapping(params)["mappings"]["properties"]
+        man = self._reader.manifest
+        fields = {}
+        for name, spec in props.items():
+            kind = spec["type"]
+            fields[name] = {
+                kind: {
+                    "type": kind,
+                    "searchable": name == man.get("field") or kind != "text",
+                    "aggregatable": kind != "text",
+                }
+            }
+        return {"fields": fields}
+
+    def _validate(self, params, body: bytes) -> dict:
+        """``POST /_validate/query`` — parse-check a query_string or
+        DSL body WITHOUT running it (OpenSearch shape: never a 400 for
+        an invalid query — ``valid: false`` + the reason)."""
+        from .query.dsl import DslError
+        from .query.qstring import QueryStringError, parse_query_string
+
+        spec = json.loads(body) if body.strip() else {}
+        q = spec.get("query", params.get("q"))
+        if q is None:
+            raise ValueError("_validate/query expects {'query': …} or ?q=")
+        try:
+            parse_query_string(q, self._analyzer)
+        except (DslError, QueryStringError, ValueError) as e:
+            return {
+                "valid": False,
+                "error": {"type": type(e).__name__, "reason": str(e)},
+            }
+        return {"valid": True}
 
     def _mapping(self, params) -> dict:
         """``GET /_mapping`` — the index's field surface derived from
@@ -884,11 +1054,15 @@ class SearchServer:
         routes["/_explain"] = self._explain
         routes["/_mapping"] = self._mapping
         routes["/_stats"] = self._stats
+        routes["/_field_caps"] = self._field_caps
         post_routes = {
             "/_bulk": self._bulk,
             "/_delete_by_query": self._delete_by_query,
             "/_msearch": self._msearch,
             "/_search": self._search_post,
+            "/_search/scroll": self._scroll,
+            "/_mget": self._mget,
+            "/_validate/query": self._validate,
             "/_snapshot": self._snapshot,
             "/_restore": self._restore,
         }
@@ -953,7 +1127,9 @@ class SearchServer:
                     int(handler.headers.get("Content-Length", "0"))
                 )
                 try:
-                    if parsed.path in ("/_msearch", "/_search"):
+                    if parsed.path in ("/_msearch", "/_search",
+                                       "/_search/scroll", "/_mget",
+                                       "/_validate/query"):
                         # pure reads — never behind the write lock (a
                         # slow search must not stall bulk writes)
                         handler._reply(200, fn(params, body))
