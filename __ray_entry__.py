@@ -2553,6 +2553,22 @@ def q_dsl_boosting_regexp(sf_dir: str) -> pa.Table:
     return _fleet_dsl_page(sf_dir, dsl)
 
 
+def q_simple_qs_sharded(sf_dir: str) -> pa.Table:
+    """The LENIENT ``simple_query_string`` language
+    (``query/simpleqs.py`` — Lucene SimpleQueryParser: never 400s)
+    through the 4-shard fleet: ``merge +slow | "table scan" -hash``
+    parses to should( must(merge, slow), phrase ) · must_not(hash)
+    — '+' binds tighter than '|', and a bare '-clause' joins the
+    GROUP's must_not (the Lucene rule: it excludes docs from every
+    leg, same as the query_string parser's '-').  Both OR legs, the
+    phrase pseudo-term and the group exclusion replay bit-exactly in
+    SQL."""
+    dsl = {"simple_query_string": {
+        "query": 'merge +slow | "table scan" -hash'
+    }}
+    return _fleet_dsl_page(sf_dir, dsl, positions=True)
+
+
 def q_search_sort_sharded(sf_dir: str) -> pa.Table:
     """The OpenSearch ``sort`` clause on the fleet (query/sortq.py):
     page 2 (from_=3) of the flagship match set ordered by the stored
@@ -3628,6 +3644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_match_bool_prefix": q_dsl_match_bool_prefix,
         "dsl_boosting_regexp": q_dsl_boosting_regexp,
         "search_sort_sharded": q_search_sort_sharded,
+        "simple_qs_sharded": q_simple_qs_sharded,
         "search_fetch": q_search_fetch,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
@@ -5891,6 +5908,38 @@ def oracle_sql() -> dict[str, str]:
                           + CASE WHEN ids.doc_id IN (SELECT doc_id FROM pref)
                                  THEN 1.0 ELSE 0.0 END AS score
                  FROM ids LEFT JOIN sm USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM hits ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+    """
+    sqls["simple_qs_sharded"] = f"""
+        {_DSL_BASE},
+        leg1 AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          WHERE tf.term IN ('merge', 'slow')
+          GROUP BY tf.doc_id
+          HAVING count(DISTINCT tf.term) = 2),
+        tokpos AS (SELECT doc_id, unnest({toks_body}) AS term,
+                          generate_subscripts({toks_body}, 1) AS pos FROM docs),
+        pf AS (SELECT a.doc_id, count(*) AS pf
+               FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               WHERE a.term = 'table' AND b.term = 'scan' GROUP BY a.doc_id),
+        pidf AS (SELECT SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))) AS idf
+                 FROM df, stats WHERE df.term IN ('table', 'scan')),
+        excl AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash'),
+        leg2 AS (SELECT pf.doc_id,
+                        pidf.idf * pf.pf
+                          / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS score
+                 FROM pf JOIN dl USING (doc_id), pidf, stats),
+        ids AS (SELECT doc_id FROM leg1 UNION SELECT doc_id FROM leg2),
+        hits AS (SELECT ids.doc_id,
+                        COALESCE(leg1.score, 0.0) + COALESCE(leg2.score, 0.0) AS score
+                 FROM ids LEFT JOIN leg1 USING (doc_id)
+                          LEFT JOIN leg2 USING (doc_id)
+                 WHERE ids.doc_id NOT IN (SELECT doc_id FROM excl))
         SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
                CAST(doc_id AS BIGINT) AS doc_id
         FROM hits ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10

@@ -37,6 +37,10 @@ Supported clauses (one key per query object, like OpenSearch):
   memoized ``reader.stored_mask``, shard-local on the fleet; scores a
   constant ``boost`` per match (OpenSearch query-context semantics).
 * ``query_string`` — the full mini-language, embedded.
+* ``simple_query_string`` — the LENIENT language (never 400s;
+  ``query/simpleqs.py``): ``+`` AND, ``|`` OR, ``-`` not, phrases,
+  trailing-``*`` prefix, ``~N`` fuzzy/slop; malformed syntax degrades
+  to literal text per Lucene's SimpleQueryParser contract.
 * ``match_all`` — every live doc at constant ``boost``.
 * ``ids`` — ``{"values": [doc_id, …]}`` constant-score membership.
 * ``exists`` — ``{"field": col}`` non-null stored docs-store column
@@ -85,6 +89,7 @@ _LEAF_KEYS = (
     "prefix", "range", "query_string", "bool", "match_all", "ids",
     "exists", "constant_score", "dis_max", "boosting",
     "match_bool_prefix", "match_phrase_prefix", "regexp",
+    "simple_query_string",
 )
 
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
@@ -155,6 +160,21 @@ def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
         return parse_query_string(
             clause["query"], analyzer,
             clause.get("default_operator", default_operator).lower(),
+        )
+
+    if kind == "simple_query_string":
+        from .simpleqs import parse_simple_query_string
+
+        if not isinstance(clause, dict) or "query" not in clause:
+            raise DslError(
+                f"simple_query_string expects {{'query': …}}: {clause!r}"
+            )
+        # the LENIENT language: malformed syntax degrades to literal
+        # text instead of erroring (Lucene SimpleQueryParser); a query
+        # that reduces to nothing vanishes like a stopword match
+        return parse_simple_query_string(
+            str(clause["query"]), analyzer,
+            str(clause.get("default_operator", default_operator)).lower(),
         )
 
     if kind == "match_all":

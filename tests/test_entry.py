@@ -108,6 +108,7 @@ SQL_BACKED = [
     "dsl_match_bool_prefix",
     "dsl_boosting_regexp",
     "search_sort_sharded",
+    "simple_qs_sharded",
     "bm25_topk_merged",
     "facet_date_histogram",
     "facet_pipeline",
