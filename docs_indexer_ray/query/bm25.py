@@ -151,7 +151,7 @@ def merge_shard_topk(
 
 def _rank_top(scores: np.ndarray, k: int) -> list[tuple[int, float]]:
     nz = np.flatnonzero(scores)
-    if len(nz) == 0:
+    if len(nz) == 0 or k <= 0:
         return []
     take = min(k, len(nz))
     vals = scores[nz]
@@ -212,7 +212,8 @@ def rank_top_quantized(
     ``id_offset`` maps shard-local ``matched`` indices to global doc
     ids for the cursor's tiebreak (the returned ids stay local, as
     before — range callers add ``lo`` themselves)."""
-    if len(matched) == 0:
+    if len(matched) == 0 or k <= 0:
+        # k=0 is the OpenSearch "size: 0" aggregations-only idiom
         return []
     vals = scores[matched]
     if after is not None:

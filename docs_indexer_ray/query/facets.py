@@ -326,7 +326,24 @@ def percentiles(
     agg = t.group_by("v").aggregate([("partial", "sum")]).sort_by("v")
     v = agg["v"].to_numpy(zero_copy_only=False)
     c = agg["partial_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cum = np.cumsum(c)  # cum[i] = # values <= v[i]
+    out = interpolate_quantiles(v, c, qs)
+    return pa.table(
+        {
+            "pct": pa.array([float(q) for q in qs], pa.float64()),
+            "value": pa.array(out, pa.float64()),
+        }
+    )
+
+
+def interpolate_quantiles(
+    v: np.ndarray, c: np.ndarray, qs: list[float]
+) -> list[float]:
+    """Continuous quantiles from a merged value-count histogram
+    (``v`` sorted distinct values, ``c`` their counts): the standard
+    ``h = (n-1)·q`` linear-interpolation rule, bit-identical to
+    DuckDB/Postgres ``quantile_cont`` — shared by the Dataset facet
+    and the serving tier's per-shard-histogram percentiles."""
+    cum = np.cumsum(c.astype(np.int64))  # cum[i] = # values <= v[i]
     n = int(cum[-1])
     out = []
     for q in qs:
@@ -341,11 +358,74 @@ def percentiles(
         else:
             x_hi = float(v[i + 1])
         out.append(x_lo + (h - lo) * (x_hi - x_lo))
+    return out
+
+
+def value_histogram(vals, kind: str, arg=None) -> pa.Table:
+    """``(key, partial)`` bucket-count histogram of one value array —
+    the SHARD primitive behind the serving tier's bucket aggregations
+    (``served.ShardQueryActor.facet_values_partial``): bucketing is
+    vectorized here, per-shard histograms are distinct-key-scale, and
+    disjoint-range partials SUM exactly on the driver.
+
+    ``kind``:
+
+    * ``date_histogram`` — ``arg`` = interval seconds; key =
+      ``floor(epoch_us / interval_us)`` (the Dataset facet's key).
+    * ``histogram`` — ``arg`` = integer interval; key = the bucket's
+      lower edge (OpenSearch key semantics, nulls/NaNs dropped).
+    * ``range`` — ``arg`` = ``[(lo, hi), …]``; key = bucket INDEX
+      (buckets may overlap; zero-count buckets kept).
+    * ``values`` — raw value-count histogram (float64) — the exact
+      percentiles / exact cardinality primitive; distinct-value-scale,
+      never doc-scale.
+    """
+    vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+    if kind == "date_histogram":
+        us = pa.chunked_array([vals]).cast(pa.timestamp("us")).cast(pa.int64())
+        keys = pc.divide(
+            us, pa.scalar(int(arg) * 1_000_000, pa.int64())
+        ).combine_chunks()
+    elif kind == "histogram":
+        v = pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        missing = np.isnan(v)
+        with np.errstate(invalid="ignore"):
+            edges = np.floor(v / float(arg)) * float(arg)
+        keys = pa.array(
+            np.where(missing, 0.0, edges).astype(np.int64),
+            pa.int64(),
+            mask=missing,
+        )
+    elif kind == "range":
+        v = pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        lows = np.array([r[0] for r in arg], np.float64)
+        highs = np.array([r[1] for r in arg], np.float64)
+        counts = ((v[:, None] >= lows) & (v[:, None] < highs)).sum(axis=0)
+        return pa.table(
+            {
+                "key": pa.array(np.arange(len(arg)), pa.int64()),
+                "partial": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+    elif kind == "values":
+        keys = pa.chunked_array([vals]).cast(pa.float64()).combine_chunks()
+    elif kind == "distinct":
+        # any-typed value-count histogram (keyword cardinality)
+        keys = vals
+    else:
+        raise ValueError(f"unknown value_histogram kind {kind!r}")
+    agg = (
+        pa.table({"key": keys})
+        .drop_null()
+        .group_by("key")
+        .aggregate([([], "count_all")])
+    )
     return pa.table(
-        {
-            "pct": pa.array([float(q) for q in qs], pa.float64()),
-            "value": pa.array(out, pa.float64()),
-        }
+        {"key": agg["key"], "partial": agg["count_all"].cast(pa.int64())}
     )
 
 

@@ -313,7 +313,7 @@ class IndexReader:
             t = dset.to_table(
                 filter=(pads.field("doc_id") >= lo)
                 & (pads.field("doc_id") < hi),
-                columns=["doc_id", col],
+                columns=["doc_id"] if col == "doc_id" else ["doc_id", col],
             )
             if t.num_rows != hi - lo:
                 raise ValueError(

@@ -282,6 +282,22 @@ class ShardQueryActor:
             }
         )
 
+    def facet_values_partial(
+        self, query: str, col: str, kind: str, arg=None, syntax: bool = False
+    ):
+        """Generic bucket-aggregation partial (``facets.value_histogram``
+        over this shard's matched values): ``(key, partial)`` rows —
+        distinct-key-scale, never doc-scale — that SUM exactly across
+        disjoint doc ranges.  One method serves date_histogram /
+        histogram / range / exact-cardinality / exact-percentiles."""
+        import pyarrow as pa
+
+        from .facets import value_histogram
+
+        matched = self._matched_local(query, syntax=syntax)
+        vals = self._col_slice(col).take(pa.array(matched))
+        return value_histogram(vals, kind, arg)
+
     def facet_stats_partial(self, query: str, col: str, syntax: bool = False) -> tuple:
         """``(n, min, max, sum)`` of numeric column ``col`` over this
         shard's matches — one constant-size tuple per shard; count/sum
@@ -842,6 +858,83 @@ class ShardedQueryService:
                 "sum_v": pa.array([sm], pa.float64()),
                 "avg_v": pa.array([sm / n], pa.float64()),
             }
+        )
+
+    def bucket_facet(
+        self, query: str, col: str, kind: str, arg=None, syntax: bool = False
+    ):
+        """Generic bucket aggregation on the fleet: ONE
+        ``facet_values_partial`` fan-out (each shard buckets its
+        matched values vectorized — ``facets.value_histogram``), then
+        an exact distinct-key-scale sum merge → ``(key, n_docs)``
+        sorted by key.  Serves date_histogram / histogram / range /
+        the exact value histograms behind cardinality + percentiles."""
+        import pyarrow as pa
+        import ray
+
+        parts = ray.get(
+            [
+                a.facet_values_partial.remote(query, col, kind, arg, syntax)
+                for a in self._actors
+            ]
+        )
+        live = [p for p in parts if p.num_rows]
+        if not live:
+            return pa.table(
+                {"key": parts[0]["key"], "n_docs": pa.array([], pa.int64())}
+            )
+        t = pa.concat_tables(live, promote_options="default")
+        agg = t.group_by("key").aggregate([("partial", "sum")]).sort_by("key")
+        return pa.table(
+            {"key": agg["key"], "n_docs": agg["partial_sum"].cast(pa.int64())}
+        )
+
+    def percentiles_facet(
+        self,
+        query: str,
+        col: str,
+        qs: list[float] = (25.0, 50.0, 75.0, 95.0, 99.0),
+        syntax: bool = False,
+    ):
+        """EXACT percentiles over the matched set: the per-shard
+        value-count histograms merge (distinct-value-scale — the
+        Dataset facet's own partial shape, never doc-scale) and the
+        shared ``quantile_cont`` interpolation runs once on the
+        driver — bit-identical to ``facets.percentiles(approx=False)``
+        and its SQL oracle.  For unbounded-cardinality doubles use the
+        t-digest variant (``facets.percentiles(approx=True)``)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from .facets import interpolate_quantiles
+
+        hist = self.bucket_facet(query, col, "values", syntax=syntax)
+        if hist.num_rows == 0:
+            return pa.table(
+                {
+                    "pct": pa.array([float(q) for q in qs], pa.float64()),
+                    "value": pa.array([None] * len(qs), pa.float64()),
+                }
+            )
+        v = hist["key"].to_numpy(zero_copy_only=False)
+        c = hist["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = interpolate_quantiles(v, c, list(qs))
+        return pa.table(
+            {
+                "pct": pa.array([float(q) for q in qs], pa.float64()),
+                "value": pa.array(out, pa.float64()),
+            }
+        )
+
+    def cardinality_facet(
+        self, query: str, col: str, syntax: bool = False
+    ) -> int:
+        """EXACT distinct count of ``col`` over the matched set — the
+        merged value histogram's row count (distinct-scale through the
+        merge; the HLL sketch variant in ``ops/sketch.py`` is the
+        unbounded-domain alternative)."""
+        return int(
+            self.bucket_facet(query, col, "distinct", syntax=syntax).num_rows
         )
 
     def filtered_topk(

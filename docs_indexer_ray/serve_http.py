@@ -64,6 +64,31 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
+def _interval_seconds(s) -> int:
+    """Fixed-width interval spec → seconds: ``3600``, ``"90s"``,
+    ``"30m"``, ``"1h"``, ``"1d"``, ``"1w"``, or the calendar names
+    second/minute/hour/day/week.  month/year are NOT fixed-width —
+    refused loudly (this engine's date_histogram buckets by fixed
+    epoch division, the OpenSearch ``fixed_interval`` semantics)."""
+    import re as _re
+
+    if isinstance(s, (int, float)):
+        return int(s)
+    s = str(s)
+    names = {"second": 1, "minute": 60, "hour": 3600,
+             "day": 86400, "week": 604800}
+    if s in names:
+        return names[s]
+    m = _re.fullmatch(r"(\d+)([smhdw])", s)
+    if not m:
+        raise ValueError(
+            f"unsupported interval {s!r} — fixed-width only "
+            "(month/year are calendar-variable)"
+        )
+    units = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+    return int(m.group(1)) * units[m.group(2)]
+
+
 def _jsonable(v):
     """JSON-safe hit value: datetimes (timestamp stored fields / sort
     keys) serialize as ISO-8601 — the same spelling the sort cursor
@@ -259,9 +284,53 @@ class SearchServer:
             elif "stats" in agg:
                 p["agg_stats"] = agg["stats"]["field"]
                 names[p["agg_stats"]] = name
+            elif "date_histogram" in agg:
+                dh = agg["date_histogram"]
+                iv = dh.get(
+                    "fixed_interval",
+                    dh.get("calendar_interval", dh.get("interval")),
+                )
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "date_histogram",
+                    "field": dh["field"], "arg": _interval_seconds(iv),
+                })
+            elif "histogram" in agg:
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "histogram",
+                    "field": agg["histogram"]["field"],
+                    "arg": int(agg["histogram"]["interval"]),
+                })
+            elif "range" in agg:
+                rng = agg["range"]
+                ranges = [
+                    (float(r.get("from", "-inf")), float(r.get("to", "inf")))
+                    for r in rng["ranges"]
+                ]
+                if not ranges:
+                    raise ValueError("range aggregation needs ranges")
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "range",
+                    "field": rng["field"], "arg": ranges,
+                })
+            elif "cardinality" in agg:
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "cardinality",
+                    "field": agg["cardinality"]["field"],
+                })
+            elif "percentiles" in agg:
+                pc_ = agg["percentiles"]
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "percentiles",
+                    "field": pc_["field"],
+                    "percents": pc_.get(
+                        "percents", [1, 5, 25, 50, 75, 95, 99]
+                    ),
+                })
             else:
                 raise ValueError(
-                    f"unsupported aggregation {agg!r} (terms|stats)"
+                    f"unsupported aggregation {agg!r} (terms|stats|"
+                    "date_histogram|histogram|range|cardinality|"
+                    "percentiles)"
                 )
         out = self._search(p)
         if names and "aggregations" in out:
@@ -392,6 +461,13 @@ class SearchServer:
                     "sum": r["sum_v"], "avg": r["avg_v"],
                 }
             out["aggregations"] = aggs
+        extra = params.get("aggs_extra")
+        if extra:
+            aggs = out.setdefault("aggregations", {})
+            for spec in extra:
+                aggs[spec["name"]] = self._extra_agg(
+                    q, spec, syntax, svc, reader, analyzer
+                )
         return out
 
     # ------------------------------------------------------------ scroll
@@ -479,6 +555,98 @@ class SearchServer:
             p["sort"] = state["sort"]
         return self._search(p)
 
+    def _matched_ids_local(self, q, syntax: bool, reader, analyzer):
+        """Matched doc ids on the LOCAL backend (match-any, or the
+        full query_string/DSL mask with ``syntax``) — the facet
+        candidate set, shared by terms/stats and the extra aggs."""
+        import numpy as np
+
+        if syntax:
+            from .query.bm25 import _zero_deleted
+            from .query.qstring import _eval, parse_query_string
+
+            node = parse_query_string(q, analyzer)
+            _, match = _eval(reader, node)
+            return np.flatnonzero(
+                _zero_deleted(reader, np.where(match, 1.0, 0.0)) > 0
+            )
+        from .query.facets import match_doc_ids
+
+        return match_doc_ids(reader, analyzer(q))
+
+    def _extra_agg(self, q, spec: dict, syntax, svc, reader, analyzer) -> dict:
+        """One body-only aggregation (date_histogram / histogram /
+        range / cardinality / percentiles) against an explicit backend
+        snapshot — fleet path: per-shard vectorized value histograms
+        with an exact distinct-key-scale merge
+        (``ShardedQueryService.bucket_facet``); local path: the SAME
+        ``facets.value_histogram`` kernel over the memoized
+        ``reader.stored_column``.  Response shapes follow OpenSearch:
+        date buckets carry epoch-ms ``key`` + ISO ``key_as_string``,
+        range buckets echo from/to, percentiles a ``values`` map."""
+        import numpy as np
+        import pyarrow as pa
+
+        from .query.facets import interpolate_quantiles, value_histogram
+
+        kind, col, arg = spec["kind"], spec["field"], spec.get("arg")
+        inner = "values" if kind == "percentiles" else (
+            "distinct" if kind == "cardinality" else kind
+        )
+        if svc is not None:
+            hist = svc.bucket_facet(q, col, inner, arg, syntax=syntax)
+        else:
+            matched = self._matched_ids_local(q, syntax, reader, analyzer)
+            vals = reader.stored_column(col).take(
+                pa.array(np.asarray(matched, np.int64))
+            )
+            h = value_histogram(vals, inner, arg)
+            hist = pa.table(
+                {"key": h["key"], "n_docs": h["partial"]}
+            ).sort_by("key")
+        if kind == "cardinality":
+            return {"value": int(hist.num_rows)}
+        if kind == "percentiles":
+            qs = [float(x) for x in spec["percents"]]
+            if hist.num_rows == 0:
+                return {"values": {f"{x}": None for x in qs}}
+            v = hist["key"].to_numpy(zero_copy_only=False)
+            c = hist["n_docs"].to_numpy(zero_copy_only=False)
+            out = interpolate_quantiles(v, np.asarray(c, np.int64), qs)
+            return {"values": {f"{x}": val for x, val in zip(qs, out)}}
+        if kind == "range":
+            counts = dict(
+                zip(hist["key"].to_pylist(), hist["n_docs"].to_pylist())
+            )
+            buckets = []
+            for i, (lo, hi) in enumerate(arg):
+                b = {"doc_count": int(counts.get(i, 0))}
+                if lo != float("-inf"):
+                    b["from"] = lo
+                if hi != float("inf"):
+                    b["to"] = hi
+                buckets.append(b)
+            return {"buckets": buckets}
+        if kind == "date_histogram":
+            import datetime as _dt
+
+            buckets = []
+            for k, n in zip(hist["key"].to_pylist(), hist["n_docs"].to_pylist()):
+                epoch_s = int(k) * int(arg)
+                buckets.append({
+                    "key": epoch_s * 1000,  # OpenSearch: epoch millis
+                    "key_as_string": _dt.datetime.utcfromtimestamp(
+                        epoch_s
+                    ).isoformat(),
+                    "doc_count": int(n),
+                })
+            return {"buckets": buckets}
+        # histogram: lower-edge keys
+        return {"buckets": [
+            {"key": float(k), "doc_count": int(n)}
+            for k, n in zip(hist["key"].to_pylist(), hist["n_docs"].to_pylist())
+        ]}
+
     def _facet_tables(
         self,
         q: str,
@@ -514,19 +682,7 @@ class SearchServer:
         import numpy as np
         import pyarrow as pa
 
-        if syntax:
-            from .query.bm25 import _zero_deleted
-            from .query.qstring import _eval, parse_query_string
-
-            node = parse_query_string(q, analyzer)
-            _, match = _eval(reader, node)
-            matched = np.flatnonzero(
-                _zero_deleted(reader, np.where(match, 1.0, 0.0)) > 0
-            )
-        else:
-            from .query.facets import match_doc_ids
-
-            matched = match_doc_ids(reader, analyzer(q))
+        matched = self._matched_ids_local(q, syntax, reader, analyzer)
         out_t = out_s = None
         for col, want in ((agg_terms, "terms"), (agg_stats, "stats")):
             if not col:

@@ -160,3 +160,118 @@ def test_mget_field_caps_validate(root, ray_session):
         assert code == 400
     finally:
         srv.stop()
+
+
+def test_extra_aggregations_both_backends(root, ray_session):
+    """Body-only aggs (date_histogram / histogram / range / cardinality
+    / percentiles): identical across backends, and every number checked
+    against a brute-force pass over the raw docs store."""
+    import datetime as dt
+    import math
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    body = {
+        "query": {"match": {"body": "node"}},
+        "size": 0,
+        "aggs": {
+            "per_minute": {"date_histogram": {"field": "warc_ts",
+                                              "fixed_interval": "60s"}},
+            "ts_hist": {"histogram": {"field": "doc_id", "interval": 16}},
+            "bands": {"range": {"field": "doc_id",
+                                "ranges": [{"to": 30},
+                                           {"from": 30, "to": 60},
+                                           {"from": 60}]}},
+            "n_urls": {"cardinality": {"field": "url"}},
+            "id_pcts": {"percentiles": {"field": "doc_id",
+                                        "percents": [25, 50, 75]}},
+        },
+    }
+    results = {}
+    for backend, kw in (("local", {}), ("sharded", {"n_shards": 3})):
+        srv = SearchServer(root, backend=backend, **kw).start()
+        try:
+            code, r = _req(srv.port, "/_search", body=body)
+            assert code == 200, r
+            results[backend] = r["aggregations"]
+        finally:
+            srv.stop()
+    assert results["local"] == results["sharded"]
+    aggs = results["local"]
+
+    # brute force over the raw docs store
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+
+    reader = IndexReader(root)
+    matched = set(
+        int(d) for d in match_doc_ids(reader, Analyzer(reader.chain)(["node"][0]))
+    )
+    docs = pads.dataset(
+        os.path.join(reader.index_dir, "docs"), partitioning="hive"
+    ).to_table(columns=["doc_id", "warc_ts", "url"])
+    rows = [
+        (int(d), t, u)
+        for d, t, u in zip(docs["doc_id"].to_pylist(),
+                           docs["warc_ts"].to_pylist(),
+                           docs["url"].to_pylist())
+        if int(d) in matched
+    ]
+    assert rows
+
+    # date_histogram: minute buckets, epoch-ms keys, ISO key_as_string
+    want_dh = {}
+    for _, t, _ in rows:
+        b = int(t.timestamp() // 60) * 60
+        want_dh[b] = want_dh.get(b, 0) + 1
+    got_dh = {b["key"] // 1000: b["doc_count"]
+              for b in aggs["per_minute"]["buckets"]}
+    assert got_dh == want_dh
+    first = aggs["per_minute"]["buckets"][0]
+    assert first["key_as_string"] == dt.datetime.utcfromtimestamp(
+        first["key"] // 1000
+    ).isoformat()
+    assert [b["key"] for b in aggs["per_minute"]["buckets"]] == sorted(
+        b["key"] for b in aggs["per_minute"]["buckets"]
+    )
+
+    # histogram on doc_id, interval 16 (lower-edge keys)
+    want_h = {}
+    for d, _, _ in rows:
+        k = (d // 16) * 16
+        want_h[k] = want_h.get(k, 0) + 1
+    assert {int(b["key"]): b["doc_count"]
+            for b in aggs["ts_hist"]["buckets"]} == want_h
+
+    # range: explicit bands, open edges omitted from the echo
+    b0, b1, b2 = aggs["bands"]["buckets"]
+    assert "from" not in b0 and b0["to"] == 30.0
+    assert b1 == {"doc_count": sum(1 for d, _, _ in rows if 30 <= d < 60),
+                  "from": 30.0, "to": 60.0}
+    assert b0["doc_count"] == sum(1 for d, _, _ in rows if d < 30)
+    assert "to" not in b2
+    assert b2["doc_count"] == sum(1 for d, _, _ in rows if d >= 60)
+
+    # cardinality (exact) + percentiles (quantile_cont rule)
+    assert aggs["n_urls"]["value"] == len({u for _, _, u in rows})
+    ids = np.sort(np.array([d for d, _, _ in rows], float))
+    for pct in (25, 50, 75):
+        want = float(np.quantile(ids, pct / 100.0, method="linear"))
+        assert math.isclose(aggs["id_pcts"]["values"][f"{float(pct)}"],
+                            want, rel_tol=0, abs_tol=1e-9)
+
+    # month-sized calendar intervals refuse loudly
+    bad = {"query": {"match": {"body": "node"}},
+           "aggs": {"m": {"date_histogram": {"field": "warc_ts",
+                                             "calendar_interval": "month"}}}}
+    srv = SearchServer(root, backend="local").start()
+    try:
+        code, err = _req(srv.port, "/_search", body=bad)
+        assert code == 400 and "fixed-width" in err["error"]["reason"]
+    finally:
+        srv.stop()
