@@ -2569,6 +2569,22 @@ def q_simple_qs_sharded(sf_dir: str) -> pa.Table:
     return _fleet_dsl_page(sf_dir, dsl, positions=True)
 
 
+def q_dsl_function_score_sharded(sf_dir: str) -> pa.Table:
+    """The DSL ``function_score`` (exp recency decay) through the
+    4-shard fleet: identical parameters to the SQL-oracled standalone
+    ``function_score`` entry, but lowered from a JSON body onto the
+    ``_FuncScore`` AST leaf — per-shard decay weights come from each
+    shard's memoized ``stored_column`` slice and the quantized merge
+    is exact, so it shares that entry's SQL replay."""
+    dsl = {"function_score": {
+        "query": {"match": {"body": " ".join(_BM25_TERMS)}},
+        "functions": [{"exp": {"warc_ts": {
+            "origin": "2025-01-01T00:10:00", "scale": "600s",
+            "decay": 0.5}}}],
+    }}
+    return _fleet_dsl_page(sf_dir, dsl)
+
+
 def q_search_sort_sharded(sf_dir: str) -> pa.Table:
     """The OpenSearch ``sort`` clause on the fleet (query/sortq.py):
     page 2 (from_=3) of the flagship match set ordered by the stored
@@ -3645,6 +3661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_boosting_regexp": q_dsl_boosting_regexp,
         "search_sort_sharded": q_search_sort_sharded,
         "simple_qs_sharded": q_simple_qs_sharded,
+        "dsl_function_score_sharded": q_dsl_function_score_sharded,
         "search_fetch": q_search_fetch,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
@@ -5791,6 +5808,7 @@ def oracle_sql() -> dict[str, str]:
     # the range-filter DSL ranks the same page as the raw filtered replay
     sqls["dsl_range_sharded"] = sqls["bm25_topk_filtered"]
     sqls["facet_terms_served"] = sqls["facet_terms"]
+    sqls["dsl_function_score_sharded"] = sqls["function_score"]
     # shared scaffolding for the round-3 DSL-clause oracles: tokenized
     # body, doc lengths, corpus stats, per-term tf/df (the established
     # BM25 replay shape)

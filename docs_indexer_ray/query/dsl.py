@@ -55,6 +55,16 @@ Supported clauses (one key per query object, like OpenSearch):
   negative also matches (never gates membership).
 * ``match_bool_prefix`` — every analyzed token a term, the last a
   constant-score prefix wildcard (Lucene's multi-term rewrite).
+* ``function_score`` — ONE ``exp`` recency-decay function over a
+  stored timestamp column, ``boost_mode: multiply`` (the engine's
+  ``bm25.function_score_topk`` semantics in the AST; per-doc weights
+  from the memoized ``stored_column`` slice, shard-exact).
+* ``span_near`` / ``span_first`` / ``span_term`` — positional span
+  queries: ``in_order: true`` lowers to the sloppy-phrase walk,
+  ``in_order: false`` to the unordered ``phrase.span_near`` window
+  (constant-score, the multi-term-rewrite convention — documented
+  divergence from Lucene's sloppy-freq span scoring); a standalone
+  ``span_term`` scores like ``term``.
 * ``match_phrase_prefix`` — phrase whose last token expands against
   the term dictionary (dictionary order, ``max_expansions`` cap, 50
   default); each completion scores as its own phrase pseudo-term and
@@ -84,12 +94,38 @@ class DslError(ValueError):
     """Malformed / unsupported query-DSL input."""
 
 
+def _interval_seconds(s) -> int:
+    """Fixed-width interval spec → seconds: ``3600``, ``"90s"``,
+    ``"30m"``, ``"1h"``, ``"1d"``, ``"1w"``, or the calendar names
+    second/minute/hour/day/week.  month/year are NOT fixed-width —
+    refused loudly (this engine's date_histogram buckets by fixed
+    epoch division, the OpenSearch ``fixed_interval`` semantics)."""
+    import re as _re
+
+    if isinstance(s, (int, float)):
+        return int(s)
+    s = str(s)
+    names = {"second": 1, "minute": 60, "hour": 3600,
+             "day": 86400, "week": 604800}
+    if s in names:
+        return names[s]
+    m = _re.fullmatch(r"(\d+)([smhdw])", s)
+    if not m:
+        raise ValueError(
+            f"unsupported interval {s!r} — fixed-width only "
+            "(month/year are calendar-variable)"
+        )
+    units = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+    return int(m.group(1)) * units[m.group(2)]
+
+
 _LEAF_KEYS = (
     "match", "match_phrase", "term", "terms", "fuzzy", "wildcard",
     "prefix", "range", "query_string", "bool", "match_all", "ids",
     "exists", "constant_score", "dis_max", "boosting",
     "match_bool_prefix", "match_phrase_prefix", "regexp",
-    "simple_query_string",
+    "simple_query_string", "function_score", "span_near", "span_first",
+    "span_term",
 )
 
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
@@ -176,6 +212,80 @@ def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
             str(clause["query"]), analyzer,
             str(clause.get("default_operator", default_operator)).lower(),
         )
+
+    if kind == "function_score":
+        from .qstring import _FuncScore
+
+        if not isinstance(clause, dict) or "query" not in clause:
+            raise DslError(
+                f"function_score expects {{'query': …}}: {clause!r}"
+            )
+        child = dsl_to_node(clause["query"], analyzer, default_operator)
+        if child is None:
+            return None
+        fns = clause.get("functions", [])
+        # accept the single-function shorthand {"exp": {...}} too
+        if not fns and "exp" in clause:
+            fns = [{"exp": clause["exp"]}]
+        if len(fns) != 1 or "exp" not in fns[0]:
+            raise DslError(
+                "function_score supports exactly ONE exp decay function"
+            )
+        mode = str(clause.get("boost_mode", "multiply")).lower()
+        if mode != "multiply":
+            raise DslError(f"boost_mode must be 'multiply': {mode!r}")
+        field, spec = _one_field(fns[0]["exp"], "exp")
+        if not isinstance(spec, dict) or "origin" not in spec \
+                or "scale" not in spec:
+            raise DslError(f"exp decay needs origin + scale: {spec!r}")
+        return _FuncScore(
+            child,
+            field,
+            str(spec["origin"]),
+            float(_interval_seconds(spec["scale"])),
+            decay=float(spec.get("decay", 0.5)),
+            boost=float(clause.get("boost", 1.0)),
+        )
+
+    if kind in ("span_near", "span_first", "span_term"):
+        from .qstring import _SpanFirst, _SpanNear
+
+        def _span_word(c) -> str:
+            if not (isinstance(c, dict) and len(c) == 1
+                    and "span_term" in c):
+                raise DslError(f"expected a span_term clause: {c!r}")
+            _, v = _one_field(c["span_term"], "span_term")
+            word, _ignored = _opts(v, "value")
+            return word.lower()
+
+        if kind == "span_term":
+            # standalone span_term scores like a term query (Lucene)
+            v, opts = _opts(_one_field(clause, kind)[1], "value")
+            return _Term(v.lower(), boost=float(opts.get("boost", 1.0)))
+        if kind == "span_first":
+            if not isinstance(clause, dict) or "match" not in clause \
+                    or "end" not in clause:
+                raise DslError(
+                    f"span_first expects match + end: {clause!r}"
+                )
+            return _SpanFirst(
+                _span_word(clause["match"]), int(clause["end"]),
+                boost=float(clause.get("boost", 1.0)),
+            )
+        # span_near
+        if not isinstance(clause, dict) or not isinstance(
+            clause.get("clauses"), list
+        ) or not clause["clauses"]:
+            raise DslError(f"span_near expects clauses: {clause!r}")
+        words = [_span_word(c) for c in clause["clauses"]]
+        slop = int(clause.get("slop", 0))
+        boost = float(clause.get("boost", 1.0))
+        if len(words) == 1:
+            return _Term(words[0], boost=boost)
+        if bool(clause.get("in_order", True)):
+            # ordered spans = the sloppy-phrase walk
+            return _Phrase(words, slop=slop, boost=boost)
+        return _SpanNear(words, slop=slop, boost=boost)
 
     if kind == "match_all":
         from .qstring import _MatchAll

@@ -260,6 +260,50 @@ class _Boosting:
 
 
 @dataclass
+class _FuncScore:
+    """Query-DSL ``function_score`` with ONE exponential recency-decay
+    function, ``boost_mode: multiply`` (``bm25.function_score_topk``'s
+    semantics lifted into the AST): the child's scores multiply by
+    ``exp(ln(decay)/scale_s · max(age_s, 0))`` where ``age_s = origin
+    − doc[field]``.  Decay weights are per-doc over the reader's
+    memoized ``stored_column`` slice — no per-query stored fetch, and
+    shards compose exactly (global statistics, per-doc weights)."""
+
+    child: object
+    field: str
+    origin: str  # ISO-8601
+    scale_s: float
+    decay: float = 0.5
+    boost: float = 1.0
+
+
+@dataclass
+class _SpanNear:
+    """Query-DSL ``span_near`` with ``in_order: false`` — Lucene
+    SpanNearQuery over the position postings (``phrase.span_near``:
+    one occurrence of each term inside a window of ``len(terms) +
+    slop``, any order).  CONSTANT-SCORE per matching doc (documented
+    divergence from Lucene's sloppy-freq span scoring — the engine's
+    multi-term-rewrite convention).  ``in_order: true`` lowers to
+    ``_Phrase`` (the ordered sloppy walk) instead."""
+
+    terms: list
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass
+class _SpanFirst:
+    """Query-DSL ``span_first``: the term occurs at a position < ``end``
+    (``phrase.span_first`` — "in the first N words").  Constant-score,
+    like the other span/multi-term rewrites."""
+
+    term: str
+    end: int
+    boost: float = 1.0
+
+
+@dataclass
 class _Regexp:
     """OpenSearch ``regexp`` query: anchored-regex term expansion
     (``fuzzy.regexp_terms`` — trigram-accelerated), CONSTANT-SCORE
@@ -474,10 +518,14 @@ def positive_terms(node) -> set[str]:
     elif isinstance(node, _DisMax):
         for child in node.children:
             out |= positive_terms(child)
-    elif isinstance(node, (_ConstScore, _Boosting)):
+    elif isinstance(node, (_ConstScore, _Boosting, _FuncScore)):
         out |= positive_terms(
-            node.child if isinstance(node, _ConstScore) else node.positive
+            node.positive if isinstance(node, _Boosting) else node.child
         )
+    elif isinstance(node, _SpanNear):
+        out.update(node.terms)
+    elif isinstance(node, _SpanFirst):
+        out.add(node.term)
     return out
 
 
@@ -497,6 +545,48 @@ def _phrase_prefix_bool(reader, node: _PhrasePrefix) -> _Bool:
         _Phrase(head + [e]) if head else _Term(e) for e in exp
     ]
     return _Bool(should=leaves, boost=node.boost)
+
+
+def _decay_weights(reader, node: _FuncScore) -> np.ndarray:
+    """Per-doc exp-decay weights over the reader's doc range, from the
+    memoized ``stored_column`` slice (one pruned scan per reader —
+    corpus-wide weight state lives with the reader/shard).  Missing
+    timestamps weigh 1.0 (OpenSearch: decay on a missing field is a
+    no-op for that doc); future docs clamp to age 0."""
+    import math
+
+    ts = reader.stored_column(node.field).to_numpy(zero_copy_only=False)
+    origin = np.datetime64(node.origin.replace("Z", ""), "s")
+    age_s = (origin - ts.astype("datetime64[s]")).astype(np.float64)
+    lam = math.log(node.decay) / float(node.scale_s)
+    w = np.exp(lam * np.clip(age_s, 0.0, None))
+    return np.where(np.isnan(w), 1.0, w)
+
+
+def _span_match_mask(reader, node, lo: int, hi: int) -> np.ndarray:
+    """Range-local bool mask for the span leaves (``_SpanNear`` /
+    ``_SpanFirst``).  span_near decodes only the range-overlapping
+    position blocks; span_first decodes its ONE term's positions in
+    full and restricts — the documented positional-fallback cost class
+    on the sharded tier."""
+    from .phrase import span_first, span_near, span_near_range
+
+    n_local = max(0, hi - lo)
+    match = np.zeros(n_local, bool)
+    if isinstance(node, _SpanNear):
+        full = lo == 0 and hi == reader.n_docs
+        hits = (
+            span_near(reader, node.terms, node.slop)
+            if full
+            else span_near_range(reader, node.terms, node.slop)
+        )
+        docs = [d for d, _ in hits if lo <= d < hi]
+    else:
+        docs = [d for d, _ in span_first(reader, node.term, node.end)
+                if lo <= d < hi]
+    if docs:
+        match[np.asarray(docs, np.int64) - lo] = True
+    return match
 
 
 def _dis_max_combine(parts, n, tie: float, boost: float):
@@ -539,6 +629,13 @@ def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
         return np.where(match, scores * node.boost, 0.0), match
     if isinstance(node, _PhrasePrefix):
         return _eval(reader, _phrase_prefix_bool(reader, node))
+    if isinstance(node, _FuncScore):
+        s, m = _eval(reader, node.child)
+        s = np.where(m, s * _decay_weights(reader, node) * node.boost, 0.0)
+        return s, m
+    if isinstance(node, (_SpanNear, _SpanFirst)):
+        match = _span_match_mask(reader, node, 0, n)
+        return np.where(match, node.boost, 0.0), match
     if isinstance(node, _Term):
         scores = bm25_scores_dense(reader, [node.term]) * node.boost
         return scores, scores > 0.0
@@ -677,6 +774,14 @@ def _eval_range(reader, node) -> tuple[np.ndarray, np.ndarray]:
         # the term dictionary is GLOBAL on a shard reader, so every
         # shard lowers to the identical expansion set
         return _eval_range(reader, _phrase_prefix_bool(reader, node))
+    if isinstance(node, _FuncScore):
+        s, m = _eval_range(reader, node.child)
+        # stored_column is already range-local on a shard reader
+        s = np.where(m, s * _decay_weights(reader, node) * node.boost, 0.0)
+        return s, m
+    if isinstance(node, (_SpanNear, _SpanFirst)):
+        match = _span_match_mask(reader, node, lo, hi)
+        return np.where(match, node.boost, 0.0), match
     if isinstance(node, _Term):
         scores = np.zeros(n_local, np.float64)
         tp = reader.postings(node.term)

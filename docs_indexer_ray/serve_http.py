@@ -64,31 +64,6 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
-def _interval_seconds(s) -> int:
-    """Fixed-width interval spec → seconds: ``3600``, ``"90s"``,
-    ``"30m"``, ``"1h"``, ``"1d"``, ``"1w"``, or the calendar names
-    second/minute/hour/day/week.  month/year are NOT fixed-width —
-    refused loudly (this engine's date_histogram buckets by fixed
-    epoch division, the OpenSearch ``fixed_interval`` semantics)."""
-    import re as _re
-
-    if isinstance(s, (int, float)):
-        return int(s)
-    s = str(s)
-    names = {"second": 1, "minute": 60, "hour": 3600,
-             "day": 86400, "week": 604800}
-    if s in names:
-        return names[s]
-    m = _re.fullmatch(r"(\d+)([smhdw])", s)
-    if not m:
-        raise ValueError(
-            f"unsupported interval {s!r} — fixed-width only "
-            "(month/year are calendar-variable)"
-        )
-    units = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
-    return int(m.group(1)) * units[m.group(2)]
-
-
 def _jsonable(v):
     """JSON-safe hit value: datetimes (timestamp stored fields / sort
     keys) serialize as ISO-8601 — the same spelling the sort cursor
@@ -286,6 +261,8 @@ class SearchServer:
                 names[p["agg_stats"]] = name
             elif "date_histogram" in agg:
                 dh = agg["date_histogram"]
+                from .query.dsl import _interval_seconds
+
                 iv = dh.get(
                     "fixed_interval",
                     dh.get("calendar_interval", dh.get("interval")),

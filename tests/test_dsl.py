@@ -112,7 +112,7 @@ def test_dsl_lowering_shapes():
         dsl_to_node({"range": {"warc_ts": "2025"}}, an)
     # errors: unsupported clause / malformed shapes
     with pytest.raises(DslError):
-        dsl_to_node({"span_term": {"body": "n"}}, an)
+        dsl_to_node({"intervals": {"body": "n"}}, an)
     with pytest.raises(DslError):
         dsl_to_node({"match": {"a": "x", "b": "y"}}, an)
     with pytest.raises(DslError):
@@ -320,7 +320,7 @@ def test_http_post_search_dsl(built, ray_session):
                 == ids[:3]
 
             code, err = _req(srv.port, "/_search",
-                             body={"query": {"span_term": {"body": "n"}}})
+                             body={"query": {"intervals": {"body": "n"}}})
             assert code == 400 and err["error"]["type"] == "DslError"
         finally:
             srv.stop()
@@ -603,6 +603,123 @@ def test_dsl_new_clauses_on_the_sharded_fleet(built, ray_session):
                              {"constant_score": {
                                  "filter": {"exists": {"field": "extras"}},
                                  "boost": 0.5}}]}},
+    ]
+    root = os.path.dirname(built.index_dir)
+    svc = ShardedQueryService(root, n_shards=3, chain=built.chain)
+    try:
+        for dsl in bodies:
+            assert svc.query_string(dsl, k=15) == query_string_topk(
+                built, dsl, k=15
+            ), dsl
+    finally:
+        svc.shutdown()
+
+
+def test_dsl_function_score_exp_decay(built):
+    """function_score(exp over warc_ts, boost_mode multiply) ≡ the
+    standalone bm25.function_score_topk kernel, locally and as an
+    independently computed weight check; missing-field nulls weigh 1."""
+    import numpy as np
+
+    from docs_indexer_ray.query.bm25 import function_score_topk
+    from docs_indexer_ray.query.qstring import query_string_topk
+
+    origin = "2025-01-01T00:02:00"  # just past the corpus's 90 s ts span
+    dsl = {"function_score": {
+        "query": {"match": {"body": "node pools"}},
+        "functions": [{"exp": {"warc_ts": {
+            "origin": origin, "scale": "30s", "decay": 0.5}}}],
+    }}
+    got = query_string_topk(built, dsl, k=15)
+    want = function_score_topk(
+        built, ["node", "pools"], origin, scale_s=30.0, decay=0.5, k=15
+    )
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, rel=1e-12)
+
+    # decayed ≠ undecayed order on this corpus (the weight must bite)
+    plain = query_string_topk(built, {"match": {"body": "node pools"}}, k=15)
+    assert [d for d, _ in got] != [d for d, _ in plain]
+
+    # single-function shorthand accepted; multiply-only enforced
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+
+    an = _an()
+    n = dsl_to_node({"function_score": {
+        "query": {"match": {"body": "node"}},
+        "exp": {"warc_ts": {"origin": origin, "scale": "600s"}},
+    }}, an)
+    assert n.scale_s == 600.0 and n.decay == 0.5
+    with pytest.raises(DslError):
+        dsl_to_node({"function_score": {
+            "query": {"match": {"body": "node"}},
+            "exp": {"warc_ts": {"origin": origin, "scale": "1h"}},
+            "boost_mode": "sum",
+        }}, an)
+    with pytest.raises(DslError):
+        dsl_to_node({"function_score": {"exp": {}}}, an)
+
+
+def test_dsl_span_queries(built):
+    """span_near (unordered, constant-score) ≡ phrase.span_near's match
+    set; in_order=true lowers to the sloppy-phrase walk; span_first ≡
+    phrase.span_first; standalone span_term scores like term."""
+    from docs_indexer_ray.query.phrase import span_first, span_near
+    from docs_indexer_ray.query.qstring import query_string_topk
+
+    near = {"span_near": {
+        "clauses": [{"span_term": {"body": "pools"}},
+                    {"span_term": {"body": "node"}}],
+        "slop": 2, "in_order": False,
+    }}
+    got = query_string_topk(built, near, k=built.n_docs)
+    want = {d for d, _ in span_near(built, ["pools", "node"], slop=2)}
+    assert {d for d, _ in got} == want and len(want) > 0
+    assert all(s == 1.0 for _, s in got)
+
+    ordered = {"span_near": {
+        "clauses": [{"span_term": {"body": "node"}},
+                    {"span_term": {"body": "pools"}}],
+        "slop": 1, "in_order": True,
+    }}
+    got = query_string_topk(built, ordered, k=built.n_docs)
+    want = query_string_topk(built, '"node pools"~1', k=built.n_docs)
+    assert got == want
+
+    first = {"span_first": {"match": {"span_term": {"body": "node"}},
+                            "end": 3}}
+    got = query_string_topk(built, first, k=built.n_docs)
+    want = {d for d, _ in span_first(built, "node", 3)}
+    assert {d for d, _ in got} == want and 0 < len(want) < built.n_docs
+
+    got = query_string_topk(built, {"span_term": {"body": "node"}}, k=9)
+    assert got == query_string_topk(built, {"term": {"body": "node"}}, k=9)
+
+
+def test_dsl_funcscore_spans_on_the_fleet(built, ray_session):
+    import os
+
+    from docs_indexer_ray.query.qstring import query_string_topk
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    bodies = [
+        {"function_score": {
+            "query": {"match": {"body": "node pools"}},
+            "exp": {"warc_ts": {"origin": "2025-06-01T00:00:00",
+                                "scale": "1d"}},
+        }},
+        {"span_near": {"clauses": [{"span_term": {"body": "pools"}},
+                                   {"span_term": {"body": "node"}}],
+                       "slop": 2, "in_order": False}},
+        {"span_first": {"match": {"span_term": {"body": "node"}},
+                        "end": 3}},
+        {"bool": {"must": [{"function_score": {
+            "query": {"match": {"body": "node"}},
+            "exp": {"warc_ts": {"origin": "2025-06-01T00:00:00",
+                                "scale": "2h", "decay": 0.7}},
+        }}], "should": [{"span_first": {
+            "match": {"span_term": {"body": "pools"}}, "end": 5}}]}},
     ]
     root = os.path.dirname(built.index_dir)
     svc = ShardedQueryService(root, n_shards=3, chain=built.chain)

@@ -109,6 +109,7 @@ SQL_BACKED = [
     "dsl_boosting_regexp",
     "search_sort_sharded",
     "simple_qs_sharded",
+    "dsl_function_score_sharded",
     "bm25_topk_merged",
     "facet_date_histogram",
     "facet_pipeline",

@@ -150,7 +150,7 @@ def test_mget_field_caps_validate(root, ray_session):
                        body={"query": {"match": {"body": "node pools"}}})
         assert code == 200 and v == {"valid": True}
         code, v = _req(srv.port, "/_validate/query",
-                       body={"query": {"span_term": {"body": "x"}}})
+                       body={"query": {"intervals": {"body": "x"}}})
         assert code == 200 and v["valid"] is False
         assert v["error"]["type"] == "DslError"
         code, v = _req(srv.port, "/_validate/query",
