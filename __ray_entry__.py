@@ -2585,6 +2585,19 @@ def q_dsl_function_score_sharded(sf_dir: str) -> pa.Table:
     return _fleet_dsl_page(sf_dir, dsl)
 
 
+def q_dsl_mlt_sharded(sf_dir: str) -> pa.Table:
+    """DSL ``more_like_this`` through the 4-shard fleet: same source
+    doc and term budget as the SQL-oracled ``more_like_this`` entry,
+    lowered from a JSON body onto the ``_MoreLikeThis`` AST leaf —
+    term selection reads the shared docs store with GLOBAL statistics,
+    so every shard expands identically and the quantized merge matches
+    that entry's replay (minus its score column: the AST surface ranks
+    on the quantized key, so only rank+doc_id are emitted)."""
+    dsl = {"more_like_this": {"like": [{"_id": _MLT_DOC}],
+                              "max_query_terms": 25}}
+    return _fleet_dsl_page(sf_dir, dsl)
+
+
 def q_search_sort_sharded(sf_dir: str) -> pa.Table:
     """The OpenSearch ``sort`` clause on the fleet (query/sortq.py):
     page 2 (from_=3) of the flagship match set ordered by the stored
@@ -3662,6 +3675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sort_sharded": q_search_sort_sharded,
         "simple_qs_sharded": q_simple_qs_sharded,
         "dsl_function_score_sharded": q_dsl_function_score_sharded,
+        "dsl_mlt_sharded": q_dsl_mlt_sharded,
         "search_fetch": q_search_fetch,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_search_after": q_bm25_search_after,
@@ -5809,6 +5823,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["dsl_range_sharded"] = sqls["bm25_topk_filtered"]
     sqls["facet_terms_served"] = sqls["facet_terms"]
     sqls["dsl_function_score_sharded"] = sqls["function_score"]
+    sqls["dsl_mlt_sharded"] = sqls["more_like_this"]
     # shared scaffolding for the round-3 DSL-clause oracles: tokenized
     # body, doc lengths, corpus stats, per-term tf/df (the established
     # BM25 replay shape)

@@ -65,6 +65,10 @@ Supported clauses (one key per query object, like OpenSearch):
   (constant-score, the multi-term-rewrite convention — documented
   divergence from Lucene's sloppy-freq span scoring); a standalone
   ``span_term`` scores like ``term``.
+* ``more_like_this`` — ONE ``like`` doc id: the MLT term selection
+  (top tf·idf terms of the stored source) expands at evaluation time
+  into should-of-terms with the source excluded — global statistics
+  keep the expansion identical on every shard.
 * ``match_phrase_prefix`` — phrase whose last token expands against
   the term dictionary (dictionary order, ``max_expansions`` cap, 50
   default); each completion scores as its own phrase pseudo-term and
@@ -125,7 +129,7 @@ _LEAF_KEYS = (
     "exists", "constant_score", "dis_max", "boosting",
     "match_bool_prefix", "match_phrase_prefix", "regexp",
     "simple_query_string", "function_score", "span_near", "span_first",
-    "span_term",
+    "span_term", "more_like_this",
 )
 
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
@@ -286,6 +290,32 @@ def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
             # ordered spans = the sloppy-phrase walk
             return _Phrase(words, slop=slop, boost=boost)
         return _SpanNear(words, slop=slop, boost=boost)
+
+    if kind == "more_like_this":
+        from .qstring import _MoreLikeThis
+
+        if not isinstance(clause, dict):
+            raise DslError(f"more_like_this expects an object: {clause!r}")
+        like = clause.get("like")
+        if isinstance(like, list):
+            if len(like) != 1:
+                raise DslError(
+                    "more_like_this supports exactly ONE like document"
+                )
+            like = like[0]
+        if isinstance(like, dict) and "_id" in like:
+            like = like["_id"]
+        if not isinstance(like, (int, str)) or (
+            isinstance(like, str) and not like.isdigit()
+        ):
+            raise DslError(
+                f"more_like_this 'like' must be a doc id: {clause!r}"
+            )
+        return _MoreLikeThis(
+            int(like),
+            max_query_terms=int(clause.get("max_query_terms", 25)),
+            boost=float(clause.get("boost", 1.0)),
+        )
 
     if kind == "match_all":
         from .qstring import _MatchAll

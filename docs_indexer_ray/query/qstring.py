@@ -304,6 +304,21 @@ class _SpanFirst:
 
 
 @dataclass
+class _MoreLikeThis:
+    """Query-DSL ``more_like_this`` on ONE stored source doc: the MLT
+    term-selection step (``mlt.select_mlt_terms`` — top tf·idf terms
+    of the source) expands at evaluation time into a should-of-terms
+    with the source excluded (an ``_Ids`` must_not) — exactly the
+    ``query/mlt.py`` semantics.  Selection uses GLOBAL statistics and
+    the shared docs store, so every shard expands identically and the
+    cross-shard merge is exact."""
+
+    doc_id: int
+    max_query_terms: int = 25
+    boost: float = 1.0
+
+
+@dataclass
 class _Regexp:
     """OpenSearch ``regexp`` query: anchored-regex term expansion
     (``fuzzy.regexp_terms`` — trigram-accelerated), CONSTANT-SCORE
@@ -589,6 +604,21 @@ def _span_match_mask(reader, node, lo: int, hi: int) -> np.ndarray:
     return match
 
 
+def _mlt_bool(reader, node: _MoreLikeThis) -> _Bool:
+    """Lower a ``_MoreLikeThis`` against the reader: selected terms →
+    should, source doc → must_not (never its own neighbor)."""
+    from .mlt import select_mlt_terms
+
+    terms = select_mlt_terms(
+        reader, node.doc_id, max_query_terms=node.max_query_terms
+    )
+    return _Bool(
+        should=[_Term(t) for t in terms],
+        must_not=[_Ids([node.doc_id])],
+        boost=node.boost,
+    )
+
+
 def _dis_max_combine(parts, n, tie: float, boost: float):
     """Fold child ``(scores, match)`` pairs into DisMax semantics."""
     best = np.zeros(n, np.float64)
@@ -636,6 +666,8 @@ def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(node, (_SpanNear, _SpanFirst)):
         match = _span_match_mask(reader, node, 0, n)
         return np.where(match, node.boost, 0.0), match
+    if isinstance(node, _MoreLikeThis):
+        return _eval(reader, _mlt_bool(reader, node))
     if isinstance(node, _Term):
         scores = bm25_scores_dense(reader, [node.term]) * node.boost
         return scores, scores > 0.0
@@ -782,6 +814,10 @@ def _eval_range(reader, node) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(node, (_SpanNear, _SpanFirst)):
         match = _span_match_mask(reader, node, lo, hi)
         return np.where(match, node.boost, 0.0), match
+    if isinstance(node, _MoreLikeThis):
+        # term selection reads the SHARED docs store with global
+        # statistics — identical expansion on every shard
+        return _eval_range(reader, _mlt_bool(reader, node))
     if isinstance(node, _Term):
         scores = np.zeros(n_local, np.float64)
         tp = reader.postings(node.term)

@@ -40,6 +40,8 @@ def assemble_hits(
     width: int,
     chain: str,
     rank_start: int = 1,
+    hl_pre: str = "<em>",
+    hl_post: str = "</em>",
 ) -> pa.Table:
     """hits + stored fields (+ snippet) → the response table, in rank
     order.  Shared by the local path and each shard's fetch phase.
@@ -79,6 +81,7 @@ def assemble_hits(
         cols["snippet"] = pa.array(
             [
                 best_snippet(t or "", "", chain=chain, width=width,
+                             pre=hl_pre, post=hl_post,
                              terms=snippet_terms or set())
                 for t in texts
             ],
@@ -99,6 +102,7 @@ def search_response(
     from_: int = 0,
     after: tuple[float, int] | None = None,
     sort: tuple[str, str] | None = None,
+    hl_tags: tuple[str, str] = ("<em>", "</em>"),
 ) -> pa.Table:
     """The assembled ``_search`` response over a local reader.
 
@@ -152,6 +156,7 @@ def search_response(
         out = assemble_hits(
             reader, hits, tuple(fields), terms, highlight_field,
             width, reader.chain, rank_start=from_ + 1,
+            hl_pre=hl_tags[0], hl_post=hl_tags[1],
         )
         return out.append_column("sort_key", rows["key"].combine_chunks())
     if syntax:
@@ -188,4 +193,6 @@ def search_response(
         width,
         reader.chain,
         rank_start=from_ + 1,
+        hl_pre=hl_tags[0],
+        hl_post=hl_tags[1],
     )

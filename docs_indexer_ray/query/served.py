@@ -405,6 +405,7 @@ class ShardQueryActor:
         highlight_field: str | None = None,
         width: int = 160,
         syntax: bool = False,
+        hl_tags: tuple = ("<em>", "</em>"),
     ):
         """OpenSearch's FETCH phase, shard-local: stored fields (+ the
         densest highlighted snippet) for hits this shard OWNS —
@@ -437,7 +438,8 @@ class ShardQueryActor:
             cols["snippet"] = pa.array(
                 [
                     best_snippet(
-                        x or "", "", chain=self.reader.chain, width=width, terms=terms
+                        x or "", "", chain=self.reader.chain, width=width,
+                        pre=hl_tags[0], post=hl_tags[1], terms=terms
                     )
                     for x in t[highlight_field].to_pylist()
                 ],
@@ -586,6 +588,7 @@ class ShardedQueryService:
         from_: int = 0,
         after: tuple[float, int] | None = None,
         sort: tuple[str, str] | None = None,
+        hl_tags: tuple = ("<em>", "</em>"),
     ):
         """OpenSearch two-phase QUERY-THEN-FETCH on the fleet: phase 1
         is the exact cross-shard top-k merge (plain match, or the full
@@ -610,7 +613,7 @@ class ShardedQueryService:
         if sort is not None:
             return self._sorted_search(
                 query, k, fields, highlight_field, width, syntax,
-                default_operator, from_, after, sort,
+                default_operator, from_, after, sort, hl_tags,
             )[0]
         hits = (
             self.query_string(query, from_ + k, default_operator, after=after)
@@ -619,7 +622,7 @@ class ShardedQueryService:
         )[from_:]
         return self._fetch_phase(
             hits, query, fields, highlight_field, width, syntax,
-            rank_start=from_ + 1,
+            rank_start=from_ + 1, hl_tags=hl_tags,
         )
 
     def _sorted_search(
@@ -634,6 +637,7 @@ class ShardedQueryService:
         from_: int,
         after: tuple | None,
         sort: tuple[str, str],
+        hl_tags: tuple = ("<em>", "</em>"),
     ):
         """Field-``sort`` search on the fleet (``query/sortq.py``):
         phase 1 fans ONE ``sort_partial`` to every shard (each ranks
@@ -665,7 +669,7 @@ class ShardedQueryService:
         hits = [(int(d), 0.0) for d in rows["doc_id"].to_pylist()]
         t = self._fetch_phase(
             hits, query, fields, highlight_field, width, syntax,
-            rank_start=from_ + 1,
+            rank_start=from_ + 1, hl_tags=hl_tags,
         )
         return t.append_column("sort_key", rows["key"].combine_chunks()), total
 
@@ -681,6 +685,7 @@ class ShardedQueryService:
         from_: int = 0,
         after: tuple[float, int] | None = None,
         sort: tuple[str, str] | None = None,
+        hl_tags: tuple = ("<em>", "</em>"),
     ):
         """:meth:`search` plus the TRUE match count, with phase 1
         collecting rank AND count from each shard in ONE fan-out
@@ -701,7 +706,7 @@ class ShardedQueryService:
             # the sort fan-out already reports per-shard match counts
             return self._sorted_search(
                 query, k, fields, highlight_field, width, syntax,
-                default_operator, from_, after, sort,
+                default_operator, from_, after, sort, hl_tags,
             )
         parts = ray.get(
             [
@@ -716,7 +721,7 @@ class ShardedQueryService:
         return (
             self._fetch_phase(
                 hits, query, fields, highlight_field, width, syntax,
-                rank_start=from_ + 1,
+                rank_start=from_ + 1, hl_tags=hl_tags,
             ),
             total,
         )
@@ -730,6 +735,7 @@ class ShardedQueryService:
         width: int,
         syntax: bool,
         rank_start: int = 1,
+        hl_tags: tuple = ("<em>", "</em>"),
     ):
         import pyarrow as pa
         import ray
@@ -742,7 +748,8 @@ class ShardedQueryService:
         parts = ray.get(
             [
                 self._actors[s].fetch_partial.remote(
-                    ids, tuple(fields), query, highlight_field, width, syntax
+                    ids, tuple(fields), query, highlight_field, width,
+                    syntax, hl_tags
                 )
                 for s, ids in per_shard.items()
             ]
@@ -763,7 +770,8 @@ class ShardedQueryService:
             # search_response; same fix as assemble_hits)
             empty = ray.get(
                 self._actors[0].fetch_partial.remote(
-                    [], tuple(fields), query, highlight_field, width, syntax
+                    [], tuple(fields), query, highlight_field, width,
+                    syntax, hl_tags
                 )
             )
             for f in extra:

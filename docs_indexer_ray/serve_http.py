@@ -243,11 +243,22 @@ class SearchServer:
             src = spec["_source"]
             p["fields"] = ",".join(src if isinstance(src, list) else [src])
         if "highlight" in spec:
-            hfields = spec["highlight"].get("fields", {})
+            h = spec["highlight"]
+            hfields = h.get("fields", {})
             if len(hfields) > 1:
                 raise ValueError("one highlight field supported")
             if hfields:
-                p["highlight"] = next(iter(hfields))
+                field = next(iter(hfields))
+                p["highlight"] = field
+                fopts = hfields[field] or {}
+                if "fragment_size" in fopts:
+                    p["hl_width"] = str(int(fopts["fragment_size"]))
+                pre = (h.get("pre_tags") or fopts.get("pre_tags") or [None])[0]
+                post = (h.get("post_tags") or fopts.get("post_tags") or [None])[0]
+                if pre is not None:
+                    p["hl_pre"] = str(pre)
+                if post is not None:
+                    p["hl_post"] = str(post)
         names: dict[str, str] = {}  # response column key → agg name
         for name, agg in (spec.get("aggs") or spec.get("aggregations")
                           or {}).items():
@@ -310,6 +321,25 @@ class SearchServer:
                     "percentiles)"
                 )
         out = self._search(p)
+        if "suggest" in spec:
+            # the OpenSearch suggest envelope riding a search body:
+            # {"name": {"text": …, "term": {...}}} → per-name options
+            # from the same did-you-mean suggester /_suggest serves
+            from .query.suggest import Suggester
+
+            if self._suggester is None:
+                self._suggester = Suggester(self._reader)
+            sugg = {}
+            for name, sp in spec["suggest"].items():
+                if not isinstance(sp, dict) or "text" not in sp:
+                    raise ValueError(f"suggest {name!r} needs text: {sp!r}")
+                n = int((sp.get("term") or {}).get("size", 3))
+                opts = self._suggester.suggest(sp["text"], max_suggestions=n)
+                sugg[name] = [{
+                    "text": sp["text"],
+                    "options": [{"text": t, "score": sc} for t, sc in opts],
+                }]
+            out["suggest"] = sugg
         if names and "aggregations" in out:
             out["aggregations"] = {
                 names.get(col, col): v
@@ -357,6 +387,9 @@ class SearchServer:
         syntax = isinstance(q, dict) or params.get("syntax", "0") in ("1", "true")
         fields = tuple(f for f in params.get("fields", "url,title").split(",") if f)
         highlight = params.get("highlight") or None
+        hl_width = int(params.get("hl_width", "160"))
+        hl_tags = (params.get("hl_pre", "<em>"),
+                   params.get("hl_post", "</em>"))
         t0 = time.perf_counter()
         # ONE backend snapshot for the whole request: hits, total and
         # aggregations must come from the same build — a _reload
@@ -368,7 +401,8 @@ class SearchServer:
             # count() call doubles the round trips on the hottest path)
             table, total = svc.search_with_total(
                 q, k=k, fields=fields, highlight_field=highlight,
-                syntax=syntax, from_=from_, after=after, sort=sort_spec,
+                width=hl_width, syntax=syntax, from_=from_, after=after,
+                sort=sort_spec, hl_tags=hl_tags,
             )
             total = int(total)
         else:
@@ -376,8 +410,8 @@ class SearchServer:
 
             table = search_response(
                 reader, q, k=k, fields=fields,
-                highlight_field=highlight, syntax=syntax,
-                from_=from_, after=after, sort=sort_spec,
+                highlight_field=highlight, width=hl_width, syntax=syntax,
+                from_=from_, after=after, sort=sort_spec, hl_tags=hl_tags,
             )
             # true match count (not len(hits), which is capped at k):
             # pagination UIs and "N results" displays read total.value

@@ -730,3 +730,43 @@ def test_dsl_funcscore_spans_on_the_fleet(built, ray_session):
             ), dsl
     finally:
         svc.shutdown()
+
+
+def test_dsl_more_like_this(built, ray_session):
+    """more_like_this DSL ≡ the query/mlt.py kernel (same term
+    selection, source excluded), incl. the fleet — term selection uses
+    global statistics so every shard expands identically."""
+    import os
+
+    from docs_indexer_ray.query.mlt import more_like_this
+    from docs_indexer_ray.query.qstring import query_string_topk
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    src = 0
+    dsl = {"more_like_this": {"like": [{"_id": src}],
+                              "max_query_terms": 10}}
+    got = query_string_topk(built, dsl, k=12)
+    want = more_like_this(built, src, k=12, max_query_terms=10)
+    assert [d for d, _ in got] == want["doc_id"].to_pylist()
+    assert src not in {d for d, _ in got}
+
+    # like spellings: bare int, {"_id": N}, single-item list
+    for like in (src, {"_id": src}, [src]):
+        assert query_string_topk(
+            built, {"more_like_this": {"like": like,
+                                       "max_query_terms": 10}}, k=12
+        ) == got
+
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+
+    with pytest.raises(DslError):
+        dsl_to_node({"more_like_this": {"like": [1, 2]}}, _an())
+    with pytest.raises(DslError):
+        dsl_to_node({"more_like_this": {"like": "not-an-id"}}, _an())
+
+    root = os.path.dirname(built.index_dir)
+    svc = ShardedQueryService(root, n_shards=3, chain=built.chain)
+    try:
+        assert svc.query_string(dsl, k=12) == got
+    finally:
+        svc.shutdown()

@@ -110,6 +110,7 @@ SQL_BACKED = [
     "search_sort_sharded",
     "simple_qs_sharded",
     "dsl_function_score_sharded",
+    "dsl_mlt_sharded",
     "bm25_topk_merged",
     "facet_date_histogram",
     "facet_pipeline",

@@ -275,3 +275,50 @@ def test_extra_aggregations_both_backends(root, ray_session):
         assert code == 400 and "fixed-width" in err["error"]["reason"]
     finally:
         srv.stop()
+
+
+def test_highlight_options_and_suggest_body(root, ray_session):
+    """highlight pre/post tags + fragment_size map through both
+    backends; a body 'suggest' rides the search response (the
+    /_suggest machinery, OpenSearch envelope)."""
+    from docs_indexer_ray.serve_http import SearchServer
+
+    for backend, kw in (("local", {}), ("sharded", {"n_shards": 3})):
+        srv = SearchServer(root, backend=backend, **kw).start()
+        try:
+            body = {
+                "query": {"match": {"body": "node"}},
+                "size": 2,
+                "highlight": {"fields": {"body": {"fragment_size": 60}},
+                              "pre_tags": ["<b>"], "post_tags": ["</b>"]},
+            }
+            code, r = _req(srv.port, "/_search", body=body)
+            assert code == 200, r
+            snip = r["hits"]["hits"][0]["highlight"]["body"][0]
+            assert "<b>" in snip and "</b>" in snip and "<em>" not in snip
+            # fragment_size bounds the UNMARKED text length
+            bare = snip.replace("<b>", "").replace("</b>", "")
+            assert len(bare) <= 60 + 20  # width + boundary slack
+            # default tags unchanged
+            code, r2 = _req(srv.port, "/_search",
+                            body={"query": body["query"], "size": 1,
+                                  "highlight": {"fields": {"body": {}}}})
+            assert "<em>" in r2["hits"]["hits"][0]["highlight"]["body"][0]
+        finally:
+            srv.stop()
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        body = {"query": {"match": {"body": "node"}}, "size": 1,
+                "suggest": {"fix": {"text": "nodde",
+                                    "term": {"field": "body", "size": 2}}}}
+        code, r = _req(srv.port, "/_search", body=body)
+        assert code == 200, r
+        opts = r["suggest"]["fix"][0]["options"]
+        assert opts and opts[0]["text"] == "node"
+        code, err = _req(srv.port, "/_search",
+                         body={"query": body["query"],
+                               "suggest": {"bad": {"term": {}}}})
+        assert code == 400
+    finally:
+        srv.stop()
