@@ -514,8 +514,8 @@ def positive_terms(node) -> set[str]:
     the highlightable set for a parsed query: ``_Term`` terms and
     ``_Phrase`` members from must/should subtrees; ``must_not``
     branches are skipped (a prohibited term never lights up in a
-    snippet), fuzzy/wildcard leaves contribute nothing (their
-    expansions are index-dependent — documented limitation)."""
+    snippet), fuzzy/wildcard/more_like_this leaves contribute nothing
+    (their expansions are index-dependent — documented limitation)."""
     out: set[str] = set()
     if isinstance(node, _Term):
         out.add(node.term)
