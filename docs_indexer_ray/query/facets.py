@@ -1307,6 +1307,15 @@ def terms_stats_facet(
         )
 
     parts = tables_of(docs_ds.map_batches(partial, batch_format="pyarrow"))
+    return fold_terms_stats(parts)
+
+
+def fold_terms_stats(parts: list[pa.Table]) -> pa.Table:
+    """Exact fold of ``(value, n, mn, mx, sm)`` partials → the terms+
+    stats response table — count/min/max/sum are the distributive
+    combiners, so Dataset blocks and fleet shards merge identically
+    (shared by :func:`terms_stats_facet` and the serving tier)."""
+    parts = [p for p in parts if p.num_rows]
     if not parts:
         return pa.table(
             {

@@ -298,6 +298,47 @@ class ShardQueryActor:
         vals = self._col_slice(col).take(pa.array(matched))
         return value_histogram(vals, kind, arg)
 
+    def facet_terms_stats_partial(
+        self, query: str, key_col: str, val_col: str, syntax: bool = False
+    ):
+        """terms + stats SUB-aggregation partial: per in-shard bucket
+        of ``key_col``, (count, min, max, sum) of ``val_col`` over the
+        matched docs — one Arrow groupby over the memoized column
+        slices, ≤ distinct-keys rows out, distributive combiners so
+        the fleet fold (``facets.fold_terms_stats``) is exact."""
+        import pyarrow as pa
+
+        matched = self._matched_local(query, syntax=syntax)
+        idx = pa.array(matched)
+        t = pa.table(
+            {
+                "value": self._col_slice(key_col).take(idx).cast(pa.string()),
+                "v": self._col_slice(val_col).take(idx).cast(pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "value": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                    "sm": pa.array([], pa.float64()),
+                }
+            )
+        agg = t.group_by("value").aggregate(
+            [([], "count_all"), ("v", "min"), ("v", "max"), ("v", "sum")]
+        )
+        return pa.table(
+            {
+                "value": agg["value"],
+                "n": agg["count_all"].cast(pa.int64()),
+                "mn": agg["v_min"],
+                "mx": agg["v_max"],
+                "sm": agg["v_sum"],
+            }
+        )
+
     def facet_stats_partial(self, query: str, col: str, syntax: bool = False) -> tuple:
         """``(n, min, max, sum)`` of numeric column ``col`` over this
         shard's matches — one constant-size tuple per shard; count/sum
@@ -933,6 +974,28 @@ class ShardedQueryService:
                 "value": pa.array(out, pa.float64()),
             }
         )
+
+    def terms_stats_facet(
+        self, query: str, key_col: str, val_col: str, syntax: bool = False
+    ):
+        """terms bucket + stats sub-aggregation on the fleet — ONE
+        partial fan-out, the shared exact fold
+        (``facets.fold_terms_stats``), identical output schema to the
+        Dataset facet: ``(value, n_docs, min_v, max_v, sum_v, avg_v)``
+        ordered count desc / key asc."""
+        import ray
+
+        from .facets import fold_terms_stats
+
+        parts = ray.get(
+            [
+                a.facet_terms_stats_partial.remote(
+                    query, key_col, val_col, syntax
+                )
+                for a in self._actors
+            ]
+        )
+        return fold_terms_stats(parts)
 
     def cardinality_facet(
         self, query: str, col: str, syntax: bool = False

@@ -263,10 +263,29 @@ class SearchServer:
         for name, agg in (spec.get("aggs") or spec.get("aggregations")
                           or {}).items():
             if "terms" in agg:
-                p["agg_terms"] = agg["terms"]["field"]
-                if "size" in agg["terms"]:
-                    p["agg_size"] = str(int(agg["terms"]["size"]))
-                names[p["agg_terms"]] = name
+                sub = agg.get("aggs") or agg.get("aggregations")
+                if sub:
+                    # nested terms → stats sub-aggregation (the
+                    # canonical OpenSearch nested-agg request)
+                    if len(sub) != 1:
+                        raise ValueError("one sub-aggregation supported")
+                    subname, subspec = next(iter(sub.items()))
+                    if "stats" not in subspec:
+                        raise ValueError(
+                            f"terms sub-agg must be stats: {subspec!r}"
+                        )
+                    p.setdefault("aggs_extra", []).append({
+                        "name": name, "kind": "terms_stats",
+                        "field": agg["terms"]["field"],
+                        "val": subspec["stats"]["field"],
+                        "size": int(agg["terms"].get("size", 10)),
+                        "sub": subname,
+                    })
+                else:
+                    p["agg_terms"] = agg["terms"]["field"]
+                    if "size" in agg["terms"]:
+                        p["agg_size"] = str(int(agg["terms"]["size"]))
+                    names[p["agg_terms"]] = name
             elif "stats" in agg:
                 p["agg_stats"] = agg["stats"]["field"]
                 names[p["agg_stats"]] = name
@@ -601,6 +620,55 @@ class SearchServer:
         from .query.facets import interpolate_quantiles, value_histogram
 
         kind, col, arg = spec["kind"], spec["field"], spec.get("arg")
+        if kind == "terms_stats":
+            # nested terms→stats: fleet = one partial fan-out + the
+            # shared exact fold; local = the SAME kernel over the
+            # memoized column slices
+            if svc is not None:
+                t = svc.terms_stats_facet(q, col, spec["val"], syntax=syntax)
+            else:
+                from .query.facets import fold_terms_stats
+
+                matched = self._matched_ids_local(q, syntax, reader, analyzer)
+                idx = pa.array(np.asarray(matched, np.int64))
+                part = pa.table({
+                    "value": reader.stored_column(col).take(idx).cast(
+                        pa.string()),
+                    "v": reader.stored_column(spec["val"]).take(idx).cast(
+                        pa.float64()),
+                })
+                if part.num_rows:
+                    agg2 = part.group_by("value").aggregate(
+                        [([], "count_all"), ("v", "min"), ("v", "max"),
+                         ("v", "sum")]
+                    )
+                    part = pa.table({
+                        "value": agg2["value"],
+                        "n": agg2["count_all"].cast(pa.int64()),
+                        "mn": agg2["v_min"], "mx": agg2["v_max"],
+                        "sm": agg2["v_sum"],
+                    })
+                else:
+                    part = pa.table({
+                        "value": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                        "mn": pa.array([], pa.float64()),
+                        "mx": pa.array([], pa.float64()),
+                        "sm": pa.array([], pa.float64()),
+                    })
+                t = fold_terms_stats([part])
+            buckets = []
+            for r in t.slice(0, spec["size"]).to_pylist():
+                buckets.append({
+                    "key": r["value"],
+                    "doc_count": r["n_docs"],
+                    spec["sub"]: {
+                        "count": r["n_docs"], "min": r["min_v"],
+                        "max": r["max_v"], "sum": r["sum_v"],
+                        "avg": r["avg_v"],
+                    },
+                })
+            return {"buckets": buckets}
         inner = "values" if kind == "percentiles" else (
             "distinct" if kind == "cardinality" else kind
         )

@@ -322,3 +322,58 @@ def test_highlight_options_and_suggest_body(root, ray_session):
         assert code == 400
     finally:
         srv.stop()
+
+
+def test_nested_terms_stats_agg(root, ray_session):
+    """terms bucket + stats sub-agg through /_search bodies: identical
+    across backends and equal to a brute-force per-bucket fold."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    body = {
+        "query": {"match": {"body": "node"}},
+        "size": 0,
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang", "size": 5},
+            "aggs": {"ids": {"stats": {"field": "doc_id"}}},
+        }},
+    }
+    results = {}
+    for backend, kw in (("local", {}), ("sharded", {"n_shards": 3})):
+        srv = SearchServer(root, backend=backend, **kw).start()
+        try:
+            code, r = _req(srv.port, "/_search", body=body)
+            assert code == 200, r
+            results[backend] = r["aggregations"]["by_lang"]["buckets"]
+        finally:
+            srv.stop()
+    assert results["local"] == results["sharded"]
+    buckets = results["local"]
+    assert buckets
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+
+    reader = IndexReader(root)
+    matched = set(
+        int(d) for d in match_doc_ids(reader, Analyzer(reader.chain)("node"))
+    )
+    docs = pads.dataset(
+        os.path.join(reader.index_dir, "docs"), partitioning="hive"
+    ).to_table(columns=["doc_id", "lang"])
+    per = {}
+    for d, lg in zip(docs["doc_id"].to_pylist(), docs["lang"].to_pylist()):
+        if int(d) in matched:
+            per.setdefault(lg, []).append(int(d))
+    for b in buckets:
+        ids = per[b["key"]]
+        assert b["doc_count"] == len(ids)
+        s = b["ids"]
+        assert s["min"] == min(ids) and s["max"] == max(ids)
+        assert s["sum"] == float(sum(ids))
+        assert s["avg"] == sum(ids) / len(ids)
+    assert {b["key"] for b in buckets} == set(per)
