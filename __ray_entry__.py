@@ -795,6 +795,81 @@ def q_curate(sf_dir: str) -> pa.Table:
     )
 
 
+def q_curate_then_index(sf_dir: str) -> pa.Table:
+    """The full 100 TB story in ONE pipeline: the five-stage curation
+    chain (``pipelines/curate.py`` — exact dedup → near-dup components
+    → Gopher → decontamination → seeded order) feeds the from-scratch
+    INDEX BUILD, and the flagship BM25 query runs over the curated
+    corpus — training-data curation and the search index from one
+    engine, end-to-end.  Statistics (N, df, avgdl) are the SURVIVOR
+    corpus's own, so the SQL oracle replays the whole composition:
+    the curate CTE defines the survivor set, the standard BM25 CTE
+    ranks over exactly those rows.  Hits map back to ORIGINAL doc ids
+    via the stored url (zero-padded, so url order ≡ id order — the
+    engine's dense-id tie-break equals the oracle's doc-id asc)."""
+    import shutil
+
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.pipelines.curate import curate_corpus
+    from docs_indexer_ray.pipelines.flagship import CACHE_ROOT
+    from docs_indexer_ray.query.bm25 import score_topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import url_for, wrap_html
+
+    et = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = et["doc_id"].to_numpy(zero_copy_only=False)
+    eval_texts = et.filter(pa.array(ids % 97 == 0))["text"].to_pylist()
+    out = curate_corpus(
+        _documents_with_copies_ds(sf_dir),
+        eval_texts,
+        jaccard_n=3,
+        jaccard_threshold=0.5,
+        min_words=20,
+        decontam_n=8,
+        seed=42,
+    )
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([url_for(int(d)) for d in dids], pa.string()),
+                "warc_ts": pa.array(
+                    dids * 1_000_000 + 1_735_689_600_000_000,
+                    pa.timestamp("us"),
+                ),
+                "html": pa.array([wrap_html(x) for x in texts], pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(dids), pa.string()),
+            }
+        )
+
+    pages = out.map_batches(to_pages, batch_format="pyarrow")
+    root = os.path.join(CACHE_ROOT, f"curated-{os.path.basename(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    build_index(
+        pages, root, prefix="curated", field="body", chain="simple",
+        fingerprint=f"curated-{os.path.basename(sf_dir)}", num_parts=8,
+    )
+    reader = IndexReader(root)
+    hits = score_topk(reader, list(_BM25_TERMS), k=10)
+    urls = reader.fetch_docs([d for d, _ in hits], ["doc_id", "url"])
+    by_id = {
+        int(i): u for i, u in zip(urls["doc_id"].to_pylist(),
+                                  urls["url"].to_pylist())
+    }
+    orig = [int(by_id[int(d)].rstrip("/").rsplit("/", 1)[-1]) for d, _ in hits]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array(orig, pa.int64()),
+        }
+    )
+
+
 def q_rank_eval(sf_dir: str) -> pa.Table:
     """OpenSearch ``_rank_eval`` (`query/rank_eval.py`): three
     single-term queries scored at k=10 against PLANTED judgments
@@ -3647,6 +3722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_components": q_dup_components,
         "dedup_apply": q_dedup_apply,
         "curate": q_curate,
+        "curate_then_index": q_curate_then_index,
         "substring_dedup": q_substring_dedup,
         "dsir": q_dsir,
         "knn_cosine": q_knn_cosine,
@@ -5824,6 +5900,30 @@ def oracle_sql() -> dict[str, str]:
     sqls["facet_terms_served"] = sqls["facet_terms"]
     sqls["dsl_function_score_sharded"] = sqls["function_score"]
     sqls["dsl_mlt_sharded"] = sqls["more_like_this"]
+    # the full composition: the curate pipeline's survivor set (its
+    # ENTIRE five-stage SQL as a subquery) defines the corpus the BM25
+    # replay ranks over — statistics are the survivors' own
+    sqls["curate_then_index"] = f"""
+        WITH surv AS (SELECT doc_id FROM ({sqls['curate']})),
+        docs AS (SELECT u.doc_id, u.text AS body
+                 FROM ({_DUP_UNION}) u JOIN surv USING (doc_id)),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) / count(*) FROM dl WHERE dl > 0) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scores AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY tf.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
     # shared scaffolding for the round-3 DSL-clause oracles: tokenized
     # body, doc lengths, corpus stats, per-term tf/df (the established
     # BM25 replay shape)

@@ -192,6 +192,7 @@ SQL_BACKED = [
     "topk_per_group",
     "sessionize",
     "curate",
+    "curate_then_index",
     "broadcast_join",
     "hash_join",
     "asof_join",
