@@ -36,6 +36,32 @@ from .bm25 import topk
 __all__ = ["rank_eval"]
 
 
+def metrics_at_k(
+    hit_ids: list[int], judged: dict[int, int], k: int
+) -> tuple[float, float, float, float]:
+    """``(precision@k, MRR, DCG, NDCG)`` for one ranked id list against
+    a ``doc_id → relevance`` judgment map — the exact-int expressions
+    the SQL oracle replays (``math.log2`` ≡ DuckDB ``log2``), each
+    quantized to 1e-9.  Shared by the library :func:`rank_eval` and
+    the REST ``/_rank_eval`` endpoint."""
+    rels = [judged.get(int(d), 0) for d in hit_ids]
+    p = sum(1 for r in rels if r > 0) / k
+    mrr = 0.0
+    for rank, r in enumerate(rels, 1):
+        if r > 0:
+            mrr = 1.0 / rank
+            break
+    dcg = 0.0
+    for rank, r in enumerate(rels, 1):
+        dcg += (2**r - 1) / math.log2(rank + 1)
+    ideal = sorted(judged.values(), reverse=True)[:k]
+    idcg = 0.0
+    for rank, r in enumerate(ideal, 1):
+        idcg += (2**r - 1) / math.log2(rank + 1)
+    ndcg = dcg / idcg if idcg > 0 else 0.0
+    return round(p, 9), round(mrr, 9), round(dcg, 9), round(ndcg, 9)
+
+
 def rank_eval(
     reader,
     queries: dict[str, list[str]],
@@ -56,27 +82,14 @@ def rank_eval(
     for name in sorted(queries):
         judged = by_query.get(name, {})
         hits = topk(reader, queries[name], k=k)
-        rels = [judged.get(int(d), 0) for d, _ in hits]
-        n_rel = sum(1 for r in rels if r > 0)
-        p = n_rel / k
-        mrr = 0.0
-        for rank, r in enumerate(rels, 1):
-            if r > 0:
-                mrr = 1.0 / rank
-                break
-        dcg = 0.0
-        for rank, r in enumerate(rels, 1):
-            dcg += (2**r - 1) / math.log2(rank + 1)
-        ideal = sorted(judged.values(), reverse=True)[:k]
-        idcg = 0.0
-        for rank, r in enumerate(ideal, 1):
-            idcg += (2**r - 1) / math.log2(rank + 1)
-        ndcg = dcg / idcg if idcg > 0 else 0.0
+        p, mrr, dcg, ndcg = metrics_at_k(
+            [int(d) for d, _ in hits], judged, k
+        )
         names.append(name)
-        prec.append(round(p, 9))
-        mrr_v.append(round(mrr, 9))
-        dcg_v.append(round(dcg, 9))
-        ndcg_v.append(round(ndcg, 9))
+        prec.append(p)
+        mrr_v.append(mrr)
+        dcg_v.append(dcg)
+        ndcg_v.append(ndcg)
     return pa.table(
         {
             "query": pa.array(names, pa.string()),

@@ -961,6 +961,96 @@ class SearchServer:
             }
         return {"valid": True}
 
+    def _rank_eval(self, params, body: bytes) -> dict:
+        """``POST /_rank_eval`` — search-quality evaluation against
+        graded judgments (OpenSearch shape): per request a DSL /
+        query_string query runs through the REAL serving backend
+        (fleet or local — the same ranking users get), hits score
+        against the ratings with the shared exact-int metric kernel
+        (``rank_eval.metrics_at_k``: precision@k, MRR, DCG, NDCG),
+        and ``metric_score`` is the requested metric's mean.
+        Judgments are evaluation-scale by definition — the only
+        distributed work is the retrieval itself."""
+        from .query.qstring import query_string_topk
+        from .query.rank_eval import metrics_at_k
+
+        spec = json.loads(body) if body.strip() else {}
+        reqs = spec.get("requests")
+        if not isinstance(reqs, list) or not reqs:
+            raise ValueError("_rank_eval expects {'requests': […]}")
+        metric_spec = spec.get("metric", {"precision": {"k": 10}})
+        if not isinstance(metric_spec, dict) or len(metric_spec) != 1:
+            raise ValueError(f"one metric expected: {metric_spec!r}")
+        mname, mopts = next(iter(metric_spec.items()))
+        known = ("precision", "mean_reciprocal_rank", "dcg")
+        if mname not in known:
+            raise ValueError(f"metric must be one of {known}: {mname!r}")
+        k = int((mopts or {}).get("k", 10))
+        normalize = bool((mopts or {}).get("normalize", False))
+        svc, reader = self._svc, self._reader
+        details = {}
+        scores = []
+        for req in reqs:
+            rid = str(req.get("id"))
+            q = (req.get("request") or {}).get("query")
+            if q is None or "ratings" not in req:
+                raise ValueError(
+                    f"request needs id + request.query + ratings: {req!r}"
+                )
+            judged = {
+                int(r["_id"]): int(r.get("rating", 0))
+                for r in req["ratings"]
+            }
+            hits = (
+                svc.query_string(q, k=k)
+                if svc is not None
+                else query_string_topk(reader, q, k=k)
+            )
+            ids = [int(d) for d, _ in hits]
+            p, mrr, dcg, ndcg = metrics_at_k(ids, judged, k)
+            score = {
+                "precision": p,
+                "mean_reciprocal_rank": mrr,
+                "dcg": ndcg if normalize else dcg,
+            }[mname]
+            scores.append(score)
+            details[rid] = {
+                "metric_score": score,
+                "precision": p, "mrr": mrr, "dcg": dcg, "ndcg": ndcg,
+                "hits": ids,
+                "unrated_docs": [d for d in ids if d not in judged],
+            }
+        return {
+            "metric_score": sum(scores) / len(scores),
+            "details": details,
+        }
+
+    def _cat_indices(self, params) -> dict:
+        """``GET /_cat/indices`` (the JSON ``format=json`` shape): one
+        row for the served index — live/deleted doc counts from the
+        manifest + tombstones, on-disk size from the build dir."""
+        import os
+
+        man = self._reader.manifest
+        n = int(man["n_docs"])
+        dead = len(self._reader.deleted_ids())
+        size = 0
+        for dirpath, _, files in os.walk(self._reader.index_dir):
+            for f in files:
+                try:
+                    size += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return {"indices": [{
+            "health": "green",
+            "status": "open",
+            "index": man.get("prefix", "docs"),
+            "docs.count": n - dead,
+            "docs.deleted": dead,
+            "store.size_bytes": size,
+            "fingerprint": man.get("fingerprint"),
+        }]}
+
     def _mapping(self, params) -> dict:
         """``GET /_mapping`` — the index's field surface derived from
         the docs-store schema + manifest (OpenSearch mapping shape:
@@ -1290,6 +1380,7 @@ class SearchServer:
         routes["/_mapping"] = self._mapping
         routes["/_stats"] = self._stats
         routes["/_field_caps"] = self._field_caps
+        routes["/_cat/indices"] = self._cat_indices
         post_routes = {
             "/_bulk": self._bulk,
             "/_delete_by_query": self._delete_by_query,
@@ -1298,6 +1389,7 @@ class SearchServer:
             "/_search/scroll": self._scroll,
             "/_mget": self._mget,
             "/_validate/query": self._validate,
+            "/_rank_eval": self._rank_eval,
             "/_snapshot": self._snapshot,
             "/_restore": self._restore,
         }
@@ -1364,7 +1456,7 @@ class SearchServer:
                 try:
                     if parsed.path in ("/_msearch", "/_search",
                                        "/_search/scroll", "/_mget",
-                                       "/_validate/query"):
+                                       "/_validate/query", "/_rank_eval"):
                         # pure reads — never behind the write lock (a
                         # slow search must not stall bulk writes)
                         handler._reply(200, fn(params, body))

@@ -377,3 +377,63 @@ def test_nested_terms_stats_agg(root, ray_session):
         assert s["sum"] == float(sum(ids))
         assert s["avg"] == sum(ids) / len(ids)
     assert {b["key"] for b in buckets} == set(per)
+
+
+def test_rank_eval_and_cat_indices(root, ray_session):
+    """POST /_rank_eval: per-request precision/MRR/DCG/NDCG against
+    graded ratings through the REAL backend; /_cat/indices reports the
+    served index's counts."""
+    import math
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    for backend, kw in (("local", {}), ("sharded", {"n_shards": 3})):
+        srv = SearchServer(root, backend=backend, **kw).start()
+        try:
+            # ground truth: the backend's own top-3 for 'node pools'
+            code, top = _req(srv.port, "/_search", q="node pools", size=3,
+                             syntax=1)
+            ids = [h["_id"] for h in top["hits"]["hits"]]
+            body = {
+                "requests": [
+                    {"id": "good", "request": {
+                        "query": {"match": {"body": "node pools"}}},
+                     "ratings": [{"_id": i, "rating": 1} for i in ids]},
+                    {"id": "bad", "request": {
+                        "query": {"match": {"body": "quota"}}},
+                     "ratings": [{"_id": ids[0], "rating": 1}]},
+                ],
+                "metric": {"precision": {"k": 3}},
+            }
+            code, r = _req(srv.port, "/_rank_eval", body=body)
+            assert code == 200, r
+            good = r["details"]["good"]
+            assert good["precision"] == 1.0  # its own top-3, all rated
+            assert good["mrr"] == 1.0 and good["ndcg"] == 1.0
+            assert good["unrated_docs"] == []
+            bad = r["details"]["bad"]
+            assert bad["precision"] < 1.0
+            assert math.isclose(
+                r["metric_score"],
+                (good["precision"] + bad["precision"]) / 2,
+            )
+            # dcg + normalize → ndcg as the headline metric
+            body["metric"] = {"dcg": {"k": 3, "normalize": True}}
+            code, r2 = _req(srv.port, "/_rank_eval", body=body)
+            assert r2["details"]["good"]["metric_score"] == 1.0
+            code, err = _req(srv.port, "/_rank_eval",
+                             body={"requests": [],
+                                   "metric": {"precision": {}}})
+            assert code == 400
+            code, err = _req(srv.port, "/_rank_eval",
+                             body={"requests": [{"id": "x"}],
+                                   "metric": {"recall": {}}})
+            assert code == 400
+
+            code, cat = _req(srv.port, "/_cat/indices")
+            assert code == 200
+            row = cat["indices"][0]
+            assert row["docs.count"] > 0 and row["docs.deleted"] == 0
+            assert row["store.size_bytes"] > 0 and row["health"] == "green"
+        finally:
+            srv.stop()
