@@ -40,13 +40,23 @@ __all__ = ["sort_rows_range", "merge_sorted_pages", "live_mask"]
 
 
 def _cast_cursor(value, typ):
-    """ISO-8601 strings are accepted for timestamp keys — cursors
-    arrive through JSON, which has no datetime type (the
-    ``reader.stored_mask`` convention)."""
+    """Coerce a cursor key to the sort column's type: ISO-8601 strings
+    for timestamp keys (cursors arrive through JSON, which has no
+    datetime type — the ``reader.stored_mask`` convention), str for
+    string columns (a GET-param cursor that LOOKS numeric must not
+    stay an int against a string column), float/int for numerics."""
+    if value is None:
+        return None  # the null-block cursor — never coerced
     if isinstance(value, str) and pa.types.is_timestamp(typ):
         import datetime as _dt
 
         return _dt.datetime.fromisoformat(value)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return str(value)
+    if isinstance(value, str) and (
+        pa.types.is_integer(typ) or pa.types.is_floating(typ)
+    ):
+        return float(value) if pa.types.is_floating(typ) else int(value)
     return value
 
 

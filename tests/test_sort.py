@@ -275,3 +275,73 @@ def test_sort_http_both_backends(built, ray_session):
             assert code == 400 and "one sort field" in err["error"]["reason"]
         finally:
             srv.stop()
+
+
+def test_sort_cursor_type_coercion_and_string_sort(built, ray_session):
+    """Sorting by a STRING column (url) with a GET-style cursor whose
+    value parses as a number must still cast to the column type; a
+    scroll over a DSL body query round-trips the dict through the
+    stateless id."""
+    import json
+    import os
+    import urllib.parse
+    import urllib.request
+
+    from docs_indexer_ray.query.search import search_response
+    from docs_indexer_ray.serve_http import SearchServer
+
+    # string-column sort: url asc pages walk the whole match set
+    want = _brute_order(built, "node", "url", False)
+    seen, after = [], None
+    while True:
+        page = search_response(
+            built, "node", k=11, fields=(), syntax=False,
+            sort=("url", "asc"), after=after,
+        )
+        if page.num_rows == 0:
+            break
+        seen += page["doc_id"].to_pylist()
+        after = (page["sort_key"].to_pylist()[-1],
+                 page["doc_id"].to_pylist()[-1])
+    assert seen == [d for d, _ in want]
+
+    # numeric-looking string cursor against the string column: the
+    # kernel coerces to str instead of erroring
+    from docs_indexer_ray.query.sortq import sort_rows_range
+
+    rows, _ = sort_rows_range(
+        built, "node", "url", desc=False, n=5, after=(123, -1)
+    )
+    assert rows.num_rows > 0  # "123" < any https url → everything after
+
+    root = os.path.dirname(built.index_dir)
+    srv = SearchServer(root, backend="local").start()
+    try:
+        def req(path, body=None, **params):
+            url = f"http://127.0.0.1:{srv.port}{path}"
+            if params:
+                url += "?" + urllib.parse.urlencode(params)
+            data = json.dumps(body).encode() if body is not None else None
+            with urllib.request.urlopen(
+                urllib.request.Request(url, data=data)
+            ) as r:
+                return json.loads(r.read())
+
+        # scroll over a DSL BODY query: the dict rides inside the id
+        body = {"query": {"bool": {"must": [{"match": {"body": "node"}}],
+                                   "must_not": [{"term": {"body": "quota"}}]}},
+                "size": 6, "scroll": "1m"}
+        ref = req("/_search", body={"query": body["query"], "size": 500})
+        want_ids = [h["_id"] for h in ref["hits"]["hits"]]
+        page = req("/_search", body=body)
+        seen = [h["_id"] for h in page["hits"]["hits"]]
+        sid = page["_scroll_id"]
+        while True:
+            page = req("/_search/scroll", body={"scroll_id": sid})
+            if not page["hits"]["hits"]:
+                break
+            seen += [h["_id"] for h in page["hits"]["hits"]]
+            sid = page["_scroll_id"]
+        assert seen == want_ids
+    finally:
+        srv.stop()
