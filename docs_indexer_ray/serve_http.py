@@ -32,6 +32,20 @@ Endpoints (GET, query-string parameters):
 * ``/_analyze?text=…`` → ``{"tokens": [{"token": t, "position": i}]}``.
 * ``/_suggest?q=…&n=3`` → ``{"suggestions": [{"text", "score"}]}``.
 
+Round-3 completions of the read surface: field ``sort`` (GET
+``sort=col[:asc|desc]`` / body clause, typed ``search_after``
+cursors, ``sort_key`` per hit), stateless ``scroll`` +
+``POST /_search/scroll`` (the id pins the build — a write invalidates
+it loudly), the FULL query DSL on POST bodies (25 clause kinds —
+``query/dsl.py``), the aggregation envelope (terms / stats /
+date_histogram / histogram / range / cardinality / percentiles +
+terms→stats sub-aggregations), highlight ``pre_tags`` / ``post_tags``
+/ ``fragment_size``, body ``suggest`` blocks, ``POST /_mget``,
+``GET /_field_caps``, ``POST /_validate/query`` (never 400s on a bad
+query — ``valid: false``), ``POST /_rank_eval`` (precision@k / MRR /
+DCG / NDCG against graded ratings through the real backend) and
+``GET /_cat/indices``.
+
 Write endpoints (POST) complete the reference's REST lifecycle — but
 batched through the engine's scale paths instead of the reference's
 one-synchronous-PUT-per-document loop:
