@@ -682,16 +682,32 @@ class _TermIter:
         return float(self.block_ub[self.block : hi + 1].max())
 
 
-def wand_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = B):
+def wand_topk(
+    reader,
+    terms: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    doc_range: tuple[int, int] | None = None,
+):
     """Block-max WAND top-k — identical output to :func:`score_topk`.
 
     Duplicate query terms are folded into a per-term weight (idf ×
     multiplicity), which is algebraically the same sum.
-    """
+
+    ``doc_range=(lo, hi)``: the SHARD variant — cursors skip straight
+    to ``lo`` (block metadata, no decode of earlier blocks) and the
+    pivot loop stops at ``hi``, so a shard visits only its own
+    positions while scores stay the global-statistics exact replay
+    (bit-identical to ``score_topk_range``; the cross-shard merge is
+    exact).  The per-iterator ``ub`` stays the GLOBAL block max — a
+    valid (looser) bound; the block-max refinement re-tightens it
+    per pivot."""
     from collections import Counter
 
     avgdl = reader.avgdl if reader.avgdl > 0 else 1.0
     n = reader.n_docs
+    lo, hi = doc_range if doc_range is not None else (0, 1 << 62)
     iters: list[_TermIter] = []
     for term, mult in Counter(terms).items():
         tp = reader.postings(term)
@@ -703,6 +719,8 @@ def wand_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = 
         it = _TermIter(tp, bm25_idf(n, tp.df) * mult, avgdl, k1, b, reader.doclens)
         it.term = term
         it.idf1 = bm25_idf(n, tp.df)  # unmultiplied, for exact replay
+        if lo > 0:
+            it.advance_to(lo)
         if not it.exhausted:
             iters.append(it)
     if not iters:
@@ -731,6 +749,8 @@ def wand_topk(reader, terms: list[str], k: int = 10, k1: float = K1, b: float = 
         if pivot < 0:
             break
         pivot_doc = live[pivot].doc
+        if pivot_doc >= hi:
+            break  # every remaining posting is past the shard's range
 
         if live[0].doc == pivot_doc:
             # block-max refinement: tighter bound from current blocks

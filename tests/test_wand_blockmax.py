@@ -452,3 +452,55 @@ def test_reader_ignores_stale_tmp_segment_files(ray_session, tmp_path):
     dirty = IndexReader(root)
     assert dirty.term_df("node") == want_df
     assert dirty.match_all_count() == clean.match_all_count()
+
+
+def test_wand_range_equals_dense_range(small_block_index, tmp_path_factory):
+    """wand_topk(doc_range) ≡ score_topk_range on SHARD readers —
+    bit-identical floats (the exact-replay contract), every range and
+    k, selective AND dense queries — so a fleet mixing WAND and TAAT
+    shards still merges exactly."""
+    from docs_indexer_ray.query.bm25 import score_topk_range
+
+    root = small_block_index.index_dir
+    n = small_block_index.n_docs
+    ranges = [(0, n), (0, 97), (97, 201), (201, n), (150, 151), (n, n)]
+    for lo, hi in ranges:
+        shard = IndexReader(root, doc_range=(lo, hi))
+        for q in QUERIES:
+            terms = Analyzer("english")(q)
+            for k in (1, 5, 20):
+                dense = score_topk_range(shard, terms, k=k)
+                wand = wand_topk(shard, terms, k=k, doc_range=(lo, hi))
+                assert dense == wand, (q, k, lo, hi)
+    # full-range doc_range ≡ the plain local wand
+    for q in QUERIES:
+        terms = Analyzer("english")(q)
+        assert wand_topk(small_block_index, terms, k=10) == wand_topk(
+            small_block_index, terms, k=10, doc_range=(0, n)
+        )
+
+
+def test_shard_planner_picks_wand_for_selective(small_block_index, ray_session):
+    """The fleet's per-shard planner (est range-local df ≤ shard/1024,
+    no floor — measured crossover): on this tiny corpus every shard
+    takes the dense path, and the service's merged ranking stays exact
+    whichever plan fires (plan equivalence itself is pinned by
+    test_wand_range_equals_dense_range)."""
+    import os
+
+    from docs_indexer_ray.query.bm25 import score_topk
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    reader = small_block_index
+    terms, dfs = reader.term_dictionary()
+    import numpy as np
+
+    rare = str(terms[int(np.argmin(dfs))])
+    root = os.path.dirname(reader.index_dir)
+    svc = ShardedQueryService(root, n_shards=3)
+    try:
+        for q in (rare, "node pools " + rare, "the node pools quota"):
+            want = score_topk(reader, Analyzer(reader.chain)(q), k=12)
+            assert svc.topk(q, k=12) == want, q
+    finally:
+        svc.shutdown()
