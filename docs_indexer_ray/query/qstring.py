@@ -926,6 +926,90 @@ def _eval_range(reader, node) -> tuple[np.ndarray, np.ndarray]:
     raise TypeError(f"unknown node {node!r}")  # pragma: no cover
 
 
+def _node_children(node) -> list[tuple[str, object]]:
+    """(occur-role, child) pairs for the explanation tree."""
+    if isinstance(node, _Bool):
+        return (
+            [("must", c) for c in node.must]
+            + [("should", c) for c in node.should]
+            + [("must_not", c) for c in node.must_not]
+        )
+    if isinstance(node, _DisMax):
+        return [("query", c) for c in node.children]
+    if isinstance(node, _ConstScore):
+        return [("filter", node.child)]
+    if isinstance(node, _FuncScore):
+        return [("query", node.child)]
+    if isinstance(node, _Boosting):
+        return [("positive", node.positive), ("negative", node.negative)]
+    return []
+
+
+def _node_description(node) -> str:
+    if isinstance(node, _Term):
+        return f"term({node.term})"
+    if isinstance(node, _Phrase):
+        return f'phrase("{" ".join(node.terms)}"~{node.slop})'
+    if isinstance(node, _Fuzzy):
+        return f"fuzzy({node.token}~{node.max_edits if node.max_edits is not None else 'AUTO'})"
+    if isinstance(node, _Wildcard):
+        return f"wildcard({node.pattern})"
+    if isinstance(node, _Regexp):
+        return f"regexp({node.pattern})"
+    if isinstance(node, _Range):
+        return f"range({node.col} {' '.join(f'{op}{v}' for op, v in node.bounds)})"
+    if isinstance(node, _MatchAll):
+        return "match_all"
+    if isinstance(node, _Ids):
+        return f"ids({node.ids})"
+    if isinstance(node, _ConstScore):
+        return f"constant_score(boost={node.boost})"
+    if isinstance(node, _DisMax):
+        return f"dis_max(tie_breaker={node.tie_breaker})"
+    if isinstance(node, _Boosting):
+        return f"boosting(negative_boost={node.negative_boost})"
+    if isinstance(node, _FuncScore):
+        return (
+            f"function_score(exp {node.field} scale={node.scale_s}s "
+            f"decay={node.decay})"
+        )
+    if isinstance(node, _PhrasePrefix):
+        return f'match_phrase_prefix("{" ".join(node.terms)}")'
+    if isinstance(node, _MoreLikeThis):
+        return f"more_like_this(doc {node.doc_id})"
+    if isinstance(node, _SpanNear):
+        return f"span_near({node.terms}~{node.slop})"
+    if isinstance(node, _SpanFirst):
+        return f"span_first({node.term} < {node.end})"
+    if isinstance(node, _Bool):
+        return "bool"
+    return type(node).__name__  # pragma: no cover
+
+
+def explain_node(reader, node, doc_id: int, occur: str = "query") -> dict:
+    """OpenSearch-style explanation TREE for one document against any
+    parsed query_string / DSL node: each subtree reports its
+    contribution (``value``), whether it matched, its occur role
+    (must / should / must_not / filter / …) and its children.  Values
+    come from the SAME dense evaluator that serves the query, so the
+    root value equals the doc's real (unquantized) score by
+    construction.  Cost is O(depth × n_docs) per call — an admin /
+    debugging endpoint, never a hot path."""
+    scores, match = _eval(reader, node)
+    out = {
+        "value": float(scores[doc_id]),
+        "matched": bool(match[doc_id]),
+        "occur": occur,
+        "description": _node_description(node),
+    }
+    kids = _node_children(node)
+    if kids:
+        out["details"] = [
+            explain_node(reader, c, doc_id, occur=role) for role, c in kids
+        ]
+    return out
+
+
 def query_string_topk_range(
     reader,
     qs: str,

@@ -873,7 +873,20 @@ class SearchServer:
                 "matched": False,
                 "explanation": {"value": 0.0, "details": []},
             }
-        t = explain(self._reader, self._analyzer(params["q"]), doc_id)
+        q = params["q"]
+        if isinstance(q, dict) or params.get("syntax", "0") in ("1", "true"):
+            # query_string / DSL explanation TREE: per-clause values
+            # from the SAME dense evaluator that serves the query
+            from .query.qstring import explain_node, parse_query_string
+
+            node = parse_query_string(q, self._analyzer)
+            tree = explain_node(self._reader, node, doc_id)
+            return {
+                "_id": doc_id,
+                "matched": tree["matched"],
+                "explanation": tree,
+            }
+        t = explain(self._reader, self._analyzer(q), doc_id)
         details = t.to_pylist()
         total = float(sum(r["weight"] for r in details))
         return {
@@ -1038,6 +1051,18 @@ class SearchServer:
             "metric_score": sum(scores) / len(scores),
             "details": details,
         }
+
+    def _explain_post(self, params, body: bytes) -> dict:
+        """``POST /_explain?id=N`` with ``{"query": <DSL>}`` — the
+        OpenSearch body spelling; lowers onto the same explanation
+        tree the GET ``syntax=1`` path builds."""
+        spec = json.loads(body) if body.strip() else {}
+        p = dict(params)
+        if "query" in spec:
+            p["q"] = spec["query"]
+        if "id" in spec:
+            p["id"] = str(int(spec["id"]))
+        return self._explain(p)
 
     def _cat_indices(self, params) -> dict:
         """``GET /_cat/indices`` (the JSON ``format=json`` shape): one
@@ -1404,6 +1429,7 @@ class SearchServer:
             "/_mget": self._mget,
             "/_validate/query": self._validate,
             "/_rank_eval": self._rank_eval,
+            "/_explain": self._explain_post,
             "/_snapshot": self._snapshot,
             "/_restore": self._restore,
         }
@@ -1470,7 +1496,8 @@ class SearchServer:
                 try:
                     if parsed.path in ("/_msearch", "/_search",
                                        "/_search/scroll", "/_mget",
-                                       "/_validate/query", "/_rank_eval"):
+                                       "/_validate/query", "/_rank_eval",
+                                       "/_explain"):
                         # pure reads — never behind the write lock (a
                         # slow search must not stall bulk writes)
                         handler._reply(200, fn(params, body))

@@ -437,3 +437,51 @@ def test_rank_eval_and_cat_indices(root, ray_session):
             assert row["store.size_bytes"] > 0 and row["health"] == "green"
         finally:
             srv.stop()
+
+
+def test_explain_tree_for_dsl_queries(root, ray_session):
+    """/_explain with syntax/DSL bodies returns the per-clause
+    explanation tree: the root value equals the doc's real score, bool
+    children carry occur roles, and a prohibited clause explains a
+    non-match."""
+    import math
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        code, top = _req(srv.port, "/_search", q='node pools', size=1,
+                         syntax=1)
+        doc = top["hits"]["hits"][0]["_id"]
+        score = top["hits"]["hits"][0]["_score"]
+
+        body = {"query": {"bool": {
+            "must": [{"match": {"body": "node"}}],
+            "should": [{"match": {"body": "pools"}}],
+            "must_not": [{"term": {"body": "zzznope"}}],
+        }}, "id": doc}
+        code, r = _req(srv.port, "/_explain", body=body)
+        assert code == 200, r
+        tree = r["explanation"]
+        assert r["matched"] is True and tree["description"] == "bool"
+        roles = [d["occur"] for d in tree["details"]]
+        assert roles == ["must", "should", "must_not"]
+        assert tree["details"][0]["matched"] is True
+        assert tree["details"][2]["matched"] is False  # prohibited absent
+        # the tree's root value is the doc's real (unquantized) score:
+        # quantized it equals the /_search score
+        assert math.isclose(round(tree["value"], 9), score, abs_tol=1e-9)
+        # children sum to the parent for a pure-sum bool
+        kids = sum(d["value"] for d in tree["details"])
+        assert math.isclose(kids, tree["value"], rel_tol=1e-12)
+
+        # GET spelling with the query_string language
+        code, r2 = _req(srv.port, "/_explain", id=doc,
+                        q='+node pools^2', syntax=1)
+        assert code == 200 and r2["explanation"]["details"]
+        # the plain per-term path is unchanged
+        code, r3 = _req(srv.port, "/_explain", id=doc, q="node pools")
+        assert code == 200 and "details" in r3["explanation"]
+        assert all("tf" in d for d in r3["explanation"]["details"])
+    finally:
+        srv.stop()
