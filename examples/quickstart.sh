@@ -34,6 +34,17 @@ SRV=$!
 sleep 10
 curl -s "http://127.0.0.1:$PORT/_search?q=node+pools&k=2&highlight=body&agg_terms=lang"; echo
 curl -s "http://127.0.0.1:$PORT/_count?q=node+AND+pools&syntax=1"; echo
+# round-3 surface: the JSON query DSL, field sort, scroll, aggs, explain
+curl -s -X POST "http://127.0.0.1:$PORT/_search" -d '{
+  "query": {"bool": {"must": [{"match": {"body": "node"}}],
+                     "should": [{"match_phrase": {"body": "node pools"}}]}},
+  "size": 2, "sort": [{"warc_ts": "desc"}],
+  "aggs": {"langs": {"terms": {"field": "lang"}},
+           "ages": {"date_histogram": {"field": "warc_ts", "fixed_interval": "1h"}}}}'; echo
+SCROLL=$(curl -s "http://127.0.0.1:$PORT/_search?q=node&size=3&scroll=1m" | python -c 'import sys, json; print(json.load(sys.stdin)["_scroll_id"])')
+curl -s -X POST "http://127.0.0.1:$PORT/_search/scroll" -d "{\"scroll_id\": \"$SCROLL\"}" | head -c 200; echo
+curl -s -X POST "http://127.0.0.1:$PORT/_explain?id=0" -d '{"query": {"match": {"body": "node pools"}}}'; echo
+curl -s "http://127.0.0.1:$PORT/_cat/indices"; echo
 curl -s -X POST "http://127.0.0.1:$PORT/_snapshot?dir=$WORK/snaps&name=s1" -d ''; echo
 printf '{"index": {}}\n{"url": "https://docs.test/new/1/", "html": "<html><body><p>fresh bulk doc</p></body></html>", "warc_ts": 1800000000000000}\n' \
   | curl -s -X POST --data-binary @- "http://127.0.0.1:$PORT/_bulk"; echo
