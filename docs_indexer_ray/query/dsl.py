@@ -176,6 +176,16 @@ def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
         )
     kind, clause = next(iter(obj.items()))
 
+    if kind in (
+        "bool", "match_all", "ids", "exists", "constant_score",
+        "dis_max", "boosting", "function_score", "span_near",
+        "span_first", "more_like_this", "query_string",
+        "simple_query_string",
+    ) and not isinstance(clause, dict):
+        # object-bodied clauses: a null / scalar / list body is a 400,
+        # never an AttributeError 500 (hypothesis-fuzzed)
+        raise DslError(f"{kind} expects an object body: {clause!r}")
+
     if kind == "bool":
         node = _Bool(boost=float(clause.get("boost", 1.0)))
         buckets = (("must", node.must), ("filter", node.must),

@@ -770,3 +770,52 @@ def test_dsl_more_like_this(built, ray_session):
         assert svc.query_string(dsl, k=12) == got
     finally:
         svc.shutdown()
+
+
+def test_dsl_lowering_is_total_for_json():
+    """Any JSON-shaped object either lowers to a node / None or raises
+    DslError (a ValueError) — the server's 400 contract: no stray
+    exception class can escape as a 500 from query parsing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docs_indexer_ray.query.dsl import dsl_to_node
+    from docs_indexer_ray.query.qstring import QueryStringError
+
+    an = _an()
+    keys = st.sampled_from([
+        "match", "match_phrase", "term", "terms", "fuzzy", "wildcard",
+        "prefix", "range", "query_string", "bool", "match_all", "ids",
+        "exists", "constant_score", "dis_max", "boosting",
+        "match_bool_prefix", "match_phrase_prefix", "regexp",
+        "simple_query_string", "function_score", "span_near",
+        "span_first", "span_term", "more_like_this", "aggs", "knn",
+        "field", "query", "values", "filter", "queries", "positive",
+        "negative", "like", "boost", "slop", "gte", "lt", "origin",
+        "scale", "body", "warc_ts", "x",
+    ])
+    scalars = st.one_of(
+        st.none(), st.booleans(), st.integers(-5, 5),
+        st.floats(allow_nan=False, allow_infinity=False, width=16),
+        st.sampled_from(["node", "2025-01-01T00:00:00", "a*", "", "3"]),
+    )
+    json_obj = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=3),
+            st.dictionaries(keys, inner, max_size=3),
+        ),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.dictionaries(keys, json_obj, min_size=1, max_size=2))
+    def probe(obj):
+        try:
+            dsl_to_node(obj, an)
+        except (ValueError, QueryStringError):
+            # DslError is a ValueError; query_string embeds may raise
+            # QueryStringError — both map to the server's 400
+            pass
+
+    probe()
