@@ -160,7 +160,29 @@ def _fuzz_edits(fuzziness) -> int | None:
 
 def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
     """One DSL query object → an AST node (or None for a clause that
-    analyzes to nothing, mirroring the string parser's behavior)."""
+    analyzes to nothing, mirroring the string parser's behavior).
+
+    TOTAL over JSON-shaped input: any body either lowers, returns
+    None, or raises :class:`DslError` / ``QueryStringError`` — the
+    HTTP layer's 400 contract (hypothesis-fuzzed).  The lowering core
+    coerces clause values with ``int()``/``float()``/``.lower()``
+    etc.; a list/dict/None where a scalar belongs surfaces as
+    TypeError/AttributeError from those, and a pathologically nested
+    body as RecursionError — all converted HERE, at the single public
+    entry, so no malformed body can escape as a 500."""
+    from .qstring import QueryStringError
+
+    try:
+        return _dsl_node(obj, analyzer, default_operator)
+    except (DslError, QueryStringError):
+        raise
+    except RecursionError:
+        raise DslError("query DSL nested too deeply") from None
+    except (TypeError, AttributeError, OverflowError, ValueError) as e:
+        raise DslError(f"malformed clause value: {e}") from None
+
+
+def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
     from .qstring import (
         _Bool,
         _Fuzzy,
@@ -197,7 +219,7 @@ def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
         for key, bucket in buckets:
             sub = clause.get(key, [])
             for c in sub if isinstance(sub, list) else [sub]:
-                child = dsl_to_node(c, analyzer, default_operator)
+                child = _dsl_node(c, analyzer, default_operator)
                 if child is not None:
                     bucket.append(child)
         if not (node.must or node.should or node.must_not):
@@ -234,7 +256,7 @@ def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
             raise DslError(
                 f"function_score expects {{'query': …}}: {clause!r}"
             )
-        child = dsl_to_node(clause["query"], analyzer, default_operator)
+        child = _dsl_node(clause["query"], analyzer, default_operator)
         if child is None:
             return None
         fns = clause.get("functions", [])
@@ -365,7 +387,7 @@ def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
             raise DslError(
                 f"constant_score expects {{'filter': …}}: {clause!r}"
             )
-        child = dsl_to_node(clause["filter"], analyzer, default_operator)
+        child = _dsl_node(clause["filter"], analyzer, default_operator)
         if child is None:
             return None
         return _ConstScore(child, boost=float(clause.get("boost", 1.0)))
@@ -380,7 +402,7 @@ def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
         children = [
             c
             for q in clause["queries"]
-            if (c := dsl_to_node(q, analyzer, default_operator)) is not None
+            if (c := _dsl_node(q, analyzer, default_operator)) is not None
         ]
         if not children:
             return None
@@ -398,10 +420,10 @@ def dsl_to_node(obj: dict, analyzer, default_operator: str = "or"):
             raise DslError(
                 f"boosting expects positive + negative: {clause!r}"
             )
-        pos = dsl_to_node(clause["positive"], analyzer, default_operator)
+        pos = _dsl_node(clause["positive"], analyzer, default_operator)
         if pos is None:
             return None
-        neg = dsl_to_node(clause["negative"], analyzer, default_operator)
+        neg = _dsl_node(clause["negative"], analyzer, default_operator)
         if neg is None:  # nothing to demote — the positive stands alone
             return pos
         return _Boosting(

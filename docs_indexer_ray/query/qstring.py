@@ -351,6 +351,11 @@ class _Parser:
         self.pos = 0
         self.analyzer = analyzer
         self.default_and = default_operator == "and"
+        # group-nesting guard: each '(' recurses ~4 frames
+        # (_primary→_or→_and→_unary), so unbounded depth turns
+        # "("*300 into a RecursionError 500 instead of the parser's
+        # QueryStringError 400 contract
+        self._depth = 0
 
     def _peek(self) -> str | None:
         return self.toks[self.pos][0] if self.pos < len(self.toks) else None
@@ -450,7 +455,11 @@ class _Parser:
         kind = self._peek()
         if kind == "LP":
             self._take()
+            self._depth += 1
+            if self._depth > 100:
+                raise QueryStringError("query nested too deeply (>100 groups)")
             inner = self._or_expr()
+            self._depth -= 1
             if self._peek() != "RP":
                 raise QueryStringError("unbalanced '('")
             self._take()
@@ -1071,3 +1080,32 @@ def query_string_topk(
     from .bm25 import rank_top_quantized
 
     return rank_top_quantized(scores, matched, k, after=after)
+
+
+def query_string_topk_with_total(
+    reader,
+    qs: str,
+    k: int = 10,
+    default_operator: str = "or",
+    analyzer=None,
+    after: tuple[float, int] | None = None,
+) -> tuple[list[tuple[int, float]], int]:
+    """ONE dense evaluation → ``(top-k hits, TRUE live match count)``
+    — the ``/_search`` hot path needs both, and a separate ``/_count``
+    call re-parses and re-evaluates the same query over the whole
+    corpus.  ``total`` counts the MATCH mask over live docs (the
+    ``/_count`` semantics — a zero-score match, e.g. ``constant_score``
+    with boost 0, still counts), not ``scores > 0``."""
+    from .bm25 import _zero_deleted, rank_top_quantized
+
+    if analyzer is None:
+        from ..functions.analyzer import Analyzer
+
+        analyzer = Analyzer(reader.chain)
+    node = parse_query_string(qs, analyzer, default_operator)
+    scores, match = _eval(reader, node)
+    live = _zero_deleted(reader, np.where(match, 1.0, 0.0))
+    total = int(np.count_nonzero(live))
+    scores = _zero_deleted(reader, np.where(match, scores, 0.0))
+    matched = np.flatnonzero(scores > 0.0)
+    return rank_top_quantized(scores, matched, k, after=after), total

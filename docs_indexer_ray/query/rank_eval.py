@@ -44,6 +44,8 @@ def metrics_at_k(
     the SQL oracle replays (``math.log2`` ≡ DuckDB ``log2``), each
     quantized to 1e-9.  Shared by the library :func:`rank_eval` and
     the REST ``/_rank_eval`` endpoint."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
     rels = [judged.get(int(d), 0) for d in hit_ids]
     p = sum(1 for r in rels if r > 0) / k
     mrr = 0.0

@@ -103,8 +103,15 @@ def search_response(
     after: tuple[float, int] | None = None,
     sort: tuple[str, str] | None = None,
     hl_tags: tuple[str, str] = ("<em>", "</em>"),
+    with_total: bool = False,
 ) -> pa.Table:
     """The assembled ``_search`` response over a local reader.
+
+    ``with_total=True`` returns ``(table, total)`` where ``total`` is
+    the TRUE live match count from the SAME evaluation (sort path: the
+    kernel already counts it; syntax path: one dense eval serves both
+    — a separate count call would re-evaluate the query; match-any
+    path: ``facets.match_doc_ids``, the /_count semantics).
 
     ``sort=(column, "asc"|"desc")`` ranks the query's MATCH SET by a
     stored field instead of BM25 (``query/sortq.py`` — OpenSearch's
@@ -134,7 +141,7 @@ def search_response(
         from .sortq import live_mask, sort_rows_range
 
         col, order = sort
-        rows, _ = sort_rows_range(
+        rows, n_matched = sort_rows_range(
             reader, query, col,
             desc=(order == "desc"),
             n=from_ + k,
@@ -158,16 +165,28 @@ def search_response(
             width, reader.chain, rank_start=from_ + 1,
             hl_pre=hl_tags[0], hl_post=hl_tags[1],
         )
-        return out.append_column("sort_key", rows["key"].combine_chunks())
+        out = out.append_column("sort_key", rows["key"].combine_chunks())
+        return (out, n_matched) if with_total else out
+    total = None
     if syntax:
-        hits = query_string_topk(
-            reader,
-            query,
-            k=from_ + k,
-            default_operator=default_operator,
-            analyzer=analyzer,
-            after=after,
-        )[from_:]
+        if with_total:
+            from .qstring import query_string_topk_with_total
+
+            hits, total = query_string_topk_with_total(
+                reader, query, k=from_ + k,
+                default_operator=default_operator,
+                analyzer=analyzer, after=after,
+            )
+            hits = hits[from_:]
+        else:
+            hits = query_string_topk(
+                reader,
+                query,
+                k=from_ + k,
+                default_operator=default_operator,
+                analyzer=analyzer,
+                after=after,
+            )[from_:]
         # the parse for positive_terms only feeds snippets — skip the
         # second lex+parse entirely when not highlighting
         terms = (
@@ -184,7 +203,11 @@ def search_response(
         else:
             hits = score_topk(reader, terms_list, k=from_ + k)[from_:]
         terms = set(terms_list)
-    return assemble_hits(
+        if with_total:
+            from .facets import match_doc_ids
+
+            total = int(len(match_doc_ids(reader, terms_list)))
+    out = assemble_hits(
         reader,
         hits,
         tuple(fields),
@@ -196,3 +219,4 @@ def search_response(
         hl_pre=hl_tags[0],
         hl_post=hl_tags[1],
     )
+    return (out, total) if with_total else out

@@ -228,10 +228,20 @@ class _P:
             return None
         return (sign, node)
 
+    # nesting cap: each group costs ~4 stack frames, so unbounded
+    # depth would turn "("*300 into a RecursionError — violating the
+    # TOTAL contract.  Lenient degrade: groups beyond the cap have
+    # their '(' swallowed (parsing continues flat at the cap), the
+    # same spirit as the unmatched-paren rules.
+    _MAX_DEPTH = 50
+
     def _primary(self, depth: int):
         from .qstring import _Fuzzy, _Phrase, _Term, _Wildcard
 
         kind = self._peek()
+        while kind == "LP" and depth >= self._MAX_DEPTH:
+            self.pos += 1  # too deep — the '(' is ignored, stay flat
+            kind = self._peek()
         if kind is None or kind == "RP":
             return None
         tok = self.toks[self.pos]

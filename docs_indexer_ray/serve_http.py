@@ -111,7 +111,15 @@ def _normalize_sort(spec) -> str | None:
     if isinstance(spec, str):
         return None if spec == "_score" else spec
     if isinstance(spec, list):
-        entries = [e for e in spec if e not in ("_id", "_doc")]
+        # drop _id/_doc tie-break entries in BOTH spellings: the bare
+        # string and the canonical dict {"_id": "asc"} / {"_id":
+        # {"order": …}} OpenSearch clients send
+        def _is_id(e):
+            if isinstance(e, dict) and len(e) == 1:
+                return next(iter(e)) in ("_id", "_doc")
+            return e in ("_id", "_doc")
+
+        entries = [e for e in spec if not _is_id(e)]
         if not entries:
             return None
         if len(entries) > 1:
@@ -184,7 +192,6 @@ class SearchServer:
 
         self._cache: "OrderedDict[str, dict]" = OrderedDict()
         self._cache_lock = _threading.Lock()
-        self._cols: dict = {}  # local-backend facet column slices
         # cache generation: bumped by _reload BEFORE the clear (both
         # under the lock) so a GET that computed against the pre-write
         # backend can never re-insert its stale response into the
@@ -267,13 +274,25 @@ class SearchServer:
                 fopts = hfields[field] or {}
                 if "fragment_size" in fopts:
                     p["hl_width"] = str(int(fopts["fragment_size"]))
-                pre = (h.get("pre_tags") or fopts.get("pre_tags") or [None])[0]
-                post = (h.get("post_tags") or fopts.get("post_tags") or [None])[0]
+                def _tag(v):
+                    # OpenSearch sends tag LISTS; accept a bare string
+                    # too (indexing a string with [0] would silently
+                    # wrap snippets in its first character)
+                    if isinstance(v, (list, tuple)):
+                        return v[0] if v else None
+                    return v
+
+                pre = _tag(h.get("pre_tags") or fopts.get("pre_tags"))
+                post = _tag(h.get("post_tags") or fopts.get("post_tags"))
                 if pre is not None:
                     p["hl_pre"] = str(pre)
                 if post is not None:
                     p["hl_post"] = str(post)
-        names: dict[str, str] = {}  # response column key → agg name
+        # EVERY named agg becomes one aggs_extra entry — per-name
+        # processing, so two terms aggs (or terms + stats on the same
+        # field) never collide on a shared slot / response key (the
+        # GET shorthand's agg_terms/agg_stats single slots stay
+        # GET-only)
         for name, agg in (spec.get("aggs") or spec.get("aggregations")
                           or {}).items():
             if "terms" in agg:
@@ -296,13 +315,16 @@ class SearchServer:
                         "sub": subname,
                     })
                 else:
-                    p["agg_terms"] = agg["terms"]["field"]
-                    if "size" in agg["terms"]:
-                        p["agg_size"] = str(int(agg["terms"]["size"]))
-                    names[p["agg_terms"]] = name
+                    p.setdefault("aggs_extra", []).append({
+                        "name": name, "kind": "terms",
+                        "field": agg["terms"]["field"],
+                        "size": int(agg["terms"].get("size", 10)),
+                    })
             elif "stats" in agg:
-                p["agg_stats"] = agg["stats"]["field"]
-                names[p["agg_stats"]] = name
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "stats",
+                    "field": agg["stats"]["field"],
+                })
             elif "date_histogram" in agg:
                 dh = agg["date_histogram"]
                 from .query.dsl import _interval_seconds
@@ -373,11 +395,6 @@ class SearchServer:
                     "options": [{"text": t, "score": sc} for t, sc in opts],
                 }]
             out["suggest"] = sugg
-        if names and "aggregations" in out:
-            out["aggregations"] = {
-                names.get(col, col): v
-                for col, v in out["aggregations"].items()
-            }
         return out
 
     def _search(self, params) -> dict:
@@ -441,14 +458,16 @@ class SearchServer:
         else:
             from .query.search import search_response
 
-            table = search_response(
+            # hits + TRUE match count from ONE evaluation — a separate
+            # _count_impl call would re-parse and re-evaluate the same
+            # query over the whole corpus on the hottest path
+            table, total = search_response(
                 reader, q, k=k, fields=fields,
                 highlight_field=highlight, width=hl_width, syntax=syntax,
                 from_=from_, after=after, sort=sort_spec, hl_tags=hl_tags,
+                with_total=True,
             )
-            # true match count (not len(hits), which is capped at k):
-            # pagination UIs and "N results" displays read total.value
-            total = int(self._count_impl(q, syntax, svc, reader, analyzer))
+            total = int(total)
         took = int((time.perf_counter() - t0) * 1000)
         hits = []
         for row in table.to_pylist():
@@ -549,6 +568,11 @@ class SearchServer:
             "fp": self._reader.manifest.get("fingerprint"),
             "gen": self._gen,
         }
+        # highlight formatting must survive into continuation pages —
+        # otherwise page 2+ silently reverts to <em>/default width
+        for hk in ("hl_width", "hl_pre", "hl_post"):
+            if hk in params:
+                state[hk] = params[hk]
         return base64.urlsafe_b64encode(
             json.dumps(state, sort_keys=True).encode()
         ).decode()
@@ -597,6 +621,9 @@ class SearchServer:
             p["highlight"] = state["highlight"]
         if state["sort"]:
             p["sort"] = state["sort"]
+        for hk in ("hl_width", "hl_pre", "hl_post"):
+            if hk in state:
+                p[hk] = state[hk]
         return self._search(p)
 
     def _matched_ids_local(self, q, syntax: bool, reader, analyzer):
@@ -634,6 +661,26 @@ class SearchServer:
         from .query.facets import interpolate_quantiles, value_histogram
 
         kind, col, arg = spec["kind"], spec["field"], spec.get("arg")
+        if kind == "terms":
+            # plain terms agg, per NAME (body requests may carry many)
+            t, _ = self._facet_tables(
+                q, col, None, syntax=syntax,
+                svc=svc, reader=reader, analyzer=analyzer,
+            )
+            return {"buckets": [
+                {"key": r["value"], "doc_count": r["n_docs"]}
+                for r in t.slice(0, spec["size"]).to_pylist()
+            ]}
+        if kind == "stats":
+            _, s = self._facet_tables(
+                q, None, col, syntax=syntax,
+                svc=svc, reader=reader, analyzer=analyzer,
+            )
+            r = s.to_pylist()[0]
+            return {
+                "count": r["n_docs"], "min": r["min_v"], "max": r["max_v"],
+                "sum": r["sum_v"], "avg": r["avg_v"],
+            }
         if kind == "terms_stats":
             # nested terms→stats: fleet = one partial fan-out + the
             # shared exact fold; local = the SAME kernel over the
@@ -780,24 +827,11 @@ class SearchServer:
         for col, want in ((agg_terms, "terms"), (agg_stats, "stats")):
             if not col:
                 continue
-            arr = self._cols.get(col) if hasattr(self, "_cols") else None
-            if arr is None:
-                import os
-
-                import pyarrow.dataset as pads
-
-                dset = pads.dataset(
-                    os.path.join(reader.index_dir, "docs"),
-                    partitioning="hive",
-                )
-                t = dset.to_table(columns=["doc_id", col])
-                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                perm = np.empty(reader.n_docs, np.int64)
-                perm[ids] = np.arange(len(ids))
-                arr = t[col].combine_chunks().take(pa.array(perm))
-                if not hasattr(self, "_cols"):
-                    self._cols = {}
-                self._cols[col] = arr
+            # the reader's memoized doc-ordered slice (row-group-pruned,
+            # read once per reader lifetime) — the same path _extra_agg
+            # and the sort surface use; a second cache here would be one
+            # more thing to invalidate on _reload
+            arr = reader.stored_column(col)
             vals = arr.take(pa.array(matched.astype(np.int64)))
             if want == "terms":
                 agg = (
@@ -1013,6 +1047,8 @@ class SearchServer:
         if mname not in known:
             raise ValueError(f"metric must be one of {known}: {mname!r}")
         k = int((mopts or {}).get("k", 10))
+        if k < 1:
+            raise ValueError(f"metric k must be >= 1: {k}")
         normalize = bool((mopts or {}).get("normalize", False))
         svc, reader = self._svc, self._reader
         details = {}
@@ -1378,7 +1414,6 @@ class SearchServer:
         old = self._svc
         self._svc = None
         self._suggester = None
-        self._cols = {}
         self._ensure_backend()
         # bump THEN clear, atomically w.r.t. the GET check-and-insert
         # (same lock): a GET that captured the pre-reload generation
@@ -1471,7 +1506,10 @@ class SearchServer:
                                 server._cache.popitem(last=False)
                             server._cache[handler.path] = body
                     handler._reply(200, body)
-                except (KeyError, ValueError, QueryStringError) as e:
+                except (KeyError, ValueError, QueryStringError,
+                        RecursionError) as e:
+                    # RecursionError: a pathologically nested query is
+                    # malformed input (400), not a server fault
                     handler._reply(
                         400,
                         {"error": {"type": type(e).__name__, "reason": str(e)}},
@@ -1506,8 +1544,10 @@ class SearchServer:
                             handler._reply(200, fn(params, body))
                 except (
                     KeyError, ValueError, QueryStringError,
-                    FileNotFoundError, FileExistsError,
+                    FileNotFoundError, FileExistsError, RecursionError,
                 ) as e:
+                    # RecursionError: json.loads itself raises it on a
+                    # hostile deeply-nested body — malformed input, 400
                     handler._reply(
                         400,
                         {"error": {"type": type(e).__name__, "reason": str(e)}},
