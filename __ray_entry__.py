@@ -2383,6 +2383,53 @@ def q_bm25_topk_sharded(sf_dir: str) -> pa.Table:
     )
 
 
+def q_knn_dsl_sharded(sf_dir: str) -> pa.Table:
+    """Serving-tier vector search: the OpenSearch k-NN plugin's ``knn``
+    DSL clause over a doc-aligned vector sidecar
+    (``index/vectors.py::attach_vectors`` — ``embeddings.vec_id`` IS
+    the build's dense doc id, the same alignment ``bm25_knn_rrf``
+    models), served through the doc-range-sharded fleet: each shard
+    holds only ITS normalized ``float32`` matrix slice (vpart
+    hive-pruned read, memoized per actor) and scores ``(1 + cos)/2``
+    — the OpenSearch ``cosinesimil`` space function — over its range;
+    per-doc-local scores make the cross-shard top-k merge exact.  The
+    SQL oracle replays the ranking with DuckDB's
+    ``list_cosine_similarity`` (the (1+cos)/2 transform is monotone,
+    so cosine order IS the serving order)."""
+    from docs_indexer_ray.index.vectors import attach_vectors
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    import ray.data
+
+    attach_vectors(
+        root,
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        id_col="vec_id",
+    )
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q0 = qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()[0]
+    svc = ShardedQueryService(root, n_shards=4, chain="simple")
+    try:
+        hits = svc.query_string(
+            {"knn": {"emb": {"vector": [float(x) for x in q0], "k": 10}}},
+            k=10,
+        )
+    finally:
+        svc.shutdown()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        }
+    )
+
+
 def q_search_page_sharded(sf_dir: str) -> pa.Table:
     """Offset pagination (OpenSearch ``from``/``size``) through the
     sharded serving tier: page 3 (``from_=20, size=10``) of the
@@ -3733,6 +3780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_collapse_source": q_collapse,
         "bm25_knn_rrf": q_bm25_knn_rrf,
         "bm25_topk_sharded": q_bm25_topk_sharded,
+        "knn_dsl_sharded": q_knn_dsl_sharded,
         "search_page_sharded": q_search_page_sharded,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_bool": q_bm25_bool,
@@ -4874,6 +4922,23 @@ def oracle_sql() -> dict[str, str]:
     # the WARC round trip reproduces the Parquet extract byte-for-byte
     sqls["warc_ingest"] = sqls["extract_text"]
     sqls["bm25_topk_sharded"] = sqls["bm25_topk"]
+    # serving-tier knn: the sidecar keys vectors by the build's dense
+    # doc ids (vec_id == doc_id, the synthetic alignment); score
+    # (1+cos)/2 is a monotone transform of cosine, so cosine order
+    # (sim DESC, doc ASC — the engine's quantized tie-break) IS the
+    # fleet's serving order; the self-match (vec_id 0) ranks first
+    sqls["knn_dsl_sharded"] = """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        sims AS (SELECT vec_id AS did,
+                        list_cosine_similarity(embedding, qe) AS sim
+                 FROM embeddings, q),
+        ranked AS (SELECT did,
+                          row_number() OVER (ORDER BY sim DESC, did ASC)
+                            AS rnk
+                   FROM sims)
+        SELECT CAST(rnk AS BIGINT) AS rank, CAST(did AS BIGINT) AS doc_id
+        FROM ranked WHERE rnk <= 10
+    """
     sqls["match_phrase_sharded"] = sqls["match_phrase"]
     sqls["bm25_topk_merged"] = sqls["bm25_topk"]
     sqls["bm25_topk_incremental"] = sqls["bm25_topk"]

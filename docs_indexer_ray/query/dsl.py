@@ -129,7 +129,7 @@ _LEAF_KEYS = (
     "exists", "constant_score", "dis_max", "boosting",
     "match_bool_prefix", "match_phrase_prefix", "regexp",
     "simple_query_string", "function_score", "span_near", "span_first",
-    "span_term", "more_like_this",
+    "span_term", "more_like_this", "knn",
 )
 
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
@@ -541,6 +541,26 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
 
         value, opts = _opts(body, "value")
         return _Regexp(value.lower(), boost=float(opts.get("boost", 1.0)))
+
+    if kind == "knn":
+        from .qstring import _Knn
+
+        # {"knn": {<sidecar name>: {"vector": [...], "k": …}}} — the
+        # OpenSearch k-NN plugin clause.  The field names the build's
+        # vector SIDECAR (index/vectors.py; default attach name "emb").
+        # "k" is accepted and ignored: result size is the request's
+        # size/k like every other clause (documented divergence — the
+        # plugin's per-segment candidate k is an ANN artifact; this
+        # serving baseline scores the range exactly).
+        if not isinstance(body, dict) or not isinstance(
+            body.get("vector"), list
+        ) or not body["vector"]:
+            raise DslError(f"knn expects {{'vector': […]}}: {body!r}")
+        return _Knn(
+            str(field),
+            [float(x) for x in body["vector"]],
+            boost=float(body.get("boost", 1.0)),
+        )
 
     raise DslError(f"unsupported query clause {kind!r} "
                    f"(supported: {', '.join(_LEAF_KEYS)})")

@@ -329,6 +329,25 @@ class _Regexp:
 
 
 @dataclass
+class _Knn:
+    """k-NN vector clause (the OpenSearch k-NN plugin's ``knn``
+    query) over a doc-aligned vector sidecar (``index/vectors.py``).
+    Scores ``boost × (1 + cos) / 2`` — the OpenSearch ``cosinesimil``
+    space function, positive for every stored vector so the engine's
+    ``scores > 0`` conventions hold; docs without a vector never
+    match.  Per-doc-local over the reader's memoized normalized
+    matrix slice (``reader.vector_matrix``), so shard scores are
+    identical to unsharded ones and the fleet's top-k merge is exact
+    — the brute-force-exact serving baseline (O(range × dim) matmul
+    per query per shard); the ANN ops (``ops/ann.py``/``ops/pq.py``)
+    remain the sub-linear batch path."""
+
+    name: str  # vector sidecar name (the DSL clause's field)
+    vec: list  # query vector (floats)
+    boost: float = 1.0
+
+
+@dataclass
 class _PhrasePrefix:
     """OpenSearch ``match_phrase_prefix``: the last term is a PREFIX
     expanded against the term dictionary at evaluation time (the
@@ -641,12 +660,34 @@ def _dis_max_combine(parts, n, tie: float, boost: float):
     return scores, match
 
 
+def _eval_knn(reader, node: _Knn) -> tuple[np.ndarray, np.ndarray]:
+    """Dense knn evaluation over the reader's doc range — identical
+    code on the local reader and a shard reader because
+    ``vector_matrix`` is range-sliced; the float32 row dot products
+    are per-doc-local, so shard scores replay the unsharded ones
+    bit-exactly (the cross-shard merge contract)."""
+    V, valid = reader.vector_matrix(node.name)
+    q = np.asarray(node.vec, np.float32)
+    if V.shape[1] and len(q) != V.shape[1]:
+        raise QueryStringError(
+            f"knn vector dim {len(q)} != sidecar dim {V.shape[1]}"
+        )
+    qn = float(np.linalg.norm(q))
+    if qn > 0:
+        q = q / np.float32(qn)
+    cos = (V @ q).astype(np.float64)
+    scores = np.where(valid, node.boost * (1.0 + cos) / 2.0, 0.0)
+    return scores, valid.copy()
+
+
 def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
     """Dense ``(scores float64[n_docs], match bool[n_docs])`` with
     scores zeroed outside match — see the module invariant."""
     from .bm25 import bm25_scores_dense
 
     n = reader.n_docs
+    if isinstance(node, _Knn):
+        return _eval_knn(reader, node)
     if isinstance(node, _MatchAll):
         match = np.ones(n, bool)
         return np.full(n, node.boost, np.float64), match
@@ -790,6 +831,9 @@ def _eval_range(reader, node) -> tuple[np.ndarray, np.ndarray]:
     lo, hi = reader.doc_lo, reader.doc_hi
     n_local = max(0, hi - lo)
     avgdl = reader.avgdl or 1.0
+    if isinstance(node, _Knn):
+        # vector_matrix is already the shard's slice — same kernel
+        return _eval_knn(reader, node)
     if isinstance(node, _MatchAll):
         match = np.ones(n_local, bool)
         return np.full(n_local, node.boost, np.float64), match
@@ -969,6 +1013,8 @@ def _node_description(node) -> str:
         return f"range({node.col} {' '.join(f'{op}{v}' for op, v in node.bounds)})"
     if isinstance(node, _MatchAll):
         return "match_all"
+    if isinstance(node, _Knn):
+        return f"knn({node.name}, dim={len(node.vec)})"
     if isinstance(node, _Ids):
         return f"ids({node.ids})"
     if isinstance(node, _ConstScore):

@@ -327,6 +327,28 @@ class IndexReader:
             cols[col] = arr
         return arr
 
+    def vector_matrix(self, name: str = "emb") -> tuple[np.ndarray, np.ndarray]:
+        """This reader's doc-range slice of the vector sidecar ``name``
+        (``index/vectors.py``): ``(V, valid)`` where ``V`` is a
+        ``float32 (range, dim)`` matrix of L2-normalized vectors
+        aligned like ``stored_column`` (row ``i`` = doc ``doc_lo+i``;
+        missing docs are zero rows) and ``valid`` the has-a-vector
+        mask.  Loaded ONCE (vpart hive pruning restricts the read to
+        the range) and memoized — a shard actor of the serving fleet
+        holds only ITS slice, the k-NN analog of the sharded norms.
+        Raises ``FileNotFoundError`` when no sidecar is attached."""
+        mats = getattr(self, "_vec_mats", None)
+        if mats is None:
+            mats = self._vec_mats = {}
+        got = mats.get(name)
+        if got is None:
+            from ..index.vectors import load_vector_slice
+
+            got = mats[name] = load_vector_slice(
+                self.index_dir, name, self.doc_lo, self.doc_hi
+            )
+        return got
+
     def deleted_ids(self) -> np.ndarray:
         """Sorted tombstoned doc ids (soft deletes — ``index/deletes``),
         loaded once per reader like the norms."""

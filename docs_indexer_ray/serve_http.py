@@ -233,6 +233,15 @@ class SearchServer:
         shape), not the column name the GET shorthand uses."""
         spec = json.loads(body) if body.strip() else {}
         p = dict(params)
+        if (
+            isinstance(spec.get("query"), dict)
+            and len(spec["query"]) == 1
+            and "hybrid" in spec["query"]
+        ):
+            # the OpenSearch 2.x hybrid query is a COORDINATOR-level
+            # construct (per-sub-query shard phases + fusion in the
+            # normalization processor) — it never lowers onto one AST
+            return self._hybrid_search(spec, p)
         if "query" in spec:
             p["q"] = spec["query"]  # dict → DSL (syntax path forced)
             if isinstance(p["q"], dict):
@@ -396,6 +405,93 @@ class SearchServer:
                 }]
             out["suggest"] = sugg
         return out
+
+    def _hybrid_search(self, spec: dict, params) -> dict:
+        """OpenSearch 2.x ``hybrid`` query — BM25 + k-NN (or any mix of
+        DSL sub-queries) fused with Reciprocal Rank Fusion at the
+        coordinator, mirroring OpenSearch's architecture: each
+        sub-query runs its OWN query phase through the real backend
+        (per-shard evaluation + exact cross-shard merge on the fleet)
+        at ``window_size``, and fusion happens here over ≤ legs ×
+        window candidate rows — output-scale by construction
+        (``query/hybrid.rrf_fuse``; Cormack et al., SIGIR 2009).
+
+        Body shape: ``{"query": {"hybrid": {"queries": [<DSL>, …],
+        "window_size": 100, "rank_constant": 60}}, "size", "from",
+        "_source"}``.  ``_score`` is the fused RRF value; ``total`` is
+        the candidate-union size with relation ``gte`` (the true union
+        is window-capped by design).  Highlight / sort / aggs / scroll
+        don't compose with hybrid (refused loudly, like OpenSearch's
+        processor restrictions); pagination is offset-only.  The fetch
+        phase reads only the page's rows (row-group-pruned
+        ``fetch_docs``)."""
+        from .query.dsl import dsl_to_node
+        from .query.hybrid import rrf_fuse
+        from .query.qstring import query_string_topk
+        from .query.search import assemble_hits
+
+        for bad in ("sort", "highlight", "aggs", "aggregations",
+                    "scroll", "search_after"):
+            if bad in spec:
+                raise ValueError(f"hybrid does not compose with {bad!r}")
+        hyb = spec["query"]["hybrid"]
+        if not isinstance(hyb, dict) or not isinstance(
+            hyb.get("queries"), list
+        ) or not hyb["queries"]:
+            raise ValueError("hybrid expects {'queries': [<DSL>, …]}")
+        legs = hyb["queries"]
+        if len(legs) > 8:
+            raise ValueError("hybrid supports at most 8 sub-queries")
+        # ONE backend snapshot; validate every leg BEFORE any fan-out
+        svc, reader, analyzer = self._svc, self._reader, self._analyzer
+        for leg in legs:
+            dsl_to_node(leg, analyzer)
+        k = int(spec.get("size", params.get("size", params.get("k", "10"))))
+        from_ = int(spec.get("from", params.get("from", "0")))
+        window = int(hyb.get("window_size", max(100, from_ + k)))
+        rrf_k = int(hyb.get("rank_constant", 60))
+        src = spec.get("_source", params.get("fields", "url,title"))
+        fields = tuple(
+            f
+            for f in (src if isinstance(src, list) else str(src).split(","))
+            if f
+        )
+        t0 = time.perf_counter()
+        maps = []
+        for leg in legs:
+            hits = (
+                svc.query_string(leg, k=window)
+                if svc is not None
+                else query_string_topk(reader, leg, k=window)
+            )
+            maps.append({int(d): r for r, (d, _) in enumerate(hits, 1)})
+        fused = rrf_fuse(maps, k=rrf_k, topn=from_ + k).slice(from_)
+        page = list(
+            zip(fused["doc_id"].to_pylist(), fused["rrf"].to_pylist())
+        )
+        table = assemble_hits(
+            reader, page, fields, None, None, 160, reader.chain,
+            rank_start=from_ + 1,
+        )
+        took = int((time.perf_counter() - t0) * 1000)
+        hits_out = []
+        for row in table.to_pylist():
+            hits_out.append({
+                "_id": row["doc_id"],
+                "_score": row["score"],
+                "_source": {f: _jsonable(row[f]) for f in fields},
+            })
+        return {
+            "took": took,
+            "timed_out": False,
+            "hits": {
+                "total": {
+                    "value": len(set().union(*[set(m) for m in maps])),
+                    "relation": "gte",
+                },
+                "hits": hits_out,
+            },
+        }
 
     def _search(self, params) -> dict:
         q = params["q"]

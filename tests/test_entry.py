@@ -92,6 +92,7 @@ SQL_BACKED = [
     "decontaminate",
     "temperature_resample",
     "bm25_topk_sharded",
+    "knn_dsl_sharded",
     "bm25_topk_filtered",
     "bm25_bool",
     "rank_eval",
