@@ -148,6 +148,71 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_attach_vectors(args) -> int:
+    """Attach a doc-aligned vector sidecar to the published build
+    (``index/vectors.py``) — enables the ``knn`` DSL clause and
+    hybrid search on every serving surface."""
+    _ray_session()
+    import ray.data
+
+    from .index.vectors import attach_vectors
+
+    key = args.id_col or args.url_col
+    ds = ray.data.read_parquet(args.parquet, columns=[key, args.vec_col])
+    meta = attach_vectors(
+        args.index,
+        ds,
+        vec_col=args.vec_col,
+        id_col=args.id_col,
+        url_col=args.url_col,
+        name=args.name,
+        num_parts=args.parts,
+    )
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_knn(args) -> int:
+    """k-NN over the attached vector sidecar: neighbors of an explicit
+    ``--vector`` or of an indexed doc's own vector (``--doc``), local
+    reader or the sharded fleet."""
+    _ray_session()
+    from .query.reader import IndexReader
+
+    reader = IndexReader(args.index, chain=args.chain)
+    if args.vector:
+        vec = [float(x) for x in args.vector.split(",")]
+    else:
+        V, valid = reader.vector_matrix(args.name)
+        if not (0 <= args.doc < len(valid)) or not valid[args.doc]:
+            print(f"doc {args.doc} has no vector in sidecar {args.name!r}")
+            return 2
+        vec = V[args.doc].tolist()
+    dsl = {"knn": {args.name: {"vector": vec, "k": args.k}}}
+    if getattr(args, "shards", 0) and args.shards > 1:
+        from .query.served import ShardedQueryService
+
+        svc = ShardedQueryService(
+            args.index, n_shards=args.shards, chain=args.chain
+        )
+        try:
+            hits = svc.query_string(dsl, k=args.k)
+        finally:
+            svc.shutdown()
+    else:
+        from .query.qstring import query_string_topk
+
+        hits = query_string_topk(reader, dsl, k=args.k)
+    docs = reader.fetch_docs(
+        [d for d, _ in hits], columns=["doc_id", "url", "title"]
+    )
+    meta = {r["doc_id"]: r for r in docs.to_pylist()}
+    for rank, (doc_id, score) in enumerate(hits, 1):
+        m = meta.get(doc_id, {})
+        print(f"{rank:2d}. {score:10.6f}  {doc_id:8d}  {m.get('url', '')}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Serve the index over HTTP (OpenSearch-shaped endpoints):
     /_search /_count /_analyze /_suggest — local warm reader or the
@@ -468,6 +533,37 @@ def main(argv: list[str] | None = None) -> int:
         help="serve via a doc-range-sharded actor fleet (0 = local reader)",
     )
     se.set_defaults(fn=cmd_search)
+
+    av = sub.add_parser(
+        "attach-vectors",
+        help="attach a doc-aligned vector sidecar (enables knn/hybrid)",
+    )
+    av.add_argument("--index", required=True)
+    av.add_argument("--parquet", required=True,
+                    help="parquet file/dir with the vector column")
+    av.add_argument("--vec-col", default="embedding")
+    key = av.add_mutually_exclusive_group(required=True)
+    key.add_argument("--id-col", default=None,
+                     help="column already holding the build's doc ids")
+    key.add_argument("--url-col", default=None,
+                     help="url column (ONE hash-join shuffle to map ids)")
+    av.add_argument("--name", default="emb")
+    av.add_argument("--parts", type=int, default=32)
+    av.set_defaults(fn=cmd_attach_vectors)
+
+    kn = sub.add_parser("knn", help="vector top-k over an attached sidecar")
+    kn.add_argument("--index", required=True)
+    vq = kn.add_mutually_exclusive_group(required=True)
+    vq.add_argument("--vector", default=None,
+                    help="comma-separated floats (the query vector)")
+    vq.add_argument("--doc", type=int, default=None,
+                    help="neighbors of this indexed doc's own vector")
+    kn.add_argument("-k", type=int, default=10)
+    kn.add_argument("--name", default="emb")
+    kn.add_argument("--chain", default=None)
+    kn.add_argument("--shards", type=int, default=0,
+                    help="serve via the doc-range-sharded fleet (0 = local)")
+    kn.set_defaults(fn=cmd_knn)
 
     sv = sub.add_parser("serve", help="HTTP serving (_search/_count/_analyze/_suggest)")
     sv.add_argument("--index", required=True)

@@ -180,6 +180,45 @@ def test_shard_reader_slice_equals_full(built, ray_session):
     assert np.array_equal(Vs, Vf[30:70]) and np.array_equal(ms, mf_[30:70])
 
 
+def test_cli_attach_and_knn(built, ray_session, tmp_path, capsys):
+    import pyarrow.parquet as pq
+
+    from docs_indexer_ray.cli import main
+    from docs_indexer_ray.query.qstring import query_string_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    root, vecs, missing = built
+    rows = [i for i in range(len(vecs)) if i not in missing]
+    emb = pa.table({
+        "doc_id": pa.array(rows, pa.int64()),
+        "embedding": pa.array(
+            [vecs[i].tolist() for i in rows], pa.list_(pa.float32())
+        ),
+    })
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(emb, path)
+    rc = main([
+        "attach-vectors", "--index", root, "--parquet", path,
+        "--id-col", "doc_id", "--name", "cli_emb",
+    ])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["count"] == len(rows)
+    rc = main(["knn", "--index", root, "--doc", "3", "-k", "5",
+               "--name", "cli_emb"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    want = query_string_topk(
+        IndexReader(root),
+        {"knn": {"cli_emb": {"vector": vecs[3].tolist()}}}, k=5,
+    )
+    got_ids = [int(ln.split()[2]) for ln in out.strip().splitlines()]
+    assert got_ids == [d for d, _ in want] and got_ids[0] == 3
+    # a vectorless doc refuses loudly, not garbage neighbors
+    rc = main(["knn", "--index", root, "--doc", "5", "--name", "cli_emb"])
+    assert rc == 2
+
+
 def _req(port, path, body=None, **params):
     url = f"http://127.0.0.1:{port}{path}"
     if params:
