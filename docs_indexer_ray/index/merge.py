@@ -331,6 +331,12 @@ def merge_many(
         part_off += len(parts)
     ray.get(jobs)
 
+    # vector sidecars ride along: knn/hybrid keep serving on the merged
+    # build instead of silently dying after an incremental update
+    from .vectors import carry_sidecars
+
+    carry_sidecars(dirs, shifts, n_total, bdir)
+
     man = {
         **{
             k: mans[0][k]

@@ -48,7 +48,12 @@ import os
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["attach_vectors", "vectors_meta", "load_vector_slice"]
+__all__ = [
+    "attach_vectors",
+    "vectors_meta",
+    "load_vector_slice",
+    "carry_sidecars",
+]
 
 
 def _vec_dir(build_dir: str, name: str) -> str:
@@ -244,6 +249,137 @@ def attach_vectors(
         json.dump(meta, f)
     os.replace(mpath + ".tmp", mpath)
     return meta
+
+
+def _sidecar_names(build_dir: str) -> list[str]:
+    """Attached sidecar names under one build (meta present = attached)."""
+    vroot = os.path.join(build_dir, "vectors")
+    if not os.path.isdir(vroot):
+        return []
+    suf = ".meta.json"
+    return sorted(f[: -len(suf)] for f in os.listdir(vroot) if f.endswith(suf))
+
+
+def _carry_vpart(
+    src_dir: str, tmp_root: str, shift: int, n_total: int, num_parts: int, tag: str
+) -> int:
+    """Task body: re-home ONE input vpart directory into the merged
+    sidecar's id space — add ``shift`` to doc ids and re-bucket by the
+    MERGED ``vpart`` law (``id * P // n_total``; both ``n_docs`` and
+    possibly ``P`` changed, so even the shift-0 input re-buckets).  An
+    old vpart is a contiguous doc-id range, so its rows land in at
+    most a couple of new vparts.  Output files are ``tag``-unique —
+    tasks never collide inside a shared ``vpart=K`` dir."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src_dir, columns=["doc_id", "v"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) + shift
+    vp = ids * num_parts // max(1, n_total)
+    n = 0
+    for k in np.unique(vp):
+        mask = vp == k
+        sub = pa.table(
+            {
+                "doc_id": pa.array(ids[mask], pa.int64()),
+                "v": t["v"].combine_chunks().filter(pa.array(mask)),
+            }
+        )
+        odir = os.path.join(tmp_root, f"vpart={int(k)}")
+        os.makedirs(odir, exist_ok=True)
+        out = os.path.join(odir, f"{tag}.parquet")
+        tmp = out + f".tmp-{os.getpid()}"
+        pq.write_table(sub, tmp, compression="zstd")
+        os.replace(tmp, out)
+        n += sub.num_rows
+    return n
+
+
+def carry_sidecars(
+    input_dirs: list[str], shifts: list[int], n_total: int, out_build_dir: str
+) -> dict[str, dict]:
+    """Carry every vector sidecar through a merge: for each sidecar
+    name attached to ANY input, rewrite its vectors into the merged
+    build's id space (``merge_many`` shifts input ``i``'s doc ids by
+    ``shifts[i]``) — so a ``knn``/``hybrid`` query keeps serving after
+    an incremental ``/_bulk`` → merge instead of silently dying on the
+    new build.
+
+    An input without the sidecar contributes nothing — its docs simply
+    have no vector in the merged build (they never match ``knn``),
+    matching attach-time semantics for absent docs.  Inputs that DO
+    carry the name must agree on ``dim``.
+
+    Scale shape mirrors the merge's docs-store round: one Ray task per
+    (input, vpart dir) does the shift + re-bucket; the driver only
+    lists directories.  Idempotent: a name whose meta already exists
+    under ``out_build_dir`` is skipped (merge resume).  Meta is
+    written LAST, after the atomic dir rename — a crashed merge never
+    leaves a sidecar that looks attached.
+
+    Returns ``{name: merged_meta}``.
+    """
+    import shutil
+
+    import ray
+
+    per_name: dict[str, list[tuple[str, int, dict]]] = {}
+    for d, s in zip(input_dirs, shifts):
+        for name in _sidecar_names(d):
+            per_name.setdefault(name, []).append((d, s, vectors_meta(d, name)))
+
+    task = ray.remote(num_cpus=1)(_carry_vpart)
+    out: dict[str, dict] = {}
+    for name, sources in sorted(per_name.items()):
+        existing = vectors_meta(out_build_dir, name)
+        if existing is not None:
+            out[name] = existing
+            continue
+        dims = {int(m["dim"]) for _, _, m in sources}
+        if len(dims) > 1:
+            raise ValueError(
+                f"merge inputs disagree on vector sidecar {name!r} dim: "
+                f"{sorted(dims)}"
+            )
+        num_parts = max(int(m["num_parts"]) for _, _, m in sources)
+        vdir = _vec_dir(out_build_dir, name)
+        tmp = vdir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        jobs = []
+        for i, (d, shift, _m) in enumerate(sources):
+            src_root = _vec_dir(d, name)
+            for pd in sorted(os.listdir(src_root)):
+                if not pd.startswith("vpart="):
+                    continue
+                jobs.append(
+                    task.remote(
+                        os.path.join(src_root, pd),
+                        tmp,
+                        shift,
+                        n_total,
+                        num_parts,
+                        f"in{i}-{pd.split('=')[1]}",
+                    )
+                )
+        count = sum(ray.get(jobs))
+        meta = {
+            "name": name,
+            "dim": int(next(iter(dims))),
+            "n_docs": int(n_total),
+            "num_parts": int(num_parts),
+            "count": int(count),
+        }
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)
+        os.makedirs(os.path.dirname(vdir), exist_ok=True)
+        os.replace(tmp, vdir)
+        mpath = vdir + ".meta.json"
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(mpath + ".tmp", mpath)
+        out[name] = meta
+    return out
 
 
 def load_vector_slice(

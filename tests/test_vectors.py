@@ -287,3 +287,97 @@ def test_knn_and_hybrid_over_http(built, ray_session):
             assert code == 400
         finally:
             srv.stop()
+
+
+def test_merge_carries_vector_sidecars(ray_session, tmp_path):
+    """An incremental merge re-homes every attached sidecar into the
+    merged id space (carry_sidecars): knn keeps serving on the merged
+    build, union-of-names semantics, dim mismatch refused."""
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.index.merge import merge_indexes
+    from docs_indexer_ray.index.vectors import (
+        attach_vectors,
+        carry_sidecars,
+        vectors_meta,
+    )
+    from docs_indexer_ray.query.qstring import query_string_topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import rich_pages_table
+
+    pages = rich_pages_table(50, dup_every=0)
+    kw = dict(num_parts=4, chain="simple", field="body")
+    build_index(
+        ray.data.from_arrow(pages.slice(0, 30)),
+        str(tmp_path / "a"), fingerprint="a", **kw,
+    )
+    build_index(
+        ray.data.from_arrow(pages.slice(30)),
+        str(tmp_path / "b"), fingerprint="b", **kw,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(50, 8).astype(np.float32)
+    missing = {2, 41}  # one per input, in MERGED id space
+
+    def _emb(lo, hi):
+        rows = [i for i in range(lo, hi) if i not in missing]
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([i - lo for i in rows], pa.int64()),
+            "embedding": pa.array(
+                [vecs[i].tolist() for i in rows], pa.list_(pa.float32())
+            ),
+        }))
+
+    # 'emb' on both inputs (different num_parts — merged takes the max);
+    # 'solo' only on input a (union-of-names: b's docs just have no vector)
+    attach_vectors(str(tmp_path / "a"), _emb(0, 30), id_col="doc_id",
+                   num_parts=8)
+    attach_vectors(str(tmp_path / "b"), _emb(30, 50), id_col="doc_id",
+                   num_parts=16)
+    attach_vectors(str(tmp_path / "a"), _emb(0, 30), id_col="doc_id",
+                   name="solo", num_parts=8)
+
+    merge_indexes(str(tmp_path / "a"), str(tmp_path / "b"),
+                  str(tmp_path / "m"))
+    from docs_indexer_ray.index import manifest as mf
+
+    bdir = mf.current_build(str(tmp_path / "m"))
+    meta = vectors_meta(bdir, "emb")
+    assert meta == {"name": "emb", "dim": 8, "n_docs": 50,
+                    "num_parts": 16, "count": 48}
+    assert vectors_meta(bdir, "solo")["count"] == 29
+
+    # merged ids are input-a ids then input-b ids + 30 — exactly how
+    # vecs was laid out, so the fixture's numpy oracle applies directly
+    reader = IndexReader(str(tmp_path / "m"))
+    q = vecs[35].tolist()
+    hits = query_string_topk(
+        reader, {"knn": {"emb": {"vector": q, "k": 10}}}, k=10
+    )
+    assert [d for d, _ in hits] == _true_order(vecs, missing, q)
+    assert hits[0][0] == 35 and abs(hits[0][1] - 1.0) < 1e-6
+
+    # 'solo' never matches input-b docs (no vector there)
+    solo = query_string_topk(
+        reader, {"knn": {"solo": {"vector": q}}}, k=1000
+    )
+    got = {d for d, _ in solo}
+    assert got == set(range(30)) - missing
+
+    # idempotent resume: a re-carry over the published merge is a no-op
+    again = carry_sidecars(
+        [mf.current_build(str(tmp_path / "a"))], [0], 50, bdir
+    )
+    assert again["emb"] == meta
+
+    # dim mismatch across inputs is refused
+    bad = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0]], pa.list_(pa.float32())),
+    }))
+    attach_vectors(str(tmp_path / "b"), bad, id_col="doc_id", name="solo")
+    with pytest.raises(ValueError, match="dim"):
+        merge_indexes(str(tmp_path / "a"), str(tmp_path / "b"),
+                      str(tmp_path / "m2"))
