@@ -1008,6 +1008,37 @@ def q_match_all_count(sf_dir: str) -> pa.Table:
     )
 
 
+def q_term_vectors_stats(sf_dir: str) -> pa.Table:
+    """OpenSearch Term Vectors API for one doc (doc_id 42) over the
+    simple body index (``query/termvectors.py``): per-term in-doc
+    frequency, corpus ``doc_freq`` (term dictionary), collection
+    ``ttf`` (cf dictionary) and first token position — all from the
+    REAL reader, SQL-replicable because the simple chain is."""
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.termvectors import term_vectors
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    out = term_vectors(IndexReader(root), doc_id=42, term_statistics=True)
+    terms = out["term_vectors"]["body"]["terms"]
+    names = sorted(terms)
+    return pa.table(
+        {
+            "term": pa.array(names, pa.string()),
+            "term_freq": pa.array(
+                [terms[t]["term_freq"] for t in names], pa.int64()
+            ),
+            "doc_freq": pa.array(
+                [terms[t]["doc_freq"] for t in names], pa.int64()
+            ),
+            "ttf": pa.array([terms[t]["ttf"] for t in names], pa.int64()),
+            "first_pos": pa.array(
+                [terms[t]["tokens"][0]["position"] for t in names], pa.int64()
+            ),
+        }
+    )
+
+
 def q_bm25_topk(sf_dir: str) -> pa.Table:
     """WAND top-10 over the simple-analyzer body index (SQL-checkable)."""
     from docs_indexer_ray.pipelines.flagship import ensure_index
@@ -3777,6 +3808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": q_index_stats,
         "match_all_count": q_match_all_count,
         "bm25_topk": q_bm25_topk,
+        "term_vectors_stats": q_term_vectors_stats,
         "bm25_collapse_source": q_collapse,
         "bm25_knn_rrf": q_bm25_knn_rrf,
         "bm25_topk_sharded": q_bm25_topk_sharded,
@@ -4758,6 +4790,21 @@ def oracle_sql() -> dict[str, str]:
             FROM dl WHERE dl > 0
         """,
         "match_all_count": "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents",
+        "term_vectors_stats": f"""
+            WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+            tk AS (SELECT doc_id, {toks_body} AS toks FROM docs),
+            p AS (SELECT doc_id, unnest(toks) AS term,
+                         unnest(range(len(toks))) AS pos FROM tk),
+            tgt AS (SELECT term, CAST(count(*) AS BIGINT) AS term_freq,
+                           CAST(min(pos) AS BIGINT) AS first_pos
+                    FROM p WHERE doc_id = 42 GROUP BY term),
+            stats AS (SELECT term,
+                             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+                             CAST(count(*) AS BIGINT) AS ttf
+                      FROM p GROUP BY term)
+            SELECT t.term, t.term_freq, s.doc_freq, s.ttf, t.first_pos
+            FROM tgt t JOIN stats s USING (term) ORDER BY t.term
+        """,
         "bm25_topk": f"""
             WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
             toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),

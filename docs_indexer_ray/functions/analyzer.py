@@ -36,6 +36,7 @@ from .porter import porter_stem
 __all__ = [
     "STOPWORDS_EN",
     "TOKEN_RE",
+    "SIMPLE_RE",
     "tokenize_standard",
     "tokenize_simple",
     "strip_possessive",
@@ -55,6 +56,7 @@ STOPWORDS_EN = frozenset(
 _TOKEN_RE = re.compile(r"\w+(?:['’.]\w+)*", re.UNICODE)
 TOKEN_RE = _TOKEN_RE
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
+SIMPLE_RE = _SIMPLE_RE  # public for offset-aware consumers (termvectors)
 _POSSESSIVE_RE = re.compile(r"['’][sS]$")
 
 

@@ -180,6 +180,7 @@ class SearchServer:
         self._reader = None
         self._analyzer = None
         self._suggester = None
+        self._tv_readers: dict = {}  # per-chain readers (termvectors)
         # request cache (OpenSearch's shard request cache, one tier
         # up): full GET responses keyed by path+query, bounded LRU,
         # invalidated wholesale on any write (_reload); every access
@@ -1025,6 +1026,120 @@ class SearchServer:
             "explanation": {"value": total, "details": details},
         }
 
+    def _tv_reader(self, chain: str):
+        """A reader bound to ``chain`` for subfield term vectors —
+        cached per chain (reader construction loads norms), cleared on
+        every write reload like the rest of the warm state."""
+        if chain == self._reader.chain:
+            return self._reader
+        r = self._tv_readers.get(chain)
+        if r is None:
+            from .query.reader import IndexReader
+
+            r = self._tv_readers[chain] = IndexReader(
+                self.index_root, chain=chain
+            )
+        return r
+
+    def _termvectors_impl(self, spec: dict) -> dict:
+        """Shared GET/POST core of ``/_termvectors``."""
+        from .query.termvectors import term_vectors
+
+        doc = spec.get("doc")
+        doc_id = spec.get("id")
+        if (doc_id is None) == (doc is None):
+            raise ValueError("exactly one of id / doc is required")
+        if doc is not None and not isinstance(doc, dict):
+            raise ValueError(f"doc must be an object: {doc!r}")
+        flt = spec.get("filter") or {}
+        if not isinstance(flt, dict):
+            raise ValueError(f"filter must be an object: {flt!r}")
+        kw = dict(
+            positions=bool(spec.get("positions", True)),
+            offsets=bool(spec.get("offsets", True)),
+            term_statistics=bool(spec.get("term_statistics", False)),
+            field_statistics=bool(spec.get("field_statistics", True)),
+            min_term_freq=int(flt.get("min_term_freq", 1)),
+            min_doc_freq=int(flt.get("min_doc_freq", 0)),
+        )
+        if flt.get("max_doc_freq") is not None:
+            kw["max_doc_freq"] = int(flt["max_doc_freq"])
+        if flt.get("max_num_terms") is not None:
+            kw["max_num_terms"] = int(flt["max_num_terms"])
+        fields = spec.get("fields")
+        if isinstance(fields, str):
+            fields = [f for f in fields.split(",") if f]
+        if not fields:
+            fields = [self._reader.manifest["field"]]
+
+        out: dict = {"term_vectors": {}}
+        for fname in fields:
+            # subfield spelling: body.trigram analyzes the stored
+            # 'body' column with the build's 'trigram' chain (the
+            # reference's text.english/.trigram/.reverse subfields)
+            src, chain = fname, self._reader.chain
+            if "." in fname:
+                base, suffix = fname.rsplit(".", 1)
+                known = {self._reader.manifest.get("analyzer")} | set(
+                    self._reader.manifest.get("chains", {})
+                )
+                if suffix in known:
+                    src, chain = base, suffix
+            reader = self._tv_reader(chain)
+            one = term_vectors(
+                reader,
+                doc_id=None if doc_id is None else int(doc_id),
+                text=None if doc is None else str(doc.get(src) or ""),
+                field=fname,
+                source_field=src,
+                **kw,
+            )
+            for k, v in one.items():
+                if k == "term_vectors":
+                    out["term_vectors"].update(v)
+                else:
+                    out[k] = v
+            if out.get("found") is False:
+                break  # missing doc: one answer, not per-field copies
+        return out
+
+    def _termvectors(self, params) -> dict:
+        """``GET /_termvectors?id=N&fields=body,title&…`` — per-doc
+        term statistics (OpenSearch Term Vectors API), computed on the
+        fly by re-analyzing the stored text with the serving chain."""
+        spec: dict = {}
+        if "id" in params:
+            spec["id"] = int(params["id"])
+        if "fields" in params:
+            spec["fields"] = params["fields"]
+        for flag in ("positions", "offsets", "term_statistics",
+                     "field_statistics"):
+            if flag in params:
+                spec[flag] = params[flag] in ("1", "true", "True")
+        flt = {
+            k: int(params[k])
+            for k in ("max_num_terms", "min_term_freq", "min_doc_freq",
+                      "max_doc_freq")
+            if k in params
+        }
+        if flt:
+            spec["filter"] = flt
+        return self._termvectors_impl(spec)
+
+    def _termvectors_post(self, params, body: bytes) -> dict:
+        """``POST /_termvectors`` — body form; adds the artificial-
+        document spelling ``{"doc": {field: text}}`` (term vector of
+        un-indexed text, OpenSearch parity) and the ``filter`` block."""
+        spec = json.loads(body) if body.strip() else {}
+        if not isinstance(spec, dict):
+            raise ValueError("body must be a JSON object")
+        # GET-style URL params fill gaps (id, fields, flags)
+        if "id" not in spec and "doc" not in spec and "id" in params:
+            spec["id"] = int(params["id"])
+        if "fields" not in spec and "fields" in params:
+            spec["fields"] = params["fields"]
+        return self._termvectors_impl(spec)
+
     def _doc(self, params) -> dict:
         """``GET /_doc?id=N&fields=a,b`` — stored-field fetch by doc
         id (row-group-pruned), OpenSearch ``GET <index>/_doc/<id>``
@@ -1510,6 +1625,7 @@ class SearchServer:
         old = self._svc
         self._svc = None
         self._suggester = None
+        self._tv_readers = {}
         self._ensure_backend()
         # bump THEN clear, atomically w.r.t. the GET check-and-insert
         # (same lock): a GET that captured the pre-reload generation
@@ -1546,6 +1662,7 @@ class SearchServer:
             "/_suggest": self._suggest,
         }
         routes["/_doc"] = self._doc
+        routes["/_termvectors"] = self._termvectors
         routes["/_explain"] = self._explain
         routes["/_mapping"] = self._mapping
         routes["/_stats"] = self._stats
@@ -1561,6 +1678,7 @@ class SearchServer:
             "/_validate/query": self._validate,
             "/_rank_eval": self._rank_eval,
             "/_explain": self._explain_post,
+            "/_termvectors": self._termvectors_post,
             "/_snapshot": self._snapshot,
             "/_restore": self._restore,
         }
@@ -1631,7 +1749,7 @@ class SearchServer:
                     if parsed.path in ("/_msearch", "/_search",
                                        "/_search/scroll", "/_mget",
                                        "/_validate/query", "/_rank_eval",
-                                       "/_explain"):
+                                       "/_explain", "/_termvectors"):
                         # pure reads — never behind the write lock (a
                         # slow search must not stall bulk writes)
                         handler._reply(200, fn(params, body))

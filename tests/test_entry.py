@@ -132,6 +132,7 @@ SQL_BACKED = [
     "match_phrase_slop",
     "facet_top_hits",
     "term_vectors",
+    "term_vectors_stats",
     "bm25_topk_deleted",
     "facet_multi_terms",
     "bm25_explain",
