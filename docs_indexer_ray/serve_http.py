@@ -73,9 +73,28 @@ envelope.
 from __future__ import annotations
 
 import json
+import os
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+
+
+class PitGone(Exception):
+    """Unknown / expired / garbage-collected point-in-time id — maps
+    to 404 like OpenSearch's ``search_context_missing_exception``."""
+
+
+def _duration_s(val) -> float:
+    """OpenSearch time value (``"30s"``/``"5m"``/``"1h"``/``"2d"`` or
+    a bare number of seconds) → seconds."""
+    if isinstance(val, (int, float)):
+        return float(val)
+    s = str(val).strip().lower()
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}.get(s[-1:])
+    try:
+        return float(s[:-1]) * mult if mult else float(s)
+    except ValueError:
+        raise ValueError(f"bad time value: {val!r}") from None
 
 
 def _jsonable(v):
@@ -181,6 +200,11 @@ class SearchServer:
         self._analyzer = None
         self._suggester = None
         self._tv_readers: dict = {}  # per-chain readers (termvectors)
+        # point-in-time contexts: pit_id → (pinned reader, expiry).
+        # Builds are immutable directories, so a PIT is just a reader
+        # kept warm on the OLD build across writes — deliberately NOT
+        # cleared by _reload (that is the feature)
+        self._pits: dict = {}
         # request cache (OpenSearch's shard request cache, one tier
         # up): full GET responses keyed by path+query, bounded LRU,
         # invalidated wholesale on any write (_reload); every access
@@ -258,6 +282,17 @@ class SearchServer:
             p["from"] = str(int(spec["from"]))
         if "scroll" in spec:
             p["scroll"] = str(spec["scroll"])
+        if "pit" in spec:
+            pit = spec["pit"]
+            if not isinstance(pit, dict) or "id" not in pit:
+                raise ValueError(f"pit expects {{'id': …}}: {pit!r}")
+            if "scroll" in spec:
+                # OpenSearch refuses the combination too: PIT replaces
+                # scroll (pit + search_after is the pagination story)
+                raise ValueError("pit and scroll are mutually exclusive")
+            p["pit_id"] = str(pit["id"])
+            if "keep_alive" in pit:
+                p["pit_keep_alive"] = str(pit["keep_alive"])
         if "sort" in spec:
             srt = _normalize_sort(spec["sort"])
             if srt:
@@ -543,6 +578,14 @@ class SearchServer:
         # completing mid-request otherwise mixes two builds (total
         # smaller than the hits it accompanies)
         svc, reader, analyzer = self._svc, self._reader, self._analyzer
+        if params.get("pit_id"):
+            # point-in-time search: the pinned OLD-build reader serves
+            # instead of the current backend (fleet included — a PIT
+            # pins a build, and the fleet always tracks CURRENT)
+            reader = self._pit_reader(
+                params["pit_id"], params.get("pit_keep_alive")
+            )
+            svc = None
         if svc is not None:
             # rank + true match count in ONE fleet fan-out (a separate
             # count() call doubles the round trips on the hottest path)
@@ -592,6 +635,8 @@ class SearchServer:
                 "hits": hits,
             },
         }
+        if params.get("pit_id"):
+            out["pit_id"] = params["pit_id"]
         if params.get("scroll"):
             # scrolling search: hand back the stateless continuation id
             # (scroll composes with from_=0 pages only, like OpenSearch)
@@ -1616,6 +1661,73 @@ class SearchServer:
         self._reload()
         return {"deleted": n}
 
+    # ---------------------------------------------------------- PIT
+
+    def _pit_purge(self, now: float) -> None:
+        for pid, (_r, exp) in list(self._pits.items()):
+            if exp < now:
+                del self._pits[pid]
+
+    def _pit_create(self, params, body: bytes = b"") -> dict:
+        """``POST /_pit?keep_alive=1m`` — open a point-in-time view:
+        searches carrying the returned id keep reading THIS build even
+        after ``_bulk``/``_delete_by_query`` swap the serving backend
+        (OpenSearch's PIT; the recommended deep-pagination pattern is
+        pit + ``search_after``).  The id pins the current build's
+        fingerprint; the pinned reader is the one already warm."""
+        spec = json.loads(body) if body.strip() else {}
+        keep = _duration_s(spec.get("keep_alive",
+                                    params.get("keep_alive", "5m")))
+        import time as _time
+
+        now = _time.monotonic()
+        reader = self._reader
+        pid = f"pit-{reader.manifest['fingerprint']}"
+        with self._cache_lock:
+            self._pit_purge(now)
+            self._pits[pid] = (reader, now + keep)
+        return {"pit_id": pid, "creation_time": int(_time.time() * 1000)}
+
+    def _pit_delete(self, params, body: bytes = b"") -> dict:
+        """``POST /_pit/delete`` with ``{"pit_id": id | [ids]}``."""
+        spec = json.loads(body) if body.strip() else {}
+        ids = spec.get("pit_id")
+        if isinstance(ids, str):
+            ids = [ids]
+        if not isinstance(ids, list) or not ids:
+            raise ValueError("_pit/delete expects {'pit_id': id | [ids]}")
+        out = []
+        with self._cache_lock:
+            for pid in ids:
+                out.append({"pit_id": pid,
+                            "successful": self._pits.pop(pid, None)
+                            is not None})
+        return {"pits": out}
+
+    def _pit_reader(self, pid: str, keep_alive=None):
+        """The pinned reader for ``pid`` — refreshes expiry when the
+        search passes ``keep_alive`` (OpenSearch semantics); raises
+        :class:`PitGone` (404) when unknown, expired, or the pinned
+        build was garbage-collected from disk."""
+        import time as _time
+
+        now = _time.monotonic()
+        with self._cache_lock:
+            self._pit_purge(now)
+            got = self._pits.get(pid)
+            if got is None:
+                raise PitGone(f"no such point-in-time: {pid!r}")
+            reader, exp = got
+            if keep_alive is not None:
+                self._pits[pid] = (reader, now + _duration_s(keep_alive))
+        if not os.path.isdir(reader.index_dir):
+            with self._cache_lock:
+                self._pits.pop(pid, None)
+            raise PitGone(
+                f"point-in-time build was garbage-collected: {pid!r}"
+            )
+        return reader
+
     def _reload(self) -> None:
         """Swap the serving backend onto the current published build
         (after a bulk merge or delete) — warm state is per-build.
@@ -1679,6 +1791,8 @@ class SearchServer:
             "/_rank_eval": self._rank_eval,
             "/_explain": self._explain_post,
             "/_termvectors": self._termvectors_post,
+            "/_pit": self._pit_create,
+            "/_pit/delete": self._pit_delete,
             "/_snapshot": self._snapshot,
             "/_restore": self._restore,
         }
@@ -1720,6 +1834,12 @@ class SearchServer:
                                 server._cache.popitem(last=False)
                             server._cache[handler.path] = body
                     handler._reply(200, body)
+                except PitGone as e:
+                    handler._reply(
+                        404,
+                        {"error": {"type": "search_context_missing",
+                                   "reason": str(e)}},
+                    )
                 except (KeyError, ValueError, QueryStringError,
                         RecursionError) as e:
                     # RecursionError: a pathologically nested query is
@@ -1756,6 +1876,13 @@ class SearchServer:
                     else:
                         with write_lock:  # writes serialize; reads stay free
                             handler._reply(200, fn(params, body))
+                except PitGone as e:
+                    # OpenSearch search_context_missing_exception → 404
+                    handler._reply(
+                        404,
+                        {"error": {"type": "search_context_missing",
+                                   "reason": str(e)}},
+                    )
                 except (
                     KeyError, ValueError, QueryStringError,
                     FileNotFoundError, FileExistsError, RecursionError,

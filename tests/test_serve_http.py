@@ -638,3 +638,108 @@ def test_search_with_total_pins_to_two_call_path(built, ray_session):
             assert total == svc.count(q, syntax=syntax)
     finally:
         svc.shutdown()
+
+
+def test_http_point_in_time(built, ray_session, tmp_path):
+    """POST /_pit pins the current build: searches carrying the pit id
+    keep seeing the PRE-write corpus after a /_bulk swaps the backend
+    (OpenSearch PIT), compose with search_after for deep pagination,
+    and 404 once deleted or expired."""
+    import shutil
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    root = str(tmp_path / "pitidx")
+    shutil.copytree(built, root)
+    srv = SearchServer(root, backend="local").start()
+
+    def post(path, body=None):
+        data = b"" if body is None else json.dumps(body).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}", data=data, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        code, pit = post("/_pit?keep_alive=5m")
+        assert code == 200 and pit["pit_id"].startswith("pit-")
+        pid = pit["pit_id"]
+        _, before = _get(srv.port, "/_count", q="page")
+        n_before = before["count"]
+
+        # write: one bulk doc that matches the query
+        lines = [json.dumps({"index": {}}), json.dumps({
+            "url": "https://docs.test/new/pitpage/",
+            "html": "<html><body><p>page page page</p></body></html>",
+            "warc_ts": 1_800_000_000_000_000,
+        })]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_bulk",
+            data=("\n".join(lines) + "\n").encode(), method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["errors"] is False
+
+        # live search sees the new doc; the PIT search does not
+        _, live = post("/_search", {"query": {"match": {"body": "page"}},
+                                    "size": 1})
+        assert live["hits"]["total"]["value"] == n_before + 1
+        code, pinned = post("/_search", {
+            "query": {"match": {"body": "page"}}, "size": 5,
+            "pit": {"id": pid, "keep_alive": "5m"},
+        })
+        assert code == 200
+        assert pinned["hits"]["total"]["value"] == n_before
+        assert pinned["pit_id"] == pid
+        assert all(
+            "pitpage" not in h["_source"]["url"]
+            for h in pinned["hits"]["hits"]
+        )
+
+        # pit + search_after pages the pinned build statelessly
+        page1 = post("/_search", {
+            "query": {"match": {"body": "page"}}, "size": 3,
+            "pit": {"id": pid},
+        })[1]["hits"]["hits"]
+        page2 = post("/_search", {
+            "query": {"match": {"body": "page"}}, "size": 3,
+            "pit": {"id": pid}, "search_after": page1[-1]["sort"],
+        })[1]["hits"]["hits"]
+        flat = post("/_search", {
+            "query": {"match": {"body": "page"}}, "size": 6,
+            "pit": {"id": pid},
+        })[1]["hits"]["hits"]
+        assert [h["_id"] for h in page1 + page2] == [h["_id"] for h in flat]
+
+        # pit + scroll refused; malformed pit refused
+        code, _ = post("/_search", {"query": {"match_all": {}},
+                                    "pit": {"id": pid}, "scroll": "1m"})
+        assert code == 400
+        code, _ = post("/_search", {"query": {"match_all": {}},
+                                    "pit": "bare-string"})
+        assert code == 400
+
+        # delete → 404 afterwards, unknown id → 404
+        code, out = post("/_pit/delete", {"pit_id": pid})
+        assert code == 200 and out["pits"][0]["successful"] is True
+        code, out = post("/_search", {"query": {"match_all": {}},
+                                      "pit": {"id": pid}})
+        assert code == 404
+        assert out["error"]["type"] == "search_context_missing"
+        code, out = post("/_pit/delete", {"pit_id": ["nope"]})
+        assert out["pits"][0]["successful"] is False
+
+        # expiry: a 0s pit is gone by its next use
+        _, pit0 = post("/_pit?keep_alive=0s")
+        import time as _t
+
+        _t.sleep(0.01)
+        code, _ = post("/_search", {"query": {"match_all": {}},
+                                    "pit": {"id": pit0["pit_id"]}})
+        assert code == 404
+    finally:
+        srv.stop()
