@@ -405,6 +405,14 @@ class SearchServer:
                     "name": name, "kind": "cardinality",
                     "field": agg["cardinality"]["field"],
                 })
+            elif "significant_terms" in agg:
+                st = agg["significant_terms"]
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "significant_terms",
+                    "field": st.get("field", ""),
+                    "size": int(st.get("size", 10)),
+                    "min_doc_count": int(st.get("min_doc_count", 1)),
+                })
             elif "percentiles" in agg:
                 pc_ = agg["percentiles"]
                 p.setdefault("aggs_extra", []).append({
@@ -418,7 +426,7 @@ class SearchServer:
                 raise ValueError(
                     f"unsupported aggregation {agg!r} (terms|stats|"
                     "date_histogram|histogram|range|cardinality|"
-                    "percentiles)"
+                    "percentiles|significant_terms)"
                 )
         out = self._search(p)
         if "suggest" in spec:
@@ -803,6 +811,35 @@ class SearchServer:
         from .query.facets import interpolate_quantiles, value_histogram
 
         kind, col, arg = spec["kind"], spec["field"], spec.get("arg")
+        if kind == "significant_terms":
+            # JLH-significant terms of the query's match set
+            # (query/significant.py — a per-partition postings scan,
+            # one Ray task per segment partition: an ANALYTICS agg,
+            # never a hot search path).  Significance runs over the
+            # chain's postings, so the field must be the build's
+            # indexed source field; the foreground mask comes from the
+            # same evaluator that serves the query.
+            from .query.significant import significant_terms
+
+            idx_field = reader.manifest["field"]
+            if col and col != idx_field:
+                raise ValueError(
+                    f"significant_terms runs over the indexed field "
+                    f"{idx_field!r}, not {col!r}"
+                )
+            matched = self._matched_ids_local(q, syntax, reader, analyzer)
+            t = significant_terms(
+                reader, matched, k=spec["size"],
+                min_doc_count=spec["min_doc_count"],
+            )
+            return {
+                "doc_count": int(len(matched)),
+                "buckets": [
+                    {"key": r["term"], "doc_count": r["fg_df"],
+                     "bg_count": r["bg_df"], "score": r["score"]}
+                    for r in t.to_pylist()
+                ],
+            }
         if kind == "terms":
             # plain terms agg, per NAME (body requests may carry many)
             t, _ = self._facet_tables(

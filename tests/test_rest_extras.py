@@ -485,3 +485,46 @@ def test_explain_tree_for_dsl_queries(root, ray_session):
         assert all("tf" in d for d in r3["explanation"]["details"])
     finally:
         srv.stop()
+
+
+def test_significant_terms_agg(root, ray_session):
+    """`{"aggs": {n: {"significant_terms": …}}}` on a search body runs
+    the JLH kernel over the query's match set — pinned to the direct
+    library call, on BOTH backends; wrong-field refused."""
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.significant import significant_terms
+    from docs_indexer_ray.serve_http import SearchServer
+
+    reader = IndexReader(root)
+    matched = match_doc_ids(reader, Analyzer("simple")("node"))
+    want = significant_terms(reader, matched, k=5).to_pylist()
+    assert want, "fixture query must match"
+
+    body = {
+        "query": {"match": {"body": "node"}},
+        "size": 0,
+        "aggs": {"sig": {"significant_terms": {"field": "body",
+                                               "size": 5}}},
+    }
+    for backend in ("local", "sharded"):
+        srv = SearchServer(root, backend=backend, n_shards=3).start()
+        try:
+            code, out = _req(srv.port, "/_search", body=body)
+            assert code == 200, out
+            sig = out["aggregations"]["sig"]
+            assert sig["doc_count"] == len(matched)
+            assert sig["buckets"] == [
+                {"key": r["term"], "doc_count": r["fg_df"],
+                 "bg_count": r["bg_df"], "score": r["score"]}
+                for r in want
+            ]
+            # significance is postings-space: non-indexed field refused
+            code, _ = _req(srv.port, "/_search", body={
+                "query": {"match": {"body": "node"}},
+                "aggs": {"s": {"significant_terms": {"field": "title"}}},
+            })
+            assert code == 400
+        finally:
+            srv.stop()
