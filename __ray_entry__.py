@@ -2620,6 +2620,18 @@ def _fleet_dsl_page(sf_dir: str, dsl: dict, *, positions: bool = False,
     )
 
 
+def q_terms_set_covering(sf_dir: str) -> pa.Table:
+    """Lucene CoveringQuery (``terms_set`` with a constant
+    minimum_should_match) through the 4-shard fleet: docs containing
+    ≥ 3 of the flagship terms, scored as the SUM of the present
+    terms' BM25 contributions (CoveringQuery sums its matching
+    sub-scorers).  SQL replays coverage count + score bit-exactly."""
+    dsl = {"terms_set": {"body": {
+        "terms": list(_BM25_TERMS), "minimum_should_match": 3,
+    }}}
+    return _fleet_dsl_page(sf_dir, dsl)
+
+
 def q_dsl_dismax(sf_dir: str) -> pa.Table:
     """Lucene DisjunctionMaxQuery through the fleet: per doc the best
     of (match merge, match slow, phrase "table scan") plus 0.3 × the
@@ -3823,6 +3835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_bool_sharded": q_dsl_bool_sharded,
         "dsl_range_sharded": q_dsl_range_sharded,
         "dsl_dismax": q_dsl_dismax,
+        "terms_set_covering": q_terms_set_covering,
         "dsl_ids_matchall": q_dsl_ids_matchall,
         "dsl_constscore_range": q_dsl_constscore_range,
         "dsl_phrase_prefix": q_dsl_phrase_prefix,
@@ -6056,6 +6069,19 @@ def oracle_sql() -> dict[str, str]:
           FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
           {where}
           GROUP BY tf.doc_id
+    """
+    sqls["terms_set_covering"] = f"""
+        {_DSL_BASE},
+        cover AS (SELECT tf.doc_id,
+                         SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score,
+                         count(DISTINCT tf.term) AS c
+                  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+                  GROUP BY tf.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM cover WHERE c >= 3
+        ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
     """
     sqls["dsl_dismax"] = f"""
         {_DSL_BASE},

@@ -129,7 +129,7 @@ _LEAF_KEYS = (
     "exists", "constant_score", "dis_max", "boosting",
     "match_bool_prefix", "match_phrase_prefix", "regexp",
     "simple_query_string", "function_score", "span_near", "span_first",
-    "span_term", "more_like_this", "knn",
+    "span_term", "more_like_this", "knn", "terms_set",
 )
 
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
@@ -559,6 +559,39 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
         return _Knn(
             str(field),
             [float(x) for x in body["vector"]],
+            boost=float(body.get("boost", 1.0)),
+        )
+
+    if kind == "terms_set":
+        from .qstring import _TermsSet
+
+        # {"terms_set": {field: {"terms": [...],
+        #   "minimum_should_match_field": <stored numeric column>
+        #   | "minimum_should_match": N}}} — Lucene's CoveringQuery:
+        # the required number of matching terms is per DOCUMENT.
+        # Term-level like `terms`: values are lowercased, not analyzed.
+        # minimum_should_match_script is not supported (no scripting
+        # engine) — refused loudly.
+        if not isinstance(body, dict) or not isinstance(
+            body.get("terms"), list
+        ) or not body["terms"]:
+            raise DslError(f"terms_set expects {{'terms': […]}}: {body!r}")
+        if "minimum_should_match_script" in body:
+            raise DslError(
+                "terms_set minimum_should_match_script is not supported "
+                "(no scripting engine) — use minimum_should_match_field"
+            )
+        msm_field = body.get("minimum_should_match_field")
+        msm_const = body.get("minimum_should_match")
+        if (msm_field is None) == (msm_const is None):
+            raise DslError(
+                "terms_set needs exactly one of minimum_should_match_field"
+                f" / minimum_should_match: {body!r}"
+            )
+        return _TermsSet(
+            [str(v).lower() for v in body["terms"]],
+            msm_field=None if msm_field is None else str(msm_field),
+            msm_const=None if msm_const is None else int(msm_const),
             boost=float(body.get("boost", 1.0)),
         )
 

@@ -348,6 +348,26 @@ class _Knn:
 
 
 @dataclass
+class _TermsSet:
+    """OpenSearch ``terms_set``: a terms disjunction whose
+    minimum-should-match is PER DOCUMENT — either a constant or read
+    from a stored numeric column (``minimum_should_match_field``, the
+    Lucene ``CoveringQuery``).  A doc matches when it contains at
+    least ``max(1, msm)`` of the query terms (Lucene's disjunction
+    iterator never yields zero-term docs, so msm ≤ 0 still requires
+    one hit); docs whose msm column is NULL never match.  Scoring is
+    the sum of the matching terms' BM25 contributions (CoveringQuery
+    sums its matching sub-scorers).  Per-doc-local (postings decode +
+    the reader's range-local stored column), so shard scores are
+    identical to unsharded ones and the fleet merge is exact."""
+
+    terms: list  # term-level: NOT analyzed, lowercased like `terms`
+    msm_field: str | None = None
+    msm_const: int | None = None
+    boost: float = 1.0
+
+
+@dataclass
 class _PhrasePrefix:
     """OpenSearch ``match_phrase_prefix``: the last term is a PREFIX
     expanded against the term dictionary at evaluation time (the
@@ -569,6 +589,8 @@ def positive_terms(node) -> set[str]:
         out.update(node.terms)
     elif isinstance(node, _SpanFirst):
         out.add(node.term)
+    elif isinstance(node, _TermsSet):
+        out.update(node.terms)
     return out
 
 
@@ -680,6 +702,51 @@ def _eval_knn(reader, node: _Knn) -> tuple[np.ndarray, np.ndarray]:
     return scores, valid.copy()
 
 
+def _eval_terms_set(reader, node: _TermsSet) -> tuple[np.ndarray, np.ndarray]:
+    """Shared full/shard kernel for :class:`_TermsSet` — per-doc term
+    coverage count + summed BM25 of the present terms, then the
+    per-doc (or constant) minimum-should-match gate.  Range-local by
+    construction: postings decode only the reader's doc range and
+    ``stored_column`` is already the shard's slice."""
+    from .bm25 import _k_factor, bm25_idf
+
+    lo, hi = reader.doc_lo, reader.doc_hi
+    n_local = max(0, hi - lo)
+    avgdl = reader.avgdl or 1.0
+    counts = np.zeros(n_local, np.int64)
+    scores = np.zeros(n_local, np.float64)
+    full = (lo, hi) == (0, reader.n_docs)
+    for term in dict.fromkeys(node.terms):  # duplicates count once
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs = tp.decode_all() if full else tp.decode_range(lo, hi)
+        if not len(ids):
+            continue
+        loc = (ids - np.uint64(lo)).astype(np.int64)
+        counts[loc] += 1
+        idf = bm25_idf(reader.n_docs, tp.df)
+        dl = np.asarray(reader.doclens[ids], np.float64)
+        tf = tfs.astype(np.float64)
+        scores[loc] += idf * tf / (tf + _k_factor(dl, avgdl, 1.2, 0.75))
+    if node.msm_field is not None:
+        import pyarrow as pa
+
+        # NULL msm → NaN → the >= compare is False → the doc never
+        # matches (a doc without the field can't state a requirement)
+        req = (
+            reader.stored_column(node.msm_field)
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+    else:
+        req = float(node.msm_const)
+    with np.errstate(invalid="ignore"):
+        match = counts >= np.maximum(req, 1.0)
+    scores = np.where(match, scores * node.boost, 0.0)
+    return scores, match
+
+
 def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
     """Dense ``(scores float64[n_docs], match bool[n_docs])`` with
     scores zeroed outside match — see the module invariant."""
@@ -688,6 +755,8 @@ def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
     n = reader.n_docs
     if isinstance(node, _Knn):
         return _eval_knn(reader, node)
+    if isinstance(node, _TermsSet):
+        return _eval_terms_set(reader, node)
     if isinstance(node, _MatchAll):
         match = np.ones(n, bool)
         return np.full(n, node.boost, np.float64), match
@@ -834,6 +903,9 @@ def _eval_range(reader, node) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(node, _Knn):
         # vector_matrix is already the shard's slice — same kernel
         return _eval_knn(reader, node)
+    if isinstance(node, _TermsSet):
+        # range-local by construction — same kernel
+        return _eval_terms_set(reader, node)
     if isinstance(node, _MatchAll):
         match = np.ones(n_local, bool)
         return np.full(n_local, node.boost, np.float64), match
@@ -1036,6 +1108,9 @@ def _node_description(node) -> str:
         return f"span_near({node.terms}~{node.slop})"
     if isinstance(node, _SpanFirst):
         return f"span_first({node.term} < {node.end})"
+    if isinstance(node, _TermsSet):
+        req = node.msm_field if node.msm_field is not None else node.msm_const
+        return f"terms_set({node.terms} msm={req})"
     if isinstance(node, _Bool):
         return "bool"
     return type(node).__name__  # pragma: no cover

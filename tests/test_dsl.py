@@ -819,3 +819,122 @@ def test_dsl_lowering_is_total_for_json():
             pass
 
     probe()
+
+
+def test_dsl_terms_set(built, ray_session, tmp_path):
+    """`terms_set` (Lucene CoveringQuery): constant and per-doc
+    minimum_should_match, score = sum of matching terms' BM25,
+    NULL-msm docs never match, fleet ≡ local, refusal shapes."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+    from docs_indexer_ray.query.qstring import _TermsSet, query_string_topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    an = Analyzer("simple")
+    node = dsl_to_node({"terms_set": {"body": {
+        "terms": ["Node", "pools"], "minimum_should_match": 2,
+        "boost": 2.0,
+    }}}, an)
+    assert isinstance(node, _TermsSet)
+    assert node.terms == ["node", "pools"]  # lowercased, NOT analyzed
+    assert node.msm_const == 2 and node.msm_field is None
+
+    reader = built
+    terms = ["node", "pools", "quota"]
+    # ground truth: per-doc coverage + summed BM25 over stored bodies
+    bodies = {
+        r["doc_id"]: set(an(r["body"]))
+        for r in reader.fetch_docs(
+            list(range(reader.n_docs)), ["doc_id", "body"]
+        ).to_pylist()
+    }
+    from docs_indexer_ray.query.bm25 import bm25_scores_dense
+
+    per_term = {t: bm25_scores_dense(reader, [t]) for t in terms}
+
+    for msm in (1, 2, 3):
+        dsl = {"terms_set": {"body": {
+            "terms": terms, "minimum_should_match": msm,
+        }}}
+        hits = query_string_topk(reader, dsl, k=1000)
+        want_ids = {
+            d for d, toks in bodies.items()
+            if len(toks & set(terms)) >= msm
+        }
+        assert {d for d, _ in hits} == want_ids, msm
+        for d, s in hits:
+            expect = sum(
+                float(per_term[t][d]) for t in terms if t in bodies[d]
+            )
+            assert abs(s - expect) < 1e-6
+
+    # per-doc msm from a stored numeric column: augment the docs store
+    # with `min_terms` = doc_id % 4 (stored fields are parquet columns
+    # — any added column is readable by stored_column/msm_field)
+    root2 = str(tmp_path / "tsidx")
+    shutil.copytree(os.path.dirname(reader.index_dir), root2)
+    bdir = os.path.join(root2, os.path.basename(reader.index_dir))
+    docs_dir = os.path.join(bdir, "docs")
+    for pd_ in os.listdir(docs_dir):
+        pdir = os.path.join(docs_dir, pd_)
+        if not os.path.isdir(pdir):
+            continue
+        for f in os.listdir(pdir):
+            path = os.path.join(pdir, f)
+            t = pq.read_table(path)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mt = (ids % 4).astype(np.float64)
+            mt[ids % 11 == 0] = np.nan  # planted NULL msm docs
+            t = t.append_column(
+                "min_terms", pa.array(mt, pa.float64())
+            )
+            pq.write_table(t, path, compression="zstd")
+    r2 = IndexReader(bdir)
+    dsl_f = {"terms_set": {"body": {
+        "terms": terms, "minimum_should_match_field": "min_terms",
+    }}}
+    hits = query_string_topk(r2, dsl_f, k=1000)
+    got = {d for d, _ in hits}
+    want = set()
+    for d, toks in bodies.items():
+        if d % 11 == 0:
+            continue  # NULL msm never matches
+        if len(toks & set(terms)) >= max(1, d % 4):
+            want.add(d)
+    assert got == want
+
+    # fleet ≡ local for both spellings
+    for dsl in (
+        {"terms_set": {"body": {"terms": terms,
+                                "minimum_should_match": 2}}},
+        dsl_f,
+    ):
+        rdr = r2
+        local = query_string_topk(rdr, dsl, k=10)
+        svc = ShardedQueryService(bdir, n_shards=3, chain="simple")
+        try:
+            assert svc.query_string(dsl, k=10) == local, dsl
+        finally:
+            svc.shutdown()
+
+    # refusals
+    for bad in (
+        {"terms_set": {"body": {"terms": []}}},
+        {"terms_set": {"body": {"terms": ["x"]}}},  # no msm at all
+        {"terms_set": {"body": {"terms": ["x"], "minimum_should_match": 1,
+                                "minimum_should_match_field": "f"}}},
+        {"terms_set": {"body": {"terms": ["x"],
+                                "minimum_should_match_script": {}}}},
+        {"terms_set": None},
+        {"terms_set": {"body": "scalar"}},
+    ):
+        with pytest.raises(DslError):
+            dsl_to_node(bad, an)

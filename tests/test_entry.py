@@ -103,6 +103,7 @@ SQL_BACKED = [
     "dsl_bool_sharded",
     "dsl_range_sharded",
     "dsl_dismax",
+    "terms_set_covering",
     "dsl_ids_matchall",
     "dsl_constscore_range",
     "dsl_phrase_prefix",
