@@ -2632,6 +2632,22 @@ def q_terms_set_covering(sf_dir: str) -> pa.Table:
     return _fleet_dsl_page(sf_dir, dsl)
 
 
+def q_distance_feature(sf_dir: str) -> pa.Table:
+    """OpenSearch ``distance_feature`` recency boost through the
+    4-shard fleet: BM25('table') + 5 × pivot/(pivot + |warc_ts −
+    origin|) with a 1-hour pivot — the canonical newest-first nudge.
+    Per-doc-local stored-column arithmetic ⇒ exact shard merge; SQL
+    replays the epoch-microsecond proximity term bit-exactly."""
+    dsl = {"bool": {
+        "must": [{"match": {"body": "table"}}],
+        "should": [{"distance_feature": {
+            "field": "warc_ts", "origin": "2025-01-01T00:30:00",
+            "pivot": "1h", "boost": 5.0,
+        }}],
+    }}
+    return _fleet_dsl_page(sf_dir, dsl)
+
+
 def q_dsl_dismax(sf_dir: str) -> pa.Table:
     """Lucene DisjunctionMaxQuery through the fleet: per doc the best
     of (match merge, match slow, phrase "table scan") plus 0.3 × the
@@ -3836,6 +3852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_range_sharded": q_dsl_range_sharded,
         "dsl_dismax": q_dsl_dismax,
         "terms_set_covering": q_terms_set_covering,
+        "distance_feature": q_distance_feature,
         "dsl_ids_matchall": q_dsl_ids_matchall,
         "dsl_constscore_range": q_dsl_constscore_range,
         "dsl_phrase_prefix": q_dsl_phrase_prefix,
@@ -6082,6 +6099,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(doc_id AS BIGINT) AS doc_id
         FROM cover WHERE c >= 3
         ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+    """
+    sqls["distance_feature"] = f"""
+        {_DSL_BASE},
+        s1 AS ({_TERM_SCORE.format(where="WHERE tf.term = 'table'")}),
+        w AS (SELECT doc_id,
+                     TIMESTAMP '2025-01-01 00:00:00'
+                       + to_microseconds(doc_id * 1000000)
+                       + CASE WHEN doc_id % 10 = 0 THEN INTERVAL 1 HOUR
+                              ELSE INTERVAL 0 SECOND END AS warc_ts
+              FROM documents),
+        sc AS (SELECT s1.doc_id,
+                      s1.score
+                        + 5.0 * 3600000000.0
+                          / (3600000000.0
+                             + abs(epoch_us(w.warc_ts)
+                                   - epoch_us(TIMESTAMP '2025-01-01 00:30:00'))) AS score
+               FROM s1 JOIN w USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM sc ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
     """
     sqls["dsl_dismax"] = f"""
         {_DSL_BASE},

@@ -130,6 +130,7 @@ _LEAF_KEYS = (
     "match_bool_prefix", "match_phrase_prefix", "regexp",
     "simple_query_string", "function_score", "span_near", "span_first",
     "span_term", "more_like_this", "knn", "terms_set",
+    "rank_feature", "distance_feature",
 )
 
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
@@ -202,7 +203,7 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
         "bool", "match_all", "ids", "exists", "constant_score",
         "dis_max", "boosting", "function_score", "span_near",
         "span_first", "more_like_this", "query_string",
-        "simple_query_string",
+        "simple_query_string", "rank_feature", "distance_feature",
     ) and not isinstance(clause, dict):
         # object-bodied clauses: a null / scalar / list body is a 400,
         # never an AttributeError 500 (hypothesis-fuzzed)
@@ -281,6 +282,93 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
             float(_interval_seconds(spec["scale"])),
             decay=float(spec.get("decay", 0.5)),
             boost=float(clause.get("boost", 1.0)),
+        )
+
+    if kind == "rank_feature":
+        from .qstring import _RankFeature
+
+        # {"rank_feature": {"field": col, "saturation"|"log"|"sigmoid":
+        #   {…}, "boost": b}} — positive stored-column boosting.
+        # Divergence, documented on the node: OpenSearch derives a
+        # default saturation pivot from index statistics; here pivot /
+        # scaling_factor / exponent are required explicitly so every
+        # shard scores identically without a stats round.
+        field = clause.get("field")
+        if not isinstance(field, str) or not field:
+            raise DslError(f"rank_feature needs a field: {clause!r}")
+        fns = [f for f in ("saturation", "log", "sigmoid") if f in clause]
+        if len(fns) > 1:
+            raise DslError(
+                f"rank_feature takes ONE function, got {fns}: {clause!r}"
+            )
+        fn = fns[0] if fns else "saturation"
+        opts = clause.get(fn, {})
+        if not isinstance(opts, dict):
+            raise DslError(f"{fn} expects an object: {opts!r}")
+        kw = {}
+        try:
+            if fn == "saturation":
+                kw["pivot"] = float(opts["pivot"])
+            elif fn == "log":
+                kw["scaling_factor"] = float(opts["scaling_factor"])
+            else:
+                kw["pivot"] = float(opts["pivot"])
+                kw["exponent"] = float(opts["exponent"])
+        except KeyError as e:
+            raise DslError(
+                f"rank_feature {fn} needs explicit {e.args[0]!r} "
+                "(no index-statistics default in this engine)"
+            ) from None
+        return _RankFeature(
+            field, fn, boost=float(clause.get("boost", 1.0)), **kw
+        )
+
+    if kind == "distance_feature":
+        from .qstring import _DistanceFeature
+
+        # {"distance_feature": {"field", "origin", "pivot", "boost"}}
+        # — date/numeric proximity boost.  Timestamp columns take an
+        # ISO-8601 origin + duration pivot ("7d"); numerics take
+        # plain numbers.  Geo origins (lists / lat-lon) are refused —
+        # no geo mapping in this engine.
+        field = clause.get("field")
+        if not isinstance(field, str) or not field:
+            raise DslError(f"distance_feature needs a field: {clause!r}")
+        if "origin" not in clause or "pivot" not in clause:
+            raise DslError(
+                f"distance_feature needs origin + pivot: {clause!r}"
+            )
+        origin, pivot = clause["origin"], clause["pivot"]
+        if isinstance(origin, str):
+            import datetime as _dt
+
+            try:
+                o = _dt.datetime.fromisoformat(origin)
+            except ValueError:
+                raise DslError(
+                    f"distance_feature origin must be a number or "
+                    f"ISO-8601 timestamp: {origin!r}"
+                ) from None
+            if o.tzinfo is not None:
+                o = o.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            origin_v = (o - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6
+            pivot_v = float(_interval_seconds(pivot)) * 1e6
+        elif isinstance(origin, (int, float)) and not isinstance(origin, bool):
+            origin_v = float(origin)
+            if not isinstance(pivot, (int, float)) or isinstance(pivot, bool):
+                raise DslError(
+                    f"numeric origin needs a numeric pivot: {pivot!r}"
+                )
+            pivot_v = float(pivot)
+        else:
+            raise DslError(
+                f"unsupported distance_feature origin {origin!r} "
+                "(geo origins are not supported — no geo mapping)"
+            )
+        if not pivot_v > 0:
+            raise DslError(f"distance_feature pivot must be > 0: {pivot!r}")
+        return _DistanceFeature(
+            field, origin_v, pivot_v, boost=float(clause.get("boost", 1.0))
         )
 
     if kind in ("span_near", "span_first", "span_term"):

@@ -368,6 +368,43 @@ class _TermsSet:
 
 
 @dataclass
+class _RankFeature:
+    """OpenSearch ``rank_feature``: score a POSITIVE stored numeric
+    column through one of the plugin's three functions —
+    ``saturation`` ``x/(x+pivot)``, ``log`` ``ln(scaling_factor+x)``,
+    ``sigmoid`` ``x^e/(x^e+pivot^e)`` — typically as a ``bool.should``
+    boost leg (quality / pagerank signals).  Matches docs whose value
+    is present and > 0 (rank features are positive by contract; NULL
+    never matches).  Divergence, documented: OpenSearch derives a
+    default ``pivot`` from index statistics — here ``pivot`` (and
+    ``scaling_factor``) are required explicitly, keeping every shard's
+    scores identical without a stats round."""
+
+    field: str
+    fn: str  # saturation | log | sigmoid
+    pivot: float = 1.0
+    scaling_factor: float = 1.0
+    exponent: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass
+class _DistanceFeature:
+    """OpenSearch ``distance_feature`` (date/numeric proximity boost):
+    ``boost × pivot / (pivot + |value − origin|)`` — 1·boost at the
+    origin, halving at ``pivot`` away.  ``origin``/``pivot`` are epoch
+    microseconds for timestamp columns (lowered from ISO-8601 +
+    duration strings) or plain floats.  Matches docs whose column is
+    present (NULL never matches).  Geo-point origins are refused at
+    lowering (no geo mapping in this engine)."""
+
+    field: str
+    origin: float  # epoch us for timestamps, else the raw number
+    pivot: float  # same units; > 0
+    boost: float = 1.0
+
+
+@dataclass
 class _PhrasePrefix:
     """OpenSearch ``match_phrase_prefix``: the last term is a PREFIX
     expanded against the term dictionary at evaluation time (the
@@ -747,6 +784,41 @@ def _eval_terms_set(reader, node: _TermsSet) -> tuple[np.ndarray, np.ndarray]:
     return scores, match
 
 
+def _feature_values(reader, field: str) -> np.ndarray:
+    """Range-local float64 view of a stored numeric/timestamp column
+    (timestamps → epoch microseconds); NULL → NaN, which every
+    comparison below rejects — a doc without the feature never
+    matches."""
+    import pyarrow as pa
+
+    col = reader.stored_column(field)
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    return col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+
+
+def _eval_feature(reader, node) -> tuple[np.ndarray, np.ndarray]:
+    """Shared full/shard kernel for the stored-column scoring leaves
+    (:class:`_RankFeature` / :class:`_DistanceFeature`) — per-doc-local
+    arithmetic over the reader's (already range-local) column slice,
+    so shard scores equal unsharded ones by construction."""
+    x = _feature_values(reader, node.field)
+    with np.errstate(invalid="ignore"):
+        if isinstance(node, _DistanceFeature):
+            match = ~np.isnan(x)
+            scores = node.boost * node.pivot / (node.pivot + np.abs(x - node.origin))
+        else:
+            match = x > 0.0
+            if node.fn == "log":
+                scores = node.boost * np.log(node.scaling_factor + x)
+            elif node.fn == "sigmoid":
+                xe = x ** node.exponent
+                scores = node.boost * xe / (xe + node.pivot ** node.exponent)
+            else:  # saturation
+                scores = node.boost * x / (x + node.pivot)
+    return np.where(match, scores, 0.0), match
+
+
 def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
     """Dense ``(scores float64[n_docs], match bool[n_docs])`` with
     scores zeroed outside match — see the module invariant."""
@@ -757,6 +829,8 @@ def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
         return _eval_knn(reader, node)
     if isinstance(node, _TermsSet):
         return _eval_terms_set(reader, node)
+    if isinstance(node, (_RankFeature, _DistanceFeature)):
+        return _eval_feature(reader, node)
     if isinstance(node, _MatchAll):
         match = np.ones(n, bool)
         return np.full(n, node.boost, np.float64), match
@@ -906,6 +980,9 @@ def _eval_range(reader, node) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(node, _TermsSet):
         # range-local by construction — same kernel
         return _eval_terms_set(reader, node)
+    if isinstance(node, (_RankFeature, _DistanceFeature)):
+        # stored_column is already the shard's slice — same kernel
+        return _eval_feature(reader, node)
     if isinstance(node, _MatchAll):
         match = np.ones(n_local, bool)
         return np.full(n_local, node.boost, np.float64), match
@@ -1111,6 +1188,10 @@ def _node_description(node) -> str:
     if isinstance(node, _TermsSet):
         req = node.msm_field if node.msm_field is not None else node.msm_const
         return f"terms_set({node.terms} msm={req})"
+    if isinstance(node, _RankFeature):
+        return f"rank_feature({node.field} {node.fn})"
+    if isinstance(node, _DistanceFeature):
+        return f"distance_feature({node.field} pivot={node.pivot})"
     if isinstance(node, _Bool):
         return "bool"
     return type(node).__name__  # pragma: no cover

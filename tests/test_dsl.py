@@ -938,3 +938,123 @@ def test_dsl_terms_set(built, ray_session, tmp_path):
     ):
         with pytest.raises(DslError):
             dsl_to_node(bad, an)
+
+
+def test_dsl_rank_and_distance_feature(built, ray_session, tmp_path):
+    """`rank_feature` (saturation/log/sigmoid over a positive stored
+    column) and `distance_feature` (timestamp/numeric proximity):
+    score math vs numpy, NULL semantics, fleet ≡ local, refusals."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+    from docs_indexer_ray.query.qstring import query_string_topk
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    an = Analyzer("simple")
+    reader = built
+
+    # ---- distance_feature over the REAL warc_ts timestamp column
+    ts = reader.stored_column("warc_ts").cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    origin = "2025-06-01T12:00:00"
+    o_us = (dt.datetime.fromisoformat(origin)
+            - dt.datetime(1970, 1, 1)).total_seconds() * 1e6
+    pivot_us = 86400.0 * 7 * 1e6
+    want = 2.0 * pivot_us / (pivot_us + np.abs(ts - o_us))
+    dsl = {"distance_feature": {"field": "warc_ts", "origin": origin,
+                                "pivot": "7d", "boost": 2.0}}
+    hits = dict(query_string_topk(reader, dsl, k=reader.n_docs))
+    assert len(hits) == reader.n_docs  # every doc has a warc_ts
+    for d in (0, 7, 42):
+        assert abs(hits[d] - want[d]) < 1e-9
+
+    # numeric origin/pivot spelling lowers too
+    node = dsl_to_node({"distance_feature": {
+        "field": "x", "origin": 100, "pivot": 10}}, an)
+    assert node.origin == 100.0 and node.pivot == 10.0
+
+    # ---- rank_feature over an added positive column (with NULLs)
+    root2 = str(tmp_path / "rfidx")
+    shutil.copytree(os.path.dirname(reader.index_dir), root2)
+    bdir = os.path.join(root2, os.path.basename(reader.index_dir))
+    docs_dir = os.path.join(bdir, "docs")
+    for pd_ in os.listdir(docs_dir):
+        pdir = os.path.join(docs_dir, pd_)
+        if not os.path.isdir(pdir):
+            continue
+        for f in os.listdir(pdir):
+            path = os.path.join(pdir, f)
+            t = pq.read_table(path)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            q = (ids % 9 + 1).astype(np.float64)  # positive feature
+            q[ids % 13 == 0] = np.nan  # planted missing feature
+            t = t.append_column("quality", pa.array(q, pa.float64()))
+            pq.write_table(t, path, compression="zstd")
+    r2 = IndexReader(bdir)
+    qv = np.where(np.arange(r2.n_docs) % 13 == 0, np.nan,
+                  np.arange(r2.n_docs) % 9 + 1).astype(np.float64)
+
+    cases = {
+        ("saturation",): lambda x: x / (x + 3.0),
+        ("log",): lambda x: np.log(2.0 + x),
+        ("sigmoid",): lambda x: x**2 / (x**2 + 4.0**2),
+    }
+    bodies = {
+        "saturation": {"saturation": {"pivot": 3}},
+        "log": {"log": {"scaling_factor": 2}},
+        "sigmoid": {"sigmoid": {"pivot": 4, "exponent": 2}},
+    }
+    for (fn,), f in cases.items():
+        dsl = {"rank_feature": {"field": "quality", **bodies[fn]}}
+        hits = dict(query_string_topk(r2, dsl, k=r2.n_docs))
+        missing = {d for d in range(r2.n_docs) if d % 13 == 0}
+        assert missing.isdisjoint(hits), fn  # NULL feature never matches
+        assert len(hits) == r2.n_docs - len(missing)
+        for d in (1, 5, 20):
+            assert abs(hits[d] - f(qv[d])) < 1e-9, fn
+
+    # in a bool.should, the feature leg boosts without gating matches
+    dsl = {"bool": {
+        "must": [{"match": {"body": "node"}}],
+        "should": [{"rank_feature": {"field": "quality",
+                                     "saturation": {"pivot": 3}}}],
+    }}
+    local = query_string_topk(r2, dsl, k=10)
+    svc = ShardedQueryService(bdir, n_shards=3, chain="simple")
+    try:
+        assert svc.query_string(dsl, k=10) == local
+        assert svc.query_string(
+            {"distance_feature": {"field": "warc_ts", "origin": origin,
+                                  "pivot": "7d"}}, k=10
+        ) == query_string_topk(r2, {"distance_feature": {
+            "field": "warc_ts", "origin": origin, "pivot": "7d"}}, k=10)
+    finally:
+        svc.shutdown()
+
+    # refusals
+    for bad in (
+        {"rank_feature": {"saturation": {"pivot": 1}}},  # no field
+        {"rank_feature": {"field": "q", "saturation": {}}},  # no pivot
+        {"rank_feature": {"field": "q", "log": {}}},
+        {"rank_feature": {"field": "q", "sigmoid": {"pivot": 1}}},
+        {"rank_feature": {"field": "q", "saturation": {"pivot": 1},
+                          "log": {"scaling_factor": 1}}},  # two fns
+        {"rank_feature": None},
+        {"distance_feature": {"field": "x", "origin": "noniso",
+                              "pivot": "7d"}},
+        {"distance_feature": {"field": "x", "origin": [1, 2],
+                              "pivot": 1}},  # geo refused
+        {"distance_feature": {"field": "x", "origin": 5}},  # no pivot
+        {"distance_feature": {"field": "x", "origin": 5, "pivot": 0}},
+    ):
+        with pytest.raises(DslError):
+            dsl_to_node(bad, an)

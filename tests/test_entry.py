@@ -104,6 +104,7 @@ SQL_BACKED = [
     "dsl_range_sharded",
     "dsl_dismax",
     "terms_set_covering",
+    "distance_feature",
     "dsl_ids_matchall",
     "dsl_constscore_range",
     "dsl_phrase_prefix",
