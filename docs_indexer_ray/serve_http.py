@@ -1047,6 +1047,47 @@ class SearchServer:
             )
         }
 
+    def _count_post(self, params, body: bytes) -> dict:
+        """``POST /_count`` with ``{"query": <DSL>}`` (OpenSearch body
+        form); URL params remain the GET fallback."""
+        spec = json.loads(body) if body.strip() else {}
+        if not isinstance(spec, dict):
+            raise ValueError("body must be a JSON object")
+        if "query" in spec:
+            if not isinstance(spec["query"], dict):
+                raise ValueError(f"query must be an object: {spec['query']!r}")
+            return {"count": self._count_impl(
+                spec["query"], True, self._svc, self._reader, self._analyzer
+            )}
+        return self._count(params)
+
+    def _analyze_post(self, params, body: bytes) -> dict:
+        """``POST /_analyze`` with ``{"text": str | [str], "analyzer":
+        chain}`` (OpenSearch body form) — an explicit analyzer chain
+        overrides the server's; a text LIST analyzes as one stream
+        with positions continuing across entries."""
+        from .functions.analyzer import Analyzer
+
+        spec = json.loads(body) if body.strip() else {}
+        if not isinstance(spec, dict):
+            raise ValueError("body must be a JSON object")
+        text = spec.get("text", params.get("text"))
+        if text is None:
+            raise ValueError("_analyze needs text")
+        chain = spec.get("analyzer", params.get("analyzer"))
+        an = (
+            self._analyzer
+            if chain is None or chain == self._reader.chain
+            else Analyzer(str(chain))  # unknown chain → ValueError → 400
+        )
+        texts = text if isinstance(text, list) else [text]
+        tokens, pos = [], 0
+        for t in texts:
+            for tok in an(str(t)):
+                tokens.append({"token": tok, "position": pos})
+                pos += 1
+        return {"tokens": tokens}
+
     def _count_impl(self, q: str, syntax: bool, svc, reader, analyzer) -> int:
         """Count against an explicit backend snapshot — callers that
         pair the count with other reads (``_search``) pass the same
@@ -1830,6 +1871,8 @@ class SearchServer:
             "/_termvectors": self._termvectors_post,
             "/_pit": self._pit_create,
             "/_pit/delete": self._pit_delete,
+            "/_count": self._count_post,
+            "/_analyze": self._analyze_post,
             "/_snapshot": self._snapshot,
             "/_restore": self._restore,
         }
@@ -1906,7 +1949,8 @@ class SearchServer:
                     if parsed.path in ("/_msearch", "/_search",
                                        "/_search/scroll", "/_mget",
                                        "/_validate/query", "/_rank_eval",
-                                       "/_explain", "/_termvectors"):
+                                       "/_explain", "/_termvectors",
+                                       "/_count", "/_analyze"):
                         # pure reads — never behind the write lock (a
                         # slow search must not stall bulk writes)
                         handler._reply(200, fn(params, body))

@@ -528,3 +528,41 @@ def test_significant_terms_agg(root, ray_session):
             assert code == 400
         finally:
             srv.stop()
+
+
+def test_count_and_analyze_post_bodies(root, ray_session):
+    """POST /_count {"query": <DSL>} and POST /_analyze {"text",
+    "analyzer"} — the OpenSearch body forms."""
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        code, via_get = _req(srv.port, "/_count", q="node")
+        code2, via_post = _req(srv.port, "/_count", body={
+            "query": {"match": {"body": "node"}}})
+        assert code == code2 == 200
+        assert via_post["count"] == via_get["count"] > 0
+        # bool body counts too; malformed query → 400
+        code, out = _req(srv.port, "/_count", body={
+            "query": {"bool": {"must": [{"match": {"body": "node"}}],
+                               "must_not": [{"match": {"body": "quota"}}]}}})
+        assert code == 200 and 0 < out["count"] <= via_get["count"]
+        code, _ = _req(srv.port, "/_count", body={"query": "scalar"})
+        assert code == 400
+
+        # _analyze body: explicit chain override + list text
+        code, out = _req(srv.port, "/_analyze", body={
+            "text": "Node's pools", "analyzer": "english"})
+        assert code == 200
+        assert [t["token"] for t in out["tokens"]] == ["node", "pool"]
+        code, out = _req(srv.port, "/_analyze", body={
+            "text": ["alpha beta", "gamma"]})
+        assert [(t["token"], t["position"]) for t in out["tokens"]] == [
+            ("alpha", 0), ("beta", 1), ("gamma", 2)]
+        code, _ = _req(srv.port, "/_analyze", body={
+            "text": "x", "analyzer": "nochain"})
+        assert code == 400
+        code, _ = _req(srv.port, "/_analyze", body={})
+        assert code == 400
+    finally:
+        srv.stop()
