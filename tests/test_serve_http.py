@@ -743,3 +743,102 @@ def test_http_point_in_time(built, ray_session, tmp_path):
         assert code == 404
     finally:
         srv.stop()
+
+
+def test_http_concurrent_reads_during_writes(built, ray_session, tmp_path):
+    """Reads keep flowing — and never 5xx — while bulk writes swap the
+    backend underneath them: hammer /_search (GET + DSL POST + pit)
+    from threads across two /_bulk updates and a delete_by_query.
+    Every response must be 200 and internally consistent (hits ≤
+    total, one build per response)."""
+    import shutil
+    import threading
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    root = str(tmp_path / "ccidx")
+    shutil.copytree(built, root)
+    srv = SearchServer(root, backend="local").start()
+    srv.drain_grace_s = 0.0  # keep the test fast; parking still happens
+
+    def post(path, body):
+        data = json.dumps(body).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}", data=data, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+
+    errors: list = []
+    stop = threading.Event()
+
+    def reader_loop(kind: int):
+        try:
+            while not stop.is_set():
+                if kind == 0:
+                    code, out = _get(srv.port, "/_search", q="page", k=5)
+                elif kind == 1:
+                    code, out = post("/_search", {
+                        "query": {"bool": {
+                            "must": [{"match": {"body": "page"}}],
+                            "should": [{"match_phrase": {"body": "node pools"}}],
+                        }}, "size": 5})
+                else:
+                    code, out = _get(srv.port, "/_count", q="page")
+                if code != 200:
+                    errors.append((kind, code, out))
+                    return
+                if "hits" in out:
+                    h = out["hits"]
+                    if len(h["hits"]) > h["total"]["value"]:
+                        errors.append((kind, "hits>total", out))
+                        return
+        except Exception as e:  # pragma: no cover - fail loudly below
+            errors.append((kind, type(e).__name__, str(e)))
+
+    try:
+        _, pit = post("/_pit?keep_alive=5m", {})
+        n0 = _get(srv.port, "/_count", q="page")[1]["count"]
+        threads = [threading.Thread(target=reader_loop, args=(i % 3,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        # two bulk rounds + one delete while reads hammer
+        for r in range(2):
+            lines = []
+            for i in range(2):
+                lines.append(json.dumps({"index": {}}))
+                lines.append(json.dumps({
+                    "url": f"https://docs.test/cc/p{r}-{i}/",
+                    "html": f"<html><body><p>page surge {r} {i}</p></body></html>",
+                    "warc_ts": 1_800_000_000_000_000 + r * 10 + i,
+                }))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/_bulk",
+                data=("\n".join(lines) + "\n").encode(), method="POST",
+            )
+            with urllib.request.urlopen(req) as resp:
+                assert json.loads(resp.read())["errors"] is False
+        assert _get(srv.port, "/_count", q="page")[1]["count"] == n0 + 4
+        # delete tombstones all four new docs (they all say "surge")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_delete_by_query?q=surge",
+            data=b"", method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert json.loads(resp.read())["deleted"] == 4
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors[:3]
+        # final state: the delete took the 4 bulk docs back out,
+        # and the PIT still serves the pre-write build
+        assert _get(srv.port, "/_count", q="page")[1]["count"] == n0
+        assert _get(srv.port, "/_count", q="surge")[1]["count"] == 0
+        code, pinned = post("/_search", {
+            "query": {"match": {"body": "page"}}, "size": 1,
+            "pit": {"id": pit["pit_id"]}})
+        assert code == 200 and pinned["hits"]["total"]["value"] == n0
+    finally:
+        stop.set()
+        srv.stop()
