@@ -172,6 +172,43 @@ def cmd_attach_vectors(args) -> int:
     return 0
 
 
+def cmd_termvectors(args) -> int:
+    """Per-doc term statistics (the ``/_termvectors`` view): each term
+    of the re-analyzed stored field with tf / df / ttf and first
+    position, tf-descending."""
+    _ray_session()
+    from .query.reader import IndexReader
+    from .query.termvectors import term_vectors
+
+    reader = IndexReader(args.index, chain=args.chain)
+    out = term_vectors(
+        reader,
+        doc_id=args.doc,
+        field=args.field or None,
+        term_statistics=True,
+        max_num_terms=args.max_terms or None,
+    )
+    if not out.get("found"):
+        print(f"doc {args.doc} not found")
+        return 2
+    (fname, fobj), = out["term_vectors"].items()
+    fs = fobj["field_statistics"]
+    print(
+        f"doc {args.doc} field {fname!r} — corpus: "
+        f"{fs['doc_count']} docs, {fs['sum_ttf']} tokens"
+    )
+    rows = sorted(
+        fobj["terms"].items(), key=lambda kv: (-kv[1]["term_freq"], kv[0])
+    )
+    for term, e in rows:
+        pos = e["tokens"][0]["position"] if e.get("tokens") else -1
+        print(
+            f"{e['term_freq']:4d}  df={e['doc_freq']:<6d} "
+            f"ttf={e['ttf']:<8d} @{pos:<4d} {term}"
+        )
+    return 0
+
+
 def cmd_knn(args) -> int:
     """k-NN over the attached vector sidecar: neighbors of an explicit
     ``--vector`` or of an indexed doc's own vector (``--doc``), local
@@ -550,6 +587,18 @@ def main(argv: list[str] | None = None) -> int:
     av.add_argument("--name", default="emb")
     av.add_argument("--parts", type=int, default=32)
     av.set_defaults(fn=cmd_attach_vectors)
+
+    tv = sub.add_parser(
+        "termvectors", help="per-doc term statistics (tf/df/ttf/position)"
+    )
+    tv.add_argument("--index", required=True)
+    tv.add_argument("--doc", type=int, required=True)
+    tv.add_argument("--field", default="",
+                    help="stored field (default: the indexed field)")
+    tv.add_argument("--chain", default=None)
+    tv.add_argument("--max-terms", type=int, default=0,
+                    help="keep only the N highest-tf terms (0 = all)")
+    tv.set_defaults(fn=cmd_termvectors)
 
     kn = sub.add_parser("knn", help="vector top-k over an attached sidecar")
     kn.add_argument("--index", required=True)

@@ -175,3 +175,18 @@ def test_termvectors_http(built, ray_session):
         assert code == 400
     finally:
         srv.stop()
+
+
+def test_cli_termvectors(built, ray_session, capsys):
+    from docs_indexer_ray import cli
+
+    rc = cli.main(["termvectors", "--index", built, "--doc", "7",
+                   "--max-terms", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert lines[0].startswith("doc 7 field 'body'")
+    assert len(lines) == 4  # header + 3 terms
+    assert all("df=" in ln and "ttf=" in ln for ln in lines[1:])
+    rc = cli.main(["termvectors", "--index", built, "--doc", "99999"])
+    assert rc == 2
