@@ -208,6 +208,50 @@ def run_bench() -> dict:
         except Exception as ex:  # bench must never die on an optional block
             agg_stats["agg_error"] = str(ex)[:120]
 
+        # vector serving tier over the fresh index: sidecar attach wall
+        # (id-keyed, streaming hive write) + knn / hybrid (BM25 ⊕ kNN
+        # RRF) steady-state latency on the warm reader
+        vec_stats: dict = {}
+        try:
+            import ray.data as _rd2
+
+            from docs_indexer_ray.index.vectors import attach_vectors
+            from docs_indexer_ray.query.hybrid import rrf_fuse
+            from docs_indexer_ray.query.qstring import query_string_topk
+
+            emb = _rd2.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            ta = time.time()
+            attach_vectors(
+                out_root, emb, vec_col="embedding", id_col="vec_id",
+                skip_if_present=False,
+            )
+            vec_stats["vector_attach_s"] = round(time.time() - ta, 3)
+            qv = [float(x) for x in emb.take(1)[0]["embedding"]]
+            knn_dsl = {"knn": {"emb": {"vector": qv, "k": 10}}}
+            query_string_topk(reader, knn_dsl, k=10)  # warm matrix load
+            klat, hlat = [], []
+            for _ in range(30):
+                tq = time.time()
+                query_string_topk(reader, knn_dsl, k=10)
+                klat.append(time.time() - tq)
+                tq = time.time()
+                # the hybrid coordinator's shape: each leg its own
+                # query phase at the window, RRF fusion on the results
+                legs = [
+                    {d: i + 1 for i, (d, _) in enumerate(
+                        query_string_topk(reader, knn_dsl, k=100))},
+                    {d: i + 1 for i, (d, _) in enumerate(
+                        bm25_query_topk(reader, term_sets[0], k=100))},
+                ]
+                rrf_fuse(legs, topn=10)
+                hlat.append(time.time() - tq)
+            klat.sort()
+            hlat.sort()
+            vec_stats["knn_p50_ms"] = round(klat[len(klat) // 2] * 1000, 2)
+            vec_stats["hybrid_p50_ms"] = round(hlat[len(hlat) // 2] * 1000, 2)
+        except Exception as ex:  # bench must never die on an optional block
+            vec_stats["vector_error"] = str(ex)[:120]
+
         headline = t_build + t_query
         out = {
             "metric": "index build + BM25 query set (english analyzer, from-scratch inverted index)",
@@ -218,6 +262,7 @@ def run_bench() -> dict:
                 "query_set": round(t_query, 3),
                 **{k: round(v, 3) for k, v in timings.items()},
                 **agg_stats,
+                **vec_stats,
             },
             "sf": sf_dir,
             "num_cpus": num_cpus,
