@@ -1149,6 +1149,37 @@ class SearchServer:
             "explanation": {"value": total, "details": details},
         }
 
+    def _root(self, params) -> dict:
+        """``GET /`` — the version banner every OpenSearch client pings
+        before its first real request (opensearch-py `info()`)."""
+        man = self._reader.manifest
+        return {
+            "name": "docs-indexer-ray",
+            "cluster_name": "docs-indexer-ray",
+            "version": {
+                "distribution": "docs-indexer-ray",
+                "number": "1.0.0",
+                "build_fingerprint": man["fingerprint"],
+            },
+            "tagline": "Ray-Data-native full-text index",
+        }
+
+    def _cluster_health(self, params) -> dict:
+        """``GET /_cluster/health`` — green/yellow status for client
+        health checks: green with a live backend, plus the fleet's
+        shard count (1 for the local reader, OpenSearch's
+        primary-shard accounting)."""
+        n_shards = getattr(self._svc, "n_shards", None) or 1
+        return {
+            "cluster_name": "docs-indexer-ray",
+            "status": "green",
+            "number_of_nodes": 1,
+            "active_primary_shards": int(n_shards),
+            "active_shards": int(n_shards),
+            "unassigned_shards": 0,
+            "docs": {"count": int(self._reader.match_all_count())},
+        }
+
     def _tv_reader(self, chain: str):
         """A reader bound to ``chain`` for subfield term vectors —
         cached per chain (reader construction loads norms), cleared on
@@ -1851,6 +1882,8 @@ class SearchServer:
             "/_analyze": self._analyze,
             "/_suggest": self._suggest,
         }
+        routes["/"] = self._root
+        routes["/_cluster/health"] = self._cluster_health
         routes["/_doc"] = self._doc
         routes["/_termvectors"] = self._termvectors
         routes["/_explain"] = self._explain
@@ -1933,6 +1966,13 @@ class SearchServer:
                         500,
                         {"error": {"type": type(e).__name__, "reason": str(e)}},
                     )
+
+            def do_HEAD(handler):
+                # client liveness pings (HEAD /); no body by contract
+                parsed = urlparse(handler.path)
+                handler.send_response(200 if parsed.path in routes else 404)
+                handler.send_header("Content-Length", "0")
+                handler.end_headers()
 
             def do_POST(handler):
                 parsed = urlparse(handler.path)

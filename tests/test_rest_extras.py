@@ -566,3 +566,32 @@ def test_count_and_analyze_post_bodies(root, ray_session):
         assert code == 400
     finally:
         srv.stop()
+
+
+def test_root_banner_health_and_head(root, ray_session):
+    """`GET /` version banner, `GET /_cluster/health` green status and
+    HEAD liveness pings — the requests every OpenSearch client issues
+    before its first real call."""
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        code, out = _req(srv.port, "/")
+        assert code == 200 and out["version"]["number"]
+        assert out["version"]["distribution"] == "docs-indexer-ray"
+        code, h = _req(srv.port, "/_cluster/health")
+        assert code == 200 and h["status"] == "green"
+        assert h["docs"]["count"] == 90
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/", method="HEAD")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200 and r.read() == b""
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/nope", method="HEAD")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("HEAD /nope must 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
