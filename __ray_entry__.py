@@ -1008,6 +1008,39 @@ def q_match_all_count(sf_dir: str) -> pa.Table:
     )
 
 
+def q_export_shards(sf_dir: str) -> pa.Table:
+    """Training-shard export (``ops/export.py``): the corpus written
+    as 8 deterministic shard files — value-property shard assignment
+    ``int(md5(seed:key)[:8], 16) % 8`` + the seeded-shuffle order
+    within each shard, one atomic file per shard, resume-skip.  The
+    manifest (shard, row count, first/last key in shuffled order)
+    replays in SQL via the same md5 rule."""
+    import tempfile
+
+    import ray.data
+
+    from docs_indexer_ray.ops.export import export_shards
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = tempfile.mkdtemp(prefix="dixr_export_")
+    try:
+        mf = export_shards(ds, out, n_shards=8, seed=0)
+        return pa.table(
+            {
+                "shard": mf["shard"],
+                "n_rows": mf["n_rows"],
+                "first_doc": mf["first_key"].cast(pa.int64()),
+                "last_doc": mf["last_key"].cast(pa.int64()),
+            }
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_term_vectors_stats(sf_dir: str) -> pa.Table:
     """OpenSearch Term Vectors API for one doc (doc_id 42) over the
     simple body index (``query/termvectors.py``): per-term in-doc
@@ -3837,6 +3870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_all_count": q_match_all_count,
         "bm25_topk": q_bm25_topk,
         "term_vectors_stats": q_term_vectors_stats,
+        "export_shards": q_export_shards,
         "bm25_collapse_source": q_collapse,
         "bm25_knn_rrf": q_bm25_knn_rrf,
         "bm25_topk_sharded": q_bm25_topk_sharded,
@@ -4820,6 +4854,21 @@ def oracle_sql() -> dict[str, str]:
             FROM dl WHERE dl > 0
         """,
         "match_all_count": "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents",
+        "export_shards": """
+            WITH h AS (SELECT doc_id, md5('0:' || doc_id) AS h FROM documents),
+            s AS (SELECT doc_id, h,
+                         ('0x' || substr(h, 1, 8))::UBIGINT % 8 AS shard
+                  FROM h),
+            o AS (SELECT shard, doc_id,
+                         row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY shard) AS n
+                  FROM s)
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(max(n) AS BIGINT) AS n_rows,
+                   CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+                   CAST(max(CASE WHEN rn = n THEN doc_id END) AS BIGINT) AS last_doc
+            FROM o GROUP BY shard ORDER BY shard
+        """,
         "term_vectors_stats": f"""
             WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
             tk AS (SELECT doc_id, {toks_body} AS toks FROM docs),

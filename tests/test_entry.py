@@ -135,6 +135,7 @@ SQL_BACKED = [
     "facet_top_hits",
     "term_vectors",
     "term_vectors_stats",
+    "export_shards",
     "bm25_topk_deleted",
     "facet_multi_terms",
     "bm25_explain",

@@ -2181,3 +2181,70 @@ def test_filter_companions_match_flag_ops(docs_ds, docs_tbl, ray_session):
     assert got_clean == want_clean
     # doc 0, its exact copy (id 1000) and doc 7 must be dropped
     assert {0, 7, 1000} & got_clean == set()
+
+
+def test_export_shards_roundtrip_resume_jsonl(ray_session, tmp_path):
+    """Training-shard export: union of shards == corpus, within-shard
+    order is the seeded-shuffle order, shard assignment is the md5
+    value rule, resume skips existing files, jsonl format round-trips,
+    and columns prune the payload."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from docs_indexer_ray.ops.export import export_shards
+
+    n = 200
+    src = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(n)], pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+    })
+    ds = ray.data.from_arrow(src)
+    out = str(tmp_path / "shards")
+    mf = export_shards(ds, out, n_shards=4, seed=7, columns=["text"])
+    assert mf["shard"].to_pylist() == [0, 1, 2, 3]
+    assert sum(mf["n_rows"].to_pylist()) == n
+    got_ids = []
+    for row in mf.to_pylist():
+        t = pq.read_table(row["path"])
+        assert t.column_names == ["doc_id", "text"]  # lang pruned
+        ids = t["doc_id"].to_pylist()
+        hs = [hashlib.md5(f"7:{v}".encode()).hexdigest() for v in ids]
+        assert hs == sorted(hs)  # seeded-shuffle order within shard
+        assert all(int(h[:8], 16) % 4 == row["shard"] for h in hs)
+        assert ids[0] == row["first_key"] and ids[-1] == row["last_key"]
+        got_ids += ids
+    assert sorted(got_ids) == list(range(n))
+
+    # resume: delete ONE shard file; re-export rewrites only that one
+    victim = mf.to_pylist()[2]["path"]
+    os.remove(victim)
+    mtimes = {r["path"]: os.path.getmtime(r["path"])
+              for r in mf.to_pylist() if r["path"] != victim}
+    mf2 = export_shards(ds, out, n_shards=4, seed=7, columns=["text"])
+    assert mf2["skipped"].to_pylist() == [True, True, False, True]
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m  # untouched
+    assert pq.read_table(victim).num_rows == mf.to_pylist()[2]["n_rows"]
+
+    # jsonl format round-trips the same rows
+    out2 = str(tmp_path / "shards_jsonl")
+    mfj = export_shards(ds, out2, n_shards=2, seed=7, fmt="jsonl")
+    rows = []
+    for r in mfj.to_pylist():
+        with open(r["path"]) as f:
+            rows += [json.loads(ln) for ln in f]
+    assert sorted(x["doc_id"] for x in rows) == list(range(n))
+    assert all(set(x) == {"doc_id", "text", "lang"} for x in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        export_shards(ds, out, n_shards=0)
+    with _pytest.raises(ValueError):
+        export_shards(ds, out, n_shards=2, fmt="csv")
