@@ -405,6 +405,24 @@ class SearchServer:
                     "name": name, "kind": "cardinality",
                     "field": agg["cardinality"]["field"],
                 })
+            elif "filters" in agg:
+                flt = agg["filters"]
+                named = flt.get("filters") if isinstance(flt, dict) else None
+                if not isinstance(named, dict) or not named:
+                    raise ValueError(
+                        f"filters agg expects {{'filters': {{name: "
+                        f"<DSL>, …}}}}: {flt!r}"
+                    )
+                for sub in named.values():
+                    if not isinstance(sub, dict):
+                        raise ValueError(
+                            f"filters agg sub-query must be a DSL "
+                            f"object: {sub!r}"
+                        )
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "filters", "field": "",
+                    "filters": named,
+                })
             elif "significant_terms" in agg:
                 st = agg["significant_terms"]
                 p.setdefault("aggs_extra", []).append({
@@ -426,7 +444,7 @@ class SearchServer:
                 raise ValueError(
                     f"unsupported aggregation {agg!r} (terms|stats|"
                     "date_histogram|histogram|range|cardinality|"
-                    "percentiles|significant_terms)"
+                    "percentiles|significant_terms|filters)"
                 )
         out = self._search(p)
         if "suggest" in spec:
@@ -811,6 +829,25 @@ class SearchServer:
         from .query.facets import interpolate_quantiles, value_histogram
 
         kind, col, arg = spec["kind"], spec["field"], spec.get("arg")
+        if kind == "filters":
+            # one bucket per NAMED sub-query, counting docs that match
+            # the main query AND the filter — |q ∧ f| = count(bool
+            # must=[q, f]), so each bucket reuses the backend's count
+            # path verbatim (fleet or local) with no new distributed
+            # code.  Bucket count = request count: an analytics agg
+            # with a handful of human-named filters.
+            buckets = {}
+            for bname, sub in spec["filters"].items():
+                fld = self._reader.manifest["field"]
+                main = q if isinstance(q, dict) else (
+                    {"query_string": {"query": q}} if syntax
+                    else {"match": {fld: q}}  # GET q = match-any (OR)
+                )
+                combined = {"bool": {"must": [main, sub]}}
+                buckets[bname] = {"doc_count": self._count_impl(
+                    combined, True, svc, reader, analyzer
+                )}
+            return {"buckets": buckets}
         if kind == "significant_terms":
             # JLH-significant terms of the query's match set
             # (query/significant.py — a per-partition postings scan,

@@ -595,3 +595,47 @@ def test_root_banner_health_and_head(root, ray_session):
             assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_filters_aggregation(root, ray_session):
+    """`{"aggs": {n: {"filters": {"filters": {...}}}}}`: one bucket per
+    named sub-query counting docs in the main query's scope — pinned
+    to intersection counts, both backends."""
+    from docs_indexer_ray.serve_http import SearchServer
+
+    body = {
+        "query": {"match": {"body": "node"}},
+        "size": 0,
+        "aggs": {"by_kind": {"filters": {"filters": {
+            "pools": {"match": {"body": "pools"}},
+            "recent": {"range": {"warc_ts": {"gte": "2025-01-01T00:00:40"}}},
+            "never": {"match": {"body": "zzzznope"}},
+        }}}},
+    }
+    for backend in ("local", "sharded"):
+        srv = SearchServer(root, backend=backend, n_shards=3).start()
+        try:
+            code, out = _req(srv.port, "/_search", body=body)
+            assert code == 200, out
+            total = out["hits"]["total"]["value"]
+            b = out["aggregations"]["by_kind"]["buckets"]
+            assert set(b) == {"pools", "recent", "never"}
+            assert b["never"]["doc_count"] == 0
+            assert 0 < b["pools"]["doc_count"] <= total
+            assert 0 < b["recent"]["doc_count"] <= total
+            # pin to explicit intersection counts via /_count
+            for name, sub in body["aggs"]["by_kind"]["filters"]["filters"].items():
+                code, c = _req(srv.port, "/_count", body={"query": {
+                    "bool": {"must": [body["query"], sub]}}})
+                assert b[name]["doc_count"] == c["count"], name
+            # malformed shapes
+            code, _ = _req(srv.port, "/_search", body={
+                "query": {"match_all": {}},
+                "aggs": {"x": {"filters": {"filters": {}}}}})
+            assert code == 400
+            code, _ = _req(srv.port, "/_search", body={
+                "query": {"match_all": {}},
+                "aggs": {"x": {"filters": {"filters": {"a": "scalar"}}}}})
+            assert code == 400
+        finally:
+            srv.stop()
