@@ -129,7 +129,7 @@ _LEAF_KEYS = (
     "exists", "constant_score", "dis_max", "boosting",
     "match_bool_prefix", "match_phrase_prefix", "regexp",
     "simple_query_string", "function_score", "span_near", "span_first",
-    "span_term", "more_like_this", "knn", "terms_set",
+    "span_term", "span_or", "more_like_this", "knn", "terms_set",
     "rank_feature", "distance_feature",
 )
 
@@ -202,7 +202,7 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
     if kind in (
         "bool", "match_all", "ids", "exists", "constant_score",
         "dis_max", "boosting", "function_score", "span_near",
-        "span_first", "more_like_this", "query_string",
+        "span_first", "span_or", "more_like_this", "query_string",
         "simple_query_string", "rank_feature", "distance_feature",
     ) and not isinstance(clause, dict):
         # object-bodied clauses: a null / scalar / list body is a 400,
@@ -370,6 +370,33 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
         return _DistanceFeature(
             field, origin_v, pivot_v, boost=float(clause.get("boost", 1.0))
         )
+
+    if kind == "span_or":
+        # Lucene SpanOrQuery: union of span clauses.  Lowers to a
+        # bool-should over the recursively lowered children — the
+        # MATCH SET is exactly the span union; scoring divergence,
+        # documented: a doc matching several children sums their
+        # scores where Lucene pools span frequency (ranks agree
+        # except on multi-child docs, the same convention as the
+        # engine's other multi-term rewrites).
+        if not isinstance(clause, dict) or not isinstance(
+            clause.get("clauses"), list
+        ) or not clause["clauses"]:
+            raise DslError(f"span_or expects clauses: {clause!r}")
+        kids = []
+        for c in clause["clauses"]:
+            if not (isinstance(c, dict) and len(c) == 1 and next(
+                iter(c)
+            ) in ("span_term", "span_near", "span_first", "span_or")):
+                raise DslError(f"span_or expects span clauses: {c!r}")
+            child = _dsl_node(c, analyzer, default_operator)
+            if child is not None:
+                kids.append(child)
+        if not kids:
+            return None
+        if len(kids) == 1:
+            return kids[0]
+        return _Bool(should=kids, boost=float(clause.get("boost", 1.0)))
 
     if kind in ("span_near", "span_first", "span_term"):
         from .qstring import _SpanFirst, _SpanNear

@@ -1058,3 +1058,61 @@ def test_dsl_rank_and_distance_feature(built, ray_session, tmp_path):
     ):
         with pytest.raises(DslError):
             dsl_to_node(bad, an)
+
+
+def test_dsl_span_or(built, ray_session):
+    """`span_or`: match set = union of the span children; lowers onto
+    bool-should (documented scoring divergence); non-span children and
+    empty clause lists refused; fleet ≡ local."""
+    import numpy as np
+
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+    from docs_indexer_ray.query.qstring import (
+        _Bool,
+        _Term,
+        query_string_topk,
+    )
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    an = _an()
+    dsl = {"span_or": {"clauses": [
+        {"span_term": {"body": "node"}},
+        {"span_near": {"clauses": [
+            {"span_term": {"body": "quota"}},
+            {"span_term": {"body": "namespace"}},
+        ], "slop": 3, "in_order": False}},
+        {"span_first": {"match": {"span_term": {"body": "helm"}},
+                        "end": 4}},
+    ]}}
+    node = dsl_to_node(dsl, an)
+    assert isinstance(node, _Bool) and len(node.should) == 3
+
+    reader = built
+    union = set()
+    for sub in dsl["span_or"]["clauses"]:
+        union |= {d for d, _ in query_string_topk(reader, sub, k=1000)}
+    got = {d for d, _ in query_string_topk(reader, dsl, k=1000)}
+    assert got == union and got
+
+    import os
+
+    svc = ShardedQueryService(os.path.dirname(reader.index_dir),
+                              n_shards=3, chain="simple")
+    try:
+        assert svc.query_string(dsl, k=10) == query_string_topk(
+            reader, dsl, k=10)
+    finally:
+        svc.shutdown()
+
+    # single child collapses; refusals
+    single = dsl_to_node({"span_or": {"clauses": [
+        {"span_term": {"body": "node"}}]}}, an)
+    assert isinstance(single, _Term)
+    for bad in (
+        {"span_or": {"clauses": []}},
+        {"span_or": {}},
+        {"span_or": None},
+        {"span_or": {"clauses": [{"match": {"body": "x"}}]}},
+    ):
+        with pytest.raises(DslError):
+            dsl_to_node(bad, an)
