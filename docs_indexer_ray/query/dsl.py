@@ -129,8 +129,8 @@ _LEAF_KEYS = (
     "exists", "constant_score", "dis_max", "boosting",
     "match_bool_prefix", "match_phrase_prefix", "regexp",
     "simple_query_string", "function_score", "span_near", "span_first",
-    "span_term", "span_or", "more_like_this", "knn", "terms_set",
-    "rank_feature", "distance_feature",
+    "span_term", "span_or", "intervals", "more_like_this", "knn",
+    "terms_set", "rank_feature", "distance_feature",
 )
 
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
@@ -437,6 +437,76 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
             # ordered spans = the sloppy-phrase walk
             return _Phrase(words, slop=slop, boost=boost)
         return _SpanNear(words, slop=slop, boost=boost)
+
+    if kind == "intervals":
+        # Lucene's intervals query — the modern positional API.  The
+        # engine's positional kernels already implement the two core
+        # rules, so intervals LOWER instead of adding a new evaluator:
+        #   match(ordered)   → the sloppy-phrase walk (slop = max_gaps)
+        #   match(unordered) → the unordered span_near window
+        #   any_of           → bool-should over the lowered sources
+        # Scoring follows the lowered node's convention (sloppy-phrase
+        # BM25 for ordered, constant-score for unordered — the span
+        # family's documented divergence).  all_of nesting and the
+        # filter rule are refused loudly: their interval algebra needs
+        # real extent enumeration, not doc masks.
+        from .qstring import _Phrase, _SpanNear
+
+        field, body = _one_field(clause, kind)
+
+        def _lower_rule(rule):
+            if not isinstance(rule, dict) or len(rule) != 1:
+                raise DslError(f"intervals expects one rule: {rule!r}")
+            rkind, spec = next(iter(rule.items()))
+            if rkind == "match":
+                if not isinstance(spec, dict) or "query" not in spec:
+                    raise DslError(
+                        f"intervals match needs query: {spec!r}"
+                    )
+                if "filter" in spec:
+                    raise DslError(
+                        "intervals filter rules are not supported "
+                        "(interval algebra needs extent enumeration)"
+                    )
+                terms = analyzer(str(spec["query"]))
+                if not terms:
+                    return None
+                gaps = int(spec.get("max_gaps", -1))
+                slop = max(0, gaps)  # Lucene -1 = adjacent-only
+                if len(terms) == 1:
+                    return _Term(terms[0])
+                if bool(spec.get("ordered", False)):
+                    return _Phrase(terms, slop=slop)
+                return _SpanNear(terms, slop=slop)
+            if rkind == "any_of":
+                subs = spec.get("intervals") if isinstance(spec, dict) \
+                    else None
+                if not isinstance(subs, list) or not subs:
+                    raise DslError(
+                        f"any_of expects {{'intervals': […]}}: {spec!r}"
+                    )
+                kids = [x for x in (_lower_rule(s) for s in subs)
+                        if x is not None]
+                if not kids:
+                    return None
+                return kids[0] if len(kids) == 1 else _Bool(should=kids)
+            raise DslError(
+                f"unsupported intervals rule {rkind!r} "
+                "(supported: match, any_of)"
+            )
+
+        node = _lower_rule(
+            {k: v for k, v in body.items() if k != "boost"}
+            if isinstance(body, dict)
+            else body
+        )
+        if node is None:
+            return None
+        boost = float(body.get("boost", 1.0)) if isinstance(body, dict) \
+            else 1.0
+        if boost != 1.0:
+            node.boost = boost
+        return node
 
     if kind == "more_like_this":
         from .qstring import _MoreLikeThis

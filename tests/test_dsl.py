@@ -1116,3 +1116,71 @@ def test_dsl_span_or(built, ray_session):
     ):
         with pytest.raises(DslError):
             dsl_to_node(bad, an)
+
+
+def test_dsl_intervals(built, ray_session):
+    """`intervals` lowers onto the positional kernels: match(ordered)
+    ≡ sloppy phrase, match(unordered) ≡ span_near, any_of ≡ union;
+    fleet ≡ local; filter/all_of rules refused."""
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+    from docs_indexer_ray.query.qstring import (
+        _Bool,
+        _Phrase,
+        _SpanNear,
+        _Term,
+        query_string_topk,
+    )
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    an = _an()
+    n = dsl_to_node({"intervals": {"body": {"match": {
+        "query": "node pools", "max_gaps": 2, "ordered": True}}}}, an)
+    assert isinstance(n, _Phrase) and n.slop == 2
+    n = dsl_to_node({"intervals": {"body": {"match": {
+        "query": "node pools", "max_gaps": 1}}}}, an)
+    assert isinstance(n, _SpanNear) and n.slop == 1
+    n = dsl_to_node({"intervals": {"body": {"match": {
+        "query": "node"}}}}, an)
+    assert isinstance(n, _Term)
+    n = dsl_to_node({"intervals": {"body": {"any_of": {"intervals": [
+        {"match": {"query": "node pools", "ordered": True}},
+        {"match": {"query": "quota"}},
+    ]}}}}, an)
+    assert isinstance(n, _Bool) and len(n.should) == 2
+
+    reader = built
+    # ordered ≡ the match_phrase slop spelling; unordered ≡ span_near
+    iv = {"intervals": {"body": {"match": {
+        "query": "node pools", "max_gaps": 1, "ordered": True}}}}
+    ph = {"match_phrase": {"body": {"query": "node pools", "slop": 1}}}
+    assert query_string_topk(reader, iv, k=20) == \
+        query_string_topk(reader, ph, k=20)
+    ivu = {"intervals": {"body": {"match": {
+        "query": "node pools", "max_gaps": 1}}}}
+    sn = {"span_near": {"clauses": [
+        {"span_term": {"body": "node"}}, {"span_term": {"body": "pools"}},
+    ], "slop": 1, "in_order": False}}
+    assert query_string_topk(reader, ivu, k=20) == \
+        query_string_topk(reader, sn, k=20)
+
+    import os
+
+    svc = ShardedQueryService(os.path.dirname(reader.index_dir),
+                              n_shards=3, chain="simple")
+    try:
+        for dsl in (iv, ivu):
+            assert svc.query_string(dsl, k=10) == query_string_topk(
+                reader, dsl, k=10), dsl
+    finally:
+        svc.shutdown()
+
+    for bad in (
+        {"intervals": {"body": {"all_of": {"intervals": []}}}},
+        {"intervals": {"body": {"match": {"query": "a",
+                                          "filter": {"before": {}}}}}},
+        {"intervals": {"body": {"any_of": {"intervals": []}}}},
+        {"intervals": {"body": "scalar"}},
+        {"intervals": None},
+    ):
+        with pytest.raises(DslError):
+            dsl_to_node(bad, an)
