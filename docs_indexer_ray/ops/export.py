@@ -118,12 +118,41 @@ def export_shards(
             }
         )
 
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
     manifest_parts = (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("__shard")
+        assigned.groupby("__shard")
         .map_groups(write_shard, batch_format="pyarrow")
         .take_all()
     )
+
+    # groupby only yields OCCUPIED shards — a shard the hash never hit
+    # still owes its (empty) file and manifest row, or loaders that
+    # enumerate 0..n_shards-1 crash on the gap
+    seen = {int(r["shard"]) for r in manifest_parts}
+    missing = [k for k in range(n_shards) if k not in seen]
+    if missing:
+        payload_schema = pa.schema(
+            [f for f in assigned.schema().base_schema
+             if f.name not in ("__h", "__shard")]
+        )
+        for k in missing:
+            path = os.path.join(out_dir, f"shard-{k:0{width}d}.{ext}")
+            skipped = os.path.exists(path)
+            if not skipped:
+                tmp = path + f".tmp-{os.getpid()}"
+                if fmt == "parquet":
+                    import pyarrow.parquet as pq
+
+                    pq.write_table(payload_schema.empty_table(), tmp,
+                                   compression="zstd")
+                else:
+                    open(tmp, "w").close()
+                os.replace(tmp, path)
+            manifest_parts.append({
+                "shard": k, "n_rows": 0, "first_key": None,
+                "last_key": None, "path": path, "skipped": skipped,
+            })
+
     import pandas as pd
 
     mf = pa.Table.from_pandas(

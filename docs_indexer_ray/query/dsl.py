@@ -319,6 +319,13 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                 f"rank_feature {fn} needs explicit {e.args[0]!r} "
                 "(no index-statistics default in this engine)"
             ) from None
+        # Lucene's FeatureField rejects these at query build time —
+        # serving them would produce inf / negative scores on matching
+        # docs (pivot = x divides by zero; ln(scaling_factor + x) < 0)
+        if kw.get("pivot", 1.0) <= 0 or kw.get("exponent", 1.0) <= 0:
+            raise DslError(f"rank_feature {fn} needs pivot/exponent > 0")
+        if kw.get("scaling_factor", 1.0) < 1.0:
+            raise DslError(f"rank_feature log needs scaling_factor >= 1")
         return _RankFeature(
             field, fn, boost=float(clause.get("boost", 1.0)), **kw
         )
@@ -395,6 +402,8 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
         if not kids:
             return None
         if len(kids) == 1:
+            # single-child collapse keeps the clause boost
+            kids[0].boost = kids[0].boost * float(clause.get("boost", 1.0))
             return kids[0]
         return _Bool(should=kids, boost=float(clause.get("boost", 1.0)))
 
@@ -472,7 +481,9 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                 if not terms:
                     return None
                 gaps = int(spec.get("max_gaps", -1))
-                slop = max(0, gaps)  # Lucene -1 = adjacent-only
+                # Lucene: max_gaps=0 → adjacent-only; −1 (the default)
+                # → NO width restriction — any co-occurrence in order
+                slop = gaps if gaps >= 0 else (1 << 30)
                 if len(terms) == 1:
                     return _Term(terms[0])
                 if bool(spec.get("ordered", False)):

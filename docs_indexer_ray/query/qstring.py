@@ -793,7 +793,9 @@ def _feature_values(reader, field: str) -> np.ndarray:
 
     col = reader.stored_column(field)
     if pa.types.is_timestamp(col.type):
-        col = col.cast(pa.int64())
+        # normalize to µs FIRST — a ms/ns-unit column cast straight to
+        # int64 would mis-scale distance_feature by 10³–10⁶
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
     return col.cast(pa.float64()).to_numpy(zero_copy_only=False)
 
 

@@ -203,8 +203,12 @@ class SearchServer:
         # point-in-time contexts: pit_id → (pinned reader, expiry).
         # Builds are immutable directories, so a PIT is just a reader
         # kept warm on the OLD build across writes — deliberately NOT
-        # cleared by _reload (that is the feature)
+        # cleared by _reload (that is the feature).  Ids carry a
+        # per-open sequence number: two clients opening PITs on the
+        # same build must NOT share one entry (a shared id would let
+        # one client's keep_alive or delete clobber the other's)
         self._pits: dict = {}
+        self._pit_seq = 0
         # request cache (OpenSearch's shard request cache, one tier
         # up): full GET responses keyed by path+query, bounded LRU,
         # invalidated wholesale on any write (_reload); every access
@@ -838,7 +842,9 @@ class SearchServer:
             # with a handful of human-named filters.
             buckets = {}
             for bname, sub in spec["filters"].items():
-                fld = self._reader.manifest["field"]
+                # the SNAPSHOT reader, not self._reader — one backend
+                # per request (see _search's snapshot comment)
+                fld = reader.manifest["field"]
                 main = q if isinstance(q, dict) else (
                     {"query_string": {"query": q}} if syntax
                     else {"match": {fld: q}}  # GET q = match-any (OR)
@@ -1828,9 +1834,10 @@ class SearchServer:
 
         now = _time.monotonic()
         reader = self._reader
-        pid = f"pit-{reader.manifest['fingerprint']}"
         with self._cache_lock:
             self._pit_purge(now)
+            self._pit_seq += 1
+            pid = f"pit-{reader.manifest['fingerprint']}-{self._pit_seq}"
             self._pits[pid] = (reader, now + keep)
         return {"pit_id": pid, "creation_time": int(_time.time() * 1000)}
 
@@ -1889,9 +1896,16 @@ class SearchServer:
         # (same lock): a GET that captured the pre-reload generation
         # fails its gen check and can never re-insert a pre-write
         # response into the freshly cleared cache
+        import time as _time
+
         with self._cache_lock:
             self._gen += 1
             self._cache.clear()
+            # live PITs survive the swap by design; EXPIRED ones are
+            # dropped here so a dead pinned reader (norms, dictionaries,
+            # vector matrices of an old build) can't outlive its
+            # keep_alive just because PIT traffic stopped
+            self._pit_purge(_time.monotonic())
         self._retire(old)
 
     def _retire(self, svc) -> None:

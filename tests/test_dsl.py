@@ -1184,3 +1184,66 @@ def test_dsl_intervals(built, ray_session):
     ):
         with pytest.raises(DslError):
             dsl_to_node(bad, an)
+
+
+def test_review_fixes_intervals_spanor_rankfeature(built, ray_session):
+    """Review-pass fixes: intervals' default max_gaps=-1 means NO
+    width restriction (not adjacent-only); span_or single-child
+    collapse keeps the boost; rank_feature refuses non-positive
+    pivot/exponent and scaling_factor < 1; timestamp feature values
+    normalize to µs regardless of the column's unit."""
+    import pyarrow as pa
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+    from docs_indexer_ray.query.qstring import (
+        _feature_values,
+        query_string_topk,
+    )
+
+    an = _an()
+    reader = built
+    # default ordered intervals == unlimited-gap ordered co-occurrence
+    got = {d for d, _ in query_string_topk(reader, {"intervals": {"body": {
+        "match": {"query": "node pools", "ordered": True}}}}, k=1000)}
+    want = set()
+    simple = Analyzer("simple")
+    for r in reader.fetch_docs(list(range(reader.n_docs)),
+                               ["doc_id", "body"]).to_pylist():
+        toks = simple(r["body"])
+        pn = [i for i, t in enumerate(toks) if t == "node"]
+        pp = [i for i, t in enumerate(toks) if t == "pools"]
+        if pn and pp and min(pn) < max(pp):
+            want.add(r["doc_id"])
+    assert got == want and got
+    # adjacent-only is the EXPLICIT max_gaps=0 spelling, a subset
+    tight = {d for d, _ in query_string_topk(reader, {"intervals": {"body": {
+        "match": {"query": "node pools", "ordered": True,
+                  "max_gaps": 0}}}}, k=1000)}
+    assert tight <= got
+
+    # span_or single-child collapse keeps the clause boost
+    n = dsl_to_node({"span_or": {"clauses": [
+        {"span_term": {"body": "node"}}], "boost": 5.0}}, an)
+    assert n.boost == 5.0
+
+    # rank_feature parameter validation (Lucene FeatureField rules)
+    for bad in (
+        {"rank_feature": {"field": "q", "saturation": {"pivot": 0}}},
+        {"rank_feature": {"field": "q", "saturation": {"pivot": -3}}},
+        {"rank_feature": {"field": "q",
+                          "sigmoid": {"pivot": 2, "exponent": 0}}},
+        {"rank_feature": {"field": "q", "log": {"scaling_factor": 0.5}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_to_node(bad, an)
+
+    # feature values normalize ms/ns timestamp columns to µs
+    class _Stub:
+        doc_lo, doc_hi = 0, 2
+
+        def stored_column(self, col):
+            return pa.array([1_000, 2_000], pa.timestamp("ms"))
+
+    vals = _feature_values(_Stub(), "ts")
+    assert vals.tolist() == [1_000_000.0, 2_000_000.0]

@@ -2248,3 +2248,30 @@ def test_export_shards_roundtrip_resume_jsonl(ray_session, tmp_path):
         export_shards(ds, out, n_shards=0)
     with _pytest.raises(ValueError):
         export_shards(ds, out, n_shards=2, fmt="csv")
+
+
+def test_export_shards_backfills_empty_shards(ray_session, tmp_path):
+    """A shard the hash never hit still gets its (empty) file and
+    manifest row — loaders enumerate 0..n_shards-1."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from docs_indexer_ray.ops.export import export_shards
+
+    src = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                    "text": pa.array([f"d{i}" for i in range(10)])})
+    out = str(tmp_path / "sparse")
+    mf = export_shards(ray.data.from_arrow(src), out, n_shards=64, seed=3)
+    assert mf["shard"].to_pylist() == list(range(64))
+    assert sum(mf["n_rows"].to_pylist()) == 10
+    for r in mf.to_pylist():
+        assert os.path.exists(r["path"]), r
+        t = pq.read_table(r["path"])
+        assert t.num_rows == r["n_rows"]
+        assert t.column_names == ["doc_id", "text"]  # schema even when empty
+    # resume over the sparse export skips everything, empties included
+    mf2 = export_shards(ray.data.from_arrow(src), out, n_shards=64, seed=3)
+    assert all(mf2["skipped"].to_pylist())

@@ -842,3 +842,42 @@ def test_http_concurrent_reads_during_writes(built, ray_session, tmp_path):
     finally:
         stop.set()
         srv.stop()
+
+
+def test_pit_ids_unique_per_open(built, ray_session, tmp_path):
+    """Two PITs opened on the SAME build get distinct ids: one
+    client's keep_alive or delete can't clobber the other's context."""
+    import shutil
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    root = str(tmp_path / "pituniq")
+    shutil.copytree(built, root)
+    srv = SearchServer(root, backend="local").start()
+
+    def post(path, body=None):
+        data = b"" if body is None else json.dumps(body).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}", data=data, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        _, a = post("/_pit?keep_alive=5m")
+        _, b = post("/_pit?keep_alive=5m")
+        assert a["pit_id"] != b["pit_id"]
+        # deleting B leaves A serving
+        _, out = post("/_pit/delete", {"pit_id": b["pit_id"]})
+        assert out["pits"][0]["successful"] is True
+        code, res = post("/_search", {"query": {"match_all": {}},
+                                      "size": 1, "pit": {"id": a["pit_id"]}})
+        assert code == 200 and res["pit_id"] == a["pit_id"]
+        code, _ = post("/_search", {"query": {"match_all": {}},
+                                    "pit": {"id": b["pit_id"]}})
+        assert code == 404
+    finally:
+        srv.stop()
