@@ -752,11 +752,24 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
             body.get("vector"), list
         ) or not body["vector"]:
             raise DslError(f"knn expects {{'vector': […]}}: {body!r}")
-        return _Knn(
+        node = _Knn(
             str(field),
             [float(x) for x in body["vector"]],
             boost=float(body.get("boost", 1.0)),
         )
+        if "filter" in body:
+            # the k-NN plugin's filtered search: restrict candidates to
+            # the filter's match set.  This serving tier scores the
+            # whole range EXACTLY, so the restriction is precisely
+            # bool(must=[knn, filter]) — same scores, filtered matches
+            # (no ANN candidate-list subtlety to lose recall over)
+            if not isinstance(body["filter"], dict):
+                raise DslError(f"knn filter must be a DSL object: "
+                               f"{body['filter']!r}")
+            flt = _dsl_node(body["filter"], analyzer, default_operator)
+            if flt is not None:
+                return _Bool(must=[node, flt])
+        return node
 
     if kind == "terms_set":
         from .qstring import _TermsSet

@@ -381,3 +381,32 @@ def test_merge_carries_vector_sidecars(ray_session, tmp_path):
     with pytest.raises(ValueError, match="dim"):
         merge_indexes(str(tmp_path / "a"), str(tmp_path / "b"),
                       str(tmp_path / "m2"))
+
+
+def test_knn_filter_spelling(built, ray_session):
+    """The k-NN plugin's filtered search: {"knn": {name: {"vector",
+    "filter": <DSL>}}} ≡ bool(must=[knn, filter]) — exact scoring
+    makes the restriction precise (no ANN candidate-list recall
+    subtlety)."""
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+    from docs_indexer_ray.query.qstring import query_string_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    root, vecs, _ = built
+    reader = IndexReader(root)
+    q = vecs[4].tolist()
+    flt = {"range": {"warc_ts": {"gte": "2023-01-01"}}}
+    sugar = {"knn": {"emb": {"vector": q, "filter": flt}}}
+    manual = {"bool": {"must": [
+        {"knn": {"emb": {"vector": q}}}, flt,
+    ]}}
+    assert query_string_topk(reader, sugar, k=20) == \
+        query_string_topk(reader, manual, k=20)
+    # filter restricts: ≤ unfiltered matches
+    unf = {d for d, _ in query_string_topk(
+        reader, {"knn": {"emb": {"vector": q}}}, k=1000)}
+    fil = {d for d, _ in query_string_topk(reader, sugar, k=1000)}
+    assert fil <= unf
+    an = lambda s: s.lower().split()  # noqa: E731
+    with pytest.raises(DslError):
+        dsl_to_node({"knn": {"emb": {"vector": q, "filter": "x"}}}, an)
