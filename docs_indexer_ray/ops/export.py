@@ -60,8 +60,9 @@ def export_shards(
     """Export ``ds`` as ``n_shards`` deterministic shard files under
     ``out_dir``; returns the manifest ``(shard, n_rows, first_key,
     last_key, path, skipped)`` sorted by shard.  ``columns`` prunes
-    the exported payload (the hash key column always rides along for
-    the exchange and is dropped from the files)."""
+    the exported payload; the ``key`` column always stays IN the files
+    (loaders resume by it) — only the internal ``__h``/``__shard``
+    exchange columns are dropped before writing."""
     if fmt not in ("parquet", "jsonl"):
         raise ValueError(f"fmt must be parquet|jsonl: {fmt!r}")
     if n_shards < 1:

@@ -320,8 +320,13 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                 "(no index-statistics default in this engine)"
             ) from None
         # Lucene's FeatureField rejects these at query build time —
-        # serving them would produce inf / negative scores on matching
-        # docs (pivot = x divides by zero; ln(scaling_factor + x) < 0)
+        # serving them would produce inf / negative / NaN scores on
+        # matching docs (pivot = x divides by zero; ln(sf + x) < 0;
+        # json.loads happily hands us NaN/Infinity literals)
+        import math as _math
+
+        if any(not _math.isfinite(v) for v in kw.values()):
+            raise DslError(f"rank_feature {fn} params must be finite")
         if kw.get("pivot", 1.0) <= 0 or kw.get("exponent", 1.0) <= 0:
             raise DslError(f"rank_feature {fn} needs pivot/exponent > 0")
         if kw.get("scaling_factor", 1.0) < 1.0:
@@ -371,6 +376,15 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
             raise DslError(
                 f"unsupported distance_feature origin {origin!r} "
                 "(geo origins are not supported — no geo mapping)"
+            )
+        import math as _math
+
+        if not (_math.isfinite(origin_v) and _math.isfinite(pivot_v)):
+            # json.loads accepts NaN/Infinity — they'd turn every
+            # matching doc's score into NaN/inf and poison the ranking
+            raise DslError(
+                f"distance_feature origin/pivot must be finite: "
+                f"{origin!r}, {pivot!r}"
             )
         if not pivot_v > 0:
             raise DslError(f"distance_feature pivot must be > 0: {pivot!r}")
@@ -488,6 +502,15 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                     return _Term(terms[0])
                 if bool(spec.get("ordered", False)):
                     return _Phrase(terms, slop=slop)
+                if len(set(terms)) != len(terms):
+                    # the unordered span kernel matches DISTINCT terms;
+                    # Lucene's unordered source requires one occurrence
+                    # per repeat — refuse loudly rather than silently
+                    # matching single-occurrence docs
+                    raise DslError(
+                        "unordered intervals with repeated tokens are "
+                        f"not supported: {terms!r} (use ordered: true)"
+                    )
                 return _SpanNear(terms, slop=slop)
             if rkind == "any_of":
                 subs = spec.get("intervals") if isinstance(spec, dict) \
@@ -759,16 +782,21 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
         )
         if "filter" in body:
             # the k-NN plugin's filtered search: restrict candidates to
-            # the filter's match set.  This serving tier scores the
-            # whole range EXACTLY, so the restriction is precisely
-            # bool(must=[knn, filter]) — same scores, filtered matches
-            # (no ANN candidate-list subtlety to lose recall over)
+            # the filter's match set.  The filter is NON-SCORING by the
+            # plugin's contract, so it rides as a zero-boost
+            # constant-score must leg: the match mask intersects, the
+            # score stays exactly boost×(1+cos)/2.  This serving tier
+            # scores the whole range exactly, so filtered results ARE
+            # the unfiltered ranking ∩ the filter's match set (no ANN
+            # candidate-list subtlety to lose recall over).
             if not isinstance(body["filter"], dict):
                 raise DslError(f"knn filter must be a DSL object: "
                                f"{body['filter']!r}")
             flt = _dsl_node(body["filter"], analyzer, default_operator)
             if flt is not None:
-                return _Bool(must=[node, flt])
+                from .qstring import _ConstScore
+
+                return _Bool(must=[node, _ConstScore(flt, boost=0.0)])
         return node
 
     if kind == "terms_set":

@@ -840,6 +840,8 @@ class SearchServer:
             # path verbatim (fleet or local) with no new distributed
             # code.  Bucket count = request count: an analytics agg
             # with a handful of human-named filters.
+            from .query.dsl import dsl_to_node
+
             buckets = {}
             for bname, sub in spec["filters"].items():
                 # the SNAPSHOT reader, not self._reader — one backend
@@ -850,6 +852,9 @@ class SearchServer:
                     else {"match": {fld: q}}  # GET q = match-any (OR)
                 )
                 combined = {"bool": {"must": [main, sub]}}
+                # validate before any fleet fan-out (clean 400, no
+                # per-bucket n-shard round trip on a malformed filter)
+                dsl_to_node(combined, analyzer)
                 buckets[bname] = {"doc_count": self._count_impl(
                     combined, True, svc, reader, analyzer
                 )}
@@ -1099,6 +1104,12 @@ class SearchServer:
         if "query" in spec:
             if not isinstance(spec["query"], dict):
                 raise ValueError(f"query must be an object: {spec['query']!r}")
+            # validate HERE, before any fleet fan-out — a malformed DSL
+            # must 400 with the clean DslError message, not an n-shard
+            # round trip surfacing a Ray-wrapped traceback
+            from .query.dsl import dsl_to_node
+
+            dsl_to_node(spec["query"], self._analyzer)
             return {"count": self._count_impl(
                 spec["query"], True, self._svc, self._reader, self._analyzer
             )}

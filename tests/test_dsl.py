@@ -1247,3 +1247,34 @@ def test_review_fixes_intervals_spanor_rankfeature(built, ray_session):
 
     vals = _feature_values(_Stub(), "ts")
     assert vals.tolist() == [1_000_000.0, 2_000_000.0]
+
+
+def test_review_fixes_round2(built, ray_session):
+    """Second review pass: knn filter is NON-scoring (filtered top-k ==
+    unfiltered ranking ∩ filter matches even for a SCORING filter);
+    non-finite feature params refused; duplicate-token unordered
+    intervals refused."""
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+    from docs_indexer_ray.query.qstring import query_string_topk
+
+    an = _an()
+    # non-finite params (json.loads accepts NaN/Infinity literals)
+    for bad in (
+        {"rank_feature": {"field": "q",
+                          "saturation": {"pivot": float("inf")}}},
+        {"rank_feature": {"field": "q",
+                          "saturation": {"pivot": float("nan")}}},
+        {"rank_feature": {"field": "q",
+                          "log": {"scaling_factor": float("inf")}}},
+        {"distance_feature": {"field": "x", "origin": 0,
+                              "pivot": float("inf")}},
+        {"distance_feature": {"field": "x", "origin": float("nan"),
+                              "pivot": 1}},
+        {"intervals": {"body": {"match": {"query": "node node",
+                                          "ordered": False}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_to_node(bad, an)
+    # duplicate tokens stay fine when ordered
+    dsl_to_node({"intervals": {"body": {"match": {
+        "query": "node node", "ordered": True}}}}, an)

@@ -397,8 +397,11 @@ def test_knn_filter_spelling(built, ray_session):
     q = vecs[4].tolist()
     flt = {"range": {"warc_ts": {"gte": "2023-01-01"}}}
     sugar = {"knn": {"emb": {"vector": q, "filter": flt}}}
+    # the filter leg is NON-scoring (k-NN plugin contract): equivalent
+    # to a zero-boost constant_score must leg, NOT a raw scoring must
     manual = {"bool": {"must": [
-        {"knn": {"emb": {"vector": q}}}, flt,
+        {"knn": {"emb": {"vector": q}}},
+        {"constant_score": {"filter": flt, "boost": 0}},
     ]}}
     assert query_string_topk(reader, sugar, k=20) == \
         query_string_topk(reader, manual, k=20)
@@ -410,3 +413,25 @@ def test_knn_filter_spelling(built, ray_session):
     an = lambda s: s.lower().split()  # noqa: E731
     with pytest.raises(DslError):
         dsl_to_node({"knn": {"emb": {"vector": q, "filter": "x"}}}, an)
+
+
+def test_knn_filter_is_non_scoring(built, ray_session):
+    """A SCORING filter (match) must not perturb knn scores: filtered
+    results are the unfiltered knn ranking restricted to the filter's
+    match set, scores identical."""
+    from docs_indexer_ray.query.qstring import query_string_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    root, vecs, _ = built
+    reader = IndexReader(root)
+    q = vecs[8].tolist()
+    flt = {"match": {"body": "node pools"}}  # BM25-scoring clause
+    filtered = query_string_topk(
+        reader, {"knn": {"emb": {"vector": q, "filter": flt}}}, k=1000
+    )
+    unfiltered = dict(query_string_topk(
+        reader, {"knn": {"emb": {"vector": q}}}, k=1000))
+    flt_set = {d for d, _ in query_string_topk(reader, flt, k=1000)}
+    assert {d for d, _ in filtered} == set(unfiltered) & flt_set
+    for d, s in filtered:  # scores stay on the (1+cos)/2 scale
+        assert s == unfiltered[d], d
