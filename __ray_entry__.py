@@ -1401,11 +1401,11 @@ def q_facet_terms(sf_dir: str) -> pa.Table:
     """OpenSearch ``terms`` aggregation: doc counts per ``lang`` among
     docs matching ANY of the bm25 query terms."""
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import match_doc_ids, terms_facet
+    from docs_indexer_ray.query.facets import match_doc_bitmap, terms_facet
     from docs_indexer_ray.query.reader import IndexReader
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
     ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "lang"])
     return terms_facet(ds, matched, field="lang")
 
@@ -1418,11 +1418,11 @@ def q_facet_terms_stats(sf_dir: str) -> pa.Table:
     import pyarrow.compute as _pc
 
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import match_doc_ids, terms_stats_facet
+    from docs_indexer_ray.query.facets import match_doc_bitmap, terms_stats_facet
     from docs_indexer_ray.query.reader import IndexReader
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
     ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "lang", "body"])
     ds = ds.map_batches(
         lambda t: t.append_column(
@@ -1440,11 +1440,11 @@ def q_facet_terms_approx(sf_dir: str) -> pa.Table:
     the exact facet's top-k with ``lo == hi`` and ``guaranteed``
     true, which is exactly what the SQL replays."""
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import match_doc_ids, terms_facet_approx
+    from docs_indexer_ray.query.facets import match_doc_bitmap, terms_facet_approx
     from docs_indexer_ray.query.reader import IndexReader
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
     ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "lang"])
     return terms_facet_approx(ds, matched, field="lang", k=5, m=1024)
 
@@ -1454,11 +1454,11 @@ def q_sort_by_date(sf_dir: str) -> pa.Table:
     docs matching ANY of the flagship terms, ordered ``warc_ts`` desc,
     doc id asc tie-break — per-batch partial top-k, no full sort."""
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import match_doc_ids, top_by_column
+    from docs_indexer_ray.query.facets import match_doc_bitmap, top_by_column
     from docs_indexer_ray.query.reader import IndexReader
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
     ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts"])
     return top_by_column(ds, matched, "warc_ts", k=10, ascending=False)
 
@@ -1697,11 +1697,11 @@ def _blen_ds_and_matched(sf_dir: str):
     import pyarrow.compute as _pc
 
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.facets import match_doc_bitmap
     from docs_indexer_ray.query.reader import IndexReader
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
     ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "body"])
     ds = ds.map_batches(
         lambda t: t.append_column("blen", _pc.utf8_length(t["body"]).cast(pa.int64())).select(
@@ -1943,13 +1943,13 @@ def q_facet_significant_terms(sf_dir: str) -> pa.Table:
     partitioned segment files, one task per partition, no
     re-tokenization (``query/significant.py``)."""
     from docs_indexer_ray.pipelines.flagship import ensure_index
-    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.facets import match_doc_bitmap
     from docs_indexer_ray.query.reader import IndexReader
     from docs_indexer_ray.query.significant import significant_terms
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
     reader = IndexReader(root)
-    matched = match_doc_ids(reader, list(_BM25_TERMS))
+    matched = match_doc_bitmap(reader, list(_BM25_TERMS))
     return significant_terms(reader, matched, k=10)
 
 
@@ -1972,11 +1972,11 @@ def q_facet_top_hits(sf_dir: str) -> pa.Table:
     """OpenSearch ``top_hits`` sub-aggregation: per language bucket,
     the 3 newest matched docs (sort by ``warc_ts`` desc)."""
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import match_doc_ids, top_hits
+    from docs_indexer_ray.query.facets import match_doc_bitmap, top_hits
     from docs_indexer_ray.query.reader import IndexReader
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
     ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "lang", "warc_ts"])
     return top_hits(ds, matched, group_col="lang", sort_col="warc_ts", k=3)
 
@@ -1987,11 +1987,11 @@ def q_facet_date_range(sf_dir: str) -> pa.Table:
     epoch-seconds derivation and ``range_facet`` (same partial-count
     machinery; empty buckets kept)."""
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import match_doc_ids, range_facet
+    from docs_indexer_ray.query.facets import match_doc_bitmap, range_facet
     from docs_indexer_ray.query.reader import IndexReader
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
     ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts"])
 
     def to_epoch(t: pa.Table) -> pa.Table:
@@ -2149,11 +2149,11 @@ def q_facet_multi_terms(sf_dir: str) -> pa.Table:
     import pyarrow.compute as _pc
 
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import match_doc_ids, multi_terms_facet
+    from docs_indexer_ray.query.facets import match_doc_bitmap, multi_terms_facet
     from docs_indexer_ray.query.reader import IndexReader
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
     ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "lang", "body"])
 
     def derive(t: pa.Table) -> pa.Table:
@@ -2362,11 +2362,11 @@ def q_facet_date_histogram(sf_dir: str) -> pa.Table:
     among docs matching ANY of the bm25 query terms (OR candidate
     set); partial counts per batch → tiny driver combine."""
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import date_histogram, match_doc_ids
+    from docs_indexer_ray.query.facets import date_histogram, match_doc_bitmap
     from docs_indexer_ray.query.reader import IndexReader
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
     ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts"])
     return date_histogram(ds, matched, ts_col="warc_ts", interval_s=3600)
 
@@ -2380,11 +2380,11 @@ def q_facet_pipeline(sf_dir: str) -> pa.Table:
     import pyarrow.compute as _pc
 
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import match_doc_ids, pipeline_aggs
+    from docs_indexer_ray.query.facets import match_doc_bitmap, pipeline_aggs
     from docs_indexer_ray.query.reader import IndexReader
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
     ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts", "body"])
     ds = ds.map_batches(
         lambda t: t.append_column(
@@ -2406,11 +2406,11 @@ def q_facet_matrix_stats(sf_dir: str) -> pa.Table:
     import pyarrow.compute as _pc
 
     from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import match_doc_ids, matrix_stats
+    from docs_indexer_ray.query.facets import match_doc_bitmap, matrix_stats
     from docs_indexer_ray.query.reader import IndexReader
 
     _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_ids(IndexReader(root), list(_BM25_TERMS))
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
     ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "body"])
     ds = ds.map_batches(
         lambda t: pa.table(

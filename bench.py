@@ -185,13 +185,13 @@ def run_bench() -> dict:
             import ray.data as _rd
 
             from docs_indexer_ray.query.facets import (
-                match_doc_ids,
+                match_doc_bitmap,
                 percentiles,
                 terms_facet,
             )
             from docs_indexer_ray.query.significant import significant_terms
 
-            matched = match_doc_ids(reader, term_sets[0])
+            matched = match_doc_bitmap(reader, term_sets[0])
             dset = _rd.read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
                 columns=["doc_id", "lang", "n_chars"],

@@ -28,6 +28,8 @@ import pyarrow.compute as pc
 
 __all__ = [
     "match_doc_ids",
+    "match_doc_bitmap",
+    "PackedMatches",
     "date_histogram",
     "histogram",
     "range_facet",
@@ -52,9 +54,117 @@ __all__ = [
 ]
 
 
-def match_doc_ids(reader, terms: list[str]) -> np.ndarray:
-    """Sorted LIVE doc ids containing ≥1 of ``terms`` (match-any /
-    OR); tombstoned docs (``index/deletes``) are excluded."""
+class PackedMatches:
+    """A match set as a PACKED uint8 bitmap (bit ``d`` set ⇔ doc ``d``
+    matched, little bit order) — the driver-side representation of a
+    corpus-scale match set: ≤ ``n_docs/8`` bytes regardless of how many
+    docs match, and the facet functions broadcast it as-is (no unpack
+    to an id list ever happens on the driver for the facet path)."""
+
+    __slots__ = ("bits", "n_docs")
+
+    def __init__(self, bits: np.ndarray, n_docs: int):
+        self.bits = np.ascontiguousarray(bits, np.uint8)
+        self.n_docs = int(n_docs)
+
+    def ids(self) -> np.ndarray:
+        """Sorted matched doc ids — MATCH-scale; only for small result
+        consumption (tests, fuzzy expansion), never the facet path."""
+        if len(self.bits) == 0:
+            return np.empty(0, np.int64)
+        return np.flatnonzero(
+            np.unpackbits(self.bits, bitorder="little")
+        ).astype(np.int64)
+
+    def __len__(self) -> int:  # matched-doc count, popcount not unpack
+        return int(np.unpackbits(self.bits, bitorder="little").sum())
+
+
+def _match_bits_range(
+    index_dir: str, chain: str | None, terms: list[str], lo: int, hi: int
+) -> np.ndarray:
+    """Worker-side kernel: this doc range's slice of the match bitmap.
+
+    Runs INSIDE a Ray task — builds a doc-range shard reader, decodes
+    only the posting blocks overlapping ``[lo, hi)`` per term
+    (``TermPostings.decode_range`` binary-searches ``block_last``), ORs
+    into a ``(hi-lo)/8``-byte local bitmap, and clears tombstoned bits.
+    ``lo`` is byte-aligned (multiple of 8) so disjoint slices
+    concatenate into the global bitmap with no driver-side OR."""
+    from .reader import IndexReader
+
+    r = IndexReader(index_dir, chain=chain, doc_range=(lo, hi))
+    bits = np.zeros((hi - lo + 7) >> 3, np.uint8)
+    for term in terms:
+        tp = r.postings(term)
+        if tp is None:
+            continue
+        ids, _ = tp.decode_range(lo, hi)
+        if len(ids):
+            d = ids.astype(np.int64) - lo
+            np.bitwise_or.at(bits, d >> 3, np.uint8(1) << (d & 7).astype(np.uint8))
+    dels = r.deleted_ids()
+    if len(dels):
+        dels = dels[(dels >= lo) & (dels < hi)].astype(np.int64) - lo
+        if len(dels):
+            np.bitwise_and.at(
+                bits, dels >> 3, ~(np.uint8(1) << (dels & 7).astype(np.uint8))
+            )
+    return bits
+
+
+_match_bits_remote = None  # lazily-created ray.remote wrapper
+
+
+def match_doc_bitmap(reader, terms: list[str], shards: int | None = None) -> PackedMatches:
+    """DISTRIBUTED match-any (OR) bitmap of LIVE docs containing ≥1 of
+    ``terms`` — the facet entry point.
+
+    No postings are ever decoded in the driver process: one Ray task
+    per byte-aligned doc-id range decodes only its range's posting
+    blocks (``decode_range``) and returns a ``range/8``-byte bitmap
+    slice; the driver concatenates slices (bitmap-scale,
+    ``n_docs/8`` bytes total — NEVER match-scale) and the facet
+    functions broadcast the result once via ``ray.put``.  At 10^12
+    docs the slices would instead stay sharded with the serving fleet
+    (``query/served.py`` computes per-shard match sets natively); this
+    path is the single-broadcast Dataset tier.
+
+    Falls back to a local decode only when Ray is not initialised
+    (standalone utility use at small scale)."""
+    import ray
+
+    terms = sorted(set(terms))
+    n = int(reader.n_docs)
+    if not terms or n == 0:
+        return PackedMatches(np.zeros((n + 7) >> 3, np.uint8), n)
+    if not ray.is_initialized():
+        return PackedMatches(
+            _pack_bitmap_sized(_match_doc_ids_local(reader, terms), n), n
+        )
+    if shards is None:
+        shards = max(1, min(64, -(-n // 16384)))
+    # byte-aligned disjoint ranges: each lo is a multiple of 8, so the
+    # returned slices concatenate into the global bitmap directly
+    edges = sorted({((n * i // shards) >> 3) << 3 for i in range(shards)} | {n})
+    if edges[0] != 0:
+        edges.insert(0, 0)
+    global _match_bits_remote
+    if _match_bits_remote is None:
+        _match_bits_remote = ray.remote(num_cpus=1)(_match_bits_range)
+    parts = ray.get(
+        [
+            _match_bits_remote.remote(reader.index_dir, reader.chain, terms, lo, hi)
+            for lo, hi in zip(edges[:-1], edges[1:])
+        ]
+    )
+    bits = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    return PackedMatches(bits, n)
+
+
+def _match_doc_ids_local(reader, terms: list[str]) -> np.ndarray:
+    """Driver-local decode (the pre-distribution path) — retained ONLY
+    as the no-Ray fallback of :func:`match_doc_bitmap`."""
     parts = []
     for term in set(terms):
         tp = reader.postings(term)
@@ -68,6 +178,17 @@ def match_doc_ids(reader, terms: list[str]) -> np.ndarray:
     return out
 
 
+def match_doc_ids(reader, terms: list[str]) -> np.ndarray:
+    """Sorted LIVE doc ids containing ≥1 of ``terms`` (match-any /
+    OR); tombstoned docs (``index/deletes``) are excluded.
+
+    Computed DISTRIBUTED via :func:`match_doc_bitmap` (range tasks,
+    no driver-side postings decode) and unpacked to an id array —
+    match-scale output, so use :func:`match_doc_bitmap` directly when
+    feeding a facet (the facets accept the packed form as-is)."""
+    return match_doc_bitmap(reader, terms).ids()
+
+
 def _pack_bitmap(ids: np.ndarray) -> np.ndarray:
     """Sorted doc-id set → uint8 bitmap (bit d set ⇔ d in ids)."""
     ids = np.asarray(ids, np.int64)
@@ -76,6 +197,25 @@ def _pack_bitmap(ids: np.ndarray) -> np.ndarray:
     bits = np.zeros((int(ids.max()) >> 3) + 1, np.uint8)
     np.bitwise_or.at(bits, ids >> 3, np.uint8(1) << (ids & 7).astype(np.uint8))
     return bits
+
+
+def _pack_bitmap_sized(ids: np.ndarray, n_docs: int) -> np.ndarray:
+    """Like :func:`_pack_bitmap` but sized to cover ``[0, n_docs)``."""
+    ids = np.asarray(ids, np.int64)
+    bits = np.zeros((n_docs + 7) >> 3, np.uint8)
+    if len(ids):
+        np.bitwise_or.at(bits, ids >> 3, np.uint8(1) << (ids & 7).astype(np.uint8))
+    return bits
+
+
+def _as_bits(matched) -> np.ndarray:
+    """Facet-input normalizer: a :class:`PackedMatches` passes its
+    bitmap through UNCHANGED (the distributed entry path — nothing
+    match-scale ever materialized on the driver); a plain id array
+    (tests / small sets) is packed here."""
+    if isinstance(matched, PackedMatches):
+        return matched.bits
+    return _pack_bitmap(np.asarray(matched, np.int64))
 
 
 def _member_mask(bits: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
@@ -94,7 +234,7 @@ def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field):
 
     # broadcast ONCE; every task's ray.get is a zero-copy read of the
     # node-local object-store copy (numpy over plasma)
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     def partial_counts(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
@@ -208,7 +348,7 @@ def range_facet(
     comparison per bucket, constant-size final."""
     import ray
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
     lows = np.array([r[0] for r in ranges], np.float64)
     highs = np.array([r[1] for r in ranges], np.float64)
 
@@ -267,7 +407,7 @@ def percentiles(
     own algorithm (Dunning & Ertl) for unbounded cardinalities."""
     import ray
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     if approx:
         from ..ops.sketch import TDigest
@@ -444,7 +584,7 @@ def percentile_ranks(
     constant-size row per block, like :func:`range_facet`."""
     import ray
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
     vals = np.array(sorted(values), np.float64)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -503,7 +643,7 @@ def top_by_column(
     no full sort, no corpus-scale rows to the driver."""
     import ray
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     def partial(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
@@ -570,7 +710,7 @@ def multi_terms_facet(
     rows (≤ distinct-tuples-per-block move)."""
     import ray
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     def partial(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
@@ -621,7 +761,7 @@ def top_hits(
 
     from ..ops.windows import topk_per_group
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     def flt(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
@@ -763,7 +903,7 @@ def composite_facet(
     the API's contract."""
     import ray
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     def partial(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
@@ -944,7 +1084,7 @@ def stats_facet(docs_ds, matched: np.ndarray, col: str) -> pa.Table:
     a constant-size final fold.  Nothing corpus-scale moves."""
     import ray
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     def partial(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
@@ -1008,7 +1148,7 @@ def extended_stats_facet(docs_ds, matched: np.ndarray, col: str) -> pa.Table:
     Σx² scalar per block."""
     import ray
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     def partial(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
@@ -1079,7 +1219,7 @@ def weighted_avg_facet(
     docs — two exact scalar partials per block, one final division."""
     import ray
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     def partial(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
@@ -1152,7 +1292,7 @@ def cardinality(
     OpenSearch missing-value semantics."""
     import ray
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     if approx:
         from ..ops.sketch import HLL, hll_sketch_batch
@@ -1227,7 +1367,7 @@ def terms_facet_approx(
 
     from ..ops.sketch import heavy_hitters
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     def keep_matched(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
@@ -1270,7 +1410,7 @@ def terms_stats_facet(
 
     from ..collect import tables_of
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     def partial(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
@@ -1377,7 +1517,7 @@ def pipeline_aggs(
     """
     import ray
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
     div = pa.scalar(interval_s * 1_000_000, pa.int64())
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1478,7 +1618,7 @@ def matrix_stats(docs_ds, matched: np.ndarray, x_col: str, y_col: str) -> pa.Tab
     """
     import ray
 
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    bits_ref = ray.put(_as_bits(matched))
 
     def partial(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)

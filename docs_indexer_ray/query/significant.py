@@ -121,7 +121,9 @@ def significant_terms(
                 "score": pa.array([], pa.float64()),
             }
         )
-    bits_ref = ray.put(_pack_bitmap(np.asarray(matched, np.int64)))
+    from .facets import _as_bits
+
+    bits_ref = ray.put(_as_bits(matched))
     block_size = int(reader.manifest.get("block_size", 128))
     task = ray.remote(num_cpus=1)(_scan_partition)
     parts = ray.get(

@@ -96,6 +96,55 @@ def test_match_doc_ids_union_semantics(built):
     assert len(match_doc_ids(reader, ["zzz_not_a_term"])) == 0
 
 
+def test_match_set_never_decodes_postings_on_driver(built, ray_session, monkeypatch):
+    """The facet entry path's match set is computed by RANGE TASKS on
+    the workers (``match_doc_bitmap``) — planted guard: poison every
+    postings decode in the DRIVER process and assert the distributed
+    path still produces the exact match set and facet counts (the Ray
+    workers import their own unpatched module copies; with any
+    driver-side ``decode_all``/``decode_range`` the poisoned methods
+    would raise)."""
+    import ray.data
+
+    from docs_indexer_ray.query import segments_io
+    from docs_indexer_ray.query.facets import (
+        match_doc_bitmap,
+        match_doc_ids,
+        terms_facet,
+    )
+
+    reader, pages = built
+    expect = match_doc_ids(reader, ["node", "quota"])  # pre-poison reference
+
+    def _boom(self, *a, **k):
+        raise AssertionError("postings decoded in the driver process")
+
+    monkeypatch.setattr(segments_io.TermPostings, "decode_all", _boom)
+    monkeypatch.setattr(segments_io.TermPostings, "decode_range", _boom)
+
+    from docs_indexer_ray.query.reader import IndexReader
+
+    fresh = IndexReader(reader.index_dir)  # no memoized postings cache
+    pm = match_doc_bitmap(fresh, ["node", "quota"], shards=3)
+    assert np.array_equal(pm.ids(), expect)
+    assert len(pm) == len(expect)
+
+    # a full facet through the packed form — still no driver decode
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(pages["url"])), pa.int64()),
+            "k": pa.array(
+                (np.arange(len(pages["url"])) % 3).astype("U1")
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    t = terms_facet(ds, pm, field="k")
+    t2 = terms_facet(ds, expect, field="k")  # id-array form, same counts
+    assert t.equals(t2)
+    assert int(pa.compute.sum(t["n_docs"]).as_py()) == len(expect)
+
+
 def test_terms_facet_and_date_histogram(built, ray_session):
     import ray.data
 
