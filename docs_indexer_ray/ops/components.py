@@ -25,12 +25,21 @@ Two modes, same semantics (equality-tested):
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 
 from .join import hash_join
 
 __all__ = ["connected_components", "canonical_docs"]
+
+_LOG = logging.getLogger(__name__)
+
+#: auto-mode switch point: 5·10^7 edges ≈ 800 MB driver working set
+#: (nodes + labels + both edge-index arrays) — comfortably inside one
+#: driver heap; beyond it the hash-to-min rounds pay their shuffles.
+DRIVER_EDGE_BUDGET = 50_000_000
 
 
 def _valid_edges(t: pa.Table, a: str, b: str) -> pa.Table:
@@ -53,15 +62,37 @@ def connected_components(
     b: str = "b",
     max_iter: int = 50,
     num_buckets: int = 32,
-    mode: str = "driver",
+    mode: str = "auto",
+    driver_edge_budget: int = DRIVER_EDGE_BUDGET,
 ):
     """Edges ``(a, b)`` → one ``(node, component)`` row per distinct
     endpoint, ``component`` = the minimum node id reachable from it
     (so the canonical member labels its whole cluster).  Returned as
     a Dataset in ``distributed`` mode, an Arrow table in ``driver``
-    mode (both output-scale)."""
+    mode (both output-scale).
+
+    ``mode="auto"`` (default) picks for you from ONE cheap edge
+    ``count()`` (the edge set is materialized first so the count is
+    metadata, not a recompute): at or under ``driver_edge_budget``
+    edges the vectorized driver fold wins outright (no shuffle
+    rounds); above it — a boilerplate-heavy crawl can emit 10^10
+    near-dup edges — the hash-to-min rounds keep every array
+    task-sized.  The choice is logged; both modes are equality-tested
+    against each other."""
     import ray
     import ray.data
+
+    if mode == "auto":
+        pairs_ds = pairs_ds.materialize()
+        n_edges = pairs_ds.count()
+        mode = "driver" if n_edges <= driver_edge_budget else "distributed"
+        _LOG.info(
+            "connected_components auto mode: %d edges → %s "
+            "(driver budget %d)",
+            n_edges,
+            mode,
+            driver_edge_budget,
+        )
 
     if mode == "driver":
         from ..collect import tables_of

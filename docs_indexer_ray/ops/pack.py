@@ -22,10 +22,13 @@ last_id)`` — rather than the id arrays themselves; a writer that
 needs the arrays materializes them the same way inside the group
 kernel (`_pack_group` yields them before digesting).
 
-Vocabulary state: collected once (per-batch distinct → driver sorted
-unique — vocabulary-scale, the same footprint the suggester already
-holds) and broadcast via ``ray.put``; each group task does ONE
-``np.searchsorted`` per doc batch, no per-token Python.
+Vocabulary state: collected once — per-batch distinct (combiner)
+→ ONE ``groupby(term)`` shuffle (the distributed distinct, so the
+driver never sees duplicate terms from different batches) → driver
+holds only the truly-distinct sorted vocabulary, the exact footprint
+the ``ray.put`` broadcast needs (the suggester's term dictionary is
+the same size); each group task does ONE ``np.searchsorted`` per doc
+batch, no per-token Python.
 """
 
 from __future__ import annotations
@@ -41,8 +44,18 @@ __all__ = ["collect_vocab", "pack_sequences", "tokenize_to_ids", "pack_ids"]
 def collect_vocab(ds, text_col: str = "text", chain: str = "simple") -> np.ndarray:
     """Sorted distinct analyzer terms of the corpus (the id space).
 
-    Per-batch local distinct (vectorized set) → small per-batch rows →
-    driver unique.  Only distinct-term strings ever leave a task."""
+    Per-batch local distinct (the combiner — only a batch's distinct
+    term strings leave a task) → ONE ``groupby(term)`` shuffle (the
+    DISTRIBUTED distinct: cross-batch duplicate folding happens in the
+    reduce tasks, the same one-shuffle shape as ``bpe.py``'s word
+    count) → the driver collects blocks of already-globally-distinct
+    terms and sorts.  Driver memory is exactly vocabulary-scale — the
+    unavoidable footprint of the ``ray.put`` broadcast the packers do
+    next (a web-scale 10^8-term vocabulary at ~10 B/term is ~1 GB:
+    broadcast-able; the pre-fix per-batch-duplicates union was
+    corpus-batch-scale and unbounded)."""
+    import ray
+
     an = Analyzer(chain)
 
     def local(batch: pa.Table) -> pa.Table:
@@ -51,9 +64,21 @@ def collect_vocab(ds, text_col: str = "text", chain: str = "simple") -> np.ndarr
             seen.update(an(t or ""))
         return pa.table({"term": pa.array(sorted(seen), pa.string())})
 
-    parts = ds.map_batches(local, batch_format="pyarrow").take_all()
-    vocab = np.unique(np.array([r["term"] for r in parts], dtype=object))
-    return vocab
+    distinct = (
+        ds.map_batches(local, batch_format="pyarrow").groupby("term").count()
+    )
+    parts = [
+        ray.get(r)
+        for r in distinct.materialize().to_arrow_refs()
+    ]
+    cols = [p["term"].combine_chunks() for p in parts if p.num_rows]
+    if not cols:
+        return np.empty(0, object)
+    terms = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols]
+    )
+    # post-groupby blocks are globally duplicate-free: sort, don't unique
+    return np.sort(np.asarray(terms.to_pylist(), dtype=object))
 
 
 def pack_sequences(

@@ -25,8 +25,8 @@ them exactly.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "topk_per_group"]
 
@@ -59,20 +59,27 @@ def tumbling_window(
     win_us = np.int64(window_s) * 1_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch[key].to_numpy(zero_copy_only=False)
-        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        win = (ts.astype(np.int64) // win_us).astype(np.int64)
-        vals = batch[value_col].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({key: keys, "window": win, "v": vals})
-        agg = df.groupby([key, "window"], sort=False).agg(
-            n_part=("v", "size"), sum_part=("v", "sum")
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        win = pc.divide(ts, pa.scalar(int(win_us), pa.int64()))
+        agg = (
+            pa.table(
+                {
+                    key: batch[key].combine_chunks(),
+                    "window": win.combine_chunks(),
+                    "v": batch[value_col].combine_chunks(),
+                }
+            )
+            .group_by([key, "window"])
+            .aggregate([([], "count_all"), ("v", "sum")])
         )
-        agg = agg.reset_index()
-        # strip pandas schema metadata before the shuffle (unhashable
-        # schemas spam every reduce task's log)
-        return pa.Table.from_pandas(
-            agg, preserve_index=False
-        ).replace_schema_metadata(None)
+        return pa.table(
+            {
+                key: agg[key],
+                "window": agg["window"],
+                "n_part": agg["count_all"].cast(pa.int64()),
+                "sum_part": agg["v_sum"],
+            }
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -106,27 +113,40 @@ def hopping_window(
     k_windows = size_s // hop_s
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch[key].to_numpy(zero_copy_only=False)
-        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        last = ts.astype(np.int64) // hop_us  # last window containing the event
-        vals = batch[value_col].to_numpy(zero_copy_only=False)
-        # explode to the k hop-windows covering each event
+        n = batch.num_rows
+        ts = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        last = ts // hop_us  # last window containing the event
+        # explode to the k hop-windows covering each event — the
+        # key/value explode is an Arrow take (type-preserving, no
+        # numpy-object detour for string keys)
         off = np.arange(k_windows, dtype=np.int64)
         win = (last[:, None] - off[None, :]).reshape(-1)
         keep = win >= 0  # windows never start before the epoch
-        df = pd.DataFrame(
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k_windows)[keep])
+        agg = (
+            pa.table(
+                {
+                    key: batch[key].combine_chunks().take(idx),
+                    "window": pa.array(win[keep], pa.int64()),
+                    "v": batch[value_col].combine_chunks().take(idx),
+                }
+            )
+            .group_by([key, "window"])
+            .aggregate([([], "count_all"), ("v", "sum")])
+        )
+        return pa.table(
             {
-                key: np.repeat(keys, k_windows)[keep],
-                "window": win[keep],
-                "v": np.repeat(vals, k_windows)[keep],
+                key: agg[key],
+                "window": agg["window"],
+                "n_part": agg["count_all"].cast(pa.int64()),
+                "sum_part": agg["v_sum"],
             }
         )
-        agg = df.groupby([key, "window"], sort=False).agg(
-            n_part=("v", "size"), sum_part=("v", "sum")
-        )
-        return pa.Table.from_pandas(
-            agg.reset_index(), preserve_index=False
-        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -152,10 +172,38 @@ def topk_per_group(
     vectorized per-partition final selection (no per-group Python).
     Output: the selected rows + a 1-based ``rank`` column."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        order = [order_col] + [c for c in batch.columns if c != order_col]
-        g = batch.sort_values(order, ascending=ascending, kind="mergesort")
-        return g.groupby(key, sort=False).head(k)
+    dirn = "ascending" if ascending else "descending"
+
+    def _head_k_per_key(t: pa.Table, with_rank: bool) -> pa.Table:
+        """Sort by (key asc, order-cols in ``dirn``), then keep each
+        key run's first ``k`` rows — one stable Arrow sort + one
+        run-boundary scan, no per-group Python."""
+        order = [(key, "ascending"), (order_col, dirn)] + [
+            (c, dirn) for c in t.column_names if c not in (key, order_col)
+        ]
+        t = t.sort_by(order)
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("rank", pa.array([], pa.int64())) if with_rank else t
+        kcol = t[key].combine_chunks()
+        new_key = np.concatenate(
+            (
+                [True],
+                np.asarray(
+                    pc.not_equal(kcol.slice(1), kcol.slice(0, n - 1)).fill_null(True)
+                ),
+            )
+        )
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        t = t.filter(pa.array(pos < k))
+        if with_rank:
+            t = t.append_column("rank", pa.array(pos[pos < k] + 1, pa.int64()))
+        return t
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _head_k_per_key(batch.replace_schema_metadata(None), with_rank=False)
 
     def add_part(t: pa.Table) -> pa.Table:
         # drop pandas-roundtrip schema metadata — unhashable schemas
@@ -165,22 +213,14 @@ def topk_per_group(
         keys = t[key].to_numpy(zero_copy_only=False)
         return t.append_column("__gpart", pa.array(_key_part(keys, num_parts)))
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.drop(columns="__gpart")
-        order = [key, order_col] + [
-            c for c in group.columns if c not in (key, order_col)
-        ]
-        asc = [True] + [ascending] * (len(order) - 1)
-        g = group.sort_values(order, ascending=asc, kind="mergesort")
-        g = g.groupby(key, sort=False).head(k)
-        g["rank"] = g.groupby(key, sort=False).cumcount() + 1
-        return g
+    def final(group: pa.Table) -> pa.Table:
+        return _head_k_per_key(group.drop_columns(["__gpart"]), with_rank=True)
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("__gpart")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
@@ -207,30 +247,59 @@ def sessionize(
             "__kpart", pa.array(_key_part(keys, num_parts))
         )
 
-    def sessions_of_partition(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([key, ts_col], kind="mergesort")
-        keys = g[key].to_numpy()
-        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+    def sessions_of_partition(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(key, "ascending"), (ts_col, "ascending")])
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key: group[key],
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.int64()),
+                    "session_end": pa.array([], pa.int64()),
+                }
+            )
+        kcol = g[key].combine_chunks()
+        ts = (
+            g[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        new_key = np.concatenate(
+            (
+                [True],
+                np.asarray(
+                    pc.not_equal(kcol.slice(1), kcol.slice(0, n - 1)).fill_null(True)
+                ),
+            )
+        )
         gap = np.concatenate(([0], ts[1:] - ts[:-1]))
         new_session = new_key | (gap > gap_us)
         # session ordinal per key: cumulative count of new_session
-        # boundaries, reset at each key run
+        # boundaries, reset at each key run (key runs are contiguous
+        # after the sort, so "first sid of the run" is a repeat, not a
+        # groupby)
         sid_global = np.cumsum(new_session) - 1
-        key_first_sid = pd.Series(sid_global).groupby(keys).transform("min").to_numpy()
-        sid = sid_global - key_first_sid
-        df = pd.DataFrame(
-            {key: keys, "session_id": sid.astype(np.int64), "ts": ts}
+        kstarts = np.flatnonzero(new_key)
+        klens = np.diff(np.append(kstarts, n))
+        sid = sid_global - np.repeat(sid_global[kstarts], klens)
+        # per-session aggregates straight off the run boundaries
+        sstarts = np.flatnonzero(new_session)
+        sends = np.append(sstarts[1:], n) - 1
+        return pa.table(
+            {
+                key: kcol.take(pa.array(sstarts)),
+                "session_id": pa.array(sid[sstarts], pa.int64()),
+                "n_events": pa.array(sends - sstarts + 1, pa.int64()),
+                "session_start": pa.array(ts[sstarts], pa.int64()),
+                "session_end": pa.array(ts[sends], pa.int64()),
+            }
         )
-        out = df.groupby([key, "session_id"], sort=False).agg(
-            n_events=("ts", "size"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-        )
-        return out.reset_index()
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__kpart")
-        .map_groups(sessions_of_partition, batch_format="pandas")
+        .map_groups(sessions_of_partition, batch_format="pyarrow")
     )

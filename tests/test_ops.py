@@ -586,6 +586,51 @@ def test_connected_components_and_canonical(ray_session):
         connected_components(ray.data.from_arrow(path), mode="nope")
 
 
+def test_connected_components_auto_switch_boundary(ray_session, caplog):
+    """``mode="auto"`` picks driver at/below the edge budget and
+    distributed above it — and the two sides of the boundary label a
+    planted edge set IDENTICALLY (same clusters, same canonical
+    minima), so the switch is invisible to callers beyond the
+    table-vs-Dataset return type."""
+    import logging
+
+    import ray
+    import ray.data
+
+    from docs_indexer_ray.ops.components import connected_components
+
+    # two chains + an isolated edge: 7 edges
+    pairs = pa.table(
+        {
+            "a": pa.array([3, 4, 5, 40, 41, 42, 90], pa.int64()),
+            "b": pa.array([4, 5, 6, 41, 42, 43, 91], pa.int64()),
+        }
+    )
+    want = {3: 3, 4: 3, 5: 3, 6: 3, 40: 40, 41: 40, 42: 40, 43: 40, 90: 90, 91: 90}
+
+    with caplog.at_level(logging.INFO, "docs_indexer_ray.ops.components"):
+        # budget ≥ edges → driver fold, returns an Arrow table
+        t_drv = connected_components(
+            ray.data.from_arrow(pairs).repartition(3), driver_edge_budget=7
+        )
+        assert isinstance(t_drv, pa.Table)
+        # budget < edges → hash-to-min rounds, returns a Dataset
+        ds_dist = connected_components(
+            ray.data.from_arrow(pairs).repartition(3),
+            driver_edge_budget=6,
+            num_buckets=2,
+        )
+        assert not isinstance(ds_dist, pa.Table)
+    assert "auto mode: 7 edges → driver" in caplog.text
+    assert "auto mode: 7 edges → distributed" in caplog.text
+
+    parts = [p for p in (ray.get(r) for r in ds_dist.to_arrow_refs()) if p.num_rows]
+    t_dist = pa.concat_tables(parts).sort_by("node")
+    assert t_dist.equals(t_drv.sort_by("node"))
+    got = dict(zip(t_drv["node"].to_pylist(), t_drv["component"].to_pylist()))
+    assert got == want
+
+
 def test_connected_components_drops_null_edges(ray_session):
     """A null endpoint must be dropped, not float-cast to INT64_MIN —
     the pseudo-node would win every min fold and mislabel its whole
