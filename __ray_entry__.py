@@ -2371,6 +2371,42 @@ def q_facet_date_histogram(sf_dir: str) -> pa.Table:
     return date_histogram(ds, matched, ts_col="warc_ts", interval_s=3600)
 
 
+def q_facet_date_histogram_month(sf_dir: str) -> pa.Table:
+    """OpenSearch ``date_histogram`` with a CALENDAR interval —
+    monthly doc counts among docs matching ANY of the bm25 query
+    terms: the "docs per month" dashboard query.  Buckets are civil
+    ``date_trunc('month', …)`` starts (variable-width months, numpy
+    ``datetime64[M]`` integer month arithmetic — not epoch division),
+    mirroring DuckDB exactly so the oracle replays it bit-for-bit.
+    Reference analog: the ``date`` field of
+    ``/root/reference/mappings/hugo.json:51-53``."""
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import date_histogram, match_doc_bitmap
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts"])
+
+    # the synthetic warc_ts spans minutes — spread docs one day apart
+    # (ts + doc_id·1d) so the month histogram has real multi-bucket
+    # structure at every sf; the oracle applies the same shift
+    def _spread(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = t["warc_ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        shifted = base + ids.astype("timedelta64[D]").astype("timedelta64[us]")
+        return t.set_column(
+            t.schema.get_field_index("warc_ts"),
+            "warc_ts",
+            pa.array(shifted, pa.timestamp("us")),
+        )
+
+    ds = ds.map_batches(_spread, batch_format="pyarrow")
+    return date_histogram(ds, matched, ts_col="warc_ts", interval_s="month")
+
+
 def q_facet_pipeline(sf_dir: str) -> pa.Table:
     """OpenSearch PIPELINE aggregations (cumulative_sum / derivative /
     moving_fn avg / bucket_script) over a 10-minute date_histogram
@@ -3901,6 +3937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_after": q_bm25_search_after,
         "bm25_topk_merged": q_bm25_topk_merged,
         "facet_date_histogram": q_facet_date_histogram,
+        "facet_date_histogram_month": q_facet_date_histogram_month,
         "facet_pipeline": q_facet_pipeline,
         "facet_matrix_stats": q_facet_matrix_stats,
         "facet_terms": q_facet_terms,
@@ -6010,6 +6047,17 @@ def oracle_sql() -> dict[str, str]:
         m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
         w AS (SELECT doc_id, {_WARC} AS warc_ts FROM m)
         SELECT CAST(floor(epoch_us(warc_ts) / 3600000000) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM w GROUP BY 1 ORDER BY n_docs DESC, bucket ASC
+    """
+    sqls["facet_date_histogram_month"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        w AS (SELECT doc_id,
+                     {_WARC} + to_days(CAST(doc_id AS INTEGER)) AS warc_ts
+              FROM m)
+        SELECT CAST(date_trunc('month', warc_ts) AS TIMESTAMP) AS bucket,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM w GROUP BY 1 ORDER BY n_docs DESC, bucket ASC
     """

@@ -101,9 +101,11 @@ class DslError(ValueError):
 def _interval_seconds(s) -> int:
     """Fixed-width interval spec → seconds: ``3600``, ``"90s"``,
     ``"30m"``, ``"1h"``, ``"1d"``, ``"1w"``, or the calendar names
-    second/minute/hour/day/week.  month/year are NOT fixed-width —
-    refused loudly (this engine's date_histogram buckets by fixed
-    epoch division, the OpenSearch ``fixed_interval`` semantics)."""
+    second/minute/hour/day/week.  month/quarter/year are NOT
+    fixed-width — refused here; callers that support OpenSearch
+    ``calendar_interval`` (the serving agg compiler) route those
+    units to the civil date_trunc path (``facets._calendar_trunc_us``)
+    BEFORE calling this."""
     import re as _re
 
     if isinstance(s, (int, float)):

@@ -281,15 +281,73 @@ def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field):
     return out.sort_by([("n_docs", "descending"), (key_field.name, "ascending")])
 
 
+_CALENDAR_UNITS = ("month", "quarter", "year")
+
+
+def _calendar_trunc_us(ts64: np.ndarray, unit: str) -> np.ndarray:
+    """Vectorized civil-calendar truncation: ``datetime64[us]`` array →
+    epoch-us of each value's bucket START (``date_trunc`` semantics,
+    mirroring DuckDB exactly so the SQL oracle replays it).  Calendar
+    months/years are variable-width, so this is integer month
+    arithmetic via numpy's ``datetime64[M]/[Y]`` casts — no epoch
+    division, no Python datetime loop."""
+    if unit == "month":
+        m = ts64.astype("datetime64[M]")
+    elif unit == "year":
+        m = ts64.astype("datetime64[Y]")
+    elif unit == "quarter":
+        mi = ts64.astype("datetime64[M]").astype(np.int64)
+        # months-since-1970 floored to the quarter boundary (exact for
+        # pre-1970 too: floor division rounds toward -inf)
+        m = ((mi // 3) * 3).astype("datetime64[M]")
+    else:
+        raise ValueError(
+            f"unknown calendar interval {unit!r} — one of {_CALENDAR_UNITS}"
+        )
+    return m.astype("datetime64[us]").astype(np.int64)
+
+
 def date_histogram(
     docs_ds,
     matched: np.ndarray,
     ts_col: str = "warc_ts",
-    interval_s: int = 3600,
+    interval_s: int | str = 3600,
 ) -> pa.Table:
-    """Doc counts per ``interval_s`` bucket of ``ts_col`` among the
-    matched docs → ``(bucket, n_docs)``, count desc / bucket asc.
-    ``bucket`` is ``floor(epoch_seconds / interval_s)``."""
+    """Doc counts per bucket of ``ts_col`` among the matched docs →
+    ``(bucket, n_docs)``, count desc / bucket asc.
+
+    ``interval_s`` is either a FIXED width in seconds (``bucket`` =
+    ``floor(epoch_seconds / interval_s)``, int64 — OpenSearch
+    ``fixed_interval``) or a CALENDAR unit ``"month"``/``"quarter"``/
+    ``"year"`` (OpenSearch ``calendar_interval``; ``bucket`` = the
+    civil bucket-start ``timestamp[us]``, exactly DuckDB
+    ``date_trunc`` — the docs-site operator's "docs per month"
+    dashboard query)."""
+
+    if isinstance(interval_s, str) and not interval_s.isdigit():
+        unit = interval_s
+        if unit not in _CALENDAR_UNITS:
+            raise ValueError(
+                f"unknown calendar interval {unit!r} — one of {_CALENDAR_UNITS}"
+            )
+
+        def key_of(t: pa.Table) -> pa.Array:
+            ts64 = (
+                t[ts_col]
+                .cast(pa.timestamp("us"))
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            valid = ~np.isnat(ts64)
+            out = np.zeros(len(ts64), np.int64)
+            out[valid] = _calendar_trunc_us(ts64[valid], unit)
+            return pa.array(
+                out.astype("datetime64[us]"), pa.timestamp("us"), mask=~valid
+            )
+
+        return _facet(docs_ds, matched, key_of, pa.field("bucket", pa.timestamp("us")))
+
+    interval_s = int(interval_s)
 
     def key_of(t: pa.Table) -> pa.Array:
         us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
@@ -522,10 +580,25 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
     """
     vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
     if kind == "date_histogram":
-        us = pa.chunked_array([vals]).cast(pa.timestamp("us")).cast(pa.int64())
-        keys = pc.divide(
-            us, pa.scalar(int(arg) * 1_000_000, pa.int64())
-        ).combine_chunks()
+        if isinstance(arg, str) and not arg.isdigit():
+            # calendar interval (month/quarter/year): key = epoch-us of
+            # the civil bucket start — partials with identical keys sum
+            # exactly across shards, same as the fixed-width path
+            ts64 = (
+                pa.chunked_array([vals])
+                .cast(pa.timestamp("us"))
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            valid = ~np.isnat(ts64)
+            out = np.zeros(len(ts64), np.int64)
+            out[valid] = _calendar_trunc_us(ts64[valid], str(arg))
+            keys = pa.array(out, pa.int64(), mask=~valid)
+        else:
+            us = pa.chunked_array([vals]).cast(pa.timestamp("us")).cast(pa.int64())
+            keys = pc.divide(
+                us, pa.scalar(int(arg) * 1_000_000, pa.int64())
+            ).combine_chunks()
     elif kind == "histogram":
         v = pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False

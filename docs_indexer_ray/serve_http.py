@@ -377,14 +377,24 @@ class SearchServer:
             elif "date_histogram" in agg:
                 dh = agg["date_histogram"]
                 from .query.dsl import _interval_seconds
+                from .query.facets import _CALENDAR_UNITS
 
                 iv = dh.get(
                     "fixed_interval",
                     dh.get("calendar_interval", dh.get("interval")),
                 )
+                # calendar intervals (month/quarter/year — plus the
+                # 1-suffixed OpenSearch spellings) bucket by civil
+                # date_trunc, not epoch division; pass the unit through
+                iv_cal = {"1M": "month", "1q": "quarter", "1y": "year"}.get(
+                    str(iv), str(iv)
+                )
                 p.setdefault("aggs_extra", []).append({
                     "name": name, "kind": "date_histogram",
-                    "field": dh["field"], "arg": _interval_seconds(iv),
+                    "field": dh["field"],
+                    "arg": iv_cal
+                    if iv_cal in _CALENDAR_UNITS
+                    else _interval_seconds(iv),
                 })
             elif "histogram" in agg:
                 p.setdefault("aggs_extra", []).append({
@@ -997,9 +1007,12 @@ class SearchServer:
         if kind == "date_histogram":
             import datetime as _dt
 
+            calendar = isinstance(arg, str) and not str(arg).isdigit()
             buckets = []
             for k, n in zip(hist["key"].to_pylist(), hist["n_docs"].to_pylist()):
-                epoch_s = int(k) * int(arg)
+                # fixed width: key is the bucket ordinal; calendar:
+                # key is already the civil bucket-start in epoch-us
+                epoch_s = int(k) // 1_000_000 if calendar else int(k) * int(arg)
                 buckets.append({
                     "key": epoch_s * 1000,  # OpenSearch: epoch millis
                     "key_as_string": _dt.datetime.utcfromtimestamp(

@@ -116,6 +116,7 @@ SQL_BACKED = [
     "dsl_mlt_sharded",
     "bm25_topk_merged",
     "facet_date_histogram",
+    "facet_date_histogram_month",
     "facet_pipeline",
     "facet_matrix_stats",
     "facet_terms",

@@ -181,6 +181,8 @@ def test_extra_aggregations_both_backends(root, ray_session):
         "aggs": {
             "per_minute": {"date_histogram": {"field": "warc_ts",
                                               "fixed_interval": "60s"}},
+            "per_month": {"date_histogram": {"field": "warc_ts",
+                                             "calendar_interval": "month"}},
             "ts_hist": {"histogram": {"field": "doc_id", "interval": 16}},
             "bands": {"range": {"field": "doc_id",
                                 "ranges": [{"to": 30},
@@ -240,6 +242,19 @@ def test_extra_aggregations_both_backends(root, ray_session):
         b["key"] for b in aggs["per_minute"]["buckets"]
     )
 
+    # calendar date_histogram: month buckets keyed by the CIVIL month
+    # start (date_trunc semantics), not an epoch division
+    want_m = {}
+    for _, t, _ in rows:
+        start = dt.datetime(t.year, t.month, 1, tzinfo=dt.timezone.utc)
+        b = int(start.timestamp())
+        want_m[b] = want_m.get(b, 0) + 1
+    got_m = {b["key"] // 1000: b["doc_count"]
+             for b in aggs["per_month"]["buckets"]}
+    assert got_m == want_m
+    mfirst = aggs["per_month"]["buckets"][0]
+    assert mfirst["key_as_string"].endswith("-01T00:00:00")
+
     # histogram on doc_id, interval 16 (lower-edge keys)
     want_h = {}
     for d, _, _ in rows:
@@ -265,10 +280,11 @@ def test_extra_aggregations_both_backends(root, ray_session):
         assert math.isclose(aggs["id_pcts"]["values"][f"{float(pct)}"],
                             want, rel_tol=0, abs_tol=1e-9)
 
-    # month-sized calendar intervals refuse loudly
+    # unknown interval specs still refuse loudly (calendar month /
+    # quarter / year are SUPPORTED now — asserted above)
     bad = {"query": {"match": {"body": "node"}},
            "aggs": {"m": {"date_histogram": {"field": "warc_ts",
-                                             "calendar_interval": "month"}}}}
+                                             "calendar_interval": "fortnight"}}}}
     srv = SearchServer(root, backend="local").start()
     try:
         code, err = _req(srv.port, "/_search", body=bad)
