@@ -915,6 +915,61 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     return _concat(knn_cosine(ds, queries, qids, k=5))
 
 
+def q_pca_transform(sf_dir: str) -> pa.Table:
+    """The PCA PROJECTION step, SQL-oracled: ``transform_pca``'s
+    broadcast-basis matmul over every embedding, against a FIXED
+    deterministic integer basis (``B[j,i] = ((i·7 + j·13) mod 5) − 2``,
+    k=4) on embeddings quantized to integers (``floor(x·1000 + 0.5)``)
+    so every product and partial sum is an exact float32-representable
+    integer — the matmul replays bit-for-bit as a SQL lateral-unnest
+    GROUP BY sum.  This shrinks the engine's no-oracle surface to the
+    eigendecomposition alone (``knn_pca`` stays rows-only by nature;
+    the projection machinery it shares is driver-checked here)."""
+    import ray.data
+
+    from docs_indexer_ray.ops.pca import transform_pca
+
+    k, d = 4, 64
+    basis = (((np.arange(d)[None, :] * 7 + np.arange(k)[:, None] * 13) % 5) - 2).astype(
+        np.float64
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * 1000.0 + 0.5)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": pa.ListArray.from_arrays(
+                    emb.offsets, pa.array(q, pa.float32())
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quantize, batch_format="pyarrow")
+    proj = transform_pca(ds, np.zeros(d), basis, out_col="pca")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["pca"].combine_chunks()
+        vals = p.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+                "j": pa.array(np.tile(np.arange(k, dtype=np.int64), len(ids))),
+                "p": pa.array(vals, pa.int64()),
+            }
+        )
+
+    from docs_indexer_ray.collect import tables_of
+
+    out = pa.concat_tables(tables_of(proj.map_batches(explode, batch_format="pyarrow")))
+    return out.sort_by([("vec_id", "ascending"), ("j", "ascending")])
+
+
 def q_knn_pca(sf_dir: str) -> pa.Table:
     """Exact-cosine kNN in a PCA-compressed space (uncentered/
     truncated-SVD basis — the cosine-preserving variant; 64 → 48
@@ -3902,6 +3957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir": q_dsir,
         "knn_cosine": q_knn_cosine,
         "knn_pca": q_knn_pca,
+        "pca_transform": q_pca_transform,
         "index_stats": q_index_stats,
         "match_all_count": q_match_all_count,
         "bm25_topk": q_bm25_topk,
@@ -6049,6 +6105,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(floor(epoch_us(warc_ts) / 3600000000) AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM w GROUP BY 1 ORDER BY n_docs DESC, bucket ASC
+    """
+    sqls["pca_transform"] = """
+        WITH q AS (
+          SELECT vec_id, i.range AS i,
+                 CAST(floor(CAST(embedding[CAST(i.range AS INT)+1] AS DOUBLE)
+                            * 1000 + 0.5) AS BIGINT) AS v
+          FROM embeddings, range(64) i),
+        p AS (
+          SELECT vec_id, j.range AS j,
+                 CAST(sum(v * (((i*7 + j.range*13) % 5) - 2)) AS BIGINT) AS p
+          FROM q, range(4) j GROUP BY 1, 2)
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(j AS BIGINT) AS j, p
+        FROM p ORDER BY vec_id, j
     """
     sqls["facet_date_histogram_month"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

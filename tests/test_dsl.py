@@ -697,6 +697,47 @@ def test_dsl_span_queries(built):
     assert got == query_string_topk(built, {"term": {"body": "node"}}, k=9)
 
 
+def test_dsl_span_inside_scoring_bool_pins_constant_score(built):
+    """The span-scoring CONTRACT, pinned end-to-end: a span clause
+    mixed with scoring clauses in a bool contributes exactly
+    ``boost × 1[span matches]`` to the summed should-score — NOT
+    Lucene's sloppy-frequency span weight (documented divergence on
+    ``_SpanNear``).  If span scoring is ever upgraded to sloppy-freq,
+    this pin must be replaced in the same change."""
+    import numpy as np
+
+    from docs_indexer_ray.query.bm25 import bm25_scores_dense
+    from docs_indexer_ray.query.phrase import span_near
+    from docs_indexer_ray.query.qstring import query_string_topk
+
+    boost = 2.5
+    q = {"bool": {"should": [
+        {"match": {"body": "quota"}},
+        {"span_near": {
+            "clauses": [{"span_term": {"body": "pools"}},
+                        {"span_term": {"body": "node"}}],
+            "slop": 2, "in_order": False, "boost": boost,
+        }},
+    ]}}
+    got = dict(query_string_topk(built, q, k=built.n_docs))
+
+    bm25 = bm25_scores_dense(built, ["quota"])
+    span_docs = {d for d, _ in span_near(built, ["pools", "node"], slop=2)}
+    # a span-matching doc with several windows scores the SAME as one
+    # with a single window (constant-score) — the pin's teeth
+    want = {}
+    for d in range(built.n_docs):
+        s = bm25[d] + (boost if d in span_docs else 0.0)
+        if s > 0.0:
+            want[d] = s
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert np.isclose(got[d], s, rtol=0, atol=1e-12), (d, got[d], s)
+    # the ranking itself: descending score, doc asc tie-break
+    ranked = sorted(want.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))
+    assert list(got) == [d for d, _ in ranked]
+
+
 def test_dsl_funcscore_spans_on_the_fleet(built, ray_session):
     import os
 
