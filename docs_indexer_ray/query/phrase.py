@@ -29,6 +29,7 @@ __all__ = [
     "phrase_topk",
     "rescore_topk",
     "span_first",
+    "span_first_range",
     "span_near",
     "span_near_range",
 ]
@@ -269,6 +270,34 @@ def span_first(
     # per-doc early-occurrence count without a per-doc Python loop:
     # positions are sorted within each doc's segment, so the count is
     # one (flat < end) mask + one reduceat over the segment offsets
+    early = (flat < end).astype(np.int64)
+    counts = (
+        np.add.reduceat(early, offs[:-1])
+        if len(flat)
+        else np.zeros(len(ids), np.int64)
+    )
+    counts[offs[:-1] == offs[1:]] = 0  # reduceat quirk: empty segments
+    keep = np.flatnonzero(counts)
+    out = [(int(d), int(c)) for d, c in zip(ids[keep].tolist(), counts[keep].tolist())]
+    return _drop_deleted(reader, out)
+
+
+def span_first_range(
+    reader: IndexReader, term: str, end: int
+) -> list[tuple[int, int]]:
+    """:func:`span_first` restricted to the reader's doc-id range —
+    the shard primitive: decodes ONLY the term's posting blocks
+    overlapping ``[doc_lo, doc_hi)`` (positions included,
+    ``TermPostings.decode_range_positions``), so a doc-range shard
+    pays O(its share) of the positional data like the phrase/span_near
+    range paths — this closes the last full-decode fallback on the
+    sharded positional tier."""
+    tp = reader.postings(term)
+    if tp is None or end <= 0:
+        return []
+    ids, _, flat, offs = tp.decode_range_positions(reader.doc_lo, reader.doc_hi)
+    if len(ids) == 0:
+        return []
     early = (flat < end).astype(np.int64)
     counts = (
         np.add.reduceat(early, offs[:-1])

@@ -667,16 +667,16 @@ def _decay_weights(reader, node: _FuncScore) -> np.ndarray:
 
 def _span_match_mask(reader, node, lo: int, hi: int) -> np.ndarray:
     """Range-local bool mask for the span leaves (``_SpanNear`` /
-    ``_SpanFirst``).  span_near decodes only the range-overlapping
-    position blocks; span_first decodes its ONE term's positions in
-    full and restricts — the documented positional-fallback cost class
-    on the sharded tier."""
-    from .phrase import span_first, span_near, span_near_range
+    ``_SpanFirst``).  Both decode only the range-overlapping position
+    blocks on a shard reader (``span_near_range`` /
+    ``span_first_range``) — O(the shard's share) of the positional
+    data, same cost class as the phrase range path."""
+    from .phrase import span_first, span_first_range, span_near, span_near_range
 
     n_local = max(0, hi - lo)
     match = np.zeros(n_local, bool)
+    full = lo == 0 and hi == reader.n_docs
     if isinstance(node, _SpanNear):
-        full = lo == 0 and hi == reader.n_docs
         hits = (
             span_near(reader, node.terms, node.slop)
             if full
@@ -684,8 +684,12 @@ def _span_match_mask(reader, node, lo: int, hi: int) -> np.ndarray:
         )
         docs = [d for d, _ in hits if lo <= d < hi]
     else:
-        docs = [d for d, _ in span_first(reader, node.term, node.end)
-                if lo <= d < hi]
+        hits = (
+            span_first(reader, node.term, node.end)
+            if full
+            else span_first_range(reader, node.term, node.end)
+        )
+        docs = [d for d, _ in hits if lo <= d < hi]
     if docs:
         match[np.asarray(docs, np.int64) - lo] = True
     return match

@@ -697,6 +697,29 @@ def test_dsl_span_queries(built):
     assert got == query_string_topk(built, {"term": {"body": "node"}}, k=9)
 
 
+def test_span_first_range_unions_to_full(built):
+    """``span_first_range`` (block-pruned per-shard positional decode)
+    over disjoint doc ranges concatenates to exactly the full-reader
+    ``span_first`` — no full-decode fallback left on the sharded
+    positional tier."""
+    from docs_indexer_ray.query.phrase import span_first, span_first_range
+    from docs_indexer_ray.query.reader import IndexReader
+
+    full = span_first(built, "node", 3)
+    assert full  # planted corpus has early 'node' occurrences
+    n = built.n_docs
+    edges = [0, n // 3, (2 * n) // 3, n]
+    got = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        shard = IndexReader(built.index_dir, doc_range=(lo, hi))
+        got.extend(span_first_range(shard, "node", 3))
+    assert sorted(got) == sorted(full)
+    # empty/edge cases mirror span_first
+    shard = IndexReader(built.index_dir, doc_range=(0, n))
+    assert span_first_range(shard, "zzz_not_a_term", 3) == []
+    assert span_first_range(shard, "node", 0) == []
+
+
 def test_dsl_span_inside_scoring_bool_pins_constant_score(built):
     """The span-scoring CONTRACT, pinned end-to-end: a span clause
     mixed with scoring clauses in a bool contributes exactly
