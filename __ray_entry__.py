@@ -2462,6 +2462,34 @@ def q_facet_date_histogram_month(sf_dir: str) -> pa.Table:
     return date_histogram(ds, matched, ts_col="warc_ts", interval_s="month")
 
 
+def q_facet_date_histogram_week(sf_dir: str) -> pa.Table:
+    """Calendar ``week`` date_histogram (ISO Monday weeks — DuckDB
+    ``date_trunc('week', …)``), same day-spread corpus as the month
+    variant; completes the calendar family week/month/quarter/year."""
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import date_histogram, match_doc_bitmap
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts"])
+
+    def _spread(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = t["warc_ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        shifted = base + ids.astype("timedelta64[D]").astype("timedelta64[us]")
+        return t.set_column(
+            t.schema.get_field_index("warc_ts"),
+            "warc_ts",
+            pa.array(shifted, pa.timestamp("us")),
+        )
+
+    ds = ds.map_batches(_spread, batch_format="pyarrow")
+    return date_histogram(ds, matched, ts_col="warc_ts", interval_s="week")
+
+
 def q_facet_pipeline(sf_dir: str) -> pa.Table:
     """OpenSearch PIPELINE aggregations (cumulative_sum / derivative /
     moving_fn avg / bucket_script) over a 10-minute date_histogram
@@ -3994,6 +4022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_merged": q_bm25_topk_merged,
         "facet_date_histogram": q_facet_date_histogram,
         "facet_date_histogram_month": q_facet_date_histogram_month,
+        "facet_date_histogram_week": q_facet_date_histogram_week,
         "facet_pipeline": q_facet_pipeline,
         "facet_matrix_stats": q_facet_matrix_stats,
         "facet_terms": q_facet_terms,
@@ -6119,6 +6148,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(j AS BIGINT) AS j, p
         FROM p ORDER BY vec_id, j
     """
+    sqls["facet_date_histogram_week"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        w AS (SELECT doc_id,
+                     {_WARC} + to_days(CAST(doc_id AS INTEGER)) AS warc_ts
+              FROM m)
+        SELECT CAST(date_trunc('week', warc_ts) AS TIMESTAMP) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM w GROUP BY 1 ORDER BY n_docs DESC, bucket ASC
+    """
     sqls["facet_date_histogram_month"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
         toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
@@ -6182,7 +6222,8 @@ def oracle_sql() -> dict[str, str]:
             ('low', 0.0, 50.0), ('mid', 25.0, 100.0),
             ('high', 75.0, 150.0), ('huge', 100.0, 100000.0))
         SELECT CAST(e.event_id AS BIGINT) AS event_id, b.band AS band,
-               e.value AS value, b.lo AS lo, b.hi AS hi
+               e.value AS value, CAST(b.lo AS DOUBLE) AS lo,
+               CAST(b.hi AS DOUBLE) AS hi
         FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         ORDER BY event_id, band
     """

@@ -281,7 +281,7 @@ def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field):
     return out.sort_by([("n_docs", "descending"), (key_field.name, "ascending")])
 
 
-_CALENDAR_UNITS = ("month", "quarter", "year")
+_CALENDAR_UNITS = ("week", "month", "quarter", "year")
 
 
 def _calendar_trunc_us(ts64: np.ndarray, unit: str) -> np.ndarray:
@@ -291,7 +291,14 @@ def _calendar_trunc_us(ts64: np.ndarray, unit: str) -> np.ndarray:
     months/years are variable-width, so this is integer month
     arithmetic via numpy's ``datetime64[M]/[Y]`` casts — no epoch
     division, no Python datetime loop."""
-    if unit == "month":
+    if unit == "week":
+        # ISO weeks start MONDAY (DuckDB date_trunc('week')); numpy's
+        # datetime64[W] weeks start on the epoch's Thursday, so
+        # truncate by day index: 1970-01-01 was a Thursday → Monday-
+        # indexed weekday = (days + 3) mod 7 (floor-mod, pre-1970 safe)
+        d = ts64.astype("datetime64[D]").astype(np.int64)
+        m = (d - (d + 3) % 7).astype("datetime64[D]")
+    elif unit == "month":
         m = ts64.astype("datetime64[M]")
     elif unit == "year":
         m = ts64.astype("datetime64[Y]")

@@ -383,18 +383,24 @@ class SearchServer:
                     "fixed_interval",
                     dh.get("calendar_interval", dh.get("interval")),
                 )
-                # calendar intervals (month/quarter/year — plus the
-                # 1-suffixed OpenSearch spellings) bucket by civil
-                # date_trunc, not epoch division; pass the unit through
-                iv_cal = {"1M": "month", "1q": "quarter", "1y": "year"}.get(
-                    str(iv), str(iv)
-                )
+                # calendar intervals (week/month/quarter/year — plus
+                # the 1-suffixed OpenSearch spellings) bucket by civil
+                # date_trunc, not epoch division.  The calendar route
+                # applies ONLY to `calendar_interval` specs: a
+                # `fixed_interval` of "1w"/"week" keeps the epoch-
+                # division 604800 s weeks (OpenSearch fixed semantics).
+                arg = None
+                if "fixed_interval" not in dh and "calendar_interval" in dh:
+                    iv_cal = {
+                        "1w": "week", "1M": "month",
+                        "1q": "quarter", "1y": "year",
+                    }.get(str(iv), str(iv))
+                    if iv_cal in _CALENDAR_UNITS:
+                        arg = iv_cal
                 p.setdefault("aggs_extra", []).append({
                     "name": name, "kind": "date_histogram",
                     "field": dh["field"],
-                    "arg": iv_cal
-                    if iv_cal in _CALENDAR_UNITS
-                    else _interval_seconds(iv),
+                    "arg": arg if arg is not None else _interval_seconds(iv),
                 })
             elif "histogram" in agg:
                 p.setdefault("aggs_extra", []).append({

@@ -117,6 +117,7 @@ SQL_BACKED = [
     "bm25_topk_merged",
     "facet_date_histogram",
     "facet_date_histogram_month",
+    "facet_date_histogram_week",
     "pca_transform",
     "facet_pipeline",
     "facet_matrix_stats",

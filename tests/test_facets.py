@@ -145,6 +145,53 @@ def test_match_set_never_decodes_postings_on_driver(built, ray_session, monkeypa
     assert int(pa.compute.sum(t["n_docs"]).as_py()) == len(expect)
 
 
+def test_date_histogram_calendar_units(ray_session):
+    """Calendar intervals bucket by CIVIL date_trunc (DuckDB/pandas
+    period semantics), not epoch division: week starts Monday, month/
+    quarter/year at their civil boundaries; buckets come back as
+    timestamp[us] starts."""
+    import pandas as pd
+    import ray.data
+
+    from docs_indexer_ray.query.facets import date_histogram
+
+    n = 900
+    ts = np.datetime64("2024-11-15T07:30:00", "us") + (
+        np.arange(n) * 86_400
+    ).astype("timedelta64[s]")
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    matched = np.arange(0, n, 3)
+    df = t.to_pandas()
+    df = df[df.doc_id.isin(matched)]
+    for unit, period in (("week", "W-SUN"), ("month", "M"),
+                         ("quarter", "Q"), ("year", "Y")):
+        out = date_histogram(ds, matched, "warc_ts", unit)
+        assert str(out.schema.field("bucket").type) == "timestamp[us]"
+        if unit == "week":
+            # pandas W-periods end Sunday → start Monday (ISO), like
+            # DuckDB date_trunc('week')
+            exp = df.groupby(
+                df.warc_ts.dt.to_period(period).dt.start_time
+            ).size()
+        else:
+            exp = df.groupby(
+                df.warc_ts.dt.to_period(period).dt.to_timestamp()
+            ).size()
+        got = {
+            pd.Timestamp(k): v
+            for k, v in zip(out["bucket"].to_pylist(), out["n_docs"].to_pylist())
+        }
+        assert got == exp.to_dict(), (unit, got, exp.to_dict())
+    with pytest.raises(ValueError, match="calendar"):
+        date_histogram(ds, matched, "warc_ts", "fortnight")
+
+
 def test_terms_facet_and_date_histogram(built, ray_session):
     import ray.data
 
