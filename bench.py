@@ -249,6 +249,41 @@ def run_bench() -> dict:
             hlat.sort()
             vec_stats["knn_p50_ms"] = round(klat[len(klat) // 2] * 1000, 2)
             vec_stats["hybrid_p50_ms"] = round(hlat[len(hlat) // 2] * 1000, 2)
+
+            # sharded vector tier at large corpora: the same knn DSL +
+            # hybrid legs through the doc-range fleet — the per-shard
+            # matmul / TAAT divides the local floor measured above
+            if n_shards > 1:
+                from docs_indexer_ray.query.served import ShardedQueryService
+
+                svc2 = ShardedQueryService(out_root, n_shards=n_shards)
+                try:
+                    svc2.query_string(knn_dsl, k=10)  # warm shard matrices
+                    svc2.topk(FLAGSHIP_QUERIES[0], k=10)
+                    sk, sh = [], []
+                    for _ in range(15):
+                        tq = time.time()
+                        svc2.query_string(knn_dsl, k=10)
+                        sk.append(time.time() - tq)
+                        tq = time.time()
+                        legs = [
+                            {d: i + 1 for i, (d, _) in enumerate(
+                                svc2.query_string(knn_dsl, k=100))},
+                            {d: i + 1 for i, (d, _) in enumerate(
+                                svc2.topk(FLAGSHIP_QUERIES[0], k=100))},
+                        ]
+                        rrf_fuse(legs, topn=10)
+                        sh.append(time.time() - tq)
+                    sk.sort()
+                    sh.sort()
+                    vec_stats["knn_p50_sharded_ms"] = round(
+                        sk[len(sk) // 2] * 1000, 2
+                    )
+                    vec_stats["hybrid_p50_sharded_ms"] = round(
+                        sh[len(sh) // 2] * 1000, 2
+                    )
+                finally:
+                    svc2.shutdown()
         except Exception as ex:  # bench must never die on an optional block
             vec_stats["vector_error"] = str(ex)[:120]
 
