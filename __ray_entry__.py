@@ -2490,6 +2490,38 @@ def q_facet_date_histogram_week(sf_dir: str) -> pa.Table:
     return date_histogram(ds, matched, ts_col="warc_ts", interval_s="week")
 
 
+def q_facet_auto_date_histogram(sf_dir: str) -> pa.Table:
+    """OpenSearch ``auto_date_histogram``: the engine picks the
+    coarsest-needed interval (fixed-seconds ladder, then calendar
+    month/quarter/year) so the histogram fits ``target=10`` buckets —
+    two bitmap-broadcast passes (min/max endpoints, then the chosen
+    rung's histogram).  The oracle replays the LADDER SELECTION
+    ITSELF as a SQL CASE over the same endpoint arithmetic, so the
+    driver hash-checks both the chosen interval and the buckets."""
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import auto_date_histogram, match_doc_bitmap
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts"])
+
+    def _spread(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = t["warc_ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        shifted = base + ids.astype("timedelta64[D]").astype("timedelta64[us]")
+        return t.set_column(
+            t.schema.get_field_index("warc_ts"),
+            "warc_ts",
+            pa.array(shifted, pa.timestamp("us")),
+        )
+
+    ds = ds.map_batches(_spread, batch_format="pyarrow")
+    return auto_date_histogram(ds, matched, ts_col="warc_ts", target=10)
+
+
 def q_facet_pipeline(sf_dir: str) -> pa.Table:
     """OpenSearch PIPELINE aggregations (cumulative_sum / derivative /
     moving_fn avg / bucket_script) over a 10-minute date_histogram
@@ -4023,6 +4055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_date_histogram": q_facet_date_histogram,
         "facet_date_histogram_month": q_facet_date_histogram_month,
         "facet_date_histogram_week": q_facet_date_histogram_week,
+        "facet_auto_date_histogram": q_facet_auto_date_histogram,
         "facet_pipeline": q_facet_pipeline,
         "facet_matrix_stats": q_facet_matrix_stats,
         "facet_terms": q_facet_terms,
@@ -6147,6 +6180,33 @@ def oracle_sql() -> dict[str, str]:
           FROM q, range(4) j GROUP BY 1, 2)
         SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(j AS BIGINT) AS j, p
         FROM p ORDER BY vec_id, j
+    """
+    sqls["facet_auto_date_histogram"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        w AS (SELECT doc_id,
+                     {_WARC} + to_days(CAST(doc_id AS INTEGER)) AS ts
+              FROM m),
+        mm AS (SELECT epoch_us(min(ts)) AS a, epoch_us(max(ts)) AS b,
+                      min(ts) AS ta, max(ts) AS tb FROM w),
+        sel AS (SELECT CASE
+          WHEN b // 1000000 - a // 1000000 + 1 <= 10 THEN '1s'\n          WHEN b // 5000000 - a // 5000000 + 1 <= 10 THEN '5s'\n          WHEN b // 10000000 - a // 10000000 + 1 <= 10 THEN '10s'\n          WHEN b // 30000000 - a // 30000000 + 1 <= 10 THEN '30s'\n          WHEN b // 60000000 - a // 60000000 + 1 <= 10 THEN '60s'\n          WHEN b // 300000000 - a // 300000000 + 1 <= 10 THEN '300s'\n          WHEN b // 600000000 - a // 600000000 + 1 <= 10 THEN '600s'\n          WHEN b // 1800000000 - a // 1800000000 + 1 <= 10 THEN '1800s'\n          WHEN b // 3600000000 - a // 3600000000 + 1 <= 10 THEN '3600s'\n          WHEN b // 10800000000 - a // 10800000000 + 1 <= 10 THEN '10800s'\n          WHEN b // 43200000000 - a // 43200000000 + 1 <= 10 THEN '43200s'\n          WHEN b // 86400000000 - a // 86400000000 + 1 <= 10 THEN '86400s'\n          WHEN b // 604800000000 - a // 604800000000 + 1 <= 10 THEN '604800s'
+          WHEN date_diff('month', date_trunc('month', ta),
+                         date_trunc('month', tb)) + 1 <= 10 THEN 'month'
+          WHEN date_diff('quarter', date_trunc('quarter', ta),
+                         date_trunc('quarter', tb)) + 1 <= 10 THEN 'quarter'
+          ELSE 'year' END AS rung FROM mm),
+        bk AS (SELECT CASE WHEN s.rung SIMILAR TO '[0-9]+s' THEN
+                 make_timestamp((epoch_us(w.ts) //
+                   (CAST(rtrim(s.rung, 's') AS BIGINT) * 1000000)) *
+                   (CAST(rtrim(s.rung, 's') AS BIGINT) * 1000000))
+               ELSE date_trunc(s.rung, w.ts) END AS bucket,
+               s.rung AS interval
+              FROM w, sel s)
+        SELECT CAST(bucket AS TIMESTAMP) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs, interval
+        FROM bk GROUP BY 1, 3 ORDER BY n_docs DESC, bucket ASC
     """
     sqls["facet_date_histogram_week"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -31,6 +31,7 @@ __all__ = [
     "match_doc_bitmap",
     "PackedMatches",
     "date_histogram",
+    "auto_date_histogram",
     "histogram",
     "range_facet",
     "percentiles",
@@ -362,6 +363,146 @@ def date_histogram(
         return pc.divide(us, pa.scalar(interval_s * 1_000_000, pa.int64())).combine_chunks()
 
     return _facet(docs_ds, matched, key_of, pa.field("bucket", pa.int64()))
+
+
+#: auto_date_histogram's interval ladder, coarsest-last: fixed widths
+#: in seconds (OpenSearch's second/minute/hour/day rungs + the fixed
+#: 7-day week), then the civil calendar rungs.  Selection = the first
+#: rung whose EXACT bucket count fits the target; a span wider than
+#: `target` years falls back to `year` (documented cap — OpenSearch
+#: continues into multi-year rungs).
+_AUTO_LADDER_FIXED = (1, 5, 10, 30, 60, 300, 600, 1800,
+                      3600, 10800, 43200, 86400, 604800)
+_AUTO_LADDER_CALENDAR = ("month", "quarter", "year")
+
+
+def auto_date_histogram(
+    docs_ds,
+    matched: np.ndarray,
+    ts_col: str = "warc_ts",
+    target: int = 10,
+) -> pa.Table:
+    """OpenSearch ``auto_date_histogram``: pick the coarsest-needed
+    interval so the histogram has at most ``target`` buckets, then
+    bucket — two streaming passes, both broadcast-bitmap partials.
+
+    Pass 1 collects ONE ``(min_ts, max_ts)`` row per block (constant
+    size); the driver walks the ladder computing each rung's EXACT
+    bucket count from the two endpoints (fixed rungs by epoch
+    division, calendar rungs by civil month arithmetic — no data
+    touched).  Pass 2 is the ordinary :func:`date_histogram` partial
+    at the chosen rung.  Output: ``(bucket: timestamp[us] start,
+    n_docs, interval: string)`` — fixed rungs spell seconds
+    (``"3600s"``), calendar rungs their unit — count desc / bucket
+    asc, deterministic and SQL-replayable (the oracle reproduces the
+    ladder selection as a CASE over the same endpoint arithmetic)."""
+    import ray
+
+    bits_ref = ray.put(_as_bits(matched))
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(bits, doc_ids)))
+        us = (
+            t[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .drop_null()
+            .combine_chunks()
+        )
+        if len(us) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        v = us.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array([int(v.min())], pa.int64()),
+                "hi": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in docs_ds.map_batches(mm_partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    empty = pa.table(
+        {
+            "bucket": pa.array([], pa.timestamp("us")),
+            "n_docs": pa.array([], pa.int64()),
+            "interval": pa.array([], pa.string()),
+        }
+    )
+    if not parts:
+        return empty
+    mm = pa.concat_tables(parts)
+    amin = int(pc.min(mm["lo"]).as_py())
+    amax = int(pc.max(mm["hi"]).as_py())
+
+    def _cal_count(unit: str) -> int:
+        ends = np.array([amin, amax], "datetime64[us]")
+        tr = _calendar_trunc_us(ends, unit)
+        if unit == "year":
+            per = 12
+        elif unit == "quarter":
+            per = 3
+        else:
+            per = 1
+        m0, m1 = (
+            tr.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+        )
+        return int((m1 - m0) // per) + 1
+
+    chosen: int | str = "year"
+    for iv in _AUTO_LADDER_FIXED:
+        ivus = iv * 1_000_000
+        if amax // ivus - amin // ivus + 1 <= target:
+            chosen = iv
+            break
+    else:
+        for unit in _AUTO_LADDER_CALENDAR:
+            if _cal_count(unit) <= target:
+                chosen = unit
+                break
+
+    if isinstance(chosen, int):
+        ivus = chosen * 1_000_000
+
+        def key_of(t: pa.Table) -> pa.Array:
+            us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            starts = pc.multiply(
+                pc.divide(us, pa.scalar(ivus, pa.int64())),
+                pa.scalar(ivus, pa.int64()),
+            )
+            return starts.cast(pa.timestamp("us")).combine_chunks()
+
+        label = f"{chosen}s"
+    else:
+        unit = chosen
+
+        def key_of(t: pa.Table) -> pa.Array:
+            ts64 = (
+                t[ts_col]
+                .cast(pa.timestamp("us"))
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            valid = ~np.isnat(ts64)
+            out = np.zeros(len(ts64), np.int64)
+            out[valid] = _calendar_trunc_us(ts64[valid], unit)
+            return pa.array(
+                out.astype("datetime64[us]"), pa.timestamp("us"), mask=~valid
+            )
+
+        label = unit
+
+    out = _facet(docs_ds, matched, key_of, pa.field("bucket", pa.timestamp("us")))
+    return out.append_column(
+        "interval", pa.array([label] * out.num_rows, pa.string())
+    )
 
 
 def histogram(

@@ -192,6 +192,49 @@ def test_date_histogram_calendar_units(ray_session):
         date_histogram(ds, matched, "warc_ts", "fortnight")
 
 
+def test_auto_date_histogram_ladder(ray_session):
+    """auto_date_histogram picks the FINEST rung whose exact bucket
+    count fits the target (fixed-seconds ladder, then calendar), and
+    the buckets are the plain date_histogram at that rung."""
+    import ray.data
+
+    from docs_indexer_ray.query.facets import auto_date_histogram, date_histogram
+
+    n = 1000
+    ts = np.datetime64("2024-11-15T00:00:00", "us") + (
+        np.arange(n) * 86_400
+    ).astype("timedelta64[s]")
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    # 50-day span, target 10 → fixed 7-day weeks (day rung overflows)
+    out = auto_date_histogram(ds, np.arange(50), target=10)
+    assert out["interval"][0].as_py() == "604800s"
+    assert out.num_rows <= 10
+    assert int(pa.compute.sum(out["n_docs"]).as_py()) == 50
+
+    # ~33-month span → quarter overflows (12 > 10), year fits
+    out = auto_date_histogram(ds, np.arange(n), target=10)
+    assert out["interval"][0].as_py() == "year"
+    # …and a looser target stops at the finer calendar rung
+    out2 = auto_date_histogram(ds, np.arange(n), target=40)
+    assert out2["interval"][0].as_py() == "month"
+    # month buckets ≡ the plain calendar date_histogram's
+    plain = date_histogram(ds, np.arange(n), "warc_ts", "month")
+    assert out2.select(["bucket", "n_docs"]).equals(plain.rename_columns(
+        ["bucket", "n_docs"]
+    ))
+
+    # empty match set → empty three-column table
+    out = auto_date_histogram(ds, np.empty(0, np.int64), target=10)
+    assert out.num_rows == 0 and out.column_names == ["bucket", "n_docs", "interval"]
+
+
 def test_terms_facet_and_date_histogram(built, ray_session):
     import ray.data
 
