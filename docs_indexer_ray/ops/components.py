@@ -83,7 +83,13 @@ def connected_components(
     import ray.data
 
     if mode == "auto":
-        pairs_ds = pairs_ds.materialize()
+        # plain count(), NO materialize: pinning the raw edge set in
+        # the object store exactly when it is too big for the driver
+        # (the distributed case) would hold edge bytes alongside the
+        # both_dirs derivation — ~3× resident before round 1.  The
+        # count executes the finder lineage once; the chosen branch
+        # re-executes it (CPU traded for memory safety at the scale
+        # where the switch matters).
         n_edges = pairs_ds.count()
         mode = "driver" if n_edges <= driver_edge_budget else "distributed"
         _LOG.info(

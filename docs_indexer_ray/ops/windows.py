@@ -59,13 +59,25 @@ def tumbling_window(
     win_us = np.int64(window_s) * 1_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
-        win = pc.divide(ts, pa.scalar(int(win_us), pa.int64()))
+        # numpy FLOOR division (pc.divide truncates toward zero —
+        # pre-1970 events would bucket differently from hopping_window
+        # and from the pre-Arrow behavior of this function)
+        if batch.num_rows and batch[ts_col].null_count:
+            # null-ts events can't be windowed (pandas dropped them)
+            batch = batch.filter(pc.is_valid(batch[ts_col]))
+        ts = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        win = pa.array(ts // win_us, pa.int64())
         agg = (
             pa.table(
                 {
                     key: batch[key].combine_chunks(),
-                    "window": win.combine_chunks(),
+                    "window": win,
                     "v": batch[value_col].combine_chunks(),
                 }
             )
@@ -177,7 +189,12 @@ def topk_per_group(
     def _head_k_per_key(t: pa.Table, with_rank: bool) -> pa.Table:
         """Sort by (key asc, order-cols in ``dirn``), then keep each
         key run's first ``k`` rows — one stable Arrow sort + one
-        run-boundary scan, no per-group Python."""
+        run-boundary scan, no per-group Python.  Null-key rows are
+        DROPPED first (pandas groupby semantics, which this kernel
+        replaced — without the filter each null key would seed its own
+        singleton run and bypass the ≤k cap)."""
+        if t.num_rows and t[key].null_count:
+            t = t.filter(pc.is_valid(t[key]))
         order = [(key, "ascending"), (order_col, dirn)] + [
             (c, dirn) for c in t.column_names if c not in (key, order_col)
         ]

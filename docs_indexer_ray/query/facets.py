@@ -55,6 +55,12 @@ __all__ = [
 ]
 
 
+#: per-byte popcount lookup (uint8 → number of set bits)
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+
 class PackedMatches:
     """A match set as a PACKED uint8 bitmap (bit ``d`` set ⇔ doc ``d``
     matched, little bit order) — the driver-side representation of a
@@ -77,8 +83,10 @@ class PackedMatches:
             np.unpackbits(self.bits, bitorder="little")
         ).astype(np.int64)
 
-    def __len__(self) -> int:  # matched-doc count, popcount not unpack
-        return int(np.unpackbits(self.bits, bitorder="little").sum())
+    def __len__(self) -> int:
+        # true popcount via a 256-entry table — 1 temp byte per bitmap
+        # byte, never the 8× unpack a corpus-scale bitmap can't afford
+        return int(_POPCOUNT8[self.bits].sum())
 
 
 def _match_bits_range(
@@ -141,7 +149,7 @@ def match_doc_bitmap(reader, terms: list[str], shards: int | None = None) -> Pac
         return PackedMatches(np.zeros((n + 7) >> 3, np.uint8), n)
     if not ray.is_initialized():
         return PackedMatches(
-            _pack_bitmap_sized(_match_doc_ids_local(reader, terms), n), n
+            _pack_bitmap_sized(match_doc_ids(reader, terms), n), n
         )
     if shards is None:
         shards = max(1, min(64, -(-n // 16384)))
@@ -163,9 +171,20 @@ def match_doc_bitmap(reader, terms: list[str], shards: int | None = None) -> Pac
     return PackedMatches(bits, n)
 
 
-def _match_doc_ids_local(reader, terms: list[str]) -> np.ndarray:
-    """Driver-local decode (the pre-distribution path) — retained ONLY
-    as the no-Ray fallback of :func:`match_doc_bitmap`."""
+def match_doc_ids(reader, terms: list[str]) -> np.ndarray:
+    """Sorted LIVE doc ids containing ≥1 of ``terms`` (match-any /
+    OR); tombstoned docs (``index/deletes``) are excluded.
+
+    LOCAL in-process decode through the reader's memoized postings
+    cache — this is the SERVING primitive (``/_count``, ``/_search``
+    ``with_total``, wildcard expansion inside query actors call it
+    per request), so it must stay sub-ms-warm and must never spawn
+    Ray tasks: a query evaluator may itself be a ``num_cpus=1``
+    actor, and blocking on subtasks from inside one deadlocks when
+    the fleet has reserved every CPU (nested-parallelism hazard).
+    The DATASET facet tier uses :func:`match_doc_bitmap` instead —
+    range tasks, bitmap-scale driver traffic — for corpus-scale
+    match sets."""
     parts = []
     for term in set(terms):
         tp = reader.postings(term)
@@ -177,17 +196,6 @@ def _match_doc_ids_local(reader, terms: list[str]) -> np.ndarray:
     if reader.has_deletes:
         out = np.setdiff1d(out, reader.deleted_ids(), assume_unique=True)
     return out
-
-
-def match_doc_ids(reader, terms: list[str]) -> np.ndarray:
-    """Sorted LIVE doc ids containing ≥1 of ``terms`` (match-any /
-    OR); tombstoned docs (``index/deletes``) are excluded.
-
-    Computed DISTRIBUTED via :func:`match_doc_bitmap` (range tasks,
-    no driver-side postings decode) and unpacked to an id array —
-    match-scale output, so use :func:`match_doc_bitmap` directly when
-    feeding a facet (the facets accept the packed form as-is)."""
-    return match_doc_bitmap(reader, terms).ids()
 
 
 def _pack_bitmap(ids: np.ndarray) -> np.ndarray:
@@ -228,14 +236,18 @@ def _member_mask(bits: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
     return out
 
 
-def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field):
+def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field,
+           bits_ref=None):
     """Shared partial-count skeleton: per-batch filter + count, tiny
-    final groupby over (n_blocks × distinct keys) partial rows."""
+    final groupby over (n_blocks × distinct keys) partial rows.
+    ``bits_ref`` lets a caller that already broadcast the bitmap
+    (auto_date_histogram's endpoint pass) reuse its ObjectRef."""
     import ray
 
     # broadcast ONCE; every task's ray.get is a zero-copy read of the
     # node-local object-store copy (numpy over plasma)
-    bits_ref = ray.put(_as_bits(matched))
+    if bits_ref is None:
+        bits_ref = ray.put(_as_bits(matched))
 
     def partial_counts(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
@@ -472,12 +484,24 @@ def auto_date_histogram(
         ivus = chosen * 1_000_000
 
         def key_of(t: pa.Table) -> pa.Array:
-            us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
-            starts = pc.multiply(
-                pc.divide(us, pa.scalar(ivus, pa.int64())),
-                pa.scalar(ivus, pa.int64()),
+            # numpy FLOOR division, matching the ladder selection's
+            # Python floor exactly (Arrow's pc.divide truncates toward
+            # zero, which would disagree for pre-1970 timestamps; the
+            # SQL oracle's `//` also truncates — it replays exactly on
+            # non-negative epochs, which the corpus contract guarantees)
+            ts64 = (
+                t[ts_col]
+                .cast(pa.timestamp("us"))
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
             )
-            return starts.cast(pa.timestamp("us")).combine_chunks()
+            valid = ~np.isnat(ts64)
+            us = np.zeros(len(ts64), np.int64)
+            us[valid] = ts64[valid].astype(np.int64)
+            starts = (us // ivus) * ivus
+            return pa.array(
+                starts.astype("datetime64[us]"), pa.timestamp("us"), mask=~valid
+            )
 
         label = f"{chosen}s"
     else:
@@ -499,7 +523,10 @@ def auto_date_histogram(
 
         label = unit
 
-    out = _facet(docs_ds, matched, key_of, pa.field("bucket", pa.timestamp("us")))
+    out = _facet(
+        docs_ds, matched, key_of, pa.field("bucket", pa.timestamp("us")),
+        bits_ref=bits_ref,
+    )
     return out.append_column(
         "interval", pa.array([label] * out.num_rows, pa.string())
     )

@@ -44,6 +44,36 @@ def test_tumbling_window(ray_session):
     assert rows[(2, base_win)]["n_events"] == 2
 
 
+def test_topk_per_group_drops_null_keys(ray_session):
+    """Null group keys are DROPPED (the pandas-groupby semantics this
+    kernel replaced) — a null key must not seed its own singleton run
+    and bypass the ≤k cap."""
+    import ray.data
+
+    from docs_indexer_ray.ops.windows import topk_per_group
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "a", None, None, "b"], pa.string()),
+            "v": pa.array([3.0, 1.0, 2.0, 9.0, 8.0, 5.0], pa.float64()),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            p
+            for p in (
+                __import__("ray").get(r)
+                for r in topk_per_group(
+                    ray.data.from_arrow(t).repartition(3), "g", "v", k=2
+                ).to_arrow_refs()
+            )
+            if p.num_rows
+        ]
+    )
+    got = sorted(zip(out["g"].to_pylist(), out["v"].to_pylist(), out["rank"].to_pylist()))
+    assert got == [("a", 2.0, 2), ("a", 3.0, 1), ("b", 5.0, 1)]
+
+
 def test_sessionize(ray_session):
     import ray.data
 
