@@ -5115,14 +5115,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS window,
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v1000
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         """,
         "window_hopping": """
             WITH hops AS (
               SELECT user_id,
                      CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - s.i AS "window",
                      CAST(floor(value * 1000) AS BIGINT) AS v1000
-              FROM events CROSS JOIN generate_series(0, 3) s(i))
+              FROM events CROSS JOIN generate_series(0, 3) s(i)
+              WHERE ts IS NOT NULL)
             SELECT CAST(user_id AS BIGINT) AS user_id,
                    "window",
                    CAST(count(*) AS BIGINT) AS n_events,
@@ -5132,7 +5133,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": """
             WITH e AS (SELECT event_type, user_id,
                               CAST(floor(value * 1000) AS BIGINT) AS v1000
-                       FROM events),
+                       FROM events WHERE event_type IS NOT NULL),
             r AS (SELECT event_type, user_id, v1000,
                          row_number() OVER (PARTITION BY event_type
                                             ORDER BY v1000 DESC, user_id DESC) AS rank
@@ -5142,7 +5143,8 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 3
         """,
         "sessionize": """
-            WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events
+                       WHERE ts IS NOT NULL),
             l AS (SELECT user_id, ts,
                          CASE WHEN lag(ts) OVER w IS NULL
                                OR ts - lag(ts) OVER w > 1800000000

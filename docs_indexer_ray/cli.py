@@ -371,7 +371,7 @@ def cmd_agg(args) -> int:
     from .functions.analyzer import Analyzer
     from .index import manifest as mf
     from .query.facets import (
-        match_doc_ids,
+        match_doc_bitmap,
         percentiles,
         stats_facet,
         terms_facet,
@@ -380,7 +380,10 @@ def cmd_agg(args) -> int:
 
     reader = IndexReader(args.index)
     terms = Analyzer(reader.chain)(args.q)
-    matched = match_doc_ids(reader, terms)
+    # the Dataset facet tier: packed-bitmap match set from range tasks
+    # (no driver-side postings decode, bitmap-scale driver traffic) —
+    # _ray_session() has already initialised Ray for the CLI
+    matched = match_doc_bitmap(reader, terms)
     if args.kind == "significant":
         from .query.significant import significant_terms
 

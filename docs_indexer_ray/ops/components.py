@@ -71,26 +71,24 @@ def connected_components(
     a Dataset in ``distributed`` mode, an Arrow table in ``driver``
     mode (both output-scale).
 
-    ``mode="auto"`` (default) picks for you from ONE cheap edge
-    ``count()`` (the edge set is materialized first so the count is
-    metadata, not a recompute): at or under ``driver_edge_budget``
-    edges the vectorized driver fold wins outright (no shuffle
-    rounds); above it — a boilerplate-heavy crawl can emit 10^10
-    near-dup edges — the hash-to-min rounds keep every array
-    task-sized.  The choice is logged; both modes are equality-tested
-    against each other."""
+    ``mode="auto"`` (default) picks for you from one edge ``count()``.
+    The edge set is materialized first, so the count is block metadata
+    and the finder lineage executes exactly ONCE; in the distributed
+    branch the pinned raw edges are explicitly RELEASED as soon as the
+    ``both_dirs`` derivation is materialized, so the transient
+    object-store peak is raw + both-directions (~3× edge bytes,
+    spillable) only for that one derivation step.  At or under
+    ``driver_edge_budget`` edges the vectorized driver fold wins
+    outright (no shuffle rounds); above it — a boilerplate-heavy crawl
+    can emit 10^10 near-dup edges — the hash-to-min rounds keep every
+    array task-sized.  The choice is logged; both modes are
+    equality-tested against each other."""
     import ray
     import ray.data
 
     if mode == "auto":
-        # plain count(), NO materialize: pinning the raw edge set in
-        # the object store exactly when it is too big for the driver
-        # (the distributed case) would hold edge bytes alongside the
-        # both_dirs derivation — ~3× resident before round 1.  The
-        # count executes the finder lineage once; the chosen branch
-        # re-executes it (CPU traded for memory safety at the scale
-        # where the switch matters).
-        n_edges = pairs_ds.count()
+        pairs_ds = pairs_ds.materialize()
+        n_edges = pairs_ds.count()  # metadata on a materialized set
         mode = "driver" if n_edges <= driver_edge_budget else "distributed"
         _LOG.info(
             "connected_components auto mode: %d edges → %s "
@@ -156,6 +154,10 @@ def connected_components(
         )
 
     edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    # release the (possibly auto-materialized) raw edge blocks NOW —
+    # the rounds below only read `edges`; holding both would keep ~3×
+    # edge bytes resident for the whole convergence loop
+    del pairs_ds
 
     labels = (
         edges.map_batches(

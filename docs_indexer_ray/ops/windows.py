@@ -265,6 +265,12 @@ def sessionize(
         )
 
     def sessions_of_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows and group[ts_col].null_count:
+            # a null-ts event has no position in any session (the
+            # pandas kernel's NaT rows sorted last and corrupted the
+            # gap arithmetic; dropping is the documented semantics,
+            # mirrored by the oracle's WHERE ts IS NOT NULL)
+            group = group.filter(pc.is_valid(group[ts_col]))
         g = group.sort_by([(key, "ascending"), (ts_col, "ascending")])
         n = g.num_rows
         if n == 0:

@@ -55,10 +55,11 @@ __all__ = [
 ]
 
 
-#: per-byte popcount lookup (uint8 → number of set bits)
+#: per-byte popcount lookup (uint8 → number of set bits); uint8 so the
+#: fancy-index temp really is 1 byte per bitmap byte
 _POPCOUNT8 = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1
-).sum(axis=1).astype(np.int64)
+).sum(axis=1).astype(np.uint8)
 
 
 class PackedMatches:
@@ -86,7 +87,8 @@ class PackedMatches:
     def __len__(self) -> int:
         # true popcount via a 256-entry table — 1 temp byte per bitmap
         # byte, never the 8× unpack a corpus-scale bitmap can't afford
-        return int(_POPCOUNT8[self.bits].sum())
+        # (int64 accumulator: a uint8 sum would wrap)
+        return int(_POPCOUNT8[self.bits].sum(dtype=np.int64))
 
 
 def _match_bits_range(
@@ -297,6 +299,29 @@ def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field,
 _CALENDAR_UNITS = ("week", "month", "quarter", "year")
 
 
+def _ts_us_masked(t: pa.Table, ts_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """``(epoch_us int64, valid mask)`` of a timestamp column — the
+    shared extraction behind every date-bucketing key_of (NaT-safe:
+    invalid rows carry 0 in the int array and False in the mask)."""
+    ts64 = (
+        t[ts_col]
+        .cast(pa.timestamp("us"))
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+    )
+    valid = ~np.isnat(ts64)
+    us = np.zeros(len(ts64), np.int64)
+    us[valid] = ts64[valid].astype(np.int64)
+    return us, valid
+
+
+def _ts_bucket_array(starts_us: np.ndarray, valid: np.ndarray) -> pa.Array:
+    """Masked ``timestamp[us]`` bucket-start array from epoch-us."""
+    return pa.array(
+        starts_us.astype("datetime64[us]"), pa.timestamp("us"), mask=~valid
+    )
+
+
 def _calendar_trunc_us(ts64: np.ndarray, unit: str) -> np.ndarray:
     """Vectorized civil-calendar truncation: ``datetime64[us]`` array →
     epoch-us of each value's bucket START (``date_trunc`` semantics,
@@ -352,27 +377,23 @@ def date_histogram(
             )
 
         def key_of(t: pa.Table) -> pa.Array:
-            ts64 = (
-                t[ts_col]
-                .cast(pa.timestamp("us"))
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
+            us, valid = _ts_us_masked(t, ts_col)
+            out = np.zeros(len(us), np.int64)
+            out[valid] = _calendar_trunc_us(
+                us[valid].astype("datetime64[us]"), unit
             )
-            valid = ~np.isnat(ts64)
-            out = np.zeros(len(ts64), np.int64)
-            out[valid] = _calendar_trunc_us(ts64[valid], unit)
-            return pa.array(
-                out.astype("datetime64[us]"), pa.timestamp("us"), mask=~valid
-            )
+            return _ts_bucket_array(out, valid)
 
         return _facet(docs_ds, matched, key_of, pa.field("bucket", pa.timestamp("us")))
 
     interval_s = int(interval_s)
 
     def key_of(t: pa.Table) -> pa.Array:
-        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
-        # integer division — timestamps are non-negative epochs
-        return pc.divide(us, pa.scalar(interval_s * 1_000_000, pa.int64())).combine_chunks()
+        # numpy FLOOR division — matches the SQL oracle's
+        # floor(epoch_us/iv) exactly, including pre-1970 timestamps
+        # (Arrow's pc.divide truncates toward zero)
+        us, valid = _ts_us_masked(t, ts_col)
+        return pa.array(us // (interval_s * 1_000_000), pa.int64(), mask=~valid)
 
     return _facet(docs_ds, matched, key_of, pa.field("bucket", pa.int64()))
 
@@ -489,37 +510,20 @@ def auto_date_histogram(
             # zero, which would disagree for pre-1970 timestamps; the
             # SQL oracle's `//` also truncates — it replays exactly on
             # non-negative epochs, which the corpus contract guarantees)
-            ts64 = (
-                t[ts_col]
-                .cast(pa.timestamp("us"))
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
-            )
-            valid = ~np.isnat(ts64)
-            us = np.zeros(len(ts64), np.int64)
-            us[valid] = ts64[valid].astype(np.int64)
-            starts = (us // ivus) * ivus
-            return pa.array(
-                starts.astype("datetime64[us]"), pa.timestamp("us"), mask=~valid
-            )
+            us, valid = _ts_us_masked(t, ts_col)
+            return _ts_bucket_array((us // ivus) * ivus, valid)
 
         label = f"{chosen}s"
     else:
         unit = chosen
 
         def key_of(t: pa.Table) -> pa.Array:
-            ts64 = (
-                t[ts_col]
-                .cast(pa.timestamp("us"))
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
+            us, valid = _ts_us_masked(t, ts_col)
+            out = np.zeros(len(us), np.int64)
+            out[valid] = _calendar_trunc_us(
+                us[valid].astype("datetime64[us]"), unit
             )
-            valid = ~np.isnat(ts64)
-            out = np.zeros(len(ts64), np.int64)
-            out[valid] = _calendar_trunc_us(ts64[valid], unit)
-            return pa.array(
-                out.astype("datetime64[us]"), pa.timestamp("us"), mask=~valid
-            )
+            return _ts_bucket_array(out, valid)
 
         label = unit
 
@@ -756,18 +760,15 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
     vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
     if kind == "date_histogram":
         if isinstance(arg, str) and not arg.isdigit():
-            # calendar interval (month/quarter/year): key = epoch-us of
-            # the civil bucket start — partials with identical keys sum
-            # exactly across shards, same as the fixed-width path
-            ts64 = (
-                pa.chunked_array([vals])
-                .cast(pa.timestamp("us"))
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
+            # calendar interval (week/month/quarter/year): key =
+            # epoch-us of the civil bucket start — partials with
+            # identical keys sum exactly across shards, same as the
+            # fixed-width path
+            us, valid = _ts_us_masked(pa.table({"_ts": vals}), "_ts")
+            out = np.zeros(len(us), np.int64)
+            out[valid] = _calendar_trunc_us(
+                us[valid].astype("datetime64[us]"), str(arg)
             )
-            valid = ~np.isnat(ts64)
-            out = np.zeros(len(ts64), np.int64)
-            out[valid] = _calendar_trunc_us(ts64[valid], str(arg))
             keys = pa.array(out, pa.int64(), mask=~valid)
         else:
             us = pa.chunked_array([vals]).cast(pa.timestamp("us")).cast(pa.int64())
