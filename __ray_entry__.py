@@ -2522,6 +2522,34 @@ def q_facet_auto_date_histogram(sf_dir: str) -> pa.Table:
     return auto_date_histogram(ds, matched, ts_col="warc_ts", target=10)
 
 
+def q_facet_pipeline_siblings(sf_dir: str) -> pa.Table:
+    """The SIBLING / remaining-parent pipeline aggregation family
+    (serial_diff, normalize percent_of_sum, bucket_sort rank,
+    avg/sum/min/max/stats_bucket with extreme-bucket keys) over the
+    1-minute variant of the date_histogram + sum(body-length) parent of
+    ``facet_pipeline`` — every function an O(n_buckets) reduce-side
+    pass over the shared parent partial, replayed in SQL as window
+    functions over the bucket CTE."""
+    import pyarrow.compute as _pc
+
+    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
+    from docs_indexer_ray.query.facets import match_doc_bitmap, sibling_pipeline_aggs
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
+    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
+    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts", "body"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "blen", _pc.utf8_length(t["body"]).cast(pa.int64())
+        ).select(["doc_id", "warc_ts", "blen"]),
+        batch_format="pyarrow",
+    )
+    return sibling_pipeline_aggs(
+        ds, matched, ts_col="warc_ts", interval_s=60, metric_col="blen", lag=2
+    )
+
+
 def q_facet_pipeline(sf_dir: str) -> pa.Table:
     """OpenSearch PIPELINE aggregations (cumulative_sum / derivative /
     moving_fn avg / bucket_script) over a 10-minute date_histogram
@@ -4057,6 +4085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_date_histogram_week": q_facet_date_histogram_week,
         "facet_auto_date_histogram": q_facet_auto_date_histogram,
         "facet_pipeline": q_facet_pipeline,
+        "facet_pipeline_siblings": q_facet_pipeline_siblings,
         "facet_matrix_stats": q_facet_matrix_stats,
         "facet_terms": q_facet_terms,
         "facet_terms_served": q_facet_terms_served,
@@ -6231,6 +6260,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(date_trunc('month', warc_ts) AS TIMESTAMP) AS bucket,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM w GROUP BY 1 ORDER BY n_docs DESC, bucket ASC
+    """
+    sqls["facet_pipeline_siblings"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
+        v AS (SELECT length(d.body) AS blen, {_WARC} AS warc_ts
+              FROM docs d JOIN m USING (doc_id)),
+        b AS (SELECT CAST(floor(epoch_us(warc_ts) / 60000000) AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(blen) AS BIGINT) AS sum_v
+              FROM v GROUP BY 1)
+        SELECT bucket, n_docs, sum_v,
+               CAST(sum_v - LAG(sum_v, 2) OVER (ORDER BY bucket) AS BIGINT)
+                 AS serial_diff,
+               100.0 * CAST(sum_v AS DOUBLE) / SUM(sum_v) OVER () AS pct_of_sum,
+               CAST(row_number() OVER (ORDER BY sum_v DESC, bucket ASC) AS BIGINT)
+                 AS sort_rank,
+               CAST(SUM(sum_v) OVER () AS DOUBLE) / COUNT(*) OVER () AS avg_bucket,
+               CAST(SUM(sum_v) OVER () AS BIGINT) AS sum_bucket,
+               CAST(MIN(sum_v) OVER () AS BIGINT) AS min_bucket,
+               CAST(MAX(sum_v) OVER () AS BIGINT) AS max_bucket,
+               CAST(FIRST_VALUE(bucket) OVER (ORDER BY sum_v ASC, bucket ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS BIGINT) AS min_bucket_key,
+               CAST(FIRST_VALUE(bucket) OVER (ORDER BY sum_v DESC, bucket ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS BIGINT) AS max_bucket_key,
+               CAST(COUNT(*) OVER () AS BIGINT) AS stats_bucket_count
+        FROM b ORDER BY bucket
     """
     sqls["facet_pipeline"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

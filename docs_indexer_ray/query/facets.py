@@ -51,6 +51,7 @@ __all__ = [
     "adjacency_matrix_facet",
     "composite_facet",
     "pipeline_aggs",
+    "sibling_pipeline_aggs",
     "matrix_stats",
 ]
 
@@ -1735,35 +1736,14 @@ def fold_terms_stats(parts: list[pa.Table]) -> pa.Table:
     return out.sort_by([("n_docs", "descending"), ("value", "ascending")])
 
 
-def pipeline_aggs(
-    docs_ds,
-    matched: np.ndarray,
-    ts_col: str,
-    interval_s: int,
-    metric_col: str,
-    window: int = 3,
-) -> pa.Table:
-    """OpenSearch PIPELINE aggregations over a ``date_histogram``
-    parent with a ``sum(metric_col)`` sub-aggregation:
-
-    * ``cum_sum``    — ``cumulative_sum`` of the bucket sums;
-    * ``deriv``      — ``derivative`` (null for the first bucket);
-    * ``moving_avg`` — ``moving_fn: MovingFunctions.unweightedAvg``
-      over a TRAILING window of ``window`` buckets (current included,
-      partial windows at the head — OpenSearch semantics);
-    * ``avg_v``      — ``bucket_script: sum_v / n_docs``.
-
-    Output: one row per non-empty bucket, bucket ascending —
-    ``(bucket, n_docs, sum_v, cum_sum, deriv, moving_avg, avg_v)``.
-
-    Shape at scale: EXACTLY where OpenSearch runs pipeline aggs — the
-    distributed phase is the parent histogram's partial ``(bucket,
-    count, sum)`` groupby per batch (output-scale rows to the driver),
-    and the pipeline functions are an O(n_buckets) pass on the reduce
-    side.  ``metric_col`` must be integral so the partial sums combine
-    exactly regardless of batch order; the only float ops are single
-    divisions of exact integers (bit-stable, see float-oracle rules).
-    """
+def _bucket_sums(
+    docs_ds, matched, ts_col: str, interval_s: int, metric_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The PARENT histogram every pipeline aggregation reduces over:
+    per-batch ``(bucket, count, sum)`` partials (output-scale rows to
+    the driver), exact int64 combine → ``(bucket, n, sum)`` arrays,
+    bucket ascending.  Shared by :func:`pipeline_aggs` and
+    :func:`sibling_pipeline_aggs`."""
     import ray
 
     bits_ref = ray.put(_as_bits(matched))
@@ -1797,11 +1777,58 @@ def pipeline_aggs(
             }
         )
 
+    import ray as _ray
+
     parts = [
-        ray.get(r)
-        for r in docs_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
+        _ray.get(r)
+        for r in docs_ds.map_batches(partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
     ]
     parts = [p for p in parts if p.num_rows]
+    if not parts:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    t = pa.concat_tables(parts)
+    agg = t.group_by("bucket").aggregate([("n", "sum"), ("sm", "sum")])
+    agg = agg.sort_by("bucket")
+    return (
+        agg["bucket"].to_numpy(zero_copy_only=False).astype(np.int64),
+        agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64),
+        agg["sm_sum"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+
+
+def pipeline_aggs(
+    docs_ds,
+    matched: np.ndarray,
+    ts_col: str,
+    interval_s: int,
+    metric_col: str,
+    window: int = 3,
+) -> pa.Table:
+    """OpenSearch PIPELINE aggregations over a ``date_histogram``
+    parent with a ``sum(metric_col)`` sub-aggregation:
+
+    * ``cum_sum``    — ``cumulative_sum`` of the bucket sums;
+    * ``deriv``      — ``derivative`` (null for the first bucket);
+    * ``moving_avg`` — ``moving_fn: MovingFunctions.unweightedAvg``
+      over a TRAILING window of ``window`` buckets (current included,
+      partial windows at the head — OpenSearch semantics);
+    * ``avg_v``      — ``bucket_script: sum_v / n_docs``.
+
+    Output: one row per non-empty bucket, bucket ascending —
+    ``(bucket, n_docs, sum_v, cum_sum, deriv, moving_avg, avg_v)``.
+
+    Shape at scale: EXACTLY where OpenSearch runs pipeline aggs — the
+    distributed phase is the parent histogram's partial ``(bucket,
+    count, sum)`` groupby per batch (output-scale rows to the driver),
+    and the pipeline functions are an O(n_buckets) pass on the reduce
+    side.  ``metric_col`` must be integral so the partial sums combine
+    exactly regardless of batch order; the only float ops are single
+    divisions of exact integers (bit-stable, see float-oracle rules).
+    """
+    bucket, n, sm = _bucket_sums(docs_ds, matched, ts_col, interval_s, metric_col)
     empty = pa.table(
         {
             "bucket": pa.array([], pa.int64()),
@@ -1813,14 +1840,8 @@ def pipeline_aggs(
             "avg_v": pa.array([], pa.float64()),
         }
     )
-    if not parts:
+    if len(bucket) == 0:
         return empty
-    t = pa.concat_tables(parts)
-    agg = t.group_by("bucket").aggregate([("n", "sum"), ("sm", "sum")])
-    agg = agg.sort_by("bucket")
-    bucket = agg["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sm = agg["sm_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
     cum = np.cumsum(sm)
     deriv = np.empty(len(sm), np.int64)
     deriv[1:] = sm[1:] - sm[:-1]
@@ -1847,6 +1868,89 @@ def pipeline_aggs(
             ),
             "moving_avg": pa.array(moving, pa.float64()),
             "avg_v": pa.array(avg_v, pa.float64()),
+        }
+    )
+
+
+def sibling_pipeline_aggs(
+    docs_ds,
+    matched: np.ndarray,
+    ts_col: str,
+    interval_s: int,
+    metric_col: str,
+    lag: int = 2,
+) -> pa.Table:
+    """The SIBLING / remaining-parent pipeline aggregation family over
+    a ``date_histogram`` parent with a ``sum(metric_col)`` metric —
+    one row per non-empty bucket, bucket ascending, carrying:
+
+    * ``serial_diff``     — ``serial_diff`` with ``lag`` (null for the
+      first ``lag`` buckets);
+    * ``pct_of_sum``      — ``normalize`` method ``percent_of_sum``
+      (×100, OpenSearch's unit);
+    * ``sort_rank``       — ``bucket_sort`` rank (metric desc, bucket
+      asc tie-break);
+    * sibling single-value aggs repeated on every row (the OpenSearch
+      response nests them beside the parent; a flat column is the
+      table-shaped equivalent): ``avg_bucket``, ``sum_bucket``,
+      ``min_bucket``, ``max_bucket``, ``min_bucket_key`` /
+      ``max_bucket_key`` (SMALLEST bucket achieving the extreme —
+      OpenSearch returns the full tied-keys list; first-key is the
+      deterministic table projection), and ``stats_bucket_count``
+      (= bucket count; min/max/sum/avg are the four columns above).
+
+    Shape at scale: identical to :func:`pipeline_aggs` — the
+    distributed phase is the shared parent-histogram partial
+    (:func:`_bucket_sums`); every sibling function is an O(n_buckets)
+    reduce-side pass.  ``metric_col`` integral ⇒ all sums exact; the
+    two float columns are single divisions of exact ints (the
+    float-oracle expression-shape rule)."""
+    bucket, n, sm = _bucket_sums(docs_ds, matched, ts_col, interval_s, metric_col)
+    if len(bucket) == 0:
+        return pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "sum_v": pa.array([], pa.int64()),
+                "serial_diff": pa.array([], pa.int64()),
+                "pct_of_sum": pa.array([], pa.float64()),
+                "sort_rank": pa.array([], pa.int64()),
+                "avg_bucket": pa.array([], pa.float64()),
+                "sum_bucket": pa.array([], pa.int64()),
+                "min_bucket": pa.array([], pa.int64()),
+                "max_bucket": pa.array([], pa.int64()),
+                "min_bucket_key": pa.array([], pa.int64()),
+                "max_bucket_key": pa.array([], pa.int64()),
+                "stats_bucket_count": pa.array([], pa.int64()),
+            }
+        )
+    nb = len(bucket)
+    total = int(sm.sum())
+    sdiff = [None] * min(lag, nb) + [int(d) for d in (sm[lag:] - sm[:-lag])]
+    # rank by (metric desc, bucket asc): buckets are ascending already,
+    # so a stable argsort on -metric preserves the bucket tie-break
+    order = np.argsort(-sm, kind="mergesort")
+    rank = np.empty(nb, np.int64)
+    rank[order] = np.arange(1, nb + 1)
+    i_min = int(np.flatnonzero(sm == sm.min())[0])
+    i_max = int(np.flatnonzero(sm == sm.max())[0])
+    return pa.table(
+        {
+            "bucket": pa.array(bucket, pa.int64()),
+            "n_docs": pa.array(n, pa.int64()),
+            "sum_v": pa.array(sm, pa.int64()),
+            "serial_diff": pa.array(sdiff, pa.int64()),
+            "pct_of_sum": pa.array(
+                [100.0 * float(int(s)) / total for s in sm], pa.float64()
+            ),
+            "sort_rank": pa.array(rank, pa.int64()),
+            "avg_bucket": pa.array([float(total) / nb] * nb, pa.float64()),
+            "sum_bucket": pa.array([total] * nb, pa.int64()),
+            "min_bucket": pa.array([int(sm.min())] * nb, pa.int64()),
+            "max_bucket": pa.array([int(sm.max())] * nb, pa.int64()),
+            "min_bucket_key": pa.array([int(bucket[i_min])] * nb, pa.int64()),
+            "max_bucket_key": pa.array([int(bucket[i_max])] * nb, pa.int64()),
+            "stats_bucket_count": pa.array([nb] * nb, pa.int64()),
         }
     )
 

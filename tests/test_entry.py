@@ -119,6 +119,7 @@ SQL_BACKED = [
     "facet_date_histogram_month",
     "facet_date_histogram_week",
     "facet_auto_date_histogram",
+    "facet_pipeline_siblings",
     "pca_transform",
     "facet_pipeline",
     "facet_matrix_stats",
