@@ -52,6 +52,7 @@ __all__ = [
     "composite_facet",
     "pipeline_aggs",
     "sibling_pipeline_aggs",
+    "value_bucket_sums",
     "matrix_stats",
 ]
 
@@ -772,10 +773,13 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
             )
             keys = pa.array(out, pa.int64(), mask=~valid)
         else:
-            us = pa.chunked_array([vals]).cast(pa.timestamp("us")).cast(pa.int64())
-            keys = pc.divide(
-                us, pa.scalar(int(arg) * 1_000_000, pa.int64())
-            ).combine_chunks()
+            # numpy FLOOR division (the engine-wide date-bucket rule;
+            # pc.divide truncates toward zero and would disagree with
+            # the Dataset facet pre-1970)
+            us, valid = _ts_us_masked(pa.table({"_ts": vals}), "_ts")
+            keys = pa.array(
+                us // (int(arg) * 1_000_000), pa.int64(), mask=~valid
+            )
     elif kind == "histogram":
         v = pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
@@ -816,6 +820,68 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
     )
     return pa.table(
         {"key": agg["key"], "partial": agg["count_all"].cast(pa.int64())}
+    )
+
+
+def value_bucket_sums(key_vals, metric_vals, kind: str, arg=None) -> pa.Table:
+    """``(key, n, sm)`` bucket count + metric-sum histogram — the
+    SHARD primitive behind the serving tier's pipeline aggregations
+    (a ``date_histogram``/``histogram`` parent with a ``sum`` metric):
+    bucketing reuses :func:`value_histogram`'s key semantics; rows
+    whose key OR metric is null are dropped (OpenSearch ignores docs
+    missing either field); per-shard partials are distinct-key-scale
+    and both columns SUM exactly across disjoint doc ranges (the
+    metric is cast to int64 — the engine's integral-metric contract
+    for order-independent exactness)."""
+    key_vals = (
+        key_vals.combine_chunks()
+        if isinstance(key_vals, pa.ChunkedArray)
+        else key_vals
+    )
+    if kind == "date_histogram":
+        if isinstance(arg, str) and not str(arg).isdigit():
+            us, valid = _ts_us_masked(pa.table({"_ts": key_vals}), "_ts")
+            out = np.zeros(len(us), np.int64)
+            out[valid] = _calendar_trunc_us(
+                us[valid].astype("datetime64[us]"), str(arg)
+            )
+            keys = pa.array(out, pa.int64(), mask=~valid)
+        else:
+            us, valid = _ts_us_masked(pa.table({"_ts": key_vals}), "_ts")
+            keys = pa.array(
+                us // (int(arg) * 1_000_000), pa.int64(), mask=~valid
+            )
+    elif kind == "histogram":
+        v = pa.chunked_array([key_vals]).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        missing = np.isnan(v)
+        with np.errstate(invalid="ignore"):
+            edges = np.floor(v / float(arg)) * float(arg)
+        keys = pa.array(
+            np.where(missing, 0.0, edges).astype(np.int64),
+            pa.int64(),
+            mask=missing,
+        )
+    else:
+        raise ValueError(f"unknown value_bucket_sums kind {kind!r}")
+    t = pa.table(
+        {
+            "key": keys,
+            "v": (
+                metric_vals.combine_chunks()
+                if isinstance(metric_vals, pa.ChunkedArray)
+                else metric_vals
+            ).cast(pa.int64()),
+        }
+    ).drop_null()
+    agg = t.group_by("key").aggregate([("v", "count"), ("v", "sum")])
+    return pa.table(
+        {
+            "key": agg["key"],
+            "n": agg["v_count"].cast(pa.int64()),
+            "sm": agg["v_sum"].cast(pa.int64()),
+        }
     )
 
 

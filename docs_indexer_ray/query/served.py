@@ -326,6 +326,27 @@ class ShardQueryActor:
         vals = self._col_slice(col).take(pa.array(matched))
         return value_histogram(vals, kind, arg)
 
+    def facet_bucket_sums_partial(
+        self, query: str, col: str, kind: str, arg, val_col: str,
+        syntax: bool = False,
+    ):
+        """Bucket count + metric-sum partial for pipeline aggregations
+        (``facets.value_bucket_sums`` over this shard's matched key /
+        metric slices): ``(key, n, sm)`` rows — distinct-key-scale —
+        whose columns SUM exactly across disjoint doc ranges."""
+        import pyarrow as pa
+
+        from .facets import value_bucket_sums
+
+        matched = self._matched_local(query, syntax=syntax)
+        idx = pa.array(matched)
+        return value_bucket_sums(
+            self._col_slice(col).take(idx),
+            self._col_slice(val_col).take(idx),
+            kind,
+            arg,
+        )
+
     def facet_terms_stats_partial(
         self, query: str, key_col: str, val_col: str, syntax: bool = False
     ):
@@ -964,6 +985,45 @@ class ShardedQueryService:
         agg = t.group_by("key").aggregate([("partial", "sum")]).sort_by("key")
         return pa.table(
             {"key": agg["key"], "n_docs": agg["partial_sum"].cast(pa.int64())}
+        )
+
+    def bucket_sums_facet(
+        self, query: str, col: str, kind: str, arg, val_col: str,
+        syntax: bool = False,
+    ):
+        """Pipeline-agg parent on the fleet: ONE
+        ``facet_bucket_sums_partial`` fan-out, exact
+        distinct-key-scale (count, sum) merge → ``(key, n, sm)``
+        sorted by key — the histogram-with-metric every pipeline
+        function reduces over."""
+        import pyarrow as pa
+        import ray
+
+        parts = ray.get(
+            [
+                a.facet_bucket_sums_partial.remote(
+                    query, col, kind, arg, val_col, syntax
+                )
+                for a in self._actors
+            ]
+        )
+        live = [p for p in parts if p.num_rows]
+        if not live:
+            return pa.table(
+                {
+                    "key": parts[0]["key"],
+                    "n": pa.array([], pa.int64()),
+                    "sm": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.concat_tables(live, promote_options="default")
+        agg = t.group_by("key").aggregate([("n", "sum"), ("sm", "sum")]).sort_by("key")
+        return pa.table(
+            {
+                "key": agg["key"],
+                "n": agg["n_sum"].cast(pa.int64()),
+                "sm": agg["sm_sum"].cast(pa.int64()),
+            }
         )
 
     def percentiles_facet(

@@ -397,11 +397,61 @@ class SearchServer:
                     }.get(str(iv), str(iv))
                     if iv_cal in _CALENDAR_UNITS:
                         arg = iv_cal
-                p.setdefault("aggs_extra", []).append({
+                entry = {
                     "name": name, "kind": "date_histogram",
                     "field": dh["field"],
                     "arg": arg if arg is not None else _interval_seconds(iv),
-                })
+                }
+                sub = agg.get("aggs") or agg.get("aggregations")
+                if sub:
+                    # date_histogram with a sum metric + parent
+                    # pipeline aggregations (OpenSearch nests the
+                    # pipelines beside the metric): exactly one
+                    # {"sum": {"field": v}} metric; pipelines
+                    # reference it by buckets_path
+                    metric = None
+                    pipes = []
+                    for sname, sspec in sub.items():
+                        if "sum" in sspec:
+                            if metric is not None:
+                                raise ValueError(
+                                    "one sum metric per date_histogram"
+                                )
+                            metric = (sname, sspec["sum"]["field"])
+                        elif any(
+                            k in sspec
+                            for k in ("cumulative_sum", "derivative",
+                                      "serial_diff")
+                        ):
+                            pkind = next(iter(sspec))
+                            body = sspec[pkind]
+                            pipes.append({
+                                "name": sname, "kind": pkind,
+                                "path": str(body.get("buckets_path", "")),
+                                "lag": int(body.get("lag", 1)),
+                            })
+                        else:
+                            raise ValueError(
+                                f"date_histogram sub-agg must be sum|"
+                                f"cumulative_sum|derivative|serial_diff:"
+                                f" {sspec!r}"
+                            )
+                    if metric is None:
+                        raise ValueError(
+                            "date_histogram pipelines need a sum metric"
+                        )
+                    for pp in pipes:
+                        if pp["path"] != metric[0]:
+                            raise ValueError(
+                                f"buckets_path {pp['path']!r} does not "
+                                f"name the sum metric {metric[0]!r}"
+                            )
+                    entry.update({
+                        "kind": "date_histogram_metric",
+                        "sub": metric[0], "val": metric[1],
+                        "pipes": pipes,
+                    })
+                p.setdefault("aggs_extra", []).append(entry)
             elif "histogram" in agg:
                 p.setdefault("aggs_extra", []).append({
                     "name": name, "kind": "histogram",
@@ -460,11 +510,38 @@ class SearchServer:
                         "percents", [1, 5, 25, 50, 75, 95, 99]
                     ),
                 })
+            elif any(
+                k in agg
+                for k in ("avg_bucket", "max_bucket", "min_bucket",
+                          "sum_bucket", "stats_bucket")
+            ):
+                # SIBLING pipeline agg: one value computed from a
+                # date_histogram parent's metric, addressed
+                # "parent>metric" (OpenSearch buckets_path)
+                skind = next(
+                    k
+                    for k in ("avg_bucket", "max_bucket", "min_bucket",
+                              "sum_bucket", "stats_bucket")
+                    if k in agg
+                )
+                path = str(agg[skind].get("buckets_path", ""))
+                if ">" not in path:
+                    raise ValueError(
+                        f"{skind} buckets_path must be 'parent>metric':"
+                        f" {path!r}"
+                    )
+                parent, metric = path.split(">", 1)
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "sibling_bucket", "op": skind,
+                    "parent": parent, "metric": metric, "field": "",
+                })
             else:
                 raise ValueError(
                     f"unsupported aggregation {agg!r} (terms|stats|"
                     "date_histogram|histogram|range|cardinality|"
-                    "percentiles|significant_terms|filters)"
+                    "percentiles|significant_terms|filters|"
+                    "avg_bucket|max_bucket|min_bucket|sum_bucket|"
+                    "stats_bucket)"
                 )
         out = self._search(p)
         if "suggest" in spec:
@@ -715,11 +792,67 @@ class SearchServer:
         extra = params.get("aggs_extra")
         if extra:
             aggs = out.setdefault("aggregations", {})
+            # siblings resolve against their parent's rendered buckets
+            # — process every non-sibling first, independent of body
+            # ordering (OpenSearch allows the sibling to appear first)
+            siblings = [s for s in extra if s["kind"] == "sibling_bucket"]
             for spec in extra:
+                if spec["kind"] == "sibling_bucket":
+                    continue
                 aggs[spec["name"]] = self._extra_agg(
                     q, spec, syntax, svc, reader, analyzer
                 )
+            for spec in siblings:
+                aggs[spec["name"]] = self._sibling_bucket(spec, aggs)
         return out
+
+    @staticmethod
+    def _sibling_bucket(spec: dict, aggs: dict) -> dict:
+        """One sibling pipeline value from a rendered date_histogram
+        parent: ``buckets_path`` = ``parent>metric``.  O(n_buckets),
+        driver-side — exactly where OpenSearch runs sibling aggs."""
+        parent = aggs.get(spec["parent"])
+        if parent is None or "buckets" not in parent:
+            raise ValueError(
+                f"buckets_path parent {spec['parent']!r} is not a "
+                "bucket aggregation in this request"
+            )
+        vals, keys = [], []
+        for b in parent["buckets"]:
+            m = b.get(spec["metric"])
+            if not isinstance(m, dict) or "value" not in m:
+                raise ValueError(
+                    f"parent buckets carry no metric {spec['metric']!r}"
+                )
+            vals.append(m["value"])
+            keys.append(b.get("key_as_string", b.get("key")))
+        if not vals:
+            return {"value": None}
+        op = spec["op"]
+        if op == "avg_bucket":
+            return {"value": float(sum(vals)) / len(vals)}
+        if op == "sum_bucket":
+            return {"value": float(sum(vals))}
+        if op == "min_bucket":
+            mv = min(vals)
+            return {
+                "value": float(mv),
+                "keys": [k for k, v in zip(keys, vals) if v == mv],
+            }
+        if op == "max_bucket":
+            mv = max(vals)
+            return {
+                "value": float(mv),
+                "keys": [k for k, v in zip(keys, vals) if v == mv],
+            }
+        # stats_bucket
+        return {
+            "count": len(vals),
+            "min": float(min(vals)),
+            "max": float(max(vals)),
+            "sum": float(sum(vals)),
+            "avg": float(sum(vals)) / len(vals),
+        }
 
     # ------------------------------------------------------------ scroll
 
@@ -972,6 +1105,58 @@ class SearchServer:
                         "avg": r["avg_v"],
                     },
                 })
+            return {"buckets": buckets}
+        if kind == "date_histogram_metric":
+            # histogram parent + sum metric + parent pipelines: the
+            # distributed phase is ONE (key, count, sum) partial per
+            # shard; every pipeline function is an O(n_buckets)
+            # driver pass (OpenSearch's own reduce-side placement)
+            import datetime as _dt
+
+            from .query.facets import value_bucket_sums
+
+            val = spec["val"]
+            if svc is not None:
+                t = svc.bucket_sums_facet(
+                    q, col, "date_histogram", arg, val, syntax=syntax
+                )
+            else:
+                matched = self._matched_ids_local(q, syntax, reader, analyzer)
+                idx = pa.array(np.asarray(matched, np.int64))
+                part = value_bucket_sums(
+                    reader.stored_column(col).take(idx),
+                    reader.stored_column(val).take(idx),
+                    "date_histogram",
+                    arg,
+                )
+                t = part.sort_by("key")
+            calendar = isinstance(arg, str) and not str(arg).isdigit()
+            ks = t["key"].to_pylist()
+            ns = t["n"].to_pylist()
+            sums = [float(s) for s in t["sm"].to_pylist()]
+            cums = np.cumsum(sums)
+            buckets = []
+            for i, (k, n, s) in enumerate(zip(ks, ns, sums)):
+                epoch_s = int(k) // 1_000_000 if calendar else int(k) * int(arg)
+                b = {
+                    "key": epoch_s * 1000,
+                    "key_as_string": _dt.datetime.utcfromtimestamp(
+                        epoch_s
+                    ).isoformat(),
+                    "doc_count": int(n),
+                    spec["sub"]: {"value": s},
+                }
+                for pp in spec["pipes"]:
+                    if pp["kind"] == "cumulative_sum":
+                        b[pp["name"]] = {"value": float(cums[i])}
+                    elif pp["kind"] == "derivative":
+                        if i >= 1:
+                            b[pp["name"]] = {"value": sums[i] - sums[i - 1]}
+                    else:  # serial_diff
+                        lag = max(1, pp["lag"])
+                        if i >= lag:
+                            b[pp["name"]] = {"value": sums[i] - sums[i - lag]}
+                buckets.append(b)
             return {"buckets": buckets}
         inner = "values" if kind == "percentiles" else (
             "distinct" if kind == "cardinality" else kind

@@ -293,6 +293,115 @@ def test_extra_aggregations_both_backends(root, ray_session):
         srv.stop()
 
 
+def test_pipeline_aggs_envelope_both_backends(root, ray_session):
+    """date_histogram + sum metric + parent pipelines (cumulative_sum
+    / derivative / serial_diff) and sibling *_bucket aggs through
+    /_search bodies: identical across backends, every value checked
+    against a brute-force pass; sibling-before-parent body order
+    works; malformed buckets_path 400s."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    body = {
+        "query": {"match": {"body": "node"}},
+        "size": 0,
+        "aggs": {
+            # sibling FIRST — order must not matter
+            "avg_m": {"avg_bucket": {"buckets_path": "per_min>ids"}},
+            "max_m": {"max_bucket": {"buckets_path": "per_min>ids"}},
+            "stats_m": {"stats_bucket": {"buckets_path": "per_min>ids"}},
+            "per_min": {
+                "date_histogram": {"field": "warc_ts",
+                                   "fixed_interval": "60s"},
+                "aggs": {
+                    "ids": {"sum": {"field": "doc_id"}},
+                    "cum": {"cumulative_sum": {"buckets_path": "ids"}},
+                    "rate": {"derivative": {"buckets_path": "ids"}},
+                    "sdiff": {"serial_diff": {"buckets_path": "ids",
+                                              "lag": 2}},
+                },
+            },
+        },
+    }
+    results = {}
+    for backend, kw in (("local", {}), ("sharded", {"n_shards": 3})):
+        srv = SearchServer(root, backend=backend, **kw).start()
+        try:
+            code, r = _req(srv.port, "/_search", body=body)
+            assert code == 200, r
+            results[backend] = r["aggregations"]
+        finally:
+            srv.stop()
+    assert results["local"] == results["sharded"]
+    aggs = results["local"]
+
+    # brute force: matched docs' (minute bucket, doc_id)
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+
+    reader = IndexReader(root)
+    matched = set(
+        int(d) for d in match_doc_ids(reader, Analyzer(reader.chain)("node"))
+    )
+    docs = pads.dataset(
+        os.path.join(reader.index_dir, "docs"), partitioning="hive"
+    ).to_table(columns=["doc_id", "warc_ts"])
+    per = {}
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["warc_ts"].to_pylist()):
+        if int(d) in matched:
+            b = int(t.timestamp() // 60) * 60
+            n, s = per.get(b, (0, 0))
+            per[b] = (n + 1, s + int(d))
+    want = [(k, per[k]) for k in sorted(per)]
+    got = aggs["per_min"]["buckets"]
+    assert [g["key"] // 1000 for g in got] == [k for k, _ in want]
+    assert [g["doc_count"] for g in got] == [n for _, (n, _) in want]
+    sums = [float(s) for _, (_, s) in want]
+    assert [g["ids"]["value"] for g in got] == sums
+    # parent pipelines
+    cum = 0.0
+    for i, g in enumerate(got):
+        cum += sums[i]
+        assert g["cum"]["value"] == cum
+        if i == 0:
+            assert "rate" not in g
+        else:
+            assert g["rate"]["value"] == sums[i] - sums[i - 1]
+        if i < 2:
+            assert "sdiff" not in g
+        else:
+            assert g["sdiff"]["value"] == sums[i] - sums[i - 2]
+    # siblings
+    assert aggs["avg_m"]["value"] == sum(sums) / len(sums)
+    mx = max(sums)
+    assert aggs["max_m"]["value"] == mx
+    assert aggs["max_m"]["keys"] == [
+        g["key_as_string"] for g, s in zip(got, sums) if s == mx
+    ]
+    assert aggs["stats_m"] == {
+        "count": len(sums), "min": min(sums), "max": mx,
+        "sum": sum(sums), "avg": sum(sums) / len(sums),
+    }
+
+    # malformed buckets_path → clean 400
+    bad = {"query": {"match": {"body": "node"}},
+           "aggs": {"a": {"avg_bucket": {"buckets_path": "nope"}}}}
+    srv = SearchServer(root, backend="local").start()
+    try:
+        code, err = _req(srv.port, "/_search", body=bad)
+        assert code == 400 and "parent>metric" in err["error"]["reason"]
+        bad2 = {"query": {"match": {"body": "node"}},
+                "aggs": {"a": {"avg_bucket": {"buckets_path": "x>ids"}}}}
+        code, err = _req(srv.port, "/_search", body=bad2)
+        assert code == 400 and "not a bucket aggregation" in err["error"]["reason"]
+    finally:
+        srv.stop()
+
+
 def test_highlight_options_and_suggest_body(root, ray_session):
     """highlight pre/post tags + fragment_size map through both
     backends; a body 'suggest' rides the search response (the
