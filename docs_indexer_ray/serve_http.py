@@ -421,20 +421,29 @@ class SearchServer:
                         elif any(
                             k in sspec
                             for k in ("cumulative_sum", "derivative",
-                                      "serial_diff")
+                                      "serial_diff", "moving_fn")
                         ):
                             pkind = next(iter(sspec))
                             body = sspec[pkind]
+                            if pkind == "moving_fn":
+                                script = str(body.get("script", ""))
+                                if "unweightedAvg" not in script:
+                                    raise ValueError(
+                                        "moving_fn supports only the "
+                                        "MovingFunctions.unweightedAvg "
+                                        f"script: {script!r}"
+                                    )
                             pipes.append({
                                 "name": sname, "kind": pkind,
                                 "path": str(body.get("buckets_path", "")),
                                 "lag": int(body.get("lag", 1)),
+                                "window": int(body.get("window", 3)),
                             })
                         else:
                             raise ValueError(
                                 f"date_histogram sub-agg must be sum|"
-                                f"cumulative_sum|derivative|serial_diff:"
-                                f" {sspec!r}"
+                                f"cumulative_sum|derivative|serial_diff"
+                                f"|moving_fn: {sspec!r}"
                             )
                     if metric is None:
                         raise ValueError(
@@ -513,7 +522,8 @@ class SearchServer:
             elif any(
                 k in agg
                 for k in ("avg_bucket", "max_bucket", "min_bucket",
-                          "sum_bucket", "stats_bucket")
+                          "sum_bucket", "stats_bucket",
+                          "percentiles_bucket", "extended_stats_bucket")
             ):
                 # SIBLING pipeline agg: one value computed from a
                 # date_histogram parent's metric, addressed
@@ -521,7 +531,9 @@ class SearchServer:
                 skind = next(
                     k
                     for k in ("avg_bucket", "max_bucket", "min_bucket",
-                              "sum_bucket", "stats_bucket")
+                              "sum_bucket", "stats_bucket",
+                              "percentiles_bucket",
+                              "extended_stats_bucket")
                     if k in agg
                 )
                 path = str(agg[skind].get("buckets_path", ""))
@@ -534,6 +546,9 @@ class SearchServer:
                 p.setdefault("aggs_extra", []).append({
                     "name": name, "kind": "sibling_bucket", "op": skind,
                     "parent": parent, "metric": metric, "field": "",
+                    "percents": agg[skind].get(
+                        "percents", [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
+                    ),
                 })
             else:
                 raise ValueError(
@@ -845,6 +860,31 @@ class SearchServer:
                 "value": float(mv),
                 "keys": [k for k, v in zip(keys, vals) if v == mv],
             }
+        if op == "percentiles_bucket":
+            # quantile_cont over the bucket metric values — the same
+            # interpolation rule as the percentiles facet
+            import numpy as _np
+
+            from .query.facets import interpolate_quantiles
+
+            v = _np.sort(_np.asarray(vals, _np.float64))
+            uq, cnt = _np.unique(v, return_counts=True)
+            qs = [float(x) for x in spec["percents"]]
+            out = interpolate_quantiles(uq, cnt.astype(_np.int64), qs)
+            return {"values": {f"{q}": o for q, o in zip(qs, out)}}
+        if op == "extended_stats_bucket":
+            # population variance/std (OpenSearch's definition)
+            n = len(vals)
+            s = float(sum(vals))
+            ss = float(sum(x * x for x in vals))
+            mean = s / n
+            var = ss / n - mean * mean
+            return {
+                "count": n, "min": float(min(vals)),
+                "max": float(max(vals)), "sum": s, "avg": mean,
+                "sum_of_squares": ss, "variance": var,
+                "std_deviation": var ** 0.5 if var > 0 else 0.0,
+            }
         # stats_bucket
         return {
             "count": len(vals),
@@ -1152,6 +1192,15 @@ class SearchServer:
                     elif pp["kind"] == "derivative":
                         if i >= 1:
                             b[pp["name"]] = {"value": sums[i] - sums[i - 1]}
+                    elif pp["kind"] == "moving_fn":
+                        # trailing window incl. current, partial heads
+                        # (pipeline_aggs' moving_avg semantics)
+                        w = max(1, pp["window"])
+                        lo_i = max(0, i - w + 1)
+                        b[pp["name"]] = {
+                            "value": float(sum(sums[lo_i:i + 1]))
+                            / (i - lo_i + 1)
+                        }
                     else:  # serial_diff
                         lag = max(1, pp["lag"])
                         if i >= lag:

@@ -313,6 +313,9 @@ def test_pipeline_aggs_envelope_both_backends(root, ray_session):
             "avg_m": {"avg_bucket": {"buckets_path": "per_min>ids"}},
             "max_m": {"max_bucket": {"buckets_path": "per_min>ids"}},
             "stats_m": {"stats_bucket": {"buckets_path": "per_min>ids"}},
+            "pcts_m": {"percentiles_bucket": {"buckets_path": "per_min>ids",
+                                              "percents": [50.0, 90.0]}},
+            "ext_m": {"extended_stats_bucket": {"buckets_path": "per_min>ids"}},
             "per_min": {
                 "date_histogram": {"field": "warc_ts",
                                    "fixed_interval": "60s"},
@@ -322,6 +325,10 @@ def test_pipeline_aggs_envelope_both_backends(root, ray_session):
                     "rate": {"derivative": {"buckets_path": "ids"}},
                     "sdiff": {"serial_diff": {"buckets_path": "ids",
                                               "lag": 2}},
+                    "mov": {"moving_fn": {
+                        "buckets_path": "ids", "window": 3,
+                        "script": "MovingFunctions.unweightedAvg(values)",
+                    }},
                 },
             },
         },
@@ -375,6 +382,8 @@ def test_pipeline_aggs_envelope_both_backends(root, ray_session):
             assert "sdiff" not in g
         else:
             assert g["sdiff"]["value"] == sums[i] - sums[i - 2]
+        lo_i = max(0, i - 2)
+        assert g["mov"]["value"] == sum(sums[lo_i:i + 1]) / (i - lo_i + 1)
     # siblings
     assert aggs["avg_m"]["value"] == sum(sums) / len(sums)
     mx = max(sums)
@@ -386,6 +395,14 @@ def test_pipeline_aggs_envelope_both_backends(root, ray_session):
         "count": len(sums), "min": min(sums), "max": mx,
         "sum": sum(sums), "avg": sum(sums) / len(sums),
     }
+    import numpy as np
+
+    med = float(np.quantile(np.sort(np.array(sums)), 0.5, method="linear"))
+    assert abs(aggs["pcts_m"]["values"]["50.0"] - med) < 1e-9
+    n_b, s_b = len(sums), sum(sums)
+    ss = sum(x * x for x in sums)
+    assert aggs["ext_m"]["count"] == n_b
+    assert abs(aggs["ext_m"]["variance"] - (ss / n_b - (s_b / n_b) ** 2)) < 1e-6
 
     # malformed buckets_path → clean 400
     bad = {"query": {"match": {"body": "node"}},
