@@ -347,21 +347,30 @@ class SearchServer:
             if "terms" in agg:
                 sub = agg.get("aggs") or agg.get("aggregations")
                 if sub:
-                    # nested terms → stats sub-aggregation (the
-                    # canonical OpenSearch nested-agg request)
+                    # nested terms → metric sub-aggregation (the
+                    # canonical OpenSearch nested-agg request): stats,
+                    # or any single metric it subsumes (avg/sum/min/
+                    # max) — all lower onto the ONE terms_stats
+                    # partial; the renderer projects the metric
                     if len(sub) != 1:
                         raise ValueError("one sub-aggregation supported")
                     subname, subspec = next(iter(sub.items()))
-                    if "stats" not in subspec:
+                    metric = next(
+                        (k for k in ("stats", "avg", "sum", "min", "max")
+                         if k in subspec),
+                        None,
+                    )
+                    if metric is None:
                         raise ValueError(
-                            f"terms sub-agg must be stats: {subspec!r}"
+                            f"terms sub-agg must be stats|avg|sum|min|"
+                            f"max: {subspec!r}"
                         )
                     p.setdefault("aggs_extra", []).append({
                         "name": name, "kind": "terms_stats",
                         "field": agg["terms"]["field"],
-                        "val": subspec["stats"]["field"],
+                        "val": subspec[metric]["field"],
                         "size": int(agg["terms"].get("size", 10)),
-                        "sub": subname,
+                        "sub": subname, "metric": metric,
                     })
                 else:
                     p.setdefault("aggs_extra", []).append({
@@ -1134,16 +1143,22 @@ class SearchServer:
                         "sm": pa.array([], pa.float64()),
                     })
                 t = fold_terms_stats([part])
+            metric = spec.get("metric", "stats")
             buckets = []
             for r in t.slice(0, spec["size"]).to_pylist():
+                full = {
+                    "count": r["n_docs"], "min": r["min_v"],
+                    "max": r["max_v"], "sum": r["sum_v"],
+                    "avg": r["avg_v"],
+                }
                 buckets.append({
                     "key": r["value"],
                     "doc_count": r["n_docs"],
-                    spec["sub"]: {
-                        "count": r["n_docs"], "min": r["min_v"],
-                        "max": r["max_v"], "sum": r["sum_v"],
-                        "avg": r["avg_v"],
-                    },
+                    spec["sub"]: (
+                        full
+                        if metric == "stats"
+                        else {"value": full[metric]}  # single-metric agg
+                    ),
                 })
             return {"buckets": buckets}
         if kind == "date_histogram_metric":

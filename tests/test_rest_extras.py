@@ -520,6 +520,29 @@ def test_nested_terms_stats_agg(root, ray_session):
         assert s["avg"] == sum(ids) / len(ids)
     assert {b["key"] for b in buckets} == set(per)
 
+    # single-metric sub-aggs (avg/sum/min/max) lower onto the same
+    # terms_stats partial; the renderer projects {value: …}
+    for metric, fold in (("avg", lambda x: sum(x) / len(x)),
+                         ("sum", lambda x: float(sum(x))),
+                         ("min", lambda x: float(min(x))),
+                         ("max", lambda x: float(max(x)))):
+        mb = {
+            "query": {"match": {"body": "node"}},
+            "size": 0,
+            "aggs": {"by_lang": {
+                "terms": {"field": "lang", "size": 5},
+                "aggs": {"m": {metric: {"field": "doc_id"}}},
+            }},
+        }
+        srv = SearchServer(root, backend="local").start()
+        try:
+            code, r = _req(srv.port, "/_search", body=mb)
+            assert code == 200, r
+            for b in r["aggregations"]["by_lang"]["buckets"]:
+                assert b["m"] == {"value": fold(per[b["key"]])}, (metric, b)
+        finally:
+            srv.stop()
+
 
 def test_rank_eval_and_cat_indices(root, ray_session):
     """POST /_rank_eval: per-request precision/MRR/DCG/NDCG against
