@@ -28,7 +28,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling_window", "hopping_window", "sessionize", "topk_per_group"]
+__all__ = [
+    "tumbling_window",
+    "hopping_window",
+    "sessionize",
+    "topk_per_group",
+    "head_k_per_key",
+]
 
 
 def _key_part(keys: np.ndarray, num_parts: int) -> np.ndarray:
@@ -170,6 +176,52 @@ def hopping_window(
     )
 
 
+def head_k_per_key(
+    t: pa.Table,
+    key: str,
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    with_rank: bool = False,
+) -> pa.Table:
+    """Sort by (key asc, order-cols in the chosen direction), then
+    keep each key run's first ``k`` rows — one stable Arrow sort + one
+    run-boundary scan, no per-group Python.  Null-key rows are DROPPED
+    first (pandas groupby semantics — without the filter each null key
+    would seed its own singleton run and bypass the ≤k cap).  The
+    shared kernel behind :func:`topk_per_group`'s partial AND final,
+    and the serving tier's ``top_hits`` partial/fold
+    (``query/served.py``) — per-key top-k composes exactly across
+    disjoint doc ranges because re-applying the kernel to concatenated
+    ≤k-per-key partials is idempotent."""
+    dirn = "ascending" if ascending else "descending"
+    if t.num_rows and t[key].null_count:
+        t = t.filter(pc.is_valid(t[key]))
+    order = [(key, "ascending"), (order_col, dirn)] + [
+        (c, dirn) for c in t.column_names if c not in (key, order_col)
+    ]
+    t = t.sort_by(order)
+    n = t.num_rows
+    if n == 0:
+        return t.append_column("rank", pa.array([], pa.int64())) if with_rank else t
+    kcol = t[key].combine_chunks()
+    new_key = np.concatenate(
+        (
+            [True],
+            np.asarray(
+                pc.not_equal(kcol.slice(1), kcol.slice(0, n - 1)).fill_null(True)
+            ),
+        )
+    )
+    starts = np.flatnonzero(new_key)
+    lens = np.diff(np.append(starts, n))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    t = t.filter(pa.array(pos < k))
+    if with_rank:
+        t = t.append_column("rank", pa.array(pos[pos < k] + 1, pa.int64()))
+    return t
+
+
 def topk_per_group(
     ds,
     key: str,
@@ -184,43 +236,11 @@ def topk_per_group(
     vectorized per-partition final selection (no per-group Python).
     Output: the selected rows + a 1-based ``rank`` column."""
 
-    dirn = "ascending" if ascending else "descending"
-
-    def _head_k_per_key(t: pa.Table, with_rank: bool) -> pa.Table:
-        """Sort by (key asc, order-cols in ``dirn``), then keep each
-        key run's first ``k`` rows — one stable Arrow sort + one
-        run-boundary scan, no per-group Python.  Null-key rows are
-        DROPPED first (pandas groupby semantics, which this kernel
-        replaced — without the filter each null key would seed its own
-        singleton run and bypass the ≤k cap)."""
-        if t.num_rows and t[key].null_count:
-            t = t.filter(pc.is_valid(t[key]))
-        order = [(key, "ascending"), (order_col, dirn)] + [
-            (c, dirn) for c in t.column_names if c not in (key, order_col)
-        ]
-        t = t.sort_by(order)
-        n = t.num_rows
-        if n == 0:
-            return t.append_column("rank", pa.array([], pa.int64())) if with_rank else t
-        kcol = t[key].combine_chunks()
-        new_key = np.concatenate(
-            (
-                [True],
-                np.asarray(
-                    pc.not_equal(kcol.slice(1), kcol.slice(0, n - 1)).fill_null(True)
-                ),
-            )
-        )
-        starts = np.flatnonzero(new_key)
-        lens = np.diff(np.append(starts, n))
-        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
-        t = t.filter(pa.array(pos < k))
-        if with_rank:
-            t = t.append_column("rank", pa.array(pos[pos < k] + 1, pa.int64()))
-        return t
-
     def partial(batch: pa.Table) -> pa.Table:
-        return _head_k_per_key(batch.replace_schema_metadata(None), with_rank=False)
+        return head_k_per_key(
+            batch.replace_schema_metadata(None), key, order_col, k,
+            ascending, with_rank=False,
+        )
 
     def add_part(t: pa.Table) -> pa.Table:
         # drop pandas-roundtrip schema metadata — unhashable schemas
@@ -231,7 +251,10 @@ def topk_per_group(
         return t.append_column("__gpart", pa.array(_key_part(keys, num_parts)))
 
     def final(group: pa.Table) -> pa.Table:
-        return _head_k_per_key(group.drop_columns(["__gpart"]), with_rank=True)
+        return head_k_per_key(
+            group.drop_columns(["__gpart"]), key, order_col, k,
+            ascending, with_rank=True,
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -347,6 +347,33 @@ class ShardQueryActor:
             arg,
         )
 
+    def facet_top_hits_partial(
+        self, query: str, group_col: str, sort_col: str, k: int,
+        ascending: bool = False, syntax: bool = False,
+    ):
+        """``top_hits`` sub-agg partial: this shard's top-``k`` matched
+        docs PER BUCKET of ``group_col`` by ``sort_col`` (doc id
+        tie-break in the sort direction) → ``(value, doc_id, s)``
+        rows, ≤ k per bucket — re-applying the same kernel to the
+        concatenated shard partials is the exact global answer
+        (``ops/windows.head_k_per_key`` idempotence)."""
+        import pyarrow as pa
+
+        from ..ops.windows import head_k_per_key
+
+        matched = self._matched_local(query, syntax=syntax)
+        idx = pa.array(matched)
+        t = pa.table(
+            {
+                "value": self._col_slice(group_col).take(idx).cast(pa.string()),
+                "s": self._col_slice(sort_col).take(idx),
+                "doc_id": pa.array(
+                    matched + np.int64(self.reader.doc_lo), pa.int64()
+                ),
+            }
+        )
+        return head_k_per_key(t, "value", "s", k, ascending)
+
     def facet_terms_stats_partial(
         self, query: str, key_col: str, val_col: str, syntax: bool = False
     ):
@@ -986,6 +1013,41 @@ class ShardedQueryService:
         return pa.table(
             {"key": agg["key"], "n_docs": agg["partial_sum"].cast(pa.int64())}
         )
+
+    def top_hits_facet(
+        self, query: str, group_col: str, sort_col: str, k: int,
+        ascending: bool = False, syntax: bool = False,
+    ):
+        """``top_hits`` on the fleet: one partial fan-out (≤ k rows per
+        (shard, bucket)), then the SAME head-k kernel over the
+        concatenated partials — exact by idempotence.  Returns
+        ``(value, rank, doc_id, s)``, buckets ascending."""
+        import pyarrow as pa
+        import ray
+
+        from ..ops.windows import head_k_per_key
+
+        parts = ray.get(
+            [
+                a.facet_top_hits_partial.remote(
+                    query, group_col, sort_col, k, ascending, syntax
+                )
+                for a in self._actors
+            ]
+        )
+        live = [p for p in parts if p.num_rows]
+        if not live:
+            return pa.table(
+                {
+                    "value": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "s": parts[0]["s"],
+                }
+            )
+        t = pa.concat_tables(live, promote_options="default")
+        out = head_k_per_key(t, "value", "s", k, ascending, with_rank=True)
+        return out.select(["value", "rank", "doc_id", "s"])
 
     def bucket_sums_facet(
         self, query: str, col: str, kind: str, arg, val_col: str,

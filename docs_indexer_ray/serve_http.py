@@ -355,6 +355,32 @@ class SearchServer:
                     if len(sub) != 1:
                         raise ValueError("one sub-aggregation supported")
                     subname, subspec = next(iter(sub.items()))
+                    if "top_hits" in subspec:
+                        # terms → top_hits: per bucket, the k best
+                        # docs by ONE sort field
+                        th = subspec["top_hits"]
+                        sort = th.get("sort") or [{"_doc": {"order": "asc"}}]
+                        if len(sort) != 1 or not isinstance(sort[0], dict):
+                            raise ValueError(
+                                f"top_hits supports one sort field: "
+                                f"{sort!r}"
+                            )
+                        scol, sspec2 = next(iter(sort[0].items()))
+                        order = (
+                            sspec2.get("order", "asc")
+                            if isinstance(sspec2, dict)
+                            else str(sspec2)
+                        )
+                        p.setdefault("aggs_extra", []).append({
+                            "name": name, "kind": "terms_top_hits",
+                            "field": agg["terms"]["field"],
+                            "size": int(agg["terms"].get("size", 10)),
+                            "sub": subname,
+                            "k": int(th.get("size", 3)),
+                            "sort_col": scol,
+                            "asc": order == "asc",
+                        })
+                        continue
                     metric = next(
                         (k for k in ("stats", "avg", "sum", "min", "max")
                          if k in subspec),
@@ -363,7 +389,7 @@ class SearchServer:
                     if metric is None:
                         raise ValueError(
                             f"terms sub-agg must be stats|avg|sum|min|"
-                            f"max: {subspec!r}"
+                            f"max|top_hits: {subspec!r}"
                         )
                     p.setdefault("aggs_extra", []).append({
                         "name": name, "kind": "terms_stats",
@@ -1106,6 +1132,59 @@ class SearchServer:
                 "count": r["n_docs"], "min": r["min_v"], "max": r["max_v"],
                 "sum": r["sum_v"], "avg": r["avg_v"],
             }
+        if kind == "terms_top_hits":
+            # terms buckets + per-bucket top-k hits: counts from the
+            # ONE terms fan-out, hits from the head-k partial fan-out
+            # (fleet) or the same kernel over the memoized column
+            # slices (local) — both ≤ k rows per bucket end-to-end
+            t, _ = self._facet_tables(
+                q, col, None, syntax=syntax,
+                svc=svc, reader=reader, analyzer=analyzer,
+            )
+            counts = {
+                r["value"]: r["n_docs"]
+                for r in t.slice(0, spec["size"]).to_pylist()
+            }
+            if svc is not None:
+                th = svc.top_hits_facet(
+                    q, col, spec["sort_col"], spec["k"],
+                    ascending=spec["asc"], syntax=syntax,
+                )
+            else:
+                from .ops.windows import head_k_per_key
+
+                matched = self._matched_ids_local(q, syntax, reader, analyzer)
+                idx = pa.array(np.asarray(matched, np.int64))
+                tt = pa.table({
+                    "value": reader.stored_column(col).take(idx).cast(
+                        pa.string()),
+                    "s": reader.stored_column(spec["sort_col"]).take(idx),
+                    "doc_id": pa.array(
+                        np.asarray(matched, np.int64), pa.int64()
+                    ),
+                })
+                th = head_k_per_key(
+                    tt, "value", "s", spec["k"], spec["asc"], with_rank=True
+                ).select(["value", "rank", "doc_id", "s"])
+            hits_by = {}
+            for r in th.to_pylist():
+                sv = r["s"]
+                if hasattr(sv, "isoformat"):
+                    sv = sv.isoformat()
+                hits_by.setdefault(r["value"], []).append(
+                    {"_id": str(r["doc_id"]), "sort": [sv]}
+                )
+            buckets = []
+            for v in sorted(counts, key=lambda x: (-counts[x], x)):
+                buckets.append({
+                    "key": v,
+                    "doc_count": counts[v],
+                    spec["sub"]: {"hits": {
+                        "total": {"value": counts[v], "relation": "eq"},
+                        "hits": hits_by.get(v, []),
+                    }},
+                })
+            return {"buckets": buckets}
         if kind == "terms_stats":
             # nested terms→stats: fleet = one partial fan-out + the
             # shared exact fold; local = the SAME kernel over the

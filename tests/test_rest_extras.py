@@ -544,6 +544,67 @@ def test_nested_terms_stats_agg(root, ray_session):
             srv.stop()
 
 
+def test_terms_top_hits_agg(root, ray_session):
+    """terms → top_hits sub-agg: per bucket the k best docs by one
+    sort field (doc-id tie-break in the sort direction), identical
+    across backends and equal to a brute-force per-bucket sort."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    body = {
+        "query": {"match": {"body": "node"}},
+        "size": 0,
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang", "size": 5},
+            "aggs": {"newest": {"top_hits": {
+                "size": 2,
+                "sort": [{"warc_ts": {"order": "desc"}}],
+            }}},
+        }},
+    }
+    results = {}
+    for backend, kw in (("local", {}), ("sharded", {"n_shards": 3})):
+        srv = SearchServer(root, backend=backend, **kw).start()
+        try:
+            code, r = _req(srv.port, "/_search", body=body)
+            assert code == 200, r
+            results[backend] = r["aggregations"]["by_lang"]["buckets"]
+        finally:
+            srv.stop()
+    assert results["local"] == results["sharded"]
+    buckets = results["local"]
+    assert buckets
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+
+    reader = IndexReader(root)
+    matched = set(
+        int(d) for d in match_doc_ids(reader, Analyzer(reader.chain)("node"))
+    )
+    docs = pads.dataset(
+        os.path.join(reader.index_dir, "docs"), partitioning="hive"
+    ).to_table(columns=["doc_id", "lang", "warc_ts"])
+    per = {}
+    for d, lg, ts in zip(docs["doc_id"].to_pylist(), docs["lang"].to_pylist(),
+                         docs["warc_ts"].to_pylist()):
+        if int(d) in matched:
+            per.setdefault(lg, []).append((ts, int(d)))
+    for b in buckets:
+        want = sorted(per[b["key"]], reverse=True)[:2]
+        got = b["newest"]["hits"]["hits"]
+        assert [int(h["_id"]) for h in got] == [d for _, d in want], b["key"]
+        assert [h["sort"][0] for h in got] == [t.isoformat() for t, _ in want]
+        assert b["newest"]["hits"]["total"] == {
+            "value": b["doc_count"], "relation": "eq",
+        }
+    assert {b["key"] for b in buckets} == set(per)
+
+
 def test_rank_eval_and_cat_indices(root, ray_session):
     """POST /_rank_eval: per-request precision/MRR/DCG/NDCG against
     graded ratings through the REAL backend; /_cat/indices reports the
