@@ -828,11 +828,12 @@ def value_bucket_sums(key_vals, metric_vals, kind: str, arg=None) -> pa.Table:
     SHARD primitive behind the serving tier's pipeline aggregations
     (a ``date_histogram``/``histogram`` parent with a ``sum`` metric):
     bucketing reuses :func:`value_histogram`'s key semantics; rows
-    whose key OR metric is null are dropped (OpenSearch ignores docs
-    missing either field); per-shard partials are distinct-key-scale
-    and both columns SUM exactly across disjoint doc ranges (the
-    metric is cast to int64 — the engine's integral-metric contract
-    for order-independent exactness)."""
+    with a null KEY are dropped, rows with a null METRIC still count
+    toward ``n`` but contribute 0 to ``sm`` (OpenSearch: adding a
+    metric sub-agg never changes ``doc_count``); per-shard partials
+    are distinct-key-scale and both columns SUM exactly across
+    disjoint doc ranges (the metric is cast to int64 — the engine's
+    integral-metric contract for order-independent exactness)."""
     key_vals = (
         key_vals.combine_chunks()
         if isinstance(key_vals, pa.ChunkedArray)
@@ -874,13 +875,17 @@ def value_bucket_sums(key_vals, metric_vals, kind: str, arg=None) -> pa.Table:
                 else metric_vals
             ).cast(pa.int64()),
         }
-    ).drop_null()
-    agg = t.group_by("key").aggregate([("v", "count"), ("v", "sum")])
+    )
+    if t["key"].null_count:
+        t = t.filter(pc.is_valid(t["key"]))
+    # count_all + null-skipping sum: a null metric counts the doc but
+    # adds 0 — doc_count is invariant under adding the metric
+    agg = t.group_by("key").aggregate([([], "count_all"), ("v", "sum")])
     return pa.table(
         {
             "key": agg["key"],
-            "n": agg["v_count"].cast(pa.int64()),
-            "sm": agg["v_sum"].cast(pa.int64()),
+            "n": agg["count_all"].cast(pa.int64()),
+            "sm": agg["v_sum"].fill_null(0).cast(pa.int64()),
         }
     )
 
@@ -1827,26 +1832,32 @@ def _bucket_sums(
                     "sm": pa.array([], pa.int64()),
                 }
             )
-        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        # FLOOR division + null-ts drop — the engine-wide date-bucket
+        # rule (pc.divide truncates toward zero; a null ts would
+        # otherwise survive as a null bucket and turn into a garbage
+        # INT64_MIN id in the driver fold's astype)
+        us, valid = _ts_us_masked(t, ts_col)
         b = pa.table(
             {
-                "bucket": pc.divide(us, div),
+                "bucket": pa.array(
+                    us // int(div.as_py()), pa.int64(), mask=~valid
+                ),
                 "v": t[metric_col].cast(pa.int64()),
             }
-        )
-        agg = b.group_by("bucket").aggregate([("v", "count"), ("v", "sum")])
+        ).filter(pa.array(valid))
+        # count_all (docs per bucket) + sum (Arrow sum skips null
+        # metrics) — doc_count must not change when a metric is added
+        agg = b.group_by("bucket").aggregate([([], "count_all"), ("v", "sum")])
         return pa.table(
             {
                 "bucket": agg["bucket"],
-                "n": agg["v_count"].cast(pa.int64()),
-                "sm": agg["v_sum"].cast(pa.int64()),
+                "n": agg["count_all"].cast(pa.int64()),
+                "sm": agg["v_sum"].fill_null(0).cast(pa.int64()),
             }
         )
 
-    import ray as _ray
-
     parts = [
-        _ray.get(r)
+        ray.get(r)
         for r in docs_ds.map_batches(partial, batch_format="pyarrow")
         .materialize()
         .to_arrow_refs()
@@ -1971,6 +1982,8 @@ def sibling_pipeline_aggs(
     reduce-side pass.  ``metric_col`` integral ⇒ all sums exact; the
     two float columns are single divisions of exact ints (the
     float-oracle expression-shape rule)."""
+    if lag < 1:
+        raise ValueError(f"serial_diff lag must be >= 1, got {lag}")
     bucket, n, sm = _bucket_sums(docs_ds, matched, ts_col, interval_s, metric_col)
     if len(bucket) == 0:
         return pa.table(

@@ -350,28 +350,44 @@ class ShardQueryActor:
     def facet_top_hits_partial(
         self, query: str, group_col: str, sort_col: str, k: int,
         ascending: bool = False, syntax: bool = False,
+        values: list | None = None,
     ):
         """``top_hits`` sub-agg partial: this shard's top-``k`` matched
         docs PER BUCKET of ``group_col`` by ``sort_col`` (doc id
         tie-break in the sort direction) → ``(value, doc_id, s)``
         rows, ≤ k per bucket — re-applying the same kernel to the
         concatenated shard partials is the exact global answer
-        (``ops/windows.head_k_per_key`` idempotence)."""
+        (``ops/windows.head_k_per_key`` idempotence).
+
+        ``sort_col`` ``"_doc"``/``"_id"`` sorts by doc id (the
+        OpenSearch default-sort pseudo-fields — not stored columns).
+        ``values`` restricts to the rendered bucket keys so a
+        high-cardinality group column ships ≤ |values|·k rows per
+        shard, not cardinality·k."""
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from ..ops.windows import head_k_per_key
 
         matched = self._matched_local(query, syntax=syntax)
         idx = pa.array(matched)
+        ids = pa.array(matched + np.int64(self.reader.doc_lo), pa.int64())
+        s = (
+            ids
+            if sort_col in ("_doc", "_id")
+            else self._col_slice(sort_col).take(idx)
+        )
         t = pa.table(
             {
                 "value": self._col_slice(group_col).take(idx).cast(pa.string()),
-                "s": self._col_slice(sort_col).take(idx),
-                "doc_id": pa.array(
-                    matched + np.int64(self.reader.doc_lo), pa.int64()
-                ),
+                "s": s,
+                "doc_id": ids,
             }
         )
+        if values is not None:
+            t = t.filter(pc.is_in(t["value"], value_set=pa.array(
+                [str(v) for v in values], pa.string()
+            )))
         return head_k_per_key(t, "value", "s", k, ascending)
 
     def facet_terms_stats_partial(
@@ -1017,10 +1033,12 @@ class ShardedQueryService:
     def top_hits_facet(
         self, query: str, group_col: str, sort_col: str, k: int,
         ascending: bool = False, syntax: bool = False,
+        values: list | None = None,
     ):
         """``top_hits`` on the fleet: one partial fan-out (≤ k rows per
-        (shard, bucket)), then the SAME head-k kernel over the
-        concatenated partials — exact by idempotence.  Returns
+        (shard, bucket) — per RENDERED bucket when ``values`` lists
+        the terms facet's top keys), then the SAME head-k kernel over
+        the concatenated partials — exact by idempotence.  Returns
         ``(value, rank, doc_id, s)``, buckets ascending."""
         import pyarrow as pa
         import ray
@@ -1030,7 +1048,8 @@ class ShardedQueryService:
         parts = ray.get(
             [
                 a.facet_top_hits_partial.remote(
-                    query, group_col, sort_col, k, ascending, syntax
+                    query, group_col, sort_col, k, ascending, syntax,
+                    values,
                 )
                 for a in self._actors
             ]

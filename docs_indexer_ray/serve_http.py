@@ -458,7 +458,14 @@ class SearchServer:
                             for k in ("cumulative_sum", "derivative",
                                       "serial_diff", "moving_fn")
                         ):
-                            pkind = next(iter(sspec))
+                            # the MATCHED pipeline key, not the first
+                            # dict key (bodies may carry "meta" etc.)
+                            pkind = next(
+                                k
+                                for k in ("cumulative_sum", "derivative",
+                                          "serial_diff", "moving_fn")
+                                if k in sspec
+                            )
                             body = sspec[pkind]
                             if pkind == "moving_fn":
                                 script = str(body.get("script", ""))
@@ -497,6 +504,15 @@ class SearchServer:
                     })
                 p.setdefault("aggs_extra", []).append(entry)
             elif "histogram" in agg:
+                if agg.get("aggs") or agg.get("aggregations"):
+                    # refuse loudly rather than silently dropping the
+                    # sub-agg (metric/pipeline parents are the
+                    # date_histogram path)
+                    raise ValueError(
+                        "histogram sub-aggregations are not supported —"
+                        " use a date_histogram parent for sum metrics"
+                        " and pipelines"
+                    )
                 p.setdefault("aggs_extra", []).append({
                     "name": name, "kind": "histogram",
                     "field": agg["histogram"]["field"],
@@ -868,14 +884,22 @@ class SearchServer:
                 "bucket aggregation in this request"
             )
         vals, keys = [], []
+        seen_metric = False
         for b in parent["buckets"]:
             m = b.get(spec["metric"])
             if not isinstance(m, dict) or "value" not in m:
-                raise ValueError(
-                    f"parent buckets carry no metric {spec['metric']!r}"
-                )
+                # a pipeline metric (derivative/serial_diff) is
+                # legitimately absent in its first bucket(s) —
+                # OpenSearch's skip gap policy: drop the bucket, keep
+                # going
+                continue
+            seen_metric = True
             vals.append(m["value"])
             keys.append(b.get("key_as_string", b.get("key")))
+        if parent["buckets"] and not seen_metric:
+            raise ValueError(
+                f"parent buckets carry no metric {spec['metric']!r}"
+            )
         if not vals:
             return {"value": None}
         op = spec["op"]
@@ -1145,24 +1169,34 @@ class SearchServer:
                 r["value"]: r["n_docs"]
                 for r in t.slice(0, spec["size"]).to_pylist()
             }
+            top_keys = list(counts)
             if svc is not None:
                 th = svc.top_hits_facet(
                     q, col, spec["sort_col"], spec["k"],
-                    ascending=spec["asc"], syntax=syntax,
+                    ascending=spec["asc"], syntax=syntax, values=top_keys,
                 )
             else:
+                import pyarrow.compute as _pc
+
                 from .ops.windows import head_k_per_key
 
                 matched = self._matched_ids_local(q, syntax, reader, analyzer)
                 idx = pa.array(np.asarray(matched, np.int64))
+                ids = pa.array(np.asarray(matched, np.int64), pa.int64())
+                s = (
+                    ids
+                    if spec["sort_col"] in ("_doc", "_id")
+                    else reader.stored_column(spec["sort_col"]).take(idx)
+                )
                 tt = pa.table({
                     "value": reader.stored_column(col).take(idx).cast(
                         pa.string()),
-                    "s": reader.stored_column(spec["sort_col"]).take(idx),
-                    "doc_id": pa.array(
-                        np.asarray(matched, np.int64), pa.int64()
-                    ),
+                    "s": s,
+                    "doc_id": ids,
                 })
+                tt = tt.filter(_pc.is_in(tt["value"], value_set=pa.array(
+                    [str(v) for v in top_keys], pa.string()
+                )))
                 th = head_k_per_key(
                     tt, "value", "s", spec["k"], spec["asc"], with_rank=True
                 ).select(["value", "rank", "doc_id", "s"])

@@ -235,6 +235,34 @@ def test_auto_date_histogram_ladder(ray_session):
     assert out.num_rows == 0 and out.column_names == ["bucket", "n_docs", "interval"]
 
 
+def test_value_bucket_sums_semantics():
+    """The pipeline-agg shard primitive: histogram + date_histogram
+    bucketing, null KEYS dropped, null METRICS counted with 0
+    contribution (doc_count invariant under adding a metric)."""
+    from docs_indexer_ray.query.facets import value_bucket_sums
+
+    # histogram kind: lower-edge keys
+    keys = pa.array([1.0, 9.0, 11.0, None, 25.0], pa.float64())
+    vals = pa.array([10, 20, None, 99, 40], pa.int64())
+    t = value_bucket_sums(keys, vals, "histogram", 10).sort_by("key")
+    got = {
+        r["key"]: (r["n"], r["sm"]) for r in t.to_pylist()
+    }
+    # null key dropped entirely; null metric counts but adds 0
+    assert got == {0: (2, 30), 10: (1, 0), 20: (1, 40)}
+
+    # date_histogram kind (fixed seconds), same null-metric rule
+    ts = pa.array(
+        np.array([60_000_000, 61_000_000, 130_000_000], np.int64),
+        pa.timestamp("us"),
+    )
+    mv = pa.array([5, None, 7], pa.int64())
+    t = value_bucket_sums(ts, mv, "date_histogram", 60).sort_by("key")
+    assert [
+        (r["key"], r["n"], r["sm"]) for r in t.to_pylist()
+    ] == [(1, 2, 5), (2, 1, 7)]
+
+
 def test_terms_facet_and_date_histogram(built, ray_session):
     import ray.data
 

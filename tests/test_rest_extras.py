@@ -357,10 +357,13 @@ def test_pipeline_aggs_envelope_both_backends(root, ray_session):
     docs = pads.dataset(
         os.path.join(reader.index_dir, "docs"), partitioning="hive"
     ).to_table(columns=["doc_id", "warc_ts"])
+    import datetime as _dtz
+
     per = {}
     for d, t in zip(docs["doc_id"].to_pylist(), docs["warc_ts"].to_pylist()):
         if int(d) in matched:
-            b = int(t.timestamp() // 60) * 60
+            ep = t.replace(tzinfo=_dtz.timezone.utc).timestamp()
+            b = int(ep // 60) * 60
             n, s = per.get(b, (0, 0))
             per[b] = (n + 1, s + int(d))
     want = [(k, per[k]) for k in sorted(per)]
@@ -603,6 +606,67 @@ def test_terms_top_hits_agg(root, ray_session):
             "value": b["doc_count"], "relation": "eq",
         }
     assert {b["key"] for b in buckets} == set(per)
+
+    # default sort (_doc pseudo-field, no stored column) → doc-id asc
+    srv = SearchServer(root, backend="local").start()
+    try:
+        code, r = _req(srv.port, "/_search", body={
+            "query": {"match": {"body": "node"}},
+            "size": 0,
+            "aggs": {"by_lang": {
+                "terms": {"field": "lang", "size": 5},
+                "aggs": {"first": {"top_hits": {"size": 2}}},
+            }},
+        })
+        assert code == 200, r
+        for b in r["aggregations"]["by_lang"]["buckets"]:
+            ids = sorted(d for _, d in per[b["key"]])[:2]
+            assert [int(h["_id"]) for h in b["first"]["hits"]["hits"]] == ids
+    finally:
+        srv.stop()
+
+
+def test_pipeline_agg_edges(root, ray_session):
+    """Edge semantics pinned: a 'meta' key beside a pipeline sub-agg
+    parses; a sibling over a derivative metric gap-skips its empty
+    first bucket; histogram parents refuse sub-aggs loudly."""
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        body = {
+            "query": {"match": {"body": "node"}},
+            "size": 0,
+            "aggs": {
+                "avg_rate": {"avg_bucket": {"buckets_path": "per_min>rate"}},
+                "per_min": {
+                    "date_histogram": {"field": "warc_ts",
+                                       "fixed_interval": "60s"},
+                    "aggs": {
+                        "ids": {"sum": {"field": "doc_id"}},
+                        "rate": {"meta": {"x": 1},
+                                 "derivative": {"buckets_path": "ids"}},
+                    },
+                },
+            },
+        }
+        code, r = _req(srv.port, "/_search", body=body)
+        assert code == 200, r
+        got = r["aggregations"]["per_min"]["buckets"]
+        assert "rate" not in got[0] and all("rate" in g for g in got[1:])
+        rates = [g["rate"]["value"] for g in got[1:]]
+        if rates:  # sibling averaged over the PRESENT values only
+            assert r["aggregations"]["avg_rate"]["value"] == sum(rates) / len(rates)
+
+        # histogram parent + sub-agg → loud 400, not a silent drop
+        code, err = _req(srv.port, "/_search", body={
+            "query": {"match": {"body": "node"}},
+            "aggs": {"h": {"histogram": {"field": "doc_id", "interval": 16},
+                           "aggs": {"x": {"sum": {"field": "doc_id"}}}}},
+        })
+        assert code == 400 and "date_histogram" in err["error"]["reason"]
+    finally:
+        srv.stop()
 
 
 def test_rank_eval_and_cat_indices(root, ray_session):
