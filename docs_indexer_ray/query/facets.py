@@ -755,6 +755,9 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
       lower edge (OpenSearch key semantics, nulls/NaNs dropped).
     * ``range`` — ``arg`` = ``[(lo, hi), …]``; key = bucket INDEX
       (buckets may overlap; zero-count buckets kept).
+    * ``date_range`` — ``arg`` = ``[(lo_us, hi_us), …]`` epoch-us
+      bounds over a timestamp column (±inf open edges); same
+      index-key semantics as ``range``, null timestamps dropped.
     * ``values`` — raw value-count histogram (float64) — the exact
       percentiles / exact cardinality primitive; distinct-value-scale,
       never doc-scale.
@@ -796,6 +799,22 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
         v = pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
         )
+        lows = np.array([r[0] for r in arg], np.float64)
+        highs = np.array([r[1] for r in arg], np.float64)
+        counts = ((v[:, None] >= lows) & (v[:, None] < highs)).sum(axis=0)
+        return pa.table(
+            {
+                "key": pa.array(np.arange(len(arg)), pa.int64()),
+                "partial": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+    elif kind == "date_range":
+        # OpenSearch date_range: explicit [from, to) bands over a DATE
+        # field — ``arg`` = [(lo_us, hi_us), …] epoch-us bounds
+        # (±inf for open edges); same overlapping-band/index-key
+        # semantics as ``range``; null timestamps count nowhere
+        us, valid = _ts_us_masked(pa.table({"_ts": vals}), "_ts")
+        v = us[valid].astype(np.float64)
         lows = np.array([r[0] for r in arg], np.float64)
         highs = np.array([r[1] for r in arg], np.float64)
         counts = ((v[:, None] >= lows) & (v[:, None] < highs)).sum(axis=0)

@@ -518,6 +518,36 @@ class SearchServer:
                     "field": agg["histogram"]["field"],
                     "arg": int(agg["histogram"]["interval"]),
                 })
+            elif "date_range" in agg:
+                import datetime as _dtc
+
+                dr = agg["date_range"]
+
+                def _edge_us(v, default):
+                    if v is None:
+                        return default
+                    if isinstance(v, (int, float)):
+                        return float(v) * 1000.0  # epoch millis → us
+                    return (
+                        _dtc.datetime.fromisoformat(str(v))
+                        .replace(tzinfo=_dtc.timezone.utc)
+                        .timestamp()
+                        * 1_000_000.0
+                    )
+
+                dranges = [
+                    (
+                        _edge_us(r.get("from"), float("-inf")),
+                        _edge_us(r.get("to"), float("inf")),
+                    )
+                    for r in dr.get("ranges", [])
+                ]
+                if not dranges:
+                    raise ValueError("date_range aggregation needs ranges")
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "date_range",
+                    "field": dr["field"], "arg": dranges,
+                })
             elif "range" in agg:
                 rng = agg["range"]
                 ranges = [
@@ -605,7 +635,7 @@ class SearchServer:
                 raise ValueError(
                     f"unsupported aggregation {agg!r} (terms|stats|"
                     "date_histogram|histogram|range|cardinality|"
-                    "percentiles|significant_terms|filters|"
+                    "percentiles|significant_terms|filters|date_range|"
                     "avg_bucket|max_bucket|min_bucket|sum_bucket|"
                     "stats_bucket)"
                 )
@@ -1370,6 +1400,27 @@ class SearchServer:
                     b["from"] = lo
                 if hi != float("inf"):
                     b["to"] = hi
+                buckets.append(b)
+            return {"buckets": buckets}
+        if kind == "date_range":
+            import datetime as _dt
+
+            counts = dict(
+                zip(hist["key"].to_pylist(), hist["n_docs"].to_pylist())
+            )
+            buckets = []
+            for i, (lo, hi) in enumerate(arg):
+                b = {"doc_count": int(counts.get(i, 0))}
+                if lo != float("-inf"):
+                    b["from"] = int(lo) // 1000  # epoch millis
+                    b["from_as_string"] = _dt.datetime.utcfromtimestamp(
+                        int(lo) // 1_000_000
+                    ).isoformat()
+                if hi != float("inf"):
+                    b["to"] = int(hi) // 1000
+                    b["to_as_string"] = _dt.datetime.utcfromtimestamp(
+                        int(hi) // 1_000_000
+                    ).isoformat()
                 buckets.append(b)
             return {"buckets": buckets}
         if kind == "date_histogram":

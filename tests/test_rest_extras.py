@@ -626,6 +626,83 @@ def test_terms_top_hits_agg(root, ray_session):
         srv.stop()
 
 
+def test_date_range_agg_both_backends(root, ray_session):
+    """date_range: explicit ISO-bounded [from, to) bands over the
+    date field — identical across backends, brute-force counts, ISO
+    echo of the closed edges, zero-count bands kept."""
+    import datetime as dt
+    import os
+
+    import pyarrow.dataset as pads
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    # find the corpus's ts span to build meaningful bands
+    docs = pads.dataset(
+        os.path.join(
+            __import__("docs_indexer_ray.query.reader", fromlist=["IndexReader"])
+            .IndexReader(root).index_dir,
+            "docs",
+        ),
+        partitioning="hive",
+    ).to_table(columns=["doc_id", "warc_ts"])
+    tss = sorted(docs["warc_ts"].to_pylist())
+    mid = tss[len(tss) // 2].isoformat()
+    early = tss[0].isoformat()
+    body = {
+        "query": {"match": {"body": "node"}},
+        "size": 0,
+        "aggs": {"eras": {"date_range": {
+            "field": "warc_ts",
+            "ranges": [
+                {"to": mid},
+                {"from": mid},
+                {"from": early, "to": mid},
+                {"to": early},  # zero or tiny band — kept either way
+            ],
+        }}},
+    }
+    results = {}
+    for backend, kw in (("local", {}), ("sharded", {"n_shards": 3})):
+        srv = SearchServer(root, backend=backend, **kw).start()
+        try:
+            code, r = _req(srv.port, "/_search", body=body)
+            assert code == 200, r
+            results[backend] = r["aggregations"]["eras"]["buckets"]
+        finally:
+            srv.stop()
+    assert results["local"] == results["sharded"]
+    buckets = results["local"]
+    assert len(buckets) == 4
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+
+    reader = IndexReader(root)
+    matched = set(
+        int(d) for d in match_doc_ids(reader, Analyzer(reader.chain)("node"))
+    )
+    mts = [
+        t
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["warc_ts"].to_pylist())
+        if int(d) in matched
+    ]
+    mid_dt = dt.datetime.fromisoformat(mid)
+    early_dt = dt.datetime.fromisoformat(early)
+    want = [
+        sum(1 for t in mts if t < mid_dt),
+        sum(1 for t in mts if t >= mid_dt),
+        sum(1 for t in mts if early_dt <= t < mid_dt),
+        sum(1 for t in mts if t < early_dt),
+    ]
+    assert [b["doc_count"] for b in buckets] == want
+    assert "from" not in buckets[0] and buckets[0]["to_as_string"] == mid
+    assert buckets[1]["from_as_string"] == mid and "to" not in buckets[1]
+    assert buckets[2]["from_as_string"] == early
+    assert buckets[3]["doc_count"] == 0
+
+
 def test_pipeline_agg_edges(root, ray_session):
     """Edge semantics pinned: a 'meta' key beside a pipeline sub-agg
     parses; a sibling over a derivative metric gap-skips its empty
