@@ -504,19 +504,34 @@ class SearchServer:
                     })
                 p.setdefault("aggs_extra", []).append(entry)
             elif "histogram" in agg:
-                if agg.get("aggs") or agg.get("aggregations"):
-                    # refuse loudly rather than silently dropping the
-                    # sub-agg (metric/pipeline parents are the
-                    # date_histogram path)
-                    raise ValueError(
-                        "histogram sub-aggregations are not supported —"
-                        " use a date_histogram parent for sum metrics"
-                        " and pipelines"
-                    )
-                p.setdefault("aggs_extra", []).append({
+                entry = {
                     "name": name, "kind": "histogram",
                     "field": agg["histogram"]["field"],
                     "arg": int(agg["histogram"]["interval"]),
+                }
+                hsub = agg.get("aggs") or agg.get("aggregations")
+                if hsub:
+                    # numeric-histogram parent + ONE sum metric (the
+                    # pipeline machinery is the date_histogram path)
+                    if len(hsub) != 1:
+                        raise ValueError("one sub-aggregation supported")
+                    hname, hspec = next(iter(hsub.items()))
+                    if "sum" not in hspec:
+                        raise ValueError(
+                            f"histogram sub-agg must be sum: {hspec!r}"
+                        )
+                    entry.update({
+                        "kind": "histogram_metric",
+                        "sub": hname, "val": hspec["sum"]["field"],
+                    })
+                p.setdefault("aggs_extra", []).append(entry)
+            elif "missing" in agg:
+                # count of matched docs with NO value in the field —
+                # lowers onto TWO existing count paths (query, and
+                # query AND exists) with zero new distributed code
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "missing",
+                    "field": agg["missing"]["field"],
                 })
             elif "date_range" in agg:
                 import datetime as _dtc
@@ -1304,6 +1319,49 @@ class SearchServer:
                     ),
                 })
             return {"buckets": buckets}
+        if kind == "missing":
+            # |q| − |q ∧ exists(field)| — both through the backend's
+            # one count path (fleet or local), like the filters agg
+            from .query.dsl import dsl_to_node
+
+            fld = reader.manifest["field"]
+            main = q if isinstance(q, dict) else (
+                {"query_string": {"query": q}} if syntax
+                else {"match": {fld: q}}
+            )
+            with_field = {"bool": {"must": [main, {"exists": {"field": col}}]}}
+            dsl_to_node(with_field, analyzer)
+            total = self._count_impl(main, True, svc, reader, analyzer)
+            have = self._count_impl(with_field, True, svc, reader, analyzer)
+            return {"doc_count": int(total - have)}
+        if kind == "histogram_metric":
+            from .query.facets import value_bucket_sums
+
+            val = spec["val"]
+            if svc is not None:
+                t = svc.bucket_sums_facet(
+                    q, col, "histogram", arg, val, syntax=syntax
+                )
+            else:
+                matched = self._matched_ids_local(q, syntax, reader, analyzer)
+                idx = pa.array(np.asarray(matched, np.int64))
+                t = value_bucket_sums(
+                    reader.stored_column(col).take(idx),
+                    reader.stored_column(val).take(idx),
+                    "histogram",
+                    arg,
+                ).sort_by("key")
+            return {"buckets": [
+                {
+                    "key": float(k),
+                    "doc_count": int(n),
+                    spec["sub"]: {"value": float(s)},
+                }
+                for k, n, s in zip(
+                    t["key"].to_pylist(), t["n"].to_pylist(),
+                    t["sm"].to_pylist(),
+                )
+            ]}
         if kind == "date_histogram_metric":
             # histogram parent + sum metric + parent pipelines: the
             # distributed phase is ONE (key, count, sum) partial per

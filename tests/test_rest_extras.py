@@ -703,6 +703,59 @@ def test_date_range_agg_both_backends(root, ray_session):
     assert buckets[3]["doc_count"] == 0
 
 
+def test_missing_and_histogram_metric_aggs(root, ray_session):
+    """missing agg (two-count lowering) and histogram + sum metric
+    parent, both backends, brute-forced."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    body = {
+        "query": {"match": {"body": "node"}},
+        "size": 0,
+        "aggs": {
+            "no_lang": {"missing": {"field": "lang"}},
+            "no_ghost": {"missing": {"field": "ghost_col"}},
+            "hist": {"histogram": {"field": "doc_id", "interval": 16},
+                     "aggs": {"ids": {"sum": {"field": "doc_id"}}}},
+        },
+    }
+    results = {}
+    for backend, kw in (("local", {}), ("sharded", {"n_shards": 3})):
+        srv = SearchServer(root, backend=backend, **kw).start()
+        try:
+            code, r = _req(srv.port, "/_search", body=body)
+            assert code == 200, r
+            results[backend] = r["aggregations"]
+        finally:
+            srv.stop()
+    assert results["local"] == results["sharded"]
+    aggs = results["local"]
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+
+    reader = IndexReader(root)
+    matched = set(
+        int(d) for d in match_doc_ids(reader, Analyzer(reader.chain)("node"))
+    )
+    # every doc has lang → 0 missing; an unmapped column → ALL missing
+    assert aggs["no_lang"]["doc_count"] == 0
+    assert aggs["no_ghost"]["doc_count"] == len(matched)
+    # histogram + sum metric: doc counts AND per-bucket id sums
+    per = {}
+    for d in sorted(matched):
+        k = (d // 16) * 16
+        n, s = per.get(k, (0, 0))
+        per[k] = (n + 1, s + d)
+    got = {int(b["key"]): (b["doc_count"], b["ids"]["value"])
+           for b in aggs["hist"]["buckets"]}
+    assert got == {k: (n, float(s)) for k, (n, s) in per.items()}
+
+
 def test_pipeline_agg_edges(root, ray_session):
     """Edge semantics pinned: a 'meta' key beside a pipeline sub-agg
     parses; a sibling over a derivative metric gap-skips its empty
@@ -735,13 +788,15 @@ def test_pipeline_agg_edges(root, ray_session):
         if rates:  # sibling averaged over the PRESENT values only
             assert r["aggregations"]["avg_rate"]["value"] == sum(rates) / len(rates)
 
-        # histogram parent + sub-agg → loud 400, not a silent drop
+        # histogram parent + NON-sum sub-agg → loud 400, never a
+        # silent drop (sum metrics are supported — see
+        # test_missing_and_histogram_metric_aggs)
         code, err = _req(srv.port, "/_search", body={
             "query": {"match": {"body": "node"}},
             "aggs": {"h": {"histogram": {"field": "doc_id", "interval": 16},
-                           "aggs": {"x": {"sum": {"field": "doc_id"}}}}},
+                           "aggs": {"x": {"avg": {"field": "doc_id"}}}}},
         })
-        assert code == 400 and "date_histogram" in err["error"]["reason"]
+        assert code == 400 and "must be sum" in err["error"]["reason"]
     finally:
         srv.stop()
 
