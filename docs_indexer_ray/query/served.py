@@ -158,6 +158,11 @@ class ShardQueryActor:
         else:
             self._live = None
 
+    def ping(self) -> tuple[int, int]:
+        """Liveness probe (``ShardedQueryService.revive``): this
+        shard's ``(doc_lo, doc_hi)`` — no reader work."""
+        return (int(self.reader.doc_lo), int(self.reader.doc_hi))
+
     def topk_partial(
         self,
         query: str,
@@ -644,6 +649,10 @@ class ShardedQueryService:
             for i in range(n_shards)
         ]
         self._rr = 0
+        # revive() re-creates dead replicas from this recipe
+        self._spawn = lambda i: actor_cls.remote(
+            index_root, int(bounds[i]), int(bounds[i + 1]), chain
+        )
 
     @property
     def _actors(self):
@@ -655,6 +664,34 @@ class ShardedQueryService:
         self._rr += 1
         r = self._rr
         return [g[r % len(g)] for g in self._groups]
+
+    def revive(self, timeout_s: float = 5.0) -> int:
+        """Replace DEAD shard replicas (node loss, OOM-kill, explicit
+        ``ray.kill``) with fresh actors over the same immutable build —
+        the operational recovery path: a query that hits a dead actor
+        raises ``RayActorError`` LOUDLY (never silently partial — a
+        missing shard would mean silently missing doc ranges); the
+        operator (or a supervising loop) calls ``revive()`` and
+        retries.  Each replica is probed with a cheap bounded-wait
+        call; a fresh actor re-warms its memoized slices on first use.
+        Returns the number of replicas replaced."""
+        import ray
+
+        replaced = 0
+        for i, group in enumerate(self._groups):
+            for j, actor in enumerate(group):
+                ref = actor.ping.remote()
+                ready, _ = ray.wait([ref], timeout=timeout_s)
+                ok = bool(ready)
+                if ok:
+                    try:
+                        ray.get(ref)
+                    except ray.exceptions.RayActorError:
+                        ok = False
+                if not ok:
+                    group[j] = self._spawn(i)
+                    replaced += 1
+        return replaced
 
     def topk(
         self,

@@ -235,6 +235,29 @@ class SearchServer:
 
     # ---------------------------------------------------------- queries
 
+    def _healed(self, fn, *args):
+        """Self-healing read dispatch: a fan-out that hits a DEAD
+        shard actor (node loss, OOM-kill) raises ``RayActorError`` —
+        revive the fleet's dead replicas ONCE and retry the request;
+        a second failure surfaces loudly (500).  Writes never take
+        this path (they hold the write lock and their failure
+        semantics are the caller's), and a local backend has no fleet
+        to heal."""
+        try:
+            return fn(*args)
+        except Exception as e:
+            import ray.exceptions as rex
+
+            svc = getattr(self, "_svc", None)
+            if (
+                isinstance(e, rex.RayActorError)
+                and svc is not None
+                and hasattr(svc, "revive")
+            ):
+                svc.revive()
+                return fn(*args)
+            raise
+
     def _ensure_backend(self):
         from .functions.analyzer import Analyzer
         from .query.reader import IndexReader
@@ -2487,7 +2510,7 @@ class SearchServer:
                     return
                 try:
                     gen = server._gen
-                    body = fn(params)
+                    body = server._healed(fn, params)
                     # only cache if no write completed while computing
                     # — otherwise this response is pre-write stale and
                     # would poison the freshly cleared cache; the gen
@@ -2545,7 +2568,7 @@ class SearchServer:
                                        "/_count", "/_analyze"):
                         # pure reads — never behind the write lock (a
                         # slow search must not stall bulk writes)
-                        handler._reply(200, fn(params, body))
+                        handler._reply(200, server._healed(fn, params, body))
                     else:
                         with write_lock:  # writes serialize; reads stay free
                             handler._reply(200, fn(params, body))

@@ -96,6 +96,35 @@ def test_match_doc_ids_union_semantics(built):
     assert len(match_doc_ids(reader, ["zzz_not_a_term"])) == 0
 
 
+def test_sharded_service_death_is_loud_and_revivable(built, ray_session):
+    """A dead shard actor fails queries LOUDLY (a silently-partial
+    answer would mean silently missing doc ranges); revive() replaces
+    exactly the dead replicas and the service returns the identical
+    ranking."""
+    import os
+
+    import ray
+
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    reader, _ = built
+    root = os.path.dirname(reader.index_dir)
+    svc = ShardedQueryService(root, n_shards=3, chain="simple")
+    try:
+        before = svc.topk("node pools", k=5)
+        assert before
+        victim = svc._groups[1][0]
+        ray.kill(victim)
+        with pytest.raises(ray.exceptions.RayActorError):
+            for _ in range(4):  # every fan-out must hit the dead shard
+                svc.topk("node pools", k=5)
+        assert svc.revive() == 1  # exactly the one dead replica
+        assert svc.topk("node pools", k=5) == before
+        assert svc.revive() == 0  # all live now — nothing replaced
+    finally:
+        svc.shutdown()
+
+
 def test_match_set_never_decodes_postings_on_driver(built, ray_session, monkeypatch):
     """The facet entry path's match set is computed by RANGE TASKS on
     the workers (``match_doc_bitmap``) — planted guard: poison every

@@ -801,6 +801,29 @@ def test_pipeline_agg_edges(root, ray_session):
         srv.stop()
 
 
+def test_rest_self_heals_after_shard_actor_death(root, ray_session):
+    """A /_search whose fan-out hits a killed shard actor revives the
+    fleet once and answers identically — the REST layer's one-retry
+    self-heal over ShardedQueryService.revive()."""
+    import ray
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(root, backend="sharded", n_shards=3).start()
+    try:
+        code, before = _req(srv.port, "/_search", q="node", size=5)
+        assert code == 200
+        ray.kill(srv._svc._groups[1][0])
+        # cache-missing spelling so the dead actor is actually hit
+        code, after = _req(srv.port, "/_search", q="node", size=6)
+        assert code == 200, after
+        assert [h["_id"] for h in after["hits"]["hits"]][:5] == [
+            h["_id"] for h in before["hits"]["hits"]
+        ]
+    finally:
+        srv.stop()
+
+
 def test_rank_eval_and_cat_indices(root, ray_session):
     """POST /_rank_eval: per-request precision/MRR/DCG/NDCG against
     graded ratings through the REAL backend; /_cat/indices reports the
