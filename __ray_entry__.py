@@ -2522,38 +2522,6 @@ def q_facet_auto_date_histogram(sf_dir: str) -> pa.Table:
     return auto_date_histogram(ds, matched, ts_col="warc_ts", target=10)
 
 
-def q_facet_date_range(sf_dir: str) -> pa.Table:
-    """OpenSearch ``date_range`` aggregation, Dataset tier: explicit
-    [from, to) bands over ``warc_ts`` among the matched docs — the
-    timestamp lowers to an epoch-us int64 column and the shared
-    ``range_facet`` partial counts the bands (one constant-size row
-    per block); bounds replay as timestamp comparisons in SQL."""
-    import numpy as np
-
-    from docs_indexer_ray.pipelines.flagship import docs_store_dataset, ensure_index
-    from docs_indexer_ray.query.facets import match_doc_bitmap, range_facet
-    from docs_indexer_ray.query.reader import IndexReader
-
-    _, root = ensure_index(sf_dir, chain="simple", field="body")
-    matched = match_doc_bitmap(IndexReader(root), list(_BM25_TERMS))
-    ds, _ = docs_store_dataset(sf_dir, columns=["doc_id", "warc_ts"])
-
-    def to_epoch(t: pa.Table) -> pa.Table:
-        us = t["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64())
-        return pa.table({"doc_id": t["doc_id"], "ts_us": us})
-
-    base = np.datetime64("2025-01-01T00:00:00", "us").astype(np.int64)
-    m5 = base + 300 * 1_000_000   # +5 minutes
-    m60 = base + 3600 * 1_000_000  # +1 hour
-    ranges = [
-        (float("-inf"), float(m5)),
-        (float(m5), float(m60)),
-        (float(m60), float("inf")),
-    ]
-    ds = ds.map_batches(to_epoch, batch_format="pyarrow")
-    return range_facet(ds, matched, col="ts_us", ranges=ranges)
-
-
 def q_facet_pipeline_siblings(sf_dir: str) -> pa.Table:
     """The SIBLING / remaining-parent pipeline aggregation family
     (serial_diff, normalize percent_of_sum, bucket_sort rank,
@@ -4118,7 +4086,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_auto_date_histogram": q_facet_auto_date_histogram,
         "facet_pipeline": q_facet_pipeline,
         "facet_pipeline_siblings": q_facet_pipeline_siblings,
-        "facet_date_range": q_facet_date_range,
         "facet_matrix_stats": q_facet_matrix_stats,
         "facet_terms": q_facet_terms,
         "facet_terms_served": q_facet_terms_served,
@@ -6293,26 +6260,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(date_trunc('month', warc_ts) AS TIMESTAMP) AS bucket,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM w GROUP BY 1 ORDER BY n_docs DESC, bucket ASC
-    """
-    sqls["facet_date_range"] = f"""
-        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
-        toks AS (SELECT doc_id, unnest({toks_body}) AS term FROM docs),
-        m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms_in})),
-        w AS (SELECT doc_id, epoch_us({_WARC}) AS ts_us FROM m),
-        edges(i, lo, hi) AS (VALUES
-          (0, CAST(NULL AS DOUBLE),
-              CAST(epoch_us(TIMESTAMP '2025-01-01 00:05:00') AS DOUBLE)),
-          (1, CAST(epoch_us(TIMESTAMP '2025-01-01 00:05:00') AS DOUBLE),
-              CAST(epoch_us(TIMESTAMP '2025-01-01 01:00:00') AS DOUBLE)),
-          (2, CAST(epoch_us(TIMESTAMP '2025-01-01 01:00:00') AS DOUBLE),
-              CAST(NULL AS DOUBLE)))
-        SELECT COALESCE(e.lo, CAST('-inf' AS DOUBLE)) AS lo,
-               COALESCE(e.hi, CAST('inf' AS DOUBLE)) AS hi,
-               CAST(count(w.doc_id) AS BIGINT) AS n_docs
-        FROM edges e LEFT JOIN w
-          ON (e.lo IS NULL OR w.ts_us >= e.lo)
-         AND (e.hi IS NULL OR w.ts_us < e.hi)
-        GROUP BY e.i, e.lo, e.hi ORDER BY e.i
     """
     sqls["facet_pipeline_siblings"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

@@ -811,18 +811,12 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
     elif kind == "date_range":
         # OpenSearch date_range: explicit [from, to) bands over a DATE
         # field — ``arg`` = [(lo_us, hi_us), …] epoch-us bounds
-        # (±inf for open edges); same overlapping-band/index-key
-        # semantics as ``range``; null timestamps count nowhere
+        # (±inf for open edges); lowers onto the ``range`` band kernel
+        # after a NaT-dropping epoch-us conversion (ONE copy of the
+        # band-count logic)
         us, valid = _ts_us_masked(pa.table({"_ts": vals}), "_ts")
-        v = us[valid].astype(np.float64)
-        lows = np.array([r[0] for r in arg], np.float64)
-        highs = np.array([r[1] for r in arg], np.float64)
-        counts = ((v[:, None] >= lows) & (v[:, None] < highs)).sum(axis=0)
-        return pa.table(
-            {
-                "key": pa.array(np.arange(len(arg)), pa.int64()),
-                "partial": pa.array(counts.astype(np.int64), pa.int64()),
-            }
+        return value_histogram(
+            pa.array(us[valid].astype(np.float64), pa.float64()), "range", arg
         )
     elif kind == "values":
         keys = pa.chunked_array([vals]).cast(pa.float64()).combine_chunks()

@@ -629,12 +629,17 @@ class ShardedQueryService:
 
         from ..index import manifest as mf
 
+        # resolve the build ONCE and pin every actor (initial and
+        # revived) to it: a publish between construction and a later
+        # revive() must never mix two builds' doc-id ranges in one
+        # fleet (the bounds below are THIS build's n_docs)
         bdir = mf.current_build(index_root) or index_root
         n_docs = int(mf.read_manifest(bdir)["n_docs"])
         n_shards = max(1, min(n_shards, max(1, n_docs)))
         bounds = np.linspace(0, n_docs, n_shards + 1).astype(np.int64)
         actor_cls = ray.remote(num_cpus=num_cpus)(ShardQueryActor)
         self._bounds = bounds
+        index_root = bdir
         # n_replicas > 1 is OpenSearch's primary+replica read scaling:
         # a Ray actor serves ONE request at a time, so concurrent
         # queries otherwise queue behind each shard — every fan-out
@@ -666,31 +671,43 @@ class ShardedQueryService:
         return [g[r % len(g)] for g in self._groups]
 
     def revive(self, timeout_s: float = 5.0) -> int:
-        """Replace DEAD shard replicas (node loss, OOM-kill, explicit
-        ``ray.kill``) with fresh actors over the same immutable build —
-        the operational recovery path: a query that hits a dead actor
-        raises ``RayActorError`` LOUDLY (never silently partial — a
-        missing shard would mean silently missing doc ranges); the
-        operator (or a supervising loop) calls ``revive()`` and
-        retries.  Each replica is probed with a cheap bounded-wait
-        call; a fresh actor re-warms its memoized slices on first use.
-        Returns the number of replicas replaced."""
+        """Replace CONFIRMED-DEAD shard replicas (node loss, OOM-kill,
+        explicit ``ray.kill``) with fresh actors over the SAME pinned
+        build — the operational recovery path: a query that hits a
+        dead actor raises ``RayActorError`` LOUDLY (never silently
+        partial — a missing shard would mean silently missing doc
+        ranges); the operator (or the REST layer's one-retry
+        self-heal) calls ``revive()`` and retries.
+
+        All replicas are pinged CONCURRENTLY and waited once under a
+        single deadline (a partitioned fleet stalls ~``timeout_s``
+        total, not per-actor).  Only a ping that FAILS with
+        ``RayActorError`` marks a replica dead — Ray errors a dead
+        actor's calls promptly, while a ping that merely hasn't
+        answered is an actor BUSY with in-flight work and must not be
+        replaced (dropping the live handle would kill its running
+        query).  A hung-but-alive actor is therefore left alone: busy
+        and hung are indistinguishable from outside; escalate with
+        ``shutdown()`` + a fresh service.  Returns the number of
+        replicas replaced."""
         import ray
 
+        probes = [
+            (i, j, actor.ping.remote())
+            for i, group in enumerate(self._groups)
+            for j, actor in enumerate(group)
+        ]
+        ray.wait([r for _, _, r in probes],
+                 num_returns=len(probes), timeout=timeout_s)
         replaced = 0
-        for i, group in enumerate(self._groups):
-            for j, actor in enumerate(group):
-                ref = actor.ping.remote()
-                ready, _ = ray.wait([ref], timeout=timeout_s)
-                ok = bool(ready)
-                if ok:
-                    try:
-                        ray.get(ref)
-                    except ray.exceptions.RayActorError:
-                        ok = False
-                if not ok:
-                    group[j] = self._spawn(i)
-                    replaced += 1
+        for i, j, ref in probes:
+            try:
+                ray.get(ref, timeout=0.001)
+            except ray.exceptions.GetTimeoutError:
+                continue  # busy, not dead
+            except ray.exceptions.RayActorError:
+                self._groups[i][j] = self._spawn(i)
+                replaced += 1
         return replaced
 
     def topk(

@@ -232,6 +232,7 @@ class SearchServer:
         # actors die instead of turning into 500s
         self._parked = None
         self.drain_grace_s = 5.0
+        self._revive_lock = _threading.Lock()
 
     # ---------------------------------------------------------- queries
 
@@ -242,7 +243,10 @@ class SearchServer:
         a second failure surfaces loudly (500).  Writes never take
         this path (they hold the write lock and their failure
         semantics are the caller's), and a local backend has no fleet
-        to heal."""
+        to heal.  Concurrent handler threads serialize on the revive
+        lock so a request burst against one dead shard spawns ONE
+        replacement, not one per thread (the second thread's revive
+        finds nothing dead and replaces 0)."""
         try:
             return fn(*args)
         except Exception as e:
@@ -254,7 +258,8 @@ class SearchServer:
                 and svc is not None
                 and hasattr(svc, "revive")
             ):
-                svc.revive()
+                with self._revive_lock:
+                    svc.revive()
                 return fn(*args)
             raise
 
@@ -566,12 +571,13 @@ class SearchServer:
                         return default
                     if isinstance(v, (int, float)):
                         return float(v) * 1000.0  # epoch millis → us
-                    return (
-                        _dtc.datetime.fromisoformat(str(v))
-                        .replace(tzinfo=_dtc.timezone.utc)
-                        .timestamp()
-                        * 1_000_000.0
-                    )
+                    d = _dtc.datetime.fromisoformat(str(v))
+                    if d.tzinfo is None:
+                        # naive = UTC (the engine's timestamp contract);
+                        # an EXPLICIT offset must convert, not be
+                        # reinterpreted
+                        d = d.replace(tzinfo=_dtc.timezone.utc)
+                    return d.timestamp() * 1_000_000.0
 
                 dranges = [
                     (
@@ -1344,7 +1350,11 @@ class SearchServer:
             return {"buckets": buckets}
         if kind == "missing":
             # |q| − |q ∧ exists(field)| — both through the backend's
-            # one count path (fleet or local), like the filters agg
+            # one count path (fleet or local), like the filters agg.
+            # Cost: two count fan-outs per request — the zero-new-
+            # distributed-code lowering, acceptable for an analytics
+            # agg (a dedicated partial would halve it if it ever shows
+            # up in a hot profile)
             from .query.dsl import dsl_to_node
 
             fld = reader.manifest["field"]
@@ -1490,17 +1500,20 @@ class SearchServer:
                 zip(hist["key"].to_pylist(), hist["n_docs"].to_pylist())
             )
             buckets = []
+            epoch0 = _dt.datetime(1970, 1, 1)
             for i, (lo, hi) in enumerate(arg):
                 b = {"doc_count": int(counts.get(i, 0))}
                 if lo != float("-inf"):
                     b["from"] = int(lo) // 1000  # epoch millis
-                    b["from_as_string"] = _dt.datetime.utcfromtimestamp(
-                        int(lo) // 1_000_000
+                    # exact micro-second ISO echo (no float detour, no
+                    # whole-second truncation of sub-second bounds)
+                    b["from_as_string"] = (
+                        epoch0 + _dt.timedelta(microseconds=int(lo))
                     ).isoformat()
                 if hi != float("inf"):
                     b["to"] = int(hi) // 1000
-                    b["to_as_string"] = _dt.datetime.utcfromtimestamp(
-                        int(hi) // 1_000_000
+                    b["to_as_string"] = (
+                        epoch0 + _dt.timedelta(microseconds=int(hi))
                     ).isoformat()
                 buckets.append(b)
             return {"buckets": buckets}

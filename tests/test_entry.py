@@ -120,7 +120,6 @@ SQL_BACKED = [
     "facet_date_histogram_week",
     "facet_auto_date_histogram",
     "facet_pipeline_siblings",
-    "facet_date_range",
     "pca_transform",
     "facet_pipeline",
     "facet_matrix_stats",
