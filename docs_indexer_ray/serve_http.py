@@ -370,8 +370,52 @@ class SearchServer:
         # field) never collide on a shared slot / response key (the
         # GET shorthand's agg_terms/agg_stats single slots stay
         # GET-only)
-        for name, agg in (spec.get("aggs") or spec.get("aggregations")
-                          or {}).items():
+        aggs_spec = spec.get("aggs") or spec.get("aggregations") or {}
+        if not isinstance(aggs_spec, dict):
+            raise ValueError(f"aggs must be an object: {aggs_spec!r}")
+        for name, agg in aggs_spec.items():
+            if not isinstance(agg, dict):
+                raise ValueError(
+                    f"aggregation {name!r} must be an object: {agg!r}"
+                )
+            # the branches below are pure dict parsing — a malformed
+            # body's TypeError/AttributeError (e.g. {"terms": null},
+            # {"range": {"ranges": 3}}) is INPUT error, the server's
+            # 400 contract, never a 500 (fuzz-enforced)
+            try:
+                self._compile_one_agg(name, agg, p)
+            except (TypeError, AttributeError) as e:
+                raise ValueError(
+                    f"malformed aggregation {name!r}: {e}"
+                ) from e
+        out = self._search(p)
+        if "suggest" in spec:
+            # the OpenSearch suggest envelope riding a search body:
+            # {"name": {"text": …, "term": {...}}} → per-name options
+            # from the same did-you-mean suggester /_suggest serves
+            from .query.suggest import Suggester
+
+            if self._suggester is None:
+                self._suggester = Suggester(self._reader)
+            sugg = {}
+            for name, sp in spec["suggest"].items():
+                if not isinstance(sp, dict) or "text" not in sp:
+                    raise ValueError(f"suggest {name!r} needs text: {sp!r}")
+                n = int((sp.get("term") or {}).get("size", 3))
+                opts = self._suggester.suggest(sp["text"], max_suggestions=n)
+                sugg[name] = [{
+                    "text": sp["text"],
+                    "options": [{"text": t, "score": sc} for t, sc in opts],
+                }]
+            out["suggest"] = sugg
+        return out
+
+    def _compile_one_agg(self, name, agg, p):
+        """One named aggregation body → one ``aggs_extra`` entry (the
+        loop body of the agg compiler — see the caller's 400 note)."""
+        from .query.dsl import _interval_seconds  # noqa: F401 (branches import)
+
+        if True:  # preserve the original branch indentation
             if "terms" in agg:
                 sub = agg.get("aggs") or agg.get("aggregations")
                 if sub:
@@ -408,7 +452,7 @@ class SearchServer:
                             "sort_col": scol,
                             "asc": order == "asc",
                         })
-                        continue
+                        return
                     metric = next(
                         (k for k in ("stats", "avg", "sum", "min", "max")
                          if k in subspec),
@@ -683,27 +727,6 @@ class SearchServer:
                     "avg_bucket|max_bucket|min_bucket|sum_bucket|"
                     "stats_bucket)"
                 )
-        out = self._search(p)
-        if "suggest" in spec:
-            # the OpenSearch suggest envelope riding a search body:
-            # {"name": {"text": …, "term": {...}}} → per-name options
-            # from the same did-you-mean suggester /_suggest serves
-            from .query.suggest import Suggester
-
-            if self._suggester is None:
-                self._suggester = Suggester(self._reader)
-            sugg = {}
-            for name, sp in spec["suggest"].items():
-                if not isinstance(sp, dict) or "text" not in sp:
-                    raise ValueError(f"suggest {name!r} needs text: {sp!r}")
-                n = int((sp.get("term") or {}).get("size", 3))
-                opts = self._suggester.suggest(sp["text"], max_suggestions=n)
-                sugg[name] = [{
-                    "text": sp["text"],
-                    "options": [{"text": t, "score": sc} for t, sc in opts],
-                }]
-            out["suggest"] = sugg
-        return out
 
     def _hybrid_search(self, spec: dict, params) -> dict:
         """OpenSearch 2.x ``hybrid`` query — BM25 + k-NN (or any mix of

@@ -801,6 +801,60 @@ def test_pipeline_agg_edges(root, ray_session):
         srv.stop()
 
 
+def test_aggs_envelope_fuzz_never_500s(root, ray_session):
+    """The aggregation compiler's 400 contract, fuzzed: any
+    JSON-shaped aggs body either computes (200) or refuses cleanly
+    (400) — no exception class escapes as a 500 (the DSL fuzz's
+    guarantee, extended to the agg surface)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    keys = st.sampled_from([
+        "terms", "stats", "date_histogram", "histogram", "range",
+        "date_range", "cardinality", "percentiles", "filters",
+        "significant_terms", "missing", "top_hits", "sum", "avg",
+        "cumulative_sum", "derivative", "serial_diff", "moving_fn",
+        "avg_bucket", "max_bucket", "stats_bucket",
+        "percentiles_bucket", "extended_stats_bucket", "aggs",
+        "field", "interval", "fixed_interval", "calendar_interval",
+        "ranges", "from", "to", "size", "sort", "buckets_path",
+        "lag", "window", "script", "percents", "meta", "x",
+    ])
+    scalars = st.one_of(
+        st.none(), st.booleans(), st.integers(-3, 60),
+        st.sampled_from([
+            "warc_ts", "lang", "doc_id", "60s", "month", "fortnight",
+            "per>ids", "ids", "2025-01-01T00:00:00", "", "1h",
+        ]),
+    )
+    json_obj = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=2),
+            st.dictionaries(keys, inner, max_size=3),
+        ),
+        max_leaves=10,
+    )
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        @settings(max_examples=80, deadline=None)
+        @given(st.dictionaries(keys, json_obj, min_size=1, max_size=2))
+        def probe(aggs):
+            code, r = _req(srv.port, "/_search", body={
+                "query": {"match": {"body": "node"}},
+                "size": 0,
+                "aggs": aggs,
+            })
+            assert code in (200, 400), (code, aggs, r)
+
+        probe()
+    finally:
+        srv.stop()
+
+
 def test_rest_self_heals_after_shard_actor_death(root, ray_session):
     """A /_search whose fan-out hits a killed shard actor revives the
     fleet once and answers identically — the REST layer's one-retry
