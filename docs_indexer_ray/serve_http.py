@@ -395,6 +395,10 @@ class SearchServer:
             # from the same did-you-mean suggester /_suggest serves
             from .query.suggest import Suggester
 
+            if not isinstance(spec["suggest"], dict):
+                raise ValueError(
+                    f"suggest must be an object: {spec['suggest']!r}"
+                )
             if self._suggester is None:
                 self._suggester = Suggester(self._reader)
             sugg = {}
@@ -2618,9 +2622,17 @@ class SearchServer:
                 except (
                     KeyError, ValueError, QueryStringError,
                     FileNotFoundError, FileExistsError, RecursionError,
+                    TypeError, AttributeError,
                 ) as e:
                     # RecursionError: json.loads itself raises it on a
-                    # hostile deeply-nested body — malformed input, 400
+                    # hostile deeply-nested body — malformed input, 400.
+                    # TypeError/AttributeError: a JSON body with the
+                    # wrong SHAPE in any slot ({"highlight": null},
+                    # {"search_after": 3}) fails exactly like
+                    # OpenSearch's x_content_parse_exception — input
+                    # error, fuzz-enforced 400 (a compute-path bug of
+                    # the same class would be masked as 400; the fuzz +
+                    # suite keep that honest)
                     handler._reply(
                         400,
                         {"error": {"type": type(e).__name__, "reason": str(e)}},

@@ -855,6 +855,47 @@ def test_aggs_envelope_fuzz_never_500s(root, ray_session):
         srv.stop()
 
 
+def test_search_body_fuzz_never_500s(root, ray_session):
+    """The whole /_search body surface (sort / suggest / highlight /
+    from / size / _source / scroll riders around a fixed valid query)
+    under the same 200-or-400 contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    keys = st.sampled_from([
+        "sort", "suggest", "highlight", "from", "size", "_source",
+        "search_after", "collapse", "rescore", "min_score", "fields",
+        "text", "term", "order", "warc_ts", "doc_id", "x",
+    ])
+    scalars = st.one_of(
+        st.none(), st.booleans(), st.integers(-3, 30),
+        st.sampled_from(["warc_ts:desc", "nope", "asc", "node", "", "url"]),
+    )
+    json_obj = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=2),
+            st.dictionaries(keys, inner, max_size=2),
+        ),
+        max_leaves=8,
+    )
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        @settings(max_examples=60, deadline=None)
+        @given(st.dictionaries(keys, json_obj, min_size=1, max_size=3))
+        def probe(extra):
+            body = {"query": {"match": {"body": "node"}}, **extra}
+            code, r = _req(srv.port, "/_search", body=body)
+            assert code in (200, 400, 404), (code, extra, r)
+
+        probe()
+    finally:
+        srv.stop()
+
+
 def test_rest_self_heals_after_shard_actor_death(root, ray_session):
     """A /_search whose fan-out hits a killed shard actor revives the
     fleet once and answers identically — the REST layer's one-retry
