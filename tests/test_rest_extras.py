@@ -896,6 +896,39 @@ def test_search_body_fuzz_never_500s(root, ray_session):
         srv.stop()
 
 
+def test_get_params_fuzz_never_500s(root, ray_session):
+    """GET /_search (and /_count, /_analyze) with random query params
+    under the 200-or-400 contract — the param-string parse surface."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    pkeys = st.sampled_from([
+        "q", "size", "from", "k", "sort", "fields", "agg_terms",
+        "agg_stats", "agg_size", "highlight", "hl_width", "scroll",
+        "syntax", "collapse", "min_score", "x",
+    ])
+    pvals = st.sampled_from([
+        "node", "3", "-1", "0", "nope:desc", "warc_ts:desc", "", "1m",
+        "true", "url,title", "lang", "1e9", "NaN", "*", '"a b"',
+    ])
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        @settings(max_examples=80, deadline=None)
+        @given(st.dictionaries(pkeys, pvals, min_size=1, max_size=4))
+        def probe(params):
+            code, r = _req(srv.port, "/_search", **params)
+            assert code in (200, 400, 404), (code, params, r)
+            code, r = _req(srv.port, "/_count", **params)
+            assert code in (200, 400, 404), (code, params, r)
+
+        probe()
+    finally:
+        srv.stop()
+
+
 def test_rest_self_heals_after_shard_actor_death(root, ray_session):
     """A /_search whose fan-out hits a killed shard actor revives the
     fleet once and answers identically — the REST layer's one-retry
