@@ -41,6 +41,17 @@ curl -s -X POST "http://127.0.0.1:$PORT/_search" -d '{
   "size": 2, "sort": [{"warc_ts": "desc"}],
   "aggs": {"langs": {"terms": {"field": "lang"}},
            "ages": {"date_histogram": {"field": "warc_ts", "fixed_interval": "1h"}}}}'; echo
+# round-4 surface: calendar intervals, pipeline aggs, top_hits, date_range
+curl -s -X POST "http://127.0.0.1:$PORT/_search" -d '{
+  "query": {"match": {"body": "node"}}, "size": 0,
+  "aggs": {
+    "monthly": {"date_histogram": {"field": "warc_ts", "calendar_interval": "month"},
+                "aggs": {"ids": {"sum": {"field": "doc_id"}},
+                          "cum": {"cumulative_sum": {"buckets_path": "ids"}}}},
+    "newest_per_lang": {"terms": {"field": "lang", "size": 3},
+                        "aggs": {"top": {"top_hits": {"size": 2,
+                                  "sort": [{"warc_ts": {"order": "desc"}}]}}}}}}' \
+  | head -c 400; echo
 SCROLL=$(curl -s "http://127.0.0.1:$PORT/_search?q=node&size=3&scroll=1m" | python -c 'import sys, json; print(json.load(sys.stdin)["_scroll_id"])')
 curl -s -X POST "http://127.0.0.1:$PORT/_search/scroll" -d "{\"scroll_id\": \"$SCROLL\"}" | head -c 200; echo
 curl -s -X POST "http://127.0.0.1:$PORT/_explain?id=0" -d '{"query": {"match": {"body": "node pools"}}}'; echo
