@@ -96,6 +96,37 @@ def test_match_doc_ids_union_semantics(built):
     assert len(match_doc_ids(reader, ["zzz_not_a_term"])) == 0
 
 
+def test_significant_terms_docs_mode_equals_scan(built, ray_session):
+    """significant_terms' two fg strategies — full postings scan vs
+    matched-doc re-tokenization (OpenSearch's fielddata path for
+    selective queries) — produce the IDENTICAL table, and auto
+    switches on the quarter-corpus threshold."""
+    import numpy as np
+
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.significant import significant_terms
+
+    reader, _ = built
+    terms, dfs = reader.term_dictionary()
+    sel_term = str(terms[int(np.argmin(np.abs(dfs - reader.n_docs // 10)))])
+    broad_term = str(terms[int(np.argmax(dfs))])
+
+    sel = match_doc_ids(reader, [sel_term])
+    assert 0 < len(sel) < reader.n_docs // 4
+    a = significant_terms(reader, sel, k=10, mode="scan")
+    b = significant_terms(reader, sel, k=10, mode="docs")
+    auto = significant_terms(reader, sel, k=10)  # selective → docs
+    assert a.equals(b) and a.equals(auto) and a.num_rows > 0
+
+    broad = match_doc_ids(reader, [broad_term, sel_term])
+    c = significant_terms(reader, broad, k=10, mode="scan")
+    d = significant_terms(reader, broad, k=10, mode="docs")
+    assert c.equals(d) and c.num_rows > 0
+
+    with pytest.raises(ValueError, match="mode"):
+        significant_terms(reader, sel, k=10, mode="nope")
+
+
 def test_sharded_service_death_is_loud_and_revivable(built, ray_session):
     """A dead shard actor fails queries LOUDLY (a silently-partial
     answer would mean silently missing doc ranges); revive() replaces
