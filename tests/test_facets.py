@@ -96,6 +96,37 @@ def test_match_doc_ids_union_semantics(built):
     assert len(match_doc_ids(reader, ["zzz_not_a_term"])) == 0
 
 
+def test_scan_partition_vectorized_equals_per_row(built):
+    """The one-decode-per-partition scan kernel (global varint decode
+    + arithmetic block restarts + reduceat fg fold) must equal the
+    per-row reference decode on every partition — including salted /
+    merged term rows and block boundaries."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from docs_indexer_ray.query.facets import _member_mask, _pack_bitmap
+    from docs_indexer_ray.query.significant import _decode_ids, _scan_partition
+
+    reader, _ = built
+    bits = _pack_bitmap(np.arange(0, reader.n_docs, 3))
+    bs = int(reader.manifest.get("block_size", 128))
+    checked = 0
+    for rp in range(reader.num_parts):
+        path = os.path.join(reader._seg_dir, f"seg-{rp:05d}.parquet")
+        if not os.path.exists(path):
+            continue
+        new = _scan_partition(reader._seg_dir, rp, bits, bs)
+        t = pq.read_table(path, columns=["doc_ids_enc"])
+        ref = [
+            int(_member_mask(bits, _decode_ids(enc, bs).astype(np.int64)).sum())
+            for enc in t["doc_ids_enc"].to_pylist()
+        ]
+        assert new["fg"].to_pylist() == ref, rp
+        checked += t.num_rows
+    assert checked > 0
+
+
 def test_significant_terms_docs_mode_equals_scan(built, ray_session):
     """significant_terms' two fg strategies — full postings scan vs
     matched-doc re-tokenization (OpenSearch's fielddata path for
