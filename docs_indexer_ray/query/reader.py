@@ -212,11 +212,11 @@ class IndexReader:
             and "text" in columns
             and "text" not in dset.schema.names
         ):
-            from ..stages.extract import synthesize_text
+            from ..stages.extract import SYNTHESIS_INPUT_COLUMNS, synthesize_text
 
             need = [c for c in columns if c != "text"]
             read_cols = list(
-                dict.fromkeys(need + ["title", "body", "uri", "breadcrumb"])
+                dict.fromkeys(need + list(SYNTHESIS_INPUT_COLUMNS))
             )
             t = dset.to_table(filter=expr, columns=read_cols)
             return synthesize_text(t).select(columns)

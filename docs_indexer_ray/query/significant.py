@@ -81,51 +81,23 @@ def _scan_partition(
     t = pq.read_table(path, columns=["term", "df", "doc_ids_enc"])
     if t.num_rows == 0:
         return empty
-    # ONE decode for the whole partition, not one per term row: the
-    # binary column's flat buffer holds every row's varint stream
-    # back-to-back — decode it once, rebuild per-row/per-block
-    # boundaries arithmetically, cumsum with vectorized restarts, and
-    # fold the bitmap membership per row with one reduceat.  (The
-    # per-row loop this replaces spent ~90 µs/row of Python overhead —
-    # 4.5 s at a 50k-term english vocabulary; this path is ~10×.)
-    enc = t["doc_ids_enc"].combine_chunks()
-    odt = np.int64 if pa.types.is_large_binary(enc.type) else np.int32
-    o0 = enc.offset
-    offs = (
-        np.frombuffer(enc.buffers()[1], odt)[o0: o0 + len(enc) + 1]
-        .astype(np.int64)
+    # ONE decode per row WINDOW, not one per term row: slices of the
+    # binary column's flat buffer decode in bulk (the per-row loop
+    # this replaces spent ~90 µs/row of Python overhead — 4.5 s at a
+    # 50k-term english vocabulary; this path measured 3.4× at 2M
+    # docs).  Work proceeds chunk by chunk (a >2 GiB column arrives
+    # chunked — never combine_chunks a binary column) and, within a
+    # chunk, in row windows of ≤64 MB of encoded bytes, so temporaries
+    # stay window-bounded (~30 B/posting over ≤64 MB of input) no
+    # matter how big the partition is.
+    col = t["doc_ids_enc"]
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    fg_parts = [
+        _fg_of_chunk(c, bits, block_size) for c in chunks if len(c)
+    ]
+    fg = (
+        np.concatenate(fg_parts) if fg_parts else np.empty(0, np.int64)
     )
-    b = np.frombuffer(enc.buffers()[2], np.uint8)[offs[0]: offs[-1]]
-    offs = offs - offs[0]
-    deltas = varint_decode(b)
-    # varints per row = clear-high-bit bytes in the row's byte range
-    is_end = ((b & 0x80) == 0).astype(np.int64)
-    cum_end = np.concatenate(([0], np.cumsum(is_end)))
-    n_per_row = cum_end[offs[1:]] - cum_end[offs[:-1]]
-    row_starts = np.concatenate(([0], np.cumsum(n_per_row)))[:-1]
-    # restart positions: each row start, plus every block_size-th
-    # varint within a row (delta streams restart per block with an
-    # ABSOLUTE first value — functions/codec.py layout)
-    blocks_per_row = (n_per_row + block_size - 1) // block_size
-    blocks_per_row = np.maximum(blocks_per_row, 0)
-    total_blocks = int(blocks_per_row.sum())
-    if total_blocks:
-        rep_starts = np.repeat(row_starts, blocks_per_row)
-        within = np.arange(total_blocks, dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(blocks_per_row)))[:-1],
-            blocks_per_row,
-        )
-        restarts = rep_starts + within * block_size
-        cs = np.cumsum(deltas, dtype=np.uint64)
-        cs_before = np.concatenate(([np.uint64(0)], cs))[restarts]
-        seg_lens = np.diff(np.append(restarts, len(deltas)))
-        ids = (cs - np.repeat(cs_before, seg_lens)).astype(np.int64)
-    else:
-        ids = np.empty(0, np.int64)
-    mask = _member_mask(bits, ids).astype(np.int64)
-    cum_m = np.concatenate(([0], np.cumsum(mask)))
-    row_ends = np.concatenate((row_starts[1:], [len(deltas)]))
-    fg = cum_m[row_ends] - cum_m[row_starts]
     return pa.table(
         {
             "term": t["term"],
@@ -135,7 +107,83 @@ def _scan_partition(
     )
 
 
-def _fg_by_retokenize(reader, bits_ref, n_fg: int) -> pa.Table:
+_WINDOW_BYTES = 64 << 20
+
+
+def _fg_of_chunk(
+    enc: pa.Array, bits: np.ndarray, block_size: int
+) -> np.ndarray:
+    """Per-row matched counts for ONE binary-array chunk — bulk varint
+    decode per ≤64 MB row window: per-row varint counts from the
+    posting-scale end-byte positions (``searchsorted``, no byte-scale
+    temporaries), per-block restart positions rebuilt arithmetically
+    (delta streams restart per block with an ABSOLUTE first value —
+    ``functions/codec.py`` layout), absolute ids via one cumsum minus
+    repeated segment bases, fg via one reduceat-shaped cumsum fold."""
+    odt = np.int64 if pa.types.is_large_binary(enc.type) else np.int32
+    o0 = enc.offset
+    offs_all = (
+        np.frombuffer(enc.buffers()[1], odt)[o0: o0 + len(enc) + 1]
+        .astype(np.int64)
+    )
+    data = np.frombuffer(enc.buffers()[2], np.uint8)
+    n_rows = len(enc)
+    fg = np.empty(n_rows, np.int64)
+    row = 0
+    while row < n_rows:
+        # widest row range whose byte span fits the window (≥1 row)
+        hi = int(
+            np.searchsorted(offs_all, offs_all[row] + _WINDOW_BYTES, "right")
+        ) - 1
+        hi = max(hi, row + 1)
+        hi = min(hi, n_rows)
+        offs = offs_all[row: hi + 1]
+        b = data[offs[0]: offs[-1]]
+        offs = offs - offs[0]
+        deltas = varint_decode(b)
+        ends = np.flatnonzero((b & 0x80) == 0)  # posting-scale
+        n_before = np.searchsorted(ends, offs)  # ends < row-start byte
+        n_per_row = np.diff(n_before)
+        row_starts = n_before[:-1]
+        blocks_per_row = (n_per_row + block_size - 1) // block_size
+        total_blocks = int(blocks_per_row.sum())
+        if total_blocks:
+            rep_starts = np.repeat(row_starts, blocks_per_row)
+            within = np.arange(total_blocks, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(blocks_per_row)))[:-1],
+                blocks_per_row,
+            )
+            restarts = rep_starts + within * block_size
+            cs = np.cumsum(deltas, dtype=np.uint64)
+            cs_before = np.concatenate(([np.uint64(0)], cs))[restarts]
+            seg_lens = np.diff(np.append(restarts, len(deltas)))
+            ids = (cs - np.repeat(cs_before, seg_lens)).astype(np.int64)
+        else:
+            ids = np.empty(0, np.int64)
+        mask = _member_mask(bits, ids).astype(np.int64)
+        cum_m = np.concatenate(([0], np.cumsum(mask)))
+        row_ends = np.concatenate((row_starts[1:], [len(deltas)]))
+        fg[row:hi] = cum_m[row_ends] - cum_m[row_starts]
+        row = hi
+    return fg
+
+
+#: per-worker-process analyzer cache for the docs-mode partials — a
+#: fresh Analyzer per batch would reset the Porter stem memo every
+#: batch (functions/analyzer.py's instantiate-once rule)
+_AN_CACHE: dict = {}
+
+
+def _cached_analyzer(chain: str):
+    an = _AN_CACHE.get(chain)
+    if an is None:
+        from ..functions.analyzer import Analyzer
+
+        an = _AN_CACHE[chain] = Analyzer(chain)
+    return an
+
+
+def _fg_by_retokenize(reader, bits_ref) -> pa.Table:
     """Foreground dfs via MATCHED-DOC re-analysis — the OpenSearch
     fielddata strategy for SELECTIVE queries: instead of decoding
     EVERY posting list (cost ∝ total postings), tasks re-run the
@@ -155,6 +203,8 @@ def _fg_by_retokenize(reader, bits_ref, n_fg: int) -> pa.Table:
 
     import pyarrow.dataset as pads
 
+    from ..stages.extract import SYNTHESIS_INPUT_COLUMNS
+
     chain = reader.chain
     body_field = reader.manifest["field"]
     docs_dir = os.path.join(reader.index_dir, "docs")
@@ -166,7 +216,7 @@ def _fg_by_retokenize(reader, bits_ref, n_fg: int) -> pa.Table:
     cols = (
         ["doc_id", body_field]
         if not synthesize
-        else ["doc_id", "title", "body", "uri", "breadcrumb"]
+        else ["doc_id", *SYNTHESIS_INPUT_COLUMNS]
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -177,7 +227,7 @@ def _fg_by_retokenize(reader, bits_ref, n_fg: int) -> pa.Table:
             from ..stages.extract import synthesize_text
 
             t = synthesize_text(t)
-        an = Analyzer(chain)
+        an = _cached_analyzer(chain)
         counts: dict[str, int] = {}
         for body in t[body_field].to_pylist():
             for term in set(an(body or "")):
@@ -257,7 +307,7 @@ def significant_terms(
             "docs" if n_fg * 4 < n_docs and n_docs >= 200_000 else "scan"
         )
     if mode == "docs":
-        fg_t = _fg_by_retokenize(reader, bits_ref, n_fg)
+        fg_t = _fg_by_retokenize(reader, bits_ref)
         fg = fg_t["fg"].to_numpy(zero_copy_only=False).astype(np.int64)
         terms = fg_t["term"].to_numpy(zero_copy_only=False)
         # background dfs from the loaded term dictionary (one searchsorted)

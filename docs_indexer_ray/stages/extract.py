@@ -107,6 +107,12 @@ def normalize_date(value, fallback_iso: str) -> str:
         return s
 
 
+#: the stored columns synthesize_text reads — shared by every caller
+#: that must fetch them first (reader.fetch_docs, significant.py's
+#: docs-mode re-tokenization) so the recipe has ONE source of truth
+SYNTHESIS_INPUT_COLUMNS = ("title", "body", "uri", "breadcrumb")
+
+
 def synthesize_text(t: pa.Table) -> pa.Table:
     """Append the catch-all ``text`` column derived from stored fields.
 

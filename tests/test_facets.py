@@ -146,7 +146,10 @@ def test_significant_terms_docs_mode_equals_scan(built, ray_session):
     assert 0 < len(sel) < reader.n_docs // 4
     a = significant_terms(reader, sel, k=10, mode="scan")
     b = significant_terms(reader, sel, k=10, mode="docs")
-    auto = significant_terms(reader, sel, k=10)  # selective → docs
+    # auto at this corpus size resolves to SCAN (the ≥200k-doc floor:
+    # below it the scan is sub-0.1 s and docs-mode's fixed Ray Data
+    # overhead would only add latency) — equality holds either way
+    auto = significant_terms(reader, sel, k=10)
     assert a.equals(b) and a.equals(auto) and a.num_rows > 0
 
     broad = match_doc_ids(reader, [broad_term, sel_term])
@@ -156,6 +159,46 @@ def test_significant_terms_docs_mode_equals_scan(built, ray_session):
 
     with pytest.raises(ValueError, match="mode"):
         significant_terms(reader, sel, k=10, mode="nope")
+
+
+def test_significant_terms_docs_mode_synthesized_text(
+    ray_session, tmp_path_factory
+):
+    """docs mode on a build that indexed the SYNTHESIZED catch-all
+    'text' field (the bench/production config — the docs store does
+    not persist it): the per-batch synthesize_text rebuild must yield
+    fg counts identical to the postings scan."""
+    import os
+
+    import numpy as np
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.query.significant import significant_terms
+    from docs_indexer_ray.synth import rich_pages_table
+
+    root = str(tmp_path_factory.mktemp("sigtext") / "idx")
+    build_index(
+        ray.data.from_arrow(rich_pages_table(100, dup_every=0)),
+        root,
+        fingerprint="st",
+        num_parts=4,
+        chain="english",
+        field="text",
+    )
+    r = IndexReader(root)
+    assert "text" not in __import__("pyarrow.dataset", fromlist=["dataset"]).dataset(
+        os.path.join(r.index_dir, "docs"), partitioning="hive"
+    ).schema.names  # the premise: text is synthesized, not stored
+    terms, dfs = r.term_dictionary()
+    sel_term = str(terms[int(np.argmin(np.abs(dfs - r.n_docs // 5)))])
+    sel = match_doc_ids(r, [sel_term])
+    assert len(sel) > 0
+    a = significant_terms(r, sel, k=10, mode="scan")
+    b = significant_terms(r, sel, k=10, mode="docs")
+    assert a.equals(b) and a.num_rows > 0
 
 
 def test_sharded_service_death_is_loud_and_revivable(built, ray_session):
