@@ -609,6 +609,76 @@ class SearchServer:
                     "name": name, "kind": "missing",
                     "field": agg["missing"]["field"],
                 })
+            elif "value_count" in agg:
+                # docs with a value = |q ∧ exists| — one count path
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "value_count",
+                    "field": agg["value_count"]["field"],
+                })
+            elif "rare_terms" in agg:
+                rt = agg["rare_terms"]
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "rare_terms",
+                    "field": rt["field"],
+                    "max_doc_count": int(rt.get("max_doc_count", 1)),
+                })
+            elif "adjacency_matrix" in agg:
+                am = agg["adjacency_matrix"]
+                named = am.get("filters")
+                if not isinstance(named, dict) or not named:
+                    raise ValueError(
+                        "adjacency_matrix expects {'filters': "
+                        f"{{name: <DSL>, …}}}}: {am!r}"
+                    )
+                if len(named) > 8:
+                    raise ValueError(
+                        "adjacency_matrix supports at most 8 filters "
+                        "(the intersection fan-out is quadratic)"
+                    )
+                for sub in named.values():
+                    if not isinstance(sub, dict):
+                        raise ValueError(
+                            f"adjacency_matrix filter must be a DSL "
+                            f"object: {sub!r}"
+                        )
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "adjacency_matrix", "field": "",
+                    "filters": named,
+                    "separator": str(am.get("separator", "&")),
+                })
+            elif "composite" in agg:
+                comp = agg["composite"]
+                sources = comp.get("sources")
+                if (
+                    not isinstance(sources, list)
+                    or len(sources) != 1
+                    or not isinstance(sources[0], dict)
+                    or len(sources[0]) != 1
+                ):
+                    raise ValueError(
+                        "composite supports exactly one terms source: "
+                        f"{sources!r}"
+                    )
+                sname, sspec = next(iter(sources[0].items()))
+                if "terms" not in sspec:
+                    raise ValueError(
+                        f"composite source must be terms: {sspec!r}"
+                    )
+                after = comp.get("after")
+                if after is not None and (
+                    not isinstance(after, dict) or sname not in after
+                ):
+                    raise ValueError(
+                        f"composite after must be {{{sname!r}: <key>}}: "
+                        f"{after!r}"
+                    )
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "composite",
+                    "field": sspec["terms"]["field"],
+                    "size": int(comp.get("size", 10)),
+                    "source": sname,
+                    "after": None if after is None else str(after[sname]),
+                })
             elif "date_range" in agg:
                 import datetime as _dtc
 
@@ -1374,6 +1444,92 @@ class SearchServer:
                         else {"value": full[metric]}  # single-metric agg
                     ),
                 })
+            return {"buckets": buckets}
+        if kind == "value_count":
+            # docs carrying a value: one count fan-out of q ∧ exists
+            from .query.dsl import dsl_to_node
+
+            fld = reader.manifest["field"]
+            main = q if isinstance(q, dict) else (
+                {"query_string": {"query": q}} if syntax
+                else {"match": {fld: q}}
+            )
+            with_field = {"bool": {"must": [main, {"exists": {"field": col}}]}}
+            dsl_to_node(with_field, analyzer)
+            return {
+                "value": int(
+                    self._count_impl(with_field, True, svc, reader, analyzer)
+                )
+            }
+        if kind == "rare_terms":
+            # long-tail terms: the SAME one-fan-out terms partial,
+            # tail-filtered and re-sorted (count asc, value asc) on the
+            # already-key-scale merged table
+            t, _ = self._facet_tables(
+                q, col, None, syntax=syntax,
+                svc=svc, reader=reader, analyzer=analyzer,
+            )
+            rows = [
+                (r["value"], int(r["n_docs"]))
+                for r in t.to_pylist()
+                if int(r["n_docs"]) <= spec["max_doc_count"]
+            ]
+            rows.sort(key=lambda kv: (kv[1], kv[0]))
+            return {"buckets": [
+                {"key": v, "doc_count": n} for v, n in rows
+            ]}
+        if kind == "composite":
+            # key-ordered bucket pages with after_key resumption over
+            # ONE terms source — the export-a-big-facet agg; the merged
+            # terms table is key-scale, paging is a driver slice
+            t, _ = self._facet_tables(
+                q, col, None, syntax=syntax,
+                svc=svc, reader=reader, analyzer=analyzer,
+            )
+            rows = sorted(
+                (str(r["value"]), int(r["n_docs"])) for r in t.to_pylist()
+            )
+            after = spec["after"]
+            if after is not None:
+                rows = [r for r in rows if r[0] > after]
+            page = rows[: spec["size"]]
+            out = {"buckets": [
+                {"key": {spec["source"]: v}, "doc_count": n}
+                for v, n in page
+            ]}
+            if page and len(rows) > len(page):
+                out["after_key"] = {spec["source"]: page[-1][0]}
+            return out
+        if kind == "adjacency_matrix":
+            # one count per named filter + one per pairwise
+            # intersection (q ∧ fa ∧ fb), zero-count buckets omitted —
+            # the filters-agg lowering squared, every leg through the
+            # backend's one count path
+            from .query.dsl import dsl_to_node
+
+            fld = reader.manifest["field"]
+            main = q if isinstance(q, dict) else (
+                {"query_string": {"query": q}} if syntax
+                else {"match": {fld: q}}
+            )
+            names = sorted(spec["filters"])
+            sep = spec["separator"]
+            buckets = []
+            for i, a in enumerate(names):
+                legs = {a: [spec["filters"][a]]}
+                for bn in names[i + 1:]:
+                    legs[f"{a}{sep}{bn}"] = [
+                        spec["filters"][a], spec["filters"][bn]
+                    ]
+                for key, fs in legs.items():
+                    combined = {"bool": {"must": [main, *fs]}}
+                    dsl_to_node(combined, analyzer)
+                    n = self._count_impl(
+                        combined, True, svc, reader, analyzer
+                    )
+                    if n > 0:
+                        buckets.append({"key": key, "doc_count": int(n)})
+            buckets.sort(key=lambda b: b["key"])
             return {"buckets": buckets}
         if kind == "missing":
             # |q| − |q ∧ exists(field)| — both through the backend's

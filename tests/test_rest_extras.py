@@ -756,6 +756,97 @@ def test_missing_and_histogram_metric_aggs(root, ray_session):
     assert got == {k: (n, float(s)) for k, (n, s) in per.items()}
 
 
+def test_value_count_rare_adjacency_composite_aggs(root, ray_session):
+    """The four long-tail envelope aggs — value_count, rare_terms,
+    adjacency_matrix, composite (one terms source with after_key
+    paging) — both backends, brute-forced."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from docs_indexer_ray.serve_http import SearchServer
+
+    body = {
+        "query": {"match": {"body": "node"}},
+        "size": 0,
+        "aggs": {
+            "n_langs": {"value_count": {"field": "lang"}},
+            "rare": {"rare_terms": {"field": "lang", "max_doc_count": 1000}},
+            "adj": {"adjacency_matrix": {"filters": {
+                "early": {"range": {"doc_id": {"lt": 30}}},
+                "node": {"match": {"body": "node"}},
+            }}},
+            "page1": {"composite": {
+                "size": 2,
+                "sources": [{"lg": {"terms": {"field": "lang"}}}],
+            }},
+        },
+    }
+    results = {}
+    for backend, kw in (("local", {}), ("sharded", {"n_shards": 3})):
+        srv = SearchServer(root, backend=backend, **kw).start()
+        try:
+            code, r = _req(srv.port, "/_search", body=body)
+            assert code == 200, r
+            results[backend] = r["aggregations"]
+        finally:
+            srv.stop()
+    assert results["local"] == results["sharded"]
+    aggs = results["local"]
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.facets import match_doc_ids
+    from docs_indexer_ray.query.reader import IndexReader
+
+    reader = IndexReader(root)
+    matched = set(
+        int(d) for d in match_doc_ids(reader, Analyzer(reader.chain)("node"))
+    )
+    docs = pads.dataset(
+        os.path.join(reader.index_dir, "docs"), partitioning="hive"
+    ).to_table(columns=["doc_id", "lang"])
+    langs = {
+        int(d): lg
+        for d, lg in zip(docs["doc_id"].to_pylist(), docs["lang"].to_pylist())
+    }
+    # value_count: every matched doc has a lang
+    assert aggs["n_langs"]["value"] == len(matched)
+    # rare_terms: count ASC then value asc, tail filter
+    per = {}
+    for d in matched:
+        per[langs[d]] = per.get(langs[d], 0) + 1
+    want = sorted(((n, v) for v, n in per.items() if n <= 1000))
+    assert [(b["doc_count"], b["key"]) for b in aggs["rare"]["buckets"]] == want
+    # adjacency_matrix: singles + the pairwise intersection
+    early = {d for d in matched if d < 30}
+    by_key = {b["key"]: b["doc_count"] for b in aggs["adj"]["buckets"]}
+    assert by_key["early"] == len(early)
+    assert by_key["node"] == len(matched)
+    assert by_key.get("early&node", 0) == len(early)
+    # composite: key-ascending pages chained by after_key cover all keys
+    seen = []
+    after = None
+    srv = SearchServer(root, backend="local").start()
+    try:
+        while True:
+            comp = {"size": 2, "sources": [{"lg": {"terms": {"field": "lang"}}}]}
+            if after is not None:
+                comp["after"] = {"lg": after}
+            code, r = _req(srv.port, "/_search", body={
+                "query": {"match": {"body": "node"}}, "size": 0,
+                "aggs": {"pg": {"composite": comp}},
+            })
+            assert code == 200, r
+            pg = r["aggregations"]["pg"]
+            seen += [(b["key"]["lg"], b["doc_count"]) for b in pg["buckets"]]
+            if "after_key" not in pg:
+                break
+            after = pg["after_key"]["lg"]
+    finally:
+        srv.stop()
+    assert seen == sorted((v, n) for v, n in per.items())
+
+
 def test_pipeline_agg_edges(root, ray_session):
     """Edge semantics pinned: a 'meta' key beside a pipeline sub-agg
     parses; a sibling over a derivative metric gap-skips its empty
@@ -815,6 +906,8 @@ def test_aggs_envelope_fuzz_never_500s(root, ray_session):
         "terms", "stats", "date_histogram", "histogram", "range",
         "date_range", "cardinality", "percentiles", "filters",
         "significant_terms", "missing", "top_hits", "sum", "avg",
+        "value_count", "rare_terms", "adjacency_matrix", "composite",
+        "sources", "max_doc_count", "after",
         "cumulative_sum", "derivative", "serial_diff", "moving_fn",
         "avg_bucket", "max_bucket", "stats_bucket",
         "percentiles_bucket", "extended_stats_bucket", "aggs",
