@@ -762,6 +762,23 @@ class SearchServer:
                         "percents", [1, 5, 25, 50, 75, 95, 99]
                     ),
                 })
+            elif "percentile_ranks" in agg:
+                pr = agg["percentile_ranks"]
+                vals = pr.get("values")
+                if not isinstance(vals, list) or not vals:
+                    raise ValueError(
+                        f"percentile_ranks needs values: {pr!r}"
+                    )
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "percentile_ranks",
+                    "field": pr["field"],
+                    "values": [float(v) for v in vals],
+                })
+            elif "extended_stats" in agg:
+                p.setdefault("aggs_extra", []).append({
+                    "name": name, "kind": "extended_stats",
+                    "field": agg["extended_stats"]["field"],
+                })
             elif any(
                 k in agg
                 for k in ("avg_bucket", "max_bucket", "min_bucket",
@@ -1445,6 +1462,46 @@ class SearchServer:
                     ),
                 })
             return {"buckets": buckets}
+        if kind in ("extended_stats", "percentile_ranks"):
+            # both fold the SAME exact value-count histogram the
+            # percentiles path already fans out (distinct-value-scale
+            # partials) — zero new distributed code
+            if svc is not None:
+                hist = svc.bucket_facet(q, col, "values", None, syntax=syntax)
+            else:
+                matched = self._matched_ids_local(q, syntax, reader, analyzer)
+                vals = reader.stored_column(col).take(
+                    pa.array(np.asarray(matched, np.int64))
+                )
+                h = value_histogram(vals, "values", None)
+                hist = pa.table(
+                    {"key": h["key"], "n_docs": h["partial"]}
+                ).sort_by("key")
+            v = hist["key"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c = hist["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = int(c.sum())
+            if kind == "percentile_ranks":
+                if n == 0:
+                    return {"values": {f"{x}": None for x in spec["values"]}}
+                cum = np.cumsum(c)
+                out = {}
+                for x in spec["values"]:
+                    le = int(cum[np.searchsorted(v, float(x), "right") - 1]) \
+                        if np.searchsorted(v, float(x), "right") else 0
+                    out[f"{float(x)}"] = 100.0 * le / n
+                return {"values": out}
+            if n == 0:
+                return {"count": 0}
+            s = float((v * c).sum())
+            ss = float((v * v * c).sum())
+            mean = s / n
+            var = ss / n - mean * mean
+            return {
+                "count": n, "min": float(v.min()), "max": float(v.max()),
+                "sum": s, "avg": mean, "sum_of_squares": ss,
+                "variance": var,
+                "std_deviation": var ** 0.5 if var > 0 else 0.0,
+            }
         if kind == "value_count":
             # docs carrying a value: one count fan-out of q ∧ exists
             from .query.dsl import dsl_to_node

@@ -823,6 +823,32 @@ def test_value_count_rare_adjacency_composite_aggs(root, ray_session):
     assert by_key["early"] == len(early)
     assert by_key["node"] == len(matched)
     assert by_key.get("early&node", 0) == len(early)
+    # extended_stats + percentile_ranks fold the exact value histogram
+    srv = SearchServer(root, backend="local").start()
+    try:
+        code, r = _req(srv.port, "/_search", body={
+            "query": {"match": {"body": "node"}}, "size": 0,
+            "aggs": {
+                "es": {"extended_stats": {"field": "doc_id"}},
+                "pr": {"percentile_ranks": {"field": "doc_id",
+                                            "values": [10, 45]}},
+            },
+        })
+        assert code == 200, r
+        import numpy as np
+
+        ids = np.array(sorted(matched), float)
+        es = r["aggregations"]["es"]
+        assert es["count"] == len(ids) and es["min"] == ids.min()
+        assert abs(es["variance"] - ids.var()) < 1e-6
+        pr = r["aggregations"]["pr"]
+        for x in (10.0, 45.0):
+            assert abs(
+                pr["values"][f"{x}"] - 100.0 * (ids <= x).sum() / len(ids)
+            ) < 1e-9
+    finally:
+        srv.stop()
+
     # composite: key-ascending pages chained by after_key cover all keys
     seen = []
     after = None
