@@ -1253,6 +1253,53 @@ class SearchServer:
 
         return match_doc_ids(reader, analyzer(q))
 
+    @staticmethod
+    def _main_dsl(q, syntax, reader) -> dict:
+        """The request's main query as a DSL object — ONE lowering for
+        every agg branch that must AND extra clauses onto it (filters,
+        missing, value_count, adjacency_matrix): a dict body passes
+        through; a GET string is a query_string (``syntax``) or a
+        match-any over the indexed field."""
+        if isinstance(q, dict):
+            return q
+        fld = reader.manifest["field"]
+        return (
+            {"query_string": {"query": q}} if syntax else {"match": {fld: q}}
+        )
+
+    def _exists_count(self, q, col, syntax, svc, reader, analyzer) -> int:
+        """|q ∧ exists(col)| through the backend's one count path —
+        shared by ``missing`` and ``value_count``."""
+        from .query.dsl import dsl_to_node
+
+        with_field = {
+            "bool": {
+                "must": [
+                    self._main_dsl(q, syntax, reader),
+                    {"exists": {"field": col}},
+                ]
+            }
+        }
+        dsl_to_node(with_field, analyzer)
+        return int(self._count_impl(with_field, True, svc, reader, analyzer))
+
+    def _values_hist(self, q, col, syntax, svc, reader, analyzer):
+        """The exact value-count histogram ``(key, n_docs)`` sorted by
+        key — the shared distinct-value-scale fan-out behind
+        percentiles / cardinality / extended_stats / percentile_ranks
+        (fleet partial or the same kernel over the memoized local
+        column slice)."""
+        from .query.facets import value_histogram
+
+        if svc is not None:
+            return svc.bucket_facet(q, col, "values", None, syntax=syntax)
+        matched = self._matched_ids_local(q, syntax, reader, analyzer)
+        vals = reader.stored_column(col).take(
+            pa.array(np.asarray(matched, np.int64))
+        )
+        h = value_histogram(vals, "values", None)
+        return pa.table({"key": h["key"], "n_docs": h["partial"]}).sort_by("key")
+
     def _extra_agg(self, q, spec: dict, syntax, svc, reader, analyzer) -> dict:
         """One body-only aggregation (date_histogram / histogram /
         range / cardinality / percentiles) against an explicit backend
