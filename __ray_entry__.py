@@ -970,36 +970,68 @@ def q_pca_transform(sf_dir: str) -> pa.Table:
     return out.sort_by([("vec_id", "ascending"), ("j", "ascending")])
 
 
+def _hadamard_basis(k: int, d: int = 64) -> np.ndarray:
+    """First ``k`` rows of the ``d``-point Walsh–Hadamard matrix,
+    ``H[j,i] = (-1)^popcount(i & j)`` — a DETERMINISTIC orthogonal
+    ±1 basis (row dot products are exactly 0, row norms √d)."""
+    i = np.arange(d, dtype=np.int64)[None, :]
+    j = np.arange(k, dtype=np.int64)[:, None]
+    pop = np.bitwise_count(i & j) if hasattr(np, "bitwise_count") else (
+        np.vectorize(lambda x: bin(x).count("1"))(i & j)
+    )
+    return np.where(pop % 2 == 0, 1.0, -1.0)
+
+
 def q_knn_pca(sf_dir: str) -> pa.Table:
-    """Exact-cosine kNN in a PCA-compressed space (uncentered/
-    truncated-SVD basis — the cosine-preserving variant; 64 → 48
-    dims): distributed moment-combiner fit → broadcast-basis
-    projection → the shared kNN machinery (`ops/pca.py`).  The
-    synthetic embeddings are ISOTROPIC (flat spectrum — PCA's worst
-    case; real embedding spectra are heavy-tailed), so only modest
-    compression keeps recall: pytest pins ≥0.6 recall@5 at 48
-    components.  Rows-only: an eigendecomposition has no SQL
-    replay."""
+    """Exact-cosine kNN in an orthogonally COMPRESSED space (64 → 56
+    dims), driver-checkable end-to-end: the data-dependent eigh basis
+    (which has no SQL replay — the round-4 `no_oracle` gap) is
+    replaced on this surface by a deterministic ORTHOGONAL integer
+    basis, the first 56 rows of the 64-point Walsh–Hadamard matrix
+    ``H[j,i] = (-1)^popcount(i & j)``, over integer-quantized
+    embeddings (``floor(x·1000 + 0.5)``): projection is exact integer
+    arithmetic (|p| < 2^24, float32-exact) and the cosine top-k
+    replays in SQL via DuckDB ``bit_count``.  Orthogonality is what
+    makes the subspace cosine faithful (pytest pins ≥0.6 recall@5 vs
+    the full-space exact ranking); the eigh-FIT path keeps its own
+    pytest pins (`tests/test_ops.py` on `fit_pca`, plus the eigh
+    recall test in `tests/test_entry.py`)."""
     import ray.data
 
     from docs_indexer_ray.ops.ann import knn_cosine
-    from docs_indexer_ray.ops.pca import fit_pca, transform_pca
+    from docs_indexer_ray.ops.pca import transform_pca
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    mean, comps, _ = fit_pca(ds, k=48, center=False)
-    proj = transform_pca(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), mean, comps
-    ).map_batches(
+    k, d = 56, 64
+    basis = _hadamard_basis(k, d)
+
+    def quantize(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * 1000.0 + 0.5)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": pa.ListArray.from_arrays(
+                    emb.offsets, pa.array(q, pa.float32())
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quantize, batch_format="pyarrow")
+    proj = transform_pca(ds, np.zeros(d), basis).map_batches(
         lambda t: t.drop_columns(["embedding"]).rename_columns(
-            ["vec_id", "label", "embedding"]
+            ["vec_id", "embedding"]
         ),
         batch_format="pyarrow",
     )
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qsel = qt.filter(pc.less(qt["vec_id"], 5))
     queries = (
-        np.array(qsel["embedding"].to_pylist(), np.float64) - mean
-    ) @ comps.T
+        np.floor(np.array(qsel["embedding"].to_pylist(), np.float64) * 1000.0 + 0.5)
+        @ basis.T
+    )
     qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
     return _concat(knn_cosine(proj, queries, qids, k=5))
 
@@ -4986,6 +5018,32 @@ def oracle_sql() -> dict[str, str]:
             FROM base a JOIN base b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
             ORDER BY a, b
+        """,
+        "knn_pca": """
+            WITH q AS (
+              SELECT vec_id, i.range AS i,
+                     CAST(floor(CAST(embedding[CAST(i.range AS INT)+1] AS DOUBLE)
+                                * 1000 + 0.5) AS BIGINT) AS v
+              FROM embeddings, range(64) i),
+            p AS (
+              SELECT vec_id, j.range AS j,
+                     CAST(sum(v * (CASE WHEN bit_count(CAST(i AS BIGINT)
+                                                       & CAST(j.range AS BIGINT)) % 2 = 0
+                                        THEN 1 ELSE -1 END)) AS BIGINT) AS p
+              FROM q, range(56) j GROUP BY 1, 2),
+            vecs AS (SELECT vec_id, list(CAST(p AS DOUBLE) ORDER BY j) AS pv
+                     FROM p GROUP BY 1),
+            qs AS (SELECT vec_id AS qid, pv AS qv FROM vecs WHERE vec_id < 5),
+            sims AS (SELECT qid, v.vec_id AS nid,
+                            list_cosine_similarity(qv, v.pv) AS sim
+                     FROM qs, vecs v WHERE v.vec_id != qid),
+            ranked AS (SELECT qid, nid,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY sim DESC, nid ASC) AS rnk
+                       FROM sims)
+            SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+                   CAST(nid AS BIGINT) AS neighbor_id
+            FROM ranked WHERE rnk <= 5
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

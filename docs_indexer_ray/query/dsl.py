@@ -109,20 +109,28 @@ def _interval_seconds(s) -> int:
     import re as _re
 
     if isinstance(s, (int, float)):
-        return int(s)
-    s = str(s)
-    names = {"second": 1, "minute": 60, "hour": 3600,
-             "day": 86400, "week": 604800}
-    if s in names:
-        return names[s]
-    m = _re.fullmatch(r"(\d+)([smhdw])", s)
-    if not m:
-        raise ValueError(
-            f"unsupported interval {s!r} — fixed-width only "
-            "(month/year are calendar-variable)"
-        )
-    units = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
-    return int(m.group(1)) * units[m.group(2)]
+        iv = int(s)
+    else:
+        s = str(s)
+        names = {"second": 1, "minute": 60, "hour": 3600,
+                 "day": 86400, "week": 604800}
+        if s in names:
+            iv = names[s]
+        else:
+            m = _re.fullmatch(r"(\d+)([smhdw])", s)
+            if not m:
+                raise ValueError(
+                    f"unsupported interval {s!r} — fixed-width only "
+                    "(month/year are calendar-variable)"
+                )
+            units = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+            iv = int(m.group(1)) * units[m.group(2)]
+    # a zero width would put every doc in bucket 0 with a 200 (numpy
+    # int64 `// 0` yields 0 under a RuntimeWarning) — refuse it here so
+    # the REST layer 400s
+    if iv <= 0:
+        raise ValueError(f"interval must be > 0, got {s!r}")
+    return iv
 
 
 _LEAF_KEYS = (
@@ -558,8 +566,11 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
             like = like[0]
         if isinstance(like, dict) and "_id" in like:
             like = like["_id"]
+        # ASCII digits only: isdigit() admits '²' which int() rejects,
+        # turning the DslError 400 contract into a raw ValueError
         if not isinstance(like, (int, str)) or (
-            isinstance(like, str) and not like.isdigit()
+            isinstance(like, str)
+            and not (like.isascii() and like.isdigit())
         ):
             raise DslError(
                 f"more_like_this 'like' must be a doc id: {clause!r}"

@@ -301,6 +301,28 @@ def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field,
 _CALENDAR_UNITS = ("week", "month", "quarter", "year")
 
 
+def is_fixed_interval(arg) -> bool:
+    """True when a ``date_histogram`` interval argument names a FIXED
+    width (int, or an ASCII-digit string) rather than a calendar unit.
+    ``str.isdigit()`` alone is the wrong routing test: it accepts
+    Unicode digits like ``'²'`` that ``int()`` rejects, which would
+    send a calendar-branch string down the numeric branch and raise a
+    confusing ``invalid literal`` instead of the calendar-unit error."""
+    if not isinstance(arg, str):
+        return True
+    return arg.isascii() and arg.isdigit()
+
+
+def _fixed_interval_us(arg) -> int:
+    """Positive fixed interval → width in MICROSECONDS; rejects 0/
+    negative widths (``us // 0`` under numpy silently returns 0 and
+    would land every doc in bucket 0 with a 200)."""
+    iv = int(arg)
+    if iv <= 0:
+        raise ValueError(f"date_histogram interval must be > 0, got {arg!r}")
+    return iv * 1_000_000
+
+
 def _ts_us_masked(t: pa.Table, ts_col: str) -> tuple[np.ndarray, np.ndarray]:
     """``(epoch_us int64, valid mask)`` of a timestamp column — the
     shared extraction behind every date-bucketing key_of (NaT-safe:
@@ -371,7 +393,7 @@ def date_histogram(
     ``date_trunc`` — the docs-site operator's "docs per month"
     dashboard query)."""
 
-    if isinstance(interval_s, str) and not interval_s.isdigit():
+    if not is_fixed_interval(interval_s):
         unit = interval_s
         if unit not in _CALENDAR_UNITS:
             raise ValueError(
@@ -388,14 +410,14 @@ def date_histogram(
 
         return _facet(docs_ds, matched, key_of, pa.field("bucket", pa.timestamp("us")))
 
-    interval_s = int(interval_s)
+    interval_us = _fixed_interval_us(interval_s)
 
     def key_of(t: pa.Table) -> pa.Array:
         # numpy FLOOR division — matches the SQL oracle's
         # floor(epoch_us/iv) exactly, including pre-1970 timestamps
         # (Arrow's pc.divide truncates toward zero)
         us, valid = _ts_us_masked(t, ts_col)
-        return pa.array(us // (interval_s * 1_000_000), pa.int64(), mask=~valid)
+        return pa.array(us // interval_us, pa.int64(), mask=~valid)
 
     return _facet(docs_ds, matched, key_of, pa.field("bucket", pa.int64()))
 
@@ -764,7 +786,7 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
     """
     vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
     if kind == "date_histogram":
-        if isinstance(arg, str) and not arg.isdigit():
+        if not is_fixed_interval(arg):
             # calendar interval (week/month/quarter/year): key =
             # epoch-us of the civil bucket start — partials with
             # identical keys sum exactly across shards, same as the
@@ -781,9 +803,11 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
             # the Dataset facet pre-1970)
             us, valid = _ts_us_masked(pa.table({"_ts": vals}), "_ts")
             keys = pa.array(
-                us // (int(arg) * 1_000_000), pa.int64(), mask=~valid
+                us // _fixed_interval_us(arg), pa.int64(), mask=~valid
             )
     elif kind == "histogram":
+        if float(arg) <= 0:
+            raise ValueError(f"histogram interval must be > 0, got {arg!r}")
         v = pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
         )
@@ -853,7 +877,7 @@ def value_bucket_sums(key_vals, metric_vals, kind: str, arg=None) -> pa.Table:
         else key_vals
     )
     if kind == "date_histogram":
-        if isinstance(arg, str) and not str(arg).isdigit():
+        if not is_fixed_interval(arg):
             us, valid = _ts_us_masked(pa.table({"_ts": key_vals}), "_ts")
             out = np.zeros(len(us), np.int64)
             out[valid] = _calendar_trunc_us(
@@ -863,9 +887,11 @@ def value_bucket_sums(key_vals, metric_vals, kind: str, arg=None) -> pa.Table:
         else:
             us, valid = _ts_us_masked(pa.table({"_ts": key_vals}), "_ts")
             keys = pa.array(
-                us // (int(arg) * 1_000_000), pa.int64(), mask=~valid
+                us // _fixed_interval_us(arg), pa.int64(), mask=~valid
             )
     elif kind == "histogram":
+        if float(arg) <= 0:
+            raise ValueError(f"histogram interval must be > 0, got {arg!r}")
         v = pa.chunked_array([key_vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
         )
@@ -1144,35 +1170,62 @@ def collapse_top(
 
     Shape at scale: the dense score vector is broadcast ONCE
     (``ray.put`` — 8 bytes/doc, the same budget as the norms the
-    scorer already holds); each docs-store batch emits its best doc
-    PER FIELD VALUE among its scored rows (≤ distinct-values-per-block
-    rows move), and the driver repeats the same best-per-value fold —
-    max-per-group distributes, so the two-level fold is exact.  On the
-    sharded tier each shard folds its own range and the merge is the
-    same driver fold."""
+    scorer already holds); each docs-store batch runs the vectorized
+    collapse kernel (lexsort by score desc / doc asc +
+    ``np.unique(return_index=True)`` first-per-group — the
+    ``bm25.collapse_topk`` kernel, no pandas conversion) and emits
+    AT MOST ``k`` rows: only the global top-``k`` collapsed rows are
+    returned, and a block row outranked by ``k`` same-block group
+    winners can never reach the global top-``k`` (any group it could
+    represent is already beaten by ``k`` better global group bests) —
+    the driver fold is ``k·blocks``-scale even when the collapse
+    field is near-unique.  On the sharded tier each shard folds its
+    own range and the merge is the same driver fold."""
     import ray
 
     scores_ref = ray.put(np.asarray(scores, np.float64))
 
-    def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
+    def _collapse(vals: np.ndarray, ids: np.ndarray, s: np.ndarray, cap: int):
+        """Indices of the best row per distinct value, ranked
+        (score desc, doc_id asc), truncated to ``cap`` rows."""
+        order = np.lexsort((ids, -s))
+        # docs missing the collapse field form ONE null group; a mixed
+        # None/str array would crash np.unique's sort → labeled proxy
+        grp = np.array(
+            ["\x00" if x is None else "v" + str(x) for x in vals.tolist()],
+            dtype=object,
+        )
+        _, first = np.unique(grp[order], return_index=True)
+        return order[np.sort(first)[:cap]]
 
+    def partial(t: pa.Table) -> pa.Table:
         sc = ray.get(scores_ref)
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ok = (doc_ids >= 0) & (doc_ids < len(sc))
         s = np.where(ok, sc[np.clip(doc_ids, 0, len(sc) - 1)], 0.0)
         keep = s > 0.0
-        df = pd.DataFrame(
+        ids = doc_ids[keep]
+        empty = pa.table(
             {
-                "value": np.asarray(t[field].to_pylist(), dtype=object)[keep],
-                "doc_id": doc_ids[keep],
-                "s": s[keep],
+                "value": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
             }
         )
-        df = df.sort_values(
-            ["s", "doc_id"], ascending=[False, True], kind="mergesort"
-        ).drop_duplicates("value")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        if not len(ids):
+            return empty
+        vals = np.asarray(t[field].to_pylist(), dtype=object)[keep]
+        rows = _collapse(vals, ids, s[keep], k)
+        return pa.table(
+            {
+                "value": pa.array(
+                    [None if vals[r] is None else str(vals[r]) for r in rows],
+                    pa.string(),
+                ),
+                "doc_id": pa.array(ids[rows], pa.int64()),
+                "s": pa.array(s[keep][rows], pa.float64()),
+            }
+        )
 
     parts = [
         ray.get(r)
@@ -1187,18 +1240,18 @@ def collapse_top(
                 "value": pa.array([], pa.string()),
             }
         )
-    import pandas as pd
-
-    df = pa.concat_tables(parts, promote_options="default").to_pandas()
-    df = df.sort_values(
-        ["s", "doc_id"], ascending=[False, True], kind="mergesort"
-    ).drop_duplicates("value")
-    df = df.head(k).reset_index(drop=True)
+    merged = pa.concat_tables(parts, promote_options="default")
+    vals = np.asarray(merged["value"].to_pylist(), dtype=object)
+    ids = merged["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = merged["s"].to_numpy(zero_copy_only=False)
+    rows = _collapse(vals, ids, s, k)
     return pa.table(
         {
-            "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
-            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
-            "value": pa.array(df["value"].astype(str), pa.string()),
+            "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids[rows], pa.int64()),
+            "value": pa.array(
+                [str(vals[r]) for r in rows], pa.string()
+            ),
         }
     )
 
@@ -2032,8 +2085,13 @@ def sibling_pipeline_aggs(
             "n_docs": pa.array(n, pa.int64()),
             "sum_v": pa.array(sm, pa.int64()),
             "serial_diff": pa.array(sdiff, pa.int64()),
+            # total == 0 (every matched doc carries a zero metric) →
+            # percent-of-nothing is undefined: null, not a crash
+            # (OpenSearch's normalize emits nulls for an empty window)
             "pct_of_sum": pa.array(
-                [100.0 * float(int(s)) / total for s in sm], pa.float64()
+                [100.0 * float(int(s)) / total for s in sm]
+                if total != 0 else [None] * nb,
+                pa.float64(),
             ),
             "sort_rank": pa.array(rank, pa.int64()),
             "avg_bucket": pa.array([float(total) / nb] * nb, pa.float64()),

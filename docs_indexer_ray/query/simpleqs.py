@@ -58,7 +58,8 @@ def _lex(qs: str) -> list[tuple[str, object]]:
     def _num_after_tilde(j: int) -> tuple[int | None, int]:
         """Digits following a '~' at j (exclusive) → (value, end)."""
         k = j
-        while k < n and qs[k].isdigit():
+        # ASCII digits only: str.isdigit() accepts e.g. '²' which int() rejects.
+        while k < n and "0" <= qs[k] <= "9":
             k += 1
         if k == j:
             return None, j

@@ -78,6 +78,8 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+from .query.facets import is_fixed_interval as _is_fixed_iv
+
 
 class PitGone(Exception):
     """Unknown / expired / garbage-collected point-in-time id — maps
@@ -677,7 +679,9 @@ class SearchServer:
                     "field": sspec["terms"]["field"],
                     "size": int(comp.get("size", 10)),
                     "source": sname,
-                    "after": None if after is None else str(after[sname]),
+                    # keep after's NATIVE value: numeric sources must
+                    # order/page numerically (str ordering puts "10" < "9")
+                    "after": None if after is None else after[sname],
                 })
             elif "date_range" in agg:
                 import datetime as _dtc
@@ -1125,7 +1129,9 @@ class SearchServer:
             s = float(sum(vals))
             ss = float(sum(x * x for x in vals))
             mean = s / n
-            var = ss / n - mean * mean
+            # ss/n - mean^2 can land slightly NEGATIVE from float
+            # cancellation; clamp so variance and std agree
+            var = max(ss / n - mean * mean, 0.0)
             return {
                 "count": n, "min": float(min(vals)),
                 "max": float(max(vals)), "sum": s, "avg": mean,
@@ -1542,7 +1548,9 @@ class SearchServer:
             s = float((v * c).sum())
             ss = float((v * v * c).sum())
             mean = s / n
-            var = ss / n - mean * mean
+            # ss/n - mean^2 can land slightly NEGATIVE from float
+            # cancellation; clamp so variance and std agree
+            var = max(ss / n - mean * mean, 0.0)
             return {
                 "count": n, "min": float(v.min()), "max": float(v.max()),
                 "sum": s, "avg": mean, "sum_of_squares": ss,
@@ -1590,11 +1598,30 @@ class SearchServer:
                 q, col, None, syntax=syntax,
                 svc=svc, reader=reader, analyzer=analyzer,
             )
-            rows = sorted(
-                (str(r["value"]), int(r["n_docs"])) for r in t.to_pylist()
+            vals = t["value"].to_pylist()
+            ns = [int(x) for x in t["n_docs"].to_pylist()]
+            # order and compare in the COLUMN's native type — a numeric
+            # terms source must page 9 < 10, not "10" < "9"; stringify
+            # only for the response key rendering below
+            numeric = bool(vals) and all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in vals
             )
+            if not numeric:
+                vals = [str(v) for v in vals]
+            rows = sorted(zip(vals, ns), key=lambda kv: kv[0])
             after = spec["after"]
             if after is not None:
+                if numeric:
+                    try:
+                        after = float(after)
+                    except (TypeError, ValueError):
+                        raise ValueError(
+                            f"composite after key must be numeric for a "
+                            f"numeric source: {after!r}"
+                        ) from None
+                else:
+                    after = str(after)
                 rows = [r for r in rows if r[0] > after]
             page = rows[: spec["size"]]
             out = {"buckets": [
@@ -1706,7 +1733,7 @@ class SearchServer:
                     arg,
                 )
                 t = part.sort_by("key")
-            calendar = isinstance(arg, str) and not str(arg).isdigit()
+            calendar = not _is_fixed_iv(arg)
             ks = t["key"].to_pylist()
             ns = t["n"].to_pylist()
             sums = [float(s) for s in t["sm"].to_pylist()]
@@ -1807,7 +1834,7 @@ class SearchServer:
         if kind == "date_histogram":
             import datetime as _dt
 
-            calendar = isinstance(arg, str) and not str(arg).isdigit()
+            calendar = not _is_fixed_iv(arg)
             buckets = []
             for k, n in zip(hist["key"].to_pylist(), hist["n_docs"].to_pylist()):
                 # fixed width: key is the bucket ordinal; calendar:

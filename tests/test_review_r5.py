@@ -1,0 +1,248 @@
+"""Round-5 review regressions: Unicode-digit routing at every
+``isdigit()``→``int()`` site, zero-interval rejection, composite
+numeric ordering, sibling pct_of_sum zero-total, variance clamp."""
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _req(port, path, body=None, method=None, **params):
+    url = f"http://127.0.0.1:{port}{path}"
+    if params:
+        url += "?" + urllib.parse.urlencode(params)
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def root(ray_session, tmp_path_factory):
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.synth import rich_pages_table
+
+    root = str(tmp_path_factory.mktemp("r5idx") / "idx")
+    build_index(
+        ray.data.from_arrow(rich_pages_table(60, dup_every=0)),
+        root,
+        fingerprint="r5",
+        num_parts=3,
+        chain="simple",
+        field="body",
+    )
+    return root
+
+
+def test_sqs_unicode_digit_after_tilde_is_literal():
+    """'²'.isdigit() is True but int('²') raises — the scanner must
+    treat non-ASCII digits after '~' as ordinary word chars (the
+    language's total-parse contract)."""
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.simpleqs import parse_simple_query_string
+
+    an = Analyzer("simple")
+    for q in ("~²", "word~²", "a~¹²³ b", "x~٢"):
+        parse_simple_query_string(q, an)  # must not raise
+
+
+def test_interval_routing_unicode_digit_and_zero():
+    from docs_indexer_ray.query.facets import (
+        is_fixed_interval,
+        value_histogram,
+        value_bucket_sums,
+        date_histogram,
+    )
+
+    assert is_fixed_interval(3600) and is_fixed_interval("3600")
+    assert not is_fixed_interval("month") and not is_fixed_interval("²")
+
+    ts = pa.array(
+        np.array([0, 10**15], np.int64).astype("datetime64[us]"),
+        pa.timestamp("us"),
+    )
+    # unicode digit routes to the CALENDAR branch → unknown-unit error
+    with pytest.raises(ValueError, match="calendar"):
+        value_histogram(ts, "date_histogram", "²")
+    # zero fixed width is refused, not silently bucket-0 (us // 0 == 0)
+    for bad in (0, "0"):
+        with pytest.raises(ValueError, match="> 0"):
+            value_histogram(ts, "date_histogram", bad)
+        with pytest.raises(ValueError, match="> 0"):
+            value_bucket_sums(ts, pa.array([1, 2], pa.int64()),
+                              "date_histogram", bad)
+    with pytest.raises(ValueError, match="> 0"):
+        value_histogram(pa.array([1.0, 2.0]), "histogram", 0)
+    with pytest.raises(ValueError, match="> 0"):
+        value_bucket_sums(pa.array([1.0, 2.0]),
+                          pa.array([1, 2], pa.int64()), "histogram", 0)
+
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "warc_ts": ts,
+    }))
+    with pytest.raises(ValueError, match="> 0"):
+        date_histogram(ds, np.array([0, 1], np.int64), "warc_ts", 0)
+
+
+def test_interval_seconds_rejects_zero():
+    from docs_indexer_ray.query.dsl import _interval_seconds
+
+    assert _interval_seconds("90s") == 90
+    assert _interval_seconds("minute") == 60
+    for bad in (0, "0s", "0m", -5):
+        with pytest.raises(ValueError):
+            _interval_seconds(bad)
+
+
+def test_more_like_this_unicode_digit_id_is_dsl_error():
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+
+    with pytest.raises(DslError, match="doc id"):
+        dsl_to_node({"more_like_this": {"like": "²"}}, Analyzer("simple"))
+
+
+def test_rest_bad_intervals_400_not_500(root, ray_session):
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        for iv in ("0s", "²", 0):
+            code, r = _req(srv.port, "/_search", body={
+                "query": {"match_all": {}}, "size": 0,
+                "aggs": {"h": {"date_histogram":
+                               {"field": "warc_ts", "fixed_interval": iv}}},
+            })
+            assert code == 400, (iv, code, r)
+    finally:
+        srv.stop()
+
+
+def test_rest_composite_numeric_source_orders_numerically(root, ray_session):
+    """A composite terms source over doc_id must page 9 < 10 (native
+    numeric order), not "10" < "9" — and after_key resumption must
+    cover every key exactly once in that order."""
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        seen, after = [], None
+        while True:
+            comp = {"size": 7,
+                    "sources": [{"d": {"terms": {"field": "doc_id"}}}]}
+            if after is not None:
+                comp["after"] = {"d": after}
+            code, r = _req(srv.port, "/_search", body={
+                "query": {"match_all": {}}, "size": 0,
+                "aggs": {"pg": {"composite": comp}},
+            })
+            assert code == 200, r
+            pg = r["aggregations"]["pg"]
+            seen += [b["key"]["d"] for b in pg["buckets"]]
+            if "after_key" not in pg:
+                break
+            after = pg["after_key"]["d"]
+        assert seen == sorted(seen), seen  # numeric ascending
+        assert len(seen) == len(set(seen)) == 60
+    finally:
+        srv.stop()
+
+
+def test_sibling_pct_of_sum_zero_total_is_null(ray_session):
+    import ray.data
+
+    from docs_indexer_ray.query.facets import sibling_pipeline_aggs
+
+    n = 8
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "warc_ts": pa.array(
+            (np.arange(n, dtype=np.int64) * 90_000_000)
+            .astype("datetime64[us]"),
+            pa.timestamp("us"),
+        ),
+        "zmetric": pa.array(np.zeros(n, np.int64), pa.int64()),
+    }))
+    t = sibling_pipeline_aggs(
+        ds, np.arange(n, dtype=np.int64), ts_col="warc_ts",
+        interval_s=60, metric_col="zmetric", lag=1,
+    )
+    assert len(t) > 0
+    assert t["pct_of_sum"].null_count == len(t)  # not a ZeroDivisionError
+    assert t["sum_bucket"].to_pylist() == [0] * len(t)
+
+
+def test_extended_stats_variance_nonnegative(root, ray_session):
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        code, r = _req(srv.port, "/_search", body={
+            "query": {"match_all": {}}, "size": 0,
+            "aggs": {"es": {"extended_stats": {"field": "doc_id"}}},
+        })
+        assert code == 200, r
+        es = r["aggregations"]["es"]
+        assert es["variance"] >= 0.0
+        assert abs(es["std_deviation"] - es["variance"] ** 0.5) < 1e-12
+    finally:
+        srv.stop()
+
+
+def test_collapse_top_high_cardinality_and_null_groups(ray_session):
+    """Post-k-cap collapse: a NEAR-UNIQUE collapse field (every doc
+    its own group, plus a couple of shared groups and a null group)
+    must still return exactly the brute-force top-k — the partial cap
+    at k rows per block cannot change the answer."""
+    import ray.data
+
+    from docs_indexer_ray.query.facets import collapse_top
+
+    n = 400
+    rng = np.random.RandomState(7)
+    scores = rng.rand(n) + 0.01
+    # near-unique: 90% unique keys, docs 0-19 share "hot", 20-29 null
+    vals = [f"u{i}" for i in range(n)]
+    for i in range(20):
+        vals[i] = "hot"
+    for i in range(20, 30):
+        vals[i] = None
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "grp": pa.array(vals, pa.string()),
+    })
+    k = 7
+    got = collapse_top(
+        ray.data.from_arrow(docs).repartition(11), scores, "grp", k=k
+    )
+    # brute force
+    best = {}
+    for d in range(n):
+        g = vals[d]
+        cur = best.get(g)
+        if cur is None or (-scores[d], d) < (-scores[cur], cur):
+            best[g] = d
+    ranked = sorted(best.items(), key=lambda kv: (-scores[kv[1]], kv[1]))[:k]
+    assert got["doc_id"].to_pylist() == [d for _, d in ranked]
+    assert got["value"].to_pylist() == [str(g) for g, _ in ranked]
+    # parallelism invariance with the cap in play
+    got3 = collapse_top(
+        ray.data.from_arrow(docs).repartition(3), scores, "grp", k=k
+    )
+    assert got.equals(got3)
+    # no partial may exceed k rows: with 11 blocks the driver concat
+    # is bounded by k*blocks even though the field is near-unique
+    assert got.num_rows == k
