@@ -3421,16 +3421,35 @@ def q_bm25_topk_english(sf_dir: str) -> pa.Table:
 
 
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    """MinHash-LSH near-dup pairs, SQL-oracled end-to-end (round 5):
+    the driver surface runs with ``hasher="md5"`` so the 64-bit base
+    shingle hash replays in DuckDB (``('0x'||substr(md5(s),1,16))::
+    UBIGINT``); the permutation family (RandomState(42) affine maps,
+    exact mod-2^64 via HUGEINT), the 16-band FNV-1a fold, banded
+    candidate generation and the 64-perm est_jaccard all replay
+    exactly — candidate-pair SET and estimates hash-checked, not just
+    rows.  The crc production hasher stays the library default
+    (pytest-pinned)."""
     from docs_indexer_ray.ops.dedup import minhash_lsh_pairs
 
-    t = _concat(minhash_lsh_pairs(_documents_with_copies_ds(sf_dir), threshold=0.5))
+    t = _concat(minhash_lsh_pairs(
+        _documents_with_copies_ds(sf_dir), threshold=0.5, hasher="md5"
+    ))
     return _as_i64(t.select(["a", "b", "est_jaccard"]), ["a", "b"])
 
 
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs, SQL-oracled end-to-end (round 5): with
+    ``hasher="md5"`` the per-token 64-lane ±1 contributions, the
+    count-weighted lane sums, the sign bits, the 4×16-bit band
+    blocking AND the exact Hamming verification all replay in DuckDB
+    (bit ops + ``bit_count``); the crc production hasher stays the
+    library default (pytest-pinned)."""
     from docs_indexer_ray.ops.dedup import simhash_pairs
 
-    t = _concat(simhash_pairs(_documents_with_copies_ds(sf_dir), max_hamming=3))
+    t = _concat(simhash_pairs(
+        _documents_with_copies_ds(sf_dir), max_hamming=3, hasher="md5"
+    ))
     return _as_i64(t, ["a", "b", "hamming"])
 
 
@@ -3519,17 +3538,41 @@ def q_semdedup(sf_dir: str) -> pa.Table:
 
 
 def q_knn_lsh(sf_dir: str) -> pa.Table:
+    """LSH-bucketed ANN, SQL-oracled end-to-end (round 5): with
+    integer-quantized embeddings and the ±1 Walsh–Hadamard plane
+    family (``plane_kind="hadamard"``) every sign dot product is an
+    exact integer, so bucket assignment AND the in-bucket exact-cosine
+    ranking both replay in DuckDB (``bit_count`` parity + the
+    ``knn_cosine`` ranking idiom).  The Gaussian production planes
+    stay the library default (bucket-subset property pytest-pinned in
+    ``test_ops.py::test_knn_lsh_subset_and_self_bucket``)."""
     import ray.data
 
     from docs_indexer_ray.ops.ann import knn_lsh
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
-        pc.less(pq.read_table(f"{sf_dir}/embeddings.parquet")["vec_id"], 5)
+    def quantize(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * 1000.0 + 0.5)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": pa.ListArray.from_arrays(
+                    emb.offsets, pa.array(q, pa.float32())
+                ),
+            }
+        )
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qsel = qt.filter(pc.less(qt["vec_id"], 5))
+    queries = np.floor(
+        np.array(qsel["embedding"].to_pylist(), np.float64) * 1000.0 + 0.5
     )
-    queries = np.array(qt["embedding"].to_pylist(), np.float64)
-    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return _concat(knn_lsh(ds, queries, qids, k=5))
+    qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quantize, batch_format="pyarrow")
+    return _concat(knn_lsh(ds, queries, qids, k=5, plane_kind="hadamard"))
 
 
 def q_knn_ivf(sf_dir: str) -> pa.Table:
@@ -3641,12 +3684,23 @@ def q_reverse_suggest(sf_dir: str) -> pa.Table:
 def q_did_you_mean(sf_dir: str) -> pa.Table:
     """Phrase suggester (the reference's OpenSearch 'did you mean'
     surface, common.py:10-27): misspelled flagship query → corrected
-    phrase candidates ranked by trigram similarity then df."""
+    phrase candidates ranked by trigram similarity then df.
+
+    SQL-oracled end-to-end (round 5) over the SIMPLE chain, whose
+    vocabulary is the `_toks` idiom DuckDB can rebuild: the oracle
+    replays the padded-trigram Jaccard candidate generation, the
+    (sim desc, df desc, term) top-3 ranking, the best-plus-single-
+    alternate phrase beam, the seen-set dedup and the product scores.
+    The oracle covers the trigram leg only — at both driver scales
+    every misspelled token has trigram candidates, so the bounded
+    Damerau fallback never fires (that leg stays pinned by
+    `test_windows_highlight.py`'s transposition cases, as is the
+    english-chain stemmed-vocabulary path)."""
     from docs_indexer_ray.pipelines.flagship import ensure_index
     from docs_indexer_ray.query.reader import IndexReader
     from docs_indexer_ray.query.suggest import Suggester
 
-    _, root = ensure_index(sf_dir, chain="english", field="text")
+    _, root = ensure_index(sf_dir, chain="simple", field="body")
     sug = Suggester(IndexReader(root))
     rows_q, rows_s, rows_sc = [], [], []
     for q in ("tabel scan merje slow", "custmer order data"):
@@ -3726,7 +3780,9 @@ def q_mm_frames(sf_dir: str) -> pa.Table:
     from docs_indexer_ray.ops.multimodal import sample_frames, synth_media_table
 
     ds = ray.data.from_arrow(synth_media_table(48, kind="video"))
-    return _concat(sample_frames(ds, every_n=4, fake=True))
+    return _concat(sample_frames(ds, every_n=4, fake=True)).sort_by(
+        [("media_id", "ascending"), ("frame", "ascending")]
+    )
 
 
 def q_window_agg(sf_dir: str) -> pa.Table:
@@ -6269,6 +6325,244 @@ def oracle_sql() -> dict[str, str]:
           FROM q, range(4) j GROUP BY 1, 2)
         SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(j AS BIGINT) AS j, p
         FROM p ORDER BY vec_id, j
+    """
+    # MinHash / SimHash replay (round 5): the md5 base-hash mode makes
+    # both sketches exact integer pipelines DuckDB can reproduce —
+    # affine permutations in HUGEINT mod-2^64, FNV-1a band folds, bit
+    # ops + bit_count for Hamming.  Coefficients are the engine's own
+    # RandomState(42) family, embedded as literals.
+    _mh_rs = np.random.RandomState(42)
+    _mh_a = (_mh_rs.randint(1, 1 << 62, size=64, dtype=np.int64)
+             .astype(np.uint64) | 1)
+    _mh_b = _mh_rs.randint(0, 1 << 62, size=64, dtype=np.int64).astype(np.uint64)
+    _mh_perms = ", ".join(
+        f"({i}, {int(_mh_a[i])}, {int(_mh_b[i])})" for i in range(64)
+    )
+
+    def _fnv_fold(cols):
+        acc = "CAST(14695981039346656037 AS UBIGINT)"
+        for c in cols:
+            acc = (
+                f"CAST((CAST(xor({acc}, {c}) AS HUGEINT) * 1099511628211) "
+                f"% 18446744073709551616 AS UBIGINT)"
+            )
+        return acc
+
+    sqls["minhash_pairs"] = f"""
+        WITH all_rows AS ({_DUP_UNION}),
+        t AS (SELECT doc_id, {_toks('text')} AS toks FROM all_rows),
+        g AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+              FROM t WHERE len(toks) >= 3),
+        gh AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(gram), 1, 16)) AS UBIGINT) AS hv
+               FROM g),
+        perms(i, a, b) AS (VALUES {_mh_perms}),
+        sig AS (SELECT doc_id, p.i AS perm,
+                       MIN(CAST((CAST(hv AS HUGEINT) * p.a + p.b)
+                                % 18446744073709551616 AS UBIGINT)) AS sv
+                FROM gh, perms p GROUP BY 1, 2),
+        bv AS (SELECT doc_id, perm // 4 AS band,
+                      MAX(CASE WHEN perm % 4 = 0 THEN sv END) AS s0,
+                      MAX(CASE WHEN perm % 4 = 1 THEN sv END) AS s1,
+                      MAX(CASE WHEN perm % 4 = 2 THEN sv END) AS s2,
+                      MAX(CASE WHEN perm % 4 = 3 THEN sv END) AS s3
+               FROM sig GROUP BY 1, 2),
+        bh AS (SELECT doc_id, band,
+                      {_fnv_fold(['s0', 's1', 's2', 's3'])} AS bandhash
+               FROM bv),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM bh x JOIN bh y
+                   ON x.band = y.band AND x.bandhash = y.bandhash
+                  AND x.doc_id < y.doc_id),
+        est AS (SELECT c.a, c.b,
+                       CAST(SUM(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END)
+                            AS DOUBLE) / 64 AS est_jaccard
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.a
+                JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+                GROUP BY 1, 2)
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, est_jaccard
+        FROM est WHERE est_jaccard >= 0.5
+    """
+    sqls["simhash_pairs"] = f"""
+        WITH all_rows AS ({_DUP_UNION}),
+        t AS (SELECT doc_id, {_toks('text')} AS toks FROM all_rows),
+        occ AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        h AS (SELECT doc_id, tok,
+                     CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
+              FROM occ),
+        lanes AS (SELECT doc_id, L.range AS lane,
+                         SUM(CASE WHEN (hv >> CAST(L.range AS INTEGER)) & 1 = 1
+                                  THEN 1 ELSE -1 END) AS s
+                  FROM h, range(64) L GROUP BY 1, 2),
+        sh AS (SELECT doc_id,
+                      SUM(CASE WHEN s > 0
+                               THEN CAST(1 AS UBIGINT) << CAST(lane AS INTEGER)
+                               ELSE CAST(0 AS UBIGINT) END) AS simhash
+               FROM lanes GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            AND EXISTS (
+              SELECT 1 FROM range(4) bi
+              WHERE (a.simhash >> CAST(16*bi.range AS INTEGER)) & 65535
+                  = (b.simhash >> CAST(16*bi.range AS INTEGER)) & 65535)
+        )
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(hamming AS BIGINT) AS hamming
+        FROM pairs
+    """
+    sqls["mm_frames"] = """
+        WITH m AS (
+          SELECT i.range AS media_id,
+                 8 + i.range % 24 AS n_frames,
+                 'FAKEVID' || chr(CAST(8 + i.range % 24 AS INTEGER))
+                   || repeat(chr(CAST(32 + i.range % 95 AS INTEGER)),
+                             CAST(200 + 53 * (i.range % 11) AS INTEGER)) AS payload
+          FROM range(48) i),
+        fr AS (
+          SELECT media_id, CAST(4 * f.range AS INTEGER) AS frame,
+                 md5(payload || ':' || CAST(4 * f.range AS VARCHAR)) AS checksum
+          FROM m, range(8) f WHERE 4 * f.range < n_frames)
+        SELECT CAST(media_id AS BIGINT) AS media_id, frame, checksum
+        FROM fr ORDER BY media_id, frame
+    """
+    sqls["knn_lsh"] = """
+        WITH q AS (
+          SELECT vec_id, i.range AS i,
+                 CAST(floor(CAST(embedding[CAST(i.range AS INT)+1] AS DOUBLE)
+                            * 1000 + 0.5) AS BIGINT) AS v
+          FROM embeddings, range(64) i),
+        dots AS (
+          SELECT vec_id, j.range AS j,
+                 SUM(v * (CASE WHEN bit_count(CAST(i AS BIGINT)
+                                              & CAST(j.range AS BIGINT)) % 2 = 0
+                               THEN 1 ELSE -1 END)) AS d
+          FROM q, range(8) j GROUP BY 1, 2),
+        keys AS (
+          SELECT vec_id,
+                 SUM(CASE WHEN d > 0 THEN 1 << CAST(j AS INTEGER) ELSE 0 END) AS key
+          FROM dots GROUP BY 1),
+        vecs AS (SELECT vec_id, list(CAST(v AS DOUBLE) ORDER BY i) AS qv
+                 FROM q GROUP BY 1),
+        qs AS (SELECT k.vec_id AS qid, k.key, v.qv
+               FROM keys k JOIN vecs v ON v.vec_id = k.vec_id
+               WHERE k.vec_id < 5),
+        cands AS (
+          SELECT qs.qid, k2.vec_id AS nid,
+                 list_cosine_similarity(qs.qv, v2.qv) AS sim
+          FROM qs JOIN keys k2 ON k2.key = qs.key AND k2.vec_id != qs.qid
+          JOIN vecs v2 ON v2.vec_id = k2.vec_id),
+        ranked AS (SELECT qid, nid,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY sim DESC, nid ASC) AS rnk
+                   FROM cands)
+        SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+               CAST(nid AS BIGINT) AS neighbor_id
+        FROM ranked WHERE rnk <= 5
+    """
+    # did_you_mean replay (round 5): per-token padded-trigram Jaccard
+    # candidates over the simple-chain vocabulary + the phrase beam.
+    # The trigram literals per query token are static strings, computed
+    # here and inlined.
+    def _dym_trigrams(term):
+        p = f"^{term}$"
+        if len(p) < 3:
+            return [p]
+        return sorted({p[i:i + 3] for i in range(len(p) - 2)})
+
+    def _dym_tok_choice(pos, tok):
+        tris = _dym_trigrams(tok)
+        glits = ", ".join(f"'{g}'" for g in tris)
+        ntri = len(tris)
+        cand = f"""
+          SELECT vt.term, CAST(g.cnt AS DOUBLE) / ({ntri} + c.n - g.cnt) AS sim, vt.df
+          FROM (SELECT term, COUNT(*) AS cnt FROM vg
+                WHERE gram IN ({glits}) GROUP BY term) g
+          JOIN vtc c ON c.term = g.term
+          JOIN vterm vt ON vt.term = g.term
+          WHERE abs(length(vt.term) - {len(tok)}) <= 2
+            AND vt.term <> '{tok}'
+            AND CAST(g.cnt AS DOUBLE) / ({ntri} + c.n - g.cnt) >= 0.25
+        """
+        return f"""
+      SELECT {pos} AS pos, t.term, t.sim, t.is_corr, t.rnk FROM (
+        SELECT '{tok}' AS term, 1.0 AS sim, 0 AS is_corr, 1 AS rnk
+        WHERE EXISTS (SELECT 1 FROM vterm WHERE term = '{tok}')
+        UNION ALL
+        SELECT term, sim, 1 AS is_corr, rnk FROM (
+          SELECT term, sim, df,
+                 row_number() OVER (ORDER BY sim DESC, df DESC, term ASC) AS rnk
+          FROM ({cand})
+        ) WHERE rnk <= 3
+          AND NOT EXISTS (SELECT 1 FROM vterm WHERE term = '{tok}')
+        UNION ALL
+        SELECT '{tok}' AS term, 1.0, 0, 1
+        WHERE NOT EXISTS (SELECT 1 FROM vterm WHERE term = '{tok}')
+          AND NOT EXISTS (SELECT 1 FROM ({cand}))
+      ) t"""
+
+    def _dym_query_block(qi, qtext):
+        toks = qtext.split()
+        chs = "\n      UNION ALL\n".join(
+            _dym_tok_choice(p, t) for p, t in enumerate(toks)
+        )
+        return f"""
+    ch{qi} AS (
+    {chs}
+    ),
+    base{qi} AS (SELECT pos, term, sim FROM ch{qi} WHERE rnk = 1),
+    vars{qi} AS (SELECT -1 AS vpos, 1 AS vrnk, 0 AS vord
+                 UNION ALL
+                 SELECT pos, rnk, pos * 10 + rnk FROM ch{qi} WHERE rnk > 1),
+    asm{qi} AS (
+      SELECT v.vord,
+             string_agg(coalesce(a.term, b.term), ' ' ORDER BY b.pos) AS suggestion,
+             product(coalesce(a.sim, b.sim)) AS score
+      FROM vars{qi} v
+      JOIN base{qi} b ON TRUE
+      LEFT JOIN ch{qi} a ON a.pos = b.pos AND a.pos = v.vpos AND a.rnk = v.vrnk
+      GROUP BY v.vord),
+    ded{qi} AS (
+      SELECT suggestion, score,
+             row_number() OVER (PARTITION BY suggestion ORDER BY vord) AS dup
+      FROM asm{qi}),
+    out{qi} AS (
+      SELECT '{qtext}' AS query, suggestion, score
+      FROM ded{qi}
+      WHERE dup = 1 AND suggestion <> '{qtext}'
+        AND EXISTS (SELECT 1 FROM ch{qi} WHERE is_corr = 1)
+      ORDER BY score DESC, suggestion ASC
+      LIMIT 3)
+    """
+
+    _dym_queries = ["tabel scan merje slow", "custmer order data"]
+    _dym_blocks = ",".join(
+        _dym_query_block(i, q) for i, q in enumerate(_dym_queries)
+    )
+    sqls["did_you_mean"] = f"""
+        WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+        vq AS (SELECT doc_id, unnest(list_distinct({_toks('body')})) AS term
+               FROM docs),
+        vterm AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM vq GROUP BY term),
+        vgraw AS (SELECT term,
+                         unnest(CASE WHEN length('^' || term || '$') < 3
+                                     THEN ['^' || term || '$']
+                                     ELSE list_transform(
+                                       generate_series(1, length('^' || term || '$') - 2),
+                                       i -> substr('^' || term || '$', CAST(i AS INTEGER), 3))
+                                END) AS gram
+                  FROM vterm),
+        vg AS (SELECT DISTINCT term, gram FROM vgraw),
+        vtc AS (SELECT term, COUNT(*) AS n FROM vg GROUP BY term),
+        {_dym_blocks}
+        SELECT * FROM out0 UNION ALL SELECT * FROM out1
     """
     sqls["facet_auto_date_histogram"] = f"""
         WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),

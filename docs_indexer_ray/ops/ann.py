@@ -157,11 +157,33 @@ def knn_cosine(
 
 
 class _Planes:
-    """Shared fixed random hyperplanes (seed 42)."""
+    """Shared fixed hyperplanes.
 
-    def __init__(self, dim: int, n_planes: int):
-        rs = np.random.RandomState(42)
-        self.planes = rs.normal(size=(n_planes, dim))
+    ``kind="gauss"`` (default) — seeded Gaussian planes (seed 42).
+    ``kind="hadamard"`` — the first ``n_planes`` rows of the
+    Walsh–Hadamard matrix ``H[j,i] = (-1)^popcount(i & j)``: ±1
+    entries, mutually orthogonal, and — over integer-quantized
+    vectors — the sign dot products are EXACT integers, which is what
+    lets the driver replay the whole LSH bucket assignment in SQL
+    (``bit_count`` parity).  Keys are always computed on the RAW
+    (pre-normalization) vectors: signs are scale-invariant, and on
+    the integer surface this keeps exact-zero dots exactly zero."""
+
+    def __init__(self, dim: int, n_planes: int, kind: str = "gauss"):
+        if kind == "gauss":
+            rs = np.random.RandomState(42)
+            self.planes = rs.normal(size=(n_planes, dim))
+        elif kind == "hadamard":
+            i = np.arange(dim, dtype=np.int64)[None, :]
+            j = np.arange(n_planes, dtype=np.int64)[:, None]
+            pop = (
+                np.bitwise_count(i & j)
+                if hasattr(np, "bitwise_count")
+                else np.vectorize(lambda x: bin(x).count("1"))(i & j)
+            )
+            self.planes = np.where(pop % 2 == 0, 1.0, -1.0)
+        else:
+            raise ValueError(f"unknown plane kind {kind!r}")
 
     def key(self, vecs: np.ndarray) -> np.ndarray:
         bits = (vecs @ self.planes.T) > 0
@@ -206,16 +228,21 @@ def knn_lsh(
     id_col: str = "vec_id",
     col: str = "embedding",
     exclude_self: bool = True,
+    plane_kind: str = "gauss",
 ):
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket (random hyperplane signs), exact cosine within the bucket.
-    Same output schema as :func:`knn_cosine`."""
+    bucket (hyperplane signs — Gaussian by default, ``"hadamard"``
+    for the SQL-replayable ±1 family), exact cosine within the
+    bucket.  Same output schema as :func:`knn_cosine`."""
     import ray
 
-    qn = _normalize(np.asarray(queries))
+    q_raw = np.asarray(queries, np.float64)
+    qn = _normalize(q_raw)
     dim = qn.shape[1]
-    planes = _Planes(dim, n_planes)
-    q_keys = planes.key(qn)
+    planes = _Planes(dim, n_planes, plane_kind)
+    # keys from the RAW vectors — sign-equivalent to keying the
+    # normalized ones, and exact when inputs and planes are integral
+    q_keys = planes.key(q_raw)
     # planes ride the one broadcast — built ONCE here, never per batch
     q_ref = ray.put((qn, np.asarray(query_ids, np.int64), q_keys, planes))
 
@@ -223,9 +250,10 @@ def knn_lsh(
         if batch.num_rows == 0:
             return _PARTIAL_EMPTY
         q, qids, qk, planes_ = ray.get(q_ref)
-        emb = _normalize(_embedding_matrix(batch, col))
+        emb_raw = _embedding_matrix(batch, col)
+        emb = _normalize(emb_raw)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        keys = planes_.key(emb)
+        keys = planes_.key(emb_raw)
         out_q, out_n, out_s = [], [], []
         for qi in range(len(q)):
             mask = keys == qk[qi]

@@ -68,6 +68,25 @@ __all__ = [
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
+def _base_hash_fn(hasher: str):
+    """64-bit string → uint64 base hash family for the sketches.
+
+    * ``"crc"`` (default) — ``crc32(s) | adler32(s) << 32``: two
+      zlib passes, the fast production path.
+    * ``"md5"`` — first 8 bytes of md5, big-endian: ~3× slower per
+      string but REPLAYABLE IN SQL (DuckDB
+      ``('0x' || substr(md5(s),1,16))::UBIGINT``), which is what lets
+      the driver hash-check the MinHash/SimHash surfaces end-to-end
+      instead of rows-only.  Sketch quality is equivalent (both are
+      uniform enough for banding).
+    """
+    if hasher == "crc":
+        return lambda b: zlib.crc32(b) | (zlib.adler32(b) << 32)
+    if hasher == "md5":
+        return lambda b: int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+    raise ValueError(f"unknown sketch hasher {hasher!r} — 'crc' or 'md5'")
+
+
 def _tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall((text or "").lower())
 
@@ -566,7 +585,8 @@ class _MinHasher:
     wraparound multiply is a perfectly good MinHash permutation family
     and stays fully vectorized (no bigint path)."""
 
-    def __init__(self, num_perm: int, shingle_k: int, id_col: str):
+    def __init__(self, num_perm: int, shingle_k: int, id_col: str,
+                 hasher: str = "crc"):
         rs = np.random.RandomState(42)
         self.a = (
             rs.randint(1, 1 << 62, size=num_perm, dtype=np.int64).astype(np.uint64) | 1
@@ -574,6 +594,7 @@ class _MinHasher:
         self.b = rs.randint(0, 1 << 62, size=num_perm, dtype=np.int64).astype(np.uint64)
         self.k = shingle_k
         self.id_col = id_col
+        self.base_hash = _base_hash_fn(hasher)
 
     def signature(self, text: str) -> np.ndarray:
         toks = _tokens(text)
@@ -582,10 +603,8 @@ class _MinHasher:
         }
         if not shingles:
             return np.full(len(self.a), np.iinfo(np.uint64).max, np.uint64)
-        base = np.array(
-            [zlib.crc32(s.encode()) | (zlib.adler32(s.encode()) << 32) for s in shingles],
-            np.uint64,
-        )
+        bh = self.base_hash
+        base = np.array([bh(s.encode()) for s in shingles], np.uint64)
         with np.errstate(over="ignore"):
             vals = base[None, :] * self.a[:, None] + self.b[:, None]
         return vals.min(axis=1)
@@ -634,6 +653,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     hot_bucket_cap: int = 5000,
+    hasher: str = "crc",
 ):
     """Candidate near-dup pairs via MinHash banding, filtered by the
     signature-estimated Jaccard.  Output ``(a, b, est_jaccard)``.
@@ -655,7 +675,8 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
 
     sigs = ds.map_batches(
-        _MinHasher(num_perm, shingle_k, id_col), batch_format="pyarrow", batch_size=512
+        _MinHasher(num_perm, shingle_k, id_col, hasher),
+        batch_format="pyarrow", batch_size=512
     ).materialize()
     # materialize: sigs feeds BOTH the banding pass and the estimation
     # semi-join — without it Ray re-executes the whole shingle+hash
@@ -842,8 +863,9 @@ class _SimHasher:
     is exactly the count-weighted per-unique-token sum of the
     definitional loop (verified bit-identical in tests)."""
 
-    def __init__(self, id_col: str):
+    def __init__(self, id_col: str, hasher: str = "crc"):
         self.id_col = id_col
+        self.base_hash = _base_hash_fn(hasher)
         self._memo: dict[str, int] = {}  # token → row in _contrib
         self._contrib = np.empty((0, 64), np.int8)
 
@@ -862,12 +884,9 @@ class _SimHasher:
                     nxt += 1
                 idx.append(i)
         if new_tokens:
+            bh = self.base_hash
             hs = np.array(
-                [
-                    zlib.crc32(e) | (zlib.adler32(e) << 32)
-                    for e in (t.encode() for t in new_tokens)
-                ],
-                np.uint64,
+                [bh(t.encode()) for t in new_tokens], np.uint64
             )
             bits = np.unpackbits(
                 hs[:, None].view(np.uint8), axis=1, bitorder="little"
@@ -900,7 +919,8 @@ class _SimHasher:
         )
 
 
-def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
+def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                  hasher: str = "crc"):
     """Near-dup pairs by 64-bit SimHash with band blocking.
 
     4 bands of 16 bits: any pair within Hamming distance ≤ 3 of each
@@ -908,7 +928,7 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
     on bands loses nothing.  Output ``(a, b, hamming)``.
     """
 
-    hashed = ds.map_batches(_SimHasher(id_col), batch_format="pyarrow")
+    hashed = ds.map_batches(_SimHasher(id_col, hasher), batch_format="pyarrow")
 
     def band_explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

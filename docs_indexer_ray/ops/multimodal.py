@@ -44,8 +44,14 @@ def synth_media_table(n: int = 64, kind: str = "image") -> pa.Table:
     the frame-sample stage has structure to exercise."""
     ids = np.arange(n, dtype=np.int64)
     if kind == "video":
+        # header byte 7 = fake frame count; filler is PRINTABLE ASCII
+        # so the whole payload is valid UTF-8 — that (plus the ASCII
+        # frame suffix in FrameSampleStub) is what lets DuckDB's
+        # VARCHAR-only md5 replay the frame checksums in the driver
+        # oracle (the mm_decode_docs trick)
         payloads = [
-            b"FAKEVID" + bytes([8 + i % 24]) + bytes([i % 251]) * (200 + 53 * (i % 11))
+            b"FAKEVID" + bytes([8 + i % 24])
+            + bytes([32 + i % 95]) * (200 + 53 * (i % 11))
             for i in range(n)
         ]
     else:
@@ -196,7 +202,12 @@ class FrameSampleStub:
             for f in range(0, n_frames, self.every_n):
                 ids_out.append(mid)
                 frame_out.append(f)
-                sums.append(hashlib.md5(p + f.to_bytes(4, "little")).hexdigest())
+                # ASCII ':<frame>' suffix (not raw LE32): with a valid-
+                # UTF-8 payload the digest replays as SQL
+                # md5(payload || ':' || frame)
+                sums.append(
+                    hashlib.md5(p + b":" + str(f).encode()).hexdigest()
+                )
         return pa.table(
             {
                 "media_id": pa.array(ids_out, pa.int64()),

@@ -473,54 +473,154 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
 
     if kind == "intervals":
         # Lucene's intervals query — the modern positional API.  The
-        # engine's positional kernels already implement the two core
-        # rules, so intervals LOWER instead of adding a new evaluator:
+        # engine's positional kernels implement the two core rules, so
+        # PLAIN intervals LOWER instead of adding a new evaluator:
         #   match(ordered)   → the sloppy-phrase walk (slop = max_gaps)
         #   match(unordered) → the unordered span_near window
         #   any_of           → bool-should over the lowered sources
         # Scoring follows the lowered node's convention (sloppy-phrase
         # BM25 for ordered, constant-score for unordered — the span
-        # family's documented divergence).  all_of nesting and the
-        # filter rule are refused loudly: their interval algebra needs
-        # real extent enumeration, not doc masks.
-        from .qstring import _Phrase, _SpanNear
+        # family's documented divergence).  ``all_of`` nesting and the
+        # interval ``filter`` rules need real extent enumeration — they
+        # lower to ``_IntervalsExpr`` over the minimal-interval algebra
+        # in ``query/extents.py`` (constant-score; round 5 closed this
+        # last refused corner).  ``script`` filters stay refused.
+        from .extents import (
+            _RELATIONS,
+            _NEGATIVE_RELATIONS,
+            ExtAllOf,
+            ExtAnyOf,
+            ExtFilter,
+            ExtMatch,
+            ExtTerm,
+        )
+        from .qstring import _IntervalsExpr, _Phrase, _SpanNear
 
         field, body = _one_field(clause, kind)
+
+        def _needs_extents(rule) -> bool:
+            if not isinstance(rule, dict):
+                return False
+            for k, v in rule.items():
+                if k == "all_of" or k == "filter":
+                    return True
+                if isinstance(v, dict) and _needs_extents(v):
+                    return True
+                if isinstance(v, list) and any(
+                    isinstance(x, dict) and _needs_extents(x) for x in v
+                ):
+                    return True
+            return False
+
+        def _match_terms(spec):
+            if not isinstance(spec, dict) or "query" not in spec:
+                raise DslError(f"intervals match needs query: {spec!r}")
+            terms = analyzer(str(spec["query"]))
+            gaps = int(spec.get("max_gaps", -1))
+            ordered = bool(spec.get("ordered", False))
+            if not ordered and len(set(terms)) != len(terms):
+                # the unordered kernels match DISTINCT terms; Lucene's
+                # unordered source requires one occurrence per repeat —
+                # refuse loudly rather than silently matching
+                # single-occurrence docs
+                raise DslError(
+                    "unordered intervals with repeated tokens are "
+                    f"not supported: {terms!r} (use ordered: true)"
+                )
+            return terms, ordered, gaps
+
+        def _build_ext(rule):
+            """Rule dict → extent AST (None = empty-analysis no-op)."""
+            if not isinstance(rule, dict) or len(rule) != 1:
+                raise DslError(f"intervals expects one rule: {rule!r}")
+            rkind, spec = next(iter(rule.items()))
+            if rkind == "match":
+                terms, ordered, gaps = _match_terms(spec)
+                if not terms:
+                    return None
+                node = (
+                    ExtTerm(terms[0])
+                    if len(terms) == 1
+                    else ExtMatch(terms, ordered=ordered, max_gaps=gaps)
+                )
+                return _wrap_filter(node, spec)
+            if rkind == "any_of":
+                subs = spec.get("intervals") if isinstance(spec, dict) \
+                    else None
+                if not isinstance(subs, list) or not subs:
+                    raise DslError(
+                        f"any_of expects {{'intervals': […]}}: {spec!r}"
+                    )
+                kids = [x for x in (_build_ext(s) for s in subs)
+                        if x is not None]
+                if not kids:
+                    return None
+                node = kids[0] if len(kids) == 1 else ExtAnyOf(kids)
+                return _wrap_filter(node, spec)
+            if rkind == "all_of":
+                subs = spec.get("intervals") if isinstance(spec, dict) \
+                    else None
+                if not isinstance(subs, list) or not subs:
+                    raise DslError(
+                        f"all_of expects {{'intervals': […]}}: {spec!r}"
+                    )
+                kids = [_build_ext(s) for s in subs]
+                if any(k is None for k in kids):
+                    # an empty-analysis sub can never contribute an
+                    # interval — the conjunction matches nothing
+                    return None
+                node = ExtAllOf(
+                    kids,
+                    ordered=bool(spec.get("ordered", False)),
+                    max_gaps=int(spec.get("max_gaps", -1)),
+                )
+                return _wrap_filter(node, spec)
+            raise DslError(
+                f"unsupported intervals rule {rkind!r} "
+                "(supported: match, any_of, all_of)"
+            )
+
+        def _wrap_filter(node, spec):
+            if not isinstance(spec, dict) or "filter" not in spec:
+                return node
+            f = spec["filter"]
+            if not isinstance(f, dict) or len(f) != 1:
+                raise DslError(
+                    f"intervals filter expects one relation: {f!r}"
+                )
+            rel, frule = next(iter(f.items()))
+            if rel == "script":
+                raise DslError(
+                    "intervals script filters are not supported "
+                    "(no scripting engine)"
+                )
+            if rel not in _RELATIONS:
+                raise DslError(
+                    f"unsupported intervals filter relation {rel!r} "
+                    f"— one of {sorted(_RELATIONS)}"
+                )
+            fnode = _build_ext(frule)
+            if fnode is None:
+                # empty-analysis filter source: negative relations are
+                # vacuously satisfied; positive ones can never be
+                return node if rel in _NEGATIVE_RELATIONS else None
+            return ExtFilter(node, rel, fnode)
 
         def _lower_rule(rule):
             if not isinstance(rule, dict) or len(rule) != 1:
                 raise DslError(f"intervals expects one rule: {rule!r}")
             rkind, spec = next(iter(rule.items()))
             if rkind == "match":
-                if not isinstance(spec, dict) or "query" not in spec:
-                    raise DslError(
-                        f"intervals match needs query: {spec!r}"
-                    )
-                if "filter" in spec:
-                    raise DslError(
-                        "intervals filter rules are not supported "
-                        "(interval algebra needs extent enumeration)"
-                    )
-                terms = analyzer(str(spec["query"]))
+                terms, ordered, gaps = _match_terms(spec)
                 if not terms:
                     return None
-                gaps = int(spec.get("max_gaps", -1))
                 # Lucene: max_gaps=0 → adjacent-only; −1 (the default)
                 # → NO width restriction — any co-occurrence in order
                 slop = gaps if gaps >= 0 else (1 << 30)
                 if len(terms) == 1:
                     return _Term(terms[0])
-                if bool(spec.get("ordered", False)):
+                if ordered:
                     return _Phrase(terms, slop=slop)
-                if len(set(terms)) != len(terms):
-                    # the unordered span kernel matches DISTINCT terms;
-                    # Lucene's unordered source requires one occurrence
-                    # per repeat — refuse loudly rather than silently
-                    # matching single-occurrence docs
-                    raise DslError(
-                        "unordered intervals with repeated tokens are "
-                        f"not supported: {terms!r} (use ordered: true)"
-                    )
                 return _SpanNear(terms, slop=slop)
             if rkind == "any_of":
                 subs = spec.get("intervals") if isinstance(spec, dict) \
@@ -536,14 +636,21 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                 return kids[0] if len(kids) == 1 else _Bool(should=kids)
             raise DslError(
                 f"unsupported intervals rule {rkind!r} "
-                "(supported: match, any_of)"
+                "(supported: match, any_of, all_of)"
             )
 
-        node = _lower_rule(
+        rule_body = (
             {k: v for k, v in body.items() if k != "boost"}
             if isinstance(body, dict)
             else body
         )
+        if _needs_extents(rule_body):
+            ext = _build_ext(rule_body)
+            if ext is None:
+                return None
+            node = _IntervalsExpr(ext)
+        else:
+            node = _lower_rule(rule_body)
         if node is None:
             return None
         boost = float(body.get("boost", 1.0)) if isinstance(body, dict) \

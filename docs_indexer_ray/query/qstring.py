@@ -329,6 +329,22 @@ class _Regexp:
 
 
 @dataclass
+class _IntervalsExpr:
+    """``intervals`` queries that need REAL extent enumeration —
+    ``all_of`` nesting and the interval ``filter`` rules (the plain
+    ``match``/``any_of`` rules keep lowering onto the vectorized
+    phrase/span kernels in ``query/dsl.py``).  ``rule`` is an extent
+    AST from ``query/extents.py``; evaluation enumerates minimal
+    intervals per candidate doc (candidates from the required-term
+    posting intersection).  CONSTANT-SCORE per matching doc — the
+    span family's multi-term-rewrite convention.  Per-doc-local, so
+    doc-range shards compose exactly."""
+
+    rule: object
+    boost: float = 1.0
+
+
+@dataclass
 class _Knn:
     """k-NN vector clause (the OpenSearch k-NN plugin's ``knn``
     query) over a doc-aligned vector sidecar (``index/vectors.py``).
@@ -865,6 +881,12 @@ def _eval(reader, node) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(node, (_SpanNear, _SpanFirst)):
         match = _span_match_mask(reader, node, 0, n)
         return np.where(match, node.boost, 0.0), match
+    if isinstance(node, _IntervalsExpr):
+        from .extents import eval_intervals
+
+        match = np.zeros(n, bool)
+        match[eval_intervals(reader, node.rule)] = True
+        return np.where(match, node.boost, 0.0), match
     if isinstance(node, _MoreLikeThis):
         return _eval(reader, _mlt_bool(reader, node))
     if isinstance(node, _Term):
@@ -1021,6 +1043,13 @@ def _eval_range(reader, node) -> tuple[np.ndarray, np.ndarray]:
         return s, m
     if isinstance(node, (_SpanNear, _SpanFirst)):
         match = _span_match_mask(reader, node, lo, hi)
+        return np.where(match, node.boost, 0.0), match
+    if isinstance(node, _IntervalsExpr):
+        from .extents import eval_intervals
+
+        match = np.zeros(n_local, bool)
+        docs = eval_intervals(reader, node.rule, lo, hi)
+        match[docs - lo] = True
         return np.where(match, node.boost, 0.0), match
     if isinstance(node, _MoreLikeThis):
         # term selection reads the SHARED docs store with global

@@ -865,6 +865,8 @@ class SearchServer:
             dsl_to_node(leg, analyzer)
         k = int(spec.get("size", params.get("size", params.get("k", "10"))))
         from_ = int(spec.get("from", params.get("from", "0")))
+        if k < 0 or from_ < 0:
+            raise ValueError(f"size and from must be >= 0, got {k}/{from_}")
         window = int(hyb.get("window_size", max(100, from_ + k)))
         rrf_k = int(hyb.get("rank_constant", 60))
         src = spec.get("_source", params.get("fields", "url,title"))
@@ -914,6 +916,10 @@ class SearchServer:
         q = params["q"]
         k = int(params.get("size", params.get("k", "10")))
         from_ = int(params.get("from", "0"))
+        if k < 0 or from_ < 0:
+            # OpenSearch 400s negative paging; a negative size would
+            # also break the scroll cursor (empty page, [-1] index)
+            raise ValueError(f"size and from must be >= 0, got {k}/{from_}")
         # field sort (OpenSearch `sort` clause): "col" or "col:asc|desc"
         # — field order defaults ASC per OpenSearch; "_score" keeps the
         # default relevance ranking
@@ -1159,8 +1165,10 @@ class SearchServer:
         stateless equivalent — no silent mixing of two builds)."""
         import base64
 
-        if table.num_rows < k:
-            cursor = None  # page exhausted — the next page is empty
+        if table.num_rows < k or table.num_rows == 0:
+            # page exhausted (also the size=0 scroll: an empty page has
+            # no last hit to cursor from — the next page stays empty)
+            cursor = None
         elif sort_spec is not None:
             cursor = [
                 _jsonable(table["sort_key"].to_pylist()[-1]),

@@ -1185,7 +1185,8 @@ def test_dsl_span_or(built, ray_session):
 def test_dsl_intervals(built, ray_session):
     """`intervals` lowers onto the positional kernels: match(ordered)
     ≡ sloppy phrase, match(unordered) ≡ span_near, any_of ≡ union;
-    fleet ≡ local; filter/all_of rules refused."""
+    fleet ≡ local; malformed rule shapes refused (all_of and filter
+    SUPPORT lives in test_extents.py since round 5)."""
     from docs_indexer_ray.query.dsl import DslError, dsl_to_node
     from docs_indexer_ray.query.qstring import (
         _Bool,

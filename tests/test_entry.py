@@ -71,6 +71,8 @@ SQL_BACKED = [
     "lang_id",
     "fingerprint_md5",
     "dedup_exact",
+    "minhash_pairs",
+    "simhash_pairs",
     "ngram_jaccard",
     "dup_components",
     "dedup_apply",
@@ -80,6 +82,8 @@ SQL_BACKED = [
     "knn_cosine_filtered",
     "knn_cosine_q8",
     "knn_pca",
+    "knn_lsh",
+    "did_you_mean",
     "embedding_dups_exact",
     "index_stats",
     "match_all_count",
@@ -153,6 +157,7 @@ SQL_BACKED = [
     "facet_terms_stats",
     "facet_terms_approx",
     "mm_decode_dims",
+    "mm_frames",
     "facet_rare_terms",
     "facet_date_range",
     "analyze",
@@ -230,13 +235,8 @@ def test_every_query_has_oracle_or_is_marked(entry_mod):
 
 ROWS_ONLY_MIN = {
     "bm25_topk_english": 10,
-    "did_you_mean": 1,
     "mm_embed_knn": 10,
-    "mm_frames": 100,
-    "minhash_pairs": 1,
-    "simhash_pairs": 1,
     "embedding_dups": 1,
-    "knn_lsh": 1,
     "knn_ivf": 1,
     "knn_pq": 10,
     "knn_ivfpq": 10,

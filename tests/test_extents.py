@@ -1,0 +1,311 @@
+"""Extent-algebra `intervals` rules (round 5): all_of nesting and the
+interval filter relations — unit kernels, end-to-end over a positions
+index vs brute-force, fleet ≡ local, and lowering totality."""
+
+import html as _html
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docs_indexer_ray.query.extents import (
+    ExtAllOf,
+    ExtAnyOf,
+    ExtFilter,
+    ExtMatch,
+    ExtTerm,
+    _doc_intervals,
+)
+
+# crafted token sequences — positions are the word index
+_BODIES = [
+    "alpha beta gamma delta epsilon",            # 0: a@0 b@1 g@2 d@3
+    "alpha x x beta gamma",                      # 1: a@0 b@3 g@4
+    "beta alpha gamma",                          # 2: b@0 a@1 g@2
+    "alpha beta alpha beta gamma",               # 3: repeats
+    "delta epsilon zeta",                        # 4: no alpha/beta
+    "gamma x alpha x x beta",                    # 5: g@0 a@2 b@5
+    "alpha gamma beta delta alpha beta",         # 6
+    "x x x alpha x beta x gamma x",              # 7: a@3 b@5 g@7
+]
+
+
+def _pos(body):
+    toks = body.split()
+    return lambda t: np.array(
+        [i for i, x in enumerate(toks) if x == t], np.int64
+    )
+
+
+def _pd(body, *terms):
+    p = _pos(body)
+    return {t: p(t) for t in terms}
+
+
+def _ivs(rule, body, *terms):
+    return [tuple(r) for r in _doc_intervals(rule, _pd(body, *terms))]
+
+
+def test_term_and_ordered_match_intervals():
+    assert _ivs(ExtTerm("alpha"), _BODIES[3], "alpha") == [(0, 0), (2, 2)]
+    # ordered match: minimal chains, gaps = width - n_terms
+    r = ExtMatch(["alpha", "beta"], ordered=True, max_gaps=-1)
+    assert _ivs(r, _BODIES[0], "alpha", "beta") == [(0, 1)]
+    assert _ivs(r, _BODIES[1], "alpha", "beta") == [(0, 3)]
+    assert _ivs(r, _BODIES[2], "alpha", "beta") == []  # wrong order
+    # max_gaps prunes the wide chain
+    tight = ExtMatch(["alpha", "beta"], ordered=True, max_gaps=0)
+    assert _ivs(tight, _BODIES[1], "alpha", "beta") == []
+    assert _ivs(tight, _BODIES[0], "alpha", "beta") == [(0, 1)]
+    # repeats: each start gets its own minimal chain
+    assert _ivs(r, _BODIES[3], "alpha", "beta") == [(0, 1), (2, 3)]
+
+
+def test_unordered_match_and_minimality():
+    r = ExtMatch(["alpha", "beta"], ordered=False, max_gaps=-1)
+    assert _ivs(r, _BODIES[2], "alpha", "beta") == [(0, 1)]
+    # any_of: union pruned to minimal — (0,1) absorbs (0,3)-style spans
+    a = ExtAnyOf([
+        ExtMatch(["alpha", "beta"], ordered=True, max_gaps=-1),
+        ExtTerm("gamma"),
+    ])
+    assert _ivs(a, _BODIES[0], "alpha", "beta", "gamma") == [(0, 1), (2, 2)]
+
+
+def test_all_of_ordered_and_unordered():
+    # ordered: one interval per sub, strictly after the previous
+    r = ExtAllOf(
+        [ExtMatch(["alpha", "beta"], ordered=True, max_gaps=-1),
+         ExtTerm("gamma")],
+        ordered=True, max_gaps=-1,
+    )
+    assert _ivs(r, _BODIES[0], "alpha", "beta", "gamma") == [(0, 2)]
+    # gamma BEFORE the phrase → ordered all_of fails, unordered matches
+    assert _ivs(r, _BODIES[5], "alpha", "beta", "gamma") == []
+    u = ExtAllOf(
+        [ExtMatch(["alpha", "beta"], ordered=True, max_gaps=-1),
+         ExtTerm("gamma")],
+        ordered=False, max_gaps=-1,
+    )
+    assert _ivs(u, _BODIES[5], "alpha", "beta", "gamma") == [(0, 5)]
+    # ordered gap accounting: alpha@3..beta@5 then gamma@7 → one gap
+    g1 = ExtAllOf(
+        [ExtMatch(["alpha", "beta"], ordered=True, max_gaps=-1),
+         ExtTerm("gamma")],
+        ordered=True, max_gaps=1,
+    )
+    assert _ivs(g1, _BODIES[7], "alpha", "beta", "gamma") == [(3, 7)]
+    g0 = ExtAllOf(
+        [ExtMatch(["alpha", "beta"], ordered=True, max_gaps=-1),
+         ExtTerm("gamma")],
+        ordered=True, max_gaps=0,
+    )
+    assert _ivs(g0, _BODIES[7], "alpha", "beta", "gamma") == []
+    # unordered gap = uncovered positions inside the window:
+    # window (0,5) on body 5 covers g@0, a@2..b@5 → gaps = 1 (pos 1)
+    u1 = ExtAllOf(
+        [ExtMatch(["alpha", "beta"], ordered=True, max_gaps=-1),
+         ExtTerm("gamma")],
+        ordered=False, max_gaps=1,
+    )
+    assert _ivs(u1, _BODIES[5], "alpha", "beta", "gamma") == [(0, 5)]
+    u0 = ExtAllOf(
+        [ExtMatch(["alpha", "beta"], ordered=True, max_gaps=-1),
+         ExtTerm("gamma")],
+        ordered=False, max_gaps=0,
+    )
+    assert _ivs(u0, _BODIES[5], "alpha", "beta", "gamma") == []
+
+
+def test_filter_relations():
+    body = _BODIES[0]  # alpha@0 beta@1 gamma@2 delta@3 epsilon@4
+    span = ExtMatch(["alpha", "gamma"], ordered=True, max_gaps=-1)  # (0,2)
+    terms = ("alpha", "beta", "gamma", "delta", "epsilon")
+    assert _ivs(ExtFilter(span, "containing", ExtTerm("beta")),
+                body, *terms) == [(0, 2)]
+    assert _ivs(ExtFilter(span, "containing", ExtTerm("delta")),
+                body, *terms) == []
+    assert _ivs(ExtFilter(span, "not_containing", ExtTerm("delta")),
+                body, *terms) == [(0, 2)]
+    wide = ExtMatch(["alpha", "epsilon"], ordered=True, max_gaps=-1)  # (0,4)
+    assert _ivs(ExtFilter(ExtTerm("beta"), "contained_by", wide),
+                body, *terms) == [(1, 1)]
+    assert _ivs(ExtFilter(ExtTerm("beta"), "not_contained_by", span),
+                body, *terms) == []
+    assert _ivs(ExtFilter(span, "overlapping", ExtMatch(
+        ["gamma", "delta"], ordered=True, max_gaps=-1)), body, *terms) == [(0, 2)]
+    assert _ivs(ExtFilter(span, "not_overlapping", ExtMatch(
+        ["gamma", "delta"], ordered=True, max_gaps=-1)), body, *terms) == []
+    assert _ivs(ExtFilter(ExtTerm("alpha"), "before", ExtTerm("gamma")),
+                body, *terms) == [(0, 0)]
+    assert _ivs(ExtFilter(ExtTerm("gamma"), "before", ExtTerm("alpha")),
+                body, *terms) == []
+    assert _ivs(ExtFilter(ExtTerm("epsilon"), "after", ExtTerm("delta")),
+                body, *terms) == [(4, 4)]
+    assert _ivs(ExtFilter(ExtTerm("alpha"), "after", ExtTerm("delta")),
+                body, *terms) == []
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import BASE_URL
+
+    rows_url, rows_ts, rows_html, rows_text = [], [], [], []
+    for i, body in enumerate(_BODIES * 4):  # 32 docs, bodies repeat
+        rows_url.append(f"{BASE_URL}/ext/page-{i:04d}/")
+        rows_ts.append(1735689600000000 + i * 1000000)
+        rows_html.append(
+            b"<html><body>" + _html.escape(body).encode() + b"</body></html>"
+        )
+        rows_text.append(body)
+    pages = pa.table({
+        "url": pa.array(rows_url, pa.string()),
+        "warc_ts": pa.array(
+            np.array(rows_ts, np.int64), pa.timestamp("us")
+        ),
+        "html": pa.array(rows_html, pa.binary()),
+        "text": pa.array(rows_text, pa.string()),
+        "lang": pa.array(["en"] * len(rows_url), pa.string()),
+    })
+    root = str(tmp_path_factory.mktemp("extidx") / "idx")
+    build_index(
+        ray.data.from_arrow(pages),
+        root,
+        fingerprint="ext",
+        num_parts=3,
+        chain="simple",
+        field="body",
+        store_positions=True,
+    )
+    return IndexReader(root)
+
+
+def _brute(reader, rule, terms):
+    """Independent per-doc recomputation from the stored bodies."""
+    out = set()
+    for r in reader.fetch_docs(list(range(reader.n_docs)),
+                               ["doc_id", "body"]).to_pylist():
+        toks = (r["body"] or "").lower().split()
+        pos = {
+            t: np.array([i for i, x in enumerate(toks) if x == t], np.int64)
+            for t in terms
+        }
+        if len(_doc_intervals(rule, pos)):
+            out.add(r["doc_id"])
+    return out
+
+
+def test_intervals_all_of_end_to_end(built, ray_session):
+    """all_of + filter through the FULL query path: DSL lowering →
+    _IntervalsExpr → eval; match set ≡ an independent per-doc brute
+    force; fleet ≡ local."""
+    import os
+
+    from docs_indexer_ray.query.qstring import query_string_topk
+    from docs_indexer_ray.query.served import ShardedQueryService
+
+    reader = built
+    cases = [
+        ({"intervals": {"body": {"all_of": {"intervals": [
+            {"match": {"query": "alpha beta", "ordered": True}},
+            {"match": {"query": "gamma"}},
+        ], "ordered": True}}}},
+         ExtAllOf([ExtMatch(["alpha", "beta"], ordered=True, max_gaps=-1),
+                   ExtTerm("gamma")], ordered=True, max_gaps=-1),
+         ("alpha", "beta", "gamma")),
+        ({"intervals": {"body": {"all_of": {"intervals": [
+            {"match": {"query": "alpha beta", "ordered": True}},
+            {"match": {"query": "gamma"}},
+        ], "ordered": False, "max_gaps": 1}}}},
+         ExtAllOf([ExtMatch(["alpha", "beta"], ordered=True, max_gaps=-1),
+                   ExtTerm("gamma")], ordered=False, max_gaps=1),
+         ("alpha", "beta", "gamma")),
+        ({"intervals": {"body": {"match": {
+            "query": "alpha gamma", "ordered": True,
+            "filter": {"containing": {"match": {"query": "beta"}}}}}}},
+         ExtFilter(ExtMatch(["alpha", "gamma"], ordered=True, max_gaps=-1),
+                   "containing", ExtTerm("beta")),
+         ("alpha", "beta", "gamma")),
+        ({"intervals": {"body": {"match": {
+            "query": "alpha", "filter":
+            {"before": {"match": {"query": "gamma"}}}}}}},
+         ExtFilter(ExtTerm("alpha"), "before", ExtTerm("gamma")),
+         ("alpha", "gamma")),
+        ({"intervals": {"body": {"match": {
+            "query": "alpha gamma", "ordered": True, "filter":
+            {"not_containing": {"match": {"query": "beta"}}}}}}},
+         ExtFilter(ExtMatch(["alpha", "gamma"], ordered=True, max_gaps=-1),
+                   "not_containing", ExtTerm("beta")),
+         ("alpha", "beta", "gamma")),
+    ]
+    for dsl, rule, terms in cases:
+        got = {d for d, _ in query_string_topk(reader, dsl, k=1000)}
+        want = _brute(reader, rule, terms)
+        assert got == want, (dsl, got ^ want)
+        assert want, f"degenerate case (matches nothing): {dsl}"
+
+    svc = ShardedQueryService(os.path.dirname(reader.index_dir),
+                              n_shards=3, chain="simple")
+    try:
+        for dsl, _, _ in cases:
+            assert svc.query_string(dsl, k=10) == query_string_topk(
+                reader, dsl, k=10), dsl
+    finally:
+        svc.shutdown()
+
+
+def test_intervals_extended_lowering_and_refusals(built):
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+    from docs_indexer_ray.query.qstring import _IntervalsExpr
+
+    an = Analyzer("simple")
+    n = dsl_to_node({"intervals": {"body": {"all_of": {"intervals": [
+        {"match": {"query": "alpha"}}, {"match": {"query": "beta"}},
+    ]}}}}, an)
+    assert isinstance(n, _IntervalsExpr)
+    assert isinstance(n.rule, ExtAllOf) and not n.rule.ordered
+
+    # boost carries
+    n = dsl_to_node({"intervals": {"body": {"all_of": {"intervals": [
+        {"match": {"query": "alpha"}}, {"match": {"query": "beta"}},
+    ]}, "boost": 2.5}}}, an)
+    assert n.boost == 2.5
+
+    # stopword-analyzed sub inside all_of → matches nothing (None)
+    en = Analyzer("english")
+    assert dsl_to_node({"intervals": {"body": {"all_of": {"intervals": [
+        {"match": {"query": "the"}}, {"match": {"query": "alpha"}},
+    ]}}}}, en) is None
+
+    # empty-analysis POSITIVE filter → never matches; NEGATIVE → kept
+    assert dsl_to_node({"intervals": {"body": {"match": {
+        "query": "alpha", "filter": {"containing": {"match": {
+            "query": "the"}}}}}}}, en) is None
+    kept = dsl_to_node({"intervals": {"body": {"match": {
+        "query": "alpha", "filter": {"not_containing": {"match": {
+            "query": "the"}}}}}}}, en)
+    # stays on the extents path (constant-score), filter dropped as
+    # vacuously true
+    assert isinstance(kept, _IntervalsExpr)
+    assert isinstance(kept.rule, ExtTerm) and kept.rule.term == "alpha"
+
+    for bad in (
+        {"intervals": {"body": {"all_of": {"intervals": []}}}},
+        {"intervals": {"body": {"all_of": {}}}},
+        {"intervals": {"body": {"match": {"query": "a",
+                                          "filter": {"before": {}}}}}},
+        {"intervals": {"body": {"match": {"query": "a",
+                                          "filter": {"script": {"source": "x"}}}}}},
+        {"intervals": {"body": {"match": {"query": "a",
+                                          "filter": {"nonsense": {"match": {"query": "b"}}}}}}},
+        {"intervals": {"body": {"match": {"query": "a", "filter": "x"}}}},
+        {"intervals": {"body": {"all_of": {"intervals": [
+            {"wat": {}}]}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_to_node(bad, an)

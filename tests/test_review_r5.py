@@ -246,3 +246,62 @@ def test_collapse_top_high_cardinality_and_null_groups(ray_session):
     # no partial may exceed k rows: with 11 blocks the driver concat
     # is bounded by k*blocks even though the field is near-unique
     assert got.num_rows == k
+
+
+def test_sketch_hashers_agree_on_planted_dups(ray_session):
+    """The md5 base hash (the SQL-replayable driver mode) and the crc
+    production default must find the same planted exact-dup pairs —
+    the hash family changes bucket layout, not what a near-dup is."""
+    import ray.data
+
+    from docs_indexer_ray.ops.dedup import minhash_lsh_pairs, simhash_pairs
+
+    n = 60
+    texts = [
+        f"alpha beta gamma delta epsilon zeta {i} eta theta iota kappa "
+        f"lambda mu nu xi omicron pi rho sigma tau upsilon"
+        for i in range(n)
+    ]
+    # plant exact copies of docs 0..9 at ids 100..109
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n)) + list(range(100, 110)), pa.int64()),
+        "text": pa.array(texts + texts[:10], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    planted = {(i, 100 + i) for i in range(10)}
+    for hasher in ("crc", "md5"):
+        mh = pa.concat_tables([
+            t for t in __import__(
+                "docs_indexer_ray.collect", fromlist=["tables_of"]
+            ).tables_of(minhash_lsh_pairs(ds, threshold=0.9, hasher=hasher))
+        ])
+        got = set(zip(mh["a"].to_pylist(), mh["b"].to_pylist()))
+        assert planted <= got, (hasher, planted - got)
+        sh = pa.concat_tables([
+            t for t in __import__(
+                "docs_indexer_ray.collect", fromlist=["tables_of"]
+            ).tables_of(simhash_pairs(ds, max_hamming=0, hasher=hasher))
+        ])
+        got_s = set(zip(sh["a"].to_pylist(), sh["b"].to_pylist()))
+        assert planted <= got_s, (hasher, planted - got_s)
+
+
+def test_scroll_size_edge_cases_never_500(root, ray_session):
+    """Fuzz-found: GET scroll with size=0 (empty page has no last hit
+    to cursor from) and size=-1 (negative paging) both 500ed; now a
+    clean 200-with-exhausted-scroll and a 400 respectively."""
+    from docs_indexer_ray.serve_http import SearchServer
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        code, r = _req(srv.port, "/_search", q="node", scroll="1m", size="0")
+        assert code == 200, r
+        sid = r["_scroll_id"]
+        code, r2 = _req(srv.port, "/_search/scroll",
+                        body={"scroll_id": sid})
+        assert code == 200 and r2["hits"]["hits"] == []
+        for bad in ({"size": "-1"}, {"from": "-3"}):
+            code, r = _req(srv.port, "/_search", q="node", **bad)
+            assert code == 400, (bad, code, r)
+    finally:
+        srv.stop()
