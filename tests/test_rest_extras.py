@@ -946,6 +946,9 @@ def test_aggs_envelope_fuzz_never_500s(root, ray_session):
         st.sampled_from([
             "warc_ts", "lang", "doc_id", "60s", "month", "fortnight",
             "per>ids", "ids", "2025-01-01T00:00:00", "", "1h",
+            # round-5 robustness alphabet: non-ASCII numerals (isdigit-
+            # True but int()-hostile or Nd), zero widths, BOM/noncharacter
+            "²", "٢", "０", "0", "0s", "﻿", "￿", "1²h",
         ]),
     )
     json_obj = st.recursive(
@@ -1031,6 +1034,7 @@ def test_get_params_fuzz_never_500s(root, ray_session):
     pvals = st.sampled_from([
         "node", "3", "-1", "0", "nope:desc", "warc_ts:desc", "", "1m",
         "true", "url,title", "lang", "1e9", "NaN", "*", '"a b"',
+        "²", "٢", "０", "0s", "﻿", "node~²", "~٣", "9" * 40,
     ])
 
     srv = SearchServer(root, backend="local").start()
