@@ -38,13 +38,15 @@ edge cases):
   interval starts), ``after`` (source starts after some filter
   interval ends).  ``script`` filters are refused at lowering.
 
-Cost shape: candidate docs come from the posting-list intersection of
-the rule's REQUIRED terms (cheap, vectorized); only those docs run the
-per-doc extent enumeration (numpy per doc; interval lists are
-occurrence-scale).  The common plain rules never reach this module —
-they keep the fully vectorized `_phrase_walk`/`_slop_walk` kernels.
-Per-doc locality means doc-range shards compose exactly, like every
-other positional leaf.
+Cost shape: a VECTORIZED kernel prefilter (the slop-walk / span-near
+kernels, whose doc-level semantics coincide with this algebra's leaf
+rules — see :func:`_kernel_prefilter`) narrows the candidate set, and
+for several rule shapes fully DECIDES it (exact prefilter → zero
+per-doc work); only undecided candidates pay the per-doc extent
+enumeration (numpy per doc; interval lists are occurrence-scale).
+The common plain rules never reach this module at all — they lower
+straight onto the same kernels.  Per-doc locality means doc-range
+shards compose exactly, like every other positional leaf.
 """
 
 from __future__ import annotations
@@ -115,41 +117,6 @@ def collect_terms(rule) -> set:
         return out
     if isinstance(rule, ExtFilter):
         return collect_terms(rule.source) | collect_terms(rule.filter)
-    raise TypeError(f"unknown extent rule {rule!r}")
-
-
-def _required_term_sets(rule) -> list:
-    """DNF-ish requirement: a list of term-sets; a doc is a candidate
-    if it contains EVERY term of at least one set.  ``any_of`` unions
-    alternatives; negative filter relations don't require the filter
-    side."""
-    if isinstance(rule, ExtTerm):
-        return [{rule.term}]
-    if isinstance(rule, ExtMatch):
-        return [set(rule.terms)]
-    if isinstance(rule, ExtAnyOf):
-        out = []
-        for s in rule.subs:
-            out.extend(_required_term_sets(s))
-        return out
-    if isinstance(rule, ExtAllOf):
-        combos = [set()]
-        for s in rule.subs:
-            alts = _required_term_sets(s)
-            combos = [c | a for c in combos for a in alts]
-            if len(combos) > 64:
-                # cap the DNF blowup.  Soundness requires candidates ⊇
-                # matching docs, so WEAKEN to the terms every
-                # alternative requires (never strengthen — a union
-                # would silently drop valid matches)
-                combos = [set.intersection(*combos)]
-        return combos
-    if isinstance(rule, ExtFilter):
-        src = _required_term_sets(rule.source)
-        if rule.relation in _NEGATIVE_RELATIONS:
-            return src
-        flt = _required_term_sets(rule.filter)
-        return [a | b for a in src for b in flt]
     raise TypeError(f"unknown extent rule {rule!r}")
 
 
@@ -302,64 +269,327 @@ def _doc_intervals(rule, pos: dict) -> np.ndarray:
     raise TypeError(f"unknown extent rule {rule!r}")
 
 
+def _kernel_prefilter(reader, rule, full: bool) -> tuple:
+    """``(doc_ids, exact)`` — docs that COULD hold an interval of
+    ``rule``, computed by the VECTORIZED phrase/span kernels (never a
+    per-doc Python pass).  ``exact=True`` means membership is also
+    SUFFICIENT, so the caller can skip the per-doc enumeration
+    entirely:
+
+    * ``term`` / ``match`` — the slop-walk / span-near kernels have
+      exactly this algebra's gap rule (ordered: greedy chain with
+      Σgaps ≤ max_gaps; unordered: window width − n_terms ≤ max_gaps,
+      and distinct terms occupy distinct positions so uncovered =
+      width − n_terms), hence EXACT;
+    * ``any_of`` — union, exact iff every sub is;
+    * ``all_of`` unordered with unlimited gaps — intersection is
+      exact (any doc holding one interval per sub has a covering
+      window); ordered / gap-capped all_of keeps intersection as a
+      NECESSARY filter only;
+    * ``filter`` — positive relations intersect source ∧ filter
+      (necessary), negative ones keep the source's set; never exact.
+    """
+    from .phrase import (
+        match_phrase_slop,
+        match_phrase_slop_range,
+        span_near,
+        span_near_range,
+    )
+
+    def ids_of(hits):
+        return np.array(sorted(d for d, _ in hits), np.int64)
+
+    if isinstance(rule, ExtTerm):
+        tp = reader.postings(rule.term)
+        if tp is None:
+            return np.empty(0, np.int64), True
+        if full:
+            ids, _ = tp.decode_all()
+        else:
+            ids, _ = tp.decode_range(reader.doc_lo, reader.doc_hi)
+        return np.asarray(ids, np.int64), True
+    if isinstance(rule, ExtMatch):
+        slop = rule.max_gaps if rule.max_gaps >= 0 else (1 << 30)
+        if rule.ordered:
+            hits = (match_phrase_slop(reader, rule.terms, slop=slop)
+                    if full else
+                    match_phrase_slop_range(reader, rule.terms, slop=slop))
+        else:
+            hits = (span_near(reader, rule.terms, slop)
+                    if full else
+                    span_near_range(reader, rule.terms, slop))
+        return ids_of(hits), True
+    if isinstance(rule, ExtAnyOf):
+        out, exact = None, True
+        for s in rule.subs:
+            ids, ex = _kernel_prefilter(reader, s, full)
+            exact &= ex
+            out = ids if out is None else np.union1d(out, ids)
+        return (out if out is not None else np.empty(0, np.int64)), exact
+    if isinstance(rule, ExtAllOf):
+        if (
+            not rule.ordered
+            and rule.max_gaps >= 0
+            and all(isinstance(s, ExtTerm) for s in rule.subs)
+            and len({s.term for s in rule.subs}) == len(rule.subs)
+        ):
+            # unordered all_of over DISTINCT single terms with a gap
+            # cap IS span_near: point intervals at distinct positions
+            # ⇒ uncovered = width − n_terms ≤ max_gaps ⇔ the window
+            # rule — decide it with the vectorized kernel outright
+            terms = [s.term for s in rule.subs]
+            hits = (span_near(reader, terms, rule.max_gaps)
+                    if full else
+                    span_near_range(reader, terms, rule.max_gaps))
+            return ids_of(hits), True
+        out, exact = None, True
+        for s in rule.subs:
+            ids, ex = _kernel_prefilter(reader, s, full)
+            exact &= ex
+            out = ids if out is None else np.intersect1d(
+                out, ids, assume_unique=True
+            )
+            if out is not None and len(out) == 0:
+                return out, True
+        exact = exact and (not rule.ordered) and rule.max_gaps < 0
+        return (out if out is not None else np.empty(0, np.int64)), exact
+    if isinstance(rule, ExtFilter):
+        src, _ = _kernel_prefilter(reader, rule.source, full)
+        if rule.relation in _NEGATIVE_RELATIONS:
+            return src, False
+        flt, _ = _kernel_prefilter(reader, rule.filter, full)
+        return np.intersect1d(src, flt, assume_unique=True), False
+    raise TypeError(f"unknown extent rule {rule!r}")
+
+
+_SHIFT = np.int64(34)  # (doc_rank << 34) | position — phrase.py's packing
+
+
+def _segmentable(rule) -> bool:
+    """True when the rule tree can run the SEGMENTED (all-docs-at-once)
+    evaluator: everything except the unordered combiners, whose
+    m-pointer min-window sweep is inherently sequential per doc.  A
+    single-term unordered match degenerates to a term leaf and stays
+    segmentable.  (Unordered rules at the ROOT are usually decided by
+    the exact kernel prefilter before this question is asked — the
+    per-doc fallback only serves unordered sources nested under
+    filters or gap-capped parents.)"""
+    if isinstance(rule, ExtTerm):
+        return True
+    if isinstance(rule, ExtMatch):
+        return rule.ordered or len(rule.terms) == 1
+    if isinstance(rule, ExtAnyOf):
+        return all(_segmentable(s) for s in rule.subs)
+    if isinstance(rule, ExtAllOf):
+        return rule.ordered and all(_segmentable(s) for s in rule.subs)
+    if isinstance(rule, ExtFilter):
+        return _segmentable(rule.source) and _segmentable(rule.filter)
+    raise TypeError(f"unknown extent rule {rule!r}")
+
+
+def _seg_minimal(rank, s, e):
+    """Segmented :func:`_minimal`: per-rank minimality in three numpy
+    passes (lexsort → (rank,start) dedupe → keyed suffix-min of ends;
+    cross-rank keys can't leak because a higher rank's key exceeds any
+    same-rank key)."""
+    if len(rank) == 0:
+        return rank, s, e
+    order = np.lexsort((e, s, rank))
+    rank, s, e = rank[order], s[order], e[order]
+    first = np.ones(len(rank), bool)
+    first[1:] = (rank[1:] != rank[:-1]) | (s[1:] != s[:-1])
+    rank, s, e = rank[first], s[first], e[first]
+    keyed = (rank << _SHIFT) | e
+    suffix = np.minimum.accumulate(keyed[::-1])[::-1]
+    keep = np.ones(len(rank), bool)
+    keep[:-1] = keyed[:-1] < suffix[1:]
+    return rank[keep], s[keep], e[keep]
+
+
+def _seg_ordered_combine(subs, max_gaps: int):
+    """Segmented ordered combine (both ordered ``match`` and ordered
+    ``all_of`` — a match is the all_of of its term leaves): one
+    searchsorted chain per sub, exactly the `_slop_walk` shape, over
+    EVERY candidate doc at once."""
+    rank, s, e = subs[0]
+    gaps = np.zeros(len(rank), np.int64)
+    for br, bs, be in subs[1:]:
+        if len(rank) == 0 or len(br) == 0:
+            empty = np.empty(0, np.int64)
+            return empty, empty, empty
+        bkey = (br << _SHIFT) | bs
+        q = (rank << _SHIFT) | (e + 1)
+        idx = np.searchsorted(bkey, q)
+        j = np.minimum(idx, len(bkey) - 1)
+        ok = (idx < len(bkey)) & (br[j] == rank)
+        gaps = gaps + np.where(ok, bs[j] - e - 1, 0)
+        e = np.where(ok, be[j], e)
+        rank, s, e, gaps = rank[ok], s[ok], e[ok], gaps[ok]
+    if max_gaps >= 0 and len(rank):
+        keep = gaps <= max_gaps
+        rank, s, e = rank[keep], s[keep], e[keep]
+    return _seg_minimal(rank, s, e)
+
+
+def _seg_filter(src, rel: str, flt):
+    """Segmented filter relations in O(1) searchsorted probes per
+    source interval — correctness leans on per-rank MINIMALITY of the
+    filter list (starts and ends both strictly increase within a
+    rank, so 'the max end among starts ≤ x' is the end at the last
+    such start, and so on)."""
+    rank, s, e = src
+    fr, fs, fe = flt
+    if len(rank) == 0:
+        return src
+    n = len(fr)
+    neg = rel in _NEGATIVE_RELATIONS
+    base = rel[4:] if neg else rel
+    if n == 0:
+        hit = np.zeros(len(rank), bool)
+    elif base == "containing":
+        q = (rank << _SHIFT) | s
+        fkey = (fr << _SHIFT) | fs
+        idx = np.searchsorted(fkey, q)
+        j = np.minimum(idx, n - 1)
+        hit = (idx < n) & (fr[j] == rank) & (fs[j] <= e) & (fe[j] <= e)
+    elif base == "contained_by":
+        q = (rank << _SHIFT) | s
+        fkey = (fr << _SHIFT) | fs
+        idx = np.searchsorted(fkey, q, side="right") - 1
+        j = np.maximum(idx, 0)
+        hit = (idx >= 0) & (fr[j] == rank) & (fe[j] >= e)
+    elif base == "overlapping":
+        q = (rank << _SHIFT) | e
+        fkey = (fr << _SHIFT) | fs
+        idx = np.searchsorted(fkey, q, side="right") - 1
+        j = np.maximum(idx, 0)
+        hit = (idx >= 0) & (fr[j] == rank) & (fe[j] >= s)
+    elif rel == "before":
+        idx = np.searchsorted(fr, rank, side="right") - 1
+        j = np.maximum(idx, 0)
+        hit = (idx >= 0) & (fr[j] == rank) & (fs[j] > e)
+    elif rel == "after":
+        idx = np.searchsorted(fr, rank, side="left")
+        j = np.minimum(idx, n - 1)
+        hit = (idx < n) & (fr[j] == rank) & (fe[j] < s)
+    else:
+        raise ValueError(f"unknown interval filter relation {rel!r}")
+    keep = ~hit if neg else hit
+    return rank[keep], s[keep], e[keep]
+
+
+def _seg_eval(rule, term_ivs):
+    """Segmented evaluator: ``term_ivs[t]`` = that term's (rank, p)
+    occurrence arrays over the candidate docs; returns (rank, s, e)
+    minimal interval arrays for the whole rule."""
+    if isinstance(rule, ExtTerm):
+        r, p = term_ivs[rule.term]
+        return r, p, p
+    if isinstance(rule, ExtMatch):
+        if len(rule.terms) == 1:
+            r, p = term_ivs[rule.terms[0]]
+            return r, p, p
+        subs = [_seg_eval(ExtTerm(t), term_ivs) for t in rule.terms]
+        return _seg_ordered_combine(subs, rule.max_gaps)
+    if isinstance(rule, ExtAnyOf):
+        parts = [_seg_eval(x, term_ivs) for x in rule.subs]
+        rank = np.concatenate([p[0] for p in parts])
+        s = np.concatenate([p[1] for p in parts])
+        e = np.concatenate([p[2] for p in parts])
+        return _seg_minimal(rank, s, e)
+    if isinstance(rule, ExtAllOf):
+        subs = [_seg_eval(x, term_ivs) for x in rule.subs]
+        return _seg_ordered_combine(subs, rule.max_gaps)
+    if isinstance(rule, ExtFilter):
+        return _seg_filter(
+            _seg_eval(rule.source, term_ivs),
+            rule.relation,
+            _seg_eval(rule.filter, term_ivs),
+        )
+    raise TypeError(f"unknown extent rule {rule!r}")
+
+
 def eval_intervals(reader, rule, lo: Optional[int] = None,
                    hi: Optional[int] = None) -> np.ndarray:
     """Matching GLOBAL doc ids of ``rule`` within ``[lo, hi)`` (full
-    corpus when unset), tombstones excluded, ascending."""
+    corpus when unset), tombstones excluded, ascending.
+
+    Two phases: a VECTORIZED kernel prefilter narrows (and for several
+    rule shapes fully decides — see :func:`_kernel_prefilter`) the
+    candidate set; only undecided candidates pay the per-doc extent
+    enumeration."""
     full = lo is None and hi is None
     if lo is None:
         lo = 0
     if hi is None:
         hi = reader.n_docs
-    terms = sorted(collect_terms(rule))
-    decoded = {}
-    for t in terms:
-        tp = reader.postings(t)
-        if tp is None:
-            decoded[t] = (np.empty(0, np.int64), np.empty(0, np.int64),
-                          np.zeros(1, np.int64))
-            continue
-        if full:
-            ids, _ = tp.decode_all()
-            flat, offs = tp.decode_all_positions()
-        else:
-            ids, _, flat, offs = tp.decode_range_positions(lo, hi)
-        decoded[t] = (np.asarray(ids, np.int64), np.asarray(flat, np.int64),
-                      np.asarray(offs, np.int64))
 
-    # candidate docs from the DNF of required-term sets
-    cand = None
-    for req in _required_term_sets(rule):
-        docs = None
-        for t in sorted(req):
-            ids = decoded[t][0]
-            docs = ids if docs is None else np.intersect1d(
-                docs, ids, assume_unique=True
-            )
-            if docs is not None and len(docs) == 0:
-                break
-        if docs is None:
-            # empty requirement set (DNF-cap fallback with disjoint
-            # alternatives): every doc in range is a candidate
-            docs = np.arange(lo, hi, dtype=np.int64)
-        cand = docs if cand is None else np.union1d(cand, docs)
-    if cand is None or len(cand) == 0:
-        return np.empty(0, np.int64)
+    cand, exact = _kernel_prefilter(reader, rule, full)
     cand = cand[(cand >= lo) & (cand < hi)]
-
-    matched = []
-    for doc in cand.tolist():
-        pos = {}
+    if len(cand) == 0:
+        return cand
+    if exact:
+        out = cand
+    else:
+        terms = sorted(collect_terms(rule))
+        decoded = {}
         for t in terms:
-            ids, flat, offs = decoded[t]
-            j = int(np.searchsorted(ids, doc))
-            if j < len(ids) and ids[j] == doc:
-                pos[t] = flat[offs[j]:offs[j + 1]]
-        if len(_doc_intervals(rule, pos)):
-            matched.append(doc)
-    if not matched:
-        return np.empty(0, np.int64)
-    out = np.asarray(matched, np.int64)
+            tp = reader.postings(t)
+            if tp is None:
+                decoded[t] = (np.empty(0, np.int64), np.empty(0, np.int64),
+                              np.zeros(1, np.int64))
+                continue
+            if full:
+                ids, _ = tp.decode_all()
+                flat, offs = tp.decode_all_positions()
+            else:
+                ids, _, flat, offs = tp.decode_range_positions(lo, hi)
+            decoded[t] = (np.asarray(ids, np.int64),
+                          np.asarray(flat, np.int64),
+                          np.asarray(offs, np.int64))
+        if _segmentable(rule):
+            # ALL candidate docs at once: per-term (rank, position)
+            # segment arrays → the segmented combiners — no per-doc
+            # Python (same key-packing budget as the phrase walk)
+            if len(cand) >= (1 << 29):
+                raise ValueError(
+                    f"{len(cand)} candidate docs in one intervals "
+                    "evaluation — shard the query before the "
+                    "2^29-doc key limit"
+                )
+            from .phrase import _gather_segments
+
+            term_ivs = {}
+            for t in terms:
+                ids, flat, offs = decoded[t]
+                if len(ids) == 0:
+                    term_ivs[t] = (np.empty(0, np.int64),
+                                   np.empty(0, np.int64))
+                    continue
+                j = np.searchsorted(ids, cand)
+                jj = np.minimum(j, len(ids) - 1)
+                present = ids[jj] == cand
+                vals, row = _gather_segments(flat, offs, jj[present])
+                ranks = np.flatnonzero(present).astype(np.int64)[row]
+                term_ivs[t] = (ranks, vals.astype(np.int64))
+            rks, _, _ = _seg_eval(rule, term_ivs)
+            out = cand[np.unique(rks)]
+        else:
+            # per-doc fallback — only unordered interval SOURCES
+            # nested under filters / gap-capped parents land here
+            matched = []
+            for doc in cand.tolist():
+                pos = {}
+                for t in terms:
+                    ids, flat, offs = decoded[t]
+                    j = int(np.searchsorted(ids, doc))
+                    if j < len(ids) and ids[j] == doc:
+                        pos[t] = flat[offs[j]:offs[j + 1]]
+                if len(_doc_intervals(rule, pos)):
+                    matched.append(doc)
+            if not matched:
+                return np.empty(0, np.int64)
+            out = np.asarray(matched, np.int64)
     if reader.has_deletes:
         dels = reader.deleted_ids()
         j = np.searchsorted(dels, out)

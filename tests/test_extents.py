@@ -309,3 +309,81 @@ def test_intervals_extended_lowering_and_refusals(built):
     ):
         with pytest.raises(DslError):
             dsl_to_node(bad, an)
+
+
+def test_segmented_evaluator_equals_per_doc():
+    """The vectorized segmented evaluator must agree with the scalar
+    per-doc `_doc_intervals` on every segmentable rule shape, over
+    randomized corpora (seeded)."""
+    import numpy as np
+
+    from docs_indexer_ray.query.extents import (
+        _doc_intervals,
+        _seg_eval,
+        _segmentable,
+    )
+
+    rng = np.random.RandomState(11)
+    vocab = ["a", "b", "c", "d"]
+    rules = [
+        ExtTerm("a"),
+        ExtMatch(["a", "b"], ordered=True, max_gaps=-1),
+        ExtMatch(["a", "b", "c"], ordered=True, max_gaps=1),
+        ExtAnyOf([ExtMatch(["a", "b"], ordered=True, max_gaps=-1),
+                  ExtTerm("c")]),
+        ExtAllOf([ExtMatch(["a", "b"], ordered=True, max_gaps=-1),
+                  ExtTerm("c")], ordered=True, max_gaps=-1),
+        ExtAllOf([ExtTerm("a"), ExtTerm("b"), ExtTerm("c")],
+                 ordered=True, max_gaps=2),
+        ExtFilter(ExtMatch(["a", "c"], ordered=True, max_gaps=-1),
+                  "containing", ExtTerm("b")),
+        ExtFilter(ExtMatch(["a", "c"], ordered=True, max_gaps=-1),
+                  "not_containing", ExtTerm("b")),
+        ExtFilter(ExtTerm("b"), "contained_by",
+                  ExtMatch(["a", "c"], ordered=True, max_gaps=-1)),
+        ExtFilter(ExtTerm("b"), "not_contained_by",
+                  ExtMatch(["a", "c"], ordered=True, max_gaps=-1)),
+        ExtFilter(ExtMatch(["a", "b"], ordered=True, max_gaps=-1),
+                  "overlapping", ExtMatch(["b", "c"], ordered=True,
+                                          max_gaps=-1)),
+        ExtFilter(ExtMatch(["a", "b"], ordered=True, max_gaps=-1),
+                  "not_overlapping", ExtMatch(["b", "c"], ordered=True,
+                                              max_gaps=-1)),
+        ExtFilter(ExtTerm("a"), "before", ExtTerm("d")),
+        ExtFilter(ExtTerm("d"), "after", ExtTerm("a")),
+        ExtFilter(ExtAllOf([ExtTerm("a"), ExtTerm("b")], ordered=True,
+                           max_gaps=-1),
+                  "containing",
+                  ExtAnyOf([ExtTerm("c"), ExtTerm("d")])),
+    ]
+    assert all(_segmentable(r) for r in rules)
+
+    for trial in range(10):
+        docs = [
+            [vocab[i] for i in rng.randint(0, len(vocab), rng.randint(0, 14))]
+            for _ in range(40)
+        ]
+        # per-term (rank, position) segment arrays over ALL docs
+        term_ivs = {}
+        for t in vocab:
+            rk, ps = [], []
+            for d, toks in enumerate(docs):
+                for i, x in enumerate(toks):
+                    if x == t:
+                        rk.append(d)
+                        ps.append(i)
+            term_ivs[t] = (np.array(rk, np.int64), np.array(ps, np.int64))
+        for rule in rules:
+            rks, ss, es = _seg_eval(rule, term_ivs)
+            got = {}
+            for r_, s_, e_ in zip(rks.tolist(), ss.tolist(), es.tolist()):
+                got.setdefault(r_, []).append((s_, e_))
+            for d, toks in enumerate(docs):
+                pos = {
+                    t: np.array([i for i, x in enumerate(toks) if x == t],
+                                np.int64)
+                    for t in vocab
+                }
+                want = [tuple(r_) for r_ in _doc_intervals(rule, pos)]
+                assert got.get(d, []) == want, (trial, rule, d, toks,
+                                                got.get(d, []), want)
