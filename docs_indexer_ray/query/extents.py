@@ -368,20 +368,24 @@ _SHIFT = np.int64(34)  # (doc_rank << 34) | position — phrase.py's packing
 def _segmentable(rule) -> bool:
     """True when the rule tree can run the SEGMENTED (all-docs-at-once)
     evaluator: everything except the unordered combiners, whose
-    m-pointer min-window sweep is inherently sequential per doc.  A
-    single-term unordered match degenerates to a term leaf and stays
-    segmentable.  (Unordered rules at the ROOT are usually decided by
-    the exact kernel prefilter before this question is asked — the
-    per-doc fallback only serves unordered sources nested under
-    filters or gap-capped parents.)"""
+    m-pointer min-window sweep is inherently sequential per doc —
+    EXCEPT the two-sub case, whose sweep replays as a vectorized
+    merge path (:func:`_seg_unordered2`); a single-term unordered
+    match degenerates to a term leaf.  (Unordered rules at the ROOT
+    are usually decided by the exact kernel prefilter before this
+    question is asked — the per-doc fallback only serves m≥3
+    unordered interval sources nested under filters or gap-capped
+    parents.)"""
     if isinstance(rule, ExtTerm):
         return True
     if isinstance(rule, ExtMatch):
-        return rule.ordered or len(rule.terms) == 1
+        return rule.ordered or len(rule.terms) <= 2
     if isinstance(rule, ExtAnyOf):
         return all(_segmentable(s) for s in rule.subs)
     if isinstance(rule, ExtAllOf):
-        return rule.ordered and all(_segmentable(s) for s in rule.subs)
+        return (rule.ordered or len(rule.subs) == 2) and all(
+            _segmentable(s) for s in rule.subs
+        )
     if isinstance(rule, ExtFilter):
         return _segmentable(rule.source) and _segmentable(rule.filter)
     raise TypeError(f"unknown extent rule {rule!r}")
@@ -429,6 +433,61 @@ def _seg_ordered_combine(subs, max_gaps: int):
         keep = gaps <= max_gaps
         rank, s, e = rank[keep], s[keep], e[keep]
     return _seg_minimal(rank, s, e)
+
+
+def _seg_unordered2(sub_a, sub_b, max_gaps: int):
+    """Segmented UNORDERED combine for exactly two subs — the scalar
+    min-window pointer sweep replayed as a merge path: the sweep's
+    pointer states are precisely the prefix counts of the two lists
+    merged by (start, sub-index) (ties advance sub 0, matching the
+    scalar ``argmin``), truncated at the first exhaustion.  Coverage
+    of a two-interval combo has a closed form, so gap filtering is
+    one vectorized expression."""
+    ra, sa, ea = sub_a
+    rb, sb, eb = sub_b
+    if len(ra) == 0 or len(rb) == 0:
+        empty = np.empty(0, np.int64)
+        return empty, empty, empty
+    rank = np.concatenate([ra, rb])
+    start = np.concatenate([sa, sb])
+    tag = np.concatenate([np.zeros(len(ra), np.int64),
+                          np.ones(len(rb), np.int64)])
+    order = np.lexsort((tag, start, rank))
+    rank, tag = rank[order], tag[order]
+    # per-rank prefix counts of each sub BEFORE each merged row =
+    # the sweep's pointer state when that row is the next advance
+    seg_first = np.ones(len(rank), bool)
+    seg_first[1:] = rank[1:] != rank[:-1]
+    pos_in_rank = np.arange(len(rank)) - np.maximum.accumulate(
+        np.where(seg_first, np.arange(len(rank)), 0)
+    )
+    cum_b = np.cumsum(tag)
+    base_b = np.maximum.accumulate(np.where(seg_first, cum_b - tag, 0))
+    ib = cum_b - tag - base_b          # B-count before this row
+    ia = pos_in_rank - ib              # A-count before this row
+    # bases of each rank's slice inside the (rank-sorted) sub arrays
+    na = np.searchsorted(ra, rank, side="right") - np.searchsorted(
+        ra, rank, side="left"
+    )
+    nb = np.searchsorted(rb, rank, side="right") - np.searchsorted(
+        rb, rank, side="left"
+    )
+    ok = (ia < na) & (ib < nb)
+    rank, ia, ib = rank[ok], ia[ok], ib[ok]
+    a_idx = np.searchsorted(ra, rank, side="left") + ia
+    b_idx = np.searchsorted(rb, rank, side="left") + ib
+    as_, ae_ = sa[a_idx], ea[a_idx]
+    bs_, be_ = sb[b_idx], eb[b_idx]
+    w_s = np.minimum(as_, bs_)
+    w_e = np.maximum(ae_, be_)
+    if max_gaps >= 0:
+        overlap = np.maximum(
+            0, np.minimum(ae_, be_) - np.maximum(as_, bs_) + 1
+        )
+        covered = (ae_ - as_ + 1) + (be_ - bs_ + 1) - overlap
+        keep = (w_e - w_s + 1) - covered <= max_gaps
+        rank, w_s, w_e = rank[keep], w_s[keep], w_e[keep]
+    return _seg_minimal(rank, w_s, w_e)
 
 
 def _seg_filter(src, rel: str, flt):
@@ -490,7 +549,9 @@ def _seg_eval(rule, term_ivs):
             r, p = term_ivs[rule.terms[0]]
             return r, p, p
         subs = [_seg_eval(ExtTerm(t), term_ivs) for t in rule.terms]
-        return _seg_ordered_combine(subs, rule.max_gaps)
+        if rule.ordered:
+            return _seg_ordered_combine(subs, rule.max_gaps)
+        return _seg_unordered2(subs[0], subs[1], rule.max_gaps)
     if isinstance(rule, ExtAnyOf):
         parts = [_seg_eval(x, term_ivs) for x in rule.subs]
         rank = np.concatenate([p[0] for p in parts])
@@ -499,7 +560,9 @@ def _seg_eval(rule, term_ivs):
         return _seg_minimal(rank, s, e)
     if isinstance(rule, ExtAllOf):
         subs = [_seg_eval(x, term_ivs) for x in rule.subs]
-        return _seg_ordered_combine(subs, rule.max_gaps)
+        if rule.ordered:
+            return _seg_ordered_combine(subs, rule.max_gaps)
+        return _seg_unordered2(subs[0], subs[1], rule.max_gaps)
     if isinstance(rule, ExtFilter):
         return _seg_filter(
             _seg_eval(rule.source, term_ivs),

@@ -355,6 +355,19 @@ def test_segmented_evaluator_equals_per_doc():
                            max_gaps=-1),
                   "containing",
                   ExtAnyOf([ExtTerm("c"), ExtTerm("d")])),
+        # m=2 UNORDERED combines (the merge-path kernel)
+        ExtMatch(["a", "b"], ordered=False, max_gaps=-1),
+        ExtMatch(["a", "b"], ordered=False, max_gaps=1),
+        ExtAllOf([ExtMatch(["a", "b"], ordered=True, max_gaps=-1),
+                  ExtTerm("c")], ordered=False, max_gaps=-1),
+        ExtAllOf([ExtMatch(["a", "b"], ordered=True, max_gaps=-1),
+                  ExtTerm("c")], ordered=False, max_gaps=2),
+        ExtAllOf([ExtMatch(["a", "b"], ordered=False, max_gaps=3),
+                  ExtMatch(["c", "d"], ordered=False, max_gaps=3)],
+                 ordered=False, max_gaps=4),
+        ExtFilter(ExtAllOf([ExtTerm("a"), ExtTerm("b")],
+                           ordered=False, max_gaps=2),
+                  "containing", ExtTerm("c")),
     ]
     assert all(_segmentable(r) for r in rules)
 
