@@ -3083,6 +3083,67 @@ def q_match_phrase(sf_dir: str) -> pa.Table:
     )
 
 
+def q_intervals_allof(sf_dir: str) -> pa.Table:
+    """`intervals.all_of` (ordered) through the extent-algebra engine
+    (`query/extents.py`, round 5): docs holding an ordered chain —
+    a "table … scan" interval followed strictly after by "merge".
+    With unlimited gaps the doc-level semantics replay in SQL as a
+    positional triple-EXISTS (any p1 < p2 < p3 witness ⇔ a greedy
+    minimal chain witness — greedy only shrinks ends)."""
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.dsl import dsl_to_node
+    from docs_indexer_ray.query.qstring import _eval
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(
+        sf_dir, chain="simple", field="body", store_positions=True
+    )
+    node = dsl_to_node({"intervals": {"body": {"all_of": {"intervals": [
+        {"match": {"query": "table scan", "ordered": True}},
+        {"match": {"query": "merge"}},
+    ], "ordered": True}}}}, Analyzer("simple"))
+    _, match = _eval(IndexReader(root), node)
+    return pa.table({"doc_id": pa.array(np.flatnonzero(match), pa.int64())})
+
+
+def q_intervals_filtered(sf_dir: str) -> pa.Table:
+    """`intervals` filter rules through the extent algebra: the
+    minimal "table … merge" chains filtered by CONTAINING "scan" and,
+    second column, by NOT_CONTAINING "scan".  The SQL replay leans on
+    the minimal-chain characterization (greedy end per start, then
+    max-start per end = the pruned minimal set) — the `containing`
+    relation is NOT witness-hereditary, so the oracle must filter the
+    true minimal set, unlike `not_containing`/`all_of`."""
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.pipelines.flagship import ensure_index
+    from docs_indexer_ray.query.dsl import dsl_to_node
+    from docs_indexer_ray.query.qstring import _eval
+    from docs_indexer_ray.query.reader import IndexReader
+
+    _, root = ensure_index(
+        sf_dir, chain="simple", field="body", store_positions=True
+    )
+    reader = IndexReader(root)
+    an = Analyzer("simple")
+    out = {}
+    for col, rel in (("containing", "containing"),
+                     ("not_containing", "not_containing")):
+        node = dsl_to_node({"intervals": {"body": {"match": {
+            "query": "table merge", "ordered": True,
+            "filter": {rel: {"match": {"query": "scan"}}}}}}}, an)
+        _, match = _eval(reader, node)
+        out[col] = np.flatnonzero(match)
+    n = reader.n_docs
+    return pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "containing": pa.array(np.isin(np.arange(n), out["containing"])),
+        "not_containing": pa.array(
+            np.isin(np.arange(n), out["not_containing"])
+        ),
+    })
+
+
 def q_span_first(sf_dir: str) -> pa.Table:
     """Lucene SpanFirstQuery: docs where "table" occurs within the
     first 5 positions of the body, with the early-occurrence count
@@ -4236,6 +4297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_incremental": q_bm25_topk_incremental,
         "mm_decode_docs": q_mm_decode_docs,
         "match_phrase": q_match_phrase,
+        "intervals_allof": q_intervals_allof,
+        "intervals_filtered": q_intervals_filtered,
         "match_phrase_sharded": q_match_phrase_sharded,
         "keyword_date_filter": q_keyword_date_filter,
         "window_agg": q_window_agg,
@@ -5252,6 +5315,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS phrase_freq
             FROM g WHERE p2 - p1 - 1 <= 1
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "intervals_allof": f"""
+            WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+            tok AS (SELECT doc_id, unnest({toks_body}) AS term,
+                           generate_subscripts({toks_body}, 1) AS pos
+                    FROM docs)
+            SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_id
+            FROM tok a
+            JOIN tok b ON b.doc_id = a.doc_id AND b.pos > a.pos
+            JOIN tok c ON c.doc_id = a.doc_id AND c.pos > b.pos
+            WHERE a.term = 'table' AND b.term = 'scan' AND c.term = 'merge'
+            ORDER BY doc_id
+        """,
+        "intervals_filtered": f"""
+            WITH docs AS (SELECT doc_id, {_BODY} AS body FROM documents),
+            tok AS (SELECT doc_id, unnest({toks_body}) AS term,
+                           generate_subscripts({toks_body}, 1) AS pos
+                    FROM docs),
+            ta AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+            tm AS (SELECT doc_id, pos FROM tok WHERE term = 'merge'),
+            ts AS (SELECT doc_id, pos FROM tok WHERE term = 'scan'),
+            -- greedy chains: per table-pos the FIRST merge after it
+            g AS (SELECT ta.doc_id, ta.pos AS p1, min(tm.pos) AS p2
+                  FROM ta JOIN tm ON tm.doc_id = ta.doc_id
+                                 AND tm.pos > ta.pos
+                  GROUP BY ta.doc_id, ta.pos),
+            -- minimal chains: max start per end (starts/ends then both
+            -- strictly increase — the pruned minimal interval set)
+            g2 AS (SELECT doc_id, max(p1) AS p1, p2
+                   FROM g GROUP BY doc_id, p2),
+            cont AS (SELECT DISTINCT g2.doc_id FROM g2
+                     WHERE EXISTS (SELECT 1 FROM ts
+                                   WHERE ts.doc_id = g2.doc_id
+                                     AND ts.pos BETWEEN g2.p1 AND g2.p2)),
+            ncont AS (SELECT DISTINCT g2.doc_id FROM g2
+                      WHERE NOT EXISTS (SELECT 1 FROM ts
+                                        WHERE ts.doc_id = g2.doc_id
+                                          AND ts.pos BETWEEN g2.p1 AND g2.p2))
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   (cont.doc_id IS NOT NULL) AS containing,
+                   (ncont.doc_id IS NOT NULL) AS not_containing
+            FROM docs d
+            LEFT JOIN cont ON cont.doc_id = d.doc_id
+            LEFT JOIN ncont ON ncont.doc_id = d.doc_id
+            ORDER BY doc_id
         """,
         "window_agg": """
             SELECT CAST(user_id AS BIGINT) AS user_id,

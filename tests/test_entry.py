@@ -84,6 +84,8 @@ SQL_BACKED = [
     "knn_pca",
     "knn_lsh",
     "did_you_mean",
+    "intervals_allof",
+    "intervals_filtered",
     "embedding_dups_exact",
     "index_stats",
     "match_all_count",
