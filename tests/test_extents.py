@@ -400,3 +400,44 @@ def test_segmented_evaluator_equals_per_doc():
                 want = [tuple(r_) for r_ in _doc_intervals(rule, pos)]
                 assert got.get(d, []) == want, (trial, rule, d, toks,
                                                 got.get(d, []), want)
+
+
+def test_intervals_lowering_totality_fuzz():
+    """Any JSON-shaped intervals body either lowers (node or None) or
+    raises DslError — no other exception class escapes (the serving
+    tier's 400 contract for the round-5 extent surface)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+
+    an = Analyzer("simple")
+    keys = st.sampled_from([
+        "match", "any_of", "all_of", "filter", "intervals", "query",
+        "ordered", "max_gaps", "boost", "containing", "contained_by",
+        "not_containing", "not_contained_by", "overlapping",
+        "not_overlapping", "before", "after", "script", "x",
+    ])
+    scalars = st.one_of(
+        st.none(), st.booleans(), st.integers(-3, 9),
+        st.sampled_from(["alpha beta", "gamma", "", "the", "²", "a b c"]),
+    )
+    json_obj = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=3),
+            st.dictionaries(keys, inner, max_size=3),
+        ),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(json_obj)
+    def probe(body):
+        try:
+            dsl_to_node({"intervals": {"body": body}}, an)
+        except DslError:
+            pass
+
+    probe()
