@@ -934,22 +934,9 @@ def q_pca_transform(sf_dir: str) -> pa.Table:
         np.float64
     )
 
-    def quantize(t: pa.Table) -> pa.Table:
-        emb = t["embedding"].combine_chunks()
-        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        q = np.floor(flat * 1000.0 + 0.5)
-        return pa.table(
-            {
-                "vec_id": t["vec_id"],
-                "embedding": pa.ListArray.from_arrays(
-                    emb.offsets, pa.array(q, pa.float32())
-                ),
-            }
-        )
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(quantize, batch_format="pyarrow")
+    ).map_batches(_quantize_embeddings_tbl, batch_format="pyarrow")
     proj = transform_pca(ds, np.zeros(d), basis, out_col="pca")
 
     def explode(t: pa.Table) -> pa.Table:
@@ -973,13 +960,30 @@ def q_pca_transform(sf_dir: str) -> pa.Table:
 def _hadamard_basis(k: int, d: int = 64) -> np.ndarray:
     """First ``k`` rows of the ``d``-point Walsh–Hadamard matrix,
     ``H[j,i] = (-1)^popcount(i & j)`` — a DETERMINISTIC orthogonal
-    ±1 basis (row dot products are exactly 0, row norms √d)."""
-    i = np.arange(d, dtype=np.int64)[None, :]
-    j = np.arange(k, dtype=np.int64)[:, None]
-    pop = np.bitwise_count(i & j) if hasattr(np, "bitwise_count") else (
-        np.vectorize(lambda x: bin(x).count("1"))(i & j)
+    ±1 basis (row dot products are exactly 0, row norms √d).  ONE
+    construction shared with the LSH plane family so the engine and
+    the SQL oracles can never diverge on the sign convention."""
+    from docs_indexer_ray.ops.ann import _Planes
+
+    return _Planes(d, k, "hadamard").planes
+
+
+def _quantize_embeddings_tbl(t: pa.Table) -> pa.Table:
+    """``floor(x·1000 + 0.5)`` integer quantization of the embedding
+    list column — THE shared driver-side quantizer (every quantized
+    oracle replays exactly this expression in SQL; one definition so
+    the constant/rounding can never fork between surfaces)."""
+    emb = t["embedding"].combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    q = np.floor(flat * 1000.0 + 0.5)
+    return pa.table(
+        {
+            "vec_id": t["vec_id"],
+            "embedding": pa.ListArray.from_arrays(
+                emb.offsets, pa.array(q, pa.float32())
+            ),
+        }
     )
-    return np.where(pop % 2 == 0, 1.0, -1.0)
 
 
 def q_knn_pca(sf_dir: str) -> pa.Table:
@@ -1003,23 +1007,9 @@ def q_knn_pca(sf_dir: str) -> pa.Table:
 
     k, d = 56, 64
     basis = _hadamard_basis(k, d)
-
-    def quantize(t: pa.Table) -> pa.Table:
-        emb = t["embedding"].combine_chunks()
-        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        q = np.floor(flat * 1000.0 + 0.5)
-        return pa.table(
-            {
-                "vec_id": t["vec_id"],
-                "embedding": pa.ListArray.from_arrays(
-                    emb.offsets, pa.array(q, pa.float32())
-                ),
-            }
-        )
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(quantize, batch_format="pyarrow")
+    ).map_batches(_quantize_embeddings_tbl, batch_format="pyarrow")
     proj = transform_pca(ds, np.zeros(d), basis).map_batches(
         lambda t: t.drop_columns(["embedding"]).rename_columns(
             ["vec_id", "embedding"]
@@ -3611,19 +3601,6 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
 
     from docs_indexer_ray.ops.ann import knn_lsh
 
-    def quantize(t: pa.Table) -> pa.Table:
-        emb = t["embedding"].combine_chunks()
-        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        q = np.floor(flat * 1000.0 + 0.5)
-        return pa.table(
-            {
-                "vec_id": t["vec_id"],
-                "embedding": pa.ListArray.from_arrays(
-                    emb.offsets, pa.array(q, pa.float32())
-                ),
-            }
-        )
-
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qsel = qt.filter(pc.less(qt["vec_id"], 5))
     queries = np.floor(
@@ -3632,7 +3609,7 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(quantize, batch_format="pyarrow")
+    ).map_batches(_quantize_embeddings_tbl, batch_format="pyarrow")
     return _concat(knn_lsh(ds, queries, qids, k=5, plane_kind="hadamard"))
 
 

@@ -529,8 +529,16 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                 )
             return terms, ordered, gaps
 
+        # sentinel: a rule that can NEVER produce an interval (e.g. an
+        # all_of leg that analyzed to nothing).  Distinct from None
+        # (= empty-analysis no-op, skipped inside any_of): a NEVER at
+        # the top must lower to a MATCH-NOTHING node — returning None
+        # would make the bool plumbing DROP the clause and silently
+        # widen the query.
+        _NEVER = object()
+
         def _build_ext(rule):
-            """Rule dict → extent AST (None = empty-analysis no-op)."""
+            """Rule dict → extent AST, None (no-op), or _NEVER."""
             if not isinstance(rule, dict) or len(rule) != 1:
                 raise DslError(f"intervals expects one rule: {rule!r}")
             rkind, spec = next(iter(rule.items()))
@@ -552,7 +560,7 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                         f"any_of expects {{'intervals': […]}}: {spec!r}"
                     )
                 kids = [x for x in (_build_ext(s) for s in subs)
-                        if x is not None]
+                        if x is not None and x is not _NEVER]
                 if not kids:
                     return None
                 node = kids[0] if len(kids) == 1 else ExtAnyOf(kids)
@@ -565,10 +573,10 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                         f"all_of expects {{'intervals': […]}}: {spec!r}"
                     )
                 kids = [_build_ext(s) for s in subs]
-                if any(k is None for k in kids):
+                if any(k is None or k is _NEVER for k in kids):
                     # an empty-analysis sub can never contribute an
-                    # interval — the conjunction matches nothing
-                    return None
+                    # interval — the conjunction matches NOTHING
+                    return _NEVER
                 node = ExtAllOf(
                     kids,
                     ordered=bool(spec.get("ordered", False)),
@@ -600,10 +608,11 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                     f"— one of {sorted(_RELATIONS)}"
                 )
             fnode = _build_ext(frule)
-            if fnode is None:
-                # empty-analysis filter source: negative relations are
-                # vacuously satisfied; positive ones can never be
-                return node if rel in _NEGATIVE_RELATIONS else None
+            if fnode is None or fnode is _NEVER:
+                # no filter intervals can ever exist: negative
+                # relations are vacuously satisfied; positive ones
+                # can never be → the source matches NOTHING
+                return node if rel in _NEGATIVE_RELATIONS else _NEVER
             return ExtFilter(node, rel, fnode)
 
         def _lower_rule(rule):
@@ -648,6 +657,11 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
             ext = _build_ext(rule_body)
             if ext is None:
                 return None
+            if ext is _NEVER:
+                # MATCH NOTHING (an empty _Bool evaluates to the empty
+                # match set) — NOT None, which would drop the clause
+                # from an enclosing bool and widen the query
+                return _Bool()
             node = _IntervalsExpr(ext)
         else:
             node = _lower_rule(rule_body)

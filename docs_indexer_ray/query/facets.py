@@ -573,6 +573,11 @@ def histogram(
     (OpenSearch key semantics).  Same partial-count shape as
     :func:`date_histogram`; empty buckets are omitted (OpenSearch
     ``min_doc_count: 1``)."""
+    if float(interval) <= 0:
+        # v/0 → NaN edges that escape the input-NaN mask and cast to
+        # INT64_MIN garbage buckets with a 200 — same refusal as the
+        # other bucketing layers (round-5 hardening)
+        raise ValueError(f"histogram interval must be > 0, got {interval!r}")
 
     def key_of(t: pa.Table) -> pa.Array:
         v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)

@@ -1609,25 +1609,36 @@ class SearchServer:
             vals = t["value"].to_pylist()
             ns = [int(x) for x in t["n_docs"].to_pylist()]
             # order and compare in the COLUMN's native type — a numeric
-            # terms source must page 9 < 10, not "10" < "9"; stringify
-            # only for the response key rendering below
-            numeric = bool(vals) and all(
-                isinstance(v, (int, float)) and not isinstance(v, bool)
-                for v in vals
-            )
-            if not numeric:
-                vals = [str(v) for v in vals]
+            # terms source must page 9 < 10, not "10" < "9".  BOTH
+            # facet backends stringify values before this point (the
+            # fleet protocol carries value:string), so numericness is
+            # detected on the string forms: a key set that is entirely
+            # integer literals is a numeric source, parsed back for
+            # ordering/paging and emitted as ints in the response.
+            def _as_int(v):
+                if isinstance(v, bool):
+                    return None
+                if isinstance(v, int):
+                    return v
+                sv = str(v)
+                body_ = sv[1:] if sv[:1] == "-" else sv
+                if body_.isascii() and body_.isdigit() and body_ != "":
+                    return int(sv)
+                return None
+
+            ivals = [_as_int(v) for v in vals]
+            numeric = bool(vals) and all(iv is not None for iv in ivals)
+            vals = ivals if numeric else [str(v) for v in vals]
             rows = sorted(zip(vals, ns), key=lambda kv: kv[0])
             after = spec["after"]
             if after is not None:
                 if numeric:
-                    try:
-                        after = float(after)
-                    except (TypeError, ValueError):
+                    after = _as_int(after)
+                    if after is None:
                         raise ValueError(
-                            f"composite after key must be numeric for a "
-                            f"numeric source: {after!r}"
-                        ) from None
+                            "composite after key must be an integer for "
+                            f"a numeric source: {spec['after']!r}"
+                        )
                 else:
                     after = str(after)
                 rows = [r for r in rows if r[0] > after]

@@ -276,16 +276,23 @@ def test_intervals_extended_lowering_and_refusals(built):
     ]}, "boost": 2.5}}}, an)
     assert n.boost == 2.5
 
-    # stopword-analyzed sub inside all_of → matches nothing (None)
+    # stopword-analyzed sub inside all_of → a MATCH-NOTHING node (an
+    # empty _Bool — NOT None, which would drop the clause from an
+    # enclosing bool and widen the query; review fix, pinned
+    # end-to-end in test_never_matching_intervals_do_not_widen_bools)
+    from docs_indexer_ray.query.qstring import _Bool
+
     en = Analyzer("english")
-    assert dsl_to_node({"intervals": {"body": {"all_of": {"intervals": [
+    nv = dsl_to_node({"intervals": {"body": {"all_of": {"intervals": [
         {"match": {"query": "the"}}, {"match": {"query": "alpha"}},
-    ]}}}}, en) is None
+    ]}}}}, en)
+    assert isinstance(nv, _Bool) and not nv.must and not nv.should
 
     # empty-analysis POSITIVE filter → never matches; NEGATIVE → kept
-    assert dsl_to_node({"intervals": {"body": {"match": {
+    nv2 = dsl_to_node({"intervals": {"body": {"match": {
         "query": "alpha", "filter": {"containing": {"match": {
-            "query": "the"}}}}}}}, en) is None
+            "query": "the"}}}}}}}, en)
+    assert isinstance(nv2, _Bool) and not nv2.must and not nv2.should
     kept = dsl_to_node({"intervals": {"body": {"match": {
         "query": "alpha", "filter": {"not_containing": {"match": {
             "query": "the"}}}}}}}, en)
@@ -441,3 +448,52 @@ def test_intervals_lowering_totality_fuzz():
             pass
 
     probe()
+
+
+def test_never_matching_intervals_do_not_widen_bools(built):
+    """Review fix: an all_of with an empty-analysis leg (or a positive
+    filter whose filter source analyzes to nothing) must lower to a
+    MATCH-NOTHING node, not None — None would drop the clause from an
+    enclosing bool must and silently widen the query."""
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.qstring import _eval, query_string_topk
+    from docs_indexer_ray.query.dsl import dsl_to_node
+
+    en = Analyzer("english")
+    reader = built
+    never = {"intervals": {"body": {"all_of": {"intervals": [
+        {"match": {"query": "the"}},       # stopword → empty analysis
+        {"match": {"query": "alpha"}},
+    ]}}}}
+    node = dsl_to_node(never, en)
+    assert node is not None  # NOT dropped
+
+    # inside a bool must, the conjunction must kill every match
+    bool_q = {"bool": {"must": [
+        {"match": {"body": "alpha"}}, never,
+    ]}}
+    got = query_string_topk(reader, bool_q, k=100)
+    assert got == []
+
+    # same for a positive filter with an empty-analysis filter source
+    never2 = {"intervals": {"body": {"match": {
+        "query": "alpha", "filter": {"containing": {"match": {
+            "query": "the"}}}}}}}
+    assert dsl_to_node(never2, en) is not None
+    got2 = query_string_topk(reader, {"bool": {"must": [
+        {"match": {"body": "alpha"}}, never2,
+    ]}}, k=100)
+    assert got2 == []
+
+
+def test_dataset_histogram_rejects_zero_interval(built, ray_session):
+    import ray.data
+
+    from docs_indexer_ray.query.facets import histogram
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "v": pa.array([1.0, 2.0]),
+    }))
+    with pytest.raises(ValueError, match="> 0"):
+        histogram(ds, np.array([0, 1], np.int64), "v", 0)

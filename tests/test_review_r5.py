@@ -155,8 +155,15 @@ def test_rest_composite_numeric_source_orders_numerically(root, ray_session):
             if "after_key" not in pg:
                 break
             after = pg["after_key"]["d"]
-        assert seen == sorted(seen), seen  # numeric ascending
+        # keys must come back as INTS (not vacuously-sorted strings:
+        # both facet backends stringify, so the renderer must parse
+        # integer-literal key sets back) in numeric ascending order,
+        # crossing the "9" < "10" boundary the lexicographic order
+        # would flip
+        assert all(isinstance(k, int) for k in seen), seen[:5]
+        assert seen == sorted(seen), seen
         assert len(seen) == len(set(seen)) == 60
+        assert seen.index(10) == seen.index(9) + 1
     finally:
         srv.stop()
 
