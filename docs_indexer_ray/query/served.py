@@ -352,6 +352,57 @@ class ShardQueryActor:
             arg,
         )
 
+    def facet_composite_partial(
+        self, query: str, col: str, after, size: int, syntax: bool = False
+    ):
+        """Composite-agg page partial: this shard's ``size`` SMALLEST
+        distinct matched keys strictly after ``after`` (native column
+        order; null keys dropped — OpenSearch ``missing_bucket:
+        false``) with their shard-local counts → ``(value: native
+        type, partial)``.
+
+        Why ≤ size rows is enough: a key cut from this shard's window
+        has ≥ size smaller keys IN THIS SHARD alone, so it cannot be
+        in the global first-``size`` page; conversely any key on the
+        global page lies within EVERY holding shard's window, so its
+        count sums exactly from the returned partials (the
+        ``facets.composite_facet`` argument).  The page cursor is what
+        bounds per-shard work — a near-unique key column ships
+        O(size) rows per page, never key-cardinality."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        matched = self._matched_local(query, syntax=syntax)
+        if not len(matched):
+            return pa.table(
+                {"value": self._col_slice(col).slice(0, 0),
+                 "partial": pa.array([], pa.int64())}
+            )
+        keys = self._col_slice(col).take(pa.array(matched))
+        t = pa.table({"value": keys})
+        if t["value"].null_count:
+            t = t.filter(pc.is_valid(t["value"]))
+        if after is not None:
+            # cast the request cursor to the COLUMN's type — a cursor
+            # that can't represent in the column type is a 400
+            try:
+                after_sc = pa.scalar(after).cast(t["value"].type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    pa.ArrowTypeError) as e:
+                raise ValueError(
+                    f"composite after key {after!r} does not fit the "
+                    f"{t['value'].type} source column: {e}"
+                ) from None
+            t = t.filter(pc.greater(t["value"], after_sc))
+        agg = t.group_by("value").aggregate([([], "count_all")])
+        agg = agg.sort_by("value").slice(0, size)
+        return pa.table(
+            {
+                "value": agg["value"],
+                "partial": agg["count_all"].cast(pa.int64()),
+            }
+        )
+
     def facet_top_hits_partial(
         self, query: str, group_col: str, sort_col: str, k: int,
         ascending: bool = False, syntax: bool = False,
@@ -1020,6 +1071,32 @@ class ShardedQueryService:
             {"value": agg["value"], "n_docs": agg["partial_sum"].cast(pa.int64())}
         ).sort_by([("n_docs", "descending"), ("value", "ascending")])
         return out.slice(0, size) if size is not None else out
+
+    def composite_facet(
+        self, query: str, col: str, after, size: int, syntax: bool = False
+    ):
+        """One composite-agg PAGE over the fleet: each shard returns
+        its ``size`` smallest matched keys after the cursor (NATIVE
+        column type — see ``facet_composite_partial`` for why that
+        window suffices and why counts sum exactly), the merge is a
+        ≤ shards×size-row groupby + key-ascending head — per-page
+        driver work is page-scale regardless of key cardinality."""
+        import pyarrow as pa
+        import ray
+
+        parts = ray.get([
+            a.facet_composite_partial.remote(query, col, after, size, syntax)
+            for a in self._actors
+        ])
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return None  # caller renders an empty page
+        t = pa.concat_tables(parts, promote_options="default")
+        agg = t.group_by("value").aggregate([("partial", "sum")])
+        out = pa.table(
+            {"value": agg["value"], "n_docs": agg["partial_sum"].cast(pa.int64())}
+        ).sort_by("value")
+        return out.slice(0, size)
 
     def stats_facet(self, query: str, col: str, syntax: bool = False):
         """``stats`` aggregation over the matched set — per-shard

@@ -1600,54 +1600,57 @@ class SearchServer:
             ]}
         if kind == "composite":
             # key-ordered bucket pages with after_key resumption over
-            # ONE terms source — the export-a-big-facet agg; the merged
-            # terms table is key-scale, paging is a driver slice
-            t, _ = self._facet_tables(
-                q, col, None, syntax=syntax,
-                svc=svc, reader=reader, analyzer=analyzer,
-            )
+            # ONE terms source — the export-a-big-facet agg.  BOUNDED
+            # per page (round-5): each backend computes only the
+            # ``size`` smallest matched keys after the cursor in the
+            # COLUMN's native order (a near-unique key column costs
+            # O(size) per page, never key-cardinality — the
+            # ``facets.composite_facet`` window argument), and keys
+            # page/emit in the column's native type — an int source
+            # pages 9 < 10, a string source lexicographically.
+            size_ = spec["size"]
+            after = spec["after"]
+            if svc is not None:
+                t = svc.composite_facet(q, col, after, size_, syntax=syntax)
+            else:
+                import pyarrow.compute as _pcc
+
+                matched = self._matched_ids_local(q, syntax, reader, analyzer)
+                keys = reader.stored_column(col).take(
+                    pa.array(np.asarray(matched, np.int64))
+                )
+                kt = pa.table({"value": keys})
+                if kt["value"].null_count:
+                    kt = kt.filter(_pcc.is_valid(kt["value"]))
+                if after is not None:
+                    try:
+                        after_sc = pa.scalar(after).cast(kt["value"].type)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                            pa.ArrowTypeError) as e:
+                        raise ValueError(
+                            f"composite after key {after!r} does not fit "
+                            f"the {kt['value'].type} source column: {e}"
+                        ) from None
+                    kt = kt.filter(_pcc.greater(kt["value"], after_sc))
+                agg = kt.group_by("value").aggregate([([], "count_all")])
+                agg = agg.sort_by("value").slice(0, size_)
+                t = pa.table({
+                    "value": agg["value"],
+                    "n_docs": agg["count_all"].cast(pa.int64()),
+                }) if agg.num_rows else None
+            if t is None or t.num_rows == 0:
+                return {"buckets": []}
             vals = t["value"].to_pylist()
             ns = [int(x) for x in t["n_docs"].to_pylist()]
-            # order and compare in the COLUMN's native type — a numeric
-            # terms source must page 9 < 10, not "10" < "9".  BOTH
-            # facet backends stringify values before this point (the
-            # fleet protocol carries value:string), so numericness is
-            # detected on the string forms: a key set that is entirely
-            # integer literals is a numeric source, parsed back for
-            # ordering/paging and emitted as ints in the response.
-            def _as_int(v):
-                if isinstance(v, bool):
-                    return None
-                if isinstance(v, int):
-                    return v
-                sv = str(v)
-                body_ = sv[1:] if sv[:1] == "-" else sv
-                if body_.isascii() and body_.isdigit() and body_ != "":
-                    return int(sv)
-                return None
-
-            ivals = [_as_int(v) for v in vals]
-            numeric = bool(vals) and all(iv is not None for iv in ivals)
-            vals = ivals if numeric else [str(v) for v in vals]
-            rows = sorted(zip(vals, ns), key=lambda kv: kv[0])
-            after = spec["after"]
-            if after is not None:
-                if numeric:
-                    after = _as_int(after)
-                    if after is None:
-                        raise ValueError(
-                            "composite after key must be an integer for "
-                            f"a numeric source: {spec['after']!r}"
-                        )
-                else:
-                    after = str(after)
-                rows = [r for r in rows if r[0] > after]
-            page = rows[: spec["size"]]
+            page = list(zip(vals, ns))
             out = {"buckets": [
                 {"key": {spec["source"]: v}, "doc_count": n}
                 for v, n in page
             ]}
-            if page and len(rows) > len(page):
+            # OpenSearch semantics: a FULL page carries after_key (the
+            # client's next request may come back empty — that is the
+            # terminal signal)
+            if len(page) == size_:
                 out["after_key"] = {spec["source"]: page[-1][0]}
             return out
         if kind == "adjacency_matrix":

@@ -312,3 +312,57 @@ def test_scroll_size_edge_cases_never_500(root, ray_session):
             assert code == 400, (bad, code, r)
     finally:
         srv.stop()
+
+
+def test_rest_composite_sharded_bounded_pages(root, ray_session):
+    """The round-5 BOUNDED composite path on the shard fleet: pages
+    over a numeric near-unique source (doc_id) and a string source
+    (lang) must equal the local backend's pages — each shard ships
+    only O(size) rows per page (facet_composite_partial)."""
+    from docs_indexer_ray.serve_http import SearchServer
+
+    def walk(srv, field, size):
+        seen, after = [], None
+        while True:
+            comp = {"size": size,
+                    "sources": [{"s": {"terms": {"field": field}}}]}
+            if after is not None:
+                comp["after"] = {"s": after}
+            code, r = _req(srv.port, "/_search", body={
+                "query": {"match_all": {}}, "size": 0,
+                "aggs": {"pg": {"composite": comp}},
+            })
+            assert code == 200, r
+            pg = r["aggregations"]["pg"]
+            seen += [(b["key"]["s"], b["doc_count"]) for b in pg["buckets"]]
+            if "after_key" not in pg:
+                break
+            after = pg["after_key"]["s"]
+        return seen
+
+    srv_l = SearchServer(root, backend="local").start()
+    try:
+        local_did = walk(srv_l, "doc_id", 7)
+        local_lang = walk(srv_l, "lang", 2)
+    finally:
+        srv_l.stop()
+    srv_s = SearchServer(root, backend="sharded", n_shards=3).start()
+    try:
+        assert walk(srv_s, "doc_id", 7) == local_did
+        assert walk(srv_s, "lang", 2) == local_lang
+    finally:
+        srv_s.stop()
+    assert [k for k, _ in local_did] == sorted(k for k, _ in local_did)
+    assert len(local_did) == 60
+    # an out-of-type cursor is a 400, not a 500
+    srv_l = SearchServer(root, backend="local").start()
+    try:
+        code, r = _req(srv_l.port, "/_search", body={
+            "query": {"match_all": {}}, "size": 0,
+            "aggs": {"pg": {"composite": {"size": 3, "sources": [
+                {"s": {"terms": {"field": "doc_id"}}}],
+                "after": {"s": "not-an-int"}}}},
+        })
+        assert code == 400, (code, r)
+    finally:
+        srv_l.stop()
