@@ -559,10 +559,15 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                     raise DslError(
                         f"any_of expects {{'intervals': […]}}: {spec!r}"
                     )
-                kids = [x for x in (_build_ext(s) for s in subs)
-                        if x is not None and x is not _NEVER]
+                raw = [_build_ext(s) for s in subs]
+                kids = [x for x in raw if x is not None and x is not _NEVER]
                 if not kids:
-                    return None
+                    # every alternative is impossible → the union can
+                    # never match (a None no-op alternative alone keeps
+                    # the no-op meaning) — _NEVER must propagate or an
+                    # enclosing bool would drop the clause and widen
+                    # (the all_of widening bug one nesting level deeper)
+                    return _NEVER if any(x is _NEVER for x in raw) else None
                 node = kids[0] if len(kids) == 1 else ExtAnyOf(kids)
                 return _wrap_filter(node, spec)
             if rkind == "all_of":

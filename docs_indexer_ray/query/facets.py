@@ -573,10 +573,10 @@ def histogram(
     (OpenSearch key semantics).  Same partial-count shape as
     :func:`date_histogram`; empty buckets are omitted (OpenSearch
     ``min_doc_count: 1``)."""
-    if float(interval) <= 0:
-        # v/0 → NaN edges that escape the input-NaN mask and cast to
-        # INT64_MIN garbage buckets with a 200 — same refusal as the
-        # other bucketing layers (round-5 hardening)
+    if not (float(interval) > 0):  # NaN-proof: NaN > 0 is False
+        # v/0 (or v/NaN) → NaN edges that escape the input-NaN mask and
+        # cast to INT64_MIN garbage buckets with a 200 — same refusal
+        # as the other bucketing layers (round-5 hardening)
         raise ValueError(f"histogram interval must be > 0, got {interval!r}")
 
     def key_of(t: pa.Table) -> pa.Array:
@@ -811,7 +811,7 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
                 us // _fixed_interval_us(arg), pa.int64(), mask=~valid
             )
     elif kind == "histogram":
-        if float(arg) <= 0:
+        if not (float(arg) > 0):  # NaN-proof: NaN > 0 is False
             raise ValueError(f"histogram interval must be > 0, got {arg!r}")
         v = pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
@@ -895,7 +895,7 @@ def value_bucket_sums(key_vals, metric_vals, kind: str, arg=None) -> pa.Table:
                 us // _fixed_interval_us(arg), pa.int64(), mask=~valid
             )
     elif kind == "histogram":
-        if float(arg) <= 0:
+        if not (float(arg) > 0):  # NaN-proof: NaN > 0 is False
             raise ValueError(f"histogram interval must be > 0, got {arg!r}")
         v = pa.chunked_array([key_vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
@@ -1266,6 +1266,41 @@ def _neg_key(vals: np.ndarray) -> np.ndarray:
     if np.issubdtype(vals.dtype, np.datetime64):
         return -vals.astype("datetime64[us]").astype(np.int64)
     return -vals
+
+
+def composite_page(keys, after, size: int) -> pa.Table:
+    """ONE composite-agg page over a matched key array — the shared
+    kernel behind the REST composite on BOTH backends (the shard
+    partial `served.ShardQueryActor.facet_composite_partial` and the
+    local reader branch): drop null keys (OpenSearch
+    ``missing_bucket: false``), cast the request cursor to the
+    COLUMN's type (an unrepresentable cursor is a 400 — validated
+    even on an empty match set so the two backends cannot diverge),
+    keep keys strictly after it, and return the ``size`` smallest
+    with counts → ``(value: native type, partial: int64)``."""
+    keys = (
+        keys if isinstance(keys, pa.ChunkedArray) else pa.chunked_array([keys])
+    )
+    t = pa.table({"value": keys})
+    after_sc = None
+    if after is not None:
+        try:
+            after_sc = pa.scalar(after).cast(t["value"].type)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError) as e:
+            raise ValueError(
+                f"composite after key {after!r} does not fit the "
+                f"{t['value'].type} source column: {e}"
+            ) from None
+    if t["value"].null_count:
+        t = t.filter(pc.is_valid(t["value"]))
+    if after_sc is not None:
+        t = t.filter(pc.greater(t["value"], after_sc))
+    agg = t.group_by("value").aggregate([([], "count_all")])
+    agg = agg.sort_by("value").slice(0, size)
+    return pa.table(
+        {"value": agg["value"], "partial": agg["count_all"].cast(pa.int64())}
+    )
 
 
 def composite_facet(

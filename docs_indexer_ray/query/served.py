@@ -370,38 +370,19 @@ class ShardQueryActor:
         bounds per-shard work — a near-unique key column ships
         O(size) rows per page, never key-cardinality."""
         import pyarrow as pa
-        import pyarrow.compute as pc
+
+        from .facets import composite_page
 
         matched = self._matched_local(query, syntax=syntax)
-        if not len(matched):
-            return pa.table(
-                {"value": self._col_slice(col).slice(0, 0),
-                 "partial": pa.array([], pa.int64())}
-            )
-        keys = self._col_slice(col).take(pa.array(matched))
-        t = pa.table({"value": keys})
-        if t["value"].null_count:
-            t = t.filter(pc.is_valid(t["value"]))
-        if after is not None:
-            # cast the request cursor to the COLUMN's type — a cursor
-            # that can't represent in the column type is a 400
-            try:
-                after_sc = pa.scalar(after).cast(t["value"].type)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
-                    pa.ArrowTypeError) as e:
-                raise ValueError(
-                    f"composite after key {after!r} does not fit the "
-                    f"{t['value'].type} source column: {e}"
-                ) from None
-            t = t.filter(pc.greater(t["value"], after_sc))
-        agg = t.group_by("value").aggregate([([], "count_all")])
-        agg = agg.sort_by("value").slice(0, size)
-        return pa.table(
-            {
-                "value": agg["value"],
-                "partial": agg["count_all"].cast(pa.int64()),
-            }
+        # the shared kernel validates the cursor even on an empty
+        # match (so an out-of-type cursor 400s identically on both
+        # backends regardless of the match set)
+        keys = (
+            self._col_slice(col).take(pa.array(matched))
+            if len(matched)
+            else self._col_slice(col).slice(0, 0)
         )
+        return composite_page(keys, after, size)
 
     def facet_top_hits_partial(
         self, query: str, group_col: str, sort_col: str, k: int,

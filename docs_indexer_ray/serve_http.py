@@ -674,10 +674,15 @@ class SearchServer:
                         f"composite after must be {{{sname!r}: <key>}}: "
                         f"{after!r}"
                     )
+                csize = int(comp.get("size", 10))
+                if csize <= 0:
+                    raise ValueError(
+                        f"composite size must be > 0, got {csize}"
+                    )
                 p.setdefault("aggs_extra", []).append({
                     "name": name, "kind": "composite",
                     "field": sspec["terms"]["field"],
-                    "size": int(comp.get("size", 10)),
+                    "size": csize,
                     "source": sname,
                     # keep after's NATIVE value: numeric sources must
                     # order/page numerically (str ordering puts "10" < "9")
@@ -1613,31 +1618,19 @@ class SearchServer:
             if svc is not None:
                 t = svc.composite_facet(q, col, after, size_, syntax=syntax)
             else:
-                import pyarrow.compute as _pcc
+                from .query.facets import composite_page
 
                 matched = self._matched_ids_local(q, syntax, reader, analyzer)
-                keys = reader.stored_column(col).take(
-                    pa.array(np.asarray(matched, np.int64))
+                page_t = composite_page(
+                    reader.stored_column(col).take(
+                        pa.array(np.asarray(matched, np.int64))
+                    ),
+                    after, size_,
                 )
-                kt = pa.table({"value": keys})
-                if kt["value"].null_count:
-                    kt = kt.filter(_pcc.is_valid(kt["value"]))
-                if after is not None:
-                    try:
-                        after_sc = pa.scalar(after).cast(kt["value"].type)
-                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
-                            pa.ArrowTypeError) as e:
-                        raise ValueError(
-                            f"composite after key {after!r} does not fit "
-                            f"the {kt['value'].type} source column: {e}"
-                        ) from None
-                    kt = kt.filter(_pcc.greater(kt["value"], after_sc))
-                agg = kt.group_by("value").aggregate([([], "count_all")])
-                agg = agg.sort_by("value").slice(0, size_)
                 t = pa.table({
-                    "value": agg["value"],
-                    "n_docs": agg["count_all"].cast(pa.int64()),
-                }) if agg.num_rows else None
+                    "value": page_t["value"],
+                    "n_docs": page_t["partial"],
+                }) if page_t.num_rows else None
             if t is None or t.num_rows == 0:
                 return {"buckets": []}
             vals = t["value"].to_pylist()

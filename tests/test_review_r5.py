@@ -366,3 +366,64 @@ def test_rest_composite_sharded_bounded_pages(root, ray_session):
         assert code == 400, (code, r)
     finally:
         srv_l.stop()
+
+
+def test_second_review_fixes(root, ray_session):
+    """Second self-review batch: any_of of never-matching alternatives
+    must not widen bools; composite cursor validation is backend-
+    independent (400 even on an empty match set, sharded too);
+    composite size <= 0 is a 400; NaN histogram intervals refused."""
+    import pytest as _pytest
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.dsl import dsl_to_node
+    from docs_indexer_ray.query.facets import histogram, value_histogram
+    from docs_indexer_ray.query.qstring import _Bool
+    from docs_indexer_ray.serve_http import SearchServer
+
+    # 1. any_of wrapping a never-matching all_of → match-nothing node
+    en = Analyzer("english")
+    nv = dsl_to_node({"intervals": {"body": {"any_of": {"intervals": [
+        {"all_of": {"intervals": [
+            {"match": {"query": "the"}}, {"match": {"query": "alpha"}},
+        ]}},
+    ]}}}}, en)
+    assert isinstance(nv, _Bool) and not nv.must and not nv.should
+    # …while a stopword-only no-op alternative alone stays a no-op
+    assert dsl_to_node({"intervals": {"body": {"any_of": {"intervals": [
+        {"match": {"query": "the"}},
+    ]}}}}, en) is None
+
+    # 4. NaN intervals refused everywhere the zero guard lives
+    import ray.data
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "v": pa.array([1.0, 2.0]),
+    }))
+    with _pytest.raises(ValueError, match="> 0"):
+        histogram(ds, np.array([0, 1], np.int64), "v", float("nan"))
+    with _pytest.raises(ValueError, match="> 0"):
+        value_histogram(pa.array([1.0, 2.0]), "histogram", float("nan"))
+
+    for backend, kw in (("local", {}), ("sharded", {"n_shards": 3})):
+        srv = SearchServer(root, backend=backend, **kw).start()
+        try:
+            # 2. out-of-type cursor is a 400 on BOTH backends even
+            # when the query matches nothing
+            code, r = _req(srv.port, "/_search", body={
+                "query": {"match": {"body": "zzznotindexed"}}, "size": 0,
+                "aggs": {"pg": {"composite": {"size": 3, "sources": [
+                    {"s": {"terms": {"field": "doc_id"}}}],
+                    "after": {"s": "not-an-int"}}}},
+            })
+            assert code == 400, (backend, code, r)
+            # 3. size <= 0 is a 400, not an empty 200
+            for bad in (0, -1):
+                code, r = _req(srv.port, "/_search", body={
+                    "query": {"match_all": {}}, "size": 0,
+                    "aggs": {"pg": {"composite": {"size": bad, "sources": [
+                        {"s": {"terms": {"field": "doc_id"}}}]}}},
+                })
+                assert code == 400, (backend, bad, code, r)
+        finally:
+            srv.stop()
