@@ -562,12 +562,15 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                 raw = [_build_ext(s) for s in subs]
                 kids = [x for x in raw if x is not None and x is not _NEVER]
                 if not kids:
-                    # every alternative is impossible → the union can
-                    # never match (a None no-op alternative alone keeps
-                    # the no-op meaning) — _NEVER must propagate or an
-                    # enclosing bool would drop the clause and widen
-                    # (the all_of widening bug one nesting level deeper)
-                    return _NEVER if any(x is _NEVER for x in raw) else None
+                    # a None (empty-analysis no-op) alternative keeps
+                    # the whole union a no-op — adding an impossible
+                    # alternative must never SHRINK a union (unions are
+                    # monotone), so None wins over _NEVER; only when
+                    # every alternative is impossible does _NEVER
+                    # propagate (or an enclosing bool would drop the
+                    # clause and widen — the all_of bug one level
+                    # deeper)
+                    return None if any(x is None for x in raw) else _NEVER
                 node = kids[0] if len(kids) == 1 else ExtAnyOf(kids)
                 return _wrap_filter(node, spec)
             if rkind == "all_of":

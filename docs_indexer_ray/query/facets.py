@@ -573,11 +573,13 @@ def histogram(
     (OpenSearch key semantics).  Same partial-count shape as
     :func:`date_histogram`; empty buckets are omitted (OpenSearch
     ``min_doc_count: 1``)."""
-    if not (float(interval) > 0):  # NaN-proof: NaN > 0 is False
-        # v/0 (or v/NaN) → NaN edges that escape the input-NaN mask and
-        # cast to INT64_MIN garbage buckets with a 200 — same refusal
-        # as the other bucketing layers (round-5 hardening)
-        raise ValueError(f"histogram interval must be > 0, got {interval!r}")
+    if not (0 < float(interval) < float("inf")):  # NaN/inf-proof
+        # v/0, v/NaN or v/inf → NaN edges that escape the input-NaN
+        # mask and cast to INT64_MIN garbage buckets with a 200 — same
+        # refusal as the other bucketing layers (round-5 hardening)
+        raise ValueError(
+            f"histogram interval must be > 0 and finite, got {interval!r}"
+        )
 
     def key_of(t: pa.Table) -> pa.Array:
         v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
@@ -811,8 +813,10 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
                 us // _fixed_interval_us(arg), pa.int64(), mask=~valid
             )
     elif kind == "histogram":
-        if not (float(arg) > 0):  # NaN-proof: NaN > 0 is False
-            raise ValueError(f"histogram interval must be > 0, got {arg!r}")
+        if not (0 < float(arg) < float("inf")):  # NaN/inf-proof
+            raise ValueError(
+                f"histogram interval must be > 0 and finite, got {arg!r}"
+            )
         v = pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
         )
@@ -895,8 +899,10 @@ def value_bucket_sums(key_vals, metric_vals, kind: str, arg=None) -> pa.Table:
                 us // _fixed_interval_us(arg), pa.int64(), mask=~valid
             )
     elif kind == "histogram":
-        if not (float(arg) > 0):  # NaN-proof: NaN > 0 is False
-            raise ValueError(f"histogram interval must be > 0, got {arg!r}")
+        if not (0 < float(arg) < float("inf")):  # NaN/inf-proof
+            raise ValueError(
+                f"histogram interval must be > 0 and finite, got {arg!r}"
+            )
         v = pa.chunked_array([key_vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
         )
@@ -1287,7 +1293,9 @@ def composite_page(keys, after, size: int) -> pa.Table:
         try:
             after_sc = pa.scalar(after).cast(t["value"].type)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
-                pa.ArrowTypeError) as e:
+                pa.ArrowTypeError, OverflowError) as e:
+            # OverflowError: pa.scalar(2**70) raises before Arrow ever
+            # sees the value — same 400, not a 500
             raise ValueError(
                 f"composite after key {after!r} does not fit the "
                 f"{t['value'].type} source column: {e}"

@@ -2871,7 +2871,7 @@ class SearchServer:
                                    "reason": str(e)}},
                     )
                 except (KeyError, ValueError, QueryStringError,
-                        RecursionError) as e:
+                        RecursionError, OverflowError) as e:
                     # RecursionError: a pathologically nested query is
                     # malformed input (400), not a server fault
                     handler._reply(
@@ -2924,7 +2924,7 @@ class SearchServer:
                 except (
                     KeyError, ValueError, QueryStringError,
                     FileNotFoundError, FileExistsError, RecursionError,
-                    TypeError, AttributeError,
+                    TypeError, AttributeError, OverflowError,
                 ) as e:
                     # RecursionError: json.loads itself raises it on a
                     # hostile deeply-nested body — malformed input, 400.

@@ -427,3 +427,49 @@ def test_second_review_fixes(root, ray_session):
                 assert code == 400, (backend, bad, code, r)
         finally:
             srv.stop()
+
+
+def test_third_review_fixes(root, ray_session):
+    """Third self-review batch: oversized/infinite numeric inputs map
+    to 400 (OverflowError joins the 400 tuples), histogram intervals
+    must be positive AND finite, and any_of stays union-monotone when
+    mixing a no-op alternative with an impossible one."""
+    import pytest as _pytest
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.dsl import dsl_to_node
+    from docs_indexer_ray.query.facets import composite_page, value_histogram
+    from docs_indexer_ray.serve_http import SearchServer
+
+    # oversized int cursor → ValueError (→ 400), not OverflowError
+    with _pytest.raises(ValueError, match="does not fit"):
+        composite_page(pa.array(np.arange(5), pa.int64()), 2 ** 70, 3)
+
+    # inf interval refused at the kernel
+    with _pytest.raises(ValueError, match="finite"):
+        value_histogram(pa.array([1.0, 2.0]), "histogram", float("inf"))
+
+    # any_of(no-op, impossible) stays the no-op: unions are monotone
+    en = Analyzer("english")
+    assert dsl_to_node({"intervals": {"body": {"any_of": {"intervals": [
+        {"match": {"query": "the"}},
+        {"all_of": {"intervals": [
+            {"match": {"query": "the"}}, {"match": {"query": "alpha"}},
+        ]}},
+    ]}}}}, en) is None
+
+    srv = SearchServer(root, backend="local").start()
+    try:
+        # 1e999 parses as inf; int(inf) used to 500 via OverflowError
+        for body in (
+            {"aggs": {"h": {"histogram": {"field": "doc_id",
+                                          "interval": 1e999}}}},
+            {"aggs": {"pg": {"composite": {"size": 3, "sources": [
+                {"s": {"terms": {"field": "doc_id"}}}],
+                "after": {"s": 2 ** 70}}}}},
+        ):
+            code, r = _req(srv.port, "/_search", body={
+                "query": {"match_all": {}}, "size": 0, **body})
+            assert code == 400, (body, code, r)
+    finally:
+        srv.stop()
