@@ -497,3 +497,81 @@ def test_dataset_histogram_rejects_zero_interval(built, ray_session):
     }))
     with pytest.raises(ValueError, match="> 0"):
         histogram(ds, np.array([0, 1], np.int64), "v", 0)
+
+
+def test_eval_intervals_randomized_end_to_end(ray_session, tmp_path_factory):
+    """Randomized rules × a random corpus, through the FULL
+    `eval_intervals` path (kernel prefilter exact short-circuits,
+    segmented evaluator, per-doc fallback) ≡ the scalar brute force
+    over the stored bodies — this is what pins the load-bearing
+    claims that the slop-walk/span-near kernels' doc-level semantics
+    coincide with the extent algebra's leaf rules."""
+    import ray.data
+
+    from docs_indexer_ray.index.build import build_index
+    from docs_indexer_ray.query.extents import eval_intervals
+    from docs_indexer_ray.query.reader import IndexReader
+    from docs_indexer_ray.synth import BASE_URL
+
+    rng = np.random.RandomState(23)
+    vocab = ["aa", "bb", "cc", "dd"]
+    bodies = [
+        " ".join(vocab[i] for i in rng.randint(0, len(vocab),
+                                               rng.randint(1, 16)))
+        for _ in range(80)
+    ]
+    pages = pa.table({
+        "url": pa.array([f"{BASE_URL}/rnd/p-{i:04d}/"
+                         for i in range(len(bodies))], pa.string()),
+        "warc_ts": pa.array(
+            np.arange(len(bodies), dtype=np.int64) * 1000000
+            + 1735689600000000, pa.timestamp("us")),
+        "html": pa.array(
+            [b"<html><body>" + b.encode() + b"</body></html>"
+             for b in bodies], pa.binary()),
+        "text": pa.array(bodies, pa.string()),
+        "lang": pa.array(["en"] * len(bodies), pa.string()),
+    })
+    root = str(tmp_path_factory.mktemp("rndidx") / "idx")
+    build_index(ray.data.from_arrow(pages), root, fingerprint="rnd",
+                num_parts=3, chain="simple", field="body",
+                store_positions=True)
+    reader = IndexReader(root)
+
+    def rand_rule(depth=0):
+        kinds = ["term", "match_o", "match_u"]
+        if depth < 2:
+            kinds += ["any_of", "all_of_o", "all_of_u", "filter"]
+        k = kinds[rng.randint(0, len(kinds))]
+        if k == "term":
+            return ExtTerm(vocab[rng.randint(0, len(vocab))])
+        if k in ("match_o", "match_u"):
+            n = rng.randint(2, 4)
+            terms = list(rng.choice(vocab, size=n, replace=(k == "match_o")))
+            gaps = int(rng.choice([-1, 0, 1, 3]))
+            return ExtMatch([str(t) for t in terms],
+                            ordered=(k == "match_o"), max_gaps=gaps)
+        if k == "any_of":
+            return ExtAnyOf([rand_rule(depth + 1)
+                             for _ in range(rng.randint(2, 4))])
+        if k in ("all_of_o", "all_of_u"):
+            return ExtAllOf(
+                [rand_rule(depth + 1) for _ in range(rng.randint(2, 4))],
+                ordered=(k == "all_of_o"),
+                max_gaps=int(rng.choice([-1, 0, 2, 5])),
+            )
+        rels = ["containing", "contained_by", "not_containing",
+                "not_contained_by", "overlapping", "not_overlapping",
+                "before", "after"]
+        return ExtFilter(rand_rule(depth + 1),
+                         rels[rng.randint(0, len(rels))],
+                         rand_rule(depth + 1))
+
+    n_nonempty = 0
+    for trial in range(40):
+        rule = rand_rule()
+        got = set(eval_intervals(reader, rule).tolist())
+        want = _brute(reader, rule, tuple(vocab))
+        assert got == want, (trial, rule, got ^ want)
+        n_nonempty += bool(want)
+    assert n_nonempty >= 10  # the sample isn't degenerate
