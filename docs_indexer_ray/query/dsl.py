@@ -529,23 +529,26 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                 )
             return terms, ordered, gaps
 
-        # sentinel: a rule that can NEVER produce an interval (e.g. an
-        # all_of leg that analyzed to nothing).  Distinct from None
-        # (= empty-analysis no-op, skipped inside any_of): a NEVER at
-        # the top must lower to a MATCH-NOTHING node — returning None
-        # would make the bool plumbing DROP the clause and silently
-        # widen the query.
+        # sentinel: a rule that can NEVER produce an interval.  Lucene
+        # semantics, applied UNIFORMLY (fourth review pass): an
+        # intervals source whose text analyzes to no tokens matches
+        # NOTHING — in a union it contributes nothing, in a
+        # conjunction it kills the conjunction, at the top it lowers
+        # to a match-nothing node (returning None there would make
+        # the bool plumbing DROP the clause and silently widen the
+        # query, and a mixed any_of convention would break union
+        # monotonicity).
         _NEVER = object()
 
         def _build_ext(rule):
-            """Rule dict → extent AST, None (no-op), or _NEVER."""
+            """Rule dict → extent AST or _NEVER."""
             if not isinstance(rule, dict) or len(rule) != 1:
                 raise DslError(f"intervals expects one rule: {rule!r}")
             rkind, spec = next(iter(rule.items()))
             if rkind == "match":
                 terms, ordered, gaps = _match_terms(spec)
                 if not terms:
-                    return None
+                    return _wrap_filter(_NEVER, spec)
                 node = (
                     ExtTerm(terms[0])
                     if len(terms) == 1
@@ -559,18 +562,11 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                     raise DslError(
                         f"any_of expects {{'intervals': […]}}: {spec!r}"
                     )
-                raw = [_build_ext(s) for s in subs]
-                kids = [x for x in raw if x is not None and x is not _NEVER]
+                kids = [x for x in (_build_ext(s) for s in subs)
+                        if x is not _NEVER]
                 if not kids:
-                    # a None (empty-analysis no-op) alternative keeps
-                    # the whole union a no-op — adding an impossible
-                    # alternative must never SHRINK a union (unions are
-                    # monotone), so None wins over _NEVER; only when
-                    # every alternative is impossible does _NEVER
-                    # propagate (or an enclosing bool would drop the
-                    # clause and widen — the all_of bug one level
-                    # deeper)
-                    return None if any(x is None for x in raw) else _NEVER
+                    # union of never-matching alternatives — never
+                    return _wrap_filter(_NEVER, spec)
                 node = kids[0] if len(kids) == 1 else ExtAnyOf(kids)
                 return _wrap_filter(node, spec)
             if rkind == "all_of":
@@ -581,10 +577,10 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                         f"all_of expects {{'intervals': […]}}: {spec!r}"
                     )
                 kids = [_build_ext(s) for s in subs]
-                if any(k is None or k is _NEVER for k in kids):
+                if any(k is _NEVER for k in kids):
                     # an empty-analysis sub can never contribute an
                     # interval — the conjunction matches NOTHING
-                    return _NEVER
+                    return _wrap_filter(_NEVER, spec)
                 node = ExtAllOf(
                     kids,
                     ordered=bool(spec.get("ordered", False)),
@@ -597,6 +593,10 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
             )
 
         def _wrap_filter(node, spec):
+            """Validate + apply a rule's filter spec.  Validation runs
+            even for a _NEVER source (a malformed filter must 400
+            regardless of whether a sibling field stopword-analyzed —
+            fourth review pass)."""
             if not isinstance(spec, dict) or "filter" not in spec:
                 return node
             f = spec["filter"]
@@ -616,7 +616,9 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
                     f"— one of {sorted(_RELATIONS)}"
                 )
             fnode = _build_ext(frule)
-            if fnode is None or fnode is _NEVER:
+            if node is _NEVER:
+                return _NEVER
+            if fnode is _NEVER:
                 # no filter intervals can ever exist: negative
                 # relations are vacuously satisfied; positive ones
                 # can never be → the source matches NOTHING
@@ -663,8 +665,6 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
         )
         if _needs_extents(rule_body):
             ext = _build_ext(rule_body)
-            if ext is None:
-                return None
             if ext is _NEVER:
                 # MATCH NOTHING (an empty _Bool evaluates to the empty
                 # match set) — NOT None, which would drop the clause
@@ -674,7 +674,9 @@ def _dsl_node(obj: dict, analyzer, default_operator: str = "or"):
         else:
             node = _lower_rule(rule_body)
         if node is None:
-            return None
+            # fast-path empty analysis: same Lucene matches-NOTHING
+            # semantics as the extents path
+            return _Bool()
         boost = float(body.get("boost", 1.0)) if isinstance(body, dict) \
             else 1.0
         if boost != 1.0:

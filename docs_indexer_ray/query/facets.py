@@ -301,6 +301,21 @@ def _facet(docs_ds, matched: np.ndarray, key_of_batch, key_field: pa.Field,
 _CALENDAR_UNITS = ("week", "month", "quarter", "year")
 
 
+def check_histogram_interval(arg) -> float:
+    """Validate a numeric ``histogram`` interval ONCE for every
+    bucketing layer: must be > 0, finite, and below 2^63 — zero/NaN
+    divisions yield silent garbage buckets, and a ≥2^63 width makes
+    ``floor(v/iv)*iv`` overflow the int64 bucket key (INT64_MIN with a
+    200).  Returns the float width."""
+    fv = float(arg)
+    if not (0 < fv < float(2 ** 63)):
+        raise ValueError(
+            f"histogram interval must be > 0 and finite (< 2^63), "
+            f"got {arg!r}"
+        )
+    return fv
+
+
 def is_fixed_interval(arg) -> bool:
     """True when a ``date_histogram`` interval argument names a FIXED
     width (int, or an ASCII-digit string) rather than a calendar unit.
@@ -573,13 +588,7 @@ def histogram(
     (OpenSearch key semantics).  Same partial-count shape as
     :func:`date_histogram`; empty buckets are omitted (OpenSearch
     ``min_doc_count: 1``)."""
-    if not (0 < float(interval) < float("inf")):  # NaN/inf-proof
-        # v/0, v/NaN or v/inf → NaN edges that escape the input-NaN
-        # mask and cast to INT64_MIN garbage buckets with a 200 — same
-        # refusal as the other bucketing layers (round-5 hardening)
-        raise ValueError(
-            f"histogram interval must be > 0 and finite, got {interval!r}"
-        )
+    check_histogram_interval(interval)
 
     def key_of(t: pa.Table) -> pa.Array:
         v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
@@ -813,10 +822,7 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
                 us // _fixed_interval_us(arg), pa.int64(), mask=~valid
             )
     elif kind == "histogram":
-        if not (0 < float(arg) < float("inf")):  # NaN/inf-proof
-            raise ValueError(
-                f"histogram interval must be > 0 and finite, got {arg!r}"
-            )
+        check_histogram_interval(arg)
         v = pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
         )
@@ -899,10 +905,7 @@ def value_bucket_sums(key_vals, metric_vals, kind: str, arg=None) -> pa.Table:
                 us // _fixed_interval_us(arg), pa.int64(), mask=~valid
             )
     elif kind == "histogram":
-        if not (0 < float(arg) < float("inf")):  # NaN/inf-proof
-            raise ValueError(
-                f"histogram interval must be > 0 and finite, got {arg!r}"
-            )
+        check_histogram_interval(arg)
         v = pa.chunked_array([key_vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
         )

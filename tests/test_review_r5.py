@@ -389,10 +389,13 @@ def test_second_review_fixes(root, ray_session):
         ]}},
     ]}}}}, en)
     assert isinstance(nv, _Bool) and not nv.must and not nv.should
-    # …while a stopword-only no-op alternative alone stays a no-op
-    assert dsl_to_node({"intervals": {"body": {"any_of": {"intervals": [
+    # …and (fourth pass: UNIFORM Lucene semantics) a stopword-only
+    # alternative alone also matches NOTHING — an empty-analysis
+    # intervals source never produces an interval at any level
+    nv1 = dsl_to_node({"intervals": {"body": {"any_of": {"intervals": [
         {"match": {"query": "the"}},
-    ]}}}}, en) is None
+    ]}}}}, en)
+    assert isinstance(nv1, _Bool) and not nv1.must and not nv1.should
 
     # 4. NaN intervals refused everywhere the zero guard lives
     import ray.data
@@ -449,14 +452,20 @@ def test_third_review_fixes(root, ray_session):
     with _pytest.raises(ValueError, match="finite"):
         value_histogram(pa.array([1.0, 2.0]), "histogram", float("inf"))
 
-    # any_of(no-op, impossible) stays the no-op: unions are monotone
+    # any_of over two never-matching alternatives: still match-nothing
+    # (fourth pass: empty-analysis sources match nothing UNIFORMLY, so
+    # unions stay monotone — adding the impossible all_of to the
+    # never-matching stopword alternative changes nothing)
+    from docs_indexer_ray.query.qstring import _Bool as _B
+
     en = Analyzer("english")
-    assert dsl_to_node({"intervals": {"body": {"any_of": {"intervals": [
+    nvm = dsl_to_node({"intervals": {"body": {"any_of": {"intervals": [
         {"match": {"query": "the"}},
         {"all_of": {"intervals": [
             {"match": {"query": "the"}}, {"match": {"query": "alpha"}},
         ]}},
-    ]}}}}, en) is None
+    ]}}}}, en)
+    assert isinstance(nvm, _B) and not nvm.must and not nvm.should
 
     srv = SearchServer(root, backend="local").start()
     try:
@@ -473,3 +482,50 @@ def test_third_review_fixes(root, ray_session):
             assert code == 400, (body, code, r)
     finally:
         srv.stop()
+
+
+def test_fourth_review_fixes(root, ray_session):
+    """Fourth self-review batch: 2^63-bounded histogram intervals;
+    uniform matches-nothing for empty-analysis intervals (fast path
+    AND extents, union-monotone by construction); filter specs are
+    validated even on degenerate (never-matching) sources."""
+    import pytest as _pytest
+
+    from docs_indexer_ray.functions.analyzer import Analyzer
+    from docs_indexer_ray.query.dsl import DslError, dsl_to_node
+    from docs_indexer_ray.query.facets import value_histogram
+    from docs_indexer_ray.query.qstring import _Bool, query_string_topk
+    from docs_indexer_ray.query.reader import IndexReader
+
+    # huge finite interval would overflow the int64 bucket key
+    with _pytest.raises(ValueError, match="2\\^63"):
+        value_histogram(pa.array([-5.0, 3.0]), "histogram", 1e19)
+
+    en = Analyzer("english")
+    # fast path: a stopword-only match is match-nothing, not dropped
+    nv = dsl_to_node({"intervals": {"body": {"match": {
+        "query": "the"}}}}, en)
+    assert isinstance(nv, _Bool) and not nv.must and not nv.should
+    # union monotonicity holds with a concrete alternative: adding the
+    # never-matching stopword alternative does not change the union
+    reader = IndexReader(root)
+    only_beta = {d for d, _ in query_string_topk(reader, {"intervals": {
+        "body": {"match": {"query": "documentation"}}}}, k=1000)}
+    an = Analyzer("simple")
+    union = {d for d, _ in query_string_topk(reader, {"intervals": {
+        "body": {"any_of": {"intervals": [
+            {"match": {"query": "documentation"}},
+        ]}}}}, k=1000)}
+    assert union == only_beta
+
+    # malformed filter on a degenerate source still refuses loudly
+    for bad in (
+        {"intervals": {"body": {"any_of": {
+            "intervals": [{"match": {"query": "the"}}],
+            "filter": {"script": {"source": "x"}}}}}},
+        {"intervals": {"body": {"match": {
+            "query": "the", "filter": {"nonsense": {"match": {
+                "query": "alpha"}}}}}}},
+    ):
+        with _pytest.raises(DslError):
+            dsl_to_node(bad, en)
