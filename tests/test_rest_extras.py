@@ -950,6 +950,9 @@ def test_aggs_envelope_fuzz_never_500s(root, ray_session):
             # True but int()-hostile or Nd), zero widths, BOM/noncharacter
             "²", "٢", "０", "0", "0s", "﻿", "￿", "1²h",
         ]),
+        # overflow alphabet: JSON 1e999 → inf; 2^70 overflows C long;
+        # 1e19 overflows the int64 bucket key
+        st.sampled_from([1e999, -1e999, 2 ** 70, 1e19, 0.0, -0.5]),
     )
     json_obj = st.recursive(
         scalars,
