@@ -588,7 +588,7 @@ def histogram(
     (OpenSearch key semantics).  Same partial-count shape as
     :func:`date_histogram`; empty buckets are omitted (OpenSearch
     ``min_doc_count: 1``)."""
-    check_histogram_interval(interval)
+    iv = check_histogram_interval(interval)
 
     def key_of(t: pa.Table) -> pa.Array:
         v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
@@ -597,7 +597,7 @@ def histogram(
         # would otherwise .astype(int64) into a garbage INT64_MIN bucket)
         missing = np.isnan(v)
         with np.errstate(invalid="ignore"):
-            edges = np.floor(v / interval) * interval
+            edges = np.floor(v / iv) * iv
         return pa.array(
             np.where(missing, 0.0, edges).astype(np.int64),
             pa.int64(),
@@ -822,13 +822,13 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
                 us // _fixed_interval_us(arg), pa.int64(), mask=~valid
             )
     elif kind == "histogram":
-        check_histogram_interval(arg)
+        iv = check_histogram_interval(arg)
         v = pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
         )
         missing = np.isnan(v)
         with np.errstate(invalid="ignore"):
-            edges = np.floor(v / float(arg)) * float(arg)
+            edges = np.floor(v / iv) * iv
         keys = pa.array(
             np.where(missing, 0.0, edges).astype(np.int64),
             pa.int64(),
@@ -905,13 +905,13 @@ def value_bucket_sums(key_vals, metric_vals, kind: str, arg=None) -> pa.Table:
                 us // _fixed_interval_us(arg), pa.int64(), mask=~valid
             )
     elif kind == "histogram":
-        check_histogram_interval(arg)
+        iv = check_histogram_interval(arg)
         v = pa.chunked_array([key_vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
         )
         missing = np.isnan(v)
         with np.errstate(invalid="ignore"):
-            edges = np.floor(v / float(arg)) * float(arg)
+            edges = np.floor(v / iv) * iv
         keys = pa.array(
             np.where(missing, 0.0, edges).astype(np.int64),
             pa.int64(),

@@ -506,17 +506,18 @@ def test_fourth_review_fixes(root, ray_session):
     nv = dsl_to_node({"intervals": {"body": {"match": {
         "query": "the"}}}}, en)
     assert isinstance(nv, _Bool) and not nv.must and not nv.should
-    # union monotonicity holds with a concrete alternative: adding the
-    # never-matching stopword alternative does not change the union
+    # union monotonicity holds with a concrete alternative: ADDING a
+    # never-matching alternative ("!!!" analyzes to no tokens on the
+    # simple chain) must not change the union
     reader = IndexReader(root)
-    only_beta = {d for d, _ in query_string_topk(reader, {"intervals": {
-        "body": {"match": {"query": "documentation"}}}}, k=1000)}
-    an = Analyzer("simple")
+    only_node = {d for d, _ in query_string_topk(reader, {"intervals": {
+        "body": {"match": {"query": "node"}}}}, k=1000)}
     union = {d for d, _ in query_string_topk(reader, {"intervals": {
         "body": {"any_of": {"intervals": [
-            {"match": {"query": "documentation"}},
+            {"match": {"query": "node"}},
+            {"match": {"query": "!!!"}},
         ]}}}}, k=1000)}
-    assert union == only_beta
+    assert union == only_node and only_node
 
     # malformed filter on a degenerate source still refuses loudly
     for bad in (
