@@ -42,8 +42,10 @@ Cost shape: a VECTORIZED kernel prefilter (the slop-walk / span-near
 kernels, whose doc-level semantics coincide with this algebra's leaf
 rules — see :func:`_kernel_prefilter`) narrows the candidate set, and
 for several rule shapes fully DECIDES it (exact prefilter → zero
-per-doc work); only undecided candidates pay the per-doc extent
-enumeration (numpy per doc; interval lists are occurrence-scale).
+per-doc work); undecided candidates run the SEGMENTED all-docs-at-
+once evaluator (`_seg_eval` — every rule shape, including unordered
+combines of any sub count via the merge-path replay); the scalar
+per-doc enumeration survives only as the test oracle.
 The common plain rules never reach this module at all — they lower
 straight onto the same kernels.  Per-doc locality means doc-range
 shards compose exactly, like every other positional leaf.
@@ -367,25 +369,14 @@ _SHIFT = np.int64(34)  # (doc_rank << 34) | position — phrase.py's packing
 
 def _segmentable(rule) -> bool:
     """True when the rule tree can run the SEGMENTED (all-docs-at-once)
-    evaluator: everything except the unordered combiners, whose
-    m-pointer min-window sweep is inherently sequential per doc —
-    EXCEPT the two-sub case, whose sweep replays as a vectorized
-    merge path (:func:`_seg_unordered2`); a single-term unordered
-    match degenerates to a term leaf.  (Unordered rules at the ROOT
-    are usually decided by the exact kernel prefilter before this
-    question is asked — the per-doc fallback only serves m≥3
-    unordered interval sources nested under filters or gap-capped
-    parents.)"""
-    if isinstance(rule, ExtTerm):
+    evaluator.  Since the unordered pointer sweep gained its merge-path
+    replay for ANY sub count (:func:`_seg_unordered`), every rule shape
+    is segmentable — this predicate (and the scalar per-doc fallback it
+    guards) is retained as a safety valve and for the test oracle."""
+    if isinstance(rule, (ExtTerm, ExtMatch)):
         return True
-    if isinstance(rule, ExtMatch):
-        return rule.ordered or len(rule.terms) <= 2
-    if isinstance(rule, ExtAnyOf):
+    if isinstance(rule, (ExtAnyOf, ExtAllOf)):
         return all(_segmentable(s) for s in rule.subs)
-    if isinstance(rule, ExtAllOf):
-        return (rule.ordered or len(rule.subs) == 2) and all(
-            _segmentable(s) for s in rule.subs
-        )
     if isinstance(rule, ExtFilter):
         return _segmentable(rule.source) and _segmentable(rule.filter)
     raise TypeError(f"unknown extent rule {rule!r}")
@@ -435,57 +426,65 @@ def _seg_ordered_combine(subs, max_gaps: int):
     return _seg_minimal(rank, s, e)
 
 
-def _seg_unordered2(sub_a, sub_b, max_gaps: int):
-    """Segmented UNORDERED combine for exactly two subs — the scalar
-    min-window pointer sweep replayed as a merge path: the sweep's
-    pointer states are precisely the prefix counts of the two lists
-    merged by (start, sub-index) (ties advance sub 0, matching the
-    scalar ``argmin``), truncated at the first exhaustion.  Coverage
-    of a two-interval combo has a closed form, so gap filtering is
-    one vectorized expression."""
-    ra, sa, ea = sub_a
-    rb, sb, eb = sub_b
-    if len(ra) == 0 or len(rb) == 0:
+def _seg_unordered(subs: list, max_gaps: int):
+    """Segmented UNORDERED combine for ANY number of subs — the scalar
+    min-window pointer sweep replayed as a merge path: at every step
+    the sweep consumes the globally smallest remaining ``(start,
+    sub-index)`` (ties advance the lowest index, matching the scalar
+    ``argmin``), so its pointer states are exactly the per-sub prefix
+    counts of the merged order, truncated at the first exhaustion.
+    Window gap = width − |union of the m chosen intervals|, computed
+    by an axis-1 argsort + one m-step coverage sweep (m is the rule's
+    sub count — a handful — while N is candidate-scale)."""
+    m = len(subs)
+    if any(len(s[0]) == 0 for s in subs):
         empty = np.empty(0, np.int64)
         return empty, empty, empty
-    rank = np.concatenate([ra, rb])
-    start = np.concatenate([sa, sb])
-    tag = np.concatenate([np.zeros(len(ra), np.int64),
-                          np.ones(len(rb), np.int64)])
+    rank = np.concatenate([s[0] for s in subs])
+    start = np.concatenate([s[1] for s in subs])
+    tag = np.concatenate([
+        np.full(len(s[0]), i, np.int64) for i, s in enumerate(subs)
+    ])
     order = np.lexsort((tag, start, rank))
     rank, tag = rank[order], tag[order]
-    # per-rank prefix counts of each sub BEFORE each merged row =
-    # the sweep's pointer state when that row is the next advance
-    seg_first = np.ones(len(rank), bool)
+    n = len(rank)
+    seg_first = np.ones(n, bool)
     seg_first[1:] = rank[1:] != rank[:-1]
-    pos_in_rank = np.arange(len(rank)) - np.maximum.accumulate(
-        np.where(seg_first, np.arange(len(rank)), 0)
-    )
-    cum_b = np.cumsum(tag)
-    base_b = np.maximum.accumulate(np.where(seg_first, cum_b - tag, 0))
-    ib = cum_b - tag - base_b          # B-count before this row
-    ia = pos_in_rank - ib              # A-count before this row
-    # bases of each rank's slice inside the (rank-sorted) sub arrays
-    na = np.searchsorted(ra, rank, side="right") - np.searchsorted(
-        ra, rank, side="left"
-    )
-    nb = np.searchsorted(rb, rank, side="right") - np.searchsorted(
-        rb, rank, side="left"
-    )
-    ok = (ia < na) & (ib < nb)
-    rank, ia, ib = rank[ok], ia[ok], ib[ok]
-    a_idx = np.searchsorted(ra, rank, side="left") + ia
-    b_idx = np.searchsorted(rb, rank, side="left") + ib
-    as_, ae_ = sa[a_idx], ea[a_idx]
-    bs_, be_ = sb[b_idx], eb[b_idx]
-    w_s = np.minimum(as_, bs_)
-    w_e = np.maximum(ae_, be_)
-    if max_gaps >= 0:
-        overlap = np.maximum(
-            0, np.minimum(ae_, be_) - np.maximum(as_, bs_) + 1
-        )
-        covered = (ae_ - as_ + 1) + (be_ - bs_ + 1) - overlap
-        keep = (w_e - w_s + 1) - covered <= max_gaps
+    # per-rank, per-sub prefix counts BEFORE each merged row = the
+    # sweep's pointer state when that row is the next advance
+    ptr = np.empty((n, m), np.int64)
+    for i in range(m):
+        is_i = (tag == i).astype(np.int64)
+        cum = np.cumsum(is_i)
+        base = np.maximum.accumulate(np.where(seg_first, cum - is_i, 0))
+        ptr[:, i] = cum - is_i - base
+    counts = np.empty((n, m), np.int64)
+    bases = np.empty((n, m), np.int64)
+    for i in range(m):
+        ri = subs[i][0]
+        lo = np.searchsorted(ri, rank, side="left")
+        counts[:, i] = np.searchsorted(ri, rank, side="right") - lo
+        bases[:, i] = lo
+    ok = (ptr < counts).all(axis=1)
+    rank = rank[ok]
+    idx = bases[ok] + ptr[ok]          # (N, m) row index into each sub
+    S = np.stack([subs[i][1][idx[:, i]] for i in range(m)], axis=1)
+    E = np.stack([subs[i][2][idx[:, i]] for i in range(m)], axis=1)
+    w_s = S.min(axis=1)
+    w_e = E.max(axis=1)
+    if max_gaps >= 0 and len(rank):
+        # union coverage of the m chosen intervals per state: sort by
+        # start along axis 1, then an m-step clipped accumulation
+        o = np.argsort(S, axis=1)
+        S2 = np.take_along_axis(S, o, 1)
+        E2 = np.take_along_axis(E, o, 1)
+        cov = np.zeros(len(rank), np.int64)
+        cur_end = S2[:, 0] - 1
+        for j in range(m):
+            eff = np.maximum(S2[:, j], cur_end + 1)
+            cov += np.maximum(0, E2[:, j] - eff + 1)
+            cur_end = np.maximum(cur_end, E2[:, j])
+        keep = (w_e - w_s + 1) - cov <= max_gaps
         rank, w_s, w_e = rank[keep], w_s[keep], w_e[keep]
     return _seg_minimal(rank, w_s, w_e)
 
@@ -551,7 +550,7 @@ def _seg_eval(rule, term_ivs):
         subs = [_seg_eval(ExtTerm(t), term_ivs) for t in rule.terms]
         if rule.ordered:
             return _seg_ordered_combine(subs, rule.max_gaps)
-        return _seg_unordered2(subs[0], subs[1], rule.max_gaps)
+        return _seg_unordered(subs, rule.max_gaps)
     if isinstance(rule, ExtAnyOf):
         parts = [_seg_eval(x, term_ivs) for x in rule.subs]
         rank = np.concatenate([p[0] for p in parts])
@@ -562,7 +561,7 @@ def _seg_eval(rule, term_ivs):
         subs = [_seg_eval(x, term_ivs) for x in rule.subs]
         if rule.ordered:
             return _seg_ordered_combine(subs, rule.max_gaps)
-        return _seg_unordered2(subs[0], subs[1], rule.max_gaps)
+        return _seg_unordered(subs, rule.max_gaps)
     if isinstance(rule, ExtFilter):
         return _seg_filter(
             _seg_eval(rule.source, term_ivs),

@@ -372,6 +372,16 @@ def test_segmented_evaluator_equals_per_doc():
         ExtAllOf([ExtMatch(["a", "b"], ordered=False, max_gaps=3),
                   ExtMatch(["c", "d"], ordered=False, max_gaps=3)],
                  ordered=False, max_gaps=4),
+        # m>=3 unordered (the generalized merge-path kernel)
+        ExtAllOf([ExtTerm("a"), ExtTerm("b"), ExtTerm("c")],
+                 ordered=False, max_gaps=-1),
+        ExtAllOf([ExtMatch(["a", "b"], ordered=True, max_gaps=-1),
+                  ExtTerm("c"), ExtTerm("d")],
+                 ordered=False, max_gaps=3),
+        ExtMatch(["a", "b", "c", "d"], ordered=False, max_gaps=2),
+        ExtFilter(ExtAllOf([ExtTerm("a"), ExtTerm("b"), ExtTerm("c")],
+                           ordered=False, max_gaps=4),
+                  "containing", ExtTerm("d")),
         ExtFilter(ExtAllOf([ExtTerm("a"), ExtTerm("b")],
                            ordered=False, max_gaps=2),
                   "containing", ExtTerm("c")),
