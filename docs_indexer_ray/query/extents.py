@@ -44,8 +44,10 @@ rules — see :func:`_kernel_prefilter`) narrows the candidate set, and
 for several rule shapes fully DECIDES it (exact prefilter → zero
 per-doc work); undecided candidates run the SEGMENTED all-docs-at-
 once evaluator (`_seg_eval` — every rule shape, including unordered
-combines of any sub count via the merge-path replay); the scalar
-per-doc enumeration survives only as the test oracle.
+combines of any sub count via the merge-path replay).  The scalar
+per-doc enumeration (`_doc_intervals`) is the randomized-test ORACLE
+and an unreachable safety valve in `eval_intervals` — production
+queries never pay a per-doc Python loop.
 The common plain rules never reach this module at all — they lower
 straight onto the same kernels.  Per-doc locality means doc-range
 shards compose exactly, like every other positional leaf.
@@ -637,8 +639,11 @@ def eval_intervals(reader, rule, lo: Optional[int] = None,
             rks, _, _ = _seg_eval(rule, term_ivs)
             out = cand[np.unique(rks)]
         else:
-            # per-doc fallback — only unordered interval SOURCES
-            # nested under filters / gap-capped parents land here
+            # UNREACHABLE safety valve: _segmentable() is True for
+            # every well-formed rule since the merge-path replay
+            # generalized to any sub count — kept as defense in depth
+            # (the scalar semantics it runs are the randomized-test
+            # oracle, so the path stays correct if ever re-enabled)
             matched = []
             for doc in cand.tolist():
                 pos = {}

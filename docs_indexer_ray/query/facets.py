@@ -316,6 +316,32 @@ def check_histogram_interval(arg) -> float:
     return fv
 
 
+def _float_histogram_keys(vals, arg) -> pa.Array:
+    """THE shared numeric-histogram bucket-key kernel (OpenSearch
+    ``histogram`` lower-edge semantics) — one definition for all three
+    bucketing layers (`histogram`, `value_histogram`,
+    `value_bucket_sums`) so key semantics can never diverge: validate
+    the width, cast to float64, floor (not truncate — negative values
+    bucket correctly), null/NaN inputs become null keys (a NaN would
+    otherwise ``.astype(int64)`` into a garbage INT64_MIN bucket)."""
+    iv = check_histogram_interval(arg)
+    v = (
+        vals
+        if isinstance(vals, np.ndarray)
+        else pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+    )
+    missing = np.isnan(v)
+    with np.errstate(invalid="ignore"):
+        edges = np.floor(v / iv) * iv
+    return pa.array(
+        np.where(missing, 0.0, edges).astype(np.int64),
+        pa.int64(),
+        mask=missing,
+    )
+
+
 def is_fixed_interval(arg) -> bool:
     """True when a ``date_histogram`` interval argument names a FIXED
     width (int, or an ASCII-digit string) rather than a calendar unit.
@@ -588,21 +614,10 @@ def histogram(
     (OpenSearch key semantics).  Same partial-count shape as
     :func:`date_histogram`; empty buckets are omitted (OpenSearch
     ``min_doc_count: 1``)."""
-    iv = check_histogram_interval(interval)
+    check_histogram_interval(interval)
 
     def key_of(t: pa.Table) -> pa.Array:
-        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
-        # floor (not truncate) so negative values bucket correctly;
-        # null/NaN values become null keys (dropped by _facet — a NaN
-        # would otherwise .astype(int64) into a garbage INT64_MIN bucket)
-        missing = np.isnan(v)
-        with np.errstate(invalid="ignore"):
-            edges = np.floor(v / iv) * iv
-        return pa.array(
-            np.where(missing, 0.0, edges).astype(np.int64),
-            pa.int64(),
-            mask=missing,
-        )
+        return _float_histogram_keys(t[col], interval)
 
     return _facet(docs_ds, matched, key_of, pa.field("bucket", pa.int64()))
 
@@ -822,18 +837,7 @@ def value_histogram(vals, kind: str, arg=None) -> pa.Table:
                 us // _fixed_interval_us(arg), pa.int64(), mask=~valid
             )
     elif kind == "histogram":
-        iv = check_histogram_interval(arg)
-        v = pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
-            zero_copy_only=False
-        )
-        missing = np.isnan(v)
-        with np.errstate(invalid="ignore"):
-            edges = np.floor(v / iv) * iv
-        keys = pa.array(
-            np.where(missing, 0.0, edges).astype(np.int64),
-            pa.int64(),
-            mask=missing,
-        )
+        keys = _float_histogram_keys(vals, arg)
     elif kind == "range":
         v = pa.chunked_array([vals]).cast(pa.float64()).to_numpy(
             zero_copy_only=False
@@ -905,18 +909,7 @@ def value_bucket_sums(key_vals, metric_vals, kind: str, arg=None) -> pa.Table:
                 us // _fixed_interval_us(arg), pa.int64(), mask=~valid
             )
     elif kind == "histogram":
-        iv = check_histogram_interval(arg)
-        v = pa.chunked_array([key_vals]).cast(pa.float64()).to_numpy(
-            zero_copy_only=False
-        )
-        missing = np.isnan(v)
-        with np.errstate(invalid="ignore"):
-            edges = np.floor(v / iv) * iv
-        keys = pa.array(
-            np.where(missing, 0.0, edges).astype(np.int64),
-            pa.int64(),
-            mask=missing,
-        )
+        keys = _float_histogram_keys(key_vals, arg)
     else:
         raise ValueError(f"unknown value_bucket_sums kind {kind!r}")
     t = pa.table(
